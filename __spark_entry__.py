@@ -1,38 +1,565 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry(spark), queries(), oracle_sql().
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query exercises an operator from SURVEY.md §2 through the
+``neo_server_spark`` engine and has a DuckDB-equivalent oracle.  Column names
+are aliased identically on both sides; time outputs are epoch-ns BIGINTs
+(exact integers — the engine's canonical basetime representation) so no
+timestamp-precision ambiguity enters the value hash.  Aggregates whose
+float summation order differs between engines are rounded to 6 decimals on
+both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from neo_server_spark import io as nio
+from neo_server_spark.operators import maps, series, stats
+from neo_server_spark.operators.group import agg, group, timewindow
+from neo_server_spark.datapipe import dedup, similarity, text
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _us(col: str, name: str | None = None):
+    """Epoch-ns long -> epoch-us long for oracle-compared time outputs
+    (DuckDB's parquet reader truncates TIMESTAMP_NS to microseconds)."""
+    return F.expr(f"{col} div 1000").alias(name or col.split(".")[-1])
+
+# timewindow constants: [2024-01-05, 2024-01-20) at 1h, epoch-ns
+TW_FROM = 1_704_412_800 * 1_000_000_000
+TW_UNTIL = 1_705_708_800 * 1_000_000_000
+TW_PERIOD = 3_600 * 1_000_000_000
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-tag hourly timewindow rollup with gap-filled buckets."""
+    return _q_timewindow_avg(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# tag-table / TQL operator queries over `events` (name=event_type, time=ts ns)
+# ---------------------------------------------------------------------------
+
+def _tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nio.events_as_tag(spark, sf_dir)
+
+
+def _q_tag_scan(spark, sf_dir):
+    """SQL_SELECT(...) tag scan: name + time-range predicate + limit.
+
+    Catalyst pushes both predicates into the parquet scan (PushedFilters) and
+    TAKE compiles to TakeOrderedAndProject.
+    """
+    df = _tag(spark, sf_dir).filter(
+        (F.col("name") == "purchase") & F.col("time").between(TW_FROM, TW_UNTIL)
+    ).select("name", _us("time"), "value", "event_id")
+    return maps.take(df, 500, order_by=[F.col("time"), F.col("event_id")])
+
+
+def _q_timewindow_avg(spark, sf_dir):
+    """GROUP(by(time, timewindow(...))) per tag, gap-filled calendar buckets."""
+    df = _tag(spark, sf_dir)
+    return timewindow(
+        df, "time", TW_FROM, TW_UNTIL, TW_PERIOD,
+        aggs=[
+            agg.count("value", "cnt"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        ],
+        series=["name"],
+    )
+
+
+def _q_group_aggs(spark, sf_dir):
+    """GROUP aggregate battery (§2.3 table) per tag name."""
+    df = _tag(spark, sf_dir)
+    return group(
+        df,
+        by=[(F.col("name"), "name")],
+        aggs=[
+            agg.count("value", "cnt"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            agg.min("value", "min_value"),
+            agg.max("value", "max_value"),
+            F.round(agg.rss("value", "rss_value"), 6).alias("rss_value"),
+            F.round(agg.rms("value", "rms_value"), 6).alias("rms_value"),
+            F.round(agg.stddev("value", "x"), 6).alias("stddev_value"),
+            F.round(agg.variance("value", "x"), 6).alias("var_value"),
+            F.round(agg.stderr("value", "x"), 6).alias("stderr_value"),
+            F.round(agg.median_interpolated("value", "x"), 6).alias("median_value"),
+            F.round(agg.quantile_interpolated("value", 0.95, "x"), 6).alias("p95_value"),
+        ],
+    )
+
+
+def _q_group_where(spark, sf_dir):
+    """Per-aggregate where() filter (fm_monad.go:717-720)."""
+    df = _tag(spark, sf_dir)
+    return group(
+        df,
+        by=[(F.col("name"), "name")],
+        aggs=[
+            agg.count("value", "cnt_all"),
+            agg.count("value", "cnt_high", where=F.col("value") > 100),
+            F.round(agg.sum("value", "x", where=F.col("value") > 100), 6).alias("sum_high"),
+        ],
+    )
+
+
+def _q_first_last(spark, sf_dir):
+    """FIRST/LAST aggregates (http_lake.go:871-877) == min_by/max_by."""
+    df = _tag(spark, sf_dir)
+    return group(
+        df,
+        by=[(F.col("name"), "name")],
+        aggs=[
+            agg.first("value", "time", "first_value"),
+            agg.last("value", "time", "last_value"),
+            F.min(_us("time")).alias("min_time"),
+            F.max(_us("time")).alias("max_time"),
+        ],
+    )
+
+
+def _q_tag_stat(spark, sf_dir):
+    """V$<table>_STAT equivalent: per-tag row count + time bounds
+    (reference: spi/show.go ShowTags / fm_dbsrc.go:871-881)."""
+    df = _tag(spark, sf_dir)
+    return group(
+        df,
+        by=[(F.col("name"), "name")],
+        aggs=[
+            agg.count("*", "row_count"),
+            F.min(_us("time")).alias("min_time"),
+            F.max(_us("time")).alias("max_time"),
+        ],
+    )
+
+
+def _q_filter_changed(spark, sf_dir):
+    """FILTER_CHANGED over per-user event_type transitions."""
+    ev = nio.load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    out = maps.filter_changed(ev, "event_type", series=["user_id"], order_by=["ts", "event_id"])
+    return out.select("user_id", _us("ts", "time"), "event_type", "event_id")
+
+
+def _q_map_diff(spark, sf_dir):
+    """MAP_DIFF per series (lag window)."""
+    df = _tag(spark, sf_dir).select("name", "time", "value", "event_id")
+    out = series.map_diff(df, "value", out="diff", series=["name"], order_by=["time", "event_id"])
+    return out.select("name", _us("time"), "value", "diff")
+
+
+def _q_map_movavg(spark, sf_dir):
+    """MAP_MOVAVG(window=5) wait-mode + cumulative mean per series.
+
+    The cumulative mean is computed in exact integer-cents space (the events
+    values are 2-decimal): integer window sums are order-independent, so the
+    oracle comparison is exact with no float-rounding ambiguity.
+    """
+    from pyspark.sql import Window
+
+    df = _tag(spark, sf_dir).select("name", "time", "value", "event_id")
+    out = series.map_movavg(df, "value", 5, out="movavg", series=["name"], order_by=["time", "event_id"])
+    w = Window.partitionBy("name").orderBy("time", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cum = F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+    rn = F.row_number().over(w).cast("double")
+    out = out.withColumn("cumavg", cum / (rn * F.lit(100.0)))
+    return out.select(
+        "name", _us("time"), "value",
+        F.round("movavg", 6).alias("movavg"),
+        "cumavg",
+    )
+
+
+def _q_take_drop(spark, sf_dir):
+    """TAKE(offset, n) paging on an ordered scan."""
+    df = _tag(spark, sf_dir).select("name", "time", "value", "event_id")
+    return maps.take(df, 200, offset=100,
+                     order_by=[F.col("time"), F.col("event_id")]).select(
+        "name", _us("time"), "value", "event_id")
+
+
+def _q_transpose(spark, sf_dir):
+    """TRANSPOSE(fixed(0)) — melt value columns into rows."""
+    df = nio.load_table(spark, sf_dir, "events").select("event_id", "value", "user_id")
+    out = maps.transpose(df, fixed=(0,), header=True)
+    return out.select("event_id", "col_name", "value")
+
+
+def _q_pivot_counts(spark, sf_dir):
+    """PIVOT (http_lake.go:1650-1652) — user_id x event_type count matrix."""
+    ev = nio.load_table(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type").count()
+    for c in [c for c in out.columns if c != "user_id"]:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out.orderBy("user_id")
+
+
+def _q_histogram(spark, sf_dir):
+    """HISTOGRAM(value, bins(0,200,20), category(name))."""
+    df = _tag(spark, sf_dir)
+    return stats.histogram(df, "value", 0.0, 200.0, 20.0, category="name")
+
+
+def _q_boxplot(spark, sf_dir):
+    """BOXPLOT(value, category(name)) with interpolated quartiles."""
+    df = _tag(spark, sf_dir)
+    out = stats.boxplot(df, "value", "name", interpolated=True)
+    return out.select(
+        "category",
+        F.round("min", 6).alias("min"),
+        F.round("lower_whisker", 6).alias("lower_whisker"),
+        F.round("q1", 6).alias("q1"),
+        F.round("median", 6).alias("median"),
+        F.round("q3", 6).alias("q3"),
+        F.round("upper_whisker", 6).alias("upper_whisker"),
+        F.round("max", 6).alias("max"),
+        "outlier_count",
+    )
+
+
+def _q_rollup_hourly(spark, sf_dir):
+    """DATE_TRUNC-style rollup (http_lake.go:1707-1716): hourly avg/min/max/sum."""
+    df = _tag(spark, sf_dir)
+    bucket = (F.floor(F.col("time") / F.lit(TW_PERIOD)) * F.lit(TW_PERIOD)).cast("long")
+    return (
+        df.groupBy(F.col("name"), bucket.alias("time"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("name", "time")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / SQL-surface queries over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def _q_tpch_q1(spark, sf_dir):
+    """Pricing summary (Spark SQL surface; tests groupBy/agg at scale)."""
+    li = nio.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_join_revenue(spark, sf_dir):
+    """Broadcast-join star query: revenue per nation."""
+    cust = nio.load_table(spark, sf_dir, "customer")
+    nat = nio.load_table(spark, sf_dir, "nation")
+    orders = nio.load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# datapipe: text analysis / dedup / similarity (BASELINE north star)
+# ---------------------------------------------------------------------------
+
+def _q_text_stats(spark, sf_dir):
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return text.text_stats(docs)
+
+
+def _q_token_counts(spark, sf_dir):
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return text.token_count_by(docs, by="lang")
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fp")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_stats(docs)
+
+
+def _q_similarity_topk(spark, sf_dir):
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, query_vec_id=0, k=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tag_scan": _q_tag_scan,
+        "timewindow_avg": _q_timewindow_avg,
+        "group_aggs": _q_group_aggs,
+        "group_where": _q_group_where,
+        "first_last": _q_first_last,
+        "tag_stat": _q_tag_stat,
+        "filter_changed": _q_filter_changed,
+        "map_diff": _q_map_diff,
+        "map_movavg": _q_map_movavg,
+        "take_drop": _q_take_drop,
+        "transpose": _q_transpose,
+        "pivot_counts": _q_pivot_counts,
+        "histogram": _q_histogram,
+        "boxplot": _q_boxplot,
+        "rollup_hourly": _q_rollup_hourly,
+        "tpch_q1": _q_tpch_q1,
+        "join_revenue": _q_join_revenue,
+        "text_stats": _q_text_stats,
+        "token_counts": _q_token_counts,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "similarity_topk": _q_similarity_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    f, u, p = TW_FROM, TW_UNTIL, TW_PERIOD
+    return {
+        "tag_scan": f"""
+            SELECT event_type AS name, epoch_us(ts) AS time, value, event_id
+            FROM events
+            WHERE event_type = 'purchase' AND epoch_ns(ts) BETWEEN {f} AND {u}
+            ORDER BY time, event_id LIMIT 500
+        """,
+        "timewindow_avg": f"""
+            WITH raw AS (
+              SELECT event_type AS name, epoch_ns(ts) AS t, value FROM events
+              WHERE epoch_ns(ts) >= {f} AND epoch_ns(ts) < {u}
+            ), ag AS (
+              SELECT name, {f} + ((t - {f}) // {p}) * {p} AS time,
+                     count(value) AS cnt, round(avg(value), 6) AS avg_value,
+                     min(value) AS min_value, max(value) AS max_value
+              FROM raw GROUP BY 1, 2
+            ), grid AS (
+              SELECT n.name, g.range AS time
+              FROM (SELECT DISTINCT name FROM raw) n
+              CROSS JOIN range({f}, {u}, {p}) g
+            )
+            SELECT grid.name, grid.time, ag.cnt, ag.avg_value, ag.min_value, ag.max_value
+            FROM grid LEFT JOIN ag ON grid.name = ag.name AND grid.time = ag.time
+        """,
+        "group_aggs": """
+            SELECT event_type AS name,
+                   count(value) AS cnt,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS avg_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   round(sqrt(sum(value*value)), 6) AS rss_value,
+                   round(sqrt(avg(value*value)), 6) AS rms_value,
+                   round(stddev_samp(value), 6) AS stddev_value,
+                   round(var_samp(value), 6) AS var_value,
+                   round(stddev_samp(value)/sqrt(count(value)), 6) AS stderr_value,
+                   round(quantile_cont(value, 0.5), 6) AS median_value,
+                   round(quantile_cont(value, 0.95), 6) AS p95_value
+            FROM events GROUP BY 1
+        """,
+        "group_where": """
+            SELECT event_type AS name,
+                   count(value) AS cnt_all,
+                   count(value) FILTER (value > 100) AS cnt_high,
+                   round(sum(value) FILTER (value > 100), 6) AS sum_high
+            FROM events GROUP BY 1
+        """,
+        "first_last": """
+            SELECT event_type AS name,
+                   arg_min(value, epoch_ns(ts)) AS first_value,
+                   arg_max(value, epoch_ns(ts)) AS last_value,
+                   min(epoch_us(ts)) AS min_time,
+                   max(epoch_us(ts)) AS max_time
+            FROM events GROUP BY 1
+        """,
+        "tag_stat": """
+            SELECT event_type AS name, count(*) AS row_count,
+                   min(epoch_us(ts)) AS min_time, max(epoch_us(ts)) AS max_time
+            FROM events GROUP BY 1
+        """,
+        "filter_changed": """
+            WITH w AS (
+              SELECT user_id, epoch_us(ts) AS time, event_type, event_id,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            )
+            SELECT user_id, time, event_type, event_id FROM w
+            WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        """,
+        "map_diff": """
+            SELECT event_type AS name, epoch_us(ts) AS time, value,
+                   value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS diff
+            FROM events
+        """,
+        "map_movavg": """
+            WITH w AS (
+              SELECT event_type AS name, epoch_us(ts) AS time, value,
+                     avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma,
+                     row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+                     sum(CAST(round(value * 100) AS BIGINT))
+                         OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+              FROM events
+            )
+            SELECT name, time, value,
+                   round(CASE WHEN rn >= 5 THEN ma END, 6) AS movavg,
+                   CAST(cum_cents AS DOUBLE) / (rn * 100.0) AS cumavg
+            FROM w
+        """,
+        "take_drop": f"""
+            SELECT event_type AS name, epoch_us(ts) AS time, value, event_id
+            FROM events ORDER BY epoch_ns(ts), event_id LIMIT 200 OFFSET 100
+        """,
+        "transpose": """
+            SELECT event_id, 'value' AS col_name, value FROM events
+            UNION ALL
+            SELECT event_id, 'user_id' AS col_name, CAST(user_id AS DOUBLE) FROM events
+        """,
+        "pivot_counts": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY user_id
+        """,
+        "histogram": """
+            WITH binned AS (
+              SELECT CASE WHEN CAST(floor(value / 20.0) AS INT) < 0 THEN 0
+                          WHEN CAST(floor(value / 20.0) AS INT) >= 10 THEN 9
+                          ELSE CAST(floor(value / 20.0) AS INT) END AS bin,
+                     event_type
+              FROM events
+            ), grid AS (SELECT g.range AS bin FROM range(0, 10) g)
+            SELECT grid.bin * 20.0 AS low, (grid.bin + 1) * 20.0 AS high,
+                   coalesce(count(*) FILTER (event_type = 'click'), 0) AS click,
+                   coalesce(count(*) FILTER (event_type = 'error'), 0) AS error,
+                   coalesce(count(*) FILTER (event_type = 'purchase'), 0) AS purchase,
+                   coalesce(count(*) FILTER (event_type = 'signup'), 0) AS signup,
+                   coalesce(count(*) FILTER (event_type = 'view'), 0) AS view
+            FROM grid LEFT JOIN binned ON grid.bin = binned.bin
+            GROUP BY grid.bin ORDER BY grid.bin
+        """,
+        "boxplot": """
+            WITH s AS (
+              SELECT event_type AS category,
+                     min(value) AS vmin, max(value) AS vmax,
+                     quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.5) AS med,
+                     quantile_cont(value, 0.75) AS q3
+              FROM events GROUP BY 1
+            ), s2 AS (
+              SELECT category, vmin, vmax, q1, med, q3,
+                     greatest(vmin, q1 - 1.5*(q3-q1)) AS lw,
+                     least(vmax, q3 + 1.5*(q3-q1)) AS uw
+              FROM s
+            )
+            SELECT s2.category,
+                   round(vmin, 6) AS min, round(lw, 6) AS lower_whisker,
+                   round(q1, 6) AS q1, round(med, 6) AS median, round(q3, 6) AS q3,
+                   round(uw, 6) AS upper_whisker, round(vmax, 6) AS max,
+                   (SELECT count(*) FROM events e
+                    WHERE e.event_type = s2.category AND (e.value < s2.lw OR e.value > s2.uw)) AS outlier_count
+            FROM s2
+        """,
+        "rollup_hourly": f"""
+            SELECT event_type AS name,
+                   (epoch_ns(ts) // {p}) * {p} AS time,
+                   count(value) AS cnt,
+                   round(avg(value), 6) AS avg_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_revenue": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 4) AS revenue,
+                   count(*) AS order_cnt
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   length(text) AS char_len,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   round(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS avg_token_len,
+                   round(len(string_split(text, ' ')) * 1.0 /
+                         len(list_distinct(string_split(text, ' '))), 6) AS ttr_inv
+            FROM documents
+        """,
+        "token_counts": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(len(string_split(text, ' '))) AS total_tokens,
+                   round(avg(len(string_split(text, ' '))), 6) AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(lower(text)) AS fp FROM documents
+        """,
+        "dedup_exact": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_unique,
+                   count(*) - count(DISTINCT md5(text)) AS n_dupes
+            FROM documents GROUP BY source
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id, e.label,
+                     sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS dot,
+                     sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)) AS sa,
+                     sum(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS sb
+              FROM embeddings e, q, range(1, 65) t(i)
+              WHERE e.vec_id <> 0
+              GROUP BY e.vec_id, e.label
+            ),
+            ranked AS (
+              SELECT vec_id, label, dot / (sqrt(sa) * sqrt(sb)) AS c
+              FROM scored ORDER BY c DESC, vec_id LIMIT 20
+            )
+            SELECT vec_id, label, round(c, 6) AS cosine FROM ranked
+        """,
+    }

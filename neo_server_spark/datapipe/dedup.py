@@ -1,0 +1,224 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes
+------------------
+- Exact dedup hashes the text once (md5, JVM-side) and groupBys the 128-bit
+  digest — shuffle keys are fixed-width, never the raw document.
+- MinHash signatures are computed with built-in array functions (xxhash64 per
+  shingle x permutation) — no Python in the hot path; LSH banding turns the
+  quadratic all-pairs problem into a groupBy on (band, band-hash) buckets, so
+  candidate generation is a single shuffle; only candidate pairs (tiny) are
+  verified with exact Jaccard.
+- SimHash packs 64 weighted bit-votes into one BIGINT per doc; near-dup =
+  identical simhash (or Hamming-probe variants at query time).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from neo_server_spark.datapipe.text import shingles, tokens
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical doc (min id) per exact text digest."""
+    fp = F.md5(F.col(text_col))
+    keep = docs.groupBy(fp.alias("__fp")).agg(F.min(id_col).alias(id_col))
+    return docs.join(keep, on=id_col, how="leftsemi")
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+    """Per-group duplicate accounting (drives dedup dashboards)."""
+    fp = F.md5(F.col(text_col))
+    return (
+        docs.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(fp).alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_dupes"),
+        )
+        .orderBy(by)
+    )
+
+
+# ---------------------------------------------------------------- minhash + LSH
+
+def minhash_signature(docs: DataFrame, text_col: str = "text",
+                      num_hashes: int = 64, shingle_n: int = 3,
+                      out: str = "minhash") -> DataFrame:
+    """MinHash signature per doc: for seed i, min over shingles of
+    xxhash64(shingle, seed=i).  Pure array expressions — Arrow/codegen path."""
+    sh = shingles(text_col, shingle_n)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+    return docs.withColumn(out, sig)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, verified with
+    exact shingle Jaccard.
+
+    bands x rows schedule: ``num_hashes`` split into ``bands`` bands of
+    ``num_hashes // bands`` rows; docs sharing any band bucket become
+    candidates.  Output: (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold.
+    """
+    rows = num_hashes // bands
+    with_sig = minhash_signature(docs.select(id_col, text_col), text_col,
+                                 num_hashes, shingle_n)
+    band_cols = F.array(*[
+        F.hash(F.slice(F.col("minhash"), b * rows + 1, rows).cast("array<string>"), F.lit(b))
+        for b in range(bands)
+    ])
+    exploded = (
+        with_sig.select(id_col, F.posexplode(band_cols).alias("band", "bucket"))
+    )
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sh = docs.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    verified = (
+        pairs.join(sh.withColumnRenamed("sh", "sh_a"), pairs.id_a == F.col(id_col)).drop(id_col)
+        .join(sh.withColumnRenamed("sh", "sh_b"), pairs.id_b == F.col(id_col)).drop(id_col)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        prefilter_col: str | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Without LSH this is all-pairs — only for small/prefiltered inputs (the
+    scale path is :func:`minhash_lsh_pairs`).  ``prefilter_col`` (e.g. lang)
+    restricts pairs to equal-key blocks, the classic blocking trick.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        *( [F.col(prefilter_col)] if prefilter_col else [] ),
+        shingles(text_col, shingle_n).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if prefilter_col:
+        cond = cond & (F.col(f"a.{prefilter_col}") == F.col(f"b.{prefilter_col}"))
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard",
+                    F.size(F.array_intersect("a.sh", "b.sh"))
+                    / F.size(F.array_union("a.sh", "b.sh")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(docs: DataFrame, text_col: str = "text", out: str = "simhash",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Each token votes its xxhash64 bit pattern; the signature bit is 1 where
+    the vote sum is positive.  Computed as 64 shiftright/bitwise-AND
+    aggregations over the token array — entirely JVM-side.
+    """
+    toks = tokens(text_col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    def mask(i: int) -> int:
+        # two's-complement signed-long bit mask (bit 63 is the sign bit)
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    def vote(i: int):
+        m = mask(i)
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+
+    bit_votes = [F.aggregate(th, F.lit(0), vote(i)) for i in range(bits)]
+    sig = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        sig = sig.bitwiseOR(
+            F.when(v > 0, F.lit(mask(i))).otherwise(F.lit(0)).cast("long")
+        )
+    return docs.withColumn(out, sig)
+
+
+def simhash_dupes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical simhash (Hamming distance 0 near-dups)."""
+    sh = simhash(docs.select(id_col, text_col), text_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_list(id_col).alias("ids"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------- embedding near-dup
+
+def embedding_dupes(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+                    threshold: float = 0.95, block_bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with random-hyperplane blocking.
+
+    Docs are bucketed by the sign pattern of ``block_bits`` pseudo-random
+    hyperplanes (derived from deterministic per-dimension hashes); only
+    same-bucket pairs are compared — the LSH property makes high-cosine pairs
+    collide with high probability.  cos >= threshold is verified exactly.
+    """
+    from neo_server_spark.datapipe.similarity import cosine_expr, norm_expr
+
+    sketch_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(F.col(vec_col),
+                           _hyperplane(F.size(F.col(vec_col)), b),
+                           lambda x, h: x * h),
+                F.lit(0.0), lambda a, x: a + x,
+            ) > 0, F.lit(1) << b).otherwise(0)
+        for b in range(block_bits)
+    ]
+    bucket = sketch_bits[0]
+    for sb in sketch_bits[1:]:
+        bucket = bucket + sb
+    with_b = emb.select(id_col, vec_col).withColumn("__bucket", bucket)
+    a, b_ = with_b.alias("a"), with_b.alias("b")
+    pairs = a.join(
+        b_,
+        (F.col("a.__bucket") == F.col("b.__bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _hyperplane(dim: Column, seed: int) -> Column:
+    """Deterministic ±1 pseudo-random hyperplane of length ``dim``."""
+    return F.transform(
+        F.sequence(F.lit(0), dim - 1),
+        lambda i: F.when(F.xxhash64(i, F.lit(seed)) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+    )

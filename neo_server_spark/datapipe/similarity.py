@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — a single narrow scan with a JVM-side
+fold for the dot product (no Python, no shuffle of vectors; TakeOrdered keeps
+only k rows per partition).  Scale path: IVF-style coarse quantization — a
+one-off k-means-ish centroid table (broadcast), vectors bucketed by nearest
+centroid, queries probe only the closest ``nprobe`` buckets, turning a 100 TB
+scan into a partition-pruned read.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential fold — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(emb: DataFrame, query_vec_id: int, k: int = 20,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k cosine neighbors of the vector with id ``query_vec_id``.
+
+    The query vector is a broadcast 1-row join (crossJoin of a tiny side);
+    ranking compiles to TakeOrderedAndProject — no global sort.
+    """
+    q = emb.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("__qv"))
+    out = (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.col("label"),
+            cosine_expr(F.col(vec_col), F.col("__qv")).alias("__c"),
+        )
+    )
+    # rank on the raw cosine, round only the reported value
+    return (
+        out.orderBy(F.col("__c").desc(), F.col(id_col)).limit(k)
+        .select(id_col, "label", F.round("__c", 6).alias("cosine"))
+    )
+
+
+def topk_join(emb: DataFrame, queries: DataFrame, k: int = 10,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              q_vec_col: str = "embedding", q_id_col: str = "vec_id") -> DataFrame:
+    """Batch k-NN: top-k corpus neighbors for EVERY query row.
+
+    Broadcast the query set (must be small enough — typical for dedup probes
+    or eval sets); rank per query with a window, keep k.  At 100 TB the corpus
+    stays partition-local: no shuffle of the big side until the final
+    per-query top-k (k x |queries| rows).
+    """
+    from pyspark.sql import Window
+
+    joined = emb.crossJoin(
+        F.broadcast(queries.select(F.col(q_id_col).alias("__qid"),
+                                   F.col(q_vec_col).alias("__qv")))
+    ).filter(F.col(id_col) != F.col("__qid")).select(
+        F.col("__qid").alias("query_id"),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", id_col, F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_index(emb: DataFrame, n_centroids: int = 64, iters: int = 5,
+              vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42):
+    """Build an IVF coarse index: (centroids_df, assigned_df).
+
+    Lloyd's k-means on DataFrames: centroids live in a broadcast table;
+    assignment = argmin distance expression; update = groupBy(centroid) mean.
+    Converges in a handful of passes; each pass is one scan + one small agg.
+    """
+    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = dim_row["d"]
+    centroids = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2**31)))
+        .limit(n_centroids)
+        .select(F.monotonically_increasing_id().alias("cid"), F.col(vec_col).alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = _assign(emb, centroids, vec_col, id_col)
+        sums = assigned.groupBy("cid").agg(
+            *[F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        centroids = sums.select(
+            "cid",
+            F.array(*[(F.col(f"s{i}") / F.col("n")).cast("float") for i in range(dim)]).alias("cv"),
+        )
+    assigned = _assign(emb, centroids, vec_col, id_col)
+    return centroids, assigned
+
+
+def _assign(emb: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    from neo_server_spark.datapipe.similarity import dot_expr  # self, clarity
+
+    joined = emb.crossJoin(F.broadcast(centroids))
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("cv"),
+                   lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    scored = joined.select(emb["*"], F.col("cid"), d2.alias("__d2"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("__d2").asc(), F.col("cid").asc())
+    return scored.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1).drop("__rk", "__d2")
+
+
+def ivf_search(assigned: DataFrame, centroids: DataFrame, query_vec,
+               k: int = 10, nprobe: int = 4,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Probe the ``nprobe`` nearest centroid buckets for one query vector."""
+    spark = assigned.sparkSession
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = (
+        centroids.select(
+            "cid",
+            F.aggregate(F.zip_with(F.col("cv"), qlit,
+                                   lambda x, y: (x.cast("double") - y) ** 2),
+                        F.lit(0.0), lambda a, x: a + x).alias("d2"),
+        )
+        .orderBy("d2").limit(nprobe)
+    )
+    return (
+        assigned.join(F.broadcast(probe.select("cid")), "cid")
+        .select(id_col, cosine_expr(F.col(vec_col), qlit).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

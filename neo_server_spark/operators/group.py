@@ -1,0 +1,307 @@
+"""GROUP / GROUPBYKEY aggregation with timewindow and gap-fill (SURVEY §2.3).
+
+Reference semantics: mods/tql/fm_monad.go:354-633 (GROUP core), aggregate
+buffers 1153-1508, timewindow flooring 660-666, out-of-range drop 426-435,
+empty-bucket fill 622-633.  Reference "lazy" mode (buffer all, emit sorted by
+key at EOF) is the semantic we reproduce; emit-on-key-change is a single-node
+optimization of sorted input that hash aggregation subsumes.
+
+Spark shape: ``groupBy().agg()`` — partial (map-side) aggregation + AQE do the
+heavy lifting; gap-fill is a generated calendar ``sequence()`` left-join (no
+driver-side loop); linear/previous interpolation is pure window expressions
+(stays in whole-stage codegen, no UDF).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _c(expr: Column | str) -> Column:
+    return expr if isinstance(expr, Column) else F.expr(expr)
+
+
+def _guard(col: Column, where: Column | str | None) -> Column:
+    """Per-aggregate where() filter (fm_monad.go:717-720) via NULL masking."""
+    if where is None:
+        return col
+    return F.when(_c(where), col)
+
+
+class agg:
+    """Aggregate constructors mirroring newAggregate (fm_monad.go:811-838).
+
+    Each returns an aliased Column ready for ``DataFrame.agg``.  ``where``
+    reproduces the per-aggregate where() option.
+    """
+
+    @staticmethod
+    def count(col: Column | str = "*", name: str = "count", where=None) -> Column:
+        c = F.lit(1) if col == "*" else _c(col)
+        return F.count(_guard(c, where)).alias(name)
+
+    @staticmethod
+    def sum(col, name="sum", where=None) -> Column:
+        return F.sum(_guard(_c(col), where)).alias(name)
+
+    @staticmethod
+    def min(col, name="min", where=None) -> Column:
+        return F.min(_guard(_c(col), where)).alias(name)
+
+    @staticmethod
+    def max(col, name="max", where=None) -> Column:
+        return F.max(_guard(_c(col), where)).alias(name)
+
+    @staticmethod
+    def avg(col, name="avg", where=None) -> Column:
+        return F.avg(_guard(_c(col), where)).alias(name)
+
+    mean = avg  # weighted mean variant: use wavg
+
+    @staticmethod
+    def first(col, order, name="first", where=None) -> Column:
+        """First by arrival order == min over the order column (min_by)."""
+        return F.min_by(_guard(_c(col), where), _c(order)).alias(name)
+
+    @staticmethod
+    def last(col, order, name="last", where=None) -> Column:
+        return F.max_by(_guard(_c(col), where), _c(order)).alias(name)
+
+    @staticmethod
+    def rss(col, name="rss", where=None) -> Column:
+        """√Σx² (fm_monad.go:1426-1429)."""
+        c = _guard(_c(col), where)
+        return F.sqrt(F.sum(c * c)).alias(name)
+
+    @staticmethod
+    def rms(col, name="rms", where=None) -> Column:
+        """√(Σx²/n)."""
+        c = _guard(_c(col), where)
+        return F.sqrt(F.avg(c * c)).alias(name)
+
+    @staticmethod
+    def variance(col, name="variance", where=None) -> Column:
+        return F.var_samp(_guard(_c(col), where)).alias(name)
+
+    @staticmethod
+    def stddev(col, name="stddev", where=None) -> Column:
+        return F.stddev_samp(_guard(_c(col), where)).alias(name)
+
+    @staticmethod
+    def stderr(col, name="stderr", where=None) -> Column:
+        c = _guard(_c(col), where)
+        return (F.stddev_samp(c) / F.sqrt(F.count(c))).alias(name)
+
+    @staticmethod
+    def median(col, name="median", where=None) -> Column:
+        """Empirical (non-interpolated) median — an actual element of the group
+        (gonum stat.Quantile Empirical, fm_monad.go:1325-1335)."""
+        return F.percentile_approx(_guard(_c(col), where), F.lit(0.5), F.lit(2147483647)).alias(name)
+
+    @staticmethod
+    def median_interpolated(col, name="median", where=None) -> Column:
+        return F.percentile(_guard(_c(col), where), F.lit(0.5)).alias(name)
+
+    @staticmethod
+    def quantile(col, p: float, name="quantile", where=None) -> Column:
+        return F.percentile_approx(_guard(_c(col), where), F.lit(p), F.lit(2147483647)).alias(name)
+
+    @staticmethod
+    def quantile_interpolated(col, p: float, name="quantile", where=None) -> Column:
+        return F.percentile(_guard(_c(col), where), F.lit(p)).alias(name)
+
+    @staticmethod
+    def cdf(col, q: float | Column, name="cdf", where=None) -> Column:
+        """P(x <= q) within the group."""
+        c = _guard(_c(col), where)
+        qv = q if isinstance(q, Column) else F.lit(q)
+        return F.avg(F.when(c <= qv, 1.0).otherwise(0.0)).alias(name)
+
+    @staticmethod
+    def mode(col, name="mode", where=None) -> Column:
+        return F.mode(_guard(_c(col), where)).alias(name)
+
+    @staticmethod
+    def entropy(col, name="entropy", where=None) -> Column:
+        """Shannon entropy over the group's value distribution: -Σ p·ln p.
+
+        Single pass trick: with counts n_v per distinct value and N total,
+        H = ln N - (Σ n_v ln n_v)/N — computed via a count-map aggregate.
+        """
+        c = _guard(_c(col), where)
+        xs = F.collect_list(c)
+        counts = F.transform(
+            F.array_distinct(xs),
+            lambda d: F.size(F.filter(xs, lambda x: x == d)).cast("double"),
+        )
+        n = F.size(xs).cast("double")
+        sum_nlogn = F.aggregate(counts, F.lit(0.0), lambda a, x: a + x * F.log(x))
+        return (F.log(n) - sum_nlogn / n).alias(name)
+
+    @staticmethod
+    def moment(col, k: int, name="moment", where=None) -> Column:
+        """k-th central moment E[(x-μ)^k] — algebraic expansion of E[x^j]
+        keeps it one pass (no second scan over the data)."""
+        c = _guard(_c(col), where).cast("double")
+        # E[(x-m)^k] = sum_{j=0..k} C(k,j) E[x^j] (-m)^(k-j)
+        from math import comb
+
+        m = F.avg(c)
+        terms = []
+        for j in range(k + 1):
+            e_xj = F.avg(F.pow(c, F.lit(j))) if j > 0 else F.lit(1.0)
+            terms.append(F.lit(float(comb(k, j))) * e_xj * F.pow(-m, F.lit(k - j)))
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.alias(name)
+
+    @staticmethod
+    def correlation(x, y, name="correlation", where=None) -> Column:
+        return F.corr(_guard(_c(x), where), _guard(_c(y), where)).alias(name)
+
+    @staticmethod
+    def covariance(x, y, name="covariance", where=None) -> Column:
+        return F.covar_samp(_guard(_c(x), where), _guard(_c(y), where)).alias(name)
+
+    @staticmethod
+    def lrs(x, y, name="lrs", where=None) -> Column:
+        """Slope of least-squares y = a + b·x (fm_monad.go:1224-1229)."""
+        return F.regr_slope(_guard(_c(y), where), _guard(_c(x), where)).alias(name)
+
+    @staticmethod
+    def list(col, name="list", where=None) -> Column:
+        return F.collect_list(_guard(_c(col), where)).alias(name)
+
+    @staticmethod
+    def wavg(col, weight, name="avg", where=None) -> Column:
+        """weight() option of mean (fm_monad.go:743-746): Σwx/Σw."""
+        c, w = _guard(_c(col), where), _c(weight)
+        return (F.sum(c * w) / F.sum(F.when(c.isNotNull(), w))).alias(name)
+
+
+def group(
+    df: DataFrame,
+    by: Sequence[tuple[Column | str, str]],
+    aggs: Sequence[Column],
+    sort: bool = True,
+) -> DataFrame:
+    """GROUP(by(...), aggs...) — lazy-mode semantics: hash-aggregate then emit
+    sorted by key (fm_monad.go:458-485, sort at 470-474).
+
+    ``by`` is a list of (expression, output-name).  Chunk mode (no aggs) is
+    ``groupbykey``.
+    """
+    keys = [_c(e).alias(n) for e, n in by]
+    out = df.groupBy(*keys).agg(*aggs)
+    if sort:
+        out = out.orderBy(*[n for _, n in by])
+    return out
+
+
+def groupbykey(df: DataFrame, key: Column | str | None = None, sort: bool = True) -> DataFrame:
+    """GROUPBYKEY() — chunk records per key: collect remaining columns as an
+    array of structs (fm_monad.go:1005-1032)."""
+    key_name = key if isinstance(key, str) else df.columns[0]
+    rest = [c for c in df.columns if c != key_name]
+    out = df.groupBy(key_name).agg(
+        F.collect_list(F.struct(*[F.col(c) for c in rest])).alias("chunk")
+    )
+    return out.orderBy(key_name) if sort else out
+
+
+# ---------------------------------------------------------------- timewindow
+
+FILL_METHODS = ("null", "value", "piecewiseconstant", "piecewiselinear", "linearregression")
+
+
+def timewindow(
+    df: DataFrame,
+    time_col: str,
+    from_ns: int,
+    until_ns: int,
+    period_ns: int,
+    aggs: Sequence[Column],
+    series: Sequence[str] = (),
+    fill: str = "null",
+    fill_value: float | None = None,
+    fill_cols: Sequence[str] | None = None,
+    bucket_name: str = "time",
+) -> DataFrame:
+    """GROUP(by(ts, timewindow(from, until, period)), aggs...).
+
+    Reference behavior reproduced (fm_monad.go:426-435, 622-666):
+    - records outside [from, until) are DROPPED;
+    - ts floors to the period grid anchored at ``from``;
+    - every bucket in the range is emitted, including empty ones, whose
+      aggregate columns are gap-filled per ``fill``:
+        * 'null'              — leave NULL
+        * 'value'             — constant ``fill_value``   (nullValue(v))
+        * 'piecewiseconstant' — previous non-null bucket  (predict())
+        * 'piecewiselinear'   — linear interpolation between neighbors
+        * 'linearregression'  — least-squares line over non-null buckets
+
+    Scale notes: the bucket grid is ``sequence()``-generated (executor-side,
+    no driver loop) and the join is broadcast when the calendar is small; the
+    interpolation fills are window expressions over the *aggregated* frame
+    (bucket count = range/period, tiny next to the raw data).
+
+    ``time_col`` is epoch-ns long.  ``series`` columns (e.g. tag name) produce
+    a per-series calendar via a crossJoin of distinct series keys x grid.
+    """
+    t = F.col(time_col).cast("long")
+    in_range = (t >= F.lit(from_ns)) & (t < F.lit(until_ns))
+    bucket = (F.lit(from_ns) + F.floor((t - F.lit(from_ns)) / F.lit(period_ns)) * F.lit(period_ns)).cast("long")
+    grouped = (
+        df.filter(in_range)
+        .withColumn(bucket_name, bucket)
+        .groupBy(*series, bucket_name)
+        .agg(*aggs)
+    )
+
+    # calendar of every bucket in [from, until)
+    last_bucket = from_ns + ((until_ns - 1 - from_ns) // period_ns) * period_ns
+    spark = df.sparkSession
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(from_ns), F.lit(last_bucket), F.lit(period_ns))
+        ).alias(bucket_name)
+    )
+    if series:
+        keys = df.filter(in_range).select(*series).distinct()
+        grid = keys.crossJoin(grid)
+    out = grid.join(F.broadcast(grouped) if not series else grouped,
+                    on=[*series, bucket_name], how="left")
+
+    agg_cols = [c for c in out.columns if c not in (*series, bucket_name)]
+    targets = list(fill_cols) if fill_cols else agg_cols
+    if fill == "value":
+        for c in targets:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill_value)))
+    elif fill in ("piecewiseconstant", "piecewiselinear", "linearregression"):
+        w = Window.partitionBy(*series).orderBy(bucket_name)
+        prev_w = w.rowsBetween(Window.unboundedPreceding, 0)
+        next_w = w.rowsBetween(0, Window.unboundedFollowing)
+        for c in targets:
+            v = F.col(c)
+            prev_v = F.last(v, ignorenulls=True).over(prev_w)
+            next_v = F.first(v, ignorenulls=True).over(next_w)
+            prev_t = F.last(F.when(v.isNotNull(), F.col(bucket_name)), ignorenulls=True).over(prev_w)
+            next_t = F.first(F.when(v.isNotNull(), F.col(bucket_name)), ignorenulls=True).over(next_w)
+            if fill == "piecewiseconstant":
+                filled = F.coalesce(v, prev_v)
+            elif fill == "piecewiselinear":
+                frac = (F.col(bucket_name) - prev_t).cast("double") / (next_t - prev_t).cast("double")
+                interp = prev_v + (next_v - prev_v) * frac
+                filled = F.coalesce(v, interp, prev_v, next_v)
+            else:  # linearregression over non-null buckets of the series
+                full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                x = F.col(bucket_name).cast("double")
+                slope = F.regr_slope(v, x).over(full)
+                icept = F.regr_intercept(v, x).over(full)
+                filled = F.coalesce(v, slope * x + icept)
+            out = out.withColumn(c, filled)
+    return out.orderBy(*series, bucket_name)

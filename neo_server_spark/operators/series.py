@@ -1,0 +1,235 @@
+"""Ordered/stateful per-series transforms (SURVEY §2.4).
+
+Reference semantics: mods/tql/fm_monad.go (MAP_DIFF family 1806-1906,
+MAP_AVG 1993, MAP_MOVAVG 2023-2079, MAP_LOWPASS 2081-2107, MAP_KALMAN
+1908-1991, MAP_DISTANCE 2109-2142) and mods/tql/fm_fourier.go / mods/nums/fft
+(FFT).
+
+Reference pipelines are implicitly single-series in arrival order; the
+distributed equivalents take explicit ``series`` (partition keys) and
+``order_by`` arguments: ``Window.partitionBy(series).orderBy(order_by)``.
+Everything expressible as a window function stays JVM-side in whole-stage
+codegen; only the genuinely recursive kernels (low-pass EWMA, Kalman) and FFT
+drop to Arrow-batched ``applyInPandas`` — one pandas call per series, state
+never crosses series boundaries, so the fan-out scales with tag cardinality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def _c(expr: Column | str) -> Column:
+    return expr if isinstance(expr, Column) else F.expr(expr)
+
+
+def _series_window(series: Sequence[str], order_by) -> Window:
+    orders = order_by if isinstance(order_by, (list, tuple)) else [order_by]
+    return Window.partitionBy(*[F.col(c) for c in series]).orderBy(*[_c(o) for o in orders])
+
+
+# ---------------------------------------------------------------- diffs
+
+def map_diff(df: DataFrame, value_col: str, out: str = "diff",
+             series: Sequence[str] = (), order_by: Column | str = "time",
+             mode: str = "diff") -> DataFrame:
+    """MAP_DIFF / MAP_ABSDIFF / MAP_NONEGDIFF — successive difference
+    (fm_monad.go:1806-1906).  First row of each series yields NULL."""
+    w = _series_window(series, order_by)
+    d = F.col(value_col) - F.lag(F.col(value_col)).over(w)
+    if mode == "abs":
+        d = F.abs(d)
+    elif mode == "noneg":
+        d = F.when(d < 0, None).otherwise(d)
+    return df.withColumn(out, d)
+
+
+def map_absdiff(df, value_col, out="absdiff", series=(), order_by="time"):
+    return map_diff(df, value_col, out, series, order_by, mode="abs")
+
+
+def map_nonegdiff(df, value_col, out="nonegdiff", series=(), order_by="time"):
+    return map_diff(df, value_col, out, series, order_by, mode="noneg")
+
+
+# ---------------------------------------------------------------- running means
+
+def map_avg(df: DataFrame, value_col: str, out: str = "avg",
+            series: Sequence[str] = (), order_by: Column | str = "time") -> DataFrame:
+    """MAP_AVG — cumulative running mean (fm_monad.go:1993-2021)."""
+    w = _series_window(series, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out, F.avg(F.col(value_col)).over(w))
+
+
+def map_movavg(df: DataFrame, value_col: str, window: int, out: str = "movavg",
+               series: Sequence[str] = (), order_by: Column | str = "time",
+               no_wait: bool = False) -> DataFrame:
+    """MAP_MOVAVG(value, window [, noWait()]) (fm_monad.go:2023-2079).
+
+    Average of the trailing ``window`` records; NULL values occupy a slot but
+    are excluded from the mean (Spark ``avg`` matches).  Until the buffer holds
+    ``window`` records the reference emits NULL unless noWait().
+    """
+    w = _series_window(series, order_by)
+    mov = F.avg(F.col(value_col)).over(w.rowsBetween(-(window - 1), 0))
+    if not no_wait:
+        rn = F.row_number().over(w)
+        mov = F.when(rn >= window, mov)
+    return df.withColumn(out, mov)
+
+
+# ---------------------------------------------------------------- recursive kernels
+
+def map_lowpass(df: DataFrame, value_col: str, alpha: float, out: str = "lowpass",
+                series: Sequence[str] = (), order_by: str = "time") -> DataFrame:
+    """MAP_LOWPASS — EWMA x̂ = (1-α)·x̂ + α·v, seeded with the first value
+    (fm_monad.go:2081-2107).
+
+    Recursive — no closed-form window function — so: ``applyInPandas`` per
+    series with pandas ``ewm(alpha, adjust=False)``, which computes exactly
+    this recursion in a vectorized C loop.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("MAP_LOWPASS requires 0 < alpha < 1")
+    fields = df.schema.fields + [StructField(out, DoubleType())]
+    schema = StructType(fields)
+    order_key = order_by
+
+    def kernel(pdf):
+        pdf = pdf.sort_values(order_key)
+        pdf[out] = pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    if not series:
+        df = df.withColumn("__one", F.lit(1))
+        out_df = df.groupBy("__one").applyInPandas(
+            lambda pdf: kernel(pdf), StructType(df.schema.fields + [StructField(out, DoubleType())])
+        ).drop("__one")
+        return out_df
+    return df.groupBy(*series).applyInPandas(lambda pdf: kernel(pdf), schema)
+
+
+def map_kalman(df: DataFrame, value_col: str, out: str = "kalman",
+               series: Sequence[str] = (), order_by: str = "time",
+               init_variance: float = 1.0, process_variance: float = 1.0,
+               observation_variance: float = 2.0) -> DataFrame:
+    """MAP_KALMAN(value, model(iv, pv, ov)) — 1-D constant-model Kalman filter
+    (fm_monad.go:1908-1991, mods/nums/kalman).
+
+    Scalar recursion per series:
+        predict:  P = P + pv
+        update :  K = P/(P+ov);  x = x + K(z-x);  P = (1-K)P
+    seeded x = first observation, P = iv.
+    """
+    fields = df.schema.fields + [StructField(out, DoubleType())]
+    schema = StructType(fields)
+    order_key = order_by
+
+    def kernel(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(order_key)
+        z = pdf[value_col].astype("float64").to_numpy()
+        xs = np.empty_like(z)
+        x, p = None, init_variance
+        for i, zi in enumerate(z):
+            if x is None:
+                x = zi
+            else:
+                p = p + process_variance
+                k = p / (p + observation_variance)
+                x = x + k * (zi - x)
+                p = (1.0 - k) * p
+            xs[i] = x
+        pdf[out] = xs
+        return pdf
+
+    if not series:
+        df = df.withColumn("__one", F.lit(1))
+        return df.groupBy("__one").applyInPandas(
+            lambda pdf: kernel(pdf), StructType(df.schema.fields + [StructField(out, DoubleType())])
+        ).drop("__one")
+    return df.groupBy(*series).applyInPandas(lambda pdf: kernel(pdf), schema)
+
+
+# ---------------------------------------------------------------- geo
+
+def map_distance(df: DataFrame, lat_col: str, lon_col: str, out: str = "distance",
+                 series: Sequence[str] = (), order_by: Column | str = "time") -> DataFrame:
+    """MAP_DISTANCE — haversine meters from the previous point
+    (fm_monad.go:2109-2142, mods/nums/geography.go).  First row → 0."""
+    w = _series_window(series, order_by)
+    lat1, lon1 = F.radians(F.lag(lat_col).over(w)), F.radians(F.lag(lon_col).over(w))
+    lat2, lon2 = F.radians(F.col(lat_col)), F.radians(F.col(lon_col))
+    dlat, dlon = lat2 - lat1, lon2 - lon1
+    a = F.pow(F.sin(dlat / 2), 2) + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin(dlon / 2), 2)
+    meters = F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
+    return df.withColumn(out, F.coalesce(meters, F.lit(0.0)))
+
+
+# ---------------------------------------------------------------- FFT
+
+def fft(df: DataFrame, time_col: str = "time", value_col: str = "value",
+        series: Sequence[str] = (), min_hz: float | None = None,
+        max_hz: float | None = None, min_samples: int = 16) -> DataFrame:
+    """FFT — per-series real FFT of (time, value) → (hz, ampl)
+    (mods/tql/fm_fourier.go:23-101; math in mods/nums/fft/fft.go:10-39).
+
+    Replicates the reference exactly:
+    - sample rate = n / ((t[n-1]-t[0]) in seconds), times epoch-ns;
+    - hz_i = (i/n)·rate for the i-th rfft coefficient, i>0 (DC dropped);
+    - amplitude = 2·|c_i|/n;
+    - series with < ``min_samples`` rows are dropped (not an error);
+    - optional [min_hz, max_hz] band filter.
+
+    ``applyInPandas`` with numpy.fft.rfft: one Arrow batch per series.
+    """
+    out_fields = [df.schema[c] for c in series] + [
+        StructField("hz", DoubleType()), StructField("ampl", DoubleType()),
+    ]
+    schema = StructType(out_fields)
+
+    def kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(time_col)
+        n = len(pdf)
+        if n < min_samples:
+            return pd.DataFrame({f.name: pd.Series(dtype="float64") for f in schema.fields})
+        t = pdf[time_col].astype("int64").to_numpy()
+        v = pdf[value_col].astype("float64").to_numpy()
+        dur_sec = (t[-1] - t[0]) / 1e9
+        rate = n / dur_sec
+        coeff = np.fft.rfft(v)
+        idx = np.arange(len(coeff))
+        hz = idx / n * rate
+        ampl = 2.0 * np.abs(coeff) / n
+        mask = hz > 0
+        if min_hz is not None:
+            mask &= hz >= min_hz
+        if max_hz is not None:
+            mask &= hz <= max_hz
+        res = {}
+        for i, s in enumerate(series):
+            res[s] = np.repeat(key[i], mask.sum())
+        res["hz"] = hz[mask]
+        res["ampl"] = ampl[mask]
+        return pd.DataFrame(res)
+
+    if not series:
+        grouped = df.withColumn("__one", F.lit(1)).groupBy("__one")
+        schema_anon = StructType([StructField("hz", DoubleType()), StructField("ampl", DoubleType())])
+
+        def kernel_anon(pdf):
+            import pandas as pd
+            out = kernel((), pdf)
+            return out[["hz", "ampl"]] if len(out) else pd.DataFrame(
+                {"hz": pd.Series(dtype="float64"), "ampl": pd.Series(dtype="float64")})
+
+        return grouped.applyInPandas(lambda pdf: kernel_anon(pdf), schema_anon)
+    return df.groupBy(*series).applyInPandas(kernel, schema)

@@ -1,0 +1,130 @@
+"""HISTOGRAM / BOXPLOT standalone statistics MAPs (SURVEY §2.3).
+
+Reference semantics: mods/tql/fm_stat.go (HISTOGRAM 36-290, BOXPLOT 294-530,
+IQR whiskers 357-359); streaming merging histogram mods/nums/histogram.go:49-91
+(Ben-Haim/Tom-Tov-style nearest-bin merge).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _c(expr: Column | str) -> Column:
+    return expr if isinstance(expr, Column) else F.expr(expr)
+
+
+def histogram(
+    df: DataFrame,
+    value: Column | str,
+    bin_min: float,
+    bin_max: float,
+    bin_step: float,
+    category: str | None = None,
+    order: Sequence[str] | None = None,
+) -> DataFrame:
+    """HISTOGRAM(v, bins(min,max,step) [, category()]) — fixed-step bins.
+
+    Matches the reference's predicted-bins path (fm_stat.go:36-290): bins cover
+    [min, max) at ``step``; values outside clamp into the first/last bin (the
+    reference grows edge bins).  Output: (low, high, count) with one count
+    column per category when ``category`` is given (pivot).
+
+    Scale shape: one narrow projection + hash aggregate on ~(range/step) keys;
+    the bin grid join is broadcast.
+    """
+    import math
+
+    nbins = int(math.ceil((bin_max - bin_min) / bin_step))
+    v = _c(value).cast("double")
+    idx = F.floor((v - F.lit(bin_min)) / F.lit(bin_step)).cast("int")
+    idx = F.when(idx < 0, 0).when(idx >= nbins, nbins - 1).otherwise(idx)
+    binned = df.withColumn("__bin", idx)
+    spark = df.sparkSession
+    grid = spark.range(nbins).select(
+        F.col("id").cast("int").alias("__bin"),
+        (F.lit(bin_min) + F.col("id") * F.lit(bin_step)).alias("low"),
+        (F.lit(bin_min) + (F.col("id") + 1) * F.lit(bin_step)).alias("high"),
+    )
+    if category:
+        counts = binned.groupBy("__bin").pivot(category).count()
+        out = F.broadcast(grid).join(counts, "__bin", "left")
+        cat_cols = [c for c in counts.columns if c != "__bin"]
+        for c in sorted(cat_cols):
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+        out = out.select("low", "high", *sorted(cat_cols))
+    else:
+        counts = binned.groupBy("__bin").agg(F.count(F.lit(1)).alias("count"))
+        out = (
+            F.broadcast(grid).join(counts, "__bin", "left")
+            .select("low", "high", F.coalesce(F.col("count"), F.lit(0)).alias("count"))
+        )
+    return out.orderBy("low")
+
+
+def histogram_streaming(df: DataFrame, value: Column | str, max_bins: int = 100,
+                        category: str | None = None) -> DataFrame:
+    """HISTOGRAM without bins(): streaming merging histogram, default 100 bins
+    (mods/nums/histogram.go:49-91).
+
+    Spark's ``histogram_numeric`` implements the same Ben-Haim/Tom-Tov merge —
+    a single-pass, mergeable sketch (partial aggregation works, so it scales
+    like any hash aggregate).  Output: (x, y) bin centroids and heights,
+    optionally per category.
+    """
+    v = _c(value).cast("double")
+    keys = [category] if category else []
+    sketch = df.groupBy(*keys).agg(F.histogram_numeric(v, F.lit(max_bins)).alias("h"))
+    out = sketch.select(*keys, F.explode("h").alias("bin")).select(
+        *keys, F.col("bin.x").alias("x"), F.col("bin.y").alias("y")
+    )
+    return out.orderBy(*keys, "x")
+
+
+def boxplot(
+    df: DataFrame,
+    value: Column | str,
+    category: Column | str,
+    interpolated: bool = False,
+) -> DataFrame:
+    """BOXPLOT(v, category()) — quartiles + 1.5·IQR whiskers per category
+    (fm_stat.go:294-530, IQR at 357-359).
+
+    Output per category: (category, min, lower_whisker, q1, median, q3,
+    upper_whisker, max, outlier_count).  Whiskers are clamped to the data
+    range like standard Tukey boxplots.
+    """
+    v = _c(value).cast("double")
+    cat = _c(category)
+    if interpolated:
+        q = F.percentile(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    else:
+        q = F.percentile_approx(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(2147483647))
+    stats = df.groupBy(cat.alias("category")).agg(
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        q.alias("q"),
+        F.count(v).alias("n"),
+    ).select(
+        "category", "min", "max", "n",
+        F.col("q")[0].alias("q1"), F.col("q")[1].alias("median"), F.col("q")[2].alias("q3"),
+    ).withColumn("iqr", F.col("q3") - F.col("q1")).withColumn(
+        "lower_whisker", F.greatest(F.col("min"), F.col("q1") - 1.5 * F.col("iqr"))
+    ).withColumn(
+        "upper_whisker", F.least(F.col("max"), F.col("q3") + 1.5 * F.col("iqr"))
+    )
+    outliers = df.select(cat.alias("category"), v.alias("__v")).join(
+        F.broadcast(stats.select("category", "lower_whisker", "upper_whisker")), "category"
+    ).filter((F.col("__v") < F.col("lower_whisker")) | (F.col("__v") > F.col("upper_whisker"))).groupBy(
+        "category"
+    ).agg(F.count(F.lit(1)).alias("outlier_count"))
+    return (
+        stats.join(outliers, "category", "left")
+        .withColumn("outlier_count", F.coalesce(F.col("outlier_count"), F.lit(0)))
+        .select("category", "min", "lower_whisker", "q1", "median", "q3",
+                "upper_whisker", "max", "outlier_count")
+        .orderBy("category")
+    )

@@ -1,0 +1,113 @@
+"""datapipe operator tests: dedup, similarity, text analysis, multimodal."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from neo_server_spark.datapipe import dedup, multimodal, similarity, text
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "a"),
+        (1, "the quick brown fox jumps over the lazy dog", "a"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today", "a"),  # near dup
+        (3, "completely different words appear in this document here", "b"),
+        (4, "der hund und die katze sind nicht da", "b"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs)
+    assert out.count() == 4
+    assert 1 not in {r.doc_id for r in out.collect()}
+
+
+def test_exact_dedup_stats(docs):
+    rows = {r.source: r for r in dedup.exact_dedup_stats(docs).collect()}
+    assert rows["a"].n_dupes == 1 and rows["b"].n_dupes == 0
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16, shingle_n=2,
+                                    jaccard_threshold=0.3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found  # exact dup always collides
+    assert (0, 2) in found or (1, 2) in found  # near dup via banding
+
+
+def test_ngram_jaccard(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.99).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_simhash_dupes(docs):
+    out = dedup.simhash_dupes(docs).collect()
+    assert len(out) == 1 and sorted(out[0].ids) == [0, 1]
+
+
+def test_lang_id_deterministic(docs):
+    out = {r.doc_id: r.lang_pred for r in text.lang_id(docs).collect()}
+    assert out[0] == "en"   # 'the' markers
+    assert out[4] == "de"   # 'der'/'und'/'die'/'nicht' markers
+
+
+def test_quality_score_range(docs):
+    out = text.quality_score(docs).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in out)
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"])
+    row = df.select(text.shingles("text", 2).alias("sh")).first()
+    assert row.sh == ["a b", "b c", "c d"]
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.1], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [0.9, 0.05], 0),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.brute_force_topk(emb, 0, k=2).collect()
+    assert [r.vec_id for r in out] == [3, 1] or [r.vec_id for r in out] == [1, 3]
+    assert out[0].cosine > 0.99
+
+
+def test_topk_join(spark):
+    rows = [(i, [float(i), 1.0], 0) for i in range(10)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.topk_join(emb, emb.limit(2), k=3)
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+
+
+def test_ivf_roundtrip(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.random() for _ in range(4)], 0) for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cents, assigned = similarity.ivf_index(emb, n_centroids=4, iters=2)
+    assert cents.count() == 4
+    assert assigned.count() == 50
+    q = rows[5][1]
+    res = similarity.ivf_search(assigned, cents, q, k=5, nprobe=4).collect()
+    assert res[0].vec_id == 5  # the vector itself is its own nearest neighbor
+
+
+def test_multimodal_features(spark):
+    assets = multimodal.synthesize_assets(spark, 12)
+    out = multimodal.extract_features(assets).collect()
+    assert len(out) == 12
+    assert all(len(r.feature) == 40 for r in out)
+
+
+def test_frame_sample_plan(spark):
+    assets = multimodal.synthesize_assets(spark, 12)
+    plan = multimodal.frame_sample_plan(assets, every_ms=500)
+    vids = assets.filter(F.col("modality") == "video").count()
+    assert plan.count() > vids  # multiple frames per video

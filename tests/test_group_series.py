@@ -1,0 +1,187 @@
+"""GROUP / timewindow / series operator tests, including golden values ported
+from the reference's semantics (movavg wait/noWait, lowpass recursion, FFT
+single-tone recovery, Kalman convergence)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from neo_server_spark.operators import series, stats
+from neo_server_spark.operators.group import agg, group, groupbykey, timewindow
+
+
+@pytest.fixture()
+def tagged(spark):
+    rows = []
+    for i in range(20):
+        rows.append(("a", i * 1_000_000_000, float(i)))
+        rows.append(("b", i * 1_000_000_000, float(i * 2)))
+    return spark.createDataFrame(rows, ["name", "time", "value"])
+
+
+def test_group_aggs(tagged):
+    out = group(
+        tagged,
+        by=[(F.col("name"), "name")],
+        aggs=[
+            agg.count("value", "cnt"),
+            agg.sum("value", "s"),
+            agg.avg("value", "a"),
+            agg.rss("value", "rss"),
+            agg.rms("value", "rms"),
+            agg.median_interpolated("value", "med"),
+        ],
+    ).collect()
+    a = next(r for r in out if r.name == "a")
+    assert a.cnt == 20 and a.s == sum(range(20))
+    assert a.a == pytest.approx(9.5)
+    assert a.rss == pytest.approx(math.sqrt(sum(i * i for i in range(20))))
+    assert a.rms == pytest.approx(math.sqrt(sum(i * i for i in range(20)) / 20))
+    assert a.med == pytest.approx(9.5)
+
+
+def test_group_first_last(tagged):
+    out = group(
+        tagged,
+        by=[(F.col("name"), "name")],
+        aggs=[agg.first("value", "time", "f"), agg.last("value", "time", "l")],
+    ).collect()
+    b = next(r for r in out if r.name == "b")
+    assert b.f == 0.0 and b.l == 38.0
+
+
+def test_groupbykey(tagged):
+    out = groupbykey(tagged, "name")
+    rows = out.collect()
+    assert len(rows) == 2
+    assert len(rows[0].chunk) == 20
+
+
+def test_timewindow_gapfill_null(spark):
+    # data only in buckets 0 and 3 of [0, 40s) @ 10s
+    df = spark.createDataFrame(
+        [("a", 1_000_000_000, 1.0), ("a", 2_000_000_000, 3.0), ("a", 31_000_000_000, 7.0)],
+        ["name", "time", "value"],
+    )
+    out = timewindow(
+        df, "time", 0, 40_000_000_000, 10_000_000_000,
+        aggs=[agg.avg("value", "v")], series=["name"],
+    ).collect()
+    assert len(out) == 4
+    vals = [r.v for r in out]
+    assert vals[0] == 2.0 and vals[1] is None and vals[2] is None and vals[3] == 7.0
+
+
+def test_timewindow_fill_linear(spark):
+    df = spark.createDataFrame(
+        [("a", 1_000_000_000, 2.0), ("a", 31_000_000_000, 8.0)],
+        ["name", "time", "value"],
+    )
+    out = timewindow(
+        df, "time", 0, 40_000_000_000, 10_000_000_000,
+        aggs=[agg.avg("value", "v")], series=["name"], fill="piecewiselinear",
+    ).collect()
+    vals = [r.v for r in out]
+    assert vals == [2.0, 4.0, 6.0, 8.0]
+
+
+def test_timewindow_fill_prev(spark):
+    df = spark.createDataFrame(
+        [("a", 1_000_000_000, 2.0), ("a", 31_000_000_000, 8.0)],
+        ["name", "time", "value"],
+    )
+    out = timewindow(
+        df, "time", 0, 40_000_000_000, 10_000_000_000,
+        aggs=[agg.avg("value", "v")], series=["name"], fill="piecewiseconstant",
+    ).collect()
+    assert [r.v for r in out] == [2.0, 2.0, 2.0, 8.0]
+
+
+def test_timewindow_drops_out_of_range(spark):
+    df = spark.createDataFrame(
+        [("a", -5_000_000_000, 9.0), ("a", 1_000_000_000, 1.0), ("a", 45_000_000_000, 9.0)],
+        ["name", "time", "value"],
+    )
+    out = timewindow(df, "time", 0, 40_000_000_000, 10_000_000_000,
+                     aggs=[agg.count("value", "n")], series=["name"]).collect()
+    assert sum(r.n or 0 for r in out) == 1
+
+
+def test_map_diff_family(tagged):
+    out = series.map_diff(tagged, "value", series=["name"], order_by="time")
+    a = [r.diff for r in out.filter("name='a'").orderBy("time").collect()]
+    assert a[0] is None and a[1:] == [1.0] * 19
+    out2 = series.map_nonegdiff(tagged, "value", series=["name"], order_by="time")
+    assert out2.filter("name='b'").orderBy("time").collect()[1].nonegdiff == 2.0
+
+
+def test_movavg_wait_semantics(spark):
+    # reference golden shape: window=3, NULL until buffer full (fm_monad.go:2046-2050)
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5])], ["t", "v"])
+    out = series.map_movavg(df, "v", 3, order_by="t").orderBy("t").collect()
+    assert [r.movavg for r in out] == [None, None, 2.0, 3.0, 4.0]
+    out2 = series.map_movavg(df, "v", 3, order_by="t", no_wait=True).orderBy("t").collect()
+    assert [r.movavg for r in out2] == [1.0, 1.5, 2.0, 3.0, 4.0]
+
+
+def test_lowpass_recursion(spark):
+    # x̂0 = v0; x̂ = (1-α)x̂ + αv (fm_monad.go:2081-2107)
+    vals = [10.0, 20.0, 30.0, 40.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["t", "v"])
+    out = series.map_lowpass(df, "v", 0.5, order_by="t").orderBy("t").collect()
+    expect = [10.0, 15.0, 22.5, 31.25]
+    assert [r.lowpass for r in out] == pytest.approx(expect)
+
+
+def test_kalman_converges(spark):
+    df = spark.createDataFrame([(i, 5.0) for i in range(50)], ["t", "v"])
+    out = series.map_kalman(df, "v", order_by="t").orderBy("t").collect()
+    assert out[-1].kalman == pytest.approx(5.0)
+
+
+def test_map_distance(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 1.0)], ["t", "lat", "lon"]
+    )
+    out = series.map_distance(df, "lat", "lon", order_by="t").orderBy("t").collect()
+    assert out[0].distance == 0.0
+    assert out[1].distance == pytest.approx(111194.9, rel=1e-3)  # 1° lon at equator
+
+
+def test_fft_single_tone(spark):
+    # 8 Hz sine sampled at 128 Hz for 1s -> peak at 8 Hz, amplitude ~1
+    n, rate, freq = 128, 128.0, 8.0
+    rows = [("a", int(i / rate * 1e9), math.sin(2 * math.pi * freq * i / rate)) for i in range(n)]
+    df = spark.createDataFrame(rows, ["name", "time", "value"])
+    out = series.fft(df, series=["name"]).collect()
+    peak = max(out, key=lambda r: r.ampl)
+    # reference rate definition uses (n)/(t[-1]-t[0]) -> slight grid offset vs n/duration
+    assert peak.hz == pytest.approx(freq, rel=0.02)
+    assert peak.ampl == pytest.approx(1.0, rel=0.02)
+
+
+def test_fft_min_samples_drop(spark):
+    rows = [("tiny", int(i * 1e9), 1.0) for i in range(8)]
+    df = spark.createDataFrame(rows, ["name", "time", "value"])
+    assert series.fft(df, series=["name"]).count() == 0
+
+
+def test_histogram_fixed(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    out = stats.histogram(df, "v", 0, 100, 10).collect()
+    assert len(out) == 10
+    assert all(r["count"] == 10 for r in out)
+
+
+def test_histogram_clamps_outliers(spark):
+    df = spark.createDataFrame([(v,) for v in [-5.0, 105.0, 50.0]], ["v"])
+    out = stats.histogram(df, "v", 0, 100, 10).orderBy("low").collect()
+    assert out[0]["count"] == 1 and out[-1]["count"] == 1
+
+
+def test_boxplot(spark):
+    df = spark.createDataFrame([("a", float(v)) for v in range(1, 101)] + [("a", 1000.0)], ["c", "v"])
+    row = stats.boxplot(df, "v", "c", interpolated=True).first()
+    assert row.q1 == pytest.approx(26.0) and row.q3 == pytest.approx(76.0)
+    assert row.outlier_count == 1
