@@ -17,8 +17,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from neo_server_spark import io as nio
-from neo_server_spark.operators import maps, series, stats
-from neo_server_spark.operators.group import agg, group, timewindow
+from neo_server_spark.operators import joins, maps, series, stats
+from neo_server_spark.operators.group import agg, entropy_of, group, mode_det, timewindow
 from neo_server_spark.datapipe import dedup, similarity, text
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -286,6 +286,135 @@ def _q_join_revenue(spark, sf_dir):
 # datapipe: text analysis / dedup / similarity (BASELINE north star)
 # ---------------------------------------------------------------------------
 
+def _q_group_aggs2(spark, sf_dir):
+    """Second aggregate battery: corr/covar/regression-slope/central moment/
+    cdf/discrete quantiles (§2.3) — time as epoch-seconds for the regressions."""
+    df = _tag(spark, sf_dir).withColumn("tsec", F.expr("time div 1000") / F.lit(1e6))
+    return group(
+        df,
+        by=[(F.col("name"), "name")],
+        aggs=[
+            F.round(agg.correlation("tsec", "value", "x"), 6).alias("corr_tv"),
+            F.round(agg.covariance("tsec", "value", "x"), 6).alias("covar_tv"),
+            F.round(agg.lrs("tsec", "value", "x"), 6).alias("lrs_tv"),
+            F.round(agg.moment("value", 2, "x"), 6).alias("moment2"),
+            F.round(agg.cdf("value", 100.0, "x"), 6).alias("cdf_100"),
+            agg.quantile("value", 0.9, "p90_disc"),
+            agg.median("value", "median_disc"),
+        ],
+    )
+
+
+def _q_mode_entropy(spark, sf_dir):
+    """Deterministic mode + Shannon entropy per tag (two-level aggregates)."""
+    df = _tag(spark, sf_dir).withColumn("vbin", F.floor(F.col("value") / 10).cast("long"))
+    m = mode_det(df, ["name"], "vbin", out="mode_vbin")
+    e = entropy_of(df, ["name"], "user_id", out="entropy_user")
+    return (
+        m.join(e, "name")
+        .select("name", "mode_vbin", F.round("entropy_user", 6).alias("entropy_user"))
+        .orderBy("name")
+    )
+
+
+def _q_json_extract(spark, sf_dir):
+    """JSON column access (engine json type ~ get_json_object; SURVEY §2.5)."""
+    ev = nio.load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), '"k":\\s*(\\d+)', 1).cast("int").alias("k"),
+    )
+
+
+def _q_topk_per_group(spark, sf_dir):
+    """Top-3 records per tag by value (scan-direction + limit per series)."""
+    from pyspark.sql import Window
+
+    df = _tag(spark, sf_dir)
+    w = Window.partitionBy("name").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("name", _us("time"), "value", "event_id", "rk")
+    )
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join (extension, SURVEY §2.8): each purchase joined to the
+    user's latest click at-or-before it — union-scan implementation."""
+    ev = nio.load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id", "value")
+    right = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = joins.asof_join(left, right, on=["user_id"], left_time="ts", right_time="ts",
+                          right_cols=["value"])
+    return out.select(
+        "user_id", _us("ts", "time"), "event_id", "value",
+        F.col("value_right").alias("click_value"),
+    )
+
+
+def _q_flatten_tokens(spark, sf_dir):
+    """FLATTEN (explode) — tokens with position, small slice of documents."""
+    docs = nio.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    ).withColumn("pos", F.col("pos") + 1)
+
+
+def _q_lang_quality(spark, sf_dir):
+    """Language-ID heuristic + quality score per document."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    out = text.lang_id(text.quality_score(docs))
+    return out.select("doc_id", "lang_pred", "lang_score", "quality")
+
+
+def _q_ngram_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs, language-blocked (all-pairs verify)."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05,
+                                     prefilter_col="lang")
+
+
+def _q_map_lowpass(spark, sf_dir):
+    """MAP_LOWPASS EWMA (α=0.2) per tag via applyInPandas."""
+    df = _tag(spark, sf_dir).select("name", "time", "value")
+    out = series.map_lowpass(df, "value", 0.2, series=["name"], order_by="time")
+    return out.select("name", _us("time"), "value", F.round("lowpass", 6).alias("lowpass"))
+
+
+def _q_fft(spark, sf_dir):
+    """FFT per tag over the full series (rows-only check: no SQL equivalent)."""
+    df = _tag(spark, sf_dir).select("name", "time", "value")
+    out = series.fft(df, series=["name"])
+    return out.select("name", F.round("hz", 9).alias("hz"), F.round("ampl", 9).alias("ampl"))
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (rows-only: hash family not in SQL)."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, shingle_n=3,
+                                   jaccard_threshold=0.05)
+
+
+def _q_simhash(spark, sf_dir):
+    """SimHash signatures (rows-only: xxhash64 bit votes not in SQL)."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text").select("doc_id", "simhash")
+
+
+def _q_histogram_streaming(spark, sf_dir):
+    """Ben-Haim/Tom-Tov streaming histogram sketch (rows-only: approximate)."""
+    df = _tag(spark, sf_dir)
+    return stats.histogram_streaming(df, "value", max_bins=20, category="name")
+
+
+def _q_embedding_dupes(spark, sf_dir):
+    """Embedding-cosine near-dup pairs with hyperplane LSH blocking
+    (rows-only: verified pairs exceed the exact threshold by construction)."""
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dupes(emb, threshold=0.35, block_bits=4)
+
+
 def _q_text_stats(spark, sf_dir):
     docs = nio.load_table(spark, sf_dir, "documents")
     return text.text_stats(docs)
@@ -330,6 +459,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly": _q_rollup_hourly,
         "tpch_q1": _q_tpch_q1,
         "join_revenue": _q_join_revenue,
+        "group_aggs2": _q_group_aggs2,
+        "mode_entropy": _q_mode_entropy,
+        "json_extract": _q_json_extract,
+        "topk_per_group": _q_topk_per_group,
+        "asof_join": _q_asof_join,
+        "flatten_tokens": _q_flatten_tokens,
+        "lang_quality": _q_lang_quality,
+        "ngram_pairs": _q_ngram_pairs,
+        "map_lowpass": _q_map_lowpass,
+        "fft": _q_fft,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "histogram_streaming": _q_histogram_streaming,
+        "embedding_dupes": _q_embedding_dupes,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -518,6 +661,114 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "group_aggs2": """
+            WITH t AS (
+              SELECT event_type AS name, epoch_us(ts) / 1e6 AS tsec, value FROM events
+            )
+            SELECT name,
+                   round(corr(tsec, value), 6) AS corr_tv,
+                   round(covar_samp(tsec, value), 6) AS covar_tv,
+                   round(regr_slope(value, tsec), 6) AS lrs_tv,
+                   round(var_pop(value), 6) AS moment2,
+                   round(avg(CASE WHEN value <= 100.0 THEN 1.0 ELSE 0.0 END), 6) AS cdf_100,
+                   quantile_disc(value, 0.9) AS p90_disc,
+                   quantile_disc(value, 0.5) AS median_disc
+            FROM t GROUP BY name
+        """,
+        "mode_entropy": """
+            WITH b AS (
+              SELECT event_type AS name, CAST(floor(value/10) AS BIGINT) AS vbin, user_id FROM events
+            ), mc AS (
+              SELECT name, vbin, count(*) AS n FROM b GROUP BY 1, 2
+            ), m AS (
+              SELECT name, vbin AS mode_vbin,
+                     row_number() OVER (PARTITION BY name ORDER BY n DESC, vbin ASC) AS rk
+              FROM mc
+            ), uc AS (
+              SELECT name, user_id, count(*) AS n FROM b GROUP BY 1, 2
+            ), e AS (
+              SELECT name, ln(sum(n)) - sum(n * ln(n)) / sum(n) AS h FROM uc GROUP BY name
+            )
+            SELECT m.name, m.mode_vbin, round(e.h, 6) AS entropy_user
+            FROM m JOIN e ON m.name = e.name WHERE m.rk = 1
+        """,
+        "json_extract": """
+            SELECT event_id, regexp_extract(props, '"k":\\s*(\\d+)', 1)::INT AS k
+            FROM events
+        """,
+        "topk_per_group": """
+            WITH w AS (
+              SELECT event_type AS name, epoch_us(ts) AS time, value, event_id,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rk
+              FROM events
+            )
+            SELECT name, time, value, event_id, rk FROM w WHERE rk <= 3
+        """,
+        "asof_join": """
+            SELECT l.user_id, epoch_us(l.ts) AS time, l.event_id, l.value,
+                   r.value AS click_value
+            FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "flatten_tokens": """
+            SELECT doc_id,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id < 100
+        """,
+        "lang_quality": """
+            WITH scored AS (
+              SELECT doc_id,
+                     list_distinct(string_split(text, ' ')) AS toks,
+                     len(string_split(text, ' ')) * 1.0 AS n_tok,
+                     length(text) * 1.0 AS n_chars,
+                     length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) * 1.0 AS punct
+              FROM documents
+            ), s2 AS (
+              SELECT doc_id, n_tok, n_chars, punct,
+                     len(list_distinct(toks)) * 1.0 AS n_uniq,
+              len(list_intersect(toks, ['the','and','of','to','in'])) AS s_en,
+              len(list_intersect(toks, ['der','die','und','nicht','das'])) AS s_de,
+              len(list_intersect(toks, ['le','la','et','les','des'])) AS s_fr,
+              len(list_intersect(toks, ['el','la','que','de','los'])) AS s_es,
+              len(list_intersect(toks, ['de5','shi4','le5','zai4','he2'])) AS s_zh
+              FROM scored
+            )
+            SELECT doc_id,
+                   CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh' WHEN s_fr >= s_zh AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr' WHEN s_es >= s_zh AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es' WHEN s_en >= s_zh AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en' WHEN s_de >= s_zh AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_en THEN 'de' END AS lang_pred,
+                   CASE WHEN (CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh' WHEN s_fr >= s_zh AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr' WHEN s_es >= s_zh AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es' WHEN s_en >= s_zh AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en' WHEN s_de >= s_zh AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_en THEN 'de' END) = 'zh' THEN s_zh WHEN (CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh' WHEN s_fr >= s_zh AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr' WHEN s_es >= s_zh AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es' WHEN s_en >= s_zh AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en' WHEN s_de >= s_zh AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_en THEN 'de' END) = 'fr' THEN s_fr WHEN (CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh' WHEN s_fr >= s_zh AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr' WHEN s_es >= s_zh AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es' WHEN s_en >= s_zh AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en' WHEN s_de >= s_zh AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_en THEN 'de' END) = 'es' THEN s_es WHEN (CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh' WHEN s_fr >= s_zh AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr' WHEN s_es >= s_zh AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es' WHEN s_en >= s_zh AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en' WHEN s_de >= s_zh AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_en THEN 'de' END) = 'en' THEN s_en WHEN (CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh' WHEN s_fr >= s_zh AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr' WHEN s_es >= s_zh AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es' WHEN s_en >= s_zh AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en' WHEN s_de >= s_zh AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_en THEN 'de' END) = 'de' THEN s_de END AS lang_score,
+                   round( (n_uniq / n_tok) * 0.4
+                        + least(n_tok / 50.0, 1.0) * 0.4
+                        + (1.0 - least(punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2, 6) AS quality
+            FROM s2
+        """,
+        "ngram_pairs": """
+            WITH sh AS (
+              SELECT doc_id, lang,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 3 + 1, 1) + 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.05
+        """,
+        "map_lowpass": """
+            WITH w AS (
+              SELECT event_type AS name, ts, event_id, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+              FROM events
+            )
+            SELECT a.name, epoch_us(a.ts) AS time, a.value,
+                   round(sum(CASE WHEN b.rn = 1 THEN power(0.8, a.rn - 1) * b.value
+                                  ELSE 0.2 * power(0.8, a.rn - b.rn) * b.value END), 6) AS lowpass
+            FROM w a JOIN w b ON a.name = b.name AND b.rn <= a.rn
+            GROUP BY a.name, a.ts, a.value, a.rn
         """,
         "text_stats": """
             SELECT doc_id,

@@ -194,7 +194,7 @@ def embedding_dupes(emb: DataFrame, vec_col: str = "embedding", id_col: str = "v
                            _hyperplane(F.size(F.col(vec_col)), b),
                            lambda x, h: x * h),
                 F.lit(0.0), lambda a, x: a + x,
-            ) > 0, F.lit(1) << b).otherwise(0)
+            ) > 0, F.lit(1 << b)).otherwise(0)
         for b in range(block_bits)
     ]
     bucket = sketch_bits[0]

@@ -213,6 +213,35 @@ def groupbykey(df: DataFrame, key: Column | str | None = None, sort: bool = True
     return out.orderBy(key_name) if sort else out
 
 
+def mode_det(df: DataFrame, by: Sequence[str], col: str, out: str = "mode") -> DataFrame:
+    """Deterministic mode: the SMALLEST most-frequent value per group.
+
+    Spark's ``mode()`` aggregate is tie-nondeterministic; this two-level form
+    (count per value → rank by (count desc, value asc)) pins ties, which the
+    oracle comparison requires.  Still just two hash shuffles on bounded keys.
+    """
+    counts = df.groupBy(*by, col).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(*by).orderBy(F.col("__n").desc(), F.col(col).asc())
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(*by, F.col(col).alias(out))
+    )
+
+
+def entropy_of(df: DataFrame, by: Sequence[str], col: str, out: str = "entropy") -> DataFrame:
+    """Shannon entropy (nats) of ``col``'s distribution per group, via the
+    two-level aggregate (value counts → -Σ p·ln p) — the scalable shape for
+    high-cardinality groups (agg.entropy's array form is for small groups)."""
+    counts = df.groupBy(*by, col).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        counts.groupBy(*by)
+        .agg(
+            (F.log(F.sum("__n")) - F.sum(F.col("__n") * F.log("__n")) / F.sum("__n")).alias(out)
+        )
+    )
+
+
 # ---------------------------------------------------------------- timewindow
 
 FILL_METHODS = ("null", "value", "piecewiseconstant", "piecewiselinear", "linearregression")

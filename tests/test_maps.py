@@ -82,3 +82,27 @@ def test_filter_changed(spark):
     )
     out = maps.filter_changed(df, "v", order_by="t")
     assert [r.t for r in out.orderBy("t").collect()] == [1, 3, 5]
+
+
+def test_asof_join(spark):
+    from neo_server_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [("u", 10, "a"), ("u", 20, "b"), ("u", 5, "c")], ["k", "time", "ev"]
+    )
+    right = spark.createDataFrame(
+        [("u", 8, 1.0), ("u", 10, 2.0), ("u", 15, 3.0)], ["k", "time", "v"]
+    )
+    out = joins.asof_join(left, right, on=["k"], right_cols=["v"])
+    got = {r.ev: r.v for r in out.collect()}
+    # inclusive at equal time (10 -> 2.0), none before 5, latest<=20 is 15->3.0
+    assert got == {"a": 2.0, "b": 3.0, "c": None}
+
+
+def test_asof_join_tolerance(spark):
+    from neo_server_spark.operators import joins
+
+    left = spark.createDataFrame([("u", 100, "a")], ["k", "time", "ev"])
+    right = spark.createDataFrame([("u", 10, 1.0)], ["k", "time", "v"])
+    out = joins.asof_join(left, right, on=["k"], right_cols=["v"], tolerance=50)
+    assert out.first().v is None
