@@ -415,6 +415,46 @@ def _q_embedding_dupes(spark, sf_dir):
     return dedup.embedding_dupes(emb, threshold=0.35, block_bits=4)
 
 
+def _q_rollup_routed(spark, sf_dir):
+    """ROLLUP-hint routed aggregation (http_lake.go:1692-1698): the hourly
+    answer is served from the sec->min->hour rollup cascade, never the raw
+    table.  Exactness: count/min/max/first/last are exactly mergeable; avg is
+    derived from merged sum/cnt (rounded like every float aggregate here)."""
+    import os
+
+    from neo_server_spark.sqlx.rollup import RollupRouter
+
+    base = f"/tmp/neo_rollups_{os.path.basename(os.path.normpath(sf_dir))}"
+    router = RollupRouter(spark, base)
+    if not os.path.isdir(os.path.join(base, "rollup_hour")):
+        router.build(nio.events_as_tag(spark, sf_dir))
+    out = router.query(TW_PERIOD, {"cnt": "count", "min_value": "min",
+                                   "max_value": "max", "avg_value": "avg",
+                                   "first_value": "first", "last_value": "last"})
+    return out.select("name", "time", "cnt", "min_value", "max_value",
+                      F.round("avg_value", 6).alias("avg_value"),
+                      "first_value", "last_value")
+
+
+def _q_lake_decode(spark, sf_dir):
+    """Lake-API dialect SQL end-to-end: DECODE / FIRST / LAST / DATE_TRUNC
+    rewritten onto Spark SQL (http_lake.go dialect, SURVEY §2.7)."""
+    from neo_server_spark.sqlx import dialect
+
+    nio.events_as_tag(spark, sf_dir).createOrReplaceTempView("tag_events")
+    df = dialect.lake_sql(spark, """
+        SELECT name,
+               DATE_TRUNC('HOUR', time, 6) AS bucket,
+               FIRST(time, value) AS first_value,
+               LAST(time, value) AS last_value,
+               sum(DECODE(name, 'error', 1, 0)) AS n_error_rows,
+               count(*) AS cnt
+        FROM tag_events
+        GROUP BY name, DATE_TRUNC('HOUR', time, 6)
+    """)
+    return df
+
+
 def _q_text_stats(spark, sf_dir):
     docs = nio.load_table(spark, sf_dir, "documents")
     return text.text_stats(docs)
@@ -473,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "histogram_streaming": _q_histogram_streaming,
         "embedding_dupes": _q_embedding_dupes,
+        "rollup_routed": _q_rollup_routed,
+        "lake_decode": _q_lake_decode,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -769,6 +811,26 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE 0.2 * power(0.8, a.rn - b.rn) * b.value END), 6) AS lowpass
             FROM w a JOIN w b ON a.name = b.name AND b.rn <= a.rn
             GROUP BY a.name, a.ts, a.value, a.rn
+        """,
+        "rollup_routed": f"""
+            SELECT event_type AS name,
+                   (epoch_ns(ts) // {p}) * {p} AS time,
+                   count(value) AS cnt,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   round(sum(value) / count(value), 6) AS avg_value,
+                   arg_min(value, epoch_ns(ts)) AS first_value,
+                   arg_max(value, epoch_ns(ts)) AS last_value
+            FROM events GROUP BY 1, 2
+        """,
+        "lake_decode": f"""
+            SELECT event_type AS name,
+                   (epoch_ns(ts) // {6 * p}) * {6 * p} AS bucket,
+                   arg_min(value, epoch_ns(ts)) AS first_value,
+                   arg_max(value, epoch_ns(ts)) AS last_value,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error_rows,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
         """,
         "text_stats": """
             SELECT doc_id,

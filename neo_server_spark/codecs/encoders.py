@@ -1,0 +1,143 @@
+"""Result encoders (SINK codecs) — CSV / JSON envelope / NDJSON / MARKDOWN /
+BOX, matching the reference codec registry's output shapes
+(mods/codec/builder.go:68-127).
+
+Two paths:
+- **bulk**: ``write_*`` functions use ``df.write`` — distributed, for real
+  datasets (the reference's row-at-a-time encoders have no bulk path at all);
+- **API**: ``to_*`` functions render a (small, already-limited) result to a
+  string exactly shaped like the reference's HTTP codecs — e.g. the JSON
+  envelope ``{"data":{"columns":[],"types":[],"rows":[]},"success":true,...}``
+  (mods/codec/internal/json/json_encode.go:152, golden shape in
+  json_encode_test.go:103).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time as _time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+#: Spark type -> machbase api.DataType name (spi/machsvr/machsvr.go:919-954)
+_TYPE_NAMES = {
+    T.ShortType: "int16",
+    T.IntegerType: "int32",
+    T.LongType: "int64",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.TimestampType: "datetime",
+    T.TimestampNTZType: "datetime",
+    T.BinaryType: "binary",
+    T.BooleanType: "boolean",
+}
+
+
+def machbase_type(dt: T.DataType) -> str:
+    return _TYPE_NAMES.get(type(dt), dt.simpleString())
+
+
+def _collect(df: DataFrame, limit: int | None):
+    if limit is not None:
+        df = df.limit(limit)
+    return df.columns, [list(r) for r in df.collect()]
+
+
+def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
+           precision: int = -1, substitute_null: str = "NULL",
+           limit: int | None = None) -> str:
+    """CSV() sink — string render (mods/codec/internal/csv)."""
+    import csv as _csv
+
+    cols, rows = _collect(df, limit)
+    buf = io.StringIO()
+    w = _csv.writer(buf, delimiter=delimiter, lineterminator="\n")
+    if header:
+        w.writerow(cols)
+    for row in rows:
+        out = []
+        for v in row:
+            if v is None:
+                out.append(substitute_null)
+            elif isinstance(v, float) and precision >= 0:
+                out.append(f"%.{precision}f" % v)
+            else:
+                out.append(v)
+        w.writerow(out)
+    return buf.getvalue()
+
+
+def to_json_envelope(df: DataFrame, limit: int | None = None,
+                     transpose: bool = False, rows_flatten: bool = False) -> str:
+    """JSON() sink — the reference HTTP envelope, byte-compatible shape:
+    {"data":{"columns":[...],"types":[...],"rows":[...]},"success":true,
+     "reason":"success","elapse":"..."}."""
+    tick = _time.time()
+    cols, rows = _collect(df, limit)
+    types = [machbase_type(f.dataType) for f in df.schema.fields]
+    if transpose:
+        data_rows: object = [list(c) for c in zip(*rows)] if rows else []
+        key = "cols"
+    elif rows_flatten:
+        data_rows = [v for r in rows for v in r]
+        key = "rows"
+    else:
+        data_rows = rows
+        key = "rows"
+    envelope = {
+        "data": {"columns": cols, "types": types, key: data_rows},
+        "success": True,
+        "reason": "success",
+        "elapse": f"{_time.time() - tick:.6f}s",
+    }
+    return json.dumps(envelope, default=str, separators=(",", ":"))
+
+
+def to_ndjson(df: DataFrame, limit: int | None = None) -> str:
+    """NDJSON() sink — one JSON object per row."""
+    cols, rows = _collect(df, limit)
+    return "\n".join(
+        json.dumps(dict(zip(cols, r)), default=str, separators=(",", ":")) for r in rows
+    ) + ("\n" if rows else "")
+
+
+def to_markdown(df: DataFrame, limit: int | None = None) -> str:
+    """MARKDOWN() sink (mods/codec/internal/markdown)."""
+    cols, rows = _collect(df, limit)
+    lines = ["|" + "|".join(str(c) for c in cols) + "|",
+             "|" + "|".join(":-----" for _ in cols) + "|"]
+    for r in rows:
+        lines.append("|" + "|".join("" if v is None else str(v) for v in r) + "|")
+    return "\n".join(lines) + "\n"
+
+
+def to_box(df: DataFrame, limit: int | None = None) -> str:
+    """BOX() sink — ASCII table (mods/codec/internal/box)."""
+    cols, rows = _collect(df, limit)
+    cells = [[str(c) for c in cols]] + [["NULL" if v is None else str(v) for v in r] for r in rows]
+    widths = [max(len(row[i]) for row in cells) for i in range(len(cols))]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep, "|" + "|".join(f" {cells[0][i]:<{widths[i]}} " for i in range(len(cols))) + "|", sep]
+    for row in cells[1:]:
+        out.append("|" + "|".join(f" {row[i]:<{widths[i]}} " for i in range(len(cols))) + "|")
+    out.append(sep)
+    return "\n".join(out) + "\n"
+
+
+# ---------------------------------------------------------------- bulk writers
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.option("header", header).mode(mode).csv(path)
+
+
+def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_parquet_append(df: DataFrame, path: str) -> None:
+    """APPEND(table()) — the high-throughput bulk path (fm_dbsink.go:167-252);
+    micro-batch appends land as new parquet files, no rewrite."""
+    df.write.mode("append").parquet(path)

@@ -1,0 +1,73 @@
+"""SHOW catalog surface (reference: spi/show.go — SHOW TABLES/TAGS/INDEXES/
+STORAGE implemented over M$SYS_*/V$* system tables; TQL dispatch
+mods/tql/fm_dbsrc.go:540-688).
+
+Spark mapping: the session catalog + computed stat views.  ``show(spark,
+"tags", table)`` mirrors V$<T>_STAT (per-tag row counts and time bounds,
+spi/show.go:1324) by aggregating the tag table — cheap on the partitioned
+layout because name/time predicates prune.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def show_tables(spark: SparkSession) -> DataFrame:
+    """SHOW TABLES — name/database/type from the session catalog."""
+    rows = [
+        (t.name, t.database or "default", t.tableType, bool(t.isTemporary))
+        for t in spark.catalog.listTables()
+    ]
+    return spark.createDataFrame(rows, ["name", "database", "type", "is_temporary"])
+
+
+def show_tags(tag_df: DataFrame, name_col: str = "name", time_col: str = "time",
+              value_col: str = "value") -> DataFrame:
+    """SHOW TAGS <table> + V$<T>_STAT: per-tag stats (spi/show.go:1324,
+    fm_dbsrc.go:873 stat usage)."""
+    return (
+        tag_df.groupBy(F.col(name_col).alias("name"))
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.min(time_col).alias("min_time"),
+            F.max(time_col).alias("max_time"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .orderBy("name")
+    )
+
+
+def show_columns(spark: SparkSession, table: str) -> DataFrame:
+    """DESC TABLE — column name/type/nullable."""
+    from neo_server_spark.codecs.encoders import machbase_type
+
+    df = spark.table(table)
+    rows = [(f.name, machbase_type(f.dataType), bool(f.nullable)) for f in df.schema.fields]
+    return spark.createDataFrame(rows, ["name", "type", "nullable"])
+
+
+def show_rollup(router, level: str) -> DataFrame:
+    """V$ROLLUP equivalent (spi/show.go:1209-1222): rollup level coverage."""
+    df = router.level(level)
+    return df.groupBy("name").agg(
+        F.count(F.lit(1)).alias("bucket_count"),
+        F.min("time").alias("min_time"),
+        F.max("time").alias("max_time"),
+    ).orderBy("name")
+
+
+def show(spark: SparkSession, what: str, target=None, **kw) -> DataFrame:
+    """Dispatch like the reference's SHOW verb family."""
+    what = what.lower()
+    if what == "tables":
+        return show_tables(spark)
+    if what == "tags":
+        return show_tags(target, **kw)
+    if what == "columns":
+        return show_columns(spark, target)
+    if what == "rollup":
+        return show_rollup(target, kw.get("level", "sec"))
+    raise ValueError(f"SHOW {what}: unsupported")

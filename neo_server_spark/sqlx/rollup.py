@@ -1,0 +1,157 @@
+"""Rollup tables + ROLLUP-hint router (SURVEY §4.1 — the one genuinely
+custom optimizer piece).
+
+Reference: the engine maintains per-interval rollup aggregate tables for
+SUMMARIZED tag columns and routes `time ROLLUP n {SEC|MIN|HOUR}` queries to
+them (http_lake.go:1692-1698, calc modes 1738-1762; gap metrics via V$ROLLUP,
+spi/show.go:1209-1222).
+
+Spark design:
+- Rollup tables are parquet materializations keyed by (name, bucket) holding
+  the FULL algebraic summary (count/sum/sumsq/min/max/first/last) — every
+  calc mode (MIN/MAX/AVG/SUM/SUMSQ/COUNT) is derivable, and coarser levels
+  fold from finer ones WITHOUT rescanning raw data (sec -> min -> hour
+  cascade), because all stored aggregates are algebraic and mergeable.
+- The router answers a (period, agg) query from the finest rollup whose
+  period divides the request period — a materialized-view selection done in
+  the query layer (a custom Catalyst rule would be sugar on top; the
+  semantics live here).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+SECOND = 1_000_000_000
+MINUTE = 60 * SECOND
+HOUR = 60 * MINUTE
+
+#: canonical cascade levels (engine default rollups: SEC, MIN, HOUR)
+LEVELS = {"sec": SECOND, "min": MINUTE, "hour": HOUR}
+
+
+def _summarize(df: DataFrame, period_ns: int, name_col: str, time_col: str,
+               value_col: str) -> DataFrame:
+    """Raw rows -> algebraic summary at ``period_ns`` buckets."""
+    bucket = (F.floor(F.col(time_col).cast("long") / F.lit(period_ns)) * F.lit(period_ns)).cast("long")
+    v = F.col(value_col)
+    return (
+        df.groupBy(F.col(name_col).alias("name"), bucket.alias("time"))
+        .agg(
+            F.count(v).alias("cnt"),
+            F.sum(v).alias("sum"),
+            F.sum(v * v).alias("sumsq"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.min_by(v, F.col(time_col)).alias("first"),
+            F.max_by(v, F.col(time_col)).alias("last"),
+            F.min(F.col(time_col).cast("long")).alias("first_time"),
+            F.max(F.col(time_col).cast("long")).alias("last_time"),
+        )
+    )
+
+
+def _fold(summary: DataFrame, period_ns: int) -> DataFrame:
+    """Finer summary -> coarser summary (merge of algebraic aggregates)."""
+    bucket = (F.floor(F.col("time") / F.lit(period_ns)) * F.lit(period_ns)).cast("long")
+    return (
+        summary.groupBy("name", bucket.alias("time"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.sum("sumsq").alias("sumsq"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.min_by("first", "first_time").alias("first"),
+            F.max_by("last", "last_time").alias("last"),
+            F.min("first_time").alias("first_time"),
+            F.max("last_time").alias("last_time"),
+        )
+    )
+
+
+class RollupRouter:
+    """Maintains the sec/min/hour cascade for one tag table and routes
+    aggregate queries to the coarsest usable level."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+
+    def path(self, level: str) -> str:
+        return os.path.join(self.base_path, f"rollup_{level}")
+
+    # ------------------------------------------------------------ build
+
+    def build(self, df: DataFrame, name_col: str = "name", time_col: str = "time",
+              value_col: str = "value") -> None:
+        """(Re)materialize the full cascade.  Only the finest level scans the
+        raw data; min folds from sec, hour folds from min."""
+        sec = _summarize(df, LEVELS["sec"], name_col, time_col, value_col)
+        sec.write.mode("overwrite").parquet(self.path("sec"))
+        sec_r = self.spark.read.parquet(self.path("sec"))
+        _fold(sec_r, LEVELS["min"]).write.mode("overwrite").parquet(self.path("min"))
+        min_r = self.spark.read.parquet(self.path("min"))
+        _fold(min_r, LEVELS["hour"]).write.mode("overwrite").parquet(self.path("hour"))
+
+    def level(self, level: str) -> DataFrame:
+        # no DataFrame caching: streaming appends/compaction change the file
+        # set underneath; the parquet listing is cheap next to the query
+        return self.spark.read.parquet(self.path(level))
+
+    # ------------------------------------------------------------ route
+
+    def pick_level(self, period_ns: int) -> str | None:
+        """Coarsest maintained level whose period divides the request."""
+        best = None
+        for lvl, p in LEVELS.items():
+            if period_ns % p == 0 and period_ns >= p:
+                if best is None or p > LEVELS[best]:
+                    best = lvl
+        return best
+
+    def query(self, period_ns: int, aggs: dict[str, str],
+              tags: list[str] | None = None,
+              between: tuple[int, int] | None = None) -> DataFrame:
+        """`SELECT time ROLLUP ... , AGG(value) GROUP BY name, bucket` served
+        from the cascade.  ``aggs`` maps output-name -> calc mode
+        (min|max|avg|sum|sumsq|count|first|last, http_lake.go:1738-1762).
+
+        Falls back to an error if no level divides the period — the caller
+        then computes from raw data (router contract mirrors the engine,
+        which only accepts SEC/MIN/HOUR multiples).
+        """
+        lvl = self.pick_level(period_ns)
+        if lvl is None:
+            raise ValueError(f"period {period_ns}ns not servable from rollups")
+        base = self.level(lvl)
+        if tags:
+            base = base.filter(F.col("name").isin(tags))
+        if between:
+            base = base.filter(F.col("time").between(between[0], between[1] - 1))
+        bucket = (F.floor(F.col("time") / F.lit(period_ns)) * F.lit(period_ns)).cast("long")
+        folded = base.groupBy("name", bucket.alias("time")).agg(
+            F.sum("cnt").alias("_cnt"), F.sum("sum").alias("_sum"),
+            F.sum("sumsq").alias("_sumsq"), F.min("min").alias("_min"),
+            F.max("max").alias("_max"),
+            F.min_by("first", "first_time").alias("_first"),
+            F.max_by("last", "last_time").alias("_last"),
+        )
+        exprs = []
+        for out, mode in aggs.items():
+            mode = mode.lower()
+            col = {
+                "count": F.col("_cnt"),
+                "sum": F.col("_sum"),
+                "sumsq": F.col("_sumsq"),
+                "min": F.col("_min"),
+                "max": F.col("_max"),
+                "avg": F.col("_sum") / F.col("_cnt"),
+                "first": F.col("_first"),
+                "last": F.col("_last"),
+            }[mode]
+            exprs.append(col.alias(out))
+        return folded.select("name", "time", *exprs).orderBy("name", "time")

@@ -1,0 +1,208 @@
+"""Structured Streaming ingest: the APPEND path, wire decoders, and rollup
+maintenance (SURVEY §2.9, §3.3).
+
+Reference shape: MQTT/HTTP writes land on a per-table AppendWorker — a shared
+async appender with a 10k-record channel draining into the engine's bulk
+columnar ingest (spi/append_worker.go:16-120).  Spark mapping: a file/Kafka
+``readStream`` micro-batched through ``foreachBatch`` into the partitioned
+tag-table layout — the micro-batch IS the append buffer, checkpointing makes
+it exactly-once, and partitioned parquet writes are the columnar bulk path.
+
+The MQTT/NATS broker itself stays out of Spark scope (BASELINE.json): brokers
+dump payload files (or a Kafka topic) that the stream tails.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+#: canonical tag-record schema for wire decoding: (name, time ns, value)
+TAG_SCHEMA = StructType([
+    StructField("name", StringType()),
+    StructField("time", LongType()),
+    StructField("value", DoubleType()),
+])
+
+
+# ---------------------------------------------------------------- decoders
+
+def decode_csv_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+    """CSV wire decoder (mods/codec decoder registry): 'name,time_ns,value'."""
+    # F.get is NULL on missing positions: short/garbage lines become NULL
+    # rows to drop, never a stream-killing INVALID_ARRAY_INDEX (ANSI mode)
+    parts = F.split(F.col(col), ",")
+    return lines.select(
+        F.get(parts, 0).alias("name"),
+        F.get(parts, 1).try_cast("long").alias("time"),
+        F.get(parts, 2).try_cast("double").alias("value"),
+    ).filter(F.col("name").isNotNull() & F.col("time").isNotNull())
+
+
+def decode_ndjson_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+    """NDJSON wire decoder: {"name":..., "time":..., "value":...}."""
+    parsed = F.from_json(F.col(col), TAG_SCHEMA)
+    return lines.select(parsed.alias("r")).select("r.name", "r.time", "r.value")
+
+
+def decode_line_protocol(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Influx line protocol decoder (spi/do.go:15-110):
+
+        measurement[,tag=v...] field1=1.0,field2=2i [ts-ns]
+
+    Machbase mapping: one OUTPUT ROW PER NUMERIC FIELD with
+    name = "measurement.field", time = ts, value = field value.
+    Non-numeric fields are dropped (do.go:52-66).  Pure split/explode —
+    no Python in the row path.
+    """
+    # F.get (not []) everywhere: a poisoned payload line must decode to NULLs
+    # and be dropped, not abort the micro-batch (ANSI INVALID_ARRAY_INDEX)
+    segs = F.split(F.col(col), " ")
+    measurement = F.get(F.split(F.get(segs, 0), ","), 0)
+    field_str = F.get(segs, 1)
+    ts = F.get(segs, 2).try_cast("long")
+    kv = F.explode(F.split(field_str, ",")).alias("kv")
+    exploded = lines.filter(field_str.isNotNull() & ts.isNotNull()).select(
+        measurement.alias("m"), ts.alias("time"), kv)
+    k = F.get(F.split(F.col("kv"), "="), 0)
+    raw_v = F.get(F.split(F.col("kv"), "="), 1)
+    # influx int fields end with 'i'; strings are quoted -> cast fails -> NULL
+    # try_cast: non-numeric fields (quoted strings, bools) -> NULL -> dropped,
+    # matching do.go:52-66; ANSI mode would otherwise throw on them
+    v = F.when(raw_v.rlike(r"^-?\d+i$"),
+               F.regexp_replace(raw_v, "i$", "").try_cast("double")
+               ).otherwise(raw_v.try_cast("double"))
+    return (
+        exploded.select(
+            F.concat_ws(".", F.col("m"), k).alias("name"),
+            F.col("time"),
+            v.alias("value"),
+        )
+        .filter(F.col("value").isNotNull())
+    )
+
+
+DECODERS = {
+    "csv": decode_csv_lines,
+    "ndjson": decode_ndjson_lines,
+    "json": decode_ndjson_lines,
+    "line": decode_line_protocol,
+}
+
+
+# ---------------------------------------------------------------- append path
+
+def stream_append(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint: str,
+    fmt: str = "ndjson",
+    name_buckets: int = 16,
+    trigger_available_now: bool = True,
+    with_arrival_time: bool = True,
+):
+    """The APPEND worker: tail ``source_dir`` for payload files, decode, and
+    append into the partitioned tag-table layout.
+
+    - exactly-once via checkpointed file-source offsets + idempotent-enough
+      parquet appends (Delta would make it transactional; parquet keeps this
+      container dependency-free);
+    - ``_ARRIVAL_TIME`` is stamped like log tables do implicitly
+      (mods/server/http_write.go:133-136);
+    - ``trigger_available_now`` runs a drain-and-stop batch (cron-timer mode,
+      mods/scheduler/sched_timer.go) — otherwise continuous micro-batches.
+    """
+    from neo_server_spark.io import write_tag_table
+
+    decoder = DECODERS[fmt]
+    lines = spark.readStream.format("text").load(source_dir)
+    decoded = decoder(lines)
+    if with_arrival_time:
+        decoded = decoded.withColumn("_arrival_time", F.current_timestamp())
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_tag_table(batch_df, table_path, name_buckets=name_buckets, mode="append")
+
+    writer = decoded.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    rollup_base: str,
+    checkpoint: str,
+    fmt: str = "ndjson",
+    period_ns: int = 1_000_000_000,
+    trigger_available_now: bool = True,
+):
+    """Streaming rollup maintenance: per micro-batch, append PARTIAL algebraic
+    summaries at the sec level.  Partials are mergeable (count/sum/sumsq/
+    min/max/min_by/max_by), so RollupRouter.query's fold-on-read produces
+    exact results without ever locking or rewriting the rollup table —
+    the same idea as the engine's background rollup builders (V$ROLLUP gap
+    semantics, spi/show.go:1209-1222).  A periodic compaction job can rewrite
+    partials into one row per bucket; correctness never depends on it.
+    """
+    from neo_server_spark.sqlx.rollup import _summarize
+
+    decoder = DECODERS[fmt]
+    lines = spark.readStream.format("text").load(source_dir)
+    decoded = decoder(lines)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        summary = _summarize(batch_df, period_ns, "name", "time", "value")
+        summary.write.mode("append").parquet(f"{rollup_base}/rollup_sec")
+
+    writer = decoded.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_rollup(spark: SparkSession, rollup_base: str, level: str = "sec") -> None:
+    """Fold appended partial summaries into one row per (name, bucket)."""
+    from neo_server_spark.sqlx.rollup import LEVELS, _fold
+
+    path = f"{rollup_base}/rollup_{level}"
+    folded = _fold(spark.read.parquet(path), LEVELS[level])
+    tmp = f"{path}__compact"
+    folded.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    spark.catalog.refreshByPath(path)  # invalidate cached file listings
+
+
+# ---------------------------------------------------------------- retention
+
+def apply_retention(spark: SparkSession, table_path: str, keep_days: int,
+                    now_ns: int) -> list[str]:
+    """Retention job (DURATION_GAP, machbase_template.conf:47-52): drop whole
+    day-partitions older than the horizon — partition-pruned delete, no scan."""
+    import os
+    import shutil
+    from datetime import datetime, timedelta, timezone
+
+    cutoff = datetime.fromtimestamp(now_ns / 1e9, tz=timezone.utc) - timedelta(days=keep_days)
+    dropped = []
+    if not os.path.isdir(table_path):
+        return dropped
+    for entry in sorted(os.listdir(table_path)):
+        if not entry.startswith("_day="):
+            continue
+        day = entry.split("=", 1)[1]
+        try:
+            d = datetime.strptime(day, "%Y%m%d").replace(tzinfo=timezone.utc)
+        except ValueError:
+            continue
+        if d < cutoff.replace(hour=0, minute=0, second=0, microsecond=0):
+            shutil.rmtree(os.path.join(table_path, entry))
+            dropped.append(entry)
+    return dropped

@@ -1,0 +1,165 @@
+"""SQL dialect, rollup router, catalog, and scalar-function tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from neo_server_spark.functions import strfn, timefn
+from neo_server_spark.sqlx import catalog, dialect
+from neo_server_spark.sqlx.rollup import HOUR, MINUTE, SECOND, RollupRouter
+
+
+# ---------------------------------------------------------------- dialect
+
+def test_rewrite_decode():
+    out = dialect.rewrite_lake_sql("SELECT DECODE(a, 'x', 1, 0) FROM t")
+    assert "CASE WHEN a <=> 'x' THEN 1 ELSE 0 END" in out
+
+
+def test_rewrite_decode_nested():
+    out = dialect.rewrite_lake_sql("SELECT DECODE(f(a, b), g(1, 2), h(3), 9) FROM t")
+    assert out == "SELECT CASE WHEN f(a, b) <=> g(1, 2) THEN h(3) ELSE 9 END FROM t"
+
+
+def test_rewrite_first_last_scan_backward():
+    out = dialect.rewrite_lake_sql(
+        "SELECT /*+ SCAN_BACKWARD(T) */ FIRST(time, value), LAST(time, value) FROM T"
+    )
+    assert "min_by(value, time)" in out and "max_by(value, time)" in out
+    assert "SCAN_BACKWARD" not in out and out.rstrip().endswith("ORDER BY time DESC")
+
+
+def test_lake_sql_end_to_end(spark, sf_dir):
+    from neo_server_spark import io as nio
+
+    nio.events_as_tag(spark, sf_dir).createOrReplaceTempView("tagt")
+    df = dialect.lake_sql(spark, """
+        SELECT name, DATE_TRUNC('HOUR', time, 1) AS bucket,
+               FIRST(time, value) AS f, LAST(time, value) AS l,
+               DECODE(name, 'click', 1, 0) AS is_click
+        FROM tagt GROUP BY name, DATE_TRUNC('HOUR', time, 1)
+    """)
+    rows = df.limit(5).collect()
+    assert rows and all(r.bucket % HOUR == 0 for r in rows)
+
+
+# ---------------------------------------------------------------- rollup
+
+@pytest.fixture(scope="module")
+def router(spark, sf_dir, tmp_path_factory):
+    from neo_server_spark import io as nio
+
+    base = str(tmp_path_factory.mktemp("rollups"))
+    r = RollupRouter(spark, base)
+    r.build(nio.events_as_tag(spark, sf_dir))
+    return r
+
+
+def test_rollup_routes_to_coarsest(router):
+    assert router.pick_level(HOUR) == "hour"
+    assert router.pick_level(15 * MINUTE) == "min"
+    assert router.pick_level(90 * SECOND) == "sec"
+    assert router.pick_level(1500) is None
+
+
+def test_rollup_matches_raw(spark, sf_dir, router):
+    from neo_server_spark import io as nio
+
+    raw = nio.events_as_tag(spark, sf_dir)
+    bucket = (F.floor(F.col("time") / F.lit(HOUR)) * F.lit(HOUR)).cast("long")
+    expect = {
+        (r.name, r.time): (r.cnt, r.s, r.mn, r.mx)
+        for r in raw.groupBy("name", bucket.alias("time")).agg(
+            F.count("value").alias("cnt"), F.sum("value").alias("s"),
+            F.min("value").alias("mn"), F.max("value").alias("mx")).collect()
+    }
+    got = {
+        (r.name, r.time): (r.cnt, r.s, r.mn, r.mx)
+        for r in router.query(HOUR, {"cnt": "count", "s": "sum", "mn": "min", "mx": "max"}).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (cnt, s, mn, mx) in expect.items():
+        g = got[k]
+        assert g[0] == cnt and g[2] == mn and g[3] == mx
+        assert g[1] == pytest.approx(s, rel=1e-12)
+
+
+def test_rollup_first_last(router, spark, sf_dir):
+    from neo_server_spark import io as nio
+
+    raw = nio.events_as_tag(spark, sf_dir)
+    exp = raw.groupBy("name").agg(F.min_by("value", "time").alias("f")).collect()
+    expect = {r.name: r.f for r in exp}
+    day = 24 * HOUR
+    got = router.query(day, {"f": "first"}).groupBy("name").agg(
+        F.min_by("f", "time").alias("f")).collect()
+    for r in got:
+        assert r.f == expect[r.name]
+
+
+# ---------------------------------------------------------------- catalog
+
+def test_show_tags(spark, sf_dir):
+    from neo_server_spark import io as nio
+
+    out = catalog.show(spark, "tags", nio.events_as_tag(spark, sf_dir)).collect()
+    assert len(out) == 5 and all(r.row_count > 0 for r in out)
+
+
+def test_show_tables_and_columns(spark, sf_dir):
+    from neo_server_spark import io as nio
+
+    nio.load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    tables = catalog.show(spark, "tables").collect()
+    assert any(t.name == "nation_v" for t in tables)
+    cols = catalog.show(spark, "columns", "nation_v").collect()
+    assert [c.name for c in cols] == ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_show_rollup(router):
+    out = catalog.show(None, "rollup", router, level="hour").collect()
+    assert len(out) == 5
+
+
+# ---------------------------------------------------------------- functions
+
+def test_parse_duration():
+    assert timefn.parse_duration("1s") == 10**9
+    assert timefn.parse_duration("1h30m") == 5400 * 10**9
+    assert timefn.parse_duration("500ms") == 5 * 10**8
+    with pytest.raises(ValueError):
+        timefn.parse_duration("xyz")
+
+
+def test_time_functions(spark):
+    df = spark.createDataFrame([(1704067200_123456789,)], ["t"])
+    row = df.select(
+        timefn.round_time("t", "1s").alias("r"),
+        timefn.time_year("t").alias("y"),
+        timefn.str_time("t", "yyyy-MM-dd").alias("s"),
+        timefn.time_unix("t").alias("u"),
+    ).first()
+    assert row.r == 1704067200 * 10**9
+    assert row.y == 2024 and row.s == "2024-01-01" and row.u == 1704067200
+
+
+def test_str_functions(spark):
+    df = spark.createDataFrame([("  hello-world  ",)], ["s"])
+    row = df.select(
+        strfn.str_trim_space("s").alias("t"),
+        strfn.str_has_prefix(strfn.str_trim_space("s"), "hello").alias("p"),
+        strfn.glob("hello*", strfn.str_trim_space("s")).alias("g"),
+        strfn.str_index(strfn.str_trim_space("s"), "world").alias("i"),
+    ).first()
+    assert row.t == "hello-world" and row.p and row.g and row.i == 6
+
+
+def test_geo_functions(spark):
+    from neo_server_spark.functions import geofn
+
+    df = spark.createDataFrame([(0.0, 0.0, 0.0, 1.0)], ["a", "b", "c", "d"])
+    row = df.select(
+        geofn.haversine_m("a", "b", "c", "d").alias("m"),
+        geofn.geo_point("a", "b").alias("gj"),
+    ).first()
+    assert row.m == pytest.approx(111194.9, rel=1e-3)
+    assert '"type":"Point"' in row.gj

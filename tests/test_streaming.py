@@ -1,0 +1,127 @@
+"""Streaming ingest / rollup / watcher / retention tests — file-source streams
+with availableNow triggers (runnable in local mode, same code path as Kafka)."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from neo_server_spark.streaming import ingest
+from neo_server_spark.streaming.watch import Watcher
+
+
+def _write_lines(path, lines):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_decode_line_protocol(spark):
+    df = spark.createDataFrame(
+        [("cpu,host=a usage=0.5,idle=99.5,mode=\"x\" 1704067200000000000",)], ["value"]
+    )
+    rows = {r.name: r.value for r in ingest.decode_line_protocol(df).collect()}
+    # one row per numeric field, name = measurement.field (spi/do.go:15-23)
+    assert rows == {"cpu.usage": 0.5, "cpu.idle": 99.5}
+
+
+def test_decode_line_protocol_int_suffix(spark):
+    df = spark.createDataFrame([("m f=42i 1000",)], ["value"])
+    r = ingest.decode_line_protocol(df).first()
+    assert r.name == "m.f" and r.value == 42.0 and r.time == 1000
+
+
+def test_decode_csv_and_ndjson(spark):
+    df = spark.createDataFrame([("tag1,1000,3.5",)], ["value"])
+    r = ingest.decode_csv_lines(df).first()
+    assert (r.name, r.time, r.value) == ("tag1", 1000, 3.5)
+    df2 = spark.createDataFrame([(json.dumps({"name": "t", "time": 5, "value": 1.0}),)], ["value"])
+    r2 = ingest.decode_ndjson_lines(df2).first()
+    assert (r2.name, r2.time, r2.value) == ("t", 5, 1.0)
+
+
+def test_stream_append_end_to_end(spark, tmp_path):
+    src = tmp_path / "incoming"
+    table = tmp_path / "tagtable"
+    ckpt = tmp_path / "ckpt"
+    day_ns = 86_400 * 10**9
+    _write_lines(str(src / "batch1.ndjson"), [
+        json.dumps({"name": "s1", "time": 1 * day_ns, "value": 1.0}),
+        json.dumps({"name": "s1", "time": 1 * day_ns + 5, "value": 2.0}),
+        json.dumps({"name": "s2", "time": 40 * day_ns, "value": 3.0}),
+    ])
+    q = ingest.stream_append(spark, str(src), str(table), str(ckpt), fmt="ndjson")
+    q.awaitTermination(60)
+    out = spark.read.parquet(str(table))
+    assert out.count() == 3
+    assert "_arrival_time" in out.columns
+    # partitioned layout: day + name-bucket directories exist
+    assert any(e.startswith("_day=") for e in os.listdir(table))
+    # exactly-once: re-running the drain does not duplicate
+    q2 = ingest.stream_append(spark, str(src), str(table), str(ckpt), fmt="ndjson")
+    q2.awaitTermination(60)
+    assert spark.read.parquet(str(table)).count() == 3
+    # new file appends only the delta
+    _write_lines(str(src / "batch2.ndjson"), [
+        json.dumps({"name": "s2", "time": 40 * day_ns + 7, "value": 4.0}),
+    ])
+    q3 = ingest.stream_append(spark, str(src), str(table), str(ckpt), fmt="ndjson")
+    q3.awaitTermination(60)
+    assert spark.read.parquet(str(table)).count() == 4
+
+
+def test_stream_rollup_partials_fold_exact(spark, tmp_path):
+    from neo_server_spark.sqlx.rollup import SECOND, RollupRouter
+
+    src = tmp_path / "in"
+    base = tmp_path / "rollups"
+    _write_lines(str(src / "a.ndjson"), [
+        json.dumps({"name": "t", "time": int(0.1 * SECOND), "value": 1.0}),
+        json.dumps({"name": "t", "time": int(0.2 * SECOND), "value": 3.0}),
+    ])
+    q = ingest.stream_rollup(spark, str(src), str(base), str(tmp_path / "ck1"))
+    q.awaitTermination(60)
+    # second batch hits the SAME bucket -> two partial rows, fold must merge
+    _write_lines(str(src / "b.ndjson"), [
+        json.dumps({"name": "t", "time": int(0.5 * SECOND), "value": 5.0}),
+    ])
+    q2 = ingest.stream_rollup(spark, str(src), str(base), str(tmp_path / "ck1"))
+    q2.awaitTermination(60)
+    router = RollupRouter(spark, str(base))
+    out = router.query(SECOND, {"cnt": "count", "avg": "avg", "mx": "max", "f": "first", "l": "last"}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cnt == 3 and r.avg == pytest.approx(3.0) and r.mx == 5.0
+    assert r.f == 1.0 and r.l == 5.0
+    # compaction folds partials to one physical row, same answers
+    ingest.compact_rollup(spark, str(base), "sec")
+    assert spark.read.parquet(str(base / "rollup_sec")).count() == 1
+    r2 = router.query(SECOND, {"cnt": "count"}).first()
+    assert r2.cnt == 3
+
+
+def test_watcher_high_water_mark(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([("a", 10, 1.0), ("b", 20, 2.0)], ["name", "time", "value"])
+    df1.write.mode("append").parquet(path)
+    w = Watcher(lambda: spark.read.parquet(path))
+    assert w.poll().count() == 2      # first poll sees everything
+    assert w.poll().count() == 0      # nothing new
+    spark.createDataFrame([("a", 30, 3.0), ("b", 15, 9.0)], ["name", "time", "value"]) \
+        .write.mode("append").parquet(path)
+    got = w.poll().collect()          # only rows past each tag's mark
+    assert {(r.name, r.time) for r in got} == {("a", 30)}
+
+
+def test_retention_drops_old_days(spark, tmp_path):
+    from neo_server_spark.io import write_tag_table
+
+    day_ns = 86_400 * 10**9
+    rows = [("x", 5 * day_ns, 1.0), ("x", 400 * day_ns, 2.0)]
+    df = spark.createDataFrame(rows, ["name", "time", "value"])
+    path = str(tmp_path / "tt")
+    write_tag_table(df, path, name_buckets=2)
+    dropped = ingest.apply_retention(spark, path, keep_days=90, now_ns=400 * day_ns)
+    assert len(dropped) == 1 and dropped[0].startswith("_day=1970")
+    assert spark.read.parquet(path).count() == 1

@@ -1,0 +1,127 @@
+"""TQL DSL end-to-end tests — the reference's golden-file style: small
+pipeline script → exact expected output (mods/tql/tql_test.go)."""
+
+import math
+
+import pytest
+
+from neo_server_spark.tql import Tql, fake
+
+
+@pytest.fixture()
+def tql(spark, sf_dir):
+    return Tql(spark, sf_dir)
+
+
+def test_sql_select_pipeline(tql):
+    out = (
+        tql.sql_select("value", table="events", tag="purchase")
+        .take(5, order_by=["time"])
+        .to_df()
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    assert out.columns == ["name", "time", "value"]
+    assert all(r.name == "purchase" for r in rows)
+
+
+def test_sql_source(tql):
+    out = tql.sql("SELECT count(*) AS n FROM lineitem").to_df().first()
+    assert out.n > 0
+
+
+def test_mapvalue_chain_csv_sink(tql):
+    csv_text = (
+        tql.fake(fake.linspace(tql.spark, 0, 4, 5))
+        .mapvalue(0, "x * 2", "y")
+        .csv()
+    )
+    assert csv_text.splitlines() == ["y", "0.0", "2.0", "4.0", "6.0", "8.0"]
+
+
+def test_oscillator_fft_pipeline(tql):
+    # 2 Hz tone, 64 samples over 1 s -> FFT peak at 2 Hz (reference golden
+    # shape: oscillator -> GROUPBYKEY -> FFT, tql_test.go FFT cases)
+    p = (
+        tql.oscillator([(2.0, 1.0)], 0, 1_000_000_000, 1_000_000_000 // 64)
+        .fft()
+    )
+    rows = p.collect()
+    peak = max(rows, key=lambda r: r.ampl)
+    assert peak.hz == pytest.approx(2.0, rel=0.05)
+    assert peak.ampl == pytest.approx(1.0, rel=0.05)
+
+
+def test_group_pipeline(tql):
+    from neo_server_spark.operators.group import agg
+    import pyspark.sql.functions as F
+
+    out = (
+        tql.sql_select("value", table="events")
+        .group(by=[(F.col("name"), "name")], aggs=[agg.count("value", "n")])
+        .to_df()
+    )
+    assert out.count() == 5
+
+
+def test_json_envelope_shape(tql):
+    import json
+
+    env = json.loads(
+        tql.fake(fake.linspace(tql.spark, 1, 3, 3)).json()
+    )
+    assert env["success"] is True and env["reason"] == "success"
+    assert env["data"]["columns"] == ["x"]
+    assert env["data"]["types"] == ["double"]
+    assert env["data"]["rows"] == [[1.0], [2.0], [3.0]]
+
+
+def test_markdown_and_box(tql):
+    md = tql.fake(fake.once(tql.spark, 7)).markdown()
+    assert md.startswith("|x|")
+    box = tql.fake(fake.once(tql.spark, 7)).box()
+    assert "| 7" in box
+
+
+def test_key_ops_pipeline(tql):
+    out = (
+        tql.fake(fake.linspace(tql.spark, 0, 9, 10))
+        .pushkey("cast(x as int) % 2", "parity")
+        .groupbykey()
+        .to_df()
+    )
+    rows = out.collect()
+    assert len(rows) == 2 and len(rows[0].chunk) == 5
+
+
+def test_fake_generators(spark):
+    assert fake.arrange(spark, 0, 10, 2).count() == 6
+    assert fake.meshgrid(spark, [1, 2], [3, 4, 5]).count() == 6
+    assert fake.sphere(spark, 6, 6).count() == 36
+    w = fake.random_walk(spark, 100, seed=1).collect()
+    assert all(0 <= r.x <= 1 for r in w)
+    n = fake.simplex_noise(spark, 100).collect()
+    assert all(-1 <= r.x <= 1 for r in n)
+    lit = fake.from_csv_literal(spark, "a,1\nb,2", ["k", "v"])
+    assert lit.count() == 2
+
+
+def test_script_mapinpandas(tql):
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    def kernel(batches):
+        for pdf in batches:
+            pdf["x"] = pdf["x"] * 10
+            yield pdf
+
+    out = (
+        tql.fake(fake.linspace(tql.spark, 1, 3, 3))
+        .script(kernel, StructType([StructField("x", DoubleType())]))
+        .to_df()
+    )
+    assert sorted(r.x for r in out.collect()) == [10.0, 20.0, 30.0]
+
+
+def test_ndjson_sink(tql):
+    nd = tql.fake(fake.once(tql.spark, 1)).ndjson()
+    assert nd == '{"x":1}\n'
