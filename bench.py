@@ -62,6 +62,8 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    ingest = _bench_ingest(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -69,8 +71,58 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "ingest": ingest,
     }))
     spark.stop()
+
+
+def _bench_ingest(spark, sf_dir: str) -> dict:
+    """Append-path throughput vs BASELINE.md (3-col tag_simple 1.49M rows/s,
+    13-col tag_data 58k rows/s — both single-core reference numbers).
+
+    Measures end-to-end bulk append of the events table into the partitioned
+    tag layout: decode-shape projection + day/name-bucket partitioned parquet
+    write, the same code path stream_append's foreachBatch uses.
+    """
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from neo_server_spark.io import load_table, write_tag_table
+
+    from neo_server_spark.functions.timefn import DAY
+
+    n = 1_000_000  # 1M synthetic rows over 5 days, BASELINE benchmark-style
+    base = spark.range(n).select(
+        F.concat(F.lit("name-"), (F.col("id") % 5).cast("string")).alias("name"),
+        (F.lit(1_704_067_200_000_000_000) + F.col("id") * F.lit(5 * DAY // n)).alias("time"),
+        (F.lit(1.001) * (F.col("id") + 1)).alias("value"),
+    )
+    out: dict[str, float] = {"rows": n}
+    wide = base.select(
+        "name", "time", "value",
+        (F.col("value").cast("long") % 100).cast("short").alias("short_value"),
+        (F.col("value").cast("long") % 200).cast("int").alias("ushort_value"),
+        F.col("value").cast("int").alias("int_value"),
+        F.col("value").cast("long").alias("uint_value"),
+        F.col("value").cast("long").alias("long_value"),
+        F.col("value").cast("decimal(20,0)").alias("ulong_value"),
+        F.col("name").alias("str_value"),
+        F.format_string('{"t":"json-%s"}', F.col("name")).alias("json_value"),
+        F.lit("127.0.0.1").alias("ipv4_value"),
+        F.lit("::1").alias("ipv6_value"),
+    )
+    for label, df in (("3col", base), ("13col", wide)):
+        tmp = tempfile.mkdtemp(prefix=f"neo_ingest_{label}_")
+        shutil.rmtree(tmp)
+        t0 = time.time()
+        write_tag_table(df, tmp, mode="overwrite")
+        dt = time.time() - t0
+        out[f"ingest_{label}_sec"] = round(dt, 3)
+        out[f"ingest_{label}_rows_per_sec"] = round(n / dt)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":

@@ -300,7 +300,9 @@ def timewindow(
         ).alias(bucket_name)
     )
     if series:
-        keys = df.filter(in_range).select(*series).distinct()
+        # distinct keys come from the AGGREGATED frame (tiny), not a second
+        # scan of the raw data — at 100 TB the raw rescan would double the job
+        keys = grouped.select(*series).distinct()
         grid = keys.crossJoin(grid)
     out = grid.join(F.broadcast(grouped) if not series else grouped,
                     on=[*series, bucket_name], how="left")

@@ -100,7 +100,7 @@ def stream_append(
     table_path: str,
     checkpoint: str,
     fmt: str = "ndjson",
-    name_buckets: int = 16,
+    name_buckets: int | None = None,
     trigger_available_now: bool = True,
     with_arrival_time: bool = True,
 ):
