@@ -415,6 +415,41 @@ def _q_embedding_dupes(spark, sf_dir):
     return dedup.embedding_dupes(emb, threshold=0.35, block_bits=4)
 
 
+def _q_filter_changed_retain(spark, sf_dir):
+    """FILTER_CHANGED with retain(time, 10m): a per-user event_type run emits
+    only once the value has held for >= 10 minutes (fm_monad.go:160-186)."""
+    dur = 600 * 1_000_000_000
+    ev = nio.load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    out = maps.filter_changed(ev, "event_type", series=["user_id"],
+                              order_by=["ts", "event_id"], retain_duration=dur,
+                              time_col="ts")
+    return out.select("user_id", _us("ts", "time"), "event_type", "event_id")
+
+
+def _q_timewindow_spline(spark, sf_dir):
+    """timewindow gap-fill with predict('AkimaSpline') — numpy Hermite kernel
+    over the aggregated bucket frame (rows-only: no SQL spline oracle)."""
+    df = _tag(spark, sf_dir)
+    out = timewindow(
+        df, "time", TW_FROM, TW_UNTIL, TW_PERIOD,
+        aggs=[F.avg("value").alias("avg_value")],
+        series=["name"], fill="akimaspline",
+    )
+    return out.select("name", "time", F.round("avg_value", 6).alias("avg_value"))
+
+
+def _q_oscillator_fft(spark, sf_dir):
+    """FAKE(oscillator) -> FFT golden: 3 tones recovered at their amplitudes
+    (reference golden fixture shape: mods/tql/test/fft2d.csv).  Rows-only
+    check; the unit tests assert the analytic peak values."""
+    from neo_server_spark.tql import fake as FK
+
+    src = FK.oscillator(spark, [(1.0, 1.0), (2.0, 0.5), (3.0, 0.25)],
+                        0, 4_000_000_000, 4_000_000_000 // 256)
+    out = series.fft(src)
+    return out.select(F.round("hz", 6).alias("hz"), F.round("ampl", 6).alias("ampl"))
+
+
 def _q_rollup_routed(spark, sf_dir):
     """ROLLUP-hint routed aggregation (http_lake.go:1692-1698): the hourly
     answer is served from the sec->min->hour rollup cascade, never the raw
@@ -513,6 +548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "histogram_streaming": _q_histogram_streaming,
         "embedding_dupes": _q_embedding_dupes,
+        "filter_changed_retain": _q_filter_changed_retain,
+        "timewindow_spline": _q_timewindow_spline,
+        "oscillator_fft": _q_oscillator_fft,
         "rollup_routed": _q_rollup_routed,
         "lake_decode": _q_lake_decode,
         "text_stats": _q_text_stats,
@@ -811,6 +849,30 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE 0.2 * power(0.8, a.rn - b.rn) * b.value END), 6) AS lowpass
             FROM w a JOIN w b ON a.name = b.name AND b.rn <= a.rn
             GROUP BY a.name, a.ts, a.value, a.rn
+        """,
+        "filter_changed_retain": """
+            WITH w AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+              FROM events
+            ), r AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+              FROM w
+            ), runs AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY user_id, rid ORDER BY ts, event_id) AS rn,
+                     min(epoch_ns(ts)) OVER (PARTITION BY user_id, rid) AS rstart
+              FROM r
+            ), held AS (
+              SELECT *,
+                     min(CASE WHEN epoch_ns(ts) - rstart >= 600000000000 THEN rn END)
+                         OVER (PARTITION BY user_id, rid) AS fh
+              FROM runs
+            )
+            SELECT user_id, epoch_us(ts) AS time, event_type, event_id
+            FROM held WHERE rn = fh
         """,
         "rollup_routed": f"""
             SELECT event_type AS name,

@@ -244,7 +244,8 @@ def entropy_of(df: DataFrame, by: Sequence[str], col: str, out: str = "entropy")
 
 # ---------------------------------------------------------------- timewindow
 
-FILL_METHODS = ("null", "value", "piecewiseconstant", "piecewiselinear", "linearregression")
+FILL_METHODS = ("null", "value", "piecewiseconstant", "piecewiselinear",
+                "linearregression", "akimaspline", "fritschbutland")
 
 
 def timewindow(
@@ -272,6 +273,8 @@ def timewindow(
         * 'piecewiseconstant' — previous non-null bucket  (predict())
         * 'piecewiselinear'   — linear interpolation between neighbors
         * 'linearregression'  — least-squares line over non-null buckets
+        * 'akimaspline' / 'fritschbutland' — cubic spline fills (numpy kernel
+          over the aggregated bucket frame, operators/interp.py)
 
     Scale notes: the bucket grid is ``sequence()``-generated (executor-side,
     no driver loop) and the join is broadcast when the calendar is small; the
@@ -312,6 +315,10 @@ def timewindow(
     if fill == "value":
         for c in targets:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill_value)))
+    elif fill in ("akimaspline", "fritschbutland"):
+        from neo_server_spark.operators.interp import spline_fill
+
+        out = spline_fill(out, series, bucket_name, targets, method=fill)
     elif fill in ("piecewiseconstant", "piecewiselinear", "linearregression"):
         w = Window.partitionBy(*series).orderBy(bucket_name)
         prev_w = w.rowsBetween(Window.unboundedPreceding, 0)

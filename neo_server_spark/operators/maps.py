@@ -170,19 +170,47 @@ def filter_changed(
     value_col: str,
     series: Sequence[str] = (),
     order_by: str | Column = "time",
+    retain_duration: int | None = None,
+    time_col: str = "time",
+    use_first: bool = False,
+    with_last: bool = False,
 ) -> DataFrame:
-    """FILTER_CHANGED(value) — drop records whose value equals the previous
-    record's value; the first record always passes (fm_monad.go:121-238,
-    no-retain path).
+    """FILTER_CHANGED(value [, retain(t, dur)] [, useFirstWithLast()]) —
+    deduplicate runs of equal values (fm_monad.go:121-238).
 
-    Spark shape: ``lag`` over a per-series window; null-safe comparison so a
-    null→null run also deduplicates.  (retain()/useFirstWithLast() variants are
-    in series.py's retained variant.)
+    Semantics (set-equivalent to the reference's streaming emission):
+    - base: the FIRST record of each equal-value run passes;
+    - ``retain_duration`` (ns): a run only emits once its value has held for
+      >= duration — the emitted record is the first one crossing the hold
+      threshold, or the run's first record when ``use_first``;
+    - ``with_last``: additionally the LAST record of each run passes
+      (the reference emits it on the next change / EOF).
+
+    Spark shape: gaps-and-islands — a run id from a cumulative change
+    counter, then per-run window ranks.  Two window passes over the same
+    (series, order) sort; no UDFs.
     """
     orders = order_by if isinstance(order_by, (list, tuple)) else [order_by]
     w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(*[_to_col(o) for o in orders])
-    prev = F.lag(F.col(value_col)).over(w)
-    rn = F.row_number().over(w)
-    keep = (rn == 1) | ~prev.eqNullSafe(F.col(value_col))
     cols = df.columns
-    return df.withColumn("__keep", keep).filter(F.col("__keep")).select(*cols)
+    prev = F.lag(F.col(value_col)).over(w)
+    changed = F.when(~prev.eqNullSafe(F.col(value_col)) | (F.row_number().over(w) == 1), 1).otherwise(0)
+    out = df.withColumn("__rid", F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    rw = Window.partitionBy(*[F.col(c) for c in series], F.col("__rid")).orderBy(
+        *[_to_col(o) for o in orders])
+    full = rw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    out = out.withColumn("__rn", F.row_number().over(rw))
+    out = out.withColumn("__last_rn", F.max(F.col("__rn")).over(full))
+    if retain_duration is None:
+        keep = F.col("__rn") == 1
+    else:
+        run_start = F.min(F.col(time_col)).over(full)
+        held = (F.col(time_col).cast("long") - run_start.cast("long")) >= F.lit(retain_duration)
+        out = out.withColumn("__fh", F.min(F.when(held, F.col("__rn"))).over(full))
+        if use_first:
+            keep = F.col("__fh").isNotNull() & (F.col("__rn") == 1)
+        else:
+            keep = F.col("__rn") == F.col("__fh")
+    if with_last:
+        keep = keep | (F.col("__rn") == F.col("__last_rn"))
+    return out.filter(keep).select(*cols)

@@ -152,8 +152,8 @@ class Pipeline:
         return self._wrap(M.filter_(self.df, predicate))
 
     def filter_changed(self, value_col: str, series: Sequence[str] = (),
-                       order_by="time") -> "Pipeline":
-        return self._wrap(M.filter_changed(self.df, value_col, series, order_by))
+                       order_by="time", **kw) -> "Pipeline":
+        return self._wrap(M.filter_changed(self.df, value_col, series, order_by, **kw))
 
     def take(self, n: int, offset: int = 0, order_by=None) -> "Pipeline":
         return self._wrap(M.take(self.df, n, offset, order_by))
@@ -199,6 +199,17 @@ class Pipeline:
         (fm_script.go:34-109).  ``fn(iter[pandas.DataFrame]) -> iter[pandas.DataFrame]``
         over Arrow batches (mapInPandas = $.yield() UDTF semantics)."""
         return self._wrap(self.df.mapInPandas(fn, schema))
+
+    def shell(self, cmd: str) -> "Pipeline":
+        """SHELL(cmd) — pipe records through an external command
+        (fm_shell.go:49-154): rows serialize to CSV lines on stdin, each
+        stdout line comes back as a single string record.  rdd.pipe runs the
+        command once per partition — per-executor fan-out, not per-row."""
+        piped = self.df.rdd.map(
+            lambda row: ",".join("" if v is None else str(v) for v in row)
+        ).pipe(cmd)
+        spark = self.df.sparkSession
+        return self._wrap(spark.createDataFrame(piped.map(lambda s: (s,)), ["line"]))
 
     def when(self, cond: Column | str, do: Callable) -> "Pipeline":
         """WHEN(cond, doLog()/doHttp()/do(...)) (fm_monad.go:2395-2413) —

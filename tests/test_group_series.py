@@ -185,3 +185,53 @@ def test_boxplot(spark):
     row = stats.boxplot(df, "v", "c", interpolated=True).first()
     assert row.q1 == pytest.approx(26.0) and row.q3 == pytest.approx(76.0)
     assert row.outlier_count == 1
+
+
+def test_timewindow_fill_spline(spark):
+    # quadratic samples: Akima reproduces smooth curves closely in gaps
+    pts = [(0, 0.0), (10, 100.0), (20, 400.0), (40, 1600.0), (50, 2500.0)]
+    df = spark.createDataFrame(
+        [("a", t * 1_000_000_000, v) for t, v in pts], ["name", "time", "value"]
+    )
+    from neo_server_spark.operators.group import agg, timewindow
+
+    out = timewindow(
+        df, "time", 0, 60_000_000_000, 10_000_000_000,
+        aggs=[agg.avg("value", "v")], series=["name"], fill="akimaspline",
+    ).collect()
+    filled = {r.time // 10**9: r.v for r in out}
+    assert filled[30] == pytest.approx(900.0, rel=0.05)   # x^2 at t=30
+    assert filled[50] == 2500.0
+
+    out2 = timewindow(
+        df, "time", 0, 60_000_000_000, 10_000_000_000,
+        aggs=[agg.avg("value", "v")], series=["name"], fill="fritschbutland",
+    ).collect()
+    f2 = {r.time // 10**9: r.v for r in out2}
+    # monotone data -> monotone fill between neighbors
+    assert 400.0 <= f2[30] <= 1600.0
+
+
+def test_filter_changed_retain(spark):
+    from neo_server_spark.operators import maps
+
+    # value holds 'b' from t=20..50: with retain 25ns the run emits once the
+    # hold is proven (t=45 is the first record >= 20+25)
+    rows = [(10, "a"), (20, "b"), (30, "b"), (45, "b"), (50, "b"), (60, "c")]
+    df = spark.createDataFrame(rows, ["time", "v"])
+    out = maps.filter_changed(df, "v", order_by="time", retain_duration=25)
+    assert [r.time for r in out.orderBy("time").collect()] == [45]
+    # use_first emits the run's first record instead
+    out2 = maps.filter_changed(df, "v", order_by="time", retain_duration=25,
+                               use_first=True)
+    assert [r.time for r in out2.orderBy("time").collect()] == [20]
+
+
+def test_filter_changed_with_last(spark):
+    from neo_server_spark.operators import maps
+
+    rows = [(1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "y")]
+    df = spark.createDataFrame(rows, ["time", "v"])
+    out = maps.filter_changed(df, "v", order_by="time", with_last=True)
+    # first and last record of each run (single-record runs emit once)
+    assert [r.time for r in out.orderBy("time").collect()] == [1, 2, 3, 5]

@@ -125,3 +125,35 @@ def test_retention_drops_old_days(spark, tmp_path):
     dropped = ingest.apply_retention(spark, path, keep_days=90, now_ns=400 * day_ns)
     assert len(dropped) == 1 and dropped[0].startswith("_day=1970")
     assert spark.read.parquet(path).count() == 1
+
+
+def test_scheduler_timer(spark):
+    import time as _t
+
+    from neo_server_spark.streaming.scheduler import Scheduler
+
+    hits = []
+    s = Scheduler()
+    s.add_timer("t1", 0.1, lambda: hits.append(1), start=True)
+    _t.sleep(0.45)
+    s.stop("t1")
+    n = len(hits)
+    assert 2 <= n <= 6
+    _t.sleep(0.25)
+    assert len(hits) == n  # stopped timers stop firing
+    st = s.entries()[0]
+    assert st["state"] == "STOP" and st["run_count"] == n
+
+
+def test_scheduler_error_recorded():
+    from neo_server_spark.streaming.scheduler import Scheduler
+
+    s = Scheduler()
+
+    def boom():
+        raise RuntimeError("kaput")
+
+    s.add_timer("bad", 99, boom)
+    s.trigger_now("bad")
+    e = s.entries()[0]
+    assert e["run_count"] == 1 and "kaput" in e["last_error"]

@@ -125,3 +125,13 @@ def test_script_mapinpandas(tql):
 def test_ndjson_sink(tql):
     nd = tql.fake(fake.once(tql.spark, 1)).ndjson()
     assert nd == '{"x":1}\n'
+
+
+def test_shell_pipe(tql):
+    out = (
+        tql.fake(fake.linspace(tql.spark, 1, 5, 5))
+        .shell("grep -v '3.0'")
+        .to_df()
+    )
+    lines = sorted(r.line for r in out.collect())
+    assert lines == ["1.0", "2.0", "4.0", "5.0"]
