@@ -450,6 +450,86 @@ def _q_oscillator_fft(spark, sf_dir):
     return out.select(F.round("hz", 6).alias("hz"), F.round("ampl", 6).alias("ampl"))
 
 
+def _q_stats_aggs(spark, sf_dir):
+    """GROUP statistical aggregate battery II (fm_monad.go:1213-1307):
+    moment(2|3), correlation, covariance, lrs slope, cdf, weighted mean."""
+    df = _tag(spark, sf_dir).select("name", "value", "event_id",
+                                    F.col("user_id").cast("double").alias("uid"))
+    wgt = (F.col("event_id") % 10 + 1).cast("double")
+    return group(
+        df,
+        by=[(F.col("name"), "name")],
+        aggs=[
+            F.round(agg.moment("value", 2, "x"), 4).alias("moment2"),
+            F.round(agg.moment("value", 3, "x"), 2).alias("moment3"),
+            F.round(agg.correlation("value", "uid", "x"), 6).alias("corr_vu"),
+            F.round(agg.covariance("value", "uid", "x"), 4).alias("covar_vu"),
+            F.round(agg.lrs("uid", "value", "x"), 8).alias("lrs_slope"),
+            agg.cdf("value", 100.0, "cdf_100"),
+            F.round(agg.wavg("value", wgt, "x"), 6).alias("wavg_value"),
+        ],
+    )
+
+
+def _q_series_diffs(spark, sf_dir):
+    """MAP_ABSDIFF / MAP_NONEGDIFF on value + MAP_DIFF on the time column
+    (fm_monad.go:1806-1906; time diffs are exact integer ns)."""
+    df = _tag(spark, sf_dir).select("name", "time", "value", "event_id",
+                                    F.expr("time div 1000").alias("time_us"))
+    out = series.map_absdiff(df, "value", out="absdiff", series=["name"],
+                             order_by=["time", "event_id"])
+    out = series.map_nonegdiff(out, "value", out="nonegdiff", series=["name"],
+                               order_by=["time", "event_id"])
+    # diff in us space: the oracle's parquet reader truncates ns -> us
+    out = series.map_diff(out, "time_us", out="diff_us", series=["name"],
+                          order_by=["time", "event_id"])
+    return out.select("name", _us("time"), "value", "absdiff", "nonegdiff", "diff_us")
+
+
+def _q_map_distance(spark, sf_dir):
+    """MAP_DISTANCE — haversine meters from the previous point per series
+    (fm_monad.go:2109-2142).  Coordinates derived deterministically from the
+    events columns (no geo columns in TESTDATA); cm-rounded so libm-vs-JVM
+    trig ulps can't flip the value hash."""
+    df = _tag(spark, sf_dir).select(
+        "name", "time", "event_id",
+        ((F.col("user_id") % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("event_id") % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    out = series.map_distance(df, "lat", "lon", out="dist_m", series=["name"],
+                              order_by=["time", "event_id"])
+    return out.select("name", _us("time"), "lat", "lon",
+                      F.round("dist_m", 2).alias("dist_m"))
+
+
+def _q_lake_pivot(spark, sf_dir):
+    """PIVOT (agg FOR col IN (...)) (http_lake.go:1650-1652) — hourly bucket
+    x event_type sum-of-value matrix via groupBy().pivot() with an explicit
+    IN-list (single-pass pivot, no second distinct job)."""
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    df = _tag(spark, sf_dir)
+    h = 3_600 * 10**9
+    bucket = F.expr(f"(time div {h}) * {h} div 1000").alias("bucket")
+    out = df.groupBy(bucket).pivot("name", kinds).sum("value")
+    for k in kinds:
+        out = out.withColumn(k, F.round(F.coalesce(F.col(k), F.lit(0.0)), 6))
+    return out
+
+
+def _q_group_list(spark, sf_dir):
+    """GROUP list(...) chunk aggregate (fm_monad.go:1170-1184) — the ordered
+    per-group value list, emitted as an integer-cents CSV string so the
+    array's cross-engine representation can't affect the value hash."""
+    df = _tag(spark, sf_dir).filter(F.col("name") == "error")
+    cents = F.round(F.col("value") * 100).cast("long")
+    lst = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("time"), F.col("event_id"), cents.alias("c")))),
+            lambda s: s["c"].cast("string"),
+        ), ",")
+    return df.groupBy("name").agg(lst.alias("value_list"))
+
+
 def _q_rollup_routed(spark, sf_dir):
     """ROLLUP-hint routed aggregation (http_lake.go:1692-1698): the hourly
     answer is served from the sec->min->hour rollup cascade, never the raw
@@ -551,6 +631,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_changed_retain": _q_filter_changed_retain,
         "timewindow_spline": _q_timewindow_spline,
         "oscillator_fft": _q_oscillator_fft,
+        "stats_aggs": _q_stats_aggs,
+        "series_diffs": _q_series_diffs,
+        "map_distance": _q_map_distance,
+        "lake_pivot": _q_lake_pivot,
+        "group_list": _q_group_list,
         "rollup_routed": _q_rollup_routed,
         "lake_decode": _q_lake_decode,
         "text_stats": _q_text_stats,
@@ -873,6 +958,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, epoch_us(ts) AS time, event_type, event_id
             FROM held WHERE rn = fh
+        """,
+        "stats_aggs": """
+            WITH m AS (
+              SELECT event_type, avg(value) AS mu FROM events GROUP BY event_type
+            )
+            SELECT e.event_type AS name,
+                   round(avg(pow(e.value - m.mu, 2)), 4) AS moment2,
+                   round(avg(pow(e.value - m.mu, 3)), 2) AS moment3,
+                   round(corr(e.value, CAST(e.user_id AS DOUBLE)), 6) AS corr_vu,
+                   round(covar_samp(e.value, CAST(e.user_id AS DOUBLE)), 4) AS covar_vu,
+                   round(regr_slope(e.value, CAST(e.user_id AS DOUBLE)), 8) AS lrs_slope,
+                   avg(CASE WHEN e.value <= 100.0 THEN 1.0 ELSE 0.0 END) AS cdf_100,
+                   round(sum(e.value * (e.event_id % 10 + 1)) /
+                         sum(e.event_id % 10 + 1), 6) AS wavg_value
+            FROM events e JOIN m ON m.event_type = e.event_type
+            GROUP BY e.event_type
+        """,
+        "series_diffs": """
+            SELECT event_type AS name, epoch_us(ts) AS time, value,
+                   abs(value - lag(value) OVER w) AS absdiff,
+                   CASE WHEN value - lag(value) OVER w < 0 THEN NULL
+                        ELSE value - lag(value) OVER w END AS nonegdiff,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS diff_us
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        """,
+        "map_distance": """
+            WITH pts AS (
+              SELECT event_type AS name, ts, event_id,
+                     (user_id % 17000) / 100.0 - 85.0 AS lat,
+                     (event_id % 36000) / 100.0 - 180.0 AS lon
+              FROM events
+            ), w AS (
+              SELECT name, ts, lat, lon,
+                     lag(lat) OVER (PARTITION BY name ORDER BY ts, event_id) AS plat,
+                     lag(lon) OVER (PARTITION BY name ORDER BY ts, event_id) AS plon
+              FROM pts
+            )
+            SELECT name, epoch_us(ts) AS time, lat, lon,
+                   round(coalesce(2.0 * 6371000.0 * asin(sqrt(
+                       pow(sin((radians(lat) - radians(plat)) / 2), 2) +
+                       cos(radians(plat)) * cos(radians(lat)) *
+                       pow(sin((radians(lon) - radians(plon)) / 2), 2)
+                   )), 0.0), 2) AS dist_m
+            FROM w
+        """,
+        "lake_pivot": """
+            SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 // 1000 AS bucket,
+                   round(coalesce(sum(value) FILTER (event_type = 'click'), 0.0), 6) AS click,
+                   round(coalesce(sum(value) FILTER (event_type = 'error'), 0.0), 6) AS error,
+                   round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0.0), 6) AS purchase,
+                   round(coalesce(sum(value) FILTER (event_type = 'signup'), 0.0), 6) AS signup,
+                   round(coalesce(sum(value) FILTER (event_type = 'view'), 0.0), 6) AS view
+            FROM events GROUP BY 1
+        """,
+        "group_list": """
+            SELECT event_type AS name,
+                   string_agg(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                              ',' ORDER BY ts, event_id) AS value_list
+            FROM events WHERE event_type = 'error' GROUP BY event_type
         """,
         "rollup_routed": f"""
             SELECT event_type AS name,

@@ -116,6 +116,11 @@ def _bench_ingest(spark, sf_dir: str) -> dict:
     for label, df in (("3col", base), ("13col", wide)):
         tmp = tempfile.mkdtemp(prefix=f"neo_ingest_{label}_")
         shutil.rmtree(tmp)
+        # steady-state throughput like the reference's iterated go-bench
+        # (spi/benchmark_test.go): first write absorbs one-time JVM/codegen
+        # warmup, the timed second write measures the path itself.
+        write_tag_table(df, tmp, mode="overwrite")
+        shutil.rmtree(tmp)
         t0 = time.time()
         write_tag_table(df, tmp, mode="overwrite")
         dt = time.time() - t0

@@ -127,6 +127,74 @@ def to_box(df: DataFrame, limit: int | None = None) -> str:
     return "\n".join(out) + "\n"
 
 
+def to_html(df: DataFrame, limit: int | None = None) -> str:
+    """HTML() sink — table render; (mime, bytes) image rows become inline
+    data-URI <img> divs like the reference encoder
+    (mods/codec/internal/html/html.go:36-55)."""
+    import base64
+
+    cols, rows = _collect(df, limit)
+    parts: list[str] = []
+    table_rows: list[str] = []
+    for r in rows:
+        if len(r) == 2 and r[0] in ("image/png", "image/jpeg") and isinstance(r[1], (bytes, bytearray)):
+            b64 = base64.b64encode(bytes(r[1])).decode()
+            parts.append(f'<div><img src="data:{r[0]};base64,{b64}"/></div>')
+            continue
+        cells = "".join(f"<td>{'' if v is None else v}</td>" for v in r)
+        table_rows.append(f"<tr>{cells}</tr>")
+    if table_rows:
+        head = "".join(f"<th>{c}</th>" for c in cols)
+        parts.append(f"<table><thead><tr>{head}</tr></thead><tbody>{''.join(table_rows)}</tbody></table>")
+    return "\n".join(parts) + "\n"
+
+
+def to_text(df: DataFrame, template: str | None = None, limit: int | None = None) -> str:
+    """TEXT() sink — template-driven text render (mods/codec/internal/templ,
+    Format TEXT).  ``template`` is a Python format string over column names
+    (our analogue of the reference's Go text/template); default is
+    tab-separated values."""
+    cols, rows = _collect(df, limit)
+    if template is None:
+        return "\n".join("\t".join("" if v is None else str(v) for v in r) for r in rows) + "\n"
+    return "\n".join(template.format(**dict(zip(cols, r))) for r in rows) + "\n"
+
+
+def to_chart_spec(df: DataFrame, x: str, ys: list[str] | None = None,
+                  kind: str = "line", limit: int | None = None) -> str:
+    """CHART_LINE/BAR/SCATTER sink — emit the echarts option JSON the
+    reference's chart codec feeds to the renderer
+    (mods/codec/internal/chart/chart.go:294-306).  Rendering itself stays out
+    of engine scope; consumers pass this spec to echarts directly."""
+    cols, rows = _collect(df, limit)
+    ys = ys or [c for c in cols if c != x]
+    xi = cols.index(x)
+    option = {
+        "xAxis": {"type": "category", "data": [r[xi] for r in rows]},
+        "yAxis": {"type": "value"},
+        "series": [
+            {"type": kind, "name": y, "data": [r[cols.index(y)] for r in rows]}
+            for y in ys
+        ],
+    }
+    return json.dumps(option, default=str, separators=(",", ":"))
+
+
+def to_geomap_spec(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                   popup: str | None = None, limit: int | None = None) -> str:
+    """GEOMAP() sink — leaflet layer spec JSON (mods/codec/internal/geomap):
+    one marker object per row."""
+    cols, rows = _collect(df, limit)
+    la, lo = cols.index(lat), cols.index(lon)
+    po = cols.index(popup) if popup else None
+    markers = [
+        {"type": "marker", "coord": [r[la], r[lo]],
+         **({"popup": {"content": str(r[po])}} if po is not None else {})}
+        for r in rows
+    ]
+    return json.dumps(markers, default=str, separators=(",", ":"))
+
+
 # ---------------------------------------------------------------- bulk writers
 
 def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:

@@ -294,6 +294,18 @@ class Pipeline:
     def markdown(self, **kw) -> str:
         return encoders.to_markdown(self.df, **kw)
 
+    def html(self, **kw) -> str:
+        return encoders.to_html(self.df, **kw)
+
+    def text(self, template: str | None = None, **kw) -> str:
+        return encoders.to_text(self.df, template, **kw)
+
+    def chart(self, x: str, ys=None, kind: str = "line", **kw) -> str:
+        return encoders.to_chart_spec(self.df, x, ys, kind, **kw)
+
+    def geomap(self, lat: str = "lat", lon: str = "lon", **kw) -> str:
+        return encoders.to_geomap_spec(self.df, lat, lon, **kw)
+
     def box(self, **kw) -> str:
         return encoders.to_box(self.df, **kw)
 

@@ -135,3 +135,34 @@ def test_shell_pipe(tql):
     )
     lines = sorted(r.line for r in out.collect())
     assert lines == ["1.0", "2.0", "4.0", "5.0"]
+
+
+def test_html_text_sinks(tql):
+    p = tql.fake(fake.linspace(tql.spark, 1, 2, 2))
+    html = p.html()
+    assert "<table>" in html and "<th>x</th>" in html and "<td>1.0</td>" in html
+    txt = p.text()
+    assert txt == "1.0\n2.0\n"
+    templ = p.text("x={x}")
+    assert templ == "x=1.0\nx=2.0\n"
+
+
+def test_html_image_row(tql, spark):
+    df = spark.createDataFrame([("image/png", bytearray(b"\x89PNG"))], ["mime", "data"])
+    from neo_server_spark.codecs import encoders
+    out = encoders.to_html(df)
+    assert out.startswith('<div><img src="data:image/png;base64,')
+
+
+def test_chart_and_geomap_specs(tql, spark):
+    import json
+    spec = json.loads(
+        tql.fake(fake.linspace(tql.spark, 0, 2, 3)).pushvalue(1, "x * x", "y").chart("x", kind="bar")
+    )
+    assert spec["xAxis"]["data"] == [0.0, 1.0, 2.0]
+    assert spec["series"][0]["type"] == "bar" and spec["series"][0]["data"] == [0.0, 1.0, 4.0]
+
+    geo = spark.createDataFrame([(37.5, 127.0, "Seoul")], ["lat", "lon", "label"])
+    from neo_server_spark.codecs import encoders
+    markers = json.loads(encoders.to_geomap_spec(geo, popup="label"))
+    assert markers == [{"type": "marker", "coord": [37.5, 127.0], "popup": {"content": "Seoul"}}]
