@@ -450,6 +450,72 @@ def _q_oscillator_fft(spark, sf_dir):
     return out.select(F.round("hz", 6).alias("hz"), F.round("ampl", 6).alias("ampl"))
 
 
+def _q_projection_ops(spark, sf_dir):
+    """Projection / key-shift battery (§2.2): PUSHKEY -> MAPVALUE -> PUSHVALUE
+    -> POPVALUE -> POPKEY chained; pure column projections, one scan, no
+    shuffle (fm_monad.go:1515-1804)."""
+    ev = nio.load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = maps.pushkey(ev, F.col("event_id") % 7, name="key")   # [key, event_id, user_id, value]
+    out = maps.mapvalue(out, 3, F.round(F.col("value") * 2, 6), name="value2")
+    out = maps.pushvalue(out, 2, F.col("user_id") % 100, name="userbucket")
+    out = maps.popvalue(out, 3)                                  # drop user_id
+    out = maps.popkey(out, 0)                                    # event_id becomes key
+    return out
+
+
+def _q_scalar_funcs(spark, sf_dir):
+    """Scalar function battery (§2.5): string ops (strfn) + time component
+    extractors / roundTime / strTime (timefn) in one projection."""
+    from neo_server_spark.functions import strfn, timefn
+
+    ev = nio.load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        strfn.str_to_upper("event_type").alias("upper_type"),
+        strfn.str_sub("event_type", 1, 3).alias("sub_type"),
+        strfn.str_index("event_type", "e").alias("idx_e"),
+        strfn.str_sprintf("%s#%d", F.col("event_type"), F.col("user_id")).alias("tag_label"),
+        strfn.str_has_prefix("event_type", "p").alias("is_p"),
+        timefn.str_time(F.col("ts").cast("long"), "yyyy-MM-dd HH:mm").alias("ts_str"),
+        timefn.time_year(F.col("ts").cast("long")).alias("yr"),
+        timefn.time_hour(F.col("ts").cast("long")).alias("hr"),
+        timefn.time_weekday(F.col("ts").cast("long")).alias("wd"),
+        F.expr("ts div 1000").alias("t_us"),
+        timefn._div(timefn.round_time(F.col("ts").cast("long"), 300 * 10**9), 1000).alias("t5m_us"),
+    )
+
+
+def _q_fake_gens(spark, sf_dir):
+    """FAKE generators (fm_fake.go): linspace x arrange meshgrid grid with a
+    sphere-style trig surface value.  Exact-binary grid steps (halves) so the
+    float lattice is bit-identical to the oracle's generate_series math."""
+    from neo_server_spark.tql import fake as FK
+
+    xs = FK.linspace(spark, 0.0, 10.0, 21)                   # step 0.5, exact
+    ys = FK.arrange(spark, 0.0, 2.0, 1.0).withColumnRenamed("x", "y")
+    grid = xs.crossJoin(ys)                                   # meshgrid
+    return grid.select(
+        "x", "y",
+        F.round(F.sin("x") * F.cos("y"), 6).alias("z"),
+    )
+
+
+def _q_csv_source(spark, sf_dir):
+    """CSV literal source with typed field() coercion (fm_csv.go:326-373)."""
+    from neo_server_spark.tql import fake as FK
+
+    raw = FK.from_csv_literal(
+        spark,
+        "1,temp.a,3.14\n2,temp.b,2.71\n3,hum.a,55.5",
+        columns=["id", "tag", "val"],
+    )
+    return raw.select(
+        F.col("id").cast("int").alias("id"),
+        "tag",
+        F.col("val").cast("double").alias("val"),
+    )
+
+
 def _q_stats_aggs(spark, sf_dir):
     """GROUP statistical aggregate battery II (fm_monad.go:1213-1307):
     moment(2|3), correlation, covariance, lrs slope, cdf, weighted mean."""
@@ -631,6 +697,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_changed_retain": _q_filter_changed_retain,
         "timewindow_spline": _q_timewindow_spline,
         "oscillator_fft": _q_oscillator_fft,
+        "projection_ops": _q_projection_ops,
+        "scalar_funcs": _q_scalar_funcs,
+        "fake_gens": _q_fake_gens,
+        "csv_source": _q_csv_source,
         "stats_aggs": _q_stats_aggs,
         "series_diffs": _q_series_diffs,
         "map_distance": _q_map_distance,
@@ -958,6 +1028,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, epoch_us(ts) AS time, event_type, event_id
             FROM held WHERE rn = fh
+        """,
+        "projection_ops": """
+            SELECT event_id, user_id % 100 AS userbucket,
+                   round(value * 2, 6) AS value2
+            FROM events
+        """,
+        "scalar_funcs": """
+            SELECT event_id,
+                   upper(event_type) AS upper_type,
+                   substring(event_type, 2, 3) AS sub_type,
+                   CASE WHEN strpos(event_type, 'e') = 0 THEN -1
+                        ELSE strpos(event_type, 'e') - 1 END AS idx_e,
+                   printf('%s#%d', event_type, user_id) AS tag_label,
+                   starts_with(event_type, 'p') AS is_p,
+                   strftime(ts AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M') AS ts_str,
+                   year(ts) AS yr,
+                   hour(ts) AS hr,
+                   dayofweek(ts) AS wd,
+                   epoch_us(ts) AS t_us,
+                   (epoch_ns(ts) - epoch_ns(ts) % 300000000000) // 1000 AS t5m_us
+            FROM events
+        """,
+        "fake_gens": """
+            SELECT 0.0 + xi * 0.5 AS x, 0.0 + yi * 1.0 AS y,
+                   round(sin(0.0 + xi * 0.5) * cos(0.0 + yi * 1.0), 6) AS z
+            FROM generate_series(0, 20) tx(xi), generate_series(0, 2) ty(yi)
+        """,
+        "csv_source": """
+            SELECT * FROM (VALUES (1, 'temp.a', 3.14), (2, 'temp.b', 2.71),
+                                  (3, 'hum.a', 55.5)) AS t(id, tag, val)
         """,
         "stats_aggs": """
             WITH m AS (

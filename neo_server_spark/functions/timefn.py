@@ -42,9 +42,23 @@ def _col(c: Column | str) -> Column:
     return c if isinstance(c, Column) else F.col(c)
 
 
+def _div(c: Column, d: int) -> Column:
+    """Exact floor-division of an epoch-ns long by a positive literal.
+
+    ``floor(t / d)`` in double arithmetic is WRONG for epoch-ns: |t| > 2^53,
+    so the cast to double alone perturbs t by up to ~256 ns and boundary
+    timestamps land in the wrong bucket.  Stay integral: ``t - pmod(t, d)``
+    is pure long arithmetic, and dividing that exact multiple via decimal
+    keeps all 19 digits.
+    """
+    t = c.cast("long")
+    m = t - F.pmod(t, F.lit(d))
+    return (m.cast("decimal(38,0)") / F.lit(d)).cast("long")
+
+
 def to_timestamp_ns(c: Column | str) -> Column:
     """epoch-ns long -> TimestampType (µs precision, for window/calendar ops)."""
-    return F.timestamp_micros(F.floor(_col(c) / F.lit(1000)).cast("long"))
+    return F.timestamp_micros(_div(_col(c), 1000))
 
 
 def from_timestamp(c: Column | str) -> Column:
@@ -56,7 +70,7 @@ def round_time(c: Column | str, duration: str | int) -> Column:
     """roundTime(ts, '1s') — floor to duration grid (fm_time.go:246-261)."""
     d = parse_duration(duration)
     t = _col(c).cast("long")
-    return (F.floor(t / F.lit(d)) * F.lit(d)).cast("long")
+    return (t - F.pmod(t, F.lit(d))).cast("long")
 
 
 def time_add(c: Column | str, duration: str | int) -> Column:

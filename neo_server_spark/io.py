@@ -86,7 +86,9 @@ def events_as_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def with_event_time(df: DataFrame, time_col: str = "time", out: str = "event_ts") -> DataFrame:
     """Derive a microsecond TimestampType column from epoch-ns for window ops."""
-    return df.withColumn(out, F.timestamp_micros(F.floor(F.col(time_col) / F.lit(1000)).cast("long")))
+    from neo_server_spark.functions.timefn import to_timestamp_ns
+
+    return df.withColumn(out, to_timestamp_ns(time_col))
 
 
 def write_tag_table(
@@ -120,7 +122,9 @@ def write_tag_table(
       on a 5-day batch).  Files per cell stay bounded at ``write_salt``.
     """
     out = df.withColumn(
-        "_day", F.date_format(F.timestamp_micros((F.col(time_col) / 1000).cast("long")), "yyyyMMdd")
+        "_day", F.date_format(F.timestamp_micros(
+            ((F.col(time_col) - F.pmod(F.col(time_col), F.lit(1000)))
+             .cast("decimal(38,0)") / F.lit(1000)).cast("long")), "yyyyMMdd")
     )
     parts = ["_day"]
     if name_buckets:

@@ -286,7 +286,9 @@ def timewindow(
     """
     t = F.col(time_col).cast("long")
     in_range = (t >= F.lit(from_ns)) & (t < F.lit(until_ns))
-    bucket = (F.lit(from_ns) + F.floor((t - F.lit(from_ns)) / F.lit(period_ns)) * F.lit(period_ns)).cast("long")
+    # integer-only bucket math: epoch-ns exceeds double precision (2^53)
+    delta = t - F.lit(from_ns)
+    bucket = (F.lit(from_ns) + delta - F.pmod(delta, F.lit(period_ns))).cast("long")
     grouped = (
         df.filter(in_range)
         .withColumn(bucket_name, bucket)

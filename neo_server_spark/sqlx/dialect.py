@@ -27,7 +27,7 @@ def register_dialect(spark: SparkSession) -> None:
     """
     spark.sql("""
         CREATE OR REPLACE TEMPORARY FUNCTION date_trunc_ns(unit STRING, t BIGINT, n INT)
-        RETURNS BIGINT RETURN CAST(floor(t / (n * CASE upper(unit)
+        RETURNS BIGINT RETURN t - pmod(t, n * CASE upper(unit)
             WHEN 'NSEC' THEN 1
             WHEN 'USEC' THEN 1000
             WHEN 'MSEC' THEN 1000000
@@ -36,16 +36,7 @@ def register_dialect(spark: SparkSession) -> None:
             WHEN 'MINUTE' THEN 60000000000
             WHEN 'HOUR' THEN 3600000000000
             WHEN 'DAY'  THEN 86400000000000
-            END)) * (n * CASE upper(unit)
-            WHEN 'NSEC' THEN 1
-            WHEN 'USEC' THEN 1000
-            WHEN 'MSEC' THEN 1000000
-            WHEN 'SEC'  THEN 1000000000
-            WHEN 'MIN'  THEN 60000000000
-            WHEN 'MINUTE' THEN 60000000000
-            WHEN 'HOUR' THEN 3600000000000
-            WHEN 'DAY'  THEN 86400000000000
-            END) AS BIGINT)
+            END)
     """)
 
 

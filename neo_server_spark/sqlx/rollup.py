@@ -36,7 +36,7 @@ LEVELS = {"sec": SECOND, "min": MINUTE, "hour": HOUR}
 def _summarize(df: DataFrame, period_ns: int, name_col: str, time_col: str,
                value_col: str) -> DataFrame:
     """Raw rows -> algebraic summary at ``period_ns`` buckets."""
-    bucket = (F.floor(F.col(time_col).cast("long") / F.lit(period_ns)) * F.lit(period_ns)).cast("long")
+    bucket = (F.col(time_col).cast("long") - F.pmod(F.col(time_col).cast("long"), F.lit(period_ns))).cast("long")
     v = F.col(value_col)
     return (
         df.groupBy(F.col(name_col).alias("name"), bucket.alias("time"))
@@ -56,7 +56,7 @@ def _summarize(df: DataFrame, period_ns: int, name_col: str, time_col: str,
 
 def _fold(summary: DataFrame, period_ns: int) -> DataFrame:
     """Finer summary -> coarser summary (merge of algebraic aggregates)."""
-    bucket = (F.floor(F.col("time") / F.lit(period_ns)) * F.lit(period_ns)).cast("long")
+    bucket = (F.col("time") - F.pmod(F.col("time"), F.lit(period_ns))).cast("long")
     return (
         summary.groupBy("name", bucket.alias("time"))
         .agg(
@@ -132,7 +132,7 @@ class RollupRouter:
             base = base.filter(F.col("name").isin(tags))
         if between:
             base = base.filter(F.col("time").between(between[0], between[1] - 1))
-        bucket = (F.floor(F.col("time") / F.lit(period_ns)) * F.lit(period_ns)).cast("long")
+        bucket = (F.col("time") - F.pmod(F.col("time"), F.lit(period_ns))).cast("long")
         folded = base.groupBy("name", bucket.alias("time")).agg(
             F.sum("cnt").alias("_cnt"), F.sum("sum").alias("_sum"),
             F.sum("sumsq").alias("_sumsq"), F.min("min").alias("_min"),

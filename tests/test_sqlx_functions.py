@@ -163,3 +163,24 @@ def test_geo_functions(spark):
     ).first()
     assert row.m == pytest.approx(111194.9, rel=1e-3)
     assert '"type":"Point"' in row.gj
+
+
+def test_round_time_ns_precision(spark):
+    """Epoch-ns floor must be integer-exact: double arithmetic rounds a
+    timestamp 64 ns before an hour boundary INTO the next hour (ns values
+    exceed double's 2^53 mantissa)."""
+    from neo_server_spark.functions.timefn import round_time
+    from neo_server_spark.sqlx.dialect import register_dialect
+
+    h = 3_600 * 10**9
+    t_edge = 480_000 * h - 64          # 64 ns before the boundary
+    t_exact = 480_000 * h
+    df = spark.createDataFrame([(t_edge,), (t_exact,)], ["t"])
+    got = [r.b for r in df.select(round_time("t", h).alias("b")).orderBy("t").collect()]
+    assert got == [479_999 * h, 480_000 * h]
+
+    register_dialect(spark)
+    df.createOrReplaceTempView("edge_ts")
+    got_sql = [r.b for r in spark.sql(
+        "SELECT date_trunc_ns('HOUR', t, 1) AS b FROM edge_ts ORDER BY t").collect()]
+    assert got_sql == [479_999 * h, 480_000 * h]
