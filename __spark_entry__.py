@@ -195,9 +195,12 @@ def _q_transpose(spark, sf_dir):
 
 
 def _q_pivot_counts(spark, sf_dir):
-    """PIVOT (http_lake.go:1650-1652) — user_id x event_type count matrix."""
+    """PIVOT (http_lake.go:1650-1652) — user_id x event_type count matrix.
+    Explicit IN-list (the lake API always has one) skips the extra
+    distinct-values job an open pivot() runs first."""
     ev = nio.load_table(spark, sf_dir, "events")
-    out = ev.groupBy("user_id").pivot("event_type").count()
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", kinds).count()
     for c in [c for c in out.columns if c != "user_id"]:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out.orderBy("user_id")
@@ -206,7 +209,8 @@ def _q_pivot_counts(spark, sf_dir):
 def _q_histogram(spark, sf_dir):
     """HISTOGRAM(value, bins(0,200,20), category(name))."""
     df = _tag(spark, sf_dir)
-    return stats.histogram(df, "value", 0.0, 200.0, 20.0, category="name")
+    return stats.histogram(df, "value", 0.0, 200.0, 20.0, category="name",
+                           categories=["click", "error", "purchase", "signup", "view"])
 
 
 def _q_boxplot(spark, sf_dir):

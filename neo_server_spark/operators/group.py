@@ -306,7 +306,12 @@ def timewindow(
     )
     if series:
         # distinct keys come from the AGGREGATED frame (tiny), not a second
-        # scan of the raw data — at 100 TB the raw rescan would double the job
+        # scan of the raw data — at 100 TB the raw rescan would double the job.
+        # localCheckpoint materializes the aggregate once: without it Catalyst
+        # executes the whole scan+agg subtree twice (keys + join), measured 2x
+        # the warm runtime.  Size is bounded by |series| x bucket-count = the
+        # operator's own output, so executor-memory cost is already budgeted.
+        grouped = grouped.localCheckpoint(eager=False)
         keys = grouped.select(*series).distinct()
         grid = keys.crossJoin(grid)
     out = grid.join(F.broadcast(grouped) if not series else grouped,

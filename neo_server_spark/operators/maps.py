@@ -193,6 +193,11 @@ def filter_changed(
     orders = order_by if isinstance(order_by, (list, tuple)) else [order_by]
     w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(*[_to_col(o) for o in orders])
     cols = df.columns
+    if retain_duration is None and not with_last:
+        # fast path: first-of-run needs only lag over one window pass
+        prev0 = F.lag(F.col(value_col)).over(w)
+        keep0 = (F.row_number().over(w) == 1) | ~prev0.eqNullSafe(F.col(value_col))
+        return df.withColumn("__keep", keep0).filter(F.col("__keep")).select(*cols)
     prev = F.lag(F.col(value_col)).over(w)
     changed = F.when(~prev.eqNullSafe(F.col(value_col)) | (F.row_number().over(w) == 1), 1).otherwise(0)
     out = df.withColumn("__rid", F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)))

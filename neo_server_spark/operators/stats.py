@@ -25,6 +25,7 @@ def histogram(
     bin_step: float,
     category: str | None = None,
     order: Sequence[str] | None = None,
+    categories: Sequence[str] | None = None,
 ) -> DataFrame:
     """HISTOGRAM(v, bins(min,max,step) [, category()]) — fixed-step bins.
 
@@ -50,12 +51,15 @@ def histogram(
         (F.lit(bin_min) + (F.col("id") + 1) * F.lit(bin_step)).alias("high"),
     )
     if category:
-        counts = binned.groupBy("__bin").pivot(category).count()
+        # known ``categories`` skip the distinct-values pre-job an open
+        # pivot() runs (a full extra pass over the category column)
+        counts = binned.groupBy("__bin").pivot(category, list(categories) if categories else None).count()
         out = F.broadcast(grid).join(counts, "__bin", "left")
         cat_cols = [c for c in counts.columns if c != "__bin"]
-        for c in sorted(cat_cols):
+        ordered = [c for c in order if c in cat_cols] if order else sorted(cat_cols)
+        for c in ordered:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
-        out = out.select("low", "high", *sorted(cat_cols))
+        out = out.select("low", "high", *ordered)
     else:
         counts = binned.groupBy("__bin").agg(F.count(F.lit(1)).alias("count"))
         out = (
