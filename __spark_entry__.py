@@ -665,6 +665,49 @@ def _q_similarity_topk(spark, sf_dir):
     return similarity.brute_force_topk(emb, query_vec_id=0, k=20)
 
 
+def _q_similarity_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (datapipe/similarity.py): k-means coarse index +
+    probed bucket search.  Probing ALL centroids makes the result exactly
+    the brute-force top-k, so the brute-force SQL oracle checks the whole
+    index/probe pipeline end-to-end."""
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = similarity.ivf_index(emb, n_centroids=8, iters=2)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    hits = similarity.ivf_search(assigned.filter(F.col("vec_id") != 0), centroids,
+                                 qv, k=20, nprobe=8)
+    lbl = emb.select("vec_id", "label")
+    return (hits.join(F.broadcast(lbl), "vec_id")
+            .select("vec_id", "label", F.round("cosine", 6).alias("cosine")))
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (datapipe/multimodal.py): binary payload column ->
+    mapInPandas feature extraction over Arrow batches.  The digest kernel
+    stands in for a model forward pass; schema/batching/partitioning are the
+    real article."""
+    from neo_server_spark.datapipe import multimodal
+
+    assets = multimodal.synthesize_assets(spark, 128)
+    return multimodal.extract_features(assets)
+
+
+def _q_line_protocol(spark, sf_dir):
+    """Influx line-protocol decode (spi/do.go:15-110): measurement.field
+    fan-out, int 'i' suffix, quoted strings dropped."""
+    from neo_server_spark.streaming import ingest
+
+    lines = spark.createDataFrame(
+        [
+            ("cpu,host=a usage=0.5,cores=8i 1704067200000000001",),
+            ("mem usage=0.25 1704067200000000002",),
+            ("cpu label=\"text\",usage=0.75 1704067200000000003",),
+            ("garbage-line",),
+        ],
+        ["value"],
+    )
+    return ingest.decode_line_protocol(lines)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_scan": _q_tag_scan,
@@ -717,6 +760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "similarity_topk": _q_similarity_topk,
+        "similarity_ivf": _q_similarity_ivf,
+        "multimodal_features": _q_multimodal_features,
+        "line_protocol": _q_line_protocol,
     }
 
 
@@ -1185,5 +1231,37 @@ def oracle_sql() -> dict[str, str]:
               FROM scored ORDER BY c DESC, vec_id LIMIT 20
             )
             SELECT vec_id, label, round(c, 6) AS cosine FROM ranked
+        """,
+        "similarity_ivf": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id, e.label,
+                     sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS dot,
+                     sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)) AS sa,
+                     sum(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS sb
+              FROM embeddings e, q, range(1, 65) t(i)
+              WHERE e.vec_id <> 0
+              GROUP BY e.vec_id, e.label
+            ),
+            ranked AS (
+              SELECT vec_id, label, dot / (sqrt(sa) * sqrt(sb)) AS c
+              FROM scored ORDER BY c DESC, vec_id LIMIT 20
+            )
+            SELECT vec_id, label, round(c, 6) AS cosine FROM ranked
+        """,
+        "multimodal_features": """
+            SELECT i AS asset_id,
+                   (['image', 'audio', 'video'])[(i % 3) + 1] AS modality,
+                   32 AS feat_dim,
+                   sha256('payload-' || i) AS feature
+            FROM generate_series(0, 127) t(i)
+        """,
+        "line_protocol": """
+            SELECT * FROM (VALUES
+                ('cpu.usage',  1704067200000000001, 0.5),
+                ('cpu.cores',  1704067200000000001, 8.0),
+                ('mem.usage',  1704067200000000002, 0.25),
+                ('cpu.usage',  1704067200000000003, 0.75)
+            ) AS t(name, time, value)
         """,
     }

@@ -68,11 +68,11 @@ def extract_features(assets: DataFrame, batch_size: int = 1024) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            feats = [hashlib.sha1(bytes(p)).hexdigest() for p in pdf["payload"]]
+            feats = [hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]]
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "modality": pdf["modality"],
-                "feat_dim": [20] * len(pdf),
+                "feat_dim": [32] * len(pdf),
                 "feature": feats,
             })
 

@@ -269,6 +269,14 @@ class Pipeline:
 
     # -------------------------------------------------------------- SINKs
 
+    def cached(self, key: str, ttl: float, render: Callable[["Pipeline"], object]):
+        """Result-cache a rendered sink (mods/tql/tqlcache.go:21-70,
+        checked pre-execution in task.go:393-418): ``render`` runs only on
+        miss/expiry; hot keys get preemptive background refresh."""
+        from neo_server_spark.tql.cache import default_cache
+
+        return default_cache.get_or_compute(key, ttl, lambda: render(self))
+
     def to_df(self) -> DataFrame:
         return self.df
 

@@ -103,7 +103,7 @@ def test_multimodal_features(spark):
     assets = multimodal.synthesize_assets(spark, 12)
     out = multimodal.extract_features(assets).collect()
     assert len(out) == 12
-    assert all(len(r.feature) == 40 for r in out)
+    assert all(len(r.feature) == 64 for r in out)  # sha256 hex digest
 
 
 def test_frame_sample_plan(spark):

@@ -166,3 +166,50 @@ def test_chart_and_geomap_specs(tql, spark):
     from neo_server_spark.codecs import encoders
     markers = json.loads(encoders.to_geomap_spec(geo, popup="label"))
     assert markers == [{"type": "marker", "coord": [37.5, 127.0], "popup": {"content": "Seoul"}}]
+
+
+def test_result_cache(tql):
+    import time as _t
+
+    from neo_server_spark.tql.cache import ResultCache
+
+    calls = []
+
+    def produce():
+        calls.append(1)
+        return f"v{len(calls)}"
+
+    c = ResultCache(refresh_factor=1.0)  # no preemptive refresh
+    assert c.get_or_compute("k", 0.3, produce) == "v1"
+    assert c.get_or_compute("k", 0.3, produce) == "v1"   # hit
+    assert len(calls) == 1
+    _t.sleep(0.35)
+    assert c.get_or_compute("k", 0.3, produce) == "v2"   # expired -> recompute
+    assert c.stats["hits"] == 1 and c.stats["misses"] == 2
+
+
+def test_result_cache_preemptive_refresh():
+    import time as _t
+
+    from neo_server_spark.tql.cache import ResultCache
+
+    calls = []
+
+    def produce():
+        calls.append(1)
+        return len(calls)
+
+    c = ResultCache(refresh_factor=0.5)
+    assert c.get_or_compute("k", 0.4, produce) == 1
+    _t.sleep(0.25)                       # past 50% of ttl
+    assert c.get_or_compute("k", 0.4, produce) == 1   # stale-ish hit...
+    _t.sleep(0.1)                        # ...background refresh lands
+    assert c.get_or_compute("k", 0.4, produce) == 2   # refreshed value served
+    assert c.stats["refreshes"] >= 1
+
+
+def test_pipeline_cached_sink(tql):
+    p = tql.fake(fake.once(tql.spark, 42))
+    r1 = p.cached("test-sink", 60, lambda pl: pl.csv())
+    r2 = p.cached("test-sink", 60, lambda pl: "NOT-RUN")
+    assert r1 == r2 == "x\n42\n"
