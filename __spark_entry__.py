@@ -179,6 +179,17 @@ def _q_map_movavg(spark, sf_dir):
     )
 
 
+def _q_map_diff_blocked(spark, sf_dir):
+    """MAP_DIFF via the 100TB-shape blocked window (bounded task size +
+    boundary exchange) — the oracle is the PLAIN lag SQL, proving the blocked
+    decomposition is row-for-row exact."""
+    df = _tag(spark, sf_dir).select("name", "time", "value", "event_id")
+    out = series.map_diff_blocked(df, "value", out="diff", series=["name"],
+                                  time_col="time", block_ns=86_400 * 10**9,
+                                  tiebreak=["event_id"])
+    return out.select("name", _us("time"), "value", "diff")
+
+
 def _q_take_drop(spark, sf_dir):
     """TAKE(offset, n) paging on an ordered scan."""
     df = _tag(spark, sf_dir).select("name", "time", "value", "event_id")
@@ -718,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_stat": _q_tag_stat,
         "filter_changed": _q_filter_changed,
         "map_diff": _q_map_diff,
+        "map_diff_blocked": _q_map_diff_blocked,
         "map_movavg": _q_map_movavg,
         "take_drop": _q_take_drop,
         "transpose": _q_transpose,
@@ -839,6 +851,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 OR prev IS DISTINCT FROM event_type
         """,
         "map_diff": """
+            SELECT event_type AS name, epoch_us(ts) AS time, value,
+                   value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS diff
+            FROM events
+        """,
+        "map_diff_blocked": """
             SELECT event_type AS name, epoch_us(ts) AS time, value,
                    value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS diff
             FROM events

@@ -130,6 +130,11 @@ class agg:
 
         Single pass trick: with counts n_v per distinct value and N total,
         H = ln N - (Σ n_v ln n_v)/N — computed via a count-map aggregate.
+
+        SCALE: this in-expression form buffers the group's values in an
+        array — only for small/bounded groups (a TQL GROUP over one series).
+        For billion-row groups use ``entropy_of`` (two-level hash aggregate,
+        no per-group buffering).
         """
         c = _guard(_c(col), where)
         xs = F.collect_list(c)

@@ -48,6 +48,55 @@ def map_diff(df: DataFrame, value_col: str, out: str = "diff",
     return df.withColumn(out, d)
 
 
+def map_diff_blocked(df: DataFrame, value_col: str, out: str = "diff",
+                     series: Sequence[str] = (), time_col: str = "time",
+                     block_ns: int = 86_400 * 10**9, mode: str = "diff",
+                     tiebreak: Sequence[str] = ()) -> DataFrame:
+    """MAP_DIFF at 100 TB: time-blocked lag with boundary exchange.
+
+    A plain ``partitionBy(series)`` window puts an ENTIRE series in one task —
+    with few distinct tags (the common tag-table shape) that is 10s of TB in a
+    single sort.  Blocked form:
+
+    1. window inside ``(series, time-block)`` partitions — bounded task size
+       regardless of series length, any block count runs in parallel;
+    2. per-block tails (last row per block: one tiny row per block) get a
+       ``lag`` over the *tails frame* — this carries values across empty
+       blocks too;
+    3. broadcast the tails back; only each block's FIRST row uses the
+       exchanged boundary value.
+
+    Equivalent to :func:`map_diff` row-for-row (oracle-checked); cost = one
+    bounded-partition sort + one aggregate + one broadcast join, versus one
+    unbounded sort.  ``tiebreak`` columns break equal-timestamp order (must
+    make the order total for exact parity with the unblocked form).
+    """
+    t = F.col(time_col).cast("long")
+    blk = (t - F.pmod(t, F.lit(block_ns))).alias("__blk")
+    orders = [F.col(time_col), *[F.col(c) for c in tiebreak]]
+    df_b = df.withColumn("__blk", blk)
+    w = Window.partitionBy(*[F.col(c) for c in series], F.col("__blk")).orderBy(*orders)
+
+    # tails: last row's value per (series, block) — one row per block
+    tail_sort = F.struct(t.alias("t"), *[F.col(c).alias(f"k{i}") for i, c in enumerate(tiebreak)])
+    tails = df_b.groupBy(*series, "__blk").agg(
+        F.max_by(F.col(value_col), tail_sort).alias("__tail"))
+    tw = Window.partitionBy(*[F.col(c) for c in series]).orderBy("__blk")
+    prev_tails = tails.select(*series, "__blk", F.lag("__tail").over(tw).alias("__prev_tail"))
+
+    # no broadcast hint: tails = tags x blocks rows — small here, but at
+    # 100 TB it can exceed broadcast size; AQE picks broadcast when it fits
+    joined = df_b.join(prev_tails, on=[*series, "__blk"], how="left")
+    in_block_prev = F.lag(F.col(value_col)).over(w)
+    prev = F.coalesce(in_block_prev, F.when(F.row_number().over(w) == 1, F.col("__prev_tail")))
+    d = F.col(value_col) - prev
+    if mode == "abs":
+        d = F.abs(d)
+    elif mode == "noneg":
+        d = F.when(d < 0, None).otherwise(d)
+    return joined.withColumn(out, d).drop("__blk", "__prev_tail")
+
+
 def map_absdiff(df, value_col, out="absdiff", series=(), order_by="time"):
     return map_diff(df, value_col, out, series, order_by, mode="abs")
 

@@ -1,0 +1,117 @@
+"""Stateful streaming operators — per-series state across micro-batches.
+
+The reference's stream processing keeps per-pipeline operator state alive for
+the life of a subscriber (mods/scheduler/sched_subs.go runs one TQL task per
+message stream; MAP_LOWPASS's x̂ accumulator in fm_monad.go:2081-2107 simply
+persists in the goroutine).  Structured Streaming's equivalent is
+``applyInPandasWithState``: state lives in the state store, keyed by series,
+and survives micro-batch boundaries (and restarts, via checkpointing).
+
+Batch-mode kernels for the same operators live in operators/series.py; these
+are the continuous-ingest versions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def streaming_lowpass(
+    stream: DataFrame,
+    alpha: float,
+    series: Sequence[str] = ("name",),
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """MAP_LOWPASS over a stream: x̂ ← (1-α)·x̂ + α·v per series, with the
+    accumulator carried across micro-batches in the state store.
+
+    Output schema: series + (time, value, lowpass).  Rows within a batch are
+    processed in ``time_col`` order; state is one double per series — O(tags)
+    state total, no growth over time.
+    """
+    skey = list(series)
+    out_schema = StructType(
+        [StructField(c, StringType()) for c in skey]
+        + [
+            StructField(time_col, LongType()),
+            StructField(value_col, DoubleType()),
+            StructField("lowpass", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("xhat", DoubleType())])
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        xhat = state.get[0] if state.exists else None
+        rows_t, rows_v, rows_l = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            for t, v in zip(pdf[time_col], pdf[value_col]):
+                xhat = float(v) if xhat is None else (1.0 - alpha) * xhat + alpha * float(v)
+                rows_t.append(int(t))
+                rows_v.append(float(v))
+                rows_l.append(xhat)
+        if xhat is not None:
+            state.update((xhat,))
+        out = pd.DataFrame({time_col: rows_t, value_col: rows_v, "lowpass": rows_l})
+        for i, c in enumerate(skey):
+            out.insert(i, c, key[i])
+        yield out
+
+    return stream.groupBy(*skey).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_filter_changed(
+    stream: DataFrame,
+    series: Sequence[str] = ("name",),
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """FILTER_CHANGED over a stream: emit only rows whose value differs from
+    the series' previous value — the previous value persists across
+    micro-batches (the batch window form would wrongly re-emit the first row
+    of every batch)."""
+    skey = list(series)
+    out_schema = StructType(
+        [StructField(c, StringType()) for c in skey]
+        + [StructField(time_col, LongType()), StructField(value_col, DoubleType())]
+    )
+    state_schema = StructType([StructField("last", DoubleType())])
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        seen_any = state.exists
+        rows_t, rows_v = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            for t, v in zip(pdf[time_col], pdf[value_col]):
+                v = float(v)
+                if not seen_any or v != last:
+                    rows_t.append(int(t))
+                    rows_v.append(v)
+                last, seen_any = v, True
+        state.update((last,))
+        out = pd.DataFrame({time_col: rows_t, value_col: rows_v})
+        for i, c in enumerate(skey):
+            out.insert(i, c, key[i])
+        yield out
+
+    return stream.groupBy(*skey).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -235,3 +235,32 @@ def test_filter_changed_with_last(spark):
     out = maps.filter_changed(df, "v", order_by="time", with_last=True)
     # first and last record of each run (single-record runs emit once)
     assert [r.time for r in out.orderBy("time").collect()] == [1, 2, 3, 5]
+
+
+def test_map_diff_blocked_equivalence(spark, sf_dir):
+    """Blocked lag (bounded tasks + boundary exchange) must equal the plain
+    window row-for-row, including across empty blocks."""
+    from neo_server_spark import io as nio
+    from neo_server_spark.operators import series
+
+    ev = nio.events_as_tag(spark, sf_dir).select("name", "time", "value", "event_id")
+    plain = series.map_diff(ev, "value", out="d", series=["name"],
+                            order_by=["time", "event_id"])
+    blocked = series.map_diff_blocked(ev, "value", out="d", series=["name"],
+                                      time_col="time", block_ns=6 * 3600 * 10**9,
+                                      tiebreak=["event_id"])
+    a = {(r.name, r.time, r.event_id): r.d for r in plain.collect()}
+    b = {(r.name, r.time, r.event_id): r.d for r in blocked.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_map_diff_blocked_empty_blocks(spark):
+    from neo_server_spark.operators import series
+
+    # rows at t=0 and t=25: with 10-unit blocks, block [10,20) is empty —
+    # the tail must still carry from block 0 to block 2
+    df = spark.createDataFrame([("a", 0, 1.0), ("a", 25, 4.0)], ["name", "time", "value"])
+    out = series.map_diff_blocked(df, "value", out="d", series=["name"],
+                                  time_col="time", block_ns=10)
+    got = {r.time: r.d for r in out.collect()}
+    assert got[0] is None and got[25] == 3.0

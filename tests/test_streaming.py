@@ -157,3 +157,72 @@ def test_scheduler_error_recorded():
     s.trigger_now("bad")
     e = s.entries()[0]
     assert e["run_count"] == 1 and "kaput" in e["last_error"]
+
+
+def test_streaming_lowpass_state_across_batches(spark, tmp_path):
+    """The EWMA accumulator must survive micro-batch boundaries: feeding the
+    same rows in one batch vs two must give identical lowpass values."""
+    import pyspark.sql.functions as F
+
+    from neo_server_spark.streaming.stateful import streaming_lowpass
+
+    src = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    _write_lines(str(src / "b1.csv"), ["a,1,10.0", "a,2,20.0"])
+
+    def run_available():
+        lines = spark.readStream.format("text").load(str(src))
+        parts = F.split(F.col("value"), ",")
+        parsed = lines.select(
+            parts[0].alias("name"),
+            parts[1].cast("long").alias("time"),
+            parts[2].cast("double").alias("value"),
+        )
+        lp = streaming_lowpass(parsed, alpha=0.5, series=["name"])
+        q = (lp.writeStream.format("parquet")
+             .option("path", str(out_dir)).option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_available()                                     # batch 1: t=1,2
+    _write_lines(str(src / "b2.csv"), ["a,3,30.0"])
+    run_available()                                     # batch 2: t=3
+
+    got = {r.time: r.lowpass for r in spark.read.parquet(str(out_dir)).collect()}
+    # x1=10, x2=0.5*10+0.5*20=15, x3=0.5*15+0.5*30=22.5 (state carried!)
+    assert got == {1: 10.0, 2: 15.0, 3: 22.5}
+
+
+def test_streaming_filter_changed_across_batches(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from neo_server_spark.streaming.stateful import streaming_filter_changed
+
+    src = tmp_path / "in2"
+    out_dir = tmp_path / "out2"
+    ckpt = tmp_path / "ck2"
+    _write_lines(str(src / "b1.csv"), ["a,1,5.0", "a,2,5.0"])
+
+    def run_available():
+        lines = spark.readStream.format("text").load(str(src))
+        parts = F.split(F.col("value"), ",")
+        parsed = lines.select(
+            parts[0].alias("name"),
+            parts[1].cast("long").alias("time"),
+            parts[2].cast("double").alias("value"),
+        )
+        fc = streaming_filter_changed(parsed, series=["name"])
+        q = (fc.writeStream.format("parquet")
+             .option("path", str(out_dir)).option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_available()
+    # batch 2 repeats 5.0 — the batch-local window form would re-emit it;
+    # the stateful form must not
+    _write_lines(str(src / "b2.csv"), ["a,3,5.0", "a,4,7.0"])
+    run_available()
+
+    got = sorted((r.time, r.value) for r in spark.read.parquet(str(out_dir)).collect())
+    assert got == [(1, 5.0), (4, 7.0)]
