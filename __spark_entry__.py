@@ -297,6 +297,39 @@ def _q_join_revenue(spark, sf_dir):
     )
 
 
+def _q_tpch_q3(spark, sf_dir):
+    """Shipping-priority style 3-way join + top-k (SQL surface): Catalyst
+    broadcast-joins the filtered customer dim, AQE handles the orders x
+    lineitem shuffle join, and the final top-10 is a TakeOrderedAndProject —
+    no global sort materializes."""
+    cust = nio.load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = nio.load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = nio.load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_tpch_q6(spark, sf_dir):
+    """Forecast-revenue filter+agg: every predicate reaches the parquet scan
+    (PushedFilters), zero shuffle beyond the final single-row agg."""
+    li = nio.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # datapipe: text analysis / dedup / similarity (BASELINE north star)
 # ---------------------------------------------------------------------------
@@ -739,6 +772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly": _q_rollup_hourly,
         "tpch_q1": _q_tpch_q1,
         "join_revenue": _q_join_revenue,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q6": _q_tpch_q6,
         "group_aggs2": _q_group_aggs2,
         "mode_entropy": _q_mode_entropy,
         "json_extract": _q_json_extract,
@@ -963,6 +998,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "tpch_q3": """
+            SELECT l.l_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < DATE '1995-03-15'
+              AND l.l_shipdate > DATE '1995-03-15'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24
         """,
         "group_aggs2": """
             WITH t AS (

@@ -30,7 +30,13 @@ BENCH_QUERIES = [
     "boxplot",
     "pivot_counts",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
     "join_revenue",
+    "stats_aggs",
+    "lake_pivot",
+    "map_diff_blocked",
+    "asof_join",
     "text_stats",
     "token_counts",
     "dedup_exact",
