@@ -140,14 +140,23 @@ def transpose(df: DataFrame, fixed: Sequence[int] = (), header: bool = False) ->
     ``stack`` — a narrow transformation, no shuffle.  ``header=True`` labels
     rows with the source column name (mirrors the reference's header() option).
     """
+    from pyspark.sql.types import NumericType
+
     cols = df.columns
     fixed_cols = [cols[i] for i in fixed]
     melt_cols = [c for i, c in enumerate(cols) if i not in set(fixed)]
     ids = [F.col(c) for c in fixed_cols]
+    # stack needs one common type: all-numeric melts to double, anything
+    # else melts to string (the reference's record values are untyped `any`,
+    # fm_monad.go:2415 — string is the faithful mixed-type behavior)
+    all_numeric = all(
+        isinstance(df.schema[c].dataType, NumericType) for c in melt_cols
+    )
+    target = "double" if all_numeric else "string"
     pairs: list[Column] = []
     for c in melt_cols:
         pairs.append(F.lit(c))
-        pairs.append(F.col(c).cast("double"))
+        pairs.append(F.col(c).cast(target))
     stacked = F.stack(F.lit(len(melt_cols)), *pairs).alias("col_name", "value")
     out = df.select(*ids, stacked)
     if not header:

@@ -1,0 +1,143 @@
+"""Reference golden-file parity tests (SURVEY §5.1).
+
+Each case reproduces a reference TQL golden test (mods/tql/tql_test.go +
+mods/tql/test/*.csv) through our pipeline and asserts the reference's own
+expected output.  Goldens are read from the read-only reference checkout;
+numeric columns compare at the golden's printed precision.
+"""
+
+import math
+import os
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from neo_server_spark.operators import maps, series
+from neo_server_spark.operators.group import agg, group
+from neo_server_spark.tql import fake
+
+GOLDEN_DIR = "/root/reference/mods/tql/test"
+
+needs_goldens = pytest.mark.skipif(
+    not os.path.isdir(GOLDEN_DIR), reason="reference goldens not available"
+)
+
+
+def load_golden(name, header=False):
+    with open(os.path.join(GOLDEN_DIR, name)) as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    return lines[1:] if header else lines
+
+
+@needs_goldens
+def test_linspace_golden(spark):
+    """TestLoader.tql: FAKE(linspace(1,10,19)) -> CSV (tql_test loader)."""
+    want = [float(x) for x in load_golden("TestLoader.csv")]
+    got = [r.x for r in fake.linspace(spark, 1, 10, 19).collect()]
+    assert got == pytest.approx(want)
+
+
+@needs_goldens
+def test_group_golden(spark):
+    """TestLoader_group.tql: GROUP(by(kind), sum, avg, mean) at precision 2."""
+    import json
+
+    data = [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5),
+            ("b", 6), ("c", 7), ("c", 8), ("c", 9)]
+    df = fake.from_json_literal(
+        spark, json.dumps([list(r) for r in data]), columns=["kind", "v"],
+    ).select("kind", F.col("v").cast("double").alias("v"))
+    out = group(df, by=[(F.col("kind"), "kind")],
+                aggs=[agg.sum("v", "sum"), agg.avg("v", "avg"), agg.avg("v", "mean")])
+    got = [f"{r.kind},{r.sum:.2f},{r.avg:.2f},{r.mean:.2f}" for r in out.collect()]
+    assert got == load_golden("TestLoader_group.csv", header=True)
+
+
+def test_map_avg_golden(spark):
+    """tql_test.go:1553-1565 MAP_AVG over arrange(10,30,10) -> 10,15,20."""
+    df = fake.arrange(spark, 10, 30, 10)
+    out = series.map_avg(df, "x", out="avg", order_by="x")
+    got = [(round(r.x), round(r.avg)) for r in out.orderBy("x").collect()]
+    assert got == [(10, 10), (20, 15), (30, 20)]
+
+
+@needs_goldens
+@pytest.mark.parametrize("golden,no_wait", [
+    ("movavg_result.csv", False),
+    ("movavg_result_nowait.csv", True),
+])
+def test_movavg_golden(spark, golden, no_wait):
+    """tql_test.go:1566-1582 MAP_MOVAVG(linspace(0,100,100), 10 [,noWait])."""
+    df = fake.linspace(spark, 0, 100, 100)
+    out = series.map_movavg(df, "x", 10, out="ma", order_by="x", no_wait=no_wait)
+    got = [(r.x, r.ma) for r in out.orderBy("x").collect()]
+    want = []
+    for ln in load_golden(golden):
+        xs, ms = ln.split(",")
+        want.append((float(xs), None if ms == "NULL" else float(ms)))
+    assert len(got) == len(want) == 100
+    for (gx, gm), (wx, wm) in zip(got, want):
+        assert gx == pytest.approx(wx, abs=5e-5)
+        if wm is None:
+            assert gm is None
+        else:
+            assert gm == pytest.approx(wm, abs=5e-5)
+
+
+@needs_goldens
+def test_oscillator_golden(spark):
+    """tql_test.go:1967-1976 FAKE(oscillator(freq(1,1),freq(2,2),freq(3,3),
+    range(1685714510s, 1s, 1ms))) vs oscillator_1Hz_2Hz_3Hz.csv."""
+    t0 = 1_685_714_510 * 10**9
+    df = fake.oscillator(spark, [(1, 1.0), (2, 2.0), (3, 3.0)],
+                         t0, t0 + 10**9, 10**6)
+    got = [(r.time, r.value) for r in df.orderBy("time").collect()]
+    want = []
+    for ln in load_golden("oscillator_1Hz_2Hz_3Hz.csv", header=True):
+        _, t, v = ln.split(",")
+        want.append((int(t), float(v)))
+    assert len(got) == len(want) == 1000
+    for (gt, gv), (wt, wv) in zip(got, want):
+        assert gt == wt
+        assert gv == pytest.approx(wv, abs=5e-6)
+
+
+@needs_goldens
+def test_sphere_golden(spark):
+    """tql_test.go:1748-1754 FAKE(sphere(4,4)) at precision 6."""
+    got = [(r.x, r.y, r.z) for r in fake.sphere(spark, 4, 4).collect()]
+    want = []
+    for ln in load_golden("sphere_4_4.csv", header=True):
+        _, x, y, z = ln.split(",")
+        want.append((float(x), float(y), float(z)))
+    assert len(got) == len(want)
+    norm = lambda rows: sorted(tuple(round(v, 6) + 0.0 for v in r) for r in rows)
+    assert norm(got) == norm(want)
+
+
+def test_filter_changed_golden(spark):
+    """tql_test.go:1719-1746 FILTER_CHANGED with/without useFirstWithLast."""
+    rows = [("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0), ("B", 5.0),
+            ("C", 6.0), ("C", 7.0), ("D", 8.0), ("D", 9.0)]
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], ["rn", "k", "v"])
+    base = maps.filter_changed(df, "k", order_by="rn")
+    assert [(r.k, r.v) for r in base.orderBy("rn").collect()] == \
+        [("A", 1.0), ("B", 3.0), ("C", 6.0), ("D", 8.0)]
+    fwl = maps.filter_changed(df, "k", order_by="rn", with_last=True)
+    assert [(r.k, r.v) for r in fwl.orderBy("rn").collect()] == \
+        [("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 5.0),
+         ("C", 6.0), ("C", 7.0), ("D", 8.0), ("D", 9.0)]
+
+
+@needs_goldens
+def test_transpose_golden(spark, tql_factory=None):
+    """transpose_all.tql: csv literal -> DROP(1 header) -> TRANSPOSE -> CSV."""
+    text = ("N001,1508806800,0.1,aa,0.2,0.3\n"
+            "N002,1508806900,0.4,bb,0.5,0.6\n"
+            "N003,1508807000,0.7,cc,0.8,0.9")
+    df = fake.from_csv_literal(spark, text)
+    out = maps.transpose(df)
+    got = [r[-1] for r in out.collect()]
+    assert sorted(got) == sorted(load_golden("transpose_all.csv"))
