@@ -71,16 +71,21 @@ def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
 
 
 def to_json_envelope(df: DataFrame, limit: int | None = None,
-                     transpose: bool = False, rows_flatten: bool = False) -> str:
+                     transpose: bool = False, rows_flatten: bool = False,
+                     rows_array: bool = False) -> str:
     """JSON() sink — the reference HTTP envelope, byte-compatible shape:
     {"data":{"columns":[...],"types":[...],"rows":[...]},"success":true,
-     "reason":"success","elapse":"..."}."""
+     "reason":"success","elapse":"..."}.  ``rows_array`` emits one object per
+    row keyed by column name (the rowsArray() option)."""
     tick = _time.time()
     cols, rows = _collect(df, limit)
     types = [machbase_type(f.dataType) for f in df.schema.fields]
     if transpose:
         data_rows: object = [list(c) for c in zip(*rows)] if rows else []
         key = "cols"
+    elif rows_array:
+        data_rows = [dict(zip(cols, r)) for r in rows]
+        key = "rows"
     elif rows_flatten:
         data_rows = [v for r in rows for v in r]
         key = "rows"

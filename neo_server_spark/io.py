@@ -137,6 +137,48 @@ def write_tag_table(
     out.write.partitionBy(*parts).mode(mode).parquet(path)
 
 
+def compact_tag_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    partitions: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction for the tag-table layout (the engine's analogue
+    is its LSM index merge, spi/show.go ShowLsm; Delta's is OPTIMIZE).
+
+    Streaming appends land one file per (micro-batch x salt) — fine for a
+    day, pathological after a month.  Rewrites each listed day partition
+    (default: all) into ~``target_file_bytes`` files and atomically swaps the
+    directory.  Returns the number of partitions rewritten.
+
+    At cluster scale run this per closed day partition (yesterday, not
+    today): compaction of a cold partition races with nothing.
+    """
+    import math
+    import os
+    import shutil
+
+    days = partitions
+    if days is None:
+        days = [d for d in os.listdir(path) if d.startswith("_day=")]
+    done = 0
+    for day in days:
+        part_dir = os.path.join(path, day)
+        size = sum(
+            os.path.getsize(os.path.join(part_dir, f))
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(size / target_file_bytes))
+        df = spark.read.parquet(part_dir)
+        tmp = part_dir + "._compact"
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+        done += 1
+    return done
+
+
 def read_tag_table(spark: SparkSession, path: str) -> DataFrame:
     ensure_engine_conf(spark)
     return spark.read.parquet(path)

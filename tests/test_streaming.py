@@ -226,3 +226,25 @@ def test_streaming_filter_changed_across_batches(spark, tmp_path):
 
     got = sorted((r.time, r.value) for r in spark.read.parquet(str(out_dir)).collect())
     assert got == [(1, 5.0), (4, 7.0)]
+
+
+def test_compact_tag_table(spark, tmp_path):
+    import os
+
+    from neo_server_spark.io import compact_tag_table, write_tag_table
+
+    day_ns = 86_400 * 10**9
+    df = spark.range(10_000).selectExpr(
+        "concat('t', id % 3) AS name",
+        f"CAST(id * 1000000 + {day_ns} AS LONG) AS time",
+        "CAST(id AS DOUBLE) AS value",
+    )
+    path = str(tmp_path / "tt")
+    for _ in range(4):                      # 4 appends x salt -> many files
+        write_tag_table(df, path, mode="append")
+    day_dir = [d for d in os.listdir(path) if d.startswith("_day=")][0]
+    before = len([f for f in os.listdir(os.path.join(path, day_dir)) if f.endswith(".parquet")])
+    n = compact_tag_table(spark, path, target_file_bytes=1 << 30)
+    after = len([f for f in os.listdir(os.path.join(path, day_dir)) if f.endswith(".parquet")])
+    assert n >= 1 and before > after == 1
+    assert spark.read.parquet(path).count() == 40_000

@@ -213,3 +213,25 @@ def test_pipeline_cached_sink(tql):
     r1 = p.cached("test-sink", 60, lambda pl: pl.csv())
     r2 = p.cached("test-sink", 60, lambda pl: "NOT-RUN")
     assert r1 == r2 == "x\n42\n"
+
+
+def test_json_envelope_rows_array(tql):
+    import json
+
+    from neo_server_spark.codecs import encoders
+
+    df = tql.fake(fake.linspace(tql.spark, 1, 2, 2)).to_df()
+    env = json.loads(encoders.to_json_envelope(df, rows_array=True))
+    assert env["data"]["rows"] == [{"x": 1.0}, {"x": 2.0}]
+
+
+def test_schema_builders(spark):
+    from neo_server_spark import schema as S
+
+    tt = S.tag_table_schema([("quality", "uint16"), ("meta", "json")])
+    assert [f.name for f in tt.fields] == ["name", "time", "value", "quality", "meta"]
+    assert tt["time"].dataType.simpleString() == "bigint"
+    assert tt["quality"].dataType.simpleString() == "int"       # widened
+    assert S.spark_type("uint64").simpleString() == "decimal(20,0)"
+    lt = S.log_table_schema([("msg", "varchar")])
+    assert lt.fields[-1].name == "_ARRIVAL_TIME"
