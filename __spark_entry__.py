@@ -564,6 +564,40 @@ def _q_csv_source(spark, sf_dir):
     )
 
 
+def _q_sliding_window(spark, sf_dir):
+    """Sliding-window agg (1h window / 30min hop): sequence() explode +
+    single hash aggregate (extension beyond tumbling timewindow)."""
+    from neo_server_spark.operators.group import sliding_window
+
+    df = _tag(spark, sf_dir)
+    out = sliding_window(
+        df, "time", 3_600 * 10**9, 1_800 * 10**9,
+        aggs=[F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value")],
+        series=["name"], bucket_name="w",
+    )
+    return out.select("name", F.expr("w div 1000").alias("time"), "cnt", "avg_value")
+
+
+def _q_session_window(spark, sf_dir):
+    """Session windows (30min inactivity gap) per user: gaps-and-islands in
+    exact ns math."""
+    from neo_server_spark.operators.group import session_window
+
+    ev = nio.load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("time"), "value")
+    out = session_window(
+        ev, "time", 1_800 * 10**9,
+        aggs=[F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value")],
+        series=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        F.expr("session_start div 1000").alias("session_start"),
+        F.expr("session_end div 1000").alias("session_end"),
+        "cnt", "sum_value",
+    )
+
+
 def _q_stats_aggs(spark, sf_dir):
     """GROUP statistical aggregate battery II (fm_monad.go:1213-1307):
     moment(2|3), correlation, covariance, lrs slope, cdf, weighted mean."""
@@ -795,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_funcs": _q_scalar_funcs,
         "fake_gens": _q_fake_gens,
         "csv_source": _q_csv_source,
+        "sliding_window": _q_sliding_window,
+        "session_window": _q_session_window,
         "stats_aggs": _q_stats_aggs,
         "series_diffs": _q_series_diffs,
         "map_distance": _q_map_distance,
@@ -1179,6 +1215,36 @@ def oracle_sql() -> dict[str, str]:
         "csv_source": """
             SELECT * FROM (VALUES (1, 'temp.a', 3.14), (2, 'temp.b', 2.71),
                                   (3, 'hum.a', 55.5)) AS t(id, tag, val)
+        """,
+        "sliding_window": """
+            WITH x AS (
+              SELECT event_type AS name, value,
+                     epoch_ns(ts) - epoch_ns(ts) % 1800000000000 AS lw
+              FROM events
+            )
+            SELECT name, w // 1000 AS time, count(*) AS cnt,
+                   round(avg(value), 6) AS avg_value
+            FROM x, UNNEST(generate_series(lw - 1800000000000, lw, 1800000000000)) u(w)
+            GROUP BY name, w
+        """,
+        "session_window": """
+            WITH w AS (
+              SELECT user_id, epoch_ns(ts) AS t, value,
+                     CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+                               OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000
+                          THEN 1
+                          WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+            ), s AS (
+              SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM w
+            )
+            SELECT user_id, min(t) // 1000 AS session_start,
+                   max(t) // 1000 AS session_end,
+                   count(*) AS cnt, round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
         "stats_aggs": """
             WITH m AS (

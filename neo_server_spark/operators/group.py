@@ -247,6 +247,72 @@ def entropy_of(df: DataFrame, by: Sequence[str], col: str, out: str = "entropy")
     )
 
 
+def sliding_window(
+    df: DataFrame,
+    time_col: str,
+    width_ns: int,
+    slide_ns: int,
+    aggs: Sequence[Column],
+    series: Sequence[str] = (),
+    bucket_name: str = "time",
+) -> DataFrame:
+    """Sliding (hopping) window aggregation — beyond the reference's
+    tumbling-only timewindow (SURVEY §2.9: extension).
+
+    Each row replicates into its ``width/slide`` covering windows via an
+    executor-side ``sequence()`` explode (integer ns math), then one hash
+    aggregate on (series, window-start).  ``width_ns`` must be a multiple of
+    ``slide_ns``.  Scale shape: fan-out factor = width/slide (bounded,
+    chosen by the query), single shuffle.
+    """
+    if width_ns % slide_ns != 0:
+        raise ValueError("width_ns must be a multiple of slide_ns")
+    t = F.col(time_col).cast("long")
+    last_w = t - F.pmod(t, F.lit(slide_ns))
+    first_w = last_w - F.lit(width_ns - slide_ns)
+    win = F.explode(F.sequence(first_w, last_w, F.lit(slide_ns))).alias(bucket_name)
+    exploded = df.select(*df.columns, win)
+    return (
+        exploded.groupBy(*series, bucket_name)
+        .agg(*aggs)
+        .orderBy(*series, bucket_name)
+    )
+
+
+def session_window(
+    df: DataFrame,
+    time_col: str,
+    gap_ns: int,
+    aggs: Sequence[Column],
+    series: Sequence[str] = (),
+) -> DataFrame:
+    """Session windows: a session closes after ``gap_ns`` of inactivity
+    (SURVEY §2.9: extension; Spark's ``F.session_window`` is µs-precision —
+    this long-math form keeps exact ns and an exact SQL oracle).
+
+    Gaps-and-islands: session id = running count of gap-exceeding steps per
+    series; output = per-session (start, end, aggs).
+    """
+    t = F.col(time_col).cast("long")
+    w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(t)
+    new_session = F.when(
+        (t - F.lag(t).over(w)) > F.lit(gap_ns), 1
+    ).otherwise(F.when(F.lag(t).over(w).isNull(), 1).otherwise(0))
+    sess = df.withColumn(
+        "__sid", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy(*series, "__sid")
+        .agg(
+            F.min(t).alias("session_start"),
+            F.max(t).alias("session_end"),
+            *aggs,
+        )
+        .drop("__sid")
+        .orderBy(*series, "session_start")
+    )
+
+
 # ---------------------------------------------------------------- timewindow
 
 FILL_METHODS = ("null", "value", "piecewiseconstant", "piecewiselinear",

@@ -162,6 +162,92 @@ def map_lowpass(df: DataFrame, value_col: str, alpha: float, out: str = "lowpass
     return df.groupBy(*series).applyInPandas(lambda pdf: kernel(pdf), schema)
 
 
+def map_lowpass_blocked(df: DataFrame, value_col: str, alpha: float,
+                        out: str = "lowpass", series: Sequence[str] = (),
+                        time_col: str = "time",
+                        block_ns: int = 86_400 * 10**9) -> DataFrame:
+    """MAP_LOWPASS at 100 TB: parallel-scan decomposition of the EWMA
+    recurrence over bounded time blocks.
+
+    The EWMA x̂_i = (1-α)·x̂_{i-1} + α·v_i is a linear recurrence, so a block
+    of n rows COMPOSES: exiting state = A·s + B with A = (1-α)^n and
+    B = the block's EWMA seeded from 0.  Three bounded steps:
+
+    1. per (series, block) pandas kernel — zero-seeded prefix ``pref_i`` and
+       row index i (blocks are bounded; this is the only pass over raw rows);
+    2. per-series scan over the per-block (A, B) summaries to produce each
+       block's ENTRY state — one tiny frame (blocks x series rows);
+    3. join entry states back: x̂_i = pref_i + (1-α)^i · s_entry, plus the
+       reference's first-value seeding (x̂_1 = v_1) folded into the entry
+       state of the first block.
+
+    Row-for-row equal to :func:`map_lowpass` (equivalence-tested); no task
+    ever holds more than one block of one series.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("MAP_LOWPASS requires 0 < alpha < 1")
+    import pandas as pd
+
+    t = F.col(time_col).cast("long")
+    df_b = df.withColumn("__blk", t - F.pmod(t, F.lit(block_ns)))
+    skey = list(series)
+
+    # -- step 1: zero-seeded within-block prefix + per-block composition
+    row_schema = StructType(df_b.schema.fields + [
+        StructField("__pref", DoubleType()), StructField("__i", DoubleType())])
+
+    def block_kernel(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(time_col)
+        v = pdf[value_col].astype("float64")
+        # pandas ewm(adjust=False) seeds e_1 = v_1; the ZERO-seeded prefix
+        # pref_i = a·Σ(1-a)^(i-j)·v_j differs by the homogeneous solution:
+        # pref_i = e_i - (1-a)^i · v_1
+        e = v.ewm(alpha=alpha, adjust=False).mean().to_numpy()
+        i = np.arange(1, len(pdf) + 1, dtype="float64")
+        v1 = float(v.iloc[0]) if len(v) else 0.0
+        pdf["__pref"] = e - np.power(1.0 - alpha, i) * v1
+        pdf["__i"] = i
+        return pdf
+
+    rows = df_b.groupBy(*skey, "__blk").applyInPandas(block_kernel, row_schema)
+
+    # -- step 2: entry state per block from the tiny summary frame
+    summaries = rows.groupBy(*skey, "__blk").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max_by("__pref", "__i").alias("__B"),
+        F.min_by(F.col(value_col).cast("double"), "__i").alias("__v1"),
+    )
+    entry_schema = StructType(
+        [summaries.schema[c] for c in [*skey, "__blk"]] +
+        [StructField("__entry", DoubleType())])
+
+    def scan_kernel(pdf):
+        pdf = pdf.sort_values("__blk")
+        s, first = 0.0, True
+        entries = []
+        for n, B, v1 in zip(pdf["__n"], pdf["__B"], pdf["__v1"]):
+            if first:
+                # reference seeds x̂_1 = v_1: entry state s0 chosen so that
+                # (1-a)*s0 + a*v1 == v1  =>  s0 = v1
+                s, first = float(v1), False
+            entries.append(s)
+            s = (1.0 - alpha) ** float(n) * s + float(B)
+        return pd.DataFrame({
+            **{c: pdf[c] for c in pdf.columns if c in ([*skey, "__blk"])},
+            "__entry": entries,
+        })
+
+    grouping = summaries.groupBy(*skey) if skey else summaries.groupBy(F.lit(1).alias("__g"))
+    entries = grouping.applyInPandas(scan_kernel, entry_schema)
+
+    # -- step 3: combine
+    joined = rows.join(entries, on=[*skey, "__blk"], how="left")
+    final = F.col("__pref") + F.pow(F.lit(1.0 - alpha), F.col("__i")) * F.col("__entry")
+    return joined.withColumn(out, final).drop("__blk", "__pref", "__i", "__entry")
+
+
 def map_kalman(df: DataFrame, value_col: str, out: str = "kalman",
                series: Sequence[str] = (), order_by: str = "time",
                init_variance: float = 1.0, process_variance: float = 1.0,

@@ -264,3 +264,20 @@ def test_map_diff_blocked_empty_blocks(spark):
                                   time_col="time", block_ns=10)
     got = {r.time: r.d for r in out.collect()}
     assert got[0] is None and got[25] == 3.0
+
+
+def test_map_lowpass_blocked_equivalence(spark, sf_dir):
+    """Parallel-scan EWMA over bounded blocks must match the sequential
+    per-series kernel to float precision."""
+    from neo_server_spark import io as nio
+    from neo_server_spark.operators import series
+
+    ev = nio.events_as_tag(spark, sf_dir).select("name", "time", "value")
+    plain = series.map_lowpass(ev, "value", 0.2, series=["name"], order_by="time")
+    blocked = series.map_lowpass_blocked(ev, "value", 0.2, series=["name"],
+                                         time_col="time", block_ns=6 * 3600 * 10**9)
+    a = {(r.name, r.time): r.lowpass for r in plain.collect()}
+    b = {(r.name, r.time): r.lowpass for r in blocked.collect()}
+    assert len(a) == len(b) > 0
+    for k, va in a.items():
+        assert b[k] == pytest.approx(va, rel=1e-9, abs=1e-9), k
