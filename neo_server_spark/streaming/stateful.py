@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
@@ -72,6 +73,46 @@ def streaming_lowpass(
 
     return stream.groupBy(*skey).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_timewindow(
+    stream: DataFrame,
+    period: str = "1 hour",
+    watermark: str = "10 minutes",
+    series: Sequence[str] = ("name",),
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming tumbling-window aggregation with late-data handling.
+
+    The reference has NO watermark concept — records outside [from, until)
+    are dropped (fm_monad.go:426-435) and out-of-order data is only seen on
+    rollup recompute.  Structured Streaming's watermark is the principled
+    version: rows later than ``watermark`` behind the max seen event time
+    are dropped, everything else updates its (still-open) window.
+
+    The epoch-ns long converts to a µs timestamp for window bookkeeping;
+    output keeps window bounds as epoch-ns longs.
+    """
+    from neo_server_spark.functions.timefn import from_timestamp, to_timestamp_ns
+
+    with_ts = stream.withColumn("__ts", to_timestamp_ns(F.col(time_col)))
+    agged = (
+        with_ts.withWatermark("__ts", watermark)
+        .groupBy(*series, F.window("__ts", period).alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+    return agged.select(
+        *series,
+        from_timestamp(F.col("__w.start")).alias("window_start"),
+        from_timestamp(F.col("__w.end")).alias("window_end"),
+        "cnt", "sum_value", "min_value", "max_value",
     )
 
 

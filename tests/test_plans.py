@@ -1,0 +1,75 @@
+"""Physical-plan shape assertions — the scale contract.
+
+These tests pin the *plan*, not just the result: predicates must reach the
+parquet scan (PushedFilters), day partitions must prune (PartitionFilters),
+small dimensions must broadcast, top-k must compile to
+TakeOrderedAndProject, and hot paths must stay inside WholeStageCodegen.
+A regression here is invisible at sf0.01 and fatal at 100 TB.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from neo_server_spark import io as nio
+from neo_server_spark.operators import joins, maps
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_tag_scan_predicate_pushdown(spark, sf_dir):
+    df = nio.events_as_tag(spark, sf_dir).filter(
+        (F.col("name") == "purchase")
+        & F.col("time").between(1_704_412_800 * 10**9, 1_705_708_800 * 10**9)
+    ).select("name", "time", "value")
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    # column pruning: props/user_id must not be read
+    assert "props" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_tag_table_partition_pruning(spark, tmp_path):
+    """Day-partitioned layout: a time-range predicate must prune partitions
+    at planning time (PartitionFilters), not scan-and-filter."""
+    day_ns = 86_400 * 10**9
+    df = spark.range(1000).selectExpr(
+        "concat('t', id % 3) AS name",
+        f"CAST(id % 10 AS LONG) * {day_ns} + 1000 AS time",
+        "CAST(id AS DOUBLE) AS value",
+    )
+    path = str(tmp_path / "tt")
+    nio.write_tag_table(df, path, mode="overwrite")
+    rd = nio.read_tag_table(spark, path).filter(F.col("_day") == "19700103")
+    plan = plan_of(rd)
+    assert "PartitionFilters: [isnotnull(_day" in plan
+    # only 1 of 10 day directories may be scanned
+    assert rd.count() == 100
+
+
+def test_enrich_tags_broadcasts(spark, sf_dir):
+    fact = nio.events_as_tag(spark, sf_dir)
+    meta = spark.createDataFrame(
+        [("purchase", "rev"), ("view", "traffic")], ["name", "kind"])
+    plan = plan_of(joins.enrich_tags(fact, meta))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_take_compiles_to_top_k(spark, sf_dir):
+    df = nio.events_as_tag(spark, sf_dir).select("name", "time", "value")
+    out = maps.take(df, 100, order_by=[F.col("time")])
+    assert "TakeOrderedAndProject" in plan_of(out)
+
+
+def test_aggregate_stays_in_codegen(spark, sf_dir):
+    df = nio.events_as_tag(spark, sf_dir)
+    out = df.groupBy("name").agg(F.sum("value"), F.avg("value"))
+    out.collect()  # AQE finalizes the physical plan only on execution
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed          # WholeStageCodegen stage markers
+    assert "BatchEvalPython" not in executed  # no row-at-a-time Python in the path

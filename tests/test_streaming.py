@@ -248,3 +248,49 @@ def test_compact_tag_table(spark, tmp_path):
     after = len([f for f in os.listdir(os.path.join(path, day_dir)) if f.endswith(".parquet")])
     assert n >= 1 and before > after == 1
     assert spark.read.parquet(path).count() == 40_000
+
+
+def test_streaming_timewindow_watermark(spark, tmp_path):
+    """Windowed streaming agg: a closed window emits once the watermark
+    passes it, and a too-late row is dropped instead of corrupting it."""
+    import pyspark.sql.functions as F
+
+    from neo_server_spark.streaming.stateful import streaming_timewindow
+
+    src = tmp_path / "in3"
+    out_dir = tmp_path / "out3"
+    ckpt = tmp_path / "ck3"
+    h = 3_600 * 10**9
+
+    def run_available():
+        lines = spark.readStream.format("text").load(str(src))
+        parts = F.split(F.col("value"), ",")
+        parsed = lines.select(
+            parts[0].alias("name"),
+            parts[1].cast("long").alias("time"),
+            parts[2].cast("double").alias("value"),
+        )
+        win = streaming_timewindow(parsed, period="1 hour",
+                                   watermark="10 minutes", series=["name"])
+        q = (win.writeStream.format("parquet").outputMode("append")
+             .option("path", str(out_dir)).option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # hour-0 rows
+    _write_lines(str(src / "b1.csv"), [f"a,{10 * 60 * 10**9},1.0", f"a,{20 * 60 * 10**9},3.0"])
+    run_available()
+    # jump to hour 3 — after this batch the watermark passes hour 0
+    _write_lines(str(src / "b2.csv"), [f"a,{3 * h + 10**9},5.0"])
+    run_available()
+    # now a too-late hour-0 row: behind the watermark -> dropped
+    _write_lines(str(src / "b3.csv"), [f"a,{30 * 60 * 10**9},100.0"])
+    run_available()
+    # drain: close remaining windows
+    _write_lines(str(src / "b4.csv"), [f"a,{5 * h},7.0"])
+    run_available()
+
+    rows = {r.window_start: (r.cnt, r.sum_value)
+            for r in spark.read.parquet(str(out_dir)).collect()}
+    # hour-0 window closed with ONLY the on-time rows; late 100.0 was dropped
+    assert rows[0] == (2, 4.0)
