@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "join_revenue",
     "stats_aggs",
     "lake_pivot",
+    "sliding_window",
+    "session_window",
     "map_diff_blocked",
     "asof_join",
     "text_stats",
