@@ -564,6 +564,34 @@ def _q_csv_source(spark, sf_dir):
     )
 
 
+def _q_show_tags(spark, sf_dir):
+    """SHOW TAGS + V$<T>_STAT via the catalog API (spi/show.go:1324)."""
+    from neo_server_spark.sqlx import catalog
+
+    out = catalog.show_tags(_tag(spark, sf_dir))
+    return out.select(
+        "name", "row_count",
+        F.expr("min_time div 1000").alias("min_time"),
+        F.expr("max_time div 1000").alias("max_time"),
+        "min_value", "max_value",
+    )
+
+
+def _q_tql_dsl(spark, sf_dir):
+    """End-to-end TQL DSL pipeline through Tql/Pipeline (SRC -> MAP* -> df):
+    SQL_SELECT builder -> MAPVALUE -> PUSHVALUE, the L1 slice of SURVEY §7."""
+    from neo_server_spark.tql import Tql
+
+    p = (
+        Tql(spark, sf_dir)
+        .sql_select("value", table="events", tag=["purchase", "error"],
+                    between=(TW_FROM, TW_UNTIL))
+        .mapvalue(2, F.round(F.col("value") * 1.1, 6), name="value")
+        .pushvalue(3, F.expr("time div 1000"), name="time_us")
+    )
+    return p.to_df().drop("time")
+
+
 def _q_sliding_window(spark, sf_dir):
     """Sliding-window agg (1h window / 30min hop): sequence() explode +
     single hash aggregate (extension beyond tumbling timewindow)."""
@@ -829,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_funcs": _q_scalar_funcs,
         "fake_gens": _q_fake_gens,
         "csv_source": _q_csv_source,
+        "show_tags": _q_show_tags,
+        "tql_dsl": _q_tql_dsl,
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
         "stats_aggs": _q_stats_aggs,
@@ -1215,6 +1245,19 @@ def oracle_sql() -> dict[str, str]:
         "csv_source": """
             SELECT * FROM (VALUES (1, 'temp.a', 3.14), (2, 'temp.b', 2.71),
                                   (3, 'hum.a', 55.5)) AS t(id, tag, val)
+        """,
+        "show_tags": """
+            SELECT event_type AS name, count(*) AS row_count,
+                   min(epoch_us(ts)) AS min_time, max(epoch_us(ts)) AS max_time,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "tql_dsl": """
+            SELECT event_type AS name, round(value * 1.1, 6) AS value,
+                   epoch_us(ts) AS time_us
+            FROM events
+            WHERE event_type IN ('purchase', 'error')
+              AND epoch_ns(ts) BETWEEN 1704412800000000000 AND 1705708800000000000
         """,
         "sliding_window": """
             WITH x AS (
