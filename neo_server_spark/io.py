@@ -99,6 +99,7 @@ def write_tag_table(
     name_buckets: int | None = None,
     mode: str = "append",
     write_salt: int = 8,
+    cluster: bool = True,
 ) -> None:
     """Persist a DataFrame in the scale-ready tag-table layout.
 
@@ -134,6 +135,12 @@ def write_tag_table(
     if write_salt > 1:
         shuffle_keys.append(F.pmod(F.xxhash64(F.col(time_col)), F.lit(write_salt)))
     out = out.repartition(*shuffle_keys)
+    if cluster:
+        # ZORDER-lite: (name, time)-sorted rows give parquet row groups tight
+        # min/max stats, so tag and time-range predicates skip whole row
+        # groups at scan time — the reference's per-tag partitioned storage
+        # gets the same effect structurally (machbase_template.conf:520)
+        out = out.sortWithinPartitions(name_col, time_col)
     out.write.partitionBy(*parts).mode(mode).parquet(path)
 
 
