@@ -269,6 +269,28 @@ class Pipeline:
 
     # -------------------------------------------------------------- SINKs
 
+    # ---- datapipe operators (training-data pipeline surface) -------------
+
+    def dedup_exact(self, text_col: str = "text", id_col: str = "doc_id") -> "Pipeline":
+        from neo_server_spark.datapipe import dedup
+        return self._wrap(dedup.exact_dedup(self.df, text_col, id_col))
+
+    def simhash(self, text_col: str = "text", **kw) -> "Pipeline":
+        from neo_server_spark.datapipe import dedup
+        return self._wrap(dedup.simhash(self.df, text_col, **kw))
+
+    def lang_id(self, text_col: str = "text", **kw) -> "Pipeline":
+        from neo_server_spark.datapipe import text as T
+        return self._wrap(T.lang_id(self.df, text_col, **kw))
+
+    def quality_score(self, text_col: str = "text") -> "Pipeline":
+        from neo_server_spark.datapipe import text as T
+        return self._wrap(T.quality_score(self.df, text_col))
+
+    def fingerprint(self, text_col: str = "text", **kw) -> "Pipeline":
+        from neo_server_spark.datapipe import text as T
+        return self._wrap(T.fingerprint(self.df, text_col, **kw))
+
     def cached(self, key: str, ttl: float, render: Callable[["Pipeline"], object]):
         """Result-cache a rendered sink (mods/tql/tqlcache.go:21-70,
         checked pre-execution in task.go:393-418): ``render`` runs only on

@@ -235,3 +235,15 @@ def test_schema_builders(spark):
     assert S.spark_type("uint64").simpleString() == "decimal(20,0)"
     lt = S.log_table_schema([("msg", "varchar")])
     assert lt.fields[-1].name == "_ARRIVAL_TIME"
+
+
+def test_datapipe_via_pipeline(tql, spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different text here")],
+        ["doc_id", "text"])
+    p = tql.from_df(docs)
+    assert p.dedup_exact().to_df().count() == 2
+    out = p.quality_score().lang_id().fingerprint().to_df()
+    assert {"quality", "lang_pred", "fp"} <= set(out.columns)
