@@ -281,3 +281,19 @@ def test_map_lowpass_blocked_equivalence(spark, sf_dir):
     assert len(a) == len(b) > 0
     for k, va in a.items():
         assert b[k] == pytest.approx(va, rel=1e-9, abs=1e-9), k
+
+
+def test_fft_band_limits(spark):
+    """FFT minHz()/maxHz() options drop out-of-band coefficients
+    (fm_fourier.go:23-101)."""
+    from neo_server_spark.operators import series
+    from neo_server_spark.tql import fake
+
+    src = fake.oscillator(spark, [(1.0, 1.0), (2.0, 0.5), (3.0, 0.25)],
+                          0, 4_000_000_000, 4_000_000_000 // 256)
+    out = series.fft(src, min_hz=1.5, max_hz=2.5).collect()
+    hzs = [r.hz for r in out]
+    assert all(1.5 <= h <= 2.5 for h in hzs)
+    peak = max(out, key=lambda r: r.ampl)
+    assert peak.hz == pytest.approx(2.0, abs=0.1)
+    assert peak.ampl == pytest.approx(0.5, abs=0.05)
