@@ -116,6 +116,83 @@ def streaming_timewindow(
     )
 
 
+def streaming_timewindow_fill(
+    stream: DataFrame,
+    period_ns: int,
+    series: Sequence[str] = ("name",),
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming timewindow with GAP FILL across micro-batches (SURVEY risk
+    item (d): batch gap-fill is a calendar join, but a stream must remember
+    the last value per series to fill empty buckets it only discovers
+    later).
+
+    Per series, state = (next bucket to close, last seen value).  A bucket
+    closes once a later bucket's data arrives; empty buckets in between
+    emit with the previous value (predict('PiecewiseConstant')) and
+    cnt = 0.  O(1) state per series; output is in bucket order per series
+    across batches.
+    """
+    skey = list(series)
+    out_schema = StructType(
+        [StructField(c, StringType()) for c in skey]
+        + [
+            StructField(time_col, LongType()),
+            StructField("cnt", LongType()),
+            StructField("avg_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType([
+        StructField("next_bucket", LongType()),
+        StructField("last_value", DoubleType()),
+        StructField("open_sum", DoubleType()),
+        StructField("open_cnt", LongType()),
+    ])
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        next_bucket, last_value, open_sum, open_cnt = (
+            state.get if state.exists else (None, None, 0.0, 0)
+        )
+        bsum: dict[int, float] = {}
+        bcnt: dict[int, int] = {}
+        for pdf in pdfs:
+            for t, v in zip(pdf[time_col], pdf[value_col]):
+                b = int(t) - int(t) % period_ns
+                if next_bucket is not None and b < next_bucket:
+                    continue  # behind the closed frontier: late row drops
+                bsum[b] = bsum.get(b, 0.0) + float(v)
+                bcnt[b] = bcnt.get(b, 0) + 1
+        out_t, out_c, out_v = [], [], []
+        if bsum:
+            if next_bucket is None:
+                next_bucket = min(bsum)
+            # fold the carried open-bucket partial into this batch's view
+            if open_cnt:
+                bsum[next_bucket] = bsum.get(next_bucket, 0.0) + open_sum
+                bcnt[next_bucket] = bcnt.get(next_bucket, 0) + open_cnt
+            high = max(bsum)             # the max bucket stays open
+            while next_bucket < high:
+                c = bcnt.get(next_bucket, 0)
+                if c:
+                    last_value = bsum[next_bucket] / c
+                out_t.append(next_bucket); out_c.append(c)
+                out_v.append(last_value)
+                next_bucket += period_ns
+            state.update((next_bucket, last_value,
+                          bsum.get(high, 0.0), bcnt.get(high, 0)))
+        out = pd.DataFrame({time_col: out_t, "cnt": out_c, "avg_value": out_v})
+        for i, c in enumerate(skey):
+            out.insert(i, c, key[i])
+        yield out
+
+    return stream.groupBy(*skey).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_filter_changed(
     stream: DataFrame,
     series: Sequence[str] = ("name",),

@@ -294,3 +294,47 @@ def test_streaming_timewindow_watermark(spark, tmp_path):
             for r in spark.read.parquet(str(out_dir)).collect()}
     # hour-0 window closed with ONLY the on-time rows; late 100.0 was dropped
     assert rows[0] == (2, 4.0)
+
+
+def test_streaming_timewindow_fill_gap_state(spark, tmp_path):
+    """Gap-filled streaming buckets: empty buckets discovered across batch
+    boundaries emit with the carried last value; open-bucket partials merge."""
+    import pyspark.sql.functions as F
+
+    from neo_server_spark.streaming.stateful import streaming_timewindow_fill
+
+    src = tmp_path / "in4"
+    out_dir = tmp_path / "out4"
+    ckpt = tmp_path / "ck4"
+    P = 10  # tiny period in ns for readable buckets
+
+    def run_available():
+        lines = spark.readStream.format("text").load(str(src))
+        parts = F.split(F.col("value"), ",")
+        parsed = lines.select(
+            parts[0].alias("name"),
+            parts[1].cast("long").alias("time"),
+            parts[2].cast("double").alias("value"),
+        )
+        win = streaming_timewindow_fill(parsed, period_ns=P, series=["name"])
+        q = (win.writeStream.format("parquet").outputMode("append")
+             .option("path", str(out_dir)).option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # bucket 0: values 2,4 ; bucket 2: first half (10)
+    _write_lines(str(src / "b1.csv"), ["a,1,2.0", "a,5,4.0", "a,21,10.0"])
+    run_available()
+    # bucket 2 second half (20) + jump to bucket 5 -> closes 2,3,4
+    _write_lines(str(src / "b2.csv"), ["a,25,20.0", "a,51,7.0"])
+    run_available()
+
+    rows = {r.time: (r.cnt, r.avg_value)
+            for r in spark.read.parquet(str(out_dir)).collect()}
+    assert rows == {
+        0: (2, 3.0),      # real bucket
+        10: (0, 3.0),     # gap filled with previous value
+        20: (2, 15.0),    # partials merged across batches: (10+20)/2
+        30: (0, 15.0),
+        40: (0, 15.0),
+    }
