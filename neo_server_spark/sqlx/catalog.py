@@ -71,3 +71,10 @@ def show(spark: SparkSession, what: str, target=None, **kw) -> DataFrame:
     if what == "rollup":
         return show_rollup(target, kw.get("level", "sec"))
     raise ValueError(f"SHOW {what}: unsupported")
+
+
+def exec_table_flush(spark: SparkSession, table: str) -> None:
+    """EXEC table_flush(T) (spi/testsuite/tables.go:39) — the engine forces
+    buffered appends to storage; Spark's equivalent concern is stale file
+    listings/statistics on an externally appended table."""
+    spark.catalog.refreshTable(table)
