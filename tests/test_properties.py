@@ -71,3 +71,45 @@ def test_movavg_matches_sequential_model(spark, vs, window):
     for i, g in enumerate(got):
         lo = max(0, i - window + 1)
         assert g == pytest.approx(sum(vs[lo:i + 1]) / (i - lo + 1), rel=1e-6, abs=1e-6)
+
+
+@prop
+@given(
+    lts=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=20),
+    rts=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=20),
+)
+def test_asof_join_matches_sequential_model(spark, lts, rts):
+    """asof_join == 'latest right row with rt <= lt' per key, for any data."""
+    from neo_server_spark.operators import joins
+
+    left = spark.createDataFrame([("k", t) for t in sorted(set(lts))], ["k", "time"])
+    right = spark.createDataFrame(
+        [("k", t, float(t) * 10) for t in sorted(set(rts))], ["k", "time", "rv"])
+    out = joins.asof_join(left, right, on=["k"], right_cols=["rv"])
+    got = {r.time: r.rv for r in out.collect()}
+    rset = sorted(set(rts))
+    for lt in set(lts):
+        eligible = [rt for rt in rset if rt <= lt]
+        want = float(eligible[-1]) * 10 if eligible else None
+        assert got[lt] == (pytest.approx(want) if want is not None else None)
+
+
+@prop
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=999), min_size=1, max_size=40),
+    period=st.sampled_from([7, 10, 50]),
+)
+def test_timewindow_conserves_rows(spark, ts, period):
+    """Σ bucket counts == rows inside [from,until); calendar covers every
+    bucket exactly once."""
+    import pyspark.sql.functions as F
+
+    from neo_server_spark.operators.group import timewindow
+
+    df = spark.createDataFrame([("a", t, 1.0) for t in ts], ["name", "time", "value"])
+    out = timewindow(df, "time", 0, 1000, period,
+                     aggs=[F.count(F.lit(1)).alias("cnt")], series=["name"]).collect()
+    n_buckets = (1000 + period - 1) // period
+    assert len(out) == n_buckets
+    assert sorted({r.time for r in out}) == [i * period for i in range(n_buckets)]
+    assert sum(r.cnt or 0 for r in out) == len(ts)
