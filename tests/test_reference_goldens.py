@@ -141,3 +141,13 @@ def test_transpose_golden(spark, tql_factory=None):
     out = maps.transpose(df)
     got = [r[-1] for r in out.collect()]
     assert sorted(got) == sorted(load_golden("transpose_all.csv"))
+
+
+def test_kalman_golden(spark):
+    """tql_test.go:1607-1620 MAP_KALMAN(model(1.0,1.0,2.0)) over
+    [1.3, 10.2, 5.0, 3.4] -> [1.3, 5.7, 5.4, 4.4] at precision 1."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([1.3, 10.2, 5.0, 3.4])], ["t", "v"])
+    out = series.map_kalman(df, "v", order_by="t")
+    got = [round(r.kalman, 1) for r in out.orderBy("t").collect()]
+    assert got == [1.3, 5.7, 5.4, 4.4]
