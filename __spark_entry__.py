@@ -814,6 +814,103 @@ def _q_line_protocol(spark, sf_dir):
     return ingest.decode_line_protocol(lines)
 
 
+def _q_script_udtf(spark, sf_dir):
+    """SCRIPT(...) as MAP with $.yield() UDTF semantics (fm_script.go:82-109):
+    Python/mapInPandas replaces the reference's embedded goja JS runtime.
+    Every input row yields one 'base' record and 'purchase' rows additionally
+    yield a 'bonus' record — 0..n outputs per input, streamed over Arrow
+    batches (no row-at-a-time Python).  Rounding happens JVM-side after the
+    kernel so both engines round identically."""
+    from neo_server_spark.tql.pipeline import Pipeline
+
+    ev = nio.load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "event_id": pdf["event_id"],
+                "kind": "base",
+                "out_value": pdf["value"] * 2.0,
+            })
+            bonus = pdf[pdf["event_type"] == "purchase"]
+            if len(bonus):
+                yield pd.DataFrame({
+                    "event_id": bonus["event_id"],
+                    "kind": "bonus",
+                    "out_value": bonus["value"] * 3.0,
+                })
+
+    out = Pipeline(ev).script(kernel, "event_id long, kind string, out_value double").df
+    return out.withColumn("out_value", F.round("out_value", 6))
+
+
+def _q_shell_pipe(spark, sf_dir):
+    """SHELL(cmd) (fm_shell.go:49-154): records CSV-serialized through an
+    external awk process — one process per partition via rdd.pipe (per-
+    executor fan-out, not per-row) — stdout lines re-parsed into typed
+    columns.  Integer-only math so the text round-trip is exact."""
+    from neo_server_spark.tql.pipeline import Pipeline
+
+    ev = nio.load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    out = Pipeline(ev).shell("awk -F, '{print $1 \",\" ($2 % 7)}'").df
+    parts = F.split(F.col("line"), ",")
+    return out.select(
+        parts[0].cast("long").alias("event_id"),
+        parts[1].cast("long").alias("bucket"),
+    )
+
+
+def _q_query_builder(spark, sf_dir):
+    """QUERY(value, from(...), between(...)) value-first builder
+    (fm_dbsrc.go:56-91) with a multi-tag IN-list: the lake API's per-tag
+    goroutine fan-out (http_lake.go:1596-1645) is a single parquet pass here —
+    tag IN-list + time range both reach the scan as PushedFilters."""
+    from neo_server_spark.tql.pipeline import Tql
+
+    p = Tql(spark, sf_dir=sf_dir).query(
+        "value", table="events", tag=["click", "view"], between=(TW_FROM, TW_UNTIL)
+    )
+    return p.df.select("name", _us("time"), "value")
+
+
+def _q_map_kalman(spark, sf_dir):
+    """MAP_KALMAN(value, model(iv,pv,ov)) per tag (fm_monad.go:1908-1991,
+    mods/nums/kalman) — applyInPandas scalar recursion (rows-only: a
+    recursive filter has no SQL oracle; tests/test_group_series.py pins the
+    reference golden sequence)."""
+    df = _tag(spark, sf_dir).select("name", "time", "value")
+    out = series.map_kalman(df, "value", series=["name"], order_by="time")
+    return out.select("name", _us("time"), "value", F.round("kalman", 6).alias("kalman"))
+
+
+def _q_tpch_q5(spark, sf_dir):
+    """Local-supplier-volume 6-table join (SQL surface breadth): region
+    filter broadcast into nation, nation broadcast into the fact chain;
+    customer ⨝ orders ⨝ lineitem ⨝ supplier are AQE-planned shuffle joins
+    with the c_nationkey = s_nationkey equi-constraint riding the supplier
+    join — no cartesian step anywhere in the plan."""
+    r = nio.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = nio.load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    c = nio.load_table(spark, sf_dir, "customer")
+    o = nio.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = nio.load_table(spark, sf_dir, "lineitem")
+    s = nio.load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_scan": _q_tag_scan,
@@ -876,6 +973,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": _q_similarity_ivf,
         "multimodal_features": _q_multimodal_features,
         "line_protocol": _q_line_protocol,
+        "script_udtf": _q_script_udtf,
+        "shell_pipe": _q_shell_pipe,
+        "query_builder": _q_query_builder,
+        "map_kalman": _q_map_kalman,
+        "tpch_q5": _q_tpch_q5,
     }
 
 
@@ -1443,5 +1545,32 @@ def oracle_sql() -> dict[str, str]:
                 ('mem.usage',  1704067200000000002, 0.25),
                 ('cpu.usage',  1704067200000000003, 0.75)
             ) AS t(name, time, value)
+        """,
+        "script_udtf": """
+            SELECT event_id, 'base' AS kind, round(value * 2, 6) AS out_value
+            FROM events
+            UNION ALL
+            SELECT event_id, 'bonus' AS kind, round(value * 3, 6) AS out_value
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "shell_pipe": """
+            SELECT event_id, user_id % 7 AS bucket FROM events
+        """,
+        "query_builder": f"""
+            SELECT event_type AS name, epoch_us(ts) AS time, value
+            FROM events
+            WHERE event_type IN ('click', 'view')
+              AND epoch_ns(ts) BETWEEN {f} AND {u}
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+            GROUP BY n_name
         """,
     }

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
+    "tpch_q5",
     "join_revenue",
     "stats_aggs",
     "lake_pivot",
