@@ -15,6 +15,7 @@ table: ``event_type`` -> tag name, ``ts`` (epoch ns) -> basetime, ``value``.
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -189,3 +190,33 @@ def compact_tag_table(
 def read_tag_table(spark: SparkSession, path: str) -> DataFrame:
     ensure_engine_conf(spark)
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    key: str | Sequence[str] = "name",
+    sort_cols: Sequence[str] = ("time",),
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed catalog table for co-located joins — the Spark analogue
+    of the engine's hash-partitioned tag storage (TAG_PARTITION_COUNT,
+    reference: mods/server/machbase_template.conf:520).
+
+    Two tables bucketed on the same key with the same bucket count satisfy
+    each other's join distribution, so the join plans with NO shuffle on
+    either side (tests/test_plans.py pins this).  At 100 TB this converts the
+    biggest recurring shuffle — fact ⨝ fact on tag/user keys — into a
+    map-side merge of pre-sorted buckets; ``sort_cols`` additionally removes
+    the join-time sort for merge joins on the bucket key.
+
+    SIZING RULE: buckets ≈ table_bytes / 1 GB rounded to a power of two,
+    fixed for the table's lifetime (changing it means a rewrite; both join
+    sides must agree).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -66,6 +66,29 @@ def test_take_compiles_to_top_k(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan_of(out)
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Co-located bucketed layout: both sides bucketed on the join key with
+    the same bucket count -> the join must plan with zero Exchange nodes.
+    This is the 100 TB fact-join strategy (io.write_bucketed)."""
+    ev = nio.load_table(spark, sf_dir, "events")
+    facts = ev.select("user_id", "ts", "value")
+    totals = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
+    nio.write_bucketed(facts, "nb_facts", 4, key="user_id", sort_cols=("user_id",))
+    nio.write_bucketed(totals, "nb_totals", 4, key="user_id", sort_cols=("user_id",))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("nb_facts").join(spark.table("nb_totals"), "user_id")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == facts.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS nb_facts")
+        spark.sql("DROP TABLE IF EXISTS nb_totals")
+
+
 def test_aggregate_stays_in_codegen(spark, sf_dir):
     df = nio.events_as_tag(spark, sf_dir)
     out = df.groupBy("name").agg(F.sum("value"), F.avg("value"))
