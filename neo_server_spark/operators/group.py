@@ -114,6 +114,39 @@ class agg:
         return F.percentile(_guard(_c(col), where), F.lit(p)).alias(name)
 
     @staticmethod
+    def quantile_lininterp(col, p: float, name="quantile", where=None) -> Column:
+        """gonum LinInterp empirical quantile — exact parity with the
+        reference's quantileInterpolated/medianInterpolated (fm_monad.go:1325
+        feeds gonum stat.Quantile(LinInterp)), which interpolates on the
+        CUMULATIVE-WEIGHT axis, not the usual type-7 sample axis: for unit
+        weights and f = p·n, the result is x_{i-1} + (f-(i-1))·(x_i - x_{i-1})
+        with i = ⌈f⌉ (1-indexed sorted values), clamped to x_1 when f ≤ 1.
+        median([1,2,3]) = 1.5 here vs 2.0 for SQL percentile — pinned by the
+        TestLoader_groupbykey golden.
+
+        SCALE: array-buffering form (collect_list + sort) — for the TQL GROUP
+        shapes whose groups are bounded (one series / one bucket); use the
+        SQL `percentile` family when type-7 semantics are acceptable.
+        """
+        c = _guard(_c(col), where).cast("double")
+        xs = F.array_sort(F.collect_list(c))
+        n = F.size(xs).cast("double")
+        fidx = F.lit(float(p)) * n
+        i = F.greatest(F.ceil(fidx).cast("int"), F.lit(1))
+        lo = F.element_at(xs, F.greatest(i - 1, F.lit(1)))
+        hi = F.element_at(xs, i)
+        t = fidx - (i.cast("double") - F.lit(1.0))
+        return (
+            F.when(fidx <= 1.0, F.element_at(xs, 1))
+            .otherwise(lo + t * (hi - lo))
+            .alias(name)
+        )
+
+    @staticmethod
+    def median_lininterp(col, name="median", where=None) -> Column:
+        return agg.quantile_lininterp(col, 0.5, name, where)
+
+    @staticmethod
     def cdf(col, q: float | Column, name="cdf", where=None) -> Column:
         """P(x <= q) within the group."""
         c = _guard(_c(col), where)
@@ -145,6 +178,19 @@ class agg:
         n = F.size(xs).cast("double")
         sum_nlogn = F.aggregate(counts, F.lit(0.0), lambda a, x: a + x * F.log(x))
         return (F.log(n) - sum_nlogn / n).alias(name)
+
+    @staticmethod
+    def entropy_raw(col, name="entropy", where=None) -> Column:
+        """Reference-parity entropy: the reference hands the group's RAW
+        values to gonum stat.Entropy (fm_monad.go:1361), which assumes its
+        input is a probability vector — so the computed quantity is -Σ x·ln x
+        over the values themselves (zero terms skipped), NOT Shannon entropy
+        of the distribution.  Kept verbatim for golden parity
+        (TestLoader_groupbykey.csv: entropy(1,2,3) = -4.68); use ``entropy``
+        / ``entropy_of`` for the statistically meaningful quantity."""
+        c = _guard(_c(col), where).cast("double")
+        term = F.when(c == 0.0, 0.0).otherwise(c * F.log(c))
+        return (-F.sum(term)).alias(name)
 
     @staticmethod
     def moment(col, k: int, name="moment", where=None) -> Column:

@@ -143,6 +143,60 @@ def test_transpose_golden(spark, tql_factory=None):
     assert sorted(got) == sorted(load_golden("transpose_all.csv"))
 
 
+@needs_goldens
+def test_groupbykey_aggregate_battery_golden(spark):
+    """TestLoader_groupbykey.tql: the full GROUP aggregate battery — sum/avg/
+    min/max/first/last/rss/rms/mean/median/medianInterpolated/stddev/stderr/
+    entropy — against the reference's own expected CSV at precision 2.
+
+    Pins the two semantics that diverge from SQL builtins: medianInterpolated
+    is gonum's LinInterp cumulant (median(1,2,3)=1.50, not 2.00) and entropy
+    is gonum stat.Entropy fed raw values (-Σ x·ln x, so a=-4.68)."""
+    data = [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5),
+            ("b", 6), ("c", 7), ("c", 8), ("c", 9)]
+    df = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(data)], ["idx", "name", "v"])
+    out = group(df, by=[(F.col("name"), "name")], aggs=[
+        agg.sum("v", "SUM"), agg.avg("v", "AVG"),
+        agg.min("v", "MIN"), agg.max("v", "MAX"),
+        agg.first("v", "idx", "1st"), agg.last("v", "idx", "LAST"),
+        agg.rss("v", "RSS"), agg.rms("v", "RMS"), agg.avg("v", "MEAN"),
+        agg.median("v", "MEDIAN"), agg.median_lininterp("v", "MEDIAN_I"),
+        agg.stddev("v", "STDDEV"), agg.stderr("v", "STDERR"),
+        agg.entropy_raw("v", "ENTROPY"),
+    ])
+    got = [
+        r["name"] + "," + ",".join(
+            f"{r[c]:.2f}" for c in ["SUM", "AVG", "MIN", "MAX", "1st", "LAST",
+                                    "RSS", "RMS", "MEAN", "MEDIAN", "MEDIAN_I",
+                                    "STDDEV", "STDERR", "ENTROPY"])
+        for r in out.orderBy("name").collect()
+    ]
+    assert got == load_golden("TestLoader_groupbykey.csv", header=True)
+
+
+@needs_goldens
+def test_iris_group_golden(spark):
+    """TestLoader_iris.tql: CSV(file, typed field()s) -> GROUP(by(species),
+    min/max/median/avg) -> CSV(precision 3), against the reference's expected
+    CSV over its own iris.data fixture."""
+    df = spark.read.schema(
+        "sepal_length double, sepal_width double, petal_length double, "
+        "petal_width double, species string"
+    ).csv(os.path.join(GOLDEN_DIR, "iris.data"))
+    out = group(df, by=[(F.col("species"), "species")], aggs=[
+        agg.min("sepal_length", "min_sl"),
+        agg.max("sepal_width", "max_sw"),
+        agg.median("petal_length", "med_pl"),
+        agg.avg("petal_width", "avg_pw"),
+    ])
+    got = [
+        f"{r.species},{r.min_sl:.3f},{r.max_sw:.3f},{r.med_pl:.3f},{r.avg_pw:.3f}"
+        for r in out.orderBy("species").collect()
+    ]
+    assert got == load_golden("TestLoader_iris.csv", header=True)
+
+
 def test_kalman_golden(spark):
     """tql_test.go:1607-1620 MAP_KALMAN(model(1.0,1.0,2.0)) over
     [1.3, 10.2, 5.0, 3.4] -> [1.3, 5.7, 5.4, 4.4] at precision 1."""
