@@ -911,6 +911,20 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _q_salted_join(spark, sf_dir):
+    """Skew-salted equi-join (joins.salted_join): events sharded across 4
+    sub-keys per user, per-user totals replicated 4x — row-identical to the
+    plain join (the oracle IS the plain join), but the shuffle spreads a hot
+    user over 4 reducers instead of serializing on one."""
+    ev = nio.load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    left = ev.select("event_id", "user_id")
+    return joins.salted_join(left, totals, on="user_id", salt=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_scan": _q_tag_scan,
@@ -978,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_builder": _q_query_builder,
         "map_kalman": _q_map_kalman,
         "tpch_q5": _q_tpch_q5,
+        "salted_join": _q_salted_join,
     }
 
 
@@ -1561,6 +1576,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('click', 'view')
               AND epoch_ns(ts) BETWEEN {f} AND {u}
+        """,
+        "salted_join": """
+            WITH totals AS (
+              SELECT user_id, round(sum(value), 6) AS total, count(*) AS n
+              FROM events GROUP BY user_id
+            )
+            SELECT e.event_id, e.user_id, t.total, t.n
+            FROM events e JOIN totals t USING (user_id)
         """,
         "tpch_q5": """
             SELECT n_name,

@@ -89,6 +89,35 @@ def enrich_tags(fact: DataFrame, meta: DataFrame, on: str = "name") -> DataFrame
     return fact.join(F.broadcast(meta), on=on, how="left")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join for a dominant hot key (every IoT fleet has a
+    hottest tag).  AQE skew-join splitting rebalances oversized partitions at
+    runtime, but all rows of ONE key still hash to one reducer when the other
+    side is too big to broadcast; salting shards each left key across
+    ``salt`` sub-keys (deterministic hash of the whole left row) and
+    replicates matching right rows salt-ways — ×salt better shuffle balance
+    for a ×salt blow-up of the RIGHT side only.  Result is row-identical to
+    the unsalted join (inner/left semantics preserved; pinned by test +
+    oracle query).
+
+    SIZING: salt ≈ (hot-key rows / target partition rows), small powers of
+    two; oversalting multiplies right-side shuffle volume for nothing.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
+    lhs = left.withColumn("__salt", lsalt)
+    rhs = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return lhs.join(rhs, [*keys, "__salt"], how).drop("__salt")
+
+
 def range_bucket_join(left: DataFrame, right_ranges: DataFrame,
                       value_col: str, low_col: str = "low", high_col: str = "high") -> DataFrame:
     """Join rows to [low, high) buckets.  The bucket table is broadcast —

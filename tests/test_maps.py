@@ -106,3 +106,17 @@ def test_asof_join_tolerance(spark):
     right = spark.createDataFrame([("u", 10, 1.0)], ["k", "time", "v"])
     out = joins.asof_join(left, right, on=["k"], right_cols=["v"], tolerance=50)
     assert out.first().v is None
+
+
+def test_salted_join_matches_plain(spark):
+    from neo_server_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 5 else f"cold{i}") for i in range(200)], ["id", "k"])
+    right = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"cold{i}", float(i)) for i in range(0, 200, 5)],
+        ["k", "v"])
+    for how in ("inner", "left"):
+        got = joins.salted_join(left, right, on="k", salt=4, how=how)
+        want = left.join(right, "k", how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
