@@ -107,18 +107,47 @@ class Tql:
         (fm_dbsrc.go:56-91)."""
         return self.sql_select(value_col, **kwargs)
 
-    def csv(self, path: str, schema: str | None = None, header: bool = False) -> "Pipeline":
-        """CSV(file(...)) source (fm_csv.go:25-305)."""
+    def csv(self, path: str, schema: str | None = None, header: bool = False,
+            charset: str | None = None, infer: bool | None = None) -> "Pipeline":
+        """CSV(file(...)) source (fm_csv.go:25-305).
+
+        ``charset`` maps the charset("EUC-JP") option (fm_bytes.go:17-24) to
+        the reader's encoding; untyped columns stay strings like the
+        reference (pass ``schema`` for field()/col() coercions, or
+        ``infer=True`` to let Spark type them).
+        """
         reader = self.spark.read.option("header", header)
+        if charset:
+            if charset.lower() not in {"iso-8859-1", "us-ascii", "utf-16",
+                                       "utf-16be", "utf-16le", "utf-32", "utf-8"}:
+                # Spark 4 gates non-core charsets (EUC-KR/EUC-JP/... — the
+                # reference's charset() table, mods/util/charset) behind the
+                # legacy flag; decoding still happens JVM-side per task.
+                self.spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+            reader = reader.option("encoding", charset)
         if schema:
             reader = reader.schema(schema)
-        else:
+        elif infer if infer is not None else not charset:
             reader = reader.option("inferSchema", True)
         return Pipeline(reader.csv(path))
 
-    def strings(self, path: str) -> "Pipeline":
-        """STRING(file(...)) — line source (fm_bytes.go:26-130)."""
-        return Pipeline(self.spark.read.text(path))
+    def strings(self, path_or_text: str, separator: str | None = None,
+                trimspace: bool = False, literal: bool = False) -> "Pipeline":
+        """STRING(file(...)/payload, separator(), trimspace()) — line source
+        (fm_bytes.go:26-130).  ``literal=True`` treats the argument as the
+        payload text itself (the `payload() ??` fallback form); separator
+        splits it, trimspace strips each record."""
+        if literal:
+            parts = path_or_text.split(separator or "\n")
+            df = self.spark.createDataFrame([(s,) for s in parts], ["value"])
+        else:
+            reader = self.spark.read
+            if separator and separator != "\n":
+                reader = reader.option("lineSep", separator)
+            df = reader.text(path_or_text)
+        if trimspace:
+            df = df.select(F.trim(F.col("value")).alias("value"))
+        return Pipeline(df)
 
     def bytes_(self, path: str) -> "Pipeline":
         """BYTES(file(...)) — binary chunk source."""

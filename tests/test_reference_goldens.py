@@ -197,6 +197,43 @@ def test_iris_group_golden(spark):
     assert got == load_golden("TestLoader_iris.csv", header=True)
 
 
+@needs_goldens
+def test_csv_charset_golden(spark):
+    """tql_test.go CSV_charset_jp: CSV(file('/euc-jp.csv'), charset('EUC-JP'))
+    -> CSV must decode to the reference's expected UTF-8 row."""
+    from neo_server_spark.tql.pipeline import Tql
+
+    df = Tql(spark).csv(os.path.join(GOLDEN_DIR, "euc-jp.csv"),
+                        charset="EUC-JP").df
+    row = df.first()
+    assert list(row) == ["利用されてきた文字コー", "1701913182", "3.141592"]
+
+
+@needs_goldens
+def test_string_source_qq_shape(spark):
+    """TestLoader_qq.tql: STRING(payload, separator('\\n'), trimspace(true))
+    -> FILTER(len>0) -> MAPVALUE(strSub(v,0,2)) — the deterministic columns
+    of the golden (the time('now') column is excluded)."""
+    from pyspark.sql import Window
+
+    from neo_server_spark.functions import strfn
+    from neo_server_spark.tql.pipeline import Tql
+
+    payload = (" 12345\n                     23456\n                     78901\n"
+               "                     89012\n                     90123\n                  ")
+    p = Tql(spark).strings(payload, separator="\n", trimspace=True, literal=True)
+    out = (p.filter(F.length("value") > 0)
+            .df.withColumn("rn", F.monotonically_increasing_id()))
+    out = out.select(
+        F.concat(F.lit("text_"),
+                 F.row_number().over(Window.orderBy("rn")).cast("string")).alias("label"),
+        strfn.str_sub("value", 0, 2).alias("head2"),
+    )
+    got = [(r.label, r.head2) for r in out.collect()]
+    want_heads = [ln.split(",")[2] for ln in load_golden("TestLoader_qq.csv")]
+    assert got == [(f"text_{i+1}", h[:2]) for i, h in enumerate(want_heads)]
+
+
 def test_kalman_golden(spark):
     """tql_test.go:1607-1620 MAP_KALMAN(model(1.0,1.0,2.0)) over
     [1.3, 10.2, 5.0, 3.4] -> [1.3, 5.7, 5.4, 4.4] at precision 1."""
