@@ -198,6 +198,37 @@ def test_iris_group_golden(spark):
 
 
 @needs_goldens
+def test_pi_mapvalue_golden(spark):
+    """TestLoader_Pi.tql: FAKE(linspace(0,360,36)) -> three MAPVALUE inserts
+    (deg->rad, sin, cos) -> CSV(precision(4))."""
+    df = fake.linspace(spark, 0, 360, 36)
+    out = maps.mapvalue(df, 1, F.col("x") * (2 * math.pi) / 360, name="rad")
+    out = maps.mapvalue(out, 2, F.sin(F.col("rad")), name="s")
+    out = maps.mapvalue(out, 3, F.cos(F.col("rad")), name="c")
+    got = [",".join(f"{v:.4f}" for v in r) for r in out.collect()]
+    assert got == load_golden("TestLoader_Pi.csv")
+
+
+@needs_goldens
+def test_iris_setosa_filter_group_golden(spark):
+    """TestLoader_iris_setosa.tql: FILTER(strToUpper(species)=='IRIS-SETOSA')
+    -> GROUP(min/median/avg/max/stddev) -> CSV(precision(2))."""
+    from neo_server_spark.functions import strfn
+
+    df = spark.read.schema(
+        "sl double, sw double, pl double, pw double, species string"
+    ).csv(os.path.join(GOLDEN_DIR, "iris.data"))
+    df = maps.filter_(df, strfn.str_to_upper("species") == "IRIS-SETOSA")
+    out = group(df, by=[(F.col("species"), "species")], aggs=[
+        agg.min("sl", "Min"), agg.median("sl", "Median"), agg.avg("sl", "Avg"),
+        agg.max("sl", "Max"), agg.stddev("sl", "StdDev"),
+    ])
+    r = out.first()
+    got = f"{r.species},{r.Min:.2f},{r.Median:.2f},{r.Avg:.2f},{r.Max:.2f},{r.StdDev:.2f}"
+    assert got == load_golden("TestLoader_iris_setosa.csv", header=True)[0]
+
+
+@needs_goldens
 def test_csv_charset_golden(spark):
     """tql_test.go CSV_charset_jp: CSV(file('/euc-jp.csv'), charset('EUC-JP'))
     -> CSV must decode to the reference's expected UTF-8 row."""
