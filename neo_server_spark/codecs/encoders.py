@@ -109,9 +109,26 @@ def to_ndjson(df: DataFrame, limit: int | None = None) -> str:
     ) + ("\n" if rows else "")
 
 
-def to_markdown(df: DataFrame, limit: int | None = None) -> str:
-    """MARKDOWN() sink (mods/codec/internal/markdown)."""
+def to_markdown(df: DataFrame, limit: int | None = None, html: bool = False) -> str:
+    """MARKDOWN([html(bool)]) sink (mods/codec/internal/markdown).
+
+    ``html=True`` renders the goldmark-style xhtml table the reference's
+    html(true) option produces (golden: mods/tql/test/markdown_xhtml.txt) —
+    one tag per line, ``align="left"`` on non-empty cells only.
+    """
     cols, rows = _collect(df, limit)
+    if html:
+        out = ["<div>", "<table>", "<thead>", "<tr>"]
+        out += [f'<th align="left">{c}</th>' for c in cols]
+        out += ["</tr>", "</thead>", "<tbody>"]
+        for r in rows:
+            out.append("<tr>")
+            for v in r:
+                s = "" if v is None else str(v)
+                out.append(f'<td align="left">{s}</td>' if s else "<td></td>")
+            out.append("</tr>")
+        out += ["</tbody>", "</table>", "</div>"]
+        return "\n".join(out) + "\n"
     lines = ["|" + "|".join(str(c) for c in cols) + "|",
              "|" + "|".join(":-----" for _ in cols) + "|"]
     for r in rows:

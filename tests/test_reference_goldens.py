@@ -265,6 +265,30 @@ def test_string_source_qq_shape(spark):
     assert got == [(f"text_{i+1}", h[:2]) for i, h in enumerate(want_heads)]
 
 
+@needs_goldens
+def test_markdown_sink_goldens(spark):
+    """task_test.go TestSinkMarkdown: STRING(file('/lines.txt'),
+    separator('\\n')) -> MARKDOWN(html(false)) pipe table and
+    MARKDOWN(html(true)) xhtml (golden markdown_xhtml.txt)."""
+    from pyspark.sql import Window
+
+    from neo_server_spark.codecs import encoders
+    from neo_server_spark.tql.pipeline import Tql
+
+    lines = Tql(spark).strings(os.path.join(GOLDEN_DIR, "lines.txt")).df
+    md = encoders.to_markdown(lines.withColumnRenamed("value", "STRING"))
+    assert md.splitlines() == ["|STRING|", "|:-----|", "|line1|", "|line2|",
+                               "||", "|line4|"]
+    numbered = lines.select(
+        F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+         .alias("ROWNUM"),
+        F.col("value").alias("STRING"),
+    )
+    want = open(os.path.join(GOLDEN_DIR, "markdown_xhtml.txt")).read().splitlines()
+    got = encoders.to_markdown(numbered, html=True).splitlines()
+    assert got == want
+
+
 def test_kalman_golden(spark):
     """tql_test.go:1607-1620 MAP_KALMAN(model(1.0,1.0,2.0)) over
     [1.3, 10.2, 5.0, 3.4] -> [1.3, 5.7, 5.4, 4.4] at precision 1."""
