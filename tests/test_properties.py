@@ -113,3 +113,32 @@ def test_timewindow_conserves_rows(spark, ts, period):
     assert len(out) == n_buckets
     assert sorted({r.time for r in out}) == [i * period for i in range(n_buckets)]
     assert sum(r.cnt or 0 for r in out) == len(ts)
+
+
+@prop
+@given(
+    vs=st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                          width=32), min_size=1, max_size=30),
+    p=st.floats(min_value=0.01, max_value=1.0),
+)
+def test_quantile_lininterp_matches_gonum_model(spark, vs, p):
+    """agg.quantile_lininterp == a direct Python transcription of gonum
+    stat.Quantile(LinInterp) with unit weights, for any values and p."""
+    from neo_server_spark.operators.group import agg
+
+    def gonum_lininterp(xs, p):
+        xs = sorted(xs)
+        fidx = p * len(xs)
+        cumsum = 0.0
+        for i, x in enumerate(xs):
+            cumsum += 1.0
+            if cumsum >= fidx:
+                if i == 0:
+                    return xs[0]
+                t = fidx - (cumsum - 1.0)
+                return xs[i - 1] + t * (xs[i] - xs[i - 1])
+        return xs[-1]
+
+    df = spark.createDataFrame([(float(v),) for v in vs], ["v"])
+    got = df.agg(agg.quantile_lininterp("v", p, "q")).first()["q"]
+    assert got == pytest.approx(gonum_lininterp(vs, p), rel=1e-9, abs=1e-9)
