@@ -59,6 +59,49 @@ def show_rollup(router, level: str) -> DataFrame:
     ).orderBy("name")
 
 
+def show_storage(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW STORAGE (spi/show.go ShowStorage/ShowLsm analogue): physical
+    layout of a path-based tag table — per day-partition file count / bytes /
+    avg file size.  This is the operational view the compaction job
+    (io.compact_tag_table) acts on: partitions whose avg file size is far
+    below the 256 MB target are streaming-sliver debt."""
+    import os
+
+    rows = []
+    for entry in sorted(os.listdir(path)):
+        pdir = os.path.join(path, entry)
+        if not (os.path.isdir(pdir) and "=" in entry):
+            continue
+        sizes = [
+            os.path.getsize(os.path.join(dirpath, f))
+            for dirpath, _, files in os.walk(pdir)
+            for f in files if f.endswith(".parquet")
+        ]
+        rows.append((entry, len(sizes), sum(sizes),
+                     int(sum(sizes) / len(sizes)) if sizes else 0))
+    return spark.createDataFrame(
+        rows, "partition string, file_count int, total_bytes long, avg_file_bytes long")
+
+
+def show_indexes(spark: SparkSession, table: str | None = None) -> DataFrame:
+    """SHOW INDEXES (spi/show.go ShowIndexes): the engine's per-table LSM /
+    tag indexes map to our physical co-location spec — partition columns and
+    bucketing of catalog tables (io.write_bucketed layouts show up here)."""
+    rows = []
+    for t in spark.catalog.listTables():
+        if table and t.name != table:
+            continue
+        try:
+            cols = spark.catalog.listColumns(t.name)
+        except Exception:
+            continue
+        for c in cols:
+            kind = "partition" if c.isPartition else ("bucket" if c.isBucket else None)
+            if kind:
+                rows.append((t.name, c.name, kind))
+    return spark.createDataFrame(rows, "table string, column string, index_type string")
+
+
 def show(spark: SparkSession, what: str, target=None, **kw) -> DataFrame:
     """Dispatch like the reference's SHOW verb family."""
     what = what.lower()
@@ -70,6 +113,10 @@ def show(spark: SparkSession, what: str, target=None, **kw) -> DataFrame:
         return show_columns(spark, target)
     if what == "rollup":
         return show_rollup(target, kw.get("level", "sec"))
+    if what == "storage":
+        return show_storage(spark, target)
+    if what == "indexes":
+        return show_indexes(spark, target)
     raise ValueError(f"SHOW {what}: unsupported")
 
 

@@ -184,3 +184,26 @@ def test_round_time_ns_precision(spark):
     got_sql = [r.b for r in spark.sql(
         "SELECT date_trunc_ns('HOUR', t, 1) AS b FROM edge_ts ORDER BY t").collect()]
     assert got_sql == [479_999 * h, 480_000 * h]
+
+
+def test_show_storage_and_indexes(spark, sf_dir, tmp_path):
+    from neo_server_spark import io as nio
+
+    day_ns = 86_400 * 10**9
+    df = spark.range(300).selectExpr(
+        "concat('t', id % 3) AS name",
+        f"CAST(id % 3 AS LONG) * {day_ns} + 7 AS time",
+        "CAST(id AS DOUBLE) AS value",
+    )
+    path = str(tmp_path / "tt")
+    nio.write_tag_table(df, path, mode="overwrite")
+    st = catalog.show_storage(spark, path).collect()
+    assert len(st) == 3 and all(r.file_count >= 1 and r.total_bytes > 0 for r in st)
+    assert {r.partition for r in st} == {"_day=19700101", "_day=19700102", "_day=19700103"}
+
+    nio.write_bucketed(df, "nb_idx_demo", 4, key="name", sort_cols=("time",))
+    try:
+        idx = catalog.show_indexes(spark, "nb_idx_demo").collect()
+        assert ("nb_idx_demo", "name", "bucket") in [tuple(r) for r in idx]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nb_idx_demo")
