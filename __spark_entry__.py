@@ -533,6 +533,27 @@ def _q_scalar_funcs(spark, sf_dir):
     )
 
 
+def _q_math_funcs(spark, sf_dir):
+    """Math scalar battery (§2.5, fx_definitions.go:79-105): the Go math.*
+    entries with no 1:1 Spark builtin — exp2/pow10/trunc/mod/remainder plus
+    2-arg min/max (fm_monad.go:848-878).  Divisors are powers of two so the
+    float arithmetic is bit-exact against the oracle's formulas."""
+    from neo_server_spark.functions import mathfn
+
+    ev = nio.load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(mathfn.exp2(mathfn.mod(x, 8.0)), 6).alias("e2"),
+        mathfn.pow10(F.col("event_id") % 3).alias("p10"),
+        mathfn.trunc(x - 256.0).alias("tr"),
+        mathfn.mod(x, 2.0).alias("md"),
+        mathfn.remainder(x, 2.0).alias("rem"),
+        mathfn.min2(x, 100.0).alias("mn"),
+        mathfn.max2(x, 100.0).alias("mx"),
+    )
+
+
 def _q_fake_gens(spark, sf_dir):
     """FAKE generators (fm_fake.go): linspace x arrange meshgrid grid with a
     sphere-style trig surface value.  Exact-binary grid steps (halves) so the
@@ -966,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oscillator_fft": _q_oscillator_fft,
         "projection_ops": _q_projection_ops,
         "scalar_funcs": _q_scalar_funcs,
+        "math_funcs": _q_math_funcs,
         "fake_gens": _q_fake_gens,
         "csv_source": _q_csv_source,
         "show_tags": _q_show_tags,
@@ -1352,6 +1374,17 @@ def oracle_sql() -> dict[str, str]:
                    dayofweek(ts) AS wd,
                    epoch_us(ts) AS t_us,
                    (epoch_ns(ts) - epoch_ns(ts) % 300000000000) // 1000 AS t5m_us
+            FROM events
+        """,
+        "math_funcs": """
+            SELECT event_id,
+                   round(power(2.0, value - 8.0 * CAST(trunc(value / 8.0) AS DOUBLE)), 6) AS e2,
+                   power(10.0, event_id % 3) AS p10,
+                   CAST(trunc(value - 256.0) AS DOUBLE) AS tr,
+                   value - 2.0 * CAST(trunc(value / 2.0) AS DOUBLE) AS md,
+                   value - 2.0 * round_even(value / 2.0, 0) AS rem,
+                   least(value, 100.0) AS mn,
+                   greatest(value, 100.0) AS mx
             FROM events
         """,
         "fake_gens": """

@@ -39,3 +39,41 @@ def geo_circle(lat, lon, radius_m) -> Column:
         _col(lon).cast("string"), _col(lat).cast("string"),
         _col(radius_m).cast("string") if isinstance(radius_m, Column) else F.lit(str(radius_m)),
     )
+
+
+def _coords_json(lat_arr, lon_arr) -> Column:
+    """array<double> lat + array<double> lon -> '[[lon,lat],...]' JSON text.
+    zip_with keeps the pairing JVM-side; no UDF."""
+    pairs = F.zip_with(
+        _col(lon_arr), _col(lat_arr),
+        lambda lo, la: F.concat(F.lit("["), lo.cast("string"), F.lit(","),
+                                la.cast("string"), F.lit("]")),
+    )
+    return F.concat(F.lit("["), F.array_join(pairs, ","), F.lit("]"))
+
+
+def geo_line_string(lat_arr, lon_arr) -> Column:
+    """geoLineString(points...) (mods/nums/geometry.go) -> GeoJSON LineString.
+    Takes parallel lat/lon array columns — at scale a track is a grouped
+    collect_list, not a Python-side list."""
+    return F.concat(F.lit('{"type":"LineString","coordinates":'),
+                    _coords_json(lat_arr, lon_arr), F.lit("}"))
+
+
+def geo_multi_point(lat_arr, lon_arr) -> Column:
+    """geoMultiPoint(points...) -> GeoJSON MultiPoint."""
+    return F.concat(F.lit('{"type":"MultiPoint","coordinates":'),
+                    _coords_json(lat_arr, lon_arr), F.lit("}"))
+
+
+def geo_polygon(lat_arr, lon_arr) -> Column:
+    """geoPolygon(points...) -> GeoJSON Polygon (single outer ring, closed:
+    the reference's geometry builder repeats the first vertex; we append it
+    when the caller hasn't)."""
+    la, lo = _col(lat_arr), _col(lon_arr)
+    closed = (F.element_at(la, 1) == F.element_at(la, -1)) & \
+             (F.element_at(lo, 1) == F.element_at(lo, -1))
+    la2 = F.when(closed, la).otherwise(F.concat(la, F.array(F.element_at(la, 1))))
+    lo2 = F.when(closed, lo).otherwise(F.concat(lo, F.array(F.element_at(lo, 1))))
+    return F.concat(F.lit('{"type":"Polygon","coordinates":['),
+                    _coords_json(la2, lo2), F.lit("]}"))

@@ -207,3 +207,48 @@ def test_show_storage_and_indexes(spark, sf_dir, tmp_path):
         assert ("nb_idx_demo", "name", "bucket") in [tuple(r) for r in idx]
     finally:
         spark.sql("DROP TABLE IF EXISTS nb_idx_demo")
+
+
+def test_mathfn_matches_python_math(spark):
+    import math
+
+    from neo_server_spark.functions import mathfn
+
+    vals = [0.01, 1.0, 2.5, 3.0, 7.5, -7.5, -2.7, 256.75, 490.02]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.select(
+        mathfn.exp2(mathfn.mod("x", 8.0)).alias("e2"),
+        mathfn.trunc("x").alias("tr"),
+        mathfn.mod("x", 2.0).alias("md"),
+        mathfn.remainder("x", 2.0).alias("rem"),
+        mathfn.min2("x", 1.5).alias("mn"),
+        mathfn.max2("x", 1.5).alias("mx"),
+    ).collect()
+    for v, r in zip(vals, got):
+        assert r.e2 == pytest.approx(math.exp2(math.fmod(v, 8.0)), rel=1e-12)
+        assert r.tr == math.trunc(v)
+        assert r.md == math.fmod(v, 2.0)          # sign of dividend
+        assert r.rem == math.remainder(v, 2.0)    # IEEE half-even quotient
+        assert r.mn == min(v, 1.5) and r.mx == max(v, 1.5)
+
+
+def test_geo_shape_builders(spark):
+    import json
+
+    from neo_server_spark.functions import geofn
+
+    df = spark.createDataFrame(
+        [([37.0, 37.5, 38.0], [127.0, 127.5, 127.0])],
+        "lat array<double>, lon array<double>")
+    row = df.select(
+        geofn.geo_line_string("lat", "lon").alias("ls"),
+        geofn.geo_multi_point("lat", "lon").alias("mp"),
+        geofn.geo_polygon("lat", "lon").alias("pg"),
+    ).first()
+    ls, mp, pg = json.loads(row.ls), json.loads(row.mp), json.loads(row.pg)
+    assert ls == {"type": "LineString",
+                  "coordinates": [[127.0, 37.0], [127.5, 37.5], [127.0, 38.0]]}
+    assert mp["type"] == "MultiPoint" and len(mp["coordinates"]) == 3
+    # polygon ring auto-closes back to the first vertex
+    assert pg["coordinates"][0][0] == pg["coordinates"][0][-1] == [127.0, 37.0]
+    assert len(pg["coordinates"][0]) == 4
