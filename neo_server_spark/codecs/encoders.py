@@ -48,10 +48,22 @@ def _collect(df: DataFrame, limit: int | None):
 
 def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
            precision: int = -1, substitute_null: str = "NULL",
-           limit: int | None = None) -> str:
-    """CSV() sink — string render (mods/codec/internal/csv)."""
+           limit: int | None = None, timeformat: str | None = None,
+           time_cols: tuple[str, ...] = ("time",)) -> str:
+    """CSV() sink — string render (mods/codec/internal/csv).
+
+    ``timeformat``: a reference format name or Go layout
+    (mods/util/time_formats.go via fx_codec_opts); applied to the epoch-ns
+    long columns named in ``time_cols`` BEFORE collect, so the formatting
+    runs distributed (date_format, JVM-side), not on the driver."""
     import csv as _csv
 
+    if timeformat:
+        from neo_server_spark.functions import timefn
+
+        for tc in time_cols:
+            if tc in df.columns:
+                df = df.withColumn(tc, timefn.str_time_named(tc, timeformat))
     cols, rows = _collect(df, limit)
     buf = io.StringIO()
     w = _csv.writer(buf, delimiter=delimiter, lineterminator="\n")

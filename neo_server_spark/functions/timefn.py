@@ -110,3 +110,115 @@ def time_range(from_ns: int, duration: str | int, period: str | int | None = Non
     d = parse_duration(duration)
     p = parse_duration(period) if period is not None else d
     return from_ns, from_ns + d, p
+
+
+# ---------------------------------------------------------------------------
+# Named timeformats (mods/util/time_formats.go:15-47): the reference resolves
+# sink timeformat('RFC3339') etc. to Go reference-time layouts.  We keep the
+# identical name->layout registry and convert layouts to Java
+# DateTimeFormatter patterns so formatting stays JVM-side (date_format).
+# ---------------------------------------------------------------------------
+
+TIMEFORMATS = {
+    "-":           "2006-01-02 15:04:05.999",
+    "DEFAULT":     "2006-01-02 15:04:05.999",
+    "DEFAULT_MS":  "2006-01-02 15:04:05.999",
+    "DEFAULT_US":  "2006-01-02 15:04:05.999999",
+    "DEFAULT_NS":  "2006-01-02 15:04:05.999999999",
+    "DEFAULT.MS":  "2006-01-02 15:04:05.000",
+    "DEFAULT.US":  "2006-01-02 15:04:05.000000",
+    "DEFAULT.NS":  "2006-01-02 15:04:05.000000000",
+    "NUMERIC":     "01/02 03:04:05PM '06 -0700",
+    "ANSIC":       "Mon Jan _2 15:04:05 2006",
+    "UNIX":        "Mon Jan _2 15:04:05 MST 2006",
+    "RUBY":        "Mon Jan 02 15:04:05 -0700 2006",
+    "RFC822":      "02 Jan 06 15:04 MST",
+    "RFC822Z":     "02 Jan 06 15:04 -0700",
+    "RFC850":      "Monday, 02-Jan-06 15:04:05 MST",
+    "RFC1123":     "Mon, 02 Jan 2006 15:04:05 MST",
+    "RFC1123Z":    "Mon, 02 Jan 2006 15:04:05 -0700",
+    "RFC3339":     "2006-01-02T15:04:05Z07:00",
+    "RFC3339NANO": "2006-01-02T15:04:05.999999999Z07:00",
+    "DATETIME":    "2006-01-02 15:04:05",
+    "KITCHEN":     "3:04:05PM",
+    "STAMP":       "Jan _2 15:04:05",
+    "STAMPMILLI":  "Jan _2 15:04:05.000",
+    "STAMPMICRO":  "Jan _2 15:04:05.000000",
+    "STAMPNANO":   "Jan _2 15:04:05.000000000",
+    "S_NS":        "05.999999999",
+    "S_US":        "05.999999",
+    "S_MS":        "05.999",
+    "S.NS":        "05.000000000",
+    "S.US":        "05.000000",
+    "S.MS":        "05.000",
+}
+
+
+def get_timeformat(name: str) -> str:
+    """util.GetTimeformat: resolve a format name to its Go layout; unknown
+    names pass through as custom layouts (time_formats.go:7-12)."""
+    return TIMEFORMATS.get(name.upper(), name)
+
+
+#: Go layout token -> Java DateTimeFormatter token, longest-match-first.
+#: ``_2`` (space-padded day) has no Java equivalent — approximated by ``d``.
+_GO_TO_JAVA = [
+    ("2006", "yyyy"), ("January", "MMMM"), ("Monday", "EEEE"),
+    ("Jan", "MMM"), ("Mon", "EEE"), ("MST", "zzz"),
+    ("Z07:00", "XXX"), ("-0700", "xx"),
+    ("15", "HH"), ("01", "MM"), ("02", "dd"), ("03", "hh"),
+    ("04", "mm"), ("05", "ss"), ("06", "yy"), ("_2", "d"),
+    ("PM", "a"), ("3", "h"), ("4", "m"), ("5", "s"), ("2", "d"), ("1", "M"),
+]
+
+_FRAC_RE = re.compile(r"\.(9+|0+)$")
+
+
+def go_layout_to_java(layout: str) -> tuple[str, int, bool]:
+    """Go reference-time layout -> (java_pattern, frac_digits, frac_trim).
+
+    The fractional-seconds suffix (`.999` trims trailing zeros, `.000` pads)
+    is returned separately: Spark TimestampType is µs, so ns fractions are
+    rendered exactly from the epoch-ns long instead (str_time_named)."""
+    frac_digits, frac_trim = 0, False
+    m = _FRAC_RE.search(layout)
+    if m:
+        frac_digits, frac_trim = len(m.group(1)), m.group(1)[0] == "9"
+        layout = layout[:m.start()]
+    out, i = [], 0
+    while i < len(layout):
+        for go, java in _GO_TO_JAVA:
+            if layout.startswith(go, i):
+                out.append(java)
+                i += len(go)
+                break
+        else:
+            ch = layout[i]
+            if ch == "'":
+                out.append("''")
+            elif ch.isalpha():
+                out.append(f"'{ch}'")
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out), frac_digits, frac_trim
+
+
+def str_time_named(c: Column | str, name_or_layout: str) -> Column:
+    """Format an epoch-ns long with a named reference timeformat
+    ('RFC3339', 'Default_ns', ... or a raw Go layout).  The whole expression
+    is JVM-side; ns fraction digits come from the long itself, so precision
+    beyond TimestampType's µs is exact.  Zone tokens render for the session
+    timezone (UTC in our engine convention)."""
+    pattern, frac_digits, frac_trim = go_layout_to_java(get_timeformat(name_or_layout))
+    t = _col(c).cast("long")
+    base = F.date_format(to_timestamp_ns(t), pattern)
+    if not frac_digits:
+        return base
+    frac = F.substring(F.lpad(F.pmod(t, F.lit(SECOND)).cast("string"), 9, "0"),
+                       1, frac_digits)
+    if frac_trim:
+        # Go's .999…: drop trailing zeros, and the dot when fraction is zero.
+        trimmed = F.regexp_replace(frac, "0+$", "")
+        return F.when(trimmed == "", base).otherwise(F.concat(base, F.lit("."), trimmed))
+    return F.concat(base, F.lit("."), frac)

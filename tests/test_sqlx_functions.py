@@ -252,3 +252,42 @@ def test_geo_shape_builders(spark):
     # polygon ring auto-closes back to the first vertex
     assert pg["coordinates"][0][0] == pg["coordinates"][0][-1] == [127.0, 37.0]
     assert len(pg["coordinates"][0]) == 4
+
+
+def test_named_timeformats_go_parity(spark):
+    """Pin str_time_named against Go time.Format outputs for the registry in
+    mods/util/time_formats.go (instant 2023-03-14T01:02:03.456789012Z; Go
+    outputs computed from the stdlib layout rules)."""
+    ns = 1678755723_456789012  # 2023-03-14 01:02:03.456789012 UTC (a Tuesday)
+    zero_frac = 1678755723_000000000
+    df = spark.createDataFrame([(ns,), (zero_frac,)], "t long")
+
+    expect = {
+        "Default":     ["2023-03-14 01:02:03.456", "2023-03-14 01:02:03"],
+        "Default_ns":  ["2023-03-14 01:02:03.456789012", "2023-03-14 01:02:03"],
+        "Default.us":  ["2023-03-14 01:02:03.456789", "2023-03-14 01:02:03.000000"],
+        "DateTime":    ["2023-03-14 01:02:03", "2023-03-14 01:02:03"],
+        "RFC3339":     ["2023-03-14T01:02:03Z", "2023-03-14T01:02:03Z"],
+        "Kitchen":     ["1:02:03AM", "1:02:03AM"],
+        "Ansic":       ["Tue Mar 14 01:02:03 2023", "Tue Mar 14 01:02:03 2023"],
+        "Stamp":       ["Mar 14 01:02:03", "Mar 14 01:02:03"],
+        "StampMilli":  ["Mar 14 01:02:03.456", "Mar 14 01:02:03.000"],
+        "RFC1123":     ["Tue, 14 Mar 2023 01:02:03 UTC", "Tue, 14 Mar 2023 01:02:03 UTC"],
+        "s.ms":        ["03.456", "03.000"],
+        "s_ns":        ["03.456789012", "03"],
+    }
+    sel = [timefn.str_time_named("t", name).alias(f"c{i}")
+           for i, name in enumerate(expect)]
+    rows = df.orderBy(F.desc("t")).select(sel).collect()
+    for i, (name, want) in enumerate(expect.items()):
+        got = [rows[0][i], rows[1][i]]
+        assert got == want, f"{name}: {got} != {want}"
+
+
+def test_csv_timeformat_option(spark):
+    from neo_server_spark.codecs import encoders
+
+    df = spark.createDataFrame(
+        [("a", 1678755723_456000000, 1.5)], "name string, time long, value double")
+    out = encoders.to_csv(df, timeformat="Default")
+    assert out == "name,time,value\na,2023-03-14 01:02:03.456,1.5\n"
