@@ -554,6 +554,22 @@ def _q_math_funcs(spark, sf_dir):
     )
 
 
+def _q_time_format(spark, sf_dir):
+    """Named timeformat rendering (mods/util/time_formats.go via the sinks'
+    timeformat() option): DATETIME / RFC3339 / Default.ms layouts as
+    JVM-side date_format expressions with exact sub-second digits."""
+    from neo_server_spark.functions import timefn
+
+    ev = nio.load_table(spark, sf_dir, "events")
+    t = F.col("ts").cast("long")
+    return ev.select(
+        "event_id",
+        timefn.str_time_named(t, "DateTime").alias("f_datetime"),
+        timefn.str_time_named(t, "RFC3339").alias("f_rfc3339"),
+        timefn.str_time_named(t, "Default.ms").alias("f_ms"),
+    )
+
+
 def _q_fake_gens(spark, sf_dir):
     """FAKE generators (fm_fake.go): linspace x arrange meshgrid grid with a
     sphere-style trig surface value.  Exact-binary grid steps (halves) so the
@@ -988,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_ops": _q_projection_ops,
         "scalar_funcs": _q_scalar_funcs,
         "math_funcs": _q_math_funcs,
+        "time_format": _q_time_format,
         "fake_gens": _q_fake_gens,
         "csv_source": _q_csv_source,
         "show_tags": _q_show_tags,
@@ -1385,6 +1402,13 @@ def oracle_sql() -> dict[str, str]:
                    value - 2.0 * round_even(value / 2.0, 0) AS rem,
                    least(value, 100.0) AS mn,
                    greatest(value, 100.0) AS mx
+            FROM events
+        """,
+        "time_format": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS f_datetime,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS f_rfc3339,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS f_ms
             FROM events
         """,
         "fake_gens": """
