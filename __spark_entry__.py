@@ -554,6 +554,19 @@ def _q_math_funcs(spark, sf_dir):
     )
 
 
+def _q_range_join(spark, sf_dir):
+    """Range-bucket join (extension, SURVEY §2.8): rows joined to [low, high)
+    value buckets via a broadcast non-equi join — the scale-safe shape for a
+    tiny bucket dimension (BroadcastNestedLoopJoin, no shuffle of the fact
+    side)."""
+    ranges = spark.createDataFrame(
+        [(i * 100.0, (i + 1) * 100.0, f"b{i}") for i in range(10)],
+        "low double, high double, bucket string")
+    ev = nio.load_table(spark, sf_dir, "events").select("event_id", "value")
+    return joins.range_bucket_join(ev, ranges, "value") \
+        .select("event_id", "value", "bucket")
+
+
 def _q_time_format(spark, sf_dir):
     """Named timeformat rendering (mods/util/time_formats.go via the sinks'
     timeformat() option): DATETIME / RFC3339 / Default.ms layouts as
@@ -1005,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_funcs": _q_scalar_funcs,
         "math_funcs": _q_math_funcs,
         "time_format": _q_time_format,
+        "range_join": _q_range_join,
         "fake_gens": _q_fake_gens,
         "csv_source": _q_csv_source,
         "show_tags": _q_show_tags,
@@ -1403,6 +1417,14 @@ def oracle_sql() -> dict[str, str]:
                    least(value, 100.0) AS mn,
                    greatest(value, 100.0) AS mx
             FROM events
+        """,
+        "range_join": """
+            SELECT event_id, value, bucket
+            FROM events LEFT JOIN (
+                SELECT i * 100.0 AS low, (i + 1) * 100.0 AS high,
+                       'b' || CAST(i AS VARCHAR) AS bucket
+                FROM generate_series(0, 9) t(i)
+            ) r ON value >= low AND value < high
         """,
         "time_format": """
             SELECT event_id,
