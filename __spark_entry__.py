@@ -961,6 +961,66 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _q_tpch_q4(spark, sf_dir):
+    """Order-priority count with an EXISTS subquery (late-shipped lineitem)
+    — planned as a LEFT SEMI join so the lineitem side deduplicates during
+    the join instead of materializing matches; the o_orderdate range filter
+    is pushed to the orders scan."""
+    o = nio.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01")))
+    li = nio.load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+               "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_tpch_q14(spark, sf_dir):
+    """Promo-revenue ratio: lineitem ⨝ broadcast(part) with a conditional
+    (CASE-guarded) numerator and shared denominator in ONE aggregate pass —
+    the reference's DECODE/CASE-in-agg pattern (http_lake.go:794) at TPC-H
+    shape.  part is dimension-sized at any SF that matters → broadcast, so
+    the fact side never shuffles before the single-row agg."""
+    li = nio.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01")))
+    p = nio.load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(
+            100 * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
+                        .otherwise(F.lit(0.0))) / F.sum(rev), 6,
+        ).alias("promo_revenue"))
+    )
+
+
+def _q_tpch_q10(spark, sf_dir):
+    """Returned-item top customers: lineitem(R-flag) ⨝ orders(qtr) ⨝
+    customer ⨝ broadcast(nation), groupBy customer, top-20 by revenue —
+    TakeOrderedAndProject caps the sort at k instead of a full global sort."""
+    li = nio.load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = nio.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01")))
+    c = nio.load_table(spark, sf_dir, "customer")
+    n = nio.load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 def _q_salted_join(spark, sf_dir):
     """Skew-salted equi-join (joins.salted_join): events sharded across 4
     sub-keys per user, per-user totals replicated 4x — row-identical to the
@@ -1045,6 +1105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_builder": _q_query_builder,
         "map_kalman": _q_map_kalman,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q10": _q_tpch_q10,
         "salted_join": _q_salted_join,
     }
 
@@ -1674,5 +1737,34 @@ def oracle_sql() -> dict[str, str]:
               AND r_name = 'ASIA'
               AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
             GROUP BY n_name
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q14": """
+            SELECT round(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
     }
