@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from neo_server_spark import io as nio
 from neo_server_spark.operators import joins, maps, series, stats
 from neo_server_spark.operators.group import agg, entropy_of, group, mode_det, timewindow
-from neo_server_spark.datapipe import dedup, similarity, text
+from neo_server_spark.datapipe import dedup, sampling, similarity, text
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -961,6 +961,37 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (datapipe.sampling): keep 25%
+    of en, all of de, half of fr/es, none of zh — decided by md5(doc_id), so
+    the sample is identical on any engine/cluster/partitioning and stable
+    under appends.  Scan-side filter, zero shuffle."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_sample(
+            docs, {"en": 0.25, "de": 1.0, "fr": 0.5, "es": 0.5}, by="lang")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction (datapipe.text.scrub_pii): synthetic email/IP/phone are
+    woven into each doc from doc_id, then scrubbed by the chained
+    regexp_replace patterns — all JVM-side, codegen'd, UDF-free."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit("u"), did, F.lit("@ex.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7 call +1-555-000-"),
+        did, F.lit(" "), F.substring("text", 1, 40))
+    return (
+        text.scrub_pii(docs.withColumn("raw", raw), "raw", out="scrubbed")
+        .select("doc_id", "scrubbed")
+        .orderBy("doc_id")
+    )
+
+
 def _q_tpch_q4(spark, sf_dir):
     """Order-priority count with an EXISTS subquery (late-shipped lineitem)
     — planned as a LEFT SEMI join so the lineitem side deduplicates during
@@ -1108,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": _q_tpch_q4,
         "tpch_q14": _q_tpch_q14,
         "tpch_q10": _q_tpch_q10,
+        "stratified_sample": _q_stratified_sample,
+        "pii_scrub": _q_pii_scrub,
         "salted_join": _q_salted_join,
     }
 
@@ -1766,5 +1799,33 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE CASE lang
+                    WHEN 'en' THEN '{sampling.sample_threshold(0.25)}'
+                    WHEN 'de' THEN '{sampling.sample_threshold(1.0)}'
+                    WHEN 'fr' THEN '{sampling.sample_threshold(0.5)}'
+                    WHEN 'es' THEN '{sampling.sample_threshold(0.5)}'
+                    ELSE '' END != ''
+              AND substr(md5(cast(doc_id AS VARCHAR)), 1, 8) <=
+                  CASE lang
+                    WHEN 'en' THEN '{sampling.sample_threshold(0.25)}'
+                    WHEN 'de' THEN '{sampling.sample_threshold(1.0)}'
+                    WHEN 'fr' THEN '{sampling.sample_threshold(0.5)}'
+                    WHEN 'es' THEN '{sampling.sample_threshold(0.5)}'
+                    ELSE '' END
+            ORDER BY doc_id
+        """,
+        "pii_scrub": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       'u' || doc_id || '@ex.com ip 10.0.' || (doc_id % 256)
+                           || '.7 call +1-555-000-' || doc_id || ' '
+                           || substr(text, 1, 40),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS scrubbed
+            FROM documents ORDER BY doc_id
         """,
     }

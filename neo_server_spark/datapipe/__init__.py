@@ -8,4 +8,4 @@ projections, hash-partitioned shuffles on bounded keys, broadcast for small
 sides, no driver-side loops.
 """
 
-from neo_server_spark.datapipe import dedup, similarity, text, multimodal  # noqa: F401
+from neo_server_spark.datapipe import dedup, sampling, similarity, text, multimodal  # noqa: F401

@@ -105,6 +105,30 @@ def fingerprint(docs: DataFrame, text_col: str = "text", out: str = "fp") -> Dat
     return docs.withColumn(out, F.md5(F.lower(F.col(text_col))))
 
 
+#: PII scrub patterns, applied in order (email before phone so the phone
+#: pattern never bites into an address's digits; IP before phone likewise).
+#: Every pattern is valid in both Java regex (Spark) and RE2 (DuckDB oracle).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text",
+              out: str | None = None) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-like digit runs.
+
+    Pure chained ``regexp_replace`` — JVM-side, codegen'd, no UDF — so it
+    runs at scan speed over any corpus size.  Patterns deliberately favor
+    recall (a scrubbed-too-much token is cheap; a leaked identifier is not).
+    """
+    c = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return docs.withColumn(out or text_col, c)
+
+
 def shingles(text_col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (input to MinHash / Jaccard dedup)."""
     toks = tokens(text_col)

@@ -111,3 +111,70 @@ def test_frame_sample_plan(spark):
     plan = multimodal.frame_sample_plan(assets, every_ms=500)
     vids = assets.filter(F.col("modality") == "video").count()
     assert plan.count() > vids  # multiple frames per video
+
+
+# ---------------------------------------------------------------------------
+# sampling: deterministic hash-based sampling / splits
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from neo_server_spark import io as nio
+    return nio.load_table(spark, "/root/testdata/sf0.001", "documents")
+
+
+def test_hash_sample_deterministic_and_nested(corpus):
+    from neo_server_spark.datapipe import sampling
+    a = {r.doc_id for r in sampling.hash_sample(corpus, 0.5).select("doc_id").collect()}
+    b = {r.doc_id for r in sampling.hash_sample(corpus, 0.5).select("doc_id").collect()}
+    assert a == b                       # pure function of doc_id
+    small = {r.doc_id for r in sampling.hash_sample(corpus, 0.2).select("doc_id").collect()}
+    assert small <= a                   # thresholds nest: 0.2-sample ⊂ 0.5-sample
+    n = corpus.count()
+    assert 0.3 * n < len(a) < 0.7 * n
+
+
+def test_hash_sample_seed_independence(corpus):
+    from neo_server_spark.datapipe import sampling
+    a = {r.doc_id for r in sampling.hash_sample(corpus, 0.5, seed="s1").select("doc_id").collect()}
+    b = {r.doc_id for r in sampling.hash_sample(corpus, 0.5, seed="s2").select("doc_id").collect()}
+    assert a != b
+
+
+def test_hash_sample_edge_fractions(corpus):
+    from neo_server_spark.datapipe import sampling
+    assert sampling.hash_sample(corpus, 0.0).count() == 0
+    assert sampling.hash_sample(corpus, 1.0).count() == corpus.count()
+
+
+def test_stratified_sample_respects_strata(corpus):
+    from neo_server_spark.datapipe import sampling
+    out = sampling.stratified_sample(corpus, {"en": 1.0, "zh": 0.0}, by="lang")
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert "zh" not in langs and "en" in langs
+    n_en = corpus.filter("lang = 'en'").count()
+    assert out.filter("lang = 'en'").count() == n_en   # fraction 1.0 keeps all
+
+
+def test_split_disjoint_exhaustive(corpus):
+    from neo_server_spark.datapipe import sampling
+    parts = sampling.split(corpus, {"train": 8, "val": 1, "test": 1})
+    ids = [frozenset(r.doc_id for r in p.select("doc_id").collect())
+           for p in parts.values()]
+    n = corpus.count()
+    assert sum(len(s) for s in ids) == n                       # exhaustive
+    assert len(ids[0] | ids[1] | ids[2]) == n                  # disjoint
+    assert len(ids[0]) > len(ids[1]) and len(ids[0]) > len(ids[2])
+
+
+def test_scrub_pii_patterns(spark):
+    rows = [(0, "mail bob.smith+x@corp.example.org now"),
+            (1, "server at 192.168.1.100 port 80"),
+            (2, "call +1-555-867-5309 today"),
+            (3, "clean text with numbers 12 and 3.4")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.text for r in text.scrub_pii(df).collect()}
+    assert out[0] == "mail <EMAIL> now"
+    assert out[1] == "server at <IP> port 80"
+    assert out[2] == "call <PHONE> today"
+    assert out[3] == "clean text with numbers 12 and 3.4"
