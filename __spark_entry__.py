@@ -961,6 +961,21 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: n-gram Jaccard pairs → connected
+    components (distributed min-label propagation, lineage-checkpointed per
+    round) → canonical id per document.  Oracle re-derives the same
+    components with a recursive CTE."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05,
+                                      prefilter_col="lang")
+    return (
+        dedup.dedup_clusters(docs, pairs)
+        .select("doc_id", "canonical_id")
+        .orderBy("doc_id")
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-language downsampling (datapipe.sampling): keep 25%
     of en, all of de, half of fr/es, none of zh — decided by md5(doc_id), so
@@ -1141,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": _q_tpch_q10,
         "stratified_sample": _q_stratified_sample,
         "pii_scrub": _q_pii_scrub,
+        "dedup_clusters": _q_dedup_clusters,
         "salted_join": _q_salted_join,
     }
 
@@ -1827,5 +1843,28 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                        '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS scrubbed
             FROM documents ORDER BY doc_id
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, lang,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 3 + 1, 1) + 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+              FROM documents
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.05
+            ), e AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL
+              SELECT id_b, id_a FROM p
+            ), reach(id, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.src, r.comp FROM e JOIN reach r ON e.dst = r.id
+            )
+            SELECT id AS doc_id, min(comp) AS canonical_id
+            FROM reach GROUP BY id ORDER BY doc_id
         """,
     }

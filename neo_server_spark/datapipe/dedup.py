@@ -222,3 +222,66 @@ def _hyperplane(dim: Column, seed: int) -> Column:
         F.sequence(F.lit(0), dim - 1),
         lambda i: F.when(F.xxhash64(i, F.lit(seed)) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
     )
+
+
+# ------------------------------------------------- cluster resolution
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iters: int = 25) -> DataFrame:
+    """Resolve similarity pairs into duplicate clusters: (id, comp) where
+    ``comp`` is the minimum id reachable through the pair graph.
+
+    Distributed min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one join + one groupBy per
+    round), converging in O(component diameter) rounds — dedup clusters are
+    shallow (near-cliques from banding), so 2-4 rounds in practice.  Each
+    round is ``localCheckpoint``-ed: iterative self-joins otherwise stack
+    lineage and replan from the scan every round.  The driver only ever sees
+    a per-round changed-row COUNT, never data.  (For graphs with long chains
+    swap in the large-star/small-star round pair; the fixpoint loop and
+    checkpointing stay identical.)
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(labels.id,
+                    F.least(labels.comp, F.coalesce("nbr_comp", labels.comp))
+                    .alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   keep: bool = False) -> DataFrame:
+    """Attach a ``canonical_id`` (min id of the duplicate cluster; itself if
+    unpaired) to every document.  ``keep=True`` instead returns only cluster
+    representatives — the dedup'd corpus."""
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    out = docs.join(comp, id_col, "left").withColumn(
+        "canonical_id", F.coalesce("comp", F.col(id_col))).drop("comp")
+    if keep:
+        out = out.filter(F.col(id_col) == F.col("canonical_id"))
+    return out

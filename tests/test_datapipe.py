@@ -178,3 +178,19 @@ def test_scrub_pii_patterns(spark):
     assert out[1] == "server at <IP> port 80"
     assert out[2] == "call <PHONE> today"
     assert out[3] == "clean text with numbers 12 and 3.4"
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3-4 plus isolated pair 10-11: transitivity must label the
+    # whole chain with its minimum even though 1 and 4 never share a pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    comp = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_keep(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["id_a", "id_b"])
+    out = dedup.dedup_clusters(docs, pairs, keep=True)
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {0, 3, 4}   # 1,2 collapse into 0; unpaired docs survive
