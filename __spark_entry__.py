@@ -961,6 +961,20 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _q_vocab_topk(spark, sf_dir):
+    """Corpus top-100 vocabulary: explode → map-side-combined hash agg →
+    TakeOrderedAndProject (shuffle is O(vocab), sort capped at k)."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return text.vocab(docs, top_k=100).withColumnRenamed("count", "cnt")
+
+
+def _q_embedding_stats(spark, sf_dir):
+    """Embedding-quality profile per label: dim drift, L2-norm spread,
+    zero-vector count — one scan, JVM-side fold, one hash agg."""
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_stats(emb, by="label").orderBy("label")
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup cluster resolution: n-gram Jaccard pairs → connected
     components (distributed min-label propagation, lineage-checkpointed per
@@ -1157,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pii_scrub": _q_pii_scrub,
         "dedup_clusters": _q_dedup_clusters,
+        "vocab_topk": _q_vocab_topk,
+        "embedding_stats": _q_embedding_stats,
         "salted_join": _q_salted_join,
     }
 
@@ -1866,5 +1882,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(comp) AS canonical_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "vocab_topk": """
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            WHERE token != ''
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 100
+        """,
+        "embedding_stats": """
+            WITH n AS (
+              SELECT label, len(embedding) AS d,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings
+            )
+            SELECT label, count(*) AS n_vecs,
+                   min(d) AS min_dim, max(d) AS max_dim,
+                   round(avg(nrm), 6) AS avg_norm,
+                   round(min(nrm), 6) AS min_norm,
+                   round(max(nrm), 6) AS max_norm,
+                   sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS n_zero
+            FROM n GROUP BY label ORDER BY label
         """,
     }

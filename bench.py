@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q6",
     "tpch_q5",
+    "tpch_q4",
+    "tpch_q10",
+    "tpch_q14",
     "join_revenue",
     "stats_aggs",
     "lake_pivot",
@@ -44,6 +47,8 @@ BENCH_QUERIES = [
     "token_counts",
     "dedup_exact",
     "similarity_topk",
+    "stratified_sample",
+    "pii_scrub",
 ]
 
 

@@ -153,3 +153,30 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame, query_vec,
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_stats(emb: DataFrame, vec_col: str = "embedding",
+                    by: str | None = None) -> DataFrame:
+    """Embedding-quality profile: dim / L2-norm / zero-vector checks,
+    optionally per ``by`` group (e.g. label).  One scan, one hash-agg —
+    the norms are JVM-side ``aggregate`` folds, never Python.
+
+    Training-data gate: catches truncated vectors (dim drift), collapsed
+    (zero) embeddings, and un-normalized batches before they poison ANN
+    indexes or contrastive training.
+    """
+    norm = norm_expr(F.col(vec_col))
+    keys = [by] if by else []
+    return (
+        emb.select(*keys, F.size(vec_col).alias("__d"), norm.alias("__n"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("__d").alias("min_dim"),
+            F.max("__d").alias("max_dim"),
+            F.round(F.avg("__n"), 6).alias("avg_norm"),
+            F.round(F.min("__n"), 6).alias("min_norm"),
+            F.round(F.max("__n"), 6).alias("max_norm"),
+            F.sum(F.when(F.col("__n") == 0, 1).otherwise(0)).alias("n_zero"),
+        )
+    )

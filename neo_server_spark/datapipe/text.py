@@ -136,3 +136,22 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
+
+
+def vocab(docs: DataFrame, text_col: str = "text", top_k: int | None = None,
+          min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: (token, count) by descending frequency.
+
+    explode → hash-agg; partial (map-side) aggregation collapses each
+    partition's token stream before the single shuffle on the token, so
+    shuffle volume is O(vocabulary), not O(corpus tokens).  ``top_k``
+    compiles to TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.col("count").desc(), F.col("token"))
+    )
+    return counts.limit(top_k) if top_k else counts

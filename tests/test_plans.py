@@ -96,3 +96,28 @@ def test_aggregate_stays_in_codegen(spark, sf_dir):
     executed = out._jdf.queryExecution().executedPlan().toString()
     assert "*(" in executed          # WholeStageCodegen stage markers
     assert "BatchEvalPython" not in executed  # no row-at-a-time Python in the path
+
+
+def test_tpch_q4_semi_join_and_pushdown(spark, sf_dir):
+    import __spark_entry__ as e
+    plan = plan_of(e.queries()["tpch_q4"](spark, sf_dir))
+    assert "LeftSemi" in plan                 # EXISTS stays a semi join
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or \
+           "GreaterThanOrEqual(o_orderdate" in plan  # date range reaches the scan
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    from neo_server_spark import io as nio
+    from neo_server_spark.datapipe import text
+    docs = nio.load_table(spark, sf_dir, "documents")
+    plan = plan_of(text.vocab(docs, top_k=100))
+    assert "TakeOrderedAndProject" in plan    # top-k, never a global sort
+
+
+def test_stratified_sample_is_scan_side_filter(spark, sf_dir):
+    from neo_server_spark import io as nio
+    from neo_server_spark.datapipe import sampling
+    docs = nio.load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(docs, {"en": 0.25, "de": 1.0}, by="lang")
+    plan = plan_of(out.select("doc_id"))
+    assert "Exchange" not in plan             # pure filter: no shuffle at any SF
