@@ -961,6 +961,27 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _q_lm_score(spark, sf_dir):
+    """Unigram LM quality score: corpus vocabulary broadcast into the
+    token-occurrence join — token stream never shuffles."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return text.lm_score(docs).orderBy("doc_id")
+
+
+def _q_tokens_bpe(spark, sf_dir):
+    """Regex (BPE-pre-tokenizer) token counts over punctuated text — word
+    runs and punctuation marks counted as separate tokens."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    punct = F.concat(F.lit("Dr. "), F.col("source"), F.lit(": \""),
+                     F.substring("text", 1, 30), F.lit("\" (v1.2, ok!)"))
+    return (
+        docs.select("doc_id",
+                    F.size(text.tokens_re(punct)).alias("n_bpe_tokens"),
+                    F.size(text.tokens(F.substring("text", 1, 30))).alias("n_ws_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_vocab_topk(spark, sf_dir):
     """Corpus top-100 vocabulary: explode → map-side-combined hash agg →
     TakeOrderedAndProject (shuffle is O(vocab), sort capped at k)."""
@@ -1173,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "vocab_topk": _q_vocab_topk,
         "embedding_stats": _q_embedding_stats,
+        "lm_score": _q_lm_score,
+        "tokens_bpe": _q_tokens_bpe,
         "salted_join": _q_salted_join,
     }
 
@@ -1882,6 +1905,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(comp) AS canonical_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "lm_score": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+            ), tk AS (SELECT * FROM tok WHERE token != ''),
+            v AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+            t AS (SELECT sum(c) AS s FROM v)
+            SELECT doc_id, round(avg(ln(c * 1.0 / s)), 6) AS lm_score,
+                   count(*) AS n_tokens
+            FROM tk JOIN v USING (token), t
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "tokens_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                       'Dr. ' || source || ': "' || substr(text, 1, 30) || '" (v1.2, ok!)',
+                       '\w+|[^\w\s]')) AS n_bpe_tokens,
+                   len(string_split(substr(text, 1, 30), ' ')) AS n_ws_tokens
+            FROM documents ORDER BY doc_id
         """,
         "vocab_topk": """
             SELECT token, count(*) AS cnt

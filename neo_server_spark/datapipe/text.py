@@ -155,3 +155,40 @@ def vocab(docs: DataFrame, text_col: str = "text", top_k: int | None = None,
         .orderBy(F.col("count").desc(), F.col("token"))
     )
     return counts.limit(top_k) if top_k else counts
+
+
+def tokens_re(text_col: Column | str = "text",
+              pattern: str = r"\w+|[^\w\s]") -> Column:
+    """Regex tokenization (BPE-style pre-tokenizer shape: word runs and
+    individual punctuation marks as separate tokens)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(c, F.lit(pattern), 0)
+
+
+def lm_score(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model score per document: mean ln p(token) under the
+    corpus's own unigram distribution (a perplexity proxy — gibberish and
+    boilerplate both surface as outliers).
+
+    Two passes over the tokens, no driver round-trip: the vocabulary and its
+    total are aggregated once and BROADCAST into the per-token join, so the
+    big side (every token occurrence) is never shuffled — at 100 TB the
+    vocabulary is the only thing that moves.
+    """
+    tok = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    v = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = v.agg(F.sum("__c").alias("__total"))
+    return (
+        tok.join(F.broadcast(v), "token")
+        .join(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(F.round(F.avg(F.log(F.col("__c") / F.col("__total"))), 6)
+             .alias("lm_score"),
+             F.count(F.lit(1)).alias("n_tokens"))
+    )
