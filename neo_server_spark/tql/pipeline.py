@@ -320,6 +320,26 @@ class Pipeline:
         from neo_server_spark.datapipe import text as T
         return self._wrap(T.fingerprint(self.df, text_col, **kw))
 
+    def scrub_pii(self, text_col: str = "text", **kw) -> "Pipeline":
+        from neo_server_spark.datapipe import text as T
+        return self._wrap(T.scrub_pii(self.df, text_col, **kw))
+
+    def lm_score(self, text_col: str = "text", **kw) -> "Pipeline":
+        from neo_server_spark.datapipe import text as T
+        return self._wrap(T.lm_score(self.df, text_col, **kw))
+
+    def sample(self, fraction: float, id_col: str = "doc_id", seed: str = "") -> "Pipeline":
+        from neo_server_spark.datapipe import sampling
+        return self._wrap(sampling.hash_sample(self.df, fraction, id_col, seed))
+
+    def stratified_sample(self, fractions: dict, by: str = "lang", **kw) -> "Pipeline":
+        from neo_server_spark.datapipe import sampling
+        return self._wrap(sampling.stratified_sample(self.df, fractions, by, **kw))
+
+    def dedup_clusters(self, pairs, id_col: str = "doc_id", keep: bool = False) -> "Pipeline":
+        from neo_server_spark.datapipe import dedup
+        return self._wrap(dedup.dedup_clusters(self.df, pairs, id_col, keep))
+
     def cached(self, key: str, ttl: float, render: Callable[["Pipeline"], object]):
         """Result-cache a rendered sink (mods/tql/tqlcache.go:21-70,
         checked pre-execution in task.go:393-418): ``render`` runs only on

@@ -247,3 +247,12 @@ def test_datapipe_via_pipeline(tql, spark):
     assert p.dedup_exact().to_df().count() == 2
     out = p.quality_score().lang_id().fingerprint().to_df()
     assert {"quality", "lang_pred", "fp"} <= set(out.columns)
+    assert p.sample(1.0, id_col="doc_id").to_df().count() == 3
+    assert "lm_score" in p.lm_score().to_df().columns
+    scrubbed = tql.from_df(
+        spark.createDataFrame([(1, "mail a@b.co now")], ["doc_id", "text"])
+    ).scrub_pii().to_df().first().text
+    assert scrubbed == "mail <EMAIL> now"
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    kept = p.dedup_clusters(pairs, keep=True).to_df()
+    assert {r.doc_id for r in kept.collect()} == {1, 3}
