@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "similarity_topk",
     "stratified_sample",
     "pii_scrub",
+    "vocab_topk",
+    "lm_score",
 ]
 
 
