@@ -297,3 +297,39 @@ def test_kalman_golden(spark):
     out = series.map_kalman(df, "v", order_by="t")
     got = [round(r.kalman, 1) for r in out.orderBy("t").collect()]
     assert got == [1.3, 5.7, 5.4, 4.4]
+
+
+@needs_goldens
+def test_fft2d_golden(spark):
+    """tql_test.go:1766-1774 FAKE(oscillator(range(+1s,'1s','100us'),
+    freq(10,1), freq(50,2))) -> GROUPBYKEY -> FFT(minHz(0),maxHz(60)) vs
+    fft2d.csv (hz, ampl at precision 6)."""
+    t0 = 1_685_714_510 * 10**9
+    df = fake.oscillator(spark, [(10, 1.0), (50, 2.0)], t0, t0 + 10**9, 100_000)
+    out = series.fft(df, min_hz=0, max_hz=60)
+    got = [(r.hz, r.ampl) for r in out.orderBy("hz").collect()]
+    want = [tuple(map(float, ln.split(","))) for ln in load_golden("fft2d.csv")]
+    assert len(got) == len(want) == 59
+    for (gh, ga), (wh, wa) in zip(got, want):
+        assert gh == pytest.approx(wh, abs=2e-6)
+        assert ga == pytest.approx(wa, abs=2e-6)
+
+
+@needs_goldens
+def test_fft3d_golden(spark):
+    """tql_test.go:1796-1807 FFT_3d: same oscillator keyed by
+    roundTime(time,'500ms') -> per-bucket FFT(maxHz(60)) -> FLATTEN vs
+    fft3d.csv (bucket_ns, hz, ampl)."""
+    t0 = 1_685_714_510 * 10**9
+    half = 500_000_000
+    df = fake.oscillator(spark, [(10, 1.0), (50, 2.0)], t0, t0 + 10**9, 100_000)
+    df = df.withColumn("bucket", F.col("time") - F.pmod(F.col("time"), F.lit(half)))
+    out = series.fft(df, series=["bucket"], max_hz=60)
+    got = [(r.bucket, r.hz, r.ampl) for r in out.orderBy("bucket", "hz").collect()]
+    want = [(int(p[0]), float(p[1]), float(p[2]))
+            for p in (ln.split(",") for ln in load_golden("fft3d.csv"))]
+    assert len(got) == len(want) == 58
+    for (gb, gh, ga), (wb, wh, wa) in zip(got, want):
+        assert gb == wb
+        assert gh == pytest.approx(wh, abs=2e-6)
+        assert ga == pytest.approx(wa, abs=2e-6)
