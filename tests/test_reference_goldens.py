@@ -333,3 +333,29 @@ def test_fft3d_golden(spark):
         assert gb == wb
         assert gh == pytest.approx(wh, abs=2e-6)
         assert ga == pytest.approx(wa, abs=2e-6)
+
+
+_TRANSPOSE_ROWS = ("N001,1508806800,0.1,aa,0.2,0.3\n"
+                   "N002,1508806900,0.4,bb,0.5,0.6\n"
+                   "N003,1508807000,0.7,cc,0.8,0.9")
+_TRANSPOSE_COLS = ["name", "time", "v1", "tail", "v2", "v3"]
+
+
+@needs_goldens
+def test_transpose_fixed_header_golden(spark):
+    """transpose_hdr.tql: TRANSPOSE(header(true), fixed 0,1,3) — fixed cols
+    ride along, melted cols labeled by source column name."""
+    df = fake.from_csv_literal(spark, _TRANSPOSE_ROWS, columns=_TRANSPOSE_COLS)
+    out = maps.transpose(df, fixed=(0, 1, 3), header=True)
+    got = sorted(",".join(str(v) for v in r) for r in out.collect())
+    assert got == sorted(load_golden("transpose_hdr.csv", header=True))
+
+
+@needs_goldens
+def test_transpose_all_header_golden(spark):
+    """transpose_all_hdr.tql: TRANSPOSE(header(true)) with no fixed cols —
+    every column melts to a (label, value) row."""
+    df = fake.from_csv_literal(spark, _TRANSPOSE_ROWS, columns=_TRANSPOSE_COLS)
+    out = maps.transpose(df, header=True)
+    got = sorted(",".join(str(v) for v in r) for r in out.collect())
+    assert got == sorted(load_golden("transpose_all_hdr.csv"))
