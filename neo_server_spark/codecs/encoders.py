@@ -183,15 +183,22 @@ def to_html(df: DataFrame, limit: int | None = None) -> str:
     return "\n".join(parts) + "\n"
 
 
-def to_text(df: DataFrame, template: str | None = None, limit: int | None = None) -> str:
+def to_text(df: DataFrame, template: str | None = None, limit: int | None = None,
+            header: str | None = None, footer: str | None = None) -> str:
     """TEXT() sink — template-driven text render (mods/codec/internal/templ,
     Format TEXT).  ``template`` is a Python format string over column names
-    (our analogue of the reference's Go text/template); default is
-    tab-separated values."""
+    (our analogue of the reference's Go text/template ``.V.col``); ``header``/
+    ``footer`` are emitted once before/after the rows — the analogue of the
+    reference templates' ``.IsFirst``/``.IsLast`` guards (tql_test.go
+    sqlite-to-text).  Default is tab-separated values."""
     cols, rows = _collect(df, limit)
     if template is None:
-        return "\n".join("\t".join("" if v is None else str(v) for v in r) for r in rows) + "\n"
-    return "\n".join(template.format(**dict(zip(cols, r))) for r in rows) + "\n"
+        body = [ "\t".join("" if v is None else str(v) for v in r) for r in rows]
+    else:
+        body = [template.format(**dict(zip(cols, r))) for r in rows]
+    parts = ([header] if header is not None else []) + body + (
+        [footer] if footer is not None else [])
+    return "\n".join(parts) + "\n"
 
 
 def to_chart_spec(df: DataFrame, x: str, ys: list[str] | None = None,

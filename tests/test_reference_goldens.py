@@ -359,3 +359,21 @@ def test_transpose_all_header_golden(spark):
     out = maps.transpose(df, header=True)
     got = sorted(",".join(str(v) for v in r) for r in out.collect())
     assert got == sorted(load_golden("transpose_all_hdr.csv"))
+
+
+def test_text_sink_first_last_envelope(spark):
+    """tql_test.go:2370-2387 sqlite-to-text: per-row template with
+    .IsFirst/.IsLast guards — our header/footer analogue renders the same
+    envelope shape."""
+    from neo_server_spark.codecs import encoders
+    df = spark.createDataFrame(
+        [(100, "alpha", 10, "street-100"), (200, "bravo", 20, "street-200")],
+        ["id", "name", "age", "address"])
+    txt = encoders.to_text(df, "- {id}: {name}, {age}, {address}",
+                           header="--begin--", footer="--end--")
+    assert txt.splitlines() == [
+        "--begin--",
+        "- 100: alpha, 10, street-100",
+        "- 200: bravo, 20, street-200",
+        "--end--",
+    ]
