@@ -84,26 +84,34 @@ def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
 
 def to_json_envelope(df: DataFrame, limit: int | None = None,
                      transpose: bool = False, rows_flatten: bool = False,
-                     rows_array: bool = False) -> str:
+                     rows_array: bool = False, rownum: bool = False,
+                     types: list[str] | None = None) -> str:
     """JSON() sink — the reference HTTP envelope, byte-compatible shape:
     {"data":{"columns":[...],"types":[...],"rows":[...]},"success":true,
      "reason":"success","elapse":"..."}.  ``rows_array`` emits one object per
-    row keyed by column name (the rowsArray() option)."""
+    row keyed by column name (the rowsArray() option); option precedence and
+    the ROWNUM column follow mods/codec/internal/json/json_encode.go:114-126,
+    250-262 (rowsArray > transpose > rowsFlatten; rownum is ignored under
+    transpose); ``types`` overrides the inferred machbase type names (the
+    encoder's SetColumnTypes)."""
     tick = _time.time()
     cols, rows = _collect(df, limit)
-    types = [machbase_type(f.dataType) for f in df.schema.fields]
-    if transpose:
-        data_rows: object = [list(c) for c in zip(*rows)] if rows else []
+    types = list(types) if types else [machbase_type(f.dataType) for f in df.schema.fields]
+    if rownum and not transpose:
+        cols = ["ROWNUM", *cols]
+        types = ["int64", *types]
+        rows = [(i + 1, *r) for i, r in enumerate(rows)]
+    key = "rows"
+    if rows_array:
+        # key order inside each object is alphabetical (Go map marshalling)
+        data_rows: object = [dict(sorted(zip(cols, r))) for r in rows]
+    elif transpose:
+        data_rows = [list(c) for c in zip(*rows)] if rows else []
         key = "cols"
-    elif rows_array:
-        data_rows = [dict(zip(cols, r)) for r in rows]
-        key = "rows"
     elif rows_flatten:
         data_rows = [v for r in rows for v in r]
-        key = "rows"
     else:
-        data_rows = rows
-        key = "rows"
+        data_rows = [list(r) for r in rows]
     envelope = {
         "data": {"columns": cols, "types": types, key: data_rows},
         "success": True,

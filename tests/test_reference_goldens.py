@@ -377,3 +377,63 @@ def test_text_sink_first_last_envelope(spark):
         "- 200: bravo, 20, street-200",
         "--end--",
     ]
+
+
+@pytest.fixture(scope="module")
+def envelope_df(spark):
+    return spark.createDataFrame(
+        [("name1", 1676432363333444555, 0.1234, "Office"),
+         ("name2", 1676432364666777888, 0.2345, "Home")],
+        ["name", "time", "value", "place"])
+
+
+_ENVELOPE_TYPES = ["string", "datetime", "double", "string"]
+
+
+def _strip_elapse(s):
+    return s[:s.rindex(',"elapse')]
+
+
+def test_json_envelope_transpose_golden(envelope_df):
+    """mods/codec/internal/json/json_test.go TestEncoderTranspose — byte-exact."""
+    from neo_server_spark.codecs import encoders
+    got = _strip_elapse(encoders.to_json_envelope(
+        envelope_df, transpose=True, rows_flatten=True, types=_ENVELOPE_TYPES))
+    assert got == (
+        '{"data":{"columns":["name","time","value","place"],'
+        '"types":["string","datetime","double","string"],'
+        '"cols":[["name1","name2"],[1676432363333444555,1676432364666777888],'
+        '[0.1234,0.2345],["Office","Home"]]},"success":true,"reason":"success"')
+
+
+def test_json_envelope_rows_flatten_golden(envelope_df):
+    """json_test.go TestEncoderRowsFlatten (+WithRownum) — byte-exact."""
+    from neo_server_spark.codecs import encoders
+    got = _strip_elapse(encoders.to_json_envelope(
+        envelope_df, rows_flatten=True, types=_ENVELOPE_TYPES))
+    assert got == (
+        '{"data":{"columns":["name","time","value","place"],'
+        '"types":["string","datetime","double","string"],'
+        '"rows":["name1",1676432363333444555,0.1234,"Office",'
+        '"name2",1676432364666777888,0.2345,"Home"]},"success":true,"reason":"success"')
+    got = _strip_elapse(encoders.to_json_envelope(
+        envelope_df, rows_flatten=True, rownum=True, types=_ENVELOPE_TYPES))
+    assert got == (
+        '{"data":{"columns":["ROWNUM","name","time","value","place"],'
+        '"types":["int64","string","datetime","double","string"],'
+        '"rows":[1,"name1",1676432363333444555,0.1234,"Office",'
+        '2,"name2",1676432364666777888,0.2345,"Home"]},"success":true,"reason":"success"')
+
+
+def test_json_envelope_rows_array_golden(envelope_df):
+    """json_test.go TestEncoderRowsArray — rowsArray wins over other flags,
+    object keys alphabetical."""
+    from neo_server_spark.codecs import encoders
+    got = _strip_elapse(encoders.to_json_envelope(
+        envelope_df, rows_flatten=True, rows_array=True, types=_ENVELOPE_TYPES))
+    assert got == (
+        '{"data":{"columns":["name","time","value","place"],'
+        '"types":["string","datetime","double","string"],'
+        '"rows":[{"name":"name1","place":"Office","time":1676432363333444555,"value":0.1234},'
+        '{"name":"name2","place":"Home","time":1676432364666777888,"value":0.2345}]},'
+        '"success":true,"reason":"success"')
