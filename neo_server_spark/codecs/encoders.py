@@ -47,15 +47,18 @@ def _collect(df: DataFrame, limit: int | None):
 
 
 def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
-           precision: int = -1, substitute_null: str = "NULL",
+           precision: int = -1, substitute_null: object = "NULL",
            limit: int | None = None, timeformat: str | None = None,
-           time_cols: tuple[str, ...] = ("time",)) -> str:
+           time_cols: tuple[str, ...] = ("time",), rownum: bool = False) -> str:
     """CSV() sink — string render (mods/codec/internal/csv).
 
     ``timeformat``: a reference format name or Go layout
     (mods/util/time_formats.go via fx_codec_opts); applied to the epoch-ns
     long columns named in ``time_cols`` BEFORE collect, so the formatting
-    runs distributed (date_format, JVM-side), not on the driver."""
+    runs distributed (date_format, JVM-side), not on the driver.
+    ``rownum`` prepends a 1-based ROWNUM column; a float ``substitute_null``
+    is formatted at ``precision`` like any other float (both per
+    csv_encode_test.go TestCsvEncoder/TestCsvEncoderNullValue)."""
     import csv as _csv
 
     if timeformat:
@@ -65,6 +68,9 @@ def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
             if tc in df.columns:
                 df = df.withColumn(tc, timefn.str_time_named(tc, timeformat))
     cols, rows = _collect(df, limit)
+    if rownum:
+        cols = ["ROWNUM", *cols]
+        rows = [(i + 1, *r) for i, r in enumerate(rows)]
     buf = io.StringIO()
     w = _csv.writer(buf, delimiter=delimiter, lineterminator="\n")
     if header:
@@ -73,8 +79,8 @@ def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
         out = []
         for v in row:
             if v is None:
-                out.append(substitute_null)
-            elif isinstance(v, float) and precision >= 0:
+                v = substitute_null
+            if isinstance(v, float) and precision >= 0:
                 out.append(f"%.{precision}f" % v)
             else:
                 out.append(v)

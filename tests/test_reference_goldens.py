@@ -437,3 +437,32 @@ def test_json_envelope_rows_array_golden(envelope_df):
         '"rows":[{"name":"name1","place":"Office","time":1676432363333444555,"value":0.1234},'
         '{"name":"name2","place":"Home","time":1676432364666777888,"value":0.2345}]},'
         '"success":true,"reason":"success"')
+
+
+def test_csv_encoder_golden(spark):
+    """csv_encode_test.go TestCsvEncoder: ROWNUM + precision(3) +
+    KITCHEN timeformat, NULL substitution default."""
+    from neo_server_spark.codecs import encoders
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("col1", T.IntegerType()),
+        T.StructField("col2", T.DoubleType()),
+        T.StructField("col3", T.StringType()),
+        T.StructField("col4", T.LongType()),
+        T.StructField("col5", T.LongType()),
+        T.StructField("col6", T.IntegerType()),
+    ])
+    ts = 1691800174 * 10**9 + 123456789
+    df = spark.createDataFrame(
+        [(1, 3.141592, "text some", ts, 98765, 16),
+         (1, 3.141592, "text some", ts, 98765, None)], schema)
+    got = encoders.to_csv(df, rownum=True, precision=3,
+                          timeformat="KITCHEN", time_cols=("col4",))
+    assert got.splitlines() == [
+        "ROWNUM,col1,col2,col3,col4,col5,col6",
+        "1,1,3.142,text some,12:29:34AM,98765,16",
+        "2,1,3.142,text some,12:29:34AM,98765,NULL",
+    ]
+    got = encoders.to_csv(df, rownum=True, precision=2, substitute_null=1.234567,
+                          timeformat="KITCHEN", time_cols=("col4",))
+    assert got.splitlines()[2] == "2,1,3.14,text some,12:29:34AM,98765,1.23"
