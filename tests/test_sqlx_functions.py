@@ -115,6 +115,17 @@ def test_show_tables_and_columns(spark, sf_dir):
     assert [c.name for c in cols] == ["n_nationkey", "n_name", "n_regionkey"]
 
 
+def test_exec_table_flush(spark, sf_dir, tmp_path):
+    from neo_server_spark import io as nio
+
+    path = str(tmp_path / "flush_t")
+    nio.load_table(spark, sf_dir, "nation").write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("flush_t")
+    n0 = spark.table("flush_t").count()
+    catalog.exec_table_flush(spark, "flush_t")     # refresh is a no-op on a fresh view
+    assert spark.table("flush_t").count() == n0
+
+
 def test_show_rollup(router):
     out = catalog.show(None, "rollup", router, level="hour").collect()
     assert len(out) == 5
