@@ -162,16 +162,53 @@ def to_markdown(df: DataFrame, limit: int | None = None, html: bool = False) -> 
     return "\n".join(lines) + "\n"
 
 
-def to_box(df: DataFrame, limit: int | None = None) -> str:
-    """BOX() sink — ASCII table (mods/codec/internal/box)."""
+def to_box(df: DataFrame, limit: int | None = None, precision: int = -1,
+           timeformat: str | None = None, time_cols: tuple[str, ...] = ("time",),
+           rownum: bool = False, heading: bool = True) -> str:
+    """BOX() sink — the reference's "light" box-drawing table
+    (mods/codec/internal/box/box_encode.go): uppercased headings, ROWNUM
+    right-aligned, data cells left-aligned, NULL for nulls, floats at
+    ``precision``, time columns rendered via ``timeformat``."""
+    if timeformat:
+        from neo_server_spark.functions import timefn
+
+        for tc in time_cols:
+            if tc in df.columns:
+                df = df.withColumn(tc, timefn.str_time_named(tc, timeformat))
     cols, rows = _collect(df, limit)
-    cells = [[str(c) for c in cols]] + [["NULL" if v is None else str(v) for v in r] for r in rows]
-    widths = [max(len(row[i]) for row in cells) for i in range(len(cols))]
-    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
-    out = [sep, "|" + "|".join(f" {cells[0][i]:<{widths[i]}} " for i in range(len(cols))) + "|", sep]
-    for row in cells[1:]:
-        out.append("|" + "|".join(f" {row[i]:<{widths[i]}} " for i in range(len(cols))) + "|")
-    out.append(sep)
+
+    def fmt(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float) and precision >= 0:
+            return f"%.{precision}f" % v
+        return str(v)
+
+    data = [[fmt(v) for v in r] for r in rows]
+    if rownum:
+        cols = ["ROWNUM", *cols]
+        data = [[str(i + 1), *r] for i, r in enumerate(data)]
+    head = [str(c).upper() for c in cols]
+    widths = [max(len(head[i]), *(len(r[i]) for r in data)) if data else len(head[i])
+              for i in range(len(cols))]
+
+    def line(l, m, r):
+        return l + m.join("─" * (w + 2) for w in widths) + r
+
+    def row_line(cells, right_first):
+        parts = []
+        for i, c in enumerate(cells):
+            parts.append(f" {c:>{widths[i]}} " if (right_first and i == 0)
+                         else f" {c:<{widths[i]}} ")
+        return "│" + "│".join(parts) + "│"
+
+    out = [line("┌", "┬", "┐")]
+    if heading:
+        out.append(row_line(head, False))
+        out.append(line("├", "┼", "┤"))
+    for r in data:
+        out.append(row_line(r, rownum))
+    out.append(line("└", "┴", "┘"))
     return "\n".join(out) + "\n"
 
 

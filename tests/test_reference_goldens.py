@@ -466,3 +466,32 @@ def test_csv_encoder_golden(spark):
     got = encoders.to_csv(df, rownum=True, precision=2, substitute_null=1.234567,
                           timeformat="KITCHEN", time_cols=("col4",))
     assert got.splitlines()[2] == "2,1,3.14,text some,12:29:34AM,98765,1.23"
+
+
+def test_box_encoder_golden(spark):
+    """box_encode_test.go TestBox1: light style, uppercased headings,
+    right-aligned ROWNUM, precision(3), KITCHEN timeformat — byte-exact."""
+    from neo_server_spark.codecs import encoders
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("col1", T.IntegerType()),
+        T.StructField("col2", T.DoubleType()),
+        T.StructField("col3", T.StringType()),
+        T.StructField("col4", T.LongType()),
+        T.StructField("col5", T.LongType()),
+        T.StructField("col6", T.IntegerType()),
+    ])
+    ts = 1691800174 * 10**9 + 123456789
+    df = spark.createDataFrame(
+        [(1, 3.141592, "text some", ts, 98765, 16),
+         (1, 0.1400, "text some", ts, 98765, None)], schema)
+    got = encoders.to_box(df, rownum=True, precision=3,
+                          timeformat="KITCHEN", time_cols=("col4",))
+    assert got.splitlines() == [
+        "┌────────┬──────┬───────┬───────────┬────────────┬───────┬──────┐",
+        "│ ROWNUM │ COL1 │ COL2  │ COL3      │ COL4       │ COL5  │ COL6 │",
+        "├────────┼──────┼───────┼───────────┼────────────┼───────┼──────┤",
+        "│      1 │ 1    │ 3.142 │ text some │ 12:29:34AM │ 98765 │ 16   │",
+        "│      2 │ 1    │ 0.140 │ text some │ 12:29:34AM │ 98765 │ NULL │",
+        "└────────┴──────┴───────┴───────────┴────────────┴───────┴──────┘",
+    ]

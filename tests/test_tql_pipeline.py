@@ -80,7 +80,7 @@ def test_markdown_and_box(tql):
     md = tql.fake(fake.once(tql.spark, 7)).markdown()
     assert md.startswith("|x|")
     box = tql.fake(fake.once(tql.spark, 7)).box()
-    assert "| 7" in box
+    assert "│ 7" in box
 
 
 def test_key_ops_pipeline(tql):
