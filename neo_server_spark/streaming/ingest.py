@@ -47,6 +47,29 @@ def decode_ndjson_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     return lines.select(parsed.alias("r")).select("r.name", "r.time", "r.value")
 
 
+def decode_json_payload(payloads: DataFrame, col: str = "value") -> DataFrame:
+    """JSON write-payload decoder (mods/codec/internal/json/json_decode.go):
+    accepts either a bare rows array ``[[name,time,value],…]`` or the HTTP
+    envelope ``{"data":{"rows":[[…],…]}}`` — the two shapes the reference's
+    token scanner walks to.  One payload may carry many rows (explode);
+    malformed payloads decode to NULL and are dropped, never poisoning the
+    stream.  All JVM-side (get_json_object/from_json), no Python."""
+    rows = F.coalesce(
+        F.from_json(F.get_json_object(F.col(col), "$.data.rows"),
+                    "array<array<string>>"),
+        F.from_json(F.col(col), "array<array<string>>"),
+    )
+    return (
+        payloads.select(F.explode(rows).alias("r"))
+        .select(
+            F.get("r", 0).alias("name"),
+            F.get("r", 1).try_cast("long").alias("time"),
+            F.get("r", 2).try_cast("double").alias("value"),
+        )
+        .filter(F.col("name").isNotNull() & F.col("time").isNotNull())
+    )
+
+
 def decode_line_protocol(lines: DataFrame, col: str = "value") -> DataFrame:
     """Influx line protocol decoder (spi/do.go:15-110):
 

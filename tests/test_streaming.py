@@ -41,6 +41,17 @@ def test_decode_csv_and_ndjson(spark):
     assert (r2.name, r2.time, r2.value) == ("t", 5, 1.0)
 
 
+def test_decode_json_payload_both_shapes(spark):
+    # json_decode.go accepts a bare rows array OR the {"data":{"rows":…}}
+    # envelope; garbage payloads drop instead of erroring
+    df = spark.createDataFrame(
+        [('[["a",123,4.5],["b",456,7.25]]',),
+         ('{"data":{"rows":[["c",789,1.5]]}}',),
+         ("not json",)], ["value"])
+    got = sorted(tuple(r) for r in ingest.decode_json_payload(df).collect())
+    assert got == [("a", 123, 4.5), ("b", 456, 7.25), ("c", 789, 1.5)]
+
+
 def test_stream_append_end_to_end(spark, tmp_path):
     src = tmp_path / "incoming"
     table = tmp_path / "tagtable"
