@@ -821,6 +821,18 @@ def _q_similarity_topk(spark, sf_dir):
     return similarity.brute_force_topk(emb, query_vec_id=0, k=20)
 
 
+def _q_similarity_batch(spark, sf_dir):
+    """Batch k-NN (similarity.topk_join): tiny query set broadcast over the
+    corpus, per-query window top-k — corpus side never shuffles before the
+    k x |queries|-row rank."""
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    return (
+        similarity.topk_join(emb, qs, k=5)
+        .orderBy("query_id", F.col("cosine").desc(), "vec_id")
+    )
+
+
 def _q_similarity_ivf(spark, sf_dir):
     """IVF-bucketed ANN (datapipe/similarity.py): k-means coarse index +
     probed bucket search.  Probing ALL centroids makes the result exactly
@@ -1178,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "similarity_topk": _q_similarity_topk,
+        "similarity_batch": _q_similarity_batch,
         "similarity_ivf": _q_similarity_ivf,
         "multimodal_features": _q_multimodal_features,
         "line_protocol": _q_line_protocol,
@@ -1905,6 +1918,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(comp) AS canonical_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "similarity_batch": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                       WHERE vec_id < 3),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                     sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS dot,
+                     sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)) AS sa,
+                     sum(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS sb
+              FROM embeddings e, q, range(1, 65) t(i)
+              WHERE e.vec_id <> q.qid
+              GROUP BY q.qid, e.vec_id
+            ),
+            ranked AS (
+              SELECT qid AS query_id, vec_id, dot / (sqrt(sa) * sqrt(sb)) AS c,
+                     row_number() OVER (PARTITION BY qid
+                         ORDER BY dot / (sqrt(sa) * sqrt(sb)) DESC, vec_id) AS rk
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(c, 6) AS cosine
+            FROM ranked WHERE rk <= 5
+            ORDER BY query_id, cosine DESC, vec_id
         """,
         "lm_score": """
             WITH tok AS (
