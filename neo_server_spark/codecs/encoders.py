@@ -18,6 +18,7 @@ import io
 import json
 import time as _time
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
@@ -127,9 +128,28 @@ def to_json_envelope(df: DataFrame, limit: int | None = None,
     return json.dumps(envelope, default=str, separators=(",", ":"))
 
 
-def to_ndjson(df: DataFrame, limit: int | None = None) -> str:
-    """NDJSON() sink — one JSON object per row."""
+def to_ndjson(df: DataFrame, limit: int | None = None, rownum: bool = False,
+              timeformat: str | None = None,
+              time_cols: tuple[str, ...] = ("time",)) -> str:
+    """NDJSON() sink — one JSON object per row, keys in column order with an
+    optional leading ROWNUM, time columns rendered per ``timeformat``
+    (mods/codec/internal/ndjson/encode.go; goldens in encode_test.go).
+    ``timeformat`` "ns"/"s"/… keep epoch integers; named layouts format to
+    strings — both via the shared named-format registry, JVM-side."""
+    if timeformat and timeformat not in ("ns",):
+        from neo_server_spark.functions import timefn
+
+        for tc in time_cols:
+            if tc in df.columns:
+                if timeformat in ("s", "ms", "us"):
+                    div = {"s": 10**9, "ms": 10**6, "us": 10**3}[timeformat]
+                    df = df.withColumn(tc, (F.col(tc) / F.lit(div)).cast("long"))
+                else:
+                    df = df.withColumn(tc, timefn.str_time_named(tc, timeformat))
     cols, rows = _collect(df, limit)
+    if rownum:
+        cols = ["ROWNUM", *cols]
+        rows = [(i + 1, *r) for i, r in enumerate(rows)]
     return "\n".join(
         json.dumps(dict(zip(cols, r)), default=str, separators=(",", ":")) for r in rows
     ) + ("\n" if rows else "")

@@ -495,3 +495,23 @@ def test_box_encoder_golden(spark):
         "│      2 │ 1    │ 0.140 │ text some │ 12:29:34AM │ 98765 │ NULL │",
         "└────────┴──────┴───────┴───────────┴────────────┴───────┴──────┘",
     ]
+
+
+def test_ndjson_encoder_goldens(spark):
+    """ndjson/encode_test.go TestJsonEncode: epoch-ns default, "s"
+    timeformat, and Default-format with ROWNUM — byte-exact lines."""
+    from neo_server_spark.codecs import encoders
+    df = spark.createDataFrame(
+        [("my-car", 1670380342000000000, 1.0001),
+         ("my-car", 1670380343000000000, 2.0002)],
+        ["name", "time", "value"])
+    assert encoders.to_ndjson(df).splitlines() == [
+        '{"name":"my-car","time":1670380342000000000,"value":1.0001}',
+        '{"name":"my-car","time":1670380343000000000,"value":2.0002}']
+    assert encoders.to_ndjson(df, timeformat="s").splitlines() == [
+        '{"name":"my-car","time":1670380342,"value":1.0001}',
+        '{"name":"my-car","time":1670380343,"value":2.0002}']
+    assert encoders.to_ndjson(df, rownum=True,
+                              timeformat="2006/01/02 15:04:05").splitlines() == [
+        '{"ROWNUM":1,"name":"my-car","time":"2022/12/07 02:32:22","value":1.0001}',
+        '{"ROWNUM":2,"name":"my-car","time":"2022/12/07 02:32:23","value":2.0002}']
