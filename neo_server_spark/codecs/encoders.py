@@ -22,6 +22,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+
+def _json_default(v):
+    """JSON fallback: binary renders as 0x-hex (ndjson/encode.go:126-ish
+    BinaryFormat), everything else via str."""
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + v.hex()
+    return str(v)
+
 #: Spark type -> machbase api.DataType name (spi/machsvr/machsvr.go:919-954)
 _TYPE_NAMES = {
     T.ShortType: "int16",
@@ -125,7 +133,7 @@ def to_json_envelope(df: DataFrame, limit: int | None = None,
         "reason": "success",
         "elapse": f"{_time.time() - tick:.6f}s",
     }
-    return json.dumps(envelope, default=str, separators=(",", ":"))
+    return json.dumps(envelope, default=_json_default, separators=(",", ":"))
 
 
 def to_ndjson(df: DataFrame, limit: int | None = None, rownum: bool = False,
@@ -151,7 +159,7 @@ def to_ndjson(df: DataFrame, limit: int | None = None, rownum: bool = False,
         cols = ["ROWNUM", *cols]
         rows = [(i + 1, *r) for i, r in enumerate(rows)]
     return "\n".join(
-        json.dumps(dict(zip(cols, r)), default=str, separators=(",", ":")) for r in rows
+        json.dumps(dict(zip(cols, r)), default=_json_default, separators=(",", ":")) for r in rows
     ) + ("\n" if rows else "")
 
 
@@ -289,7 +297,7 @@ def to_chart_spec(df: DataFrame, x: str, ys: list[str] | None = None,
             for y in ys
         ],
     }
-    return json.dumps(option, default=str, separators=(",", ":"))
+    return json.dumps(option, default=_json_default, separators=(",", ":"))
 
 
 def to_geomap_spec(df: DataFrame, lat: str = "lat", lon: str = "lon",
@@ -304,7 +312,7 @@ def to_geomap_spec(df: DataFrame, lat: str = "lat", lon: str = "lon",
          **({"popup": {"content": str(r[po])}} if po is not None else {})}
         for r in rows
     ]
-    return json.dumps(markers, default=str, separators=(",", ":"))
+    return json.dumps(markers, default=_json_default, separators=(",", ":"))
 
 
 # ---------------------------------------------------------------- bulk writers

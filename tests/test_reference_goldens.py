@@ -515,3 +515,10 @@ def test_ndjson_encoder_goldens(spark):
                               timeformat="2006/01/02 15:04:05").splitlines() == [
         '{"ROWNUM":1,"name":"my-car","time":"2022/12/07 02:32:22","value":1.0001}',
         '{"ROWNUM":2,"name":"my-car","time":"2022/12/07 02:32:23","value":2.0002}']
+
+
+def test_ndjson_binary_hex(spark):
+    """encode_test.go binary case: bytes render as 0x-hex strings."""
+    from neo_server_spark.codecs import encoders
+    df = spark.createDataFrame([("my-car", bytearray(b"abc"))], ["name", "value"])
+    assert encoders.to_ndjson(df).strip() == '{"name":"my-car","value":"0x616263"}'
