@@ -1114,6 +1114,115 @@ def _q_tpch_q10(spark, sf_dir):
     )
 
 
+def _q_tpch_q7(spark, sf_dir):
+    """Two-nation trade volume: lineitem ⨝ supplier ⨝ orders ⨝ customer with
+    TWO broadcast copies of nation (supp/cust sides) and a symmetric
+    nation-pair predicate — the fact chain shuffles only on its join keys,
+    the nation filter rides each broadcast."""
+    n1 = nio.load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nio.load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    li = nio.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01")))
+    s = nio.load_table(spark, sf_dir, "supplier")
+    o = nio.load_table(spark, sf_dir, "orders")
+    c = nio.load_table(spark, sf_dir, "customer")
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _q_tpch_q8(spark, sf_dir):
+    """Market-share: 6-table join, then a share-of-total conditional ratio
+    per year in ONE aggregate pass (sum(when)/sum) — no second scan or
+    self-join for the denominator."""
+    r = nio.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nio.load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        F.col("n_nationkey").alias("c_nk"))
+    n2 = nio.load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    p = nio.load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD").select("p_partkey")
+    li = nio.load_table(spark, sf_dir, "lineitem")
+    o = nio.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31"))
+    c = nio.load_table(spark, sf_dir, "customer")
+    s = nio.load_table(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+            / F.sum(vol), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def _q_tpch_q13(spark, sf_dir):
+    """Customer order-count distribution: LEFT OUTER customer⨝orders →
+    per-customer count → count-of-counts.  Two hash aggs, the second over
+    at most |distinct counts| rows — the classic distribution-of-cardinality
+    shape."""
+    c = nio.load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = nio.load_table(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("1")).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def _q_tpch_q18(spark, sf_dir):
+    """Large-volume orders: lineitem pre-aggregated per order, HAVING
+    sum(qty) > threshold BEFORE joining orders/customer — the heavy join
+    input is reduced to qualifying orders first (the same early-reduction
+    the reference's engine does with its rollup routing)."""
+    li = nio.load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 212)
+    )
+    o = nio.load_table(spark, sf_dir, "orders")
+    c = nio.load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 def _q_salted_join(spark, sf_dir):
     """Skew-salted equi-join (joins.salted_join): events sharded across 4
     sub-keys per user, per-user totals replicated 4x — row-identical to the
@@ -1202,6 +1311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": _q_tpch_q4,
         "tpch_q14": _q_tpch_q14,
         "tpch_q10": _q_tpch_q10,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q18": _q_tpch_q18,
         "stratified_sample": _q_stratified_sample,
         "pii_scrub": _q_pii_scrub,
         "dedup_clusters": _q_dedup_clusters,
@@ -1867,6 +1980,59 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "tpch_q8": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+              AND o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c.c_custkey, count(o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority NOT LIKE '1%'
+              GROUP BY c.c_custkey
+            ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_totalprice, sum_qty
+            FROM (SELECT l_orderkey, round(sum(l_quantity), 6) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 212) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents

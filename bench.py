@@ -36,6 +36,10 @@ BENCH_QUERIES = [
     "tpch_q4",
     "tpch_q10",
     "tpch_q14",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q18",
     "join_revenue",
     "stats_aggs",
     "lake_pivot",
