@@ -796,6 +796,22 @@ def _q_lake_decode(spark, sf_dir):
     return df
 
 
+def _q_lake_tochar(spark, sf_dir):
+    """Lake-dialect TO_CHAR + /*+ SCAN_BACKWARD */ end-to-end: the hint
+    strips to an ORDER BY time DESC (Catalyst top-down scan analogue),
+    TO_CHAR rewrites to date_format — both purely textual, then Spark SQL."""
+    from neo_server_spark.sqlx import dialect
+
+    nio.events_as_tag(spark, sf_dir).createOrReplaceTempView("tag_events")
+    return dialect.lake_sql(spark, """
+        SELECT /*+ SCAN_BACKWARD(tag_events) */
+               name, time DIV 1000 AS time,
+               TO_CHAR(timestamp_micros(time DIV 1000), 'yyyy-MM-dd HH') AS hour_str,
+               value
+        FROM tag_events WHERE name = 'click'
+    """)
+
+
 def _q_text_stats(spark, sf_dir):
     docs = nio.load_table(spark, sf_dir, "documents")
     return text.text_stats(docs)
@@ -1294,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_list": _q_group_list,
         "rollup_routed": _q_rollup_routed,
         "lake_decode": _q_lake_decode,
+        "lake_tochar": _q_lake_tochar,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1980,6 +1997,13 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "lake_tochar": """
+            SELECT event_type AS name, epoch_us(ts) AS time,
+                   strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H') AS hour_str,
+                   value
+            FROM events WHERE event_type = 'click'
+            ORDER BY time DESC
         """,
         "tpch_q7": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
