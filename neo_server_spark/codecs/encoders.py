@@ -55,6 +55,33 @@ def _collect(df: DataFrame, limit: int | None):
     return df.columns, [list(r) for r in df.collect()]
 
 
+#: epoch passthrough formats (mods/util/time_formats.go "epoch" group):
+#: keep the time column an integer at the given resolution
+_EPOCH_DIV = {"ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9}
+
+
+def _format_time_cols(df: DataFrame, timeformat: str | None,
+                      time_cols: tuple[str, ...]) -> DataFrame:
+    """Render epoch-ns long time columns per ``timeformat`` — epoch names
+    stay integers (divided), named layouts / Go layouts become strings via
+    the shared registry.  Shared by the CSV/NDJSON/BOX sinks."""
+    if not timeformat:
+        return df
+    from neo_server_spark.functions import timefn
+
+    for tc in time_cols:
+        if tc not in df.columns:
+            continue
+        if timeformat in _EPOCH_DIV:
+            d = _EPOCH_DIV[timeformat]
+            if d > 1:
+                # integer div: double division of epoch-ns magnitudes rounds
+                df = df.withColumn(tc, F.expr(f"`{tc}` div {d}"))
+        else:
+            df = df.withColumn(tc, timefn.str_time_named(tc, timeformat))
+    return df
+
+
 def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
            precision: int = -1, substitute_null: object = "NULL",
            limit: int | None = None, timeformat: str | None = None,
@@ -70,12 +97,7 @@ def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
     csv_encode_test.go TestCsvEncoder/TestCsvEncoderNullValue)."""
     import csv as _csv
 
-    if timeformat:
-        from neo_server_spark.functions import timefn
-
-        for tc in time_cols:
-            if tc in df.columns:
-                df = df.withColumn(tc, timefn.str_time_named(tc, timeformat))
+    df = _format_time_cols(df, timeformat, time_cols)
     cols, rows = _collect(df, limit)
     if rownum:
         cols = ["ROWNUM", *cols]
@@ -144,16 +166,7 @@ def to_ndjson(df: DataFrame, limit: int | None = None, rownum: bool = False,
     (mods/codec/internal/ndjson/encode.go; goldens in encode_test.go).
     ``timeformat`` "ns"/"s"/… keep epoch integers; named layouts format to
     strings — both via the shared named-format registry, JVM-side."""
-    if timeformat and timeformat not in ("ns",):
-        from neo_server_spark.functions import timefn
-
-        for tc in time_cols:
-            if tc in df.columns:
-                if timeformat in ("s", "ms", "us"):
-                    div = {"s": 10**9, "ms": 10**6, "us": 10**3}[timeformat]
-                    df = df.withColumn(tc, (F.col(tc) / F.lit(div)).cast("long"))
-                else:
-                    df = df.withColumn(tc, timefn.str_time_named(tc, timeformat))
+    df = _format_time_cols(df, timeformat, time_cols)
     cols, rows = _collect(df, limit)
     if rownum:
         cols = ["ROWNUM", *cols]
@@ -192,18 +205,20 @@ def to_markdown(df: DataFrame, limit: int | None = None, html: bool = False) -> 
 
 def to_box(df: DataFrame, limit: int | None = None, precision: int = -1,
            timeformat: str | None = None, time_cols: tuple[str, ...] = ("time",),
-           rownum: bool = False, heading: bool = True) -> str:
-    """BOX() sink — the reference's "light" box-drawing table
+           rownum: bool = False, heading: bool = True,
+           style: str = "light") -> str:
+    """BOX() sink — the reference's box table
     (mods/codec/internal/box/box_encode.go): uppercased headings, ROWNUM
     right-aligned, data cells left-aligned, NULL for nulls, floats at
-    ``precision``, time columns rendered via ``timeformat``."""
-    if timeformat:
-        from neo_server_spark.functions import timefn
-
-        for tc in time_cols:
-            if tc in df.columns:
-                df = df.withColumn(tc, timefn.str_time_named(tc, timeformat))
+    ``precision``, time columns rendered via ``timeformat``; ``style``
+    "light" = box-drawing chars (TestBox1), anything else = ASCII +/-/|
+    (the encoder's "simple" default, TestNano)."""
+    df = _format_time_cols(df, timeformat, time_cols)
     cols, rows = _collect(df, limit)
+    light = style == "light"
+    H, V = ("─", "│") if light else ("-", "|")
+    corners = (("┌", "┬", "┐"), ("├", "┼", "┤"), ("└", "┴", "┘")) if light \
+        else (("+", "+", "+"),) * 3
 
     def fmt(v):
         if v is None:
@@ -220,23 +235,24 @@ def to_box(df: DataFrame, limit: int | None = None, precision: int = -1,
     widths = [max(len(head[i]), *(len(r[i]) for r in data)) if data else len(head[i])
               for i in range(len(cols))]
 
-    def line(l, m, r):
-        return l + m.join("─" * (w + 2) for w in widths) + r
+    def line(kind):
+        l, m, r = corners[kind]
+        return l + m.join(H * (w + 2) for w in widths) + r
 
     def row_line(cells, right_first):
         parts = []
         for i, c in enumerate(cells):
             parts.append(f" {c:>{widths[i]}} " if (right_first and i == 0)
                          else f" {c:<{widths[i]}} ")
-        return "│" + "│".join(parts) + "│"
+        return V + V.join(parts) + V
 
-    out = [line("┌", "┬", "┐")]
+    out = [line(0)]
     if heading:
         out.append(row_line(head, False))
-        out.append(line("├", "┼", "┤"))
+        out.append(line(1))
     for r in data:
         out.append(row_line(r, rownum))
-    out.append(line("└", "┴", "┘"))
+    out.append(line(2))
     return "\n".join(out) + "\n"
 
 

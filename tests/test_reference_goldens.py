@@ -522,3 +522,24 @@ def test_ndjson_binary_hex(spark):
     from neo_server_spark.codecs import encoders
     df = spark.createDataFrame([("my-car", bytearray(b"abc"))], ["name", "value"])
     assert encoders.to_ndjson(df).strip() == '{"name":"my-car","value":"0x616263"}'
+
+
+def test_box_encoder_nano_golden(spark):
+    """box_encode_test.go TestNano("us"): ASCII (simple) style with epoch
+    passthrough timeformat — time stays an integer at µs resolution."""
+    from neo_server_spark.codecs import encoders
+    ts = 1691800174 * 10**9 + 123456789
+    df = spark.createDataFrame(
+        [(3.141591, 3.141592, "1", ts, "127.0.0.1", 16.0),
+         (1.0, 3.141592, "text some", ts, "127.0.0.1", 3.141591)],
+        ["col1", "col2", "col3", "col4", "col5", "col6"])
+    got = encoders.to_box(df, precision=0, timeformat="us",
+                          time_cols=("col4",), style="simple")
+    assert got.splitlines() == [
+        "+------+------+-----------+------------------+-----------+------+",
+        "| COL1 | COL2 | COL3      | COL4             | COL5      | COL6 |",
+        "+------+------+-----------+------------------+-----------+------+",
+        "| 3    | 3    | 1         | 1691800174123456 | 127.0.0.1 | 16   |",
+        "| 1    | 3    | text some | 1691800174123456 | 127.0.0.1 | 3    |",
+        "+------+------+-----------+------------------+-----------+------+",
+    ]
