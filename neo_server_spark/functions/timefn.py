@@ -78,10 +78,19 @@ def time_add(c: Column | str, duration: str | int) -> Column:
     return (_col(c).cast("long") + F.lit(parse_duration(duration))).cast("long")
 
 
-def time_unix(c):       return F.floor(_col(c) / F.lit(SECOND)).cast("long")   # noqa: E704
-def time_unix_milli(c): return F.floor(_col(c) / F.lit(MS)).cast("long")       # noqa: E704
-def time_unix_micro(c): return F.floor(_col(c) / F.lit(US)).cast("long")       # noqa: E704
-def time_unix_nano(c):  return _col(c).cast("long")                            # noqa: E704
+def _floordiv_ns(c, d: int):
+    """Exact epoch-ns floor-division.  double `/` (and decimal `/`, which
+    rounds at scale reduction) both floor …_999999999 into the NEXT unit;
+    subtracting the pmod remainder first makes the division exact."""
+    t = _col(c)
+    exact = (t - F.pmod(t, F.lit(d))).cast("decimal(38,0)")
+    return (exact / F.lit(d)).cast("long")
+
+
+def time_unix(c):       return _floordiv_ns(c, SECOND)   # noqa: E704
+def time_unix_milli(c): return _floordiv_ns(c, MS)       # noqa: E704
+def time_unix_micro(c): return _floordiv_ns(c, US)       # noqa: E704
+def time_unix_nano(c):  return _col(c).cast("long")      # noqa: E704
 
 
 def str_time(c: Column | str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
@@ -102,6 +111,17 @@ def time_hour(c):    return F.hour(to_timestamp_ns(c))        # noqa: E704
 def time_minute(c):  return F.minute(to_timestamp_ns(c))      # noqa: E704
 def time_second(c):  return F.second(to_timestamp_ns(c))      # noqa: E704
 def time_weekday(c): return F.dayofweek(to_timestamp_ns(c)) - 1  # 0=Sunday like Go  # noqa: E704
+def time_yearday(c): return F.dayofyear(to_timestamp_ns(c))   # Go YearDay, 1-based  # noqa: E704
+def time_nanosecond(c): return F.pmod(_col(c), F.lit(SECOND)).cast("long")  # ns within second  # noqa: E704
+def time_isoweek(c): return F.weekofyear(to_timestamp_ns(c))  # Spark weekofyear IS ISO-8601  # noqa: E704
+
+
+def time_isoyear(c):
+    """ISO-8601 week-numbering year (Go Time.ISOWeek year component): the
+    calendar year of the Thursday in the value's ISO week."""
+    d = F.to_date(to_timestamp_ns(c))
+    iso_dow = F.pmod(F.dayofweek(d) + 5, 7) + 1          # Mon=1 … Sun=7
+    return F.year(F.date_add(d, 4 - iso_dow))
 
 
 def time_range(from_ns: int, duration: str | int, period: str | int | None = None):

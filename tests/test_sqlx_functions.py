@@ -302,3 +302,42 @@ def test_csv_timeformat_option(spark):
         [("a", 1678755723_456000000, 1.5)], "name string, time long, value double")
     out = encoders.to_csv(df, timeformat="Default")
     assert out == "name,time,value\na,2023-03-14 01:02:03.456,1.5\n"
+
+
+def test_time_unix_boundary_exact(spark):
+    """floor(t/1e9) in double floors …_999999999 into the NEXT second —
+    the decimal path must not."""
+    from neo_server_spark.functions import timefn
+    t = 1_691_800_174_999_999_999
+    df = spark.createDataFrame([(t,)], ["t"])
+    r = df.select(
+        timefn.time_unix("t").alias("s"),
+        timefn.time_unix_milli("t").alias("ms"),
+        timefn.time_unix_micro("t").alias("us"),
+        timefn.time_nanosecond("t").alias("nsec"),
+    ).first()
+    assert r.s == 1_691_800_174
+    assert r.ms == 1_691_800_174_999
+    assert r.us == 1_691_800_174_999_999
+    assert r.nsec == 999_999_999
+
+
+def test_time_iso_extractors_match_python(spark):
+    """timeISOWeek/timeISOYear/timeYearDay vs datetime.isocalendar over
+    year-boundary dates (where ISO year != calendar year)."""
+    import datetime as dt
+    from neo_server_spark.functions import timefn
+    days = ["2021-01-01", "2021-01-04", "2020-12-31", "2016-01-03",
+            "2015-12-28", "2024-12-30", "2023-01-01"]
+    rows = [(int(dt.datetime.fromisoformat(d + "T12:00:00+00:00").timestamp()) * 10**9,)
+            for d in days]
+    df = spark.createDataFrame(rows, ["t"])
+    got = df.select(
+        timefn.time_isoyear("t").alias("iy"),
+        timefn.time_isoweek("t").alias("iw"),
+        timefn.time_yearday("t").alias("yd"),
+    ).collect()
+    for d, r in zip(days, got):
+        iso = dt.date.fromisoformat(d).isocalendar()
+        assert (r.iy, r.iw) == (iso[0], iso[1]), d
+        assert r.yd == dt.date.fromisoformat(d).timetuple().tm_yday, d
