@@ -297,21 +297,37 @@ def to_text(df: DataFrame, template: str | None = None, limit: int | None = None
 
 
 def to_chart_spec(df: DataFrame, x: str, ys: list[str] | None = None,
-                  kind: str = "line", limit: int | None = None) -> str:
+                  kind: str = "line", limit: int | None = None,
+                  mark_areas: list[tuple] | None = None,
+                  mark_x: list[tuple] | None = None,
+                  mark_y: list[tuple] | None = None) -> str:
     """CHART_LINE/BAR/SCATTER sink — emit the echarts option JSON the
     reference's chart codec feeds to the renderer
     (mods/codec/internal/chart/chart.go:294-306).  Rendering itself stays out
-    of engine scope; consumers pass this spec to echarts directly."""
+    of engine scope; consumers pass this spec to echarts directly.
+
+    ``mark_areas`` = [(from, to, label), …] → series markArea;
+    ``mark_x``/``mark_y`` = [(coord, name), …] → series markLine xAxis/yAxis
+    entries (chartcompat.go SetMarkAreaNameCoord / SetMarkLine*AxisCoord)."""
     cols, rows = _collect(df, limit)
     ys = ys or [c for c in cols if c != x]
     xi = cols.index(x)
+    series = [
+        {"type": kind, "name": y, "data": [r[cols.index(y)] for r in rows]}
+        for y in ys
+    ]
+    if mark_areas:
+        series[0]["markArea"] = {"data": [
+            [{"name": label, "xAxis": a}, {"xAxis": b}]
+            for a, b, label in mark_areas]}
+    lines = [{"name": n, "xAxis": v, "label": {"formatter": n}} for v, n in (mark_x or [])]
+    lines += [{"name": n, "yAxis": v, "label": {"formatter": n}} for v, n in (mark_y or [])]
+    if lines:
+        series[0]["markLine"] = {"data": lines}
     option = {
         "xAxis": {"type": "category", "data": [r[xi] for r in rows]},
         "yAxis": {"type": "value"},
-        "series": [
-            {"type": kind, "name": y, "data": [r[cols.index(y)] for r in rows]}
-            for y in ys
-        ],
+        "series": series,
     }
     return json.dumps(option, default=_json_default, separators=(",", ":"))
 

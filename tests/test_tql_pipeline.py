@@ -256,3 +256,16 @@ def test_datapipe_via_pipeline(tql, spark):
     pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     kept = p.dedup_clusters(pairs, keep=True).to_df()
     assert {r.doc_id for r in kept.collect()} == {1, 3}
+
+
+def test_chart_spec_markers(spark):
+    import json as _json
+    from neo_server_spark.codecs import encoders
+    df = spark.createDataFrame([(1, 2.0), (2, 4.0), (3, 1.0)], ["t", "v"])
+    spec = _json.loads(encoders.to_chart_spec(
+        df, x="t", kind="line",
+        mark_areas=[(1, 2, "warmup")], mark_x=[(2, "cut")], mark_y=[(3.0, "limit")]))
+    s0 = spec["series"][0]
+    assert s0["markArea"]["data"][0][0] == {"name": "warmup", "xAxis": 1}
+    names = {d["name"] for d in s0["markLine"]["data"]}
+    assert names == {"cut", "limit"}
