@@ -1239,6 +1239,49 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_tpch_q15(spark, sf_dir):
+    """Top supplier(s) by quarter revenue: revenue aggregate reused twice
+    (per-supplier + global max) — localCheckpoint materializes it ONCE, the
+    max side reduces to a single broadcast row joined back as a filter."""
+    li = nio.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01")))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("total_revenue"))
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mr"))
+    s = nio.load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mr)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def _q_tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue: per-part average quantity (correlated
+    subquery) computed as ONE partial agg over the filtered fact and
+    broadcast back — the fact side is scanned once for the agg and once for
+    the probe, never shuffled on l_partkey."""
+    li = nio.load_table(spark, sf_dir, "lineitem")
+    p = nio.load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 5)).select("p_partkey")
+    avgq = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(li.l_partkey.alias("ap"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qlim"))
+    )
+    return (
+        li.join(F.broadcast(avgq), li.l_partkey == F.col("ap"))
+        .filter(F.col("l_quantity") < F.col("qlim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
 def _q_salted_join(spark, sf_dir):
     """Skew-salted equi-join (joins.salted_join): events sharded across 4
     sub-keys per user, per-user totals replicated 4x — row-identical to the
@@ -1332,6 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": _q_tpch_q8,
         "tpch_q13": _q_tpch_q13,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
         "stratified_sample": _q_stratified_sample,
         "pii_scrub": _q_pii_scrub,
         "dedup_clusters": _q_dedup_clusters,
@@ -2057,6 +2102,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON big.l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q17": """
+            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+            FROM lineitem l
+            JOIN part ON l.l_partkey = p_partkey
+            WHERE p_brand = 'Brand#23' AND p_size <= 5
+              AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents

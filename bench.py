@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "tpch_q8",
     "tpch_q13",
     "tpch_q18",
+    "tpch_q15",
+    "tpch_q17",
     "join_revenue",
     "stats_aggs",
     "lake_pivot",
