@@ -110,7 +110,7 @@ def decode_line_protocol(lines: DataFrame, col: str = "value") -> DataFrame:
 DECODERS = {
     "csv": decode_csv_lines,
     "ndjson": decode_ndjson_lines,
-    "json": decode_ndjson_lines,
+    "json": decode_json_payload,   # rows array / data.rows envelope per message
     "line": decode_line_protocol,
 }
 
