@@ -194,3 +194,34 @@ def test_dedup_clusters_keep(spark, docs):
     out = dedup.dedup_clusters(docs, pairs, keep=True)
     kept = {r.doc_id for r in out.collect()}
     assert kept == {0, 3, 4}   # 1,2 collapse into 0; unpaired docs survive
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    def union_find(n, edges):
+        parent = list(range(n))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-id labeling
+        comp = {}
+        for i in range(n):
+            r = find(i)
+            comp.setdefault(r, min(i, comp.get(r, i)))
+        return {i: comp[find(i)] for i in range(n) if any(i in e for e in edges)}
+
+    rng = random.Random(7)
+    n = 40
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)})
+    want = union_find(n, edges)
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    # union_find covers only nodes on edges, same as the operator
+    assert got == {i: want[i] for i in got}
