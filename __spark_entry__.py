@@ -1070,6 +1070,19 @@ def _q_pii_scrub(spark, sf_dir):
     )
 
 
+def _q_distinct_users(spark, sf_dir):
+    """Distinct-aggregation shape: per-tag exact distinct users + row counts
+    in one pass — Spark plans the distinct as a partial-dedup expand, so the
+    shuffle carries (tag, user) pairs already deduplicated map-side."""
+    ev = nio.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("name"))
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("name")
+    )
+
+
 def _q_tpch_q4(spark, sf_dir):
     """Order-priority count with an EXISTS subquery (late-shipped lineitem)
     — planned as a LEFT SEMI join so the lineitem side deduplicates during
@@ -1377,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": _q_tpch_q18,
         "tpch_q15": _q_tpch_q15,
         "tpch_q17": _q_tpch_q17,
+        "distinct_users": _q_distinct_users,
         "stratified_sample": _q_stratified_sample,
         "pii_scrub": _q_pii_scrub,
         "dedup_clusters": _q_dedup_clusters,
@@ -2102,6 +2116,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON big.l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "distinct_users": """
+            SELECT event_type AS name,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_rows
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "tpch_q15": """
             WITH rev AS (
