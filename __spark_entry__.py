@@ -1070,6 +1070,22 @@ def _q_pii_scrub(spark, sf_dir):
     )
 
 
+def _q_set_ops(spark, sf_dir):
+    """Set operations (SURVEY §2.8 — native in our SQL layer, absent from
+    TQL): users who clicked but never purchased, via EXCEPT — planned as a
+    LEFT ANTI hash join on the deduplicated key sets."""
+    ev = nio.load_table(spark, sf_dir, "events").withColumn(
+        "t", F.col("ts").cast("long"))
+    hour = 3_600 * 10**9
+    bucket = ((F.col("t") - F.pmod(F.col("t"), F.lit(hour)))
+              .cast("decimal(38,0)") / 1000).cast("long")
+    clicked = ev.filter(F.col("event_type") == "click").select(
+        "user_id", bucket.alias("hour_us"))
+    bought = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", bucket.alias("hour_us"))
+    return clicked.subtract(bought).orderBy("user_id", "hour_us")
+
+
 def _q_distinct_users(spark, sf_dir):
     """Distinct-aggregation shape: per-tag exact distinct users + row counts
     in one pass — Spark plans the distinct as a partial-dedup expand, so the
@@ -1391,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": _q_tpch_q15,
         "tpch_q17": _q_tpch_q17,
         "distinct_users": _q_distinct_users,
+        "set_ops": _q_set_ops,
         "stratified_sample": _q_stratified_sample,
         "pii_scrub": _q_pii_scrub,
         "dedup_clusters": _q_dedup_clusters,
@@ -2116,6 +2133,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON big.l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "set_ops": """
+            SELECT user_id,
+                   (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) // 1000 AS hour_us
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id,
+                   (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) // 1000 AS hour_us
+            FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id, hour_us
         """,
         "distinct_users": """
             SELECT event_type AS name,
