@@ -192,3 +192,59 @@ def lm_score(docs: DataFrame, text_col: str = "text",
              .alias("lm_score"),
              F.count(F.lit(1)).alias("n_tokens"))
     )
+
+
+def boilerplate_stats(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", sep: str = "\n",
+                      min_dup: int = 2) -> DataFrame:
+    """Per-document boilerplate profile: split into paragraphs (``sep``),
+    count corpus-wide paragraph duplication by md5, report how many of each
+    doc's paragraphs are boilerplate (appear in >= ``min_dup`` docs).
+
+    The corpus-wide counts aggregate 16-byte digests, never paragraph text;
+    the digest->is_boilerplate table is broadcast back, so the per-doc pass
+    is shuffle-free.  (FineWeb/C4-style line-level dedup shape.)
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), sep)).alias("para"),
+    ).filter(F.trim("para") != "").withColumn("ph", F.md5(F.trim("para")))
+    counts = (
+        paras.groupBy("ph")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_dup)
+        .select("ph", F.lit(True).alias("is_boiler"))
+    )
+    return (
+        paras.join(F.broadcast(counts), "ph", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_paras"),
+             F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_boiler"))
+    )
+
+
+def remove_boilerplate(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", sep: str = "\n",
+                       min_dup: int = 2) -> DataFrame:
+    """Drop corpus-duplicated paragraphs from each document and reassemble
+    the remainder in original order (posexplode position carries the order
+    through the shuffle)."""
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.trim("para") != "").withColumn("ph", F.md5(F.trim("para")))
+    boiler = (
+        paras.groupBy("ph").agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_dup)
+        .select("ph", F.lit(True).alias("is_boiler"))
+    )
+    kept = paras.join(F.broadcast(boiler), "ph", "left").filter(
+        F.col("is_boiler").isNull())
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                        lambda s: s["para"]), sep).alias(text_col))
+    )
+    return docs.select(id_col).join(rebuilt, id_col, "left").withColumn(
+        text_col, F.coalesce(text_col, F.lit("")))

@@ -225,3 +225,18 @@ def test_connected_components_matches_union_find(spark):
     got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
     # union_find covers only nodes on edges, same as the operator
     assert got == {i: want[i] for i in got}
+
+
+def test_boilerplate_stats_and_removal(spark):
+    docs2 = spark.createDataFrame([
+        (1, "COOKIE NOTICE\nunique alpha text\nFOOTER"),
+        (2, "COOKIE NOTICE\nunique beta text\nFOOTER"),
+        (3, "totally original document"),
+    ], ["doc_id", "text"])
+    stats = {r.doc_id: (r.n_paras, r.n_boiler)
+             for r in text.boilerplate_stats(docs2).collect()}
+    assert stats == {1: (3, 2), 2: (3, 2), 3: (1, 0)}
+    cleaned = {r.doc_id: r.text
+               for r in text.remove_boilerplate(docs2).collect()}
+    assert cleaned == {1: "unique alpha text", 2: "unique beta text",
+                       3: "totally original document"}
