@@ -1325,6 +1325,166 @@ def _q_salted_join(spark, sf_dir):
     return joins.salted_join(left, totals, on="user_id", salt=4)
 
 
+def _q_tpch_q2(spark, sf_dir):
+    """Min-cost supplier per part (TPC-H q2 shape, correlated MIN subquery —
+    no partsupp table in TESTDATA so lineitem stands in as the cost source).
+    The correlated subquery becomes ONE partial agg over the part-filtered
+    fact, broadcast back as an equality probe — the fact is never shuffled
+    on l_partkey and the dim joins are all broadcast."""
+    li = nio.load_table(spark, sf_dir, "lineitem")
+    p = nio.load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= 5).select("p_partkey")
+    lp = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    mn = (lp.groupBy(F.col("l_partkey").alias("mp"))
+          .agg(F.min("l_extendedprice").alias("min_price")))
+    best = (
+        lp.join(F.broadcast(mn), (lp.l_partkey == F.col("mp"))
+                & (lp.l_extendedprice == F.col("min_price")))
+        .select("p_partkey", "l_suppkey", "min_price").distinct()
+    )
+    s = nio.load_table(spark, sf_dir, "supplier")
+    n = nio.load_table(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_acctbal", "s_name", F.col("n_name").alias("nation"),
+                "p_partkey", "min_price")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey")
+        .limit(100)
+    )
+
+
+def _q_tpch_q11(spark, sf_dir):
+    """Important-stock parts (TPC-H q11 shape): per-part value with a HAVING
+    against a scalar fraction of the GLOBAL total.  The global total is
+    re-aggregated from the per-part aggregate (localCheckpoint'd so the
+    subtree runs once) — one scan of the fact, and the threshold arrives as
+    a broadcast single row, not a second shuffle."""
+    li = nio.load_table(spark, sf_dir, "lineitem")
+    pv = (li.groupBy("l_partkey")
+          .agg(F.sum("l_extendedprice").alias("val"))
+          .localCheckpoint(eager=False))
+    tot = pv.agg((F.sum("val") * 0.0007).alias("thresh"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > F.col("thresh"))
+        .select("l_partkey", F.round("val", 4).alias("part_value"))
+    )
+
+
+def _q_tpch_q16(spark, sf_dir):
+    """Supplier-count per part attributes with a NOT-IN exclusion list
+    (TPC-H q16 shape): the exclusion (negative-balance suppliers) is a
+    broadcast LEFT ANTI against the fact, the part dim a broadcast inner —
+    only the final countDistinct shuffles, on the small (brand,type,size)
+    grouping."""
+    li = nio.load_table(spark, sf_dir, "lineitem")
+    p = nio.load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    bad = nio.load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q_tpch_q20(spark, sf_dir):
+    """Nested semi-join chain (TPC-H q20 shape): part-name semi-join reduces
+    the fact, per-supplier HAVING reduces again, and the survivors semi-join
+    the supplier dim.  Each IN(...) stays a semi-join — no row multiplication
+    at any stage."""
+    li = nio.load_table(spark, sf_dir, "lineitem")
+    red = nio.load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    qual = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 2000).select("l_suppkey")
+    )
+    s = nio.load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+def _q_tpch_q21(spark, sf_dir):
+    """Correlated EXISTS + NOT-EXISTS self-joins (TPC-H q21 shape): per
+    completed-order lineitem, EXISTS another supplier's line (semi self-join)
+    and NOT EXISTS another supplier's line with larger quantity (anti
+    self-join with a non-equi term riding the o_orderkey equi key).  Both
+    self-joins shuffle on l_orderkey ONCE each — the non-equi predicate is
+    evaluated inside the sort-merge join, not as a post-filter on a cross
+    product."""
+    li = nio.load_table(spark, sf_dir, "lineitem")
+    o = nio.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"),
+                   F.col("l_quantity").alias("q3"))
+    cand = l1.join(
+        l2, (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2), "left_semi")
+    sole_max = cand.join(
+        l3, (cand.l_orderkey == F.col("k3")) & (cand.l_suppkey != F.col("s3"))
+        & (F.col("q3") > cand.l_quantity), "left_anti")
+    s = nio.load_table(spark, sf_dir, "supplier")
+    return (
+        sole_max.join(F.broadcast(s), sole_max.l_suppkey == s.s_suppkey)
+        .groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+def _q_tpch_q22(spark, sf_dir):
+    """Anti-join + scalar-subquery threshold (TPC-H q22 shape): customers
+    above the positive-balance average with no completed orders.  The scalar
+    average is a broadcast single row; the NOT EXISTS is a LEFT ANTI on the
+    projected orders key."""
+    c = nio.load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    fo = nio.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(fo, c.c_custkey == fo.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"))
+    )
+
+
+def _q_boilerplate(spark, sf_dir):
+    """Corpus-wide boilerplate profile (datapipe.text.boilerplate_stats):
+    paragraph (here: token) duplication counted on 16-byte digests, the
+    digest->boilerplate flag broadcast back so the per-doc pass never
+    shuffles document text."""
+    docs = nio.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.boilerplate_stats(docs, sep=" ", min_dup=390)
+
+
+def _q_boilerplate_clean(spark, sf_dir):
+    """Boilerplate removal (datapipe.text.remove_boilerplate): drop
+    corpus-duplicated segments, reassemble each doc in original order
+    (posexplode position survives the shuffle)."""
+    docs = nio.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.remove_boilerplate(docs, sep=" ", min_dup=390)
+
+
+def _q_repetition(spark, sf_dir):
+    """Gopher repetition filters (datapipe.text.repetition_stats): bigram
+    duplication profile per document — grams built JVM-side via zip_with on
+    the shifted token array, one (doc, gram) shuffle."""
+    docs = nio.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.repetition_stats(docs, n=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_scan": _q_tag_scan,
@@ -1416,6 +1576,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "tokens_bpe": _q_tokens_bpe,
         "salted_join": _q_salted_join,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "boilerplate": _q_boilerplate,
+        "boilerplate_clean": _q_boilerplate_clean,
+        "repetition": _q_repetition,
     }
 
 
@@ -2283,5 +2452,114 @@ def oracle_sql() -> dict[str, str]:
                    round(max(nrm), 6) AS max_norm,
                    sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS n_zero
             FROM n GROUP BY label ORDER BY label
+        """,
+        "tpch_q2": """
+            SELECT DISTINCT s_acctbal, s_name, n_name AS nation,
+                   p.p_partkey, l.l_extendedprice AS min_price
+            FROM part p, lineitem l, supplier s, nation n
+            WHERE p.p_partkey = l.l_partkey AND l.l_suppkey = s.s_suppkey
+              AND s.s_nationkey = n.n_nationkey AND p.p_size <= 5
+              AND l.l_extendedprice = (
+                    SELECT min(l2.l_extendedprice) FROM lineitem l2
+                    WHERE l2.l_partkey = p.p_partkey)
+            ORDER BY s_acctbal DESC, p.p_partkey LIMIT 100
+        """,
+        "tpch_q11": """
+            SELECT l_partkey, round(sum(l_extendedprice), 4) AS part_value
+            FROM lineitem GROUP BY 1
+            HAVING sum(l_extendedprice) >
+                   (SELECT sum(l_extendedprice) * 0.0007 FROM lineitem)
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND p_brand <> 'Brand#1'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q20": """
+            SELECT s_name, s_acctbal FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN
+                    (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+              GROUP BY l_suppkey HAVING sum(l_quantity) > 2000)
+        """,
+        "tpch_q21": """
+            SELECT s_name, count(*) AS numwait
+            FROM supplier, lineitem l1, orders o
+            WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+              AND o.o_orderstatus = 'F'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_quantity > l1.l_quantity)
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+        """,
+        "tpch_q22": """
+            SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+                   round(sum(c_acctbal), 4) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'F')
+            GROUP BY 1
+        """,
+        "boilerplate": """
+            WITH paras AS (
+              SELECT doc_id, trim(p) AS para
+              FROM documents, unnest(string_split(text, ' ')) AS u(p)
+              WHERE trim(p) <> ''
+            ), counts AS (
+              SELECT para, count(DISTINCT doc_id) AS n_docs
+              FROM paras GROUP BY 1
+            )
+            SELECT p.doc_id, count(*) AS n_paras,
+                   sum(CASE WHEN c.n_docs >= 390 THEN 1 ELSE 0 END) AS n_boiler
+            FROM paras p JOIN counts c USING (para)
+            GROUP BY 1
+        """,
+        "boilerplate_clean": """
+            WITH paras AS (
+              SELECT doc_id, trim(p) AS para
+              FROM documents, unnest(string_split(text, ' ')) AS u(p)
+              WHERE trim(p) <> ''
+            ), boiler AS (
+              SELECT coalesce(list(para), []) AS bl FROM (
+                SELECT para FROM paras GROUP BY para
+                HAVING count(DISTINCT doc_id) >= 390) t
+            )
+            SELECT d.doc_id,
+                   coalesce(array_to_string(list_filter(string_split(d.text, ' '),
+                       x -> trim(x) <> '' AND NOT list_contains(b.bl, trim(x))),
+                       ' '), '') AS text
+            FROM documents d CROSS JOIN boiler b
+        """,
+        "repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> trim(t) <> '') AS l
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, unnest(list_filter(list_transform(list_zip(l, l[2:]),
+                     z -> CASE WHEN z[2] IS NULL THEN NULL
+                          ELSE z[1] || ' ' || z[2] END), g -> g IS NOT NULL)) AS gram
+              FROM toks
+            ), pg AS (
+              SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+            )
+            SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct,
+                   round(max(c) * 1.0 / sum(c), 6) AS top_gram_frac,
+                   round(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) * 1.0
+                         / sum(c), 6) AS dup_gram_frac
+            FROM pg GROUP BY 1
         """,
     }

@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "tpch_q18",
     "tpch_q15",
     "tpch_q17",
+    "tpch_q2",
+    "tpch_q21",
     "join_revenue",
     "stats_aggs",
     "lake_pivot",

@@ -248,3 +248,36 @@ def remove_boilerplate(docs: DataFrame, text_col: str = "text",
     )
     return docs.select(id_col).join(rebuilt, id_col, "left").withColumn(
         text_col, F.coalesce(text_col, F.lit("")))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Gopher-style per-document repetition signals over word ``n``-grams:
+    total/distinct gram counts, the most-frequent gram's share, and the
+    share of gram occurrences that are duplicates.
+
+    Grams are built JVM-side with ``zip_with`` over the token array shifted
+    by ``slice`` (no Python, no self-join); the only shuffle is the per-doc
+    gram count, keyed on (doc, gram) so one hot document cannot skew a
+    single reducer.  (Rae et al. 2021 "Gopher" repetition filters.)
+    """
+    gram_expr = "toks"
+    for i in range(1, n):
+        gram_expr = (f"filter(zip_with({gram_expr}, slice(toks, {i + 1}, "
+                     "size(toks)), (x, y) -> concat(x, ' ', y)), "
+                     "g -> g is not null)")
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(f"filter(split({text_col}, ' '), t -> trim(t) != '')").alias("toks"),
+    )
+    grams = toks.select(id_col, F.explode(F.expr(gram_expr)).alias("gram"))
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(F.sum("c").alias("n_grams"),
+             F.count(F.lit(1)).alias("n_distinct"),
+             F.round(F.max("c") / F.sum("c"), 6).alias("top_gram_frac"),
+             F.round(F.coalesce(
+                 F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+                 / F.sum("c"), 6).alias("dup_gram_frac"))
+    )

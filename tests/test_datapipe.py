@@ -240,3 +240,20 @@ def test_boilerplate_stats_and_removal(spark):
                for r in text.remove_boilerplate(docs2).collect()}
     assert cleaned == {1: "unique alpha text", 2: "unique beta text",
                        3: "totally original document"}
+
+
+def test_repetition_stats_bigrams(spark):
+    docs2 = spark.createDataFrame([
+        (1, "a b a b a"),          # bigrams: ab ba ab ba -> 2 distinct, all dup
+        (2, "w x y z"),            # wx xy yz -> all unique
+    ], ["doc_id", "text"])
+    got = {r.doc_id: r.asDict() for r in
+           text.repetition_stats(docs2, n=2).collect()}
+    assert got[1]["n_grams"] == 4 and got[1]["n_distinct"] == 2
+    assert got[1]["top_gram_frac"] == 0.5 and got[1]["dup_gram_frac"] == 1.0
+    assert got[2]["n_grams"] == 3 and got[2]["n_distinct"] == 3
+    assert got[2]["dup_gram_frac"] == 0.0
+    tri = {r.doc_id: r.asDict() for r in
+           text.repetition_stats(docs2, n=3).collect()}
+    assert tri[1]["n_grams"] == 3 and tri[1]["n_distinct"] == 2  # aba bab aba
+    assert tri[2]["n_grams"] == 2 and tri[2]["n_distinct"] == 2

@@ -121,3 +121,32 @@ def test_stratified_sample_is_scan_side_filter(spark, sf_dir):
     out = sampling.stratified_sample(docs, {"en": 0.25, "de": 1.0}, by="lang")
     plan = plan_of(out.select("doc_id"))
     assert "Exchange" not in plan             # pure filter: no shuffle at any SF
+
+
+def test_tpch_q21_self_joins_keep_equi_key(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS self-joins must ride the l_orderkey equi key
+    (semi/anti hash or sort-merge join) — never a nested-loop/cartesian
+    product, whose cost is quadratic in order size at 100 TB."""
+    import __spark_entry__ as e
+    plan = plan_of(e.queries()["tpch_q21"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_tpch_q2_min_probe_broadcasts(spark, sf_dir):
+    """The correlated-MIN probe and all dims must broadcast — the fact is
+    never shuffled on l_partkey."""
+    import __spark_entry__ as e
+    plan = plan_of(e.queries()["tpch_q2"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_flag_table_broadcasts(spark, sf_dir):
+    """The digest->boilerplate flag table joins back as a broadcast: the
+    per-doc pass must not shuffle document text on the digest."""
+    import __spark_entry__ as e
+    plan = plan_of(e.queries()["boilerplate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
