@@ -1477,6 +1477,72 @@ def _q_boilerplate_clean(spark, sf_dir):
     return text.remove_boilerplate(docs, sep=" ", min_dup=390)
 
 
+def _q_tpch_q9(spark, sf_dir):
+    """Product-line profit by nation and year (TPC-H q9 shape): the
+    part-name filter broadcasts and prunes the fact FIRST (~12% survive),
+    then the one unavoidable big-big join (lineitem ⨝ orders on orderkey)
+    runs on the reduced fact; supplier/nation ride along as broadcasts."""
+    li = nio.load_table(spark, sf_dir, "lineitem")
+    p = nio.load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%blue%")).select("p_partkey")
+    s = nio.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = nio.load_table(spark, sf_dir, "nation")
+    o = nio.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("profit"))
+    )
+
+
+def _q_tpch_q12(spark, sf_dir):
+    """Priority-split line counts (TPC-H q12 shape, l_returnflag standing in
+    for the absent l_shipmode): conditional counts via when(), one shuffle
+    on the 3-value grouping key after the orderkey join."""
+    li = nio.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01")))
+    o = nio.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_group"))
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"))
+    )
+
+
+def _q_tpch_q19(spark, sf_dir):
+    """Disjunctive multi-predicate revenue (TPC-H q19 shape): three
+    brand/size/quantity conjunctions OR'd together.  The part dim broadcasts;
+    the whole disjunction evaluates inside one WholeStageCodegen span over
+    the joined rows — no UDF, no multi-pass union."""
+    li = nio.load_table(spark, sf_dir, "lineitem")
+    p = nio.load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+    )
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher repetition filters (datapipe.text.repetition_stats): bigram
     duplication profile per document — grams built JVM-side via zip_with on
@@ -1585,6 +1651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": _q_boilerplate,
         "boilerplate_clean": _q_boilerplate_clean,
         "repetition": _q_repetition,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q19": _q_tpch_q19,
     }
 
 
@@ -2561,5 +2630,36 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) * 1.0
                          / sum(c), 6) AS dup_gram_frac
             FROM pg GROUP BY 1
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit
+            FROM lineitem, supplier, orders, nation, part
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND s_nationkey = n_nationkey AND p_partkey = l_partkey
+              AND p_name LIKE '%blue%'
+            GROUP BY 1, 2
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag AS ship_group,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_line_count
+            FROM orders, lineitem
+            WHERE o_orderkey = l_orderkey
+              AND l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND (
+              (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+              OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                  AND l_quantity BETWEEN 10 AND 20)
+              OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                  AND l_quantity BETWEEN 20 AND 30))
         """,
     }

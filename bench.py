@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "tpch_q17",
     "tpch_q2",
     "tpch_q21",
+    "tpch_q9",
+    "tpch_q19",
     "join_revenue",
     "stats_aggs",
     "lake_pivot",

@@ -233,3 +233,35 @@ def streaming_filter_changed(
     return stream.groupBy(*skey).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: Sequence[str] = ("name", "time"),
+    time_col: str = "time",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication on ``keys`` — the ingest-side twin of
+    ``datapipe.dedup.exact_dedup`` (the reference's append path accepts
+    duplicate (name, time) rows; mqtt_write.go has no dedup, so this is the
+    at-least-once-to-exactly-once repair stage a training pipeline needs).
+
+    With a ``watermark``, seen-key state older than the watermark is evicted
+    (``dropDuplicatesWithinWatermark``) — state stays O(keys within the
+    lateness horizon), not O(all keys ever), which is what survives an
+    unbounded 100 TB/day stream.  ``watermark=None`` keeps global state
+    (exact forever, bounded inputs only).
+
+    ``time_col`` holds epoch-ns longs (engine canonical); the watermark
+    bookkeeping needs a real timestamp column, converted transiently.
+    """
+    from neo_server_spark.functions.timefn import to_timestamp_ns
+
+    if watermark is None:
+        return stream.dropDuplicates(list(keys))
+    with_ts = stream.withColumn("__ts", to_timestamp_ns(F.col(time_col)))
+    return (
+        with_ts.withWatermark("__ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .drop("__ts")
+    )

@@ -349,3 +349,42 @@ def test_streaming_timewindow_fill_gap_state(spark, tmp_path):
         30: (0, 15.0),
         40: (0, 15.0),
     }
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate (name, time) rows must collapse to one — including a
+    duplicate arriving in a LATER micro-batch while the key is still inside
+    the watermark horizon."""
+    import pyspark.sql.functions as F
+
+    from neo_server_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    ns = 1_000_000_000
+
+    def run_available():
+        lines = spark.readStream.format("text").load(str(src))
+        parts = F.split(F.col("value"), ",")
+        parsed = lines.select(
+            parts[0].alias("name"),
+            parts[1].cast("long").alias("time"),
+            parts[2].cast("double").alias("value"),
+        )
+        dd = streaming_dedup(parsed, keys=["name", "time"], watermark="1 hour")
+        q = (dd.writeStream.format("parquet")
+             .option("path", str(out_dir)).option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _write_lines(str(src / "b1.csv"),
+                 [f"a,{1 * ns},10.0", f"a,{1 * ns},10.0", f"a,{2 * ns},20.0"])
+    run_available()                       # in-batch duplicate collapses
+    _write_lines(str(src / "b2.csv"),
+                 [f"a,{1 * ns},10.0", f"b,{1 * ns},1.0"])
+    run_available()                       # cross-batch duplicate suppressed
+
+    rows = sorted((r.name, r.time, r.value)
+                  for r in spark.read.parquet(str(out_dir)).collect())
+    assert rows == [("a", 1 * ns, 10.0), ("a", 2 * ns, 20.0), ("b", 1 * ns, 1.0)]
