@@ -1543,6 +1543,30 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    """Int8 quantization go/no-go gate (similarity.quantization_error):
+    per-label max/mean reconstruction error — all array math in built-in
+    transform/aggregate/zip_with (JVM codegen), no Python."""
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    return similarity.quantization_error(emb, by="label")
+
+
+def _q_source_profile(spark, sf_dir):
+    """Per-source curation profile: doc counts, size, token and language
+    spread — the groupBy key is the source column, so partial aggregation
+    collapses each scan task to O(sources) rows before the shuffle."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+             F.round(F.avg(F.size(F.expr(
+                 "filter(split(text, ' '), t -> t != '')"))), 6)
+             .alias("avg_tokens"),
+             F.countDistinct("lang").alias("n_langs"))
+    )
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher repetition filters (datapipe.text.repetition_stats): bigram
     duplication profile per document — grams built JVM-side via zip_with on
@@ -1654,6 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": _q_tpch_q9,
         "tpch_q12": _q_tpch_q12,
         "tpch_q19": _q_tpch_q19,
+        "embedding_quantize": _q_embedding_quantize,
+        "source_profile": _q_source_profile,
     }
 
 
@@ -2661,5 +2687,36 @@ def oracle_sql() -> dict[str, str]:
                   AND l_quantity BETWEEN 10 AND 20)
               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                   AND l_quantity BETWEEN 20 AND 30))
+        """,
+        "embedding_quantize": """
+            WITH q AS (
+              SELECT label, embedding,
+                     list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+              FROM embeddings
+            ), e AS (
+              SELECT label,
+                     CASE WHEN s = 0 THEN 0 ELSE
+                       list_max(list_transform(embedding, x ->
+                         abs(CAST(x AS DOUBLE)
+                             - round(CAST(x AS DOUBLE) / s) * s))) END AS mx,
+                     CASE WHEN s = 0 THEN 0 ELSE
+                       list_sum(list_transform(embedding, x ->
+                         abs(CAST(x AS DOUBLE)
+                             - round(CAST(x AS DOUBLE) / s) * s)))
+                       / len(embedding) END AS av
+              FROM q
+            )
+            SELECT label, count(*) AS n_vecs,
+                   round(max(mx), 6) AS max_err, round(avg(av), 6) AS avg_err
+            FROM e GROUP BY label
+        """,
+        "source_profile": """
+            SELECT source, count(*) AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   round(avg(len(list_filter(string_split(text, ' '),
+                         t -> t <> ''))), 6) AS avg_tokens,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source
         """,
     }

@@ -180,3 +180,45 @@ def embedding_stats(emb: DataFrame, vec_col: str = "embedding",
             F.sum(F.when(F.col("__n") == 0, 1).otherwise(0)).alias("n_zero"),
         )
     )
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
+                  out_col: str = "q8", scale_col: str = "q_scale") -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q = round(x / scale)`` with
+    ``scale = max|x| / 127``.  Cuts ANN shuffle/broadcast bytes 4x (vs
+    float32) — at 100 TB the candidate-pair exchange is the bottleneck, not
+    the arithmetic.  Zero vectors keep scale=0 and quantize to zeros.
+
+    All array math is built-in ``transform``/``aggregate`` (JVM codegen,
+    no Python); dequantize is ``q * scale``.
+    """
+    x = F.col(vec_col)
+    absmax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    q = F.when(absmax == 0, F.transform(x, lambda v: F.lit(0).cast("tinyint"))) \
+         .otherwise(F.transform(
+             x, lambda v: F.round(v.cast("double") / scale)
+             .cast("tinyint"))).alias(out_col)
+    return emb.withColumns({scale_col: scale.alias(scale_col), out_col: q})
+
+
+def quantization_error(emb: DataFrame, vec_col: str = "embedding",
+                       by: str = "label") -> DataFrame:
+    """Per-group reconstruction-error profile of int8 quantization: max and
+    mean absolute error across all components — the go/no-go gate before
+    switching an ANN pipeline to quantized vectors."""
+    qd = quantize_int8(emb, vec_col=vec_col)
+    err = F.zip_with(
+        F.col(vec_col), F.col("q8"),
+        lambda x, q: F.abs(x.cast("double") - q.cast("double") * F.col("q_scale")))
+    keys = [by] if by else []
+    return (
+        qd.select(*keys,
+                  F.array_max(err).alias("__mx"),
+                  (F.aggregate(err, F.lit(0.0), lambda a, v: a + v)
+                   / F.size(vec_col)).alias("__avg"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.round(F.max("__mx"), 6).alias("max_err"),
+             F.round(F.avg("__avg"), 6).alias("avg_err"))
+    )

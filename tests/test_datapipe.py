@@ -257,3 +257,19 @@ def test_repetition_stats_bigrams(spark):
            text.repetition_stats(docs2, n=3).collect()}
     assert tri[1]["n_grams"] == 3 and tri[1]["n_distinct"] == 2  # aba bab aba
     assert tri[2]["n_grams"] == 2 and tri[2]["n_distinct"] == 2
+
+
+def test_quantize_int8_roundtrip_and_zero_guard(spark):
+    from neo_server_spark.datapipe.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    assert rows[1].q8 == [127, -64, 32]          # round(±x/scale), scale=1/127
+    assert abs(rows[1].q_scale - 1.0 / 127) < 1e-12
+    assert rows[2].q8 == [0, 0, 0] and rows[2].q_scale == 0.0
+    # reconstruction error bounded by scale/2 per component
+    recon = [q * rows[1].q_scale for q in rows[1].q8]
+    assert all(abs(a - b) <= rows[1].q_scale / 2 + 1e-12
+               for a, b in zip([1.0, -0.5, 0.25], recon))
