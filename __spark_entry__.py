@@ -1543,6 +1543,34 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel — the training-data pipeline composed from
+    library operators: C4 quality filter → Gopher repetition filter → exact
+    dedup (canonical min doc_id per fingerprint) → deterministic 50% hash
+    sample, reporting per-stage attrition.  Every stage is a scan-side
+    filter or a digest-keyed agg; document text is never shuffled except by
+    the (doc, gram) repetition count."""
+    docs = nio.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = (text.quality_score(docs).filter(F.col("quality") >= 0.71)
+         .select("doc_id", "text"))
+    rep = text.repetition_stats(docs, n=2).select("doc_id", "dup_gram_frac")
+    # the funnel is counted at every stage — materialize the expensive
+    # repetition join ONCE (lazy localCheckpoint) instead of re-running the
+    # gram shuffle for the dedup and sample counts
+    s2 = (q.join(rep, "doc_id").filter(F.col("dup_gram_frac") <= 0.09)
+          .select("doc_id", "text").localCheckpoint(eager=False))
+    s3 = text.fingerprint(s2).groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    s4 = sampling.hash_sample(s3, 0.5)
+
+    def cnt(df, stage):
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs")
+
+    return (cnt(docs, "1_raw").unionAll(cnt(q, "2_quality"))
+            .unionAll(cnt(s2, "3_repetition")).unionAll(cnt(s3, "4_dedup"))
+            .unionAll(cnt(s4, "5_sample")))
+
+
 def _q_embedding_quantize(spark, sf_dir):
     """Int8 quantization go/no-go gate (similarity.quantization_error):
     per-label max/mean reconstruction error — all array math in built-in
@@ -1680,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": _q_tpch_q19,
         "embedding_quantize": _q_embedding_quantize,
         "source_profile": _q_source_profile,
+        "curation_funnel": _q_curation_funnel,
     }
 
 
@@ -2718,5 +2747,47 @@ def oracle_sql() -> dict[str, str]:
                          t -> t <> ''))), 6) AS avg_tokens,
                    count(DISTINCT lang) AS n_langs
             FROM documents GROUP BY source
+        """,
+        "curation_funnel": r"""
+            WITH base AS (SELECT doc_id, text FROM documents),
+            q AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       round((len(list_distinct(string_split(text, ' '))) * 1.0
+                              / len(string_split(text, ' '))) * 0.4
+                            + least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
+                            + (1.0 - least(length(regexp_replace(text,
+                               '[^\.,;:!\?]', '', 'g')) * 1.0
+                               / greatest(length(text), 1) * 10.0, 1.0)) * 0.2,
+                             6) AS quality
+                FROM base) WHERE quality >= 0.71
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> trim(t) <> '') AS l
+              FROM base
+            ), grams AS (
+              SELECT doc_id, unnest(list_filter(list_transform(list_zip(l, l[2:]),
+                     z -> CASE WHEN z[2] IS NULL THEN NULL
+                          ELSE z[1] || ' ' || z[2] END), g -> g IS NOT NULL)) AS gram
+              FROM toks
+            ), pg AS (
+              SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+            ), rep AS (
+              SELECT doc_id, round(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+                     * 1.0 / sum(c), 6) AS dup_frac
+              FROM pg GROUP BY 1
+            ),
+            s2 AS (SELECT q.doc_id, q.text FROM q JOIN rep USING (doc_id)
+                   WHERE rep.dup_frac <= 0.09),
+            s3 AS (SELECT md5(lower(text)) AS fp, min(doc_id) AS doc_id
+                   FROM s2 GROUP BY 1),
+            s4 AS (SELECT doc_id FROM s3
+                   WHERE substr(md5(cast(doc_id AS VARCHAR)), 1, 8) <= '7fffffff')
+            SELECT '1_raw' AS stage, count(*) AS n_docs FROM base
+            UNION ALL SELECT '2_quality', count(*) FROM q
+            UNION ALL SELECT '3_repetition', count(*) FROM s2
+            UNION ALL SELECT '4_dedup', count(*) FROM s3
+            UNION ALL SELECT '5_sample', count(*) FROM s4
         """,
     }

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "vocab_topk",
     "lm_score",
+    "curation_funnel",
 ]
 
 
