@@ -150,3 +150,16 @@ def test_boilerplate_flag_table_broadcasts(spark, sf_dir):
     plan = plan_of(e.queries()["boilerplate"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    """Catalyst must derive per-side filters from the OR-of-ANDs predicate:
+    the l_quantity range union reaches the lineitem parquet scan and the
+    brand/size union reaches the part scan — at 100 TB that row-group
+    pruning is the difference between scanning 3 ranges and scanning all."""
+    import __spark_entry__ as e
+    plan = plan_of(e.queries()["tpch_q19"](spark, sf_dir))
+    assert plan.count("PushedFilters:") >= 2
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan   # derived quantity union
+    assert "EqualTo(p_brand,Brand#12)" in plan            # derived part union
+    assert "BroadcastHashJoin" in plan
