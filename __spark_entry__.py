@@ -595,7 +595,7 @@ def _q_fake_gens(spark, sf_dir):
     return grid.select(
         "x", "y",
         F.round(F.sin("x") * F.cos("y"), 6).alias("z"),
-    )
+    ).orderBy("x", "y")  # deterministic emit order — driver hashes row order
 
 
 def _q_csv_source(spark, sf_dir):
@@ -2100,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.0 + xi * 0.5 AS x, 0.0 + yi * 1.0 AS y,
                    round(sin(0.0 + xi * 0.5) * cos(0.0 + yi * 1.0), 6) AS z
             FROM generate_series(0, 20) tx(xi), generate_series(0, 2) ty(yi)
+            ORDER BY x, y
         """,
         "csv_source": """
             SELECT * FROM (VALUES (1, 'temp.a', 3.14), (2, 'temp.b', 2.71),

@@ -41,12 +41,39 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _df_memo: dict[tuple[int, str], DataFrame] = {}
 
 
+def _normalize_basetime(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Surface timestamp-typed basetime columns as LongType epoch-ns.
+
+    The engine's canonical time representation is epoch-nanoseconds int64
+    (machbase DATETIME semantics, spi/machsvr/machsvr.go:901-917).  TESTDATA
+    has shipped ``events.ts`` both as parquet TIMESTAMP(NANOS) (read as long
+    via the nanosAsLong conf) and as TIMESTAMP(MICROS) (read as
+    TIMESTAMP/TIMESTAMP_NTZ) — accept every physical encoding and converge on
+    epoch-ns long.  NTZ→LTZ cast is exact under the UTC session timezone that
+    ``ensure_engine_conf`` pins, matching DuckDB's ``epoch_ns(ts)`` on the
+    same file.
+    """
+    from pyspark.sql import types as T
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        dt = fields.get(c)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            df = df.withColumn(
+                c, F.unix_micros(F.col(c).cast("timestamp_ltz")) * F.lit(1000)
+            )
+    return df
+
+
+#: per-table basetime columns to normalize to epoch-ns long
+_BASETIME_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one TESTDATA parquet table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) → surfaced as LongType epoch-ns
-    (the engine's canonical basetime), via the nanosAsLong conf which
-    ``ensure_engine_conf`` sets even on externally created sessions.
+    ``events.ts`` is surfaced as LongType epoch-ns (the engine's canonical
+    basetime) whatever the parquet physical type — see ``_normalize_basetime``.
 
     The (session, path) → DataFrame handle is memoized: repeated queries in
     one session reuse the resolved relation instead of re-reading footers.
@@ -54,7 +81,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), os.path.join(sf_dir, f"{name}.parquet"))
     if key not in _df_memo:
         ensure_engine_conf(spark)
-        _df_memo[key] = spark.read.parquet(key[1])
+        df = spark.read.parquet(key[1])
+        _df_memo[key] = _normalize_basetime(df, _BASETIME_COLS.get(name, ()))
     return _df_memo[key]
 
 
