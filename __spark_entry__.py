@@ -1605,10 +1605,12 @@ def _q_repetition(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Ordering is deliberate: the verification driver checks the first 50
+        # entries.  Front window = entries lacking a green driver verdict
+        # (round-2 regressions now fixed + never-checked datapipe/lake/TPC-H
+        # shapes); entries already driver-green in round 2 sit behind.
         "tag_scan": _q_tag_scan,
         "timewindow_avg": _q_timewindow_avg,
-        "group_aggs": _q_group_aggs,
-        "group_where": _q_group_where,
         "first_last": _q_first_last,
         "tag_stat": _q_tag_stat,
         "filter_changed": _q_filter_changed,
@@ -1616,64 +1618,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_diff_blocked": _q_map_diff_blocked,
         "map_movavg": _q_map_movavg,
         "take_drop": _q_take_drop,
+        "rollup_hourly": _q_rollup_hourly,
+        "group_aggs2": _q_group_aggs2,
+        "topk_per_group": _q_topk_per_group,
+        "asof_join": _q_asof_join,
+        "map_lowpass": _q_map_lowpass,
+        "filter_changed_retain": _q_filter_changed_retain,
+        "timewindow_spline": _q_timewindow_spline,
+        "scalar_funcs": _q_scalar_funcs,
+        "time_format": _q_time_format,
+        "fake_gens": _q_fake_gens,
+        "show_tags": _q_show_tags,
+        "tql_dsl": _q_tql_dsl,
+        "sliding_window": _q_sliding_window,
+        "session_window": _q_session_window,
+        "series_diffs": _q_series_diffs,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "dedup_clusters": _q_dedup_clusters,
+        "boilerplate": _q_boilerplate,
+        "repetition": _q_repetition,
+        "curation_funnel": _q_curation_funnel,
+        "lake_decode": _q_lake_decode,
+        "lake_pivot": _q_lake_pivot,
+        "lake_tochar": _q_lake_tochar,
+        "rollup_routed": _q_rollup_routed,
+        "group_list": _q_group_list,
+        "map_distance": _q_map_distance,
+        "query_builder": _q_query_builder,
+        "script_udtf": _q_script_udtf,
+        "shell_pipe": _q_shell_pipe,
+        "map_kalman": _q_map_kalman,
+        "line_protocol": _q_line_protocol,
+        "dedup_exact": _q_dedup_exact,
+        "similarity_topk": _q_similarity_topk,
+        "similarity_ivf": _q_similarity_ivf,
+        "stratified_sample": _q_stratified_sample,
+        "set_ops": _q_set_ops,
+        # --- beyond the 50-entry driver window (driver-green r01/r02 or redundant variants) ---
+        "group_aggs": _q_group_aggs,
+        "group_where": _q_group_where,
         "transpose": _q_transpose,
         "pivot_counts": _q_pivot_counts,
         "histogram": _q_histogram,
         "boxplot": _q_boxplot,
-        "rollup_hourly": _q_rollup_hourly,
         "tpch_q1": _q_tpch_q1,
         "join_revenue": _q_join_revenue,
         "tpch_q3": _q_tpch_q3,
         "tpch_q6": _q_tpch_q6,
-        "group_aggs2": _q_group_aggs2,
         "mode_entropy": _q_mode_entropy,
         "json_extract": _q_json_extract,
-        "topk_per_group": _q_topk_per_group,
-        "asof_join": _q_asof_join,
         "flatten_tokens": _q_flatten_tokens,
         "lang_quality": _q_lang_quality,
         "ngram_pairs": _q_ngram_pairs,
-        "map_lowpass": _q_map_lowpass,
         "fft": _q_fft,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "histogram_streaming": _q_histogram_streaming,
         "embedding_dupes": _q_embedding_dupes,
-        "filter_changed_retain": _q_filter_changed_retain,
-        "timewindow_spline": _q_timewindow_spline,
         "oscillator_fft": _q_oscillator_fft,
         "projection_ops": _q_projection_ops,
-        "scalar_funcs": _q_scalar_funcs,
         "math_funcs": _q_math_funcs,
-        "time_format": _q_time_format,
         "range_join": _q_range_join,
-        "fake_gens": _q_fake_gens,
         "csv_source": _q_csv_source,
-        "show_tags": _q_show_tags,
-        "tql_dsl": _q_tql_dsl,
-        "sliding_window": _q_sliding_window,
-        "session_window": _q_session_window,
         "stats_aggs": _q_stats_aggs,
-        "series_diffs": _q_series_diffs,
-        "map_distance": _q_map_distance,
-        "lake_pivot": _q_lake_pivot,
-        "group_list": _q_group_list,
-        "rollup_routed": _q_rollup_routed,
-        "lake_decode": _q_lake_decode,
-        "lake_tochar": _q_lake_tochar,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
-        "dedup_exact": _q_dedup_exact,
-        "similarity_topk": _q_similarity_topk,
         "similarity_batch": _q_similarity_batch,
-        "similarity_ivf": _q_similarity_ivf,
         "multimodal_features": _q_multimodal_features,
-        "line_protocol": _q_line_protocol,
-        "script_udtf": _q_script_udtf,
-        "shell_pipe": _q_shell_pipe,
-        "query_builder": _q_query_builder,
-        "map_kalman": _q_map_kalman,
         "tpch_q5": _q_tpch_q5,
         "tpch_q4": _q_tpch_q4,
         "tpch_q14": _q_tpch_q14,
@@ -1685,30 +1702,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": _q_tpch_q15,
         "tpch_q17": _q_tpch_q17,
         "distinct_users": _q_distinct_users,
-        "set_ops": _q_set_ops,
-        "stratified_sample": _q_stratified_sample,
         "pii_scrub": _q_pii_scrub,
-        "dedup_clusters": _q_dedup_clusters,
         "vocab_topk": _q_vocab_topk,
         "embedding_stats": _q_embedding_stats,
         "lm_score": _q_lm_score,
         "tokens_bpe": _q_tokens_bpe,
         "salted_join": _q_salted_join,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        "boilerplate": _q_boilerplate,
         "boilerplate_clean": _q_boilerplate_clean,
-        "repetition": _q_repetition,
         "tpch_q9": _q_tpch_q9,
         "tpch_q12": _q_tpch_q12,
         "tpch_q19": _q_tpch_q19,
         "embedding_quantize": _q_embedding_quantize,
         "source_profile": _q_source_profile,
-        "curation_funnel": _q_curation_funnel,
     }
 
 
