@@ -54,15 +54,19 @@ def _q_tag_scan(spark, sf_dir):
     Catalyst pushes both predicates into the parquet scan (PushedFilters) and
     TAKE compiles to TakeOrderedAndProject.
     """
-    df = _tag(spark, sf_dir).filter(
-        (F.col("name") == "purchase") & F.col("time").between(TW_FROM, TW_UNTIL)
+    df = nio.events_as_tag(spark, sf_dir, from_ns=TW_FROM, until_ns=TW_UNTIL,
+                           until_inclusive=True).filter(
+        F.col("name") == "purchase"
     ).select("name", _us("time"), "value", "event_id")
     return maps.take(df, 500, order_by=[F.col("time"), F.col("event_id")])
 
 
 def _q_timewindow_avg(spark, sf_dir):
-    """GROUP(by(time, timewindow(...))) per tag, gap-filled calendar buckets."""
-    df = _tag(spark, sf_dir)
+    """GROUP(by(time, timewindow(...))) per tag, gap-filled calendar buckets.
+
+    The scan is time-ranged at the source (pushdown-guaranteed row-group
+    pruning); timewindow() re-applies the exact [from, until) bound."""
+    df = nio.events_as_tag(spark, sf_dir, from_ns=TW_FROM, until_ns=TW_UNTIL)
     return timewindow(
         df, "time", TW_FROM, TW_UNTIL, TW_PERIOD,
         aggs=[

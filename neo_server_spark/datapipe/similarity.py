@@ -91,11 +91,13 @@ def ivf_index(emb: DataFrame, n_centroids: int = 64, iters: int = 5,
     """Build an IVF coarse index: (centroids_df, assigned_df).
 
     Lloyd's k-means on DataFrames: centroids live in a broadcast table;
-    assignment = argmin distance expression; update = groupBy(centroid) mean.
-    Converges in a handful of passes; each pass is one scan + one small agg.
+    assignment = argmin distance expression; update = posexplode(vec) →
+    groupBy(cid, pos).avg → collect_list reassembly.  The update is
+    dimension-agnostic: one narrow 3-column shuffle of (cid, pos, v) rows
+    instead of one aggregate EXPRESSION per dimension (which blows up the
+    plan at dim 384-1536) — and no driver round-trip to discover the
+    dimension.  Each pass is one scan + one small agg.
     """
-    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = dim_row["d"]
     centroids = (
         emb.select(id_col, vec_col)
         .orderBy(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2**31)))
@@ -104,16 +106,27 @@ def ivf_index(emb: DataFrame, n_centroids: int = 64, iters: int = 5,
     )
     for _ in range(iters):
         assigned = _assign(emb, centroids, vec_col, id_col)
-        sums = assigned.groupBy("cid").agg(
-            *[F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}") for i in range(dim)],
-            F.count(F.lit(1)).alias("n"),
-        )
-        centroids = sums.select(
-            "cid",
-            F.array(*[(F.col(f"s{i}") / F.col("n")).cast("float") for i in range(dim)]).alias("cv"),
-        )
+        centroids = _centroid_update(assigned, vec_col)
     assigned = _assign(emb, centroids, vec_col, id_col)
     return centroids, assigned
+
+
+def _centroid_update(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """Mean vector per centroid without per-dimension agg columns.
+
+    (cid, pos, value) rows → avg per (cid, pos) → array_sort(collect_list)
+    reassembly (struct sort key = pos, so element order is positional and
+    deterministic).  Shuffle width is 3 narrow columns regardless of
+    embedding dimension; partial aggregation (map-side combine) applies.
+    """
+    return (
+        assigned.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias("cv"))
+    )
 
 
 def _assign(emb: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:

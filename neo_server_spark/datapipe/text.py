@@ -201,9 +201,13 @@ def boilerplate_stats(docs: DataFrame, text_col: str = "text",
     count corpus-wide paragraph duplication by md5, report how many of each
     doc's paragraphs are boilerplate (appear in >= ``min_dup`` docs).
 
-    The corpus-wide counts aggregate 16-byte digests, never paragraph text;
-    the digest->is_boilerplate table is broadcast back, so the per-doc pass
-    is shuffle-free.  (FineWeb/C4-style line-level dedup shape.)
+    The corpus-wide counts aggregate 16-byte digests, never paragraph text.
+    The digest->is_boilerplate table scales with the number of distinct
+    duplicated paragraphs — corpus cardinality, not dimension cardinality —
+    so it must NOT be broadcast-hinted: at 100 TB it can exceed driver/executor
+    broadcast memory.  No hint; AQE picks broadcast when the filtered side is
+    actually small (same reasoning as series.py blocked-op joins).
+    (FineWeb/C4-style line-level dedup shape.)
     """
     paras = docs.select(
         F.col(id_col),
@@ -216,7 +220,7 @@ def boilerplate_stats(docs: DataFrame, text_col: str = "text",
         .select("ph", F.lit(True).alias("is_boiler"))
     )
     return (
-        paras.join(F.broadcast(counts), "ph", "left")
+        paras.join(counts, "ph", "left")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_paras"),
              F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_boiler"))
@@ -228,7 +232,8 @@ def remove_boilerplate(docs: DataFrame, text_col: str = "text",
                        min_dup: int = 2) -> DataFrame:
     """Drop corpus-duplicated paragraphs from each document and reassemble
     the remainder in original order (posexplode position carries the order
-    through the shuffle)."""
+    through the shuffle).  The boiler-digest table is corpus-cardinality, so
+    no broadcast hint — AQE decides (see boilerplate_stats)."""
     paras = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
@@ -238,7 +243,7 @@ def remove_boilerplate(docs: DataFrame, text_col: str = "text",
         .filter(F.col("n_docs") >= min_dup)
         .select("ph", F.lit(True).alias("is_boiler"))
     )
-    kept = paras.join(F.broadcast(boiler), "ph", "left").filter(
+    kept = paras.join(boiler, "ph", "left").filter(
         F.col("is_boiler").isNull())
     rebuilt = (
         kept.groupBy(id_col)

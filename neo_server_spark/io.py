@@ -96,13 +96,67 @@ def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
 
 
-def events_as_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scan_time_range(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    time_col: str,
+    from_ns: int | None = None,
+    until_ns: int | None = None,
+    until_inclusive: bool = False,
+) -> DataFrame:
+    """Time-range scan with guaranteed parquet predicate pushdown.
+
+    The reference treats the time range as part of the scan API
+    (SQL_SELECT's between(), mods/tql/fm_dbsrc.go) — routing the range to
+    the source is what makes a 100 TB time-slice read only its row groups.
+    When the physical column is a timestamp, a filter on the normalized
+    epoch-ns long is an expression over the column and parquet cannot push
+    it, so this applies a *coarse* bound on the RAW column first (floor/ceil
+    to µs — pushes down, prunes row groups via min/max stats) and then the
+    exact bound on the canonical long (cheap, rows already pruned).
+    """
+    from pyspark.sql import types as T
+
+    raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    phys = {f.name: f.dataType for f in raw.schema.fields}[time_col]
+    is_ts = isinstance(phys, (T.TimestampType, T.TimestampNTZType))
+    if is_ts:
+        if from_ns is not None:
+            raw = raw.filter(
+                F.col(time_col) >= F.timestamp_micros(F.lit(from_ns // 1000)))
+        if until_ns is not None:  # ceil to µs so boundary rows survive
+            raw = raw.filter(
+                F.col(time_col) <= F.timestamp_micros(F.lit(-(-until_ns // 1000))))
+    df = _normalize_basetime(raw, (time_col,)) if is_ts else raw
+    if from_ns is not None:
+        df = df.filter(F.col(time_col) >= F.lit(from_ns))
+    if until_ns is not None:
+        df = df.filter(
+            F.col(time_col) <= F.lit(until_ns) if until_inclusive
+            else F.col(time_col) < F.lit(until_ns))
+    return df
+
+
+def events_as_tag(
+    spark: SparkSession,
+    sf_dir: str,
+    from_ns: int | None = None,
+    until_ns: int | None = None,
+    until_inclusive: bool = False,
+) -> DataFrame:
     """Present ``events`` in the canonical tag-table shape (name, time, value).
 
     Extra columns ride along like a wide tag table's extra columns
     (reference DDL with extra cols: spi/testsuite/tagtable.go:237-244).
+    Pass ``from_ns``/``until_ns`` to get a pushdown-guaranteed time-range
+    scan (see ``scan_time_range``).
     """
-    ev = load_table(spark, sf_dir, "events")
+    if from_ns is None and until_ns is None:
+        ev = load_table(spark, sf_dir, "events")
+    else:
+        ev = scan_time_range(spark, sf_dir, "events", "ts",
+                             from_ns, until_ns, until_inclusive)
     return ev.select(
         F.col("event_type").alias("name"),
         F.col("ts").alias("time"),

@@ -89,7 +89,15 @@ class Tql:
         """
         df = self.table(table)
         if table == "events" and name_col not in df.columns:
-            df = nio.events_as_tag(self.spark, self.sf_dir)
+            # route the time range to the source: pushdown-guaranteed
+            # row-group pruning on the physical ts column (io.scan_time_range)
+            if between is not None:
+                df = nio.events_as_tag(self.spark, self.sf_dir,
+                                       from_ns=between[0], until_ns=between[1],
+                                       until_inclusive=True)
+                between = None
+            else:
+                df = nio.events_as_tag(self.spark, self.sf_dir)
         if tag is not None:
             tags = [tag] if isinstance(tag, str) else list(tag)
             df = df.filter(F.col(name_col).isin(tags))

@@ -99,6 +99,34 @@ def test_ivf_roundtrip(spark):
     assert res[0].vec_id == 5  # the vector itself is its own nearest neighbor
 
 
+def test_ivf_high_dim(spark):
+    """dim=512: the centroid update must stay a narrow (cid,pos,v) shuffle,
+    not 512 aggregate expressions — this test crawls/fails if that regresses."""
+    import random
+
+    random.seed(11)
+    dim = 512
+    rows = [(i, [random.random() for _ in range(dim)], 0) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cents, assigned = similarity.ivf_index(emb, n_centroids=4, iters=1)
+    got = cents.collect()
+    assert len(got) == 4
+    assert all(len(r.cv) == dim for r in got)  # positional reassembly kept order
+    assert assigned.count() == 40
+
+
+def test_boilerplate_join_not_broadcast_forced(spark):
+    """The digest->is_boiler table is corpus-cardinality: the plan must not
+    carry a forced broadcast hint (AQE may still CHOOSE broadcast at small
+    scale — only the hint is the scale bug)."""
+    docs2 = spark.createDataFrame(
+        [(1, "A\nB"), (2, "A\nC")], ["doc_id", "text"])
+    for df in (text.boilerplate_stats(docs2), text.remove_boilerplate(docs2)):
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "UnresolvedHint" not in analyzed
+        assert "ResolvedHint" not in analyzed
+
+
 def test_multimodal_features(spark):
     assets = multimodal.synthesize_assets(spark, 12)
     out = multimodal.extract_features(assets).collect()

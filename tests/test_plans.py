@@ -21,13 +21,17 @@ def plan_of(df) -> str:
 
 
 def test_tag_scan_predicate_pushdown(spark, sf_dir):
-    df = nio.events_as_tag(spark, sf_dir).filter(
-        (F.col("name") == "purchase")
-        & F.col("time").between(1_704_412_800 * 10**9, 1_705_708_800 * 10**9)
-    ).select("name", "time", "value")
+    """Time range routed to the source MUST reach the parquet scan as a raw
+    ts predicate (row-group pruning), whatever the physical time encoding."""
+    df = nio.events_as_tag(
+        spark, sf_dir,
+        from_ns=1_704_412_800 * 10**9, until_ns=1_705_708_800 * 10**9,
+        until_inclusive=True,
+    ).filter(F.col("name") == "purchase").select("name", "time", "value")
     plan = plan_of(df)
     assert "PushedFilters:" in plan
-    assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan
+    assert "GreaterThanOrEqual(ts" in plan, plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "LessThanOrEqual(ts" in plan
     assert "EqualTo(event_type,purchase)" in plan
     # column pruning: props/user_id must not be read
     assert "props" not in plan.split("ReadSchema:")[1].splitlines()[0]
