@@ -113,10 +113,23 @@ def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
                 v = substitute_null
             if isinstance(v, float) and precision >= 0:
                 out.append(f"%.{precision}f" % v)
+            elif isinstance(v, float):
+                out.append(_float_shortest(v))
             else:
                 out.append(v)
         w.writerow(out)
     return buf.getvalue()
+
+
+def _float_shortest(v: float) -> str:
+    """Default (precision -1) float rendering = Go strconv.FormatFloat(v,
+    'f', -1, 64) parity (mods/codec/internal/csv): shortest round-trip
+    digits, integral floats print bare (1.0 -> "1")."""
+    if v != v or v in (float("inf"), float("-inf")):
+        return str(v)
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
 
 
 def to_json_envelope(df: DataFrame, limit: int | None = None,

@@ -1,0 +1,893 @@
+"""TQL text front-end: parse ``.tql`` scripts and run them on the engine.
+
+Reference surfaces reproduced here:
+- statement scanner    mods/tql/script_parser.go:40-110 (line-oriented,
+  paren-balanced statements, ``//`` comments, ``#pragma`` lines)
+- expression grammar   mods/tql/expression/parse.go (infix with && || ==
+  != <= >= < > + - * / % ?? and call syntax)
+- function registry    mods/tql/fx_definitions.go:65-334
+
+Execution model: the reference streams records ``(key, values[])`` through
+SRC → MAP* → SINK nodes.  The Spark mapping is a DataFrame with positional
+value columns ``c0..cN`` plus two hidden columns — ``__key`` (the record
+key) and ``__seq`` (arrival order; the reference's channel order) — and a
+parallel list of display names (records carry column names out-of-band via
+the result header, not in storage).  Every statement lowers onto the
+existing operators/codecs modules; nothing here re-implements semantics.
+
+Scale note: this layer is the *scripting* surface.  Sources here are
+presentational (FAKE grids, CSV literals/files); the 100 TB paths go
+through SQL()/SQL_SELECT() which lower to ranged parquet scans
+(io.scan_time_range) and keep Catalyst in charge.  The only driver-side
+row materialization in this file is the single header record a
+TRANSPOSE(header(true)) consumes.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+# --------------------------------------------------------------------------
+# tokenizer
+# --------------------------------------------------------------------------
+
+_OPS = ("??", "||", "&&", "==", "!=", "<=", ">=", "<", ">",
+        "+", "-", "*", "/", "%", "(", ")", ",", "!")
+
+
+@dataclass
+class Tok:
+    kind: str  # num str ident op brace eof
+    val: object
+    pos: int = 0
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i, n = 0, len(src)
+    while i < n:
+        ch = src[i]
+        if ch in " \t\r\n":
+            i += 1
+            continue
+        if src.startswith("//", i):
+            j = src.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if src.startswith("/*", i):
+            j = src.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if ch == "#":  # pragma line (script_parser.go IsPragma)
+            j = src.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if ch in "'\"`":
+            quote, j, buf = ch, i + 1, []
+            while j < n and src[j] != quote:
+                if quote != "`" and src[j] == "\\" and j + 1 < n:
+                    esc = src[j + 1]
+                    buf.append({"n": "\n", "t": "\t", "r": "\r"}.get(esc, esc))
+                    j += 2
+                else:
+                    buf.append(src[j])
+                    j += 1
+            if j >= n:
+                raise SyntaxError(f"unterminated string at {i}")
+            toks.append(Tok("str", "".join(buf), i))
+            i = j + 1
+            continue
+        if ch == "{":  # balanced brace blob: FAKE(json({...}))
+            depth, j = 1, i + 1
+            while j < n and depth:
+                c = src[j]
+                if c in "'\"`":
+                    q = c
+                    j += 1
+                    while j < n and src[j] != q:
+                        j += 2 if src[j] == "\\" and q != "`" else 1
+                if c == "{":
+                    depth += 1
+                elif c == "}":
+                    depth -= 1
+                j += 1
+            toks.append(Tok("brace", src[i + 1:j - 1], i))
+            i = j
+            continue
+        if ch.isdigit() or (ch == "." and i + 1 < n and src[i + 1].isdigit()):
+            j = i
+            while j < n and (src[j].isdigit() or src[j] in ".eE" or
+                             (src[j] in "+-" and src[j - 1] in "eE")):
+                j += 1
+            text = src[i:j]
+            toks.append(Tok("num", float(text) if any(c in text for c in ".eE")
+                            else int(text), i))
+            i = j
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (src[j].isalnum() or src[j] == "_"):
+                j += 1
+            toks.append(Tok("ident", src[i:j], i))
+            i = j
+            continue
+        for op in _OPS:
+            if src.startswith(op, i):
+                toks.append(Tok("op", op, i))
+                i += len(op)
+                break
+        else:
+            raise SyntaxError(f"unexpected character {ch!r} at offset {i}")
+    toks.append(Tok("eof", None, n))
+    return toks
+
+
+# --------------------------------------------------------------------------
+# parser (precedence climbing) -> tuple AST
+# --------------------------------------------------------------------------
+
+_BINARY = [("??",), ("||",), ("&&",), ("==", "!="),
+           ("<", "<=", ">", ">="), ("+", "-"), ("*", "/", "%")]
+
+
+class Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, val=None) -> Tok:
+        t = self.next()
+        if t.kind != kind or (val is not None and t.val != val):
+            raise SyntaxError(f"expected {val or kind}, got {t.kind}:{t.val!r}")
+        return t
+
+    def expr(self, level: int = 0):
+        if level >= len(_BINARY):
+            return self.unary()
+        left = self.expr(level + 1)
+        while self.peek().kind == "op" and self.peek().val in _BINARY[level]:
+            op = self.next().val
+            right = self.expr(level + 1)
+            left = ("bin", op, left, right)
+        return left
+
+    def unary(self):
+        t = self.peek()
+        if t.kind == "op" and t.val in ("-", "!"):
+            self.next()
+            return ("un", t.val, self.unary())
+        return self.primary()
+
+    def primary(self):
+        t = self.next()
+        if t.kind == "num":
+            return ("num", t.val)
+        if t.kind == "str":
+            return ("str", t.val)
+        if t.kind == "brace":
+            return ("brace", t.val)
+        if t.kind == "op" and t.val == "(":
+            inner = self.expr()
+            self.expect("op", ")")
+            return inner
+        if t.kind == "ident":
+            if self.peek().kind == "op" and self.peek().val == "(":
+                self.next()
+                args = []
+                if not (self.peek().kind == "op" and self.peek().val == ")"):
+                    args.append(self.expr())
+                    while self.peek().kind == "op" and self.peek().val == ",":
+                        self.next()
+                        args.append(self.expr())
+                self.expect("op", ")")
+                return ("call", t.val, args)
+            return ("ident", t.val)
+        raise SyntaxError(f"unexpected token {t.kind}:{t.val!r}")
+
+
+def parse_script(src: str) -> list[tuple]:
+    """Split a script into top-level statement calls (script_parser.go)."""
+    p = Parser(tokenize(src))
+    stmts = []
+    while p.peek().kind != "eof":
+        node = p.expr()
+        if node[0] != "call":
+            raise SyntaxError(f"statement must be a function call, got {node}")
+        stmts.append(node)
+    return stmts
+
+
+# --------------------------------------------------------------------------
+# expression evaluation: python values + Column lifting
+# --------------------------------------------------------------------------
+
+def _is_col(v) -> bool:
+    return isinstance(v, Column)
+
+
+def _lift(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+def _numeric2(name, pyf, colf):
+    def impl(rt, *a):
+        if any(_is_col(x) for x in a):
+            return colf(*[_lift(x) for x in a])
+        return pyf(*a)
+    return impl
+
+
+def _simplex(seed, *coords):
+    """simplex(seed, x[, y]) stand-in (fm_fake.go:521-538): seeded smooth
+    deterministic lattice noise.  NOT OpenSimplex — scripts run, but values
+    differ from the reference's noise (documented deviation)."""
+    def lattice(*ks):
+        h = F.xxhash64(*[k.cast("long") for k in ks], F.lit(int(seed)))
+        return (F.pmod(h, F.lit(2000)).cast("double") - 1000.0) / 1000.0
+    cs = [_lift(c).cast("double") for c in coords]
+    if len(cs) == 1:
+        x = cs[0]
+        xi, fx = F.floor(x), x - F.floor(x)
+        mu = (1 - F.cos(fx * F.lit(math.pi))) / 2
+        return lattice(xi) * (1 - mu) + lattice(xi + 1) * mu
+    x, y = cs[0], cs[1]
+    xi, yi = F.floor(x), F.floor(y)
+    fx, fy = x - xi, y - yi
+    mx = (1 - F.cos(fx * F.lit(math.pi))) / 2
+    my = (1 - F.cos(fy * F.lit(math.pi))) / 2
+    top = lattice(xi, yi) * (1 - mx) + lattice(xi + 1, yi) * mx
+    bot = lattice(xi, yi + 1) * (1 - mx) + lattice(xi + 1, yi + 1) * mx
+    return top * (1 - my) + bot * my
+
+
+_TIME_UNIT_NS = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}
+
+
+def _parse_time(rt, v, fmt="ns", tz="UTC"):
+    """parseTime(v, unit|layout, tz) → epoch-ns long (fx:parseTime)."""
+    if fmt in _TIME_UNIT_NS:
+        mult = _TIME_UNIT_NS[fmt]
+        if _is_col(v):
+            return (v.cast("double").cast("long") * F.lit(mult)).cast("long")
+        return int(float(v)) * mult
+    from neo_server_spark.functions.timefn import parse_time
+    return parse_time(_lift(v), fmt)
+
+
+def _str_sub(rt, s, start, length=None):
+    if _is_col(s):
+        c = _lift(s)
+        return F.substring(c, int(start) + 1,
+                           int(length) if length is not None else 2**31 - 1)
+    return s[int(start):(int(start) + int(length)) if length is not None else None]
+
+
+SCALARS = {
+    "sin": _numeric2("sin", math.sin, F.sin),
+    "cos": _numeric2("cos", math.cos, F.cos),
+    "tan": _numeric2("tan", math.tan, F.tan),
+    "exp": _numeric2("exp", math.exp, F.exp),
+    "log": _numeric2("log", math.log, F.log),
+    "log10": _numeric2("log10", math.log10, F.log10),
+    "sqrt": _numeric2("sqrt", math.sqrt, F.sqrt),
+    "abs": _numeric2("abs", abs, F.abs),
+    "floor": _numeric2("floor", math.floor, F.floor),
+    "ceil": _numeric2("ceil", math.ceil, F.ceil),
+    "pow": _numeric2("pow", pow, F.pow),
+    "round": _numeric2("round", round, lambda c: F.round(c)),
+    "len": lambda rt, s: F.length(s) if _is_col(s) else len(s),
+    "strToUpper": lambda rt, s: F.upper(s) if _is_col(s) else s.upper(),
+    "strToLower": lambda rt, s: F.lower(s) if _is_col(s) else s.lower(),
+    "strTrimSpace": lambda rt, s: F.trim(s) if _is_col(s) else s.strip(),
+    "strSub": _str_sub,
+    "parseFloat": lambda rt, v, *a: (_lift(v).cast("double") if _is_col(v)
+                                     else float(v)),
+    "parseTime": _parse_time,
+    "simplex": lambda rt, seed, *cs: _simplex(seed, *cs),
+    "random": lambda rt: F.rand(),
+    "time": lambda rt, spec="now": rt.now_ns if spec == "now" else _parse_time(rt, spec, "s"),
+    "timeAdd": lambda rt, t, delta: _lift(t) + F.lit(int(delta)),
+    "value": lambda rt, n=None: rt.value_col(int(n) if n is not None else 0),
+    "key": lambda rt: F.col("__key"),
+    "payload": lambda rt: rt.payload,
+    "param": lambda rt, name: rt.params.get(name),
+    "context": lambda rt: None,
+    # type constructors (fx: field()/column() coercion types)
+    "doubleType": lambda rt: "double",
+    "floatType": lambda rt: "double",
+    "stringType": lambda rt: "string",
+    "datetimeType": lambda rt, *a: "datetime",
+    "timeType": lambda rt, *a: "datetime",
+    "intType": lambda rt: "long",
+    "longType": lambda rt: "long",
+    "boolType": lambda rt: "bool",
+}
+
+_CONSTS = {"PI": math.pi, "true": True, "false": False, "NULL": None,
+           "nil": None, "E": math.e}
+
+
+# --------------------------------------------------------------------------
+# runner
+# --------------------------------------------------------------------------
+
+@dataclass
+class _State:
+    df: DataFrame | None = None
+    names: list = field(default_factory=list)  # display names (None = default)
+    times: set = field(default_factory=set)    # positions holding time-typed
+    #   values (the reference tags values as time.Time; CSV timeformat()
+    #   applies to those regardless of column name)
+
+
+class TqlRunner:
+    """Execute a parsed TQL script.  ``run()`` returns the sink's rendered
+    string (CSV()/JSON()/... sinks) or the display DataFrame if the script
+    ends without a sink."""
+
+    def __init__(self, spark: SparkSession, payload: str | None = None,
+                 fs_root: str | None = None, sf_dir: str | None = None,
+                 params: dict | None = None):
+        import time as _time
+        self.spark = spark
+        self.payload = payload
+        self.fs_root = fs_root
+        self.sf_dir = sf_dir
+        self.params = params or {}
+        self.now_ns = int(_time.time() * 1e9)
+        self.state = _State()
+        self.output: object = None
+
+    # ---------------------------------------------------------------- expr
+
+    def ev(self, node):
+        kind = node[0]
+        if kind == "num":
+            return node[1]
+        if kind == "str" or kind == "brace":
+            return node[1]
+        if kind == "ident":
+            if node[1] in _CONSTS:
+                return _CONSTS[node[1]]
+            raise NameError(f"unknown identifier {node[1]}")
+        if kind == "un":
+            v = self.ev(node[2])
+            if node[1] == "-":
+                return -v if not _is_col(v) else -v
+            return (~v) if _is_col(v) else (not v)
+        if kind == "bin":
+            return self._binop(node[1], node[2], node[3])
+        if kind == "call":
+            fn = SCALARS.get(node[1])
+            if fn is None:
+                raise NameError(f"unknown function {node[1]}()")
+            return fn(self, *[self.ev(a) for a in node[2]])
+        raise ValueError(f"bad node {node!r}")
+
+    def _binop(self, op, ln, rn):
+        left = self.ev(ln)
+        if op == "??":
+            if _is_col(left):
+                return F.coalesce(left, _lift(self.ev(rn)))
+            return left if left is not None else self.ev(rn)
+        right = self.ev(rn)
+        colmode = _is_col(left) or _is_col(right)
+        if op == "+" and (isinstance(left, str) or isinstance(right, str)) and colmode:
+            return F.concat(_lift(left).cast("string"), _lift(right).cast("string"))
+        if colmode:
+            left, right = _lift(left), _lift(right)
+        table = {
+            "+": lambda a, b: a + b, "-": lambda a, b: a - b,
+            "*": lambda a, b: a * b, "/": lambda a, b: a / b,
+            "%": lambda a, b: a % b,
+            "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+            "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+            "&&": lambda a, b: (a & b) if colmode else (a and b),
+            "||": lambda a, b: (a | b) if colmode else (a or b),
+        }
+        return table[op](left, right)
+
+    def value_col(self, n: int) -> Column:
+        return F.col(f"c{n}")
+
+    # ------------------------------------------------------------- helpers
+
+    @property
+    def ncols(self) -> int:
+        return len(self.state.names)
+
+    def _set(self, df: DataFrame, names: list, times: set | None = None) -> None:
+        self.state.df, self.state.names = df, list(names)
+        self.state.times = set(times or ())
+
+    def _vcols(self) -> list[str]:
+        return [f"c{i}" for i in range(self.ncols)]
+
+    def _from_rows(self, rows: list[tuple], nvals: int) -> DataFrame:
+        """Literal rows → DataFrame with __seq/__key (key = 1-based ordinal,
+        fm_fake.go record emission)."""
+        data = [(i, i + 1, *r) for i, r in enumerate(rows)]
+        cols = ["__seq", "__key"] + [f"c{i}" for i in range(nvals)]
+        return self.spark.createDataFrame(data, cols)
+
+    def _opt_calls(self, args) -> tuple[dict, list]:
+        """Split statement args into option calls {name: [evaluated args]}
+        and positional leftovers (non-option expressions)."""
+        opts: dict[str, list] = {}
+        pos = []
+        for a in args:
+            if a[0] == "call" and a[1] not in SCALARS:
+                opts.setdefault(a[1], []).append([self.ev(x) for x in a[2]])
+            else:
+                pos.append(a)
+        return opts, pos
+
+    def _display(self) -> DataFrame:
+        """Positional frame → display frame: canonical order, display names."""
+        st = self.state
+        df = st.df.orderBy("__seq") if "__seq" in st.df.columns else st.df
+        sel, used = [], set()
+        for i, nm in enumerate(st.names):
+            name = nm or f"column{i}"
+            while name in used:
+                name += "_"
+            used.add(name)
+            sel.append(F.col(f"c{i}").alias(name))
+        return df.select(*sel)
+
+    # ---------------------------------------------------------------- run
+
+    def run(self, src: str):
+        for stmt in parse_script(src):
+            name, args = stmt[1], stmt[2]
+            handler = getattr(self, f"stmt_{name}", None)
+            if handler is None:
+                raise NameError(f"unsupported TQL statement {name}()")
+            handler(args)
+        return self.output if self.output is not None else self._display()
+
+    # -------------------------------------------------------------- sources
+
+    def stmt_FAKE(self, args):
+        gen = args[0]
+        if gen[0] != "call":
+            raise SyntaxError("FAKE() requires a generator call")
+        gname, gargs = gen[1], gen[2]
+        if gname == "linspace":
+            a, b, num = [self.ev(x) for x in gargs]
+            self._set(self._linspace_df(float(a), float(b), int(num)), [None])
+        elif gname == "arrange":
+            a, b, step = [float(self.ev(x)) for x in gargs]
+            n = max(int(math.floor((b - a) / step)) + 1, 0)
+            df = self.spark.range(n).select(
+                F.col("id").alias("__seq"), (F.col("id") + 1).alias("__key"),
+                (F.lit(a) + F.col("id") * F.lit(step)).alias("c0"))
+            self._set(df, [None])
+        elif gname == "meshgrid":
+            specs = [self._grid_spec(g) for g in gargs]
+            (xa, xs, nx), (ya, ys, ny) = specs
+            df = self.spark.range(nx * ny).select(
+                F.col("id").alias("__seq"), (F.col("id") + 1).alias("__key"),
+                (F.lit(xa) + (F.col("id") / ny).cast("long") * F.lit(xs)).alias("c0"),
+                (F.lit(ya) + (F.col("id") % ny) * F.lit(ys)).alias("c1"))
+            self._set(df, [None, None])
+        elif gname == "json":
+            import json as _json
+            rows = [tuple(r) for r in _json.loads("[" + gargs[0][1] + "]")]
+            self._set(self._from_rows(rows, len(rows[0])), [None] * len(rows[0]))
+        elif gname == "csv":
+            import csv as _csv
+            import io as _io
+            text = self.ev(gargs[0])
+            rows = [tuple(r) for r in _csv.reader(_io.StringIO(text.strip()))]
+            self._set(self._from_rows(rows, len(rows[0])), [None] * len(rows[0]))
+        elif gname == "oscillator":
+            comps, rng = [], None
+            for g in gargs:
+                ga = [self.ev(x) for x in g[2]]
+                if g[1] == "freq":
+                    comps.append((float(ga[0]), float(ga[1])))
+                elif g[1] == "range":
+                    rng = ga
+            from neo_server_spark.tql import fake
+            t0 = int(rng[0]) if not isinstance(rng[0], str) else _parse_time(self, rng[0], "s")
+            dur, period = int(rng[1]), int(rng[2])
+            df = fake.oscillator(self.spark, comps, t0, t0 + dur, period)
+            df = df.select(F.col("time").alias("c0"), F.col("value").alias("c1")) \
+                   .withColumn("__seq", F.monotonically_increasing_id()) \
+                   .withColumn("__key", F.col("c0"))
+            self._set(df, ["time", "value"], times={0})
+        elif gname == "sphere":
+            from neo_server_spark.tql import fake
+            ga = [int(self.ev(x)) for x in gargs] or [18, 36]
+            df = fake.sphere(self.spark, *ga).select(
+                F.col("x").alias("c0"), F.col("y").alias("c1"), F.col("z").alias("c2")
+            ).withColumn("__seq", F.monotonically_increasing_id()) \
+             .withColumn("__key", F.monotonically_increasing_id() + 1)
+            self._set(df, ["x", "y", "z"])
+        else:
+            raise NameError(f"unsupported FAKE generator {gname}()")
+
+    def _linspace_df(self, a: float, b: float, num: int) -> DataFrame:
+        if num <= 1:
+            return self.spark.range(1).select(
+                F.col("id").alias("__seq"), F.lit(1).alias("__key"),
+                F.lit(a).alias("c0"))
+        step = (b - a) / (num - 1)
+        return self.spark.range(num).select(
+            F.col("id").alias("__seq"), (F.col("id") + 1).alias("__key"),
+            (F.lit(a) + F.col("id") * F.lit(step)).alias("c0"))
+
+    def _grid_spec(self, g) -> tuple[float, float, int]:
+        """linspace/arrange sub-call → (start, step, n) for meshgrid axes."""
+        ga = [float(self.ev(x)) for x in g[2]]
+        if g[1] == "linspace":
+            a, b, num = ga[0], ga[1], int(ga[2])
+            return a, 0.0 if num <= 1 else (b - a) / (num - 1), max(int(num), 1)
+        if g[1] == "arrange":
+            a, b, step = ga
+            return a, step, max(int(math.floor((b - a) / step)) + 1, 0)
+        raise NameError(f"unsupported meshgrid axis {g[1]}()")
+
+    def stmt_STRING(self, args):
+        """STRING(text|payload(), separator(...), trimspace(bool)) source
+        (fm_bytes.go)."""
+        opts, pos = self._opt_calls(args)
+        text = self.ev(pos[0]) if pos else None
+        sep = opts.get("separator", [["\n"]])[0][0] if "separator" in opts else None
+        trim = bool(opts["trimspace"][0][0]) if "trimspace" in opts else False
+        rows = text.split(sep) if sep is not None else [text]
+        if trim:
+            rows = [r.strip() for r in rows]
+        self._set(self._from_rows([(r,) for r in rows], 1), [None])
+
+    def stmt_CSV(self, args):
+        if self.state.df is None:
+            self._csv_source(args)
+        else:
+            self._csv_sink(args)
+
+    def _resolve(self, path: str) -> str:
+        import os
+        if self.fs_root and path.startswith("/"):
+            return os.path.join(self.fs_root, path.lstrip("/"))
+        return path
+
+    def _csv_source(self, args):
+        opts, pos = self._opt_calls(args)
+        fields = opts.get("field", []) + opts.get("column", [])
+        if "file" in opts:
+            path = self._resolve(opts["file"][0][0])
+            reader = self.spark.read.option("header", False)
+            if not fields:
+                reader = reader.option("inferSchema", True)
+            raw = reader.csv(path)
+            w = Window.orderBy(F.monotonically_increasing_id())
+            df = raw.select(
+                (F.row_number().over(w) - 1).alias("__seq"),
+                F.row_number().over(w).alias("__key"),
+                *[F.col(c).alias(f"c{i}") for i, c in enumerate(raw.columns)])
+            names: list = [None] * (len(raw.columns))
+        else:
+            import csv as _csv
+            import io as _io
+            text = self.ev(pos[0])
+            rows = [tuple(r) for r in _csv.reader(_io.StringIO(text.strip()))]
+            df = self._from_rows(rows, len(rows[0]))
+            names = [None] * len(rows[0])
+        for f_args in fields:
+            idx, typ, nm = int(f_args[0]), f_args[1], (f_args[2] if len(f_args) > 2 else None)
+            cast = {"double": "double", "float": "double", "string": "string",
+                    "datetime": "long", "long": "long", "int": "long",
+                    "bool": "boolean"}.get(str(typ), "string")
+            df = df.withColumn(f"c{idx}", F.col(f"c{idx}").cast(cast))
+            if nm is not None:
+                names[idx] = nm
+        self._set(df, names)
+
+    # ---------------------------------------------------------------- maps
+
+    def stmt_FILTER(self, args):
+        self.state.df = self.state.df.filter(_lift(self.ev(args[0])))
+
+    def stmt_DROP(self, args):
+        self._take_drop(int(self.ev(args[0])), drop=True)
+
+    def stmt_TAKE(self, args):
+        a = [int(self.ev(x)) for x in args]
+        off, n = (a[0], a[1]) if len(a) > 1 else (0, a[0])
+        if off:
+            self._take_drop(off, drop=True)
+        self._take_drop(n, drop=False)
+
+    def _take_drop(self, n: int, drop: bool):
+        w = Window.orderBy("__seq")
+        df = self.state.df.withColumn("__rn", F.row_number().over(w))
+        cond = (F.col("__rn") > n) if drop else (F.col("__rn") <= n)
+        self.state.df = df.filter(cond).drop("__rn")
+
+    def _reproject(self, exprs: list[tuple]):
+        """Re-emit positional columns: exprs = [(column, name, is_time)]."""
+        df = self.state.df
+        sel = [F.col("__seq"), F.col("__key")] + [
+            e.alias(f"c{i}") for i, (e, *_rest) in enumerate(exprs)]
+        self._set(df.select(*sel), [e[1] for e in exprs],
+                  {i for i, e in enumerate(exprs) if len(e) > 2 and e[2]})
+
+    def _cur(self) -> list[tuple]:
+        return [(F.col(c), self.state.names[i], i in self.state.times)
+                for i, c in enumerate(self._vcols())]
+
+    @staticmethod
+    def _is_time_expr(node) -> bool:
+        return node[0] == "call" and node[1] in ("parseTime", "time", "timeAdd")
+
+    def stmt_MAPVALUE(self, args):
+        idx = int(self.ev(args[0]))
+        expr = _lift(self.ev(args[1]))
+        name = self.ev(args[2]) if len(args) > 2 and args[2][0] == "str" else None
+        is_t = self._is_time_expr(args[1])
+        cur = self._cur()
+        if idx < 0:  # MAPVALUE(-1, v) == PUSHVALUE(0, v) (fm_monad.go:1745)
+            cur.insert(0, (expr, name, is_t))
+        elif idx >= len(cur):
+            cur.append((expr, name, is_t))
+        else:
+            cur[idx] = (expr, name or self.state.names[idx], is_t)
+        self._reproject(cur)
+
+    def stmt_PUSHVALUE(self, args):
+        idx = max(0, min(int(self.ev(args[0])), self.ncols))
+        expr = _lift(self.ev(args[1]))
+        name = self.ev(args[2]) if len(args) > 2 else None
+        cur = self._cur()
+        cur.insert(idx, (expr, name, self._is_time_expr(args[1])))
+        self._reproject(cur)
+
+    def stmt_POPVALUE(self, args):
+        drop = {int(self.ev(a)) for a in args}
+        cur = [e for i, e in enumerate(self._cur()) if i not in drop]
+        self._reproject(cur)
+
+    def stmt_MAPKEY(self, args):
+        self.state.df = self.state.df.withColumn("__key", _lift(self.ev(args[0])))
+
+    def stmt_PUSHKEY(self, args):
+        newkey = _lift(self.ev(args[0]))
+        cur = [(F.col("__key"), None, False)] + self._cur()
+        df = self.state.df
+        self.state.df = df.withColumn("__newkey", newkey)
+        sel = [F.col("__seq"), F.col("__newkey").alias("__key2")] + [
+            e.alias(f"c{i}") for i, (e, *_r) in enumerate(cur)]
+        self._set(self.state.df.select(*sel).withColumnRenamed("__key2", "__key"),
+                  [e[1] for e in cur])
+
+    def stmt_POPKEY(self, args):
+        idx = int(self.ev(args[0])) if args else 0
+        cur = self._cur()
+        if not cur:
+            return
+        idx = max(0, min(idx, len(cur) - 1))
+        newkey = cur.pop(idx)[0]
+        df = self.state.df.withColumn("__k2", newkey)
+        sel = [F.col("__seq"), F.col("__k2").alias("__key")] + [
+            e.alias(f"c{i}") for i, (e, *_r) in enumerate(cur)]
+        self._set(df.select(*sel), [e[1] for e in cur])
+
+    def stmt_FLATTEN(self, args):
+        df = self.state.df
+        last = f"c{self.ncols - 1}"
+        self.state.df = df.select(
+            "__seq", "__key",
+            *[F.col(c) for c in self._vcols()[:-1]],
+            F.explode(F.col(last)).alias(last))
+
+    def stmt_TRANSPOSE(self, args):
+        """TRANSPOSE([header(bool)][, fixed(i...)| i...]) (fm_monad.go:2415).
+
+        Output order is row-major: new __seq = old_seq * ncols + col_index.
+        header(true) consumes the first record as column names (the single
+        driver-side row materialization in this front-end)."""
+        opts, pos = self._opt_calls(args)
+        header = bool(opts["header"][0][0]) if "header" in opts else False
+        idxs = [int(self.ev(p)) for p in pos]
+        if "fixed" in opts:
+            fixed = sorted(int(i) for i in opts["fixed"][0])
+            melt = [i for i in range(self.ncols) if i not in fixed]
+        elif idxs:
+            melt = sorted(idxs)
+            fixed = [i for i in range(self.ncols) if i not in set(melt)]
+        else:
+            melt, fixed = list(range(self.ncols)), []
+        df, names = self.state.df, self.state.names
+        hdr_names = None
+        if header:
+            first = df.orderBy("__seq").limit(1).collect()[0]
+            hdr_names = [str(first[f"c{i}"]) for i in range(self.ncols)]
+            df = df.filter(F.col("__seq") > first["__seq"])
+        nmelt = len(melt)
+        pairs: list[Column] = []
+        for j, m in enumerate(melt):
+            pairs.append(F.lit(j))
+            if hdr_names:
+                pairs.append(F.lit(hdr_names[m]))
+            pairs.append(F.col(f"c{m}").cast("string"))
+        stack_cols = ("__j", "__hdr", "__v") if hdr_names else ("__j", "__v")
+        stacked = df.select(
+            "__seq", "__key", *[F.col(f"c{i}") for i in fixed],
+            F.stack(F.lit(nmelt), *pairs).alias(*stack_cols))
+        out_exprs = [F.col(f"c{i}") for i in fixed]
+        out_names: list = [hdr_names[i] if hdr_names else names[i] for i in fixed]
+        if hdr_names:
+            out_exprs.append(F.col("__hdr"))
+            out_names.append("header")
+        out_exprs.append(F.col("__v"))
+        out_names.append(None)
+        sel = [(F.col("__seq") * nmelt + F.col("__j")).alias("__seq"),
+               F.col("__key")] + [e.alias(f"c{i}") for i, e in enumerate(out_exprs)]
+        self._set(stacked.select(*sel), out_names)
+
+    _AGG_FNS = {"sum", "avg", "mean", "min", "max", "first", "last", "count",
+                "rss", "rms", "median", "medianInterpolated", "stddev",
+                "stderr", "entropy", "variance", "mode", "quantile",
+                "quantileInterpolated", "cdf", "list", "correlation",
+                "moment", "lrs"}
+
+    def stmt_GROUP(self, args):
+        """GROUP(by(v, "name")..., agg(v, "name")...) — lazy sorted emit
+        (fm_monad.go GROUP; sorted-by-key emission order)."""
+        from neo_server_spark.operators.group import agg as A
+        df = self.state.df
+        bys: list[tuple[Column, str]] = []
+        aggs: list[Column] = []
+        out_names: list = []
+        tmp_i = 0
+        pre: list[Column] = []
+
+        def mat(col: Column) -> str:
+            nonlocal tmp_i
+            nm = f"__a{tmp_i}"
+            tmp_i += 1
+            pre.append(col.alias(nm))
+            return nm
+
+        for a in args:
+            if a[0] != "call":
+                continue
+            fn, fargs = a[1], a[2]
+            if fn in ("lazy",):
+                continue
+            if fn == "by":
+                expr = _lift(self.ev(fargs[0]))
+                nm = self.ev(fargs[1]) if len(fargs) > 1 else "GROUP"
+                bys.append((F.col(mat(expr)), nm))
+                continue
+            if fn not in self._AGG_FNS:
+                continue
+            expr = _lift(self.ev(fargs[0]))
+            nm = self.ev(fargs[1]) if len(fargs) > 1 else fn.upper()
+            src = mat(expr.cast("double"))
+            alias = f"__o{len(out_names)}"
+            builder = {
+                "sum": lambda: A.sum(src, alias),
+                "avg": lambda: A.avg(src, alias),
+                "mean": lambda: A.avg(src, alias),
+                "min": lambda: A.min(src, alias),
+                "max": lambda: A.max(src, alias),
+                "count": lambda: A.count(src, alias),
+                "first": lambda: A.first(src, "__seq", alias),
+                "last": lambda: A.last(src, "__seq", alias),
+                "rss": lambda: A.rss(src, alias),
+                "rms": lambda: A.rms(src, alias),
+                "median": lambda: A.median(src, alias),
+                "medianInterpolated": lambda: A.median_lininterp(src, alias),
+                "stddev": lambda: A.stddev(src, alias),
+                "stderr": lambda: A.stderr(src, alias),
+                "variance": lambda: A.variance(src, alias),
+                "entropy": lambda: A.entropy_raw(src, alias),
+                "mode": lambda: A.mode(src, alias),
+                "list": lambda: A.list(src, alias),
+                "lrs": lambda: A.lrs("__seq", src, alias),
+            }.get(fn)
+            if builder is None:
+                if fn in ("quantile", "quantileInterpolated", "cdf", "moment"):
+                    p = float(self.ev(fargs[1]))
+                    nm = self.ev(fargs[2]) if len(fargs) > 2 else fn.upper()
+                    col = {"quantile": lambda: A.quantile(src, p, alias),
+                           "quantileInterpolated": lambda: A.quantile_lininterp(src, p, alias),
+                           "cdf": lambda: A.cdf(src, p, alias),
+                           "moment": lambda: A.moment(src, int(p), alias)}[fn]()
+                    aggs.append(col)
+                    out_names.append(nm)
+                    continue
+                raise NameError(f"unsupported GROUP aggregate {fn}()")
+            aggs.append(builder())
+            out_names.append(nm)
+
+        # by-group string keys stay strings (not cast double): re-materialize
+        # by columns without the double cast applied to agg inputs
+        staged = df.select("__seq", "__key", *self._vcols(), *pre)
+        by_cols = [c for c, _ in bys]
+        grouped = staged.groupBy(*by_cols).agg(*aggs) if by_cols else staged.agg(*aggs)
+        order = [c for c, _ in bys] or [F.lit(1)]
+        w = Window.orderBy(*order)
+        out = grouped.select(
+            (F.row_number().over(w) - 1).alias("__seq"),
+            (by_cols[0] if by_cols else F.lit(None)).alias("__key"),
+            *[c.alias(f"c{i}") for i, (c, _) in enumerate(bys)],
+            *[F.col(f"__o{j}").alias(f"c{len(bys) + j}") for j in range(len(out_names))])
+        self._set(out, [nm for _, nm in bys] + out_names)
+
+    def stmt_SET(self, args):
+        pass  # SET(var, expr) — variables land in params (batch no-op here)
+
+    # ---------------------------------------------------------------- sinks
+
+    def _csv_sink(self, args):
+        from neo_server_spark.codecs import encoders
+        opts, _ = self._opt_calls(args)
+        header = bool((opts.get("header") or opts.get("heading") or [[False]])[0][0])
+        precision = int(opts["precision"][0][0]) if "precision" in opts else -1
+        timeformat = opts["timeformat"][0][0] if "timeformat" in opts else None
+        delimiter = opts["delimiter"][0][0] if "delimiter" in opts else ","
+        subst = opts["substituteNull"][0][0] if "substituteNull" in opts else "NULL"
+        disp = self._display()
+        tf = None if timeformat in (None, "DEFAULT") else timeformat
+        tcols = tuple(disp.columns[i] for i in sorted(self.state.times)
+                      if i < len(disp.columns))
+        self.output = encoders.to_csv(
+            disp, header=header, delimiter=delimiter, precision=precision,
+            substitute_null=subst, timeformat=tf,
+            time_cols=tcols or tuple(c for c in disp.columns if c == "time"))
+
+    def stmt_JSON(self, args):
+        from neo_server_spark.codecs import encoders
+        opts, _ = self._opt_calls(args)
+        self.output = encoders.to_json_envelope(
+            self._display(),
+            transpose="transpose" in opts and bool(opts["transpose"][0][0]),
+            rows_flatten="rowsFlatten" in opts and bool(opts["rowsFlatten"][0][0]),
+            rows_array="rowsArray" in opts and bool(opts["rowsArray"][0][0]))
+
+    def stmt_MARKDOWN(self, args):
+        from neo_server_spark.codecs import encoders
+        opts, _ = self._opt_calls(args)
+        self.output = encoders.to_markdown(
+            self._display(), html="html" in opts and bool(opts["html"][0][0]))
+
+    def stmt_NDJSON(self, args):
+        from neo_server_spark.codecs import encoders
+        self.output = encoders.to_ndjson(self._display())
+
+    def stmt_DISCARD(self, args):
+        self.state.df.count()  # execute, emit nothing (fm_encoder DISCARD)
+        self.output = ""
+
+
+def run_script(spark: SparkSession, src: str, payload: str | None = None,
+               fs_root: str | None = None, params: dict | None = None):
+    """Parse + execute TQL source text; returns sink output or DataFrame."""
+    return TqlRunner(spark, payload=payload, fs_root=fs_root,
+                     params=params).run(src)
+
+
+def run_file(spark: SparkSession, path: str, payload: str | None = None,
+             fs_root: str | None = None, params: dict | None = None):
+    import os
+    with open(path) as f:
+        src = f.read()
+    return run_script(spark, src, payload=payload,
+                      fs_root=fs_root or os.path.dirname(path), params=params)

@@ -36,7 +36,8 @@ def test_mapvalue_chain_csv_sink(tql):
         .mapvalue(0, "x * 2", "y")
         .csv()
     )
-    assert csv_text.splitlines() == ["y", "0.0", "2.0", "4.0", "6.0", "8.0"]
+    # default precision renders Go-shortest (strconv 'f' -1): 0.0 -> "0"
+    assert csv_text.splitlines() == ["y", "0", "2", "4", "6", "8"]
 
 
 def test_oscillator_fft_pipeline(tql):
