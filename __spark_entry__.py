@@ -646,6 +646,28 @@ def _q_tql_dsl(spark, sf_dir):
     return p.to_df().drop("time")
 
 
+TQL_SCRIPT = """
+// per-tag rollup written as a TQL *script* (text), parsed and lowered by
+// tql/script.py onto the engine — SQL source + GROUP battery + rounding
+SQL('select event_type, value from events')
+GROUP(by(value(0), "name"),
+      sum(value(1), "sum_value"),
+      avg(value(1), "avg_value"),
+      count(value(1), "cnt"))
+MAPVALUE(1, round(value(1), 6))
+MAPVALUE(2, round(value(2), 6))
+"""
+
+
+def _q_tql_script(spark, sf_dir):
+    """TQL text front-end end-to-end: parse + run a .tql script string
+    (script_parser.go / fx_definitions.go surface; goldens in
+    tests/test_tql_scripts.py run the reference's own files)."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    return TqlRunner(spark, sf_dir=sf_dir).run(TQL_SCRIPT)
+
+
 def _q_sliding_window(spark, sf_dir):
     """Sliding-window agg (1h window / 30min hop): sequence() explode +
     single hash aggregate (extension beyond tumbling timewindow)."""
@@ -1664,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "set_ops": _q_set_ops,
         # --- beyond the 50-entry driver window (driver-green r01/r02 or redundant variants) ---
+        "tql_script": _q_tql_script,
         "group_aggs": _q_group_aggs,
         "group_where": _q_group_where,
         "transpose": _q_transpose,
@@ -2120,6 +2143,11 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(ts)) AS min_time, max(epoch_us(ts)) AS max_time,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type
+        """,
+        "tql_script": """
+            SELECT event_type AS name, round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS avg_value, count(value) AS cnt
+            FROM events GROUP BY 1 ORDER BY name
         """,
         "tql_dsl": """
             SELECT event_type AS name, round(value * 1.1, 6) AS value,

@@ -286,7 +286,8 @@ SCALARS = {
     "floor": _numeric2("floor", math.floor, F.floor),
     "ceil": _numeric2("ceil", math.ceil, F.ceil),
     "pow": _numeric2("pow", pow, F.pow),
-    "round": _numeric2("round", round, lambda c: F.round(c)),
+    "round": lambda rt, v, *sc: (F.round(_lift(v), int(sc[0]) if sc else 0)
+                                 if _is_col(v) else round(v, *map(int, sc))),
     "len": lambda rt, s: F.length(s) if _is_col(s) else len(s),
     "strToUpper": lambda rt, s: F.upper(s) if _is_col(s) else s.upper(),
     "strToLower": lambda rt, s: F.lower(s) if _is_col(s) else s.lower(),
@@ -541,6 +542,54 @@ class TqlRunner:
             a, b, step = ga
             return a, step, max(int(math.floor((b - a) / step)) + 1, 0)
         raise NameError(f"unsupported meshgrid axis {g[1]}()")
+
+    def stmt_SQL(self, args):
+        """SQL('select ...') source (fm_dbsrc.go:312-384 -> spark.sql).
+
+        The heavyweight path: the query plans through Catalyst against the
+        registered tables (ranged parquet scans, pushdown) — this front-end
+        only adapts the result into the record-stream shape.  Arrival order
+        = the query's output order (monotonic id over the result)."""
+        q = self.ev(args[0])
+        from neo_server_spark import io as nio
+        if self.sf_dir:
+            nio.register_views(self.spark, self.sf_dir)
+        df = self.spark.sql(q)
+        cols = df.columns
+        df = df.withColumn("__seq", F.monotonically_increasing_id())
+        sel = [F.col("__seq"), F.col(cols[0]).alias("__key")] + [
+            F.col(c).alias(f"c{i}") for i, c in enumerate(cols)]
+        self._set(df.select(*sel), list(cols))
+
+    def stmt_SQL_SELECT(self, args):
+        """SQL_SELECT(cols..., from(table [, tag]), between(a, b), limit(n))
+        (fm_dbsrc.go:16-53) — lowers onto the ranged tag scan
+        (io.events_as_tag / io.scan_time_range, pushdown-guaranteed)."""
+        from neo_server_spark import io as nio
+        opts, pos = self._opt_calls(args)
+        cols = [self.ev(p) for p in pos]
+        table = opts["from"][0][0] if "from" in opts else "events"
+        tags = opts["from"][0][1:] if "from" in opts and len(opts["from"][0]) > 1 else None
+        between = opts.get("between", [None])[0]
+        limit = int(opts["limit"][0][0]) if "limit" in opts else None
+        if between:
+            a = between[0] if not isinstance(between[0], str) else _parse_time(self, between[0], "s")
+            b = between[1] if not isinstance(between[1], str) else _parse_time(self, between[1], "s")
+            df = nio.events_as_tag(self.spark, self.sf_dir, from_ns=int(a),
+                                  until_ns=int(b), until_inclusive=True)
+        else:
+            df = nio.events_as_tag(self.spark, self.sf_dir)
+        if tags:
+            df = df.filter(F.col("name").isin(list(tags)))
+        names = ["name", "time", *cols]
+        df = df.select("name", "time", *cols).withColumn(
+            "__seq", F.monotonically_increasing_id())
+        if limit is not None:
+            w = Window.orderBy("time", "__seq")
+            df = df.withColumn("__rn", F.row_number().over(w))                    .filter(F.col("__rn") <= limit).drop("__rn")
+        sel = [F.col("__seq"), F.col("name").alias("__key")] + [
+            F.col(c).alias(f"c{i}") for i, c in enumerate(names)]
+        self._set(df.select(*sel), names, times={1})
 
     def stmt_STRING(self, args):
         """STRING(text|payload(), separator(...), trimspace(bool)) source

@@ -104,6 +104,38 @@ CSV(header(true))
     assert out.splitlines() == ["hundred", "300", "400", "500"]
 
 
+def test_sql_source_group(spark, sf_dir):
+    """SQL('select ...') source statement + GROUP over real tables."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    src = """
+SQL('select event_type, value from events')
+GROUP(by(value(0), "name"), count(value(1), "cnt"))
+CSV(header(true))
+"""
+    out = TqlRunner(spark, sf_dir=sf_dir).run(src)
+    lines = out.splitlines()
+    assert lines[0] == "name,cnt"
+    assert len(lines) > 1
+    assert lines[1:] == sorted(lines[1:])  # GROUP emits sorted by key
+
+
+def test_sql_select_builder_statement(spark, sf_dir):
+    """SQL_SELECT('value', from('events', 'purchase'), limit(5)) — ranged
+    tag-scan source through the text surface."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    src = """
+SQL_SELECT('value', from('events', 'purchase'), limit(5))
+CSV(header(true))
+"""
+    out = TqlRunner(spark, sf_dir=sf_dir).run(src)
+    lines = out.splitlines()
+    assert lines[0] == "name,time,value"
+    assert len(lines) == 6
+    assert all(ln.startswith("purchase,") for ln in lines[1:])
+
+
 def test_json_sink_roundtrip(spark):
     src = """
 FAKE( json({
