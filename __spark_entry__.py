@@ -467,6 +467,26 @@ def _q_embedding_dupes(spark, sf_dir):
     return dedup.embedding_dupes(emb, threshold=0.35, block_bits=4)
 
 
+def _q_embedding_dupes_exact(spark, sf_dir):
+    """Embedding near-dup pairs, EXACT all-pairs cosine baseline (the
+    oracle-checkable ground truth the LSH-blocked variant approximates;
+    datapipe/dedup.py embedding_dupes is the scale path).  Self-join on
+    id<id keeps each pair once; the dot/norm fold is sequential-deterministic
+    on both engines, so values hash-match at round-6."""
+    from neo_server_spark.datapipe.similarity import cosine_expr
+
+    emb = nio.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+    )
+    return (pairs.filter(F.col("cosine") >= 0.35)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+            .orderBy("id_a", "id_b"))
+
+
 def _q_filter_changed_retain(spark, sf_dir):
     """FILTER_CHANGED with retain(time, 10m): a per-user event_type run emits
     only once the value has held for >= 10 minutes (fm_monad.go:160-186)."""
@@ -499,7 +519,8 @@ def _q_oscillator_fft(spark, sf_dir):
     src = FK.oscillator(spark, [(1.0, 1.0), (2.0, 0.5), (3.0, 0.25)],
                         0, 4_000_000_000, 4_000_000_000 // 256)
     out = series.fft(src)
-    return out.select(F.round("hz", 6).alias("hz"), F.round("ampl", 6).alias("ampl"))
+    return out.select(F.round("hz", 6).alias("hz"),
+                      F.round("ampl", 6).alias("ampl")).orderBy("hz")
 
 
 def _q_projection_ops(spark, sf_dir):
@@ -1684,8 +1705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity_topk,
         "similarity_ivf": _q_similarity_ivf,
         "stratified_sample": _q_stratified_sample,
-        "set_ops": _q_set_ops,
+        "embedding_dupes_exact": _q_embedding_dupes_exact,
         # --- beyond the 50-entry driver window (driver-green r01/r02 or redundant variants) ---
+        "set_ops": _q_set_ops,
         "tql_script": _q_tql_script,
         "group_aggs": _q_group_aggs,
         "group_where": _q_group_where,
@@ -2143,6 +2165,36 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(ts)) AS min_time, max(epoch_us(ts)) AS max_time,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type
+        """,
+        "embedding_dupes_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+            ORDER BY id_a, id_b
+        """,
+        "oscillator_fft": """
+            WITH s AS (
+              SELECT i,
+                     sin(2*pi()*1.0*((i::BIGINT*15625000)/1000000000.0))
+                     + 0.5*sin(2*pi()*2.0*((i::BIGINT*15625000)/1000000000.0))
+                     + 0.25*sin(2*pi()*3.0*((i::BIGINT*15625000)/1000000000.0)) AS v
+              FROM generate_series(0, 255) t(i)
+            ), ks AS (SELECT k FROM generate_series(1, 128) tk(k)),
+            dft AS (
+              SELECT k,
+                     sum(v * cos(2*pi()*k*i/256.0)) AS re,
+                     sum(v * sin(2*pi()*k*i/256.0)) AS im
+              FROM s, ks GROUP BY k
+            )
+            SELECT round((k/256.0) * (256.0/((255::BIGINT*15625000)/1000000000.0)), 6) AS hz,
+                   round(2.0*sqrt(re*re + im*im)/256.0, 6) AS ampl
+            FROM dft ORDER BY hz
         """,
         "tql_script": """
             SELECT event_type AS name, round(sum(value), 6) AS sum_value,
