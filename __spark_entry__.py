@@ -689,6 +689,36 @@ def _q_tql_script(spark, sf_dir):
     return TqlRunner(spark, sf_dir=sf_dir).run(TQL_SCRIPT)
 
 
+def _q_lookup_join(spark, sf_dir):
+    """VOLATILE/LOOKUP keyed table (spi/do.go:197-207): upsert -> update ->
+    delete, then enrich the event stream by joining the final state.  The
+    oracle holds the closed-form final table as VALUES; the snapshot is
+    dimension-sized so the join broadcasts (no shuffle on the fact side)."""
+    import tempfile
+
+    from neo_server_spark.sqlx.keyvalue import KeyedTable
+
+    t = KeyedTable(spark, tempfile.mkdtemp(prefix="neo_lut_"),
+                   key="name", kind="lookup")
+    t.upsert([{"name": "purchase", "tier": "basic"},
+              {"name": "click", "tier": "silver"},
+              {"name": "error", "tier": "bronze"},
+              {"name": "view", "tier": "basic"},
+              {"name": "signup", "tier": "silver"}])
+    # ON DUPLICATE KEY UPDATE + an unmatched insert
+    t.upsert([{"name": "purchase", "tier": "gold"},
+              {"name": "refund", "tier": "none"}])
+    t.delete(["view"])
+    ev = _tag(spark, sf_dir)
+    return (
+        ev.join(t.df(), "name")
+        .groupBy("name", "tier")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .orderBy("name")
+    )
+
+
 def _q_sliding_window(spark, sf_dir):
     """Sliding-window agg (1h window / 30min hop): sequence() explode +
     single hash aggregate (extension beyond tumbling timewindow)."""
@@ -1709,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- beyond the 50-entry driver window (driver-green r01/r02 or redundant variants) ---
         "set_ops": _q_set_ops,
         "tql_script": _q_tql_script,
+        "lookup_join": _q_lookup_join,
         "group_aggs": _q_group_aggs,
         "group_where": _q_group_where,
         "transpose": _q_transpose,
@@ -2165,6 +2196,16 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(ts)) AS min_time, max(epoch_us(ts)) AS max_time,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type
+        """,
+        "lookup_join": """
+            SELECT e.event_type AS name, l.tier AS tier,
+                   count(*) AS cnt, round(sum(e.value), 6) AS sum_value
+            FROM events e
+            JOIN (VALUES ('purchase', 'gold'), ('click', 'silver'),
+                         ('error', 'bronze'), ('signup', 'silver'),
+                         ('refund', 'none')) l(name, tier)
+              ON e.event_type = l.name
+            GROUP BY 1, 2 ORDER BY 1
         """,
         "embedding_dupes_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

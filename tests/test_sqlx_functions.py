@@ -341,3 +341,43 @@ def test_time_iso_extractors_match_python(spark):
         iso = dt.date.fromisoformat(d).isocalendar()
         assert (r.iy, r.iw) == (iso[0], iso[1]), d
         assert r.yd == dt.date.fromisoformat(d).timetuple().tm_yday, d
+
+
+# ---------------------------------------------------------------------------
+# VOLATILE/LOOKUP/KEYVALUE keyed tables (spi/do.go:197-207)
+# ---------------------------------------------------------------------------
+
+def test_keyed_table_upsert_delete(spark, tmp_path):
+    from neo_server_spark.sqlx.keyvalue import KeyedTable
+
+    t = KeyedTable(spark, str(tmp_path / "lut"), key="name", kind="lookup")
+    t.upsert([{"name": "FA1_CNC", "factory": "FA1", "equipment": "CNC"},
+              {"name": "FA4_MILL", "factory": "FA4", "equipment": "MILLING"},
+              {"name": "FA2_LATHE", "factory": "FA2", "equipment": "LATHE"}])
+    assert t.df().count() == 3
+    # ON DUPLICATE KEY UPDATE: update one, insert one
+    t.upsert([{"name": "FA1_CNC", "factory": "FA1", "equipment": "CNC-5AX"},
+              {"name": "FA9_EDM", "factory": "FA9", "equipment": "EDM"}])
+    got = {r.name: r.equipment for r in t.df().collect()}
+    assert got == {"FA1_CNC": "CNC-5AX", "FA4_MILL": "MILLING",
+                   "FA2_LATHE": "LATHE", "FA9_EDM": "EDM"}
+    t.delete(["FA2_LATHE"])
+    assert sorted(r.name for r in t.df().collect()) == \
+        ["FA1_CNC", "FA4_MILL", "FA9_EDM"]
+
+
+def test_keyed_table_isolation_and_broadcast_join(spark, tmp_path):
+    from neo_server_spark.sqlx.keyvalue import KeyedTable
+
+    t = KeyedTable(spark, str(tmp_path / "kv"), key="k", kind="keyvalue")
+    t.upsert([{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+    before = t.df()          # reader resolves snapshot pointer at read time
+    n_before = before.count()
+    t.upsert([{"k": "c", "v": 3}])
+    assert n_before == 2 and before.count() == 2     # old handle stays stable
+    assert t.df().count() == 3
+    # dimension-sized snapshot broadcasts when joined against a big side
+    big = spark.range(100_000).selectExpr("id", "chr(97 + cast(id % 3 as int)) AS k")
+    plan = big.join(t.df(), "k")._sc._jvm.PythonSQLUtils.explainString(
+        big.join(t.df(), "k")._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan
