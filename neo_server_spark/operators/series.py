@@ -248,6 +248,136 @@ def map_lowpass_blocked(df: DataFrame, value_col: str, alpha: float,
     return joined.withColumn(out, final).drop("__blk", "__pref", "__i", "__entry")
 
 
+def map_kalman_blocked(df: DataFrame, value_col: str, out: str = "kalman",
+                       series: Sequence[str] = (), time_col: str = "time",
+                       init_variance: float = 1.0, process_variance: float = 1.0,
+                       observation_variance: float = 2.0,
+                       block_ns: int = 86_400 * 10**9) -> DataFrame:
+    """MAP_KALMAN at 100 TB: blocked decomposition of the constant-model
+    Kalman recursion (same three-step shape as :func:`map_lowpass_blocked`).
+
+    Why it composes: for the 1-D constant model the gain sequence K_i is
+    DATA-INDEPENDENT — P evolves deterministically from (iv, pv, ov), so
+    K_i is a function of the global row index alone.  The state update
+    x_i = (1-K_i)·x_{i-1} + K_i·z_i is then a linear time-varying
+    recurrence: a block of rows with zero entry state yields per-row
+    (A_i, B_i) with x_i = A_i·x_entry + B_i, and block summaries
+    (A_n, B_n) chain entry states across blocks.
+
+    Steps:
+    1. per-(series, block) COUNT — a tiny aggregate, one narrow shuffle;
+    2. per-series scan over block counts → each block's global start index
+       and entry variance P (P iterates with geometric convergence, so the
+       scan iterates at most ~200 steps before P is constant — never O(rows)
+       on the driver);
+    3. per-(series, block) pandas kernel over raw rows computes zero-entry
+       (A_i, B_i); a second tiny per-series scan chains entry states; a
+       final join emits x_i = A_i·entry + B_i.
+
+    Row-for-row equal to :func:`map_kalman` (equivalence-tested); no task
+    holds more than one block of one series.
+    """
+    import pandas as pd
+
+    iv, pv, ov = float(init_variance), float(process_variance), float(observation_variance)
+    t = F.col(time_col).cast("long")
+    df_b = df.withColumn("__blk", t - F.pmod(t, F.lit(block_ns)))
+    skey = list(series)
+
+    # -- step 1: per-block counts (tiny frame)
+    counts = df_b.groupBy(*skey, "__blk").agg(F.count(F.lit(1)).alias("__n"))
+
+    # -- step 2: global start index + entry variance per block
+    meta_schema = StructType(
+        [counts.schema[c] for c in [*skey, "__blk"]] +
+        [StructField("__start", DoubleType()), StructField("__p0", DoubleType())])
+
+    def _advance_p(p: float, steps: int) -> float:
+        # P_{i} = ((P_{i-1}+pv)·ov)/(P_{i-1}+pv+ov) — monotone, geometric
+        # convergence to its fixed point; stop early once stationary.
+        for _ in range(steps):
+            nxt = ((p + pv) * ov) / (p + pv + ov)
+            if abs(nxt - p) <= 1e-15 * max(abs(p), 1e-300):
+                return nxt
+            p = nxt
+        return p
+
+    def meta_kernel(pdf):
+        pdf = pdf.sort_values("__blk")
+        start, p, gi = 1, iv, 1  # gi = global index P corresponds to entering
+        starts, ps = [], []
+        for n in pdf["__n"]:
+            starts.append(float(start))
+            ps.append(p)
+            # advance P across this block: row 1 leaves P untouched (seed row)
+            steps = int(n) - (1 if start == 1 else 0)
+            p = _advance_p(p, steps)
+            start += int(n)
+        return pd.DataFrame({
+            **{c: pdf[c] for c in pdf.columns if c in ([*skey, "__blk"])},
+            "__start": starts, "__p0": ps,
+        })
+
+    g = counts.groupBy(*skey) if skey else counts.groupBy(F.lit(1).alias("__g"))
+    meta = g.applyInPandas(meta_kernel, meta_schema)
+
+    # -- step 3a: zero-entry per-row (A_i, B_i) within each block
+    staged = df_b.join(meta, on=[*skey, "__blk"], how="left")
+    row_schema = StructType(staged.schema.fields + [
+        StructField("__A", DoubleType()), StructField("__B", DoubleType())])
+
+    def block_kernel(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(time_col)
+        z = pdf[value_col].astype("float64").to_numpy()
+        start = int(pdf["__start"].iloc[0])
+        p = float(pdf["__p0"].iloc[0])
+        A, B = np.empty_like(z), np.empty_like(z)
+        a_run, b_run = 1.0, 0.0
+        for j, zj in enumerate(z):
+            if start + j == 1:
+                a_run, b_run = 0.0, zj  # x_1 = z_1, P stays iv (seed row)
+            else:
+                p_pred = p + pv           # predict:  P' = P + pv
+                k = p_pred / (p_pred + ov)  # gain — global-index-determined
+                a_run = (1.0 - k) * a_run
+                b_run = (1.0 - k) * b_run + k * zj
+                p = (1.0 - k) * p_pred    # update:  P = (1-K)P'
+            A[j], B[j] = a_run, b_run
+        pdf["__A"], pdf["__B"] = A, B
+        return pdf
+
+    rows = staged.groupBy(*skey, "__blk").applyInPandas(block_kernel, row_schema)
+
+    # -- step 3b: chain entry states over block summaries (tiny frame)
+    summaries = rows.groupBy(*skey, "__blk").agg(
+        F.max_by("__A", F.col(time_col).cast("long")).alias("__An"),
+        F.max_by("__B", F.col(time_col).cast("long")).alias("__Bn"))
+    entry_schema = StructType(
+        [summaries.schema[c] for c in [*skey, "__blk"]] +
+        [StructField("__entry", DoubleType())])
+
+    def entry_kernel(pdf):
+        pdf = pdf.sort_values("__blk")
+        e, entries = 0.0, []
+        for An, Bn in zip(pdf["__An"], pdf["__Bn"]):
+            entries.append(e)
+            e = float(An) * e + float(Bn)
+        return pd.DataFrame({
+            **{c: pdf[c] for c in pdf.columns if c in ([*skey, "__blk"])},
+            "__entry": entries,
+        })
+
+    g2 = summaries.groupBy(*skey) if skey else summaries.groupBy(F.lit(1).alias("__g"))
+    entries = g2.applyInPandas(entry_kernel, entry_schema)
+
+    joined = rows.join(entries, on=[*skey, "__blk"], how="left")
+    final = F.col("__A") * F.col("__entry") + F.col("__B")
+    return joined.withColumn(out, final).drop(
+        "__blk", "__start", "__p0", "__A", "__B", "__entry")
+
+
 def map_kalman(df: DataFrame, value_col: str, out: str = "kalman",
                series: Sequence[str] = (), order_by: str = "time",
                init_variance: float = 1.0, process_variance: float = 1.0,

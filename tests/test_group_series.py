@@ -283,6 +283,30 @@ def test_map_lowpass_blocked_equivalence(spark, sf_dir):
         assert b[k] == pytest.approx(va, rel=1e-9, abs=1e-9), k
 
 
+def test_map_kalman_blocked_equivalence(spark, sf_dir):
+    """Blocked Kalman (linear time-varying recurrence composition) must match
+    the sequential per-series kernel to float precision across block
+    boundaries — the gain sequence is global-index-determined, so the entry
+    variance/state chaining is the only thing that can go wrong."""
+    from neo_server_spark import io as nio
+    from neo_server_spark.operators import series
+
+    ev = nio.events_as_tag(spark, sf_dir).select("name", "time", "value")
+    plain = series.map_kalman(ev, "value", series=["name"], order_by="time",
+                              init_variance=1.0, process_variance=1.0,
+                              observation_variance=2.0)
+    blocked = series.map_kalman_blocked(ev, "value", series=["name"],
+                                        time_col="time",
+                                        init_variance=1.0, process_variance=1.0,
+                                        observation_variance=2.0,
+                                        block_ns=6 * 3600 * 10**9)
+    a = {(r.name, r.time): r.kalman for r in plain.collect()}
+    b = {(r.name, r.time): r.kalman for r in blocked.collect()}
+    assert len(a) == len(b) > 0
+    for k, va in a.items():
+        assert b[k] == pytest.approx(va, rel=1e-9, abs=1e-9), k
+
+
 def test_fft_band_limits(spark):
     """FFT minHz()/maxHz() options drop out-of-band coefficients
     (fm_fourier.go:23-101)."""
