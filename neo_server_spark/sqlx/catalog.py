@@ -102,6 +102,67 @@ def show_indexes(spark: SparkSession, table: str | None = None) -> DataFrame:
     return spark.createDataFrame(rows, "table string, column string, index_type string")
 
 
+def show_lsm(spark: SparkSession, path: str,
+             target_file_bytes: int = 256 * 1024 * 1024) -> DataFrame:
+    """SHOW LSM (spi/show.go:988-1016 ShowLsm): per-index level occupancy.
+
+    The engine's LSM index levels hold runs of increasing size that merges
+    promote upward; the parquet tag-table analogue is file-size tiers per
+    day partition — level 0 = fresh streaming slivers (< target/8), level 1
+    = partially compacted (< target), level 2 = at-target files.  COUNT is
+    files in the tier, mirroring end_rid-begin_rid run length.  A healthy
+    compacted table is all level 2; level-0 buildup is merge debt that
+    io.compact_tag_table clears."""
+    import os
+
+    rows = []
+    for entry in sorted(os.listdir(path)):
+        pdir = os.path.join(path, entry)
+        if not (os.path.isdir(pdir) and "=" in entry):
+            continue
+        tiers: dict[int, int] = {}
+        for dirpath, _, files in os.walk(pdir):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                size = os.path.getsize(os.path.join(dirpath, f))
+                lvl = 0 if size < target_file_bytes // 8 else (
+                    1 if size < target_file_bytes else 2)
+                tiers[lvl] = tiers.get(lvl, 0) + 1
+        for lvl in sorted(tiers):
+            rows.append((entry, "TAG_DAY_IDX", lvl, tiers[lvl]))
+    return spark.createDataFrame(
+        rows, "table_name string, index_name string, level int, count long")
+
+
+def show_rollup_gap(router, source: DataFrame,
+                    time_col: str = "time") -> DataFrame:
+    """SHOW ROLLUPGAP (spi/show.go:1206-1245 ShowRollupGap): per rollup
+    level, how far the rollup lags its source — SRC_END vs ROLLUP_END and
+    the row gap.  The engine reports RID deltas from V$ROLLUP; the
+    time-series analogue is the max-basetime frontier: rows newer than the
+    rollup's covered end are the unrolled backlog the maintenance job
+    (streaming/ingest.py rollup maintenance) will fold on next wake."""
+    from neo_server_spark.sqlx.rollup import LEVELS
+
+    src_end = source.agg(F.max(F.col(time_col).cast("long"))).first()[0] or 0
+    rows = []
+    for level, period_ns in LEVELS.items():
+        try:
+            lv = router.level(level)
+        except Exception:
+            continue
+        r_end_row = lv.agg(F.max(F.col(time_col).cast("long"))).first()[0]
+        covered_end = (r_end_row + period_ns) if r_end_row is not None else 0
+        gap_rows = source.filter(
+            F.col(time_col).cast("long") >= covered_end).count() if src_end else 0
+        rows.append((level, router.path(level), src_end, covered_end,
+                     gap_rows, "SLEEPING"))
+    return source.sparkSession.createDataFrame(
+        rows, "rollup_name string, rollup_table string, src_end_time long, "
+              "rollup_end_time long, gap long, run_state string")
+
+
 def show(spark: SparkSession, what: str, target=None, **kw) -> DataFrame:
     """Dispatch like the reference's SHOW verb family."""
     what = what.lower()
@@ -117,6 +178,10 @@ def show(spark: SparkSession, what: str, target=None, **kw) -> DataFrame:
         return show_storage(spark, target)
     if what == "indexes":
         return show_indexes(spark, target)
+    if what == "lsm":
+        return show_lsm(spark, target, **kw)
+    if what == "rollupgap":
+        return show_rollup_gap(target, **kw)
     raise ValueError(f"SHOW {what}: unsupported")
 
 

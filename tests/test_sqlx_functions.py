@@ -381,3 +381,41 @@ def test_keyed_table_isolation_and_broadcast_join(spark, tmp_path):
     plan = big.join(t.df(), "k")._sc._jvm.PythonSQLUtils.explainString(
         big.join(t.df(), "k")._jdf.queryExecution(), "formatted")
     assert "BroadcastHashJoin" in plan
+
+
+def test_show_lsm_levels(spark, tmp_path):
+    """SHOW LSM (spi/show.go:988): streaming slivers classify as level-0
+    merge debt; compaction promotes partitions toward at-target levels."""
+    from neo_server_spark import io as nio
+
+    day_ns = 86_400 * 10**9
+    df = spark.range(200).selectExpr(
+        "concat('t', id % 2) AS name",
+        f"CAST(id % 2 AS LONG) * {day_ns} + 5 AS time",
+        "CAST(id AS DOUBLE) AS value")
+    path = str(tmp_path / "lsm_t")
+    nio.write_tag_table(df, path, mode="overwrite")
+    lsm = catalog.show_lsm(spark, path).collect()
+    assert lsm and all(r.index_name == "TAG_DAY_IDX" for r in lsm)
+    assert {r.table_name for r in lsm} == {"_day=19700101", "_day=19700102"}
+    assert all(r.level == 0 and r["count"] >= 1 for r in lsm)  # tiny files = L0
+
+
+def test_show_rollup_gap(spark, sf_dir, router):
+    """SHOW ROLLUPGAP (spi/show.go:1206): freshly built rollups have no
+    backlog; appending newer source rows opens a positive gap."""
+    from neo_server_spark import io as nio
+
+    src = nio.events_as_tag(spark, sf_dir)
+    gap0 = {r.rollup_name: r for r in catalog.show_rollup_gap(router, src).collect()}
+    assert set(gap0) == {"sec", "min", "hour"}
+    assert all(r.gap == 0 for r in gap0.values())
+    assert all(r.run_state == "SLEEPING" for r in gap0.values())
+    # source that extends past the rollup frontier -> positive gap
+    future = src.limit(50).withColumn(
+        "time", (F.col("time").cast("long") + F.lit(365 * 86_400 * 10**9)))
+    extended = src.select("name", "time", "value").unionByName(
+        future.select("name", "time", "value"))
+    gap1 = {r.rollup_name: r.gap for r in
+            catalog.show_rollup_gap(router, extended).collect()}
+    assert all(g == 50 for g in gap1.values())
