@@ -41,9 +41,36 @@ def synthesize_assets(spark, n: int = 64) -> DataFrame:
     return df
 
 
+try:  # decode backend gated on availability, not hard-stubbed
+    from PIL import Image as _PILImage  # noqa: N811
+except ImportError:
+    _PILImage = None
+
+
 def decode_image(payload: bytes) -> "object":
-    """Real image decode requires PIL — not available in this container."""
-    raise NotImplementedError("image decode stubbed: PIL not installed; see extract_features")
+    """Decode an image payload to a PIL Image when PIL is available;
+    otherwise raise with a clear installation hint.  The Spark-side plumbing
+    (binary column → mapInPandas batch → typed features) is identical either
+    way — only this per-payload kernel call changes with the environment."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image decode requires Pillow (pip install Pillow); "
+            "feature extraction runs with the digest kernel meanwhile")
+    import io as _io
+
+    return _PILImage.open(_io.BytesIO(payload))
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Decode → resize → re-encode (PNG); PIL-gated like decode_image."""
+    if _PILImage is None:
+        raise NotImplementedError("image resize requires Pillow")
+    import io as _io
+
+    img = _PILImage.open(_io.BytesIO(payload)).resize((width, height))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
 
 
 FEATURE_SCHEMA = StructType([

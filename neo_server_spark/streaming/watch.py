@@ -30,13 +30,24 @@ class Watcher:
     for each tag and advances the mark.  The mark state is a tiny dict on the
     driver (one entry per tag) — the scan itself stays distributed and
     time-pruned.
+
+    CARDINALITY BOUND: each poll collects one (tag, max_time) row per tag to
+    the driver — the SSE-watch contract is inherently per-tag, and the
+    reference's watcher holds the same per-tag state server-side
+    (spi/watch.go).  This is fine to ~1M tags (a few tens of MB); beyond
+    that a watch should be scoped to a tag subset, which ``max_tags``
+    enforces rather than letting a misconfigured watch stall the driver.
     """
 
+    #: refuse to track more distinct tags than this per watcher
+    DEFAULT_MAX_TAGS = 1_000_000
+
     def __init__(self, load: "callable[[], DataFrame]", name_col: str = "name",
-                 time_col: str = "time"):
+                 time_col: str = "time", max_tags: int | None = None):
         self._load = load
         self.name_col = name_col
         self.time_col = time_col
+        self.max_tags = max_tags or self.DEFAULT_MAX_TAGS
         self.marks: dict[str, int] = {}
 
     def poll(self) -> DataFrame:
@@ -52,9 +63,13 @@ class Watcher:
                 .drop("__mark")
             )
         fresh = df.cache()
-        new_marks = {
-            r[self.name_col]: r["mx"]
-            for r in fresh.groupBy(self.name_col).agg(F.max(self.time_col).alias("mx")).collect()
-        }
+        frontier = (fresh.groupBy(self.name_col)
+                    .agg(F.max(self.time_col).alias("mx"))
+                    .limit(self.max_tags + 1).collect())
+        if len(frontier) > self.max_tags:
+            raise ValueError(
+                f"watcher saw > {self.max_tags} distinct tags in one poll; "
+                "scope the watch to a tag subset (see class docstring)")
+        new_marks = {r[self.name_col]: r["mx"] for r in frontier}
         self.marks.update({k: v for k, v in new_marks.items() if v is not None})
         return fresh
