@@ -789,6 +789,111 @@ class TqlRunner:
                F.col("__key")] + [e.alias(f"c{i}") for i, e in enumerate(out_exprs)]
         self._set(stacked.select(*sel), out_names)
 
+    # ---------------------------------------------- per-stream series ops
+    # MAP_XXX(idx, input_expr, args...) writes the derived column at value
+    # position idx (replace in-range / append out-of-range, like MAPVALUE);
+    # the stream order is arrival order __seq (fm_monad.go MAP_* family).
+
+    def _place(self, idx: int, expr, name=None, is_time=False):
+        cur = self._cur()
+        if idx < 0:
+            cur.insert(0, (expr, name, is_time))
+        elif idx >= len(cur):
+            cur.append((expr, name, is_time))
+        else:
+            cur[idx] = (expr, name or self.state.names[idx], is_time)
+        self._reproject(cur)
+
+    def _seq_window(self):
+        return Window.orderBy("__seq")
+
+    def stmt_MAP_DIFF(self, args):
+        v = _lift(self.ev(args[1])).cast("double")
+        self._place(int(self.ev(args[0])), v - F.lag(v).over(self._seq_window()))
+
+    def stmt_MAP_ABSDIFF(self, args):
+        v = _lift(self.ev(args[1])).cast("double")
+        self._place(int(self.ev(args[0])),
+                    F.abs(v - F.lag(v).over(self._seq_window())))
+
+    def stmt_MAP_NONEGDIFF(self, args):
+        v = _lift(self.ev(args[1])).cast("double")
+        d = v - F.lag(v).over(self._seq_window())
+        # NULL first diff stays NULL (greatest(NULL, 0) would coerce to 0)
+        self._place(int(self.ev(args[0])),
+                    F.when(d.isNotNull(), F.greatest(d, F.lit(0.0))))
+
+    def stmt_MAP_AVG(self, args):
+        v = _lift(self.ev(args[1])).cast("double")
+        w = self._seq_window().rowsBetween(Window.unboundedPreceding, 0)
+        self._place(int(self.ev(args[0])), F.avg(v).over(w))
+
+    def stmt_MAP_MOVAVG(self, args):
+        opts, pos = self._opt_calls(args)
+        idx, v = int(self.ev(pos[0])), _lift(self.ev(pos[1])).cast("double")
+        win = int(self.ev(pos[2]))
+        no_wait = bool(opts["noWait"][0][0]) if "noWait" in opts else False
+        w = self._seq_window()
+        ma = F.avg(v).over(w.rowsBetween(-(win - 1), 0))
+        if not no_wait:  # NULL until the buffer holds `win` records
+            ma = F.when(F.row_number().over(w) >= win, ma)
+        self._place(idx, ma)
+
+    def _materialized_series_op(self, args, op_fn, **kw):
+        """Shared shape for recurrence kernels (lowpass/kalman): materialize
+        the input expression, run the operator ordered by __seq, place."""
+        idx = int(self.ev(args[0]))
+        v = _lift(self.ev(args[1])).cast("double")
+        df = self.state.df.withColumn("__si", v)
+        out = op_fn(df, "__si", **kw)
+        self.state.df = out
+        self._place(idx, F.col("__so"))
+        self.state.df = self.state.df.drop("__si", "__so")
+
+    def stmt_MAP_LOWPASS(self, args):
+        from neo_server_spark.operators import series as S
+        alpha = float(self.ev(args[2]))
+        self._materialized_series_op(
+            args, S.map_lowpass, alpha=alpha, out="__so", order_by="__seq")
+
+    def stmt_MAP_KALMAN(self, args):
+        from neo_server_spark.operators import series as S
+        model = args[2]
+        iv, pv, ov = [float(self.ev(a)) for a in model[2]] if (
+            model[0] == "call" and model[1] == "model") else (1.0, 1.0, 2.0)
+        self._materialized_series_op(
+            args, S.map_kalman, out="__so", order_by="__seq",
+            init_variance=iv, process_variance=pv, observation_variance=ov)
+
+    def stmt_FILTER_CHANGED(self, args):
+        v = _lift(self.ev(args[0]))
+        w = self._seq_window()
+        prev = F.lag(v).over(w)
+        keep = prev.isNull() | ~prev.eqNullSafe(v)
+        # window exprs can't sit in WHERE: materialize, then filter
+        df = self.state.df.withColumn("__fc_keep", keep)
+        self.state.df = df.filter(F.col("__fc_keep")).drop("__fc_keep")
+
+    def stmt_FFT(self, args):
+        """FFT([minHz(h)][, maxHz(h)]) — records must be (time, value)
+        (fm_fourier.go); output records become (hz, ampl)."""
+        from neo_server_spark.operators import series as S
+        opts, _ = self._opt_calls(args)
+        min_hz = float(opts["minHz"][0][0]) if "minHz" in opts else None
+        max_hz = float(opts["maxHz"][0][0]) if "maxHz" in opts else None
+        df = self.state.df.select(F.col("c0").alias("time"),
+                                  F.col("c1").cast("double").alias("value"))
+        out = S.fft(df, min_hz=min_hz, max_hz=max_hz)
+        w = Window.orderBy("hz")
+        res = out.select(
+            (F.row_number().over(w) - 1).alias("__seq"),
+            F.col("hz").alias("__key"),
+            F.col("hz").alias("c0"), F.col("ampl").alias("c1"))
+        self._set(res, ["hz", "ampl"])
+
+    def stmt_THROTTLE(self, args):
+        pass  # rate limiting is a no-op in batch (fm_monad.go THROTTLE)
+
     _AGG_FNS = {"sum", "avg", "mean", "min", "max", "first", "last", "count",
                 "rss", "rms", "median", "medianInterpolated", "stddev",
                 "stderr", "entropy", "variance", "mode", "quantile",

@@ -136,6 +136,84 @@ CSV(header(true))
     assert all(ln.startswith("purchase,") for ln in lines[1:])
 
 
+# ---------------------------------------------------------------------------
+# inline scripts from mods/tql/tql_test.go (no .tql file; script text + the
+# reference's expected CSV, verbatim)
+# ---------------------------------------------------------------------------
+
+INLINE_CASES = [
+    ("MAP_AVG", """
+        FAKE( arrange(10, 30, 10) )
+        MAP_AVG(1, value(0))
+        CSV( precision(0) )
+     """, ["10,10", "20,15", "30,20"]),                  # tql_test.go:1553
+    ("MAP_KALMAN", """
+        FAKE(json({[1.3], [10.2], [5.0], [3.4]}))
+        MAP_KALMAN(1, value(0), model(1.0, 1.0, 2.0))
+        CSV(precision(1))
+     """, ["1.3,1.3", "10.2,5.7", "5.0,5.4", "3.4,4.4"]),  # tql_test.go:1607
+    ("MAP_DIFF", """
+        FAKE( csv("1\\n3\\n2\\n7") )
+        MAP_DIFF(0, value(0))
+        CSV()
+     """, ["NULL", "2", "-1", "5"]),                     # tql_test.go:1622
+    ("MAP_NONEGDIFF", """
+        FAKE( csv("1\\n3\\n2\\n7") )
+        MAP_NONEGDIFF(0, value(0))
+        CSV()
+     """, ["NULL", "2", "0", "5"]),
+    ("MAP_ABSDIFF", """
+        FAKE( csv("1\\n3\\n2\\n7") )
+        MAP_ABSDIFF(0, value(0))
+        CSV()
+     """, ["NULL", "2", "1", "5"]),
+    ("FILTER_CHANGED_string", """
+        FAKE(json({
+            ["A", 1.0],
+            ["A", 2.0],
+            ["B", 3.0],
+            ["B", 4.0]
+        }))
+        FILTER_CHANGED(value(0))
+        CSV()
+     """, ["A,1", "B,3"]),                               # tql_test.go:1648
+]
+
+
+@pytest.mark.parametrize("name,script,want", INLINE_CASES,
+                         ids=[c[0] for c in INLINE_CASES])
+def test_tql_test_go_inline_scripts(spark, name, script, want):
+    out = run_script(spark, script)
+    assert [ln for ln in out.splitlines() if ln] == want
+
+
+@needs_goldens
+@pytest.mark.parametrize("nowait", [False, True])
+def test_movavg_script_golden(spark, nowait):
+    """tql_test.go:1567-1582 MAP_MOVAVG against movavg_result[_nowait].csv."""
+    opt = ", noWait(true)" if nowait else ""
+    script = f"""
+        FAKE( linspace(0, 100, 100) )
+        MAP_MOVAVG(1, value(0), 10{opt})
+        CSV( precision(4) )
+    """
+    got = [ln for ln in run_script(spark, script).splitlines() if ln]
+    fname = "movavg_result_nowait.csv" if nowait else "movavg_result.csv"
+    want = [ln for ln in golden(fname).splitlines() if ln]
+    assert got == want
+
+
+def test_fft_script(spark):
+    """FFT() statement: oscillator -> spectrum with the 2 Hz peak."""
+    script = """
+        FAKE( oscillator( freq(2, 1.0), range(0, 1000000000, 7812500)) )
+        FFT()
+    """
+    df = run_script(spark, script)
+    rows = sorted(df.collect(), key=lambda r: -r.ampl)
+    assert abs(rows[0].hz - 2.0) < 0.2 and abs(rows[0].ampl - 1.0) < 0.05
+
+
 def test_json_sink_roundtrip(spark):
     src = """
 FAKE( json({
