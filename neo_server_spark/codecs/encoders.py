@@ -111,25 +111,33 @@ def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
         for v in row:
             if v is None:
                 v = substitute_null
-            if isinstance(v, float) and precision >= 0:
-                out.append(f"%.{precision}f" % v)
-            elif isinstance(v, float):
-                out.append(_float_shortest(v))
+            if isinstance(v, float):
+                out.append(_format_float(v, precision))
             else:
                 out.append(v)
         w.writerow(out)
     return buf.getvalue()
 
 
-def _float_shortest(v: float) -> str:
-    """Default (precision -1) float rendering = Go strconv.FormatFloat(v,
-    'f', -1, 64) parity (mods/codec/internal/csv): shortest round-trip
-    digits, integral floats print bare (1.0 -> "1")."""
-    if v != v or v in (float("inf"), float("-inf")):
-        return str(v)
-    if v == int(v) and abs(v) < 1e15:
-        return str(int(v))
-    return repr(v)
+def _format_float(v: float, precision: int = -1) -> str:
+    """AppendPrecisionFloat64 parity (mods/codec/internal/float.go:8-38):
+    NaN/±Inf tokens; ANY zero (including -0.0) prints unsigned; fixed
+    precision pads; default precision renders at 6 decimals then strips
+    trailing zeros and the dot (1.0 -> "1", 1.5 -> "1.5",
+    0.30000000000000004 -> "0.3")."""
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "+Inf"
+    if v == float("-inf"):
+        return "-Inf"
+    if v == 0:
+        return f"%.{precision}f" % 0.0 if precision >= 0 else "0"
+    if precision >= 0:
+        return f"%.{precision}f" % v
+    s = "%.6f" % v
+    s = s.rstrip("0").rstrip(".")
+    return s or "0"
 
 
 def to_json_envelope(df: DataFrame, limit: int | None = None,

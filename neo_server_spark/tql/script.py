@@ -331,6 +331,8 @@ class _State:
     times: set = field(default_factory=set)    # positions holding time-typed
     #   values (the reference tags values as time.Time; CSV timeformat()
     #   applies to those regardless of column name)
+    key_name: str = "ROWNUM"  # the key's display name when PUSHKEY surfaces
+    #   it as a value (fakes: MakeColumnRownum; SQL sources: first column)
 
 
 class TqlRunner:
@@ -512,13 +514,23 @@ class TqlRunner:
                    .withColumn("__key", F.col("c0"))
             self._set(df, ["time", "value"], times={0})
         elif gname == "sphere":
-            from neo_server_spark.tql import fake
-            ga = [int(self.ev(x)) for x in gargs] or [18, 36]
-            df = fake.sphere(self.spark, *ga).select(
-                F.col("x").alias("c0"), F.col("y").alias("c1"), F.col("z").alias("c2")
-            ).withColumn("__seq", F.monotonically_increasing_id()) \
-             .withColumn("__key", F.monotonically_increasing_id() + 1)
-            self._set(df, ["x", "y", "z"])
+            # genSphere (fm_fake.go:397-430) verbatim, INCLUDING the float
+            # accumulation loop bounds — u/v accumulate step rounding, so the
+            # row count is loop-determined (sphere(0,0) = 702 rows, not
+            # 36*18); IEEE doubles make the Python loop bit-identical.
+            ga = [float(self.ev(x)) for x in gargs] + [0.0, 0.0]
+            lon_step = ga[0] or 18.0
+            lat_step = ga[1] or 36.0
+            rows = []
+            u = 0.0
+            while u < 2.0 * math.pi:
+                v = 0.0
+                while v < math.pi:
+                    rows.append((math.cos(u) * math.sin(v),
+                                 math.sin(u) * math.sin(v), math.cos(v)))
+                    v += math.pi / lon_step
+                u += 2.0 * math.pi / lat_step
+            self._set(self._from_rows(rows, 3), ["x", "y", "z"])
         else:
             raise NameError(f"unsupported FAKE generator {gname}()")
 
@@ -716,7 +728,7 @@ class TqlRunner:
 
     def stmt_PUSHKEY(self, args):
         newkey = _lift(self.ev(args[0]))
-        cur = [(F.col("__key"), None, False)] + self._cur()
+        cur = [(F.col("__key"), self.state.key_name, False)] + self._cur()
         df = self.state.df
         self.state.df = df.withColumn("__newkey", newkey)
         sel = [F.col("__seq"), F.col("__newkey").alias("__key2")] + [

@@ -203,6 +203,25 @@ def test_movavg_script_golden(spark, nowait):
     assert got == want
 
 
+@needs_goldens
+@pytest.mark.parametrize("lon,lat,hdr,fname", [
+    (4, 4, "true", "sphere_4_4.csv"),
+    (0, 0, "false", "sphere_0_0.csv"),
+])
+def test_sphere_script_golden(spark, lon, lat, hdr, fname):
+    """tql_test.go FAKE_sphere cases: the float-accumulation loop bounds
+    (702 rows for the default grid, not 36*18), unsigned-zero rendering and
+    ROWNUM key naming must match byte-for-byte."""
+    script = f"""
+        FAKE( sphere({lon}, {lat}) )
+        PUSHKEY('test')
+        CSV( header({hdr}), precision(6) )
+    """
+    got = [ln for ln in run_script(spark, script).splitlines() if ln]
+    want = [ln for ln in golden(fname).splitlines() if ln]
+    assert got == want
+
+
 def test_fft_script(spark):
     """FFT() statement: oscillator -> spectrum with the 2 Hz peak."""
     script = """
