@@ -255,6 +255,15 @@ def _simplex(seed, *coords):
 _TIME_UNIT_NS = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}
 
 
+def _dur_ns(d) -> int:
+    """Duration literal -> ns: ints pass through, Go-style strings parse
+    ('1s', '500ms', '100us', '1h30m' — mods/util parse via timefn)."""
+    if isinstance(d, str):
+        from neo_server_spark.functions.timefn import parse_duration
+        return parse_duration(d)
+    return int(d)
+
+
 def _parse_time(rt, v, fmt="ns", tz="UTC"):
     """parseTime(v, unit|layout, tz) → epoch-ns long (fx:parseTime)."""
     if fmt in _TIME_UNIT_NS:
@@ -299,7 +308,12 @@ SCALARS = {
     "simplex": lambda rt, seed, *cs: _simplex(seed, *cs),
     "random": lambda rt: F.rand(),
     "time": lambda rt, spec="now": rt.now_ns if spec == "now" else _parse_time(rt, spec, "s"),
-    "timeAdd": lambda rt, t, delta: _lift(t) + F.lit(int(delta)),
+    "timeAdd": lambda rt, t, delta: (
+        (_lift(t) + F.lit(_dur_ns(delta))) if _is_col(t)
+        else int(t) + _dur_ns(delta)),
+    "roundTime": lambda rt, t, dur: (
+        (lambda d: (_lift(t).cast("long") - F.pmod(_lift(t).cast("long"), F.lit(d)))
+         if _is_col(t) else int(t) - int(t) % d)(_dur_ns(dur))),
     "value": lambda rt, n=None: rt.value_col(int(n) if n is not None else 0),
     "key": lambda rt: F.col("__key"),
     "payload": lambda rt: rt.payload,
@@ -506,8 +520,8 @@ class TqlRunner:
                 elif g[1] == "range":
                     rng = ga
             from neo_server_spark.tql import fake
-            t0 = int(rng[0]) if not isinstance(rng[0], str) else _parse_time(self, rng[0], "s")
-            dur, period = int(rng[1]), int(rng[2])
+            t0 = _dur_ns(rng[0]) if not isinstance(rng[0], str) else _parse_time(self, rng[0], "s")
+            dur, period = _dur_ns(rng[1]), _dur_ns(rng[2])
             df = fake.oscillator(self.spark, comps, t0, t0 + dur, period)
             df = df.select(F.col("time").alias("c0"), F.col("value").alias("c1")) \
                    .withColumn("__seq", F.monotonically_increasing_id()) \
@@ -749,6 +763,11 @@ class TqlRunner:
         self._set(df.select(*sel), [e[1] for e in cur])
 
     def stmt_FLATTEN(self, args):
+        if getattr(self, "_fft_exploded", False):
+            # reference: keyed FFT emits one record per key holding the
+            # (hz, ampl) list; ours is already exploded — FLATTEN = identity
+            self._fft_exploded = False
+            return
         df = self.state.df
         last = f"c{self.ncols - 1}"
         self.state.df = df.select(
@@ -886,22 +905,45 @@ class TqlRunner:
         df = self.state.df.withColumn("__fc_keep", keep)
         self.state.df = df.filter(F.col("__fc_keep")).drop("__fc_keep")
 
+    def stmt_GROUPBYKEY(self, args):
+        """GROUPBYKEY([lazy(b)]) — group the stream by the record key; the
+        downstream node consumes per-key sample lists (fm_monad.go GROUPBYKEY).
+        Batch mapping: a flag — the next bulk operator (FFT) runs per key."""
+        self._grouped_by_key = True
+
     def stmt_FFT(self, args):
         """FFT([minHz(h)][, maxHz(h)]) — records must be (time, value)
-        (fm_fourier.go); output records become (hz, ampl)."""
+        (fm_fourier.go); output records become (hz, ampl), keyed by the
+        group key after GROUPBYKEY (fft2d/fft3d shapes)."""
         from neo_server_spark.operators import series as S
         opts, _ = self._opt_calls(args)
         min_hz = float(opts["minHz"][0][0]) if "minHz" in opts else None
         max_hz = float(opts["maxHz"][0][0]) if "maxHz" in opts else None
-        df = self.state.df.select(F.col("c0").alias("time"),
-                                  F.col("c1").cast("double").alias("value"))
-        out = S.fft(df, min_hz=min_hz, max_hz=max_hz)
-        w = Window.orderBy("hz")
-        res = out.select(
-            (F.row_number().over(w) - 1).alias("__seq"),
-            F.col("hz").alias("__key"),
-            F.col("hz").alias("c0"), F.col("ampl").alias("c1"))
+        grouped = getattr(self, "_grouped_by_key", False)
+        if grouped:
+            df = self.state.df.select(
+                F.col("__key").alias("__k"),
+                F.col("c0").cast("long").alias("time"),
+                F.col("c1").cast("double").alias("value"))
+            out = S.fft(df, series=["__k"], min_hz=min_hz, max_hz=max_hz)
+            w = Window.orderBy("__k", "hz")
+            res = out.select(
+                (F.row_number().over(w) - 1).alias("__seq"),
+                F.col("__k").alias("__key"),
+                F.col("hz").alias("c0"), F.col("ampl").alias("c1"))
+            self._grouped_by_key = False
+            self._fft_exploded = True  # FLATTEN after keyed FFT is identity
+        else:
+            df = self.state.df.select(F.col("c0").alias("time"),
+                                      F.col("c1").cast("double").alias("value"))
+            out = S.fft(df, min_hz=min_hz, max_hz=max_hz)
+            w = Window.orderBy("hz")
+            res = out.select(
+                (F.row_number().over(w) - 1).alias("__seq"),
+                F.col("hz").alias("__key"),
+                F.col("hz").alias("c0"), F.col("ampl").alias("c1"))
         self._set(res, ["hz", "ampl"])
+        self.state.key_name = "time"  # group key was a time bucket
 
     def stmt_THROTTLE(self, args):
         pass  # rate limiting is a no-op in batch (fm_monad.go THROTTLE)

@@ -222,6 +222,40 @@ def test_sphere_script_golden(spark, lon, lat, hdr, fname):
     assert got == want
 
 
+@needs_goldens
+def test_fft2d_script_golden(spark):
+    """tql_test.go:1766-1775 FFT case, verbatim: oscillator -> MAPKEY ->
+    GROUPBYKEY -> FFT(minHz, maxHz) vs fft2d.csv."""
+    script = """
+        FAKE( oscillator( range(timeAdd(1685714509*1000000000,'1s'), '1s', '100us'), freq(10, 1.0), freq(50, 2.0)))
+        MAPKEY('samples')
+        GROUPBYKEY(lazy(false))
+        FFT(minHz(0), maxHz(60))
+        CSV(precision(6))
+    """
+    got = [ln for ln in run_script(spark, script).splitlines() if ln]
+    want = [ln for ln in golden("fft2d.csv").splitlines() if ln]
+    assert got == want
+
+
+@needs_goldens
+def test_fft3d_script_golden(spark):
+    """tql_test.go:1796-1808 FFT_3d, verbatim: per-500ms-bucket FFT ->
+    FLATTEN -> PUSHKEY vs fft3d.csv."""
+    script = """
+        FAKE( oscillator( range(timeAdd(1685714509*1000000000,'1s'), '1s', '100us'), freq(10, 1.0), freq(50, 2.0)))
+        MAPKEY( roundTime(value(0), '500ms') )
+        GROUPBYKEY()
+        FFT(maxHz(60))
+        FLATTEN()
+        PUSHKEY('fft3d')
+        CSV(precision(6))
+    """
+    got = [ln for ln in run_script(spark, script).splitlines() if ln]
+    want = [ln for ln in golden("fft3d.csv").splitlines() if ln]
+    assert got == want
+
+
 def test_fft_script(spark):
     """FFT() statement: oscillator -> spectrum with the 2 Hz peak."""
     script = """
