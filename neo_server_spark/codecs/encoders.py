@@ -61,10 +61,11 @@ _EPOCH_DIV = {"ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9}
 
 
 def _format_time_cols(df: DataFrame, timeformat: str | None,
-                      time_cols: tuple[str, ...]) -> DataFrame:
+                      time_cols: tuple[str, ...], tz: str | None = None) -> DataFrame:
     """Render epoch-ns long time columns per ``timeformat`` — epoch names
     stay integers (divided), named layouts / Go layouts become strings via
-    the shared registry.  Shared by the CSV/NDJSON/BOX sinks."""
+    the shared registry; ``tz`` shifts wall-clock rendering (tz() codec
+    option).  Shared by the CSV/NDJSON/BOX sinks."""
     if not timeformat:
         return df
     from neo_server_spark.functions import timefn
@@ -78,14 +79,15 @@ def _format_time_cols(df: DataFrame, timeformat: str | None,
                 # integer div: double division of epoch-ns magnitudes rounds
                 df = df.withColumn(tc, F.expr(f"`{tc}` div {d}"))
         else:
-            df = df.withColumn(tc, timefn.str_time_named(tc, timeformat))
+            df = df.withColumn(tc, timefn.str_time_named(tc, timeformat, tz=tz))
     return df
 
 
 def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
            precision: int = -1, substitute_null: object = "NULL",
            limit: int | None = None, timeformat: str | None = None,
-           time_cols: tuple[str, ...] = ("time",), rownum: bool = False) -> str:
+           time_cols: tuple[str, ...] = ("time",), rownum: bool = False,
+           tz: str | None = None) -> str:
     """CSV() sink — string render (mods/codec/internal/csv).
 
     ``timeformat``: a reference format name or Go layout
@@ -97,7 +99,7 @@ def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
     csv_encode_test.go TestCsvEncoder/TestCsvEncoderNullValue)."""
     import csv as _csv
 
-    df = _format_time_cols(df, timeformat, time_cols)
+    df = _format_time_cols(df, timeformat, time_cols, tz=tz)
     cols, rows = _collect(df, limit)
     if rownum:
         cols = ["ROWNUM", *cols]
@@ -111,7 +113,9 @@ def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
         for v in row:
             if v is None:
                 v = substitute_null
-            if isinstance(v, float):
+            if isinstance(v, bool):
+                out.append("true" if v else "false")  # Go FormatBool
+            elif isinstance(v, float):
                 out.append(_format_float(v, precision))
             else:
                 out.append(v)
@@ -187,7 +191,7 @@ def to_ndjson(df: DataFrame, limit: int | None = None, rownum: bool = False,
     (mods/codec/internal/ndjson/encode.go; goldens in encode_test.go).
     ``timeformat`` "ns"/"s"/… keep epoch integers; named layouts format to
     strings — both via the shared named-format registry, JVM-side."""
-    df = _format_time_cols(df, timeformat, time_cols)
+    df = _format_time_cols(df, timeformat, time_cols, tz=tz)
     cols, rows = _collect(df, limit)
     if rownum:
         cols = ["ROWNUM", *cols]
@@ -234,7 +238,7 @@ def to_box(df: DataFrame, limit: int | None = None, precision: int = -1,
     ``precision``, time columns rendered via ``timeformat``; ``style``
     "light" = box-drawing chars (TestBox1), anything else = ASCII +/-/|
     (the encoder's "simple" default, TestNano)."""
-    df = _format_time_cols(df, timeformat, time_cols)
+    df = _format_time_cols(df, timeformat, time_cols, tz=tz)
     cols, rows = _collect(df, limit)
     light = style == "light"
     H, V = ("─", "│") if light else ("-", "|")

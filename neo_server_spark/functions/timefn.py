@@ -224,15 +224,20 @@ def go_layout_to_java(layout: str) -> tuple[str, int, bool]:
     return "".join(out), frac_digits, frac_trim
 
 
-def str_time_named(c: Column | str, name_or_layout: str) -> Column:
+def str_time_named(c: Column | str, name_or_layout: str,
+                   tz: str | None = None) -> Column:
     """Format an epoch-ns long with a named reference timeformat
     ('RFC3339', 'Default_ns', ... or a raw Go layout).  The whole expression
     is JVM-side; ns fraction digits come from the long itself, so precision
-    beyond TimestampType's µs is exact.  Zone tokens render for the session
-    timezone (UTC in our engine convention)."""
+    beyond TimestampType's µs is exact.  ``tz`` renders wall-clock in that
+    zone (the reference's tz() codec option); zone tokens otherwise render
+    for the session timezone (UTC in our engine convention)."""
     pattern, frac_digits, frac_trim = go_layout_to_java(get_timeformat(name_or_layout))
     t = _col(c).cast("long")
-    base = F.date_format(to_timestamp_ns(t), pattern)
+    ts = to_timestamp_ns(t)
+    if tz and tz.upper() != "UTC":
+        ts = F.from_utc_timestamp(ts, tz)
+    base = F.date_format(ts, pattern)
     if not frac_digits:
         return base
     frac = F.substring(F.lpad(F.pmod(t, F.lit(SECOND)).cast("string"), 9, "0"),
@@ -242,3 +247,52 @@ def str_time_named(c: Column | str, name_or_layout: str) -> Column:
         trimmed = F.regexp_replace(frac, "0+$", "")
         return F.when(trimmed == "", base).otherwise(F.concat(base, F.lit("."), trimmed))
     return F.concat(base, F.lit("."), frac)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-SQL / ANSI timeformat styles (fx: sqlTimeformat()/ansiTimeformat(),
+# reference mods/util/time_formats.go style translations) -> Go layout, so
+# str_time_named's single rendering path serves all three syntaxes.
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = [
+    ("YYYY", "2006"), ("HH24", "15"), ("HH12", "03"), ("HH", "15"),
+    ("MI", "04"), ("MM", "01"), ("MON", "Jan"), ("DD", "02"), ("SS", "05"),
+    ("AM", "PM"), ("PM", "PM"),
+]
+
+_ANSI_TOKENS = [
+    ("yyyy", "2006"), ("mm", "01"), ("dd", "02"), ("hh", "15"),
+    ("nn", "04"), ("ss", "05"),
+]
+
+
+def _style_to_layout(fmt: str, tokens, frac_char: str) -> str:
+    frac = re.search(r"\.(%s+)$" % frac_char, fmt)
+    frac_digits = len(frac.group(1)) if frac else 0
+    if frac:
+        fmt = fmt[:frac.start()]
+    out, i = [], 0
+    while i < len(fmt):
+        for tok, go in tokens:
+            if fmt.startswith(tok, i):
+                out.append(go)
+                i += len(tok)
+                break
+        else:
+            out.append(fmt[i])
+            i += 1
+    layout = "".join(out)
+    if frac_digits:
+        layout += "." + "0" * frac_digits
+    return layout
+
+
+def sql_timeformat_to_layout(fmt: str) -> str:
+    """'YYYY-MM-DD HH24:MI:SS.nnnnnn' -> Go layout (fraction digits = n count)."""
+    return _style_to_layout(fmt, _SQL_TOKENS, "n")
+
+
+def ansi_timeformat_to_layout(fmt: str) -> str:
+    """'yyyy-mm-dd hh:nn:ss.ffffff' -> Go layout."""
+    return _style_to_layout(fmt, _ANSI_TOKENS, "f")

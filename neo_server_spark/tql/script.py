@@ -252,6 +252,73 @@ def _simplex(seed, *coords):
     return top * (1 - my) + bot * my
 
 
+def _sqlq(col: "Column") -> str:
+    """SQL-text name of a positional column expression (c0..cN only)."""
+    import re as _re
+    m = _re.fullmatch(r"Column<'(\w+)'>", str(col))
+    if not m:
+        raise ValueError(f"expected a plain column ref, got {col}")
+    return m.group(1)
+
+
+def _str_replace(v, old: str, new: str, n: int):
+    """strings.Replace semantics: n<0 replaces all, else first n."""
+    if not _is_col(v):
+        return v.replace(old, new) if n < 0 else v.replace(old, new, n)
+    c = _lift(v)
+    if n < 0:
+        return F.replace(c, F.lit(old), F.lit(new))
+    # count-limited: compose `locate + splice` n times (n is a small literal)
+    for _ in range(n):
+        pos = F.instr(c, old)
+        c = F.when(
+            pos > 0,
+            F.concat(F.substring(c, 1, pos - 1), F.lit(new),
+                     F.substring(c, pos + len(old), 2**30)),
+        ).otherwise(c)
+    return c
+
+
+def _go_sprintf(fmt: str, args) -> str:
+    """Minimal Go fmt.Sprintf: %q quotes like Go, %v generic, the numeric
+    verbs map to Python %-formatting ('%.f' == '%.0f')."""
+    import json as _json
+    import re as _re
+
+    out, ai = [], 0
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch != "%":
+            out.append(ch)
+            i += 1
+            continue
+        m = _re.match(r"%([-+0# ]*\d*(?:\.\d*)?)([a-zA-Z%])", fmt[i:])
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        flags, verb = m.group(1), m.group(2)
+        i += m.end()
+        if verb == "%":
+            out.append("%")
+            continue
+        a = args[ai]
+        ai += 1
+        if verb == "q":
+            out.append(_json.dumps(str(a)))
+        elif verb == "v":
+            out.append(str(a))
+        else:
+            if flags.endswith("."):
+                flags += "0"  # Go '%.f' == zero-precision float
+            out.append(("%" + flags + verb) % a)
+    return "".join(out)
+
+
+#: zone shorthands the reference accepts (mods/util tz parsing)
+_TZ_ALIASES = {"KST": "Asia/Seoul", "JST": "Asia/Tokyo", "Local": "UTC"}
+
 _TIME_UNIT_NS = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}
 
 
@@ -302,12 +369,33 @@ SCALARS = {
     "strToLower": lambda rt, s: F.lower(s) if _is_col(s) else s.lower(),
     "strTrimSpace": lambda rt, s: F.trim(s) if _is_col(s) else s.strip(),
     "strSub": _str_sub,
+    "strSprintf": lambda rt, fmt, *a: _go_sprintf(fmt, a),
+    "strTrimPrefix": lambda rt, v, pre: (
+        F.when(_lift(v).startswith(pre),
+               F.expr(f"substring({_sqlq(v)}, {len(pre) + 1})")).otherwise(_lift(v))
+        if _is_col(v) else (v[len(pre):] if v.startswith(pre) else v)),
+    "strTrimSuffix": lambda rt, v, suf: (
+        F.when(_lift(v).endswith(suf),
+               F.expr(f"substring({_sqlq(v)}, 1, length({_sqlq(v)}) - {len(suf)})"))
+        .otherwise(_lift(v))
+        if _is_col(v) else (v[:-len(suf)] if v.endswith(suf) else v)),
+    "strReplace": lambda rt, v, old, new, n=-1: _str_replace(v, old, new, int(n)),
+    "strReplaceAll": lambda rt, v, old, new: _str_replace(v, old, new, -1),
+    "strHasPrefix": lambda rt, v, pre: (_lift(v).startswith(pre) if _is_col(v)
+                                        else v.startswith(pre)),
+    "strHasSuffix": lambda rt, v, suf: (_lift(v).endswith(suf) if _is_col(v)
+                                        else v.endswith(suf)),
+    "strContains": lambda rt, v, sub: (_lift(v).contains(sub) if _is_col(v)
+                                       else sub in v),
     "parseFloat": lambda rt, v, *a: (_lift(v).cast("double") if _is_col(v)
                                      else float(v)),
     "parseTime": _parse_time,
     "simplex": lambda rt, seed, *cs: _simplex(seed, *cs),
     "random": lambda rt: F.rand(),
-    "time": lambda rt, spec="now": rt.now_ns if spec == "now" else _parse_time(rt, spec, "s"),
+    "time": lambda rt, spec="now": (
+        _lift(spec).cast("long") if _is_col(spec)
+        else rt.now_ns if spec == "now"
+        else int(spec)),
     "timeAdd": lambda rt, t, delta: (
         (_lift(t) + F.lit(_dur_ns(delta))) if _is_col(t)
         else int(t) + _dur_ns(delta)),
@@ -323,8 +411,8 @@ SCALARS = {
     "doubleType": lambda rt: "double",
     "floatType": lambda rt: "double",
     "stringType": lambda rt: "string",
-    "datetimeType": lambda rt, *a: "datetime",
-    "timeType": lambda rt, *a: "datetime",
+    "datetimeType": lambda rt, *a: ("datetime", *a),
+    "timeType": lambda rt, *a: ("datetime", *a),
     "intType": lambda rt: "long",
     "longType": lambda rt: "long",
     "boolType": lambda rt: "bool",
@@ -503,13 +591,14 @@ class TqlRunner:
             self._set(df, [None, None])
         elif gname == "json":
             import json as _json
-            rows = [tuple(r) for r in _json.loads("[" + gargs[0][1] + "]")]
+            body = gargs[0][1] if gargs[0][0] == "brace" else str(self.ev(gargs[0]))
+            rows = [tuple(r) for r in _json.loads("[" + body + "]")]
             self._set(self._from_rows(rows, len(rows[0])), [None] * len(rows[0]))
         elif gname == "csv":
             import csv as _csv
             import io as _io
             text = self.ev(gargs[0])
-            rows = [tuple(r) for r in _csv.reader(_io.StringIO(text.strip()))]
+            rows = [tuple(r) for r in _csv.reader(_io.StringIO(text.strip())) if r]
             self._set(self._from_rows(rows, len(rows[0])), [None] * len(rows[0]))
         elif gname == "oscillator":
             comps, rng = [], None
@@ -660,18 +749,35 @@ class TqlRunner:
             import csv as _csv
             import io as _io
             text = self.ev(pos[0])
-            rows = [tuple(r) for r in _csv.reader(_io.StringIO(text.strip()))]
+            rows = [tuple(r) for r in _csv.reader(_io.StringIO(text.strip())) if r]
             df = self._from_rows(rows, len(rows[0]))
             names = [None] * len(rows[0])
+        times: set[int] = set()
         for f_args in fields:
             idx, typ, nm = int(f_args[0]), f_args[1], (f_args[2] if len(f_args) > 2 else None)
-            cast = {"double": "double", "float": "double", "string": "string",
-                    "datetime": "long", "long": "long", "int": "long",
-                    "bool": "boolean"}.get(str(typ), "string")
-            df = df.withColumn(f"c{idx}", F.col(f"c{idx}").cast(cast))
+            if isinstance(typ, tuple):  # datetimeType(unit|layout [, tz])
+                unit = typ[1] if len(typ) > 1 else "ns"
+                c = F.col(f"c{idx}")
+                if unit in _TIME_UNIT_NS:
+                    df = df.withColumn(
+                        f"c{idx}",
+                        c.cast("double").cast("long") * F.lit(_TIME_UNIT_NS[unit]))
+                else:  # Go layout (+ optional zone)
+                    from neo_server_spark.functions.timefn import go_layout_to_java
+                    pattern, _, _ = go_layout_to_java(unit)
+                    ts = F.to_timestamp(c, pattern)
+                    if len(typ) > 2 and typ[2] not in ("UTC", "GMT"):
+                        ts = F.to_utc_timestamp(ts, _TZ_ALIASES.get(typ[2], typ[2]))
+                    df = df.withColumn(f"c{idx}", F.unix_micros(ts) * F.lit(1000))
+                times.add(idx)
+            else:
+                cast = {"double": "double", "float": "double", "string": "string",
+                        "datetime": "long", "long": "long", "int": "long",
+                        "bool": "boolean"}.get(str(typ), "string")
+                df = df.withColumn(f"c{idx}", F.col(f"c{idx}").cast(cast))
             if nm is not None:
                 names[idx] = nm
-        self._set(df, names)
+        self._set(df, names, times=times)
 
     # ---------------------------------------------------------------- maps
 
@@ -679,7 +785,15 @@ class TqlRunner:
         self.state.df = self.state.df.filter(_lift(self.ev(args[0])))
 
     def stmt_DROP(self, args):
-        self._take_drop(int(self.ev(args[0])), drop=True)
+        a = [int(self.ev(x)) for x in args]
+        if len(a) == 1:
+            self._take_drop(a[0], drop=True)
+            return
+        off, n = a[0], a[1]  # DROP(offset, count): drop rows off+1..off+n
+        w = Window.orderBy("__seq")
+        df = self.state.df.withColumn("__rn", F.row_number().over(w))
+        self.state.df = df.filter(
+            (F.col("__rn") <= off) | (F.col("__rn") > off + n)).drop("__rn")
 
     def stmt_TAKE(self, args):
         a = [int(self.ev(x)) for x in args]
@@ -1050,6 +1164,14 @@ class TqlRunner:
         header = bool((opts.get("header") or opts.get("heading") or [[False]])[0][0])
         precision = int(opts["precision"][0][0]) if "precision" in opts else -1
         timeformat = opts["timeformat"][0][0] if "timeformat" in opts else None
+        if "sqlTimeformat" in opts:
+            from neo_server_spark.functions.timefn import sql_timeformat_to_layout
+            timeformat = sql_timeformat_to_layout(opts["sqlTimeformat"][0][0])
+        elif "ansiTimeformat" in opts:
+            from neo_server_spark.functions.timefn import ansi_timeformat_to_layout
+            timeformat = ansi_timeformat_to_layout(opts["ansiTimeformat"][0][0])
+        tz = opts["tz"][0][0] if "tz" in opts else None
+        tz = _TZ_ALIASES.get(tz, tz)
         delimiter = opts["delimiter"][0][0] if "delimiter" in opts else ","
         subst = opts["substituteNull"][0][0] if "substituteNull" in opts else "NULL"
         disp = self._display()
@@ -1058,7 +1180,7 @@ class TqlRunner:
                       if i < len(disp.columns))
         self.output = encoders.to_csv(
             disp, header=header, delimiter=delimiter, precision=precision,
-            substitute_null=subst, timeformat=tf,
+            substitute_null=subst, timeformat=tf, tz=tz,
             time_cols=tcols or tuple(c for c in disp.columns if c == "time"))
 
     def stmt_JSON(self, args):

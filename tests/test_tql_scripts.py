@@ -167,6 +167,93 @@ INLINE_CASES = [
         MAP_ABSDIFF(0, value(0))
         CSV()
      """, ["NULL", "2", "1", "5"]),
+    ("CSV_CSV", """
+        CSV("1,line1\\n2,line2\\n3,\\n4,line4")
+        CSV( heading(true) )
+     """, ["column0,column1", "1,line1", "2,line2", "3,", "4,line4"]),
+    ("CSV_CSV_single_column", """
+        CSV("line1\\nline2\\n\\nline4")
+        CSV( heading(true) )
+     """, ["column0", "line1", "line2", "line4"]),
+    ("MAP_pushkey_manual", """
+        FAKE( linspace(1, 2, 2) )
+        PUSHKEY("k")
+        CSV()
+     """, ["1,1", "2,2"]),
+    ("MAP_popkey_manual", """
+        FAKE( json({
+            ["TAG0", 1, 10],
+            ["TAG1", 2, 20]
+        }))
+        POPKEY()
+        CSV()
+     """, ["1,10", "2,20"]),
+    ("MAP_transpose_header_manual", """
+        FAKE(csv("CITY,DATE,TEMPERATURE,HUMIDITY\\nTokyo,2023/12/07,23,30"))
+        TRANSPOSE(header(true))
+        CSV()
+     """, ["CITY,Tokyo", "DATE,2023/12/07", "TEMPERATURE,23", "HUMIDITY,30"]),
+    ("MAP_take_offset_count_manual", """
+        FAKE( json({
+            ["TAG0", 1, 10], ["TAG0", 2, 11], ["TAG0", 3, 12],
+            ["TAG0", 4, 13], ["TAG0", 5, 14], ["TAG0", 6, 15]
+        }))
+        TAKE(3, 2)
+        CSV()
+     """, ["TAG0,4,13", "TAG0,5,14"]),
+    ("MAP_drop_offset_count_manual", """
+        FAKE( json({
+            ["TAG0", 1, 10], ["TAG0", 2, 11], ["TAG0", 3, 12],
+            ["TAG0", 4, 13], ["TAG0", 5, 14], ["TAG0", 6, 15]
+        }))
+        DROP(2, 3)
+        CSV()
+     """, ["TAG0,1,10", "TAG0,2,11", "TAG0,6,15"]),
+    ("strSprintf", """
+        FAKE(json(strSprintf('[%.f, %q]', 123, "hello")))
+        CSV( heading(false) )
+     """, ["123,hello"]),
+    ("UTIL_sqlTimeformat_csv", """
+        FAKE( json({
+            [1701345032123456789, 10],
+            [1701345043219876543, 11]
+        }))
+        MAPVALUE(0, time(value(0)))
+        CSV(sqlTimeformat("YYYY-MM-DD HH24:MI:SS.nnnnnn"), tz("Asia/Seoul"))
+     """, ["2023-11-30 20:50:32.123456,10", "2023-11-30 20:50:43.219876,11"]),
+    ("UTIL_ansiTimeformat_csv", """
+        FAKE( json({
+            [1701345032123456789, 10],
+            [1701345043219876543, 11]
+        }))
+        MAPVALUE(0, time(value(0)))
+        CSV(ansiTimeformat("yyyy-mm-dd hh:nn:ss.ffffff"), tz("UTC"))
+     """, ["2023-11-30 11:50:32.123456,10", "2023-11-30 11:50:43.219876,11"]),
+    ("UTIL_string_trim_replace", """
+        FAKE( json({
+            ["prefix-hello-suffix"]
+        }))
+        MAPVALUE(0, strTrimPrefix(value(0), "prefix-"))
+        MAPVALUE(0, strTrimSuffix(value(0), "-suffix"))
+        MAPVALUE(0, strReplace(value(0), "l", "L", 1))
+        CSV()
+     """, ["heLlo"]),
+    ("UTIL_string_predicates", """
+        FAKE( json({
+            ["prefix-hello-suffix"],
+            ["hello"]
+        }))
+        PUSHVALUE(1, strHasPrefix(value(0), "prefix-"))
+        PUSHVALUE(2, strHasSuffix(value(0), "-suffix"))
+        CSV()
+     """, ["prefix-hello-suffix,true,true", "hello,false,false"]),
+    ("UTIL_string_replace_all", """
+        FAKE( json({
+            ["a-b-c"]
+        }))
+        MAPVALUE(0, strReplaceAll(value(0), "-", "_"))
+        CSV()
+     """, ["a_b_c"]),
     ("FILTER_CHANGED_string", """
         FAKE(json({
             ["A", 1.0],
@@ -185,6 +272,39 @@ INLINE_CASES = [
 def test_tql_test_go_inline_scripts(spark, name, script, want):
     out = run_script(spark, script)
     assert [ln for ln in out.splitlines() if ln] == want
+
+
+def test_csv_payload_field_coercions(spark):
+    """tql_test.go:967-1001 CSV(payload(), field(...)) with datetimeType
+    unit and Go-layout+zone parsing; CSV(timeformat('s')) round-trips."""
+    script = """
+        CSV(payload(),
+            field(0, stringType(), "name"),
+            field(1, datetimeType("s"), "time"),
+            field(2, doubleType(), "value"),
+            field(3, stringType(), "active")
+        )
+        CSV(timeformat("s"), heading(true))
+    """
+    out = run_script(spark, script, payload="temp.name,1691662156,123.456789,true\n")
+    assert [ln for ln in out.splitlines() if ln] == [
+        "name,time,value,active",
+        "temp.name,1691662156,123.456789,true"]
+
+    layout = """
+        CSV(payload(),
+            field(0, stringType(), "name"),
+            field(1, datetimeType("2006/01/02 15:04:05", "KST"), "time"),
+            field(2, doubleType(), "value"),
+            field(3, stringType(), "active")
+        )
+        CSV(timeformat("s"), heading(true))
+    """
+    out2 = run_script(spark, layout,
+                      payload="temp.name,2023/08/10 19:09:16,123.456789,true\n")
+    assert [ln for ln in out2.splitlines() if ln] == [
+        "name,time,value,active",
+        "temp.name,1691662156,123.456789,true"]
 
 
 @needs_goldens
