@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 # --------------------------------------------------------------------------
 
 _OPS = ("??", "||", "&&", "==", "!=", "<=", ">=", "<", ">",
-        "+", "-", "*", "/", "%", "(", ")", ",", "!")
+        "+", "-", "*", "/", "%", "(", ")", ",", "!", "?", ":")
 
 
 @dataclass
@@ -161,6 +161,13 @@ class Parser:
             op = self.next().val
             right = self.expr(level + 1)
             left = ("bin", op, left, right)
+        if level == 0 and self.peek().kind == "op" and self.peek().val == "?":
+            # ternary cond ? a : b (expression/parse.go conditional)
+            self.next()
+            a = self.expr(0)
+            self.expect("op", ":")
+            b = self.expr(0)
+            return ("if", left, a, b)
         return left
 
     def unary(self):
@@ -474,6 +481,12 @@ class TqlRunner:
             return (~v) if _is_col(v) else (not v)
         if kind == "bin":
             return self._binop(node[1], node[2], node[3])
+        if kind == "if":
+            c = self.ev(node[1])
+            if _is_col(c):
+                return F.when(c, _lift(self.ev(node[2]))) \
+                        .otherwise(_lift(self.ev(node[3])))
+            return self.ev(node[2]) if c else self.ev(node[3])
         if kind == "call":
             fn = SCALARS.get(node[1])
             if fn is None:
@@ -733,9 +746,11 @@ class TqlRunner:
     def _csv_source(self, args):
         opts, pos = self._opt_calls(args)
         fields = opts.get("field", []) + opts.get("column", [])
+        use_header = bool((opts.get("header") or opts.get("heading")
+                           or [[False]])[0][0])
         if "file" in opts:
             path = self._resolve(opts["file"][0][0])
-            reader = self.spark.read.option("header", False)
+            reader = self.spark.read.option("header", use_header)
             if not fields:
                 reader = reader.option("inferSchema", True)
             raw = reader.csv(path)
@@ -744,14 +759,17 @@ class TqlRunner:
                 (F.row_number().over(w) - 1).alias("__seq"),
                 F.row_number().over(w).alias("__key"),
                 *[F.col(c).alias(f"c{i}") for i, c in enumerate(raw.columns)])
-            names: list = [None] * (len(raw.columns))
+            names: list = list(raw.columns) if use_header else [None] * len(raw.columns)
         else:
             import csv as _csv
             import io as _io
             text = self.ev(pos[0])
             rows = [tuple(r) for r in _csv.reader(_io.StringIO(text.strip())) if r]
+            hdr = None
+            if use_header:
+                hdr, rows = list(rows[0]), rows[1:]
             df = self._from_rows(rows, len(rows[0]))
-            names = [None] * len(rows[0])
+            names = hdr if hdr else [None] * len(rows[0])
         times: set[int] = set()
         for f_args in fields:
             idx, typ, nm = int(f_args[0]), f_args[1], (f_args[2] if len(f_args) > 2 else None)

@@ -274,6 +274,41 @@ def test_tql_test_go_inline_scripts(spark, name, script, want):
     assert [ln for ln in out.splitlines() if ln] == want
 
 
+def test_csv_markdown_script(spark):
+    """tql_test.go:1086-1110 CSV(payload(), header(true)) -> MARKDOWN()."""
+    payload = "\n".join([
+        "NAME,TIME,VALUE",
+        "wave.sin,1676432361,0.000000",
+        "wave.cos,1676432361,1.000000",
+        "wave.sin,1676432362,0.406736",
+        "wave.cos,1676432362,0.913546",
+        "wave.sin,1676432363,0.743144",
+    ])
+    out = run_script(spark, """
+        CSV(payload(), header(true))
+        MARKDOWN()
+    """, payload=payload)
+    assert out.splitlines() == [
+        "|NAME|TIME|VALUE|",
+        "|:-----|:-----|:-----|",
+        "|wave.sin|1676432361|0.000000|",
+        "|wave.cos|1676432361|1.000000|",
+        "|wave.sin|1676432362|0.406736|",
+        "|wave.cos|1676432362|0.913546|",
+        "|wave.sin|1676432363|0.743144|",
+    ]
+
+
+def test_ternary_expression(spark):
+    """expression/parse.go conditional: cond ? a : b."""
+    out = run_script(spark, """
+        FAKE(json({[1], [200]}))
+        MAPVALUE(0, value(0) > 100 ? value(0) * 2 : value(0))
+        CSV()
+    """)
+    assert [ln for ln in out.splitlines() if ln] == ["1", "400"]
+
+
 def test_csv_payload_field_coercions(spark):
     """tql_test.go:967-1001 CSV(payload(), field(...)) with datetimeType
     unit and Go-layout+zone parsing; CSV(timeformat('s')) round-trips."""
