@@ -1077,6 +1077,51 @@ class TqlRunner:
         self._set(res, ["hz", "ampl"])
         self.state.key_name = "time"  # group key was a time bucket
 
+    def stmt_HISTOGRAM(self, args):
+        """HISTOGRAM(value(n), bins(min,max,step) [, category(value(m))]
+        [, order(...)]) (fm_stat.go:36-290) — lowers to stats.histogram.
+        Output records: (low, high, count...) ordered by bin."""
+        from neo_server_spark.operators import stats as ST
+        opts, pos = self._opt_calls(args)
+        v = _lift(self.ev(pos[0]))
+        if "bins" not in opts or len(opts["bins"][0]) != 3:
+            raise ValueError("HISTOGRAM requires bins(min, max, step)")
+        bmin, bmax, bstep = [float(x) for x in opts["bins"][0]]
+        df = self.state.df.withColumn("__hv", v)
+        cat = None
+        if "category" in opts:
+            df = df.withColumn("__hc", _lift(opts["category"][0][0]).cast("string"))
+            cat = "__hc"
+        order = [str(x) for x in opts["order"][0]] if "order" in opts else None
+        out = ST.histogram(df, "__hv", bmin, bmax, bstep, category=cat, order=order)
+        cols = [c for c in out.columns]
+        w = Window.orderBy("low")
+        res = out.select(
+            (F.row_number().over(w) - 1).alias("__seq"),
+            F.col("low").alias("__key"),
+            *[F.col(c).alias(f"c{i}") for i, c in enumerate(cols)])
+        self._set(res, cols)
+
+    def stmt_BOXPLOT(self, args):
+        """BOXPLOT(value(n), category(value(m))) (fm_stat.go:294) — lowers to
+        stats.boxplot; records ordered by category."""
+        from neo_server_spark.operators import stats as ST
+        opts, pos = self._opt_calls(args)
+        v = _lift(self.ev(pos[0]))
+        df = self.state.df.withColumn("__bv", v)
+        cat = None
+        if "category" in opts:
+            df = df.withColumn("__bc", _lift(opts["category"][0][0]).cast("string"))
+            cat = "__bc"
+        out = ST.boxplot(df, "__bv", cat)
+        cols = list(out.columns)
+        w = Window.orderBy(cols[0])
+        res = out.select(
+            (F.row_number().over(w) - 1).alias("__seq"),
+            F.col(cols[0]).alias("__key"),
+            *[F.col(c).alias(f"c{i}") for i, c in enumerate(cols)])
+        self._set(res, cols)
+
     def stmt_THROTTLE(self, args):
         pass  # rate limiting is a no-op in batch (fm_monad.go THROTTLE)
 

@@ -299,6 +299,31 @@ def test_csv_markdown_script(spark):
     ]
 
 
+def test_histogram_statement(spark):
+    """HISTOGRAM(v, bins(min,max,step)) (fm_stat.go predicted-bins path)."""
+    out = run_script(spark, """
+        FAKE( linspace(0, 9.99, 100) )
+        HISTOGRAM(value(0), bins(0, 10, 2))
+        CSV(header(true))
+    """)
+    assert out.splitlines() == ["low,high,count", "0,2,20", "2,4,20",
+                                "4,6,20", "6,8,20", "8,10,20"]
+
+
+def test_boxplot_statement(spark):
+    """BOXPLOT(v, category(...)) lowers to the quartile operator."""
+    out = run_script(spark, """
+        FAKE( json({
+            ["a", 1], ["a", 2], ["a", 3], ["a", 4],
+            ["b", 10], ["b", 20], ["b", 30], ["b", 40]
+        }))
+        BOXPLOT(value(1), category(value(0)))
+        CSV(header(true))
+    """)
+    lines = out.splitlines()
+    assert len(lines) == 3 and lines[1].startswith("a,") and lines[2].startswith("b,")
+
+
 def test_ternary_expression(spark):
     """expression/parse.go conditional: cond ? a : b."""
     out = run_script(spark, """
