@@ -185,7 +185,8 @@ def to_json_envelope(df: DataFrame, limit: int | None = None,
 
 def to_ndjson(df: DataFrame, limit: int | None = None, rownum: bool = False,
               timeformat: str | None = None,
-              time_cols: tuple[str, ...] = ("time",)) -> str:
+              time_cols: tuple[str, ...] = ("time",),
+              tz: str | None = None) -> str:
     """NDJSON() sink — one JSON object per row, keys in column order with an
     optional leading ROWNUM, time columns rendered per ``timeformat``
     (mods/codec/internal/ndjson/encode.go; goldens in encode_test.go).
@@ -231,7 +232,7 @@ def to_markdown(df: DataFrame, limit: int | None = None, html: bool = False) -> 
 def to_box(df: DataFrame, limit: int | None = None, precision: int = -1,
            timeformat: str | None = None, time_cols: tuple[str, ...] = ("time",),
            rownum: bool = False, heading: bool = True,
-           style: str = "light") -> str:
+           style: str = "light", tz: str | None = None) -> str:
     """BOX() sink — the reference's box table
     (mods/codec/internal/box/box_encode.go): uppercased headings, ROWNUM
     right-aligned, data cells left-aligned, NULL for nulls, floats at
