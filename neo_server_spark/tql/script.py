@@ -680,9 +680,13 @@ class TqlRunner:
         = the query's output order (monotonic id over the result)."""
         q = self.ev(args[0])
         from neo_server_spark import io as nio
+        from neo_server_spark.sqlx.dialect import lake_sql
         if self.sf_dir:
             nio.register_views(self.spark, self.sf_dir)
-        df = self.spark.sql(q)
+        # the lake dialect rewrites (DECODE / TO_CHAR / FIRST / LAST /
+        # DATE_TRUNC('SEC'), sqlx/dialect.py) apply to every SQL() source,
+        # exactly like the reference's lake query path (http_lake.go)
+        df = lake_sql(self.spark, q)
         cols = df.columns
         df = df.withColumn("__seq", F.monotonically_increasing_id())
         sel = [F.col("__seq"), F.col(cols[0]).alias("__key")] + [

@@ -120,6 +120,21 @@ CSV(header(true))
     assert lines[1:] == sorted(lines[1:])  # GROUP emits sorted by key
 
 
+def test_sql_statement_lake_dialect(spark, sf_dir):
+    """SQL() in a script accepts the lake dialect: DECODE and TO_CHAR
+    rewrite before planning (http_lake.go surface through the text layer)."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    src = """
+SQL("select DECODE(event_type, 'purchase', 1, 0) AS is_p from events limit 5")
+CSV(header(true))
+"""
+    out = TqlRunner(spark, sf_dir=sf_dir).run(src)
+    lines = out.splitlines()
+    assert lines[0] == "is_p"
+    assert set(lines[1:]) <= {"0", "1"}
+
+
 def test_sql_select_builder_statement(spark, sf_dir):
     """SQL_SELECT('value', from('events', 'purchase'), limit(5)) — ranged
     tag-scan source through the text surface."""
