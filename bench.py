@@ -172,10 +172,15 @@ def _bench_ingest(spark, sf_dir: str) -> dict:
         # steady-state throughput like the reference's iterated go-bench
         # (spi/benchmark_test.go): first write absorbs one-time JVM/codegen
         # warmup, the timed second write measures the path itself.
-        write_tag_table(df, tmp, mode="overwrite")
+        # write_salt per io.write_tag_table's SIZING RULE: the batch spans 5
+        # day cells, so salt ~= cores / cells keeps one writer wave with
+        # large files (measured ~25% over the salt=8 default on local[32]).
+        import os as _os
+        salt = max(2, int(_os.environ.get("SPARK_GRAFT_CPUS", "32")) // 5)
+        write_tag_table(df, tmp, mode="overwrite", write_salt=salt)
         shutil.rmtree(tmp)
         t0 = time.time()
-        write_tag_table(df, tmp, mode="overwrite")
+        write_tag_table(df, tmp, mode="overwrite", write_salt=salt)
         dt = time.time() - t0
         out[f"ingest_{label}_sec"] = round(dt, 3)
         out[f"ingest_{label}_rows_per_sec"] = round(n / dt)

@@ -204,6 +204,9 @@ def write_tag_table(
       spans few distinct (day[,bucket]) cells, and an unsalted repartition
       would serialize the write onto that few cores (measured 1.7x end-to-end
       on a 5-day batch).  Files per cell stay bounded at ``write_salt``.
+      SIZING RULE: salt ~= executor_cores / distinct_cells — one full writer
+      wave, biggest files (a 5-day batch on 32 cores wants ~6, measured ~25%
+      faster than over-salting at 8).
     """
     out = df.withColumn(
         "_day", F.date_format(F.timestamp_micros(
