@@ -724,16 +724,23 @@ class TqlRunner:
         self._set(df.select(*sel), names, times={1})
 
     def stmt_STRING(self, args):
-        """STRING(text|payload(), separator(...), trimspace(bool)) source
-        (fm_bytes.go)."""
+        """STRING(text|payload()|file(path), separator(...), trimspace(bool))
+        source (fm_bytes.go:26-130).  Column name = "STRING", key = 1-based
+        line ordinal surfaced as ROWNUM by PUSHKEY (task_test.go TestString)."""
         opts, pos = self._opt_calls(args)
-        text = self.ev(pos[0]) if pos else None
+        if "file" in opts:
+            with open(self._resolve(opts["file"][0][0])) as f:
+                text = f.read()
+            if text.endswith("\n"):
+                text = text[:-1]
+        else:
+            text = self.ev(pos[0]) if pos else None
         sep = opts.get("separator", [["\n"]])[0][0] if "separator" in opts else None
         trim = bool(opts["trimspace"][0][0]) if "trimspace" in opts else False
         rows = text.split(sep) if sep is not None else [text]
         if trim:
             rows = [r.strip() for r in rows]
-        self._set(self._from_rows([(r,) for r in rows], 1), [None])
+        self._set(self._from_rows([(r,) for r in rows], 1), ["STRING"])
 
     def stmt_CSV(self, args):
         if self.state.df is None:

@@ -471,3 +471,36 @@ FAKE( json({
 CSV()
 """
     assert run_script(spark, src).splitlines() == ["x,1", "y,2"]
+
+
+def test_string_source_pushkey_csv(spark):
+    """task_test.go TestString: STRING literal -> PUSHKEY -> CSV(heading)."""
+    out = run_script(spark, r"""
+        STRING("line1\nline2\n\nline4", separator("\n"))
+        PUSHKEY('test')
+        CSV( heading(true) )
+    """)
+    assert out.splitlines() == ["ROWNUM,STRING", "1,line1", "2,line2",
+                                "3,", "4,line4"]
+
+
+@needs_goldens
+def test_string_file_markdown_xhtml_golden(spark):
+    """task_test.go TestSinkMarkdown: STRING(file) -> PUSHKEY ->
+    MARKDOWN(html(true)) vs markdown_xhtml.txt, byte-for-byte."""
+    out = run_script(spark, r"""
+        STRING(file('/lines.txt'), separator('\n'))
+        PUSHKEY('test')
+        MARKDOWN(html(true))
+    """, fs_root=GOLDEN_DIR)
+    assert out.rstrip("\n") == golden("markdown_xhtml.txt").rstrip("\n")
+
+
+@needs_goldens
+def test_string_file_markdown_plain(spark):
+    out = run_script(spark, r"""
+        STRING(file('/lines.txt'), separator('\n'))
+        MARKDOWN(html(false))
+    """, fs_root=GOLDEN_DIR)
+    assert out.splitlines() == ["|STRING|", "|:-----|", "|line1|",
+                                "|line2|", "||", "|line4|"]
