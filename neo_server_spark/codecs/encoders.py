@@ -97,30 +97,36 @@ def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
     ``rownum`` prepends a 1-based ROWNUM column; a float ``substitute_null``
     is formatted at ``precision`` like any other float (both per
     csv_encode_test.go TestCsvEncoder/TestCsvEncoderNullValue)."""
-    import csv as _csv
-
     df = _format_time_cols(df, timeformat, time_cols, tz=tz)
     cols, rows = _collect(df, limit)
     if rownum:
         cols = ["ROWNUM", *cols]
         rows = [(i + 1, *r) for i, r in enumerate(rows)]
-    buf = io.StringIO()
-    w = _csv.writer(buf, delimiter=delimiter, lineterminator="\n")
+
+    def cell(v) -> str:
+        if v is None:
+            v = substitute_null
+        if isinstance(v, bool):
+            return "true" if v else "false"  # Go FormatBool
+        if isinstance(v, float):
+            return _format_float(v, precision)
+        if isinstance(v, (bytes, bytearray)):
+            # binaryformat("hex") rendering (codec BinaryFormatter);
+            # empty byte rows print empty like the reference
+            return "0x" + v.hex() if v else ""
+        s = str(v)
+        # minimal quoting like the reference's writer: a lone empty field
+        # stays empty (python csv.writer would emit """"" there)
+        if delimiter in s or '"' in s or "\n" in s or "\r" in s:
+            return '"' + s.replace('"', '""') + '"'
+        return s
+
+    lines = []
     if header:
-        w.writerow(cols)
+        lines.append(delimiter.join(cell(c) for c in cols))
     for row in rows:
-        out = []
-        for v in row:
-            if v is None:
-                v = substitute_null
-            if isinstance(v, bool):
-                out.append("true" if v else "false")  # Go FormatBool
-            elif isinstance(v, float):
-                out.append(_format_float(v, precision))
-            else:
-                out.append(v)
-        w.writerow(out)
-    return buf.getvalue()
+        lines.append(delimiter.join(cell(v) for v in row))
+    return "\n".join(lines) + "\n" if lines else ""
 
 
 def _format_float(v: float, precision: int = -1) -> str:

@@ -742,6 +742,24 @@ class TqlRunner:
             rows = [r.strip() for r in rows]
         self._set(self._from_rows([(r,) for r in rows], 1), ["STRING"])
 
+    def stmt_BYTES(self, args):
+        """BYTES(text|file(path), separator(...)) source (fm_bytes.go:26-80):
+        like STRING but each record's value is the raw byte slice; column
+        name BYTES, empty separators yield empty byte rows."""
+        opts, pos = self._opt_calls(args)
+        if "file" in opts:
+            with open(self._resolve(opts["file"][0][0]), "rb") as f:
+                data = f.read()
+            if data.endswith(b"\n"):
+                data = data[:-1]
+        else:
+            data = str(self.ev(pos[0]) if pos else "").encode()
+        sep = opts.get("separator", [["\n"]])[0][0] if "separator" in opts else None
+        chunks = data.split(sep.encode()) if sep is not None else [data]
+        rows = [(i, i + 1, bytes(c)) for i, c in enumerate(chunks)]
+        df = self.spark.createDataFrame(rows, "__seq long, __key long, c0 binary")
+        self._set(df, ["BYTES"])
+
     def stmt_CSV(self, args):
         if self.state.df is None:
             self._csv_source(args)

@@ -504,3 +504,21 @@ def test_string_file_markdown_plain(spark):
     """, fs_root=GOLDEN_DIR)
     assert out.splitlines() == ["|STRING|", "|:-----|", "|line1|",
                                 "|line2|", "||", "|line4|"]
+
+
+def test_bytes_source_hex(spark):
+    """task_test.go TestBytes: BYTES literal -> CSV(binaryformat hex),
+    with and without PUSHKEY."""
+    out = run_script(spark, r"""
+        BYTES("line1\nline2\n\nline4", separator("\n"))
+        PUSHKEY('test')
+        CSV( heading(true), binaryformat("hex") )
+    """)
+    assert out.splitlines() == ["ROWNUM,BYTES", "1,0x6c696e6531",
+                                "2,0x6c696e6532", "3,", "4,0x6c696e6534"]
+    out2 = run_script(spark, r"""
+        BYTES("line1\nline2\n\nline4", separator("\n"))
+        CSV( heading(true), binaryformat("hex") )
+    """)
+    assert out2.splitlines() == ["BYTES", "0x6c696e6531", "0x6c696e6532",
+                                 "", "0x6c696e6534"]
