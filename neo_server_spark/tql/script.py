@@ -780,8 +780,15 @@ class TqlRunner:
         if "file" in opts:
             path = self._resolve(opts["file"][0][0])
             reader = self.spark.read.option("header", use_header)
-            if not fields:
-                reader = reader.option("inferSchema", True)
+            # fields stay STRINGS unless field() coerces them — the
+            # reference's CSV source is untyped (fm_csv.go; CSV_file case
+            # prints "5.4" verbatim).  .gz decompresses transparently.
+            if "charset" in opts:
+                cs = str(opts["charset"][0][0])
+                if cs.lower() not in {"utf-8", "us-ascii", "iso-8859-1",
+                                      "utf-16", "utf-16be", "utf-16le", "utf-32"}:
+                    self.spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+                reader = reader.option("encoding", cs)
             raw = reader.csv(path)
             w = Window.orderBy(F.monotonically_increasing_id())
             df = raw.select(

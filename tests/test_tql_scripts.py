@@ -522,3 +522,30 @@ def test_bytes_source_hex(spark):
     """)
     assert out2.splitlines() == ["BYTES", "0x6c696e6531", "0x6c696e6532",
                                  "", "0x6c696e6534"]
+
+
+@needs_goldens
+@pytest.mark.parametrize("fname", ["iris.data", "iris.data.gz"])
+def test_csv_file_untyped(spark, fname):
+    """tql_test.go CSV_file / CSV_file_gz: fields stay strings, printed
+    verbatim; gzip decompresses transparently."""
+    out = run_script(spark, f"""
+        CSV(file('/{fname}'))
+        DROP(10)
+        TAKE(2)
+        CSV()
+    """, fs_root=GOLDEN_DIR)
+    assert [ln for ln in out.splitlines() if ln] == [
+        "5.4,3.7,1.5,0.2,Iris-setosa",
+        "4.8,3.4,1.6,0.2,Iris-setosa"]
+
+
+@needs_goldens
+def test_csv_file_charset_jp(spark):
+    """tql_test.go CSV_charset_jp: EUC-JP decoding at the reader."""
+    out = run_script(spark, """
+        CSV(file("/euc-jp.csv"), charset("EUC-JP"))
+        CSV()
+    """, fs_root=GOLDEN_DIR)
+    assert [ln for ln in out.splitlines() if ln] == [
+        "利用されてきた文字コー,1701913182,3.141592"]
