@@ -723,6 +723,33 @@ class TqlRunner:
             F.col(c).alias(f"c{i}") for i, c in enumerate(names)]
         self._set(df.select(*sel), names, times={1})
 
+    def stmt_QUERY(self, args):
+        """QUERY(valueExpr, from(table, tag [, timeColName]), between(a, b))
+        (fm_dbsrc.go:56-91) — value-first builder; records are
+        (<timeName>, <valueName>) for the tag, time-ranged at the source."""
+        from neo_server_spark import io as nio
+        opts, pos = self._opt_calls(args)
+        vname = self.ev(pos[0]) if pos else "value"
+        frm = opts.get("from", [["events"]])[0]
+        table, tag = frm[0], (frm[1] if len(frm) > 1 else None)
+        tname = frm[2] if len(frm) > 2 else "time"
+        between = opts.get("between", [None])[0]
+        if between:
+            df = nio.events_as_tag(self.spark, self.sf_dir,
+                                  from_ns=int(between[0]), until_ns=int(between[1]),
+                                  until_inclusive=True)
+        else:
+            df = nio.events_as_tag(self.spark, self.sf_dir)
+        if tag:
+            df = df.filter(F.col("name") == tag)
+        vcol = vname.lower() if vname.lower() in df.columns else "value"
+        out = df.select(
+            F.col("time").alias("c0"), F.col(vcol).alias("c1"),
+            F.col("name").alias("__key")).withColumn(
+            "__seq", F.monotonically_increasing_id())
+        self._set(out, [tname, vname], times={0})
+        self.state.key_name = "name"
+
     def stmt_STRING(self, args):
         """STRING(text|payload()|file(path), separator(...), trimspace(bool))
         source (fm_bytes.go:26-130).  Column name = "STRING", key = 1-based

@@ -549,3 +549,19 @@ def test_csv_file_charset_jp(spark):
     """, fs_root=GOLDEN_DIR)
     assert [ln for ln in out.splitlines() if ln] == [
         "利用されてきた文字コー,1701913182,3.141592"]
+
+
+def test_query_builder_statement(spark, sf_dir):
+    """QUERY('VALUE', from('events', 'purchase', 'TIME'), between(...)) —
+    the value-first builder (tql_test.go QUERY_CSV shape on our substrate)."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    src = """
+QUERY('VALUE', from('events', 'purchase', "TIME"), between(1704412800000000000, 1704499200000000000))
+CSV( precision(3), header(true) )
+"""
+    out = TqlRunner(spark, sf_dir=sf_dir).run(src)
+    lines = out.splitlines()
+    assert lines[0] == "TIME,VALUE"
+    assert len(lines) > 1
+    assert all(len(ln.split(",")) == 2 for ln in lines[1:])
