@@ -396,6 +396,10 @@ SCALARS = {
                                        else sub in v),
     "parseFloat": lambda rt, v, *a: (_lift(v).cast("double") if _is_col(v)
                                      else float(v)),
+    "parseBool": lambda rt, v: (_lift(v).cast("boolean") if _is_col(v)
+                                else str(v).lower() == "true"),
+    "parseInt": lambda rt, v, *a: (_lift(v).cast("long") if _is_col(v)
+                                   else int(str(v), *map(int, a))),
     "parseTime": _parse_time,
     "simplex": lambda rt, seed, *cs: _simplex(seed, *cs),
     "random": lambda rt: F.rand(),

@@ -269,6 +269,38 @@ INLINE_CASES = [
         MAPVALUE(0, strReplaceAll(value(0), "-", "_"))
         CSV()
      """, ["a_b_c"]),
+    ("FAKE_json_manual", """
+        FAKE(
+            json({
+                ["A", 1, true],
+                ["B", 2, false],
+                ["C", 3, true]
+            })
+        )
+        MAPVALUE(1, value(1)*10)
+        CSV()
+     """, ["A,10,true", "B,20,false", "C,30,true"]),
+    ("FAKE_csv_manual", """
+        FAKE(
+            csv(
+                strTrimSpace(`
+                    A,1,true
+                    B,2,false
+                    C,3,true
+                `)
+            )
+        )
+        MAPVALUE(0, strTrimSpace(value(0)))
+        MAPVALUE(1, parseFloat(value(1))*10)
+        MAPVALUE(2, parseBool(value(2)))
+        CSV()
+     """, ["A,10,true", "B,20,false", "C,30,true"]),
+    ("FAKE_meshgrid_manual", """
+        FAKE(
+            meshgrid(linspace(1, 2, 2), linspace(10, 20, 2))
+        )
+        CSV()
+     """, ["1,10", "1,20", "2,10", "2,20"]),
     ("FILTER_CHANGED_string", """
         FAKE(json({
             ["A", 1.0],
