@@ -175,8 +175,8 @@ def _bench_ingest(spark, sf_dir: str) -> dict:
         # write_salt per io.write_tag_table's SIZING RULE: the batch spans 5
         # day cells, so salt ~= cores / cells keeps one writer wave with
         # large files (measured ~25% over the salt=8 default on local[32]).
-        import os as _os
-        salt = max(2, int(_os.environ.get("SPARK_GRAFT_CPUS", "32")) // 5)
+        from neo_server_spark.session import default_parallelism
+        salt = max(2, default_parallelism() // 5)
         write_tag_table(df, tmp, mode="overwrite", write_salt=salt)
         shutil.rmtree(tmp)
         t0 = time.time()

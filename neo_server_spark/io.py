@@ -118,6 +118,7 @@ def scan_time_range(
     """
     from pyspark.sql import types as T
 
+    ensure_engine_conf(spark)  # UTC session tz + nanosAsLong on foreign sessions
     raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     phys = {f.name: f.dataType for f in raw.schema.fields}[time_col]
     is_ts = isinstance(phys, (T.TimestampType, T.TimestampNTZType))

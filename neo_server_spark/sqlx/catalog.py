@@ -146,7 +146,7 @@ def show_rollup_gap(router, source: DataFrame,
     from neo_server_spark.sqlx.rollup import LEVELS
 
     src_end = source.agg(F.max(F.col(time_col).cast("long"))).first()[0] or 0
-    rows = []
+    frontiers: list[tuple[str, int]] = []
     for level, period_ns in LEVELS.items():
         try:
             lv = router.level(level)
@@ -154,10 +154,19 @@ def show_rollup_gap(router, source: DataFrame,
             continue
         r_end_row = lv.agg(F.max(F.col(time_col).cast("long"))).first()[0]
         covered_end = (r_end_row + period_ns) if r_end_row is not None else 0
-        gap_rows = source.filter(
-            F.col(time_col).cast("long") >= covered_end).count() if src_end else 0
-        rows.append((level, router.path(level), src_end, covered_end,
-                     gap_rows, "SLEEPING"))
+        frontiers.append((level, covered_end))
+    # ONE source pass for every level's backlog (conditional counts) instead
+    # of a full scan per level
+    gaps: dict[str, int] = {lvl: 0 for lvl, _ in frontiers}
+    if src_end and frontiers:
+        t = F.col(time_col).cast("long")
+        agg_row = source.agg(*[
+            F.sum(F.when(t >= F.lit(ce), 1).otherwise(0)).alias(f"g{i}")
+            for i, (_, ce) in enumerate(frontiers)]).first()
+        gaps = {lvl: int(agg_row[f"g{i}"] or 0)
+                for i, (lvl, _) in enumerate(frontiers)}
+    rows = [(lvl, router.path(lvl), src_end, ce, gaps[lvl], "SLEEPING")
+            for lvl, ce in frontiers]
     return source.sparkSession.createDataFrame(
         rows, "rollup_name string, rollup_table string, src_end_time long, "
               "rollup_end_time long, gap long, run_state string")

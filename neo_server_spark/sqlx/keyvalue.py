@@ -59,8 +59,18 @@ class KeyedTable:
         except FileNotFoundError:
             return None
 
+    #: superseded snapshots kept after a flip — the immediately previous
+    #: snapshot stays for readers that resolved the pointer before the flip;
+    #: older generations are garbage (reader isolation needs live snapshots,
+    #: not history — without pruning a per-minute upsert fills the disk)
+    KEEP_SNAPSHOTS = 2
+
     def _flip(self, df: DataFrame) -> None:
-        snap = f"snap-{uuid.uuid4().hex[:12]}"
+        import shutil
+        import time as _time
+
+        prev = self._current_snap()
+        snap = f"snap-{int(_time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, snap)
         # dimension-sized by contract -> one file, broadcast-friendly
         df.coalesce(1).write.mode("overwrite").parquet(out)
@@ -68,6 +78,11 @@ class KeyedTable:
         with open(tmp, "w") as f:
             f.write(snap)
         os.replace(tmp, self._pointer_path())  # atomic pointer flip
+        keep = {snap, os.path.basename(prev) if prev else None}
+        snaps = sorted(d for d in os.listdir(self.path) if d.startswith("snap-"))
+        for d in snaps[:-self.KEEP_SNAPSHOTS]:
+            if d not in keep:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     # ------------------------------------------------------------ operations
 

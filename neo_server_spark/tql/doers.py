@@ -62,9 +62,19 @@ def do_http(method: str, url: str, *header_args: str,
             headers[k.strip()] = v.strip()
 
     def doer(row) -> None:
+        import re as _re
+        import urllib.parse as _up
         try:
             vals = row.asDict() if hasattr(row, "asDict") else {}
-            target = url.format(**vals) if vals else url
+            # substitute ONLY {column} placeholders that name a record column,
+            # URL-encoding the value; literal braces (JSON in a query string)
+            # pass through untouched — str.format would raise on them and
+            # silently kill every send
+            target = _re.sub(
+                r"\{(\w+)\}",
+                lambda m: _up.quote(str(vals[m.group(1)]), safe="")
+                if m.group(1) in vals else m.group(0),
+                url)
             body = None
             hdrs = dict(headers)
             if method.upper() == "POST" and content is not None:

@@ -259,15 +259,6 @@ def _simplex(seed, *coords):
     return top * (1 - my) + bot * my
 
 
-def _sqlq(col: "Column") -> str:
-    """SQL-text name of a positional column expression (c0..cN only)."""
-    import re as _re
-    m = _re.fullmatch(r"Column<'(\w+)'>", str(col))
-    if not m:
-        raise ValueError(f"expected a plain column ref, got {col}")
-    return m.group(1)
-
-
 def _str_replace(v, old: str, new: str, n: int):
     """strings.Replace semantics: n<0 replaces all, else first n."""
     if not _is_col(v):
@@ -379,11 +370,12 @@ SCALARS = {
     "strSprintf": lambda rt, fmt, *a: _go_sprintf(fmt, a),
     "strTrimPrefix": lambda rt, v, pre: (
         F.when(_lift(v).startswith(pre),
-               F.expr(f"substring({_sqlq(v)}, {len(pre) + 1})")).otherwise(_lift(v))
+               _lift(v).substr(F.lit(len(pre) + 1), F.length(_lift(v))))
+        .otherwise(_lift(v))
         if _is_col(v) else (v[len(pre):] if v.startswith(pre) else v)),
     "strTrimSuffix": lambda rt, v, suf: (
         F.when(_lift(v).endswith(suf),
-               F.expr(f"substring({_sqlq(v)}, 1, length({_sqlq(v)}) - {len(suf)})"))
+               _lift(v).substr(F.lit(1), F.length(_lift(v)) - F.lit(len(suf))))
         .otherwise(_lift(v))
         if _is_col(v) else (v[:-len(suf)] if v.endswith(suf) else v)),
     "strReplace": lambda rt, v, old, new, n=-1: _str_replace(v, old, new, int(n)),
@@ -609,7 +601,12 @@ class TqlRunner:
         elif gname == "json":
             import json as _json
             body = gargs[0][1] if gargs[0][0] == "brace" else str(self.ev(gargs[0]))
-            rows = [tuple(r) for r in _json.loads("[" + body + "]")]
+            # Go json.Unmarshal yields float64 for every number — record
+            # values from a json() source are doubles (ints would render
+            # without the precision() decimals the goldens pin)
+            rows = [tuple(float(x) if isinstance(x, int) and not isinstance(x, bool)
+                          else x for x in r)
+                    for r in _json.loads("[" + body + "]")]
             self._set(self._from_rows(rows, len(rows[0])), [None] * len(rows[0]))
         elif gname == "csv":
             import csv as _csv
@@ -717,8 +714,10 @@ class TqlRunner:
             df = nio.events_as_tag(self.spark, self.sf_dir)
         if tags:
             df = df.filter(F.col("name").isin(list(tags)))
-        names = ["name", "time", *cols]
-        df = df.select("name", "time", *cols).withColumn(
+        names = list(dict.fromkeys(["name", "time", *cols]))  # dedupe: the
+        # reference's canonical SQL_SELECT('time', 'value', ...) lists time
+        # explicitly; name/time are always present in the record shape
+        df = df.select(*names).withColumn(
             "__seq", F.monotonically_increasing_id())
         if limit is not None:
             w = Window.orderBy("time", "__seq")
@@ -766,7 +765,9 @@ class TqlRunner:
                 text = text[:-1]
         else:
             text = self.ev(pos[0]) if pos else None
-        sep = opts.get("separator", [["\n"]])[0][0] if "separator" in opts else None
+        # no separator() -> the whole text is ONE record (fm_bytes.go reads
+        # the full payload when no delimiter is configured)
+        sep = opts["separator"][0][0] if "separator" in opts else None
         trim = bool(opts["trimspace"][0][0]) if "trimspace" in opts else False
         rows = text.split(sep) if sep is not None else [text]
         if trim:
@@ -785,7 +786,7 @@ class TqlRunner:
                 data = data[:-1]
         else:
             data = str(self.ev(pos[0]) if pos else "").encode()
-        sep = opts.get("separator", [["\n"]])[0][0] if "separator" in opts else None
+        sep = opts["separator"][0][0] if "separator" in opts else None
         chunks = data.split(sep.encode()) if sep is not None else [data]
         rows = [(i, i + 1, bytes(c)) for i, c in enumerate(chunks)]
         df = self.spark.createDataFrame(rows, "__seq long, __key long, c0 binary")
@@ -1231,7 +1232,11 @@ class TqlRunner:
                 continue
             expr = _lift(self.ev(fargs[0]))
             nm = self.ev(fargs[1]) if len(fargs) > 1 else fn.upper()
-            src = mat(expr.cast("double"))
+            # count/first/last/mode/list operate on RAW record values (the
+            # reference aggregates untyped values; count counts records) —
+            # only the numeric aggregates coerce to double
+            raw_ok = fn in ("count", "first", "last", "mode", "list")
+            src = mat(expr if raw_ok else expr.cast("double"))
             alias = f"__o{len(out_names)}"
             builder = {
                 "sum": lambda: A.sum(src, alias),

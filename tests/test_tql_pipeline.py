@@ -36,7 +36,8 @@ def test_mapvalue_chain_csv_sink(tql):
         .mapvalue(0, "x * 2", "y")
         .csv()
     )
-    # default precision renders Go-shortest (strconv 'f' -1): 0.0 -> "0"
+    # default precision = reference AppendPrecisionFloat64: six decimals
+    # with trailing zeros stripped, integral floats bare: 0.0 -> "0"
     assert csv_text.splitlines() == ["y", "0", "2", "4", "6", "8"]
 
 

@@ -597,3 +597,31 @@ CSV( precision(3), header(true) )
     assert lines[0] == "TIME,VALUE"
     assert len(lines) > 1
     assert all(len(ln.split(",")) == 2 for ln in lines[1:])
+
+
+def test_sql_select_explicit_time_column(spark, sf_dir):
+    """SQL_SELECT('time', 'value', ...) — the reference's canonical column
+    list names time explicitly; must not produce duplicate columns."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    out = TqlRunner(spark, sf_dir=sf_dir).run("""
+SQL_SELECT('time', 'value', from('events', 'purchase'), limit(3))
+CSV(header(true))
+""")
+    lines = out.splitlines()
+    assert lines[0] == "name,time,value"
+    assert len(lines) == 4
+
+
+def test_group_count_over_strings(spark):
+    """count/first/last aggregate RAW record values — a string column must
+    count records, not nulls-after-double-cast."""
+    out = run_script(spark, """
+        FAKE(json({
+            ["a", "x"], ["a", "y"], ["b", "z"]
+        }))
+        GROUP(by(value(0), "k"), count(value(1), "cnt"),
+              first(value(1), "fst"), last(value(1), "lst"))
+        CSV(header(true))
+    """)
+    assert out.splitlines() == ["k,cnt,fst,lst", "a,2,x,y", "b,1,z,z"]
