@@ -598,6 +598,9 @@ class TqlRunner:
                 (F.lit(xa) + (F.col("id") / ny).cast("long") * F.lit(xs)).alias("c0"),
                 (F.lit(ya) + (F.col("id") % ny) * F.lit(ys)).alias("c1"))
             self._set(df, [None, None])
+        elif gname == "once":
+            v = self.ev(gargs[0])
+            self._set(self._from_rows([(v,)], 1), [None])
         elif gname == "json":
             import json as _json
             body = gargs[0][1] if gargs[0][0] == "brace" else str(self.ev(gargs[0]))
@@ -1144,6 +1147,18 @@ class TqlRunner:
                 F.col("hz").alias("c0"), F.col("ampl").alias("c1"))
         self._set(res, ["hz", "ampl"])
         self.state.key_name = "time"  # group key was a time bucket
+
+    def stmt_SHELL(self, args):
+        """SHELL(cmd) (fm_shell.go:49): run the command, its stdout lines
+        become the record stream (driver-side; the DSL's rdd.pipe is the
+        distributed per-partition form)."""
+        import subprocess
+        cmd = self.ev(args[0])
+        res = subprocess.run(cmd, shell=True, capture_output=True, text=True)
+        lines = res.stdout.split("\n")
+        if lines and lines[-1] == "":
+            lines = lines[:-1]
+        self._set(self._from_rows([(ln,) for ln in lines], 1), [None])
 
     def stmt_HISTOGRAM(self, args):
         """HISTOGRAM(value(n), bins(min,max,step) [, category(value(m))]

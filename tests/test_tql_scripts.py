@@ -625,3 +625,14 @@ def test_group_count_over_strings(spark):
         CSV(header(true))
     """)
     assert out.splitlines() == ["k,cnt,fst,lst", "a,2,x,y", "b,1,z,z"]
+
+
+def test_shell_statement(spark):
+    """tql_test.go SHELL_shell-command: stdout lines become records; the
+    comma-bearing line gets CSV-quoted."""
+    out = run_script(spark, """
+        FAKE( once(1) )
+        SHELL("echo 'Hello, World!'; echo 123;")
+        CSV()
+    """)
+    assert out.splitlines()[:2] == ['"Hello, World!"', "123"]
