@@ -1350,7 +1350,18 @@ class TqlRunner:
 
     def stmt_NDJSON(self, args):
         from neo_server_spark.codecs import encoders
-        self.output = encoders.to_ndjson(self._display())
+        opts, _ = self._opt_calls(args)
+        tf = opts["timeformat"][0][0] if "timeformat" in opts else None
+        if tf and tf.lower() == "default":
+            tf = "Default"
+        tz = opts["tz"][0][0] if "tz" in opts else None
+        tz = _TZ_ALIASES.get(tz, tz)
+        disp = self._display()
+        tcols = tuple(disp.columns[i] for i in sorted(self.state.times)
+                      if i < len(disp.columns))
+        self.output = encoders.to_ndjson(
+            disp, timeformat=tf, tz=tz,
+            time_cols=tcols or tuple(c for c in disp.columns if c.lower() == "time"))
 
     def stmt_DISCARD(self, args):
         self.state.df.count()  # execute, emit nothing (fm_encoder DISCARD)

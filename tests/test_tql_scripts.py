@@ -636,3 +636,21 @@ def test_shell_statement(spark):
         CSV()
     """)
     assert out.splitlines()[:2] == ['"Hello, World!"', "123"]
+
+
+def test_ndjson_timeformat_default(spark):
+    """tql_test.go SQL_NDJSON shape: NDJSON(timeformat('default'), tz('UTC'))
+    renders time values as '2023-08-22 06:45:07.38' (trimmed ms fraction);
+    the time tag follows the column through PUSHVALUE/POPVALUE shifts."""
+    out = run_script(spark, """
+        FAKE(json({
+            [1692686707380411000, 0.1],
+            [1692686708380411000, 0.2]
+        }))
+        MAPVALUE(0, time(value(0)), "TIME")
+        MAPVALUE(1, value(1), "VALUE")
+        NDJSON( timeformat('default'), tz('UTC') )
+    """)
+    assert out.splitlines() == [
+        '{"TIME":"2023-08-22 06:45:07.38","VALUE":0.1}',
+        '{"TIME":"2023-08-22 06:45:08.38","VALUE":0.2}']
