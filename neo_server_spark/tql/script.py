@@ -578,13 +578,24 @@ class TqlRunner:
     def stmt_FAKE(self, args):
         gen = args[0]
         if gen[0] != "call":
-            raise SyntaxError("FAKE() requires a generator call")
+            # reference: f(FAKE) arg(0) should be fakeSource (tql_test.go)
+            raise TypeError("f(FAKE) arg(0) should be fakeSource")
         gname, gargs = gen[1], gen[2]
         if gname == "linspace":
             a, b, num = [self.ev(x) for x in gargs]
             self._set(self._linspace_df(float(a), float(b), int(num)), [None])
         elif gname == "arrange":
             a, b, step = [float(self.ev(x)) for x in gargs]
+            # argument validation with the reference's exact messages
+            # (fm_fake.go arrange; tql_test.go FAKE_arrange_* cases)
+            if step == 0:
+                raise ValueError('FUNCTION "arrange" step can not be 0')
+            if a == b:
+                raise ValueError('FUNCTION "arrange" start, stop can not be equal')
+            if a < b and step < 0:
+                raise ValueError('FUNCTION "arrange" step can not be less than 0')
+            if a > b and step > 0:
+                raise ValueError('FUNCTION "arrange" step can not be greater than 0')
             n = max(int(math.floor((b - a) / step)) + 1, 0)
             df = self.spark.range(n).select(
                 F.col("id").alias("__seq"), (F.col("id") + 1).alias("__key"),

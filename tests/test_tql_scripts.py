@@ -654,3 +654,17 @@ def test_ndjson_timeformat_default(spark):
     assert out.splitlines() == [
         '{"TIME":"2023-08-22 06:45:07.38","VALUE":0.1}',
         '{"TIME":"2023-08-22 06:45:08.38","VALUE":0.2}']
+
+
+@pytest.mark.parametrize("script,msg", [
+    ("FAKE( arrange(10, 30, 0) )\nCSV()", 'step can not be 0'),
+    ("FAKE( arrange(10, 10, 10) )\nCSV()", 'start, stop can not be equal'),
+    ("FAKE( arrange(10, 30, -10) )\nCSV()", 'step can not be less than 0'),
+    ("FAKE( arrange(30, 10, 10) )\nCSV()", 'step can not be greater than 0'),
+    ("FAKE( 123 )\nCSV()", "should be fakeSource"),
+])
+def test_fake_argument_errors(spark, script, msg):
+    """tql_test.go FAKE_arrange_*/invalid_generator: the reference's
+    argument-validation error messages, verbatim."""
+    with pytest.raises((ValueError, TypeError), match=msg):
+        run_script(spark, script)
