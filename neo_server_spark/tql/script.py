@@ -636,13 +636,22 @@ class TqlRunner:
                     comps.append((float(ga[0]), float(ga[1])))
                 elif g[1] == "range":
                     rng = ga
-            from neo_server_spark.tql import fake
             t0 = _dur_ns(rng[0]) if not isinstance(rng[0], str) else _parse_time(self, rng[0], "s")
             dur, period = _dur_ns(rng[1]), _dur_ns(rng[2])
-            df = fake.oscillator(self.spark, comps, t0, t0 + dur, period)
-            df = df.select(F.col("time").alias("c0"), F.col("value").alias("c1")) \
-                   .withColumn("__seq", F.monotonically_increasing_id()) \
-                   .withColumn("__key", F.col("c0"))
+            if dur < 0:  # range(t, '-1s', p) runs backward from t (osc_2 case)
+                t0, dur = t0 + dur, -dur
+            n = max(dur // period, 0)
+            # same sum-of-sinusoids formula as fake.oscillator
+            # (fm_fake.go:438-519), built with the 1-based ordinal key the
+            # reference's record stream carries (PUSHKEY surfaces ROWNUM)
+            t = (F.lit(t0) + F.col("id") * F.lit(period)).cast("long")
+            tsec = t.cast("double") / F.lit(1e9)
+            value = F.lit(0.0)
+            for hz, amp in comps:
+                value = value + F.lit(amp) * F.sin(F.lit(2.0 * math.pi * hz) * tsec)
+            df = self.spark.range(n).select(
+                F.col("id").alias("__seq"), (F.col("id") + 1).alias("__key"),
+                t.alias("c0"), value.alias("c1"))
             self._set(df, ["time", "value"], times={0})
         elif gname == "sphere":
             # genSphere (fm_fake.go:397-430) verbatim, INCLUDING the float

@@ -668,3 +668,19 @@ def test_fake_argument_errors(spark, script, msg):
     argument-validation error messages, verbatim."""
     with pytest.raises((ValueError, TypeError), match=msg):
         run_script(spark, script)
+
+
+@needs_goldens
+def test_oscillator_script_golden(spark):
+    """tql_test.go FAKE_oscillator_1Hz_2Hz_3Hz, verbatim: 1000 samples of a
+    3-tone sum vs the reference CSV at precision(6) — sin() agrees
+    byte-for-byte between the JVM and Go libm here."""
+    out = run_script(spark, """
+        FAKE( 
+            oscillator(
+                range(timeAdd(1685714509*1000000000,'1s'), '1s', '1ms'), 
+                freq(1, 1.0), freq(2, 2.0), freq(3, 3.0)))
+        PUSHKEY('test')
+        CSV( header(true), precision(6) )
+    """)
+    assert out.rstrip("\n") == golden("oscillator_1Hz_2Hz_3Hz.csv").rstrip("\n")
