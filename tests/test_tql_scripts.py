@@ -684,3 +684,30 @@ def test_oscillator_script_golden(spark):
         CSV( header(true), precision(6) )
     """)
     assert out.rstrip("\n") == golden("oscillator_1Hz_2Hz_3Hz.csv").rstrip("\n")
+
+
+def test_csv_payload_timeformat_precision(spark):
+    """tql_test.go:1003-1027 CSV(payload(), field(timeType/floatType/
+    boolType)) -> CSV(timeformat('s'), precision(2)), verbatim."""
+    payload = "\n".join([
+        "1700256261,dry,1,true",
+        "1700256262,dry,2,false",
+        "1700256262,wet,2,TRUE",
+        "1700256263,dry,3,False",
+        "1700256264,dry,4,1",
+        "1700256264,wet,5,0",
+        "",
+    ])
+    out = run_script(spark, """
+        CSV(payload(), field(0, timeType("s"), "time"), field(2, floatType(), "value"), field(3, boolType(),"flag") )
+        CSV(timeformat("s"), heading(true), precision(2))
+    """, payload=payload)
+    assert out.splitlines() == [
+        "time,column1,value,flag",
+        "1700256261,dry,1.00,true",
+        "1700256262,dry,2.00,false",
+        "1700256262,wet,2.00,true",
+        "1700256263,dry,3.00,false",
+        "1700256264,dry,4.00,true",
+        "1700256264,wet,5.00,false",
+    ]
