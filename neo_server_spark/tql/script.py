@@ -386,11 +386,14 @@ SCALARS = {
                                         else v.endswith(suf)),
     "strContains": lambda rt, v, sub: (_lift(v).contains(sub) if _is_col(v)
                                        else sub in v),
-    "parseFloat": lambda rt, v, *a: (_lift(v).cast("double") if _is_col(v)
+    # parse* are LENIENT like Go's strconv in the reference pipeline —
+    # try_cast yields NULL on malformed input instead of failing the job
+    # under ANSI mode (a CASE branch evaluates casts eagerly)
+    "parseFloat": lambda rt, v, *a: (_lift(v).try_cast("double") if _is_col(v)
                                      else float(v)),
-    "parseBool": lambda rt, v: (_lift(v).cast("boolean") if _is_col(v)
+    "parseBool": lambda rt, v: (_lift(v).try_cast("boolean") if _is_col(v)
                                 else str(v).lower() == "true"),
-    "parseInt": lambda rt, v, *a: (_lift(v).cast("long") if _is_col(v)
+    "parseInt": lambda rt, v, *a: (_lift(v).try_cast("long") if _is_col(v)
                                    else int(str(v), *map(int, a))),
     "parseTime": _parse_time,
     "simplex": lambda rt, seed, *cs: _simplex(seed, *cs),
@@ -480,8 +483,16 @@ class TqlRunner:
         if kind == "if":
             c = self.ev(node[1])
             if _is_col(c):
-                return F.when(c, _lift(self.ev(node[2]))) \
-                        .otherwise(_lift(self.ev(node[3])))
+                a, b = _lift(self.ev(node[2])), _lift(self.ev(node[3]))
+                # record values are dynamically typed in the reference; when
+                # the branches disagree and one side is a string, the common
+                # type is STRING (Spark would coerce string->double and fail
+                # under ANSI on non-numeric text)
+                ta, tb = self._dtype_of(a), self._dtype_of(b)
+                if ta is not None and tb is not None and ta != tb and \
+                        "string" in (ta, tb):
+                    a, b = a.cast("string"), b.cast("string")
+                return F.when(c, a).otherwise(b)
             return self.ev(node[2]) if c else self.ev(node[3])
         if kind == "call":
             fn = SCALARS.get(node[1])
@@ -513,6 +524,15 @@ class TqlRunner:
             "||": lambda a, b: (a | b) if colmode else (a or b),
         }
         return table[op](left, right)
+
+    def _dtype_of(self, col: Column):
+        """simpleString dtype of an expression over the current frame
+        (analysis only — no job); None when not inferable."""
+        try:
+            return self.state.df.select(col.alias("_p")).schema[0] \
+                       .dataType.simpleString()
+        except Exception:
+            return None
 
     def value_col(self, n: int) -> Column:
         return F.col(f"c{n}")
@@ -1364,9 +1384,43 @@ class TqlRunner:
 
     def stmt_MARKDOWN(self, args):
         from neo_server_spark.codecs import encoders
-        opts, _ = self._opt_calls(args)
+        opts, pos = self._opt_calls(args)
+        tmpl = next((a[1] for a in pos if a[0] == "brace"), None)
+        if tmpl is not None:
+            self.output = self._render_template(tmpl)
+            return
         self.output = encoders.to_markdown(
             self._display(), html="html" in opts and bool(opts["html"][0][0]))
+
+    def _render_template(self, tmpl: str) -> str:
+        """Per-record Go-template rendering, minimal subset (fm_encoder
+        template option; tql_test.go MARKDOWN_TEMPLATE case): {{ if
+        .IsFirst/.IsLast }}...{{ end }}, {{ .Value N }}, {{ .Key }}.
+        define/template blocks are not supported."""
+        import re as _re
+
+        from neo_server_spark.codecs.encoders import _format_float
+
+        rows = self._display().collect()
+        n = len(rows)
+
+        def fmt(v):
+            if isinstance(v, float):
+                return _format_float(v)
+            return "" if v is None else str(v)
+
+        out = []
+        for i, r in enumerate(rows):
+            ctx = {"IsFirst": i == 0, "IsLast": i == n - 1}
+            s = _re.sub(
+                r"\{\{\s*if\s+\.(\w+)\s*\}\}(.*?)\{\{\s*end\s*\}\}",
+                lambda m: m.group(2) if ctx.get(m.group(1), False) else "",
+                tmpl, flags=_re.S)
+            s = _re.sub(r"\{\{\s*\.Value\s+(\d+)\s*\}\}",
+                        lambda m: fmt(r[int(m.group(1))]), s)
+            s = _re.sub(r"\{\{\s*\.Key\s*\}\}", fmt(i + 1), s)
+            out.append(s)
+        return "".join(out)
 
     def stmt_NDJSON(self, args):
         from neo_server_spark.codecs import encoders

@@ -711,3 +711,30 @@ def test_csv_payload_timeformat_precision(spark):
         "1700256264,dry,4.00,true",
         "1700256264,wet,5.00,false",
     ]
+
+
+def test_markdown_template(spark):
+    """tql_test.go:1056-1084 CSV(payload) -> MARKDOWN({go template}) with
+    IsFirst/IsLast guards and .Value accessors (reference ExpectFunc
+    Contains assertions, verbatim)."""
+    payload = "\n".join([
+        "NAME,TIME,VALUE,BOOL",
+        "wave.sin,1676432361,0.000000,true",
+        "wave.cos,1676432361,1.0000000,false",
+        "wave.sin,1676432362,0.406736,true",
+        "wave.cos,1676432362,0.913546,false",
+        "wave.sin,1676432363,0.743144,true",
+    ]) + "\n"
+    out = run_script(spark, """
+        CSV(payload(), header(false))
+        MAPVALUE(2, value(2) != "VALUE" ? parseFloat(value(2))*10 : value(2))
+        MARKDOWN({
+{{ if .IsFirst }}## demo
+{{ end }}{{ .Value 0 }},{{ .Value 2 }}
+{{ if .IsLast }}--------
+{{ end }}
+        })
+    """, payload=payload)
+    for frag in ["## demo", "NAME,VALUE", "wave.sin,0", "wave.cos,10",
+                 "wave.sin,4.067", "wave.cos,9.135", "--------"]:
+        assert frag in out, frag
