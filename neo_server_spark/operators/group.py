@@ -402,23 +402,31 @@ def timewindow(
     a per-series calendar via a crossJoin of distinct series keys x grid.
     """
     t = F.col(time_col).cast("long")
-    in_range = (t >= F.lit(from_ns)) & (t < F.lit(until_ns))
-    # integer-only bucket math: epoch-ns exceeds double precision (2^53)
-    delta = t - F.lit(from_ns)
-    bucket = (F.lit(from_ns) + delta - F.pmod(delta, F.lit(period_ns))).cast("long")
+    # integer-only bucket math: epoch-ns exceeds double precision (2^53).
+    # Buckets are EPOCH-anchored — the reference truncates the record time to
+    # the absolute period grid ((ts/period)*period, fm_monad.go:665), NOT a
+    # grid anchored at ``from``; the two agree only when from is
+    # period-aligned (pinned by task_test.go TestGroupByTimeWindow, whose
+    # from=...62 emits buckets ...64/68/72).
+    bucket = (t - F.pmod(t, F.lit(period_ns))).cast("long")
+    # calendar = epoch buckets w with from <= w < until (fm_monad.go fill()
+    # skips windows before ``from``); records bucketed outside the calendar
+    # are dropped.
+    cal_start = -(-from_ns // period_ns) * period_ns
+    in_range = (bucket >= F.lit(cal_start)) & (bucket < F.lit(until_ns))
     grouped = (
-        df.filter(in_range)
-        .withColumn(bucket_name, bucket)
+        df.withColumn(bucket_name, bucket)
+        .filter(in_range)
         .groupBy(*series, bucket_name)
         .agg(*aggs)
     )
 
-    # calendar of every bucket in [from, until)
-    last_bucket = from_ns + ((until_ns - 1 - from_ns) // period_ns) * period_ns
+    # calendar of every bucket in [cal_start, until)
+    last_bucket = cal_start + ((until_ns - 1 - cal_start) // period_ns) * period_ns
     spark = df.sparkSession
     grid = spark.range(1).select(
         F.explode(
-            F.sequence(F.lit(from_ns), F.lit(last_bucket), F.lit(period_ns))
+            F.sequence(F.lit(cal_start), F.lit(last_bucket), F.lit(period_ns))
         ).alias(bucket_name)
     )
     if series:
@@ -454,7 +462,10 @@ def timewindow(
             prev_t = F.last(F.when(v.isNotNull(), F.col(bucket_name)), ignorenulls=True).over(prev_w)
             next_t = F.first(F.when(v.isNotNull(), F.col(bucket_name)), ignorenulls=True).over(next_w)
             if fill == "piecewiseconstant":
-                filled = F.coalesce(v, prev_v)
+                # gonum PiecewiseConstant: value at the nearest known point
+                # to the RIGHT; beyond the last known point, the last value
+                # (task_test.go rss:PiecewiseConstant golden)
+                filled = F.coalesce(v, next_v, prev_v)
             elif fill == "piecewiselinear":
                 frac = (F.col(bucket_name) - prev_t).cast("double") / (next_t - prev_t).cast("double")
                 interp = prev_v + (next_v - prev_v) * frac

@@ -1254,6 +1254,91 @@ class TqlRunner:
                 "quantileInterpolated", "cdf", "list", "correlation",
                 "moment", "lrs"}
 
+    @staticmethod
+    def _make_agg(fn: str, src: str, alias: str, order_col: str = "__seq"):
+        """Shared aggregate constructor for GROUP and TIMEWINDOW
+        (fm_monad.go newAggregate); ``order_col`` feeds first/last."""
+        from neo_server_spark.operators.group import agg as A
+        table = {
+            "sum": lambda: A.sum(src, alias),
+            "avg": lambda: A.avg(src, alias),
+            "mean": lambda: A.avg(src, alias),
+            "min": lambda: A.min(src, alias),
+            "max": lambda: A.max(src, alias),
+            "count": lambda: A.count(src, alias),
+            "first": lambda: A.first(src, order_col, alias),
+            "last": lambda: A.last(src, order_col, alias),
+            "rss": lambda: A.rss(src, alias),
+            "rms": lambda: A.rms(src, alias),
+            "median": lambda: A.median(src, alias),
+            "medianInterpolated": lambda: A.median_lininterp(src, alias),
+            "median-interpolated": lambda: A.median_lininterp(src, alias),
+            "stddev": lambda: A.stddev(src, alias),
+            "stderr": lambda: A.stderr(src, alias),
+            "variance": lambda: A.variance(src, alias),
+            "entropy": lambda: A.entropy_raw(src, alias),
+            "mode": lambda: A.mode(src, alias),
+            "list": lambda: A.list(src, alias),
+            "lrs": lambda: A.lrs(order_col, src, alias),
+        }.get(fn)
+        return table() if table else None
+
+    #: TIMEWINDOW interpolation spec suffixes -> timewindow fill modes
+    _INTERP_FILLS = {
+        "linearregression": "linearregression",
+        "piecewiseconstant": "piecewiseconstant",
+        "piecewiselinear": "piecewiselinear",
+        "akimaspline": "akimaspline",
+        "fritschbutland": "fritschbutland",
+    }
+
+    def stmt_TIMEWINDOW(self, args):
+        """TIMEWINDOW(time(from), time(until), period(d) [, nullValue(v)],
+        'colspec'...) (fm_monad.go fmTimeWindow): colspec i describes input
+        column i — 'time' marks the basetime, anything else is an aggregate
+        name, optionally ':Interpolator' for gap prediction.  Lowers onto
+        operators.group.timewindow (gap-filled calendar buckets)."""
+        from neo_server_spark.operators.group import timewindow as TW
+        opts, pos = self._opt_calls(args)
+        from_ns = int(self.ev(pos[0]))
+        until_ns = int(self.ev(pos[1]))
+        period_ns = _dur_ns(opts["period"][0][0])
+        specs = [str(self.ev(pnode)) for pnode in pos[2:]]
+        t_idx = specs.index("time")
+        fill, fill_value = "null", None
+        if "nullValue" in opts:
+            fill, fill_value = "value", float(opts["nullValue"][0][0])
+        staged = self.state.df.withColumn(
+            "__twt", F.col(f"c{t_idx}").cast("long"))
+        aggs, out_slots = [], []
+        for i, spec in enumerate(specs):
+            if i == t_idx:
+                continue
+            fn, _, interp = spec.partition(":")
+            if interp:  # interpolator overrides nullValue for this column
+                fill = self._INTERP_FILLS[interp.lower()]
+            raw_ok = fn in ("count", "first", "last", "mode", "list")
+            src_col = F.col(f"c{i}")
+            staged = staged.withColumn(
+                f"__tin{i}", src_col if raw_ok else src_col.cast("double"))
+            col = self._make_agg(fn, f"__tin{i}", f"__to{i}", order_col="__twt")
+            if col is None:
+                raise NameError(f"unsupported TIMEWINDOW aggregate {fn}()")
+            aggs.append(col)
+            out_slots.append(i)
+        out = TW(staged, "__twt", from_ns, until_ns, period_ns, aggs,
+                 bucket_name="__twb", fill=fill, fill_value=fill_value)
+        w = Window.orderBy("__twb")
+        exprs = {t_idx: F.col("__twb")}
+        for i in out_slots:
+            exprs[i] = F.col(f"__to{i}")
+        res = out.select(
+            (F.row_number().over(w) - 1).alias("__seq"),
+            F.col("__twb").alias("__key"),
+            *[exprs[i].alias(f"c{i}") for i in sorted(exprs)])
+        self._set(res, [self.state.names[i] for i in sorted(exprs)],
+                  times={sorted(exprs).index(t_idx)})
+
     def stmt_GROUP(self, args):
         """GROUP(by(v, "name")..., agg(v, "name")...) — lazy sorted emit
         (fm_monad.go GROUP; sorted-by-key emission order)."""
@@ -1264,6 +1349,7 @@ class TqlRunner:
         out_names: list = []
         tmp_i = 0
         pre: list[Column] = []
+        timewin: tuple | None = None
 
         def mat(col: Column) -> str:
             nonlocal tmp_i
@@ -1280,6 +1366,16 @@ class TqlRunner:
                 continue
             if fn == "by":
                 expr = _lift(self.ev(fargs[0]))
+                if len(fargs) > 1 and fargs[1][0] == "call" \
+                        and fargs[1][1] == "timewindow":
+                    twargs = fargs[1][2]
+                    tw = (int(self.ev(twargs[0])), int(self.ev(twargs[1])),
+                          _dur_ns(self.ev(twargs[2][2][0])
+                                  if twargs[2][0] == "call"
+                                  else self.ev(twargs[2])))
+                    bys.append((F.col(mat(expr.cast("long"))), "GROUP"))
+                    timewin = tw
+                    continue
                 nm = self.ev(fargs[1]) if len(fargs) > 1 else "GROUP"
                 bys.append((F.col(mat(expr)), nm))
                 continue
@@ -1333,6 +1429,22 @@ class TqlRunner:
         # by columns without the double cast applied to agg inputs
         staged = df.select("__seq", "__key", *self._vcols(), *pre)
         by_cols = [c for c, _ in bys]
+        if timewin is not None:
+            # GROUP(by(t, timewindow(from, until, period)), aggs...) — the
+            # gap-filled calendar grouping (fm_monad.go:426-435)
+            from neo_server_spark.operators.group import timewindow as TW
+            f_ns, u_ns, p_ns = timewin
+            twdf = TW(staged.withColumn("__twt", by_cols[0]),
+                      "__twt", f_ns, u_ns, p_ns, aggs, bucket_name="__gb")
+            w = Window.orderBy("__gb")
+            out = twdf.select(
+                (F.row_number().over(w) - 1).alias("__seq"),
+                F.col("__gb").alias("__key"),
+                F.col("__gb").alias("c0"),
+                *[F.col(f"__o{j}").alias(f"c{1 + j}")
+                  for j in range(len(out_names))])
+            self._set(out, ["GROUP"] + out_names, times={0})
+            return
         grouped = staged.groupBy(*by_cols).agg(*aggs) if by_cols else staged.agg(*aggs)
         order = [c for c, _ in bys] or [F.lit(1)]
         w = Window.orderBy(*order)

@@ -95,7 +95,9 @@ def test_timewindow_fill_prev(spark):
         df, "time", 0, 40_000_000_000, 10_000_000_000,
         aggs=[agg.avg("value", "v")], series=["name"], fill="piecewiseconstant",
     ).collect()
-    assert [r.v for r in out] == [2.0, 2.0, 2.0, 8.0]
+    # gonum PiecewiseConstant = nearest known point to the RIGHT (verified
+    # byte-for-byte by the TIMEWINDOW battery golden in test_tql_scripts)
+    assert [r.v for r in out] == [2.0, 8.0, 8.0, 8.0]
 
 
 def test_timewindow_drops_out_of_range(spark):

@@ -738,3 +738,94 @@ def test_markdown_template(spark):
     for frag in ["## demo", "NAME,VALUE", "wave.sin,0", "wave.cos,10",
                  "wave.sin,4.067", "wave.cos,9.135", "--------"]:
         assert frag in out, frag
+
+
+# ---------------------------------------------------------------------------
+# task_test.go TestTimeWindow: the full aggregate battery incl. interpolators,
+# scripts + expected CSV verbatim
+# ---------------------------------------------------------------------------
+
+TW_PAYLOAD = "\n".join([
+    "1700256261,1", "1700256262,2", "1700256263,3", "1700256264,4",
+    "1700256265,5", "1700256266,6", "1700256267,7", "1700256268,8",
+    "1700256269,9", "1700256276,10",
+])
+
+TW_EXPECT = {
+    "avg":    ["0.00", "0.00", "2.50", "7.00", "0.00", "10.00", "0.00"],
+    "mean":   ["0.00", "0.00", "2.50", "7.00", "0.00", "10.00", "0.00"],
+    "median": ["0.00", "0.00", "2.00", "7.00", "0.00", "10.00", "0.00"],
+    "median-interpolated":
+              ["0.00", "0.00", "2.00", "6.50", "0.00", "10.00", "0.00"],
+    "stddev": ["0.00", "0.00", "1.29", "1.58", "0.00", "0.00", "0.00"],
+    "stderr": ["0.00", "0.00", "0.65", "0.71", "0.00", "0.00", "0.00"],
+    "entropy": ["0.00", "0.00", "-10.23", "-68.83", "0.00", "-23.03", "0.00"],
+    "sum":    ["0.00", "0.00", "10.00", "35.00", "0.00", "10.00", "0.00"],
+    "first":  ["0.00", "0.00", "1.00", "5.00", "0.00", "10.00", "0.00"],
+    "min":    ["0.00", "0.00", "1.00", "5.00", "0.00", "10.00", "0.00"],
+    "last":   ["0.00", "0.00", "4.00", "9.00", "0.00", "10.00", "0.00"],
+    "max":    ["0.00", "0.00", "4.00", "9.00", "0.00", "10.00", "0.00"],
+    "rss":    ["0.00", "0.00", "5.48", "15.97", "0.00", "10.00", "0.00"],
+    "rms":    ["0.00", "0.00", "2.74", "7.14", "0.00", "10.00", "0.00"],
+    "rss:LinearRegression":
+              ["7.60", "8.46", "5.48", "15.97", "11.06", "10.00", "12.79"],
+    "rss:PiecewiseConstant":
+              ["5.48", "5.48", "5.48", "15.97", "10.00", "10.00", "10.00"],
+    "rss:PiecewiseLinear":
+              ["5.48", "5.48", "5.48", "15.97", "12.98", "10.00", "10.00"],
+}
+
+TW_TIMES = ["1700256250", "1700256255", "1700256260", "1700256265",
+            "1700256270", "1700256275", "1700256280"]
+
+
+@pytest.mark.parametrize("agg", sorted(TW_EXPECT), ids=sorted(TW_EXPECT))
+def test_timewindow_battery(spark, agg):
+    """task_test.go:2185-2415 TIMEWINDOW battery — 17 aggregate variants
+    incl. the three gap interpolators, expected CSV verbatim."""
+    script = f"""
+        CSV(payload(),
+            field(0, datetimeType("s"), "time"),
+            field(1, doubleType(), "value"))
+        TIMEWINDOW(
+            time(1700256250 * 1000000000),
+            time(1700256285 * 1000000000),
+            period('5s'),
+            nullValue(0),
+            'time', '{agg}')
+        CSV(timeformat("s"), heading(true), precision(2))
+    """
+    out = run_script(spark, script, payload=TW_PAYLOAD)
+    want = ["time,value"] + [f"{t},{v}" for t, v in zip(TW_TIMES, TW_EXPECT[agg])]
+    assert out.splitlines() == want
+
+
+def test_group_timewindow(spark):
+    """task_test.go:2162-2181 GROUP(by(t, timewindow(...)), avg, sum, last):
+    gap buckets NULL, records outside [from,until) dropped — verbatim."""
+    script = """
+        CSV(payload(), field(0, datetimeType("s"), "time"), field(1, doubleType(), "value"))
+        GROUP( by( value(0), timewindow(
+                     time(1700256262 * 1000000000),
+                     time(1700256276 * 1000000000),
+                     period("4s"))),
+              avg(value(1)),
+              sum(value(1)),
+              last(value(1))
+        )
+        CSV(timeformat("s"), heading(true), precision(2))
+    """
+    # TestGroupByTimeWindow's own payload (task_test.go:2087-2102 — note the
+    # gap at :65 and :70-75)
+    payload = "\n".join([
+        "1700256261,1", "1700256262,2", "1700256263,3", "1700256264,4",
+        "1700256266,5", "1700256267,6", "1700256268,7", "1700256269,8",
+        "1700256276,9",
+    ])
+    out = run_script(spark, script, payload=payload)
+    assert out.splitlines() == [
+        "GROUP,AVG,SUM,LAST",
+        "1700256264,5.00,15.00,6.00",
+        "1700256268,7.50,15.00,8.00",
+        "1700256272,NULL,NULL,NULL",
+    ]
