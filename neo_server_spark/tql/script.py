@@ -573,13 +573,10 @@ class TqlRunner:
         """Positional frame → display frame: canonical order, display names."""
         st = self.state
         df = st.df.orderBy("__seq") if "__seq" in st.df.columns else st.df
-        sel, used = [], set()
-        for i, nm in enumerate(st.names):
-            name = nm or f"column{i}"
-            while name in used:
-                name += "_"
-            used.add(name)
-            sel.append(F.col(f"c{i}").alias(name))
+        # duplicate display names are legal (the reference result header may
+        # repeat e.g. PREDICT twice; Spark allows duplicate column aliases)
+        sel = [F.col(f"c{i}").alias(nm or f"column{i}")
+               for i, nm in enumerate(st.names)]
         return df.select(*sel)
 
     # ---------------------------------------------------------------- run
@@ -1349,6 +1346,7 @@ class TqlRunner:
         out_names: list = []
         tmp_i = 0
         pre: list[Column] = []
+        agg_fills: list[tuple] = []  # per-agg (nullValue, predict) options
         timewin: tuple | None = None
 
         def mat(col: Column) -> str:
@@ -1382,7 +1380,18 @@ class TqlRunner:
             if fn not in self._AGG_FNS:
                 continue
             expr = _lift(self.ev(fargs[0]))
-            nm = self.ev(fargs[1]) if len(fargs) > 1 else fn.upper()
+            # per-aggregate options: name string, nullValue(v), predict(kind)
+            # (fm_monad.go fmAggregate option scan)
+            nm, nullv, predict = None, None, None
+            for extra in fargs[1:]:
+                if extra[0] == "str":
+                    nm = extra[1]
+                elif extra[0] == "call" and extra[1] == "nullValue":
+                    nullv = float(self.ev(extra[2][0]))
+                elif extra[0] == "call" and extra[1] == "predict":
+                    predict = str(self.ev(extra[2][0])).lower()
+            nm = nm if nm is not None else fn.upper()
+            agg_fills.append((nullv, predict))
             # count/first/last/mode/list operate on RAW record values (the
             # reference aggregates untyped values; count counts records) —
             # only the numeric aggregates coerce to double
@@ -1420,6 +1429,7 @@ class TqlRunner:
                            "moment": lambda: A.moment(src, int(p), alias)}[fn]()
                     aggs.append(col)
                     out_names.append(nm)
+                    agg_fills.append((None, None))
                     continue
                 raise NameError(f"unsupported GROUP aggregate {fn}()")
             aggs.append(builder())
@@ -1436,6 +1446,28 @@ class TqlRunner:
             f_ns, u_ns, p_ns = timewin
             twdf = TW(staged.withColumn("__twt", by_cols[0]),
                       "__twt", f_ns, u_ns, p_ns, aggs, bucket_name="__gb")
+            # per-aggregate gap fills (fm_monad.go GroupFiller): the filler
+            # Fit()s progressively as buckets STREAM, so a gap bucket sees
+            # only PRECEDING data — predict('linearregression') is an
+            # expanding-window regression (NULL until two fit points),
+            # every other predictor clamps to the last fitted value; an
+            # additional nullValue(v) is the terminal fallback.
+            wf = Window.orderBy("__gb")
+            prev_w = wf.rowsBetween(Window.unboundedPreceding, 0)
+            for j, (nullv, predict) in enumerate(agg_fills):
+                c = F.col(f"__o{j}")
+                filled = c
+                if predict == "linearregression":
+                    x = F.col("__gb").cast("double")
+                    slope = F.regr_slope(c, x).over(prev_w)
+                    icept = F.regr_intercept(c, x).over(prev_w)
+                    filled = F.coalesce(c, slope * x + icept)
+                elif predict is not None:
+                    filled = F.coalesce(c, F.last(c, ignorenulls=True).over(prev_w))
+                if nullv is not None:
+                    filled = F.coalesce(filled, F.lit(nullv))
+                if predict is not None or nullv is not None:
+                    twdf = twdf.withColumn(f"__o{j}", filled)
             w = Window.orderBy("__gb")
             out = twdf.select(
                 (F.row_number().over(w) - 1).alias("__seq"),

@@ -829,3 +829,44 @@ def test_group_timewindow(spark):
         "1700256268,7.50,15.00,8.00",
         "1700256272,NULL,NULL,NULL",
     ]
+
+
+def test_group_timewindow_per_agg_predict(spark):
+    """task_test.go:2104-2135: per-aggregate nullValue()/predict() fills —
+    the filler fits progressively, so gap predictions see only preceding
+    buckets (leading gaps NULL / nullValue; linearregression is an expanding
+    regression; akimaspline clamps to the last fitted value) — verbatim."""
+    payload = "\n".join([
+        "1700256261,1", "1700256262,2", "1700256263,3", "1700256264,4",
+        "1700256266,5", "1700256267,6", "1700256268,7", "1700256269,8",
+        "1700256276,9",
+    ])
+    out = run_script(spark, """
+        CSV(payload(), field(0, datetimeType("s"), "time"), field(1, doubleType(), "value"))
+        GROUP( by( value(0), timewindow(
+                   time(1700256255 * 1000000000),
+                   time(1700256282 * 1000000000),
+                   period("2s"))),
+              avg(value(1)),
+              last(value(1), nullValue(0)),
+              last(value(1), predict("linearregression"), "PREDICT"),
+              last(value(1), predict("akimaspline"), nullValue(100), "PREDICT")
+         )
+        CSV(timeformat("s"), heading(true), precision(2))
+    """, payload=payload)
+    assert out.splitlines() == [
+        "GROUP,AVG,LAST,PREDICT,PREDICT",
+        "1700256256,NULL,0.00,NULL,100.00",
+        "1700256258,NULL,0.00,NULL,100.00",
+        "1700256260,1.00,1.00,1.00,1.00",
+        "1700256262,2.50,3.00,3.00,3.00",
+        "1700256264,4.00,4.00,4.00,4.00",
+        "1700256266,5.50,6.00,6.00,6.00",
+        "1700256268,7.50,8.00,8.00,8.00",
+        "1700256270,NULL,0.00,9.50,8.00",
+        "1700256272,NULL,0.00,11.20,8.00",
+        "1700256274,NULL,0.00,12.90,8.00",
+        "1700256276,9.00,9.00,9.00,9.00",
+        "1700256278,NULL,0.00,11.17,9.00",
+        "1700256280,NULL,0.00,12.17,9.00",
+    ]
