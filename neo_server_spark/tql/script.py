@@ -450,13 +450,14 @@ class TqlRunner:
 
     def __init__(self, spark: SparkSession, payload: str | None = None,
                  fs_root: str | None = None, sf_dir: str | None = None,
-                 params: dict | None = None):
+                 params: dict | None = None, allow_shell: bool = False):
         import time as _time
         self.spark = spark
         self.payload = payload
         self.fs_root = fs_root
         self.sf_dir = sf_dir
         self.params = params or {}
+        self.allow_shell = allow_shell
         self.now_ns = int(_time.time() * 1e9)
         self.state = _State()
         self.output: object = None
@@ -1185,16 +1186,40 @@ class TqlRunner:
         self._set(res, ["hz", "ampl"])
         self.state.key_name = "time"  # group key was a time bucket
 
+    #: sub-commands the reference's shell runner refuses (fm_shell.go:94)
+    _SHELL_BLOCKLIST = frozenset(
+        {"exit", "quit", "set", "help", "clear", "shutdown"})
+
     def stmt_SHELL(self, args):
-        """SHELL(cmd) (fm_shell.go:49): run the command, its stdout lines
-        become the record stream (driver-side; the DSL's rdd.pipe is the
-        distributed per-partition form)."""
+        """SHELL(cmd) (fm_shell.go:49-137): split the command string into
+        ';'-terminated sub-commands, refuse blocklisted ones, and exec each
+        WITHOUT a system shell — the reference never invokes /bin/sh (it
+        routes sub-commands through its own fixed neo-shell binary with an
+        argv list); mirroring that, each sub-command is shlex-tokenized and
+        exec'd argv-style, so $(...), backticks, pipes and redirects are
+        inert text, never interpreted.  Additionally gated behind
+        TqlRunner(allow_shell=True): a .tql script is untrusted input and
+        must not be a host-exec primitive by default."""
+        import shlex
         import subprocess
-        cmd = self.ev(args[0])
-        res = subprocess.run(cmd, shell=True, capture_output=True, text=True)
-        lines = res.stdout.split("\n")
-        if lines and lines[-1] == "":
-            lines = lines[:-1]
+        if not self.allow_shell:
+            raise PermissionError(
+                "SHELL() is disabled: construct TqlRunner(allow_shell=True) "
+                "to permit scripts to execute host commands")
+        cmd = str(self.ev(args[0]))
+        lines: list[str] = []
+        for sub in cmd.split(";"):
+            toks = shlex.split(sub.strip())
+            if not toks:
+                continue
+            if toks[0].lower() in self._SHELL_BLOCKLIST:
+                raise ValueError(f"command {toks[0]!r} is not supported")
+            res = subprocess.run(toks, shell=False, capture_output=True,
+                                 text=True)
+            out = res.stdout.split("\n")
+            if out and out[-1] == "":
+                out = out[:-1]
+            lines.extend(out)
         self._set(self._from_rows([(ln,) for ln in lines], 1), [None])
 
     def stmt_HISTOGRAM(self, args):
@@ -1587,10 +1612,11 @@ class TqlRunner:
 
 
 def run_script(spark: SparkSession, src: str, payload: str | None = None,
-               fs_root: str | None = None, params: dict | None = None):
+               fs_root: str | None = None, params: dict | None = None,
+               allow_shell: bool = False):
     """Parse + execute TQL source text; returns sink output or DataFrame."""
     return TqlRunner(spark, payload=payload, fs_root=fs_root,
-                     params=params).run(src)
+                     params=params, allow_shell=allow_shell).run(src)
 
 
 def run_file(spark: SparkSession, path: str, payload: str | None = None,

@@ -138,13 +138,29 @@ def test_tpch_q21_self_joins_keep_equi_key(spark, sf_dir):
     assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
-def test_tpch_q2_min_probe_broadcasts(spark, sf_dir):
-    """The correlated-MIN probe and all dims must broadcast — the fact is
-    never shuffled on l_partkey."""
+def test_tpch_q2_q17_no_forced_fact_broadcast(spark, sf_dir):
+    """q2/q17's per-partkey aggregates scale with SF.  With the auto
+    broadcast threshold disabled (simulating the 100 TB regime where
+    nothing fact-derived fits the driver), the plans must contain NO
+    BroadcastExchange except q2's explicit 25-row nation hint — the
+    correlated MIN/AVG subqueries are single Window passes over one
+    l_partkey shuffle, not broadcast probes."""
     import __spark_entry__ as e
-    plan = plan_of(e.queries()["tpch_q2"](spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan2 = plan_of(e.queries()["tpch_q2"](spark, sf_dir))
+        plan17 = plan_of(e.queries()["tpch_q17"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    import re
+    def n_broadcasts(plan):
+        # formatted plans list each node twice (tree + detail) — count node ids
+        return len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+    assert "Window" in plan2                 # correlated MIN = window pass
+    assert n_broadcasts(plan2) == 1          # the nation hint, nothing else
+    assert "Window" in plan17
+    assert n_broadcasts(plan17) == 0
 
 
 def test_boilerplate_flag_table_broadcasts(spark, sf_dir):

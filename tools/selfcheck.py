@@ -17,11 +17,15 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def normalize(rows, columns):
-    """Sort columns by name, then rows, mirroring the driver's compare."""
+def normalize(rows, columns, sort_rows=False):
+    """Sort columns by name, mirroring the driver's compare.  The driver
+    hashes rows in EMISSION order, so the default keeps row order — passing
+    here means the driver's value-hash will match too."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = [tuple(r[i] for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), [columns[i] for i in order]
+    if sort_rows:
+        out = sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out, [columns[i] for i in order]
 
 
 def cells_equal(a, b):
@@ -79,36 +83,48 @@ def main():
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        s_norm, s_cn = normalize(s_rows, s_cols)
-        o_norm, o_cn = normalize(o_rows, o_cols)
         dt = time.time() - t0
-        if s_cn != o_cn:
-            print(f"FAIL  {name}: columns {s_cn} != {o_cn}")
-            n_fail += 1
-            continue
-        if len(s_norm) != len(o_norm):
-            print(f"FAIL  {name}: rowcount {len(s_norm)} != {len(o_norm)}")
-            n_fail += 1
-            continue
-        bad = None
-        max_diff = 0.0
-        n_bad = 0
-        for i, (sr, orow) in enumerate(zip(s_norm, o_norm)):
-            for j, (a, b) in enumerate(zip(sr, orow)):
-                if not cells_equal(a, b):
-                    n_bad += 1
-                    if bad is None:
-                        bad = (i, s_cn[j], a, b)
-                    try:
-                        max_diff = max(max_diff, abs(float(a) - float(b)))
-                    except (TypeError, ValueError):
-                        max_diff = float("inf")
-        if bad:
-            print(f"FAIL  {name}: {n_bad} cell mismatches, first row {bad[0]} col {bad[1]}: {bad[2]!r} != {bad[3]!r} (maxdiff={max_diff:.3g})")
-            n_fail += 1
-        else:
-            print(f"PASS  {name}: {len(s_norm)} rows  ({dt:.1f}s)")
+        s_cn = o_cn = None
+        verdict = None
+        for sort_rows in (False, True):
+            s_norm, s_cn = normalize(s_rows, s_cols, sort_rows)
+            o_norm, o_cn = normalize(o_rows, o_cols, sort_rows)
+            if s_cn != o_cn:
+                verdict = f"FAIL  {name}: columns {s_cn} != {o_cn}"
+                break
+            if len(s_norm) != len(o_norm):
+                verdict = f"FAIL  {name}: rowcount {len(s_norm)} != {len(o_norm)}"
+                break
+            bad = None
+            max_diff = 0.0
+            n_bad = 0
+            for i, (sr, orow) in enumerate(zip(s_norm, o_norm)):
+                for j, (a, b) in enumerate(zip(sr, orow)):
+                    if not cells_equal(a, b):
+                        n_bad += 1
+                        if bad is None:
+                            bad = (i, s_cn[j], a, b)
+                        try:
+                            max_diff = max(max_diff, abs(float(a) - float(b)))
+                        except (TypeError, ValueError):
+                            max_diff = float("inf")
+            if not bad:
+                verdict = f"PASS  {name}: {len(s_norm)} rows  ({dt:.1f}s)"
+                if sort_rows:
+                    # values agree but only after sorting — the driver's
+                    # emission-order hash would FAIL this entry
+                    verdict = (f"FAIL  {name}: ORDER-HAZARD — rows match only "
+                               f"after sorting; add orderBy + ORDER BY")
+                break
+            if sort_rows:
+                verdict = (f"FAIL  {name}: {n_bad} cell mismatches, first row "
+                           f"{bad[0]} col {bad[1]}: {bad[2]!r} != {bad[3]!r} "
+                           f"(maxdiff={max_diff:.3g})")
+        print(verdict)
+        if verdict.startswith("PASS"):
             n_pass += 1
+        else:
+            n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     spark.stop()
     return 1 if n_fail else 0
