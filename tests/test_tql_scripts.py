@@ -629,13 +629,38 @@ def test_group_count_over_strings(spark):
 
 def test_shell_statement(spark):
     """tql_test.go SHELL_shell-command: stdout lines become records; the
-    comma-bearing line gets CSV-quoted."""
-    out = run_script(spark, """
+    comma-bearing line gets CSV-quoted.  SHELL() is opt-in (allow_shell)
+    and never goes through a system shell."""
+    src = """
         FAKE( once(1) )
         SHELL("echo 'Hello, World!'; echo 123;")
         CSV()
-    """)
+    """
+    out = run_script(spark, src, allow_shell=True)
     assert out.splitlines()[:2] == ['"Hello, World!"', "123"]
+    # disabled by default: untrusted scripts must not exec host commands
+    import pytest as _pytest
+    with _pytest.raises(PermissionError):
+        run_script(spark, src)
+
+
+def test_shell_statement_no_shell_interpretation(spark):
+    """Metacharacters are inert text (argv exec, no /bin/sh): $(...) must
+    NOT be substituted, and blocklisted sub-commands are refused
+    (fm_shell.go:94)."""
+    out = run_script(spark, """
+        FAKE( once(1) )
+        SHELL("echo '$(id)'")
+        CSV()
+    """, allow_shell=True)
+    assert out.splitlines()[0] == "$(id)"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not supported"):
+        run_script(spark, """
+            FAKE( once(1) )
+            SHELL("shutdown now")
+            CSV()
+        """, allow_shell=True)
 
 
 def test_ndjson_timeformat_default(spark):
