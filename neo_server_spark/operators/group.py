@@ -443,7 +443,30 @@ def timewindow(
                     on=[*series, bucket_name], how="left")
 
     agg_cols = [c for c in out.columns if c not in (*series, bucket_name)]
-    targets = list(fill_cols) if fill_cols else agg_cols
+    if isinstance(fill, dict):
+        # per-column fill modes (TIMEWINDOW colspec ':Interpolator' applies
+        # per column; nullValue(v) covers the rest): group columns sharing a
+        # (mode, value) so each window/spline pass runs once per mode
+        by_mode: dict[tuple, list[str]] = {}
+        for c, (mode, val) in fill.items():
+            by_mode.setdefault((mode, val), []).append(c)
+        for (mode, val), cols in by_mode.items():
+            out = _apply_gap_fill(out, series, bucket_name, cols, mode, val)
+    else:
+        targets = list(fill_cols) if fill_cols else agg_cols
+        out = _apply_gap_fill(out, series, bucket_name, targets, fill, fill_value)
+    return out.orderBy(*series, bucket_name)
+
+
+def _apply_gap_fill(
+    out: DataFrame,
+    series: Sequence[str],
+    bucket_name: str,
+    targets: Sequence[str],
+    fill: str,
+    fill_value: float | None,
+) -> DataFrame:
+    """Apply one gap-fill mode to ``targets`` (see timewindow docstring)."""
     if fill == "value":
         for c in targets:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill_value)))
@@ -477,4 +500,4 @@ def timewindow(
                 icept = F.regr_intercept(v, x).over(full)
                 filled = F.coalesce(v, slope * x + icept)
             out = out.withColumn(c, filled)
-    return out.orderBy(*series, bucket_name)
+    return out

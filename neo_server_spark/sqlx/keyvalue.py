@@ -95,25 +95,52 @@ class KeyedTable:
     def exists(self) -> bool:
         return self._current_snap() is not None
 
+    def _write_lock(self):
+        """Advisory writer lock: the snapshot flip is a read-modify-write,
+        so concurrent writers would silently drop each other's updates
+        (last flip wins).  Readers never take the lock — pointer resolution
+        stays lock-free."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def held():
+            with open(os.path.join(self.path, ".write_lock"), "w") as f:
+                fcntl.flock(f, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+        return held()
+
     def upsert(self, rows: DataFrame | Iterable[dict]) -> None:
-        """INSERT ... ON DUPLICATE KEY UPDATE: new rows win on key collision;
-        unmatched existing rows survive."""
+        """INSERT ... ON DUPLICATE KEY UPDATE (the reference path updates
+        only the PROVIDED columns on a key match): for matched keys each
+        incoming value coalesces with the surviving row's value per column,
+        so a partial-column upsert never nulls attributes it didn't mention;
+        unmatched existing rows survive; new columns extend the table."""
         new = rows if isinstance(rows, DataFrame) else \
             self.spark.createDataFrame(list(rows))
-        if self.exists():
-            cur = self.df()
-            # align schemas: new columns may extend the table
-            for c in new.columns:
-                if c not in cur.columns:
-                    cur = cur.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
-            for c in cur.columns:
-                if c not in new.columns:
-                    new = new.withColumn(c, F.lit(None).cast(cur.schema[c].dataType))
-            survivors = cur.join(new.select(*self.keys), self.keys, "left_anti")
-            merged = survivors.unionByName(new.select(*cur.columns))
-        else:
-            merged = new
-        self._flip(merged)
+        with self._write_lock():
+            if self.exists():
+                cur = self.df()
+                joined = cur.alias("c").join(new.alias("n"), self.keys,
+                                             "full_outer")
+                cols = []
+                for c in dict.fromkeys([*cur.columns, *new.columns]):
+                    if c in self.keys:
+                        cols.append(F.col(c))
+                    elif c in cur.columns and c in new.columns:
+                        cols.append(F.coalesce(F.col(f"n.{c}"),
+                                               F.col(f"c.{c}")).alias(c))
+                    elif c in new.columns:
+                        cols.append(F.col(f"n.{c}").alias(c))
+                    else:
+                        cols.append(F.col(f"c.{c}").alias(c))
+                merged = joined.select(*cols)
+            else:
+                merged = new
+            self._flip(merged)
 
     def delete(self, keys: DataFrame | Iterable) -> None:
         """Delete by key (scalar iterable for a single-key table, dict
@@ -125,10 +152,12 @@ class KeyedTable:
             if vals and not isinstance(vals[0], dict):
                 vals = [{self.keys[0]: v} for v in vals]
             kdf = self.spark.createDataFrame(vals).select(*self.keys)
-        self._flip(self.df().join(kdf, self.keys, "left_anti"))
+        with self._write_lock():
+            self._flip(self.df().join(kdf, self.keys, "left_anti"))
 
     def truncate(self) -> None:
-        self._flip(self.df().limit(0))
+        with self._write_lock():
+            self._flip(self.df().limit(0))
 
     def register(self, view: str) -> None:
         self.df().createOrReplaceTempView(view)

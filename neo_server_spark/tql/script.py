@@ -329,13 +329,29 @@ def _dur_ns(d) -> int:
     return int(d)
 
 
+def _epoch_to_ns(c, mult: int):
+    """Numeric epoch in a unit -> epoch-ns long WITHOUT a double round-trip:
+    epoch-ns/us magnitudes exceed 2^53, so casting through double corrupts
+    them by up to ~256 ns.  Integer inputs cast straight to long; only
+    inputs that are actually fractional (sub-second 's'/'ms' values, where
+    the fraction carries information) take the double path."""
+    as_long = c.cast("string").try_cast("long")
+    return F.coalesce(
+        as_long * F.lit(mult),
+        (c.cast("double") * F.lit(mult)).cast("long"),
+    ).cast("long")
+
+
 def _parse_time(rt, v, fmt="ns", tz="UTC"):
     """parseTime(v, unit|layout, tz) → epoch-ns long (fx:parseTime)."""
     if fmt in _TIME_UNIT_NS:
         mult = _TIME_UNIT_NS[fmt]
         if _is_col(v):
-            return (v.cast("double").cast("long") * F.lit(mult)).cast("long")
-        return int(float(v)) * mult
+            return _epoch_to_ns(v, mult)
+        try:
+            return int(v) * mult
+        except (TypeError, ValueError):
+            return int(float(v) * mult)
     from neo_server_spark.functions.timefn import parse_time
     return parse_time(_lift(v), fmt)
 
@@ -887,8 +903,7 @@ class TqlRunner:
                 c = F.col(f"c{idx}")
                 if unit in _TIME_UNIT_NS:
                     df = df.withColumn(
-                        f"c{idx}",
-                        c.cast("double").cast("long") * F.lit(_TIME_UNIT_NS[unit]))
+                        f"c{idx}", _epoch_to_ns(c, _TIME_UNIT_NS[unit]))
                 else:  # Go layout (+ optional zone)
                     from neo_server_spark.functions.timefn import go_layout_to_java
                     pattern, _, _ = go_layout_to_java(unit)
@@ -1327,18 +1342,23 @@ class TqlRunner:
         period_ns = _dur_ns(opts["period"][0][0])
         specs = [str(self.ev(pnode)) for pnode in pos[2:]]
         t_idx = specs.index("time")
-        fill, fill_value = "null", None
+        default_fill = ("null", None)
         if "nullValue" in opts:
-            fill, fill_value = "value", float(opts["nullValue"][0][0])
+            default_fill = ("value", float(opts["nullValue"][0][0]))
         staged = self.state.df.withColumn(
             "__twt", F.col(f"c{t_idx}").cast("long"))
         aggs, out_slots = [], []
+        fills: dict[str, tuple] = {}  # per-OUTPUT-column fill mode
         for i, spec in enumerate(specs):
             if i == t_idx:
                 continue
             fn, _, interp = spec.partition(":")
-            if interp:  # interpolator overrides nullValue for this column
-                fill = self._INTERP_FILLS[interp.lower()]
+            # ':Interpolator' applies to THIS column only (the reference
+            # carries one filler per aggregate, fm_monad.go fmTimeWindow);
+            # columns without one fall back to the shared nullValue/null
+            fills[f"__to{i}"] = (
+                (self._INTERP_FILLS[interp.lower()], None) if interp
+                else default_fill)
             raw_ok = fn in ("count", "first", "last", "mode", "list")
             src_col = F.col(f"c{i}")
             staged = staged.withColumn(
@@ -1349,7 +1369,7 @@ class TqlRunner:
             aggs.append(col)
             out_slots.append(i)
         out = TW(staged, "__twt", from_ns, until_ns, period_ns, aggs,
-                 bucket_name="__twb", fill=fill, fill_value=fill_value)
+                 bucket_name="__twb", fill=fills)
         w = Window.orderBy("__twb")
         exprs = {t_idx: F.col("__twb")}
         for i in out_slots:
@@ -1416,7 +1436,6 @@ class TqlRunner:
                 elif extra[0] == "call" and extra[1] == "predict":
                     predict = str(self.ev(extra[2][0])).lower()
             nm = nm if nm is not None else fn.upper()
-            agg_fills.append((nullv, predict))
             # count/first/last/mode/list operate on RAW record values (the
             # reference aggregates untyped values; count counts records) —
             # only the numeric aggregates coerce to double
@@ -1454,11 +1473,14 @@ class TqlRunner:
                            "moment": lambda: A.moment(src, int(p), alias)}[fn]()
                     aggs.append(col)
                     out_names.append(nm)
-                    agg_fills.append((None, None))
+                    # exactly one fill slot per emitted aggregate — __o{j}
+                    # alignment breaks if this is appended anywhere else
+                    agg_fills.append((nullv, predict))
                     continue
                 raise NameError(f"unsupported GROUP aggregate {fn}()")
             aggs.append(builder())
             out_names.append(nm)
+            agg_fills.append((nullv, predict))
 
         # by-group string keys stay strings (not cast double): re-materialize
         # by columns without the double cast applied to agg inputs

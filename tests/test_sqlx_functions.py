@@ -366,6 +366,25 @@ def test_keyed_table_upsert_delete(spark, tmp_path):
         ["FA1_CNC", "FA4_MILL", "FA9_EDM"]
 
 
+def test_keyed_table_partial_upsert_keeps_columns(spark, tmp_path):
+    """Reference ON DUPLICATE KEY UPDATE updates only PROVIDED columns: a
+    partial-column upsert must not null surviving attributes, and a new
+    column must extend the table (NULL for untouched rows)."""
+    from neo_server_spark.sqlx.keyvalue import KeyedTable
+
+    t = KeyedTable(spark, str(tmp_path / "lut2"), key="name", kind="lookup")
+    t.upsert([{"name": "FA1", "factory": "F1", "equipment": "CNC"},
+              {"name": "FA2", "factory": "F2", "equipment": "LATHE"}])
+    # partial update: only 'factory' provided — 'equipment' must survive
+    t.upsert([{"name": "FA1", "factory": "F1-NEW"}])
+    got = {r.name: (r.factory, r.equipment) for r in t.df().collect()}
+    assert got == {"FA1": ("F1-NEW", "CNC"), "FA2": ("F2", "LATHE")}
+    # new column extends the schema; existing rows read NULL
+    t.upsert([{"name": "FA2", "tier": "gold"}])
+    got = {r.name: (r.equipment, r.tier) for r in t.df().collect()}
+    assert got == {"FA1": ("CNC", None), "FA2": ("LATHE", "gold")}
+
+
 def test_keyed_table_isolation_and_broadcast_join(spark, tmp_path):
     from neo_server_spark.sqlx.keyvalue import KeyedTable
 

@@ -825,6 +825,32 @@ def test_timewindow_battery(spark, agg):
     assert out.splitlines() == want
 
 
+def test_timewindow_mixed_interpolators(spark):
+    """Regression: two DIFFERENT ':Interpolator' colspecs in one
+    TIMEWINDOW must each apply to their own column (a shared fill-mode
+    variable used to let the last-seen interpolator win for every column).
+    Expected values are the single-column battery rows for each mode."""
+    payload = "\n".join(
+        ln + "," + ln.split(",")[1] for ln in TW_PAYLOAD.splitlines())
+    out = run_script(spark, """
+        CSV(payload(),
+            field(0, datetimeType("s"), "time"),
+            field(1, doubleType(), "pwc"),
+            field(2, doubleType(), "pwl"))
+        TIMEWINDOW(
+            time(1700256250 * 1000000000),
+            time(1700256285 * 1000000000),
+            period('5s'),
+            'time', 'rss:PiecewiseConstant', 'rss:PiecewiseLinear')
+        CSV(timeformat("s"), heading(true), precision(2))
+    """, payload=payload)
+    want = ["time,pwc,pwl"] + [
+        f"{t},{a},{b}" for t, a, b in zip(
+            TW_TIMES, TW_EXPECT["rss:PiecewiseConstant"],
+            TW_EXPECT["rss:PiecewiseLinear"])]
+    assert out.splitlines() == want
+
+
 def test_group_timewindow(spark):
     """task_test.go:2162-2181 GROUP(by(t, timewindow(...)), avg, sum, last):
     gap buckets NULL, records outside [from,until) dropped — verbatim."""
@@ -894,4 +920,49 @@ def test_group_timewindow_per_agg_predict(spark):
         "1700256276,9.00,9.00,9.00,9.00",
         "1700256278,NULL,0.00,11.17,9.00",
         "1700256280,NULL,0.00,12.17,9.00",
+    ]
+
+
+def test_datetime_type_ns_precision(spark):
+    """Regression: epoch-ns text must survive bit-exact through
+    datetimeType('ns') — the old double round-trip corrupted >2^53 epochs
+    by up to ~256 ns.  Fractional sub-second 's' inputs still take the
+    double path (the fraction carries information there)."""
+    out = run_script(spark, """
+        CSV(payload(), field(0, datetimeType("ns"), "time"), field(1, doubleType(), "value"))
+        CSV(timeformat("ns"))
+    """, payload="1692686707380411001,0.1\n1692686707380411002,0.2")
+    assert out.splitlines() == ["1692686707380411001,0.1",
+                                "1692686707380411002,0.2"]
+    out2 = run_script(spark, """
+        CSV(payload(), field(0, datetimeType("s"), "time"), field(1, doubleType(), "value"))
+        CSV(timeformat("ns"))
+    """, payload="1700256261.5,1")
+    assert out2.splitlines() == ["1700256261500000000,1"]
+
+
+def test_group_timewindow_fill_after_quantile(spark):
+    """Regression: a quantile-family aggregate BEFORE a filled aggregate
+    must not shift the fill onto the wrong __o column (agg_fills used to be
+    appended twice for quantile/cdf/moment, so the nullValue(0) below
+    targeted a nonexistent column and raised AnalysisException)."""
+    payload = "\n".join(["1700256261,1", "1700256263,3", "1700256269,9"])
+    out = run_script(spark, """
+        CSV(payload(), field(0, datetimeType("s"), "time"), field(1, doubleType(), "value"))
+        GROUP( by( value(0), timewindow(
+                   time(1700256260 * 1000000000),
+                   time(1700256270 * 1000000000),
+                   period("2s"))),
+              quantile(value(1), 0.5),
+              last(value(1), nullValue(0), "LAST")
+         )
+        CSV(timeformat("s"), heading(true), precision(2))
+    """, payload=payload)
+    assert out.splitlines() == [
+        "GROUP,QUANTILE,LAST",
+        "1700256260,1.00,1.00",
+        "1700256262,3.00,3.00",
+        "1700256264,NULL,0.00",
+        "1700256266,NULL,0.00",
+        "1700256268,9.00,9.00",
     ]
