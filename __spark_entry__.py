@@ -411,14 +411,16 @@ def _q_flatten_tokens(spark, sf_dir):
     docs = nio.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
-    ).withColumn("pos", F.col("pos") + 1)
+    ).withColumn("pos", (F.col("pos") + 1).cast("long"))
 
 
 def _q_lang_quality(spark, sf_dir):
     """Language-ID heuristic + quality score per document."""
     docs = nio.load_table(spark, sf_dir, "documents")
     out = text.lang_id(text.quality_score(docs))
-    return out.select("doc_id", "lang_pred", "lang_score", "quality")
+    return out.select("doc_id", "lang_pred",
+                      F.col("lang_score").cast("long").alias("lang_score"),
+                      "quality")
 
 
 def _q_ngram_pairs(spark, sf_dir):
@@ -895,7 +897,9 @@ def _q_lake_tochar(spark, sf_dir):
 
 def _q_text_stats(spark, sf_dir):
     docs = nio.load_table(spark, sf_dir, "documents")
-    return text.text_stats(docs)
+    out = text.text_stats(docs)
+    return out.withColumn("char_len", F.col("char_len").cast("long")) \
+              .withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 
 def _q_token_counts(spark, sf_dir):
@@ -1085,8 +1089,8 @@ def _q_tokens_bpe(spark, sf_dir):
                      F.substring("text", 1, 30), F.lit("\" (v1.2, ok!)"))
     return (
         docs.select("doc_id",
-                    F.size(text.tokens_re(punct)).alias("n_bpe_tokens"),
-                    F.size(text.tokens(F.substring("text", 1, 30))).alias("n_ws_tokens"))
+                    F.size(text.tokens_re(punct)).cast("long").alias("n_bpe_tokens"),
+                    F.size(text.tokens(F.substring("text", 1, 30))).cast("long").alias("n_ws_tokens"))
         .orderBy("doc_id")
     )
 
@@ -1102,7 +1106,10 @@ def _q_embedding_stats(spark, sf_dir):
     """Embedding-quality profile per label: dim drift, L2-norm spread,
     zero-vector count — one scan, JVM-side fold, one hash agg."""
     emb = nio.load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_stats(emb, by="label").orderBy("label")
+    out = similarity.embedding_stats(emb, by="label")
+    return out.withColumn("max_dim", F.col("max_dim").cast("long")) \
+              .withColumn("min_dim", F.col("min_dim").cast("long")) \
+              .orderBy("label")
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -1264,7 +1271,7 @@ def _q_tpch_q7(spark, sf_dir):
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
-        .withColumn("l_year", F.year("l_shipdate"))
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
              .alias("revenue"))
@@ -1297,7 +1304,7 @@ def _q_tpch_q8(spark, sf_dir):
         .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
-        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(F.round(
             F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
@@ -1581,7 +1588,7 @@ def _q_tpch_q9(spark, sf_dir):
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"),
-                 F.year("o_orderdate").alias("o_year"))
+                 F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
              .alias("profit"))
         .orderBy("nation", "o_year")
@@ -2378,7 +2385,7 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_ns(ts) // {6 * p}) * {6 * p} AS bucket,
                    arg_min(value, epoch_ns(ts)) AS first_value,
                    arg_max(value, epoch_ns(ts)) AS last_value,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error_rows,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error_rows,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2 ORDER BY name, bucket
         """,
@@ -2394,7 +2401,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": """
             SELECT lang,
                    count(*) AS n_docs,
-                   sum(len(string_split(text, ' '))) AS total_tokens,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                    round(avg(len(string_split(text, ' '))), 6) AS avg_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -2730,7 +2737,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(nrm), 6) AS avg_norm,
                    round(min(nrm), 6) AS min_norm,
                    round(max(nrm), 6) AS max_norm,
-                   sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS n_zero
+                   CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
             FROM n GROUP BY label ORDER BY label
         """,
         "tpch_q2": """
@@ -2803,7 +2810,7 @@ def oracle_sql() -> dict[str, str]:
               FROM paras GROUP BY 1
             )
             SELECT p.doc_id, count(*) AS n_paras,
-                   sum(CASE WHEN c.n_docs >= 390 THEN 1 ELSE 0 END) AS n_boiler
+                   CAST(sum(CASE WHEN c.n_docs >= 390 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
             FROM paras p JOIN counts c USING (para)
             GROUP BY 1 ORDER BY doc_id
         """,
@@ -2836,7 +2843,7 @@ def oracle_sql() -> dict[str, str]:
             ), pg AS (
               SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
             )
-            SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct,
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS n_distinct,
                    round(max(c) * 1.0 / sum(c), 6) AS top_gram_frac,
                    round(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) * 1.0
                          / sum(c), 6) AS dup_gram_frac
@@ -2853,10 +2860,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q12": """
             SELECT l_returnflag AS ship_group,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM orders, lineitem
             WHERE o_orderkey = l_orderkey
               AND l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'

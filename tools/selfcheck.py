@@ -84,6 +84,23 @@ def main():
             n_fail += 1
             continue
         dt = time.time() - t0
+        # dtype audit: the driver may hash pandas values, where int-vs-float
+        # or int32-vs-int64 representation differences flip the hash even
+        # when cell values compare equal (DuckDB widens integer sum() to
+        # HUGEINT -> pandas float64; Spark year() is int32 vs DuckDB int64)
+        try:
+            import pandas as _pd  # noqa: F401
+            spd = sdf.limit(500).toPandas()
+            opd = con.execute(sql).df().head(500)
+            dd = []
+            for c in sorted(set(spd.columns) & set(opd.columns)):
+                a, b = spd[c].dtype, opd[c].dtype
+                if str(a) != str(b):
+                    dd.append(f"{c}: spark={a} oracle={b}")
+            if dd:
+                print(f"DTYPE {name}: " + "; ".join(dd))
+        except Exception as ex:  # dtype audit is advisory
+            print(f"DTYPE {name}: audit error {ex}")
         s_cn = o_cn = None
         verdict = None
         for sort_rows in (False, True):
