@@ -694,6 +694,26 @@ def _q_tql_script(spark, sf_dir):
     return TqlRunner(spark, sf_dir=sf_dir).run(TQL_SCRIPT)
 
 
+def _q_tql_script_js(spark, sf_dir):
+    """SCRIPT("js", {...}) inside a TQL text script (fm_script.go:34-109):
+    the jslite interpreter filters and maps records in one persistent VM
+    ($.values access, arithmetic, modulo), then GROUP aggregates with
+    sorted emit.  Certifies the SCRIPT statement end-to-end against a pure
+    SQL oracle."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    return TqlRunner(spark, sf_dir=sf_dir).run("""
+        SQL('select event_type, value, user_id from events')
+        SCRIPT("js", {
+            if ($.values[1] > 100) {
+                $.yield($.values[0], $.values[1], $.values[2] % 7)
+            }
+        })
+        GROUP(by(value(0), "name"), count(value(1), "cnt"),
+              sum(value(2), "modsum"))
+    """)
+
+
 def _q_lookup_join(spark, sf_dir):
     """VOLATILE/LOOKUP keyed table (spi/do.go:197-207): upsert -> update ->
     delete, then enrich the event stream by joining the final state.  The
@@ -1718,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": _q_tpch_q2,
         "set_ops": _q_set_ops,
         "tql_script": _q_tql_script,
+        "tql_script_js": _q_tql_script_js,
         "lookup_join": _q_lookup_join,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
@@ -2271,6 +2292,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS name, round(sum(value), 6) AS sum_value,
                    round(avg(value), 6) AS avg_value, count(value) AS cnt
             FROM events GROUP BY 1 ORDER BY name
+        """,
+        "tql_script_js": """
+            SELECT event_type AS name, count(*) AS cnt,
+                   CAST(sum(user_id % 7) AS DOUBLE) AS modsum
+            FROM events WHERE value > 100
+            GROUP BY 1 ORDER BY name
         """,
         "tql_dsl": """
             SELECT event_type AS name, round(value * 1.1, 6) AS value,

@@ -609,7 +609,14 @@ class Interpreter:
     # ------------------------------------------------------------- driving
 
     def run(self, src: str, scope: Scope | None = None):
-        ast = Parser(tokenize(src)).program()
+        self.exec_ast(self.prepare(src), scope)
+
+    @staticmethod
+    def prepare(src: str):
+        """Parse once; the AST is reusable across per-record exec_ast calls."""
+        return Parser(tokenize(src)).program()
+
+    def exec_ast(self, ast, scope: Scope | None = None):
         self.exec_block(ast, scope or self.globals)
 
     def call_if_defined(self, name: str):

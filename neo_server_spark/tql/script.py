@@ -459,6 +459,82 @@ class _State:
     #   it as a value (fakes: MakeColumnRownum; SQL sources: first column)
 
 
+class _Dollar:
+    """The ``$`` context object SCRIPT blocks see (fm_script.go:180-260)."""
+
+    def __init__(self, runner: "TqlRunner"):
+        from neo_server_spark.tql import jslite
+
+        self.rows: list[tuple] = []     # (key, [values]) in yield order
+        self.key = None
+        self.values: list = []
+        self.params = dict(runner.params)
+        self.payload = runner.payload if runner.payload is not None \
+            else jslite.UNDEFINED
+        self.result = jslite.UNDEFINED
+        # 'yield' is a Python keyword — attach dynamically
+        setattr(self, "yield", self._yield)
+
+    def _yield(self, *vals):
+        # $.yield(...): key = inflight key (or yield ordinal as SRC)
+        key = self.key if self.key is not None else len(self.rows) + 1
+        self.rows.append((key, list(vals)))
+
+    def yieldKey(self, key, *vals):
+        self.rows.append((key, list(vals)))
+
+    def yieldArray(self, arr):
+        if not isinstance(arr, list):
+            raise TypeError("$.yieldArray expects an array")
+        key = self.key if self.key is not None else len(self.rows) + 1
+        self.rows.append((key, list(arr)))
+
+    def js_set(self, name, val):
+        setattr(self, name, val)
+
+
+def _normalize_script_columns(data: list[tuple], nvals: int):
+    """Dynamically-typed yields -> Spark-typable columns: per value column,
+    all-int stays long, numeric mixes widen to double, JSDate becomes
+    epoch-ns (marked as a time column), anything mixed renders as display
+    strings (the reference's records are untyped; CSV formats per value)."""
+    from neo_server_spark.tql.jslite import UNDEFINED, JSDate, to_display
+
+    date_cols: set[int] = set()
+    if not data:
+        return data, date_cols
+    for ci in range(nvals):
+        col = ci + 2  # after __seq, __key
+        vals = [r[col] for r in data]
+        kinds = set()
+        for v in vals:
+            if v is None or v is UNDEFINED:
+                continue
+            if isinstance(v, bool):
+                kinds.add("bool")
+            elif isinstance(v, int):
+                kinds.add("int")
+            elif isinstance(v, float):
+                kinds.add("float")
+            elif isinstance(v, JSDate):
+                kinds.add("date")
+            else:
+                kinds.add("str")
+        if kinds == {"date"}:
+            conv = lambda v: None if v is None or v is UNDEFINED else int(v.ms * 1e6)  # noqa: E731
+            date_cols.add(ci)
+        elif kinds <= {"int"}:
+            conv = lambda v: None if v is None or v is UNDEFINED else v  # noqa: E731
+        elif kinds <= {"int", "float"}:
+            conv = lambda v: None if v is None or v is UNDEFINED else float(v)  # noqa: E731
+        elif kinds == {"bool"}:
+            conv = lambda v: None if v is None or v is UNDEFINED else v  # noqa: E731
+        else:
+            conv = lambda v: None if v is None or v is UNDEFINED else to_display(v)  # noqa: E731
+        data = [r[:col] + (conv(r[col]),) + r[col + 1:] for r in data]
+    return data, date_cols
+
+
 class TqlRunner:
     """Execute a parsed TQL script.  ``run()`` returns the sink's rendered
     string (CSV()/JSON()/... sinks) or the display DataFrame if the script
@@ -1200,6 +1276,95 @@ class TqlRunner:
                 F.col("hz").alias("c0"), F.col("ampl").alias("c1"))
         self._set(res, ["hz", "ampl"])
         self.state.key_name = "time"  # group key was a time bucket
+
+    def stmt_SCRIPT(self, args):
+        """SCRIPT(["js",] [init,] main [, deinit]) (fm_script.go:34-109):
+        run a JS block once per inflight record (MAP position) or once with
+        no inflight (SRC position), in ONE persistent VM — ``$.key``,
+        ``$.values``, ``$.params``, ``$.payload``, ``$.result``,
+        ``$.yield()``, ``$.yieldKey()``, ``$.yieldArray()`` and an optional
+        ``finalize()`` hook mirror the reference's goja context
+        (tql_test.go TestScript goldens).
+
+        Execution is a restricted ECMAScript interpreter (tql/jslite.py) —
+        no system JS engine is required and no host escape surface exists.
+        The record loop streams through toLocalIterator (bounded driver
+        memory), matching the reference's own single-VM serial contract;
+        the distributed scale path for stateless per-record kernels is the
+        DSL's ``Pipeline.script`` (mapInPandas)."""
+        from neo_server_spark.tql import jslite
+
+        texts = []
+        for a in args:
+            if a[0] in ("brace", "str"):
+                texts.append(a[1])
+            else:
+                raise ValueError("SCRIPT arguments must be string or {...} blocks")
+        if texts and texts[0].strip().lower() == "js":
+            texts = texts[1:]
+        if not 1 <= len(texts) <= 3:
+            raise ValueError(
+                "SCRIPT( init_script, main_script, deinit_script )")
+        if len(texts) == 1:
+            init, main, deinit = "", texts[0], ""
+        elif len(texts) == 2:
+            init, main, deinit = texts[0], texts[1], ""
+        else:
+            init, main, deinit = texts
+
+        dollar = _Dollar(self)
+        self.script_logs: list[tuple[str, str]] = getattr(self, "script_logs", [])
+        interp = jslite.Interpreter(
+            dollar, log=lambda lvl, msg: self.script_logs.append((lvl, msg)))
+        main_ast = interp.prepare(main)
+        if init:
+            interp.run(init)
+        if self.state.df is None:
+            # SRC position: one synthetic inflight, $.payload available
+            dollar.key, dollar.values = None, []
+            interp.exec_ast(main_ast)
+        else:
+            dollar.payload = jslite.UNDEFINED  # payload is SRC-only (fm_script.go:186)
+            src_df = self.state.df.orderBy("__seq")
+            vcols = self._vcols()
+            for row in src_df.toLocalIterator():
+                dollar.key = row["__key"]
+                dollar.values = [row[c] for c in vcols]
+                interp.exec_ast(main_ast)
+        interp.call_if_defined("finalize")
+        if deinit:
+            interp.run(deinit)
+
+        rows = dollar.rows
+        nvals = max((len(v) for _, v in rows), default=0)
+        names: list = [None] * nvals
+        times: set[int] = set()
+        result = dollar.result
+        if isinstance(result, dict):
+            rcols = result.get("columns")
+            if isinstance(rcols, list):
+                names = [str(c) for c in rcols[:nvals]] + \
+                    [None] * max(0, nvals - len(rcols))
+            rtypes = result.get("types")
+            if isinstance(rtypes, list):
+                times = {i for i, t in enumerate(rtypes[:nvals])
+                         if str(t) == "datetime"}
+        data = []
+        for seq, (key, vals) in enumerate(rows):
+            vals = list(vals) + [None] * (nvals - len(vals))
+            data.append((seq, key if key is not None else seq + 1, *vals))
+        norm, date_cols = _normalize_script_columns(data, nvals)
+        times |= date_cols
+        cols = ["__seq", "__key"] + [f"c{i}" for i in range(nvals)]
+        if norm:
+            df = self.spark.createDataFrame(norm, cols)
+        else:
+            from pyspark.sql.types import (LongType, StringType, StructField,
+                                           StructType)
+            df = self.spark.createDataFrame([], StructType(
+                [StructField("__seq", LongType()), StructField("__key", StringType())]
+                + [StructField(f"c{i}", StringType()) for i in range(nvals)]))
+        self._set(df, names, times=times)
 
     #: sub-commands the reference's shell runner refuses (fm_shell.go:94)
     _SHELL_BLOCKLIST = frozenset(

@@ -627,6 +627,136 @@ def test_group_count_over_strings(spark):
     assert out.splitlines() == ["k,cnt,fst,lst", "a,2,x,y", "b,1,z,z"]
 
 
+# ---------------------------------------------------------------------------
+# tql_test.go TestScript — SCRIPT() statement goldens (fm_script.go), run on
+# the jslite interpreter
+# ---------------------------------------------------------------------------
+
+def test_script_src(spark):
+    """tql_test.go script_src: SRC-position SCRIPT, for loop + $.yieldKey."""
+    out = run_script(spark, """
+        SCRIPT({
+            for (i = 0; i < 10; i++) {
+                $.yieldKey("test", i, i*10)
+            }
+        })
+        CSV()
+    """)
+    assert out.splitlines() == [
+        "0,0", "1,10", "2,20", "3,30", "4,40",
+        "5,50", "6,60", "7,70", "8,80", "9,90"]
+
+
+def test_script_src_map(spark):
+    """tql_test.go script_src_map: SCRIPT chained into SCRIPT, comments,
+    $.values access, multi-value yield."""
+    out = run_script(spark, """
+        SCRIPT({
+            a = 10*2+1
+            // comment
+
+            $.yield(a)
+        })
+        SCRIPT({
+            a = $.values[0];
+            $.yield(a+1, 2, 3, 4)
+        })
+        CSV()
+    """)
+    assert out.splitlines() == ["22,2,3,4"]
+
+
+def test_script_map_params_key(spark):
+    """tql_test.go script_2: MAP-position SCRIPT sees $.key (MAPKEY) and
+    $.params; undefined params read as JS undefined."""
+    out = run_script(spark, """
+        FAKE( linspace(1,2,2))
+        MAPKEY("hello")
+        SCRIPT("js", {
+            c = 0;
+            if ($.params.temp !== undefined) {
+                c = $.params.temp;
+            }
+            $.yield($.key, $.values[0], c)
+        })
+        MAPVALUE(0, value(0), "key")
+        MAPVALUE(1, value(1), "value")
+        MAPVALUE(2, value(2), "parameter")
+        CSV(header(true))
+    """)
+    assert out.splitlines() == ["key,value,parameter", "hello,1,0", "hello,2,0"]
+
+
+def test_script_finalize(spark):
+    """tql_test.go js-finalize: function declarations persist across
+    records in one VM; finalize() fires after the last record."""
+    out = run_script(spark, """
+        FAKE( linspace(1,3,3))
+        SCRIPT("js", {
+            function finalize(){ $.yieldKey("last", 1.234); }
+            function square(x) { return x * x };
+            $.yield(square($.values[0]));
+        })
+        CSV(header(false))
+    """)
+    assert out.splitlines() == ["1", "4", "9", "1.234"]
+
+
+def test_script_console_log_discard(spark):
+    """tql_test.go js-console-log: log-only script, DISCARD emits nothing."""
+    out = run_script(spark, """
+        SCRIPT("js", "console.log('Hello, World!')")
+        DISCARD()
+    """)
+    assert out == ""
+
+
+def test_script_date_timeformat(spark):
+    """tql_test.go js-timeformat / js-timeformat-parse: parseInt, new Date,
+    toISOString, Date.parse — epoch arithmetic matches goja."""
+    out = run_script(spark, """
+        STRING(param("format_time") ?? "808210800", separator('\\n'))
+        SCRIPT("js", {
+            epoch = parseInt($.values[0])
+            time = new Date(epoch * 1000)
+            $.yield(epoch, time.toISOString())
+        })
+        CSV()
+    """)
+    assert out.splitlines() == ["808210800,1995-08-12T07:00:00.000Z"]
+    out = run_script(spark, """
+        STRING(param("timestamp") ?? "1995-08-12T00:00:00.000Z", separator('\\n'))
+        SCRIPT("js", {
+            ts = new Date( Date.parse($.values[0]) );
+            epoch = ts / 1000;
+            $.yield(epoch, ts.toISOString());
+        })
+        CSV()
+    """)
+    assert out.splitlines() == ["808185600,1995-08-12T00:00:00.000Z"]
+
+
+def test_script_yield_array(spark):
+    """tql_test.go js-yieldArray-string/-number: $.yieldArray with String
+    split and Array.map(parseFloat)."""
+    out = run_script(spark, """
+        STRING('1,2,3,4,5', separator('\\n'))
+        SCRIPT("js", {
+            $.yieldArray($.values[0].split(','))
+        })
+        CSV()
+    """)
+    assert out.splitlines() == ["1,2,3,4,5"]
+    out = run_script(spark, """
+        STRING('1.2,2.3,3.4,5.6', separator('\\n'))
+        SCRIPT("js", {
+            $.yieldArray($.values[0].split(',').map(function(v){ return parseFloat(v) }))
+        })
+        CSV()
+    """)
+    assert out.splitlines() == ["1.2,2.3,3.4,5.6"]
+
+
 def test_shell_statement(spark):
     """tql_test.go SHELL_shell-command: stdout lines become records; the
     comma-bearing line gets CSV-quoted.  SHELL() is opt-in (allow_shell)
