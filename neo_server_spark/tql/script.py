@@ -1797,6 +1797,242 @@ class TqlRunner:
         self.state.df.count()  # execute, emit nothing (fm_encoder DISCARD)
         self.output = ""
 
+    # ------------------------------------------------------ presentation sinks
+
+    def stmt_HTML(self, args):
+        """HTML() sink (mods/codec/internal/html) — table fragment."""
+        from neo_server_spark.codecs import encoders
+        self.output = encoders.to_html(self._display())
+
+    def stmt_TEXT(self, args):
+        """TEXT() sink (mods/codec Format TEXT) — TSV by default."""
+        from neo_server_spark.codecs import encoders
+        self.output = encoders.to_text(self._display())
+
+    def stmt_BOX(self, args):
+        """BOX([precision(n)][, timeformat(f)][, heading(b)][, rownum(b)])
+        (mods/codec/internal/box/box_encode.go)."""
+        from neo_server_spark.codecs import encoders
+        opts, _ = self._opt_calls(args)
+        kw: dict = {}
+        if "precision" in opts:
+            kw["precision"] = int(opts["precision"][0][0])
+        if "timeformat" in opts:
+            kw["timeformat"] = str(opts["timeformat"][0][0])
+        if "tz" in opts:
+            tz = str(opts["tz"][0][0])
+            kw["tz"] = _TZ_ALIASES.get(tz, tz)
+        if "heading" in opts:
+            kw["heading"] = bool(opts["heading"][0][0])
+        if "rownum" in opts:
+            kw["rownum"] = bool(opts["rownum"][0][0])
+        disp = self._display()
+        kw["time_cols"] = tuple(disp.columns[i] for i in sorted(self.state.times)
+                                if i < len(disp.columns))
+        self.output = encoders.to_box(disp, **kw)
+
+    #: echarts themes shipped by the reference (chart.go themeNames)
+    _CHART_THEMES = frozenset({
+        "white", "dark", "essos", "chalk", "purple-passion", "romantic",
+        "walden", "westeros", "wonderland", "vintage", "macarons",
+        "infographic", "shine", "roma"})
+    _CHART_PLUGINS = {
+        "liquidfill": "/web/echarts/echarts-liquidfill.min.js",
+        "wordcloud": "/web/echarts/echarts-wordcloud.min.js",
+        "gl": "/web/echarts/echarts-gl.min.js",
+    }
+
+    def _chart_columns_js(self) -> list[str]:
+        """Record columns -> JS const arrays (chart.go Close, column(idx)
+        substitution): time columns render as epoch-ms floats, integral
+        floats without a fraction (Go json.Marshal float64 parity)."""
+        import json as _json
+
+        df = self.state.df.orderBy("__seq")
+        rows = df.collect()
+        nv = len(self._vcols())
+
+        def jsval(v, is_time):
+            if v is None:
+                return None
+            if is_time:
+                ms = int(v) / 1e6
+                return int(ms) if ms == int(ms) else ms
+            if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+                return int(v)
+            return v
+        out = []
+        for ci in range(nv):
+            is_time = ci in self.state.times
+            data = [jsval(r[f"c{ci}"], is_time) for r in rows]
+            out.append(_json.dumps(data, separators=(",", ":")))
+        return out
+
+    def stmt_CHART(self, args):
+        """CHART(chartOption({...}) [, chartID(s)] [, theme(s)]
+        [, size(w, h)] [, chartJSON(b)] [, plugins(s...)])
+        (fm_encoder.go:105, chart.go:249-330): emits the reference's JSON
+        envelope {chartID, jsAssets, jsCodeAssets, style, theme} and stores
+        the column-data JS asset on ``self.chart_js`` (the reference writes
+        it through a VolatileFileWriter; chart_test.go TestLine pins both).
+        chartID defaults to a content hash — the reference's snowflake ID
+        is random, which a deterministic engine must not be."""
+        import hashlib
+        import json as _json
+
+        opts, _ = self._opt_calls(args)
+        option = ""
+        if "chartOption" in opts:
+            # the tokenizer strips a brace blob's outer {} — restore them so
+            # the option text reaches the JS asset verbatim (chart.go keeps
+            # the script-supplied string untouched)
+            raw = str(opts["chartOption"][0][0]).strip()
+            option = raw if raw.startswith("{") else "{\n" + raw + "\n}"
+        theme = str(opts["theme"][0][0]) if "theme" in opts else "white"
+        width, height = "600px", "600px"
+        if "size" in opts:
+            width, height = str(opts["size"][0][0]), str(opts["size"][0][1])
+        cols_js = self._chart_columns_js()
+        chart_id = str(opts["chartID"][0][0]) if "chartID" in opts else \
+            "C" + hashlib.sha1((option + "|".join(cols_js)).encode()).hexdigest()[:12]
+
+        js_assets = ["/web/echarts/echarts.min.js"]
+        if theme in self._CHART_THEMES:
+            if theme != "white":
+                js_assets.append(f"/web/echarts/themes/{theme}.js")
+        elif theme.startswith(("http://", "https://")):
+            js_assets.append(theme)
+        for row in opts.get("plugins", []):
+            for p in row:
+                js_assets.append(self._CHART_PLUGINS.get(str(p), str(p)))
+
+        lines = ['(()=>{', '    "use strict";']
+        names = []
+        for i, colv in enumerate(cols_js):
+            names.append(f"_column_{i}")
+            lines.append(f"    const _column_{i}={colv};")
+        lines.append(f"    const _columns=[{','.join(names)}];")
+        lines.append("    function column(idx) { return _columns[idx]; }")
+        lines.append(f"    let _chartID = '{chart_id}';")
+        lines.append(f'    let _chart = echarts.init(document.getElementById(_chartID), "{theme}");')
+        if option:
+            lines.append(f"    let _chartOption = {option};")
+            lines.append("    _chart.setOption(_chartOption);")
+            lines.append('    _chart.dispatchAction({"areas": {}, "type": ""});')
+        lines.append("})();")
+        self.chart_js = "\n".join(lines)
+
+        envelope = {
+            "chartID": chart_id,
+            "jsAssets": js_assets,
+            "jsCodeAssets": [f"/web/api/tql-assets/{chart_id}.js"],
+            "style": {"width": width, "height": height},
+            "theme": theme,
+        }
+        self.output = _json.dumps(envelope, separators=(",", ":"))
+
+    def _chart_compat(self, kind: str, args):
+        """CHART_LINE/BAR/SCATTER (chartcompat.go): series auto-built from
+        the record columns — column 0 is the x axis."""
+        from neo_server_spark.codecs import encoders
+        disp = self._display()
+        self.output = encoders.to_chart_spec(disp, x=disp.columns[0], kind=kind)
+
+    def stmt_CHART_LINE(self, args):
+        self._chart_compat("line", args)
+
+    def stmt_CHART_BAR(self, args):
+        self._chart_compat("bar", args)
+
+    def stmt_CHART_SCATTER(self, args):
+        self._chart_compat("scatter", args)
+
+    def stmt_GEOMAP(self, args):
+        """GEOMAP() (mods/codec/internal/geomap) — records are (lat, lon
+        [, popup]); emits the marker layer spec JSON."""
+        from neo_server_spark.codecs import encoders
+        disp = self._display()
+        cols = disp.columns
+        self.output = encoders.to_geomap_spec(
+            disp, lat=cols[0], lon=cols[1],
+            popup=cols[2] if len(cols) > 2 else None)
+
+    # -------------------------------------------------------------- db sinks
+
+    def stmt_INSERT(self, args):
+        """INSERT(col..., table('name')) (fm_dbsink.go:38-165): positional
+        record values land in the named columns of the target tag table
+        (parquet dir under fs_root); emits 'N rows inserted.' exactly like
+        the reference's insert.Close()."""
+        from neo_server_spark import io as nio
+        opts, pos = self._opt_calls(args)
+        if "table" not in opts:
+            raise ValueError("INSERT requires table('name')")
+        table = str(opts["table"][0][0])
+        cols = [str(self.ev(p)) for p in pos]
+        df = self.state.df.orderBy("__seq")
+        vcols = self._vcols()[: len(cols)]
+        out = df.select(*[F.col(vc).alias(cols[i]) for i, vc in enumerate(vcols)])
+        path = self._resolve("/" + table)
+        if {"name", "time", "value"} <= set(cols):
+            nio.write_tag_table(out, path, mode="append")
+        else:
+            out.write.mode("append").parquet(path)
+        n = out.count()
+        self.output = f"{n} row{'s' if n != 1 else ''} inserted."
+
+    def stmt_APPEND(self, args):
+        """APPEND(table('name')) (fm_dbsink.go:167-252): bulk append of the
+        record stream as-is; emits the reference's appender.Close()
+        message."""
+        from neo_server_spark import io as nio
+        opts, _ = self._opt_calls(args)
+        if "table" not in opts:
+            raise ValueError("APPEND requires table('name')")
+        table = str(opts["table"][0][0])
+        disp = self._display()
+        cols = list(disp.columns)
+        path = self._resolve("/" + table)
+        if {"name", "time", "value"} <= set(cols):
+            nio.write_tag_table(disp, path, mode="append")
+        else:
+            disp.write.mode("append").parquet(path)
+        n = disp.count()
+        unit = "rows" if n != 1 else "row"
+        self.output = f"append {n} {unit} (success {n}, fail 0)"
+
+    # ------------------------------------------------------------------ WHEN
+
+    def stmt_WHEN(self, args):
+        """WHEN(cond, doLog(...)|doHttp(...)) (fm_monad.go:2395-2413): the
+        doer fires per matching record as a side effect; errors are logged
+        and swallowed; the record stream continues unchanged.  Matching
+        records stream through the driver (the reference runs doers on its
+        single task goroutine; the DSL's Pipeline.when/foreach is the
+        executor-parallel form for stateless doers)."""
+        from neo_server_spark.tql import doers as D
+        cond = _lift(self.ev(args[0]))
+        act = args[1]
+        if act[0] != "call" or act[1] not in ("doLog", "doHttp", "do"):
+            raise ValueError("WHEN 2nd arg must be doLog(...), doHttp(...) or do(...)")
+        if act[1] == "do":
+            raise NotImplementedError(
+                "WHEN(do(...)) sub-pipelines: use the DSL Pipeline.when")
+        argvals = [self.ev(a) for a in act[2]]
+        matches = self.state.df.filter(cond).orderBy("__seq")
+        proj = [(_lift(v) if _is_col(v) else F.lit(v)).alias(f"__w{i}")
+                for i, v in enumerate(argvals)]
+        if act[1] == "doLog":
+            for row in matches.select(*proj).toLocalIterator():
+                D.LOG.info(" ".join(D._fmt_value(v) for v in row))
+        else:  # doHttp(method, url [, headers...])
+            lits = [v for v in argvals if not _is_col(v)]
+            method, url, *headers = [str(v) for v in lits]
+            doer = D.do_http(method, url, *headers)
+            for row in matches.toLocalIterator():
+                doer(row)
+        # stream passes through unchanged (fmWhen returns the inflight)
+
 
 def run_script(spark: SparkSession, src: str, payload: str | None = None,
                fs_root: str | None = None, params: dict | None = None,

@@ -628,6 +628,154 @@ def test_group_count_over_strings(spark):
 
 
 # ---------------------------------------------------------------------------
+# presentation sinks in the text front-end (CHART/BOX/TEXT/HTML/GEOMAP) and
+# db sinks (INSERT/APPEND) + WHEN — chart_test.go / fm_dbsink.go parity
+# ---------------------------------------------------------------------------
+
+REF_CHART_DIR = "/root/reference/mods/codec/internal/chart/test"
+
+
+def test_chart_statement_testline_golden(spark):
+    """chart_test.go TestLine: CHART(chartOption({...})) must emit the
+    reference's envelope JSON and column-data JS asset (whitespace-trimmed
+    line compare, exactly like the reference's StringsEq)."""
+    import json as _json
+    import os
+
+    from neo_server_spark.tql.script import TqlRunner
+
+    if not os.path.isdir(REF_CHART_DIR):
+        pytest.skip("reference chart goldens not available")
+    runner = TqlRunner(spark)
+    out = runner.run("""
+        FAKE(json({
+            [1692670838086467000, 0.0],
+            [1692670839086467000, 1.0],
+            [1692670840086467000, 2.0]
+        }))
+        MAPVALUE(0, time(value(0)))
+        CHART(
+            chartID('WejMYXCGcYNL'),
+            theme('white'),
+            chartJSON(true),
+            chartOption({
+                "xAxis": { "type": "time", "data": column(0 ) },
+                "yAxis": { "type": "value"},
+                "series": [
+                    { "type": "line", "data": column( 1) }
+                ]
+            })
+        )
+    """)
+    with open(os.path.join(REF_CHART_DIR, "test_line.json")) as f:
+        assert _json.loads(out) == _json.load(f)
+    with open(os.path.join(REF_CHART_DIR, "test_line.js")) as f:
+        want = [ln.strip() for ln in f.read().strip().splitlines()]
+    got = [ln.strip() for ln in runner.chart_js.strip().splitlines()]
+    assert got == want
+
+
+def test_chart_statement_scatter_golden(spark):
+    """chart_test.go TestScatter — same pipeline, scatter series type."""
+    import json as _json
+    import os
+
+    from neo_server_spark.tql.script import TqlRunner
+
+    if not os.path.isdir(REF_CHART_DIR):
+        pytest.skip("reference chart goldens not available")
+    runner = TqlRunner(spark)
+    out = runner.run("""
+        FAKE(json({
+            [1692670838086467000, 0.0],
+            [1692670839086467000, 1.0],
+            [1692670840086467000, 2.0]
+        }))
+        MAPVALUE(0, time(value(0)))
+        CHART(
+            chartID('WejMYXCGcYNL'),
+            theme('white'),
+            chartJSON(true),
+            chartOption({
+                "xAxis": { "type": "time", "data": column(0) },
+                "yAxis": { "type": "value"},
+                "series": [
+                    { "type": "scatter", "data": column(1) }
+                ]
+            })
+        )
+    """)
+    with open(os.path.join(REF_CHART_DIR, "test_scatter.json")) as f:
+        assert _json.loads(out) == _json.load(f)
+
+
+def test_box_text_html_sinks(spark):
+    out = run_script(spark, """
+        FAKE(json({ ["temp", 12.3], ["hum", 55.5] }))
+        BOX()
+    """)
+    assert "COLUMN0" in out.upper() and "temp" in out and "│" in out
+    out = run_script(spark, """
+        FAKE(json({ ["temp", 12.3] }))
+        TEXT()
+    """)
+    assert out.splitlines()[0] == "temp\t12.3"
+    out = run_script(spark, """
+        FAKE(json({ ["temp", 12.3] }))
+        HTML()
+    """)
+    assert "<table" in out and "temp" in out
+
+
+def test_insert_append_roundtrip(spark, tmp_path):
+    """fm_dbsink.go: INSERT names columns, APPEND bulk-appends; both land
+    in the tag-table layout and read back through the ranged scan."""
+    from neo_server_spark import io as nio
+    from neo_server_spark.tql.script import TqlRunner
+
+    out = TqlRunner(spark, fs_root=str(tmp_path)).run("""
+        FAKE(json({
+            ["pump-a", 1692670838000000000, 1.5],
+            ["pump-b", 1692670839000000000, 2.5]
+        }))
+        INSERT("name", "time", "value", table('example'))
+    """)
+    assert out == "2 rows inserted."
+    back = nio.read_tag_table(spark, str(tmp_path / "example"))
+    got = {(r["name"], r["time"], r["value"]) for r in back.collect()}
+    assert got == {("pump-a", 1692670838000000000, 1.5),
+                   ("pump-b", 1692670839000000000, 2.5)}
+
+    out = TqlRunner(spark, fs_root=str(tmp_path)).run("""
+        FAKE(json({
+            ["pump-c", 1692670840000000000, 3.5]
+        }))
+        MAPVALUE(0, value(0), "name")
+        MAPVALUE(1, value(1), "time")
+        MAPVALUE(2, value(2), "value")
+        APPEND(table('example'))
+    """)
+    assert out == "append 1 row (success 1, fail 0)"
+    assert nio.read_tag_table(spark, str(tmp_path / "example")).count() == 3
+
+
+def test_when_dolog_statement(spark, caplog):
+    """fm_monad.go fmWhen + LogDoer: doer fires per matching record, the
+    stream passes through unchanged."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="neo_server_spark.tql.when"):
+        out = run_script(spark, """
+            FAKE( linspace(1, 4, 4) )
+            WHEN( value(0) > 2.5, doLog("high:", value(0)) )
+            CSV()
+        """)
+    assert out.splitlines() == ["1", "2", "3", "4"]
+    msgs = [r.message for r in caplog.records]
+    assert msgs == ["high: 3", "high: 4"]
+
+
+# ---------------------------------------------------------------------------
 # tql_test.go TestScript — SCRIPT() statement goldens (fm_script.go), run on
 # the jslite interpreter
 # ---------------------------------------------------------------------------
