@@ -464,10 +464,13 @@ def _q_histogram_streaming(spark, sf_dir):
 
 
 def _q_embedding_dupes(spark, sf_dir):
-    """Embedding-cosine near-dup pairs with hyperplane LSH blocking
-    (rows-only: verified pairs exceed the exact threshold by construction)."""
+    """Embedding-cosine near-dup pairs with MULTI-BAND hyperplane LSH
+    (rows-only: verified pairs exceed the exact threshold by construction;
+    bits/bands auto-derive from the threshold for >=0.95 recall at the
+    threshold cosine — tests/test_datapipe.py asserts the recall against
+    the exact all-pairs baseline)."""
     emb = nio.load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_dupes(emb, threshold=0.35, block_bits=4)
+    return dedup.embedding_dupes(emb, threshold=0.35).orderBy("id_a", "id_b")
 
 
 def _q_embedding_dupes_exact(spark, sf_dir):

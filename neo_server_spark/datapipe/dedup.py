@@ -176,43 +176,95 @@ def simhash_dupes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 # ---------------------------------------------------------------- embedding near-dup
 
+def lsh_params(threshold: float, target_recall: float = 0.95,
+               max_bands: int = 16, max_bits: int = 16) -> tuple[int, int]:
+    """Derive (block_bits, bands) for multi-band hyperplane LSH.
+
+    A random hyperplane agrees in sign for a pair at angle θ with
+    probability p = 1 - θ/π; one band of ``bits`` planes collides with
+    p**bits, and B independent bands recall 1 - (1 - p**bits)**B.  At the
+    THRESHOLD cosine (the worst pair we must still find) we pick the
+    LARGEST bits whose required band count stays within ``max_bands`` —
+    candidate mass per band shrinks ~2**-bits, so more bits always wins
+    while the recall target is reachable (Indyk-Motwani banding analysis,
+    as used for minhash in ``minhash_lsh_pairs``)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    if p <= 0.0:
+        return 1, max_bands
+    for bits in range(max_bits, 0, -1):
+        p_band = p ** bits
+        if p_band >= 1.0:
+            return bits, 1
+        bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+        if bands <= max_bands:
+            return bits, max(1, bands)
+    return 1, max_bands
+
+
 def embedding_dupes(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
-                    threshold: float = 0.95, block_bits: int = 8) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs with random-hyperplane blocking.
+                    threshold: float = 0.95, block_bits: int | None = None,
+                    bands: int | None = None,
+                    target_recall: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via MULTI-BAND random-hyperplane
+    LSH: ``bands`` independent bucketings of ``block_bits`` sign bits each;
+    a pair is a candidate if it collides in ANY band; candidates are
+    verified exactly (cos >= threshold).  Defaults auto-derive (bits, bands)
+    from the threshold for >= ``target_recall`` at the threshold cosine —
+    recall only improves above it (see ``lsh_params``).
 
-    Docs are bucketed by the sign pattern of ``block_bits`` pseudo-random
-    hyperplanes (derived from deterministic per-dimension hashes); only
-    same-bucket pairs are compared — the LSH property makes high-cosine pairs
-    collide with high probability.  cos >= threshold is verified exactly.
+    100 TB shape: the signature pass is one scan (bands*bits JVM-side dot
+    products per vector, no Python); candidate extraction self-joins the
+    (id, band, bucket) SKETCH frame only — vectors never shuffle with the
+    bucketing and rejoin solely for the verified candidate pairs.  In-bucket
+    pair mass is ~bands * n^2 / 2**bits per skew-free bucketing; single-band
+    low-bit recall cliffs are gone because recall comes from band COUNT, not
+    from widening buckets.
     """
-    from neo_server_spark.datapipe.similarity import cosine_expr, norm_expr
+    from neo_server_spark.datapipe.similarity import cosine_expr
 
-    sketch_bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(F.col(vec_col),
-                           _hyperplane(F.size(F.col(vec_col)), b),
-                           lambda x, h: x * h),
-                F.lit(0.0), lambda a, x: a + x,
-            ) > 0, F.lit(1 << b)).otherwise(0)
-        for b in range(block_bits)
-    ]
-    bucket = sketch_bits[0]
-    for sb in sketch_bits[1:]:
-        bucket = bucket + sb
-    with_b = emb.select(id_col, vec_col).withColumn("__bucket", bucket)
-    a, b_ = with_b.alias("a"), with_b.alias("b")
-    pairs = a.join(
-        b_,
-        (F.col("a.__bucket") == F.col("b.__bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+    if block_bits is None or bands is None:
+        auto_bits, auto_bands = lsh_params(threshold, target_recall)
+        block_bits = block_bits if block_bits is not None else auto_bits
+        bands = bands if bands is not None else auto_bands
+
+    base = emb.select(id_col, vec_col)
+
+    def band_bucket(band: int) -> Column:
+        expr = None
+        for b in range(block_bits):
+            bit = F.when(
+                F.aggregate(
+                    F.zip_with(F.col(vec_col),
+                               _hyperplane(F.size(F.col(vec_col)),
+                                           band * block_bits + b),
+                               lambda x, h: x * h),
+                    F.lit(0.0), lambda a, x: a + x,
+                ) > 0, F.lit(1 << b)).otherwise(0)
+            expr = bit if expr is None else expr + bit
+        return expr
+
+    sig = base.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[band_bucket(i) for i in range(bands)]))
+        .alias("__band", "__bucket"))
+    a, b_ = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.__band") == F.col("b.__band"))
+               & (F.col("a.__bucket") == F.col("b.__bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()  # a pair may collide in several bands — verify once
     )
-    return pairs.filter(F.col("cosine") >= threshold).select(
-        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", cosine_expr(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
 
 

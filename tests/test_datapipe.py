@@ -142,6 +142,60 @@ def test_frame_sample_plan(spark):
 
 
 # ---------------------------------------------------------------------------
+# embedding near-dup: multi-band hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def test_lsh_params_monotone():
+    """Higher thresholds afford more bits (smaller buckets); every derived
+    config is within the band/bit caps."""
+    from neo_server_spark.datapipe.dedup import lsh_params
+    last_bits = 0
+    for t in (0.35, 0.5, 0.8, 0.9, 0.95):
+        bits, bands = lsh_params(t)
+        assert 1 <= bits <= 16 and 1 <= bands <= 16
+        assert bits >= last_bits
+        last_bits = bits
+
+
+def test_embedding_dupes_recall_vs_exact(spark):
+    """Multi-band LSH recall >= 0.95 against the exact all-pairs baseline
+    on TESTDATA embeddings (threshold 0.35 — the worst regime for
+    hyperplane LSH; the auto-derived band count carries the recall)."""
+    from neo_server_spark import io as nio
+    from neo_server_spark.datapipe.similarity import cosine_expr
+
+    emb = nio.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("c"))
+        .filter(F.col("c") >= 0.35).collect()
+    }
+    assert exact, "fixture should contain near pairs"
+    got = {(r.id_a, r.id_b)
+           for r in dedup.embedding_dupes(emb, threshold=0.35).collect()}
+    assert got <= exact                       # every emitted pair verified
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} on {len(exact)} pairs"
+
+
+def test_embedding_dupes_no_all_pairs_plan(spark):
+    """At default (high-threshold) params the candidate join must ride the
+    (band, bucket) equi-key — never a cartesian/nested-loop product."""
+    from neo_server_spark import io as nio
+
+    emb = nio.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = dedup.embedding_dupes(emb, threshold=0.95)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
 # sampling: deterministic hash-based sampling / splits
 # ---------------------------------------------------------------------------
 
