@@ -31,6 +31,32 @@ def _guard(col: Column, where: Column | str | None) -> Column:
     return F.when(_c(where), col)
 
 
+#: Percentile scale guard.  ``None`` (default) = EXACT percentiles —
+#: reference parity, but the exact forms buffer per group (sort-based
+#: `percentile`, max-accuracy `percentile_approx` sketches, collect_list
+#: for the gonum LinInterp form).  On extreme group sizes (100 TB tag
+#: cardinality skew: one tag holding billions of rows) set a finite
+#: accuracy to cut every quantile/median over to a bounded-memory
+#: KLL-style sketch: error <= 1/accuracy of the group's rank range.
+#: ``percentile_accuracy(10_000)`` is a good production default.
+_PERCENTILE_ACCURACY: int | None = None
+_EXACT_ACCURACY = 2147483647  # percentile_approx's maximum = exact
+
+
+def percentile_accuracy(accuracy: int | None) -> int | None:
+    """Set (and return the previous) global percentile accuracy.  ``None``
+    restores exact semantics; an int bounds per-group aggregation memory at
+    the cost of rank error <= 1/accuracy (see module note above)."""
+    global _PERCENTILE_ACCURACY
+    prev = _PERCENTILE_ACCURACY
+    _PERCENTILE_ACCURACY = accuracy
+    return prev
+
+
+def _accuracy() -> int:
+    return _PERCENTILE_ACCURACY or _EXACT_ACCURACY
+
+
 class agg:
     """Aggregate constructors mirroring newAggregate (fm_monad.go:811-838).
 
@@ -98,20 +124,33 @@ class agg:
     @staticmethod
     def median(col, name="median", where=None) -> Column:
         """Empirical (non-interpolated) median — an actual element of the group
-        (gonum stat.Quantile Empirical, fm_monad.go:1325-1335)."""
-        return F.percentile_approx(_guard(_c(col), where), F.lit(0.5), F.lit(2147483647)).alias(name)
+        (gonum stat.Quantile Empirical, fm_monad.go:1325-1335).  Honors the
+        ``percentile_accuracy`` scale guard."""
+        return F.percentile_approx(_guard(_c(col), where), F.lit(0.5),
+                                   F.lit(_accuracy())).alias(name)
 
     @staticmethod
     def median_interpolated(col, name="median", where=None) -> Column:
-        return F.percentile(_guard(_c(col), where), F.lit(0.5)).alias(name)
+        """Sort-based exact by default; under a finite
+        ``percentile_accuracy`` cuts over to the bounded-memory sketch
+        (approximate, no interpolation — documented non-parity trade)."""
+        c = _guard(_c(col), where)
+        if _PERCENTILE_ACCURACY:
+            return F.percentile_approx(c, F.lit(0.5), F.lit(_accuracy())).alias(name)
+        return F.percentile(c, F.lit(0.5)).alias(name)
 
     @staticmethod
     def quantile(col, p: float, name="quantile", where=None) -> Column:
-        return F.percentile_approx(_guard(_c(col), where), F.lit(p), F.lit(2147483647)).alias(name)
+        return F.percentile_approx(_guard(_c(col), where), F.lit(p),
+                                   F.lit(_accuracy())).alias(name)
 
     @staticmethod
     def quantile_interpolated(col, p: float, name="quantile", where=None) -> Column:
-        return F.percentile(_guard(_c(col), where), F.lit(p)).alias(name)
+        """See median_interpolated for the accuracy cutover."""
+        c = _guard(_c(col), where)
+        if _PERCENTILE_ACCURACY:
+            return F.percentile_approx(c, F.lit(p), F.lit(_accuracy())).alias(name)
+        return F.percentile(c, F.lit(p)).alias(name)
 
     @staticmethod
     def quantile_lininterp(col, p: float, name="quantile", where=None) -> Column:

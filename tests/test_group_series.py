@@ -323,3 +323,38 @@ def test_fft_band_limits(spark):
     peak = max(out, key=lambda r: r.ampl)
     assert peak.hz == pytest.approx(2.0, abs=0.1)
     assert peak.ampl == pytest.approx(0.5, abs=0.05)
+
+
+def test_percentile_accuracy_scale_guard(spark):
+    """percentile_accuracy(n) bounds per-group percentile memory: the exact
+    default matches SQL percentile; under a finite accuracy every
+    quantile/median routes through percentile_approx (sketch), staying
+    within 1/accuracy rank error, and restoring None returns to exact."""
+    from neo_server_spark.operators.group import agg, percentile_accuracy
+
+    df = spark.range(10_001).selectExpr("CAST(id AS DOUBLE) AS v",
+                                        "id % 2 AS g")
+    exact = df.groupBy("g").agg(
+        agg.median_interpolated("v", "med"),
+        agg.quantile("v", 0.9, "p90")).collect()
+    prev = percentile_accuracy(100)
+    try:
+        approx = df.groupBy("g").agg(
+            agg.median_interpolated("v", "med"),
+            agg.quantile("v", 0.9, "p90")).collect()
+        plan = df.groupBy("g").agg(
+            agg.median_interpolated("v", "med"))._jdf.queryExecution() \
+            .analyzed().toString()
+        assert "percentile_approx" in plan  # sketch path, not sort-based
+    finally:
+        percentile_accuracy(prev)
+    ex = {r.g: r for r in exact}
+    ap = {r.g: r for r in approx}
+    for g in ex:
+        # 5000 elements per group, accuracy 100 -> rank error <= 50 -> value
+        # error <= 100 on this uniform lattice
+        assert abs(ex[g].med - ap[g].med) <= 100
+        assert abs(ex[g].p90 - ap[g].p90) <= 100
+    # exact semantics restored
+    again = df.groupBy("g").agg(agg.median_interpolated("v", "med")).collect()
+    assert {r.g: r.med for r in again} == {r.g: r.med for r in exact}
