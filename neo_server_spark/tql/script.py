@@ -781,6 +781,13 @@ class TqlRunner:
                     v += math.pi / lon_step
                 u += 2.0 * math.pi / lat_step
             self._set(self._from_rows(rows, 3), ["x", "y", "z"])
+        elif gname == "statz":
+            # fm_fake.go:59-164 streams the SERVER's internal runtime metrics
+            # (goroutines, heap, conn pools) — there is no server process in
+            # this engine, so the generator is out of scope by design.
+            raise NotImplementedError(
+                "FAKE(statz) streams neo-server internal runtime metrics and "
+                "has no analogue in this engine (out of scope; see SURVEY §2)")
         else:
             raise NameError(f"unsupported FAKE generator {gname}()")
 
@@ -1946,6 +1953,20 @@ class TqlRunner:
 
     def stmt_CHART_SCATTER(self, args):
         self._chart_compat("scatter", args)
+
+    # 3D variants (fm_encoder.go:125-139) — same compat option builder; the
+    # renderer picks the gl series type
+    def stmt_CHART_LINE3D(self, args):
+        self._chart_compat("line3D", args)
+
+    def stmt_CHART_BAR3D(self, args):
+        self._chart_compat("bar3D", args)
+
+    def stmt_CHART_SCATTER3D(self, args):
+        self._chart_compat("scatter3D", args)
+
+    def stmt_CHART_SURFACE3D(self, args):
+        self._chart_compat("surface", args)
 
     def stmt_GEOMAP(self, args):
         """GEOMAP() (mods/codec/internal/geomap) — records are (lat, lon
