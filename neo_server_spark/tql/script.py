@@ -542,7 +542,8 @@ class TqlRunner:
 
     def __init__(self, spark: SparkSession, payload: str | None = None,
                  fs_root: str | None = None, sf_dir: str | None = None,
-                 params: dict | None = None, allow_shell: bool = False):
+                 params: dict | None = None, allow_shell: bool = False,
+                 arg_values: list | None = None):
         import time as _time
         self.spark = spark
         self.payload = payload
@@ -550,6 +551,7 @@ class TqlRunner:
         self.sf_dir = sf_dir
         self.params = params or {}
         self.allow_shell = allow_shell
+        self.arg_values = list(arg_values or [])
         self.now_ns = int(_time.time() * 1e9)
         self.state = _State()
         self.output: object = None
@@ -1226,6 +1228,24 @@ class TqlRunner:
         self._materialized_series_op(
             args, S.map_lowpass, alpha=alpha, out="__so", order_by="__seq")
 
+    def stmt_MAP_DISTANCE(self, args):
+        """MAP_DISTANCE(idx, latLon(lat, lon) [, "name"])
+        (fm_monad.go:2109-2142): haversine meters from the PREVIOUS record's
+        point, first record 0, spliced at value idx (MAPVALUE placement)."""
+        from neo_server_spark.operators import series as S
+        idx = int(self.ev(args[0]))
+        node = args[1]
+        if node[0] != "call" or node[1] not in ("latLon", "latlon"):
+            raise ValueError("MAP_DISTANCE 2nd arg must be latLon(lat, lon)")
+        lat = _lift(self.ev(node[2][0])).cast("double")
+        lon = _lift(self.ev(node[2][1])).cast("double")
+        name = self.ev(args[2]) if len(args) > 2 and args[2][0] == "str" else None
+        df = self.state.df.withColumn("__dla", lat).withColumn("__dlo", lon)
+        self.state.df = S.map_distance(df, "__dla", "__dlo", out="__so",
+                                       order_by="__seq")
+        self._place(idx, F.col("__so"), name=name)
+        self.state.df = self.state.df.drop("__dla", "__dlo", "__so")
+
     def stmt_MAP_KALMAN(self, args):
         from neo_server_spark.operators import series as S
         model = args[2]
@@ -1283,6 +1303,63 @@ class TqlRunner:
                 F.col("hz").alias("c0"), F.col("ampl").alias("c1"))
         self._set(res, ["hz", "ampl"])
         self.state.key_name = "time"  # group key was a time bucket
+
+    def stmt_ARGS(self, args):
+        """ARGS() (fm_context.go:113-121): the task's invocation arguments
+        become ONE record whose values are the arg list (empty args -> an
+        empty stream with a ROWNUM result column)."""
+        if not self.arg_values:
+            from pyspark.sql.types import LongType, StructField, StructType
+            df = self.spark.createDataFrame([], StructType(
+                [StructField("__seq", LongType()),
+                 StructField("__key", LongType())]))
+            self._set(df, [])
+            return
+        self._set(self._from_rows([tuple(self.arg_values)],
+                                  len(self.arg_values)),
+                  [None] * len(self.arg_values))
+
+    def stmt_HTTP(self, args):
+        """HTTP('<METHOD> <URL> [HTTP/ver]\\n?q=v\\nHeader: v\\n\\nbody')
+        (fm_encoder.go:169-183, mods/util/httpdsl/exec.go): execute the
+        HTTP-DSL request; the RAW response (status line + headers + body)
+        becomes a single record.  Driver-side by contract — the reference
+        uses this for config/presentation feeds, not data-plane ingest.
+        File directives ('< /path') are not supported (no server-side fs)."""
+        import urllib.request
+
+        content = str(self.ev(args[0]))
+        lines = content.splitlines()
+        i = 0
+        while i < len(lines) and not lines[i].strip():
+            i += 1
+        if i >= len(lines):
+            raise ValueError("HTTP: empty request")
+        first = lines[i].strip().split()
+        if len(first) < 2:
+            raise ValueError("HTTP: first line must be '<METHOD> <URL>'")
+        method, url = first[0].upper(), first[1]
+        i += 1
+        headers: dict[str, str] = {}
+        while i < len(lines) and lines[i].strip():
+            ln = lines[i].strip()
+            if ln.startswith(("?", "&")):      # query extension lines
+                url += ("&" if "?" in url else "?") + ln[1:]
+            elif ln.startswith("<"):
+                raise ValueError("HTTP: file directives are not supported")
+            else:
+                k, _, v = ln.partition(":")
+                headers[k.strip()] = v.strip()
+            i += 1
+        body = "\n".join(lines[i + 1:]) if i < len(lines) else ""
+        req = urllib.request.Request(url, method=method, headers=headers,
+                                     data=body.encode() if body.strip() else None)
+        with urllib.request.urlopen(req, timeout=10.0) as rsp:
+            payload = rsp.read().decode("utf-8", "replace")
+            status = f"HTTP/1.1 {rsp.status} {rsp.reason}"
+            hdrs = "".join(f"{k}: {v}\r\n" for k, v in rsp.headers.items())
+        raw = f"{status}\r\n{hdrs}\r\n{payload}"
+        self._set(self._from_rows([(raw,)], 1), [None])
 
     def stmt_SCRIPT(self, args):
         """SCRIPT(["js",] [init,] main [, deinit]) (fm_script.go:34-109):

@@ -759,6 +759,73 @@ def test_insert_append_roundtrip(spark, tmp_path):
     assert nio.read_tag_table(spark, str(tmp_path / "example")).count() == 3
 
 
+def test_args_statement(spark):
+    """fm_context.go ARGS(): the invocation args become one record."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    out = TqlRunner(spark, arg_values=["hello", 42]).run("""
+        ARGS()
+        CSV()
+    """)
+    assert out.splitlines() == ["hello,42"]
+    out = TqlRunner(spark).run("""
+        ARGS()
+        CSV()
+    """)
+    assert out.strip() == ""
+
+
+def test_map_distance_statement(spark):
+    """fm_monad.go:2109 MAP_DISTANCE(idx, latLon(lat,lon)): haversine from
+    the previous record, first record 0 — Seoul->Busan golden distance
+    (TestGeoDistance, mods/nums geography)."""
+    out = run_script(spark, """
+        FAKE(json({
+            [37.5665, 126.9780],
+            [35.1796, 129.0756]
+        }))
+        MAP_DISTANCE(2, latLon(value(0), value(1)), "dist")
+        CSV(header(true), precision(0))
+    """)
+    lines = out.splitlines()
+    assert lines[0] == "column0,column1,dist"
+    assert lines[1].endswith(",0")
+    dist = float(lines[2].split(",")[2])
+    assert abs(dist - 325_075) < 1000  # great-circle Seoul-Busan ~325 km
+
+
+def test_http_statement(spark, stub_server=None):
+    """fm_encoder.go HTTP(dsl): raw response becomes one record."""
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = b"pong:" + self.path.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        out = run_script(spark, f"""
+            HTTP('GET http://127.0.0.1:{port}/ping
+                  ?x=1
+                  Accept: text/plain')
+            CSV()
+        """)
+        assert "HTTP/1.1 200" in out
+        assert "pong:/ping?x=1" in out
+    finally:
+        srv.shutdown()
+
+
 def test_when_dolog_statement(spark, caplog):
     """fm_monad.go fmWhen + LogDoer: doer fires per matching record, the
     stream passes through unchanged."""
