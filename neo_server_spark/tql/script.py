@@ -465,6 +465,7 @@ class _Dollar:
     def __init__(self, runner: "TqlRunner"):
         from neo_server_spark.tql import jslite
 
+        self._runner = runner
         self.rows: list[tuple] = []     # (key, [values]) in yield order
         self.key = None
         self.values: list = []
@@ -489,8 +490,73 @@ class _Dollar:
         key = self.key if self.key is not None else len(self.rows) + 1
         self.rows.append((key, list(arr)))
 
+    def db(self):
+        """$.db() (fm_script.go:628-712): query routes through the engine's
+        SQL surface (lake dialect over the registered tables); exec points
+        at the INSERT/APPEND statements — there is no raw-DML path here."""
+        return _DollarDB(self)
+
     def js_set(self, name, val):
         setattr(self, name, val)
+
+
+class _DollarDB:
+    def __init__(self, dollar: "_Dollar"):
+        self._dollar = dollar
+
+    def query(self, sql, *params):
+        return _DollarDBQuery(self._dollar, str(sql), params)
+
+    def exec(self, sql, *params):
+        raise NotImplementedError(
+            "$.db().exec: use the INSERT(...)/APPEND(table()) statements — "
+            "this engine has no raw-DML path")
+
+
+class _DollarDBQuery:
+    """Result of $.db().query(sql): .forEach(fn) / .yield() like the
+    reference's goja queryObj (fm_script.go 'select-value' goldens)."""
+
+    def __init__(self, dollar: "_Dollar", sql: str, params):
+        self._dollar = dollar
+        self._sql = sql
+        self._params = params
+        setattr(self, "yield", self._yield_all)
+
+    def _rows(self):
+        import datetime
+
+        from neo_server_spark import io as nio
+        from neo_server_spark.sqlx.dialect import lake_sql
+        runner = self._dollar._runner
+        if runner.sf_dir:
+            nio.register_views(runner.spark, runner.sf_dir)
+        sql = self._sql
+        for p in self._params:  # '?' placeholder substitution
+            lit = "'" + str(p).replace("'", "''") + "'" \
+                if isinstance(p, str) else repr(p)
+            sql = sql.replace("?", lit, 1)
+        df = lake_sql(runner.spark, sql)
+        cols = list(df.columns)
+
+        def conv(v):
+            if isinstance(v, datetime.datetime):  # time values -> epoch ns
+                return int(v.timestamp() * 1e9)
+            return v
+        return cols, [[conv(v) for v in r] for r in df.collect()]
+
+    def forEach(self, fn):
+        _, rows = self._rows()
+        for r in rows:
+            fn(r)
+
+    def _yield_all(self):
+        from neo_server_spark.tql import jslite
+        cols, rows = self._rows()
+        if self._dollar.result is jslite.UNDEFINED:
+            self._dollar.result = {"columns": [c.upper() for c in cols]}
+        for r in rows:
+            getattr(self._dollar, "yield")(*r)
 
 
 def _normalize_script_columns(data: list[tuple], nvals: int):

@@ -972,6 +972,39 @@ def test_script_yield_array(spark):
     assert out.splitlines() == ["1.2,2.3,3.4,5.6"]
 
 
+def test_script_db_query(spark, sf_dir):
+    """fm_script.go select-value goldens: $.db().query(sql).forEach(fn) and
+    .yield() route through the engine's SQL surface; .yield() uppercases
+    the query's columns into $.result like the reference."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    q = ("select event_type, count(*) as cnt from events "
+         "group by event_type order by event_type")
+    out = TqlRunner(spark, sf_dir=sf_dir).run("""
+        SCRIPT("js", {
+            $.db().query("%s").forEach(function(row) {
+                $.yield(row[0], row[1]);
+            });
+        })
+        CSV()
+    """ % q)
+    out2 = TqlRunner(spark, sf_dir=sf_dir).run("""
+        SCRIPT("js", {
+            $.db().query("%s").yield();
+        })
+        CSV(header(true))
+    """ % q)
+    assert out2.splitlines()[0] == "EVENT_TYPE,CNT"
+    assert out.splitlines() == out2.splitlines()[1:]
+    # exec has no raw-DML path — the INSERT/APPEND statements are the surface
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        TqlRunner(spark, sf_dir=sf_dir).run("""
+            SCRIPT("js", { $.db().exec("delete from events"); })
+            CSV()
+        """)
+
+
 def test_shell_statement(spark):
     """tql_test.go SHELL_shell-command: stdout lines become records; the
     comma-bearing line gets CSV-quoted.  SHELL() is opt-in (allow_shell)
