@@ -128,7 +128,7 @@ def _q_first_last(spark, sf_dir):
             F.min(_us("time")).alias("min_time"),
             F.max(_us("time")).alias("max_time"),
         ],
-    )
+    ).orderBy("name")
 
 
 def _q_tag_stat(spark, sf_dir):
@@ -143,21 +143,21 @@ def _q_tag_stat(spark, sf_dir):
             F.min(_us("time")).alias("min_time"),
             F.max(_us("time")).alias("max_time"),
         ],
-    )
+    ).orderBy("name")
 
 
 def _q_filter_changed(spark, sf_dir):
     """FILTER_CHANGED over per-user event_type transitions."""
     ev = nio.load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
     out = maps.filter_changed(ev, "event_type", series=["user_id"], order_by=["ts", "event_id"])
-    return out.select("user_id", _us("ts", "time"), "event_type", "event_id")
+    return out.select("user_id", _us("ts", "time"), "event_type", "event_id").orderBy("event_id")
 
 
 def _q_map_diff(spark, sf_dir):
     """MAP_DIFF per series (lag window)."""
     df = _tag(spark, sf_dir).select("name", "time", "value", "event_id")
     out = series.map_diff(df, "value", out="diff", series=["name"], order_by=["time", "event_id"])
-    return out.select("name", _us("time"), "value", "diff")
+    return out.select("name", _us("time"), "value", "diff").orderBy("name", "time", "value")
 
 
 def _q_map_movavg(spark, sf_dir):
@@ -180,7 +180,7 @@ def _q_map_movavg(spark, sf_dir):
         "name", _us("time"), "value",
         F.round("movavg", 6).alias("movavg"),
         "cumavg",
-    )
+    ).orderBy("name", "time", "value")
 
 
 def _q_map_diff_blocked(spark, sf_dir):
@@ -191,7 +191,7 @@ def _q_map_diff_blocked(spark, sf_dir):
     out = series.map_diff_blocked(df, "value", out="diff", series=["name"],
                                   time_col="time", block_ns=86_400 * 10**9,
                                   tiebreak=["event_id"])
-    return out.select("name", _us("time"), "value", "diff")
+    return out.select("name", _us("time"), "value", "diff").orderBy("name", "time", "value")
 
 
 def _q_take_drop(spark, sf_dir):
@@ -355,7 +355,7 @@ def _q_group_aggs2(spark, sf_dir):
             agg.quantile("value", 0.9, "p90_disc"),
             agg.median("value", "median_disc"),
         ],
-    )
+    ).orderBy("name")
 
 
 def _q_mode_entropy(spark, sf_dir):
@@ -388,7 +388,9 @@ def _q_topk_per_group(spark, sf_dir):
     return (
         df.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("name", _us("time"), "value", "event_id", "rk")
+        .select("name", _us("time"), "value", "event_id",
+                F.col("rk").cast("long").alias("rk"))
+        .orderBy("name", "rk")
     )
 
 
@@ -403,7 +405,7 @@ def _q_asof_join(spark, sf_dir):
     return out.select(
         "user_id", _us("ts", "time"), "event_id", "value",
         F.col("value_right").alias("click_value"),
-    )
+    ).orderBy("event_id")
 
 
 def _q_flatten_tokens(spark, sf_dir):
@@ -434,7 +436,9 @@ def _q_map_lowpass(spark, sf_dir):
     """MAP_LOWPASS EWMA (α=0.2) per tag via applyInPandas."""
     df = _tag(spark, sf_dir).select("name", "time", "value")
     out = series.map_lowpass(df, "value", 0.2, series=["name"], order_by="time")
-    return out.select("name", _us("time"), "value", F.round("lowpass", 6).alias("lowpass"))
+    return out.select("name", _us("time"), "value",
+                      F.round("lowpass", 6).alias("lowpass")) \
+        .orderBy("name", "time", "value")
 
 
 def _q_fft(spark, sf_dir):
@@ -501,7 +505,7 @@ def _q_filter_changed_retain(spark, sf_dir):
     out = maps.filter_changed(ev, "event_type", series=["user_id"],
                               order_by=["ts", "event_id"], retain_duration=dur,
                               time_col="ts")
-    return out.select("user_id", _us("ts", "time"), "event_type", "event_id")
+    return out.select("user_id", _us("ts", "time"), "event_type", "event_id").orderBy("event_id")
 
 
 def _q_timewindow_spline(spark, sf_dir):
@@ -552,13 +556,13 @@ def _q_scalar_funcs(spark, sf_dir):
         "event_id",
         strfn.str_to_upper("event_type").alias("upper_type"),
         strfn.str_sub("event_type", 1, 3).alias("sub_type"),
-        strfn.str_index("event_type", "e").alias("idx_e"),
+        strfn.str_index("event_type", "e").cast("long").alias("idx_e"),
         strfn.str_sprintf("%s#%d", F.col("event_type"), F.col("user_id")).alias("tag_label"),
         strfn.str_has_prefix("event_type", "p").alias("is_p"),
         timefn.str_time(F.col("ts").cast("long"), "yyyy-MM-dd HH:mm").alias("ts_str"),
-        timefn.time_year(F.col("ts").cast("long")).alias("yr"),
-        timefn.time_hour(F.col("ts").cast("long")).alias("hr"),
-        timefn.time_weekday(F.col("ts").cast("long")).alias("wd"),
+        timefn.time_year(F.col("ts").cast("long")).cast("long").alias("yr"),
+        timefn.time_hour(F.col("ts").cast("long")).cast("long").alias("hr"),
+        timefn.time_weekday(F.col("ts").cast("long")).cast("long").alias("wd"),
         F.expr("ts div 1000").alias("t_us"),
         timefn._div(timefn.round_time(F.col("ts").cast("long"), 300 * 10**9), 1000).alias("t5m_us"),
     )
@@ -595,7 +599,7 @@ def _q_range_join(spark, sf_dir):
         "low double, high double, bucket string")
     ev = nio.load_table(spark, sf_dir, "events").select("event_id", "value")
     return joins.range_bucket_join(ev, ranges, "value") \
-        .select("event_id", "value", "bucket")
+        .select("event_id", "value", "bucket").orderBy("event_id")
 
 
 def _q_time_format(spark, sf_dir):
@@ -657,7 +661,7 @@ def _q_show_tags(spark, sf_dir):
         F.expr("min_time div 1000").alias("min_time"),
         F.expr("max_time div 1000").alias("max_time"),
         "min_value", "max_value",
-    )
+    ).orderBy("name")
 
 
 def _q_tql_dsl(spark, sf_dir):
@@ -672,7 +676,7 @@ def _q_tql_dsl(spark, sf_dir):
         .mapvalue(2, F.round(F.col("value") * 1.1, 6), name="value")
         .pushvalue(3, F.expr("time div 1000"), name="time_us")
     )
-    return p.to_df().drop("time")
+    return p.to_df().drop("time").orderBy("name", "time_us", "value")
 
 
 TQL_SCRIPT = """
@@ -758,7 +762,8 @@ def _q_sliding_window(spark, sf_dir):
         aggs=[F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value")],
         series=["name"], bucket_name="w",
     )
-    return out.select("name", F.expr("w div 1000").alias("time"), "cnt", "avg_value")
+    return out.select("name", F.expr("w div 1000").alias("time"), "cnt",
+                      "avg_value").orderBy("name", "time")
 
 
 def _q_session_window(spark, sf_dir):
@@ -778,7 +783,7 @@ def _q_session_window(spark, sf_dir):
         F.expr("session_start div 1000").alias("session_start"),
         F.expr("session_end div 1000").alias("session_end"),
         "cnt", "sum_value",
-    )
+    ).orderBy("user_id", "session_start")
 
 
 def _q_stats_aggs(spark, sf_dir):
@@ -799,7 +804,7 @@ def _q_stats_aggs(spark, sf_dir):
             agg.cdf("value", 100.0, "cdf_100"),
             F.round(agg.wavg("value", wgt, "x"), 6).alias("wavg_value"),
         ],
-    )
+    ).orderBy("name")
 
 
 def _q_series_diffs(spark, sf_dir):
@@ -814,7 +819,8 @@ def _q_series_diffs(spark, sf_dir):
     # diff in us space: the oracle's parquet reader truncates ns -> us
     out = series.map_diff(out, "time_us", out="diff_us", series=["name"],
                           order_by=["time", "event_id"])
-    return out.select("name", _us("time"), "value", "absdiff", "nonegdiff", "diff_us")
+    return out.select("name", _us("time"), "value", "absdiff", "nonegdiff",
+                      "diff_us").orderBy("name", "time", "value")
 
 
 def _q_map_distance(spark, sf_dir):
@@ -830,7 +836,8 @@ def _q_map_distance(spark, sf_dir):
     out = series.map_distance(df, "lat", "lon", out="dist_m", series=["name"],
                               order_by=["time", "event_id"])
     return out.select("name", _us("time"), "lat", "lon",
-                      F.round("dist_m", 2).alias("dist_m"))
+                      F.round("dist_m", 2).alias("dist_m")) \
+        .orderBy("name", "time", "lat", "lon")
 
 
 def _q_lake_pivot(spark, sf_dir):
@@ -844,7 +851,7 @@ def _q_lake_pivot(spark, sf_dir):
     out = df.groupBy(bucket).pivot("name", kinds).sum("value")
     for k in kinds:
         out = out.withColumn(k, F.round(F.coalesce(F.col(k), F.lit(0.0)), 6))
-    return out
+    return out.orderBy("bucket")
 
 
 def _q_group_list(spark, sf_dir):
@@ -879,7 +886,7 @@ def _q_rollup_routed(spark, sf_dir):
                                    "first_value": "first", "last_value": "last"})
     return out.select("name", "time", "cnt", "min_value", "max_value",
                       F.round("avg_value", 6).alias("avg_value"),
-                      "first_value", "last_value")
+                      "first_value", "last_value").orderBy("name", "time")
 
 
 def _q_lake_decode(spark, sf_dir):
@@ -937,7 +944,7 @@ def _q_doc_fingerprint(spark, sf_dir):
 
 def _q_dedup_exact(spark, sf_dir):
     docs = nio.load_table(spark, sf_dir, "documents")
-    return dedup.exact_dedup_stats(docs)
+    return dedup.exact_dedup_stats(docs).orderBy("source")
 
 
 def _q_similarity_topk(spark, sf_dir):
@@ -1058,7 +1065,7 @@ def _q_query_builder(spark, sf_dir):
     p = Tql(spark, sf_dir=sf_dir).query(
         "value", table="events", tag=["click", "view"], between=(TW_FROM, TW_UNTIL)
     )
-    return p.df.select("name", _us("time"), "value")
+    return p.df.select("name", _us("time"), "value").orderBy("name", "time", "value")
 
 
 def _q_map_kalman(spark, sf_dir):
@@ -1485,6 +1492,7 @@ def _q_tpch_q11(spark, sf_dir):
         pv.crossJoin(F.broadcast(tot))
         .filter(F.col("val") > F.col("thresh"))
         .select("l_partkey", F.round("val", 4).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
     )
 
 
@@ -1505,6 +1513,7 @@ def _q_tpch_q16(spark, sf_dir):
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
 
 
@@ -1525,6 +1534,7 @@ def _q_tpch_q20(spark, sf_dir):
     return (
         s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
 
 
@@ -1573,6 +1583,7 @@ def _q_tpch_q22(spark, sf_dir):
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(F.count(F.lit(1)).alias("numcust"),
              F.round(F.sum("c_acctbal"), 4).alias("totacctbal"))
+        .orderBy("cntrycode")
     )
 
 
@@ -1873,6 +1884,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT grid.name, grid.time, ag.cnt, ag.avg_value, ag.min_value, ag.max_value
             FROM grid LEFT JOIN ag ON grid.name = ag.name AND grid.time = ag.time
+            ORDER BY grid.name, grid.time
         """,
         "group_aggs": """
             SELECT event_type AS name,
@@ -1904,11 +1916,13 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(ts)) AS min_time,
                    max(epoch_us(ts)) AS max_time
             FROM events GROUP BY 1
+            ORDER BY name
         """,
         "tag_stat": """
             SELECT event_type AS name, count(*) AS row_count,
                    min(epoch_us(ts)) AS min_time, max(epoch_us(ts)) AS max_time
             FROM events GROUP BY 1
+            ORDER BY name
         """,
         "filter_changed": """
             WITH w AS (
@@ -1919,16 +1933,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, time, event_type, event_id FROM w
             WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+            ORDER BY event_id
         """,
         "map_diff": """
             SELECT event_type AS name, epoch_us(ts) AS time, value,
                    value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS diff
             FROM events
+            ORDER BY name, time, value
         """,
         "map_diff_blocked": """
             SELECT event_type AS name, epoch_us(ts) AS time, value,
                    value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS diff
             FROM events
+            ORDER BY name, time, value
         """,
         "map_movavg": """
             WITH w AS (
@@ -1945,6 +1962,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN rn >= 5 THEN ma END, 6) AS movavg,
                    CAST(cum_cents AS DOUBLE) / (rn * 100.0) AS cumavg
             FROM w
+            ORDER BY name, time, value
         """,
         "take_drop": f"""
             SELECT event_type AS name, epoch_us(ts) AS time, value, event_id
@@ -2013,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS max_value,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+            ORDER BY name, time
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
@@ -2025,6 +2044,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
         "join_revenue": """
             SELECT n_name,
@@ -2034,6 +2054,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+            ORDER BY n_name
         """,
         "tpch_q3": """
             SELECT l.l_orderkey,
@@ -2067,6 +2088,7 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.9) AS p90_disc,
                    quantile_disc(value, 0.5) AS median_disc
             FROM t GROUP BY name
+            ORDER BY name
         """,
         "mode_entropy": """
             WITH b AS (
@@ -2098,6 +2120,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT name, time, value, event_id, rk FROM w WHERE rk <= 3
+            ORDER BY name, rk
         """,
         "asof_join": """
             SELECT l.user_id, epoch_us(l.ts) AS time, l.event_id, l.value,
@@ -2105,6 +2128,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') l
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
             ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY event_id
         """,
         "flatten_tokens": """
             SELECT doc_id,
@@ -2163,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE 0.2 * power(0.8, a.rn - b.rn) * b.value END), 6) AS lowpass
             FROM w a JOIN w b ON a.name = b.name AND b.rn <= a.rn
             GROUP BY a.name, a.ts, a.value, a.rn
+            ORDER BY a.name, time, a.value
         """,
         "filter_changed_retain": """
             WITH w AS (
@@ -2187,6 +2212,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, epoch_us(ts) AS time, event_type, event_id
             FROM held WHERE rn = fh
+            ORDER BY event_id
         """,
         "projection_ops": """
             SELECT event_id, user_id % 100 AS userbucket,
@@ -2227,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
                        'b' || CAST(i AS VARCHAR) AS bucket
                 FROM generate_series(0, 9) t(i)
             ) r ON value >= low AND value < high
+            ORDER BY event_id
         """,
         "time_format": """
             SELECT event_id,
@@ -2250,6 +2277,7 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(ts)) AS min_time, max(epoch_us(ts)) AS max_time,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type
+            ORDER BY name
         """,
         "lookup_join": """
             SELECT e.event_type AS name, l.tier AS tier,
@@ -2308,6 +2336,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('purchase', 'error')
               AND epoch_ns(ts) BETWEEN 1704412800000000000 AND 1705708800000000000
+            ORDER BY name, time_us, value
         """,
         "sliding_window": """
             WITH x AS (
@@ -2319,6 +2348,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value
             FROM x, UNNEST(generate_series(lw - 1800000000000, lw, 1800000000000)) u(w)
             GROUP BY name, w
+            ORDER BY name, time
         """,
         "session_window": """
             WITH w AS (
@@ -2338,6 +2368,7 @@ def oracle_sql() -> dict[str, str]:
                    max(t) // 1000 AS session_end,
                    count(*) AS cnt, round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "stats_aggs": """
             WITH m AS (
@@ -2354,6 +2385,7 @@ def oracle_sql() -> dict[str, str]:
                          sum(e.event_id % 10 + 1), 6) AS wavg_value
             FROM events e JOIN m ON m.event_type = e.event_type
             GROUP BY e.event_type
+            ORDER BY name
         """,
         "series_diffs": """
             SELECT event_type AS name, epoch_us(ts) AS time, value,
@@ -2363,6 +2395,7 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS diff_us
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ORDER BY name, time, value
         """,
         "map_distance": """
             WITH pts AS (
@@ -2383,6 +2416,7 @@ def oracle_sql() -> dict[str, str]:
                        pow(sin((radians(lon) - radians(plon)) / 2), 2)
                    )), 0.0), 2) AS dist_m
             FROM w
+            ORDER BY name, time, lat, lon
         """,
         "lake_pivot": """
             SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 // 1000 AS bucket,
@@ -2392,6 +2426,7 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(value) FILTER (event_type = 'signup'), 0.0), 6) AS signup,
                    round(coalesce(sum(value) FILTER (event_type = 'view'), 0.0), 6) AS view
             FROM events GROUP BY 1
+            ORDER BY bucket
         """,
         "group_list": """
             SELECT event_type AS name,
@@ -2409,6 +2444,7 @@ def oracle_sql() -> dict[str, str]:
                    arg_min(value, epoch_ns(ts)) AS first_value,
                    arg_max(value, epoch_ns(ts)) AS last_value
             FROM events GROUP BY 1, 2
+            ORDER BY name, time
         """,
         "lake_decode": f"""
             SELECT event_type AS name,
@@ -2444,6 +2480,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT md5(text)) AS n_unique,
                    count(*) - count(DISTINCT md5(text)) AS n_dupes
             FROM documents GROUP BY source
+            ORDER BY source
         """,
         "similarity_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -2509,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('click', 'view')
               AND epoch_ns(ts) BETWEEN {f} AND {u}
+            ORDER BY name, time, value
         """,
         "salted_join": """
             WITH totals AS (
@@ -2786,6 +2824,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1
             HAVING sum(l_extendedprice) >
                    (SELECT sum(l_extendedprice) * 0.0007 FROM lineitem)
+            ORDER BY part_value DESC, l_partkey
         """,
         "tpch_q16": """
             SELECT p_brand, p_type, p_size,
@@ -2796,6 +2835,7 @@ def oracle_sql() -> dict[str, str]:
               AND l_suppkey NOT IN
                   (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
             GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         """,
         "tpch_q20": """
             SELECT s_name, s_acctbal FROM supplier
@@ -2804,6 +2844,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_partkey IN
                     (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
               GROUP BY l_suppkey HAVING sum(l_quantity) > 2000)
+            ORDER BY s_name
         """,
         "tpch_q21": """
             SELECT s_name, count(*) AS numwait
@@ -2829,6 +2870,7 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderstatus = 'F')
             GROUP BY 1
+            ORDER BY cntrycode
         """,
         "boilerplate": """
             WITH paras AS (
