@@ -442,10 +442,15 @@ def _q_map_lowpass(spark, sf_dir):
 
 
 def _q_fft(spark, sf_dir):
-    """FFT per tag over the full series (rows-only check: no SQL equivalent)."""
+    """FFT per tag over the full series, certified against a naive-DFT SQL
+    oracle (the rfft IS the DFT; hz is rounded at 9 — both sides compute
+    the identical double expression — and ampl at 6 to absorb the ~1e-10
+    difference between numpy's factored FFT and the oracle's naive
+    trig-sum accumulation order)."""
     df = _tag(spark, sf_dir).select("name", "time", "value")
     out = series.fft(df, series=["name"])
-    return out.select("name", F.round("hz", 9).alias("hz"), F.round("ampl", 9).alias("ampl"))
+    return out.select("name", F.round("hz", 9).alias("hz"),
+                      F.round("ampl", 6).alias("ampl")).orderBy("name", "hz")
 
 
 def _q_minhash_pairs(spark, sf_dir):
@@ -1070,12 +1075,15 @@ def _q_query_builder(spark, sf_dir):
 
 def _q_map_kalman(spark, sf_dir):
     """MAP_KALMAN(value, model(iv,pv,ov)) per tag (fm_monad.go:1908-1991,
-    mods/nums/kalman) — applyInPandas scalar recursion (rows-only: a
-    recursive filter has no SQL oracle; tests/test_group_series.py pins the
-    reference golden sequence)."""
+    mods/nums/kalman) — applyInPandas scalar recursion, certified against a
+    RECURSIVE-CTE oracle that walks the identical (P,K,x) update chain;
+    tests/test_group_series.py additionally pins the reference golden
+    sequence."""
     df = _tag(spark, sf_dir).select("name", "time", "value")
     out = series.map_kalman(df, "value", series=["name"], order_by="time")
-    return out.select("name", _us("time"), "value", F.round("kalman", 6).alias("kalman"))
+    return out.select("name", _us("time"), "value",
+                      F.round("kalman", 6).alias("kalman")) \
+        .orderBy("name", "time", "value")
 
 
 def _q_tpch_q5(spark, sf_dir):
@@ -1783,6 +1791,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _q_embedding_quantize,
         "source_profile": _q_source_profile,
         "oscillator_fft": _q_oscillator_fft,
+        # newly oracle-backed this round (were rows-only): per-tag DFT and
+        # recursive-CTE Kalman oracles
+        "fft": _q_fft,
+        "map_kalman": _q_map_kalman,
         # r1-green veterans re-confirmed in the remaining window slots
         "group_aggs": _q_group_aggs,
         "group_where": _q_group_where,
@@ -1837,7 +1849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_builder": _q_query_builder,
         "script_udtf": _q_script_udtf,
         "shell_pipe": _q_shell_pipe,
-        "map_kalman": _q_map_kalman,
         "line_protocol": _q_line_protocol,
         "dedup_exact": _q_dedup_exact,
         "similarity_topk": _q_similarity_topk,
@@ -1848,7 +1859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue": _q_join_revenue,
         "tpch_q3": _q_tpch_q3,
         "tpch_q6": _q_tpch_q6,
-        "fft": _q_fft,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "histogram_streaming": _q_histogram_streaming,
@@ -2300,6 +2310,47 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        "map_kalman": """
+            WITH RECURSIVE s AS (
+              SELECT event_type AS name, epoch_us(ts) AS time, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+              FROM events
+            ), kal AS (
+              SELECT name, time, value, rn, value AS x, CAST(1.0 AS DOUBLE) AS p
+              FROM s WHERE rn = 1
+              UNION ALL
+              SELECT s.name, s.time, s.value, s.rn,
+                     k.x + ((k.p + 1.0) / (k.p + 1.0 + 2.0)) * (s.value - k.x) AS x,
+                     (1.0 - (k.p + 1.0) / (k.p + 1.0 + 2.0)) * (k.p + 1.0) AS p
+              FROM kal k JOIN s ON s.name = k.name AND s.rn = k.rn + 1
+            )
+            SELECT name, time, value, round(x, 6) AS kalman FROM kal
+            ORDER BY name, time, value
+        """,
+        "fft": """
+            WITH s AS (
+              SELECT event_type AS name, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS i,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     (max(epoch_ns(ts)) OVER (PARTITION BY event_type)
+                      - min(epoch_ns(ts)) OVER (PARTITION BY event_type)) / 1e9 AS dur
+              FROM events
+            ), meta AS (
+              SELECT DISTINCT name, n, dur FROM s
+            ), ks AS (
+              SELECT name, n, dur, unnest(generate_series(1, n // 2)) AS k FROM meta
+            ), dft AS (
+              SELECT ks.name, ks.k, ks.n, ks.dur,
+                     sum(s.value * cos(2 * pi() * ks.k * s.i / ks.n)) AS re,
+                     sum(s.value * sin(2 * pi() * ks.k * s.i / ks.n)) AS im
+              FROM ks JOIN s ON s.name = ks.name
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT name,
+                   round((CAST(k AS DOUBLE) / n) * (CAST(n AS DOUBLE) / dur), 9) AS hz,
+                   round(2.0 * sqrt(re * re + im * im) / n, 6) AS ampl
+            FROM dft ORDER BY name, hz
         """,
         "oscillator_fft": """
             WITH s AS (
