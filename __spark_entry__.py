@@ -1012,6 +1012,38 @@ def _q_line_protocol(spark, sf_dir):
     return ingest.decode_line_protocol(lines)
 
 
+def _q_streaming_rollup(spark, sf_dir):
+    """Structured Streaming end-to-end with a BATCH ORACLE: file-source
+    readStream over the events parquet -> hourly per-tag rollup (complete
+    mode) -> availableNow -> memory sink, returning the final materialized
+    table.  The memory sink is the verification harness only — the
+    production path is streaming/ingest.stream_rollup's foreachBatch
+    parquet writer; the aggregate itself (groupBy tag+bucket) is the same
+    bounded-state shape either way (O(tags x buckets) state rows)."""
+    import uuid
+
+    from neo_server_spark import io as nio
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory: point at sf_dir, glob the one file
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    src = nio._normalize_basetime(src, ("ts",))
+    hour = 3_600 * 10**9
+    agg = (
+        src.groupBy(F.col("event_type").alias("name"),
+                    (F.col("ts") - F.pmod("ts", F.lit(hour))).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    table = "stream_rollup_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(table).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(table).orderBy("name", "bucket")
+
+
 def _q_script_udtf(spark, sf_dir):
     """SCRIPT(...) as MAP with $.yield() UDTF semantics (fm_script.go:82-109):
     Python/mapInPandas replaces the reference's embedded goja JS runtime.
@@ -1795,6 +1827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recursive-CTE Kalman oracles
         "fft": _q_fft,
         "map_kalman": _q_map_kalman,
+        # streaming end-to-end with a batch oracle (new this round)
+        "streaming_rollup": _q_streaming_rollup,
         # r1-green veterans re-confirmed in the remaining window slots
         "group_aggs": _q_group_aggs,
         "group_where": _q_group_where,
@@ -2310,6 +2344,12 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        "streaming_rollup": """
+            SELECT event_type AS name,
+                   epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket,
+                   count(*) AS cnt, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY name, bucket
         """,
         "map_kalman": """
             WITH RECURSIVE s AS (
