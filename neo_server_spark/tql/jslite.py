@@ -606,6 +606,16 @@ class Interpreter:
         g.declare("NaN", float("nan"))
         g.declare("Infinity", float("inf"))
 
+        def _encode_uri_component(v=UNDEFINED):
+            import urllib.parse
+            return urllib.parse.quote(to_display(v), safe="!'()*-._~")
+
+        def _decode_uri_component(v=UNDEFINED):
+            import urllib.parse
+            return urllib.parse.unquote(to_display(v))
+        g.declare("encodeURIComponent", _encode_uri_component)
+        g.declare("decodeURIComponent", _decode_uri_component)
+
     # ------------------------------------------------------------- driving
 
     def run(self, src: str, scope: Scope | None = None):

@@ -496,8 +496,87 @@ class _Dollar:
         at the INSERT/APPEND statements — there is no raw-DML path here."""
         return _DollarDB(self)
 
+    def request(self, url, opts=None):
+        """$.request(url, option).do(fn) (fm_script.go:414-580)."""
+        return _DollarRequest(str(url), opts if isinstance(opts, dict) else {})
+
     def js_set(self, name, val):
         setattr(self, name, val)
+
+
+class _DollarRequest:
+    """$.request(url, {method, headers, body}).do(function(rsp){...}) with
+    rsp.status/statusText/headers/url/ok/error() and the rsp.text/blob/
+    json/csv body readers calling back per unit (fm_script.go:414-580:
+    csv -> one callback per record, json -> per top-level JSON document,
+    text/blob -> once with the whole body)."""
+
+    _METHODS = ("GET", "POST", "PUT", "DELETE")
+
+    def __init__(self, url: str, opts: dict):
+        self.url = url
+        self.opts = opts
+
+    def do(self, callback):
+        import csv as _csv
+        import io as _io
+        import json as _json
+        import urllib.request
+
+        from neo_server_spark.tql import jslite
+
+        method = str(self.opts.get("method", "GET")).upper()
+        if method not in self._METHODS:
+            raise ValueError(f"HTTPError unsupported method {method!r}")
+        headers = self.opts.get("headers") or {}
+        body = str(self.opts.get("body", ""))
+        data = body.encode() if body and method in ("POST", "PUT") else None
+        req = urllib.request.Request(self.url, method=method, data=data)
+        for k, v in headers.items():
+            req.add_header(str(k), str(v))
+        err, raw, status, reason, hdrs = None, None, None, None, {}
+        try:
+            with urllib.request.urlopen(req, timeout=10.0) as r:
+                raw, status = r.read(), r.status
+                reason = f"{r.status} {r.reason}"
+                hdrs = dict(r.headers.items())
+        except Exception as e:  # error surfaces via rsp.error(), never raises
+            err = e
+
+        def bodyfn(typ):
+            def run(cb):
+                if err is not None or raw is None:
+                    return jslite.UNDEFINED
+                text = raw.decode("utf-8", "replace")
+                if typ in ("text", "blob"):
+                    cb(text)
+                elif typ == "csv":
+                    for row in _csv.reader(_io.StringIO(text),
+                                           skipinitialspace=True):
+                        cb(list(row))
+                elif typ == "json":
+                    dec = _json.JSONDecoder()
+                    s, idx = text.strip(), 0
+                    while idx < len(s):
+                        obj, idx = dec.raw_decode(s, idx)
+                        cb(obj)
+                        while idx < len(s) and s[idx] in " \t\r\n":
+                            idx += 1
+                return jslite.UNDEFINED
+            return run
+
+        rsp = {
+            "url": self.url,
+            "status": status,
+            "statusText": reason,
+            "headers": hdrs,
+            "ok": err is None and status is not None and 200 <= status < 300,
+            "error": lambda: (jslite.UNDEFINED if err is None else str(err)),
+        }
+        for t in ("text", "blob", "json", "csv"):
+            rsp[t] = bodyfn(t)
+        callback(rsp)
+        return jslite.UNDEFINED
 
 
 class _DollarDB:

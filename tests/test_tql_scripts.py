@@ -972,6 +972,70 @@ def test_script_yield_array(spark):
     assert out.splitlines() == ["1.2,2.3,3.4,5.6"]
 
 
+def test_script_request_csv_json(spark):
+    """tql_test.go js-request-csv / js-request-json: $.request(url,
+    {method}).do(rsp => rsp.csv/json per-record callbacks), with
+    encodeURIComponent in the URL expression."""
+    import http.server
+    import json as _json
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path.startswith("/csv"):
+                body = b"tag1,1692686707000,0.1\ntag1,1692686708000,0.2\n"
+                ctype = "text/csv"
+            else:
+                body = _json.dumps({"data": {"rows": [
+                    ["tag1", 1692686707000000000, 0.1],
+                    ["tag1", 1692686708000000000, 0.2]]}}).encode()
+                ctype = "application/json"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        out = run_script(spark, """
+            SCRIPT("js", {
+                $.request("http://127.0.0.1:%d/csv?q=" + encodeURIComponent("a b"),
+                          {method: 'GET'})
+                    .do(function(rsp) {
+                        rsp.csv(function(r){
+                            $.yield(r[0], parseInt(r[1]), parseFloat(r[2]));
+                        })
+                    })
+            })
+            CSV()
+        """ % port)
+        assert out.splitlines() == ["tag1,1692686707000,0.1",
+                                    "tag1,1692686708000,0.2"]
+        out = run_script(spark, """
+            SCRIPT("js", {
+                $.request("http://127.0.0.1:%d/json", {method: 'GET'})
+                    .do(function(rsp) {
+                        rsp.text(function(body){
+                            obj = JSON.parse(body);
+                            obj.data.rows.forEach(function(r){
+                                $.yield(r[0], r[1]/1000000000, r[2]);
+                            })
+                        })
+                    })
+            })
+            CSV()
+        """ % port)
+        assert out.splitlines() == ["tag1,1692686707,0.1",
+                                    "tag1,1692686708,0.2"]
+    finally:
+        srv.shutdown()
+
+
 def test_script_db_query(spark, sf_dir):
     """fm_script.go select-value goldens: $.db().query(sql).forEach(fn) and
     .yield() route through the engine's SQL surface; .yield() uppercases
