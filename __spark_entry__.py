@@ -454,16 +454,27 @@ def _q_fft(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (rows-only: hash family not in SQL)."""
+    """Banded MinHash-LSH near-dup pairs, certified end-to-end by a SQL
+    oracle: hash_fn='md5' derives each signature entry from the md5 hex
+    prefix (identical in Spark and DuckDB) and keys bands by the raw
+    signature slice, so candidacy is slice-equality the oracle reproduces
+    exactly; candidates verify with exact shingle Jaccard.  The production
+    default stays xxhash64 (seeded JVM hash, no string materialization) —
+    same code path, different hash family (pytest-covered)."""
     docs = nio.load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, shingle_n=3,
-                                   jaccard_threshold=0.05)
+                                   jaccard_threshold=0.05, hash_fn="md5") \
+        .orderBy("id_a", "id_b")
 
 
 def _q_simhash(spark, sf_dir):
-    """SimHash signatures (rows-only: xxhash64 bit votes not in SQL)."""
+    """SimHash signatures certified by a SQL oracle: hash_fn='md5' votes
+    the 60-bit md5 hex prefix per token (identical in Spark and DuckDB);
+    production default stays xxhash64 over 64 bits — same vote/pack code
+    path, different hash family."""
     docs = nio.load_table(spark, sf_dir, "documents")
-    return dedup.simhash(docs, "text").select("doc_id", "simhash")
+    return dedup.simhash(docs, "text", hash_fn="md5") \
+        .select("doc_id", "simhash").orderBy("doc_id")
 
 
 def _q_histogram_streaming(spark, sf_dir):
@@ -1836,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming end-to-end with a batch oracle (new this round)
         "streaming_rollup": _q_streaming_rollup,
         "timewindow_spline": _q_timewindow_spline,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
         # r1-green veterans re-confirmed in the remaining window slots
         "group_aggs": _q_group_aggs,
         "group_where": _q_group_where,
@@ -1899,8 +1912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue": _q_join_revenue,
         "tpch_q3": _q_tpch_q3,
         "tpch_q6": _q_tpch_q6,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash": _q_simhash,
         "histogram_streaming": _q_histogram_streaming,
         "embedding_dupes": _q_embedding_dupes,
         "range_join": _q_range_join,
@@ -2349,6 +2360,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+            ORDER BY id_a, id_b
+        """,
+        "simhash": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+            v AS (
+              SELECT doc_id, i.i,
+                     sum(CASE WHEN (hv // (1::BIGINT << i.i)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) i
+              GROUP BY doc_id, i.i
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+            FROM v GROUP BY doc_id ORDER BY doc_id
+        """,
+        "minhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), shl AS (
+              SELECT doc_id, list_distinct(list_transform(
+                  generate_series(0, greatest(len(l) - 3, 0)),
+                  i -> array_to_string(l[i+1:i+3], ' '))) AS sh
+              FROM toks
+            ), shx AS (
+              SELECT doc_id, unnest(sh) AS s FROM shl
+            ), hs AS (
+              SELECT doc_id, t.i,
+                     min(('0x' || substr(md5(t.i::VARCHAR || '|' || s), 1, 15))::BIGINT) AS h
+              FROM shx CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) t
+              GROUP BY doc_id, t.i
+            ), sig AS (
+              SELECT doc_id, list(h ORDER BY i) AS g FROM hs GROUP BY doc_id
+            ), cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(generate_series(0, 15),
+                        bb -> a.g[bb*4+1:bb*4+4] = b.g[bb*4+1:bb*4+4])) > 0
+            )
+            SELECT c.id_a, c.id_b,
+                   round(len(list_intersect(x.sh, y.sh)) * 1.0
+                         / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+            FROM cand c JOIN shl x ON x.doc_id = c.id_a JOIN shl y ON y.doc_id = c.id_b
+            WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+                  / len(list_distinct(x.sh || y.sh)) >= 0.05
             ORDER BY id_a, id_b
         """,
         "timewindow_spline": f"""

@@ -47,14 +47,28 @@ def exact_dedup_stats(docs: DataFrame, text_col: str = "text", by: str = "source
 
 # ---------------------------------------------------------------- minhash + LSH
 
+def _shingle_hash(s: Column, seed: int, hash_fn: str) -> Column:
+    """One member of the MinHash family.  'xxhash64' is the production path
+    (seeded JVM hash, no string materialization); 'md5' derives a 60-bit
+    integer from the md5 hex prefix of 'seed|shingle' — md5 is identical in
+    Spark and DuckDB, making signatures (and therefore the whole LSH
+    pipeline) certifiable by the SQL oracle."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(s, F.lit(seed))
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)),
+                                  1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def minhash_signature(docs: DataFrame, text_col: str = "text",
                       num_hashes: int = 64, shingle_n: int = 3,
-                      out: str = "minhash") -> DataFrame:
+                      out: str = "minhash", hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash signature per doc: for seed i, min over shingles of
-    xxhash64(shingle, seed=i).  Pure array expressions — Arrow/codegen path."""
+    H_i(shingle).  Pure array expressions — Arrow/codegen path."""
     sh = shingles(text_col, shingle_n)
     sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        F.array_min(F.transform(sh, lambda s: _shingle_hash(s, i, hash_fn)))
         for i in range(num_hashes)
     ])
     return docs.withColumn(out, sig)
@@ -62,7 +76,8 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
-                      jaccard_threshold: float = 0.7) -> DataFrame:
+                      jaccard_threshold: float = 0.7,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified with
     exact shingle Jaccard.
 
@@ -70,14 +85,22 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
     ``num_hashes // bands`` rows; docs sharing any band bucket become
     candidates.  Output: (id_a, id_b, jaccard) with id_a < id_b and
     jaccard >= threshold.
+
+    ``hash_fn='md5'`` makes candidacy exactly reproducible in SQL: the
+    band key is then the raw slice (not a Murmur3 bucket), so a pair is a
+    candidate IFF a band's signature rows are equal — the DuckDB oracle
+    computes the identical signatures and slice-equality.
     """
     rows = num_hashes // bands
     with_sig = minhash_signature(docs.select(id_col, text_col), text_col,
-                                 num_hashes, shingle_n)
-    band_cols = F.array(*[
-        F.hash(F.slice(F.col("minhash"), b * rows + 1, rows).cast("array<string>"), F.lit(b))
-        for b in range(bands)
-    ])
+                                 num_hashes, shingle_n, hash_fn=hash_fn)
+    if hash_fn == "md5":
+        band_key = lambda b: F.concat_ws(  # noqa: E731 — injective band key
+            ",", F.slice(F.col("minhash"), b * rows + 1, rows).cast("array<string>"))
+    else:
+        band_key = lambda b: F.hash(  # noqa: E731
+            F.slice(F.col("minhash"), b * rows + 1, rows).cast("array<string>"), F.lit(b))
+    band_cols = F.array(*[band_key(b) for b in range(bands)])
     exploded = (
         with_sig.select(id_col, F.posexplode(band_cols).alias("band", "bucket"))
     )
@@ -138,15 +161,26 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
 # ---------------------------------------------------------------- simhash
 
 def simhash(docs: DataFrame, text_col: str = "text", out: str = "simhash",
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over whitespace tokens.
 
-    Each token votes its xxhash64 bit pattern; the signature bit is 1 where
-    the vote sum is positive.  Computed as 64 shiftright/bitwise-AND
+    Each token votes its hash bit pattern; the signature bit is 1 where
+    the vote sum is positive.  Computed as ``bits`` shiftright/bitwise-AND
     aggregations over the token array — entirely JVM-side.
-    """
+
+    ``hash_fn='md5'`` switches the token hash to the 60-bit md5 hex prefix
+    (identical in Spark and DuckDB, so the whole signature is SQL-oracle
+    certifiable) and caps ``bits`` at 60; xxhash64 stays the production
+    default."""
     toks = tokens(text_col)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_fn == "md5":
+        bits = min(bits, 60)
+        th = F.transform(toks, lambda t: F.conv(
+            F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    elif hash_fn == "xxhash64":
+        th = F.transform(toks, lambda t: F.xxhash64(t))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     def mask(i: int) -> int:
         # two's-complement signed-long bit mask (bit 63 is the sign bit)
         return (1 << i) if i < 63 else -(1 << 63)
