@@ -484,13 +484,16 @@ def _q_histogram_streaming(spark, sf_dir):
 
 
 def _q_embedding_dupes(spark, sf_dir):
-    """Embedding-cosine near-dup pairs with MULTI-BAND hyperplane LSH
-    (rows-only: verified pairs exceed the exact threshold by construction;
-    bits/bands auto-derive from the threshold for >=0.95 recall at the
-    threshold cosine — tests/test_datapipe.py asserts the recall against
-    the exact all-pairs baseline)."""
+    """Embedding-cosine near-dup pairs with MULTI-BAND hyperplane LSH,
+    certified end-to-end by a SQL oracle: hash_fn='md5' derives hyperplane
+    signs from md5 hex-prefix parity (identical in Spark and DuckDB), so
+    the oracle reproduces bucketing, candidacy and exact-cosine verify
+    pair-for-pair.  bits/bands auto-derive from the threshold for >=0.95
+    recall at the threshold cosine (tests/test_datapipe.py pins the recall
+    vs the exact baseline); production default stays xxhash64."""
     emb = nio.load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_dupes(emb, threshold=0.35).orderBy("id_a", "id_b")
+    return dedup.embedding_dupes(emb, threshold=0.35, hash_fn="md5") \
+        .orderBy("id_a", "id_b")
 
 
 def _q_embedding_dupes_exact(spark, sf_dir):
@@ -1849,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timewindow_spline": _q_timewindow_spline,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
+        "embedding_dupes": _q_embedding_dupes,
         # r1-green veterans re-confirmed in the remaining window slots
         "group_aggs": _q_group_aggs,
         "group_where": _q_group_where,
@@ -1913,7 +1917,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "tpch_q6": _q_tpch_q6,
         "histogram_streaming": _q_histogram_streaming,
-        "embedding_dupes": _q_embedding_dupes,
         "range_join": _q_range_join,
         "csv_source": _q_csv_source,
         "stats_aggs": _q_stats_aggs,
@@ -2360,6 +2363,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+            ORDER BY id_a, id_b
+        """,
+        "embedding_dupes": """
+            WITH hp AS (
+              SELECT p.p, j.j,
+                     CASE WHEN ('0x' || substr(md5(p.p::VARCHAR || '|' || j.j::VARCHAR), 1, 15))::BIGINT
+                               % 2 = 0
+                          THEN 1.0 ELSE -1.0 END AS h
+              FROM (SELECT unnest(generate_series(0, 35)) AS p) p,
+                   (SELECT unnest(generate_series(0, 63)) AS j) j
+            ), dots AS (
+              SELECT e.vec_id, hp.p, sum(CAST(e.embedding[hp.j + 1] AS DOUBLE) * hp.h) AS d
+              FROM embeddings e, hp GROUP BY 1, 2
+            ), bk AS (
+              SELECT vec_id, p // 3 AS band,
+                     CAST(sum(CASE WHEN d > 0 THEN 1 << (p % 3) ELSE 0 END) AS BIGINT) AS bucket
+              FROM dots GROUP BY 1, 2
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bk a JOIN bk b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))), 6)
+                       AS cosine
+            FROM cand c JOIN embeddings x ON x.vec_id = c.id_a
+                        JOIN embeddings y ON y.vec_id = c.id_b
+            WHERE list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))) >= 0.35
             ORDER BY id_a, id_b
         """,
         "simhash": """

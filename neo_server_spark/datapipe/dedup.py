@@ -240,7 +240,8 @@ def lsh_params(threshold: float, target_recall: float = 0.95,
 def embedding_dupes(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
                     threshold: float = 0.95, block_bits: int | None = None,
                     bands: int | None = None,
-                    target_recall: float = 0.95) -> DataFrame:
+                    target_recall: float = 0.95,
+                    hash_fn: str = "xxhash64") -> DataFrame:
     """Embedding-cosine near-duplicate pairs via MULTI-BAND random-hyperplane
     LSH: ``bands`` independent bucketings of ``block_bits`` sign bits each;
     a pair is a candidate if it collides in ANY band; candidates are
@@ -272,7 +273,7 @@ def embedding_dupes(emb: DataFrame, vec_col: str = "embedding", id_col: str = "v
                 F.aggregate(
                     F.zip_with(F.col(vec_col),
                                _hyperplane(F.size(F.col(vec_col)),
-                                           band * block_bits + b),
+                                           band * block_bits + b, hash_fn),
                                lambda x, h: x * h),
                     F.lit(0.0), lambda a, x: a + x,
                 ) > 0, F.lit(1 << b)).otherwise(0)
@@ -302,12 +303,21 @@ def embedding_dupes(emb: DataFrame, vec_col: str = "embedding", id_col: str = "v
     )
 
 
-def _hyperplane(dim: Column, seed: int) -> Column:
-    """Deterministic ±1 pseudo-random hyperplane of length ``dim``."""
-    return F.transform(
-        F.sequence(F.lit(0), dim - 1),
-        lambda i: F.when(F.xxhash64(i, F.lit(seed)) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
-    )
+def _hyperplane(dim: Column, seed: int, hash_fn: str = "xxhash64") -> Column:
+    """Deterministic ±1 pseudo-random hyperplane of length ``dim``.
+    'md5' derives the sign from the md5 hex prefix parity of 'seed|dim'
+    (identical in Spark and DuckDB — SQL-oracle certifiable)."""
+    if hash_fn == "md5":
+        def sign(i):
+            h = F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{seed}|"), i.cast("string"))),
+                1, 15), 16, 10).cast("long")
+            return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    else:
+        def sign(i):
+            return F.when(F.xxhash64(i, F.lit(seed)) % 2 == 0,
+                          F.lit(1.0)).otherwise(F.lit(-1.0))
+    return F.transform(F.sequence(F.lit(0), dim - 1), sign)
 
 
 # ------------------------------------------------- cluster resolution
