@@ -759,6 +759,44 @@ def test_insert_append_roundtrip(spark, tmp_path):
     assert nio.read_tag_table(spark, str(tmp_path / "example")).count() == 3
 
 
+REF_SERVER_TQL = "/root/reference/mods/server/test"
+
+
+def test_server_csv_map_tql_verbatim(spark):
+    """http_test.go csv_map.tql golden: payload rows map value(1)+\"0\"
+    (string concat) and re-emit as CSV — run the reference's FILE."""
+    import os
+
+    from neo_server_spark.tql.script import run_file
+
+    path = os.path.join(REF_SERVER_TQL, "csv_map.tql")
+    if not os.path.isfile(path):
+        pytest.skip("reference server tql not available")
+    out = run_file(spark, path, payload="a,1\nb,2\n")
+    assert out.splitlines() == ["a,10", "b,20"]
+
+
+def test_server_csv_append_tql_verbatim(spark, tmp_path):
+    """mqtt_test.go csv_append.tql golden: payload decodes (name,
+    parseTime ns, parseFloat) and APPENDs into table 'example' — run the
+    reference's FILE, then read the landed rows back."""
+    import os
+
+    from neo_server_spark.tql.script import run_file
+
+    path = os.path.join(REF_SERVER_TQL, "csv_append.tql")
+    if not os.path.isfile(path):
+        pytest.skip("reference server tql not available")
+    payload = ("my-mqtt-tql,1705291859000000000,1.2345\n"
+               "my-mqtt-tql,1705291860000000000,2.3456")
+    out = run_file(spark, path, payload=payload, fs_root=str(tmp_path))
+    assert out == "append 2 rows (success 2, fail 0)"
+    back = spark.read.parquet(str(tmp_path / "example"))
+    rows = sorted(tuple(r) for r in back.collect())
+    assert rows == [("my-mqtt-tql", 1705291859000000000, 1.2345),
+                    ("my-mqtt-tql", 1705291860000000000, 2.3456)]
+
+
 def test_args_statement(spark):
     """fm_context.go ARGS(): the invocation args become one record."""
     from neo_server_spark.tql.script import TqlRunner
