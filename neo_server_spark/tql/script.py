@@ -2258,11 +2258,28 @@ class TqlRunner:
         act = args[1]
         if act[0] != "call" or act[1] not in ("doLog", "doHttp", "do"):
             raise ValueError("WHEN 2nd arg must be doLog(...), doHttp(...) or do(...)")
-        if act[1] == "do":
-            raise NotImplementedError(
-                "WHEN(do(...)) sub-pipelines: use the DSL Pipeline.when")
-        argvals = [self.ev(a) for a in act[2]]
         matches = self.state.df.filter(cond).orderBy("__seq")
+        if act[1] == "do":
+            # do(args..., {subscript}) (fm_monad.go:2310-2383): per matching
+            # record, run a nested TQL task whose ARGS() source reads the
+            # evaluated args; errors are logged and swallowed (Do's recover)
+            code_node = act[2][-1]
+            code = code_node[1] if code_node[0] in ("brace", "str") \
+                else str(self.ev(code_node))
+            arg_exprs = [self.ev(a) for a in act[2][:-1]]
+            proj = [(_lift(v) if _is_col(v) else F.lit(v)).alias(f"__w{i}")
+                    for i, v in enumerate(arg_exprs)]
+            for row in matches.select(*proj).toLocalIterator():
+                sub = TqlRunner(self.spark, fs_root=self.fs_root,
+                                sf_dir=self.sf_dir, params=self.params,
+                                allow_shell=self.allow_shell,
+                                arg_values=list(row))
+                try:
+                    sub.run(code)
+                except Exception as e:
+                    D.LOG.error("do: execution fail %s", e)
+            return
+        argvals = [self.ev(a) for a in act[2]]
         proj = [(_lift(v) if _is_col(v) else F.lit(v)).alias(f"__w{i}")
                 for i, v in enumerate(argvals)]
         if act[1] == "doLog":

@@ -864,6 +864,26 @@ def test_http_statement(spark, stub_server=None):
         srv.shutdown()
 
 
+def test_when_do_subroutine(spark, tmp_path):
+    """fm_monad.go:2310-2383 WHEN(cond, do(args..., {code})): a nested TQL
+    task runs per matching record with ARGS() reading the evaluated args;
+    the main stream passes through unchanged."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    out = TqlRunner(spark, fs_root=str(tmp_path)).run("""
+        FAKE( linspace(1, 4, 4) )
+        WHEN( value(0) > 2.5, do(value(0), value(0) * 10, {
+            ARGS()
+            INSERT("v", "v10", table('hits'))
+        }))
+        CSV()
+    """)
+    assert out.splitlines() == ["1", "2", "3", "4"]
+    hits = spark.read.parquet(str(tmp_path / "hits"))
+    got = sorted(tuple(r) for r in hits.collect())
+    assert got == [(3.0, 30.0), (4.0, 40.0)]
+
+
 def test_when_dolog_statement(spark, caplog):
     """fm_monad.go fmWhen + LogDoer: doer fires per matching record, the
     stream passes through unchanged."""
