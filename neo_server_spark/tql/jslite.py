@@ -931,8 +931,11 @@ class Interpreter:
                 return lambda nd=0: f"{float(obj):.{int(nd)}f}"
             if name == "toString":
                 return lambda: _js_num_str(obj)
-        attr = getattr(obj, name, None)
-        if attr is not None and (callable(attr) or not name.startswith("_")):
+        # underscore names never resolve — dunders like __class__ are the
+        # classic interpreter-escape surface and host-object internals are
+        # private by convention
+        attr = None if name.startswith("_") else getattr(obj, name, None)
+        if attr is not None:
             return attr
         js_get = getattr(obj, "js_get", None)
         if js_get is not None:

@@ -1,0 +1,154 @@
+"""jslite (SCRIPT("js") interpreter) semantics: property tests against
+Python reference semantics plus targeted JS-quirk cases."""
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from neo_server_spark.tql.jslite import UNDEFINED, Interpreter, JSError, to_display
+
+
+class Sink:
+    def __init__(self):
+        self.rows = []
+        self.key = None
+        self.values = []
+        self.params = {}
+        self.result = UNDEFINED
+        setattr(self, "yield", lambda *v: self.rows.append(list(v)))
+
+    def js_set(self, name, val):
+        setattr(self, name, val)
+
+
+def run_expr(src: str):
+    d = Sink()
+    it = Interpreter(d)
+    it.run(f"$.yield({src})")
+    return d.rows[0][0]
+
+
+ints = st.integers(min_value=-10**9, max_value=10**9)
+floats = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                   allow_infinity=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=ints, b=ints)
+def test_integer_arithmetic_matches_python(a, b):
+    assert run_expr(f"({a}) + ({b})") == a + b
+    assert run_expr(f"({a}) - ({b})") == a - b
+    assert run_expr(f"({a}) * ({b})") == a * b
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=floats, b=floats)
+def test_float_division_and_comparison(a, b):
+    if b != 0:
+        assert run_expr(f"({a!r}) / ({b!r})") == pytest.approx(a / b, rel=1e-12)
+    assert run_expr(f"({a!r}) < ({b!r})") == (a < b)
+    assert run_expr(f"({a!r}) >= ({b!r})") == (a >= b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(a=ints, b=st.integers(min_value=1, max_value=10**6))
+def test_modulo_follows_dividend_sign(a, b):
+    # JS % truncates toward zero (fmod), unlike Python's floor mod
+    assert run_expr(f"({a}) % ({b})") == math.fmod(a, b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(s=st.text(alphabet=st.characters(codec="ascii",
+                                        exclude_characters="\\'\"\n\r\0"),
+                 max_size=30),
+       t=st.text(alphabet=st.characters(codec="ascii",
+                                        exclude_characters="\\'\"\n\r\0"),
+                 max_size=30))
+def test_string_concat_and_methods(s, t):
+    assert run_expr(f"'{s}' + '{t}'") == s + t
+    assert run_expr(f"('{s}').length") == len(s)
+    assert run_expr(f"('{s}').toUpperCase()") == s.upper()
+
+
+def test_js_quirks():
+    # number+string coerces to string with JS number formatting
+    assert run_expr("1 + '2'") == "12"
+    assert run_expr("1.0 + 'x'") == "1x"
+    # ternary, nullish, logical short-circuit return values
+    assert run_expr("true ? 1 : 2") == 1
+    assert run_expr("null ?? 'fallback'") == "fallback"
+    assert run_expr("0 || 'x'") == "x"
+    assert run_expr("'a' && 'b'") == "b"
+    # strict vs loose equality
+    assert run_expr("'1' == 1") is True
+    assert run_expr("'1' === 1") is False
+    assert run_expr("null == undefined") is True
+    assert run_expr("null === undefined") is False
+    # typeof
+    assert run_expr("typeof 1") == "number"
+    assert run_expr("typeof 'x'") == "string"
+    assert run_expr("typeof undefined") == "undefined"
+    # Math.round half-up (not banker's)
+    assert run_expr("Math.round(0.5)") == 1
+    assert run_expr("Math.round(1.5)") == 2
+    assert run_expr("Math.round(-0.5)") == 0
+    # empty array/object are truthy in JS
+    assert run_expr("[] ? 'yes' : 'no'") == "yes"
+    # parseInt truncates at first non-digit
+    assert run_expr("parseInt('42px')") == 42
+    assert run_expr("parseFloat('3.14abc')") == 3.14
+
+
+def test_closures_and_hoisting():
+    d = Sink()
+    it = Interpreter(d)
+    it.run("""
+        function make(x) { return function(y) { return x + y; }; }
+        var add5 = make(5);
+        $.yield(add5(3), hoisted());
+        function hoisted() { return 'later'; }
+    """)
+    assert d.rows == [[8, "later"]]
+
+
+def test_array_methods_chain():
+    assert run_expr("[3,1,2].sort().join('-')") == "1-2-3"
+    assert run_expr("[1,2,3,4].filter(function(v){return v % 2 == 0}).length") == 2
+    assert run_expr("[1,2,3].map(function(v){return v*v}).reduce(function(a,b){return a+b})") == 14
+    assert run_expr("['a','b'].indexOf('b')") == 1
+
+
+def test_for_of_and_objects():
+    d = Sink()
+    it = Interpreter(d)
+    it.run("""
+        var total = 0;
+        var obj = {a: 1, b: 2, c: 3};
+        for (var k of ['a', 'b', 'c']) { total += obj[k]; }
+        $.yield(total, obj.a, obj['b']);
+    """)
+    assert d.rows == [[6, 1, 2]]
+
+
+def test_no_host_escape():
+    # underscore members never resolve on host values — dunders like
+    # __class__ are the classic interpreter-escape surface
+    assert run_expr("(1).__class__") is UNDEFINED
+    assert run_expr("'x'.__class__") is UNDEFINED
+    assert run_expr("[].__class__") is UNDEFINED
+    d = Sink()
+    it = Interpreter(d)
+    with pytest.raises(JSError):
+        it.run("require('fs')")
+    # host-object private attributes stay private
+    assert run_expr("$._runner") is UNDEFINED or run_expr("$._runner") is None
+
+
+def test_to_display_number_formatting():
+    assert to_display(1.0) == "1"
+    assert to_display(1.5) == "1.5"
+    assert to_display(True) == "true"
+    assert to_display(None) == "null"
+    assert to_display(UNDEFINED) == "undefined"
