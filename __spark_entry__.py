@@ -1032,6 +1032,22 @@ def _q_line_protocol(spark, sf_dir):
     return ingest.decode_line_protocol(lines)
 
 
+def _q_multimodal_decode(spark, sf_dir):
+    """REAL image decode certified by a closed-form oracle: PPM payloads
+    (deterministic gradient synthesis) decode in a mapInPandas kernel to
+    per-asset dimensions and channel means; the oracle recomputes the
+    expected means analytically from the synthesis formula — the binary
+    round-trip is the only way the Spark side can match it
+    (datapipe/multimodal.py decode_image_raw, no PIL required)."""
+    from neo_server_spark.datapipe import multimodal
+
+    assets = multimodal.synthesize_ppm_assets(spark, 16)
+    out = multimodal.image_stats(assets)
+    return out.withColumn("width", F.col("width").cast("long")) \
+              .withColumn("height", F.col("height").cast("long")) \
+              .orderBy("asset_id")
+
+
 def _q_streaming_rollup(spark, sf_dir):
     """Structured Streaming end-to-end with a BATCH ORACLE: file-source
     readStream over the events parquet -> hourly per-tag rollup (complete
@@ -1853,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "embedding_dupes": _q_embedding_dupes,
+        "multimodal_decode": _q_multimodal_decode,
         # r1-green veterans re-confirmed in the remaining window slots
         "group_aggs": _q_group_aggs,
         "group_where": _q_group_where,
@@ -2509,6 +2526,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.name, g.b, NULL FROM gaps g LEFT JOIN lo ON g.name = lo.name AND g.b = lo.b
             WHERE lo.b IS NULL
             ORDER BY name, time
+        """,
+        "multimodal_decode": """
+            WITH a AS (
+              SELECT i, 8 + i % 5 AS w, 6 + i % 4 AS h FROM generate_series(0, 15) t(i)
+            ), mr AS (
+              SELECT a.i, avg(CAST(x * 255 // (a.w - 1) AS DOUBLE)) AS m
+              FROM a, LATERAL (SELECT unnest(generate_series(0, a.w - 1)) AS x) xs
+              GROUP BY a.i
+            ), mg AS (
+              SELECT a.i, avg(CAST(y * 255 // (a.h - 1) AS DOUBLE)) AS m
+              FROM a, LATERAL (SELECT unnest(generate_series(0, a.h - 1)) AS y) ys
+              GROUP BY a.i
+            )
+            SELECT a.i AS asset_id, CAST(a.w AS BIGINT) AS width,
+                   CAST(a.h AS BIGINT) AS height,
+                   printf('%.4f', mr.m) AS mean_r,
+                   printf('%.4f', mg.m) AS mean_g,
+                   printf('%.4f', CAST(a.i * 13 % 256 AS DOUBLE)) AS mean_b
+            FROM a JOIN mr ON mr.i = a.i JOIN mg ON mg.i = a.i
+            ORDER BY asset_id
         """,
         "streaming_rollup": """
             SELECT event_type AS name,

@@ -142,6 +142,46 @@ def test_frame_sample_plan(spark):
 
 
 # ---------------------------------------------------------------------------
+# multimodal: REAL dependency-free decode path (PPM)
+# ---------------------------------------------------------------------------
+
+def test_ppm_roundtrip_and_resize():
+    import numpy as np
+    arr = (np.arange(6 * 4 * 3).reshape(6, 4, 3) % 256).astype(np.uint8)
+    payload = multimodal.encode_ppm(arr)
+    back = multimodal.decode_image_raw(payload)
+    assert (back == arr).all()
+    small = multimodal.decode_image_raw(
+        multimodal.resize_image_raw(payload, 2, 3))
+    assert small.shape == (3, 2, 3)
+    # nearest-neighbor picks real source pixels
+    assert all((px == arr.reshape(-1, 3)).all(axis=1).any()
+               for px in small.reshape(-1, 3))
+
+
+def test_image_stats_real_decode(spark):
+    """mapInPandas decodes REAL PPM payloads and the channel means match
+    numpy ground truth computed from the same synthesis."""
+    import numpy as np
+    assets = multimodal.synthesize_ppm_assets(spark, 6)
+    got = {r.asset_id: r for r in multimodal.image_stats(assets).collect()}
+    assert len(got) == 6
+    for i in range(6):
+        w, h = 8 + (i % 5), 6 + (i % 4)
+        y, x = np.mgrid[0:h, 0:w]
+        arr = np.stack([
+            (x * 255 // max(w - 1, 1)),
+            (y * 255 // max(h - 1, 1)),
+            np.full((h, w), i * 13 % 256),
+        ], axis=-1).astype(np.uint8)
+        m = arr.reshape(-1, 3).mean(axis=0)
+        r = got[i]
+        assert (r.width, r.height) == (w, h)
+        assert (r.mean_r, r.mean_g, r.mean_b) == \
+            (f"{m[0]:.4f}", f"{m[1]:.4f}", f"{m[2]:.4f}")
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup: multi-band hyperplane LSH
 # ---------------------------------------------------------------------------
 
