@@ -1048,6 +1048,21 @@ def _q_multimodal_decode(spark, sf_dir):
               .orderBy("asset_id")
 
 
+def _q_multimodal_audio(spark, sf_dir):
+    """REAL audio decode certified by a closed-form oracle: PCM WAV
+    payloads (int16 sawtooth synthesis) decode in a mapInPandas kernel to
+    rate/length/peak/RMS; the oracle recomputes RMS analytically from the
+    synthesis formula with the identical float expression
+    (datapipe/multimodal.py decode_audio_raw, stdlib wave only)."""
+    from neo_server_spark.datapipe import multimodal
+
+    assets = multimodal.synthesize_wav_assets(spark, 8)
+    out = multimodal.audio_stats(assets)
+    return out.withColumn("rate", F.col("rate").cast("long")) \
+              .withColumn("peak", F.col("peak").cast("long")) \
+              .orderBy("asset_id")
+
+
 def _q_streaming_rollup(spark, sf_dir):
     """Structured Streaming end-to-end with a BATCH ORACLE: file-source
     readStream over the events parquet -> hourly per-tag rollup (complete
@@ -1870,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "embedding_dupes": _q_embedding_dupes,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio": _q_multimodal_audio,
         # r1-green veterans re-confirmed in the remaining window slots
         "group_aggs": _q_group_aggs,
         "group_where": _q_group_where,
@@ -2526,6 +2542,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.name, g.b, NULL FROM gaps g LEFT JOIN lo ON g.name = lo.name AND g.b = lo.b
             WHERE lo.b IS NULL
             ORDER BY name, time
+        """,
+        "multimodal_audio": """
+            SELECT i AS asset_id, CAST(8000 AS BIGINT) AS rate,
+                   CAST(256 AS BIGINT) AS n_samples,
+                   CAST(32 AS BIGINT) AS duration_ms,
+                   CAST(4000 * (i + 1) AS BIGINT) AS peak,
+                   printf('%.4f', sqrt((1408.0 * (1000.0 * (i + 1)) * (1000.0 * (i + 1))) / 256.0)) AS rms
+            FROM generate_series(0, 7) t(i) ORDER BY asset_id
         """,
         "multimodal_decode": """
             WITH a AS (

@@ -41,6 +41,93 @@ def synthesize_assets(spark, n: int = 64) -> DataFrame:
     return df
 
 
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a PCM WAV — stdlib `wave`, no deps."""
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_audio_raw(payload: bytes):
+    """REAL audio decode with no external dependency: PCM WAV → (rate,
+    int16 numpy array).  Compressed codecs (mp3/ogg) would gate on
+    ffmpeg/librosa; this path proves decode→feature end-to-end."""
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    with wave.open(_io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("only 16-bit mono PCM WAV supported")
+        rate = w.getframerate()
+        data = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    return rate, data
+
+
+AUDIO_STATS_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_ms", LongType()),
+    StructField("peak", IntegerType()),
+    StructField("rms", StringType()),   # rounded string: exact compare
+])
+
+
+def audio_stats(assets: DataFrame) -> DataFrame:
+    """mapInPandas REAL decode + feature extraction over WAV payloads:
+    sample rate, length, peak and RMS from the decoded PCM stream."""
+
+    def kernel(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "rate", "n_samples",
+                                    "duration_ms", "peak", "rms")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rate, data = decode_audio_raw(bytes(payload))
+                rows["asset_id"].append(aid)
+                rows["rate"].append(rate)
+                rows["n_samples"].append(len(data))
+                rows["duration_ms"].append(len(data) * 1000 // rate)
+                rows["peak"].append(int(abs(data.astype("int64")).max())
+                                    if len(data) else 0)
+                sq = (data.astype("float64") ** 2).sum()
+                rows["rms"].append(f"{math.sqrt(sq / max(len(data), 1)):.4f}")
+            yield pd.DataFrame(rows)
+
+    return assets.filter(F.col("modality") == "audio") \
+        .select("asset_id", "payload").mapInPandas(kernel, AUDIO_STATS_SCHEMA)
+
+
+def synthesize_wav_assets(spark, n: int = 8, rate: int = 8000,
+                          n_samples: int = 256) -> DataFrame:
+    """Asset table whose audio payloads are REAL PCM WAVs — int16 sawtooth
+    patterns with a closed-form sum of squares, so an analytic oracle can
+    certify the decoded RMS."""
+    rows = []
+    for i in range(n):
+        amp = 1000 * (i + 1)
+        # sawtooth: sample k = amp * ((k % 8) - 3)  in [-3a, 4a]
+        samples = [amp * ((k % 8) - 3) for k in range(n_samples)]
+        rows.append((i, "audio", "audio/wav",
+                     bytearray(encode_wav(samples, rate)), 0, 0,
+                     n_samples * 1000 // rate))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
 def synthesize_ppm_assets(spark, n: int = 16) -> DataFrame:
     """Asset table whose image payloads are REAL binary PPM images
     (deterministic gradient patterns) — drives the genuine

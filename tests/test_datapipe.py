@@ -159,6 +159,23 @@ def test_ppm_roundtrip_and_resize():
                for px in small.reshape(-1, 3))
 
 
+def test_wav_roundtrip_and_audio_stats(spark):
+    import math
+
+    import numpy as np
+    samples = [1000 * ((k % 8) - 3) for k in range(256)]
+    payload = multimodal.encode_wav(samples, 8000)
+    rate, back = multimodal.decode_audio_raw(payload)
+    assert rate == 8000 and (back == np.array(samples, dtype="<i2")).all()
+    assets = multimodal.synthesize_wav_assets(spark, 3)
+    got = {r.asset_id: r for r in multimodal.audio_stats(assets).collect()}
+    for i in range(3):
+        amp = 1000 * (i + 1)
+        r = got[i]
+        assert (r.rate, r.n_samples, r.duration_ms, r.peak) == (8000, 256, 32, 4 * amp)
+        assert r.rms == f"{amp * math.sqrt(5.5):.4f}"
+
+
 def test_image_stats_real_decode(spark):
     """mapInPandas decodes REAL PPM payloads and the channel means match
     numpy ground truth computed from the same synthesis."""
