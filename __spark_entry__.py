@@ -1032,6 +1032,19 @@ def _q_line_protocol(spark, sf_dir):
     return ingest.decode_line_protocol(lines)
 
 
+def _q_contamination(spark, sf_dir):
+    """Benchmark-decontamination screen (datapipe.text.contamination):
+    src0/src1 documents stand in for the eval benchmark; every other doc
+    reports its distinct 5-gram overlap against them.  The semi-join rides
+    the xxhash64 shingle digest (fixed-width shuffle keys); the oracle
+    joins raw shingles — equal modulo 64-bit collisions (~1e-10 here)."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source").isin("src0", "src1"))
+    rest = docs.filter(~F.col("source").isin("src0", "src1"))
+    return text.contamination(rest, bench, shingle_n=5, threshold=0.2) \
+        .orderBy("doc_id")
+
+
 def _q_multimodal_decode(spark, sf_dir):
     """REAL image decode certified by a closed-form oracle: PPM payloads
     (deterministic gradient synthesis) decode in a mapInPandas kernel to
@@ -1890,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dupes": _q_embedding_dupes,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
+        "contamination": _q_contamination,
         # r1-green veterans re-confirmed in the remaining window slots
         "group_aggs": _q_group_aggs,
         "group_where": _q_group_where,
@@ -2554,6 +2568,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4000 * (i + 1) AS BIGINT) AS peak,
                    printf('%.4f', sqrt((1408.0 * (1000.0 * (i + 1)) * (1000.0 * (i + 1))) / 256.0)) AS rms
             FROM generate_series(0, 7) t(i) ORDER BY asset_id
+        """,
+        "contamination": """
+            WITH sh AS (
+              SELECT doc_id, source, list_distinct(list_transform(
+                  generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0)),
+                  i -> array_to_string((string_split(text, ' '))[i+1:i+5], ' '))) AS sh
+              FROM documents
+            ), b AS (
+              SELECT DISTINCT unnest(sh) AS s FROM sh WHERE source IN ('src0', 'src1')
+            ), d AS (
+              SELECT doc_id, unnest(sh) AS s FROM sh
+              WHERE source NOT IN ('src0', 'src1')
+            ), t AS (
+              SELECT doc_id, count(*) AS n_shingles FROM d GROUP BY 1
+            ), h AS (
+              SELECT d.doc_id, count(*) AS n_hits FROM d JOIN b ON d.s = b.s GROUP BY 1
+            )
+            SELECT t.doc_id, t.n_shingles,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   round(coalesce(h.n_hits, 0) * 1.0 / t.n_shingles, 6) AS overlap,
+                   coalesce(h.n_hits, 0) * 1.0 / t.n_shingles >= 0.2 AS contaminated
+            FROM t LEFT JOIN h ON h.doc_id = t.doc_id
+            ORDER BY t.doc_id
         """,
         "multimodal_decode": """
             WITH a AS (

@@ -286,3 +286,42 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
                  F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
                  / F.sum("c"), 6).alias("dup_gram_frac"))
     )
+
+
+def contamination(docs: DataFrame, bench: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 5,
+                  threshold: float = 0.5) -> DataFrame:
+    """Benchmark-decontamination screen: per document, the fraction of its
+    distinct word ``shingle_n``-gram shingles that appear anywhere in the
+    ``bench`` corpus, plus a ``contaminated`` flag at ``threshold``.
+
+    The standard pre-training hygiene pass (n-gram overlap against eval
+    sets, as in GPT-3/PaLM decontamination): a doc sharing most of its
+    shingles with a benchmark leaks that benchmark into training.
+
+    100 TB shape: both sides explode to DISTINCT shingles and meet in a
+    LEFT SEMI join keyed on the xxhash64 digest of the shingle — shuffle
+    keys are fixed-width, the raw text never shuffles, and the benchmark
+    side (eval sets — tiny by definition) broadcasts under AQE.  Counts
+    per doc are map-side-combined before the id shuffle.
+    """
+    d = docs.select(F.col(id_col),
+                    F.explode(shingles(text_col, shingle_n)).alias("__s"))
+    d = d.select(id_col, F.xxhash64("__s").alias("__h"))
+    b = (bench.select(F.explode(shingles(text_col, shingle_n)).alias("__s"))
+         .select(F.xxhash64("__s").alias("__h")).distinct())
+    totals = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (d.join(b, "__h", "left_semi")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles"), 6)
+            .alias("overlap"),
+            (F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles")
+             >= F.lit(threshold)).alias("contaminated"),
+        )
+    )

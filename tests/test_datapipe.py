@@ -412,3 +412,19 @@ def test_quantize_int8_roundtrip_and_zero_guard(spark):
     recon = [q * rows[1].q_scale for q in rows[1].q8]
     assert all(abs(a - b) <= rows[1].q_scale / 2 + 1e-12
                for a, b in zip([1.0, -0.5, 0.25], recon))
+
+
+def test_contamination_screen(spark):
+    """Decontamination: a doc copying benchmark text flags, clean docs
+    don't; the left-anti survivor set is the training-safe corpus."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog every day", "b")],
+        ["doc_id", "text", "source"])
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog every day indeed", "a"),
+         (1, "completely unrelated words forming a fresh clean document body", "a")],
+        ["doc_id", "text", "source"])
+    out = {r.doc_id: r for r in text.contamination(
+        docs, bench, shingle_n=5, threshold=0.5).collect()}
+    assert out[0].contaminated and out[0].overlap > 0.8
+    assert not out[1].contaminated and out[1].n_hits == 0
