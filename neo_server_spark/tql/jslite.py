@@ -560,6 +560,10 @@ def _js_num_str(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
         if v == int(v) and abs(v) < 1e21:
             return str(int(v))
         return repr(v)
@@ -831,19 +835,9 @@ class Interpreter:
         if op == "*":
             return _arith(a, b, lambda x, y: x * y)
         if op == "/":
-            x, y = _to_number(a), _to_number(b)
-            if y == 0:
-                return float("nan") if x == 0 else _math.copysign(float("inf"), x) * (1 if y >= 0 else -1)
-            r = x / y
-            return r
+            return _js_div(a, b)
         if op == "%":
-            x, y = _to_number(a), _to_number(b)
-            if y == 0:
-                return float("nan")
-            r = _math.fmod(x, y)
-            if isinstance(a, int) and isinstance(b, int) and r == int(r):
-                return int(r)
-            return r
+            return _js_mod(a, b)
         if op in ("===", "!=="):
             eq = _strict_eq(a, b)
             return eq if op == "===" else not eq
@@ -879,9 +873,9 @@ class Interpreter:
             elif base == "*":
                 val = _arith(cur, val, lambda x, y: x * y)
             elif base == "/":
-                val = _to_number(cur) / _to_number(val)
+                val = _js_div(cur, val)
             elif base == "%":
-                val = _math.fmod(_to_number(cur), _to_number(val))
+                val = _js_mod(cur, val)
         self.store(target, val, scope)
         return val
 
@@ -991,6 +985,33 @@ def _to_number(v) -> float:
     if isinstance(v, JSDate):
         return v.ms
     return float("nan")
+
+
+def _js_div(a, b):
+    """JS '/': NaN dividend -> NaN; x/±0 -> ±Infinity by the SIGNS of both
+    operands (copysign handles -0.0 divisors, which Python's >= treats as
+    non-negative); never raises."""
+    x, y = _to_number(a), _to_number(b)
+    if x != x or y != y:
+        return float("nan")
+    if y == 0:
+        if x == 0:
+            return float("nan")
+        sign = _math.copysign(1.0, x) * _math.copysign(1.0, y)
+        return _math.copysign(float("inf"), sign)
+    return x / y
+
+
+def _js_mod(a, b):
+    """JS '%': truncating fmod; x % 0 and NaN operands -> NaN; int stays
+    int when both operands are ints; never raises."""
+    x, y = _to_number(a), _to_number(b)
+    if x != x or y != y or y == 0 or x in (float("inf"), float("-inf")):
+        return float("nan")
+    r = _math.fmod(x, y)
+    if isinstance(x, int) and isinstance(y, int) and r == int(r):
+        return int(r)
+    return r
 
 
 def _arith(a, b, fn):
@@ -1300,9 +1321,11 @@ def _array_member(arr: list, name: str):
                 arr.sort(key=to_display)
             else:
                 import functools
-                arr.sort(key=functools.cmp_to_key(
-                    lambda a, b: -1 if _to_number(fn(a, b)) < 0
-                    else (1 if _to_number(fn(a, b)) > 0 else 0)))
+
+                def cmp(a, b):
+                    r = _to_number(fn(a, b))  # one comparator call per compare
+                    return -1 if r < 0 else (1 if r > 0 else 0)
+                arr.sort(key=functools.cmp_to_key(cmp))
             return arr
         return sort
     return UNDEFINED

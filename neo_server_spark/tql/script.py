@@ -348,6 +348,9 @@ def _parse_time(rt, v, fmt="ns", tz="UTC"):
         mult = _TIME_UNIT_NS[fmt]
         if _is_col(v):
             return _epoch_to_ns(v, mult)
+        if isinstance(v, float):
+            # int(1.5) would silently truncate the fraction — scale first
+            return int(v * mult) if not v.is_integer() else int(v) * mult
         try:
             return int(v) * mult
         except (TypeError, ValueError):
@@ -530,7 +533,9 @@ class _DollarRequest:
             raise ValueError(f"HTTPError unsupported method {method!r}")
         headers = self.opts.get("headers") or {}
         body = str(self.opts.get("body", ""))
-        data = body.encode() if body and method in ("POST", "PUT") else None
+        # the reference attaches the body for every method, not just
+        # POST/PUT (http.NewRequest with a body reader)
+        data = body.encode() if body else None
         req = urllib.request.Request(self.url, method=method, data=data)
         for k, v in headers.items():
             req.add_header(str(k), str(v))
@@ -543,25 +548,32 @@ class _DollarRequest:
         except Exception as e:  # error surfaces via rsp.error(), never raises
             err = e
 
+        from neo_server_spark.tql import doers as D
+
         def bodyfn(typ):
             def run(cb):
                 if err is not None or raw is None:
                     return jslite.UNDEFINED
                 text = raw.decode("utf-8", "replace")
-                if typ in ("text", "blob"):
-                    cb(text)
-                elif typ == "csv":
-                    for row in _csv.reader(_io.StringIO(text),
-                                           skipinitialspace=True):
-                        cb(list(row))
-                elif typ == "json":
-                    dec = _json.JSONDecoder()
-                    s, idx = text.strip(), 0
-                    while idx < len(s):
-                        obj, idx = dec.raw_decode(s, idx)
-                        cb(obj)
-                        while idx < len(s) and s[idx] in " \t\r\n":
-                            idx += 1
+                try:
+                    if typ in ("text", "blob"):
+                        cb(text)
+                    elif typ == "csv":
+                        for row in _csv.reader(_io.StringIO(text),
+                                               skipinitialspace=True):
+                            cb(list(row))
+                    elif typ == "json":
+                        dec = _json.JSONDecoder()
+                        s, idx = text.strip(), 0
+                        while idx < len(s):
+                            obj, idx = dec.raw_decode(s, idx)
+                            cb(obj)
+                            while idx < len(s) and s[idx] in " \t\r\n":
+                                idx += 1
+                except (ValueError, _csv.Error) as ex:
+                    # parse errors log and continue — the reference returns
+                    # a GoError value, it never aborts the task
+                    D.LOG.error("HTTPError %s", ex)
                 return jslite.UNDEFINED
             return run
 
@@ -610,17 +622,37 @@ class _DollarDBQuery:
         runner = self._dollar._runner
         if runner.sf_dir:
             nio.register_views(runner.spark, runner.sf_dir)
-        sql = self._sql
-        for p in self._params:  # '?' placeholder substitution
-            lit = "'" + str(p).replace("'", "''") + "'" \
-                if isinstance(p, str) else repr(p)
-            sql = sql.replace("?", lit, 1)
+        from neo_server_spark.tql.jslite import UNDEFINED
+
+        def lit(p):
+            if isinstance(p, str):
+                return "'" + p.replace("'", "''") + "'"
+            if p is None or p is UNDEFINED:
+                return "NULL"
+            if isinstance(p, bool):
+                return "TRUE" if p else "FALSE"
+            return repr(p)
+        # split on '?' FIRST so a substituted literal containing '?' can
+        # never consume a later placeholder
+        parts = self._sql.split("?")
+        if len(parts) - 1 != len(self._params) and self._params:
+            raise ValueError(
+                f"$.db().query: {len(parts) - 1} placeholders, "
+                f"{len(self._params)} params")
+        sql = parts[0] + "".join(
+            lit(p) + rest for p, rest in zip(self._params, parts[1:]))
         df = lake_sql(runner.spark, sql)
         cols = list(df.columns)
 
         def conv(v):
-            if isinstance(v, datetime.datetime):  # time values -> epoch ns
-                return int(v.timestamp() * 1e9)
+            if isinstance(v, datetime.datetime):
+                # epoch-ns via integer field math — a float-seconds
+                # round-trip corrupts ns/µs above 2^53
+                import calendar
+                if v.tzinfo is not None:
+                    v = v.astimezone(datetime.timezone.utc)
+                secs = calendar.timegm(v.timetuple())
+                return secs * 10**9 + v.microsecond * 1000
             return v
         return cols, [[conv(v) for v in r] for r in df.collect()]
 
@@ -638,46 +670,68 @@ class _DollarDBQuery:
             getattr(self._dollar, "yield")(*r)
 
 
-def _normalize_script_columns(data: list[tuple], nvals: int):
-    """Dynamically-typed yields -> Spark-typable columns: per value column,
-    all-int stays long, numeric mixes widen to double, JSDate becomes
-    epoch-ns (marked as a time column), anything mixed renders as display
-    strings (the reference's records are untyped; CSV formats per value)."""
+def _script_col_type(vals):
+    """(converter, spark type name, is_time) for one dynamically-typed
+    column of yields: all-int stays long, numeric mixes widen to double,
+    JSDate becomes epoch-ns (time), all-null stays a typed NULL string
+    column, anything mixed renders as display strings (the reference's
+    records are untyped; CSV formats per value)."""
     from neo_server_spark.tql.jslite import UNDEFINED, JSDate, to_display
 
-    date_cols: set[int] = set()
-    if not data:
-        return data, date_cols
-    for ci in range(nvals):
-        col = ci + 2  # after __seq, __key
-        vals = [r[col] for r in data]
-        kinds = set()
-        for v in vals:
-            if v is None or v is UNDEFINED:
-                continue
-            if isinstance(v, bool):
-                kinds.add("bool")
-            elif isinstance(v, int):
-                kinds.add("int")
-            elif isinstance(v, float):
-                kinds.add("float")
-            elif isinstance(v, JSDate):
-                kinds.add("date")
-            else:
-                kinds.add("str")
-        if kinds == {"date"}:
-            conv = lambda v: None if v is None or v is UNDEFINED else int(v.ms * 1e6)  # noqa: E731
-            date_cols.add(ci)
-        elif kinds <= {"int"}:
-            conv = lambda v: None if v is None or v is UNDEFINED else v  # noqa: E731
-        elif kinds <= {"int", "float"}:
-            conv = lambda v: None if v is None or v is UNDEFINED else float(v)  # noqa: E731
-        elif kinds == {"bool"}:
-            conv = lambda v: None if v is None or v is UNDEFINED else v  # noqa: E731
+    kinds = set()
+    for v in vals:
+        if v is None or v is UNDEFINED:
+            continue
+        if isinstance(v, bool):
+            kinds.add("bool")
+        elif isinstance(v, int):
+            kinds.add("int")
+        elif isinstance(v, float):
+            kinds.add("float")
+        elif isinstance(v, JSDate):
+            kinds.add("date")
         else:
-            conv = lambda v: None if v is None or v is UNDEFINED else to_display(v)  # noqa: E731
+            kinds.add("str")
+
+    def none_or(f):
+        return lambda v: None if v is None or v is UNDEFINED else f(v)
+    if kinds == {"date"}:
+        return none_or(lambda v: int(v.ms * 1e6)), "long", True
+    if not kinds:  # entirely null/undefined — inference would fail
+        return none_or(lambda v: v), "string", False
+    if kinds <= {"int"}:
+        return none_or(lambda v: v), "long", False
+    if kinds <= {"int", "float"}:
+        return none_or(float), "double", False
+    if kinds == {"bool"}:
+        return none_or(lambda v: v), "boolean", False
+    return none_or(to_display), "string", False
+
+
+def _normalize_script_columns(data: list[tuple], nvals: int):
+    """Apply :func:`_script_col_type` to the key and every value column;
+    returns (converted rows, explicit schema, time column indexes) — an
+    explicit schema so all-null columns and mixed keys never hit Spark's
+    type inference."""
+    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                                   StringType, StructField, StructType)
+
+    spark_t = {"long": LongType(), "double": DoubleType(),
+               "boolean": BooleanType(), "string": StringType()}
+    date_cols: set[int] = set()
+    fields = [StructField("__seq", LongType())]
+    # key column (index 1): same dynamic typing as values
+    kconv, ktype, _ = _script_col_type([r[1] for r in data])
+    fields.append(StructField("__key", spark_t[ktype]))
+    data = [(r[0], kconv(r[1]), *r[2:]) for r in data]
+    for ci in range(nvals):
+        col = ci + 2
+        conv, tname, is_time = _script_col_type([r[col] for r in data])
+        if is_time:
+            date_cols.add(ci)
+        fields.append(StructField(f"c{ci}", spark_t[tname]))
         data = [r[:col] + (conv(r[col]),) + r[col + 1:] for r in data]
-    return data, date_cols
+    return data, StructType(fields), date_cols
 
 
 class TqlRunner:
@@ -1582,17 +1636,9 @@ class TqlRunner:
         for seq, (key, vals) in enumerate(rows):
             vals = list(vals) + [None] * (nvals - len(vals))
             data.append((seq, key if key is not None else seq + 1, *vals))
-        norm, date_cols = _normalize_script_columns(data, nvals)
+        norm, schema, date_cols = _normalize_script_columns(data, nvals)
         times |= date_cols
-        cols = ["__seq", "__key"] + [f"c{i}" for i in range(nvals)]
-        if norm:
-            df = self.spark.createDataFrame(norm, cols)
-        else:
-            from pyspark.sql.types import (LongType, StringType, StructField,
-                                           StructType)
-            df = self.spark.createDataFrame([], StructType(
-                [StructField("__seq", LongType()), StructField("__key", StringType())]
-                + [StructField(f"c{i}", StringType()) for i in range(nvals)]))
+        df = self.spark.createDataFrame(norm, schema)
         self._set(df, names, times=times)
 
     #: sub-commands the reference's shell runner refuses (fm_shell.go:94)
@@ -1616,9 +1662,19 @@ class TqlRunner:
                 "SHELL() is disabled: construct TqlRunner(allow_shell=True) "
                 "to permit scripts to execute host commands")
         cmd = str(self.ev(args[0]))
+        # tokenize with ';' as punctuation so a semicolon INSIDE quotes
+        # stays part of its argument (splitting the raw string first would
+        # break quoted literals apart)
+        lex = shlex.shlex(cmd, posix=True, punctuation_chars=";")
+        lex.whitespace_split = True
+        subcmds: list[list[str]] = [[]]
+        for tok in lex:
+            if tok == ";":
+                subcmds.append([])
+            else:
+                subcmds[-1].append(tok)
         lines: list[str] = []
-        for sub in cmd.split(";"):
-            toks = shlex.split(sub.strip())
+        for toks in subcmds:
             if not toks:
                 continue
             if toks[0].lower() in self._SHELL_BLOCKLIST:

@@ -152,3 +152,36 @@ def test_to_display_number_formatting():
     assert to_display(True) == "true"
     assert to_display(None) == "null"
     assert to_display(UNDEFINED) == "undefined"
+
+
+def test_review_findings_division_and_display():
+    """Round-4 review regressions: Infinity display, JS division/modulo
+    edge semantics, compound-assignment parity, sort comparator calls."""
+    # Infinity renders, never raises
+    assert run_expr("'' + 1/0") == "Infinity"
+    assert run_expr("'' + (-1)/0") == "-Infinity"
+    assert to_display(float("inf")) == "Infinity"
+    # x/±0 follows BOTH signs; NaN propagates
+    assert run_expr("1 / -0.0") == float("-inf")
+    assert run_expr("-1 / -0.0") == float("inf")
+    assert math.isnan(run_expr("(0/0) / 0"))
+    assert math.isnan(run_expr("(0/0) % 2"))
+    # compound assignment uses the same never-raise semantics
+    d = Sink()
+    it = Interpreter(d)
+    it.run("var x = 5; x /= 0; var y = 7; y %= 0; $.yield('' + x, '' + y);")
+    assert d.rows == [["Infinity", "NaN"]]
+    # int-preserving %= like %
+    assert run_expr("7 % 2") == 1
+    d2 = Sink()
+    Interpreter(d2).run("var z = 7; z %= 2; $.yield(z);")
+    assert d2.rows == [[1]]
+    # sort comparator: one call per comparison (a 2-element sort is
+    # exactly one comparison; the old code invoked the comparator twice)
+    d3 = Sink()
+    Interpreter(d3).run("""
+        var calls = 0;
+        [2, 1].sort(function(a, b){ calls += 1; return a - b; });
+        $.yield(calls);
+    """)
+    assert d3.rows[0][0] == 1
