@@ -2207,14 +2207,41 @@ class TqlRunner:
         lines.append("})();")
         self.chart_js = "\n".join(lines)
 
-        envelope = {
-            "chartID": chart_id,
-            "jsAssets": js_assets,
-            "jsCodeAssets": [f"/web/api/tql-assets/{chart_id}.js"],
-            "style": {"width": width, "height": height},
-            "theme": theme,
-        }
-        self.output = _json.dumps(envelope, separators=(",", ":"))
+        if "chartJSON" in opts and bool(opts["chartJSON"][0][0]):
+            envelope = {
+                "chartID": chart_id,
+                "jsAssets": js_assets,
+                "jsCodeAssets": [f"/web/api/tql-assets/{chart_id}.js"],
+                "style": {"width": width, "height": height},
+                "theme": theme,
+            }
+            self.output = _json.dumps(envelope, separators=(",", ":"))
+        else:
+            # default output is the HTML page (chart/test/test_line.html):
+            # script tags per asset, centered chart div sized per style
+            asset_tags = "\n".join(
+                f'    <script src="{a}"></script>' for a in js_assets)
+            self.output = f"""<!DOCTYPE html>
+<html>
+<head>
+    <meta charset="utf-8">
+    <title></title>
+{asset_tags}
+    <style>
+        .chart_container {{margin-top:30px; display: flex;justify-content: center;align-items: center; height: 100%;}}
+        .chart_item {{margin: auto;}}
+    </style>
+</head>
+
+<body style="width:100vw; height:100vh">
+<div class="chart_container">
+    <div class="chart_item" id="{chart_id}" style="width:{width};height:{height};"></div>
+</div>
+<script src="/web/api/tql-assets/{chart_id}.js"></script>
+
+</body>
+</html>
+"""
 
     def _chart_compat(self, kind: str, args):
         """CHART_LINE/BAR/SCATTER (chartcompat.go): series auto-built from

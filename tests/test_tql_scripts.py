@@ -675,6 +675,30 @@ def test_chart_statement_testline_golden(spark):
     assert got == want
 
 
+def test_chart_statement_html_golden(spark):
+    """chart_test.go TestLine html mode: without chartJSON(true) the sink
+    emits the reference's HTML page (whitespace-trimmed line compare)."""
+    import os
+
+    from neo_server_spark.tql.script import TqlRunner
+
+    if not os.path.isdir(REF_CHART_DIR):
+        pytest.skip("reference chart goldens not available")
+    out = TqlRunner(spark).run("""
+        FAKE(json({ [1692670838086467000, 0.0] }))
+        MAPVALUE(0, time(value(0)))
+        CHART(
+            chartID('WejMYXCGcYNL'),
+            theme('white'),
+            chartOption({ "series": [ { "type": "line", "data": column(1) } ] })
+        )
+    """)
+    with open(os.path.join(REF_CHART_DIR, "test_line.html")) as f:
+        want = [ln.strip() for ln in f.read().strip().splitlines() if ln.strip()]
+    got = [ln.strip() for ln in out.strip().splitlines() if ln.strip()]
+    assert got == want
+
+
 def test_chart_statement_scatter_golden(spark):
     """chart_test.go TestScatter — same pipeline, scatter series type."""
     import json as _json
