@@ -2470,10 +2470,13 @@ def oracle_sql() -> dict[str, str]:
                   i -> array_to_string(l[i+1:i+3], ' '))) AS sh
               FROM toks
             ), shx AS (
-              SELECT doc_id, unnest(sh) AS s FROM shl
+              SELECT doc_id,
+                     ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT % 2147483647 AS m
+              FROM shl
             ), hs AS (
               SELECT doc_id, t.i,
-                     min(('0x' || substr(md5(t.i::VARCHAR || '|' || s), 1, 15))::BIGINT) AS h
+                     min(((t.i + 1) * 2654435761 % 2147483647 * m
+                          + (t.i + 1) * 2654445111 % 2147483647) % 2147483647) AS h
               FROM shx CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) t
               GROUP BY doc_id, t.i
             ), sig AS (

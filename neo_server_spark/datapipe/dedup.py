@@ -47,31 +47,55 @@ def exact_dedup_stats(docs: DataFrame, text_col: str = "text", by: str = "source
 
 # ---------------------------------------------------------------- minhash + LSH
 
-def _shingle_hash(s: Column, seed: int, hash_fn: str) -> Column:
-    """One member of the MinHash family.  'xxhash64' is the production path
-    (seeded JVM hash, no string materialization); 'md5' derives a 60-bit
-    integer from the md5 hex prefix of 'seed|shingle' — md5 is identical in
-    Spark and DuckDB, making signatures (and therefore the whole LSH
-    pipeline) certifiable by the SQL oracle."""
-    if hash_fn == "xxhash64":
-        return F.xxhash64(s, F.lit(seed))
-    if hash_fn == "md5":
-        return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)),
-                                  1, 15), 16, 10).cast("long")
-    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+#: prime modulus and multiplier base for the md5-mode affine hash family
+#: (identical integer arithmetic in Spark and DuckDB: all products stay
+#: below 2^63, so no JVM wraparound vs DuckDB overflow divergence)
+_MH_P = 2147483647           # 2^31 - 1 (Mersenne prime)
+_MH_MUL = 2654435761         # Knuth's multiplicative constant
+_MH_ADD = 40503 * 65537
+
+
+def _mh_affine(i: int) -> tuple[int, int]:
+    """(a_i, b_i) for permutation i — nonzero a_i since both factors are
+    nonzero mod the prime."""
+    return ((i + 1) * _MH_MUL) % _MH_P, ((i + 1) * _MH_ADD) % _MH_P
 
 
 def minhash_signature(docs: DataFrame, text_col: str = "text",
                       num_hashes: int = 64, shingle_n: int = 3,
                       out: str = "minhash", hash_fn: str = "xxhash64") -> DataFrame:
-    """MinHash signature per doc: for seed i, min over shingles of
-    H_i(shingle).  Pure array expressions — Arrow/codegen path."""
+    """MinHash signature per doc: min over shingles of H_i(shingle), for
+    ``num_hashes`` family members.  Pure array expressions — Arrow/codegen.
+
+    'xxhash64' (production): H_i = xxhash64(shingle, seed=i), one seeded
+    JVM hash per member.  'md5' (SQL-oracle-certifiable): the classic
+    one-hash + affine-permutation construction — ONE md5 per shingle
+    reduced mod a prime, then H_i = (a_i*m + b_i) mod P; md5 and the
+    integer arithmetic are identical in Spark and DuckDB, and only one
+    digest is computed per shingle (64 separate md5s were ~7x slower)."""
     sh = shingles(text_col, shingle_n)
+    if hash_fn == "xxhash64":
+        sig = F.array(*[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ])
+        return docs.withColumn(out, sig)
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    ms = F.transform(sh, lambda s: F.conv(
+        F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % F.lit(_MH_P))
+    docs = docs.withColumn("__mh_ms", ms)  # materialize: ONE md5 pass
+
+    def perm(i: int):
+        a, b = _mh_affine(i)
+        # single-param lambda: a 2-param one would bind Spark's (elem, idx)
+        return lambda m: (F.lit(a) * m + F.lit(b)) % F.lit(_MH_P)
+
     sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s: _shingle_hash(s, i, hash_fn)))
+        F.array_min(F.transform(F.col("__mh_ms"), perm(i)))
         for i in range(num_hashes)
     ])
-    return docs.withColumn(out, sig)
+    return docs.withColumn(out, sig).drop("__mh_ms")
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
