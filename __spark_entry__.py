@@ -746,6 +746,42 @@ def _q_tql_script_js(spark, sf_dir):
     """)
 
 
+def _q_scalar_funcs_tql(spark, sf_dir):
+    """Round-5 registry completion exercised through the TEXT front-end:
+    the trig/hyperbolic family, log2/exp2/trunc/mod/remainder
+    (fx_definitions.go:79-105), strIndex/strLastIndex (fm_fake.go:632-638),
+    regexp/glob (fm_monad.go:2144-2167), strTime + the timeYear..timeWeekDay
+    extractors, timeUnix*, and tz() (fm_time.go:54-394) — every expression
+    parsed from .tql text and lowered to JVM-side Column expressions (no
+    UDFs, scan-side projection; scale-safe by construction)."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    return TqlRunner(spark, sf_dir=sf_dir).run("""
+        SQL('select event_id, ts, value, event_type from events')
+        MAPVALUE(4, timeYear(value(1)), "yr")
+        MAPVALUE(5, timeISOWeek(value(1)), "isow")
+        MAPVALUE(6, timeISOYear(value(1)), "isoy")
+        MAPVALUE(7, timeYearDay(value(1)), "yday")
+        MAPVALUE(8, timeWeekDay(value(1)), "wd")
+        MAPVALUE(9, timeUnixMilli(value(1)), "t_ms")
+        MAPVALUE(10, timeHour(value(1), tz('Asia/Seoul')), "hr_kst")
+        MAPVALUE(11, strTime(value(1), 'RFC3339'), "rfc")
+        MAPVALUE(12, round(atan(value(2)), 6), "at")
+        MAPVALUE(13, round(sinh(mod(value(2), 4)), 6), "sh")
+        MAPVALUE(14, round(tanh(value(2) / 100), 6), "th")
+        MAPVALUE(15, round(log2(abs(value(2)) + 1), 6), "l2")
+        MAPVALUE(16, round(exp2(mod(value(2), 8)), 6), "e2")
+        MAPVALUE(17, trunc(value(2) / 7), "tr")
+        MAPVALUE(18, round(remainder(value(2), 2), 6), "rem")
+        MAPVALUE(19, round(acos(mod(value(2), 1)), 6), "ac")
+        MAPVALUE(20, strIndex(value(3), 'a'), "idx_a")
+        MAPVALUE(21, strLastIndex(value(3), 'a'), "lidx_a")
+        MAPVALUE(22, regexp('^[cp]', value(3)), "rx")
+        MAPVALUE(23, glob('*e*', value(3)), "gl")
+        POPVALUE(1, 2, 3)
+    """)
+
+
 def _q_lookup_join(spark, sf_dir):
     """VOLATILE/LOOKUP keyed table (spi/do.go:197-207): upsert -> update ->
     delete, then enrich the event stream by joining the final state.  The
@@ -1861,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _q_set_ops,
         "tql_script": _q_tql_script,
         "tql_script_js": _q_tql_script_js,
+        "scalar_funcs_tql": _q_scalar_funcs_tql,
         "lookup_join": _q_lookup_join,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
@@ -2690,6 +2727,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(user_id % 7) AS DOUBLE) AS modsum
             FROM events WHERE value > 100
             GROUP BY 1 ORDER BY name
+        """,
+        "scalar_funcs_tql": """
+            SELECT event_id,
+                   year(ts) AS yr,
+                   weekofyear(ts) AS isow,
+                   isoyear(ts) AS isoy,
+                   dayofyear(ts) AS yday,
+                   dayofweek(ts) AS wd,
+                   epoch_us(ts) // 1000 AS t_ms,
+                   hour(ts + INTERVAL 9 HOUR) AS hr_kst,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS rfc,
+                   round(atan(value), 6) AS at,
+                   round((exp(value - 4.0 * trunc(value / 4.0))
+                          - exp(-(value - 4.0 * trunc(value / 4.0)))) / 2,
+                         6) AS sh,
+                   round((exp(2 * value / 100) - 1)
+                         / (exp(2 * value / 100) + 1), 6) AS th,
+                   round(log2(abs(value) + 1), 6) AS l2,
+                   round(power(2.0, value - 8.0 * trunc(value / 8.0)), 6) AS e2,
+                   CAST(trunc(value / 7) AS DOUBLE) AS tr,
+                   round(value - 2.0 * round_even(value / 2.0, 0), 6) AS rem,
+                   round(acos(value - trunc(value)), 6) AS ac,
+                   CASE WHEN strpos(event_type, 'a') = 0 THEN -1
+                        ELSE strpos(event_type, 'a') - 1 END AS idx_a,
+                   CASE WHEN strpos(reverse(event_type), 'a') = 0 THEN -1
+                        ELSE length(event_type)
+                             - strpos(reverse(event_type), 'a') END AS lidx_a,
+                   regexp_matches(event_type, '^[cp]') AS rx,
+                   event_type LIKE '%e%' AS gl
+            FROM events
         """,
         "tql_dsl": """
             SELECT event_type AS name, round(value * 1.1, 6) AS value,

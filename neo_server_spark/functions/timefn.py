@@ -296,3 +296,73 @@ def sql_timeformat_to_layout(fmt: str) -> str:
 def ansi_timeformat_to_layout(fmt: str) -> str:
     """'yyyy-mm-dd hh:nn:ss.ffffff' -> Go layout."""
     return _style_to_layout(fmt, _ANSI_TOKENS, "f")
+
+
+# ---------------------------------------------------------------------------
+# Python-scalar rendering of Go layouts (the TQL front-end's strTime() when
+# every argument is a literal — e.g. inside FAKE()/SET() expressions where
+# there is no DataFrame to attach a Column to).  Mirrors str_time_named.
+# ---------------------------------------------------------------------------
+
+def resolve_tz(name: str | None) -> str:
+    """Go time.LoadLocation name -> IANA zone usable by Spark/zoneinfo.
+    'Local' resolves to $TZ (UTC when unset — the engine's convention)."""
+    if not name or name.upper() == "UTC":
+        return "UTC"
+    if name == "Local":
+        import os
+        return os.environ.get("TZ") or "UTC"
+    return name
+
+
+def strtime_py(ns: int, name_or_layout: str, tz: str | None = None) -> str:
+    """Format an epoch-ns int with a named timeformat / raw Go layout,
+    entirely in Python (scalar twin of str_time_named; fm_time.go:323-371)."""
+    import datetime as _dt
+    import zoneinfo
+
+    layout = get_timeformat(name_or_layout)
+    if layout in ("s", "ms", "us", "ns"):
+        return str(ns // {"s": SECOND, "ms": MS, "us": US, "ns": 1}[layout])
+    frac_digits, frac_trim = 0, False
+    m = _FRAC_RE.search(layout)
+    if m:
+        frac_digits, frac_trim = len(m.group(1)), m.group(1)[0] == "9"
+        layout = layout[:m.start()]
+    zone = zoneinfo.ZoneInfo(resolve_tz(tz))
+    dt = _dt.datetime.fromtimestamp(ns // SECOND, tz=zone)
+    off = dt.utcoffset() or _dt.timedelta(0)
+    off_min = int(off.total_seconds()) // 60
+    sign, off_min = ("-", -off_min) if off_min < 0 else ("+", off_min)
+    tokens = [
+        ("2006", f"{dt.year:04d}"), ("January", dt.strftime("%B")),
+        ("Monday", dt.strftime("%A")), ("Jan", dt.strftime("%b")),
+        ("Mon", dt.strftime("%a")), ("MST", dt.tzname() or "UTC"),
+        ("Z07:00", "Z" if not off else f"{sign}{off_min // 60:02d}:{off_min % 60:02d}"),
+        ("-0700", f"{sign}{off_min // 60:02d}{off_min % 60:02d}"),
+        ("15", f"{dt.hour:02d}"), ("01", f"{dt.month:02d}"),
+        ("02", f"{dt.day:02d}"), ("03", f"{(dt.hour % 12) or 12:02d}"),
+        ("04", f"{dt.minute:02d}"), ("05", f"{dt.second:02d}"),
+        ("06", f"{dt.year % 100:02d}"), ("_2", f"{dt.day:2d}"),
+        ("PM", "PM" if dt.hour >= 12 else "AM"),
+        ("3", str((dt.hour % 12) or 12)), ("4", str(dt.minute)),
+        ("5", str(dt.second)), ("2", str(dt.day)), ("1", str(dt.month)),
+    ]
+    out, i = [], 0
+    while i < len(layout):
+        for go, rendered in tokens:
+            if layout.startswith(go, i):
+                out.append(rendered)
+                i += len(go)
+                break
+        else:
+            out.append(layout[i])
+            i += 1
+    base = "".join(out)
+    if not frac_digits:
+        return base
+    frac = f"{ns % SECOND:09d}"[:frac_digits]
+    if frac_trim:
+        frac = frac.rstrip("0")
+        return base if not frac else f"{base}.{frac}"
+    return f"{base}.{frac}"

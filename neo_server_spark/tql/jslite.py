@@ -477,15 +477,19 @@ class _Continue(Exception):
 
 
 class JSFunction:
+    # fields are underscore-private so member access from scripts (which
+    # never resolves underscore names) cannot reach the interpreter or the
+    # scope chain through a function value
     def __init__(self, params, body, env, interp):
-        self.params, self.body, self.env, self.interp = params, body, env, interp
+        self._params, self._body, self._env, self._interp = \
+            params, body, env, interp
 
     def __call__(self, *args):
-        local = Scope(self.env)
-        for i, p in enumerate(self.params):
+        local = Scope(self._env)
+        for i, p in enumerate(self._params):
             local.declare(p, args[i] if i < len(args) else UNDEFINED)
         try:
-            self.interp.exec_block(self.body, local)
+            self._interp.exec_block(self._body, local)
         except _Return as r:
             return r.value
         return UNDEFINED
@@ -531,6 +535,7 @@ class Scope:
 
 class JSDate:
     """Minimal Date: constructed from epoch-ms or ISO text."""
+    _js_host = True
 
     def __init__(self, ms: float):
         self.ms = float(ms)
@@ -899,6 +904,11 @@ class Interpreter:
             idx = self.eval(target[2], scope)
             if isinstance(obj, list):
                 i = int(idx)
+                if i < 0:
+                    # JS sets a '-1' string property and leaves the array
+                    # elements untouched; Python negative indexing would
+                    # silently overwrite from the end — ignore the write
+                    return
                 while len(obj) <= i:
                     obj.append(UNDEFINED)
                 obj[i] = val
@@ -927,10 +937,15 @@ class Interpreter:
                 return lambda: _js_num_str(obj)
         # underscore names never resolve — dunders like __class__ are the
         # classic interpreter-escape surface and host-object internals are
-        # private by convention
-        attr = None if name.startswith("_") else getattr(obj, name, None)
-        if attr is not None:
-            return attr
+        # private by convention.  The getattr fallback additionally
+        # requires the class to opt in with _js_host = True, so a future
+        # host type (or a JSFunction) never leaks arbitrary attributes —
+        # everything else goes through js_get-only dispatch.
+        if (not name.startswith("_")
+                and getattr(type(obj), "_js_host", False)):
+            attr = getattr(obj, name, None)
+            if attr is not None:
+                return attr
         js_get = getattr(obj, "js_get", None)
         if js_get is not None:
             return js_get(name)
@@ -1077,6 +1092,7 @@ def _parse_float(v=UNDEFINED):
 
 
 class _Console:
+    _js_host = True
     def __init__(self, log):
         self._log = log
 
@@ -1093,6 +1109,7 @@ class _Console:
 
 
 class _MathNS:
+    _js_host = True
     PI = _math.pi
     E = _math.e
 
@@ -1127,6 +1144,7 @@ _MATH = _MathNS()
 
 
 class _JSONNS:
+    _js_host = True
     @staticmethod
     def parse(s):
         return _json.loads(s)
@@ -1144,6 +1162,7 @@ class _JSONNS:
 
 class _DateCtor:
     """new Date(ms) / new Date(iso); Date.parse(iso) -> epoch-ms."""
+    _js_host = True
 
     def construct(self, *args):
         if not args:
@@ -1176,6 +1195,7 @@ class _DateCtor:
 
 
 class _ArrayNS:
+    _js_host = True
     @staticmethod
     def isArray(v=UNDEFINED):
         return isinstance(v, list)
@@ -1333,7 +1353,7 @@ def _array_member(arr: list, name: str):
 
 def _fn_arity(fn) -> int:
     if isinstance(fn, JSFunction):
-        return len(fn.params)
+        return len(fn._params)
     try:
         import inspect
         return len(inspect.signature(fn).parameters)

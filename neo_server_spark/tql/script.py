@@ -443,6 +443,141 @@ SCALARS = {
     "boolType": lambda rt: "bool",
 }
 
+# ---- round-5 registry completion: the remaining fx_definitions.go names
+# (trig/hyperbolic family fx_definitions.go:79-105, strIndex/strLastIndex
+# fm_fake.go:632-638, regexp/glob fm_monad.go:2144-2167, strTime + the
+# timeYear..timeWeekDay extractors and timeUnix* fm_time.go:54-322, tz
+# fm_time.go:394).  All delegate to functions/mathfn|strfn|timefn.
+
+
+def _tz_of(args):
+    """Pick the tz(...) argument out of an extractor's trailing args."""
+    from neo_server_spark.functions.timefn import resolve_tz
+    for a in args:
+        if isinstance(a, tuple) and len(a) == 2 and a[0] == "tz":
+            return a[1]
+        if isinstance(a, str):
+            return resolve_tz(a)
+    return None
+
+
+def _time_extract(colfn, pyfn, tz_invariant=False):
+    """Factory for timeYear..timeWeekDay: Column path extracts via timefn
+    (optionally wall-clock-shifted into tz), scalar path via datetime."""
+    from neo_server_spark.functions import timefn as T
+
+    def impl(rt, t, *args):
+        tzname = _tz_of(args)
+        if _is_col(t):
+            c = _lift(t).cast("long")
+            if tzname and tzname != "UTC" and not tz_invariant:
+                # shift the epoch so UTC extraction reads tz wall clock;
+                # zone offsets are minute-aligned so sub-second is safe
+                ts = F.from_utc_timestamp(T.to_timestamp_ns(c), tzname)
+                c = T.from_timestamp(ts)
+            return colfn(c)
+        import datetime
+        import zoneinfo
+        ns = int(t)
+        dt = datetime.datetime.fromtimestamp(
+            ns // T.SECOND, tz=zoneinfo.ZoneInfo(tzname or "UTC"))
+        return pyfn(dt, ns)
+    return impl
+
+
+def _time_unix(unit_ns):
+    def impl(rt, t):
+        from neo_server_spark.functions.timefn import _div
+        if _is_col(t):
+            c = _lift(t).cast("long")
+            # integer-field division — a double-valued `/` loses the low
+            # bits of epoch-ns (> 2^53) and yields off-by-one millis
+            return c if unit_ns == 1 else _div(c, unit_ns)
+        return int(t) // unit_ns
+    return impl
+
+
+def _str_time(rt, t, fmt="ns", *args):
+    from neo_server_spark.functions import timefn as T
+    tzname = _tz_of(args)
+    fmt = str(fmt)
+    if fmt in _TIME_UNIT_NS:
+        v = _time_unix(_TIME_UNIT_NS[fmt])(rt, t)
+        return v.cast("string") if _is_col(v) else str(v)
+    if _is_col(t):
+        return T.str_time_named(_lift(t).cast("long"), fmt, tzname)
+    return T.strtime_py(int(t), fmt, tzname)
+
+
+def _glob_rx(pattern: str) -> str:
+    import re as _re
+    return "^" + _re.escape(pattern).replace(r"\*", ".*") \
+        .replace(r"\?", ".") + "$"
+
+
+def _install_round5_scalars():
+    import re as _re
+
+    from neo_server_spark.functions import mathfn, strfn
+    from neo_server_spark.functions import timefn as T
+    from neo_server_spark.functions.timefn import resolve_tz
+
+    SCALARS.update({
+        "acos": _numeric2("acos", math.acos, F.acos),
+        "acosh": _numeric2("acosh", math.acosh, F.acosh),
+        "asin": _numeric2("asin", math.asin, F.asin),
+        "asinh": _numeric2("asinh", math.asinh, F.asinh),
+        "atan": _numeric2("atan", math.atan, F.atan),
+        "atanh": _numeric2("atanh", math.atanh, F.atanh),
+        "cosh": _numeric2("cosh", math.cosh, F.cosh),
+        "sinh": _numeric2("sinh", math.sinh, F.sinh),
+        "tanh": _numeric2("tanh", math.tanh, F.tanh),
+        "log2": _numeric2("log2", math.log2, F.log2),
+        "exp2": _numeric2("exp2", lambda x: 2.0 ** x, mathfn.exp2),
+        "pow10": _numeric2("pow10", lambda x: 10.0 ** x, mathfn.pow10),
+        "trunc": _numeric2("trunc", lambda x: float(math.trunc(x)),
+                           mathfn.trunc),
+        "mod": _numeric2("mod", math.fmod, mathfn.mod),
+        "remainder": _numeric2("remainder", math.remainder,
+                               mathfn.remainder),
+        "strIndex": lambda rt, s, sub: (strfn.str_index(_lift(s), str(sub))
+                                        if _is_col(s) else s.find(str(sub))),
+        "strLastIndex": lambda rt, s, sub: (
+            strfn.str_last_index(_lift(s), str(sub))
+            if _is_col(s) else s.rfind(str(sub))),
+        "regexp": lambda rt, pat, v: (
+            strfn.regexp(str(pat), _lift(v)) if _is_col(v)
+            else _re.search(str(pat), str(v)) is not None),
+        "glob": lambda rt, pat, v: (
+            strfn.glob(str(pat), _lift(v)) if _is_col(v)
+            else _re.match(_glob_rx(str(pat)), str(v)) is not None),
+        "strTime": _str_time,
+        "tz": lambda rt, name: ("tz", resolve_tz(str(name))),
+        "timeUnix": _time_unix(10**9),
+        "timeUnixMilli": _time_unix(10**6),
+        "timeUnixMicro": _time_unix(10**3),
+        "timeUnixNano": _time_unix(1),
+        "timeYear": _time_extract(T.time_year, lambda dt, ns: dt.year),
+        "timeMonth": _time_extract(T.time_month, lambda dt, ns: dt.month),
+        "timeDay": _time_extract(T.time_day, lambda dt, ns: dt.day),
+        "timeHour": _time_extract(T.time_hour, lambda dt, ns: dt.hour),
+        "timeMinute": _time_extract(T.time_minute, lambda dt, ns: dt.minute),
+        "timeSecond": _time_extract(T.time_second, lambda dt, ns: dt.second),
+        "timeNanosecond": _time_extract(
+            T.time_nanosecond, lambda dt, ns: ns % 10**9, tz_invariant=True),
+        "timeISOYear": _time_extract(
+            T.time_isoyear, lambda dt, ns: dt.isocalendar()[0]),
+        "timeISOWeek": _time_extract(
+            T.time_isoweek, lambda dt, ns: dt.isocalendar()[1]),
+        "timeYearDay": _time_extract(
+            T.time_yearday, lambda dt, ns: dt.timetuple().tm_yday),
+        "timeWeekDay": _time_extract(
+            T.time_weekday, lambda dt, ns: (dt.weekday() + 1) % 7),
+    })
+
+
+_install_round5_scalars()
+
 _CONSTS = {"PI": math.pi, "true": True, "false": False, "NULL": None,
            "nil": None, "E": math.e}
 
@@ -464,6 +599,8 @@ class _State:
 
 class _Dollar:
     """The ``$`` context object SCRIPT blocks see (fm_script.go:180-260)."""
+
+    _js_host = True
 
     def __init__(self, runner: "TqlRunner"):
         from neo_server_spark.tql import jslite
@@ -507,12 +644,26 @@ class _Dollar:
         setattr(self, name, val)
 
 
+def _require_http_url(url: str) -> str:
+    """Reject non-http(s) schemes before urlopen.  The reference's Go
+    net/http client only speaks http/https; urllib additionally handles
+    file:// and ftp://, which would hand untrusted .tql scripts an
+    arbitrary local-file read."""
+    import urllib.parse
+    scheme = urllib.parse.urlsplit(str(url)).scheme.lower()
+    if scheme not in ("http", "https"):
+        raise ValueError(f"HTTPError unsupported URL scheme {scheme!r}")
+    return str(url)
+
+
 class _DollarRequest:
     """$.request(url, {method, headers, body}).do(function(rsp){...}) with
     rsp.status/statusText/headers/url/ok/error() and the rsp.text/blob/
     json/csv body readers calling back per unit (fm_script.go:414-580:
     csv -> one callback per record, json -> per top-level JSON document,
     text/blob -> once with the whole body)."""
+
+    _js_host = True
 
     _METHODS = ("GET", "POST", "PUT", "DELETE")
 
@@ -536,7 +687,8 @@ class _DollarRequest:
         # the reference attaches the body for every method, not just
         # POST/PUT (http.NewRequest with a body reader)
         data = body.encode() if body else None
-        req = urllib.request.Request(self.url, method=method, data=data)
+        req = urllib.request.Request(_require_http_url(self.url),
+                                     method=method, data=data)
         for k, v in headers.items():
             req.add_header(str(k), str(v))
         err, raw, status, reason, hdrs = None, None, None, None, {}
@@ -591,7 +743,44 @@ class _DollarRequest:
         return jslite.UNDEFINED
 
 
+def _split_sql_placeholders(sql: str) -> list[str]:
+    """Split *sql* on '?' placeholders, ignoring question marks inside
+    single-quoted string literals and double-quoted identifiers.  Handles
+    '' quote doubling and backslash escapes (Spark SQL honors both)."""
+    parts, buf = [], []
+    i, n, quote = 0, len(sql), None
+    while i < n:
+        ch = sql[i]
+        if quote is not None:
+            buf.append(ch)
+            if ch == "\\" and i + 1 < n:
+                buf.append(sql[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                if i + 1 < n and sql[i + 1] == quote:  # '' doubling
+                    buf.append(quote)
+                    i += 2
+                    continue
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "?":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
 class _DollarDB:
+    _js_host = True
+
     def __init__(self, dollar: "_Dollar"):
         self._dollar = dollar
 
@@ -607,6 +796,8 @@ class _DollarDB:
 class _DollarDBQuery:
     """Result of $.db().query(sql): .forEach(fn) / .yield() like the
     reference's goja queryObj (fm_script.go 'select-value' goldens)."""
+
+    _js_host = True
 
     def __init__(self, dollar: "_Dollar", sql: str, params):
         self._dollar = dollar
@@ -626,15 +817,21 @@ class _DollarDBQuery:
 
         def lit(p):
             if isinstance(p, str):
-                return "'" + p.replace("'", "''") + "'"
+                # Spark SQL string literals process backslash escapes in
+                # addition to '' quote doubling — a param ending in '\'
+                # would otherwise turn the closing quote into an escaped
+                # quote and swallow the rest of the query into the literal
+                return "'" + p.replace("\\", "\\\\").replace("'", "''") + "'"
             if p is None or p is UNDEFINED:
                 return "NULL"
             if isinstance(p, bool):
                 return "TRUE" if p else "FALSE"
             return repr(p)
         # split on '?' FIRST so a substituted literal containing '?' can
-        # never consume a later placeholder
-        parts = self._sql.split("?")
+        # never consume a later placeholder; the walk skips '?' inside
+        # '...'/"..." literals (with '' doubling and backslash escapes) so
+        # a question mark in SQL text never misaligns the placeholders
+        parts = _split_sql_placeholders(self._sql)
         if len(parts) - 1 != len(self._params) and self._params:
             raise ValueError(
                 f"$.db().query: {len(parts) - 1} placeholders, "
@@ -696,7 +893,11 @@ def _script_col_type(vals):
     def none_or(f):
         return lambda v: None if v is None or v is UNDEFINED else f(v)
     if kinds == {"date"}:
-        return none_or(lambda v: int(v.ms * 1e6)), "long", True
+        # integer field math — int(v.ms * 1e6) exceeds 2^53 for modern
+        # epochs and corrupts the ns value by up to ~256 ns
+        return (none_or(lambda v: int(v.ms) * 10**6
+                        + int(round((v.ms - int(v.ms)) * 1e6))),
+                "long", True)
     if not kinds:  # entirely null/undefined — inference would fail
         return none_or(lambda v: v), "string", False
     if kinds <= {"int"}:
@@ -1551,7 +1752,8 @@ class TqlRunner:
                 headers[k.strip()] = v.strip()
             i += 1
         body = "\n".join(lines[i + 1:]) if i < len(lines) else ""
-        req = urllib.request.Request(url, method=method, headers=headers,
+        req = urllib.request.Request(_require_http_url(url), method=method,
+                                     headers=headers,
                                      data=body.encode() if body.strip() else None)
         with urllib.request.urlopen(req, timeout=10.0) as rsp:
             payload = rsp.read().decode("utf-8", "replace")

@@ -11,6 +11,8 @@ from neo_server_spark.tql.jslite import UNDEFINED, Interpreter, JSError, to_disp
 
 
 class Sink:
+    _js_host = True
+
     def __init__(self):
         self.rows = []
         self.key = None

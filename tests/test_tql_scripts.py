@@ -1531,3 +1531,142 @@ def test_review_findings_script_statements(spark, sf_dir, tmp_path):
         CSV()
     """, allow_shell=True)
     assert out.splitlines() == ["a;b"]
+
+
+def test_round5_advice_fixes(spark, sf_dir):
+    """Round-5 review regressions: URL scheme restriction, backslash-safe
+    db() param substitution, ns-exact JSDate epochs, jslite negative index
+    writes, and the host-object attribute allowlist."""
+    from neo_server_spark.tql.script import (_script_col_type,
+                                             _split_sql_placeholders,
+                                             TqlRunner)
+    from neo_server_spark.tql.jslite import JSDate
+
+    # $.request() rejects non-http(s) schemes outright (the reference's Go
+    # http client is http/https-only; urllib would read local files)
+    with pytest.raises(Exception, match="scheme"):
+        run_script(spark, """
+            FAKE( once(1) )
+            SCRIPT("js", {
+                $.request("file:///etc/passwd").do(function(r){});
+                $.yield(1);
+            })
+            CSV()
+        """)
+    # ...and stmt_HTTP does too
+    with pytest.raises(Exception, match="scheme"):
+        run_script(spark, """
+            FAKE( once(1) )
+            HTTP({
+                GET file:///etc/passwd
+            })
+            CSV()
+        """)
+
+    # placeholder split skips string literals; backslash-final params
+    # cannot swallow the remainder of the query into the literal
+    assert _split_sql_placeholders("a=? and b='?' and c=?") == \
+        ["a=", " and b='?' and c=", ""]
+    assert _split_sql_placeholders(r"x='it''s ?\' ok' and y=?") == \
+        [r"x='it''s ?\' ok' and y=", ""]
+    out = TqlRunner(spark, sf_dir=sf_dir).run(r"""
+        SCRIPT("js", {
+            $.db().query(
+                "select count(*) as c from events where event_type != ? and user_id >= ?",
+                "trailing\\", 0).forEach(function(r){ $.yield(r[0]); });
+        })
+        CSV()
+    """)
+    assert int(out.strip()) > 0
+
+    # JSDate -> epoch-ns uses integer field math (float ms*1e6 corrupts
+    # modern epochs by up to ~256 ns above 2^53)
+    conv, typ, is_time = _script_col_type([JSDate(1787200496123.0)])
+    assert (typ, is_time) == ("long", True)
+    assert conv(JSDate(1787200496123.0)) == 1787200496123 * 10**6
+
+    # negative index assignment leaves the array untouched (JS sets a
+    # '-1' property; Python semantics would overwrite the last element)
+    out = run_script(spark, """
+        FAKE( once(1) )
+        SCRIPT("js", {
+            var a = [1, 2, 3];
+            a[-1] = 99;
+            $.yield(a[0], a[1], a[2]);
+        })
+        CSV()
+    """)
+    assert out.splitlines() == ["1,2,3"]
+
+    # function values expose no interpreter internals
+    out = run_script(spark, """
+        FAKE( once(1) )
+        SCRIPT("js", {
+            function f(x) { return x; }
+            $.yield(f.interp === undefined, f.env === undefined,
+                    f._interp === undefined);
+        })
+        CSV()
+    """)
+    assert out.splitlines() == ["true,true,true"]
+
+
+def test_round5_scalar_registry(spark):
+    """The round-5 SCALARS completion: trig/hyperbolic, log2/exp2/pow10,
+    trunc/mod/remainder, strIndex/strLastIndex, regexp/glob, strTime, tz,
+    timeUnix* and the timeYear..timeWeekDay extractors, reachable from .tql
+    text (reference registry fx_definitions.go:79-105, fm_time.go:54-394)."""
+    out = run_script(spark, """
+        FAKE( once(1) )
+        MAPVALUE(0, parseTime(1700000000, "s"))
+        MAPVALUE(1, timeYear(value(0)))
+        MAPVALUE(2, timeMonth(value(0)))
+        MAPVALUE(3, timeDay(value(0)))
+        MAPVALUE(4, timeHour(value(0)))
+        MAPVALUE(5, timeMinute(value(0)))
+        MAPVALUE(6, timeSecond(value(0)))
+        MAPVALUE(7, timeISOYear(value(0)))
+        MAPVALUE(8, timeISOWeek(value(0)))
+        MAPVALUE(9, timeYearDay(value(0)))
+        MAPVALUE(10, timeWeekDay(value(0)))
+        MAPVALUE(11, timeUnix(value(0)))
+        MAPVALUE(12, timeUnixMilli(value(0)))
+        MAPVALUE(13, timeUnixMicro(value(0)))
+        MAPVALUE(14, timeUnixNano(value(0)))
+        MAPVALUE(15, timeHour(value(0), tz('Asia/Seoul')))
+        MAPVALUE(16, strTime(value(0), 'RFC3339'))
+        POPVALUE(0)
+        CSV()
+    """)
+    # 2023-11-14 22:13:20 UTC, a Tuesday (Go Weekday 2), ISO week 46
+    assert out.splitlines() == [
+        "2023,11,14,22,13,20,2023,46,318,2,"
+        "1700000000,1700000000000,1700000000000000,1700000000000000000,"
+        "7,2023-11-14T22:13:20Z"]
+    out = run_script(spark, """
+        FAKE( linspace(0.5, 0.5, 1) )
+        MAPVALUE(1, round(asin(value(0)) * 6, 10))
+        MAPVALUE(2, round(acos(value(0)) * 3, 10))
+        MAPVALUE(3, round(atan(1) * 4, 10))
+        MAPVALUE(4, round(cosh(0), 10))
+        MAPVALUE(5, round(tanh(0), 10))
+        MAPVALUE(6, round(asinh(0), 10))
+        MAPVALUE(7, round(atanh(0), 10))
+        MAPVALUE(8, log2(8))
+        MAPVALUE(9, exp2(10))
+        MAPVALUE(10, pow10(3))
+        MAPVALUE(11, trunc(-2.7))
+        MAPVALUE(12, mod(-7, 3))
+        MAPVALUE(13, remainder(7, 4))
+        MAPVALUE(14, strIndex('banana', 'an'))
+        MAPVALUE(15, strLastIndex('banana', 'an'))
+        MAPVALUE(16, regexp('^ba', 'banana'))
+        MAPVALUE(17, glob('ba*na', 'banana'))
+        POPVALUE(0)
+        CSV()
+    """)
+    # asin(.5)*6 = π = acos(.5)*3 = atan(1)*4; Go math.Mod(-7,3) = -1;
+    # IEEE remainder(7,4) = -1; strIndex/strLastIndex are byte indexes
+    pi = "3.141593"  # CSV default precision
+    assert out.splitlines() == [
+        f"{pi},{pi},{pi},1,0,0,0,3,1024,1000,-2,-1,-1,1,3,true,true"]
