@@ -84,14 +84,22 @@ def main() -> None:
     _warm_engine(spark)
     qs["tag_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # best-of-2 per query: a single timed run is a coin flip under GC /
+    # shuffle-service jitter (round-4 recorded a phantom 19% regression on
+    # code-untouched queries that a rerun contradicted); the minimum of two
+    # runs is the steady-state latency the plan actually costs
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _rep in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     ingest = _bench_ingest(spark, sf_dir)
 
