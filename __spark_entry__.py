@@ -478,9 +478,17 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_histogram_streaming(spark, sf_dir):
-    """Ben-Haim/Tom-Tov streaming histogram sketch (rows-only: approximate)."""
-    df = _tag(spark, sf_dir)
-    return stats.histogram_streaming(df, "value", max_bins=20, category="name")
+    """Streaming merging histogram (mods/nums/histogram.go:49-91), run with
+    the reference's EXACT sequential semantics per tag — insert in (time,
+    event_id) order, merge the first minimal adjacent gap past max_bins —
+    so a DuckDB recursive CTE reproduces every centroid bit-for-bit.  The
+    input is bounded (event_id < 4000) to keep the oracle's recursion depth
+    tractable; the orderless mergeable path for full-scale data is
+    stats.histogram_streaming (histogram_numeric partial aggregation)."""
+    df = _tag(spark, sf_dir).filter(F.col("event_id") < 4000)
+    return stats.histogram_stream_exact(df, "value", max_bins=12,
+                                        category="name",
+                                        order_by=("time", "event_id"))
 
 
 def _q_embedding_dupes(spark, sf_dir):
@@ -1878,72 +1886,13 @@ def _q_repetition(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
-        # entries.  Round-4 front window = the 4 r3 hash-FAILs (fixed: the
-        # real cause was DuckDB integer-sum HUGEINT->float64 dtype skew, not
-        # ordering), the 31 entries never rotated into a checked window, the
-        # rewritten tpch_q2/q17, and the 13 entries that GAINED oracles this
-        # round (DFT fft, recursive-CTE Kalman, bit-exact Akima spline,
-        # md5-mode minhash/simhash/embedding LSH, streaming rollup vs batch,
-        # closed-form multimodal decode oracles, SCRIPT("js")).  Every window
-        # entry passes tools/selfcheck.py order-strict with matching pandas
-        # dtypes.  r1-r3 greens with unchanged code sit behind; projected
-        # ever-green union after this round: 110 of 111 (histogram_streaming
-        # is the one no-oracle-by-nature sketch).
-        "fake_gens": _q_fake_gens,
-        "boilerplate": _q_boilerplate,
-        "repetition": _q_repetition,
-        "lake_decode": _q_lake_decode,
-        "tpch_q2": _q_tpch_q2,
-        "set_ops": _q_set_ops,
-        "tql_script": _q_tql_script,
-        "tql_script_js": _q_tql_script_js,
+        # entries.  Round-5 window = the two entries new/changed this round
+        # (scalar_funcs_tql — the completed front-end scalar registry — and
+        # histogram_streaming, which GAINED a recursive-CTE oracle and was
+        # the last never-verified entry), then the 48 longest-unchecked
+        # greens (all r2-last, then r3-last).  The 13 remaining r3 greens
+        # and the full r4 window sit behind for round-6 rotation.
         "scalar_funcs_tql": _q_scalar_funcs_tql,
-        "lookup_join": _q_lookup_join,
-        "text_stats": _q_text_stats,
-        "token_counts": _q_token_counts,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "similarity_batch": _q_similarity_batch,
-        "multimodal_features": _q_multimodal_features,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q17": _q_tpch_q17,
-        "distinct_users": _q_distinct_users,
-        "pii_scrub": _q_pii_scrub,
-        "vocab_topk": _q_vocab_topk,
-        "embedding_stats": _q_embedding_stats,
-        "lm_score": _q_lm_score,
-        "tokens_bpe": _q_tokens_bpe,
-        "salted_join": _q_salted_join,
-        "boilerplate_clean": _q_boilerplate_clean,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q19": _q_tpch_q19,
-        "embedding_quantize": _q_embedding_quantize,
-        "source_profile": _q_source_profile,
-        "oscillator_fft": _q_oscillator_fft,
-        # newly oracle-backed this round (were rows-only): per-tag DFT and
-        # recursive-CTE Kalman oracles
-        "fft": _q_fft,
-        "map_kalman": _q_map_kalman,
-        # streaming end-to-end with a batch oracle (new this round)
-        "streaming_rollup": _q_streaming_rollup,
-        "timewindow_spline": _q_timewindow_spline,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash": _q_simhash,
-        "embedding_dupes": _q_embedding_dupes,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_audio": _q_multimodal_audio,
-        "contamination": _q_contamination,
-        # r1-green veterans re-confirmed in the remaining window slots
-        "group_aggs": _q_group_aggs,
-        "group_where": _q_group_where,
         "transpose": _q_transpose,
         "pivot_counts": _q_pivot_counts,
         "histogram": _q_histogram,
@@ -1955,8 +1904,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_pairs": _q_ngram_pairs,
         "projection_ops": _q_projection_ops,
         "math_funcs": _q_math_funcs,
-        # --- beyond the 50-entry driver window (driver-green r1-r3 with
-        # unchanged code, or no_oracle-by-nature rows-only entries) ---
+        "tpch_q1": _q_tpch_q1,
+        "join_revenue": _q_join_revenue,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q6": _q_tpch_q6,
+        "histogram_streaming": _q_histogram_streaming,
+        "range_join": _q_range_join,
+        "csv_source": _q_csv_source,
+        "stats_aggs": _q_stats_aggs,
         "tag_scan": _q_tag_scan,
         "timewindow_avg": _q_timewindow_avg,
         "first_last": _q_first_last,
@@ -1987,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "curation_funnel": _q_curation_funnel,
         "lake_pivot": _q_lake_pivot,
+        # --- below: r3 leftovers for round-6 rotation, then the r4 window ---
         "lake_tochar": _q_lake_tochar,
         "rollup_routed": _q_rollup_routed,
         "group_list": _q_group_list,
@@ -2000,14 +1956,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": _q_similarity_ivf,
         "stratified_sample": _q_stratified_sample,
         "embedding_dupes_exact": _q_embedding_dupes_exact,
-        "tpch_q1": _q_tpch_q1,
-        "join_revenue": _q_join_revenue,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q6": _q_tpch_q6,
-        "histogram_streaming": _q_histogram_streaming,
-        "range_join": _q_range_join,
-        "csv_source": _q_csv_source,
-        "stats_aggs": _q_stats_aggs,
+        "fake_gens": _q_fake_gens,
+        "boilerplate": _q_boilerplate,
+        "repetition": _q_repetition,
+        "lake_decode": _q_lake_decode,
+        "tpch_q2": _q_tpch_q2,
+        "set_ops": _q_set_ops,
+        "tql_script": _q_tql_script,
+        "tql_script_js": _q_tql_script_js,
+        "lookup_join": _q_lookup_join,
+        "text_stats": _q_text_stats,
+        "token_counts": _q_token_counts,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "similarity_batch": _q_similarity_batch,
+        "multimodal_features": _q_multimodal_features,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
+        "distinct_users": _q_distinct_users,
+        "pii_scrub": _q_pii_scrub,
+        "vocab_topk": _q_vocab_topk,
+        "embedding_stats": _q_embedding_stats,
+        "lm_score": _q_lm_score,
+        "tokens_bpe": _q_tokens_bpe,
+        "salted_join": _q_salted_join,
+        "boilerplate_clean": _q_boilerplate_clean,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q19": _q_tpch_q19,
+        "embedding_quantize": _q_embedding_quantize,
+        "source_profile": _q_source_profile,
+        "oscillator_fft": _q_oscillator_fft,
+        "fft": _q_fft,
+        "map_kalman": _q_map_kalman,
+        "streaming_rollup": _q_streaming_rollup,
+        "timewindow_spline": _q_timewindow_spline,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "embedding_dupes": _q_embedding_dupes,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio": _q_multimodal_audio,
+        "contamination": _q_contamination,
+        "group_aggs": _q_group_aggs,
+        "group_where": _q_group_where,
     }
 
 
@@ -2134,6 +2132,58 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (event_type = 'signup') AS signup,
                    count(*) FILTER (event_type = 'view') AS view
             FROM events GROUP BY user_id
+        """,
+        # histogram_streaming: the reference's sequential Add+trim loop
+        # (mods/nums/histogram.go:49-90) as a recursive CTE — per tag, one
+        # recursion step per inserted value: a (v,1) bin goes before the
+        # first strictly-greater bin (k = #elements <= v), then the FIRST
+        # minimal adjacent gap merges into its weighted centroid whenever
+        # the bin count exceeds 12.  Same IEEE op order as the Spark side,
+        # so centroids match bit-for-bit.
+        "histogram_streaming": """
+            WITH RECURSIVE
+            src AS (
+              SELECT event_type AS name,
+                     list(value ORDER BY ts, event_id) AS vs,
+                     count(*) AS n
+              FROM events WHERE event_id < 4000 GROUP BY 1
+            ),
+            st AS (
+              SELECT name, 0 AS i,
+                     CAST([] AS DOUBLE[]) AS xs, CAST([] AS DOUBLE[]) AS ys
+              FROM src
+              UNION ALL
+              SELECT st.name, i + 1, t2.xs2, t2.ys2
+              FROM st, src,
+              LATERAL (SELECT vs[i+1] AS v) tv,
+              LATERAL (SELECT len(list_filter(xs, e -> e <= tv.v)) AS k) tk,
+              LATERAL (SELECT
+                  list_concat(list_concat(xs[1:tk.k], [tv.v]),
+                              xs[tk.k+1:len(xs)]) AS xs1,
+                  list_concat(list_concat(ys[1:tk.k], [CAST(1 AS DOUBLE)]),
+                              ys[tk.k+1:len(ys)]) AS ys1) t1,
+              LATERAL (SELECT CASE WHEN len(t1.xs1) <= 12 THEN NULL
+                              ELSE list_position(ds, list_min(ds)) END AS p
+                       FROM (SELECT list_transform(
+                                 generate_series(2, len(t1.xs1)),
+                                 j -> t1.xs1[j] - t1.xs1[j-1]) AS ds)) tp,
+              LATERAL (SELECT
+                  CASE WHEN tp.p IS NULL THEN t1.xs1
+                       ELSE list_concat(list_concat(t1.xs1[1:tp.p-1],
+                            [(t1.xs1[tp.p+1]*t1.ys1[tp.p+1]
+                              + t1.xs1[tp.p]*t1.ys1[tp.p])
+                             / (t1.ys1[tp.p+1] + t1.ys1[tp.p])]),
+                            t1.xs1[tp.p+2:len(t1.xs1)]) END AS xs2,
+                  CASE WHEN tp.p IS NULL THEN t1.ys1
+                       ELSE list_concat(list_concat(t1.ys1[1:tp.p-1],
+                            [t1.ys1[tp.p+1] + t1.ys1[tp.p]]),
+                            t1.ys1[tp.p+2:len(t1.ys1)]) END AS ys2) t2
+              WHERE st.name = src.name AND i < src.n
+            )
+            SELECT st.name, b, xs[b] AS x, ys[b] AS y
+            FROM st, src, (SELECT unnest(generate_series(1, 12)) AS b)
+            WHERE st.name = src.name AND st.i = src.n AND b <= len(xs)
+            ORDER BY st.name, b
         """,
         "histogram": """
             WITH binned AS (

@@ -88,6 +88,62 @@ def histogram_streaming(df: DataFrame, value: Column | str, max_bins: int = 100,
     return out.orderBy(*keys, "x")
 
 
+def histogram_stream_exact(df: DataFrame, value: Column | str,
+                           max_bins: int, category: str,
+                           order_by: Sequence[str]) -> DataFrame:
+    """The reference's streaming histogram, EXACTLY (mods/nums/histogram.go
+    Add:49-65 + trim:67-90): per category, values are inserted one at a
+    time in ``order_by`` sequence — a new (v, 1) bin goes before the first
+    strictly-greater bin — and whenever the bin count exceeds ``max_bins``
+    the FIRST minimal adjacent gap is merged into its weighted centroid.
+
+    This sequential contract is the reference's own semantic (one sketch
+    per series, single goroutine); it is reproducible bit-for-bit by a SQL
+    recursive CTE, which is what certifies the operator.  Each category is
+    one Arrow batch in applyInPandas, so categories parallelize across the
+    cluster while the per-series loop stays faithful.  For the
+    orderless/mergeable 100 TB path use ``histogram_streaming`` above
+    (histogram_numeric: partial aggregation, no sequence dependence).
+
+    Output: (category, b, x, y) — b is the 1-based bin position.
+    """
+    import bisect
+
+    import pandas as pd
+
+    val_col, cat_col = "__hv", category
+    prep = df.select(
+        F.col(cat_col),
+        _c(value).cast("double").alias(val_col),
+        *[F.col(c) for c in order_by])
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(list(order_by), kind="mergesort")
+        xs: list[float] = []
+        ys: list[float] = []
+        for v in pdf[val_col]:
+            k = bisect.bisect_right(xs, v)   # before first strictly-greater
+            xs.insert(k, float(v))
+            ys.insert(k, 1.0)
+            if len(xs) > max_bins:           # trim: first minimal gap merges
+                bj, bd = 1, xs[1] - xs[0]
+                for j in range(2, len(xs)):
+                    dv = xs[j] - xs[j - 1]
+                    if dv < bd:
+                        bj, bd = j, dv
+                cnt = ys[bj] + ys[bj - 1]
+                merged = (xs[bj] * ys[bj] + xs[bj - 1] * ys[bj - 1]) / cnt
+                xs[bj - 1:bj + 1] = [merged]
+                ys[bj - 1:bj + 1] = [cnt]
+        return pd.DataFrame({
+            cat_col: pdf[cat_col].iloc[0],
+            "b": range(1, len(xs) + 1), "x": xs, "y": ys})
+
+    out_schema = f"{cat_col} string, b long, x double, y double"
+    return (prep.groupBy(cat_col).applyInPandas(run, out_schema)
+            .orderBy(cat_col, "b"))
+
+
 def boxplot(
     df: DataFrame,
     value: Column | str,

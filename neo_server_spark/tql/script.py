@@ -1058,7 +1058,10 @@ class TqlRunner:
         opts: dict[str, list] = {}
         pos = []
         for a in args:
-            if a[0] == "call" and a[1] not in SCALARS:
+            # tz() is both a scalar (a Location value inside expressions,
+            # e.g. timeYear(v, tz('X'))) and a codec/statement option — at
+            # statement-argument level it is always the option form
+            if a[0] == "call" and (a[1] not in SCALARS or a[1] == "tz"):
                 opts.setdefault(a[1], []).append([self.ev(x) for x in a[2]])
             else:
                 pos.append(a)
@@ -1656,13 +1659,39 @@ class TqlRunner:
             init_variance=iv, process_variance=pv, observation_variance=ov)
 
     def stmt_FILTER_CHANGED(self, args):
+        """FILTER_CHANGED(value [, retain(t, dur)] [, useFirstWithLast(b)])
+        (fm_monad.go:121-238).  The option forms delegate to the DSL's
+        driver-green gaps-and-islands implementation (operators/maps.py
+        filter_changed); the plain form stays a single lag() pass."""
+        opts, pos = self._opt_calls(args[1:])
         v = _lift(self.ev(args[0]))
-        w = self._seq_window()
-        prev = F.lag(v).over(w)
-        keep = prev.isNull() | ~prev.eqNullSafe(v)
-        # window exprs can't sit in WHERE: materialize, then filter
-        df = self.state.df.withColumn("__fc_keep", keep)
-        self.state.df = df.filter(F.col("__fc_keep")).drop("__fc_keep")
+        if not opts:
+            w = self._seq_window()
+            prev = F.lag(v).over(w)
+            keep = prev.isNull() | ~prev.eqNullSafe(v)
+            # window exprs can't sit in WHERE: materialize, then filter
+            df = self.state.df.withColumn("__fc_keep", keep)
+            self.state.df = df.filter(F.col("__fc_keep")).drop("__fc_keep")
+            return
+        from neo_server_spark.operators.maps import filter_changed
+        retain_ns, time_expr = None, None
+        if "retain" in opts:
+            t_arg, dur = opts["retain"][0]
+            time_expr = _lift(t_arg)
+            retain_ns = _dur_ns(dur)
+        use_first = with_last = False
+        if "useFirstWithLast" in opts:
+            # reference: the option's presence sets useFirst; its flag
+            # controls withLast (fm_monad.go:134-136)
+            use_first, with_last = True, bool(opts["useFirstWithLast"][0][0])
+        df = self.state.df.withColumn("__fc_v", v)
+        if time_expr is not None:
+            df = df.withColumn("__fc_t", time_expr.cast("long"))
+        out = filter_changed(
+            df, "__fc_v", series=(), order_by="__seq",
+            retain_duration=retain_ns, time_col="__fc_t",
+            use_first=use_first, with_last=with_last)
+        self.state.df = out.drop("__fc_v", "__fc_t")
 
     def stmt_GROUPBYKEY(self, args):
         """GROUPBYKEY([lazy(b)]) — group the stream by the record key; the
@@ -1914,25 +1943,106 @@ class TqlRunner:
             *[F.col(c).alias(f"c{i}") for i, c in enumerate(cols)])
         self._set(res, cols)
 
+    @staticmethod
+    def _gonum_quantile(xs, n, p: float, lin: bool):
+        """gonum stat.Quantile over a sorted array column: Empirical picks
+        x_{ceil(p*n)} (1-indexed — smallest x with CDF >= p); LinInterp
+        interpolates on the cumulative-weight axis (see
+        operators/group.py quantile_lininterp for the derivation)."""
+        fidx = F.lit(float(p)) * n
+        i = F.greatest(F.ceil(fidx).cast("int"), F.lit(1))
+        if not lin:
+            return F.element_at(xs, i)
+        lo = F.element_at(xs, F.greatest(i - 1, F.lit(1)))
+        hi = F.element_at(xs, i)
+        t = fidx - (i.cast("double") - F.lit(1.0))
+        return F.when(fidx <= 1.0, F.element_at(xs, 1)) \
+            .otherwise(lo + t * (hi - lo))
+
     def stmt_BOXPLOT(self, args):
-        """BOXPLOT(value(n), category(value(m))) (fm_stat.go:294) — lowers to
-        stats.boxplot; records ordered by category."""
-        from neo_server_spark.operators import stats as ST
+        """BOXPLOT(value [, category(c)] [, order(...)]
+        [, boxplotInterp(q1,q2,q3)] [, boxplotOutput('standard'|'chart'|
+        'dict')]) (fm_stat.go:294-530).
+
+        Standard (default) output is the reference's TRANSPOSED table: rows
+        MIN/LOWER/Q1/Q2/Q3/UPPER/MAX/IQR/OUTLIER with one column per
+        category (fm_stat.go:452-505).  boxplotInterp picks gonum
+        Empirical vs LinInterp per quartile (fm_stat.go:340-357).  Like the
+        reference, results materialize at EOF — category cardinality is
+        bounded, so the driver-side transpose is O(categories).  OUTLIER
+        cells render as the literal '[]float64' — byte-what the reference's
+        CSV encoder prints for a Go slice (csv_encode.go %T default arm);
+        chart/dict formats carry the real values as JSON text."""
+        import json as _json
+
+        from neo_server_spark.codecs.encoders import _format_float
+
         opts, pos = self._opt_calls(args)
-        v = _lift(self.ev(pos[0]))
+        v = _lift(self.ev(pos[0])).cast("double")
+        i1 = i2 = i3 = False
+        if "boxplotInterp" in opts:
+            fl = [bool(x) for x in opts["boxplotInterp"][0]] + [False] * 3
+            i1, i2, i3 = fl[0], fl[1], fl[2]
+        fmt = "standard"
+        if "boxplotOutput" in opts:
+            f = str(opts["boxplotOutput"][0][0]).lower()
+            fmt = f if f in ("chart", "dict") else "standard"
+        orders = [str(x) for row in opts.get("order", []) for x in row]
         df = self.state.df.withColumn("__bv", v)
-        cat = None
         if "category" in opts:
-            df = df.withColumn("__bc", _lift(opts["category"][0][0]).cast("string"))
-            cat = "__bc"
-        out = ST.boxplot(df, "__bv", cat)
-        cols = list(out.columns)
-        w = Window.orderBy(cols[0])
-        res = out.select(
-            (F.row_number().over(w) - 1).alias("__seq"),
-            F.col(cols[0]).alias("__key"),
-            *[F.col(c).alias(f"c{i}") for i, c in enumerate(cols)])
-        self._set(res, cols)
+            df = df.withColumn(
+                "__bc", _lift(opts["category"][0][0]).cast("string"))
+        else:
+            df = df.withColumn("__bc", F.lit(""))
+        xs = F.array_sort(F.collect_list("__bv"))
+        agg = df.groupBy("__bc").agg(xs.alias("xs"))
+        n = F.size("xs").cast("double")
+        q1 = self._gonum_quantile(F.col("xs"), n, 0.25, i1)
+        q2 = self._gonum_quantile(F.col("xs"), n, 0.5, i2)
+        q3 = self._gonum_quantile(F.col("xs"), n, 0.75, i3)
+        stats = agg.select(
+            "__bc", q1.alias("q1"), q2.alias("q2"), q3.alias("q3"),
+            F.element_at("xs", 1).alias("mn"),
+            F.element_at("xs", -1).alias("mx"), F.col("xs"))
+        stats = stats.withColumn("iqr", F.col("q3") - F.col("q1")) \
+            .withColumn("lower", F.col("q1") - 1.5 * F.col("iqr")) \
+            .withColumn("upper", F.col("q3") + 1.5 * F.col("iqr")) \
+            .withColumn("outlier", F.filter(
+                "xs", lambda o: (o < F.col("lower")) | (o > F.col("upper"))))
+        rows = {r["__bc"]: r for r in stats.drop("xs").collect()}
+        cats = [c for c in orders if c in rows] + \
+            sorted(c for c in rows if c not in orders)
+        names = [c if c != "" else f"boxplot_{i}"
+                 for i, c in enumerate(cats)]
+        if fmt == "dict":
+            row = [_json.dumps({
+                "min": rows[c]["mn"], "max": rows[c]["mx"],
+                "q1": rows[c]["q1"], "q2": rows[c]["q2"], "q3": rows[c]["q3"],
+                "lower": rows[c]["lower"], "upper": rows[c]["upper"],
+                "iqr": rows[c]["iqr"], "outlier": list(rows[c]["outlier"]),
+            }) for c in cats]
+            self._set(self._from_rows([tuple(row)], len(cats)), names)
+            return
+        if fmt == "chart":
+            out = [(c,
+                    _json.dumps([rows[c]["lower"], rows[c]["q1"],
+                                 rows[c]["q2"], rows[c]["q3"],
+                                 rows[c]["upper"]]),
+                    _json.dumps([[c, o] for o in rows[c]["outlier"]]))
+                   for c in cats]
+            self._set(self._from_rows(out, 3),
+                      ["CATEGORY", "BOXPLOT", "OUTLIER"])
+            return
+        labels = [("MIN", "mn"), ("LOWER", "lower"), ("Q1", "q1"),
+                  ("Q2", "q2"), ("Q3", "q3"), ("UPPER", "upper"),
+                  ("MAX", "mx"), ("IQR", "iqr"), ("OUTLIER", None)]
+        out = []
+        for label, fieldn in labels:
+            cells = ["[]float64" if fieldn is None
+                     else _format_float(rows[c][fieldn]) for c in cats]
+            out.append((label, *cells))
+        self._set(self._from_rows(out, 1 + len(cats)),
+                  ["CATEGORY"] + names)
 
     def stmt_THROTTLE(self, args):
         pass  # rate limiting is a no-op in batch (fm_monad.go THROTTLE)

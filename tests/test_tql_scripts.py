@@ -358,7 +358,11 @@ def test_histogram_statement(spark):
 
 
 def test_boxplot_statement(spark):
-    """BOXPLOT(v, category(...)) lowers to the quartile operator."""
+    """BOXPLOT standard output is the reference's transposed table
+    (fm_stat.go:452-505): rows MIN..OUTLIER, one column per category;
+    quartiles are gonum Empirical (actual elements).  OUTLIER cells print
+    the literal '[]float64' — the reference CSV encoder's %T default arm
+    for a Go slice (csv_encode.go)."""
     out = run_script(spark, """
         FAKE( json({
             ["a", 1], ["a", 2], ["a", 3], ["a", 4],
@@ -367,8 +371,82 @@ def test_boxplot_statement(spark):
         BOXPLOT(value(1), category(value(0)))
         CSV(header(true))
     """)
+    assert out.splitlines() == [
+        "CATEGORY,a,b",
+        "MIN,1,10", "LOWER,-2,-20", "Q1,1,10", "Q2,2,20", "Q3,3,30",
+        "UPPER,6,60", "MAX,4,40", "IQR,2,20",
+        "OUTLIER,[]float64,[]float64"]
+
+
+def test_boxplot_interp_and_output(spark):
+    """boxplotInterp(q1,q2,q3) picks gonum LinInterp per quartile
+    (fm_stat.go:340-357); boxplotOutput('chart') emits per-category rows
+    with echarts [lower,q1,q2,q3,upper] (fm_stat.go:424-450); order()
+    controls category sequence."""
+    src = """
+        FAKE( json({
+            ["a", 1], ["a", 2], ["a", 3], ["a", 4], ["a", 5], ["a", 50]
+        }))
+    """
+    # [1,2,3,4,5,50], n=6: Empirical q1 = x[ceil(1.5)] = x[2] = 2;
+    # LinInterp q1: fidx=1.5, i=2 -> 1 + 0.5*(2-1) = 1.5
+    out = run_script(spark, src + """
+        BOXPLOT(value(1), category(value(0)), boxplotInterp(true, false, false))
+        CSV(header(true))
+    """)
+    lines = dict(ln.split(",", 1) for ln in out.splitlines())
+    assert lines["Q1"] == "1.5" and lines["Q2"] == "3" and lines["Q3"] == "5"
+    out = run_script(spark, src + """
+        BOXPLOT(value(1), category(value(0)))
+        CSV(header(true))
+    """)
+    lines = dict(ln.split(",", 1) for ln in out.splitlines())
+    # empirical q1=2, q3=5, iqr=3, upper=9.5 -> 50 is an outlier
+    assert lines["Q1"] == "2" and lines["UPPER"] == "9.5"
+    out = run_script(spark, """
+        FAKE( json({
+            ["a", 1], ["a", 2], ["a", 3], ["a", 4],
+            ["b", 10], ["b", 20], ["b", 30], ["b", 40]
+        }))
+        BOXPLOT(value(1), category(value(0)), order('b', 'a'),
+                boxplotOutput('chart'))
+        CSV(header(true))
+    """)
     lines = out.splitlines()
-    assert len(lines) == 3 and lines[1].startswith("a,") and lines[2].startswith("b,")
+    assert lines[0] == "CATEGORY,BOXPLOT,OUTLIER"
+    assert lines[1].startswith('b,"[-20') and lines[2].startswith('a,"[-2')
+
+
+def test_filter_changed_options_statement(spark):
+    """FILTER_CHANGED retain()/useFirstWithLast() through the text
+    front-end (fm_monad.go:121-238), delegating to the driver-green DSL."""
+    # value holds A (t=0..2s), then B (t=3..4s), then A (t=5s);
+    # retain 2s: a run emits only once its value held >= 2s
+    src = """
+        FAKE( json({
+            [0, "A"], [1000000000, "A"], [2000000000, "A"],
+            [3000000000, "B"], [4000000000, "B"],
+            [5000000000, "A"]
+        }))
+        FILTER_CHANGED(value(1), retain(value(0), "2s"))
+        CSV()
+    """
+    out = run_script(spark, src)
+    # only the first A-run holds for >= 2s; emitted record is the one
+    # crossing the threshold (t=2s)
+    assert out.splitlines() == ["2000000000,A"]
+    out = run_script(spark, """
+        FAKE( json({
+            [0, "A"], [1000000000, "A"], [2000000000, "A"],
+            [3000000000, "B"], [4000000000, "B"],
+            [5000000000, "A"]
+        }))
+        FILTER_CHANGED(value(1), retain(value(0), "2s"),
+                       useFirstWithLast(true))
+        CSV()
+    """)
+    # useFirst -> the run's FIRST record; withLast -> the run's last too
+    assert out.splitlines()[0] == "0,A"
 
 
 def test_ternary_expression(spark):
