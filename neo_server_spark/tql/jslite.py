@@ -1359,3 +1359,204 @@ def _fn_arity(fn) -> int:
         return len(inspect.signature(fn).parameters)
     except (TypeError, ValueError):
         return 1
+
+
+# ---------------------------------------------------------------------------
+# static statelessness analysis — can a SCRIPT main block run per-record
+# independently (mapInPandas) instead of through the one serial VM?
+# ---------------------------------------------------------------------------
+
+#: $ members a per-record kernel can serve without the driver VM
+STATELESS_DOLLAR_READS = frozenset({"key", "values", "params", "payload"})
+STATELESS_DOLLAR_CALLS = frozenset({"yield", "yieldKey", "yieldArray"})
+#: pure globals safe in any record context
+_SAFE_GLOBALS = frozenset({
+    "Math", "JSON", "parseInt", "parseFloat", "isNaN", "String", "Number",
+    "Boolean", "Date", "Array", "NaN", "Infinity", "encodeURIComponent",
+    "decodeURIComponent", "undefined",
+})
+
+
+class _Stateful(Exception):
+    pass
+
+
+def analyze_stateless(ast) -> bool:
+    """True when a SCRIPT main block has no cross-record state: every
+    assignment targets a variable declared WITHIN the block (main re-runs
+    per record, so such variables reset anyway), ``$`` is touched only
+    through the per-record surface ($.key/$.values/$.params/$.payload
+    reads; $.yield/$.yieldKey/$.yieldArray calls), no finalize() is
+    defined, and no driver-only facility (console, $.db, $.request,
+    $.result, implicit globals) appears.  Conservative: any construct the
+    walker does not recognize makes the block stateful."""
+    try:
+        _walk_block(ast, set())
+        return True
+    except _Stateful:
+        return False
+
+
+def _is_dollar(node) -> bool:
+    return node[0] == "ident" and node[1] == "$"
+
+
+def _walk_local_base(node, declared):
+    """An assignment/store base must bottom out at a locally-declared
+    variable; ``$``/console/anything global is cross-record state."""
+    if node[0] == "ident":
+        if node[1] not in declared:
+            raise _Stateful()
+        return
+    if node[0] in ("member",):
+        _walk_local_base(node[1], declared)
+        return
+    if node[0] == "index":
+        _walk_local_base(node[1], declared)
+        _walk_expr(node[2], declared)
+        return
+    raise _Stateful()
+
+
+def _walk_target(node, declared):
+    if node[0] == "ident":
+        if node[1] not in declared:
+            raise _Stateful()      # outer/implicit-global write persists
+        return
+    if node[0] in ("member", "index"):
+        _walk_local_base(node, declared)
+        return
+    raise _Stateful()
+
+
+def _walk_stmt(node, declared):
+    k = node[0]
+    if k in ("empty", "break", "continue"):
+        return
+    if k == "block":
+        _walk_block(node, set(declared))
+        return
+    if k == "vardecl":
+        for name, init in node[1]:
+            if init is not None:
+                _walk_expr(init, declared)
+            declared.add(name)
+        return
+    if k == "funcdecl":
+        if node[1] == "finalize":
+            raise _Stateful()      # EOF hook = cross-record by definition
+        declared.add(node[1])
+        _walk_block(node[3], set(declared) | set(node[2]))
+        return
+    if k == "expr":
+        _walk_expr(node[1], declared)
+        return
+    if k == "return":
+        if node[1] is not None:
+            _walk_expr(node[1], declared)
+        return
+    if k == "if":
+        _walk_expr(node[1], declared)
+        _walk_stmt(node[2], declared)
+        if node[3] is not None:
+            _walk_stmt(node[3], declared)
+        return
+    if k in ("while", "dowhile"):
+        _walk_expr(node[1], declared)
+        _walk_stmt(node[2], declared)
+        return
+    if k == "for":
+        inner = set(declared)
+        _walk_stmt(node[1], inner)
+        if node[2] is not None:
+            _walk_expr(node[2], inner)
+        if node[3] is not None:
+            _walk_expr(node[3], inner)
+        _walk_stmt(node[4], inner)
+        return
+    if k == "forof":
+        inner = set(declared)
+        _walk_expr(node[2], inner)
+        inner.add(node[1])
+        _walk_stmt(node[3], inner)
+        return
+    raise _Stateful()
+
+
+def _walk_block(node, declared):
+    for st in node[1]:
+        _walk_stmt(st, declared)
+
+
+def _walk_expr(node, declared):
+    k = node[0]
+    if k == "lit":
+        return
+    if k == "ident":
+        if node[1] in declared or node[1] in _SAFE_GLOBALS:
+            return
+        raise _Stateful()          # includes bare `$`/console aliasing
+    if k == "array":
+        for x in node[1]:
+            _walk_expr(x, declared)
+        return
+    if k == "object":
+        for _key, v in node[1]:
+            _walk_expr(v, declared)
+        return
+    if k == "funcexpr":
+        _walk_block(node[2], set(declared) | set(node[1]))
+        return
+    if k == "member":
+        if _is_dollar(node[1]):
+            if node[2] in STATELESS_DOLLAR_READS:
+                return
+            raise _Stateful()      # $.result/$.db/$.request/...
+        _walk_expr(node[1], declared)
+        return
+    if k == "index":
+        _walk_expr(node[1], declared)
+        _walk_expr(node[2], declared)
+        return
+    if k == "call":
+        callee = node[1]
+        if callee[0] == "member" and _is_dollar(callee[1]):
+            if callee[2] not in STATELESS_DOLLAR_CALLS:
+                raise _Stateful()
+        else:
+            _walk_expr(callee, declared)
+        for a in node[2]:
+            _walk_expr(a, declared)
+        return
+    if k == "new":
+        _walk_expr(node[1], declared)
+        for a in node[2]:
+            _walk_expr(a, declared)
+        return
+    if k == "un":
+        _walk_expr(node[2], declared)
+        return
+    if k == "typeof":
+        _walk_expr(node[1], declared)
+        return
+    if k == "bin":
+        _walk_expr(node[2], declared)
+        _walk_expr(node[3], declared)
+        return
+    if k == "ternary":
+        _walk_expr(node[1], declared)
+        _walk_expr(node[2], declared)
+        _walk_expr(node[3], declared)
+        return
+    if k == "comma":
+        _walk_expr(node[1], declared)
+        _walk_expr(node[2], declared)
+        return
+    if k == "assign":               # ("assign", op, target, value)
+        _walk_target(node[2], declared)
+        _walk_expr(node[3], declared)
+        return
+    if k in ("preincr", "postincr"):
+        _walk_target(node[2], declared)
+        return
+    raise _Stateful()

@@ -909,6 +909,60 @@ def _script_col_type(vals):
     return none_or(to_display), "string", False
 
 
+class _BatchDollar:
+    """Per-record ``$`` surface for the distributed SCRIPT fast path: only
+    the members analyze_stateless() admits (key/values/params/payload
+    reads, yield/yieldKey/yieldArray calls) — anything else was rejected
+    statically before shipping the AST to executors."""
+
+    _js_host = True
+
+    def __init__(self, params):
+        from neo_server_spark.tql import jslite
+        self.rows: list[tuple] = []
+        self.key = None
+        self.values: list = []
+        self.params = params
+        self.payload = jslite.UNDEFINED
+        setattr(self, "yield", self._yield)
+
+    def _yield(self, *vals):
+        self.rows.append((self.key, list(vals)))
+
+    def yieldKey(self, key, *vals):
+        self.rows.append((key, list(vals)))
+
+    def yieldArray(self, arr):
+        if not isinstance(arr, list):
+            raise TypeError("$.yieldArray expects an array")
+        self.rows.append((self.key, list(arr)))
+
+
+def _script_coercer(tname: str, is_time: bool):
+    """Value coercion for the distributed SCRIPT fast path: the schema was
+    inferred from a record prefix (driver-side), so executors coerce each
+    yield into the inferred column type with the same conversions
+    _script_col_type applies.  A value outside the inferred kind coerces
+    leniently (int(v)/float(v)/display string) — a documented deviation
+    from the serial path's whole-stream inference, which only surfaces for
+    scripts whose yield types CHANGE partway through the stream."""
+    from neo_server_spark.tql.jslite import UNDEFINED, JSDate, to_display
+
+    def none_or(f):
+        return lambda v: None if v is None or v is UNDEFINED else f(v)
+    if is_time:
+        return none_or(lambda v: int(v.ms) * 10**6
+                       + int(round((v.ms - int(v.ms)) * 1e6))
+                       if isinstance(v, JSDate) else int(v))
+    if tname == "long":
+        return none_or(int)
+    if tname == "double":
+        return none_or(float)
+    if tname == "boolean":
+        return none_or(bool)
+    return none_or(to_display)
+
+
 def _normalize_script_columns(data: list[tuple], nvals: int):
     """Apply :func:`_script_col_type` to the key and every value column;
     returns (converted rows, explicit schema, time column indexes) — an
@@ -943,7 +997,8 @@ class TqlRunner:
     def __init__(self, spark: SparkSession, payload: str | None = None,
                  fs_root: str | None = None, sf_dir: str | None = None,
                  params: dict | None = None, allow_shell: bool = False,
-                 arg_values: list | None = None):
+                 arg_values: list | None = None,
+                 script_distribute: bool = True):
         import time as _time
         self.spark = spark
         self.payload = payload
@@ -952,6 +1007,10 @@ class TqlRunner:
         self.params = params or {}
         self.allow_shell = allow_shell
         self.arg_values = list(arg_values or [])
+        # statically-stateless SCRIPT blocks run distributed (mapInPandas)
+        # instead of through the serial driver VM; False pins the serial
+        # path for byte-comparison tests and pathological scripts
+        self.script_distribute = script_distribute
         self.now_ns = int(_time.time() * 1e9)
         self.state = _State()
         self.output: object = None
@@ -1831,6 +1890,11 @@ class TqlRunner:
         interp = jslite.Interpreter(
             dollar, log=lambda lvl, msg: self.script_logs.append((lvl, msg)))
         main_ast = interp.prepare(main)
+        if (self.state.df is not None and not init and not deinit
+                and self.script_distribute
+                and jslite.analyze_stateless(main_ast)
+                and self._script_fast_path(main_ast)):
+            return
         if init:
             interp.run(init)
         if self.state.df is None:
@@ -1871,6 +1935,108 @@ class TqlRunner:
         times |= date_cols
         df = self.spark.createDataFrame(norm, schema)
         self._set(df, names, times=times)
+
+    #: prefix length for the fast path's driver-side schema inference
+    _SCRIPT_INFER_PREFIX = 200
+
+    def _script_fast_path(self, main_ast) -> bool:
+        """Distributed execution for statically-stateless SCRIPT blocks:
+        run the block over a bounded record prefix on the driver to infer
+        the yield schema, then mapInPandas the whole stream — no
+        toLocalIterator, no serial VM.  Returns False (caller falls back
+        to the serial path) when inference can't stand in for the full
+        stream: zero prefix yields, or a NULL inflight key (whose
+        yield-ordinal fallback needs the global row counter).
+
+        Output order: __seq = src_seq * 1e6 + yield_ordinal preserves the
+        serial emission order for up to 1e6 yields per record."""
+        from neo_server_spark.tql import jslite
+
+        vcols = self._vcols()
+        src = self.state.df.select("__seq", "__key", *vcols)
+        prefix = src.orderBy("__seq").limit(self._SCRIPT_INFER_PREFIX + 1) \
+            .collect()
+        whole = len(prefix) <= self._SCRIPT_INFER_PREFIX
+        if any(r["__key"] is None for r in prefix):
+            return False
+        probe = _BatchDollar(dict(self.params))
+        interp = jslite.Interpreter(probe)
+        sample: list[tuple] = []
+        for row in prefix:
+            probe.key = row["__key"]
+            probe.values = [row[c] for c in vcols]
+            interp.exec_ast(main_ast)
+            for key, vals in probe.rows:
+                sample.append((row["__seq"], key, vals))
+            probe.rows.clear()
+        if not sample:
+            return False
+        nvals = max(len(v) for _, _, v in sample)
+        data = [(s, k, *(list(v) + [None] * (nvals - len(v))))
+                for s, k, v in sample]
+        _, schema, date_cols = _normalize_script_columns(data, nvals)
+        ktype = schema.fields[1].dataType.simpleString()
+        vtypes = [f.dataType.simpleString() for f in schema.fields[2:]]
+        if whole:
+            # prefix IS the stream: the probe already produced every row —
+            # emit it directly, identical to the serial path
+            out = []
+            for s, k, v in sample:
+                out.append((len(out), k if k is not None else len(out) + 1,
+                            *(list(v) + [None] * (nvals - len(v)))))
+            norm, schema2, dc2 = _normalize_script_columns(out, nvals)
+            df = self.spark.createDataFrame(norm, schema2)
+            self._set(df, [None] * nvals, times=dc2)
+            return True
+        simple = {"bigint": "long", "boolean": "boolean",
+                  "double": "double", "string": "string"}
+        kconv = _script_coercer(simple.get(ktype, "string"), False)
+        coercers = [_script_coercer(simple.get(t, "string"), i in date_cols)
+                    for i, t in enumerate(vtypes)]
+        params = dict(self.params)
+        ast = main_ast
+
+        def kern(batches):
+            import pandas as pd
+            from neo_server_spark.tql import jslite as J
+            d = _BatchDollar(params)
+            vm = J.Interpreter(d)
+            for pdf in batches:
+                cols: dict[str, list] = {"__s0": [], "__s1": [], "__key": []}
+                for i in range(nvals):
+                    cols[f"c{i}"] = []
+                for t in pdf.itertuples(index=False, name=None):
+                    seq = int(t[0])
+                    d.key = t[1].item() if hasattr(t[1], "item") else t[1]
+                    d.values = [v.item() if hasattr(v, "item") else v
+                                for v in t[2:]]
+                    vm.exec_ast(ast)
+                    for j, (key, vals) in enumerate(d.rows):
+                        if len(vals) > nvals:
+                            raise RuntimeError(
+                                "SCRIPT fast path: a record yielded more "
+                                "columns than the inference prefix saw; "
+                                "run with script_distribute=False")
+                        cols["__s0"].append(seq)
+                        cols["__s1"].append(j)
+                        cols["__key"].append(kconv(key))
+                        vals = list(vals) + [None] * (nvals - len(vals))
+                        for i in range(nvals):
+                            cols[f"c{i}"].append(coercers[i](vals[i]))
+                    d.rows.clear()
+                yield pd.DataFrame(cols)
+
+        spark_t = {"bigint": "long", "double": "double",
+                   "boolean": "boolean", "string": "string"}
+        fields = ["__s0 long", "__s1 long",
+                  f"__key {spark_t.get(ktype, ktype)}"] + [
+            f"c{i} {spark_t.get(t, t)}" for i, t in enumerate(vtypes)]
+        out = src.mapInPandas(kern, ", ".join(fields))
+        df = out.select(
+            (F.col("__s0") * F.lit(1_000_000) + F.col("__s1")).alias("__seq"),
+            "__key", *[f"c{i}" for i in range(nvals)])
+        self._set(df, [None] * nvals, times=date_cols)
+        return True
 
     #: sub-commands the reference's shell runner refuses (fm_shell.go:94)
     _SHELL_BLOCKLIST = frozenset(

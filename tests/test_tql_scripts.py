@@ -1748,3 +1748,51 @@ def test_round5_scalar_registry(spark):
     pi = "3.141593"  # CSV default precision
     assert out.splitlines() == [
         f"{pi},{pi},{pi},1,0,0,0,3,1024,1000,-2,-1,-1,1,3,true,true"]
+
+
+def test_script_stateless_fast_path(spark):
+    """Statically-stateless SCRIPT blocks distribute via mapInPandas —
+    byte-identical to the serial VM, with no driver record loop in the
+    plan; stateful blocks (VM-global writes, finalize) stay serial."""
+    from neo_server_spark.tql.jslite import Interpreter, analyze_stateless
+    from neo_server_spark.tql.script import TqlRunner
+
+    script = """
+        FAKE( linspace(0, 999, 1000) )
+        SCRIPT("js", {
+            var v = $.values[0];
+            if (v % 3 == 0) { $.yield(v, v * 2, "x" + v); }
+        })
+        CSV()
+    """
+    fast = TqlRunner(spark, script_distribute=True).run(script)
+    serial = TqlRunner(spark, script_distribute=False).run(script)
+    assert fast == serial and len(fast.splitlines()) == 334
+
+    # multi-yield + yieldKey keep emission order
+    script2 = """
+        FAKE( linspace(1, 300, 300) )
+        SCRIPT("js", {
+            $.yieldKey($.key * 10, $.values[0]);
+            $.yield($.values[0] + 0.5);
+        })
+        CSV()
+    """
+    assert TqlRunner(spark, script_distribute=True).run(script2) == \
+        TqlRunner(spark, script_distribute=False).run(script2)
+
+    # the distributed plan runs the script in executors, not a driver loop
+    df = TqlRunner(spark, script_distribute=True).run("""
+        FAKE( linspace(0, 999, 1000) )
+        SCRIPT("js", { $.yield($.values[0] * 2) })
+    """)
+    assert "MapInPandas" in df._jdf.queryExecution().executedPlan().toString()
+
+    # stateful shapes are rejected by the static analyzer
+    P = Interpreter.prepare
+    assert not analyze_stateless(P("count = count + 1; $.yield(count)"))
+    assert not analyze_stateless(P("$.x = 1; $.yield($.x)"))
+    assert not analyze_stateless(P("function finalize() {} $.yield(1)"))
+    assert not analyze_stateless(P("var d = $; d.yield(1)"))
+    assert not analyze_stateless(P("console.log(1); $.yield(1)"))
+    assert analyze_stateless(P("var c = 0; c += 1; $.yield(c)"))
