@@ -1277,21 +1277,31 @@ class TqlRunner:
         raise NameError(f"unsupported meshgrid axis {g[1]}()")
 
     def stmt_SQL(self, args):
-        """SQL('select ...') source (fm_dbsrc.go:312-384 -> spark.sql).
+        """SQL(['select ...'] | [bridge('name'), 'select ...'])
+        (fm_dbsrc.go:312-384).
 
-        The heavyweight path: the query plans through Catalyst against the
-        registered tables (ranged parquet scans, pushdown) — this front-end
-        only adapts the result into the record-stream shape.  Arrival order
-        = the query's output order (monotonic id over the result)."""
-        q = self.ev(args[0])
-        from neo_server_spark import io as nio
-        from neo_server_spark.sqlx.dialect import lake_sql
-        if self.sf_dir:
-            nio.register_views(self.spark, self.sf_dir)
-        # the lake dialect rewrites (DECODE / TO_CHAR / FIRST / LAST /
-        # DATE_TRUNC('SEC'), sqlx/dialect.py) apply to every SQL() source,
-        # exactly like the reference's lake query path (http_lake.go)
-        df = lake_sql(self.spark, q)
+        Default form plans through Catalyst against the registered tables
+        (ranged parquet scans, pushdown) with the lake dialect rewrites
+        (DECODE / TO_CHAR / FIRST / LAST / DATE_TRUNC('SEC'),
+        sqlx/dialect.py) — exactly like the reference's lake query path
+        (http_lake.go).  The bridge form (fm_dbsrc.go:338-357) ships the
+        query to the named external database through Spark's JDBC source
+        (sources/bridge.py: pushed-down subquery, parallel range reads).
+        Arrival order = the query's output order (monotonic id)."""
+        if args[0][0] == "call" and args[0][1] == "bridge":
+            from neo_server_spark.sources.bridge import default_registry
+            bname = str(self.ev(args[0][2][0]))
+            q = str(self.ev(args[1])).strip().rstrip(";")
+            if not q:
+                raise ValueError("f(SQL) Empty SQL text")
+            df = default_registry.get(bname).sql(self.spark, q)
+        else:
+            q = self.ev(args[0])
+            from neo_server_spark import io as nio
+            from neo_server_spark.sqlx.dialect import lake_sql
+            if self.sf_dir:
+                nio.register_views(self.spark, self.sf_dir)
+            df = lake_sql(self.spark, q)
         cols = df.columns
         df = df.withColumn("__seq", F.monotonically_increasing_id())
         sel = [F.col("__seq"), F.col(cols[0]).alias("__key")] + [

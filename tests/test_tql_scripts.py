@@ -1796,3 +1796,38 @@ def test_script_stateless_fast_path(spark):
     assert not analyze_stateless(P("var d = $; d.yield(1)"))
     assert not analyze_stateless(P("console.log(1); $.yield(1)"))
     assert analyze_stateless(P("var c = 0; c += 1; $.yield(c)"))
+
+
+def test_sql_bridge_statement(spark):
+    """SQL(bridge('name'), 'select ...') (fm_dbsrc.go:338-357) resolves the
+    named bridge from the registry and routes through Spark's JDBC source.
+    The container ships no JDBC driver jars, so the sqlite read is asserted
+    up to the JVM's driver lookup — the registry/option wiring is the
+    engine's part (sources/bridge.py docstring)."""
+    import pytest as _pytest
+
+    from neo_server_spark.sources.bridge import default_registry
+    from neo_server_spark.tql.script import TqlRunner
+
+    with _pytest.raises(KeyError, match="undefined bridge"):
+        TqlRunner(spark).run("""
+            SQL(bridge('nope'), 'select 1')
+            CSV()
+        """)
+    default_registry.register("sqlite_t", "sqlite", "jdbc:sqlite::memory:")
+    try:
+        with _pytest.raises(Exception) as ei:
+            TqlRunner(spark).run("""
+                SQL(bridge('sqlite_t'), 'select 1 as one')
+                CSV()
+            """)
+        # reached the JDBC layer: fails on the missing org.sqlite driver
+        # class, not on parsing/registry
+        assert "sqlite" in str(ei.value).lower()
+    finally:
+        default_registry.unregister("sqlite_t")
+    with _pytest.raises(ValueError, match="Empty SQL"):
+        TqlRunner(spark).run("""
+            SQL(bridge('nope2'), ';')
+            CSV()
+        """)
