@@ -1132,11 +1132,18 @@ def _q_streaming_rollup(spark, sf_dir):
 
     from neo_server_spark import io as nio
 
+    import os
+
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    # the file source wants a directory: point at sf_dir, glob the one file
-    src = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if os.path.isdir(path):
+        # Spark-written layout: events.parquet IS a directory of parts
+        src = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file layout: the file source wants a directory — point at
+        # sf_dir and glob the one file
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
     src = nio._normalize_basetime(src, ("ts",))
     hour = 3_600 * 10**9
     agg = (

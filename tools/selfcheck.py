@@ -71,10 +71,13 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        spark_dt = time.time() - t0
         sql = oracles.get(name)
         if sql is None:
-            print(f"rows  {name}: {len(s_rows)} rows (no oracle)")
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle, "
+                  f"spark {spark_dt:.2f}s)")
             continue
+        t1 = time.time()
         try:
             res = con.execute(sql)
             o_cols = [d[0] for d in res.description]
@@ -83,6 +86,7 @@ def main():
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
+        oracle_dt = time.time() - t1
         dt = time.time() - t0
         # dtype audit: the driver may hash pandas values, where int-vs-float
         # or int32-vs-int64 representation differences flip the hash even
@@ -126,7 +130,8 @@ def main():
                         except (TypeError, ValueError):
                             max_diff = float("inf")
             if not bad:
-                verdict = f"PASS  {name}: {len(s_norm)} rows  ({dt:.1f}s)"
+                verdict = (f"PASS  {name}: {len(s_norm)} rows  "
+                           f"(spark {spark_dt:.2f}s, oracle {oracle_dt:.2f}s)")
                 if sort_rows:
                     # values agree but only after sorting — the driver's
                     # emission-order hash would FAIL this entry
