@@ -509,6 +509,11 @@ def _str_time(rt, t, fmt="ns", *args):
     return T.strtime_py(int(t), fmt, tzname)
 
 
+def _escape_param(s: str) -> str:
+    import urllib.parse
+    return urllib.parse.quote_plus(s)
+
+
 def _glob_rx(pattern: str) -> str:
     import re as _re
     return "^" + _re.escape(pattern).replace(r"\*", ".*") \
@@ -553,6 +558,8 @@ def _install_round5_scalars():
             else _re.match(_glob_rx(str(pat)), str(v)) is not None),
         "strTime": _str_time,
         "tz": lambda rt, name: ("tz", resolve_tz(str(name))),
+        # Go url.QueryEscape: space -> '+' (fm_context.go:166)
+        "escapeParam": lambda rt, s: _escape_param(str(s)),
         "timeUnix": _time_unix(10**9),
         "timeUnixMilli": _time_unix(10**6),
         "timeUnixMicro": _time_unix(10**3),
@@ -1139,7 +1146,35 @@ class TqlRunner:
     # ---------------------------------------------------------------- run
 
     def run(self, src: str):
-        for stmt in parse_script(src):
+        stmts = parse_script(src)
+        cache_param = self._find_cache_param(stmts)
+        if cache_param is not None:
+            # the reference checks the cache BEFORE executing the task
+            # (task.go:393-418): key is scoped by the script text, ttl >= 1s
+            from neo_server_spark.tql.cache import default_cache
+            key, ttl = cache_param
+            import hashlib
+            full_key = hashlib.sha1(src.encode()).hexdigest() + ":" + key
+            return default_cache.get_or_compute(
+                full_key, ttl, lambda: self._run_stmts(stmts))
+        return self._run_stmts(stmts)
+
+    def _find_cache_param(self, stmts):
+        """cache('key', ttl[, preemptiveRatio]) option on the sink
+        (tqlcache.go fmCache:126-159); ttl must exceed 1s."""
+        for stmt in stmts:
+            for a in stmt[2]:
+                if a[0] == "call" and a[1] == "cache":
+                    key = str(self.ev(a[2][0]))
+                    ttl_s = str(self.ev(a[2][1])) if len(a[2]) > 1 else ""
+                    ttl = _dur_ns(ttl_s) / 1e9 if ttl_s else 60.0
+                    if ttl <= 1.0:
+                        raise ValueError(f"invalid cache ttl {ttl_s!r}")
+                    return key, ttl
+        return None
+
+    def _run_stmts(self, stmts):
+        for stmt in stmts:
             name, args = stmt[1], stmt[2]
             handler = getattr(self, f"stmt_{name}", None)
             if handler is None:
@@ -1155,9 +1190,11 @@ class TqlRunner:
             # reference: f(FAKE) arg(0) should be fakeSource (tql_test.go)
             raise TypeError("f(FAKE) arg(0) should be fakeSource")
         gname, gargs = gen[1], gen[2]
-        if gname == "linspace":
-            a, b, num = [self.ev(x) for x in gargs]
-            self._set(self._linspace_df(float(a), float(b), int(num)), [None])
+        if gname in ("linspace", "linspace50"):
+            # linspace50(a, b) = 50-point default (fm_fake.go:328)
+            a, b, *rest = [self.ev(x) for x in gargs]
+            num = int(rest[0]) if rest else 50
+            self._set(self._linspace_df(float(a), float(b), num), [None])
         elif gname == "arrange":
             a, b, step = [float(self.ev(x)) for x in gargs]
             # argument validation with the reference's exact messages
@@ -1315,6 +1352,8 @@ class TqlRunner:
         from neo_server_spark import io as nio
         opts, pos = self._opt_calls(args)
         cols = [self.ev(p) for p in pos]
+        if self._maybe_query_dump(opts, [str(c) for c in cols], version=1):
+            return
         table = opts["from"][0][0] if "from" in opts else "events"
         tags = opts["from"][0][1:] if "from" in opts and len(opts["from"][0]) > 1 else None
         between = opts.get("between", [None])[0]
@@ -1340,12 +1379,84 @@ class TqlRunner:
             F.col(c).alias(f"c{i}") for i, c in enumerate(names)]
         self._set(df.select(*sel), names, times={1})
 
+    @staticmethod
+    def _between_part(v, table: str, tag: str) -> str:
+        """One side of the BETWEEN clause exactly as the reference renders
+        it (fm_dbsrc.go stringBetweenPart:871-881): 'last[±dur]' becomes a
+        V$<TABLE>_STAT MAX_TIME subquery, 'now[±dur]' the server-now
+        expression, numbers a ns literal."""
+        from neo_server_spark.functions.timefn import parse_duration
+
+        def dur_ns(rem: str) -> int:
+            rem = rem.strip()
+            if not rem:
+                return 0
+            sign = -1 if rem.startswith("-") else 1
+            return sign * parse_duration(rem.lstrip("+-"))
+
+        def dur_str(ns: int) -> str:
+            return "" if ns == 0 else (f"+{ns}" if ns > 0 else str(ns))
+
+        if isinstance(v, str):
+            s = v.strip().lower()
+            if s.startswith("last"):
+                d = dur_ns(s[4:])
+                return (f"(SELECT MAX_TIME{dur_str(d)} FROM V${table}_STAT "
+                        f"WHERE name = '{tag}')")
+            if s.startswith("now"):
+                d = dur_ns(s[3:])
+                return "now" if d == 0 else f"(now{dur_str(d)})"
+        return str(int(round(float(v))))
+
+    def _maybe_query_dump(self, opts, cols: list, version: int) -> bool:
+        """dump(true[, escape]) on QUERY/SQL_SELECT (fm_dbsrc.go:34-50,
+        821-833): emit the GENERATED SQL text as one ('SQLDUMP', text)
+        record instead of executing — rendered byte-compatibly with the
+        reference's toSql/toSqlGroup (task_test.go TestQuerySql goldens)."""
+        d = opts.get("dump")
+        if not d or not d[0] or not bool(d[0][0]):
+            return False
+        frm = opts.get("from", [["table", "tag"]])[0]
+        table = str(frm[0]).upper()
+        tag = str(frm[1]) if len(frm) > 1 else ""
+        bt = str(frm[2]) if len(frm) > 2 else "time"
+        bn = str(frm[3]) if len(frm) > 3 else "name"
+        btw = opts.get("between", [["last-1s", "last"]])[0]
+        period = _dur_ns(btw[2]) if len(btw) > 2 else 0
+        lim = opts.get("limit", [[0, 1_000_000]])[0]
+        off, n = (0, lim[0]) if len(lim) == 1 else (lim[0], lim[1])
+        a = self._between_part(btw[0], table, tag)
+        b = self._between_part(btw[1], table, tag)
+        grp = (f"from_timestamp(round(to_timestamp({bt})/{period})*{period})"
+               f" {bt}")
+        if version == 1:
+            columns = ", ".join((grp if c == bt and period else c)
+                                for c in cols) if cols else "value"
+            head = f"SELECT {columns} FROM {table}"
+        else:
+            columns = ", ".join(cols) if cols else "value"
+            head = (f"SELECT {grp if period else bt}, {columns} "
+                    f"FROM {table}")
+        sql = (f"{head} WHERE {bn} = '{tag}' AND {bt} BETWEEN {a} AND {b}"
+               + (f" GROUP BY {bt} ORDER BY {bt}" if period else "")
+               + f" LIMIT {int(off)}, {int(n)}")
+        if len(d[0]) > 1 and bool(d[0][1]):
+            import urllib.parse
+            sql = urllib.parse.quote_plus(sql)
+        df = self.spark.createDataFrame(
+            [(0, "SQLDUMP", sql)], "__seq long, __key string, c0 string")
+        self._set(df, [None])
+        return True
+
     def stmt_QUERY(self, args):
         """QUERY(valueExpr, from(table, tag [, timeColName]), between(a, b))
         (fm_dbsrc.go:56-91) — value-first builder; records are
         (<timeName>, <valueName>) for the tag, time-ranged at the source."""
         from neo_server_spark import io as nio
         opts, pos = self._opt_calls(args)
+        if self._maybe_query_dump(opts, [str(self.ev(p)) for p in pos],
+                                  version=0):
+            return
         vname = self.ev(pos[0]) if pos else "value"
         frm = opts.get("from", [["events"]])[0]
         table, tag = frm[0], (frm[1] if len(frm) > 1 else None)
@@ -1381,7 +1492,8 @@ class TqlRunner:
             text = self.ev(pos[0]) if pos else None
         # no separator() -> the whole text is ONE record (fm_bytes.go reads
         # the full payload when no delimiter is configured)
-        sep = opts["separator"][0][0] if "separator" in opts else None
+        sep_o = opts.get("separator") or opts.get("sep")  # sep() = fx alias
+        sep = sep_o[0][0] if sep_o else None
         trim = bool(opts["trimspace"][0][0]) if "trimspace" in opts else False
         rows = text.split(sep) if sep is not None else [text]
         if trim:
@@ -1400,7 +1512,8 @@ class TqlRunner:
                 data = data[:-1]
         else:
             data = str(self.ev(pos[0]) if pos else "").encode()
-        sep = opts["separator"][0][0] if "separator" in opts else None
+        sep_o = opts.get("separator") or opts.get("sep")  # sep() = fx alias
+        sep = sep_o[0][0] if sep_o else None
         chunks = data.split(sep.encode()) if sep is not None else [data]
         rows = [(i, i + 1, bytes(c)) for i, c in enumerate(chunks)]
         df = self.spark.createDataFrame(rows, "__seq long, __key long, c0 binary")
@@ -1420,7 +1533,8 @@ class TqlRunner:
 
     def _csv_source(self, args):
         opts, pos = self._opt_calls(args)
-        fields = opts.get("field", []) + opts.get("column", [])
+        fields = (opts.get("field", []) + opts.get("column", [])
+                  + opts.get("col", []))  # col() = deprecated field()
         use_header = bool((opts.get("header") or opts.get("heading")
                            or [[False]])[0][0])
         if "file" in opts:

@@ -1831,3 +1831,110 @@ def test_sql_bridge_statement(spark):
             SQL(bridge('nope2'), ';')
             CSV()
         """)
+
+
+@pytest.mark.parametrize("script,want", [
+    (
+        """QUERY('value', between('last-10s', 'last'), from("table", "tag", "time"), dump(true))""",
+        "SELECT time, value FROM TABLE WHERE name = 'tag' AND time BETWEEN "
+        "(SELECT MAX_TIME-10000000000 FROM V$TABLE_STAT WHERE name = 'tag') "
+        "AND (SELECT MAX_TIME FROM V$TABLE_STAT WHERE name = 'tag') "
+        "LIMIT 0, 1000000",
+    ),
+    (
+        """QUERY('value', from('table', 'tag'), dump(true))""",
+        "SELECT time, value FROM TABLE WHERE name = 'tag' AND time BETWEEN "
+        "(SELECT MAX_TIME-1000000000 FROM V$TABLE_STAT WHERE name = 'tag') "
+        "AND (SELECT MAX_TIME FROM V$TABLE_STAT WHERE name = 'tag') "
+        "LIMIT 0, 1000000",
+    ),
+    (
+        """QUERY('val1', 'val2' , from('table', 'tag'), dump(true))""",
+        "SELECT time, val1, val2 FROM TABLE WHERE name = 'tag' AND time "
+        "BETWEEN (SELECT MAX_TIME-1000000000 FROM V$TABLE_STAT WHERE name = "
+        "'tag') AND (SELECT MAX_TIME FROM V$TABLE_STAT WHERE name = 'tag') "
+        "LIMIT 0, 1000000",
+    ),
+    (
+        """QUERY('val', from('table', 'tag'), between('now -2.34s', 'now'), limit(5, 100), dump(true))""",
+        "SELECT time, val FROM TABLE WHERE name = 'tag' AND time BETWEEN "
+        "(now-2340000000) AND now LIMIT 5, 100",
+    ),
+    (
+        """QUERY('value', from('table', 'tag'), between(123456789000-2.34*1000000000, 123456789000), dump(true))""",
+        "SELECT time, value FROM TABLE WHERE name = 'tag' AND time BETWEEN "
+        "121116789000 AND 123456789000 LIMIT 0, 1000000",
+    ),
+    (
+        """QUERY( 'value', from('example', 'barn'), between('last -1h23m45s', 'last'), dump(true))""",
+        "SELECT time, value FROM EXAMPLE WHERE name = 'barn' AND time "
+        "BETWEEN (SELECT MAX_TIME-5025000000000 FROM V$EXAMPLE_STAT WHERE "
+        "name = 'barn') AND (SELECT MAX_TIME FROM V$EXAMPLE_STAT WHERE name "
+        "= 'barn') LIMIT 0, 1000000",
+    ),
+    (
+        """QUERY( 'STDDEV(value)', from('example', 'barn'), between('last -1h23m45s', 'last', '10m'), dump(true))""",
+        "SELECT from_timestamp(round(to_timestamp(time)/600000000000)*"
+        "600000000000) time, STDDEV(value) FROM EXAMPLE WHERE name = 'barn' "
+        "AND time BETWEEN (SELECT MAX_TIME-5025000000000 FROM "
+        "V$EXAMPLE_STAT WHERE name = 'barn') AND (SELECT MAX_TIME FROM "
+        "V$EXAMPLE_STAT WHERE name = 'barn') GROUP BY time ORDER BY time "
+        "LIMIT 0, 1000000",
+    ),
+    (
+        """QUERY('STDDEV(val)', from('table', 'tag'), between(123456789000 - 3.45*1000000000, 123456789000, '1ms'), limit(1, 100), dump(true))""",
+        "SELECT from_timestamp(round(to_timestamp(time)/1000000)*1000000) "
+        "time, STDDEV(val) FROM TABLE WHERE name = 'tag' AND time BETWEEN "
+        "120006789000 AND 123456789000 GROUP BY time ORDER BY time "
+        "LIMIT 1, 100",
+    ),
+])
+def test_query_dump_sql_text(spark, script, want):
+    """QUERY(..., dump(true)) emits the generated SQL instead of running it
+    — byte-equal to the reference's toSql/toSqlGroup output (task_test.go
+    TestQuerySql goldens, fm_dbsrc.go:34-50)."""
+    import csv as _csv
+    import io as _io
+
+    out = run_script(spark, script + "\nCSV()")
+    [field] = next(_csv.reader(_io.StringIO(out)))
+    assert " ".join(field.split()) == " ".join(want.split())
+
+
+def test_round5_registry_closure(spark):
+    """Remaining fx registry names: linspace50 (fm_fake.go:328),
+    escapeParam (fm_context.go:166), sep() source separator alias
+    (fm_bytes.go:112), logProgress no-op option (fm_csv.go:309), and the
+    pre-execution result cache (tqlcache.go:126-159, task.go:393-418)."""
+    out = run_script(spark, """
+        FAKE( linspace50(0, 49) )
+        CSV()
+    """)
+    lines = out.splitlines()
+    assert len(lines) == 50 and lines[0] == "0" and lines[-1] == "49"
+    out = run_script(spark, """
+        FAKE( once(1) )
+        MAPVALUE(0, escapeParam('a b&c=d'))
+        CSV()
+    """)
+    assert out.strip() == "a+b%26c%3Dd"
+    out = run_script(spark, """
+        STRING('a|b|c', sep('|'))
+        CSV( logProgress() )
+    """)
+    assert out.splitlines() == ["a", "b", "c"]
+    # cache: identical rendered output on hit, no re-execution
+    src = """
+        FAKE( linspace(0, 9, 10) )
+        CSV( cache('closure_k', '10s') )
+    """
+    import time
+    a = run_script(spark, src)
+    t0 = time.time()
+    b = run_script(spark, src)
+    assert a == b and time.time() - t0 < 0.05
+    with pytest.raises(ValueError, match="cache ttl"):
+        run_script(spark, """
+            FAKE( once(1) )
+            CSV( cache('bad', '500ms') )
+        """)
