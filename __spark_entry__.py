@@ -754,6 +754,30 @@ def _q_tql_script_js(spark, sf_dir):
     """)
 
 
+def _q_group_weighted(spark, sf_dir):
+    """weight() aggregate variants (fm_monad.go:743-746 + newAggregate
+    Weight arm; gonum weighted stat semantics): weighted mean/variance/
+    stddev/stderr are plain aggregate algebra (map-side partial combine,
+    scale-safe); weighted quantile/mode scan a per-group sorted array —
+    bounded groups (per-tag), the reference's own collect-per-group
+    shape."""
+    from neo_server_spark.operators.group import agg as A
+
+    ev = nio.load_table(spark, sf_dir, "events")
+    w = (F.lit(1.0) + F.col("user_id") % 5).alias("__w")
+    vv = (F.round(F.col("value") / 50.0) * 50.0).alias("__vv")
+    df = ev.select(F.col("event_type").alias("name"),
+                   F.col("value").alias("__x"), w, vv)
+    return df.groupBy("name").agg(
+        F.round(A.wavg("__x", "__w", "wmean"), 6).alias("wmean"),
+        F.round(A.wvariance("__x", "__w", "wvar"), 6).alias("wvar"),
+        F.round(A.wstddev("__x", "__w", "wstd"), 6).alias("wstd"),
+        F.round(A.wstderr("__x", "__w", "wse"), 6).alias("wse"),
+        A.wquantile("__x", "__w", 0.9, "q90"),
+        A.wmode("__vv", "__w", "wmode"),
+    ).orderBy("name")
+
+
 def _q_scalar_funcs_tql(spark, sf_dir):
     """Round-5 registry completion exercised through the TEXT front-end:
     the trig/hyperbolic family, log2/exp2/trunc/mod/remainder
@@ -1893,13 +1917,15 @@ def _q_repetition(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
-        # entries.  Round-5 window = the two entries new/changed this round
-        # (scalar_funcs_tql — the completed front-end scalar registry — and
+        # entries.  Round-5 window = the three entries new/changed this
+        # round (scalar_funcs_tql — the completed front-end scalar registry;
+        # group_weighted — the new weight() aggregate variants;
         # histogram_streaming, which GAINED a recursive-CTE oracle and was
-        # the last never-verified entry), then the 48 longest-unchecked
-        # greens (all r2-last, then r3-last).  The 13 remaining r3 greens
-        # and the full r4 window sit behind for round-6 rotation.
+        # the last never-verified entry), then the longest-unchecked greens
+        # (all r2-last, then r3-last).  The remaining r3 greens and the
+        # full r4 window sit behind for round-6 rotation.
         "scalar_funcs_tql": _q_scalar_funcs_tql,
+        "group_weighted": _q_group_weighted,
         "transpose": _q_transpose,
         "pivot_counts": _q_pivot_counts,
         "histogram": _q_histogram,
@@ -2784,6 +2810,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(user_id % 7) AS DOUBLE) AS modsum
             FROM events WHERE value > 100
             GROUP BY 1 ORDER BY name
+        """,
+        "group_weighted": """
+            WITH w AS (
+              SELECT event_type AS name, value AS x,
+                     1.0 + user_id % 5 AS w,
+                     round(value / 50.0) * 50.0 AS vv
+              FROM events
+            ),
+            tot AS (
+              SELECT name, sum(w) AS tw, count(x) AS n,
+                     sum(w * x) AS swx, sum(w * x * x) AS swx2
+              FROM w GROUP BY 1
+            ),
+            cum AS (
+              SELECT name, x,
+                     sum(w) OVER (PARTITION BY name ORDER BY x
+                                  ROWS UNBOUNDED PRECEDING) AS cw
+              FROM w
+            ),
+            q AS (
+              SELECT cum.name, min(x) AS q90
+              FROM cum JOIN tot USING (name)
+              WHERE cw >= 0.9 * tw GROUP BY 1
+            ),
+            md AS (
+              SELECT name, vv, sum(w) AS sw,
+                     row_number() OVER (PARTITION BY name
+                                        ORDER BY sum(w) DESC, vv ASC) AS rn
+              FROM w GROUP BY name, vv
+            )
+            SELECT tot.name,
+                   round(swx / tw, 6) AS wmean,
+                   round((swx2 - swx * swx / tw) / (tw - 1), 6) AS wvar,
+                   round(sqrt((swx2 - swx * swx / tw) / (tw - 1)), 6) AS wstd,
+                   round(sqrt((swx2 - swx * swx / tw) / (tw - 1))
+                         / sqrt(n), 6) AS wse,
+                   q.q90 AS q90,
+                   (SELECT vv FROM md WHERE md.name = tot.name AND rn = 1)
+                       AS wmode
+            FROM tot JOIN q ON tot.name = q.name
+            ORDER BY tot.name
         """,
         "scalar_funcs_tql": """
             SELECT event_id,

@@ -272,6 +272,84 @@ class agg:
         c, w = _guard(_c(col), where), _c(weight)
         return (F.sum(c * w) / F.sum(F.when(c.isNotNull(), w))).alias(name)
 
+    # -- weight() variants (fm_monad.go:743-746 Weight; gonum stat takes a
+    # parallel weights slice).  All are plain aggregate-expression algebra:
+    # map-side partial aggregation applies, no arrays except where the
+    # definition is inherently order-dependent (wquantile/wmode).
+
+    @staticmethod
+    def wvariance(col, weight, name="variance", where=None) -> Column:
+        """gonum stat.Variance with weights (unbiased):
+        Σw(x-μ)²/(Σw-1) = (Σwx² - (Σwx)²/Σw)/(Σw-1)."""
+        c, w = _guard(_c(col), where).cast("double"), _c(weight).cast("double")
+        w = F.when(c.isNotNull(), w)
+        sw, swx, swx2 = F.sum(w), F.sum(w * c), F.sum(w * c * c)
+        return ((swx2 - swx * swx / sw) / (sw - 1)).alias(name)
+
+    @staticmethod
+    def wstddev(col, weight, name="stddev", where=None) -> Column:
+        return F.sqrt(agg.wvariance(col, weight, name, where)).alias(name)
+
+    @staticmethod
+    def wstderr(col, weight, name="stderr", where=None) -> Column:
+        """Weighted stderr = weighted stddev / sqrt(COUNT) — the reference
+        divides by the sample count, not Σw (task_test.go stderr golden:
+        0.58/√2 = 0.41)."""
+        c = _guard(_c(col), where)
+        return (F.sqrt(agg.wvariance(col, weight, name, where))
+                / F.sqrt(F.count(c))).alias(name)
+
+    @staticmethod
+    def _wsorted(col, weight, where):
+        c, w = _guard(_c(col), where).cast("double"), _c(weight).cast("double")
+        pair = F.when(c.isNotNull(),
+                      F.struct(c.alias("x"), w.alias("w")))
+        return F.array_sort(F.collect_list(pair))
+
+    @staticmethod
+    def wquantile(col, weight, p: float, name="quantile", where=None) -> Column:
+        """gonum weighted Empirical quantile: smallest x whose cumulative
+        weight fraction reaches p."""
+        xs = agg._wsorted(col, weight, where)
+        total = F.aggregate(xs, F.lit(0.0), lambda a, s: a + s.w)
+        # the threshold lives in the fold's INIT state: init evaluates once
+        # per group, while an outer aggregate referenced inside the merge
+        # lambda would re-evaluate per element (O(n²))
+        init = F.struct(F.lit(0.0).alias("cum"),
+                        (F.lit(p) * total).alias("thr"),
+                        F.lit(None).cast("double").alias("ans"))
+        scan = F.aggregate(
+            xs, init,
+            lambda a, s: F.struct(
+                (a.cum + s.w).alias("cum"), a.thr.alias("thr"),
+                F.coalesce(a.ans, F.when(a.cum + s.w >= a.thr,
+                                         s.x)).alias("ans")),
+            lambda a: F.coalesce(a.ans, F.element_at(xs, -1).x))
+        return scan.alias(name)
+
+    @staticmethod
+    def wmode(col, weight, name="mode", where=None) -> Column:
+        """gonum stat.Mode with weights: the value with the greatest total
+        weight; on ties the smallest value (gonum scans sorted x with a
+        strict >)."""
+        xs = agg._wsorted(col, weight, where)
+        init = F.struct(F.lit(None).cast("double").alias("prev"),
+                        F.lit(0.0).alias("runw"),
+                        F.lit(None).cast("double").alias("bestx"),
+                        F.lit(0.0).alias("bestw"))
+        def step(a, s):
+            same = a.prev.eqNullSafe(s.x)
+            closes = ~same & a.prev.isNotNull() & (a.runw > a.bestw)
+            return F.struct(
+                s.x.alias("prev"),
+                F.when(same, a.runw + s.w).otherwise(s.w).alias("runw"),
+                F.when(closes, a.prev).otherwise(a.bestx).alias("bestx"),
+                F.when(closes, a.runw).otherwise(a.bestw).alias("bestw"))
+        scan = F.aggregate(
+            xs, init, step,
+            lambda a: F.when(a.runw > a.bestw, a.prev).otherwise(a.bestx))
+        return scan.alias(name)
+
 
 def group(
     df: DataFrame,

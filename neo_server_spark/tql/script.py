@@ -2477,9 +2477,9 @@ class TqlRunner:
             if fn not in self._AGG_FNS:
                 continue
             expr = _lift(self.ev(fargs[0]))
-            # per-aggregate options: name string, nullValue(v), predict(kind)
-            # (fm_monad.go fmAggregate option scan)
-            nm, nullv, predict = None, None, None
+            # per-aggregate options: name string, nullValue(v), predict(kind),
+            # weight(expr) (fm_monad.go fmAggregate/newAggregate option scan)
+            nm, nullv, predict, wexpr = None, None, None, None
             for extra in fargs[1:]:
                 if extra[0] == "str":
                     nm = extra[1]
@@ -2487,6 +2487,8 @@ class TqlRunner:
                     nullv = float(self.ev(extra[2][0]))
                 elif extra[0] == "call" and extra[1] == "predict":
                     predict = str(self.ev(extra[2][0])).lower()
+                elif extra[0] == "call" and extra[1] == "weight":
+                    wexpr = _lift(self.ev(extra[2][0]))
             nm = nm if nm is not None else fn.upper()
             # count/first/last/mode/list operate on RAW record values (the
             # reference aggregates untyped values; count counts records) —
@@ -2494,6 +2496,29 @@ class TqlRunner:
             raw_ok = fn in ("count", "first", "last", "mode", "list")
             src = mat(expr if raw_ok else expr.cast("double"))
             alias = f"__o{len(out_names)}"
+            if wexpr is not None:
+                # weight() variants (newAggregate Weight arm,
+                # fm_monad.go:822-828; gonum weighted stat semantics)
+                wsrc = mat(wexpr.cast("double"))
+                wb = {
+                    "mean": lambda: A.wavg(src, wsrc, alias),
+                    "avg": lambda: A.wavg(src, wsrc, alias),
+                    "variance": lambda: A.wvariance(src, wsrc, alias),
+                    "stddev": lambda: A.wstddev(src, wsrc, alias),
+                    "stderr": lambda: A.wstderr(src, wsrc, alias),
+                    "median": lambda: A.wquantile(src, wsrc, 0.5, alias),
+                    "mode": lambda: A.wmode(src, wsrc, alias),
+                }.get(fn)
+                if wb is None and fn == "quantile":
+                    p = float(self.ev(fargs[1]))
+                    wb = lambda: A.wquantile(src, wsrc, p, alias)  # noqa: E731
+                if wb is None:
+                    raise NameError(
+                        f"GROUP aggregate {fn}() does not take weight()")
+                aggs.append(wb())
+                out_names.append(nm)
+                agg_fills.append((nullv, predict))
+                continue
             builder = {
                 "sum": lambda: A.sum(src, alias),
                 "avg": lambda: A.avg(src, alias),
@@ -2769,11 +2794,14 @@ class TqlRunner:
 
         opts, _ = self._opt_calls(args)
         option = ""
-        if "chartOption" in opts:
+        # option('...') is the string form of chartOption (fm_context.go:171
+        # SetChartOption)
+        opt_src = opts.get("chartOption") or opts.get("option")
+        if opt_src:
             # the tokenizer strips a brace blob's outer {} — restore them so
             # the option text reaches the JS asset verbatim (chart.go keeps
             # the script-supplied string untouched)
-            raw = str(opts["chartOption"][0][0]).strip()
+            raw = str(opt_src[0][0]).strip()
             option = raw if raw.startswith("{") else "{\n" + raw + "\n}"
         theme = str(opts["theme"][0][0]) if "theme" in opts else "white"
         width, height = "600px", "600px"
@@ -2888,9 +2916,11 @@ class TqlRunner:
     # -------------------------------------------------------------- db sinks
 
     def stmt_INSERT(self, args):
-        """INSERT(col..., table('name')) (fm_dbsink.go:38-165): positional
-        record values land in the named columns of the target tag table
-        (parquet dir under fs_root); emits 'N rows inserted.' exactly like
+        """INSERT([bridge('x'),] [tag('T'[, col]),] col..., table('name'))
+        (fm_dbsink.go:38-165): positional record values land in the named
+        columns of the target tag table (parquet dir under fs_root, or the
+        bridge's JDBC table); tag() prepends a constant tag-name column
+        (fm_dbsink.go:55-57,158-161); emits 'N rows inserted.' exactly like
         the reference's insert.Close()."""
         from neo_server_spark import io as nio
         opts, pos = self._opt_calls(args)
@@ -2900,7 +2930,19 @@ class TqlRunner:
         cols = [str(self.ev(p)) for p in pos]
         df = self.state.df.orderBy("__seq")
         vcols = self._vcols()[: len(cols)]
-        out = df.select(*[F.col(vc).alias(cols[i]) for i, vc in enumerate(vcols)])
+        sel = [F.col(vc).alias(cols[i]) for i, vc in enumerate(vcols)]
+        if "tag" in opts:
+            targs = opts["tag"][0]
+            tag_col = str(targs[1]) if len(targs) > 1 else "name"
+            cols = [tag_col] + cols
+            sel = [F.lit(str(targs[0])).alias(tag_col)] + sel
+        out = df.select(*sel)
+        if "bridge" in opts:
+            from neo_server_spark.sources.bridge import default_registry
+            default_registry.get(str(opts["bridge"][0][0])).insert(out, table)
+            n = out.count()
+            self.output = f"{n} row{'s' if n != 1 else ''} inserted."
+            return
         path = self._resolve("/" + table)
         if {"name", "time", "value"} <= set(cols):
             nio.write_tag_table(out, path, mode="append")

@@ -1938,3 +1938,78 @@ def test_round5_registry_closure(spark):
             FAKE( once(1) )
             CSV( cache('bad', '500ms') )
         """)
+
+
+def test_group_weight_option(spark):
+    """weight() on GROUP aggregates (fm_monad.go:743-746, newAggregate
+    Weight arm 822-828) — goldens from task_test.go TestGroup weighted
+    mean/stddev/stderr/quantile/mode cases."""
+    payload = "\n".join(["A,1", "A,2", "B,3", "B,4", "B,5",
+                         "C,6", "C,7", "C,8", "C,9", ""])
+    head = """
+        CSV(payload(), field(0, stringType(), "name"),
+            field(1, doubleType(), "value"))
+    """
+    out = run_script(spark, head + """
+        GROUP(by(value(0)), mean(value(1)), mean(value(1), weight(value(1))),
+              variance(value(1)) )
+        CSV(heading(true), precision(2))
+    """, payload=payload)
+    assert out.splitlines() == [
+        "GROUP,MEAN,MEAN,VARIANCE",
+        "A,1.50,1.67,0.50", "B,4.00,4.17,1.00", "C,7.50,7.67,1.67"]
+    out = run_script(spark, head + """
+        GROUP(by(value(0)), stddev(value(1)),
+              stddev(value(1), weight(value(1))) )
+        CSV(heading(true), precision(2))
+    """, payload=payload)
+    assert out.splitlines() == [
+        "GROUP,STDDEV,STDDEV",
+        "A,0.71,0.58", "B,1.00,0.83", "C,1.29,1.12"]
+    out = run_script(spark, head + """
+        GROUP(by(value(0)), stderr(value(1)),
+              stderr(value(1), weight(value(1))) )
+        CSV(heading(true), precision(2))
+    """, payload=payload)
+    assert out.splitlines() == [
+        "GROUP,STDERR,STDERR",
+        "A,0.50,0.41", "B,0.58,0.48", "C,0.65,0.56"]
+    out = run_script(spark, head + """
+        GROUP(by(value(0)), quantile(value(1), 0.99, weight(value(1)), "P99"),
+              quantile(value(1), 0.5, "P50"), median(value(1), "MEDIAN") )
+        CSV(heading(true), precision(2))
+    """, payload=payload)
+    assert out.splitlines() == [
+        "GROUP,P99,P50,MEDIAN",
+        "A,2.00,1.00,1.00", "B,5.00,4.00,4.00", "C,9.00,7.00,7.00"]
+    payload2 = "\n".join(["A,1.1", "A,1.1", "B,2.1", "B,2.2", "B,2.1",
+                          "C,3.1", "C,3.2", "C,3.3", "C,3.3", ""])
+    out = run_script(spark, head + """
+        GROUP(by(value(0)), mode(value(1)), mode(value(1), weight(value(1))) )
+        CSV(heading(true), precision(2))
+    """, payload=payload2)
+    assert out.splitlines() == [
+        "GROUP,MODE,MODE",
+        "A,1.10,1.10", "B,2.10,2.10", "C,3.30,3.30"]
+
+
+def test_insert_tag_and_chart_option(spark, tmp_path):
+    """INSERT(tag('T'[, col]), ...) prepends the constant tag-name column
+    (fm_dbsink.go:55-57,158-161); CHART option('...') is the string form of
+    chartOption (fm_context.go:171)."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    out = TqlRunner(spark, fs_root=str(tmp_path)).run("""
+        FAKE( json({ [1500000000000000000, 1.1], [1500000001000000000, 2.2] }) )
+        INSERT( tag('temp.A'), 'time', 'value', table('mytag') )
+    """)
+    assert out == "2 rows inserted."
+    df = spark.read.parquet(str(tmp_path / "mytag"))
+    assert set(r["name"] for r in df.collect()) == {"temp.A"}
+
+    r = TqlRunner(spark)
+    r.run("""
+        FAKE( linspace(0, 1, 2) )
+        CHART( option('{"series": [{"type": "line"}]}') )
+    """)
+    assert '"series"' in r.chart_js and "setOption" in r.chart_js
