@@ -2633,7 +2633,9 @@ class TqlRunner:
         delimiter = opts["delimiter"][0][0] if "delimiter" in opts else ","
         subst = opts["substituteNull"][0][0] if "substituteNull" in opts else "NULL"
         disp = self._display()
-        tf = None if timeformat in (None, "DEFAULT") else timeformat
+        # 'DEFAULT' is a real named layout ('2006-01-02 15:04:05.999',
+        # time_formats.go:17) — only absence of the option leaves epoch-ns
+        tf = timeformat
         tcols = tuple(disp.columns[i] for i in sorted(self.state.times)
                       if i < len(disp.columns))
         self.output = encoders.to_csv(

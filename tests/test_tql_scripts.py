@@ -2013,3 +2013,33 @@ def test_insert_tag_and_chart_option(spark, tmp_path):
         CHART( option('{"series": [{"type": "line"}]}') )
     """)
     assert '"series"' in r.chart_js and "setOption" in r.chart_js
+
+
+@needs_goldens
+def test_loader_qq_structural(spark):
+    """TestLoader_qq.tql runs verbatim; the golden embeds a frozen
+    time('now') so column 1 can't byte-match — text and strSub columns
+    compare exactly, the time column is checked for format."""
+    import re
+
+    out = run_golden(spark, "TestLoader_qq")
+    want = golden("TestLoader_qq.csv").splitlines()
+    got = out.splitlines()
+    assert len(got) == len(want) == 5
+    for g, w in zip(got, want):
+        g0, g1, g2 = g.split(",")
+        w0, _, w2 = w.split(",")
+        assert (g0, g2) == (w0, w2)
+        assert re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}", g1)
+
+
+@needs_goldens
+def test_loader_simplex_structural(spark):
+    """TestLoader_simplex.tql runs verbatim; simplex() is a documented
+    value deviation (seeded lattice noise, not OpenSimplex — tql/script.py
+    _simplex), so the assertion is structural: the meshgrid shape and the
+    abs()*10 range."""
+    out = run_golden(spark, "TestLoader_simplex")
+    rows = [ln.split(",") for ln in out.splitlines() if ln]
+    assert len(rows) == 100 and all(len(r) == 3 for r in rows)
+    assert all(0.0 <= float(r[2]) <= 10.0 for r in rows)
