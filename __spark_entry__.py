@@ -1183,6 +1183,101 @@ def _q_streaming_rollup(spark, sf_dir):
     return spark.table(table).orderBy("name", "bucket")
 
 
+def _q_streaming_lowpass(spark, sf_dir):
+    """Stateful streaming operator end-to-end vs a batch oracle: file-source
+    readStream -> applyInPandasWithState EWMA (streaming/stateful.py:30 —
+    one double of state per tag, O(tags) total) -> availableNow -> memory
+    sink.  The oracle is the closed-form geometric expansion of the same
+    recursion (identical to map_lowpass's).  Verification harness only;
+    production wiring is streaming/ingest.py."""
+    import os
+    import uuid
+
+    from neo_server_spark.streaming import stateful
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        src = spark.readStream.schema(schema).parquet(path)
+    else:
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    src = nio._normalize_basetime(src, ("ts",))
+    stream = src.select(F.col("event_type").alias("name"),
+                        F.col("ts").cast("long").alias("time"),
+                        F.col("value"))
+    out = stateful.streaming_lowpass(stream, alpha=0.2, series=("name",))
+    table = "stream_lowpass_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(table).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return (spark.table(table)
+            .select("name", _us("time"), "value",
+                    F.round("lowpass", 6).alias("lowpass"))
+            .orderBy("name", "time", "value"))
+
+
+def _read_events_stream(spark, sf_dir):
+    """File-source readStream over the events table, normalized to epoch-ns
+    (handles both the single-file and Spark-directory parquet layouts)."""
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        src = spark.readStream.schema(schema).parquet(path)
+    else:
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    return nio._normalize_basetime(src, ("ts",))
+
+
+def _q_streaming_filter_changed(spark, sf_dir):
+    """Stateful streaming FILTER_CHANGED vs a batch lag() oracle: the
+    per-series previous value persists across micro-batches in the state
+    store (streaming/stateful.py:196 — one double per tag), so batch
+    boundaries never re-emit; availableNow + memory sink is the
+    verification harness."""
+    import uuid
+
+    from neo_server_spark.streaming import stateful
+
+    stream = _read_events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("name"),
+        F.col("ts").cast("long").alias("time"), F.col("value"))
+    out = stateful.streaming_filter_changed(stream, series=("name",))
+    table = "stream_fc_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(table).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return (spark.table(table).select("name", _us("time"), "value")
+            .orderBy("name", "time"))
+
+
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/stateful.py:238
+    dropDuplicatesWithinWatermark — state bounded by the lateness horizon,
+    the shape that survives an unbounded stream): the source is the events
+    stream UNIONED with itself, so every (name, time) key arrives twice;
+    the oracle is the plain batch DISTINCT."""
+    import uuid
+
+    from neo_server_spark.streaming import stateful
+
+    base = _read_events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("name"),
+        F.col("ts").cast("long").alias("time"), F.col("value"))
+    doubled = base.union(base)
+    out = stateful.streaming_dedup(doubled, keys=("name", "time"),
+                                   watermark="10 minutes")
+    table = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(table).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return (spark.table(table).select("name", _us("time"), "value")
+            .orderBy("name", "time"))
+
+
 def _q_script_udtf(spark, sf_dir):
     """SCRIPT(...) as MAP with $.yield() UDTF semantics (fm_script.go:82-109):
     Python/mapInPandas replaces the reference's embedded goja JS runtime.
@@ -1926,6 +2021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full r4 window sit behind for round-6 rotation.
         "scalar_funcs_tql": _q_scalar_funcs_tql,
         "group_weighted": _q_group_weighted,
+        "streaming_lowpass": _q_streaming_lowpass,
+        "streaming_filter_changed": _q_streaming_filter_changed,
+        "streaming_dedup": _q_streaming_dedup,
         "transpose": _q_transpose,
         "pivot_counts": _q_pivot_counts,
         "histogram": _q_histogram,
@@ -2810,6 +2908,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(user_id % 7) AS DOUBLE) AS modsum
             FROM events WHERE value > 100
             GROUP BY 1 ORDER BY name
+        """,
+"streaming_lowpass": """
+            WITH w AS (
+              SELECT event_type AS name, ts, event_id, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+              FROM events
+            )
+            SELECT a.name, epoch_us(a.ts) AS time, a.value,
+                   round(sum(CASE WHEN b.rn = 1 THEN power(0.8, a.rn - 1) * b.value
+                                  ELSE 0.2 * power(0.8, a.rn - b.rn) * b.value END), 6) AS lowpass
+            FROM w a JOIN w b ON a.name = b.name AND b.rn <= a.rn
+            GROUP BY a.name, a.ts, a.value, a.rn
+            ORDER BY a.name, time, a.value
+        """,
+        "streaming_filter_changed": """
+            WITH w AS (
+              SELECT event_type AS name, ts, value,
+                     lag(value) OVER (PARTITION BY event_type
+                                      ORDER BY ts) AS pv
+              FROM events
+            )
+            SELECT name, epoch_us(ts) AS time, value
+            FROM w WHERE pv IS NULL OR pv IS DISTINCT FROM value
+            ORDER BY name, time
+        """,
+        "streaming_dedup": """
+            SELECT event_type AS name, epoch_us(ts) AS time, value
+            FROM events
+            ORDER BY name, time
         """,
         "group_weighted": """
             WITH w AS (
