@@ -778,6 +778,24 @@ def _q_group_weighted(spark, sf_dir):
     ).orderBy("name")
 
 
+def _q_codec_csv(spark, sf_dir):
+    """The CSV codec itself under the driver's value-hash gate: render
+    1000 events through codecs.encoders.to_csv (float shortest-at-6
+    formatting, 'Default' trimmed-millis time layout — float.go:8-38 /
+    time_formats.go:17 parity) and return the LINES as rows; the oracle
+    reproduces every byte with printf/strftime.  Complements the byte-exact
+    reference-golden tests with an independent engine-vs-SQL check."""
+    from neo_server_spark.codecs import encoders
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .select("event_id", F.col("ts").cast("long").alias("time"), "value")
+          .orderBy("event_id").limit(1000))
+    txt = encoders.to_csv(ev, header=False, timeformat="Default",
+                          time_cols=("time",))
+    rows = [(i, ln) for i, ln in enumerate(txt.splitlines())]
+    return spark.createDataFrame(rows, "i long, line string")
+
+
 def _q_scalar_funcs_tql(spark, sf_dir):
     """Round-5 registry completion exercised through the TEXT front-end:
     the trig/hyperbolic family, log2/exp2/trunc/mod/remainder
@@ -2024,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_lowpass": _q_streaming_lowpass,
         "streaming_filter_changed": _q_streaming_filter_changed,
         "streaming_dedup": _q_streaming_dedup,
+        "codec_csv": _q_codec_csv,
         "transpose": _q_transpose,
         "pivot_counts": _q_pivot_counts,
         "histogram": _q_histogram,
@@ -2937,6 +2956,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS name, epoch_us(ts) AS time, value
             FROM events
             ORDER BY name, time
+        """,
+        "codec_csv": """
+            WITH e AS (
+              SELECT event_id, ts, value FROM events ORDER BY event_id LIMIT 1000
+            )
+            SELECT row_number() OVER (ORDER BY event_id) - 1 AS i,
+                   CAST(event_id AS VARCHAR) || ',' ||
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') ||
+                   CASE WHEN f3 = '' THEN '' ELSE '.' || f3 END || ',' ||
+                   CASE WHEN value = 0 THEN '0'
+                        ELSE COALESCE(NULLIF(rtrim(rtrim(
+                                 printf('%.6f', value), '0'), '.'), ''), '0')
+                   END AS line
+            FROM (
+              SELECT *,
+                     rtrim(lpad(CAST(epoch_ns(ts) % 1000000000 // 1000000
+                                     AS VARCHAR), 3, '0'), '0') AS f3
+              FROM e
+            )
+            ORDER BY event_id
         """,
         "group_weighted": """
             WITH w AS (
