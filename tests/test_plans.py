@@ -183,3 +183,31 @@ def test_tpch_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan   # derived quantity union
     assert "EqualTo(p_brand,Brand#12)" in plan            # derived part union
     assert "BroadcastHashJoin" in plan
+
+
+def test_scalar_funcs_tql_is_jvm_projection(spark, sf_dir):
+    """The round-5 TQL scalar battery must lower entirely to JVM Column
+    expressions: no Python evaluation node in the plan, and the scan reads
+    only the four referenced columns."""
+    import __spark_entry__ as e
+    plan = plan_of(e.queries()["scalar_funcs_tql"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ReadSchema" in plan
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"event_id", "ts", "value", "event_type"}
+
+
+def test_group_weighted_single_agg_shuffle(spark, sf_dir):
+    """Weighted aggregates are one hash-aggregate pass: partial + final
+    exchange on the group key plus the output sort — no extra shuffle, no
+    Python nodes, and column pruning to the three used columns."""
+    import __spark_entry__ as e
+    plan = plan_of(e.queries()["group_weighted"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"user_id", "event_type", "value"}
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
