@@ -15,9 +15,10 @@ and object literals, and the standard library surface scripts lean on
 (Math, JSON, parseInt/parseFloat, String/Array methods, new Date with
 toISOString/getTime, console).
 
-It is deliberately NOT a sandbox escape surface: there is no require, no
-import, no filesystem, no network, no constructor tricks — member access
-on host values is routed through an allowlist of methods.
+It is deliberately NOT a sandbox escape surface: no import, no filesystem,
+no network, no constructor tricks — member access on host values is routed
+through an allowlist of methods, and ``require()`` resolves only from a
+fixed registry of pure host modules (mathx/spatial).
 
 Numbers follow JS semantics where visible: ``/`` is float division,
 integer-valued results keep printing without a fraction (the CSV encoder
@@ -624,6 +625,7 @@ class Interpreter:
             return urllib.parse.unquote(to_display(v))
         g.declare("encodeURIComponent", _encode_uri_component)
         g.declare("decodeURIComponent", _decode_uri_component)
+        g.declare("require", _require)
 
     # ------------------------------------------------------------- driving
 
@@ -1560,3 +1562,43 @@ def _walk_expr(node, declared):
         _walk_target(node[2], declared)
         return
     raise _Stateful()
+
+
+# ---------------------------------------------------------------------------
+# require() — the reference embeds a js module registry (mods/jsh); only the
+# modules real .tql scripts lean on are provided, as host dicts
+# ---------------------------------------------------------------------------
+
+_GEOJSON_TYPES = frozenset({
+    "Feature", "FeatureCollection", "Point", "MultiPoint", "LineString",
+    "MultiLineString", "Polygon", "MultiPolygon", "GeometryCollection"})
+
+
+def _parse_geojson(obj):
+    """mathx/spatial parseGeoJSON (tql_test.go TestGeoJSON): validate the
+    object's GeoJSON type and hand it back for GEOMAP to consume.  Invalid
+    input raises (the reference returns a js Error value; jslite surfaces
+    it as a script error instead — documented deviation)."""
+    if not isinstance(obj, dict):
+        raise JSError("parseGeoJSON: expected an object")
+    typ = obj.get("type")
+    if typ not in _GEOJSON_TYPES:
+        raise JSError(f"parseGeoJSON: invalid geojson type {typ!r}")
+    if typ == "Feature" and not isinstance(obj.get("geometry"), dict):
+        raise JSError("parseGeoJSON: Feature requires a geometry")
+    if typ == "FeatureCollection" and \
+            not isinstance(obj.get("features"), list):
+        raise JSError("parseGeoJSON: FeatureCollection requires features")
+    return obj
+
+
+_MODULES = {
+    "mathx/spatial": {"parseGeoJSON": _parse_geojson},
+}
+
+
+def _require(name=UNDEFINED):
+    mod = _MODULES.get(to_display(name))
+    if mod is None:
+        raise JSError(f"require: unknown module {to_display(name)!r}")
+    return dict(mod)

@@ -894,6 +894,8 @@ def _script_col_type(vals):
             kinds.add("float")
         elif isinstance(v, JSDate):
             kinds.add("date")
+        elif isinstance(v, (dict, list)):
+            kinds.add("obj")
         else:
             kinds.add("str")
 
@@ -907,6 +909,14 @@ def _script_col_type(vals):
                 "long", True)
     if not kinds:  # entirely null/undefined — inference would fail
         return none_or(lambda v: v), "string", False
+    if kinds == {"obj"}:
+        # object/array yields (GeoJSON features etc.) travel as canonical
+        # JSON text — GEOMAP and friends parse them back (the reference's
+        # record values stay goja maps until the sink)
+        import json as _j
+        return (none_or(lambda v: _j.dumps(v, separators=(",", ":"),
+                                           default=lambda x: None)),
+                "string", False)
     if kinds <= {"int"}:
         return none_or(lambda v: v), "long", False
     if kinds <= {"int", "float"}:
@@ -2906,14 +2916,63 @@ class TqlRunner:
         self._chart_compat("surface", args)
 
     def stmt_GEOMAP(self, args):
-        """GEOMAP() (mods/codec/internal/geomap) — records are (lat, lon
-        [, popup]); emits the marker layer spec JSON."""
-        from neo_server_spark.codecs import encoders
+        """GEOMAP([geomapID()] [, size(w,h)] [, zoomLevel(n)]
+        [, tileTemplate(url)] [, tileGrayscale(g)] [, geomapJSON(b)])
+        (mods/codec/internal/geomap): records carry leaflet layer dicts or
+        GeoJSON objects; emits the reference's HTML page by default, the
+        JSON envelope under geomapJSON(true), and stores the two JS assets
+        on ``geomap_opt_js``/``geomap_js`` (the reference's volatile-file
+        writes; geomap_test.go goldens byte-equal).  Numeric (lat, lon
+        [, popup]) records lower to marker layers.  geomapID defaults to a
+        content hash (the reference's snowflake ID is random, which a
+        deterministic engine must not be)."""
+        import hashlib
+        import json as _json
+
+        from neo_server_spark.codecs.geomap import GeoMapBuilder
+
+        opts, _ = self._opt_calls(args)
+        width, height = "600px", "600px"
+        if "size" in opts:
+            width, height = str(opts["size"][0][0]), str(opts["size"][0][1])
+        zoom = int(opts["zoomLevel"][0][0]) if "zoomLevel" in opts else 0
+        gs = float(opts["tileGrayscale"][0][0]) \
+            if "tileGrayscale" in opts else 0.0
+        tile = str(opts["tileTemplate"][0][0]) \
+            if "tileTemplate" in opts else None
         disp = self._display()
-        cols = disp.columns
-        self.output = encoders.to_geomap_spec(
-            disp, lat=cols[0], lon=cols[1],
-            popup=cols[2] if len(cols) > 2 else None)
+        vals: list[dict] = []
+        for r in disp.collect():
+            cells = list(r)
+            if (len(cells) >= 2
+                    and all(isinstance(c, (int, float)) for c in cells[:2])):
+                m = {"type": "marker",
+                     "coordinates": [float(cells[0]), float(cells[1])]}
+                if len(cells) > 2 and cells[2] is not None:
+                    m["properties"] = {
+                        "popup": {"content": str(cells[2])}}
+                vals.append(m)
+                continue
+            for v in cells:
+                if isinstance(v, str):
+                    try:
+                        v = _json.loads(v)
+                    except ValueError:
+                        continue
+                if isinstance(v, dict):
+                    vals.append(v)
+        gid = str(opts["geomapID"][0][0]) if "geomapID" in opts else \
+            "G" + hashlib.sha1(_json.dumps(
+                vals, sort_keys=True, default=str).encode()).hexdigest()[:12]
+        b = GeoMapBuilder(gid, width, height, gs, zoom, tile)
+        for v in vals:
+            b.add_value(v)
+        self.geomap_opt_js = b.opt_js()
+        self.geomap_js = b.js()
+        if "geomapJSON" in opts and bool(opts["geomapJSON"][0][0]):
+            self.output = _json.dumps(b.envelope(), separators=(",", ":"))
+        else:
+            self.output = b.html()
 
     # -------------------------------------------------------------- db sinks
 

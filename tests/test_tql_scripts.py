@@ -2043,3 +2043,144 @@ def test_loader_simplex_structural(spark):
     rows = [ln.split(",") for ln in out.splitlines() if ln]
     assert len(rows) == 100 and all(len(r) == 3 for r in rows)
     assert all(0.0 <= float(r[2]) <= 10.0 for r in rows)
+
+
+REF_GEOMAP_DIR = "/root/reference/mods/codec/internal/geomap/test"
+
+
+def test_geomap_encoder_goldens():
+    """geomap_test.go goldens byte-equal: the builder's _opt.js + .js
+    concatenation, the JSON envelope, and the trim-per-line HTML page
+    (marker/circleMarker case and the 3-object GeoJSON case)."""
+    import json as _json
+    import os
+
+    from neo_server_spark.codecs.geomap import GeoMapBuilder
+
+    if not os.path.isdir(REF_GEOMAP_DIR):
+        pytest.skip("reference geomap goldens not available")
+
+    def build(inputs):
+        b = GeoMapBuilder("WejMYXCGcYNL")
+        for s in inputs:
+            b.add_value(_json.loads(s))
+        return b
+
+    def gold(name):
+        with open(os.path.join(REF_GEOMAP_DIR, name)) as f:
+            return f.read().replace("\r\n", "\n")
+
+    b = build([
+        '{"type":"marker","coordinates":[37.497850,127.027756],'
+        '"properties":{"popup":{"content":"<b>Gangname</b><br/>'
+        'Hello World?","open":true}}}',
+        '{"type":"circleMarker","coordinates":[37.503058,127.018666],'
+        '"properties":{"radius":100,"popup":{"content":"<b>circle1</b>"}}}',
+    ])
+    assert b.opt_js() + b.js() == gold("geomap_test.js")
+    assert b.envelope() == _json.loads(gold("geomap_test.json"))
+    want = [ln.strip() for ln in gold("geomap_test.html").strip().splitlines()]
+    got = [ln.strip() for ln in b.html().strip().splitlines()]
+    assert got == want
+
+    fc = _json.dumps({
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [102.0, 0.5]},
+             "properties": {"prop0": "value0"}},
+            {"type": "Feature",
+             "geometry": {"type": "LineString",
+                          "coordinates": [[102.0, 0.0], [103.0, 1.0],
+                                          [104.0, 0.0], [105.0, 1.0]]},
+             "properties": {"prop0": "value0", "prop1": 0.0}},
+            {"type": "Feature",
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[100.0, 0.0], [101.0, 0.0],
+                                           [101.0, 1.0], [100.0, 1.0],
+                                           [100.0, 0.0]]]},
+             "properties": {"prop0": "value0", "prop1": {"this": "that"}}},
+        ],
+        "popup": {"content": "<b>GeoJSON</b>", "open": 0},
+    })
+    feat = _json.dumps({
+        "type": "Feature",
+        "geometry": {"type": "Point", "coordinates": [125.6, 10.1]},
+        "properties": {"name": "Dinagat Islands",
+                       "popup": {"content": "<b>Dinagat Islands</b>",
+                                 "open": True}},
+    })
+    pt = '{"type":"Point","coordinates":[135.7,20.1]}'
+    b2 = build([fc, feat, pt])
+    assert b2.opt_js() + b2.js() == gold("geomap_test_geojson.js")
+    assert b2.envelope() == _json.loads(gold("geomap_test_geojson.json"))
+
+
+def test_geomap_statement_script_goldens(spark):
+    """tql_test.go TestGeoJSON run through the text front-end: SCRIPT-yielded
+    GeoJSON dicts (incl. require('mathx/spatial').parseGeoJSON) reach GEOMAP,
+    which writes the reference's JS assets byte-equal
+    (test/js-geojson-{point,polygon}.js) and the envelope fields."""
+    import json as _json
+    import os
+
+    from neo_server_spark.tql.script import TqlRunner
+
+    if not os.path.isdir(GOLDEN_DIR):
+        pytest.skip("reference goldens not available")
+    runner = TqlRunner(spark)
+    out = runner.run("""
+        SCRIPT("js", {
+            var lat = 37.497850;
+            var lon =  127.027756;
+            var name = "Gangnam-cross";
+            $.yield({
+                type: "Feature",
+                geometry: {
+                    type: "Point",
+                    coordinates: [lon, lat]
+                }
+            });
+        })
+        GEOMAP(geomapID("MTY3NzQ2MDY4NzQyNTc4MTc2"), geomapJSON(true))
+    """)
+    env = _json.loads(out)
+    assert env["style"] == {"width": "600px", "height": "600px",
+                            "grayscale": 0}
+    assert env["jsAssets"] == ["/web/geomap/leaflet.js"]
+    assert env["cssAssets"] == ["/web/geomap/leaflet.css"]
+    gid = env["geomapID"]
+    assert env["jsCodeAssets"] == [f"/web/api/tql-assets/{gid}_opt.js",
+                                   f"/web/api/tql-assets/{gid}.js"]
+    with open(os.path.join(GOLDEN_DIR, "js-geojson-point.js")) as f:
+        want = f.read().replace("\r\n", "\n")
+    assert runner.geomap_opt_js + runner.geomap_js == want
+
+    runner = TqlRunner(spark)
+    runner.run("""
+        SCRIPT("js", {
+            m = require("mathx/spatial");
+            obj = m.parseGeoJSON({
+                type:"Feature",
+                geometry: {
+                    type: "MultiPolygon",
+                    coordinates: [
+                        [
+                            [ [ 2.291863239086439, 48.8577137262115 ], [ 2.293452085617105, 48.856693553273885 ], [ 2.2968403487010107, 48.85892279314069 ], [ 2.2951175030651143, 48.86006886087142 ], [ 2.291863239086439, 48.8577137262115 ] ]
+                        ],
+                        [
+                            [ [ 2.288226120523035, 48.86156752523257 ], [ 2.2899681088877344, 48.86042149181674 ], [ 2.290810388976098, 48.86063558796482 ], [ 2.2909826735397587, 48.8611015587675 ], [ 2.28947039792655, 48.862234983151495 ], [ 2.288226120523035, 48.86156752523257 ] ]
+                        ],
+                        [
+                            [ [ 2.2912927602678224, 48.85709062155263 ], [ 2.2905402133688426, 48.85661663833349 ], [ 2.291917551492446, 48.855746990243716 ], [ 2.2926328654095016, 48.85624492205244 ], [ 2.2912927602678224, 48.85709062155263 ] ]
+                        ]
+                    ]
+                }
+            })
+            $.yield(obj)
+        })
+        GEOMAP(geomapID("MTY3NzQ2MDY4NzQyNTc4MTc2"), geomapJSON(true))
+    """)
+    with open(os.path.join(GOLDEN_DIR, "js-geojson-polygon.js")) as f:
+        want = f.read().replace("\r\n", "\n")
+    assert runner.geomap_opt_js + runner.geomap_js == want
