@@ -225,7 +225,14 @@ def _is_col(v) -> bool:
 
 
 def _lift(v) -> Column:
-    return v if isinstance(v, Column) else F.lit(v)
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, (dict, list)):
+        # object values travel as canonical JSON text in the record model
+        # (see _script_col_type's obj kind; GEOMAP parses them back)
+        import json as _j
+        return F.lit(_j.dumps(v, separators=(",", ":")))
+    return F.lit(v)
 
 
 def _numeric2(name, pyf, colf):
@@ -514,6 +521,24 @@ def _escape_param(s: str) -> str:
     return urllib.parse.quote_plus(s)
 
 
+def _dict_fn(rt, *args):
+    """dict('k', v, ...) -> map value (fm_monad.go:339-353).  Literal-only:
+    a Column argument can't live inside a Python dict value — the record
+    model carries objects as canonical JSON text (see _script_col_type)."""
+    out = {}
+    for i in range(0, len(args), 2):
+        if i + 1 >= len(args):
+            raise ValueError(
+                f"dict() name {args[i]!r} doesn't match with any value")
+        if not isinstance(args[i], str):
+            raise TypeError(
+                f"dict() name should be string, got args[{i}]")
+        if _is_col(args[i + 1]):
+            raise TypeError("dict() values must be literals in this engine")
+        out[args[i]] = args[i + 1]
+    return out
+
+
 def _glob_rx(pattern: str) -> str:
     import re as _re
     return "^" + _re.escape(pattern).replace(r"\*", ".*") \
@@ -560,6 +585,7 @@ def _install_round5_scalars():
         "tz": lambda rt, name: ("tz", resolve_tz(str(name))),
         # Go url.QueryEscape: space -> '+' (fm_context.go:166)
         "escapeParam": lambda rt, s: _escape_param(str(s)),
+        "dict": _dict_fn,
         "timeUnix": _time_unix(10**9),
         "timeUnixMilli": _time_unix(10**6),
         "timeUnixMicro": _time_unix(10**3),
