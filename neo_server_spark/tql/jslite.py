@@ -57,7 +57,7 @@ _PUNCT = [
 _KEYWORDS = {
     "var", "let", "const", "function", "return", "if", "else", "for",
     "while", "break", "continue", "true", "false", "null", "undefined",
-    "new", "typeof", "of", "in", "do",
+    "new", "typeof", "of", "in", "do", "instanceof",
 }
 
 
@@ -342,9 +342,9 @@ class Parser:
 
     def relational(self):
         e = self._binlevel(("<", "<=", ">", ">="), self.additive)
-        while self.at("kw", "in"):
-            self.next()
-            e = ("bin", "in", e, self.additive())
+        while self.at("kw", "in") or self.at("kw", "instanceof"):
+            op = self.next().val
+            e = ("bin", op, e, self.additive())
         return e
 
     def additive(self):
@@ -626,6 +626,7 @@ class Interpreter:
         g.declare("encodeURIComponent", _encode_uri_component)
         g.declare("decodeURIComponent", _decode_uri_component)
         g.declare("require", _require)
+        g.declare("Error", _ERROR_CTOR)
 
     # ------------------------------------------------------------- driving
 
@@ -863,6 +864,9 @@ class Interpreter:
             if isinstance(b, list):
                 return isinstance(a, (int, float)) and 0 <= int(a) < len(b)
             return False
+        if op == "instanceof":
+            check = getattr(b, "js_instanceof", None)
+            return bool(check(a)) if check is not None else False
         raise JSError(f"unsupported operator {op}")
 
     def assign(self, op, target, valnode, scope):
@@ -1577,18 +1581,19 @@ _GEOJSON_TYPES = frozenset({
 def _parse_geojson(obj):
     """mathx/spatial parseGeoJSON (tql_test.go TestGeoJSON): validate the
     object's GeoJSON type and hand it back for GEOMAP to consume.  Invalid
-    input raises (the reference returns a js Error value; jslite surfaces
-    it as a script error instead — documented deviation)."""
+    input returns an Error VALUE (goja contract: scripts test
+    ``obj instanceof Error``)."""
     if not isinstance(obj, dict):
-        raise JSError("parseGeoJSON: expected an object")
+        return JSErrorValue("parseGeoJSON: expected an object")
     typ = obj.get("type")
     if typ not in _GEOJSON_TYPES:
-        raise JSError(f"parseGeoJSON: invalid geojson type {typ!r}")
+        return JSErrorValue(f"parseGeoJSON: invalid geojson type {typ!r}")
     if typ == "Feature" and not isinstance(obj.get("geometry"), dict):
-        raise JSError("parseGeoJSON: Feature requires a geometry")
+        return JSErrorValue("parseGeoJSON: Feature requires a geometry")
     if typ == "FeatureCollection" and \
             not isinstance(obj.get("features"), list):
-        raise JSError("parseGeoJSON: FeatureCollection requires features")
+        return JSErrorValue(
+            "parseGeoJSON: FeatureCollection requires features")
     return obj
 
 
@@ -1602,3 +1607,39 @@ def _require(name=UNDEFINED):
     if mod is None:
         raise JSError(f"require: unknown module {to_display(name)!r}")
     return dict(mod)
+
+
+# ---------------------------------------------------------------------------
+# Error values — scripts receive failures as values (`obj instanceof Error`,
+# obj.message), matching goja's error contract
+# ---------------------------------------------------------------------------
+
+
+class JSErrorValue:
+    _js_host = True
+
+    def __init__(self, message=""):
+        self.message = to_display(message) if message != "" else ""
+        self.name = "Error"
+
+    def toString(self):
+        return f"Error: {self.message}" if self.message else "Error"
+
+    def __repr__(self):
+        return self.toString()
+
+
+class _ErrorCtor:
+    _js_host = True
+
+    def __call__(self, message=""):
+        return JSErrorValue(message)
+
+    construct = __call__
+
+    @staticmethod
+    def js_instanceof(v) -> bool:
+        return isinstance(v, JSErrorValue)
+
+
+_ERROR_CTOR = _ErrorCtor()

@@ -2184,3 +2184,52 @@ def test_geomap_statement_script_goldens(spark):
     with open(os.path.join(GOLDEN_DIR, "js-geojson-polygon.js")) as f:
         want = f.read().replace("\r\n", "\n")
     assert runner.geomap_opt_js + runner.geomap_js == want
+
+
+def test_geomap_parse_geojson_instanceof(spark):
+    """tql_test.go TestGeoJSON js-parse-geojson-point, verbatim: the script
+    routes through require('mathx/spatial').parseGeoJSON and an
+    `instanceof Error` check; the JS asset matches js-geojson-point.js."""
+    import os
+
+    from neo_server_spark.tql.script import TqlRunner
+
+    if not os.path.isdir(GOLDEN_DIR):
+        pytest.skip("reference goldens not available")
+    runner = TqlRunner(spark)
+    runner.run("""
+        SCRIPT("js", {
+            var lat = 37.497850;
+            var lon =  127.027756;
+            var name = "Gangnam-cross";
+            m = require("mathx/spatial");
+            var obj = m.parseGeoJSON({
+                type: "Feature",
+                geometry: {
+                    type: "Point",
+                    coordinates: [lon, lat]
+                }
+            });
+            if( obj instanceof Error ) {
+                $.yield(obj.message);
+            } else {
+                $.yield(obj);
+            }
+        })
+        GEOMAP(geomapID("MTY3NzQ2MDY4NzQyNTc4MTc2"), geomapJSON(true))
+    """)
+    with open(os.path.join(GOLDEN_DIR, "js-geojson-point.js")) as f:
+        want = f.read().replace("\r\n", "\n")
+    assert runner.geomap_opt_js + runner.geomap_js == want
+    # the error path yields the message value
+    from neo_server_spark.tql.script import run_script
+    out = run_script(spark, """
+        FAKE( once(1) )
+        SCRIPT("js", {
+            var m = require("mathx/spatial");
+            var obj = m.parseGeoJSON({type: "Nope"});
+            $.yield(obj instanceof Error ? obj.message : "unexpected");
+        })
+        CSV()
+    """)
+    assert "invalid geojson type" in out
