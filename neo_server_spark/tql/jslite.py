@@ -1379,7 +1379,7 @@ STATELESS_DOLLAR_CALLS = frozenset({"yield", "yieldKey", "yieldArray"})
 _SAFE_GLOBALS = frozenset({
     "Math", "JSON", "parseInt", "parseFloat", "isNaN", "String", "Number",
     "Boolean", "Date", "Array", "NaN", "Infinity", "encodeURIComponent",
-    "decodeURIComponent", "undefined",
+    "decodeURIComponent", "undefined", "require", "Error",
 })
 
 
