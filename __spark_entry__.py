@@ -1296,6 +1296,32 @@ def _q_streaming_dedup(spark, sf_dir):
             .orderBy("name", "time"))
 
 
+def _q_streaming_fill(spark, sf_dir):
+    """Streaming timewindow with cross-batch GAP FILL (streaming/
+    stateful.py:119 — SURVEY risk item (d)): per series, buckets close as
+    later data arrives and empty buckets emit the previous bucket's average
+    (PiecewiseConstant), the last bucket staying open.  The batch oracle is
+    the calendar join + last-non-null window fill over [min, max) buckets.
+    O(1) state per series — the shape that survives an unbounded stream."""
+    import uuid
+
+    from neo_server_spark.streaming import stateful
+
+    stream = _read_events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("name"),
+        F.col("ts").cast("long").alias("time"), F.col("value"))
+    out = stateful.streaming_timewindow_fill(
+        stream, period_ns=3_600 * 10**9, series=("name",))
+    table = "stream_fill_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(table).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return (spark.table(table)
+            .select("name", _us("time"), "cnt",
+                    F.round("avg_value", 6).alias("avg_value"))
+            .orderBy("name", "time"))
+
+
 def _q_script_udtf(spark, sf_dir):
     """SCRIPT(...) as MAP with $.yield() UDTF semantics (fm_script.go:82-109):
     Python/mapInPandas replaces the reference's embedded goja JS runtime.
@@ -2042,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_lowpass": _q_streaming_lowpass,
         "streaming_filter_changed": _q_streaming_filter_changed,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_fill": _q_streaming_fill,
         "codec_csv": _q_codec_csv,
         "transpose": _q_transpose,
         "pivot_counts": _q_pivot_counts,
@@ -2976,6 +3003,31 @@ def oracle_sql() -> dict[str, str]:
               FROM e
             )
             ORDER BY event_id
+        """,
+        "streaming_fill": """
+            WITH w AS (
+              SELECT event_type AS name,
+                     epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS b, value
+              FROM events
+            ),
+            agg AS (SELECT name, b, count(*) AS c, sum(value) AS s
+                    FROM w GROUP BY 1, 2),
+            rng AS (SELECT name, min(b) AS mn, max(b) AS mx
+                    FROM agg GROUP BY 1),
+            cal AS (SELECT name, u.bb AS b
+                    FROM rng, UNNEST(generate_series(mn, mx - 3600000000000,
+                                                     3600000000000)) u(bb)),
+            j AS (SELECT cal.name, cal.b, coalesce(agg.c, 0) AS cnt,
+                         CASE WHEN agg.c IS NULL THEN NULL
+                              ELSE agg.s / agg.c END AS av
+                  FROM cal LEFT JOIN agg
+                    ON cal.name = agg.name AND cal.b = agg.b)
+            SELECT name, b // 1000 AS time, cnt,
+                   round(last_value(av IGNORE NULLS)
+                         OVER (PARTITION BY name ORDER BY b
+                               ROWS UNBOUNDED PRECEDING), 6) AS avg_value
+            FROM j
+            ORDER BY name, time
         """,
         "group_weighted": """
             WITH w AS (
