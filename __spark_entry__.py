@@ -1322,6 +1322,32 @@ def _q_streaming_fill(spark, sf_dir):
             .orderBy("name", "time"))
 
 
+def _q_rollup_cascade(spark, sf_dir):
+    """The sec->min->hour rollup maintenance cascade itself
+    (sqlx/rollup.py _summarize + two _fold merges — the background builders
+    the engine's V$ROLLUP gap view tracks; ingest.py:158-191): hourly
+    count/sum/min/max/avg/first/last recovered from second-level algebraic
+    partials must equal the direct raw aggregation.  Merges are pure
+    map-side-combining groupBys — the 100 TB maintenance shape (no raw-row
+    reshuffle past the sec level)."""
+    from neo_server_spark.sqlx.rollup import HOUR, MINUTE, SECOND, _fold, _summarize
+
+    ev = nio.load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("name"),
+        F.col("ts").cast("long").alias("time"), F.col("value"))
+    sec = _summarize(ev, SECOND, "name", "time", "value")
+    hour = _fold(_fold(sec, MINUTE), HOUR)
+    return hour.select(
+        "name", _us("time"), F.col("cnt").alias("cnt"),
+        F.round("sum", 6).alias("sum_v"),
+        F.round("min", 6).alias("min_v"),
+        F.round("max", 6).alias("max_v"),
+        F.round(F.col("sum") / F.col("cnt"), 6).alias("avg_v"),
+        F.round("first", 6).alias("first_v"),
+        F.round("last", 6).alias("last_v"),
+    ).orderBy("name", "time")
+
+
 def _q_script_udtf(spark, sf_dir):
     """SCRIPT(...) as MAP with $.yield() UDTF semantics (fm_script.go:82-109):
     Python/mapInPandas replaces the reference's embedded goja JS runtime.
@@ -2069,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_filter_changed": _q_streaming_filter_changed,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_fill": _q_streaming_fill,
+        "rollup_cascade": _q_rollup_cascade,
         "codec_csv": _q_codec_csv,
         "transpose": _q_transpose,
         "pivot_counts": _q_pivot_counts,
@@ -3027,6 +3054,21 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY name ORDER BY b
                                ROWS UNBOUNDED PRECEDING), 6) AS avg_value
             FROM j
+            ORDER BY name, time
+        """,
+        "rollup_cascade": """
+            SELECT event_type AS name,
+                   (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) // 1000
+                       AS time,
+                   count(*) AS cnt,
+                   round(sum(value), 6) AS sum_v,
+                   round(min(value), 6) AS min_v,
+                   round(max(value), 6) AS max_v,
+                   round(sum(value) / count(*), 6) AS avg_v,
+                   round(min_by(value, ts), 6) AS first_v,
+                   round(max_by(value, ts), 6) AS last_v
+            FROM events
+            GROUP BY 1, 2
             ORDER BY name, time
         """,
         "group_weighted": """
