@@ -1348,6 +1348,30 @@ def _q_rollup_cascade(spark, sf_dir):
     ).orderBy("name", "time")
 
 
+def _q_retention(spark, sf_dir):
+    """Retention job (machbase_template.conf DURATION_GAP;
+    streaming/ingest.py apply_retention): whole day-partitions older than
+    the horizon are DROPPED by partition pruning — no scan, no rewrite of
+    surviving data.  The oracle is the equivalent time filter; matching
+    rows prove the day-boundary semantics exactly."""
+    import tempfile
+
+    from neo_server_spark.io import write_tag_table
+    from neo_server_spark.streaming.ingest import apply_retention
+
+    ev = nio.load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("name"),
+        F.col("ts").cast("long").alias("time"), F.col("value"))
+    tmp = tempfile.mkdtemp(prefix="neo_retention_")
+    write_tag_table(ev, tmp)
+    # fixed horizon: now = 2024-02-11 UTC, keep 14 days -> drop < 2024-01-28
+    now_ns = 1_707_609_600 * 10**9
+    apply_retention(spark, tmp, keep_days=14, now_ns=now_ns)
+    kept = spark.read.parquet(tmp)
+    return (kept.select("name", _us("time"), "value")
+            .orderBy("name", "time", "value"))
+
+
 def _q_script_udtf(spark, sf_dir):
     """SCRIPT(...) as MAP with $.yield() UDTF semantics (fm_script.go:82-109):
     Python/mapInPandas replaces the reference's embedded goja JS runtime.
@@ -2096,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_fill": _q_streaming_fill,
         "rollup_cascade": _q_rollup_cascade,
+        "retention": _q_retention,
         "codec_csv": _q_codec_csv,
         "transpose": _q_transpose,
         "pivot_counts": _q_pivot_counts,
@@ -3070,6 +3095,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             ORDER BY name, time
+        """,
+        "retention": """
+            SELECT event_type AS name, epoch_us(ts) AS time, value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'
+            ORDER BY name, time, value
         """,
         "group_weighted": """
             WITH w AS (
