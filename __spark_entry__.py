@@ -1372,6 +1372,31 @@ def _q_retention(spark, sf_dir):
             .orderBy("name", "time", "value"))
 
 
+def _q_compaction(spark, sf_dir):
+    """Small-file compaction (io.compact_tag_table — the engine's LSM-merge
+    analogue, spi/show.go ShowLsm): three fragmented appends per day
+    partition rewrite into ~target-size files, and the table's CONTENT is
+    untouched — the oracle is the plain projection of the source rows.
+    Cold-partition rewrite + atomic directory swap is the at-scale shape
+    (no scan of surviving partitions, races with nothing)."""
+    import tempfile
+
+    from neo_server_spark.io import compact_tag_table, write_tag_table
+
+    ev = nio.load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("name"),
+        F.col("ts").cast("long").alias("time"), F.col("value"))
+    tmp = tempfile.mkdtemp(prefix="neo_compact_")
+    # fragment: three appends -> 3x files per (day x salt)
+    for chunk in range(3):
+        write_tag_table(ev.filter(F.pmod("time", F.lit(3)) == chunk),
+                        tmp, mode="append")
+    compact_tag_table(spark, tmp)
+    kept = spark.read.parquet(tmp)
+    return (kept.select("name", _us("time"), "value")
+            .orderBy("name", "time", "value"))
+
+
 def _q_script_udtf(spark, sf_dir):
     """SCRIPT(...) as MAP with $.yield() UDTF semantics (fm_script.go:82-109):
     Python/mapInPandas replaces the reference's embedded goja JS runtime.
@@ -2121,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_fill": _q_streaming_fill,
         "rollup_cascade": _q_rollup_cascade,
         "retention": _q_retention,
+        "compaction": _q_compaction,
         "codec_csv": _q_codec_csv,
         "transpose": _q_transpose,
         "pivot_counts": _q_pivot_counts,
@@ -3100,6 +3126,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS name, epoch_us(ts) AS time, value
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'
+            ORDER BY name, time, value
+        """,
+        "compaction": """
+            SELECT event_type AS name, epoch_us(ts) AS time, value
+            FROM events
             ORDER BY name, time, value
         """,
         "group_weighted": """
