@@ -187,3 +187,31 @@ def test_review_findings_division_and_display():
         $.yield(calls);
     """)
     assert d3.rows[0][0] == 1
+
+
+def test_analyze_stateless_adversarial():
+    """Soundness probes: shapes that LOOK stateless but carry cross-record
+    state must be rejected; per-record-local mutation must pass."""
+    from neo_server_spark.tql.jslite import Interpreter, analyze_stateless
+    P = Interpreter.prepare
+    stateful = [
+        "$.values = []; $.yield(1)",              # member write on $
+        "$.values[0] = 9; $.yield(1)",            # index write through $
+        "var f = function(){ g = 1 }; f(); $.yield(g)",   # closure global
+        "for (i = 0; i < 3; i++) { $.yield(i) }",  # undeclared loop var
+    ]
+    # reading $.values into a local is FINE (fresh per record)
+    assert analyze_stateless(P("var a = $.values; $.yield(a[0])"))
+    assert not analyze_stateless(P(stateful[0]))
+    assert not analyze_stateless(P(stateful[1]))
+    assert not analyze_stateless(P(stateful[2]))
+    assert not analyze_stateless(P(stateful[3]))
+    # closure mutating a MAIN-declared local: resets per record, stateless
+    assert analyze_stateless(P(
+        "var acc = 0; $.values.forEach(function(v){ acc += v });"
+        " $.yield(acc)"))
+    # require of a pure module is stateless; aliasing $ never is
+    assert analyze_stateless(P(
+        'var m = require("mathx/spatial");'
+        " $.yield(m.parseGeoJSON($.values[0]))"))
+    assert not analyze_stateless(P("var d = $; d.yield(1)"))
