@@ -2192,8 +2192,13 @@ class TqlRunner:
                   f"__key {spark_t.get(ktype, ktype)}"] + [
             f"c{i} {spark_t.get(t, t)}" for i, t in enumerate(vtypes)]
         out = src.mapInPandas(kern, ", ".join(fields))
+        # __seq is an ORDERING token, not dense: combine (src_seq, yield
+        # ordinal) in decimal(38,0) — a long product overflows when the
+        # source __seq is a monotonically_increasing_id (partition_id in
+        # the high bits) on a >1000-partition cluster
         df = out.select(
-            (F.col("__s0") * F.lit(1_000_000) + F.col("__s1")).alias("__seq"),
+            (F.col("__s0").cast("decimal(38,0)") * F.lit(1_000_000)
+             + F.col("__s1")).alias("__seq"),
             "__key", *[f"c{i}" for i in range(nvals)])
         self._set(df, [None] * nvals, times=date_cols)
         return True
