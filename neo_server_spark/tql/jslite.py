@@ -604,9 +604,16 @@ class Interpreter:
     """One VM: globals persist across `run_main` calls (the reference keeps
     one goja context per SCRIPT node for the whole record stream)."""
 
-    def __init__(self, dollar, log=None):
+    #: per-exec_ast step budget — bounds a runaway while(true){} in an
+    #: untrusted script (the reference's goja tasks run under a
+    #: cancellable context; a deterministic engine uses a step count)
+    STEP_LIMIT = 10_000_000
+
+    def __init__(self, dollar, log=None, step_limit: int | None = None):
         self.globals = Scope()
         self.log = log or (lambda *a: None)
+        self.step_limit = step_limit or self.STEP_LIMIT
+        self._steps = 0
         g = self.globals
         g.declare("$", dollar)
         g.declare("console", _Console(self.log))
@@ -646,6 +653,7 @@ class Interpreter:
         return Parser(tokenize(src)).program()
 
     def exec_ast(self, ast, scope: Scope | None = None):
+        self._steps = 0
         self.exec_block(ast, scope or self.globals)
 
     def call_if_defined(self, name: str):
@@ -665,6 +673,10 @@ class Interpreter:
             self.exec_stmt(st, scope)
 
     def exec_stmt(self, node, scope):
+        self._steps += 1
+        if self._steps > self.step_limit:
+            raise JSError(
+                f"script exceeded the {self.step_limit}-step budget")
         k = node[0]
         if k == "empty":
             return

@@ -229,3 +229,19 @@ def test_parser_total_on_arbitrary_input(src):
         pass
     except RecursionError:
         pass  # deeply nested input hits Python's recursion guard cleanly
+
+
+def test_step_budget_stops_runaway_loops():
+    """An untrusted while(true){} cannot hang the VM: each exec_ast has a
+    step budget (the reference's goja tasks run under a cancellable
+    context)."""
+    d = Sink()
+    it = Interpreter(d, step_limit=100_000)
+    with pytest.raises(JSError, match="step budget"):
+        it.run("while (true) { var x = 1; }")
+    with pytest.raises(JSError, match="step budget"):
+        it.run("for (var i = 0; true; i++) ;")
+    # the budget resets per exec_ast — normal records are unaffected
+    it2 = Interpreter(d)
+    it2.run("var t = 0; for (var i = 0; i < 10000; i++) { t += i; } $.yield(t)")
+    assert d.rows[-1] == [49995000]
