@@ -239,8 +239,22 @@ def _numeric2(name, pyf, colf):
     def impl(rt, *a):
         if any(_is_col(x) for x in a):
             return colf(*[_lift(x) for x in a])
-        return pyf(*a)
+        try:
+            return pyf(*a)
+        except ValueError:
+            return float("nan")    # Go math.* returns NaN, never panics
+        except OverflowError:
+            return float("inf")
     return impl
+
+
+def _nan_domain(colf):
+    """Spark's log family returns NULL outside the domain where Go math.*
+    returns NaN — keep NULL only for NULL inputs."""
+    def wrapped(c):
+        return F.when(c.isNotNull(),
+                      F.coalesce(colf(c), F.lit(float("nan"))))
+    return wrapped
 
 
 def _simplex(seed, *coords):
@@ -379,8 +393,8 @@ SCALARS = {
     "cos": _numeric2("cos", math.cos, F.cos),
     "tan": _numeric2("tan", math.tan, F.tan),
     "exp": _numeric2("exp", math.exp, F.exp),
-    "log": _numeric2("log", math.log, F.log),
-    "log10": _numeric2("log10", math.log10, F.log10),
+    "log": _numeric2("log", math.log, _nan_domain(F.log)),
+    "log10": _numeric2("log10", math.log10, _nan_domain(F.log10)),
     "sqrt": _numeric2("sqrt", math.sqrt, F.sqrt),
     "abs": _numeric2("abs", abs, F.abs),
     "floor": _numeric2("floor", math.floor, F.floor),
@@ -562,7 +576,7 @@ def _install_round5_scalars():
         "cosh": _numeric2("cosh", math.cosh, F.cosh),
         "sinh": _numeric2("sinh", math.sinh, F.sinh),
         "tanh": _numeric2("tanh", math.tanh, F.tanh),
-        "log2": _numeric2("log2", math.log2, F.log2),
+        "log2": _numeric2("log2", math.log2, _nan_domain(F.log2)),
         "exp2": _numeric2("exp2", lambda x: 2.0 ** x, mathfn.exp2),
         "pow10": _numeric2("pow10", lambda x: 10.0 ** x, mathfn.pow10),
         "trunc": _numeric2("trunc", lambda x: float(math.trunc(x)),

@@ -2251,3 +2251,64 @@ def test_tql_parser_total_on_arbitrary_input(src):
         pass
     except RecursionError:
         pass
+
+
+def test_scalar_dual_path_consistency(spark):
+    """Every SCALARS entry has TWO implementations — a Column expression
+    (records) and a Python scalar (literal arguments).  They must agree:
+    one DataFrame of probe values runs the column path; the scalar path
+    runs per row; cells compare to 1e-9 relative."""
+    import math
+
+    from neo_server_spark.tql.script import SCALARS
+
+    class RT:
+        now_ns = 1_700_000_000 * 10**9
+        params: dict = {}
+        payload = None
+
+    rt = RT()
+    probes = [0.1, 0.5, 0.9, 1.5, 2.75, 7.25, 100.0, -0.4, -3.5]
+    ts_probes = [1_700_000_000_123_456_789, 1_704_067_798_777_000_000,
+                 999_000_000_000_000_000]
+    import pyspark.sql.functions as SF
+    df = spark.createDataFrame([(v,) for v in probes], "x double")
+    tdf = spark.createDataFrame([(t,) for t in ts_probes], "t long")
+
+    unary = ["sin", "cos", "tan", "exp", "sqrt", "abs", "floor", "ceil",
+             "atan", "sinh", "cosh", "tanh", "asinh", "exp2", "pow10",
+             "trunc", "log", "log10", "log2"]
+    cols = [SCALARS[f](rt, SF.col("x")).alias(f) for f in unary]
+    got = {f: [r[f] for r in df.select(*cols).collect()] for f in unary}
+    for f in unary:
+        for v, g in zip(probes, got[f]):
+            s = SCALARS[f](rt, v)
+            if isinstance(s, float) and math.isnan(s):
+                # Go math.* NaN on domain errors — both paths agree (the
+                # log family is NULL-to-NaN wrapped, _nan_domain)
+                assert g is not None and math.isnan(g), (f, v, g, s)
+                continue
+            assert g == pytest.approx(float(s), rel=1e-9, abs=1e-12), \
+                (f, v, g, s)
+
+    timefns = ["timeYear", "timeMonth", "timeDay", "timeHour", "timeMinute",
+               "timeSecond", "timeNanosecond", "timeISOYear", "timeISOWeek",
+               "timeYearDay", "timeWeekDay", "timeUnix", "timeUnixMilli",
+               "timeUnixMicro", "timeUnixNano"]
+    tcols = [SCALARS[f](rt, SF.col("t")).alias(f) for f in timefns]
+    tgot = {f: [r[f] for r in tdf.select(*tcols).collect()] for f in timefns}
+    for f in timefns:
+        for t, g in zip(ts_probes, tgot[f]):
+            assert int(g) == int(SCALARS[f](rt, t)), (f, t, g)
+    # tz-shifted extractors agree across paths too
+    for t in ts_probes:
+        col = SCALARS["timeHour"](rt, SF.col("t"), ("tz", "Asia/Seoul"))
+        g = [r[0] for r in tdf.filter(SF.col("t") == t)
+             .select(col).collect()][0]
+        assert int(g) == int(SCALARS["timeHour"](rt, t, ("tz", "Asia/Seoul")))
+    # strTime named layout
+    for t in ts_probes:
+        col = SCALARS["strTime"](rt, SF.col("t"), "RFC3339")
+        g = [r[0] for r in tdf.filter(SF.col("t") == t)
+             .select(col).collect()][0]
+        assert g == SCALARS["strTime"](rt, t, "RFC3339"), (t, g)
