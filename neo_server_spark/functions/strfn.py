@@ -60,11 +60,25 @@ def str_sprintf(fmt: str, *cols) -> Column:
 
 
 def str_sub(c, start: int, length: int | None = None) -> Column:
-    """strSub — rune-aware substring (Spark substring is codepoint-based)."""
+    """strSub — the reference's EXACT semantics (fm_fake.go:592-630):
+    rune-positioned; negative offset counts from the end ('' when it
+    reaches past the start); offset past the end is ''; negative/absent
+    count means to-the-end.  Spark substring is codepoint-based, so rune
+    math maps directly."""
     col = _col(c)
-    if length is None:
-        return col.substr(F.lit(start + 1), F.length(col))
-    return col.substr(F.lit(start + 1), F.lit(length))
+    n = F.length(col)
+    off = int(start)
+    count = -1 if length is None or int(length) < 0 else int(length)
+    if off < 0:
+        idx = F.when(F.lit(-off) >= n, F.lit(None).cast("int")) \
+            .otherwise(n + F.lit(off))
+    else:
+        idx = F.when(F.lit(off) >= n, F.lit(None).cast("int")) \
+            .otherwise(F.lit(off))
+    length_expr = F.lit(2**31 - 1) if count == -1 else F.lit(count)
+    return F.coalesce(
+        F.when(idx.isNotNull(), col.substr(idx + 1, length_expr)),
+        F.when(col.isNotNull(), F.lit("")))
 
 
 def str_index(c, sub: str) -> Column:

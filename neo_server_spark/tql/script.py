@@ -380,12 +380,29 @@ def _parse_time(rt, v, fmt="ns", tz="UTC"):
     return parse_time(_lift(v), fmt)
 
 
-def _str_sub(rt, s, start, length=None):
+def _str_sub(rt, s, start=None, length=None):
+    """strSub with the reference's exact rune semantics (fm_fake.go:592):
+    negative offset from the end ('' past the start), offset past the end
+    '', negative/absent count to-the-end."""
     if _is_col(s):
-        c = _lift(s)
-        return F.substring(c, int(start) + 1,
-                           int(length) if length is not None else 2**31 - 1)
-    return s[int(start):(int(start) + int(length)) if length is not None else None]
+        from neo_server_spark.functions.strfn import str_sub
+        if start is None:
+            return _lift(s)
+        return str_sub(_lift(s), int(start), None if length is None
+                       else int(length))
+    if start is None:
+        return s
+    off, n = int(start), len(s)
+    count = -1 if length is None or int(length) < 0 else int(length)
+    if off < 0:
+        if -off >= n:
+            return ""
+        idx = n + off
+    else:
+        if off >= n:
+            return ""
+        idx = off
+    return s[idx:] if count == -1 else s[idx:idx + count]
 
 
 SCALARS = {

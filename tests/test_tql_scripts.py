@@ -2312,3 +2312,65 @@ def test_scalar_dual_path_consistency(spark):
         g = [r[0] for r in tdf.filter(SF.col("t") == t)
              .select(col).collect()][0]
         assert g == SCALARS["strTime"](rt, t, "RFC3339"), (t, g)
+
+
+def test_func_test_go_battery(spark):
+    """func_test.go cases run against BOTH SCALARS paths (scalar literal +
+    Column over a one-row frame): strSub rune/negative semantics
+    (fm_fake.go:592-630), strTime formats, trims, replaces, sprintf,
+    escapeParam."""
+    import pyspark.sql.functions as SF
+
+    from neo_server_spark.tql.script import SCALARS
+
+    class RT:
+        now_ns = 0
+        params: dict = {}
+        payload = None
+
+    rt = RT()
+
+    def both(fn, s, *args):
+        scalar = SCALARS[fn](rt, s, *args)
+        df = spark.createDataFrame([(s,)], "s string")
+        col = SCALARS[fn](rt, SF.col("s"), *args)
+        colres = df.select(col.alias("r")).collect()[0]["r"]
+        assert scalar == colres, (fn, s, args, scalar, colres)
+        return scalar
+
+    # strSub (func_test.go TestStrSub, all 10 cases)
+    assert both("strSub", "HelLo \U0001F600 World") == "HelLo \U0001F600 World"
+    assert both("strSub", "\U0001F600HelLo World", 0, 3) == "\U0001F600He"
+    assert both("strSub", "HelLo \U0001F600 World", 6, -2) == "\U0001F600 World"
+    assert both("strSub", "HelLo \U0001F600 World", -7) == "\U0001F600 World"
+    assert both("strSub", "HelLo \U0001F600 World", -7, 3) == "\U0001F600 W"
+    assert both("strSub", "HelLo \U0001F600 World", -0) == "HelLo \U0001F600 World"
+    assert both("strSub", "HelLo \U0001F600 World", -1) == "d"
+    assert both("strSub", "HelLo \U0001F600 World", -30) == ""
+    assert both("strSub", "HelLo \U0001F600 World", 0, 30) == "HelLo \U0001F600 World"
+    assert both("strSub", "HelLo \U0001F600 World", 30, 30) == ""
+
+    # trims / replaces (TestStrTrim*, TestStrReplace*)
+    assert both("strTrimPrefix", "__text", "_") == "_text"
+    assert both("strTrimSuffix", "__text", "text") == "__"
+    assert both("strReplace", "apple", "a", "A", 1) == "Apple"
+    assert both("strReplace", "apple", "p", "P", 1) == "aPple"
+    assert both("strReplace", "apple", "p", "P", -1) == "aPPle"
+    assert both("strReplaceAll", "apple", "p", "P") == "aPPle"
+
+    # escapeParam / sprintf (scalar-only paths)
+    assert SCALARS["escapeParam"](rt, "a b") == "a+b"
+    assert SCALARS["strSprintf"](rt, "hello %s %1.2f",
+                                 "world", 3.141592) == "hello world 3.14"
+
+    # strTime (TestStrTime — scalar path; the Column twin is pinned by
+    # test_scalar_dual_path_consistency)
+    t = 1704871917655327000
+    assert SCALARS["strTime"](rt, t, "RFC822", ("tz", "UTC")) == \
+        "10 Jan 24 07:31 UTC"
+    assert SCALARS["strTime"](rt, t, "2006/01/02 15:04:05.999999",
+                              ("tz", "UTC")) == "2024/01/10 07:31:57.655327"
+    assert SCALARS["strTime"](rt, t, "ns") == "1704871917655327000"
+    assert SCALARS["strTime"](rt, t, "us") == "1704871917655327"
+    assert SCALARS["strTime"](rt, t, "ms") == "1704871917655"
+    assert SCALARS["strTime"](rt, t, "s") == "1704871917"
