@@ -82,14 +82,22 @@ def str_sub(c, start: int, length: int | None = None) -> Column:
 
 
 def str_index(c, sub: str) -> Column:
-    """strIndex — 0-based index of first occurrence, -1 if absent."""
-    return F.instr(_col(c), sub) - 1
+    """strIndex — 0-based BYTE index of first occurrence, -1 if absent
+    (Go strings.Index, fm_fake.go:632: byte offsets, not runes —
+    func_test.go TestStrIndex pins the emoji case)."""
+    col = _col(c)
+    p = F.instr(col, sub)  # 1-based char position
+    return F.when(p == 0, F.lit(-1)) \
+        .otherwise(F.octet_length(col.substr(F.lit(1), p - 1)))
 
 
 def str_last_index(c, sub: str) -> Column:
+    """strLastIndex — 0-based BYTE index of the last occurrence."""
     col = _col(c)
     rev_idx = F.instr(F.reverse(col), sub[::-1])
-    return F.when(rev_idx == 0, F.lit(-1)).otherwise(F.length(col) - rev_idx - len(sub) + 1)
+    char0 = F.length(col) - rev_idx - len(sub) + 1  # 0-based char index
+    return F.when(rev_idx == 0, F.lit(-1)) \
+        .otherwise(F.octet_length(col.substr(F.lit(1), char0)))
 
 
 def regexp(pattern: str, c) -> Column:

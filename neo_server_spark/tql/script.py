@@ -601,11 +601,13 @@ def _install_round5_scalars():
         "mod": _numeric2("mod", math.fmod, mathfn.mod),
         "remainder": _numeric2("remainder", math.remainder,
                                mathfn.remainder),
-        "strIndex": lambda rt, s, sub: (strfn.str_index(_lift(s), str(sub))
-                                        if _is_col(s) else s.find(str(sub))),
+        # BYTE indexes (Go strings.Index/LastIndex — fm_fake.go:632-638)
+        "strIndex": lambda rt, s, sub: (
+            strfn.str_index(_lift(s), str(sub)) if _is_col(s)
+            else s.encode().find(str(sub).encode())),
         "strLastIndex": lambda rt, s, sub: (
-            strfn.str_last_index(_lift(s), str(sub))
-            if _is_col(s) else s.rfind(str(sub))),
+            strfn.str_last_index(_lift(s), str(sub)) if _is_col(s)
+            else s.encode().rfind(str(sub).encode())),
         "regexp": lambda rt, pat, v: (
             strfn.regexp(str(pat), _lift(v)) if _is_col(v)
             else _re.search(str(pat), str(v)) is not None),

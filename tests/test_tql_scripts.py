@@ -2350,6 +2350,24 @@ def test_func_test_go_battery(spark):
     assert both("strSub", "HelLo \U0001F600 World", 0, 30) == "HelLo \U0001F600 World"
     assert both("strSub", "HelLo \U0001F600 World", 30, 30) == ""
 
+    # strIndex/strLastIndex: BYTE indexes (TestStrIndex/TestStrLastIndex)
+    assert both("strIndex", "HelLo \U0001F600 World", "\U0001F600") == 6
+    assert both("strIndex", "HelLo \U0001F600 World", "o") == 4
+    assert both("strIndex", "HelLo \U0001F600 World", "l") == 2
+    assert both("strLastIndex", "HelLo \U0001F600 World", "\U0001F600") == 6
+    assert both("strLastIndex", "HelLo \U0001F600 World", "o") == 12
+    assert both("strLastIndex", "HelLo \U0001F600 World", "H") == 0
+    assert both("strLastIndex", "HelLo \U0001F600 World", "l") == 14
+
+    # glob / regexp (TestGlob, TestRegexp — scalar paths)
+    from neo_server_spark.tql.script import SCALARS as _S
+    assert _S["glob"](rt, "test*me", "test123me") is True
+    assert _S["glob"](rt, "test*me", "testme") is True
+    assert _S["glob"](rt, "test*me", "test123not") is False
+    assert _S["regexp"](rt, r"^test[0-9]{3}$", "test123") is True
+    assert _S["regexp"](rt, r"^test[0-9]{3}$", "test12") is False
+    assert _S["regexp"](rt, r"^test\d{5}x$", "test12345x") is True
+
     # trims / replaces (TestStrTrim*, TestStrReplace*)
     assert both("strTrimPrefix", "__text", "_") == "_text"
     assert both("strTrimSuffix", "__text", "text") == "__"
