@@ -306,12 +306,19 @@ def ansi_timeformat_to_layout(fmt: str) -> str:
 
 def resolve_tz(name: str | None) -> str:
     """Go time.LoadLocation name -> IANA zone usable by Spark/zoneinfo.
-    'Local' resolves to $TZ (UTC when unset — the engine's convention)."""
+    'local' (any case) resolves to $TZ (UTC when unset — the engine's
+    convention); unknown zones raise like the reference's tz()
+    (func_test.go: 'unknown time zone wrong/place')."""
     if not name or name.upper() == "UTC":
         return "UTC"
-    if name == "Local":
+    if name.lower() == "local":
         import os
         return os.environ.get("TZ") or "UTC"
+    import zoneinfo
+    try:
+        zoneinfo.ZoneInfo(name)
+    except (zoneinfo.ZoneInfoNotFoundError, ValueError) as ex:
+        raise ValueError(f"unknown time zone {name}") from ex
     return name
 
 
@@ -366,3 +373,66 @@ def strtime_py(ns: int, name_or_layout: str, tz: str | None = None) -> str:
         frac = frac.rstrip("0")
         return base if not frac else f"{base}.{frac}"
     return f"{base}.{frac}"
+
+
+# Go layout tokens -> strftime/strptime, longest-match-first (the scalar
+# twin of go_layout_to_java for PARSING literal arguments)
+_GO_TO_STRPTIME = [
+    ("2006", "%Y"), ("January", "%B"), ("Monday", "%A"), ("Jan", "%b"),
+    ("Mon", "%a"), ("MST", "%Z"), ("Z07:00", "%z"), ("-0700", "%z"),
+    ("15", "%H"), ("01", "%m"), ("02", "%d"), ("03", "%I"), ("04", "%M"),
+    ("05", "%S"), ("06", "%y"), ("PM", "%p"),
+]
+
+
+def parse_time_named(c: Column | str, name_or_layout: str,
+                     tz: str | None = None) -> Column:
+    """parseTime(str, 'DEFAULT'|layout[, tz]) -> epoch-ns long: the named
+    reference format resolves to its Go layout, converts to a Java
+    pattern, parses as wall clock in ``tz`` (UTC default) and converts to
+    the epoch (fm_time.go fmParseTime; func_test.go TestParseTime)."""
+    layout = get_timeformat(name_or_layout)
+    pattern, frac_digits, frac_trim = go_layout_to_java(layout)
+    if frac_digits:
+        # Go's .999… layouts mean an OPTIONAL fraction when parsing —
+        # Java's optional section [] expresses that; .000… is mandatory
+        frac = "." + "S" * frac_digits
+        pattern += f"[{frac}]" if frac_trim else frac
+    ts = F.to_timestamp(_col(c), pattern)
+    if tz and resolve_tz(tz) != "UTC":
+        ts = F.to_utc_timestamp(ts, resolve_tz(tz))
+    return from_timestamp(ts)
+
+
+def parsetime_py(text: str, name_or_layout: str, tz: str | None = None) -> int:
+    """Scalar twin of parse_time_named for literal arguments."""
+    import datetime as _dt
+    import zoneinfo
+
+    layout = get_timeformat(name_or_layout)
+    frac_digits = 0
+    m = _FRAC_RE.search(layout)
+    if m:
+        frac_digits = len(m.group(1))
+        layout = layout[:m.start()]
+    out, i = [], 0
+    while i < len(layout):
+        for go, fmt in _GO_TO_STRPTIME:
+            if layout.startswith(go, i):
+                out.append(fmt)
+                i += len(go)
+                break
+        else:
+            out.append(layout[i])
+            i += 1
+    text_main, frac_ns = text, 0
+    if frac_digits and "." in text:
+        text_main, _, frac = text.partition(".")
+        frac = (frac + "000000000")[:9]
+        frac_ns = int(frac)
+    dt = _dt.datetime.strptime(text_main, "".join(out))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=zoneinfo.ZoneInfo(resolve_tz(tz)))
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    return int((dt - epoch).total_seconds()) * SECOND \
+        + dt.microsecond * 1000 + frac_ns

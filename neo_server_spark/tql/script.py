@@ -364,7 +364,9 @@ def _epoch_to_ns(c, mult: int):
 
 
 def _parse_time(rt, v, fmt="ns", tz="UTC"):
-    """parseTime(v, unit|layout, tz) → epoch-ns long (fx:parseTime)."""
+    """parseTime(v, unit|name|layout[, tz]) → epoch-ns long (fx:parseTime;
+    func_test.go TestParseTime: named formats parse as wall clock in the
+    given zone)."""
     if fmt in _TIME_UNIT_NS:
         mult = _TIME_UNIT_NS[fmt]
         if _is_col(v):
@@ -376,8 +378,12 @@ def _parse_time(rt, v, fmt="ns", tz="UTC"):
             return int(v) * mult
         except (TypeError, ValueError):
             return int(float(v) * mult)
-    from neo_server_spark.functions.timefn import parse_time
-    return parse_time(_lift(v), fmt)
+    from neo_server_spark.functions.timefn import (parse_time_named,
+                                                   parsetime_py)
+    tzname = _tz_of((tz,)) if tz is not None else None
+    if _is_col(v):
+        return parse_time_named(_lift(v), str(fmt), tzname)
+    return parsetime_py(str(v), str(fmt), tzname)
 
 
 def _str_sub(rt, s, start=None, length=None):

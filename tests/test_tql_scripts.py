@@ -2392,3 +2392,35 @@ def test_func_test_go_battery(spark):
     assert SCALARS["strTime"](rt, t, "us") == "1704871917655327"
     assert SCALARS["strTime"](rt, t, "ms") == "1704871917655"
     assert SCALARS["strTime"](rt, t, "s") == "1704871917"
+
+
+def test_parse_time_named_and_tz(spark):
+    """func_test.go TestParseTime/tz: named-format parsing as wall clock in
+    a zone (both paths), lowercase 'utc'/'local', unknown-zone error."""
+    import pyspark.sql.functions as SF
+
+    from neo_server_spark.functions.timefn import resolve_tz
+    from neo_server_spark.tql.script import SCALARS
+
+    class RT:
+        now_ns = 0
+        params: dict = {}
+        payload = None
+
+    rt = RT()
+    want_utc = 1677679262 * 10**9    # 2023-03-01 14:01:02 UTC
+    s = "2023-03-01 14:01:02"
+    assert SCALARS["parseTime"](rt, s, "DEFAULT") == want_utc
+    assert SCALARS["parseTime"](rt, s, "DEFAULT", ("tz", "UTC")) == want_utc
+    assert SCALARS["parseTime"](rt, s, "DEFAULT", ("tz", "Asia/Seoul")) == \
+        want_utc - 9 * 3600 * 10**9
+    df = spark.createDataFrame([(s,)], "s string")
+    col = SCALARS["parseTime"](rt, SF.col("s"), "DEFAULT",
+                               ("tz", "Asia/Seoul"))
+    got = df.select(col.alias("t")).collect()[0]["t"]
+    assert got == want_utc - 9 * 3600 * 10**9
+    # tz() name handling
+    assert resolve_tz("utc") == "UTC" and resolve_tz("UTC") == "UTC"
+    assert isinstance(resolve_tz("local"), str)
+    with pytest.raises(ValueError, match="unknown time zone"):
+        resolve_tz("wrong/place")
