@@ -386,6 +386,38 @@ def _parse_time(rt, v, fmt="ns", tz="UTC"):
     return parsetime_py(str(v), str(fmt), tzname)
 
 
+def _element_fn(*args):
+    """element(v0, …, vN, idx) — pick the idx-th value (fm_fake.go
+    fmElement; func_test.go TestElement): numbers widen to float64,
+    strings/bools pass through, index must be an integral number."""
+    if len(args) < 2:
+        raise ValueError(f"f(element) invalud number of args (n:{len(args)})")
+    idx = args[-1]
+    if _is_col(idx):
+        # per-record index: element_at over an array of the candidates
+        # (same-typed values; out-of-range yields NULL instead of the
+        # reference's per-record error — documented deviation)
+        vals = [_lift(v) for v in args[:-1]]
+        return F.element_at(F.array(*vals), idx.cast("int") + 1)
+    if isinstance(idx, bool) or not isinstance(idx, (int, float)) or (
+            isinstance(idx, float) and not idx.is_integer()):
+        raise TypeError(
+            "f(element) index of element should be int, "
+            f"but {type(idx).__name__}")
+    idx = int(idx)
+    vals = args[:-1]
+    if idx >= len(vals) or idx < 0:
+        raise ValueError(f"f(element) out of index {idx} / {len(vals)}")
+    v = vals[idx]
+    if _is_col(v):
+        return v
+    if isinstance(v, bool) or isinstance(v, str):
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    return v
+
+
 def _str_sub(rt, s, start=None, length=None):
     """strSub with the reference's exact rune semantics (fm_fake.go:592):
     negative offset from the end ('' past the start), offset past the end
@@ -425,7 +457,10 @@ SCALARS = {
     "pow": _numeric2("pow", pow, F.pow),
     "round": lambda rt, v, *sc: (F.round(_lift(v), int(sc[0]) if sc else 0)
                                  if _is_col(v) else round(v, *map(int, sc))),
-    "len": lambda rt, s: F.length(s) if _is_col(s) else len(s),
+    # Go returns float64 from len() (func_test.go TestLen: 4.0)
+    "len": lambda rt, s: (F.length(s).cast("double") if _is_col(s)
+                          else float(len(s))),
+    "element": lambda rt, *a: _element_fn(*a),
     "strToUpper": lambda rt, s: F.upper(s) if _is_col(s) else s.upper(),
     "strToLower": lambda rt, s: F.lower(s) if _is_col(s) else s.lower(),
     "strTrimSpace": lambda rt, s: F.trim(s) if _is_col(s) else s.strip(),

@@ -2424,3 +2424,33 @@ def test_parse_time_named_and_tz(spark):
     assert isinstance(resolve_tz("local"), str)
     with pytest.raises(ValueError, match="unknown time zone"):
         resolve_tz("wrong/place")
+
+
+def test_element_and_len(spark):
+    """element() picks the idx-th value with float64 number widening
+    (func_test.go TestElement); len() returns float64 (TestLen)."""
+    from neo_server_spark.tql.script import SCALARS
+
+    class RT:
+        now_ns = 0
+        params: dict = {}
+        payload = None
+
+    rt = RT()
+    assert SCALARS["element"](rt, 0.0, 1.0, 2.0, 3.0, 4.0, 1.0) == 1.0
+    assert SCALARS["element"](rt, 0.0, 1.0, 2.0, 3.0, 4.0, 4) == 4.0
+    assert SCALARS["element"](rt, "abc", "bcd", "cde", "def", "efg", 4) == "efg"
+    assert SCALARS["element"](rt, "abc", "bcd", "cde", "def", True, 4) is True
+    assert SCALARS["element"](rt, "abc", "bcd", "cde", "def", 123, 4) == 123.0
+    with pytest.raises(ValueError, match="out of index 5 / 5"):
+        SCALARS["element"](rt, 0.0, 1.0, 2.0, 3.0, 4.0, 5.0)
+    with pytest.raises(TypeError, match="should be int"):
+        SCALARS["element"](rt, 0.0, 1.0, 2.0, 3.0, 4.0, "4")
+    assert SCALARS["len"](rt, "1234") == 4.0
+    assert SCALARS["len"](rt, ["1", "2", "3", "4"]) == 4.0
+    out = run_script(spark, """
+        FAKE( linspace(0, 2, 3) )
+        MAPVALUE(1, element('a', 'b', 'c', value(0)))
+        CSV()
+    """)
+    assert out.splitlines() == ["0,a", "1,b", "2,c"]
