@@ -2456,7 +2456,7 @@ class TqlRunner:
                 "rss", "rms", "median", "medianInterpolated", "stddev",
                 "stderr", "entropy", "variance", "mode", "quantile",
                 "quantileInterpolated", "cdf", "list", "correlation",
-                "moment", "lrs"}
+                "covariance", "moment", "lrs"}
 
     @staticmethod
     def _make_agg(fn: str, src: str, alias: str, order_col: str = "__seq"):
@@ -2593,8 +2593,9 @@ class TqlRunner:
                 continue
             expr = _lift(self.ev(fargs[0]))
             # per-aggregate options: name string, nullValue(v), predict(kind),
-            # weight(expr) (fm_monad.go fmAggregate/newAggregate option scan)
-            nm, nullv, predict, wexpr = None, None, None, None
+            # weight(expr), where(cond) (fm_monad.go fmAggregate/newAggregate
+            # option scan; fmWhere:719)
+            nm, nullv, predict, wexpr, wcond = None, None, None, None, None
             for extra in fargs[1:]:
                 if extra[0] == "str":
                     nm = extra[1]
@@ -2604,7 +2605,28 @@ class TqlRunner:
                     predict = str(self.ev(extra[2][0])).lower()
                 elif extra[0] == "call" and extra[1] == "weight":
                     wexpr = _lift(self.ev(extra[2][0]))
+                elif extra[0] == "call" and extra[1] == "where":
+                    wcond = _lift(self.ev(extra[2][0]))
             nm = nm if nm is not None else fn.upper()
+            wc = F.col(mat(wcond.cast("boolean"))) if wcond is not None \
+                else None
+            # two-value relation aggregates (fm_monad.go:909-935:
+            # lrs(x, y) / correlation(x, y) / covariance(x, y))
+            if fn in ("correlation", "covariance") or (
+                    fn == "lrs" and len(fargs) > 1
+                    and fargs[1][0] != "str" and not (
+                        fargs[1][0] == "call" and fargs[1][1] in (
+                            "nullValue", "predict", "weight", "where"))):
+                x = mat(expr.cast("double"))
+                y = mat(_lift(self.ev(fargs[1])).cast("double"))
+                alias = f"__o{len(out_names)}"
+                rel = {"correlation": lambda: A.correlation(x, y, alias, wc),
+                       "covariance": lambda: A.covariance(x, y, alias, wc),
+                       "lrs": lambda: A.lrs(x, y, alias, wc)}[fn]
+                aggs.append(rel())
+                out_names.append(nm)
+                agg_fills.append((nullv, predict))
+                continue
             # count/first/last/mode/list operate on RAW record values (the
             # reference aggregates untyped values; count counts records) —
             # only the numeric aggregates coerce to double
@@ -2635,34 +2657,35 @@ class TqlRunner:
                 agg_fills.append((nullv, predict))
                 continue
             builder = {
-                "sum": lambda: A.sum(src, alias),
-                "avg": lambda: A.avg(src, alias),
-                "mean": lambda: A.avg(src, alias),
-                "min": lambda: A.min(src, alias),
-                "max": lambda: A.max(src, alias),
-                "count": lambda: A.count(src, alias),
-                "first": lambda: A.first(src, "__seq", alias),
-                "last": lambda: A.last(src, "__seq", alias),
-                "rss": lambda: A.rss(src, alias),
-                "rms": lambda: A.rms(src, alias),
-                "median": lambda: A.median(src, alias),
-                "medianInterpolated": lambda: A.median_lininterp(src, alias),
-                "stddev": lambda: A.stddev(src, alias),
-                "stderr": lambda: A.stderr(src, alias),
-                "variance": lambda: A.variance(src, alias),
-                "entropy": lambda: A.entropy_raw(src, alias),
-                "mode": lambda: A.mode(src, alias),
-                "list": lambda: A.list(src, alias),
-                "lrs": lambda: A.lrs("__seq", src, alias),
+                "sum": lambda: A.sum(src, alias, wc),
+                "avg": lambda: A.avg(src, alias, wc),
+                "mean": lambda: A.avg(src, alias, wc),
+                "min": lambda: A.min(src, alias, wc),
+                "max": lambda: A.max(src, alias, wc),
+                "count": lambda: A.count(src, alias, wc),
+                "first": lambda: A.first(src, "__seq", alias, wc),
+                "last": lambda: A.last(src, "__seq", alias, wc),
+                "rss": lambda: A.rss(src, alias, wc),
+                "rms": lambda: A.rms(src, alias, wc),
+                "median": lambda: A.median(src, alias, wc),
+                "medianInterpolated": lambda: A.median_lininterp(src, alias,
+                                                                 wc),
+                "stddev": lambda: A.stddev(src, alias, wc),
+                "stderr": lambda: A.stderr(src, alias, wc),
+                "variance": lambda: A.variance(src, alias, wc),
+                "entropy": lambda: A.entropy_raw(src, alias, wc),
+                "mode": lambda: A.mode(src, alias, wc),
+                "list": lambda: A.list(src, alias, wc),
+                "lrs": lambda: A.lrs("__seq", src, alias, wc),
             }.get(fn)
             if builder is None:
                 if fn in ("quantile", "quantileInterpolated", "cdf", "moment"):
                     p = float(self.ev(fargs[1]))
                     nm = self.ev(fargs[2]) if len(fargs) > 2 else fn.upper()
-                    col = {"quantile": lambda: A.quantile(src, p, alias),
-                           "quantileInterpolated": lambda: A.quantile_lininterp(src, p, alias),
-                           "cdf": lambda: A.cdf(src, p, alias),
-                           "moment": lambda: A.moment(src, int(p), alias)}[fn]()
+                    col = {"quantile": lambda: A.quantile(src, p, alias, wc),
+                           "quantileInterpolated": lambda: A.quantile_lininterp(src, p, alias, wc),
+                           "cdf": lambda: A.cdf(src, p, alias, wc),
+                           "moment": lambda: A.moment(src, int(p), alias, wc)}[fn]()
                     aggs.append(col)
                     out_names.append(nm)
                     # exactly one fill slot per emitted aggregate — __o{j}

@@ -2454,3 +2454,25 @@ def test_element_and_len(spark):
         CSV()
     """)
     assert out.splitlines() == ["0,a", "1,b", "2,c"]
+
+
+def test_group_where_and_relation_aggs(spark):
+    """Front-end GROUP: per-aggregate where() (fm_monad.go:719 — previously
+    silently IGNORED, yielding wrong results) and the two-value relation
+    aggregates correlation/covariance (fm_monad.go:926-935)."""
+    out = run_script(spark, """
+        FAKE( json({
+            ["A", 1, 10], ["A", 2, 20], ["A", 3, 28], ["A", 100, 1],
+            ["B", 1, 5], ["B", 2, 9], ["B", 3, 13]
+        }))
+        GROUP(by(value(0)),
+              sum(value(1), where(value(1) < 50), "S"),
+              count(value(1), where(value(1) < 50), "C"),
+              correlation(value(1), value(2), where(value(1) < 50), "CORR"),
+              covariance(value(1), value(2), where(value(1) < 50), "COV"))
+        CSV(heading(true), precision(3))
+    """)
+    assert out.splitlines() == [
+        "GROUP,S,C,CORR,COV",
+        "A,6.000,3,0.998,9.000",
+        "B,6.000,3,1.000,4.000"]
