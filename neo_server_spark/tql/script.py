@@ -386,6 +386,83 @@ def _parse_time(rt, v, fmt="ns", tz="UTC"):
     return parsetime_py(str(v), str(fmt), tzname)
 
 
+class _LatLonV:
+    """latlon(lat, lon) value (nums.NewLatLon) — consumed by the geo*
+    constructors; renders as [lat,lon] like the reference's CSV arm."""
+
+    __slots__ = ("lat", "lon")
+
+    def __init__(self, lat, lon):
+        self.lat, self.lon = float(lat), float(lon)
+
+    def __repr__(self):
+        from neo_server_spark.codecs.geomap import _num
+        return f"[{_num(self.lat)},{_num(self.lon)}]"
+
+
+def _geo_props(opt):
+    """Geo constructor option: a JSON/'k:v' string or map
+    (nums.NewGeoPropertiesParse)."""
+    if isinstance(opt, dict):
+        return dict(opt)
+    if isinstance(opt, str) and opt.strip():
+        import json as _j
+        s = opt.strip()
+        if not s.startswith("{"):
+            s = "{" + s + "}"
+        try:
+            return _j.loads(s)
+        except ValueError:
+            return {}
+    return {}
+
+
+def _geo_feature(typ, coords, opt=None, extra_props=None):
+    props = _geo_props(opt)
+    if extra_props:
+        for k, v in extra_props.items():
+            props.setdefault(k, v)
+    out = {"type": "Feature",
+           "geometry": {"type": typ, "coordinates": coords}}
+    if props:
+        out["properties"] = props
+    return out
+
+
+def _lls(args):
+    pts = [a for a in args if isinstance(a, _LatLonV)]
+    opt = next((a for a in args if not isinstance(a, _LatLonV)), None)
+    return [[p.lon, p.lat] for p in pts], opt
+
+
+def _install_geo_scalars():
+    """latlon + geo* constructors (fx_definitions.go:112-119,
+    nums/geography.go): GeoJSON Feature dicts ([lon,lat] coordinate order,
+    MarshalGeoJSON parity) for the geometry forms; leaflet layer dicts
+    ([lat,lon]) for the marker forms — both consumable by GEOMAP and the
+    JSON record path."""
+    SCALARS.update({
+        "latlon": lambda rt, lat, lon: _LatLonV(lat, lon),
+        "geoPoint": lambda rt, ll, opt=None: _geo_feature(
+            "Point", [ll.lon, ll.lat], opt),
+        "geoCircle": lambda rt, ll, radius, opt=None: _geo_feature(
+            "Point", [ll.lon, ll.lat], opt,
+            {"radius": float(radius)}),
+        "geoLineString": lambda rt, *a: _geo_feature(
+            "LineString", *_lls(a)),
+        "geoMultiPoint": lambda rt, *a: _geo_feature(
+            "MultiPoint", *_lls(a)),
+        "geoPolygon": lambda rt, *a: _geo_feature(
+            "Polygon", [_lls(a)[0]], _lls(a)[1]),
+        "geoPointMarker": lambda rt, ll, opt=None: {
+            "type": "marker", "coordinates": [ll.lat, ll.lon],
+            **({"properties": _geo_props(opt)} if _geo_props(opt) else {})},
+        "geoCircleMarker": lambda rt, ll, radius, opt=None: {
+            "type": "circleMarker", "coordinates": [ll.lat, ll.lon],
+            "properties": {**_geo_props(opt), "radius": float(radius)}},
+    })
+
+
 def _element_fn(*args):
     """element(v0, …, vN, idx) — pick the idx-th value (fm_fake.go
     fmElement; func_test.go TestElement): numbers widen to float64,
@@ -684,6 +761,7 @@ def _install_round5_scalars():
 
 
 _install_round5_scalars()
+_install_geo_scalars()
 
 _CONSTS = {"PI": math.pi, "true": True, "false": False, "NULL": None,
            "nil": None, "E": math.e}

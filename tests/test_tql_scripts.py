@@ -2476,3 +2476,34 @@ def test_group_where_and_relation_aggs(spark):
         "GROUP,S,C,CORR,COV",
         "A,6.000,3,0.998,9.000",
         "B,6.000,3,1.000,4.000"]
+
+
+def test_geo_constructors(spark):
+    """latlon + geo* constructors (fx_definitions.go:112-119,
+    nums/geography.go): geometry forms yield GeoJSON Features ([lon,lat]),
+    marker forms yield leaflet layers ([lat,lon]) — both flow through the
+    JSON record path into GEOMAP."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    r = TqlRunner(spark)
+    r.run("""
+        FAKE( once(1) )
+        MAPVALUE(0, geoPoint(latlon(37.497850, 127.027756)))
+        MAPVALUE(1, geoLineString(latlon(0, 0), latlon(1, 2)))
+        GEOMAP(geomapID('TGEO'), geomapJSON(true))
+    """)
+    js = r.geomap_js
+    assert "L.geoJSON({geometry:{coordinates:[127.027756,37.49785]," \
+        'type:"Point"},type:"Feature"},opt.geojson)' in js
+    assert "coordinates:[[0,0],[2,1]]" in js and '"LineString"' in js
+    r2 = TqlRunner(spark)
+    r2.run("""
+        FAKE( once(1) )
+        MAPVALUE(0, geoCircleMarker(latlon(37.5, 127.0), 100,
+                                    '{"color":"red"}'))
+        MAPVALUE(1, geoPointMarker(latlon(1.5, 2.5)))
+        GEOMAP(geomapID('TGEO2'), geomapJSON(true))
+    """)
+    js2 = r2.geomap_js
+    assert 'L.circleMarker([37.5,127],{color:"red",radius:100})' in js2
+    assert "L.marker([1.5,2.5],{})" in js2
