@@ -153,7 +153,8 @@ def _format_float(v: float, precision: int = -1) -> str:
 def to_json_envelope(df: DataFrame, limit: int | None = None,
                      transpose: bool = False, rows_flatten: bool = False,
                      rows_array: bool = False, rownum: bool = False,
-                     types: list[str] | None = None) -> str:
+                     types: list[str] | None = None,
+                     json_cols: tuple[str, ...] = ()) -> str:
     """JSON() sink — the reference HTTP envelope, byte-compatible shape:
     {"data":{"columns":[...],"types":[...],"rows":[...]},"success":true,
      "reason":"success","elapse":"..."}.  ``rows_array`` emits one object per
@@ -165,6 +166,19 @@ def to_json_envelope(df: DataFrame, limit: int | None = None,
     tick = _time.time()
     cols, rows = _collect(df, limit)
     types = list(types) if types else [machbase_type(f.dataType) for f in df.schema.fields]
+    if json_cols:
+        # object columns travel as canonical JSON text in the record
+        # model — re-embed them as objects (the reference marshals the
+        # goja map directly)
+        jidx = [i for i, c in enumerate(cols) if c in json_cols]
+
+        def _embed(v):
+            try:
+                return json.loads(v) if isinstance(v, str) else v
+            except ValueError:
+                return v
+        rows = [tuple(_embed(v) if i in jidx else v
+                      for i, v in enumerate(r)) for r in rows]
     if rownum and not transpose:
         cols = ["ROWNUM", *cols]
         types = ["int64", *types]

@@ -671,21 +671,23 @@ def _escape_param(s: str) -> str:
 
 
 def _dict_fn(rt, *args):
-    """dict('k', v, ...) -> map value (fm_monad.go:339-353).  Literal-only:
-    a Column argument can't live inside a Python dict value — the record
-    model carries objects as canonical JSON text (see _script_col_type)."""
-    out = {}
+    """dict('k', v, ...) -> map value (fm_monad.go:339-353; task_test.go
+    TestDict).  Literal values build a Python dict; Column values build a
+    to_json(struct(...)) column — either way the record carries canonical
+    JSON text, and the JSON sink re-embeds it as an object."""
+    pairs = []
     for i in range(0, len(args), 2):
         if i + 1 >= len(args):
             raise ValueError(
                 f"dict() name {args[i]!r} doesn't match with any value")
         if not isinstance(args[i], str):
             raise TypeError(
-                f"dict() name should be string, got args[{i}]")
-        if _is_col(args[i + 1]):
-            raise TypeError("dict() values must be literals in this engine")
-        out[args[i]] = args[i + 1]
-    return out
+                f"dict() name should be string, got args[{i}] "
+                f"{type(args[i]).__name__}")
+        pairs.append((args[i], args[i + 1]))
+    if any(_is_col(v) for _, v in pairs):
+        return F.to_json(F.struct(*[_lift(v).alias(k) for k, v in pairs]))
+    return dict(pairs)
 
 
 def _glob_rx(pattern: str) -> str:
@@ -780,6 +782,9 @@ class _State:
     #   applies to those regardless of column name)
     key_name: str = "ROWNUM"  # the key's display name when PUSHKEY surfaces
     #   it as a value (fakes: MakeColumnRownum; SQL sources: first column)
+    jsons: set = field(default_factory=set)  # positions holding OBJECT
+    #   values serialized as canonical JSON text (dict()/geo*/SCRIPT dict
+    #   yields) — the JSON sink re-embeds them as objects
 
 
 class _Dollar:
@@ -1292,9 +1297,11 @@ class TqlRunner:
     def ncols(self) -> int:
         return len(self.state.names)
 
-    def _set(self, df: DataFrame, names: list, times: set | None = None) -> None:
+    def _set(self, df: DataFrame, names: list, times: set | None = None,
+             jsons: set | None = None) -> None:
         self.state.df, self.state.names = df, list(names)
         self.state.times = set(times or ())
+        self.state.jsons = set(jsons or ())
 
     def _vcols(self) -> list[str]:
         return [f"c{i}" for i in range(self.ncols)]
@@ -1382,7 +1389,7 @@ class TqlRunner:
             # linspace50(a, b) = 50-point default (fm_fake.go:328)
             a, b, *rest = [self.ev(x) for x in gargs]
             num = int(rest[0]) if rest else 50
-            self._set(self._linspace_df(float(a), float(b), num), [None])
+            self._set(self._linspace_df(float(a), float(b), num), ["x"])
         elif gname == "arrange":
             a, b, step = [float(self.ev(x)) for x in gargs]
             # argument validation with the reference's exact messages
@@ -1399,7 +1406,7 @@ class TqlRunner:
             df = self.spark.range(n).select(
                 F.col("id").alias("__seq"), (F.col("id") + 1).alias("__key"),
                 (F.lit(a) + F.col("id") * F.lit(step)).alias("c0"))
-            self._set(df, [None])
+            self._set(df, ["x"])
         elif gname == "meshgrid":
             specs = [self._grid_spec(g) for g in gargs]
             (xa, xs, nx), (ya, ys, ny) = specs
@@ -1407,10 +1414,10 @@ class TqlRunner:
                 F.col("id").alias("__seq"), (F.col("id") + 1).alias("__key"),
                 (F.lit(xa) + (F.col("id") / ny).cast("long") * F.lit(xs)).alias("c0"),
                 (F.lit(ya) + (F.col("id") % ny) * F.lit(ys)).alias("c1"))
-            self._set(df, [None, None])
+            self._set(df, ["x", "y"])
         elif gname == "once":
             v = self.ev(gargs[0])
-            self._set(self._from_rows([(v,)], 1), [None])
+            self._set(self._from_rows([(v,)], 1), ["x"])
         elif gname == "json":
             import json as _json
             body = gargs[0][1] if gargs[0][0] == "brace" else str(self.ev(gargs[0]))
@@ -1810,41 +1817,54 @@ class TqlRunner:
         self.state.df = df.filter(cond).drop("__rn")
 
     def _reproject(self, exprs: list[tuple]):
-        """Re-emit positional columns: exprs = [(column, name, is_time)]."""
+        """Re-emit positional columns:
+        exprs = [(column, name, is_time[, is_json])]."""
         df = self.state.df
         sel = [F.col("__seq"), F.col("__key")] + [
             e.alias(f"c{i}") for i, (e, *_rest) in enumerate(exprs)]
         self._set(df.select(*sel), [e[1] for e in exprs],
-                  {i for i, e in enumerate(exprs) if len(e) > 2 and e[2]})
+                  {i for i, e in enumerate(exprs) if len(e) > 2 and e[2]},
+                  {i for i, e in enumerate(exprs) if len(e) > 3 and e[3]})
 
     def _cur(self) -> list[tuple]:
-        return [(F.col(c), self.state.names[i], i in self.state.times)
+        return [(F.col(c), self.state.names[i], i in self.state.times,
+                 i in self.state.jsons)
                 for i, c in enumerate(self._vcols())]
 
     @staticmethod
     def _is_time_expr(node) -> bool:
         return node[0] == "call" and node[1] in ("parseTime", "time", "timeAdd")
 
+    #: calls whose value is an OBJECT carried as canonical JSON text
+    _OBJ_FNS = frozenset({"dict", "geoPoint", "geoCircle", "geoLineString",
+                          "geoMultiPoint", "geoPolygon", "geoPointMarker",
+                          "geoCircleMarker"})
+
     def stmt_MAPVALUE(self, args):
         idx = int(self.ev(args[0]))
-        expr = _lift(self.ev(args[1]))
+        val = self.ev(args[1])
+        expr = _lift(val)
         name = self.ev(args[2]) if len(args) > 2 and args[2][0] == "str" else None
         is_t = self._is_time_expr(args[1])
+        is_j = isinstance(val, (dict, list)) or (
+            args[1][0] == "call" and args[1][1] in self._OBJ_FNS)
         cur = self._cur()
         if idx < 0:  # MAPVALUE(-1, v) == PUSHVALUE(0, v) (fm_monad.go:1745)
-            cur.insert(0, (expr, name, is_t))
+            cur.insert(0, (expr, name, is_t, is_j))
         elif idx >= len(cur):
-            cur.append((expr, name, is_t))
+            cur.append((expr, name, is_t, is_j))
         else:
-            cur[idx] = (expr, name or self.state.names[idx], is_t)
+            cur[idx] = (expr, name or self.state.names[idx], is_t, is_j)
         self._reproject(cur)
 
     def stmt_PUSHVALUE(self, args):
         idx = max(0, min(int(self.ev(args[0])), self.ncols))
-        expr = _lift(self.ev(args[1]))
+        val = self.ev(args[1])
         name = self.ev(args[2]) if len(args) > 2 else None
+        is_j = isinstance(val, (dict, list)) or (
+            args[1][0] == "call" and args[1][1] in self._OBJ_FNS)
         cur = self._cur()
-        cur.insert(idx, (expr, name, self._is_time_expr(args[1])))
+        cur.insert(idx, (_lift(val), name, self._is_time_expr(args[1]), is_j))
         self._reproject(cur)
 
     def stmt_POPVALUE(self, args):
@@ -2862,11 +2882,15 @@ class TqlRunner:
     def stmt_JSON(self, args):
         from neo_server_spark.codecs import encoders
         opts, _ = self._opt_calls(args)
+        disp = self._display()
+        jcols = tuple(disp.columns[i] for i in sorted(self.state.jsons)
+                      if i < len(disp.columns))
         self.output = encoders.to_json_envelope(
-            self._display(),
+            disp,
             transpose="transpose" in opts and bool(opts["transpose"][0][0]),
             rows_flatten="rowsFlatten" in opts and bool(opts["rowsFlatten"][0][0]),
-            rows_array="rowsArray" in opts and bool(opts["rowsArray"][0][0]))
+            rows_array="rowsArray" in opts and bool(opts["rowsArray"][0][0]),
+            json_cols=jcols)
 
     def stmt_MARKDOWN(self, args):
         from neo_server_spark.codecs import encoders

@@ -2507,3 +2507,31 @@ def test_geo_constructors(spark):
     js2 = r2.geomap_js
     assert 'L.circleMarker([37.5,127],{color:"red",radius:100})' in js2
     assert "L.marker([1.5,2.5],{})" in js2
+
+
+def test_dict_json_embedding(spark):
+    """task_test.go TestDict: dict('key', value(0)) carries an OBJECT into
+    the JSON envelope rows; name/value validation errors match; FAKE
+    generator columns carry the reference's 'x'/'y' names."""
+    import json as _json
+
+    out = run_script(spark, """
+        FAKE( arrange(0, 1, 1) )
+        MAPVALUE(0, dict("key", value(0)) )
+        JSON(precision(0))
+    """)
+    d = _json.loads(out)
+    assert d["data"]["columns"] == ["x"]
+    assert d["data"]["rows"] == [[{"key": 0.0}], [{"key": 1.0}]]
+    with pytest.raises(ValueError, match="doesn't match with any value"):
+        run_script(spark, """
+            FAKE( arrange(0, 1, 1) )
+            MAPVALUE(0, dict("key", value(0), "value") )
+            JSON()
+        """)
+    with pytest.raises(TypeError, match="name should be string"):
+        run_script(spark, """
+            FAKE( arrange(0, 1, 1) )
+            MAPVALUE(0, dict(123, value(0)) )
+            JSON()
+        """)
