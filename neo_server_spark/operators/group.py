@@ -89,12 +89,17 @@ class agg:
 
     @staticmethod
     def first(col, order, name="first", where=None) -> Column:
-        """First by arrival order == min over the order column (min_by)."""
-        return F.min_by(_guard(_c(col), where), _c(order)).alias(name)
+        """First by arrival order == min over the order column (min_by).
+        A where() guard must exclude non-matching rows from the ORDER side
+        too — min_by over a guarded value alone would still pick the
+        globally-first row and return its NULL."""
+        o = _c(order) if where is None else F.when(where, _c(order))
+        return F.min_by(_guard(_c(col), where), o).alias(name)
 
     @staticmethod
     def last(col, order, name="last", where=None) -> Column:
-        return F.max_by(_guard(_c(col), where), _c(order)).alias(name)
+        o = _c(order) if where is None else F.when(where, _c(order))
+        return F.max_by(_guard(_c(col), where), o).alias(name)
 
     @staticmethod
     def rss(col, name="rss", where=None) -> Column:

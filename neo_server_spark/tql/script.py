@@ -1833,7 +1833,23 @@ class TqlRunner:
 
     @staticmethod
     def _is_time_expr(node) -> bool:
-        return node[0] == "call" and node[1] in ("parseTime", "time", "timeAdd")
+        if node[0] != "call":
+            return False
+        if node[1] in ("parseTime", "time", "timeAdd", "roundTime"):
+            return True
+        # value(n) referencing a time-typed position stays time-typed
+        return False
+
+    def _is_time_valref(self, node) -> bool:
+        """value(n) whose position is currently time-typed."""
+        if node[0] == "call" and node[1] == "value":
+            try:
+                return int(node[2][0][1]) in self.state.times
+            except (TypeError, ValueError, IndexError):
+                return False
+        if node[0] == "call" and node[1] in ("roundTime", "timeAdd"):
+            return True
+        return False
 
     #: calls whose value is an OBJECT carried as canonical JSON text
     _OBJ_FNS = frozenset({"dict", "geoPoint", "geoCircle", "geoLineString",
@@ -2658,6 +2674,7 @@ class TqlRunner:
         pre: list[Column] = []
         agg_fills: list[tuple] = []  # per-agg (nullValue, predict) options
         timewin: tuple | None = None
+        by_times: set[int] = set()   # time-typed by() positions
 
         def mat(col: Column) -> str:
             nonlocal tmp_i
@@ -2673,6 +2690,8 @@ class TqlRunner:
             if fn in ("lazy",):
                 continue
             if fn == "by":
+                by_time = (self._is_time_expr(fargs[0])
+                           or self._is_time_valref(fargs[0]))
                 expr = _lift(self.ev(fargs[0]))
                 if len(fargs) > 1 and fargs[1][0] == "call" \
                         and fargs[1][1] == "timewindow":
@@ -2686,6 +2705,8 @@ class TqlRunner:
                     continue
                 nm = self.ev(fargs[1]) if len(fargs) > 1 else "GROUP"
                 bys.append((F.col(mat(expr)), nm))
+                if by_time:
+                    by_times.add(len(bys) - 1)
                 continue
             if fn not in self._AGG_FNS:
                 continue
@@ -2839,13 +2860,29 @@ class TqlRunner:
             return
         grouped = staged.groupBy(*by_cols).agg(*aggs) if by_cols else staged.agg(*aggs)
         order = [c for c, _ in bys] or [F.lit(1)]
+        # per-aggregate nullValue()/predict() fills apply to PLAIN groups
+        # too (fm_monad.go GroupFiller runs per aggregate regardless of
+        # timewindow; values stream in sorted-key order)
+        if any(nv is not None or pr is not None for nv, pr in agg_fills):
+            wf = Window.orderBy(*order)
+            prev_w = wf.rowsBetween(Window.unboundedPreceding, 0)
+            for j, (nullv, predict) in enumerate(agg_fills):
+                c = F.col(f"__o{j}")
+                filled = c
+                if predict is not None:
+                    filled = F.coalesce(
+                        c, F.last(c, ignorenulls=True).over(prev_w))
+                if nullv is not None:
+                    filled = F.coalesce(filled, F.lit(nullv))
+                if predict is not None or nullv is not None:
+                    grouped = grouped.withColumn(f"__o{j}", filled)
         w = Window.orderBy(*order)
         out = grouped.select(
             (F.row_number().over(w) - 1).alias("__seq"),
             (by_cols[0] if by_cols else F.lit(None)).alias("__key"),
             *[c.alias(f"c{i}") for i, (c, _) in enumerate(bys)],
             *[F.col(f"__o{j}").alias(f"c{len(bys) + j}") for j in range(len(out_names))])
-        self._set(out, [nm for _, nm in bys] + out_names)
+        self._set(out, [nm for _, nm in bys] + out_names, times=by_times)
 
     def stmt_SET(self, args):
         pass  # SET(var, expr) — variables land in params (batch no-op here)

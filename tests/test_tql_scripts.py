@@ -2535,3 +2535,47 @@ def test_dict_json_embedding(spark):
             MAPVALUE(0, dict(123, value(0)) )
             JSON()
         """)
+
+
+def test_group_where_verbatim(spark):
+    """task_test.go TestGroupWhere, verbatim: per-aggregate where() with a
+    roundTime() group key (time-typed, so timeformat('s') renders it) and a
+    where-guarded last() that must exclude non-matching rows from the
+    ORDER side of max_by.  Third variant: nullValue() on plain groups
+    (reference renders the raw alt-value '1'; our typed column coerces to
+    1.00 — numeric equality, formatting deviation)."""
+    payload = "\n".join([
+        "1700256261,dry,1", "1700256262,dry,2", "1700256262,wet,2",
+        "1700256263,dry,3", "1700256264,dry,4", "1700256264,wet,4",
+        "1700256265,wet,5", "1700256265,dry,5", "1700256266,dry,6",
+        "1700256267,dry,7", "1700256268,dry,8", "1700256269,dry,9",
+        "1700256276,dry,10", ""])
+    script = """
+        CSV(payload(), field(0, {typ}, "time"), field(2, {vtyp}, "value"))
+        GROUP(
+          by( roundTime(value(0), "2s")),
+          avg(value(2), where(value(1) == "dry"), "DRY"),
+          last(value(2), where(value(1) == "wet"), {extra}"WET") )
+        CSV(timeformat("s"), heading(true), precision(2))
+    """
+    want = ["GROUP,DRY,WET",
+            "1700256260,1.00,NULL", "1700256262,2.50,2.00",
+            "1700256264,4.50,5.00", "1700256266,6.50,NULL",
+            "1700256268,8.50,NULL", "1700256276,10.00,NULL"]
+    out = run_script(spark, script.format(typ='datetimeType("s")',
+                                          vtyp="doubleType()", extra=""),
+                     payload=payload)
+    assert out.splitlines() == want
+    out = run_script(spark, script.format(typ='timeType("s")',
+                                          vtyp="floatType()", extra=""),
+                     payload=payload)
+    assert out.splitlines() == want
+    out = run_script(spark, script.format(typ='datetimeType("s")',
+                                          vtyp="doubleType()",
+                                          extra='nullValue("1"), '),
+                     payload=payload)
+    assert out.splitlines() == [
+        "GROUP,DRY,WET",
+        "1700256260,1.00,1.00", "1700256262,2.50,2.00",
+        "1700256264,4.50,5.00", "1700256266,6.50,1.00",
+        "1700256268,8.50,1.00", "1700256276,10.00,1.00"]
