@@ -2442,20 +2442,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "histogram": """
             WITH binned AS (
-              SELECT CASE WHEN CAST(floor(value / 20.0) AS INT) < 0 THEN 0
-                          WHEN CAST(floor(value / 20.0) AS INT) >= 10 THEN 9
-                          ELSE CAST(floor(value / 20.0) AS INT) END AS bin,
+              SELECT CASE WHEN idx < 0 THEN 0
+                          WHEN idx > 11 THEN 11 ELSE idx END AS bin,
                      event_type
-              FROM events
-            ), grid AS (SELECT g.range AS bin FROM range(0, 10) g)
-            SELECT grid.bin * 20.0 AS low, (grid.bin + 1) * 20.0 AS high,
-                   coalesce(count(*) FILTER (event_type = 'click'), 0) AS click,
-                   coalesce(count(*) FILTER (event_type = 'error'), 0) AS error,
-                   coalesce(count(*) FILTER (event_type = 'purchase'), 0) AS purchase,
-                   coalesce(count(*) FILTER (event_type = 'signup'), 0) AS signup,
-                   coalesce(count(*) FILTER (event_type = 'view'), 0) AS view
-            FROM grid LEFT JOIN binned ON grid.bin = binned.bin
-            GROUP BY grid.bin ORDER BY grid.bin
+              FROM (SELECT CAST(floor(value / 20.0) AS INT) + 1 AS idx,
+                           event_type FROM events)
+            ), grid AS (SELECT g.range AS bin FROM range(0, 12) g),
+            j AS (
+              SELECT grid.bin,
+                     CASE WHEN grid.bin = 0 THEN CAST('-Infinity' AS DOUBLE)
+                          ELSE (grid.bin - 1) * 20.0 END AS low,
+                     CASE WHEN grid.bin = 11 THEN CAST('Infinity' AS DOUBLE)
+                          ELSE grid.bin * 20.0 END AS high,
+                     coalesce(count(*) FILTER (event_type = 'click'), 0) AS click,
+                     coalesce(count(*) FILTER (event_type = 'error'), 0) AS error,
+                     coalesce(count(*) FILTER (event_type = 'purchase'), 0) AS purchase,
+                     coalesce(count(*) FILTER (event_type = 'signup'), 0) AS signup,
+                     coalesce(count(*) FILTER (event_type = 'view'), 0) AS view
+              FROM grid LEFT JOIN binned ON grid.bin = binned.bin
+              GROUP BY 1, 2, 3
+            )
+            SELECT low, high, click, error, purchase, signup, view
+            FROM j
+            WHERE NOT (bin IN (0, 11)
+                       AND click + error + purchase + signup + view = 0)
+            ORDER BY low
         """,
         "boxplot": """
             WITH s AS (

@@ -36,19 +36,29 @@ def histogram(
 
     Scale shape: one narrow projection + hash aggregate on ~(range/step) keys;
     the bin grid join is broadcast.
-    """
-    import math
 
-    nbins = int(math.ceil((bin_max - bin_min) / bin_step))
+    EXACT bucket structure (fm_stat.go NewBuckets:265-291): an UNDERFLOW
+    bin (-Inf, min) and an OVERFLOW bin [min+n*step, +Inf) bracket the
+    int((max-min)/step) inner bins; out-of-range values land in them, and
+    an edge bin is emitted only when its total count (across categories)
+    is non-zero (fm_stat.go:112-114)."""
+    n_inner = int((bin_max - bin_min) / bin_step)
+    n = n_inner + 2
     v = _c(value).cast("double")
-    idx = F.floor((v - F.lit(bin_min)) / F.lit(bin_step)).cast("int")
-    idx = F.when(idx < 0, 0).when(idx >= nbins, nbins - 1).otherwise(idx)
+    idx = (F.floor((v - F.lit(bin_min)) / F.lit(bin_step)).cast("int")
+           + F.lit(1))
+    idx = F.when(idx < 0, 0).when(idx >= n, n - 1).otherwise(idx)
     binned = df.withColumn("__bin", idx)
     spark = df.sparkSession
-    grid = spark.range(nbins).select(
+    inf = float("inf")
+    grid = spark.range(n).select(
         F.col("id").cast("int").alias("__bin"),
-        (F.lit(bin_min) + F.col("id") * F.lit(bin_step)).alias("low"),
-        (F.lit(bin_min) + (F.col("id") + 1) * F.lit(bin_step)).alias("high"),
+        F.when(F.col("id") == 0, F.lit(-inf))
+        .otherwise(F.lit(bin_min) + (F.col("id") - 1) * F.lit(bin_step))
+        .alias("low"),
+        F.when(F.col("id") == n - 1, F.lit(inf))
+        .otherwise(F.lit(bin_min) + F.col("id") * F.lit(bin_step))
+        .alias("high"),
     )
     if category:
         # known ``categories`` skip the distinct-values pre-job an open
@@ -59,13 +69,19 @@ def histogram(
         ordered = [c for c in order if c in cat_cols] if order else sorted(cat_cols)
         for c in ordered:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+        total = sum((F.col(c) for c in ordered), F.lit(0))
+        out = out.filter(~(((F.col("__bin") == 0) | (F.col("__bin") == n - 1))
+                           & (total == 0)))
         out = out.select("low", "high", *ordered)
     else:
         counts = binned.groupBy("__bin").agg(F.count(F.lit(1)).alias("count"))
         out = (
             F.broadcast(grid).join(counts, "__bin", "left")
-            .select("low", "high", F.coalesce(F.col("count"), F.lit(0)).alias("count"))
+            .select("__bin", "low", "high",
+                    F.coalesce(F.col("count"), F.lit(0)).alias("count"))
         )
+        out = out.filter(~(((F.col("__bin") == 0) | (F.col("__bin") == n - 1))
+                           & (F.col("count") == 0))).drop("__bin")
     return out.orderBy("low")
 
 

@@ -2579,3 +2579,21 @@ def test_group_where_verbatim(spark):
         "1700256260,1.00,1.00", "1700256262,2.50,2.00",
         "1700256264,4.50,5.00", "1700256266,6.50,1.00",
         "1700256268,8.50,1.00", "1700256276,10.00,1.00"]
+
+
+def test_histogram_edge_bins(spark):
+    """fm_stat.go NewBuckets:265-291 bucket structure: -Inf underflow /
+    +Inf overflow bins bracket int((max-min)/step) inner bins; an edge bin
+    is emitted only when counted (task_test.go TestHistogram bins(80,120,13)
+    shape)."""
+    out = run_script(spark, """
+        FAKE( arrange(1, 100, 1) )
+        HISTOGRAM(value(0), bins(80, 120, 13))
+        CSV( precision(0), header(true) )
+    """)
+    assert out.splitlines() == [
+        "low,high,count",
+        "-Inf,80,79",
+        "80,93,13",
+        "93,106,8",
+        "106,119,0"]
