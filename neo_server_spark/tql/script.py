@@ -2444,6 +2444,23 @@ class TqlRunner:
         from neo_server_spark.operators import stats as ST
         opts, pos = self._opt_calls(args)
         v = _lift(self.ev(pos[0]))
+        if "bins" in opts and len(opts["bins"][0]) == 1:
+            # bins(maxBins): the UNPREDICTED-bins path — the streaming
+            # merging histogram over arrival order (fm_stat.go:76-79 ->
+            # mods/nums/histogram.go; task_test.go
+            # TestHistogramUnpredictedBins: output (value, count))
+            n = int(opts["bins"][0][0])
+            df = self.state.df.withColumn("__hv", v) \
+                .withColumn("__hc", F.lit(""))
+            out = ST.histogram_stream_exact(df, "__hv", max_bins=n,
+                                            category="__hc",
+                                            order_by=("__seq",))
+            res = out.select(
+                (F.col("b") - 1).alias("__seq"),
+                F.col("b").alias("__key"),
+                F.col("x").alias("c0"), F.col("y").alias("c1"))
+            self._set(res, ["value", "count"])
+            return
         if "bins" not in opts or len(opts["bins"][0]) != 3:
             raise ValueError("HISTOGRAM requires bins(min, max, step)")
         bmin, bmax, bstep = [float(x) for x in opts["bins"][0]]

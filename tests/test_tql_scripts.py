@@ -2597,3 +2597,21 @@ def test_histogram_edge_bins(spark):
         "80,93,13",
         "93,106,8",
         "106,119,0"]
+
+
+def test_histogram_unpredicted_bins(spark):
+    """HISTOGRAM(v, bins(N)) routes to the streaming merging histogram
+    (fm_stat.go:76-79, task_test.go TestHistogramUnpredictedBins): output
+    (value, count) centroid rows, counts summing to the input size."""
+    out = run_script(spark, """
+        FAKE( arrange(1, 100, 1) )
+        HISTOGRAM(value(0), bins(10))
+        CSV( header(true), precision(0) )
+    """)
+    lines = out.splitlines()
+    assert lines[0] == "value,count"
+    rows = [ln.split(",") for ln in lines[1:]]
+    assert len(rows) == 10
+    assert sum(float(c) for _, c in rows) == 100.0
+    xs = [float(x) for x, _ in rows]
+    assert xs == sorted(xs)
