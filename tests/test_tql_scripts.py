@@ -1932,7 +1932,9 @@ def test_round5_registry_closure(spark):
     a = run_script(spark, src)
     t0 = time.time()
     b = run_script(spark, src)
-    assert a == b and time.time() - t0 < 0.05
+    # a cache hit never touches Spark — generous bound to stay unflaky
+    # under parallel test load
+    assert a == b and time.time() - t0 < 1.0
     with pytest.raises(ValueError, match="cache ttl"):
         run_script(spark, """
             FAKE( once(1) )
