@@ -495,6 +495,16 @@ def _element_fn(*args):
     return v
 
 
+def _sprintf_col(fmt: str, args) -> Column:
+    """strSprintf over record values: Go verbs -> java.util.Formatter for
+    format_string ('%v' -> '%s'; '%.f' -> '%.0f')."""
+    import re as _re
+
+    from neo_server_spark.functions.strfn import str_sprintf
+    jfmt = _re.sub(r"%\.([a-zA-Z])", r"%.0\1", fmt).replace("%v", "%s")
+    return str_sprintf(jfmt, *[_lift(a) for a in args])
+
+
 def _str_sub(rt, s, start=None, length=None):
     """strSub with the reference's exact rune semantics (fm_fake.go:592):
     negative offset from the end ('' past the start), offset past the end
@@ -542,7 +552,9 @@ SCALARS = {
     "strToLower": lambda rt, s: F.lower(s) if _is_col(s) else s.lower(),
     "strTrimSpace": lambda rt, s: F.trim(s) if _is_col(s) else s.strip(),
     "strSub": _str_sub,
-    "strSprintf": lambda rt, fmt, *a: _go_sprintf(fmt, a),
+    "strSprintf": lambda rt, fmt, *a: (
+        _sprintf_col(fmt, a) if any(_is_col(x) for x in a)
+        else _go_sprintf(fmt, a)),
     "strTrimPrefix": lambda rt, v, pre: (
         F.when(_lift(v).startswith(pre),
                _lift(v).substr(F.lit(len(pre) + 1), F.length(_lift(v))))
@@ -2080,7 +2092,6 @@ class TqlRunner:
             df = self.state.df.withColumn("__fc_keep", keep)
             self.state.df = df.filter(F.col("__fc_keep")).drop("__fc_keep")
             return
-        from neo_server_spark.operators.maps import filter_changed
         retain_ns, time_expr = None, None
         if "retain" in opts:
             t_arg, dur = opts["retain"][0]
@@ -2091,14 +2102,62 @@ class TqlRunner:
             # reference: the option's presence sets useFirst; its flag
             # controls withLast (fm_monad.go:134-136)
             use_first, with_last = True, bool(opts["useFirstWithLast"][0][0])
+        # EXACT emission rules of the one-VM BufferedFilter
+        # (fm_monad.go:121-207; task_test.go TestMapChanged verbatim):
+        #  - the stream's FIRST record always emits (init);
+        #  - retain without useFirstWithLast: the record that crosses the
+        #    hold (first rn>=2 with t - run_start_t >= dur), every run;
+        #  - retain + useFirst: the run's FIRST record once the run crosses
+        #    — except the stream's first run (its firstRecord is nil);
+        #  - withLast: the LAST record of every run with >= 2 records
+        #    (no-retain form: last of EVERY run — singles emit twice).
         df = self.state.df.withColumn("__fc_v", v)
         if time_expr is not None:
             df = df.withColumn("__fc_t", time_expr.cast("long"))
-        out = filter_changed(
-            df, "__fc_v", series=(), order_by="__seq",
-            retain_duration=retain_ns, time_col="__fc_t",
-            use_first=use_first, with_last=with_last)
-        self.state.df = out.drop("__fc_v", "__fc_t")
+        w = Window.orderBy("__seq")
+        prev = F.lag("__fc_v").over(w)
+        chg = F.when(prev.isNull() | ~prev.eqNullSafe(F.col("__fc_v")), 1) \
+            .otherwise(0)
+        df = df.withColumn(
+            "__rid", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding,
+                                                   0)))
+        rw = Window.partitionBy("__rid").orderBy("__seq")
+        fullr = rw.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+        df = df.withColumn("__rn", F.row_number().over(rw)) \
+            .withColumn("__lastrn", F.max("__rn").over(fullr))
+        if retain_ns is not None:
+            t0 = F.first("__fc_t").over(fullr)
+            df = df.withColumn(
+                "__xrn",
+                F.min(F.when((F.col("__rn") >= 2)
+                             & (F.col("__fc_t") - t0 >= F.lit(retain_ns)),
+                             F.col("__rn"))).over(fullr))
+        first_emit = (F.col("__rn") == 1) & (F.col("__rid") == 1)
+        if retain_ns is None:
+            if not use_first:
+                first_emit = F.col("__rn") == 1      # plain / legacy path
+            else:
+                first_emit = F.col("__rn") == 1      # every run's head
+        else:
+            if use_first:
+                first_emit = first_emit | (
+                    (F.col("__rn") == 1) & (F.col("__rid") > 1)
+                    & F.col("__xrn").isNotNull())
+            else:
+                first_emit = first_emit | (F.col("__rn") == F.col("__xrn"))
+        last_emit = F.lit(False)
+        if with_last:
+            last_emit = F.col("__rn") == F.col("__lastrn")
+            if retain_ns is not None:
+                last_emit = last_emit & (F.col("__lastrn") >= 2)
+        firsts = df.filter(first_emit).withColumn("__e", F.lit(0))
+        lasts = df.filter(last_emit).withColumn("__e", F.lit(1))
+        out = firsts.unionByName(lasts) if with_last else firsts
+        w2 = Window.orderBy("__seq", "__e")
+        out = out.withColumn("__seq", F.row_number().over(w2) - 1)
+        self.state.df = out.drop("__fc_v", "__fc_t", "__rid", "__rn",
+                                 "__lastrn", "__xrn", "__e")
 
     def stmt_GROUPBYKEY(self, args):
         """GROUPBYKEY([lazy(b)]) — group the stream by the record key; the

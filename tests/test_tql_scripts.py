@@ -432,9 +432,10 @@ def test_filter_changed_options_statement(spark):
         CSV()
     """
     out = run_script(spark, src)
-    # only the first A-run holds for >= 2s; emitted record is the one
-    # crossing the threshold (t=2s)
-    assert out.splitlines() == ["2000000000,A"]
+    # the stream's FIRST record always emits (BufferedFilter init,
+    # fm_monad.go:139-158); only the first A-run holds >= 2s and emits its
+    # crossing record (t=2s)
+    assert out.splitlines() == ["0,A", "2000000000,A"]
     out = run_script(spark, """
         FAKE( json({
             [0, "A"], [1000000000, "A"], [2000000000, "A"],
@@ -2617,3 +2618,69 @@ def test_histogram_unpredicted_bins(spark):
     assert sum(float(c) for _, c in rows) == 100.0
     xs = [float(x) for x, _ in rows]
     assert xs == sorted(xs)
+
+
+def test_map_changed_verbatim(spark):
+    """task_test.go TestMapChanged, all four cases verbatim: the
+    BufferedFilter's exact emissions — init record, hold-crossing record,
+    run-first under useFirst (except the stream's first run), per-run last
+    under withLast (singles double-emit in the no-retain form)."""
+    data = """FAKE(json({
+        ["A", 1692329338, 1.0],
+        ["A", 1692329339, 2.0],
+        ["B", 1692329340, 3.0],
+        ["B", 1692329341, 4.0],
+        ["B", 1692329342, 5.0],
+        ["B", 1692329343, 6.0],
+        ["B", 1692329344, 7.0],
+        ["B", 1692329345, 8.0],
+        ["C", 1692329346, 9.0],
+        ["D", 1692329347, 9.1],
+        ["D", 1692329348, 9.2],
+        ["D", 1692329349, 9.3]
+    }))"""
+    out = run_script(spark, data + """
+        MAPVALUE(1, parseTime(value(1), "s", tz("UTC")))
+        FILTER_CHANGED(value(0), retain(value(1), "2s"), useFirstWithLast(false))
+        CSV(timeformat("s"))
+    """)
+    assert out.splitlines() == [
+        "A,1692329338,1", "B,1692329340,3", "D,1692329347,9.1"]
+    out = run_script(spark, data + """
+        MAPVALUE(1, parseTime(value(1), "s", tz("UTC")))
+        FILTER_CHANGED(value(0), retain(value(1), "2s"), useFirstWithLast(true))
+        CSV(timeformat("s"))
+    """)
+    assert out.splitlines() == [
+        "A,1692329338,1", "A,1692329339,2", "B,1692329340,3",
+        "B,1692329345,8", "D,1692329347,9.1", "D,1692329349,9.3"]
+    out = run_script(spark, data + """
+        MAPVALUE(1, parseTime(value(1), "s", tz("UTC")))
+        FILTER_CHANGED(value(0), useFirstWithLast(true))
+        CSV(timeformat("s"))
+    """)
+    assert out.splitlines() == [
+        "A,1692329338,1", "A,1692329339,2", "B,1692329340,3",
+        "B,1692329345,8", "C,1692329346,9", "C,1692329346,9",
+        "D,1692329347,9.1", "D,1692329349,9.3"]
+    data2 = """FAKE(json({
+        ["A", 1692329338, 1.0],
+        ["A", 1692329341, 2.0],
+        ["A", 1692329344, 2.0],
+        ["B", 1692329339, 1.0],
+        ["B", 1692329342, 2.0],
+        ["B", 1692329345, 1.0],
+        ["C", 1692329340, 1.0],
+        ["C", 1692329343, 1.0],
+        ["C", 1692329346, 1.0]
+    }))"""
+    out = run_script(spark, data2 + """
+        MAPVALUE(1, parseTime(value(1), "s", tz("UTC")))
+        FILTER_CHANGED(strSprintf("%s.%.f", value(0), value(2)), useFirstWithLast(true))
+        CSV(timeformat("s"))
+    """)
+    assert out.splitlines() == [
+        "A,1692329338,1", "A,1692329338,1", "A,1692329341,2",
+        "A,1692329344,2", "B,1692329339,1", "B,1692329339,1",
+        "B,1692329342,2", "B,1692329342,2", "B,1692329345,1",
+        "B,1692329345,1", "C,1692329340,1", "C,1692329346,1"]
