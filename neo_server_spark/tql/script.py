@@ -248,13 +248,25 @@ def _numeric2(name, pyf, colf):
     return impl
 
 
-def _nan_domain(colf):
-    """Spark's log family returns NULL outside the domain where Go math.*
-    returns NaN — keep NULL only for NULL inputs."""
+def _log_domain(colf):
+    """Go log semantics on the Column path: log(0) = -Inf, log(<0) = NaN
+    (Spark returns NULL for both)."""
     def wrapped(c):
-        return F.when(c.isNotNull(),
-                      F.coalesce(colf(c), F.lit(float("nan"))))
+        return (F.when(c == 0, F.lit(float("-inf")))
+                .when(c < 0, F.lit(float("nan")))
+                .otherwise(colf(c)))
     return wrapped
+
+
+def _log_py(base):
+    """Scalar twin of _log_domain."""
+    def f(x):
+        if x == 0:
+            return float("-inf")
+        if x < 0:
+            return float("nan")
+        return base(x)
+    return f
 
 
 def _simplex(seed, *coords):
@@ -535,8 +547,8 @@ SCALARS = {
     "cos": _numeric2("cos", math.cos, F.cos),
     "tan": _numeric2("tan", math.tan, F.tan),
     "exp": _numeric2("exp", math.exp, F.exp),
-    "log": _numeric2("log", math.log, _nan_domain(F.log)),
-    "log10": _numeric2("log10", math.log10, _nan_domain(F.log10)),
+    "log": _numeric2("log", _log_py(math.log), _log_domain(F.log)),
+    "log10": _numeric2("log10", _log_py(math.log10), _log_domain(F.log10)),
     "sqrt": _numeric2("sqrt", math.sqrt, F.sqrt),
     "abs": _numeric2("abs", abs, F.abs),
     "floor": _numeric2("floor", math.floor, F.floor),
@@ -725,7 +737,7 @@ def _install_round5_scalars():
         "cosh": _numeric2("cosh", math.cosh, F.cosh),
         "sinh": _numeric2("sinh", math.sinh, F.sinh),
         "tanh": _numeric2("tanh", math.tanh, F.tanh),
-        "log2": _numeric2("log2", math.log2, _nan_domain(F.log2)),
+        "log2": _numeric2("log2", _log_py(math.log2), _log_domain(F.log2)),
         "exp2": _numeric2("exp2", lambda x: 2.0 ** x, mathfn.exp2),
         "pow10": _numeric2("pow10", lambda x: 10.0 ** x, mathfn.pow10),
         "trunc": _numeric2("trunc", lambda x: float(math.trunc(x)),
@@ -1500,14 +1512,21 @@ class TqlRunner:
             raise NameError(f"unsupported FAKE generator {gname}()")
 
     def _linspace_df(self, a: float, b: float, num: int) -> DataFrame:
-        if num <= 1:
+        """nums.Linspace exactly (nums.go:75-91): num<=0 is EMPTY, num==1 is
+        [start], and the final element is forced to exactly ``stop``."""
+        if num <= 0:
+            return self.spark.range(0).select(
+                F.col("id").alias("__seq"), (F.col("id") + 1).alias("__key"),
+                F.col("id").cast("double").alias("c0"))
+        if num == 1:
             return self.spark.range(1).select(
                 F.col("id").alias("__seq"), F.lit(1).alias("__key"),
                 F.lit(a).alias("c0"))
         step = (b - a) / (num - 1)
         return self.spark.range(num).select(
             F.col("id").alias("__seq"), (F.col("id") + 1).alias("__key"),
-            (F.lit(a) + F.col("id") * F.lit(step)).alias("c0"))
+            F.when(F.col("id") == num - 1, F.lit(b))
+            .otherwise(F.lit(a) + F.col("id") * F.lit(step)).alias("c0"))
 
     def _grid_spec(self, g) -> tuple[float, float, int]:
         """linspace/arrange sub-call → (start, step, n) for meshgrid axes."""

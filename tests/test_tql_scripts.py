@@ -2684,3 +2684,48 @@ def test_map_changed_verbatim(spark):
         "A,1692329344,2", "B,1692329339,1", "B,1692329339,1",
         "B,1692329342,2", "B,1692329342,2", "B,1692329345,1",
         "B,1692329345,1", "C,1692329340,1", "C,1692329346,1"]
+
+
+def test_math_verbatim(spark):
+    """task_test.go TestMath, verbatim: PUSHKEY/POPKEY choreography over
+    math scalars; Go log domain semantics (log(0) = -Inf, log(<0) = NaN);
+    linspace with a negative count is EMPTY (nums.go:75-78)."""
+    def run(fn):
+        return run_script(spark, f"""
+            FAKE( linspace(-2, 2, 5))
+            PUSHKEY({fn}(value(0)))
+            PUSHKEY(0)
+            POPKEY(1)
+            POPKEY(1)
+            PUSHKEY('test')
+            CSV(precision(6))
+        """).splitlines()
+
+    assert run("exp") == [
+        "-2.000000,0.135335", "-1.000000,0.367879", "0.000000,1.000000",
+        "1.000000,2.718282", "2.000000,7.389056"]
+    assert run("exp2") == [
+        "-2.000000,0.250000", "-1.000000,0.500000", "0.000000,1.000000",
+        "1.000000,2.000000", "2.000000,4.000000"]
+    assert run("log") == [
+        "-2.000000,NaN", "-1.000000,NaN", "0.000000,-Inf",
+        "1.000000,0.000000", "2.000000,0.693147"]
+    assert run("log10") == [
+        "-2.000000,NaN", "-1.000000,NaN", "0.000000,-Inf",
+        "1.000000,0.000000", "2.000000,0.301030"]
+    out = run_script(spark, """
+        FAKE( linspace(0, 3.141592/2, 3))
+        PUSHKEY(tan(value(0)))
+        PUSHKEY(0)
+        POPKEY(1)
+        POPKEY(1)
+        PUSHKEY('test')
+        CSV(precision(6))
+    """)
+    assert out.splitlines() == [
+        "0.000000,0.000000", "0.785398,1.000000", "1.570796,3060023.306953"]
+    out = run_script(spark, """
+        FAKE( linspace(1000, 100, -1) )
+        CSV(precision(5), header(true))
+    """)
+    assert out == "x\n" or out.strip() == "x"
