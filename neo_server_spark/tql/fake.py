@@ -17,11 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def linspace(spark: SparkSession, start: float, stop: float, num: int = 50) -> DataFrame:
-    """linspace(min, max, count) — evenly spaced samples (fm_fake.go:324-348)."""
-    if num <= 1:
+    """linspace(min, max, count) — evenly spaced samples (fm_fake.go:324-348;
+    nums.go:75-91: num<=0 is EMPTY, num==1 is [start], the final element is
+    exactly ``stop``)."""
+    if num <= 0:
+        return spark.range(0).select(F.col("id").cast("double").alias("x"))
+    if num == 1:
         return spark.range(1).select(F.lit(float(start)).alias("x"))
     step = (stop - start) / (num - 1)
-    return spark.range(num).select((F.lit(start) + F.col("id") * F.lit(step)).alias("x"))
+    return spark.range(num).select(
+        F.when(F.col("id") == num - 1, F.lit(float(stop)))
+        .otherwise(F.lit(start) + F.col("id") * F.lit(step)).alias("x"))
 
 
 def arrange(spark: SparkSession, start: float, stop: float, step: float) -> DataFrame:
