@@ -2445,7 +2445,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT CASE WHEN idx < 0 THEN 0
                           WHEN idx > 11 THEN 11 ELSE idx END AS bin,
                      event_type
-              FROM (SELECT CAST(floor(value / 20.0) AS INT) + 1 AS idx,
+              FROM (SELECT CAST(trunc(value / 20.0) AS INT) + 1 AS idx,
                            event_type FROM events)
             ), grid AS (SELECT g.range AS bin FROM range(0, 12) g),
             j AS (

@@ -114,6 +114,12 @@ def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
             # binaryformat("hex") rendering (codec BinaryFormatter);
             # empty byte rows print empty like the reference
             return "0x" + v.hex() if v else ""
+        if isinstance(v, (list, tuple)):
+            # csv_encode.go:244-245 default case prints the Go TYPE name
+            # (%T) — a slice value renders literally as "[]interface {}"
+            return "[]interface {}"
+        if isinstance(v, dict):
+            return "map[string]interface {}"
         s = str(v)
         # minimal quoting like the reference's writer: a lone empty field
         # stays empty (python csv.writer would emit """"" there)
@@ -222,8 +228,26 @@ def to_ndjson(df: DataFrame, limit: int | None = None, rownum: bool = False,
     ) + ("\n" if rows else "")
 
 
-def to_markdown(df: DataFrame, limit: int | None = None, html: bool = False) -> str:
-    """MARKDOWN([html(bool)]) sink (mods/codec/internal/markdown).
+def _md_cell(v, precision: int = -1) -> str:
+    """Markdown cell rendering (md_encode.go:226-310): floats via %f
+    (6 decimals) or %.*f with precision; bools via strconv.FormatBool."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v in (float("inf"), float("-inf")):
+            return "+Inf" if v > 0 else "-Inf"
+        return f"%.{precision}f" % v if precision >= 0 else "%f" % v
+    return str(v)
+
+
+def to_markdown(df: DataFrame, limit: int | None = None, html: bool = False,
+                precision: int = -1) -> str:
+    """MARKDOWN([html(bool)][, precision(n)]) sink
+    (mods/codec/internal/markdown).
 
     ``html=True`` renders the goldmark-style xhtml table the reference's
     html(true) option produces (golden: mods/tql/test/markdown_xhtml.txt) —
@@ -237,7 +261,7 @@ def to_markdown(df: DataFrame, limit: int | None = None, html: bool = False) -> 
         for r in rows:
             out.append("<tr>")
             for v in r:
-                s = "" if v is None else str(v)
+                s = _md_cell(v, precision)
                 out.append(f'<td align="left">{s}</td>' if s else "<td></td>")
             out.append("</tr>")
         out += ["</tbody>", "</table>", "</div>"]
@@ -245,7 +269,7 @@ def to_markdown(df: DataFrame, limit: int | None = None, html: bool = False) -> 
     lines = ["|" + "|".join(str(c) for c in cols) + "|",
              "|" + "|".join(":-----" for _ in cols) + "|"]
     for r in rows:
-        lines.append("|" + "|".join("" if v is None else str(v) for v in r) + "|")
+        lines.append("|" + "|".join(_md_cell(v, precision) for v in r) + "|")
     return "\n".join(lines) + "\n"
 
 

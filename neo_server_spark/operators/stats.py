@@ -45,7 +45,11 @@ def histogram(
     n_inner = int((bin_max - bin_min) / bin_step)
     n = n_inner + 2
     v = _c(value).cast("double")
-    idx = (F.floor((v - F.lit(bin_min)) / F.lit(bin_step)).cast("int")
+    # int() in Go truncates TOWARD ZERO (fm_stat.go:282), so values in
+    # (min-step, min) index to 0+1 = the FIRST REAL BIN, not underflow;
+    # the underflow bucket only receives fv <= min-step.  Spark's
+    # double->int cast has the same truncation semantics.
+    idx = (((v - F.lit(bin_min)) / F.lit(bin_step)).cast("int")
            + F.lit(1))
     idx = F.when(idx < 0, 0).when(idx >= n, n - 1).otherwise(idx)
     binned = df.withColumn("__bin", idx)
@@ -67,12 +71,16 @@ def histogram(
         out = F.broadcast(grid).join(counts, "__bin", "left")
         cat_cols = [c for c in counts.columns if c != "__bin"]
         ordered = [c for c in order if c in cat_cols] if order else sorted(cat_cols)
+        # backtick-escape: category values may contain dots ("Cat.A")
+        # which bare F.col would parse as struct access
+        def _cc(c):
+            return F.col("`%s`" % c.replace("`", "``"))
         for c in ordered:
-            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
-        total = sum((F.col(c) for c in ordered), F.lit(0))
+            out = out.withColumn(c, F.coalesce(_cc(c), F.lit(0)))
+        total = sum((_cc(c) for c in ordered), F.lit(0))
         out = out.filter(~(((F.col("__bin") == 0) | (F.col("__bin") == n - 1))
                            & (total == 0)))
-        out = out.select("low", "high", *ordered)
+        out = out.select("low", "high", *[_cc(c) for c in ordered])
     else:
         counts = binned.groupBy("__bin").agg(F.count(F.lit(1)).alias("count"))
         out = (

@@ -87,17 +87,15 @@ def random_walk(spark: SparkSession, n: int, seed: int = 42, scale: float = 1.0)
 
 
 def simplex_noise(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """simplex(seed, x) stand-in (fm_fake.go:521-538): smooth deterministic
-    noise via cosine-interpolated hash lattice (OpenSimplex itself is not
-    reimplemented; the operator contract — seeded, smooth, reproducible —
-    is preserved)."""
-    xi = F.floor(F.col("id") / 10).cast("long")
-    frac = (F.col("id") % 10).cast("double") / 10.0
-    def lattice(k):
-        return (F.pmod(F.xxhash64(k, F.lit(seed)), F.lit(2000)).cast("double") - 1000.0) / 1000.0
-    a, b = lattice(xi), lattice(xi + 1)
-    mu = (F.lit(1.0) - F.cos(frac * F.lit(math.pi))) / 2.0
-    return spark.range(n).select(F.col("id").alias("i"), (a * (1 - mu) + b * mu).alias("x"))
+    """Seeded smooth noise series: EXACT OpenSimplex (fm_fake.go:521-538,
+    algorithm mods/nums/opensimplex) sampled at x = i/10 — Eval2(x, x),
+    the reference's 1-coordinate simplex() contract."""
+    from neo_server_spark.functions import noisefn
+
+    noise = noisefn.simplex_udf(seed, 1)
+    return spark.range(n).select(
+        F.col("id").alias("i"),
+        noise((F.col("id") / F.lit(10.0)).cast("double")).alias("x"))
 
 
 def from_csv_literal(spark: SparkSession, text: str, columns: Sequence[str] | None = None) -> DataFrame:

@@ -270,26 +270,20 @@ def _log_py(base):
 
 
 def _simplex(seed, *coords):
-    """simplex(seed, x[, y]) stand-in (fm_fake.go:521-538): seeded smooth
-    deterministic lattice noise.  NOT OpenSimplex — scripts run, but values
-    differ from the reference's noise (documented deviation)."""
-    def lattice(*ks):
-        h = F.xxhash64(*[k.cast("long") for k in ks], F.lit(int(seed)))
-        return (F.pmod(h, F.lit(2000)).cast("double") - 1000.0) / 1000.0
+    """simplex(seed, x[, y]) — EXACT OpenSimplex noise (fm_fake.go:521-538;
+    algorithm mods/nums/opensimplex, Kurt Spencer's public-domain
+    OpenSimplex).  1 coordinate evaluates Eval2(x, x), 2 evaluate
+    Eval2(x, y) — bit-for-bit against the reference's generator (verified
+    on its own samples.json.gz vectors).  3+ coordinates (Eval3/Eval4) are
+    unused by any reference test or script and not implemented."""
+    from neo_server_spark.functions import noisefn
+    seed = int(seed)
+    if len(coords) > 2:
+        raise NotImplementedError("simplex: 3+ dims (Eval3/Eval4) not implemented")
+    if not any(_is_col(c) for c in coords):
+        return noisefn.simplex(seed, *[float(c) for c in coords])
     cs = [_lift(c).cast("double") for c in coords]
-    if len(cs) == 1:
-        x = cs[0]
-        xi, fx = F.floor(x), x - F.floor(x)
-        mu = (1 - F.cos(fx * F.lit(math.pi))) / 2
-        return lattice(xi) * (1 - mu) + lattice(xi + 1) * mu
-    x, y = cs[0], cs[1]
-    xi, yi = F.floor(x), F.floor(y)
-    fx, fy = x - xi, y - yi
-    mx = (1 - F.cos(fx * F.lit(math.pi))) / 2
-    my = (1 - F.cos(fy * F.lit(math.pi))) / 2
-    top = lattice(xi, yi) * (1 - mx) + lattice(xi + 1, yi) * mx
-    bot = lattice(xi, yi + 1) * (1 - mx) + lattice(xi + 1, yi + 1) * mx
-    return top * (1 - my) + bot * my
+    return noisefn.simplex_udf(seed, len(cs))(*cs)
 
 
 def _str_replace(v, old: str, new: str, n: int):
@@ -809,6 +803,13 @@ class _State:
     jsons: set = field(default_factory=set)  # positions holding OBJECT
     #   values serialized as canonical JSON text (dict()/geo*/SCRIPT dict
     #   yields) — the JSON sink re-embeds them as objects
+    slices: set = field(default_factory=set)  # positions holding Go SLICE
+    #   values ([]any) — the CSV encoder's default %T case renders them
+    #   literally as "[]interface {}" (csv_encode.go:244-245)
+    gostrs: set = field(default_factory=set)  # positions holding
+    #   DYNAMICALLY-TYPED values stringified with Go %v (mixed-type
+    #   ternaries): sinks with type-specific float formatting (markdown
+    #   %f) re-apply it to values that parse back as numbers
 
 
 class _Dollar:
@@ -1222,7 +1223,8 @@ class TqlRunner:
                  fs_root: str | None = None, sf_dir: str | None = None,
                  params: dict | None = None, allow_shell: bool = False,
                  arg_values: list | None = None,
-                 script_distribute: bool = True):
+                 script_distribute: bool = True,
+                 now_ns: int | None = None):
         import time as _time
         self.spark = spark
         self.payload = payload
@@ -1235,7 +1237,9 @@ class TqlRunner:
         # instead of through the serial driver VM; False pins the serial
         # path for byte-comparison tests and pathological scripts
         self.script_distribute = script_distribute
-        self.now_ns = int(_time.time() * 1e9)
+        # injectable wall clock (the reference tests override
+        # util.StandardTimeNow the same way)
+        self.now_ns = int(_time.time() * 1e9) if now_ns is None else int(now_ns)
         self.state = _State()
         self.output: object = None
 
@@ -1269,7 +1273,15 @@ class TqlRunner:
                 ta, tb = self._dtype_of(a), self._dtype_of(b)
                 if ta is not None and tb is not None and ta != tb and \
                         "string" in (ta, tb):
-                    a, b = a.cast("string"), b.cast("string")
+                    # the numeric branch stringifies with Go %v semantics
+                    # (shortest repr: 0.0 -> "0", 4.06736 -> "4.06736"),
+                    # and the position is flagged so sinks can re-apply
+                    # their own float formatting (markdown %f) to values
+                    # that parse back — the closest Spark can get to the
+                    # reference's per-record dynamic typing.
+                    a = self._gostr(a, ta)
+                    b = self._gostr(b, tb)
+                    self._mixed_ternary = True
                 return F.when(c, a).otherwise(b)
             return self.ev(node[2]) if c else self.ev(node[3])
         if kind == "call":
@@ -1312,6 +1324,17 @@ class TqlRunner:
         except Exception:
             return None
 
+    def _gostr(self, col: Column, dtype: str | None) -> Column:
+        """Stringify with Go %v semantics: floats get the shortest
+        fixed repr (%.6f with trailing zeros/dot stripped — matching
+        _format_float / AppendPrecisionFloat64), other types cast."""
+        if dtype in ("double", "float"):
+            s = F.format_string("%.6f", col)
+            s = F.regexp_replace(s, r"0+$", "")
+            s = F.regexp_replace(s, r"\.$", "")
+            return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(s)
+        return col.cast("string")
+
     def value_col(self, n: int) -> Column:
         return F.col(f"c{n}")
 
@@ -1326,6 +1349,8 @@ class TqlRunner:
         self.state.df, self.state.names = df, list(names)
         self.state.times = set(times or ())
         self.state.jsons = set(jsons or ())
+        self.state.slices = set()
+        self.state.gostrs = set()
 
     def _vcols(self) -> list[str]:
         return [f"c{i}" for i in range(self.ncols)]
@@ -1406,8 +1431,13 @@ class TqlRunner:
     def stmt_FAKE(self, args):
         gen = args[0]
         if gen[0] != "call":
-            # reference: f(FAKE) arg(0) should be fakeSource (tql_test.go)
-            raise TypeError("f(FAKE) arg(0) should be fakeSource")
+            # reference: "f(FAKE) arg(0) should be fakeSource, but float64"
+            # (tql_test.go:1526) — the suffix is the Go %T of the value
+            # (every TQL number literal is float64, strings are string).
+            v = self.ev(gen)
+            goty = {float: "float64", int: "float64", bool: "bool",
+                    str: "string"}.get(type(v), type(v).__name__)
+            raise TypeError(f"f(FAKE) arg(0) should be fakeSource, but {goty}")
         gname, gargs = gen[1], gen[2]
         if gname in ("linspace", "linspace50"):
             # linspace50(a, b) = 50-point default (fm_fake.go:328)
@@ -1889,20 +1919,28 @@ class TqlRunner:
 
     def stmt_MAPVALUE(self, args):
         idx = int(self.ev(args[0]))
+        self._mixed_ternary = False
         val = self.ev(args[1])
+        mixed = getattr(self, "_mixed_ternary", False)
         expr = _lift(val)
         name = self.ev(args[2]) if len(args) > 2 and args[2][0] == "str" else None
         is_t = self._is_time_expr(args[1])
         is_j = isinstance(val, (dict, list)) or (
             args[1][0] == "call" and args[1][1] in self._OBJ_FNS)
         cur = self._cur()
+        prev_gostrs = set(self.state.gostrs)
         if idx < 0:  # MAPVALUE(-1, v) == PUSHVALUE(0, v) (fm_monad.go:1745)
             cur.insert(0, (expr, name, is_t, is_j))
+            prev_gostrs = {i + 1 for i in prev_gostrs}
+            target = 0
         elif idx >= len(cur):
             cur.append((expr, name, is_t, is_j))
+            target = len(cur) - 1
         else:
             cur[idx] = (expr, name or self.state.names[idx], is_t, is_j)
+            target = idx
         self._reproject(cur)
+        self.state.gostrs = prev_gostrs | ({target} if mixed else set())
 
     def stmt_PUSHVALUE(self, args):
         idx = max(0, min(int(self.ev(args[0])), self.ncols))
@@ -2193,7 +2231,13 @@ class TqlRunner:
         min_hz = float(opts["minHz"][0][0]) if "minHz" in opts else None
         max_hz = float(opts["maxHz"][0][0]) if "maxHz" in opts else None
         grouped = getattr(self, "_grouped_by_key", False)
+        vcols = [c for c in self.state.df.columns
+                 if c.startswith("c") and c[1:].isdigit()]
         if grouped:
+            if len(vcols) != 2:
+                # fm_fourier.go:63 — sample tuples must be (time, value)
+                raise ValueError("f(FFT) sample should be a tuple of "
+                                 f"(time, value), but len={len(vcols)}")
             df = self.state.df.select(
                 F.col("__key").alias("__k"),
                 F.col("c0").cast("long").alias("time"),
@@ -2207,14 +2251,13 @@ class TqlRunner:
             self._grouped_by_key = False
             self._fft_exploded = True  # FLATTEN after keyed FFT is identity
         else:
-            df = self.state.df.select(F.col("c0").alias("time"),
-                                      F.col("c1").cast("double").alias("value"))
-            out = S.fft(df, min_hz=min_hz, max_hz=max_hz)
-            w = Window.orderBy("hz")
-            res = out.select(
-                (F.row_number().over(w) - 1).alias("__seq"),
-                F.col("hz").alias("__key"),
-                F.col("hz").alias("c0"), F.col("ampl").alias("c1"))
+            # Without GROUPBYKEY every record carries ONE sample —
+            # fm_fourier.go:48-52 DROPS chunks with fewer than 16 samples
+            # instead of raising, so ungrouped FFT emits nothing.
+            res = (self.state.df.limit(0)
+                   .select(F.lit(0).alias("__seq"),
+                           F.lit(0.0).alias("__key"),
+                           F.lit(0.0).alias("c0"), F.lit(0.0).alias("c1")))
         self._set(res, ["hz", "ampl"])
         self.state.key_name = "time"  # group key was a time bucket
 
@@ -2501,7 +2544,7 @@ class TqlRunner:
                 subcmds.append([])
             else:
                 subcmds[-1].append(tok)
-        lines: list[str] = []
+        combined = []
         for toks in subcmds:
             if not toks:
                 continue
@@ -2509,11 +2552,14 @@ class TqlRunner:
                 raise ValueError(f"command {toks[0]!r} is not supported")
             res = subprocess.run(toks, shell=False, capture_output=True,
                                  text=True)
-            out = res.stdout.split("\n")
-            if out and out[-1] == "":
-                out = out[:-1]
-            lines.extend(out)
-        self._set(self._from_rows([(ln,) for ln in lines], 1), [None])
+            combined.append(res.stdout)
+        # the reference runs ONE script and splits the combined output on
+        # "\n" — strings.Split keeps the empty tail after the final
+        # newline, so that empty string becomes a real record
+        # (fm_shell.go:131-135, TestTql SHELL expects the trailing blank)
+        lines = "".join(combined).split("\n")
+        self._set(self._from_rows([(ln,) for ln in lines], 1),
+                  ["RESULT"])
 
     def stmt_HISTOGRAM(self, args):
         """HISTOGRAM(value(n), bins(min,max,step) [, category(value(m))]
@@ -2554,7 +2600,9 @@ class TqlRunner:
         res = out.select(
             (F.row_number().over(w) - 1).alias("__seq"),
             F.col("low").alias("__key"),
-            *[F.col(c).alias(f"c{i}") for i, c in enumerate(cols)])
+            # backtick-escape: category column names may contain dots
+            *[F.col("`%s`" % c.replace("`", "``")).alias(f"c{i}")
+              for i, c in enumerate(cols)])
         self._set(res, cols)
 
     @staticmethod
@@ -2646,6 +2694,10 @@ class TqlRunner:
                    for c in cats]
             self._set(self._from_rows(out, 3),
                       ["CATEGORY", "BOXPLOT", "OUTLIER"])
+            # chart rows carry []any values: JSON embeds them as arrays,
+            # CSV's default %T case prints "[]interface {}"
+            self.state.jsons |= {1, 2}
+            self.state.slices |= {1, 2}
             return
         labels = [("MIN", "mn"), ("LOWER", "lower"), ("Q1", "q1"),
                   ("Q2", "q2"), ("Q3", "q3"), ("UPPER", "upper"),
@@ -3001,15 +3053,22 @@ class TqlRunner:
         delimiter = opts["delimiter"][0][0] if "delimiter" in opts else ","
         subst = opts["substituteNull"][0][0] if "substituteNull" in opts else "NULL"
         disp = self._display()
+        for i in sorted(self.state.slices):
+            if i < len(disp.columns):   # Go %T of a []any value
+                disp = disp.withColumn(disp.columns[i],
+                                       F.lit("[]interface {}"))
         # 'DEFAULT' is a real named layout ('2006-01-02 15:04:05.999',
         # time_formats.go:17) — only absence of the option leaves epoch-ns
         tf = timeformat
         tcols = tuple(disp.columns[i] for i in sorted(self.state.times)
                       if i < len(disp.columns))
+        # + one extra "\n": the reference CSV Exporter writes a final
+        # newline on Close (csv_encode.go:127) beyond the per-row ones,
+        # so live task output = golden-file content + "\n".
         self.output = encoders.to_csv(
             disp, header=header, delimiter=delimiter, precision=precision,
             substitute_null=subst, timeformat=tf, tz=tz,
-            time_cols=tcols or tuple(c for c in disp.columns if c == "time"))
+            time_cols=tcols or tuple(c for c in disp.columns if c == "time")) + "\n"
 
     def stmt_JSON(self, args):
         from neo_server_spark.codecs import encoders
@@ -3031,8 +3090,21 @@ class TqlRunner:
         if tmpl is not None:
             self.output = self._render_template(tmpl)
             return
+        prec = int(opts["precision"][0][0]) if "precision" in opts else -1
+        disp = self._display()
+        # dynamically-typed positions (mixed ternary): numeric-looking
+        # values are floats in the reference and markdown renders them %f
+        for i in sorted(self.state.gostrs):
+            if i < len(disp.columns):
+                c = F.col("`%s`" % disp.columns[i].replace("`", "``"))
+                num = c.rlike(r"^-?[0-9]+(\.[0-9]+)?$")
+                fmt = F.format_string(f"%.{prec if prec >= 0 else 6}f",
+                                      c.cast("double"))
+                disp = disp.withColumn(disp.columns[i],
+                                       F.when(num, fmt).otherwise(c))
         self.output = encoders.to_markdown(
-            self._display(), html="html" in opts and bool(opts["html"][0][0]))
+            disp, html="html" in opts and bool(opts["html"][0][0]),
+            precision=prec)
 
     def _render_template(self, tmpl: str) -> str:
         """Per-record Go-template rendering, minimal subset (fm_encoder
@@ -3075,9 +3147,11 @@ class TqlRunner:
         disp = self._display()
         tcols = tuple(disp.columns[i] for i in sorted(self.state.times)
                       if i < len(disp.columns))
+        # Close() writes a final "\n" (ndjson/encode.go:99), like CSV.
         self.output = encoders.to_ndjson(
             disp, timeformat=tf, tz=tz,
-            time_cols=tcols or tuple(c for c in disp.columns if c.lower() == "time"))
+            rownum="rownum" in opts and bool(opts["rownum"][0][0]),
+            time_cols=tcols or tuple(c for c in disp.columns if c.lower() == "time")) + "\n"
 
     def stmt_DISCARD(self, args):
         self.state.df.count()  # execute, emit nothing (fm_encoder DISCARD)
@@ -3446,10 +3520,11 @@ class TqlRunner:
 
 def run_script(spark: SparkSession, src: str, payload: str | None = None,
                fs_root: str | None = None, params: dict | None = None,
-               allow_shell: bool = False):
+               allow_shell: bool = False, now_ns: int | None = None):
     """Parse + execute TQL source text; returns sink output or DataFrame."""
     return TqlRunner(spark, payload=payload, fs_root=fs_root,
-                     params=params, allow_shell=allow_shell).run(src)
+                     params=params, allow_shell=allow_shell,
+                     now_ns=now_ns).run(src)
 
 
 def run_file(spark: SparkSession, path: str, payload: str | None = None,

@@ -43,20 +43,23 @@ GOLDEN_CASES = [
     "transpose_all_hdr",     # TRANSPOSE(header(true))
     "transpose_hdr",         # TRANSPOSE(header(true), 2,4,5) + parseTime
     "transpose_nohdr",       # TRANSPOSE(2,4,5) without header
+    "TestLoader_simplex",    # meshgrid + EXACT OpenSimplex noise (noisefn)
 ]
 
 
 @needs_goldens
 @pytest.mark.parametrize("name", GOLDEN_CASES)
 def test_reference_tql_golden(spark, name):
-    assert run_golden(spark, name) == golden(f"{name}.csv")
+    # live task output = golden-file content + the Exporter.Close "\n"
+    # (csv_encode.go:127) — exactly what tql_test.go's loadLines models.
+    assert run_golden(spark, name) == golden(f"{name}.csv") + "\n"
 
 
 @needs_goldens
 def test_all_reference_tql_files_parse():
     """Every .tql file in the reference test corpus must at least PARSE
-    (TestLoader_simplex/qq execute too but aren't value-comparable:
-    OpenSimplex noise is stubbed, time('now') is wall-clock)."""
+    (TestLoader_qq executes too but isn't value-comparable:
+    time('now') is wall-clock)."""
     for fn in sorted(os.listdir(GOLDEN_DIR)):
         if fn.endswith(".tql"):
             stmts = parse_script(open(os.path.join(GOLDEN_DIR, fn)).read())
@@ -64,13 +67,29 @@ def test_all_reference_tql_files_parse():
 
 
 @needs_goldens
-def test_simplex_script_runs(spark):
-    """TestLoader_simplex.tql executes (100-row meshgrid, 3 cols); values
-    differ from the golden by design — the noise fn is a documented stand-in."""
-    out = run_golden(spark, "TestLoader_simplex")
-    lines = [ln for ln in out.splitlines() if ln]
-    assert len(lines) == 100
-    assert all(len(ln.split(",")) == 3 for ln in lines)
+def test_simplex_exact_vectors():
+    """noisefn.OpenSimplex reproduces the reference's own 2D sample
+    vectors (mods/nums/opensimplex/test/samples.json.gz) bit-for-bit."""
+    import gzip
+    import json
+
+    from neo_server_spark.functions.noisefn import OpenSimplex
+
+    path = "/root/reference/mods/nums/opensimplex/test/samples.json.gz"
+    n = OpenSimplex(0)
+    dec = json.JSONDecoder()
+    buf = gzip.open(path, "rt").read()
+    i = checked = 0
+    while i < len(buf):
+        while i < len(buf) and buf[i] in " \n\t\r":
+            i += 1
+        if i >= len(buf):
+            break
+        s, i = dec.raw_decode(buf, i)
+        if len(s) == 3:   # 2D samples; 3D/4D are out of TQL's surface
+            assert abs(float(n.eval2(s[0], s[1])) - s[2]) <= 1e-12
+            checked += 1
+    assert checked == 2048
 
 
 def test_string_source_and_ops(spark):
@@ -101,7 +120,8 @@ POPVALUE(1)
 CSV(header(true))
 """
     out = run_script(spark, src)
-    assert out.splitlines() == ["hundred", "300", "400", "500"]
+    # trailing "" = the Exporter.Close newline (csv_encode.go:127)
+    assert out.splitlines() == ["hundred", "300", "400", "500", ""]
 
 
 def test_sql_source_group(spark, sf_dir):
@@ -414,7 +434,10 @@ def test_boxplot_interp_and_output(spark):
     """)
     lines = out.splitlines()
     assert lines[0] == "CATEGORY,BOXPLOT,OUTLIER"
-    assert lines[1].startswith('b,"[-20') and lines[2].startswith('a,"[-2')
+    # chart-mode rows carry []any values; the CSV encoder's default %T
+    # case renders them as the literal Go type name (csv_encode.go:244)
+    assert lines[1] == "b,[]interface {},[]interface {}"
+    assert lines[2] == "a,[]interface {},[]interface {}"
 
 
 def test_filter_changed_options_statement(spark):
@@ -563,14 +586,23 @@ def test_fft3d_script_golden(spark):
 
 
 def test_fft_script(spark):
-    """FFT() statement: oscillator -> spectrum with the 2 Hz peak."""
+    """FFT() statement: oscillator -> GROUPBYKEY -> spectrum with the 2 Hz
+    peak.  Ungrouped FFT drops every record (each carries ONE sample,
+    fm_fourier.go:48-52 drops chunks under 16 samples instead of raising)."""
     script = """
         FAKE( oscillator( freq(2, 1.0), range(0, 1000000000, 7812500)) )
+        MAPKEY('samples')
+        GROUPBYKEY(lazy(false))
         FFT()
     """
     df = run_script(spark, script)
     rows = sorted(df.collect(), key=lambda r: -r.ampl)
     assert abs(rows[0].hz - 2.0) < 0.2 and abs(rows[0].ampl - 1.0) < 0.05
+    ungrouped = run_script(spark, """
+        FAKE( oscillator( freq(2, 1.0), range(0, 1000000000, 7812500)) )
+        FFT()
+    """)
+    assert ungrouped.count() == 0
 
 
 def test_json_sink_roundtrip(spark):
@@ -2037,15 +2069,15 @@ def test_loader_qq_structural(spark):
 
 
 @needs_goldens
-def test_loader_simplex_structural(spark):
-    """TestLoader_simplex.tql runs verbatim; simplex() is a documented
-    value deviation (seeded lattice noise, not OpenSimplex — tql/script.py
-    _simplex), so the assertion is structural: the meshgrid shape and the
-    abs()*10 range."""
-    out = run_golden(spark, "TestLoader_simplex")
-    rows = [ln.split(",") for ln in out.splitlines() if ln]
-    assert len(rows) == 100 and all(len(r) == 3 for r in rows)
-    assert all(0.0 <= float(r[2]) <= 10.0 for r in rows)
+def test_loader_simplex_scalar_path():
+    """The Python-scalar path of simplex() (all-literal args) agrees with
+    the exact generator — the dual-path consistency contract."""
+    from neo_server_spark.functions.noisefn import OpenSimplex
+    from neo_server_spark.tql.script import _simplex
+
+    g = OpenSimplex(123)
+    assert _simplex(123, 0.5, 1.5) == float(g.eval2(0.5, 1.5))
+    assert _simplex(123, 2.25) == float(g.eval2(2.25, 2.25))
 
 
 REF_GEOMAP_DIR = "/root/reference/mods/codec/internal/geomap/test"
