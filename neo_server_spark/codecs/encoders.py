@@ -270,7 +270,10 @@ def to_markdown(df: DataFrame, limit: int | None = None, html: bool = False,
              "|" + "|".join(":-----" for _ in cols) + "|"]
     for r in rows:
         lines.append("|" + "|".join(_md_cell(v, precision) for v in r) + "|")
-    return "\n".join(lines) + "\n"
+    out = "\n".join(lines) + "\n"
+    if not rows:    # md_encode.go:151-152
+        out += "\n> *No record*\n"
+    return out
 
 
 def to_box(df: DataFrame, limit: int | None = None, precision: int = -1,

@@ -29,13 +29,21 @@ def parse_duration(s: str | int) -> int:
     """Go-style duration string -> ns ('1h30m', '500ms', '1s')."""
     if isinstance(s, int):
         return s
+    s = s.strip()
+    # Go ParseDuration: one optional leading sign applies to the WHOLE
+    # duration ("-1h30m" = -(1h30m))
+    sign = 1
+    if s[:1] in "+-":
+        sign, s = (-1 if s[0] == "-" else 1), s[1:]
     total, pos = 0, 0
     for m in _DUR_RE.finditer(s):
+        if m.start() != pos:
+            raise ValueError(f"bad duration: {s!r}")
         total += int(float(m.group(1)) * _DUR_UNITS[m.group(2)])
         pos = m.end()
-    if pos != len(s.strip()):
+    if pos != len(s):
         raise ValueError(f"bad duration: {s!r}")
-    return total
+    return sign * total
 
 
 def _col(c: Column | str) -> Column:

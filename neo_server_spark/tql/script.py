@@ -115,6 +115,16 @@ def tokenize(src: str) -> list[Tok]:
             toks.append(Tok("ident", src[i:j], i))
             i = j
             continue
+        if ch == "$" and i + 1 < n and (src[i + 1].isalpha() or
+                                        src[i + 1] == "_"):
+            # $name — per-record variable reference set by SET()
+            # (task_record.go:123-139; task_test.go TestSetVariables)
+            j = i + 1
+            while j < n and (src[j].isalnum() or src[j] == "_"):
+                j += 1
+            toks.append(Tok("var", src[i + 1:j], i))
+            i = j
+            continue
         for op in _OPS:
             if src.startswith(op, i):
                 toks.append(Tok("op", op, i))
@@ -185,6 +195,8 @@ class Parser:
             return ("str", t.val)
         if t.kind == "brace":
             return ("brace", t.val)
+        if t.kind == "var":
+            return ("var", t.val)
         if t.kind == "op" and t.val == "(":
             inner = self.expr()
             self.expect("op", ")")
@@ -354,6 +366,17 @@ def _dur_ns(d) -> int:
         from neo_server_spark.functions.timefn import parse_duration
         return parse_duration(d)
     return int(d)
+
+
+def _now_spec(rt, s: str) -> int:
+    """'now' / 'now+10s' / 'now-1h' time spec -> epoch ns against the
+    runner's (injectable) clock (fm_time.go time('now ± dur'))."""
+    s = s.strip()
+    if s == "now":
+        return rt.now_ns
+    if s.startswith("now"):
+        return rt.now_ns + _dur_ns(s[3:].replace(" ", ""))
+    raise ValueError(f"time() unknown spec {s!r}")
 
 
 def _epoch_to_ns(c, mult: int):
@@ -593,7 +616,7 @@ SCALARS = {
     "random": lambda rt: F.rand(),
     "time": lambda rt, spec="now": (
         _lift(spec).cast("long") if _is_col(spec)
-        else rt.now_ns if spec == "now"
+        else _now_spec(rt, spec) if isinstance(spec, str)
         else int(spec)),
     "timeAdd": lambda rt, t, delta: (
         (_lift(t) + F.lit(_dur_ns(delta))) if _is_col(t)
@@ -1241,6 +1264,7 @@ class TqlRunner:
         # util.StandardTimeNow the same way)
         self.now_ns = int(_time.time() * 1e9) if now_ns is None else int(now_ns)
         self.state = _State()
+        self.vars: dict[str, object] = {}   # SET() record variables
         self.output: object = None
 
     # ---------------------------------------------------------------- expr
@@ -1251,6 +1275,10 @@ class TqlRunner:
             return node[1]
         if kind == "str" or kind == "brace":
             return node[1]
+        if kind == "var":
+            # $name — per-record variable bound by SET() (undefined -> null,
+            # like a missing record var in the reference)
+            return self.vars.get(node[1])
         if kind == "ident":
             if node[1] in _CONSTS:
                 return _CONSTS[node[1]]
@@ -1303,6 +1331,16 @@ class TqlRunner:
             return F.concat(_lift(left).cast("string"), _lift(right).cast("string"))
         if colmode:
             left, right = _lift(left), _lift(right)
+            if op in ("+", "-", "*", "/", "%"):
+                # the reference's expression evaluator does ALL arithmetic
+                # in float64 (TQL numbers are float64) — integer-typed
+                # operands promote to double so e.g. key()+100 prints
+                # "101.0" at precision(1), not "101" (task_test TestMapKey)
+                def _prom(c):
+                    dt = self._dtype_of(c)
+                    return c.cast("double") if dt in (
+                        "tinyint", "smallint", "int", "bigint") else c
+                left, right = _prom(left), _prom(right)
         table = {
             "+": lambda a, b: a + b, "-": lambda a, b: a - b,
             "*": lambda a, b: a * b, "/": lambda a, b: a / b,
@@ -1496,7 +1534,11 @@ class TqlRunner:
                     comps.append((float(ga[0]), float(ga[1])))
                 elif g[1] == "range":
                     rng = ga
-            t0 = _dur_ns(rng[0]) if not isinstance(rng[0], str) else _parse_time(self, rng[0], "s")
+            if isinstance(rng[0], str):
+                t0 = (_now_spec(self, rng[0]) if rng[0].strip().startswith("now")
+                      else _parse_time(self, rng[0], "s"))
+            else:
+                t0 = _dur_ns(rng[0])
             dur, period = _dur_ns(rng[1]), _dur_ns(rng[2])
             if dur < 0:  # range(t, '-1s', p) runs backward from t (osc_2 case)
                 t0, dur = t0 + dur, -dur
@@ -1855,6 +1897,8 @@ class TqlRunner:
 
     def stmt_DROP(self, args):
         a = [int(self.ev(x)) for x in args]
+        if len(a) > 1 and a[1] < 0:   # fm_monad.go:54
+            raise ValueError("f(DROP) arg(1) limit should be larger than 0")
         if len(a) == 1:
             self._take_drop(a[0], drop=True)
             return
@@ -1866,6 +1910,8 @@ class TqlRunner:
 
     def stmt_TAKE(self, args):
         a = [int(self.ev(x)) for x in args]
+        if len(a) > 1 and a[1] < 0:   # fm_monad.go:14
+            raise ValueError("f(TAKE) arg(1) limit should be larger than 0")
         off, n = (a[0], a[1]) if len(a) > 1 else (0, a[0])
         if off:
             self._take_drop(off, drop=True)
@@ -1917,26 +1963,49 @@ class TqlRunner:
                           "geoMultiPoint", "geoPolygon", "geoPointMarker",
                           "geoCircleMarker"})
 
+    def _value_stmt_opts(self, args):
+        """Trailing MAPVALUE/PUSHVALUE options (fm_monad.go:1612-1631,
+        1758-1764): optional name string, where(predicate),
+        nullValue(alt)."""
+        name = where_c = nullv = None
+        has_null = False
+        for a in args:
+            if a[0] == "str":
+                name = a[1]
+            elif a[0] == "call" and a[1] == "where":
+                where_c = _lift(self.ev(a[2][0]))
+            elif a[0] == "call" and a[1] == "nullValue":
+                nullv, has_null = self.ev(a[2][0]), True
+        return name, where_c, (nullv if has_null else None), has_null
+
     def stmt_MAPVALUE(self, args):
         idx = int(self.ev(args[0]))
         self._mixed_ternary = False
         val = self.ev(args[1])
         mixed = getattr(self, "_mixed_ternary", False)
         expr = _lift(val)
-        name = self.ev(args[2]) if len(args) > 2 and args[2][0] == "str" else None
+        name, where_c, nullv, has_null = self._value_stmt_opts(args[2:])
+        if has_null:   # nullValue(alt): null results take the alternative
+            expr = F.coalesce(expr, _lift(nullv))
         is_t = self._is_time_expr(args[1])
         is_j = isinstance(val, (dict, list)) or (
             args[1][0] == "call" and args[1][1] in self._OBJ_FNS)
         cur = self._cur()
         prev_gostrs = set(self.state.gostrs)
         if idx < 0:  # MAPVALUE(-1, v) == PUSHVALUE(0, v) (fm_monad.go:1745)
-            cur.insert(0, (expr, name, is_t, is_j))
+            if where_c is not None:   # PUSHVALUE where-false inserts NULL
+                expr = F.when(where_c, expr)
+            cur.insert(0, (expr, name or "column", is_t, is_j))
             prev_gostrs = {i + 1 for i in prev_gostrs}
             target = 0
         elif idx >= len(cur):
-            cur.append((expr, name, is_t, is_j))
+            if where_c is not None:
+                expr = F.when(where_c, expr)
+            cur.append((expr, name or "column", is_t, is_j))
             target = len(cur) - 1
         else:
+            if where_c is not None:   # MAPVALUE where-false KEEPS the old
+                expr = F.when(where_c, expr).otherwise(cur[idx][0])
             cur[idx] = (expr, name or self.state.names[idx], is_t, is_j)
             target = idx
         self._reproject(cur)
@@ -1945,11 +2014,18 @@ class TqlRunner:
     def stmt_PUSHVALUE(self, args):
         idx = max(0, min(int(self.ev(args[0])), self.ncols))
         val = self.ev(args[1])
-        name = self.ev(args[2]) if len(args) > 2 else None
+        expr = _lift(val)
+        name, where_c, nullv, has_null = self._value_stmt_opts(args[2:])
+        if has_null:
+            expr = F.coalesce(expr, _lift(nullv))
+        if where_c is not None:   # where-false pushes NULL (fm_monad:1677)
+            expr = F.when(where_c, expr)
         is_j = isinstance(val, (dict, list)) or (
             args[1][0] == "call" and args[1][1] in self._OBJ_FNS)
         cur = self._cur()
-        cur.insert(idx, (_lift(val), name, self._is_time_expr(args[1]), is_j))
+        # default insert name is literally "column" (fm_monad.go:1613)
+        cur.insert(idx, (expr, name or "column",
+                         self._is_time_expr(args[1]), is_j))
         self._reproject(cur)
 
     def stmt_POPVALUE(self, args):
@@ -1959,6 +2035,8 @@ class TqlRunner:
 
     def stmt_MAPKEY(self, args):
         self.state.df = self.state.df.withColumn("__key", _lift(self.ev(args[0])))
+        # the key column is renamed literally "key" (fm_monad.go:1604)
+        self.state.key_name = "key"
 
     def stmt_PUSHKEY(self, args):
         newkey = _lift(self.ev(args[0]))
@@ -1969,6 +2047,8 @@ class TqlRunner:
             e.alias(f"c{i}") for i, (e, *_r) in enumerate(cur)]
         self._set(self.state.df.select(*sel).withColumnRenamed("__key2", "__key"),
                   [e[1] for e in cur])
+        # the new key column is named "key" (fm_monad.go:1577 MakeColumnOf)
+        self.state.key_name = "key"
 
     def stmt_POPKEY(self, args):
         idx = int(self.ev(args[0])) if args else 0
@@ -1987,6 +2067,12 @@ class TqlRunner:
             # reference: keyed FFT emits one record per key holding the
             # (hz, ampl) list; ours is already exploded — FLATTEN = identity
             self._fft_exploded = False
+            return
+        if getattr(self, "_grouped_by_key", False):
+            # GROUPBYKEY chunks values per key; FLATTEN re-emits the chunk
+            # elements as records — since we never physically chunk, this
+            # is identity (records keep their group key and arrival order)
+            self._grouped_by_key = False
             return
         df = self.state.df
         last = f"c{self.ncols - 1}"
@@ -3032,7 +3118,14 @@ class TqlRunner:
         self._set(out, [nm for _, nm in bys] + out_names, times=by_times)
 
     def stmt_SET(self, args):
-        pass  # SET(var, expr) — variables land in params (batch no-op here)
+        """SET(name, expr) — bind a per-record variable readable as $name
+        in later expressions (task_node.go:137-147, task_record.go:123-139;
+        task_test.go TestSetVariables).  The bound value is a column
+        expression over the record, so downstream $name references compose
+        per record exactly like the reference's record vars."""
+        if args[0][0] not in ("ident", "str"):
+            raise ValueError("SET(name, expr): name must be an identifier")
+        self.vars[args[0][1]] = self.ev(args[1])
 
     # ---------------------------------------------------------------- sinks
 
@@ -3068,6 +3161,7 @@ class TqlRunner:
         self.output = encoders.to_csv(
             disp, header=header, delimiter=delimiter, precision=precision,
             substitute_null=subst, timeformat=tf, tz=tz,
+            rownum="rownum" in opts and bool(opts["rownum"][0][0]),
             time_cols=tcols or tuple(c for c in disp.columns if c == "time")) + "\n"
 
     def stmt_JSON(self, args):

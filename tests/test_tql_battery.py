@@ -378,3 +378,219 @@ SHELL("echo 'Hello, World!'; echo 123;")
 CSV()
 """, allow_shell=True)
     assert out == "\n".join(['"Hello, World!"', "123", "", "", ""])
+
+
+# ---------------------------------------------------------------------------
+# task_test.go clusters: TestSetVariables, TestMathMarkdown, TestArrange,
+# TestLinspace, TestMeshgrid, TestPushKey, TestPushAndPopMonad,
+# TestGroupByKey, TestMapKey, TestPushValue, TestPushPopValue,
+# TestMapValue, TestDropTake, TestTimeWindowMs, TestTimeWindowHighDef —
+# scripts and expected lines transcribed verbatim.
+# ---------------------------------------------------------------------------
+
+TASK2_CASES = []
+
+
+def _case2(name, script, expect=None, payload=None, err=None, now_ns=None):
+    TASK2_CASES.append((name, script, expect, payload, err, now_ns))
+
+
+# --- TestSetVariables ---
+_case2("SetVariables_1", """FAKE( linspace(0, 1, 3))
+SET(x10, value(0) * 10)
+SET(x10, $x10 + 1)
+MAPVALUE(1, $x10)
+CSV(header(true))""", ["x,column","0,1","0.5,6","1,11",""])
+_case2("SetVariables_2", """FAKE( arrange(0, 3, 1))
+SET(flag, value(0) != 0 && mod(value(0), 2) == 0 )
+MAPVALUE(1, !$flag)
+CSV(header(true))""", ["x,column","0,true","1,true","2,false","3,true",""])
+_case2("SetVariables_3", """STRING("temp")
+SET(temp, 11)
+MAPVALUE(0, 1.234)
+MAPVALUE(1, $temp)
+CSV()""", ["1.234,11",""])
+
+# --- TestMathMarkdown ---
+_case2("MathMarkdown_1", """FAKE( linspace(0, 1, 2))
+PUSHKEY('signal.md')
+MARKDOWN()""", ["|ROWNUM|x|","|:-----|:-----|","|1|0.000000|","|2|1.000000|"])
+_case2("MathMarkdown_2", """FAKE( linspace(0, 1, 2))
+MARKDOWN()""", ["|x|","|:-----|","|0.000000|","|1.000000|"])
+_case2("MathMarkdown_3", """FAKE( linspace(0, 1, -1))
+MARKDOWN()""", ["|x|","|:-----|","","> *No record*"])
+
+# --- TestArrange / TestLinspace / TestMeshgrid ---
+_case2("Arrange_1", "FAKE( arrange(0, 2, 1) )\nCSV( heading(true), precision(1) )",
+     ["x","0.0","1.0","2.0",""])
+_case2("Arrange_2", "FAKE( arrange(2, 0, -1) )\nCSV( heading(true), precision(1) )",
+     ["x","2.0","1.0","0.0",""])
+_case2("Linspace", "FAKE( linspace(0, 2, 3))\nCSV( heading(true), precision(1) )",
+     ["x","0.0","1.0","2.0",""])
+_case2("Meshgrid", "FAKE( meshgrid(linspace(0, 2, 3), linspace(0, 2, 3)) )\nCSV( heading(true), precision(6) )",
+     ["x,y","0.000000,0.000000","0.000000,1.000000","0.000000,2.000000","1.000000,0.000000","1.000000,1.000000","1.000000,2.000000","2.000000,0.000000","2.000000,1.000000","2.000000,2.000000",""])
+
+# --- TestPushKey / PushAndPop / GroupByKey / MapKey ---
+_case2("PushKey", """FAKE( linspace(0, 1, 2))
+PUSHKEY('sample')
+PUSHKEY('test')
+CSV(header(true))""", ["key,ROWNUM,x","sample,1,0","sample,2,1",""])
+_case2("PushPop_1", """FAKE( linspace(0, 1, 3))
+PUSHKEY('sample')
+POPKEY()
+CSV(precision(1))""", ["0.0","0.5","1.0",""])
+_case2("PushPop_2", """FAKE( linspace(0, 3.141592/2, 5) )
+PUSHKEY(sin(value(0)))
+PUSHKEY(value(0))
+POPKEY(1)
+POPKEY(1)
+PUSHKEY('test')
+CSV(precision(3))""", ["0.000,0.000","0.393,0.383","0.785,0.707","1.178,0.924","1.571,1.000",""])
+_case2("GroupByKey", """FAKE( linspace(0, 2, 3))
+PUSHKEY('sample')
+GROUPBYKEY()
+FLATTEN()
+PUSHKEY('test')
+CSV(precision(6))""", ["sample,1,0.000000","sample,2,1.000000","sample,3,2.000000",""])
+_case2("MapKey_1", """FAKE( linspace(0, 2, 3))
+MAPKEY(value(0)*2)
+PUSHKEY('test')
+CSV(precision(0))""", ["0,0","2,1","4,2",""])
+_case2("MapKey_2", """FAKE( linspace(0, 2, 3))
+MAPKEY(key())
+PUSHKEY('test')
+CSV(precision(0))""", ["1,0","2,1","3,2",""])
+_case2("MapKey_3", """FAKE( linspace(0, 2, 3))
+MAPKEY( key() + 100 )
+PUSHKEY('test')
+CSV(precision(1))""", ["101.0,0.0","102.0,1.0","103.0,2.0",""])
+
+# --- TestPushValue ---
+for i in (-2, -1, 0):
+    _case2(f"PushValue_{i}", f"""FAKE( linspace(0, 2, 3))
+PUSHVALUE({i}, value(0)*1.5)
+CSV(precision(1), heading(true), rownum(true))""",
+         ["ROWNUM,column,x","1,0.0,0.0","2,1.5,1.0","3,3.0,2.0",""])
+_case2("PushValue_1named", """FAKE( linspace(0, 2, 3))
+PUSHVALUE(1, value(0)*1.5, 'x1.5')
+CSV(precision(1), heading(true), rownum(false))""",
+     ["x,x1.5","0.0,0.0","1.0,1.5","2.0,3.0",""])
+_case2("PushValue_popkey", """FAKE( json({["a", 0],["b", 1],["c", 2]}))
+POPKEY(0)
+PUSHVALUE(1, value(0)*1.5, 'x1.5')
+CSV(precision(1), heading(false), rownum(false))""",
+     ["0.0,0.0","1.0,1.5","2.0,3.0",""])
+_case2("PushValue_chain", """FAKE( linspace(0, 2, 3))
+PUSHVALUE(1, value(0)*1.5, 'x1.5')
+PUSHVALUE(2, value(1)+10, 'add')
+CSV(precision(1), heading(true), rownum(false))""",
+     ["x,x1.5,add","0.0,0.0,10.0","1.0,1.5,11.5","2.0,3.0,13.0",""])
+_case2("PushValue_where", """FAKE( linspace(0, 2, 3))
+PUSHVALUE(1, value(0)*1.5, 'x1.5')
+PUSHVALUE(2, value(1)+10, 'add', where(value(0) != 1.0 ))
+CSV(precision(1), heading(true), rownum(false))""",
+     ["x,x1.5,add","0.0,0.0,10.0","1.0,1.5,NULL","2.0,3.0,13.0",""])
+_case2("PushPopValue", """FAKE( linspace(0, 2, 3))
+PUSHVALUE(1, value(0)*1.5, 'x1.5')
+PUSHVALUE(2, value(1)+10, 'add')
+PUSHVALUE(3, value(2)+0.5, 'add2')
+POPVALUE(0,1,2)
+CSV(precision(1), heading(true), rownum(true))""",
+     ["ROWNUM,add2","1,10.5","2,12.0","3,13.5",""])
+
+# --- TestMapValue ---
+_case2("MapValue_neg", """FAKE( linspace(0, 2, 3))
+MAPVALUE(-1, value(0)*1.5)
+CSV(precision(1))""", ["0.0,0.0","1.5,1.0","3.0,2.0",""])
+_case2("MapValue_99", """FAKE( linspace(0, 2, 3))
+MAPVALUE(99, value(0)*1.5)
+CSV(precision(1), header(true))""", ["x,column","0.0,0.0","1.0,1.5","2.0,3.0",""])
+_case2("MapValue_rename", """FAKE( linspace(0, 2, 3))
+MAPVALUE(0, value(0)*1.5, 'new_column')
+CSV(precision(1), header(true))""", ["new_column","0.0","1.5","3.0",""])
+_case2("MapValue_sprintf", """FAKE( csv(`world,3.141592`) )
+MAPVALUE(1, parseFloat(value(1)))
+MAPVALUE(2, strSprintf(`hello %s, %1.2f`, value(0), value(1)))
+CSV()""", ['world,3.141592,"hello world, 3.14"',""])
+_case2("MapValue_ternary_empty", """FAKE( csv(`1,,3`) )
+MAPVALUE(0, parseFloat(value(0)))
+MAPVALUE(1, value(1) == "" ? 100 : parseFloat(value(1)) )
+MAPVALUE(2, parseFloat(value(2)))
+CSV()""", ["1,100,3",""])
+_case2("MapValue_nullValue", """FAKE( json({[1],[null],[3]}) )
+MAPVALUE(0, value(0), nullValue(2))
+CSV()""", ["1","2","3",""])
+_case2("MapValue_where_mod", """FAKE( json({[1],[null],[3]}) )
+MAPVALUE(0, value(0), nullValue(2))
+MAPVALUE(0, value(0) * 10, where( value(0) % 2 == 0) )
+CSV()""", ["1","20","3",""])
+
+# --- TestDropTake ---
+_case2("DropTake_1", """FAKE( linspace(0, 2, 100))
+DROP(50)
+TAKE(3)
+PUSHKEY('test')
+CSV(precision(6))""", ["51,1.010101","52,1.030303","53,1.050505",""])
+_case2("DropTake_2", """FAKE( linspace(0, 2, 100))
+DROP(0)
+TAKE(2)
+PUSHKEY('test')
+CSV(precision(6))""", ["1,0.000000","2,0.020202",""])
+_case2("DropTake_zero", """FAKE( linspace(0, 2, 100))
+DROP(0)
+TAKE(0)
+PUSHKEY('test')
+CSV(precision(6))""", [""])
+_case2("DropTake_offsets", """FAKE( linspace(0, 2, 100))
+DROP(5, 45)
+TAKE(5, 3)
+PUSHKEY('test')
+CSV(precision(6))""", ["51,1.010101","52,1.030303","53,1.050505",""])
+_case2("Take_neg_err", """FAKE( linspace(0, 2, 100) )
+TAKE(5, -1)
+CSV(precision(6))""", err="f(TAKE) arg(1) limit should be larger than 0")
+_case2("Drop_neg_err", """FAKE( linspace(0, 2, 100) )
+DROP(5, -1)
+CSV(precision(6))""", err="f(DROP) arg(1) limit should be larger than 0")
+
+# --- TestTimeWindowMs ---
+_case2("TimeWindowMs", """CSV(payload(),
+    field(0, datetimeType("ms"), "time"),
+    field(1, doubleType(), "value"))
+TIMEWINDOW(
+    time(1700256250 * 1000000000),
+    time(1700256285 * 1000000000),
+    period('5s'),
+    'time', 'avg')
+CSV(timeformat("ms"), heading(true))""",
+     ["time,value","1700256250000,NULL","1700256255000,NULL","1700256260000,2.5","1700256265000,7","1700256270000,NULL","1700256275000,10","1700256280000,NULL",""],
+     payload="\n".join(["1700256261001,1","1700256262010,2","1700256263100,3","1700256264010,4","1700256265002,5","1700256266020,6","1700256267200,7","1700256268020,8","1700256269002,9","1700256276300,10"]))
+
+# --- TestTimeWindowHighDef (pinned now) ---
+_case2("TimeWindowHighDef", """FAKE(
+    oscillator(
+      freq(15, 1.0), freq(24, 1.5),
+      range('now', '10s', '1ms'))
+  )
+TIMEWINDOW(
+    time('now'),
+    time('now+10s'),
+    period('1s'),
+    'time', 'first')
+CSV(timeformat("ns"), heading(true), precision(7))""",
+     ["time,value","1692329339000000000,0.1046705","1692329340000000000,0.1046637","1692329341000000000,0.1046874","1692329342000000000,0.1046806","1692329343000000000,0.1046738","1692329344000000000,0.1046670","1692329345000000000,0.1046906","1692329346000000000,0.1046838","1692329347000000000,0.1046770","1692329348000000000,0.1046702",""],
+     now_ns=1692329338315327000)
+
+
+
+@needs_goldens
+@pytest.mark.parametrize("name,script,expect,payload,err,now_ns",
+                         TASK2_CASES, ids=[c[0] for c in TASK2_CASES])
+def test_tasktest_battery2(spark, name, script, expect, payload, err, now_ns):
+    if err is not None:
+        with pytest.raises(Exception) as ei:
+            run_script(spark, script, payload=payload, now_ns=now_ns)
+        assert err in str(ei.value)
+        return
+    out = run_script(spark, script, payload=payload, now_ns=now_ns)
+    assert out == "\n".join(expect) + "\n"
