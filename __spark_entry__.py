@@ -754,6 +754,55 @@ def _q_tql_script_js(spark, sf_dir):
     """)
 
 
+
+def _q_tql_set_vars(spark, sf_dir):
+    """SET(name, expr) record variables + $name references through the
+    text front-end (task_node.go:137-147, task_record.go:123-139;
+    task_test.go TestSetVariables): the bound expression composes per
+    record into later MAPVALUEs — pure column algebra, scan-side, no
+    shuffle."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    return TqlRunner(spark, sf_dir=sf_dir).run("""
+        SQL('select event_id, event_type, value from events')
+        SET(v2, value(2) * 2)
+        SET(v2, $v2 + 1)
+        MAPVALUE(3, round($v2, 6), "v2p")
+        POPVALUE(2)
+    """)
+
+
+def _q_simplex_noise(spark, sf_dir):
+    """EXACT OpenSimplex noise (mods/nums/opensimplex, Kurt Spencer's
+    public-domain algorithm; fm_fake.go:521-538 simplex()) — the
+    TestLoader_simplex.tql shape: 10x10 meshgrid, abs(simplex(123,x,y))*10.
+    The oracle pins the 100 closed-form values (the same technique as the
+    WAV/PPM decode oracles); noise evaluation is an Arrow-batched
+    numpy-vectorized pandas UDF — scale-safe (stateless per batch)."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    return TqlRunner(spark, sf_dir=sf_dir).run("""
+        FAKE( meshgrid( linspace(0, 10, 10), linspace(0, 10, 10)) )
+        MAPVALUE(2, round(abs(simplex(123, value(0), value(1))) * 10, 6), "v")
+    """)
+
+
+def _q_when_throttle(spark, sf_dir):
+    """WHEN(cond, doLog(...)) + THROTTLE(tps) are flow-preserving
+    (fm_monad.go:2395-2413, 240-271): side effects fire per matching
+    record, the stream passes through unchanged; THROTTLE is a batch
+    no-op (rate limiting is a streaming-trigger concern).  The oracle is
+    the unchanged projection — certifying the pass-through contract."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    return TqlRunner(spark, sf_dir=sf_dir).run("""
+        SQL('select event_id, event_type, value from events')
+        THROTTLE(1000000)
+        WHEN( value(2) > 489.0, doLog("hot", value(0), value(2)) )
+        MAPVALUE(2, round(value(2), 6))
+    """)
+
+
 def _q_group_weighted(spark, sf_dir):
     """weight() aggregate variants (fm_monad.go:743-746 + newAggregate
     Weight arm; gonum weighted stat semantics): weighted mean/variance/
@@ -2139,6 +2188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (all r2-last, then r3-last).  The remaining r3 greens and the
         # full r4 window sit behind for round-6 rotation.
         "scalar_funcs_tql": _q_scalar_funcs_tql,
+        "tql_set_vars": _q_tql_set_vars,
+        "simplex_noise": _q_simplex_noise,
+        "when_throttle": _q_when_throttle,
         "group_weighted": _q_group_weighted,
         "streaming_lowpass": _q_streaming_lowpass,
         "streaming_filter_changed": _q_streaming_filter_changed,
@@ -2267,6 +2319,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     f, u, p = TW_FROM, TW_UNTIL, TW_PERIOD
     return {
+        "tql_set_vars": """
+            SELECT event_id, event_type, round(value * 2 + 1, 6) AS v2p
+            FROM events
+        """,
+        "simplex_noise": """
+            SELECT x, y, v FROM (VALUES
+              (0.0, 0.0, 0.0),
+              (0.0, 1.1111111111111112, 2.844148),
+              (0.0, 2.2222222222222223, 2.944842),
+              (0.0, 3.3333333333333335, 5.016112),
+              (0.0, 4.444444444444445, 4.123739),
+              (0.0, 5.555555555555555, 4.690863),
+              (0.0, 6.666666666666667, 3.36291),
+              (0.0, 7.777777777777779, 1.13989),
+              (0.0, 8.88888888888889, 0.152624),
+              (0.0, 10.0, 1.515982),
+              (1.1111111111111112, 0.0, 3.085908),
+              (1.1111111111111112, 1.1111111111111112, 2.108969),
+              (1.1111111111111112, 2.2222222222222223, 0.509348),
+              (1.1111111111111112, 3.3333333333333335, 3.944786),
+              (1.1111111111111112, 4.444444444444445, 1.582072),
+              (1.1111111111111112, 5.555555555555555, 3.04488),
+              (1.1111111111111112, 6.666666666666667, 6.483385),
+              (1.1111111111111112, 7.777777777777779, 4.447147),
+              (1.1111111111111112, 8.88888888888889, 3.81773),
+              (1.1111111111111112, 10.0, 2.212878),
+              (2.2222222222222223, 0.0, 3.04023),
+              (2.2222222222222223, 1.1111111111111112, 5.594955),
+              (2.2222222222222223, 2.2222222222222223, 3.891435),
+              (2.2222222222222223, 3.3333333333333335, 2.973115),
+              (2.2222222222222223, 4.444444444444445, 1.922085),
+              (2.2222222222222223, 5.555555555555555, 5.71068),
+              (2.2222222222222223, 6.666666666666667, 5.26592),
+              (2.2222222222222223, 7.777777777777779, 1.343823),
+              (2.2222222222222223, 8.88888888888889, 5.733952),
+              (2.2222222222222223, 10.0, 3.704195),
+              (3.3333333333333335, 0.0, 4.237807),
+              (3.3333333333333335, 1.1111111111111112, 5.032603),
+              (3.3333333333333335, 2.2222222222222223, 2.474983),
+              (3.3333333333333335, 3.3333333333333335, 1.246472),
+              (3.3333333333333335, 4.444444444444445, 2.556287),
+              (3.3333333333333335, 5.555555555555555, 3.6036),
+              (3.3333333333333335, 6.666666666666667, 1.043281),
+              (3.3333333333333335, 7.777777777777779, 0.985204),
+              (3.3333333333333335, 8.88888888888889, 0.856938),
+              (3.3333333333333335, 10.0, 2.343707),
+              (4.444444444444445, 0.0, 4.557945),
+              (4.444444444444445, 1.1111111111111112, 4.76384),
+              (4.444444444444445, 2.2222222222222223, 1.260366),
+              (4.444444444444445, 3.3333333333333335, 3.04731),
+              (4.444444444444445, 4.444444444444445, 0.274697),
+              (4.444444444444445, 5.555555555555555, 2.911628),
+              (4.444444444444445, 6.666666666666667, 5.772146),
+              (4.444444444444445, 7.777777777777779, 2.494278),
+              (4.444444444444445, 8.88888888888889, 3.669496),
+              (4.444444444444445, 10.0, 3.07372),
+              (5.555555555555555, 0.0, 3.239957),
+              (5.555555555555555, 1.1111111111111112, 5.111701),
+              (5.555555555555555, 2.2222222222222223, 2.500173),
+              (5.555555555555555, 3.3333333333333335, 4.119462),
+              (5.555555555555555, 4.444444444444445, 3.576903),
+              (5.555555555555555, 5.555555555555555, 2.909416),
+              (5.555555555555555, 6.666666666666667, 0.806519),
+              (5.555555555555555, 7.777777777777779, 3.268613),
+              (5.555555555555555, 8.88888888888889, 7.005408),
+              (5.555555555555555, 10.0, 5.009555),
+              (6.666666666666667, 0.0, 0.254461),
+              (6.666666666666667, 1.1111111111111112, 5.900421),
+              (6.666666666666667, 2.2222222222222223, 6.642096),
+              (6.666666666666667, 3.3333333333333335, 2.755193),
+              (6.666666666666667, 4.444444444444445, 2.158826),
+              (6.666666666666667, 5.555555555555555, 0.811417),
+              (6.666666666666667, 6.666666666666667, 2.803303),
+              (6.666666666666667, 7.777777777777779, 7.800004),
+              (6.666666666666667, 8.88888888888889, 1.173348),
+              (6.666666666666667, 10.0, 4.82008),
+              (7.777777777777779, 0.0, 6.848036),
+              (7.777777777777779, 1.1111111111111112, 3.880075),
+              (7.777777777777779, 2.2222222222222223, 4.837215),
+              (7.777777777777779, 3.3333333333333335, 0.015493),
+              (7.777777777777779, 4.444444444444445, 2.544435),
+              (7.777777777777779, 5.555555555555555, 0.618988),
+              (7.777777777777779, 6.666666666666667, 1.541166),
+              (7.777777777777779, 7.777777777777779, 0.174137),
+              (7.777777777777779, 8.88888888888889, 2.103712),
+              (7.777777777777779, 10.0, 4.493135),
+              (8.88888888888889, 0.0, 2.00674),
+              (8.88888888888889, 1.1111111111111112, 3.494378),
+              (8.88888888888889, 2.2222222222222223, 0.661377),
+              (8.88888888888889, 3.3333333333333335, 3.103895),
+              (8.88888888888889, 4.444444444444445, 3.272465),
+              (8.88888888888889, 5.555555555555555, 1.120021),
+              (8.88888888888889, 6.666666666666667, 5.571573),
+              (8.88888888888889, 7.777777777777779, 5.443599),
+              (8.88888888888889, 8.88888888888889, 2.242505),
+              (8.88888888888889, 10.0, 2.091566),
+              (10.0, 0.0, 1.580519),
+              (10.0, 1.1111111111111112, 0.09125),
+              (10.0, 2.2222222222222223, 3.187042),
+              (10.0, 3.3333333333333335, 1.401484),
+              (10.0, 4.444444444444445, 1.313117),
+              (10.0, 5.555555555555555, 4.07378),
+              (10.0, 6.666666666666667, 4.041872),
+              (10.0, 7.777777777777779, 4.253867),
+              (10.0, 8.88888888888889, 1.326133),
+              (10.0, 10.0, 3.98433)
+            ) AS t(x, y, v)
+        """,
+        "when_throttle": """
+            SELECT event_id, event_type, round(value, 6) AS value
+            FROM events
+        """,
         "tag_scan": f"""
             SELECT event_type AS name, epoch_us(ts) AS time, value, event_id
             FROM events

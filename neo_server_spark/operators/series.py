@@ -143,7 +143,7 @@ def map_lowpass(df: DataFrame, value_col: str, alpha: float, out: str = "lowpass
     this recursion in a vectorized C loop.
     """
     if not 0 < alpha < 1:
-        raise ValueError("MAP_LOWPASS requires 0 < alpha < 1")
+        raise ValueError("MAP_LOWPASS() should have 0 < alpha < 1 ")
     fields = df.schema.fields + [StructField(out, DoubleType())]
     schema = StructType(fields)
     order_key = order_by
@@ -185,7 +185,7 @@ def map_lowpass_blocked(df: DataFrame, value_col: str, alpha: float,
     ever holds more than one block of one series.
     """
     if not 0 < alpha < 1:
-        raise ValueError("MAP_LOWPASS requires 0 < alpha < 1")
+        raise ValueError("MAP_LOWPASS() should have 0 < alpha < 1 ")
     import pandas as pd
 
     t = F.col(time_col).cast("long")

@@ -218,14 +218,85 @@ class Parser:
 
 def parse_script(src: str) -> list[tuple]:
     """Split a script into top-level statement calls (script_parser.go)."""
+    return [node for node, *_ in parse_script_ex(src)]
+
+
+def parse_script_ex(src: str) -> list[tuple]:
+    """Like parse_script but each entry is (node, line, col, raw) with the
+    1-based source location and raw statement text — the inputs
+    newScriptError formats into compile errors (script_parser.go)."""
     p = Parser(tokenize(src))
     stmts = []
     while p.peek().kind != "eof":
+        start = p.peek().pos
         node = p.expr()
         if node[0] != "call":
             raise SyntaxError(f"statement must be a function call, got {node}")
-        stmts.append(node)
+        end = p.peek().pos if p.peek().kind != "eof" else len(src)
+        raw = src[start:end].strip()
+        line = src.count("\n", 0, start) + 1
+        col = start - (src.rfind("\n", 0, start) + 1) + 1
+        stmts.append((node, line, col, raw))
     return stmts
+
+
+# statement roles (fx_definitions.go:16-45 fxStatementKinds; unlisted
+# names default to MAP per StatementKindByFunctionName)
+_STMT_ROLES = {
+    "SQL": {"SRC", "MAP", "SINK"},
+    "SQL_SELECT": {"SRC"}, "QUERY": {"SRC"}, "FAKE": {"SRC"},
+    "BYTES": {"SRC"}, "STRING": {"SRC"}, "ARGS": {"SRC"},
+    "SCRIPT": {"SRC", "MAP"}, "HTTP": {"SRC", "MAP"},
+    "CSV": {"SRC", "SINK"},
+    **{name: {"SINK"} for name in (
+        "INSERT", "APPEND", "JSON", "NDJSON", "MARKDOWN", "HTML", "TEXT",
+        "BOX", "DISCARD", "GEOMAP", "CHART", "CHART_LINE", "CHART_BAR",
+        "CHART_SCATTER", "CHART_LINE3D", "CHART_BAR3D", "CHART_SURFACE3D",
+        "CHART_SCATTER3D")},
+}
+
+_FETCH_VERBS = {"SELECT", "DESC", "DESCRIBE", "WITH"}  # IsFetch
+
+
+def _script_err(line: int, col: int, msg: str, raw: str) -> ValueError:
+    # newScriptError's rendering (script_parser.go / task compile errors)
+    return ValueError(f"line {line}, column {col}: {msg} [statement: {raw}]")
+
+
+def validate_script_structure(stmts_ex: list[tuple]) -> None:
+    """SRC -> MAP* -> [SINK] role validation (script_validate.go:5-41).
+
+    Deliberate extension: a script may END WITHOUT a sink — the trailing
+    statement's DataFrame becomes the result (our queries() contract), so
+    the reference's "no sink exists" error is NOT raised; every other rule
+    (head must be SRC-capable, middles MAP-capable, SQL sink refuses
+    fetch verbs) applies with the reference's exact error text."""
+    if not stmts_ex:
+        raise ValueError("no source exists")
+    head = stmts_ex[0]
+    name = head[0][1]
+    if "SRC" not in _STMT_ROLES.get(name, {"MAP"}):
+        raise _script_err(head[1], head[2],
+                          f'"{name}()" is not applicable for SRC', head[3])
+    tail = stmts_ex[-1]
+    tail_roles = _STMT_ROLES.get(tail[0][1], {"MAP"})
+    tail_is_sink = "SINK" in tail_roles and len(stmts_ex) > 1
+    mids = stmts_ex[1:-1] if tail_is_sink else stmts_ex[1:]
+    for s in mids:
+        nm = s[0][1]
+        if "MAP" not in _STMT_ROLES.get(nm, {"MAP"}):
+            raise _script_err(s[1], s[2],
+                              f'"{nm}()" is not applicable for MAP', s[3])
+    if tail_is_sink and tail[0][1] == "SQL" and tail[0][2]:
+        arg0 = tail[0][2][0]
+        if arg0[0] == "str":
+            words = str(arg0[1]).split()
+            verb = words[0].upper() if words else ""
+            if verb in _FETCH_VERBS:   # fm_dbsink.go:376-380
+                raise _script_err(
+                    tail[1], tail[2],
+                    f'f(SQL) sink does not allow fetch verb "{verb}"',
+                    tail[3])
 
 
 # --------------------------------------------------------------------------
@@ -628,6 +699,12 @@ SCALARS = {
     "key": lambda rt: F.col("__key"),
     "payload": lambda rt: rt.payload,
     "param": lambda rt, name: rt.params.get(name),
+    # args() / args(n): the task's invocation arguments (fm_context.go
+    # fmArgsParam; set by do() sub-pipelines)
+    "args": lambda rt, n=None: (
+        list(rt.arg_values) if n is None
+        else (rt.arg_values[int(n)] if 0 <= int(n) < len(rt.arg_values)
+              else None)),
     "context": lambda rt: None,
     # type constructors (fx: field()/column() coercion types)
     "doubleType": lambda rt: "double",
@@ -1247,7 +1324,8 @@ class TqlRunner:
                  params: dict | None = None, allow_shell: bool = False,
                  arg_values: list | None = None,
                  script_distribute: bool = True,
-                 now_ns: int | None = None):
+                 now_ns: int | None = None,
+                 subroutine: bool = False):
         import time as _time
         self.spark = spark
         self.payload = payload
@@ -1265,6 +1343,7 @@ class TqlRunner:
         self.now_ns = int(_time.time() * 1e9) if now_ns is None else int(now_ns)
         self.state = _State()
         self.vars: dict[str, object] = {}   # SET() record variables
+        self.subroutine = subroutine   # do() sub-pipelines: sinks inert
         self.output: object = None
 
     # ---------------------------------------------------------------- expr
@@ -1425,10 +1504,35 @@ class TqlRunner:
                for i, nm in enumerate(st.names)]
         return df.select(*sel)
 
+    def _render_frame(self, timeformat: str | None = None,
+                      tz: str | None = None) -> DataFrame:
+        """Display frame with sink-level per-position transforms (slice %T
+        rendering, gostr re-floating, time formatting) applied on the
+        INTERNAL c{i} names first — duplicate display names (two inserted
+        'column's, repeated PREDICT) stay legal because nothing resolves
+        by display name."""
+        from neo_server_spark.codecs.encoders import _format_time_cols
+        st = self.state
+        df = st.df.orderBy("__seq") if "__seq" in st.df.columns else st.df
+        for i in sorted(st.slices):
+            if i < len(st.names):   # Go %T of a []any value
+                df = df.withColumn(f"c{i}", F.lit("[]interface {}"))
+        names = [nm or f"column{i}" for i, nm in enumerate(st.names)]
+        tpos = sorted(i for i in st.times if i < len(names))
+        if not tpos:   # fallback: columns conventionally named time
+            tpos = [i for i, nm in enumerate(names) if nm.lower() == "time"]
+        if timeformat and tpos:
+            df = _format_time_cols(df, timeformat,
+                                   tuple(f"c{i}" for i in tpos), tz=tz)
+        return df.select(*[F.col(f"c{i}").alias(nm)
+                           for i, nm in enumerate(names)])
+
     # ---------------------------------------------------------------- run
 
     def run(self, src: str):
-        stmts = parse_script(src)
+        stmts_ex = parse_script_ex(src)
+        validate_script_structure(stmts_ex)
+        stmts = [node for node, *_ in stmts_ex]
         cache_param = self._find_cache_param(stmts)
         if cache_param is not None:
             # the reference checks the cache BEFORE executing the task
@@ -1461,8 +1565,26 @@ class TqlRunner:
             handler = getattr(self, f"stmt_{name}", None)
             if handler is None:
                 raise NameError(f"unsupported TQL statement {name}()")
+            if (self.subroutine and name in self._SUBROUTINE_INERT_SINKS
+                    and self.state.df is not None):
+                # do() sub-routines discard their sink output; the
+                # reference's Do warns and substitutes a discard sink
+                # (fm_monad.go:2310-2383; task_test TestDiscardSink log)
+                from neo_server_spark.tql import doers as D
+                D.LOG.warning(
+                    "do: %s() sink does not work in a sub-routine", name)
+                if self.state.df is not None:
+                    self.state.df.count()   # still drive the pipeline
+                self.output = ""
+                continue
             handler(args)
         return self.output if self.output is not None else self._display()
+
+    _SUBROUTINE_INERT_SINKS = frozenset(
+        {"CSV", "JSON", "NDJSON", "MARKDOWN", "HTML", "TEXT", "BOX",
+         "GEOMAP"} | {"CHART"} | {f"CHART_{s}" for s in
+                                  ("LINE", "BAR", "SCATTER", "LINE3D",
+                                   "BAR3D", "SCATTER3D")})
 
     # -------------------------------------------------------------- sources
 
@@ -1477,6 +1599,11 @@ class TqlRunner:
                     str: "string"}.get(type(v), type(v).__name__)
             raise TypeError(f"f(FAKE) arg(0) should be fakeSource, but {goty}")
         gname, gargs = gen[1], gen[2]
+        if gname == "args":
+            # FAKE(args()) — the invocation args as one record, same as
+            # the ARGS() source (task_test.go TestWhen FAKE(args()) case)
+            self.stmt_ARGS([])
+            return
         if gname in ("linspace", "linspace50"):
             # linspace50(a, b) = 50-point default (fm_fake.go:328)
             a, b, *rest = [self.ev(x) for x in gargs]
@@ -2349,14 +2476,11 @@ class TqlRunner:
 
     def stmt_ARGS(self, args):
         """ARGS() (fm_context.go:113-121): the task's invocation arguments
-        become ONE record whose values are the arg list (empty args -> an
-        empty stream with a ROWNUM result column)."""
+        become ONE record whose values are the arg list; with no args the
+        record's value is the EMPTY tuple (fmArgsParam returns []any{}) —
+        downstream MAPVALUEs insert into it (task_test.go TestArgs)."""
         if not self.arg_values:
-            from pyspark.sql.types import LongType, StructField, StructType
-            df = self.spark.createDataFrame([], StructType(
-                [StructField("__seq", LongType()),
-                 StructField("__key", LongType())]))
-            self._set(df, [])
+            self._set(self._from_rows([()], 0), [])
             return
         self._set(self._from_rows([tuple(self.arg_values)],
                                   len(self.arg_values)),
@@ -3144,25 +3268,23 @@ class TqlRunner:
         tz = opts["tz"][0][0] if "tz" in opts else None
         tz = _TZ_ALIASES.get(tz, tz)
         delimiter = opts["delimiter"][0][0] if "delimiter" in opts else ","
-        subst = opts["substituteNull"][0][0] if "substituteNull" in opts else "NULL"
-        disp = self._display()
-        for i in sorted(self.state.slices):
-            if i < len(disp.columns):   # Go %T of a []any value
-                disp = disp.withColumn(disp.columns[i],
-                                       F.lit("[]interface {}"))
+        # nullValue() is the current name, substituteNull() the legacy one
+        # (fx_codec_opts; task_test.go TestJsonToCsv uses both)
+        subst = (opts.get("nullValue") or opts.get("substituteNull")
+                 or [["NULL"]])[0][0]
         # 'DEFAULT' is a real named layout ('2006-01-02 15:04:05.999',
-        # time_formats.go:17) — only absence of the option leaves epoch-ns
-        tf = timeformat
-        tcols = tuple(disp.columns[i] for i in sorted(self.state.times)
-                      if i < len(disp.columns))
+        # time_formats.go:17) — only absence of the option leaves epoch-ns.
+        # Time formatting and slice rendering run on the internal frame
+        # (_render_frame) so duplicate display names stay legal.
+        disp = self._render_frame(timeformat, tz)
         # + one extra "\n": the reference CSV Exporter writes a final
         # newline on Close (csv_encode.go:127) beyond the per-row ones,
         # so live task output = golden-file content + "\n".
         self.output = encoders.to_csv(
             disp, header=header, delimiter=delimiter, precision=precision,
-            substitute_null=subst, timeformat=tf, tz=tz,
+            substitute_null=subst, timeformat=None,
             rownum="rownum" in opts and bool(opts["rownum"][0][0]),
-            time_cols=tcols or tuple(c for c in disp.columns if c == "time")) + "\n"
+            time_cols=()) + "\n"
 
     def stmt_JSON(self, args):
         from neo_server_spark.codecs import encoders
@@ -3185,17 +3307,20 @@ class TqlRunner:
             self.output = self._render_template(tmpl)
             return
         prec = int(opts["precision"][0][0]) if "precision" in opts else -1
-        disp = self._display()
         # dynamically-typed positions (mixed ternary): numeric-looking
-        # values are floats in the reference and markdown renders them %f
+        # values are floats in the reference and markdown renders them %f —
+        # rewritten on the internal c{i} frame before display aliasing
+        saved = self.state.df
         for i in sorted(self.state.gostrs):
-            if i < len(disp.columns):
-                c = F.col("`%s`" % disp.columns[i].replace("`", "``"))
+            if i < len(self.state.names):
+                c = F.col(f"c{i}")
                 num = c.rlike(r"^-?[0-9]+(\.[0-9]+)?$")
                 fmt = F.format_string(f"%.{prec if prec >= 0 else 6}f",
                                       c.cast("double"))
-                disp = disp.withColumn(disp.columns[i],
-                                       F.when(num, fmt).otherwise(c))
+                self.state.df = self.state.df.withColumn(
+                    f"c{i}", F.when(num, fmt).otherwise(c))
+        disp = self._render_frame()
+        self.state.df = saved
         self.output = encoders.to_markdown(
             disp, html="html" in opts and bool(opts["html"][0][0]),
             precision=prec)
@@ -3238,14 +3363,12 @@ class TqlRunner:
             tf = "Default"
         tz = opts["tz"][0][0] if "tz" in opts else None
         tz = _TZ_ALIASES.get(tz, tz)
-        disp = self._display()
-        tcols = tuple(disp.columns[i] for i in sorted(self.state.times)
-                      if i < len(disp.columns))
+        disp = self._render_frame(tf, tz)
         # Close() writes a final "\n" (ndjson/encode.go:99), like CSV.
         self.output = encoders.to_ndjson(
-            disp, timeformat=tf, tz=tz,
+            disp, timeformat=None,
             rownum="rownum" in opts and bool(opts["rownum"][0][0]),
-            time_cols=tcols or tuple(c for c in disp.columns if c.lower() == "time")) + "\n"
+            time_cols=()) + "\n"
 
     def stmt_DISCARD(self, args):
         self.state.df.count()  # execute, emit nothing (fm_encoder DISCARD)
@@ -3280,9 +3403,9 @@ class TqlRunner:
             kw["heading"] = bool(opts["heading"][0][0])
         if "rownum" in opts:
             kw["rownum"] = bool(opts["rownum"][0][0])
-        disp = self._display()
-        kw["time_cols"] = tuple(disp.columns[i] for i in sorted(self.state.times)
-                                if i < len(disp.columns))
+        disp = self._render_frame(kw.pop("timeformat", None),
+                                  kw.pop("tz", None))
+        kw["time_cols"] = ()
         self.output = encoders.to_box(disp, **kw)
 
     #: echarts themes shipped by the reference (chart.go themeNames)
@@ -3591,7 +3714,7 @@ class TqlRunner:
                 sub = TqlRunner(self.spark, fs_root=self.fs_root,
                                 sf_dir=self.sf_dir, params=self.params,
                                 allow_shell=self.allow_shell,
-                                arg_values=list(row))
+                                arg_values=list(row), subroutine=True)
                 try:
                     sub.run(code)
                 except Exception as e:

@@ -594,3 +594,199 @@ def test_tasktest_battery2(spark, name, script, expect, payload, err, now_ns):
         return
     out = run_script(spark, script, payload=payload, now_ns=now_ns)
     assert out == "\n".join(expect) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# task_test.go: TestArgs, TestWhen (do() sub-pipelines), TestDiscardSink,
+# TestJsonToCsv, TestCsvToCsvWithLogProgress, TestCsvToJson, TestSrcError
+# ---------------------------------------------------------------------------
+
+
+@needs_goldens
+def test_args_empty_record(spark):
+    """TestArgs: ARGS() with no invocation args emits ONE empty-tuple
+    record that downstream MAPVALUEs populate (fm_context.go fmArgsParam)."""
+    out = run_script(spark, """
+ARGS()
+MAPVALUE(0, 'tag-1', 'name')
+MAPVALUE(1, 123.4, 'value')
+CSV(heading(true))
+""")
+    assert out == "name,value\ntag-1,123.4\n\n"
+
+
+def _capture_doer_logs():
+    import logging
+
+    from neo_server_spark.tql import doers as D
+    records = []
+    h = logging.Handler()
+    h.emit = lambda rec: records.append(f"{rec.levelname} {rec.getMessage()}")
+    D.LOG.addHandler(h)
+    D.LOG.setLevel(logging.INFO)
+    return records, (lambda: D.LOG.removeHandler(h))
+
+
+@needs_goldens
+@pytest.mark.parametrize("src_stmt", ["ARGS()", "FAKE( args() )"])
+def test_when_do_subpipeline_args(spark, src_stmt):
+    """TestWhen do() sub-pipelines: args flow into the nested task via
+    ARGS()/FAKE(args()) and args(n) (fm_monad.go:2310-2383)."""
+    records, cleanup = _capture_doer_logs()
+    try:
+        run_script(spark, """
+FAKE( linspace(0, 1, 2) )
+WHEN( mod(value(0),2) == 1, do("test", value(0), {
+  %s
+  WHEN(true, doLog("MSG", args(0), args(1), "안녕") )
+  DISCARD()
+} ))
+DISCARD()
+""" % src_stmt)
+        assert records == ["INFO MSG test 1 안녕"]
+    finally:
+        cleanup()
+
+
+@needs_goldens
+def test_discard_sink_subroutine(spark):
+    """TestDiscardSink: a CSV() sink inside do() warns and is inert; the
+    nested WHEN/doLog still fires with the evaluated args."""
+    records, cleanup = _capture_doer_logs()
+    try:
+        run_script(spark, """
+CSV("1,line-1\\n2,line-2\\n3,line-3")
+MAPVALUE(0, parseFloat(value(0)))
+WHEN(
+  value(0) == 2 &&
+  strHasPrefix( strToUpper(value(1)), "LINE-") &&
+  strHasSuffix(value(1), "-2"),
+  do(value(0), strToUpper(value(1)), {
+    ARGS()
+    WHEN(true, doLog("OUTPUT:", value(0), strToLower(value(1)) ))
+    CSV()
+  })
+)
+DISCARD()
+""")
+        assert "INFO OUTPUT: 2 line-2" in records
+        assert ("WARNING do: CSV() sink does not work in a sub-routine"
+                in records)
+    finally:
+        cleanup()
+
+
+@needs_goldens
+def test_discard_sink_unicode(spark):
+    records, cleanup = _capture_doer_logs()
+    try:
+        run_script(spark, """
+FAKE( json({
+    [ 1, "hello" ],
+    [ 2, "你好"],
+    [ 3, "world" ],
+    [ 4, "世界"]
+}))
+WHEN(
+    mod(value(0), 2) == 0,
+    do( value(0), strToUpper(value(1)), {
+        ARGS()
+        WHEN( true, doLog("OUTPUT:", value(0), value(1)))
+        DISCARD()
+    })
+)
+CSV()
+""")
+        assert "INFO OUTPUT: 2 你好" in records
+        assert "INFO OUTPUT: 4 世界" in records
+    finally:
+        cleanup()
+
+
+JSON_NULL_SRC = 'FAKE(json({ ["A", 123], ["B", null], ["C", 234] }))\n'
+
+
+@needs_goldens
+@pytest.mark.parametrize("opt,expect", [
+    ('nullValue("<NULL>")', ["A,123", "B,<NULL>", "C,234", "\n"]),
+    ('substituteNull("<NULL>")', ["A,123", "B,<NULL>", "C,234", "\n"]),
+    ("nullValue(false)", ["A,123", "B,false", "C,234", "\n"]),
+    ("nullValue(3.14)", ["A,123", "B,3.14", "C,234", "\n"]),
+    ("nullValue(3.14), precision(1)",
+     ["A,123.0", "B,3.1", "C,234.0", "\n"]),
+], ids=["str", "legacy", "bool", "float", "float_precision"])
+def test_json_to_csv_nullvalue(spark, opt, expect):
+    """TestJsonToCsv: nullValue()/substituteNull() substitution typing."""
+    out = run_script(spark, JSON_NULL_SRC + f"CSV( {opt} )\n")
+    assert out == "\n".join(expect)
+
+
+@needs_goldens
+def test_csv_logprogress_option(spark):
+    """TestCsvToCsvWithLogProgress: logProgress(n) is accepted (no-op)."""
+    out = run_script(spark, """
+CSV("1,line1\\n2,line2\\n3,\\n4,line4", logProgress(2))
+CSV( heading(true) )
+""")
+    assert out == "\n".join(
+        ["column0,column1", "1,line1", "2,line2", "3,", "4,line4", "\n"])
+
+
+@needs_goldens
+def test_csv_to_json_envelope(spark):
+    """TestCsvToJson case 1: untyped CSV -> JSON envelope."""
+    import json as _json
+    out = run_script(spark, 'CSV("A,123\\nB,456\\nC,789")\nJSON()\n')
+    d = _json.loads(out)
+    assert d["success"] is True and d["reason"] == "success"
+    assert d["data"]["columns"] == ["column0", "column1"]
+    assert d["data"]["types"] == ["string", "string"]
+    assert d["data"]["rows"] == [["A", "123"], ["B", "456"], ["C", "789"]]
+
+
+@needs_goldens
+@pytest.mark.parametrize("script,err", [
+    ("FAKE( arrange(0, 1, 1) )\nINSERT(table('example'))\nJSON()",
+     'line 2, column 1: "INSERT()" is not applicable for MAP '
+     "[statement: INSERT(table('example'))]"),
+    ("MAPVALUE(0, 1)\nSQL('select * from example')\nJSON()",
+     'line 1, column 1: "MAPVALUE()" is not applicable for SRC '
+     "[statement: MAPVALUE(0, 1)]"),
+    ("FAKE( arrange(0, 1, 1) )\nSQL('select * from example')",
+     'line 2, column 1: f(SQL) sink does not allow fetch verb "SELECT" '
+     "[statement: SQL('select * from example')]"),
+], ids=["sink_as_map", "map_as_src", "sql_fetch_sink"])
+def test_src_error_structure(spark, script, err):
+    """TestSrcError: script_validate.go structural compile errors with the
+    reference's exact message text."""
+    with pytest.raises(ValueError) as ei:
+        run_script(spark, script)
+    assert str(ei.value) == err
+
+
+@needs_goldens
+def test_pragma_log_level(spark):
+    """tql_test.go TestPragma: #pragma lines are consumed; the SCRIPT
+    console.log runs and all 5 records yield into the JSON envelope."""
+    import json as _json
+    out = run_script(spark, """
+#pragma log-level=warn
+FAKE( linspace(1, 5, 5))
+SCRIPT("js", { console.log("-", $.values[0]); $.yield($.values[0]) })
+JSON()
+""")
+    d = _json.loads(out)
+    assert d["success"] is True
+    assert len(d["data"]["rows"]) == 5
+
+
+@needs_goldens
+def test_lowpass_alpha_error(spark):
+    """fm_monad_test.go TestMapLowPass: exact invalid-alpha message."""
+    with pytest.raises(ValueError,
+                       match=r"MAP_LOWPASS\(\) should have 0 < alpha < 1 "):
+        run_script(spark, """
+FAKE( linspace(0, 1, 3) )
+MAP_LOWPASS(1, value(0), 1.0)
+CSV()
+""")

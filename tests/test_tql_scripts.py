@@ -25,6 +25,14 @@ def golden(name: str) -> str:
         return f.read()
 
 
+def out_lines(out):
+    """Sink output lines with the Exporter.Close trailing newline removed
+    (csv_encode.go:127) — the same normalization task_test.go's runTest
+    applies before comparing."""
+    return out.rstrip("\n").split("\n") if out.strip() else []
+
+
+
 def run_golden(spark, name: str) -> str:
     return run_file(spark, os.path.join(GOLDEN_DIR, f"{name}.tql"),
                     fs_root=GOLDEN_DIR)
@@ -105,7 +113,7 @@ MAPVALUE(-1, "id_"+key())
 CSV()
 """
     out = run_script(spark, src)
-    rows = [ln.split(",") for ln in out.splitlines() if ln]
+    rows = [ln.split(",") for ln in out_lines(out) if ln]
     assert [r[1] for r in rows] == ["a", "bb", "ccc"]
     assert all(r[0].startswith("id_") for r in rows)
 
@@ -120,8 +128,7 @@ POPVALUE(1)
 CSV(header(true))
 """
     out = run_script(spark, src)
-    # trailing "" = the Exporter.Close newline (csv_encode.go:127)
-    assert out.splitlines() == ["hundred", "300", "400", "500", ""]
+    assert out_lines(out) == ["hundred", "300", "400", "500"]
 
 
 def test_sql_source_group(spark, sf_dir):
@@ -134,7 +141,7 @@ GROUP(by(value(0), "name"), count(value(1), "cnt"))
 CSV(header(true))
 """
     out = TqlRunner(spark, sf_dir=sf_dir).run(src)
-    lines = out.splitlines()
+    lines = out_lines(out)
     assert lines[0] == "name,cnt"
     assert len(lines) > 1
     assert lines[1:] == sorted(lines[1:])  # GROUP emits sorted by key
@@ -150,7 +157,7 @@ SQL("select DECODE(event_type, 'purchase', 1, 0) AS is_p from events limit 5")
 CSV(header(true))
 """
     out = TqlRunner(spark, sf_dir=sf_dir).run(src)
-    lines = out.splitlines()
+    lines = out_lines(out)
     assert lines[0] == "is_p"
     assert set(lines[1:]) <= {"0", "1"}
 
@@ -165,7 +172,7 @@ SQL_SELECT('value', from('events', 'purchase'), limit(5))
 CSV(header(true))
 """
     out = TqlRunner(spark, sf_dir=sf_dir).run(src)
-    lines = out.splitlines()
+    lines = out_lines(out)
     assert lines[0] == "name,time,value"
     assert len(lines) == 6
     assert all(ln.startswith("purchase,") for ln in lines[1:])
@@ -338,7 +345,7 @@ INLINE_CASES = [
                          ids=[c[0] for c in INLINE_CASES])
 def test_tql_test_go_inline_scripts(spark, name, script, want):
     out = run_script(spark, script)
-    assert [ln for ln in out.splitlines() if ln] == want
+    assert [ln for ln in out_lines(out) if ln] == want
 
 
 def test_csv_markdown_script(spark):
@@ -355,7 +362,7 @@ def test_csv_markdown_script(spark):
         CSV(payload(), header(true))
         MARKDOWN()
     """, payload=payload)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "|NAME|TIME|VALUE|",
         "|:-----|:-----|:-----|",
         "|wave.sin|1676432361|0.000000|",
@@ -373,7 +380,7 @@ def test_histogram_statement(spark):
         HISTOGRAM(value(0), bins(0, 10, 2))
         CSV(header(true))
     """)
-    assert out.splitlines() == ["low,high,count", "0,2,20", "2,4,20",
+    assert out_lines(out) == ["low,high,count", "0,2,20", "2,4,20",
                                 "4,6,20", "6,8,20", "8,10,20"]
 
 
@@ -391,7 +398,7 @@ def test_boxplot_statement(spark):
         BOXPLOT(value(1), category(value(0)))
         CSV(header(true))
     """)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "CATEGORY,a,b",
         "MIN,1,10", "LOWER,-2,-20", "Q1,1,10", "Q2,2,20", "Q3,3,30",
         "UPPER,6,60", "MAX,4,40", "IQR,2,20",
@@ -414,13 +421,13 @@ def test_boxplot_interp_and_output(spark):
         BOXPLOT(value(1), category(value(0)), boxplotInterp(true, false, false))
         CSV(header(true))
     """)
-    lines = dict(ln.split(",", 1) for ln in out.splitlines())
+    lines = dict(ln.split(",", 1) for ln in out_lines(out))
     assert lines["Q1"] == "1.5" and lines["Q2"] == "3" and lines["Q3"] == "5"
     out = run_script(spark, src + """
         BOXPLOT(value(1), category(value(0)))
         CSV(header(true))
     """)
-    lines = dict(ln.split(",", 1) for ln in out.splitlines())
+    lines = dict(ln.split(",", 1) for ln in out_lines(out))
     # empirical q1=2, q3=5, iqr=3, upper=9.5 -> 50 is an outlier
     assert lines["Q1"] == "2" and lines["UPPER"] == "9.5"
     out = run_script(spark, """
@@ -432,7 +439,7 @@ def test_boxplot_interp_and_output(spark):
                 boxplotOutput('chart'))
         CSV(header(true))
     """)
-    lines = out.splitlines()
+    lines = out_lines(out)
     assert lines[0] == "CATEGORY,BOXPLOT,OUTLIER"
     # chart-mode rows carry []any values; the CSV encoder's default %T
     # case renders them as the literal Go type name (csv_encode.go:244)
@@ -458,7 +465,7 @@ def test_filter_changed_options_statement(spark):
     # the stream's FIRST record always emits (BufferedFilter init,
     # fm_monad.go:139-158); only the first A-run holds >= 2s and emits its
     # crossing record (t=2s)
-    assert out.splitlines() == ["0,A", "2000000000,A"]
+    assert out_lines(out) == ["0,A", "2000000000,A"]
     out = run_script(spark, """
         FAKE( json({
             [0, "A"], [1000000000, "A"], [2000000000, "A"],
@@ -470,7 +477,7 @@ def test_filter_changed_options_statement(spark):
         CSV()
     """)
     # useFirst -> the run's FIRST record; withLast -> the run's last too
-    assert out.splitlines()[0] == "0,A"
+    assert out_lines(out)[0] == "0,A"
 
 
 def test_ternary_expression(spark):
@@ -480,7 +487,7 @@ def test_ternary_expression(spark):
         MAPVALUE(0, value(0) > 100 ? value(0) * 2 : value(0))
         CSV()
     """)
-    assert [ln for ln in out.splitlines() if ln] == ["1", "400"]
+    assert [ln for ln in out_lines(out) if ln] == ["1", "400"]
 
 
 def test_csv_payload_field_coercions(spark):
@@ -496,7 +503,7 @@ def test_csv_payload_field_coercions(spark):
         CSV(timeformat("s"), heading(true))
     """
     out = run_script(spark, script, payload="temp.name,1691662156,123.456789,true\n")
-    assert [ln for ln in out.splitlines() if ln] == [
+    assert [ln for ln in out_lines(out) if ln] == [
         "name,time,value,active",
         "temp.name,1691662156,123.456789,true"]
 
@@ -511,7 +518,7 @@ def test_csv_payload_field_coercions(spark):
     """
     out2 = run_script(spark, layout,
                       payload="temp.name,2023/08/10 19:09:16,123.456789,true\n")
-    assert [ln for ln in out2.splitlines() if ln] == [
+    assert [ln for ln in out_lines(out2) if ln] == [
         "name,time,value,active",
         "temp.name,1691662156,123.456789,true"]
 
@@ -613,7 +620,7 @@ FAKE( json({
 }) )
 CSV()
 """
-    assert run_script(spark, src).splitlines() == ["x,1", "y,2"]
+    assert out_lines(run_script(spark, src)) == ["x,1", "y,2"]
 
 
 def test_string_source_pushkey_csv(spark):
@@ -623,7 +630,7 @@ def test_string_source_pushkey_csv(spark):
         PUSHKEY('test')
         CSV( heading(true) )
     """)
-    assert out.splitlines() == ["ROWNUM,STRING", "1,line1", "2,line2",
+    assert out_lines(out) == ["ROWNUM,STRING", "1,line1", "2,line2",
                                 "3,", "4,line4"]
 
 
@@ -645,7 +652,7 @@ def test_string_file_markdown_plain(spark):
         STRING(file('/lines.txt'), separator('\n'))
         MARKDOWN(html(false))
     """, fs_root=GOLDEN_DIR)
-    assert out.splitlines() == ["|STRING|", "|:-----|", "|line1|",
+    assert out_lines(out) == ["|STRING|", "|:-----|", "|line1|",
                                 "|line2|", "||", "|line4|"]
 
 
@@ -657,13 +664,13 @@ def test_bytes_source_hex(spark):
         PUSHKEY('test')
         CSV( heading(true), binaryformat("hex") )
     """)
-    assert out.splitlines() == ["ROWNUM,BYTES", "1,0x6c696e6531",
+    assert out_lines(out) == ["ROWNUM,BYTES", "1,0x6c696e6531",
                                 "2,0x6c696e6532", "3,", "4,0x6c696e6534"]
     out2 = run_script(spark, r"""
         BYTES("line1\nline2\n\nline4", separator("\n"))
         CSV( heading(true), binaryformat("hex") )
     """)
-    assert out2.splitlines() == ["BYTES", "0x6c696e6531", "0x6c696e6532",
+    assert out_lines(out2) == ["BYTES", "0x6c696e6531", "0x6c696e6532",
                                  "", "0x6c696e6534"]
 
 
@@ -678,7 +685,7 @@ def test_csv_file_untyped(spark, fname):
         TAKE(2)
         CSV()
     """, fs_root=GOLDEN_DIR)
-    assert [ln for ln in out.splitlines() if ln] == [
+    assert [ln for ln in out_lines(out) if ln] == [
         "5.4,3.7,1.5,0.2,Iris-setosa",
         "4.8,3.4,1.6,0.2,Iris-setosa"]
 
@@ -690,7 +697,7 @@ def test_csv_file_charset_jp(spark):
         CSV(file("/euc-jp.csv"), charset("EUC-JP"))
         CSV()
     """, fs_root=GOLDEN_DIR)
-    assert [ln for ln in out.splitlines() if ln] == [
+    assert [ln for ln in out_lines(out) if ln] == [
         "利用されてきた文字コー,1701913182,3.141592"]
 
 
@@ -704,7 +711,7 @@ QUERY('VALUE', from('events', 'purchase', "TIME"), between(1704412800000000000, 
 CSV( precision(3), header(true) )
 """
     out = TqlRunner(spark, sf_dir=sf_dir).run(src)
-    lines = out.splitlines()
+    lines = out_lines(out)
     assert lines[0] == "TIME,VALUE"
     assert len(lines) > 1
     assert all(len(ln.split(",")) == 2 for ln in lines[1:])
@@ -719,7 +726,7 @@ def test_sql_select_explicit_time_column(spark, sf_dir):
 SQL_SELECT('time', 'value', from('events', 'purchase'), limit(3))
 CSV(header(true))
 """)
-    lines = out.splitlines()
+    lines = out_lines(out)
     assert lines[0] == "name,time,value"
     assert len(lines) == 4
 
@@ -735,7 +742,7 @@ def test_group_count_over_strings(spark):
               first(value(1), "fst"), last(value(1), "lst"))
         CSV(header(true))
     """)
-    assert out.splitlines() == ["k,cnt,fst,lst", "a,2,x,y", "b,1,z,z"]
+    assert out_lines(out) == ["k,cnt,fst,lst", "a,2,x,y", "b,1,z,z"]
 
 
 # ---------------------------------------------------------------------------
@@ -854,7 +861,7 @@ def test_box_text_html_sinks(spark):
         FAKE(json({ ["temp", 12.3] }))
         TEXT()
     """)
-    assert out.splitlines()[0] == "temp\t12.3"
+    assert out_lines(out)[0] == "temp\t12.3"
     out = run_script(spark, """
         FAKE(json({ ["temp", 12.3] }))
         HTML()
@@ -908,7 +915,7 @@ def test_server_csv_map_tql_verbatim(spark):
     if not os.path.isfile(path):
         pytest.skip("reference server tql not available")
     out = run_file(spark, path, payload="a,1\nb,2\n")
-    assert out.splitlines() == ["a,10", "b,20"]
+    assert out_lines(out) == ["a,10", "b,20"]
 
 
 def test_server_csv_append_tql_verbatim(spark, tmp_path):
@@ -940,7 +947,7 @@ def test_args_statement(spark):
         ARGS()
         CSV()
     """)
-    assert out.splitlines() == ["hello,42"]
+    assert out_lines(out) == ["hello,42"]
     out = TqlRunner(spark).run("""
         ARGS()
         CSV()
@@ -960,7 +967,7 @@ def test_map_distance_statement(spark):
         MAP_DISTANCE(2, latLon(value(0), value(1)), "dist")
         CSV(header(true), precision(0))
     """)
-    lines = out.splitlines()
+    lines = out_lines(out)
     assert lines[0] == "column0,column1,dist"
     assert lines[1].endswith(",0")
     dist = float(lines[2].split(",")[2])
@@ -1013,7 +1020,7 @@ def test_when_do_subroutine(spark, tmp_path):
         }))
         CSV()
     """)
-    assert out.splitlines() == ["1", "2", "3", "4"]
+    assert out_lines(out) == ["1", "2", "3", "4"]
     hits = spark.read.parquet(str(tmp_path / "hits"))
     got = sorted(tuple(r) for r in hits.collect())
     assert got == [(3.0, 30.0), (4.0, 40.0)]
@@ -1030,7 +1037,7 @@ def test_when_dolog_statement(spark, caplog):
             WHEN( value(0) > 2.5, doLog("high:", value(0)) )
             CSV()
         """)
-    assert out.splitlines() == ["1", "2", "3", "4"]
+    assert out_lines(out) == ["1", "2", "3", "4"]
     msgs = [r.message for r in caplog.records]
     assert msgs == ["high: 3", "high: 4"]
 
@@ -1050,7 +1057,7 @@ def test_script_src(spark):
         })
         CSV()
     """)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "0,0", "1,10", "2,20", "3,30", "4,40",
         "5,50", "6,60", "7,70", "8,80", "9,90"]
 
@@ -1071,7 +1078,7 @@ def test_script_src_map(spark):
         })
         CSV()
     """)
-    assert out.splitlines() == ["22,2,3,4"]
+    assert out_lines(out) == ["22,2,3,4"]
 
 
 def test_script_map_params_key(spark):
@@ -1092,7 +1099,7 @@ def test_script_map_params_key(spark):
         MAPVALUE(2, value(2), "parameter")
         CSV(header(true))
     """)
-    assert out.splitlines() == ["key,value,parameter", "hello,1,0", "hello,2,0"]
+    assert out_lines(out) == ["key,value,parameter", "hello,1,0", "hello,2,0"]
 
 
 def test_script_finalize(spark):
@@ -1107,7 +1114,7 @@ def test_script_finalize(spark):
         })
         CSV(header(false))
     """)
-    assert out.splitlines() == ["1", "4", "9", "1.234"]
+    assert out_lines(out) == ["1", "4", "9", "1.234"]
 
 
 def test_script_console_log_discard(spark):
@@ -1131,7 +1138,7 @@ def test_script_date_timeformat(spark):
         })
         CSV()
     """)
-    assert out.splitlines() == ["808210800,1995-08-12T07:00:00.000Z"]
+    assert out_lines(out) == ["808210800,1995-08-12T07:00:00.000Z"]
     out = run_script(spark, """
         STRING(param("timestamp") ?? "1995-08-12T00:00:00.000Z", separator('\\n'))
         SCRIPT("js", {
@@ -1141,7 +1148,7 @@ def test_script_date_timeformat(spark):
         })
         CSV()
     """)
-    assert out.splitlines() == ["808185600,1995-08-12T00:00:00.000Z"]
+    assert out_lines(out) == ["808185600,1995-08-12T00:00:00.000Z"]
 
 
 def test_script_yield_array(spark):
@@ -1154,7 +1161,7 @@ def test_script_yield_array(spark):
         })
         CSV()
     """)
-    assert out.splitlines() == ["1,2,3,4,5"]
+    assert out_lines(out) == ["1,2,3,4,5"]
     out = run_script(spark, """
         STRING('1.2,2.3,3.4,5.6', separator('\\n'))
         SCRIPT("js", {
@@ -1162,7 +1169,7 @@ def test_script_yield_array(spark):
         })
         CSV()
     """)
-    assert out.splitlines() == ["1.2,2.3,3.4,5.6"]
+    assert out_lines(out) == ["1.2,2.3,3.4,5.6"]
 
 
 def test_script_request_csv_json(spark):
@@ -1207,7 +1214,7 @@ def test_script_request_csv_json(spark):
             })
             CSV()
         """ % port)
-        assert out.splitlines() == ["tag1,1692686707000,0.1",
+        assert out_lines(out) == ["tag1,1692686707000,0.1",
                                     "tag1,1692686708000,0.2"]
         out = run_script(spark, """
             SCRIPT("js", {
@@ -1223,7 +1230,7 @@ def test_script_request_csv_json(spark):
             })
             CSV()
         """ % port)
-        assert out.splitlines() == ["tag1,1692686707,0.1",
+        assert out_lines(out) == ["tag1,1692686707,0.1",
                                     "tag1,1692686708,0.2"]
     finally:
         srv.shutdown()
@@ -1251,8 +1258,8 @@ def test_script_db_query(spark, sf_dir):
         })
         CSV(header(true))
     """ % q)
-    assert out2.splitlines()[0] == "EVENT_TYPE,CNT"
-    assert out.splitlines() == out2.splitlines()[1:]
+    assert out_lines(out2)[0] == "EVENT_TYPE,CNT"
+    assert out_lines(out) == out_lines(out2)[1:]
     # exec has no raw-DML path — the INSERT/APPEND statements are the surface
     import pytest as _pytest
     with _pytest.raises(Exception):
@@ -1272,7 +1279,7 @@ def test_shell_statement(spark):
         CSV()
     """
     out = run_script(spark, src, allow_shell=True)
-    assert out.splitlines()[:2] == ['"Hello, World!"', "123"]
+    assert out_lines(out)[:2] == ['"Hello, World!"', "123"]
     # disabled by default: untrusted scripts must not exec host commands
     import pytest as _pytest
     with _pytest.raises(PermissionError):
@@ -1288,7 +1295,7 @@ def test_shell_statement_no_shell_interpretation(spark):
         SHELL("echo '$(id)'")
         CSV()
     """, allow_shell=True)
-    assert out.splitlines()[0] == "$(id)"
+    assert out_lines(out)[0] == "$(id)"
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not supported"):
         run_script(spark, """
@@ -1311,7 +1318,7 @@ def test_ndjson_timeformat_default(spark):
         MAPVALUE(1, value(1), "VALUE")
         NDJSON( timeformat('default'), tz('UTC') )
     """)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         '{"TIME":"2023-08-22 06:45:07.38","VALUE":0.1}',
         '{"TIME":"2023-08-22 06:45:08.38","VALUE":0.2}']
 
@@ -1362,7 +1369,7 @@ def test_csv_payload_timeformat_precision(spark):
         CSV(payload(), field(0, timeType("s"), "time"), field(2, floatType(), "value"), field(3, boolType(),"flag") )
         CSV(timeformat("s"), heading(true), precision(2))
     """, payload=payload)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "time,column1,value,flag",
         "1700256261,dry,1.00,true",
         "1700256262,dry,2.00,false",
@@ -1457,7 +1464,7 @@ def test_timewindow_battery(spark, agg):
     """
     out = run_script(spark, script, payload=TW_PAYLOAD)
     want = ["time,value"] + [f"{t},{v}" for t, v in zip(TW_TIMES, TW_EXPECT[agg])]
-    assert out.splitlines() == want
+    assert out_lines(out) == want
 
 
 def test_timewindow_mixed_interpolators(spark):
@@ -1483,7 +1490,7 @@ def test_timewindow_mixed_interpolators(spark):
         f"{t},{a},{b}" for t, a, b in zip(
             TW_TIMES, TW_EXPECT["rss:PiecewiseConstant"],
             TW_EXPECT["rss:PiecewiseLinear"])]
-    assert out.splitlines() == want
+    assert out_lines(out) == want
 
 
 def test_group_timewindow(spark):
@@ -1509,7 +1516,7 @@ def test_group_timewindow(spark):
         "1700256276,9",
     ])
     out = run_script(spark, script, payload=payload)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "GROUP,AVG,SUM,LAST",
         "1700256264,5.00,15.00,6.00",
         "1700256268,7.50,15.00,8.00",
@@ -1540,7 +1547,7 @@ def test_group_timewindow_per_agg_predict(spark):
          )
         CSV(timeformat("s"), heading(true), precision(2))
     """, payload=payload)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "GROUP,AVG,LAST,PREDICT,PREDICT",
         "1700256256,NULL,0.00,NULL,100.00",
         "1700256258,NULL,0.00,NULL,100.00",
@@ -1567,13 +1574,13 @@ def test_datetime_type_ns_precision(spark):
         CSV(payload(), field(0, datetimeType("ns"), "time"), field(1, doubleType(), "value"))
         CSV(timeformat("ns"))
     """, payload="1692686707380411001,0.1\n1692686707380411002,0.2")
-    assert out.splitlines() == ["1692686707380411001,0.1",
+    assert out_lines(out) == ["1692686707380411001,0.1",
                                 "1692686707380411002,0.2"]
     out2 = run_script(spark, """
         CSV(payload(), field(0, datetimeType("s"), "time"), field(1, doubleType(), "value"))
         CSV(timeformat("ns"))
     """, payload="1700256261.5,1")
-    assert out2.splitlines() == ["1700256261500000000,1"]
+    assert out_lines(out2) == ["1700256261500000000,1"]
 
 
 def test_group_timewindow_fill_after_quantile(spark):
@@ -1593,7 +1600,7 @@ def test_group_timewindow_fill_after_quantile(spark):
          )
         CSV(timeformat("s"), heading(true), precision(2))
     """, payload=payload)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "GROUP,QUANTILE,LAST",
         "1700256260,1.00,1.00",
         "1700256262,3.00,3.00",
@@ -1613,7 +1620,7 @@ def test_review_findings_script_statements(spark, sf_dir, tmp_path):
         SCRIPT("js", { $.yield($.values[0], null) })
         CSV()
     """)
-    assert out.splitlines() == ["1,NULL"]
+    assert out_lines(out) == ["1,NULL"]
     # '?' inside a substituted string literal must not eat later params
     out = TqlRunner(spark, sf_dir=sf_dir).run("""
         SCRIPT("js", {
@@ -1634,14 +1641,14 @@ def test_review_findings_script_statements(spark, sf_dir, tmp_path):
         MAPVALUE(0, parseTime(1.5, "s"))
         CSV(timeformat("ns"))
     """)
-    assert out.splitlines() == ["1500000000"]
+    assert out_lines(out) == ["1500000000"]
     # quoted semicolon stays inside its argument
     out = run_script(spark, """
         FAKE( once(1) )
         SHELL("echo 'a;b'")
         CSV()
     """, allow_shell=True)
-    assert out.splitlines() == ["a;b"]
+    assert out_lines(out) == ["a;b"]
 
 
 def test_round5_advice_fixes(spark, sf_dir):
@@ -1707,7 +1714,7 @@ def test_round5_advice_fixes(spark, sf_dir):
         })
         CSV()
     """)
-    assert out.splitlines() == ["1,2,3"]
+    assert out_lines(out) == ["1,2,3"]
 
     # function values expose no interpreter internals
     out = run_script(spark, """
@@ -1719,7 +1726,7 @@ def test_round5_advice_fixes(spark, sf_dir):
         })
         CSV()
     """)
-    assert out.splitlines() == ["true,true,true"]
+    assert out_lines(out) == ["true,true,true"]
 
 
 def test_round5_scalar_registry(spark):
@@ -1750,7 +1757,7 @@ def test_round5_scalar_registry(spark):
         CSV()
     """)
     # 2023-11-14 22:13:20 UTC, a Tuesday (Go Weekday 2), ISO week 46
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "2023,11,14,22,13,20,2023,46,318,2,"
         "1700000000,1700000000000,1700000000000000,1700000000000000000,"
         "7,2023-11-14T22:13:20Z"]
@@ -1779,7 +1786,7 @@ def test_round5_scalar_registry(spark):
     # asin(.5)*6 = π = acos(.5)*3 = atan(1)*4; Go math.Mod(-7,3) = -1;
     # IEEE remainder(7,4) = -1; strIndex/strLastIndex are byte indexes
     pi = "3.141593"  # CSV default precision
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         f"{pi},{pi},{pi},1,0,0,0,3,1024,1000,-2,-1,-1,1,3,true,true"]
 
 
@@ -1800,7 +1807,7 @@ def test_script_stateless_fast_path(spark):
     """
     fast = TqlRunner(spark, script_distribute=True).run(script)
     serial = TqlRunner(spark, script_distribute=False).run(script)
-    assert fast == serial and len(fast.splitlines()) == 334
+    assert fast == serial and len(out_lines(fast)) == 334
 
     # multi-yield + yieldKey keep emission order
     script2 = """
@@ -1943,7 +1950,7 @@ def test_round5_registry_closure(spark):
         FAKE( linspace50(0, 49) )
         CSV()
     """)
-    lines = out.splitlines()
+    lines = out_lines(out)
     assert len(lines) == 50 and lines[0] == "0" and lines[-1] == "49"
     out = run_script(spark, """
         FAKE( once(1) )
@@ -1955,7 +1962,7 @@ def test_round5_registry_closure(spark):
         STRING('a|b|c', sep('|'))
         CSV( logProgress() )
     """)
-    assert out.splitlines() == ["a", "b", "c"]
+    assert out_lines(out) == ["a", "b", "c"]
     # cache: identical rendered output on hit, no re-execution
     src = """
         FAKE( linspace(0, 9, 10) )
@@ -1990,7 +1997,7 @@ def test_group_weight_option(spark):
               variance(value(1)) )
         CSV(heading(true), precision(2))
     """, payload=payload)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "GROUP,MEAN,MEAN,VARIANCE",
         "A,1.50,1.67,0.50", "B,4.00,4.17,1.00", "C,7.50,7.67,1.67"]
     out = run_script(spark, head + """
@@ -1998,7 +2005,7 @@ def test_group_weight_option(spark):
               stddev(value(1), weight(value(1))) )
         CSV(heading(true), precision(2))
     """, payload=payload)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "GROUP,STDDEV,STDDEV",
         "A,0.71,0.58", "B,1.00,0.83", "C,1.29,1.12"]
     out = run_script(spark, head + """
@@ -2006,7 +2013,7 @@ def test_group_weight_option(spark):
               stderr(value(1), weight(value(1))) )
         CSV(heading(true), precision(2))
     """, payload=payload)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "GROUP,STDERR,STDERR",
         "A,0.50,0.41", "B,0.58,0.48", "C,0.65,0.56"]
     out = run_script(spark, head + """
@@ -2014,7 +2021,7 @@ def test_group_weight_option(spark):
               quantile(value(1), 0.5, "P50"), median(value(1), "MEDIAN") )
         CSV(heading(true), precision(2))
     """, payload=payload)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "GROUP,P99,P50,MEDIAN",
         "A,2.00,1.00,1.00", "B,5.00,4.00,4.00", "C,9.00,7.00,7.00"]
     payload2 = "\n".join(["A,1.1", "A,1.1", "B,2.1", "B,2.2", "B,2.1",
@@ -2023,7 +2030,7 @@ def test_group_weight_option(spark):
         GROUP(by(value(0)), mode(value(1)), mode(value(1), weight(value(1))) )
         CSV(heading(true), precision(2))
     """, payload=payload2)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "GROUP,MODE,MODE",
         "A,1.10,1.10", "B,2.10,2.10", "C,3.30,3.30"]
 
@@ -2059,7 +2066,7 @@ def test_loader_qq_structural(spark):
 
     out = run_golden(spark, "TestLoader_qq")
     want = golden("TestLoader_qq.csv").splitlines()
-    got = out.splitlines()
+    got = out_lines(out)
     assert len(got) == len(want) == 5
     for g, w in zip(got, want):
         g0, g1, g2 = g.split(",")
@@ -2488,7 +2495,7 @@ def test_element_and_len(spark):
         MAPVALUE(1, element('a', 'b', 'c', value(0)))
         CSV()
     """)
-    assert out.splitlines() == ["0,a", "1,b", "2,c"]
+    assert out_lines(out) == ["0,a", "1,b", "2,c"]
 
 
 def test_group_where_and_relation_aggs(spark):
@@ -2507,7 +2514,7 @@ def test_group_where_and_relation_aggs(spark):
               covariance(value(1), value(2), where(value(1) < 50), "COV"))
         CSV(heading(true), precision(3))
     """)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "GROUP,S,C,CORR,COV",
         "A,6.000,3,0.998,9.000",
         "B,6.000,3,1.000,4.000"]
@@ -2600,16 +2607,16 @@ def test_group_where_verbatim(spark):
     out = run_script(spark, script.format(typ='datetimeType("s")',
                                           vtyp="doubleType()", extra=""),
                      payload=payload)
-    assert out.splitlines() == want
+    assert out_lines(out) == want
     out = run_script(spark, script.format(typ='timeType("s")',
                                           vtyp="floatType()", extra=""),
                      payload=payload)
-    assert out.splitlines() == want
+    assert out_lines(out) == want
     out = run_script(spark, script.format(typ='datetimeType("s")',
                                           vtyp="doubleType()",
                                           extra='nullValue("1"), '),
                      payload=payload)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "GROUP,DRY,WET",
         "1700256260,1.00,1.00", "1700256262,2.50,2.00",
         "1700256264,4.50,5.00", "1700256266,6.50,1.00",
@@ -2626,10 +2633,13 @@ def test_histogram_edge_bins(spark):
         HISTOGRAM(value(0), bins(80, 120, 13))
         CSV( precision(0), header(true) )
     """)
-    assert out.splitlines() == [
+    # int() truncation toward zero (fm_stat.go:282) folds (min-step, min)
+    # = (67, 80) into the FIRST REAL BIN; underflow keeps only v <= 67
+    # (pinned by the verbatim TestHistogram bins(80,120,13) case)
+    assert out_lines(out) == [
         "low,high,count",
-        "-Inf,80,79",
-        "80,93,13",
+        "-Inf,80,67",
+        "80,93,25",
         "93,106,8",
         "106,119,0"]
 
@@ -2643,7 +2653,7 @@ def test_histogram_unpredicted_bins(spark):
         HISTOGRAM(value(0), bins(10))
         CSV( header(true), precision(0) )
     """)
-    lines = out.splitlines()
+    lines = out_lines(out)
     assert lines[0] == "value,count"
     rows = [ln.split(",") for ln in lines[1:]]
     assert len(rows) == 10
@@ -2676,14 +2686,14 @@ def test_map_changed_verbatim(spark):
         FILTER_CHANGED(value(0), retain(value(1), "2s"), useFirstWithLast(false))
         CSV(timeformat("s"))
     """)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "A,1692329338,1", "B,1692329340,3", "D,1692329347,9.1"]
     out = run_script(spark, data + """
         MAPVALUE(1, parseTime(value(1), "s", tz("UTC")))
         FILTER_CHANGED(value(0), retain(value(1), "2s"), useFirstWithLast(true))
         CSV(timeformat("s"))
     """)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "A,1692329338,1", "A,1692329339,2", "B,1692329340,3",
         "B,1692329345,8", "D,1692329347,9.1", "D,1692329349,9.3"]
     out = run_script(spark, data + """
@@ -2691,7 +2701,7 @@ def test_map_changed_verbatim(spark):
         FILTER_CHANGED(value(0), useFirstWithLast(true))
         CSV(timeformat("s"))
     """)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "A,1692329338,1", "A,1692329339,2", "B,1692329340,3",
         "B,1692329345,8", "C,1692329346,9", "C,1692329346,9",
         "D,1692329347,9.1", "D,1692329349,9.3"]
@@ -2711,7 +2721,7 @@ def test_map_changed_verbatim(spark):
         FILTER_CHANGED(strSprintf("%s.%.f", value(0), value(2)), useFirstWithLast(true))
         CSV(timeformat("s"))
     """)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "A,1692329338,1", "A,1692329338,1", "A,1692329341,2",
         "A,1692329344,2", "B,1692329339,1", "B,1692329339,1",
         "B,1692329342,2", "B,1692329342,2", "B,1692329345,1",
@@ -2731,7 +2741,7 @@ def test_math_verbatim(spark):
             POPKEY(1)
             PUSHKEY('test')
             CSV(precision(6))
-        """).splitlines()
+        """).rstrip("\n").splitlines()
 
     assert run("exp") == [
         "-2.000000,0.135335", "-1.000000,0.367879", "0.000000,1.000000",
@@ -2754,7 +2764,7 @@ def test_math_verbatim(spark):
         PUSHKEY('test')
         CSV(precision(6))
     """)
-    assert out.splitlines() == [
+    assert out_lines(out) == [
         "0.000000,0.000000", "0.785398,1.000000", "1.570796,3060023.306953"]
     out = run_script(spark, """
         FAKE( linspace(1000, 100, -1) )
