@@ -70,7 +70,14 @@ def histogram(
         counts = binned.groupBy("__bin").pivot(category, list(categories) if categories else None).count()
         out = F.broadcast(grid).join(counts, "__bin", "left")
         cat_cols = [c for c in counts.columns if c != "__bin"]
-        ordered = [c for c in order if c in cat_cols] if order else sorted(cat_cols)
+        # sortCategoryNames (fm_stat.go:196-221): categories named in
+        # order() first (in that order), the REST follow sorted ascending
+        # — a partial order() must not drop unlisted categories
+        if order:
+            ordered = ([c for c in order if c in cat_cols]
+                       + sorted(c for c in cat_cols if c not in set(order)))
+        else:
+            ordered = sorted(cat_cols)
         # backtick-escape: category values may contain dots ("Cat.A")
         # which bare F.col would parse as struct access
         def _cc(c):

@@ -698,7 +698,13 @@ SCALARS = {
     "value": lambda rt, n=None: rt.value_col(int(n) if n is not None else 0),
     "key": lambda rt: F.col("__key"),
     "payload": lambda rt: rt.payload,
-    "param": lambda rt, name: rt.params.get(name),
+    # param(): 1 value -> the scalar, several -> the list, none -> null
+    # (fm_context.go:101-109 GetRequestParam)
+    "param": lambda rt, name: (
+        (lambda v: v[0] if isinstance(v, (list, tuple)) and len(v) == 1
+         else (list(v) if isinstance(v, (list, tuple)) and v else
+               (v if not isinstance(v, (list, tuple)) else None)))
+        (rt.params.get(name))),
     # args() / args(n): the task's invocation arguments (fm_context.go
     # fmArgsParam; set by do() sub-pipelines)
     "args": lambda rt, n=None: (
@@ -2795,8 +2801,11 @@ class TqlRunner:
                 F.col("x").alias("c0"), F.col("y").alias("c1"))
             self._set(res, ["value", "count"])
             return
-        if "bins" not in opts or len(opts["bins"][0]) != 3:
+        if "bins" not in opts:
             raise ValueError("HISTOGRAM requires bins(min, max, step)")
+        if len(opts["bins"][0]) not in (1, 3):   # fm_stat.go:251
+            raise ValueError("f(bins) invalid number of args; "
+                             f"expected 1 or 3, got {len(opts['bins'][0])}")
         bmin, bmax, bstep = [float(x) for x in opts["bins"][0]]
         df = self.state.df.withColumn("__hv", v)
         cat = None

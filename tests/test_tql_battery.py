@@ -790,3 +790,26 @@ FAKE( linspace(0, 1, 3) )
 MAP_LOWPASS(1, value(0), 1.0)
 CSV()
 """)
+
+
+@needs_goldens
+def test_histogram_partial_order(spark):
+    """fm_stat.go sortCategoryNames (TestHistogramOrder): a PARTIAL
+    order() lists those categories first, the rest follow sorted."""
+    out = run_script(spark, """FAKE( arrange(1, 100, 1) )
+MAPVALUE(0, (simplex(12, value(0)) + 1) * 100)
+PUSHVALUE(0, key() % 2 == 0 ? "Cat.A" : "Cat.B")
+HISTOGRAM(value(1), bins(0, 200, 20), category(value(0)), order("Cat.B"))
+CSV( header(true), precision(0) )""")
+    assert out.splitlines()[0] == "low,high,Cat.B,Cat.A"
+
+
+@needs_goldens
+def test_bins_arg_count_error(spark):
+    """fm_stat.go:251 exact bins() arity error."""
+    with pytest.raises(ValueError,
+                       match=r"f\(bins\) invalid number of args; "
+                             r"expected 1 or 3, got 2"):
+        run_script(spark, """FAKE( arrange(1, 10, 1) )
+HISTOGRAM(value(0), bins(0, 10))
+CSV()""")
