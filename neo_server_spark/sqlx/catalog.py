@@ -199,3 +199,79 @@ def exec_table_flush(spark: SparkSession, table: str) -> None:
     buffered appends to storage; Spark's equivalent concern is stale file
     listings/statistics on an externally appended table."""
     spark.catalog.refreshTable(table)
+
+
+def show_index_gap(spark: SparkSession) -> DataFrame:
+    """SHOW INDEXGAP (spi/show.go:1033-1053 ShowIndexGap): per-index
+    build lag.  Spark has no asynchronous index builder — parquet/bucket
+    layouts are consistent at write commit — so every registered index
+    reports GAP 0; the schema matches the reference exactly."""
+    idx = show_indexes(spark).collect()
+    rows = [(i + 1, r["table"], f"_{r['table']}_{r['column']}".upper(), 0)
+            for i, r in enumerate(idx)]
+    return spark.createDataFrame(
+        rows, "INDEX_ID long, TABLE_NAME string, INDEX_NAME string, GAP long")
+
+
+def show_tag_index_gap(spark: SparkSession) -> DataFrame:
+    """SHOW TAGINDEXGAP (spi/show.go:1103-1123 ShowTagIndexGap): tag-table
+    index sync status; always in-sync here (see show_index_gap)."""
+    rows = [(i + 1, t.name, "In-Sync", 0, 0)
+            for i, t in enumerate(spark.catalog.listTables())]
+    return spark.createDataFrame(
+        rows, "TABLE_ID long, TABLE_NAME string, STATUS string, "
+              "DISK_GAP long, MEMORY_GAP long")
+
+
+#: DESC column widths per machbase type (spi engine conventions seen in
+#: TestDatabaseTql SQL_desc-table)
+_DESC_WIDTHS = {"short": 6, "ushort": 5, "integer": 11, "uinteger": 10,
+                "long": 20, "ulong": 20, "float": 17, "double": 17,
+                "datetime": 31, "ipv4": 15, "ipv6": 45}
+
+
+def desc_table(spark: SparkSession, table: str) -> DataFrame:
+    """DESC <table> (TestDatabaseTql SQL_desc-table shape): COLUMN / TYPE /
+    LENGTH / FLAG / INDEX.  The tag-table convention flags the first
+    (name, time, value) columns as the reference does."""
+    from neo_server_spark.codecs.encoders import machbase_type
+
+    # api-layer names -> engine DDL type names (spi/machsvr/machsvr.go:919
+    # vs the DESC output in TestDatabaseTql)
+    engine = {"int16": "short", "int32": "integer", "int64": "long",
+              "string": "varchar"}
+    flags = {"name": "tag name", "time": "base time", "ts": "base time",
+             "value": "summarized"}
+    rows = []
+    for f in spark.table(table).schema.fields:
+        ty = engine.get(machbase_type(f.dataType), machbase_type(f.dataType))
+        if f.name.lower() in ("time", "ts") and ty == "long":
+            ty = "datetime"   # epoch-ns long convention
+        rows.append((f.name.upper(), ty, _DESC_WIDTHS.get(ty, 0),
+                     flags.get(f.name.lower(), ""), ""))
+    return spark.createDataFrame(
+        rows, "COLUMN string, TYPE string, LENGTH int, FLAG string, "
+              "INDEX string")
+
+
+def show_tags_full(tag_df: DataFrame, name_col: str = "name",
+                   time_col: str = "time",
+                   value_col: str = "value") -> DataFrame:
+    """SHOW TAGS with the engine's FULL stat column set
+    (spi/show.go ShowTags: ID/NAME/ROW_COUNT/MIN_TIME/MAX_TIME/
+    RECENT_ROW_TIME/MIN_VALUE/MIN_VALUE_TIME/MAX_VALUE/MAX_VALUE_TIME).
+    One hash aggregate over the tag partition — scale-safe."""
+    agg = (tag_df.groupBy(F.col(name_col).alias("NAME"))
+           .agg(F.count(F.lit(1)).alias("ROW_COUNT"),
+                F.min(time_col).alias("MIN_TIME"),
+                F.max(time_col).alias("MAX_TIME"),
+                F.max(time_col).alias("RECENT_ROW_TIME"),
+                F.min(value_col).alias("MIN_VALUE"),
+                F.expr(f"min_by({time_col}, {value_col})").alias("MIN_VALUE_TIME"),
+                F.max(value_col).alias("MAX_VALUE"),
+                F.expr(f"max_by({time_col}, {value_col})").alias("MAX_VALUE_TIME")))
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("NAME")
+    return agg.select(
+        F.row_number().over(w).cast("long").alias("ID"),
+        "NAME", "ROW_COUNT", "MIN_TIME", "MAX_TIME", "RECENT_ROW_TIME",
+        "MIN_VALUE", "MIN_VALUE_TIME", "MAX_VALUE", "MAX_VALUE_TIME")

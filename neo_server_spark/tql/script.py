@@ -1769,12 +1769,60 @@ class TqlRunner:
             from neo_server_spark.sqlx.dialect import lake_sql
             if self.sf_dir:
                 nio.register_views(self.spark, self.sf_dir)
-            df = lake_sql(self.spark, q)
+            admin = self._sql_admin(str(q))
+            df = admin if admin is not None else lake_sql(self.spark, q)
         cols = df.columns
         df = df.withColumn("__seq", F.monotonically_increasing_id())
         sel = [F.col("__seq"), F.col(cols[0]).alias("__key")] + [
             F.col(c).alias(f"c{i}") for i, c in enumerate(cols)]
         self._set(df.select(*sel), list(cols))
+
+    def _sql_admin(self, q: str):
+        """Admin verbs inside SQL('...') text — SHOW family / DESC / EXEC
+        table_flush (spi/show.go + TestDatabaseTql shapes).  Returns None
+        when the text is not an admin statement (falls through to the
+        query planner)."""
+        import re as _re
+
+        from neo_server_spark.sqlx import catalog as C
+        words = q.strip().rstrip(";").split()
+        if not words:
+            return None
+        verb = words[0].lower()
+        if verb == "exec":
+            m = _re.match(r"table_flush\s*\(\s*(\w+)\s*\)",
+                          " ".join(words[1:]), _re.I)
+            if m:   # flush is a commit-time no-op on parquet layouts
+                return self.spark.createDataFrame([("executed.",)],
+                                                  "MESSAGE string")
+            return None
+        if verb in ("desc", "describe") and len(words) >= 2:
+            return C.desc_table(self.spark, words[1].rstrip(";"))
+        if verb != "show" or len(words) < 2:
+            return None
+        what = words[1].lower()
+        if what == "tables":
+            return C.show_tables(self.spark)
+        if what == "indexgap":
+            return C.show_index_gap(self.spark)
+        if what == "tagindexgap":
+            return C.show_tag_index_gap(self.spark)
+        if what == "indexes":
+            return C.show_indexes(self.spark,
+                                  words[2] if len(words) > 2 else None)
+        if what == "tags" and len(words) >= 3:
+            t = words[2]
+            if t == "events":   # canonical tag mapping of the events table
+                from neo_server_spark import io as nio
+                df = nio.events_as_tag(self.spark, self.sf_dir)
+                return C.show_tags_full(df)
+            df = self.spark.table(t)
+            cols = {c.lower(): c for c in df.columns}
+            return C.show_tags_full(
+                df, name_col=cols.get("name", df.columns[0]),
+                time_col=cols.get("time", df.columns[1]),
+                value_col=cols.get("value", df.columns[-1]))
+        return None
 
     def stmt_SQL_SELECT(self, args):
         """SQL_SELECT(cols..., from(table [, tag]), between(a, b), limit(n))

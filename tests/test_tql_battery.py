@@ -813,3 +813,38 @@ def test_bins_arg_count_error(spark):
         run_script(spark, """FAKE( arrange(1, 10, 1) )
 HISTOGRAM(value(0), bins(0, 10))
 CSV()""")
+
+
+# ---------------------------------------------------------------------------
+# tql_test.go TestDatabaseTql admin shapes: SHOW INDEXGAP / TAGINDEXGAP /
+# TAGS, DESC, EXEC table_flush through SQL('...') text
+# ---------------------------------------------------------------------------
+
+
+@needs_goldens
+def test_sql_admin_verbs(spark, sf_dir):
+    """SQL('show indexgap'/'show tagindexgap'/'show tags T'/'desc T'/
+    'EXEC table_flush(T)') route to the catalog views with the
+    reference's exact column sets (spi/show.go schemas)."""
+    import json as _json
+
+    from neo_server_spark.tql.script import TqlRunner
+
+    def r(s):
+        return TqlRunner(spark, sf_dir=sf_dir).run(s)
+
+    d = _json.loads(r('SQL("show indexgap")\nJSON()'))
+    assert d["data"]["columns"][:3] == ["INDEX_ID", "TABLE_NAME",
+                                        "INDEX_NAME"]
+    d = _json.loads(r('SQL("show tagindexgap")\nJSON()'))
+    assert d["data"]["columns"][:3] == ["TABLE_ID", "TABLE_NAME", "STATUS"]
+    out = r('SQL("EXEC table_flush(events)")\nMARKDOWN()')
+    assert out.splitlines() == ["|MESSAGE|", "|:-----|", "|executed.|"]
+    out = r('SQL("show tags events")\nCSV(header(true))')
+    assert out.splitlines()[0] == (
+        "ID,NAME,ROW_COUNT,MIN_TIME,MAX_TIME,RECENT_ROW_TIME,"
+        "MIN_VALUE,MIN_VALUE_TIME,MAX_VALUE,MAX_VALUE_TIME")
+    out = r('SQL("desc events;")\nCSV(header(true))')
+    lines = out.splitlines()
+    assert lines[0] == "COLUMN,TYPE,LENGTH,FLAG,INDEX"
+    assert any(ln.startswith("TS,datetime,31,base time") for ln in lines)
