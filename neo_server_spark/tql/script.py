@@ -1963,8 +1963,7 @@ class TqlRunner:
         line ordinal surfaced as ROWNUM by PUSHKEY (task_test.go TestString)."""
         opts, pos = self._opt_calls(args)
         if "file" in opts:
-            with open(self._resolve(opts["file"][0][0])) as f:
-                text = f.read()
+            text = self._read_source_file(opts["file"][0][0])
             if text.endswith("\n"):
                 text = text[:-1]
         else:
@@ -1985,8 +1984,7 @@ class TqlRunner:
         name BYTES, empty separators yield empty byte rows."""
         opts, pos = self._opt_calls(args)
         if "file" in opts:
-            with open(self._resolve(opts["file"][0][0]), "rb") as f:
-                data = f.read()
+            data = self._read_source_file(opts["file"][0][0], binary=True)
             if data.endswith(b"\n"):
                 data = data[:-1]
         else:
@@ -2010,13 +2008,34 @@ class TqlRunner:
             return os.path.join(self.fs_root, path.lstrip("/"))
         return path
 
+    def _read_source_file(self, path: str, binary: bool = False):
+        """file(path) for the STRING/BYTES/CSV sources — local fs or an
+        http(s) URL (fm_csv.go:115-135 fetches URLs with the Go http
+        client; non-http schemes are rejected like everywhere else)."""
+        if path.startswith(("http://", "https://")):
+            import urllib.request
+            with urllib.request.urlopen(_require_http_url(path)) as resp:
+                data = resp.read()
+            return data if binary else data.decode("utf-8")
+        if binary:
+            with open(self._resolve(path), "rb") as f:
+                return f.read()
+        with open(self._resolve(path)) as f:
+            return f.read()
+
     def _csv_source(self, args):
         opts, pos = self._opt_calls(args)
         fields = (opts.get("field", []) + opts.get("column", [])
                   + opts.get("col", []))  # col() = deprecated field()
         use_header = bool((opts.get("header") or opts.get("heading")
                            or [[False]])[0][0])
-        if "file" in opts:
+        http_text = None
+        if "file" in opts and str(opts["file"][0][0]).startswith(
+                ("http://", "https://")):
+            # URL sources fetch driver-side and take the literal-rows
+            # path (fm_csv.go:115-135)
+            http_text = self._read_source_file(opts["file"][0][0])
+        if "file" in opts and http_text is None:
             path = self._resolve(opts["file"][0][0])
             reader = self.spark.read.option("header", use_header)
             # fields stay STRINGS unless field() coerces them — the
@@ -2038,7 +2057,7 @@ class TqlRunner:
         else:
             import csv as _csv
             import io as _io
-            text = self.ev(pos[0])
+            text = http_text if http_text is not None else self.ev(pos[0])
             rows = [tuple(r) for r in _csv.reader(_io.StringIO(text.strip())) if r]
             hdr = None
             if use_header:

@@ -848,3 +848,40 @@ def test_sql_admin_verbs(spark, sf_dir):
     lines = out.splitlines()
     assert lines[0] == "COLUMN,TYPE,LENGTH,FLAG,INDEX"
     assert any(ln.startswith("TS,datetime,31,base time") for ln in lines)
+
+
+@needs_goldens
+def test_http_file_sources(spark):
+    """task_test.go TestHttpFile: STRING/BYTES/CSV file() over http —
+    fetched driver-side (fm_csv.go:115-135), literal-rows path."""
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = {
+                "/string": b"ok.", "/bytes": b"ok.",
+                "/csv": b'1,3.141592,true,"escaped, string",123456',
+            }.get(self.path, b"")
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        assert run_script(
+            spark, f'STRING(file("{base}/string"))\nCSV()') == "ok.\n\n"
+        assert run_script(
+            spark, f'BYTES(file("{base}/bytes"))\nCSV(binaryformat("hex"))'
+        ) == "0x6f6b2e\n\n"
+        assert run_script(
+            spark, f'CSV(file("{base}/csv"))\nCSV()'
+        ) == '1,3.141592,true,"escaped, string",123456\n\n'
+    finally:
+        srv.shutdown()
