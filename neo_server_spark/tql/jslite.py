@@ -58,6 +58,7 @@ _KEYWORDS = {
     "var", "let", "const", "function", "return", "if", "else", "for",
     "while", "break", "continue", "true", "false", "null", "undefined",
     "new", "typeof", "of", "in", "do", "instanceof",
+    "try", "catch", "finally", "throw",
 }
 
 
@@ -270,6 +271,23 @@ class Parser:
             update = None if self.at("punct", ")") else self.expression()
             self.eat("punct", ")")
             return ("for", init, cond, update, self.statement())
+        if self.at("kw", "throw"):
+            self.next()
+            val = self.expression()
+            self.opt("punct", ";")
+            return ("throw", val)
+        if self.at("kw", "try"):
+            self.next()
+            body = self.block()
+            param = catch = fin = None
+            if self.opt("kw", "catch"):
+                if self.opt("punct", "("):
+                    param = self.eat("ident").val
+                    self.eat("punct", ")")
+                catch = self.block()
+            if self.opt("kw", "finally"):
+                fin = self.block()
+            return ("try", body, param, catch, fin)
         if self.at("kw", "break"):
             self.next()
             self.opt("punct", ";")
@@ -312,12 +330,56 @@ class Parser:
         return e
 
     def assignment(self):
+        arrow = self._try_arrow()
+        if arrow is not None:
+            return arrow
         left = self.ternary()
         if self.at("punct") and self.peek().val in ("=", "+=", "-=", "*=", "/=", "%="):
             op = self.next().val
             right = self.assignment()
             return ("assign", op, left, right)
         return left
+
+    def _try_arrow(self):
+        """Arrow functions: `x => e`, `(a, b) => e`, `() => { ... }` —
+        lowered to the same funcexpr node as function expressions."""
+        if self.at("ident") and self.peek(1).kind == "punct" \
+                and self.peek(1).val == "=>":
+            name = self.next().val
+            self.next()
+            return ("funcexpr", [name], self._arrow_body())
+        if self.at("punct", "("):
+            # token lookahead: ( ident, ... ) =>
+            j = self.i + 1
+            params = []
+            while True:
+                t = self.peek(j - self.i)
+                if t.kind == "punct" and t.val == ")":
+                    j += 1
+                    break
+                if t.kind != "ident":
+                    return None
+                params.append(t.val)
+                j += 1
+                t = self.peek(j - self.i)
+                if t.kind == "punct" and t.val == ",":
+                    j += 1
+                elif t.kind == "punct" and t.val == ")":
+                    j += 1
+                    break
+                else:
+                    return None
+            t = self.peek(j - self.i)
+            if not (t.kind == "punct" and t.val == "=>"):
+                return None
+            self.i = j + 1
+            return ("funcexpr", params, self._arrow_body())
+        return None
+
+    def _arrow_body(self):
+        if self.at("punct", "{"):
+            return self.block()
+        return ("block", [("return", self.assignment())])
 
     def ternary(self):
         cond = self.nullish()
@@ -482,6 +544,13 @@ class _Break(Exception):
 
 class _Continue(Exception):
     pass
+
+
+class _Throw(Exception):
+    """A JS `throw` in flight — carries the thrown value verbatim."""
+
+    def __init__(self, value):
+        self.value = value
 
 
 class JSFunction:
@@ -756,6 +825,32 @@ class Interpreter:
             raise _Break()
         if k == "continue":
             raise _Continue()
+        if k == "throw":
+            raise _Throw(self.eval(node[1], scope))
+        if k == "try":
+            # JS user throws (_Throw) and runtime errors (JSError except
+            # the step-budget guard) are catchable, like goja; control-flow
+            # exceptions (_Return/_Break/_Continue) pass through
+            try:
+                try:
+                    self.exec_stmt(node[1], scope)
+                except (_Throw, JSError) as ex:
+                    if isinstance(ex, JSError) and "step budget" in str(ex):
+                        raise
+                    if node[3] is None:
+                        if node[4] is None:
+                            raise
+                    else:
+                        inner = Scope(scope)
+                        if node[2] is not None:
+                            val = (ex.value if isinstance(ex, _Throw)
+                                   else JSErrorValue(str(ex)))
+                            inner.declare(node[2], val)
+                        self.exec_stmt(node[3], inner)
+            finally:
+                if node[4] is not None:
+                    self.exec_stmt(node[4], scope)
+            return
         raise JSError(f"unsupported statement {k}")
 
     # ---------------------------------------------------------- evaluation
@@ -787,6 +882,11 @@ class Interpreter:
                 fn = self.eval(callee, scope)
             args = [self.eval(a, scope) for a in node[2]]
             if not callable(fn):
+                if callee[0] == "member" and (fn is UNDEFINED or fn is None):
+                    # goja's text for calling a missing member
+                    # (fm_script_test TestScriptException)
+                    raise JSError(
+                        f"Object has no member '{callee[2]}'")
                 raise JSError(f"{fn!r} is not a function")
             return fn(*args)
         if k == "new":

@@ -3402,33 +3402,131 @@ class TqlRunner:
             precision=prec)
 
     def _render_template(self, tmpl: str) -> str:
-        """Per-record Go-template rendering, minimal subset (fm_encoder
-        template option; tql_test.go MARKDOWN_TEMPLATE case): {{ if
-        .IsFirst/.IsLast }}...{{ end }}, {{ .Value N }}, {{ .Key }}.
-        define/template blocks are not supported."""
+        """Per-record Go-template rendering (fm_encoder template option;
+        MARKDOWN_TEMPLATE + fm_script_test TestScriptToTemplate shapes):
+        {{ if .IsFirst/.IsLast }}, {{ with .V }} / {{ with .Value N }},
+        {{ .Value N }}, {{ .Key }}, {{ .field }} inside with-blocks,
+        {{"literal"}} strings, and the {{- / -}} whitespace trim markers.
+        define/template/range blocks are not supported."""
+        import json as _json
         import re as _re
 
         from neo_server_spark.codecs.encoders import _format_float
 
-        rows = self._display().collect()
-        n = len(rows)
+        # --- lex: text / action parts with trim-marker handling
+        parts: list[list] = []
+        pos = 0
+        for m in _re.finditer(r"\{\{(-?)\s*(.*?)\s*(-?)\}\}", tmpl, _re.S):
+            parts.append(["text", tmpl[pos:m.start()]])
+            parts.append(["act", m.group(2), m.group(1) == "-",
+                          m.group(3) == "-"])
+            pos = m.end()
+        parts.append(["text", tmpl[pos:]])
+        for i, p in enumerate(parts):
+            if p[0] != "act":
+                continue
+            if p[2] and i > 0 and parts[i - 1][0] == "text":
+                parts[i - 1][1] = parts[i - 1][1].rstrip()
+            if p[3] and i + 1 < len(parts) and parts[i + 1][0] == "text":
+                parts[i + 1][1] = parts[i + 1][1].lstrip()
+
+        # --- parse actions into a block tree
+        def parse(idx):
+            nodes = []
+            while idx < len(parts):
+                p = parts[idx]
+                if p[0] == "text":
+                    nodes.append(("text", p[1]))
+                    idx += 1
+                    continue
+                act = p[1]
+                if act == "end":
+                    return nodes, idx + 1
+                m = _re.match(r"(if|with)\s+(.*)$", act, _re.S)
+                if m:
+                    body, idx = parse(idx + 1)
+                    nodes.append((m.group(1), m.group(2).strip(), body))
+                    continue
+                nodes.append(("expr", act))
+                idx += 1
+            return nodes, idx
+
+        tree, _ = parse(0)
 
         def fmt(v):
+            if isinstance(v, bool):
+                return "true" if v else "false"
             if isinstance(v, float):
                 return _format_float(v)
             return "" if v is None else str(v)
 
+        disp = self._display()
+        names = list(disp.columns)
+        rows = disp.collect()
+        n = len(rows)
+        jsons = set(self.state.jsons)
+
+        def value_of(r, i):
+            v = r[i]
+            # OBJECT values travel as canonical JSON text in the record
+            # model (dict()/SCRIPT object yields) — re-embed for field
+            # access, like the JSON sink does
+            if isinstance(v, str) and (i in jsons or
+                                       (v[:1] in "{[" and v[-1:] in "}]")):
+                try:
+                    return _json.loads(v)
+                except ValueError:
+                    return v
+            return v
+
+        def resolve(expr, ctx, r, rownum):
+            expr = expr.strip()
+            if expr.startswith('"') and expr.endswith('"') and len(expr) >= 2:
+                # {{"\n"}} literal strings (either pre-unescaped by the
+                # tokenizer or still carrying backslash escapes)
+                return (expr[1:-1].replace("\\n", "\n")
+                        .replace("\\t", "\t").replace('\\"', '"'))
+            m = _re.match(r"\.Value\s+(\d+)$", expr)
+            if m:
+                return value_of(r, int(m.group(1)))
+            if expr == ".Key":
+                return rownum
+            if expr == ".V":
+                return {names[i]: value_of(r, i) for i in range(len(names))}
+            if expr.startswith("."):
+                cur = ctx[-1]
+                for fieldn in expr[1:].split("."):
+                    if isinstance(cur, dict):
+                        cur = cur.get(fieldn)
+                    else:
+                        cur = getattr(cur, fieldn, None)
+                return cur
+            return None
+
+        def render(nodes, ctx, r, rownum, flags):
+            buf = []
+            for node in nodes:
+                if node[0] == "text":
+                    buf.append(node[1])
+                elif node[0] == "expr":
+                    buf.append(fmt(resolve(node[1], ctx, r, rownum)))
+                elif node[0] == "if":
+                    cond = (flags.get(node[1][1:])
+                            if node[1].startswith(".") and node[1][1:] in flags
+                            else resolve(node[1], ctx, r, rownum))
+                    if cond:
+                        buf.append(render(node[2], ctx, r, rownum, flags))
+                elif node[0] == "with":
+                    bound = resolve(node[1], ctx, r, rownum)
+                    if bound:
+                        buf.append(render(node[2], ctx + [bound], r, rownum,
+                                          flags))
+            return "".join(buf)
+
         out = []
         for i, r in enumerate(rows):
-            ctx = {"IsFirst": i == 0, "IsLast": i == n - 1}
-            s = _re.sub(
-                r"\{\{\s*if\s+\.(\w+)\s*\}\}(.*?)\{\{\s*end\s*\}\}",
-                lambda m: m.group(2) if ctx.get(m.group(1), False) else "",
-                tmpl, flags=_re.S)
-            s = _re.sub(r"\{\{\s*\.Value\s+(\d+)\s*\}\}",
-                        lambda m: fmt(r[int(m.group(1))]), s)
-            s = _re.sub(r"\{\{\s*\.Key\s*\}\}", fmt(i + 1), s)
-            out.append(s)
+            flags = {"IsFirst": i == 0, "IsLast": i == n - 1}
+            out.append(render(tree, [flags], r, i + 1, flags))
         return "".join(out)
 
     def stmt_NDJSON(self, args):
@@ -3458,8 +3556,15 @@ class TqlRunner:
         self.output = encoders.to_html(self._display())
 
     def stmt_TEXT(self, args):
-        """TEXT() sink (mods/codec Format TEXT) — TSV by default."""
+        """TEXT([template]) sink (mods/codec Format TEXT) — TSV by
+        default; a string or {brace} argument renders per record as a Go
+        template (TestScriptToTemplate shapes)."""
         from neo_server_spark.codecs import encoders
+        opts, pos = self._opt_calls(args)
+        tmpl = next((a[1] for a in pos if a[0] in ("brace", "str")), None)
+        if tmpl is not None:
+            self.output = self._render_template(tmpl)
+            return
         self.output = encoders.to_text(self._display())
 
     def stmt_BOX(self, args):

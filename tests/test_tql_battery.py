@@ -885,3 +885,111 @@ def test_http_file_sources(spark):
         ) == '1,3.141592,true,"escaped, string",123456\n\n'
     finally:
         srv.shutdown()
+
+
+TEMPLATE_CASES = [
+    ("array_template", """SCRIPT({
+    $.yield(1, 2, 3);
+    $.yield(4, 5, 6);
+})
+TEXT('{{- .Value 0 }},{{ .Value 1 }},{{ .Value 2 }}{{"\\n"}}')
+""", "1,2,3\n4,5,6\n"),
+    ("v_map_default_names", """SCRIPT({
+    $.yield("John", 30);
+    $.yield("Jane", 25);
+})
+TEXT({
+    {{- with .V -}}
+        {{ .column0 }}:{{ .column1 }}{{"\n"}}
+    {{- end -}}
+})
+""", "John:30\nJane:25\n"),
+    ("v_map_result_names", """SCRIPT({
+    $.result = {
+        columns: ["name", "age"],
+        types: ["string", "int64"]
+    };
+    $.yield("John", 30);
+    $.yield("Jane", 25);
+})
+TEXT({
+    {{- with .V -}}
+        {{ .name }}:{{ .age }}{{"\n"}}
+    {{- end -}}
+})
+""", "John:30\nJane:25\n"),
+    ("object_yield", """SCRIPT({
+    $.yield({name: "John", age: 30});
+    $.yield({name: "Jane", age: 25});
+})
+TEXT({
+    {{- with .Value 0 -}}
+        {{ .name }}:{{ .age }}{{"\n"}}
+    {{- end -}}
+})
+""", "John:30\nJane:25\n"),
+]
+
+
+@needs_goldens
+@pytest.mark.parametrize("name,script,want", TEMPLATE_CASES,
+                         ids=[c[0] for c in TEMPLATE_CASES])
+def test_script_to_template(spark, name, script, want):
+    """fm_script_test.go TestScriptToTemplate, verbatim: TEXT() Go
+    templates — with-blocks, trim markers, literal strings, named and
+    object field access."""
+    assert run_script(spark, script) == want
+
+
+@needs_goldens
+def test_script_exception_verbatim(spark):
+    """fm_script_test.go TestScriptException, verbatim: try/catch/throw,
+    goja's missing-member message, thrown strings caught as values."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    r = TqlRunner(spark)
+    out = r.run("""
+SCRIPT("js", {
+    o = {a: 1, other: ()=>{throw "other error";}};
+    o.a++;
+    $.yield(o.a)
+    try {
+        o.undef_function();
+    } catch (e) {
+        console.error(e.message);
+    }
+    try {
+        o.other();
+    } catch (e) {
+        console.error(e);
+    }
+})
+CSV()
+""")
+    assert out == "2\n\n"
+    assert r.script_logs == [
+        ("ERROR", "Object has no member 'undef_function'"),
+        ("ERROR", "other error")]
+
+
+@needs_goldens
+def test_jslite_arrows_and_try(spark):
+    """Arrow functions (all three shapes) + try/finally composition."""
+    out = run_script(spark, """
+SCRIPT("js", {
+    const inc = x => x + 1;
+    const add = (a, b) => a + b;
+    const konst = () => { return 42; };
+    let cleanup = 0;
+    try {
+        throw Error("boom");
+    } catch (e) {
+        $.yield(inc(1), add(2, 3), konst(), e.message);
+    } finally {
+        cleanup = 1;
+    }
+    $.yield(cleanup, 0, 0, "done");
+})
+CSV()
+""")
+    assert out.splitlines()[:2] == ["2,5,42,boom", "1,0,0,done"]
