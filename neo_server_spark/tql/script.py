@@ -2583,8 +2583,14 @@ class TqlRunner:
         headers: dict[str, str] = {}
         while i < len(lines) and lines[i].strip():
             ln = lines[i].strip()
-            if ln.startswith(("?", "&")):      # query extension lines
-                url += ("&" if "?" in url else "?") + ln[1:]
+            if ln.startswith(("?", "&")):      # query extension lines:
+                # values are raw text in the DSL and must be
+                # percent-encoded on the wire (httpdsl exec)
+                import urllib.parse as _up
+                k, sep, v = ln[1:].partition("=")
+                part = (_up.quote(k, safe="") + "=" + _up.quote(v, safe="")
+                        if sep else _up.quote(ln[1:], safe="=&"))
+                url += ("&" if "?" in url else "?") + part
             elif ln.startswith("<"):
                 raise ValueError("HTTP: file directives are not supported")
             else:

@@ -993,3 +993,39 @@ SCRIPT("js", {
 CSV()
 """)
     assert out.splitlines()[:2] == ["2,5,42,boom", "1,0,0,done"]
+
+
+@needs_goldens
+def test_rest_client_http_dsl(spark):
+    """tql_test.go TestRestClient: HTTP-DSL source with ?/& query
+    extension lines (percent-encoded on the wire) -> raw response record."""
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = b"name,time,value\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/csv")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        out = run_script(spark, """
+HTTP({
+    GET http://127.0.0.1:%d/db/query
+    ?q=select * from tag_simple limit 2
+    &format=csv
+})
+TEXT()
+""" % srv.server_port)
+        assert out.startswith("HTTP/1.1 200 OK")
+        assert "Content-Type: text/csv" in out
+    finally:
+        srv.shutdown()
