@@ -83,11 +83,29 @@ def _format_time_cols(df: DataFrame, timeformat: str | None,
     return df
 
 
+def format_binary(val: bytes, fmt: str = "hex") -> str:
+    """mods/util/types.go BinaryFormatter: base64 / hex / bytes (Go %v)
+    / preview (0x + first 5 bytes + '..'); unknown names fall to hex."""
+    import base64 as _b64
+    if not val:
+        return ""
+    fmt = (fmt or "hex").lower()
+    if fmt == "base64":
+        return _b64.b64encode(bytes(val)).decode()
+    if fmt == "bytes":
+        return "[" + " ".join(str(b) for b in val) + "]"
+    if fmt == "preview":
+        if len(val) <= 5:
+            return "0x" + bytes(val).hex()
+        return "0x" + bytes(val[:5]).hex() + ".."
+    return "0x" + bytes(val).hex()
+
+
 def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
            precision: int = -1, substitute_null: object = "NULL",
            limit: int | None = None, timeformat: str | None = None,
            time_cols: tuple[str, ...] = ("time",), rownum: bool = False,
-           tz: str | None = None) -> str:
+           tz: str | None = None, binaryformat: str = "hex") -> str:
     """CSV() sink — string render (mods/codec/internal/csv).
 
     ``timeformat``: a reference format name or Go layout
@@ -111,9 +129,9 @@ def to_csv(df: DataFrame, header: bool = True, delimiter: str = ",",
         if isinstance(v, float):
             return _format_float(v, precision)
         if isinstance(v, (bytes, bytearray)):
-            # binaryformat("hex") rendering (codec BinaryFormatter);
-            # empty byte rows print empty like the reference
-            return "0x" + v.hex() if v else ""
+            # codec BinaryFormatter rendering; empty byte rows print
+            # empty like the reference
+            return format_binary(v, binaryformat)
         if isinstance(v, (list, tuple)):
             # csv_encode.go:244-245 default case prints the Go TYPE name
             # (%T) — a slice value renders literally as "[]interface {}"

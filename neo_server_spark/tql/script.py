@@ -3366,6 +3366,8 @@ class TqlRunner:
             disp, header=header, delimiter=delimiter, precision=precision,
             substitute_null=subst, timeformat=None,
             rownum="rownum" in opts and bool(opts["rownum"][0][0]),
+            binaryformat=(str(opts["binaryformat"][0][0])
+                          if "binaryformat" in opts else "hex"),
             time_cols=()) + "\n"
 
     def stmt_JSON(self, args):

@@ -1029,3 +1029,17 @@ TEXT()
         assert "Content-Type: text/csv" in out
     finally:
         srv.shutdown()
+
+
+@needs_goldens
+def test_binaryformat_variants():
+    """TestDatabaseBinaryTql's four binaryformat() renderings
+    (mods/util/types.go BinaryFormatter), byte-exact."""
+    from neo_server_spark.codecs.encoders import format_binary
+    v = bytes(range(1, 11))
+    assert format_binary(v, "hex") == "0x0102030405060708090a"
+    assert format_binary(v, "preview") == "0x0102030405.."
+    assert format_binary(v, "base64") == "AQIDBAUGBwgJCg=="
+    assert format_binary(v, "bytes") == "[1 2 3 4 5 6 7 8 9 10]"
+    assert format_binary(bytes([1, 2]), "preview") == "0x0102"
+    assert format_binary(b"", "hex") == ""
