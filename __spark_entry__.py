@@ -2125,7 +2125,11 @@ def _q_curation_funnel(spark, sf_dir):
     docs = nio.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     q = (text.quality_score(docs).filter(F.col("quality") >= 0.71)
          .select("doc_id", "text"))
-    rep = text.repetition_stats(docs, n=2).select("doc_id", "dup_gram_frac")
+    # repetition runs on the QUALITY SURVIVORS only — the (doc, gram)
+    # shuffle is the funnel's dominant cost and the quality filter is a
+    # scan-side predicate, so filtering first shrinks the shuffle by the
+    # stage-2 attrition (same per-doc stats, same counts)
+    rep = text.repetition_stats(q, n=2).select("doc_id", "dup_gram_frac")
     # the funnel is counted at every stage — materialize the expensive
     # repetition join ONCE (lazy localCheckpoint) instead of re-running the
     # gram shuffle for the dedup and sample counts
