@@ -1043,3 +1043,77 @@ def test_binaryformat_variants():
     assert format_binary(v, "bytes") == "[1 2 3 4 5 6 7 8 9 10]"
     assert format_binary(bytes([1, 2]), "preview") == "0x0102"
     assert format_binary(b"", "hex") == ""
+
+
+def _norm_sql(s):
+    lines = [ln.strip() for ln in s.split("\n") if ln.strip()]
+    return '"' + " ".join(lines) + '"'
+
+
+SQLSELECT_DUMPS = [
+    ("""SQL_SELECT('value', between('last-10s', 'last'), from("table", "tag", "time"), dump(true))
+CSV()""",
+     "SELECT value FROM TABLE WHERE name = 'tag' AND time BETWEEN "
+     "(SELECT MAX_TIME-10000000000 FROM V$TABLE_STAT WHERE name = 'tag') "
+     "AND (SELECT MAX_TIME FROM V$TABLE_STAT WHERE name = 'tag') "
+     "LIMIT 0, 1000000"),
+    ("""SQL_SELECT('time', 'value', from('table', 'tag'), dump(true))
+CSV()""",
+     "SELECT time, value FROM TABLE WHERE name = 'tag' AND time BETWEEN "
+     "(SELECT MAX_TIME-1000000000 FROM V$TABLE_STAT WHERE name = 'tag') "
+     "AND (SELECT MAX_TIME FROM V$TABLE_STAT WHERE name = 'tag') "
+     "LIMIT 0, 1000000"),
+    ("""SQL_SELECT('(val * 0.01) altVal', 'val2', from('table', 'tag'), dump(true))
+CSV()""",
+     "SELECT (val * 0.01) altVal, val2 FROM TABLE WHERE name = 'tag' AND "
+     "time BETWEEN (SELECT MAX_TIME-1000000000 FROM V$TABLE_STAT WHERE "
+     "name = 'tag') AND (SELECT MAX_TIME FROM V$TABLE_STAT WHERE name = "
+     "'tag') LIMIT 0, 1000000"),
+    ("""SQL_SELECT('(val + val2/2)', from('table', 'tag'), between('last-2.34s', 'last'), limit(10, 2000), dump(true))
+CSV()""",
+     "SELECT (val + val2/2) FROM TABLE WHERE name = 'tag' AND time BETWEEN "
+     "(SELECT MAX_TIME-2340000000 FROM V$TABLE_STAT WHERE name = 'tag') "
+     "AND (SELECT MAX_TIME FROM V$TABLE_STAT WHERE name = 'tag') "
+     "LIMIT 10, 2000"),
+    ("""SQL_SELECT('time', 'val', from('table', 'tag'), between('now -2.34s', 'now'), limit(5, 100), dump(true))
+CSV()""",
+     "SELECT time, val FROM TABLE WHERE name = 'tag' AND time BETWEEN "
+     "(now-2340000000) AND now LIMIT 5, 100"),
+    ("""SQL_SELECT('value', from('table', 'tag'), between(123456789000-2.34*1000000000, 123456789000), dump(true))
+CSV()""",
+     "SELECT value FROM TABLE WHERE name = 'tag' AND time BETWEEN "
+     "121116789000 AND 123456789000 LIMIT 0, 1000000"),
+    ("""SQL_SELECT('AVG(val1+val2)', from('table', 'tag'), dump(true))
+CSV()""",
+     "SELECT AVG(val1+val2) FROM TABLE WHERE name = 'tag' AND time BETWEEN "
+     "(SELECT MAX_TIME-1000000000 FROM V$TABLE_STAT WHERE name = 'tag') "
+     "AND (SELECT MAX_TIME FROM V$TABLE_STAT WHERE name = 'tag') "
+     "LIMIT 0, 1000000"),
+    ("""SQL_SELECT( 'time', 'STDDEV(value)', from('example', 'barn'), between('last -1h23m45s', 'last', '10m'), dump(true))
+CSV()""",
+     "SELECT from_timestamp(round(to_timestamp(time)/600000000000)*"
+     "600000000000) time, STDDEV(value) FROM EXAMPLE WHERE name = 'barn' "
+     "AND time BETWEEN (SELECT MAX_TIME-5025000000000 FROM V$EXAMPLE_STAT "
+     "WHERE name = 'barn') AND (SELECT MAX_TIME FROM V$EXAMPLE_STAT WHERE "
+     "name = 'barn') GROUP BY time ORDER BY time LIMIT 0, 1000000"),
+    ("""SQL_SELECT('time', 'STDDEV(val)', from('table', 'tag'), between(123456789000 - 3.45*1000000000, 123456789000, '1ms'), limit(1, 100), dump(true))
+CSV()""",
+     "SELECT from_timestamp(round(to_timestamp(time)/1000000)*1000000) "
+     "time, STDDEV(val) FROM TABLE WHERE name = 'tag' AND time BETWEEN "
+     "120006789000 AND 123456789000 GROUP BY time ORDER BY time "
+     "LIMIT 1, 100"),
+    ("""SQL_SELECT('STDDEV(val)', from('table', 'tag'), between('now-2.34s', 'now', '0.5ms'), limit(3, 100), dump(true))
+CSV()""",
+     "SELECT STDDEV(val) FROM TABLE WHERE name = 'tag' AND time BETWEEN "
+     "(now-2340000000) AND now GROUP BY time ORDER BY time LIMIT 3, 100"),
+]
+
+
+@needs_goldens
+@pytest.mark.parametrize("script,want", SQLSELECT_DUMPS,
+                         ids=[f"dump{i}" for i in range(len(SQLSELECT_DUMPS))])
+def test_sqlselect_dump_battery(spark, script, want):
+    """task_test.go TestSqlSelect: dump(true) renders the reference's
+    generated SQL text verbatim (fm_dbsrc.go:93-227 builder)."""
+    out = run_script(spark, script)
+    assert out == _norm_sql(want) + "\n\n"
