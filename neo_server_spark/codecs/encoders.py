@@ -178,6 +178,7 @@ def to_json_envelope(df: DataFrame, limit: int | None = None,
                      transpose: bool = False, rows_flatten: bool = False,
                      rows_array: bool = False, rownum: bool = False,
                      types: list[str] | None = None,
+                     columns: list[str] | None = None,
                      json_cols: tuple[str, ...] = ()) -> str:
     """JSON() sink — the reference HTTP envelope, byte-compatible shape:
     {"data":{"columns":[...],"types":[...],"rows":[...]},"success":true,
@@ -190,6 +191,13 @@ def to_json_envelope(df: DataFrame, limit: int | None = None,
     tick = _time.time()
     cols, rows = _collect(df, limit)
     types = list(types) if types else [machbase_type(f.dataType) for f in df.schema.fields]
+    if columns is not None:
+        # SetResultColumns carry-over: SCRIPT yieldArray without $.result
+        # keeps the SOURCE's column list even when rows are wider
+        # (fm_script_test js-yieldArray cases); explicit `types` pairs
+        # with it, else the inferred list truncates to match
+        cols = list(columns)
+        types = types[:len(cols)]
     if json_cols:
         # object columns travel as canonical JSON text in the record
         # model — re-embed them as objects (the reference marshals the

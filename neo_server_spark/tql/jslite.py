@@ -465,7 +465,10 @@ class Parser:
                 self.next()
                 args = []
                 while not self.at("punct", ")"):
-                    args.append(self.assignment())
+                    if self.opt("punct", "..."):   # spread: f(...arr)
+                        args.append(("spread", self.assignment()))
+                    else:
+                        args.append(self.assignment())
                     if not self.opt("punct", ","):
                         break
                 self.eat("punct", ")")
@@ -507,7 +510,10 @@ class Parser:
             self.next()
             items = []
             while not self.at("punct", "]"):
-                items.append(self.assignment())
+                if self.opt("punct", "..."):   # spread: [...a, b]
+                    items.append(("spread", self.assignment()))
+                else:
+                    items.append(self.assignment())
                 if not self.opt("punct", ","):
                     break
             self.eat("punct", "]")
@@ -862,7 +868,15 @@ class Interpreter:
         if k == "ident":
             return scope.get(node[1])
         if k == "array":
-            return [self.eval(x, scope) for x in node[1]]
+            out = []
+            for x in node[1]:
+                if x[0] == "spread":
+                    seq = self.eval(x[1], scope)
+                    out.extend(list(seq) if seq is not None
+                               and seq is not UNDEFINED else [])
+                else:
+                    out.append(self.eval(x, scope))
+            return out
         if k == "object":
             return {key: self.eval(v, scope) for key, v in node[1]}
         if k == "funcexpr":
@@ -880,7 +894,14 @@ class Interpreter:
                 fn = self.get_member(obj, callee[2])
             else:
                 fn = self.eval(callee, scope)
-            args = [self.eval(a, scope) for a in node[2]]
+            args = []
+            for a in node[2]:
+                if a[0] == "spread":
+                    seq = self.eval(a[1], scope)
+                    args.extend(list(seq) if seq is not None
+                                and seq is not UNDEFINED else [])
+                else:
+                    args.append(self.eval(a, scope))
             if not callable(fn):
                 if callee[0] == "member" and (fn is UNDEFINED or fn is None):
                     # goja's text for calling a missing member

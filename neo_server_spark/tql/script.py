@@ -916,6 +916,11 @@ class _State:
     #   DYNAMICALLY-TYPED values stringified with Go %v (mixed-type
     #   ternaries): sinks with type-specific float formatting (markdown
     #   %f) re-apply it to values that parse back as numbers
+    env_names: list | None = None  # JSON-envelope column-list override:
+    #   SCRIPT without $.result keeps the SOURCE's ResultColumns even
+    #   when yielded rows are wider (fm_script_test js-yieldArray);
+    #   $.result columns/types land here verbatim
+    env_types: list | None = None
 
 
 class _Dollar:
@@ -1474,6 +1479,8 @@ class TqlRunner:
         self.state.jsons = set(jsons or ())
         self.state.slices = set()
         self.state.gostrs = set()
+        self.state.env_names = None
+        self.state.env_types = None
 
     def _vcols(self) -> list[str]:
         return [f"c{i}" for i in range(self.ncols)]
@@ -2648,10 +2655,24 @@ class TqlRunner:
         interp = jslite.Interpreter(
             dollar, log=lambda lvl, msg: self.script_logs.append((lvl, msg)))
         main_ast = interp.prepare(main)
+        # envelope carry-over captured BEFORE either execution path: the
+        # SOURCE's column list survives into the JSON envelope when the
+        # script sets no $.result (SetResultColumns semantics)
+        prev_env = None
+        if self.state.df is not None and self.state.names:
+            from neo_server_spark.codecs.encoders import machbase_type
+            _disp = [nm or f"column{i}"
+                     for i, nm in enumerate(self.state.names)]
+            _sch = {f.name: f.dataType for f in self.state.df.schema.fields}
+            prev_env = (_disp, [machbase_type(_sch[f"c{i}"])
+                                for i in range(len(_disp))
+                                if f"c{i}" in _sch])
         if (self.state.df is not None and not init and not deinit
                 and self.script_distribute
                 and jslite.analyze_stateless(main_ast)
                 and self._script_fast_path(main_ast)):
+            if prev_env is not None:   # fast path: no $.result by def.
+                self.state.env_names, self.state.env_types = prev_env
             return
         if init:
             interp.run(init)
@@ -2675,16 +2696,21 @@ class TqlRunner:
         nvals = max((len(v) for _, v in rows), default=0)
         names: list = [None] * nvals
         times: set[int] = set()
+        env_names = env_types = None
         result = dollar.result
         if isinstance(result, dict):
             rcols = result.get("columns")
             if isinstance(rcols, list):
                 names = [str(c) for c in rcols[:nvals]] + \
                     [None] * max(0, nvals - len(rcols))
+                env_names = [str(c) for c in rcols]
             rtypes = result.get("types")
             if isinstance(rtypes, list):
                 times = {i for i, t in enumerate(rtypes[:nvals])
                          if str(t) == "datetime"}
+                env_types = [str(t) for t in rtypes]
+        if env_names is None and prev_env is not None:
+            env_names, env_types = prev_env
         data = []
         for seq, (key, vals) in enumerate(rows):
             vals = list(vals) + [None] * (nvals - len(vals))
@@ -2693,6 +2719,8 @@ class TqlRunner:
         times |= date_cols
         df = self.spark.createDataFrame(norm, schema)
         self._set(df, names, times=times)
+        self.state.env_names = env_names
+        self.state.env_types = env_types
 
     #: prefix length for the fast path's driver-side schema inference
     _SCRIPT_INFER_PREFIX = 200
@@ -3381,6 +3409,8 @@ class TqlRunner:
             transpose="transpose" in opts and bool(opts["transpose"][0][0]),
             rows_flatten="rowsFlatten" in opts and bool(opts["rowsFlatten"][0][0]),
             rows_array="rowsArray" in opts and bool(opts["rowsArray"][0][0]),
+            columns=self.state.env_names,
+            types=self.state.env_types,
             json_cols=jcols)
 
     def stmt_MARKDOWN(self, args):

@@ -1117,3 +1117,42 @@ def test_sqlselect_dump_battery(spark, script, want):
     generated SQL text verbatim (fm_dbsrc.go:93-227 builder)."""
     out = run_script(spark, script)
     assert out == _norm_sql(want) + "\n\n"
+
+
+@needs_goldens
+def test_yield_array_envelope_columns(spark):
+    """fm_script_test js-yieldArray-*: without a $.result the SOURCE's
+    column list survives into the JSON envelope even when yielded rows
+    are wider; $.result columns/types land verbatim (incl. 'bool');
+    jslite supports the ... spread in calls and arrays."""
+    import json as _json
+
+    d = _json.loads(run_script(spark, """STRING('1,2,3,4,5', separator('\\n'))
+SCRIPT("js", {
+    $.yieldArray($.values[0].split(',').map( (v) => { return parseInt(v) }))
+})
+JSON()"""))
+    assert d["data"]["columns"] == ["STRING"]
+    assert d["data"]["types"] == ["string"]
+    assert d["data"]["rows"] == [[1, 2, 3, 4, 5]]
+
+    d = _json.loads(run_script(spark, """STRING('true,true,false,true,false', separator('\\n'))
+SCRIPT("js", {
+    $.yieldArray($.values[0].split(',').map(function(v){ return v === 'true'}))
+})
+JSON()"""))
+    assert d["data"]["columns"] == ["STRING"]
+    assert d["data"]["rows"] == [[True, True, False, True, False]]
+
+    d = _json.loads(run_script(spark, """SCRIPT("js", {
+    $.result = {
+        columns: ["a", "b", "c", "d"],
+        types: ["int64", "double", "string", "bool"]
+    };
+    var arr = [1, 2.3, '3.4', true];
+    $.yield(...arr);
+})
+JSON()"""))
+    assert d["data"]["columns"] == ["a", "b", "c", "d"]
+    assert d["data"]["types"] == ["int64", "double", "string", "bool"]
+    assert d["data"]["rows"] == [[1, 2.3, "3.4", True]]
