@@ -1737,15 +1737,48 @@ def _parse_geojson(obj):
     return obj
 
 
+class _SystemNow:
+    """@jsh/system now() value — unix()/unixNano() accessors
+    (fm_script_test js-system-now)."""
+
+    _js_host = True
+
+    def __init__(self):
+        import time as _t
+        self._ns = int(_t.time() * 1e9)
+
+    def unix(self):
+        return self._ns // 10**9
+
+    def unixNano(self):
+        return self._ns
+
+
+def _make_system_module():
+    """@jsh/system (fm_script system module): free_os_memory()/gc() are
+    runtime hints (no-ops here — the JVM/CPython manage memory), now()
+    returns a time value."""
+    import gc as _gc
+    return {
+        "free_os_memory": lambda: None,
+        "gc": lambda: (_gc.collect(), None)[1],
+        "now": _SystemNow,
+    }
+
+
 _MODULES = {
     "mathx/spatial": {"parseGeoJSON": _parse_geojson},
 }
 
 
 def _require(name=UNDEFINED):
-    mod = _MODULES.get(to_display(name))
+    key = to_display(name)
+    if key == "@jsh/system":
+        return _make_system_module()
+    mod = _MODULES.get(key)
     if mod is None:
-        raise JSError(f"require: unknown module {to_display(name)!r}")
+        # goja loader's text (fm_script_test js-invalid-module)
+        raise JSError("Invalid module, " + key)
     return dict(mod)
 
 

@@ -935,7 +935,12 @@ class _Dollar:
         self.rows: list[tuple] = []     # (key, [values]) in yield order
         self.key = None
         self.values: list = []
-        self.params = dict(runner.params)
+        # $.params.name: single-valued params collapse to the scalar,
+        # repeated ones stay lists (fm_script js-params; GetRequestParam)
+        self.params = {
+            k: (v[0] if isinstance(v, (list, tuple)) and len(v) == 1
+                else (list(v) if isinstance(v, (list, tuple)) else v))
+            for k, v in runner.params.items()}
         self.payload = runner.payload if runner.payload is not None \
             else jslite.UNDEFINED
         self.result = jslite.UNDEFINED

@@ -1156,3 +1156,41 @@ JSON()"""))
     assert d["data"]["columns"] == ["a", "b", "c", "d"]
     assert d["data"]["types"] == ["int64", "double", "string", "bool"]
     assert d["data"]["rows"] == [[1, 2.3, "3.4", True]]
+
+
+@needs_goldens
+def test_script_system_module_and_params(spark):
+    """fm_script_test js-system-free-os-memory/gc/now, js-params,
+    js-invalid-module: the @jsh/system module, single-valued $.params
+    collapse, and the goja loader's Invalid-module error."""
+    assert run_script(spark, """SCRIPT("js", {
+    m = require("@jsh/system");
+    m.free_os_memory();
+    $.yield("ok");
+})
+CSV()""") == "ok\n\n"
+    assert run_script(spark, """SCRIPT("js", {
+    m = require("@jsh/system");
+    m.gc();
+    $.yield("ok");
+})
+CSV()""") == "ok\n\n"
+    out = run_script(spark, """SCRIPT("js", {
+    m = require("@jsh/system");
+    let now = m.now();
+    $.yield("ok", now.unix());
+})
+CSV()""")
+    first = out.splitlines()[0].split(",")
+    assert first[0] == "ok" and int(first[1]) > 1_500_000_000
+    assert run_script(spark, """SCRIPT("js", {
+    var1 = $.params.p1;
+    var2 = $.params["p2"];
+    $.yield(...var1, var2);
+})
+CSV()""", params={"p1": ["1", "2"], "p2": ["abc"]}) == "1,2,abc\n\n"
+    with pytest.raises(Exception, match="Invalid module"):
+        run_script(spark, """SCRIPT("js", {
+    const y = require("invalid_module");
+})
+CSV()""")
