@@ -1646,6 +1646,9 @@ def _walk_expr(node, declared):
         for x in node[1]:
             _walk_expr(x, declared)
         return
+    if k == "spread":
+        _walk_expr(node[1], declared)
+        return
     if k == "object":
         for _key, v in node[1]:
             _walk_expr(v, declared)
@@ -1766,8 +1769,28 @@ def _make_system_module():
     }
 
 
+def _mathx_fft(times, values):
+    """mathx fft(times, values) -> [[hz, ampl], ...]
+    (fm_script mathx module; math identical to mods/nums/fft/fft.go:10-39
+    and operators/series.fft): rate = n / duration_sec (times epoch-ns),
+    hz_i = i/n * rate, ampl = 2|c_i|/n, DC dropped."""
+    import numpy as np
+    t = np.asarray(list(times), dtype="int64")
+    v = np.asarray(list(values), dtype="float64")
+    n = len(v)
+    if n < 16:
+        return []
+    rate = n / ((t[-1] - t[0]) / 1e9)
+    coeff = np.fft.rfft(v)
+    idx = np.arange(len(coeff))
+    hz = idx / n * rate
+    ampl = 2.0 * np.abs(coeff) / n
+    return [[float(h), float(a)] for h, a in zip(hz[1:], ampl[1:])]
+
+
 _MODULES = {
     "mathx/spatial": {"parseGeoJSON": _parse_geojson},
+    "mathx": {"fft": _mathx_fft},
 }
 
 

@@ -923,6 +923,22 @@ class _State:
     env_types: list | None = None
 
 
+class _Inflight:
+    """$.inflight() record-variable accessor (TestScriptSystemInflight)."""
+
+    _js_host = True
+
+    def __init__(self, runner: "TqlRunner"):
+        self._runner = runner
+
+    def set(self, name, value):
+        self._runner.vars[str(name)] = value
+
+    def get(self, name):
+        v = self._runner.vars.get(str(name))
+        return None if _is_col(v) else v
+
+
 class _Dollar:
     """The ``$`` context object SCRIPT blocks see (fm_script.go:180-260)."""
 
@@ -946,6 +962,13 @@ class _Dollar:
         self.result = jslite.UNDEFINED
         # 'yield' is a Python keyword — attach dynamically
         setattr(self, "yield", self._yield)
+
+    def inflight(self):
+        """$.inflight() (fm_script script_types): set()/get() bridge the
+        record-variable store SET()/$name use.  get() of a variable bound
+        to a column EXPRESSION (not a literal) returns null — the serial
+        VM has no per-record view of unevaluated columns."""
+        return _Inflight(self._runner)
 
     def _yield(self, *vals):
         # $.yield(...): key = inflight key (or yield ordinal as SRC)

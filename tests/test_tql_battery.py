@@ -1194,3 +1194,57 @@ CSV()""", params={"p1": ["1", "2"], "p2": ["abc"]}) == "1,2,abc\n\n"
     const y = require("invalid_module");
 })
 CSV()""")
+
+
+@needs_goldens
+def test_script_inflight_vars(spark):
+    """TestScriptSystemInflight: $.inflight().set/get bridges the SET()/
+    $name record-variable store, both directions."""
+    assert run_script(spark, """
+FAKE( linspace(1,2,1))
+SCRIPT("js", {
+    $.inflight().set("key1", 123);
+    $.inflight().set("key2", "abc");
+    $.yield("");
+})
+MAPVALUE(0, $key1)
+MAPVALUE(1, $key2)
+CSV()
+""") == "123,abc\n\n"
+    assert run_script(spark, """
+FAKE( linspace(1,2,1))
+SET(key1, 123)
+SET(key2, "abc")
+SCRIPT("js", {
+    $.yield($.inflight().get("key1"), $.inflight().get("key2"));
+})
+CSV()
+""") == "123,abc\n\n"
+
+
+@needs_goldens
+def test_script_mathx_fft_golden(spark):
+    """fm_script_test TestScriptFFT js-fft VERBATIM: the mathx module's
+    fft over accumulated arrays matches the fft2d.csv golden byte-exact
+    (same formulas as nums/fft and operators/series.fft)."""
+    out = run_script(spark, """
+FAKE( oscillator( range(timeAdd(1685714509*1000000000,'1s'), '1s', '100us'), freq(10, 1.0), freq(50, 2.0)))
+SCRIPT("js", {
+    m = require("mathx");
+    times = [];
+    values = [];
+}, {
+    times.push($.values[0]);
+    values.push($.values[1]);
+}, {
+    result = m.fft(times, values);
+    for( i = 0; i < result.length; i++ ) {
+        if (result[i][0] > 60)
+            break
+        $.yield(result[i][0], result[i][1])
+    }
+})
+CSV(precision(6))
+""")
+    with open(os.path.join(GOLDEN_DIR, "fft2d.csv")) as f:
+        assert out == f.read() + "\n"
