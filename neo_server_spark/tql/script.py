@@ -1448,17 +1448,24 @@ class TqlRunner:
         if op == "+" and (isinstance(left, str) or isinstance(right, str)) and colmode:
             return F.concat(_lift(left).cast("string"), _lift(right).cast("string"))
         if colmode:
-            left, right = _lift(left), _lift(right)
             if op in ("+", "-", "*", "/", "%"):
                 # the reference's expression evaluator does ALL arithmetic
                 # in float64 (TQL numbers are float64) — integer-typed
                 # operands promote to double so e.g. key()+100 prints
-                # "101.0" at precision(1), not "101" (task_test TestMapKey)
-                def _prom(c):
-                    dt = self._dtype_of(c)
-                    return c.cast("double") if dt in (
-                        "tinyint", "smallint", "int", "bigint") else c
-                left, right = _prom(left), _prom(right)
+                # "101.0" at precision(1), not "101" (task_test TestMapKey).
+                # Integer PYTHON literals just become float literals (free);
+                # only column-column arithmetic needs a dtype probe.
+                if isinstance(left, int) and not isinstance(left, bool):
+                    left = float(left)
+                if isinstance(right, int) and not isinstance(right, bool):
+                    right = float(right)
+                if _is_col(left) and _is_col(right):
+                    def _prom(c):
+                        dt = self._dtype_of(c)
+                        return c.cast("double") if dt in (
+                            "tinyint", "smallint", "int", "bigint") else c
+                    left, right = _prom(left), _prom(right)
+            left, right = _lift(left), _lift(right)
         table = {
             "+": lambda a, b: a + b, "-": lambda a, b: a - b,
             "*": lambda a, b: a * b, "/": lambda a, b: a / b,
