@@ -1,0 +1,180 @@
+"""Session-scoped engine tables created through SQL DDL.
+
+The reference's `$.db().exec("create tag table ...")` creates real engine
+tables that later INSERT/APPEND statements and SELECTs operate on
+(tql_test.go TestDatabaseBinaryTql).  Here the analogue is a
+driver-held catalog of small mutable tables registered as temp views —
+the same role the VOLATILE/LOOKUP table classes play (spi/do.go:197-207):
+dimension-sized, update-able side tables.  Large append-only data goes
+through the parquet tag-table writers instead (io.write_tag_table).
+
+Machbase column types map per §1.2 of SURVEY.md: varchar/text/json ->
+string, datetime -> epoch-ns long, double/float -> double, integer family
+-> long, binary -> binary.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+_TYPE_MAP = {
+    "varchar": "string", "text": "string", "json": "string",
+    "ipv4": "string", "ipv6": "string",
+    "datetime": "long",           # epoch-ns convention
+    "double": "double", "float": "double",
+    "short": "long", "ushort": "long", "integer": "long",
+    "uinteger": "long", "int": "long", "long": "long", "ulong": "long",
+    "binary": "binary",
+}
+
+#: name -> {"cols": [(name, mach_type, spark_type)], "rows": [tuple]}
+_TABLES: dict[str, dict] = {}
+
+
+class DdlError(Exception):
+    pass
+
+
+def _schema_ddl(cols) -> str:
+    return ", ".join(f"`{c}` {st}" for c, _m, st in cols)
+
+
+def _refresh_view(spark: SparkSession, name: str) -> None:
+    t = _TABLES[name]
+    df = spark.createDataFrame(t["rows"], _schema_ddl(t["cols"]))
+    df.createOrReplaceTempView(name)
+
+
+def coerce(value, mach_type: str):
+    """Per-column value coercion (fm_dbsink.go:236-245 DataType.Apply):
+    '0x..' hex strings land in binary columns as bytes, numerics cast."""
+    if value is None:
+        return None
+    if mach_type == "binary":
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value)
+        s = str(value)
+        return bytes.fromhex(s[2:] if s.startswith(("0x", "0X")) else s)
+    if mach_type == "datetime":
+        return int(value)
+    st = _TYPE_MAP.get(mach_type, "string")
+    if st == "long":
+        return int(value)
+    if st == "double":
+        return float(value)
+    return str(value)
+
+
+def create_table(spark: SparkSession, sql: str) -> bool:
+    """CREATE [TAG|VOLATILE|LOOKUP] TABLE [IF NOT EXISTS] name (cols...).
+    Returns False when the statement is not a CREATE TABLE."""
+    m = re.match(
+        r"create\s+(?:tag\s+|volatile\s+|lookup\s+)?table\s+"
+        r"(if\s+not\s+exists\s+)?(\w+)\s*\((.*)\)\s*;?\s*$",
+        sql.strip(), re.I | re.S)
+    if not m:
+        return False
+    exists_ok, name, body = bool(m.group(1)), m.group(2).lower(), m.group(3)
+    if name in _TABLES:
+        if exists_ok:
+            return True
+        raise DdlError(f"table {name} already exists")
+    cols = []
+    # split on top-level commas (varchar(100) has inner parens)
+    depth, part, parts = 0, [], []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(part))
+            part = []
+        else:
+            part.append(ch)
+    parts.append("".join(part))
+    for coldef in parts:
+        words = coldef.split()
+        if len(words) < 2:
+            raise DdlError(f"bad column definition {coldef.strip()!r}")
+        cname = words[0].lower()
+        ctype = re.sub(r"\(.*", "", words[1]).lower()
+        if ctype not in _TYPE_MAP:
+            raise DdlError(f"unknown column type {words[1]!r}")
+        cols.append((cname, ctype, _TYPE_MAP[ctype]))
+    _TABLES[name] = {"cols": cols, "rows": []}
+    _refresh_view(spark, name)
+    return True
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    name = name.lower()
+    if name not in _TABLES:
+        raise DdlError(f"table {name} does not exist")
+    del _TABLES[name]
+    spark.catalog.dropTempView(name)
+
+
+def has_table(name: str) -> bool:
+    return name.lower() in _TABLES
+
+
+def insert_rows(spark: SparkSession, name: str, columns, rows) -> int:
+    """Append rows (already positionally matched to `columns`), coercing
+    per the declared machbase type; unnamed columns become NULL."""
+    name = name.lower()
+    t = _TABLES[name]
+    colmap = {c: i for i, (c, _m, _s) in enumerate(t["cols"])}
+    mach = {c: m for c, m, _s in t["cols"]}
+    n = 0
+    for row in rows:
+        out = [None] * len(t["cols"])
+        for cname, v in zip(columns, row):
+            cl = cname.lower()
+            if cl not in colmap:
+                raise DdlError(f"unknown column {cname!r} in {name}")
+            out[colmap[cl]] = coerce(v, mach[cl])
+        t["rows"].append(tuple(out))
+        n += 1
+    _refresh_view(spark, name)
+    return n
+
+
+def exec_sql(spark: SparkSession, sql: str, params=()) -> str | None:
+    """$.db().exec(...) surface: CREATE / INSERT INTO ... VALUES(?,...) /
+    DROP TABLE / EXEC table_flush.  Returns None on success; raises
+    DdlError with the failure (the caller wraps it as a JS Error value)."""
+    s = sql.strip().rstrip(";").strip()
+    low = s.lower()
+    if low.startswith("create"):
+        if not create_table(spark, s):
+            raise DdlError(f"unsupported DDL {s[:40]!r}")
+        return None
+    m = re.match(r"insert\s+into\s+(\w+)\s*\(([^)]*)\)\s*values\s*\((.*)\)",
+                 s, re.I | re.S)
+    if m:
+        name = m.group(1).lower()
+        if name not in _TABLES:
+            raise DdlError(f"table {name} does not exist")
+        columns = [c.strip().lower() for c in m.group(2).split(",")]
+        placeholders = [p.strip() for p in m.group(3).split(",")]
+        vals, pi = [], 0
+        for p in placeholders:
+            if p == "?":
+                vals.append(params[pi] if pi < len(params) else None)
+                pi += 1
+            elif p.startswith(("'", '"')):
+                vals.append(p[1:-1])
+            else:
+                vals.append(float(p) if "." in p else int(p))
+        insert_rows(spark, name, columns, [tuple(vals)])
+        return None
+    m = re.match(r"drop\s+table\s+(\w+)", s, re.I)
+    if m:
+        drop_table(spark, m.group(1))
+        return None
+    if re.match(r"exec\s+table_flush", s, re.I):
+        return None    # commit-time no-op on this engine
+    raise DdlError(f"unsupported exec statement {s[:40]!r}")

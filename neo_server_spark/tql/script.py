@@ -1142,9 +1142,17 @@ class _DollarDB:
         return _DollarDBQuery(self._dollar, str(sql), params)
 
     def exec(self, sql, *params):
-        raise NotImplementedError(
-            "$.db().exec: use the INSERT(...)/APPEND(table()) statements — "
-            "this engine has no raw-DML path")
+        """CREATE/INSERT/DROP/EXEC against the session engine-table
+        catalog (sqlx/ddl.py; TestDatabaseBinaryTql).  Failures come back
+        as Error VALUES (`ret instanceof Error`), matching goja."""
+        from neo_server_spark.sqlx import ddl
+        from neo_server_spark.tql.jslite import JSErrorValue
+        runner = self._dollar._runner
+        try:
+            ddl.exec_sql(runner.spark, str(sql), params)
+            return None
+        except ddl.DdlError as ex:
+            return JSErrorValue(str(ex))
 
 
 class _DollarDBQuery:
@@ -3911,6 +3919,14 @@ class TqlRunner:
             n = out.count()
             self.output = f"{n} row{'s' if n != 1 else ''} inserted."
             return
+        from neo_server_spark.sqlx import ddl
+        if ddl.has_table(table):
+            # engine tables created via DDL take the catalog path with
+            # per-column coercion ('0x..' -> binary etc.)
+            rows = [tuple(r) for r in out.collect()]
+            n = ddl.insert_rows(self.spark, table, cols, rows)
+            self.output = f"{n} row{'s' if n != 1 else ''} inserted."
+            return
         path = self._resolve("/" + table)
         if {"name", "time", "value"} <= set(cols):
             nio.write_tag_table(out, path, mode="append")
@@ -3930,6 +3946,16 @@ class TqlRunner:
         table = str(opts["table"][0][0])
         disp = self._display()
         cols = list(disp.columns)
+        from neo_server_spark.sqlx import ddl
+        if ddl.has_table(table):
+            # positional append into a DDL-created engine table
+            tcols = [c for c, _m, _s in ddl._TABLES[table.lower()]["cols"]]
+            rows = [tuple(r) for r in disp.collect()]
+            n = ddl.insert_rows(self.spark, table,
+                                tcols[: len(cols)], rows)
+            unit = "rows" if n != 1 else "row"
+            self.output = f"append {n} {unit} (success {n}, fail 0)"
+            return
         path = self._resolve("/" + table)
         if {"name", "time", "value"} <= set(cols):
             nio.write_tag_table(disp, path, mode="append")

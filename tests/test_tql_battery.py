@@ -1248,3 +1248,62 @@ CSV(precision(6))
 """)
     with open(os.path.join(GOLDEN_DIR, "fft2d.csv")) as f:
         assert out == f.read() + "\n"
+
+
+@needs_goldens
+def test_database_binary_tql_arc(spark):
+    """tql_test.go TestDatabaseBinaryTql VERBATIM: DDL-created engine
+    table -> INSERT with '0x..' binary coercion -> SELECTs in all four
+    binaryformat() renderings -> APPEND -> DROP."""
+    from neo_server_spark.sqlx import ddl
+    if ddl.has_table("tqlbin"):
+        ddl.drop_table(spark, "tqlbin")
+    out = run_script(spark, """SCRIPT("js", {
+    var ret = $.db().exec("create tag table tqlbin (name varchar(40) primary key, time datetime basetime, value binary)");
+    if (ret instanceof Error) {
+        $.yield(ret.message);
+    } else {
+        $.yield("create-tqlbin done");
+    }
+})
+CSV()""")
+    assert out == "create-tqlbin done\n\n"
+    out = run_script(spark, """SCRIPT({
+    $.yield('bin1', 1692686707380411000, '0x0102030405060708090a');
+})
+INSERT('name', 'time', 'value', table('tqlbin'))""")
+    assert "1 row inserted." in out
+    sel = "SQL(\"select NAME, VALUE from tqlbin where name = 'bin1'\")\n"
+    assert run_script(spark, sel + "CSV(header(true))") == \
+        "NAME,VALUE\nbin1,0x0102030405060708090a\n\n"
+    assert run_script(spark, sel + "CSV(header(true), binaryformat('preview'))") == \
+        "NAME,VALUE\nbin1,0x0102030405..\n\n"
+    assert run_script(spark, sel + "CSV(header(true), binaryformat('base64'))") == \
+        "NAME,VALUE\nbin1,AQIDBAUGBwgJCg==\n\n"
+    assert run_script(spark, sel + "CSV(header(true), binaryformat('bytes'))") == \
+        "NAME,VALUE\nbin1,[1 2 3 4 5 6 7 8 9 10]\n\n"
+    out = run_script(spark, """SCRIPT({
+    $.yield('bin2', 1692686707380411000, '0x0102030405060708090a');
+    $.yield('bin2', 1692686707380412000, '0x02030405060708090a10');
+    $.yield('bin2', 1692686707380413000, '0x030405060708090a1011');
+    $.yield('bin2', 1692686707380414000, '0x0405060708090a101213');
+    $.yield('bin2', 1692686707380415000, '0x05060708090a10121314');
+})
+APPEND(table('tqlbin'))""")
+    assert "append 5 rows (success 5, fail 0)" in out
+    out = run_script(spark, """SQL("select NAME, VALUE from tqlbin where name = 'bin2'")
+CSV(header(true))""")
+    assert out == ("NAME,VALUE\nbin2,0x0102030405060708090a\n"
+                   "bin2,0x02030405060708090a10\n"
+                   "bin2,0x030405060708090a1011\n"
+                   "bin2,0x0405060708090a101213\n"
+                   "bin2,0x05060708090a10121314\n\n")
+    out = run_script(spark, """SCRIPT("js", {
+    var ret = $.db().exec("drop table tqlbin");
+    if (ret instanceof Error) {
+        console.error(ret.message);
+    }
+})
+DISCARD()""")
+    assert out == ""
+    assert not ddl.has_table("tqlbin")
