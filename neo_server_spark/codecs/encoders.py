@@ -290,7 +290,11 @@ def to_markdown(df: DataFrame, limit: int | None = None, html: bool = False,
                 s = _md_cell(v, precision)
                 out.append(f'<td align="left">{s}</td>' if s else "<td></td>")
             out.append("</tr>")
-        out += ["</tbody>", "</table>", "</div>"]
+        out += ["</tbody>", "</table>"]
+        if not rows:    # md_encode.go:151-152 — tail renders in html too
+            out += ["<blockquote>", "<p><em>No record</em></p>",
+                    "</blockquote>"]
+        out.append("</div>")
         return "\n".join(out) + "\n"
     lines = ["|" + "|".join(str(c) for c in cols) + "|",
              "|" + "|".join(":-----" for _ in cols) + "|"]

@@ -31,10 +31,12 @@ def parse_duration(s: str | int) -> int:
         return s
     s = s.strip()
     # Go ParseDuration: one optional leading sign applies to the WHOLE
-    # duration ("-1h30m" = -(1h30m))
+    # duration ("-1h30m" = -(1h30m)); "", "+", "-" are all errors
     sign = 1
-    if s[:1] in "+-":
+    if s and s[0] in "+-":
         sign, s = (-1 if s[0] == "-" else 1), s[1:]
+    if not s:
+        raise ValueError(f"bad duration: {s!r}")
     total, pos = 0, 0
     for m in _DUR_RE.finditer(s):
         if m.start() != pos:

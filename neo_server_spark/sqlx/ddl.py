@@ -49,22 +49,28 @@ def _refresh_view(spark: SparkSession, name: str) -> None:
 
 def coerce(value, mach_type: str):
     """Per-column value coercion (fm_dbsink.go:236-245 DataType.Apply):
-    '0x..' hex strings land in binary columns as bytes, numerics cast."""
+    '0x..' hex strings land in binary columns as bytes, numerics cast.
+    Malformed literals surface as DdlError so they stay catchable from
+    script-level try/catch rather than aborting the whole run."""
     if value is None:
         return None
-    if mach_type == "binary":
-        if isinstance(value, (bytes, bytearray)):
-            return bytes(value)
-        s = str(value)
-        return bytes.fromhex(s[2:] if s.startswith(("0x", "0X")) else s)
-    if mach_type == "datetime":
-        return int(value)
-    st = _TYPE_MAP.get(mach_type, "string")
-    if st == "long":
-        return int(value)
-    if st == "double":
-        return float(value)
-    return str(value)
+    try:
+        if mach_type == "binary":
+            if isinstance(value, (bytes, bytearray)):
+                return bytes(value)
+            s = str(value)
+            return bytes.fromhex(s[2:] if s.startswith(("0x", "0X")) else s)
+        if mach_type == "datetime":
+            return int(value)
+        st = _TYPE_MAP.get(mach_type, "string")
+        if st == "long":
+            return int(value)
+        if st == "double":
+            return float(value)
+        return str(value)
+    except (ValueError, TypeError) as ex:
+        raise DdlError(
+            f"cannot convert {value!r} to {mach_type}: {ex}") from ex
 
 
 def create_table(spark: SparkSession, sql: str) -> bool:
@@ -142,16 +148,60 @@ def insert_rows(spark: SparkSession, name: str, columns, rows) -> int:
     return n
 
 
-def exec_sql(spark: SparkSession, sql: str, params=()) -> str | None:
+def _split_values(clause: str) -> list[str]:
+    """Split a VALUES(...) body on top-level commas, honoring single- and
+    double-quoted literals (with '' / "" escaping) so `'x,y'` stays one
+    value."""
+    parts, part, quote, i = [], [], None, 0
+    while i < len(clause):
+        ch = clause[i]
+        if quote:
+            part.append(ch)
+            if ch == quote:
+                if i + 1 < len(clause) and clause[i + 1] == quote:
+                    part.append(quote)
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            part.append(ch)
+        elif ch == ",":
+            parts.append("".join(part).strip())
+            part = []
+        else:
+            part.append(ch)
+        i += 1
+    parts.append("".join(part).strip())
+    if quote:
+        raise DdlError(f"unterminated string literal in VALUES ({clause!r})")
+    return parts
+
+
+def _parse_literal(p: str):
+    if p.startswith("'") and p.endswith("'") and len(p) >= 2:
+        return p[1:-1].replace("''", "'")
+    if p.startswith('"') and p.endswith('"') and len(p) >= 2:
+        return p[1:-1].replace('""', '"')
+    if p.lower() == "null":
+        return None
+    try:
+        return float(p) if ("." in p or "e" in p.lower()) else int(p)
+    except ValueError as ex:
+        raise DdlError(f"bad literal {p!r} in VALUES") from ex
+
+
+def exec_sql(spark: SparkSession, sql: str, params=()) -> int:
     """$.db().exec(...) surface: CREATE / INSERT INTO ... VALUES(?,...) /
-    DROP TABLE / EXEC table_flush.  Returns None on success; raises
-    DdlError with the failure (the caller wraps it as a JS Error value)."""
+    DROP TABLE / EXEC table_flush.  Returns the affected-row count
+    (jsh/lib/db/dbms.go exec → {message, rowsAffected}); raises DdlError
+    on failure (the caller re-throws it into the script as a panic)."""
     s = sql.strip().rstrip(";").strip()
     low = s.lower()
     if low.startswith("create"):
         if not create_table(spark, s):
             raise DdlError(f"unsupported DDL {s[:40]!r}")
-        return None
+        return 0
     m = re.match(r"insert\s+into\s+(\w+)\s*\(([^)]*)\)\s*values\s*\((.*)\)",
                  s, re.I | re.S)
     if m:
@@ -159,22 +209,23 @@ def exec_sql(spark: SparkSession, sql: str, params=()) -> str | None:
         if name not in _TABLES:
             raise DdlError(f"table {name} does not exist")
         columns = [c.strip().lower() for c in m.group(2).split(",")]
-        placeholders = [p.strip() for p in m.group(3).split(",")]
+        placeholders = _split_values(m.group(3))
+        if len(placeholders) != len(columns):
+            raise DdlError(
+                f"column/value count mismatch ({len(columns)} columns, "
+                f"{len(placeholders)} values)")
         vals, pi = [], 0
         for p in placeholders:
             if p == "?":
                 vals.append(params[pi] if pi < len(params) else None)
                 pi += 1
-            elif p.startswith(("'", '"')):
-                vals.append(p[1:-1])
             else:
-                vals.append(float(p) if "." in p else int(p))
-        insert_rows(spark, name, columns, [tuple(vals)])
-        return None
+                vals.append(_parse_literal(p))
+        return insert_rows(spark, name, columns, [tuple(vals)])
     m = re.match(r"drop\s+table\s+(\w+)", s, re.I)
     if m:
         drop_table(spark, m.group(1))
-        return None
+        return 0
     if re.match(r"exec\s+table_flush", s, re.I):
-        return None    # commit-time no-op on this engine
+        return 0    # commit-time no-op on this engine
     raise DdlError(f"unsupported exec statement {s[:40]!r}")

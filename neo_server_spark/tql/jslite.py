@@ -558,6 +558,9 @@ class _Throw(Exception):
     def __init__(self, value):
         self.value = value
 
+    def __str__(self):
+        return to_display(self.value)
+
 
 class JSFunction:
     # fields are underscore-private so member access from scripts (which
@@ -844,8 +847,10 @@ class Interpreter:
                     if isinstance(ex, JSError) and "step budget" in str(ex):
                         raise
                     if node[3] is None:
-                        if node[4] is None:
-                            raise
+                        # try/finally without catch: the finally clause
+                        # runs (outer `finally:`) and the exception
+                        # RE-RAISES — JS never swallows it here
+                        raise
                     else:
                         inner = Scope(scope)
                         if node[2] is not None:

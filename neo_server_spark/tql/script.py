@@ -1143,16 +1143,18 @@ class _DollarDB:
 
     def exec(self, sql, *params):
         """CREATE/INSERT/DROP/EXEC against the session engine-table
-        catalog (sqlx/ddl.py; TestDatabaseBinaryTql).  Failures come back
-        as Error VALUES (`ret instanceof Error`), matching goja."""
+        catalog (sqlx/ddl.py; TestDatabaseBinaryTql).  Matches the goja
+        contract (jsh/lib/db/dbms.go:249-272): failures PANIC — a
+        throwable the script can try/catch — and success returns
+        {message, rowsAffected}."""
         from neo_server_spark.sqlx import ddl
-        from neo_server_spark.tql.jslite import JSErrorValue
+        from neo_server_spark.tql.jslite import JSErrorValue, _Throw
         runner = self._dollar._runner
         try:
-            ddl.exec_sql(runner.spark, str(sql), params)
-            return None
+            n = ddl.exec_sql(runner.spark, str(sql), params)
         except ddl.DdlError as ex:
-            return JSErrorValue(str(ex))
+            raise _Throw(JSErrorValue(str(ex)))
+        return {"message": "executed.", "rowsAffected": n or 0}
 
 
 class _DollarDBQuery:
@@ -2147,7 +2149,8 @@ class TqlRunner:
 
     def stmt_DROP(self, args):
         a = [int(self.ev(x)) for x in args]
-        if len(a) > 1 and a[1] < 0:   # fm_monad.go:54
+        # fm_monad.go:54 — limit < 0 errors in both 1- and 2-arg forms
+        if (a[1] if len(a) > 1 else a[0]) < 0:
             raise ValueError("f(DROP) arg(1) limit should be larger than 0")
         if len(a) == 1:
             self._take_drop(a[0], drop=True)
@@ -2160,7 +2163,8 @@ class TqlRunner:
 
     def stmt_TAKE(self, args):
         a = [int(self.ev(x)) for x in args]
-        if len(a) > 1 and a[1] < 0:   # fm_monad.go:14
+        # fm_monad.go:14 — limit < 0 errors in both 1- and 2-arg forms
+        if (a[1] if len(a) > 1 else a[0]) < 0:
             raise ValueError("f(TAKE) arg(1) limit should be larger than 0")
         off, n = (a[0], a[1]) if len(a) > 1 else (0, a[0])
         if off:
@@ -2241,24 +2245,28 @@ class TqlRunner:
         is_j = isinstance(val, (dict, list)) or (
             args[1][0] == "call" and args[1][1] in self._OBJ_FNS)
         cur = self._cur()
-        prev_gostrs = set(self.state.gostrs)
         if idx < 0:  # MAPVALUE(-1, v) == PUSHVALUE(0, v) (fm_monad.go:1745)
             if where_c is not None:   # PUSHVALUE where-false inserts NULL
                 expr = F.when(where_c, expr)
             cur.insert(0, (expr, name or "column", is_t, is_j))
-            prev_gostrs = {i + 1 for i in prev_gostrs}
+            remap = {i: i + 1 for i in range(len(cur) - 1)}
             target = 0
         elif idx >= len(cur):
             if where_c is not None:
                 expr = F.when(where_c, expr)
             cur.append((expr, name or "column", is_t, is_j))
+            remap = {i: i for i in range(len(cur) - 1)}
             target = len(cur) - 1
         else:
             if where_c is not None:   # MAPVALUE where-false KEEPS the old
                 expr = F.when(where_c, expr).otherwise(cur[idx][0])
             cur[idx] = (expr, name or self.state.names[idx], is_t, is_j)
+            # the overwritten position loses its slice/gostr rendering
+            remap = {i: i for i in range(len(cur)) if i != idx}
             target = idx
+        prev_slices, prev_gostrs = self._remap_render_sets(remap)
         self._reproject(cur)
+        self.state.slices = prev_slices
         self.state.gostrs = prev_gostrs | ({target} if mixed else set())
 
     def stmt_PUSHVALUE(self, args):
@@ -2276,12 +2284,28 @@ class TqlRunner:
         # default insert name is literally "column" (fm_monad.go:1613)
         cur.insert(idx, (expr, name or "column",
                          self._is_time_expr(args[1]), is_j))
+        remap = {i: (i + 1 if i >= idx else i) for i in range(len(cur) - 1)}
+        prev_slices, prev_gostrs = self._remap_render_sets(remap)
         self._reproject(cur)
+        self.state.slices, self.state.gostrs = prev_slices, prev_gostrs
 
     def stmt_POPVALUE(self, args):
         drop = {int(self.ev(a)) for a in args}
+        keep = [i for i in range(self.ncols) if i not in drop]
+        remap = {old: new for new, old in enumerate(keep)}
         cur = [e for i, e in enumerate(self._cur()) if i not in drop]
+        prev_slices, prev_gostrs = self._remap_render_sets(remap)
         self._reproject(cur)
+        self.state.slices, self.state.gostrs = prev_slices, prev_gostrs
+
+    def _remap_render_sets(self, remap: dict) -> tuple[set, set]:
+        """Carry the sink-rendering position sets (slices → '%T', gostrs →
+        Go %v re-floating) across a reprojection: positions move per
+        `remap`; positions absent from it (overwritten/popped) drop out.
+        Call BEFORE _reproject (which resets both sets)."""
+        st = self.state
+        return ({remap[i] for i in st.slices if i in remap},
+                {remap[i] for i in st.gostrs if i in remap})
 
     def stmt_MAPKEY(self, args):
         self.state.df = self.state.df.withColumn("__key", _lift(self.ev(args[0])))
