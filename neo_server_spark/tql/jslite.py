@@ -1302,13 +1302,28 @@ class _JSONNS:
 
     @staticmethod
     def stringify(v, *_):
+        def norm(o):
+            # JS has one number type: integral doubles serialize without
+            # a decimal point, non-finite numbers serialize as null
+            if isinstance(o, bool) or o is None:
+                return o
+            if isinstance(o, float):
+                if o != o or o in (float("inf"), float("-inf")):
+                    return None
+                return int(o) if o.is_integer() and abs(o) < 2**53 else o
+            if isinstance(o, list):
+                return [norm(x) for x in o]
+            if isinstance(o, dict):
+                return {k: norm(x) for k, x in o.items()}
+            return o
+
         def default(o):
             if o is UNDEFINED:
                 return None
             if isinstance(o, JSDate):
                 return o.toISOString()
             return str(o)
-        return _json.dumps(v, default=default, separators=(",", ":"))
+        return _json.dumps(norm(v), default=default, separators=(",", ":"))
 
 
 class _DateCtor:
@@ -1774,6 +1789,67 @@ def _make_system_module():
     }
 
 
+def _spatial_haversine(coord1=UNDEFINED, coord2=UNDEFINED, radius=UNDEFINED):
+    """mathx/spatial haversine (jsh/lib/mathx/spatial/spatial.go:40-66):
+    great-circle distance between two [lat, lon] coordinates; Earth radius
+    6371000 m (WGS84 Web Mercator) unless a positive radius is given."""
+    import math
+    r = 6371000.0
+    if isinstance(radius, (int, float)) and not isinstance(radius, bool) \
+            and radius > 0:
+        r = float(radius)
+    if not (isinstance(coord1, list) and isinstance(coord2, list)
+            and len(coord1) >= 2 and len(coord2) >= 2):
+        raise JSError("haversine: expected [lat, lon] coordinates")
+    lat1, lon1 = float(coord1[0]), float(coord1[1])
+    lat2, lon2 = float(coord2[0]), float(coord2[1])
+    phi1, phi2 = math.radians(lat1), math.radians(lat2)
+    dphi = math.radians(lat2 - lat1)
+    dlam = math.radians(lon2 - lon1)
+    a = math.sin(dphi / 2) ** 2 \
+        + math.cos(phi1) * math.cos(phi2) * math.sin(dlam / 2) ** 2
+    return 2 * math.atan2(math.sqrt(a), math.sqrt(1 - a)) * r
+
+
+def _spatial_simplify(tolerance=UNDEFINED, *coords):
+    """mathx/spatial simplify — Ramer-Douglas-Peucker path simplification
+    (spatial.go:68-85 over nums/simplify.go:4-19 + geometry.go:39-63).
+    Input/output coordinates are [lat, lon]; the line-distance math runs on
+    (lng, lat) points exactly as the reference converts them."""
+    import math
+    ep = float(tolerance) if isinstance(tolerance, (int, float)) \
+        and not isinstance(tolerance, bool) else 0.0
+    pts = [(float(c[1]), float(c[0])) for c in coords]
+
+    def dist(l0, l1, p):
+        # ax + by + c = 0 line through l0-l1 (geometry.go:48-53)
+        a = l0[1] - l1[1]
+        b = l1[0] - l0[0]
+        c = l0[0] * l1[1] - l1[0] * l0[1]
+        num = abs(a * p[0] + b * p[1] + c)
+        den = math.sqrt(a * a + b * b)
+        if den == 0.0:  # degenerate segment: Go float division semantics
+            return math.inf if num else math.nan
+        return num / den
+
+    def simp(points):
+        if len(points) <= 2:
+            return list(points)
+        l0, l1 = points[0], points[-1]
+        idx, maxd = 0, 0.0
+        for i, p in enumerate(points):
+            d = dist(l0, l1, p)
+            if d > maxd:
+                maxd, idx = d, i
+        if maxd >= ep:
+            left = simp(points[:idx + 1])
+            right = simp(points[idx:])
+            return left[:-1] + right
+        return [points[0], points[-1]]
+
+    return [[p[1], p[0]] for p in simp(pts)]
+
+
 def _mathx_fft(times, values):
     """mathx fft(times, values) -> [[hz, ampl], ...]
     (fm_script mathx module; math identical to mods/nums/fft/fft.go:10-39
@@ -1794,7 +1870,9 @@ def _mathx_fft(times, values):
 
 
 _MODULES = {
-    "mathx/spatial": {"parseGeoJSON": _parse_geojson},
+    "mathx/spatial": {"parseGeoJSON": _parse_geojson,
+                      "haversine": _spatial_haversine,
+                      "simplify": _spatial_simplify},
     "mathx": {"fft": _mathx_fft},
 }
 

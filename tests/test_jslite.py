@@ -245,3 +245,85 @@ def test_step_budget_stops_runaway_loops():
     it2 = Interpreter(d)
     it2.run("var t = 0; for (var i = 0; i < 10000; i++) { t += i; } $.yield(t)")
     assert d.rows[-1] == [49995000]
+
+
+# ---------------------------------------------------------------------------
+# mathx/spatial haversine + simplify — verbatim vectors from the reference's
+# jsh/lib/mathx/spatial/spatial_test.go (TestHaversine, TestSimplify); the
+# assertions compare engine-independent values (toFixed strings / JSON),
+# not jsh console formatting.
+# ---------------------------------------------------------------------------
+
+
+def test_spatial_haversine_reference_vectors():
+    d = Sink()
+    it = Interpreter(d)
+    it.run(
+        'var m = require("mathx/spatial");'
+        "var coord1 = [-34.83333, -58.5166646];"   # buenos aires
+        "var coord2 = [49.0083899664, 2.53844117956];"  # paris
+        "$.yield(m.haversine(coord1, coord2).toFixed(0));"
+        "$.yield(m.haversine(coord1, coord2, 6371).toFixed(0));")
+    assert d.rows[0] == ["11099540"]
+    assert d.rows[1] == ["11100"]
+
+
+def test_spatial_haversine_city_battery():
+    # TestHaversine js-haversine-cities: 7 city pairs, radius 6371 km
+    pairs = [
+        ([22.55, 43.12], [13.45, 100.28], "6094.544"),
+        ([20.10, 57.30], [0.57, 100.21], "5145.526"),
+        ([51.45, 1.15], [41.54, 12.27], "1389.179"),
+        ([22.34, 17.05], [51.56, 4.29], "3429.893"),
+        ([63.24, 56.59], [8.50, 13.14], "6996.186"),
+        ([90.0, 0.0], [48.51, 2.21], "4613.478"),
+        ([45.04, 7.42], [3.09, 101.42], "10078.112"),
+    ]
+    d = Sink()
+    it = Interpreter(d)
+    for c1, c2, want in pairs:
+        d.rows.clear()
+        it.run(
+            'var m = require("mathx/spatial");'
+            f"$.yield(m.haversine({c1}, {c2}, 6371).toFixed(3));")
+        assert d.rows[0] == [want], (c1, c2)
+
+
+def test_spatial_simplify_reference_vectors():
+    d = Sink()
+    it = Interpreter(d)
+    it.run(
+        'var m = require("mathx/spatial");'
+        "var points = [[0, 0], [1, 2], [2, 7], [3, 1], [4, 8],"
+        " [5, 2], [6, 8], [7, 3], [8, 3], [9, 0]];"
+        "$.yield(JSON.stringify(m.simplify(0, ...points)));"
+        "$.yield(JSON.stringify(m.simplify(2, ...points)));"
+        "$.yield(JSON.stringify(m.simplify(100, ...points)));"
+        # short inputs pass through (js-simplify-short-input)
+        "$.yield(JSON.stringify(m.simplify(0.5, [37.1, 127.1], [37.2, 127.2])));"
+        "$.yield(JSON.stringify(m.simplify(10, [37.1, 127.1])));")
+    assert d.rows[0] == ["[[0,0],[1,2],[2,7],[3,1],[4,8],[5,2],[6,8],[7,3],[8,3],[9,0]]"]
+    assert d.rows[1] == ["[[0,0],[2,7],[3,1],[4,8],[5,2],[6,8],[9,0]]"]
+    assert d.rows[2] == ["[[0,0],[9,0]]"]
+    assert d.rows[3] == ["[[37.1,127.1],[37.2,127.2]]"]
+    assert d.rows[4] == ["[[37.1,127.1]]"]
+
+
+def test_spatial_seek_most_distant_semantics():
+    # nums/simplify_test.go TestSeekMostDistantPoint: the line (0,0)-(0,10)
+    # vs points — farthest is (13,13) at distance 13.  Exercised through
+    # simplify: with tolerance 12.9 the split happens at that point.
+    # Points here are (x, y) = (lng, lat) in reference space, so [lat, lon]
+    # input is [y, x].
+    d = Sink()
+    it = Interpreter(d)
+    it.run(
+        'var m = require("mathx/spatial");'
+        "$.yield(JSON.stringify(m.simplify(13.0001,"
+        " [0, 0], [13, 13], [15, 1], [1, 1], [6, 3], [10, 0])));"
+        "$.yield(JSON.stringify(m.simplify(12.9,"
+        " [0, 0], [13, 13], [15, 1], [1, 1], [6, 3], [10, 0])));")
+    # above the max distance: everything collapses to the endpoints
+    assert d.rows[0] == ["[[0,0],[10,0]]"]
+    # just below: the distant point survives
+    assert "[13,13]" in d.rows[1][0]
