@@ -179,7 +179,9 @@ def to_json_envelope(df: DataFrame, limit: int | None = None,
                      rows_array: bool = False, rownum: bool = False,
                      types: list[str] | None = None,
                      columns: list[str] | None = None,
-                     json_cols: tuple[str, ...] = ()) -> str:
+                     json_cols: tuple[str, ...] = (),
+                     precision: int = -1,
+                     binaryformat: str | None = None) -> str:
     """JSON() sink — the reference HTTP envelope, byte-compatible shape:
     {"data":{"columns":[...],"types":[...],"rows":[...]},"success":true,
      "reason":"success","elapse":"..."}.  ``rows_array`` emits one object per
@@ -215,6 +217,28 @@ def to_json_envelope(df: DataFrame, limit: int | None = None,
         cols = ["ROWNUM", *cols]
         types = ["int64", *types]
         rows = [(i + 1, *r) for i, r in enumerate(rows)]
+    # AppendJSONValue parity (json_encode.go:164-205): float64 renders
+    # through AppendPrecisionFloat64 (NaN/±Inf as quoted tokens, integral
+    # doubles without a decimal point, default precision = 6-trimmed),
+    # []byte through the BinaryFormatter.  Raw numeric tokens ride a \x00
+    # sentinel that the final dump strips back out of the quotes.
+    jidx2 = {i for i, c in enumerate(cols) if c in json_cols}
+
+    def _cell(i, v):
+        if i in jidx2:
+            return v
+        if isinstance(v, float):
+            if v != v:
+                return "NaN"
+            if v == float("inf"):
+                return "+Inf"
+            if v == float("-inf"):
+                return "-Inf"
+            return "\x00" + _format_float(v, precision) + "\x00"
+        if isinstance(v, (bytes, bytearray)) and binaryformat is not None:
+            return format_binary(bytes(v), binaryformat)
+        return v
+    rows = [tuple(_cell(i, v) for i, v in enumerate(r)) for r in rows]
     key = "rows"
     if rows_array:
         # key order inside each object is alphabetical (Go map marshalling)
@@ -232,26 +256,48 @@ def to_json_envelope(df: DataFrame, limit: int | None = None,
         "reason": "success",
         "elapse": f"{_time.time() - tick:.6f}s",
     }
-    return json.dumps(envelope, default=_json_default, separators=(",", ":"))
+    out = json.dumps(envelope, default=_json_default, separators=(",", ":"))
+    import re as _re
+    return _re.sub(r'"\\u0000([^"\\]*)\\u0000"', r"\1", out)
 
 
 def to_ndjson(df: DataFrame, limit: int | None = None, rownum: bool = False,
               timeformat: str | None = None,
               time_cols: tuple[str, ...] = ("time",),
-              tz: str | None = None) -> str:
+              tz: str | None = None, precision: int = -1,
+              binaryformat: str | None = None) -> str:
     """NDJSON() sink — one JSON object per row, keys in column order with an
     optional leading ROWNUM, time columns rendered per ``timeformat``
     (mods/codec/internal/ndjson/encode.go; goldens in encode_test.go).
     ``timeformat`` "ns"/"s"/… keep epoch integers; named layouts format to
-    strings — both via the shared named-format registry, JVM-side."""
+    strings — both via the shared named-format registry, JVM-side.  Floats
+    render through AppendPrecisionFloat64 like the JSON envelope (encode.go
+    delegates to json.AppendJSONValue)."""
     df = _format_time_cols(df, timeformat, time_cols, tz=tz)
     cols, rows = _collect(df, limit)
     if rownum:
         cols = ["ROWNUM", *cols]
         rows = [(i + 1, *r) for i, r in enumerate(rows)]
-    return "\n".join(
-        json.dumps(dict(zip(cols, r)), default=_json_default, separators=(",", ":")) for r in rows
-    ) + ("\n" if rows else "")
+
+    def _cell(v):
+        if isinstance(v, float):
+            if v != v:
+                return "NaN"
+            if v == float("inf"):
+                return "+Inf"
+            if v == float("-inf"):
+                return "-Inf"
+            return "\x00" + _format_float(v, precision) + "\x00"
+        if isinstance(v, (bytes, bytearray)) and binaryformat is not None:
+            return format_binary(bytes(v), binaryformat)
+        return v
+    import re as _re
+    out = "\n".join(
+        _re.sub(r'"\\u0000([^"\\]*)\\u0000"', r"\1",
+                json.dumps(dict(zip(cols, (_cell(v) for v in r))),
+                           default=_json_default, separators=(",", ":")))
+        for r in rows)
+    return out + ("\n" if rows else "")
 
 
 def _md_cell(v, precision: int = -1) -> str:

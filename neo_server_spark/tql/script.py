@@ -35,8 +35,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 # tokenizer
 # --------------------------------------------------------------------------
 
-_OPS = ("??", "||", "&&", "==", "!=", "<=", ">=", "<", ">",
-        "+", "-", "*", "/", "%", "(", ")", ",", "!", "?", ":")
+_OPS = ("??", "||", "&&", "==", "!=", "=~", "!~", "<<", ">>",
+        "<=", ">=", "<", ">", "**", "+", "-", "*", "/", "%",
+        "&", "|", "^", "~", "(", ")", ",", "!", "?", ":")
 
 
 @dataclass
@@ -140,8 +141,12 @@ def tokenize(src: str) -> list[Tok]:
 # parser (precedence climbing) -> tuple AST
 # --------------------------------------------------------------------------
 
-_BINARY = [("??",), ("||",), ("&&",), ("==", "!="),
-           ("<", "<=", ">", ">="), ("+", "-"), ("*", "/", "%")]
+# precedence levels mirror expression/operator_table.go infixBindingPowerFor:
+# ?? < || < && < all-comparators(one level, left-assoc) < & | ^ < << >> <
+# + - < * / % ; ** is right-associative and handled by Parser.power()
+_BINARY = [("??",), ("||",), ("&&",),
+           ("==", "!=", "<", "<=", ">", ">=", "=~", "!~", "in"),
+           ("&", "|", "^"), ("<<", ">>"), ("+", "-"), ("*", "/", "%")]
 
 
 class Parser:
@@ -163,26 +168,47 @@ class Parser:
             raise SyntaxError(f"expected {val or kind}, got {t.kind}:{t.val!r}")
         return t
 
+    def _at_binop(self, level: int) -> bool:
+        t = self.peek()
+        if t.kind == "op" and t.val in _BINARY[level]:
+            return True
+        # `in` is a keyword comparator (operator.go comparatorSymbols)
+        return t.kind == "ident" and t.val == "in" and "in" in _BINARY[level]
+
     def expr(self, level: int = 0):
         if level >= len(_BINARY):
-            return self.unary()
+            return self.power()
         left = self.expr(level + 1)
-        while self.peek().kind == "op" and self.peek().val in _BINARY[level]:
+        while self._at_binop(level):
             op = self.next().val
             right = self.expr(level + 1)
             left = ("bin", op, left, right)
         if level == 0 and self.peek().kind == "op" and self.peek().val == "?":
-            # ternary cond ? a : b (expression/parse.go conditional)
+            # ternary cond ? a [: b] — the else is optional and yields
+            # null when the condition is false (stage.go parseTernary)
             self.next()
             a = self.expr(0)
-            self.expect("op", ":")
-            b = self.expr(0)
+            if self.peek().kind == "op" and self.peek().val == ":":
+                self.next()
+                b = self.expr(0)
+            else:
+                b = ("ident", "NULL")
             return ("if", left, a, b)
         return left
 
+    def power(self):
+        # EXPONENT is right-associative (operator_table.go bp {110,110},
+        # pratt_regression_test TestPrattRightAssociativityExponent); a
+        # prefix binds tighter (parsePrefix bp 120): -2**2 == 4
+        base = self.unary()
+        if self.peek().kind == "op" and self.peek().val == "**":
+            self.next()
+            return ("bin", "**", base, self.power())
+        return base
+
     def unary(self):
         t = self.peek()
-        if t.kind == "op" and t.val in ("-", "!"):
+        if t.kind == "op" and t.val in ("-", "!", "~"):
             self.next()
             return ("un", t.val, self.unary())
         return self.primary()
@@ -199,6 +225,15 @@ class Parser:
             return ("var", t.val)
         if t.kind == "op" and t.val == "(":
             inner = self.expr()
+            if self.peek().kind == "op" and self.peek().val == ",":
+                # parenthesized comma list -> array value, the right-hand
+                # side of `in` (stage.go SEPARATE / evaluation.go inStage)
+                items = [inner]
+                while self.peek().kind == "op" and self.peek().val == ",":
+                    self.next()
+                    items.append(self.expr())
+                self.expect("op", ")")
+                return ("list", items)
             self.expect("op", ")")
             return inner
         if t.kind == "ident":
@@ -305,6 +340,44 @@ def validate_script_structure(stmts_ex: list[tuple]) -> None:
 
 def _is_col(v) -> bool:
     return isinstance(v, Column)
+
+
+def _is_num(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _go_v(v) -> str:
+    """Go %v rendering for error messages (true/false, shortest floats)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
+        return str(int(v))
+    return str(v)
+
+
+# typing-failure texts, verbatim from expression/evaluation.go:13-17
+def _type_err_logical(v, op):
+    return (f"Value '{_go_v(v)}' cannot be used with the logical "
+            f"operator '{op}', it is not a bool")
+
+
+def _type_err_modifier(v, op):
+    return (f"Value '{_go_v(v)}' cannot be used with the modifier "
+            f"'{op}', it is not a number")
+
+
+def _type_err_comparator(v, op):
+    return (f"Value '{_go_v(v)}' cannot be used with the comparator "
+            f"'{op}', it is not a number")
+
+
+def _type_err_ternary(v, op):
+    return (f"Value '{_go_v(v)}' cannot be used with the ternary "
+            f"operator '{op}', it is not a bool")
+
+
+def _type_err_prefix(v, op):
+    return f"Value '{_go_v(v)}' cannot be used with the prefix '{op}'"
 
 
 def _lift(v) -> Column:
@@ -1413,9 +1486,24 @@ class TqlRunner:
             raise NameError(f"unknown identifier {node[1]}")
         if kind == "un":
             v = self.ev(node[2])
+            if node[1] == "~":
+                # bitwiseNotStage: float64(^int64(v))
+                if _is_col(v):
+                    return F.bitwise_not(v.cast("long")).cast("double")
+                if not _is_num(v):
+                    raise ValueError(_type_err_prefix(v, "~"))
+                return float(~int(v))
             if node[1] == "-":
-                return -v if not _is_col(v) else -v
-            return (~v) if _is_col(v) else (not v)
+                if not _is_col(v) and not _is_num(v):
+                    raise ValueError(_type_err_prefix(v, "-"))
+                return -v
+            if _is_col(v):
+                return ~v
+            if isinstance(v, bool):
+                return not v
+            raise ValueError(_type_err_prefix(v, "!"))
+        if kind == "list":
+            return [self.ev(x) for x in node[1]]
         if kind == "bin":
             return self._binop(node[1], node[2], node[3])
         if kind == "if":
@@ -1439,6 +1527,8 @@ class TqlRunner:
                     b = self._gostr(b, tb)
                     self._mixed_ternary = True
                 return F.when(c, a).otherwise(b)
+            if not isinstance(c, bool):
+                raise ValueError(_type_err_ternary(c, "?"))
             return self.ev(node[2]) if c else self.ev(node[3])
         if kind == "call":
             fn = SCALARS.get(node[1])
@@ -1453,10 +1543,72 @@ class TqlRunner:
             if _is_col(left):
                 return F.coalesce(left, _lift(self.ev(rn)))
             return left if left is not None else self.ev(rn)
+        if op in ("&&", "||") and not _is_col(left):
+            # andStage/orStage take bools and short-circuit
+            # (isShortCircuitable: false&&x / true||x never evaluate x)
+            if not isinstance(left, bool):
+                raise ValueError(_type_err_logical(left, op))
+            if op == "&&" and left is False:
+                return False
+            if op == "||" and left is True:
+                return True
         right = self.ev(rn)
         colmode = _is_col(left) or _is_col(right)
+        if op in ("=~", "!~"):
+            return self._regex_op(op, left, right)
+        if op == "in":
+            # inStage: right must be an array; equality membership
+            if _is_col(left):
+                vals = [v for v in (right if isinstance(right, list)
+                                    else [right])]
+                return _lift(left).isin(*vals)
+            if not isinstance(right, list):
+                raise ValueError(
+                    f"Value '{_go_v(right)}' cannot be used with the "
+                    f"comparator 'in', it is not an array")
+            return any(left == v for v in right)
+        if op == "**":
+            if colmode:
+                return F.pow(_lift(left).cast("double"),
+                             _lift(right).cast("double"))
+            for v in (left, right):
+                if not _is_num(v):
+                    raise ValueError(_type_err_modifier(v, op))
+            import math as _m
+            return float(_m.pow(left, right))
+        if op in ("&", "|", "^", "<<", ">>"):
+            return self._bitwise_op(op, left, right, colmode)
         if op == "+" and (isinstance(left, str) or isinstance(right, str)) and colmode:
             return F.concat(_lift(left).cast("string"), _lift(right).cast("string"))
+        if not colmode:
+            # scalar-mode type checks (stage.go findTypeChecks): modifiers
+            # and ordering comparators demand numbers (strings compare
+            # lexically; + concatenates when either side is a string)
+            if op in ("-", "*", "/", "%") or \
+                    (op == "+" and not (isinstance(left, str)
+                                        or isinstance(right, str))):
+                for v in (left, right):
+                    if not _is_num(v):
+                        raise ValueError(_type_err_modifier(v, op))
+            elif op in ("<", "<=", ">", ">="):
+                if not (isinstance(left, str) and isinstance(right, str)):
+                    for v in (left, right):
+                        if not _is_num(v):
+                            raise ValueError(_type_err_comparator(v, op))
+            elif op in ("&&", "||"):
+                if not isinstance(right, bool):
+                    raise ValueError(_type_err_logical(right, op))
+            if op == "+" and (isinstance(left, str) or isinstance(right, str)):
+                return _go_v(left) + _go_v(right) if not isinstance(left, str) \
+                    else (left + _go_v(right) if not isinstance(right, str)
+                          else left + right)
+            if op == "%":
+                # modulusStage is Go math.Mod: truncated toward zero
+                import math as _m
+                r = _m.fmod(float(left), float(right)) if right != 0 \
+                    else float("nan")
+                return int(r) if isinstance(left, int) \
+                    and isinstance(right, int) and r == int(r) else r
         if colmode:
             if op in ("+", "-", "*", "/", "%"):
                 # the reference's expression evaluator does ALL arithmetic
@@ -1487,6 +1639,64 @@ class TqlRunner:
             "||": lambda a, b: (a | b) if colmode else (a or b),
         }
         return table[op](left, right)
+
+    def _regex_op(self, op, left, right):
+        """regexStage/notRegexStage: unanchored regex search of the left
+        string against the right pattern (Go regexp.Match)."""
+        if _is_col(left) or _is_col(right):
+            m = _lift(left).rlike(right) if isinstance(right, str) \
+                else _lift(left).rlike(_lift(right))
+            return ~m if op == "!~" else m
+        if not isinstance(left, str):
+            raise ValueError(
+                f"Value '{_go_v(left)}' cannot be used with the "
+                f"comparator '{op}', it is not a string")
+        if not isinstance(right, str):
+            raise ValueError(
+                f"Value '{_go_v(right)}' cannot be used with the "
+                f"comparator '{op}', it is not a string")
+        import re as _re
+        try:
+            rx = _re.compile(right)
+        except _re.error as e:
+            raise ValueError(
+                f"unable to compile regexp pattern '{right}': {e}")
+        hit = rx.search(left) is not None
+        return (not hit) if op == "!~" else hit
+
+    def _bitwise_op(self, op, left, right, colmode):
+        """bitwise*/shift stages (evaluation.go:186-200): float64 operands
+        pass through int64 (shifts: uint64), result returns to float64."""
+        if colmode:
+            a, b = _lift(left).cast("long"), _lift(right).cast("long")
+            if op == "&":
+                c = a.bitwiseAND(b)
+            elif op == "|":
+                c = a.bitwiseOR(b)
+            elif op == "^":
+                c = a.bitwiseXOR(b)
+            elif op == "<<":
+                c = F.call_function("shiftleft", a, b.cast("int"))
+            else:
+                c = F.call_function("shiftright", a, b.cast("int"))
+            return c.cast("double")
+        for v in (left, right):
+            if not _is_num(v):
+                raise ValueError(_type_err_modifier(v, op))
+        a, b = int(left), int(right)
+        if op == "&":
+            r = a & b
+        elif op == "|":
+            r = a | b
+        elif op == "^":
+            r = a ^ b
+        elif op == "<<":
+            # uint64 shift; Go yields 0 when the count reaches the width
+            r = 0 if not 0 <= b < 64 else \
+                ((a & 0xFFFFFFFFFFFFFFFF) << b) & 0xFFFFFFFFFFFFFFFF
+        else:
+            r = 0 if not 0 <= b < 64 else (a & 0xFFFFFFFFFFFFFFFF) >> b
+        return float(r)
 
     def _dtype_of(self, col: Column):
         """simpleString dtype of an expression over the current frame
@@ -1563,7 +1773,8 @@ class TqlRunner:
         return df.select(*sel)
 
     def _render_frame(self, timeformat: str | None = None,
-                      tz: str | None = None) -> DataFrame:
+                      tz: str | None = None,
+                      slice_repr: bool = True) -> DataFrame:
         """Display frame with sink-level per-position transforms (slice %T
         rendering, gostr re-floating, time formatting) applied on the
         INTERNAL c{i} names first — duplicate display names (two inserted
@@ -1572,9 +1783,10 @@ class TqlRunner:
         from neo_server_spark.codecs.encoders import _format_time_cols
         st = self.state
         df = st.df.orderBy("__seq") if "__seq" in st.df.columns else st.df
-        for i in sorted(st.slices):
-            if i < len(st.names):   # Go %T of a []any value
-                df = df.withColumn(f"c{i}", F.lit("[]interface {}"))
+        if slice_repr:   # CSV-family sinks render []any via Go %T; JSON
+            for i in sorted(st.slices):   # marshals the array itself
+                if i < len(st.names):
+                    df = df.withColumn(f"c{i}", F.lit("[]interface {}"))
         names = [nm or f"column{i}" for i, nm in enumerate(st.names)]
         tpos = sorted(i for i in st.times if i < len(names))
         if not tpos:   # fallback: columns conventionally named time
@@ -3468,7 +3680,18 @@ class TqlRunner:
     def stmt_JSON(self, args):
         from neo_server_spark.codecs import encoders
         opts, _ = self._opt_calls(args)
-        disp = self._display()
+        # JSON() takes the same time/precision/binary options as CSV()
+        # (json_encode.go:57-108 setters)
+        timeformat = opts["timeformat"][0][0] if "timeformat" in opts else None
+        if "sqlTimeformat" in opts:
+            from neo_server_spark.functions.timefn import sql_timeformat_to_layout
+            timeformat = sql_timeformat_to_layout(opts["sqlTimeformat"][0][0])
+        elif "ansiTimeformat" in opts:
+            from neo_server_spark.functions.timefn import ansi_timeformat_to_layout
+            timeformat = ansi_timeformat_to_layout(opts["ansiTimeformat"][0][0])
+        tz = opts["tz"][0][0] if "tz" in opts else None
+        tz = _TZ_ALIASES.get(tz, tz)
+        disp = self._render_frame(timeformat, tz, slice_repr=False)
         jcols = tuple(disp.columns[i] for i in sorted(self.state.jsons)
                       if i < len(disp.columns))
         self.output = encoders.to_json_envelope(
@@ -3476,6 +3699,11 @@ class TqlRunner:
             transpose="transpose" in opts and bool(opts["transpose"][0][0]),
             rows_flatten="rowsFlatten" in opts and bool(opts["rowsFlatten"][0][0]),
             rows_array="rowsArray" in opts and bool(opts["rowsArray"][0][0]),
+            rownum="rownum" in opts and bool(opts["rownum"][0][0]),
+            precision=(int(opts["precision"][0][0])
+                       if "precision" in opts else -1),
+            binaryformat=(str(opts["binaryformat"][0][0])
+                          if "binaryformat" in opts else "hex"),
             columns=self.state.env_names,
             types=self.state.env_types,
             json_cols=jcols)
@@ -3647,6 +3875,10 @@ class TqlRunner:
         self.output = encoders.to_ndjson(
             disp, timeformat=None,
             rownum="rownum" in opts and bool(opts["rownum"][0][0]),
+            precision=(int(opts["precision"][0][0])
+                       if "precision" in opts else -1),
+            binaryformat=(str(opts["binaryformat"][0][0])
+                          if "binaryformat" in opts else "hex"),
             time_cols=()) + "\n"
 
     def stmt_DISCARD(self, args):

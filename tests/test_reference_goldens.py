@@ -543,3 +543,76 @@ def test_box_encoder_nano_golden(spark):
         "| 1    | 3    | text some | 1691800174123456 | 127.0.0.1 | 3    |",
         "+------+------+-----------+------------------+-----------+------+",
     ]
+
+
+def test_json_envelope_float_token_golden(spark):
+    """json_encode_test.go TestPrecisionFloat64MarshalJSON applied through
+    the envelope: AppendJSONValue renders float64 via AppendPrecisionFloat64
+    — integral doubles lose the decimal point, trailing zeros trim,
+    NaN/±Inf become quoted tokens, -0.0 normalizes to 0."""
+    from neo_server_spark.codecs import encoders
+    df = spark.createDataFrame(
+        [(12.34, 10.0, -0.0, float("nan"), float("inf"), float("-inf"),
+          20.55 - 22.2)],
+        ["a", "b", "c", "d", "e", "f", "g"])
+    got = _strip_elapse(encoders.to_json_envelope(df))
+    assert '"rows":[[12.34,10,0,"NaN","+Inf","-Inf",-1.65]]' in got
+
+
+def test_json_envelope_precision_golden(spark):
+    """SetPrecision(2): fixed decimals survive into the JSON number token."""
+    from neo_server_spark.codecs import encoders
+    df = spark.createDataFrame([(3.5, 1.25)], ["x", "y"])
+    got = _strip_elapse(encoders.to_json_envelope(df, precision=2))
+    assert '"rows":[[3.50,1.25]]' in got
+
+
+def test_json_envelope_binaryformat_golden(spark):
+    """json_encode_test.go TestBinaryFormat — []byte through the
+    BinaryFormatter, with rownum."""
+    from neo_server_spark.codecs import encoders
+    data = bytes([0x01, 0x02, 0x03, 0x04, 0x05, 0x06])
+    for fmt, want in [
+            ("preview", '[[1,"preview","0x0102030405.."]]'),
+            ("hex", '[[1,"hex","0x010203040506"]]'),
+            ("bytes", '[[1,"bytes","[1 2 3 4 5 6]"]]'),
+            ("base64", '[[1,"base64","AQIDBAUG"]]'),
+            ("_unknown_", '[[1,"_unknown_","0x010203040506"]]')]:
+        df = spark.createDataFrame([(fmt, data)], ["FORMAT", "BIN"])
+        got = encoders.to_json_envelope(df, rownum=True, binaryformat=fmt)
+        assert want in got, (fmt, got)
+
+
+def test_json_envelope_rows_array_rownum_golden(spark):
+    """json_encode.go:229-231: rowsArray mode injects a ROWNUM key into
+    each row object."""
+    from neo_server_spark.codecs import encoders
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.5)], ["name", "value"])
+    got = _strip_elapse(encoders.to_json_envelope(
+        df, rows_array=True, rownum=True))
+    assert ('"rows":[{"ROWNUM":1,"name":"a","value":1},'
+            '{"ROWNUM":2,"name":"b","value":2.5}]') in got
+
+
+def test_ndjson_float_and_precision_golden(spark):
+    """ndjson/encode_test.go TestNdjsonEncodeFloatFormatting(+WithPrecision):
+    floats via AppendJSONValue — trailing-zero trim, integral doubles bare,
+    NaN quoted; fixed precision keeps its decimals."""
+    from neo_server_spark.codecs import encoders
+    df = spark.createDataFrame(
+        [(12.34, 10.0, float("nan"))], ["a", "b", "c"])
+    assert encoders.to_ndjson(df).strip() == \
+        '{"a":12.34,"b":10,"c":"NaN"}'
+    assert encoders.to_ndjson(df, precision=2).strip() == \
+        '{"a":12.34,"b":10.00,"c":"NaN"}'
+
+
+def test_ndjson_binaryformat_golden(spark):
+    """encode.go AddRow []byte branch with an explicit BinaryFormatter."""
+    from neo_server_spark.codecs import encoders
+    df = spark.createDataFrame(
+        [("x", bytes([1, 2, 3, 4, 5, 6]))], ["name", "value"])
+    assert encoders.to_ndjson(df, binaryformat="base64").strip() == \
+        '{"name":"x","value":"AQIDBAUG"}'
+    assert encoders.to_ndjson(df, binaryformat="bytes").strip() == \
+        '{"name":"x","value":"[1 2 3 4 5 6]"}'
