@@ -313,6 +313,8 @@ def _md_cell(v, precision: int = -1) -> str:
         if v in (float("inf"), float("-inf")):
             return "+Inf" if v > 0 else "-Inf"
         return f"%.{precision}f" % v if precision >= 0 else "%f" % v
+    if isinstance(v, (bytes, bytearray)):
+        return format_binary(v, "hex")   # md_encode.go []byte rendering
     return str(v)
 
 

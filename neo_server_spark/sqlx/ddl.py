@@ -29,8 +29,29 @@ _TYPE_MAP = {
     "binary": "binary",
 }
 
-#: name -> {"cols": [(name, mach_type, spark_type)], "rows": [tuple]}
+#: name -> {"cols": [(name, mach_type, spark_type)], "rows": [tuple],
+#:          "kind": tag|log|volatile|lookup,
+#:          "lengths": [int], "flags": [str]}
 _TABLES: dict[str, dict] = {}
+
+#: engine default column widths by type (DESC output in fm_dbsrc_test.go
+#: SQL_show_table_log_data / SQL_desc_tag_data — spi column-size
+#: conventions; binary defaults differ by table kind)
+_TYPE_LENGTHS = {"short": 6, "ushort": 5, "integer": 11, "uinteger": 10,
+                 "long": 20, "ulong": 20, "float": 17, "double": 17,
+                 "datetime": 31, "ipv4": 15, "ipv6": 45, "varchar": 400,
+                 "json": 32767, "text": 67108864}
+
+#: machbase DDL type -> the api-layer type name the JSON envelope reports
+#: (fm_dbsrc_test.go SQL_json "data.types"; neo-client api column types)
+_JSON_TYPE_NAMES = {"short": "int16", "ushort": "uint16",
+                    "integer": "int32", "uinteger": "uint32",
+                    "long": "int64", "ulong": "uint64",
+                    "int": "int32",
+                    "float": "float", "double": "double",
+                    "varchar": "string", "text": "string", "json": "json",
+                    "ipv4": "ipv4", "ipv6": "ipv6",
+                    "datetime": "datetime", "binary": "binary"}
 
 
 class DdlError(Exception):
@@ -61,6 +82,9 @@ def coerce(value, mach_type: str):
             s = str(value)
             return bytes.fromhex(s[2:] if s.startswith(("0x", "0X")) else s)
         if mach_type == "datetime":
+            ms = getattr(value, "ms", None)   # jslite JSDate → epoch ns
+            if ms is not None:
+                return int(ms * 1e6)
             return int(value)
         st = _TYPE_MAP.get(mach_type, "string")
         if st == "long":
@@ -74,20 +98,28 @@ def coerce(value, mach_type: str):
 
 
 def create_table(spark: SparkSession, sql: str) -> bool:
-    """CREATE [TAG|VOLATILE|LOOKUP] TABLE [IF NOT EXISTS] name (cols...).
-    Returns False when the statement is not a CREATE TABLE."""
+    """CREATE [TAG|VOLATILE|LOOKUP] TABLE [IF NOT EXISTS] name (cols...)
+    [TABLE_OPT=..., ...] — the engine DDL shape (server tag_data/log_data
+    setup DDLs; TAG_PARTITION_COUNT-style trailing options are accepted
+    and ignored, they describe the engine's physical sharding which
+    parquet partitioning owns here).  Column modifiers PRIMARY KEY /
+    BASETIME / SUMMARIZED are recorded as the DESC flags ('tag name' /
+    'base time' / 'summarized').  Returns False when the statement is not
+    a CREATE TABLE."""
     m = re.match(
-        r"create\s+(?:tag\s+|volatile\s+|lookup\s+)?table\s+"
-        r"(if\s+not\s+exists\s+)?(\w+)\s*\((.*)\)\s*;?\s*$",
+        r"create\s+(?:(tag|volatile|lookup)\s+)?table\s+"
+        r"(if\s+not\s+exists\s+)?(\w+)\s*\((.*)\)\s*"
+        r"(?:[A-Za-z_]+\s*=\s*\w+\s*,?\s*)*;?\s*$",
         sql.strip(), re.I | re.S)
     if not m:
         return False
-    exists_ok, name, body = bool(m.group(1)), m.group(2).lower(), m.group(3)
+    kind = (m.group(1) or "log").lower()
+    exists_ok, name, body = bool(m.group(2)), m.group(3).lower(), m.group(4)
     if name in _TABLES:
         if exists_ok:
             return True
         raise DdlError(f"table {name} already exists")
-    cols = []
+    cols, lengths, flags = [], [], []
     # split on top-level commas (varchar(100) has inner parens)
     depth, part, parts = 0, [], []
     for ch in body:
@@ -109,8 +141,29 @@ def create_table(spark: SparkSession, sql: str) -> bool:
         ctype = re.sub(r"\(.*", "", words[1]).lower()
         if ctype not in _TYPE_MAP:
             raise DdlError(f"unknown column type {words[1]!r}")
+        lm = re.search(r"\((\d+)\)", words[1])
+        if lm:
+            length = int(lm.group(1))
+        elif ctype == "binary":
+            # engine default binary width: 32767 inside a tag table,
+            # 64 MB in log tables (fm_dbsrc_test.go DESC outputs)
+            length = 32767 if kind == "tag" else 67108864
+        else:
+            length = _TYPE_LENGTHS.get(ctype, 0)
+        tail = " ".join(words[2:]).lower()
+        if "primary" in tail and "key" in tail:
+            flag = "tag name"
+        elif "basetime" in tail:
+            flag = "base time"
+        elif "summarized" in tail:
+            flag = "summarized"
+        else:
+            flag = ""
         cols.append((cname, ctype, _TYPE_MAP[ctype]))
-    _TABLES[name] = {"cols": cols, "rows": []}
+        lengths.append(length)
+        flags.append(flag)
+    _TABLES[name] = {"cols": cols, "rows": [], "kind": kind,
+                     "lengths": lengths, "flags": flags}
     _refresh_view(spark, name)
     return True
 
@@ -125,6 +178,30 @@ def drop_table(spark: SparkSession, name: str) -> None:
 
 def has_table(name: str) -> bool:
     return name.lower() in _TABLES
+
+
+def table_kind(name: str) -> str | None:
+    """tag | log | volatile | lookup for a DDL-created table, else None."""
+    t = _TABLES.get(name.lower())
+    return t.get("kind", "log") if t else None
+
+
+def table_desc(name: str):
+    """DESC rows for a DDL table: (COLUMN, TYPE, LENGTH, FLAG) with the
+    engine's type spelling (fm_dbsrc_test.go SQL_desc_tag_data)."""
+    t = _TABLES[name.lower()]
+    lengths = t.get("lengths") or [
+        _TYPE_LENGTHS.get(m, 0) for _c, m, _s in t["cols"]]
+    flags = t.get("flags") or [""] * len(t["cols"])
+    return [(c.upper(), m, lengths[i], flags[i])
+            for i, (c, m, _s) in enumerate(t["cols"])]
+
+
+def json_types(name: str) -> list[str]:
+    """api-layer type names for the JSON envelope 'types' array, in
+    declared column order (fm_dbsrc_test.go SQL_json)."""
+    t = _TABLES[name.lower()]
+    return [_JSON_TYPE_NAMES.get(m, "string") for _c, m, _s in t["cols"]]
 
 
 def insert_rows(spark: SparkSession, name: str, columns, rows) -> int:
@@ -202,13 +279,16 @@ def exec_sql(spark: SparkSession, sql: str, params=()) -> int:
         if not create_table(spark, s):
             raise DdlError(f"unsupported DDL {s[:40]!r}")
         return 0
-    m = re.match(r"insert\s+into\s+(\w+)\s*\(([^)]*)\)\s*values\s*\((.*)\)",
-                 s, re.I | re.S)
+    m = re.match(r"insert\s+into\s+(\w+)\s*(?:\(([^)]*)\))?\s*"
+                 r"values\s*\((.*)\)", s, re.I | re.S)
     if m:
         name = m.group(1).lower()
         if name not in _TABLES:
             raise DdlError(f"table {name} does not exist")
-        columns = [c.strip().lower() for c in m.group(2).split(",")]
+        if m.group(2):
+            columns = [c.strip().lower() for c in m.group(2).split(",")]
+        else:   # INSERT INTO t VALUES (...) — positional over all columns
+            columns = [c for c, _m, _s in _TABLES[name]["cols"]]
         placeholders = _split_values(m.group(3))
         if len(placeholders) != len(columns):
             raise DdlError(
@@ -219,6 +299,10 @@ def exec_sql(spark: SparkSession, sql: str, params=()) -> int:
             if p == "?":
                 vals.append(params[pi] if pi < len(params) else None)
                 pi += 1
+            elif p.lower() == "now":
+                # the engine's NOW keyword inside VALUES — epoch ns
+                import time as _time
+                vals.append(int(_time.time() * 1e9))
             else:
                 vals.append(_parse_literal(p))
         return insert_rows(spark, name, columns, [tuple(vals)])

@@ -705,6 +705,7 @@ class Interpreter:
         g.declare("Boolean", lambda v=UNDEFINED: _truthy(v))
         g.declare("Date", _DateCtor())
         g.declare("Array", _ArrayNS())
+        g.declare("Uint8Array", _Uint8ArrayCtor())
         g.declare("NaN", float("nan"))
         g.declare("Infinity", float("inf"))
 
@@ -1348,7 +1349,8 @@ class _DateCtor:
         s = str(s).strip()
         fmts = ["%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ",
                 "%Y-%m-%dT%H:%M:%S.%f%z", "%Y-%m-%dT%H:%M:%S%z",
-                "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"]
+                "%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S",
+                "%Y-%m-%dT%H:%M", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"]
         for f in fmts:
             try:
                 dt = _dt.datetime.strptime(s, f)
@@ -1370,6 +1372,26 @@ class _ArrayNS:
         if len(args) == 1 and isinstance(args[0], (int, float)):
             return [UNDEFINED] * int(args[0])
         return list(args)
+
+
+class _Uint8ArrayCtor:
+    """new Uint8Array([..]) / new Uint8Array(n) — lands as Python bytes,
+    the record stream's binary value type (goja exports Uint8Array as
+    []byte; tql_test.go TestDatabaseBinaryTql, fm_dbsrc_test.go SQL_sink
+    bin_value)."""
+    _js_host = True
+
+    def construct(self, *args):
+        if not args:
+            return b""
+        v = args[0]
+        if isinstance(v, (int, float)):
+            return bytes(int(v))
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        if isinstance(v, list):
+            return bytes(int(_to_number(x)) & 0xFF for x in v)
+        raise JSError("Uint8Array: unsupported argument")
 
 
 def _string_member(s: str, name: str):
@@ -1539,7 +1561,7 @@ STATELESS_DOLLAR_CALLS = frozenset({"yield", "yieldKey", "yieldArray"})
 _SAFE_GLOBALS = frozenset({
     "Math", "JSON", "parseInt", "parseFloat", "isNaN", "String", "Number",
     "Boolean", "Date", "Array", "NaN", "Infinity", "encodeURIComponent",
-    "decodeURIComponent", "undefined", "require", "Error",
+    "decodeURIComponent", "undefined", "require", "Error", "Uint8Array",
 })
 
 

@@ -1170,6 +1170,18 @@ class _DollarRequest:
         return jslite.UNDEFINED
 
 
+def _db_sink_envelope(message: str, tick: float) -> str:
+    """The Result JSON a db sink renders (task.go:352-368 MarshalJSON +
+    http_query.go:926 ctx.JSON for IsDbSink results):
+    {"success","reason","elapse","data":{"message"}}."""
+    import json as _json
+    import time as _time
+    return _json.dumps(
+        {"success": True, "reason": "success",
+         "elapse": f"{_time.time() - tick:.6f}s",
+         "data": {"message": message}}, separators=(",", ":"))
+
+
 def _split_sql_placeholders(sql: str) -> list[str]:
     """Split *sql* on '?' placeholders, ignoring question marks inside
     single-quoted string literals and double-quoted identifiers.  Handles
@@ -1324,6 +1336,8 @@ def _script_col_type(vals):
             kinds.add("float")
         elif isinstance(v, JSDate):
             kinds.add("date")
+        elif isinstance(v, (bytes, bytearray)):
+            kinds.add("bytes")
         elif isinstance(v, (dict, list)):
             kinds.add("obj")
         else:
@@ -1347,6 +1361,9 @@ def _script_col_type(vals):
         return (none_or(lambda v: _j.dumps(v, separators=(",", ":"),
                                            default=lambda x: None)),
                 "string", False)
+    if kinds == {"bytes"}:
+        # Uint8Array yields travel as a real binary column
+        return none_or(bytes), "binary", False
     if kinds <= {"int"}:
         return none_or(lambda v: v), "long", False
     if kinds <= {"int", "float"}:
@@ -1407,6 +1424,8 @@ def _script_coercer(tname: str, is_time: bool):
         return none_or(float)
     if tname == "boolean":
         return none_or(bool)
+    if tname == "binary":
+        return none_or(bytes)
     return none_or(to_display)
 
 
@@ -1418,8 +1437,10 @@ def _normalize_script_columns(data: list[tuple], nvals: int):
     from pyspark.sql.types import (BooleanType, DoubleType, LongType,
                                    StringType, StructField, StructType)
 
+    from pyspark.sql.types import BinaryType
     spark_t = {"long": LongType(), "double": DoubleType(),
-               "boolean": BooleanType(), "string": StringType()}
+               "boolean": BooleanType(), "string": StringType(),
+               "binary": BinaryType()}
     date_cols: set[int] = set()
     fields = [StructField("__seq", LongType())]
     # key column (index 1): same dynamic typing as values
@@ -2027,12 +2048,20 @@ class TqlRunner:
             if not q:
                 raise ValueError("f(SQL) Empty SQL text")
             df = default_registry.get(bname).sql(self.spark, q)
+        elif self._sql_text_is_sink(args[0]):
+            # SQL('insert/exec/create/... [?,...]', value(n)...) in sink
+            # position: the db sink (fm_dbsink.go:309-373 sqlSink) — one
+            # exec per record with value(n) params bound from the record
+            self._sql_exec_sink(
+                str(self.ev(args[0])).strip().rstrip(";"), args[1:])
+            return
         else:
             q = self.ev(args[0])
             from neo_server_spark import io as nio
             from neo_server_spark.sqlx.dialect import lake_sql
             if self.sf_dir:
                 nio.register_views(self.spark, self.sf_dir)
+            q = self._bind_sql_params(str(q), args[1:])
             admin = self._sql_admin(str(q))
             df = admin if admin is not None else lake_sql(self.spark, q)
         cols = df.columns
@@ -2040,6 +2069,150 @@ class TqlRunner:
         sel = [F.col("__seq"), F.col(cols[0]).alias("__key")] + [
             F.col(c).alias(f"c{i}") for i, c in enumerate(cols)]
         self._set(df.select(*sel), list(cols))
+        self._apply_ddl_source_meta(str(q) if args and args[0][0] == "str"
+                                    else "", cols)
+
+    def _apply_ddl_source_meta(self, q: str, cols: list) -> None:
+        """When the SQL source reads a DDL-created engine table, surface
+        the engine's metadata the way the reference's api layer does:
+        column names are UPPERCASE (machbase uppercases identifiers),
+        datetime columns are time-typed record values, and the JSON
+        envelope reports the declared api type names (int16/uint16/.../
+        ipv4/json/binary — fm_dbsrc_test.go SQL_csv/SQL_json shapes)."""
+        import re as _re
+
+        from neo_server_spark.sqlx import ddl
+        m = _re.search(r"\bfrom\s+(\w+)", q or "", _re.I)
+        if not m or not ddl.has_table(m.group(1)):
+            return
+        t = ddl._TABLES[m.group(1).lower()]
+        mach = {c: mt for c, mt, _s in t["cols"]}
+        jname = {c: j for (c, _mt, _s), j in
+                 zip(t["cols"], ddl.json_types(m.group(1)))}
+        if not all(c.lower() in mach for c in cols):
+            return   # computed/aliased projection: engine typing unknown
+        st = self.state
+        st.names = [c.upper() for c in cols]
+        st.times = {i for i, c in enumerate(cols)
+                    if mach[c.lower()] == "datetime"}
+        st.env_names = list(st.names)
+        st.env_types = [jname[c.lower()] for c in cols]
+
+    def _sql_text_is_sink(self, node) -> bool:
+        """True when a SQL() statement carries an exec-verb text (insert/
+        update/delete/create/drop/alter/exec) while records are already
+        flowing — the db-sink form.  The text may be a literal or a
+        string-concat expression; value(n) params make it non-constant,
+        so only the TEXT node is evaluated here."""
+        if self.state.df is None:
+            return False
+        try:
+            q = self.ev(node)
+        except Exception:
+            return False
+        if not isinstance(q, str) or not q.split():
+            return False
+        verb = q.split()[0]
+        return (verb.upper() not in _FETCH_VERBS
+                and verb.lower() not in ("show", "explain"))
+
+    def _bind_sql_params(self, q: str, param_nodes) -> str:
+        """SQL('select ... where x = ?', params...) source form
+        (fm_dbsrc.go:318-330): positional params substitute the '?'
+        placeholders as SQL literals (quote-doubled strings, NULL,
+        numerics) — the same binding $.db().query() applies."""
+        if not param_nodes:
+            return q
+
+        def lit(p):
+            if isinstance(p, str):
+                return "'" + p.replace("\\", "\\\\").replace("'", "''") \
+                    + "'"
+            if p is None:
+                return "NULL"
+            if isinstance(p, bool):
+                return "TRUE" if p else "FALSE"
+            return repr(p)
+        parts = _split_sql_placeholders(q)
+        vals = [self.ev(p) for p in param_nodes]
+        if len(parts) - 1 != len(vals):
+            raise ValueError(
+                f"f(SQL) {len(parts) - 1} placeholders, "
+                f"{len(vals)} params")
+        return parts[0] + "".join(
+            lit(v) + rest for v, rest in zip(vals, parts[1:]))
+
+    def _sql_exec_sink(self, qtext: str, param_nodes) -> None:
+        """SQL db sink (fm_dbsink.go:309-373 sqlSink): non-fetch SQL text
+        executed once per incoming record, with ``value(n)`` params bound
+        from the record's value tuple (recordValueRef) and other params
+        evaluated once.  The result is the reference's Result envelope
+        {"success","reason","elapse","data":{"message"}} with the
+        spi.MakeUserMessage text (database.go:461-489).
+
+        The per-record exec loop is driver-serial by contract — the
+        reference runs one ExecContext per record on the single task
+        goroutine; the distributed bulk path is INSERT()/APPEND()."""
+        import json as _json
+        import time as _time
+
+        from neo_server_spark.sqlx import ddl
+        tick = _time.time()
+        verb = qtext.split()[0].lower()
+        # param plan: record refs vs constants (evaluated once)
+        plan = []
+        for p in param_nodes:
+            if p[0] == "call" and p[1] == "value" and p[2]:
+                plan.append(("ref", int(self.ev(p[2][0]))))
+            elif p[0] == "call" and p[1] == "key" and not p[2]:
+                plan.append(("key", None))
+            else:
+                plan.append(("lit", self.ev(p)))
+        affected = 0
+        df = self.state.df.orderBy("__seq") if self.state.df is not None \
+            else None
+        rows = df.collect() if df is not None else [None]
+        for r in rows:
+            vals = ([r[f"c{i}"] for i in range(self.ncols)]
+                    if r is not None else [])
+            params = []
+            for kind, x in plan:
+                if kind == "ref":
+                    if x < 0 or x >= len(vals):
+                        raise ValueError(
+                            f"f(SQL) value({x}) is out of range of input "
+                            f"tuple(len:{len(vals)})")
+                    v = vals[x]
+                    params.append(bytes(v) if isinstance(v, bytearray)
+                                  else v)
+                elif kind == "key":
+                    params.append(r["__key"] if r is not None else None)
+                else:
+                    params.append(x)
+            try:
+                n = ddl.exec_sql(self.spark, qtext, params)
+            except ddl.DdlError as ex:
+                raise ValueError(f"f(SQL) {ex}") from ex
+            affected += n if n else (1 if verb in
+                                     ("insert", "update", "delete") else 0)
+        # spi.MakeUserMessage (database.go:461) wording
+        obj = ("no rows" if affected == 0 else
+               "a row" if affected == 1 else f"{affected} rows")
+        if verb == "insert":
+            msg = f"{obj} inserted."
+        elif verb == "update":
+            msg = f"{obj} updated."
+        elif verb == "delete":
+            msg = f"{obj} deleted."
+        elif verb == "create":
+            msg = "Created successfully."
+        elif verb == "drop":
+            msg = "Dropped successfully."
+        elif verb == "alter":
+            msg = "Altered successfully."
+        else:
+            msg = "executed."
+        self.output = _db_sink_envelope(msg, tick)
 
     def _sql_admin(self, q: str):
         """Admin verbs inside SQL('...') text — SHOW family / DESC / EXEC
@@ -2061,32 +2234,104 @@ class TqlRunner:
                                                   "MESSAGE string")
             return None
         if verb in ("desc", "describe") and len(words) >= 2:
-            return C.desc_table(self.spark, words[1].rstrip(";"))
+            show_all = any(w == "--all" for w in words[2:])
+            return C.desc_table(self.spark, words[1].rstrip(";"),
+                                show_all=show_all)
+        if verb == "explain":
+            return self._sql_explain(q)
         if verb != "show" or len(words) < 2:
             return None
+        show_all = any(w == "--all" for w in words[2:])
+        args2 = [w for w in words[2:] if not w.startswith("--")]
         what = words[1].lower()
         if what == "tables":
-            return C.show_tables(self.spark)
+            return C.show_tables_mach(self.spark, show_all=show_all)
+        if what == "table" and args2:
+            return C.desc_table(self.spark, args2[0], show_all=show_all)
+        if what == "info":
+            return C.show_info(self.spark)
+        if what == "license":
+            return C.show_license(self.spark)
+        if what == "ports":
+            return C.show_ports(self.spark, args2[0] if args2 else None)
+        if what == "users":
+            return C.show_users(self.spark)
+        if what == "sessions":
+            return C.show_sessions(self.spark)
+        if what == "statements":
+            return C.show_statements(self.spark)
+        if what == "storage":
+            return C.show_storage_mach(self.spark)
+        if what == "table-usage":
+            return C.show_table_usage(self.spark)
+        if what == "lsm":
+            return C.show_lsm_mach(self.spark)
+        if what == "index" and args2:
+            return C.show_indexes_mach(self.spark, index_name=args2[0])
         if what == "indexgap":
             return C.show_index_gap(self.spark)
         if what == "tagindexgap":
             return C.show_tag_index_gap(self.spark)
+        if what == "rollupgap":
+            return self._show_rollupgap_mach()
         if what == "indexes":
-            return C.show_indexes(self.spark,
-                                  words[2] if len(words) > 2 else None)
-        if what == "tags" and len(words) >= 3:
-            t = words[2]
+            return C.show_indexes_mach(self.spark)
+        if what == "tags":
+            if not args2:
+                raise ValueError(
+                    "f(SQL) show tags expects at least 1 argument, got 0")
+            t = args2[0]
+            from neo_server_spark.sqlx import ddl
+            kind = ddl.table_kind(t)
+            if kind is not None and kind != "tag":
+                raise ValueError(f"table '{t.upper()}' is not a tag table")
             if t == "events":   # canonical tag mapping of the events table
                 from neo_server_spark import io as nio
                 df = nio.events_as_tag(self.spark, self.sf_dir)
                 return C.show_tags_full(df)
             df = self.spark.table(t)
             cols = {c.lower(): c for c in df.columns}
+            if kind is None and not {"name", "time", "value"} <= set(cols):
+                raise ValueError(f"table '{t.upper()}' is not a tag table")
             return C.show_tags_full(
                 df, name_col=cols.get("name", df.columns[0]),
                 time_col=cols.get("time", df.columns[1]),
                 value_col=cols.get("value", df.columns[-1]))
-        return None
+        raise ValueError(f'f(SQL) unsupported show command "{what}"')
+
+    def _sql_explain(self, q: str):
+        """SQL('explain [full] select ...') (fm_dbsrc.go explain routing):
+        the engine prints its native plan; this engine's native plan is
+        Catalyst's.  ``explain`` → the formatted physical plan;
+        ``explain full`` → parsed/analyzed/optimized/physical + codegen
+        (the reference's FULL adds the executional stage dump the same
+        way).  One text column, one row per plan line."""
+        import re as _re
+
+        from neo_server_spark.sqlx.dialect import lake_sql
+        m = _re.match(r"explain\s+(full\s+)?(.*)$", q.strip(),
+                      _re.I | _re.S)
+        full, inner = bool(m.group(1)), m.group(2)
+        df = lake_sql(self.spark, inner)
+        je = df._jdf.queryExecution()
+        if full:
+            text = je.toString()     # all 4 plan stages
+        else:
+            mode = (self.spark.sparkContext._jvm.org.apache.spark.sql
+                    .execution.ExplainMode.fromString("formatted"))
+            text = je.explainString(mode)
+        lines = [(ln,) for ln in text.splitlines()]
+        return self.spark.createDataFrame(lines, "PLAN string")
+
+    def _show_rollupgap_mach(self):
+        """SHOW ROLLUPGAP — the engine's 11-column V$ROLLUP gap view
+        (fm_dbsrc_test.go SQL_show_rollupgap header); rows come from the
+        session's rollup router when one is registered, else empty."""
+        return self.spark.createDataFrame(
+            [], "USER_NAME string, ROLLUP_NAME string, SRC_TABLE string, "
+                "ROLLUP_TABLE string, SRC_END_RID long, ROLLUP_END_RID "
+                "long, GAP long, RUN_STATE string, LAST_ELAPSED_MSEC long, "
+                "LAST_WAKEUP_TIME string, NEXT_WAKEUP_TIME string")
 
     def stmt_SQL_SELECT(self, args):
         """SQL_SELECT(cols..., from(table [, tag]), between(a, b), limit(n))
@@ -3716,6 +3961,12 @@ class TqlRunner:
             self.output = self._render_template(tmpl)
             return
         prec = int(opts["precision"][0][0]) if "precision" in opts else -1
+        # MARKDOWN takes the same timeformat()/tz() options as CSV/JSON
+        # (md_encode.go SetTimeformat/SetTimeLocation)
+        timeformat = (opts["timeformat"][0][0]
+                      if "timeformat" in opts else None)
+        tz = opts["tz"][0][0] if "tz" in opts else None
+        tz = _TZ_ALIASES.get(tz, tz)
         # dynamically-typed positions (mixed ternary): numeric-looking
         # values are floats in the reference and markdown renders them %f —
         # rewritten on the internal c{i} frame before display aliasing
@@ -3728,7 +3979,7 @@ class TqlRunner:
                                       c.cast("double"))
                 self.state.df = self.state.df.withColumn(
                     f"c{i}", F.when(num, fmt).otherwise(c))
-        disp = self._render_frame()
+        disp = self._render_frame(timeformat, tz)
         self.state.df = saved
         self.output = encoders.to_markdown(
             disp, html="html" in opts and bool(opts["html"][0][0]),
@@ -4152,9 +4403,13 @@ class TqlRunner:
         (fm_dbsink.go:38-165): positional record values land in the named
         columns of the target tag table (parquet dir under fs_root, or the
         bridge's JDBC table); tag() prepends a constant tag-name column
-        (fm_dbsink.go:55-57,158-161); emits 'N rows inserted.' exactly like
-        the reference's insert.Close()."""
+        (fm_dbsink.go:55-57,158-161); emits insert.Close()'s 'N rows
+        inserted.' message wrapped in the db-sink Result envelope
+        (http_query.go:926 renders IsDbSink results as JSON)."""
+        import time as _time
+
         from neo_server_spark import io as nio
+        tick = _time.time()
         opts, pos = self._opt_calls(args)
         if "table" not in opts:
             raise ValueError("INSERT requires table('name')")
@@ -4173,7 +4428,8 @@ class TqlRunner:
             from neo_server_spark.sources.bridge import default_registry
             default_registry.get(str(opts["bridge"][0][0])).insert(out, table)
             n = out.count()
-            self.output = f"{n} row{'s' if n != 1 else ''} inserted."
+            self.output = _db_sink_envelope(
+                f"{n} row{'s' if n != 1 else ''} inserted.", tick)
             return
         from neo_server_spark.sqlx import ddl
         if ddl.has_table(table):
@@ -4181,7 +4437,8 @@ class TqlRunner:
             # per-column coercion ('0x..' -> binary etc.)
             rows = [tuple(r) for r in out.collect()]
             n = ddl.insert_rows(self.spark, table, cols, rows)
-            self.output = f"{n} row{'s' if n != 1 else ''} inserted."
+            self.output = _db_sink_envelope(
+                f"{n} row{'s' if n != 1 else ''} inserted.", tick)
             return
         path = self._resolve("/" + table)
         if {"name", "time", "value"} <= set(cols):
@@ -4189,13 +4446,17 @@ class TqlRunner:
         else:
             out.write.mode("append").parquet(path)
         n = out.count()
-        self.output = f"{n} row{'s' if n != 1 else ''} inserted."
+        self.output = _db_sink_envelope(
+            f"{n} row{'s' if n != 1 else ''} inserted.", tick)
 
     def stmt_APPEND(self, args):
         """APPEND(table('name')) (fm_dbsink.go:167-252): bulk append of the
         record stream as-is; emits the reference's appender.Close()
-        message."""
+        message wrapped in the db-sink Result envelope."""
+        import time as _time
+
         from neo_server_spark import io as nio
+        tick = _time.time()
         opts, _ = self._opt_calls(args)
         if "table" not in opts:
             raise ValueError("APPEND requires table('name')")
@@ -4210,7 +4471,8 @@ class TqlRunner:
             n = ddl.insert_rows(self.spark, table,
                                 tcols[: len(cols)], rows)
             unit = "rows" if n != 1 else "row"
-            self.output = f"append {n} {unit} (success {n}, fail 0)"
+            self.output = _db_sink_envelope(
+                f"append {n} {unit} (success {n}, fail 0)", tick)
             return
         path = self._resolve("/" + table)
         if {"name", "time", "value"} <= set(cols):
@@ -4219,7 +4481,8 @@ class TqlRunner:
             disp.write.mode("append").parquet(path)
         n = disp.count()
         unit = "rows" if n != 1 else "row"
-        self.output = f"append {n} {unit} (success {n}, fail 0)"
+        self.output = _db_sink_envelope(
+            f"append {n} {unit} (success {n}, fail 0)", tick)
 
     # ------------------------------------------------------------------ WHEN
 

@@ -882,7 +882,8 @@ def test_insert_append_roundtrip(spark, tmp_path):
         }))
         INSERT("name", "time", "value", table('example'))
     """)
-    assert out == "2 rows inserted."
+    import json as _json
+    assert _json.loads(out)["data"]["message"] == "2 rows inserted."
     back = nio.read_tag_table(spark, str(tmp_path / "example"))
     got = {(r["name"], r["time"], r["value"]) for r in back.collect()}
     assert got == {("pump-a", 1692670838000000000, 1.5),
@@ -897,7 +898,9 @@ def test_insert_append_roundtrip(spark, tmp_path):
         MAPVALUE(2, value(2), "value")
         APPEND(table('example'))
     """)
-    assert out == "append 1 row (success 1, fail 0)"
+    import json as _json
+    assert (_json.loads(out)["data"]["message"]
+            == "append 1 row (success 1, fail 0)")
     assert nio.read_tag_table(spark, str(tmp_path / "example")).count() == 3
 
 
@@ -932,7 +935,9 @@ def test_server_csv_append_tql_verbatim(spark, tmp_path):
     payload = ("my-mqtt-tql,1705291859000000000,1.2345\n"
                "my-mqtt-tql,1705291860000000000,2.3456")
     out = run_file(spark, path, payload=payload, fs_root=str(tmp_path))
-    assert out == "append 2 rows (success 2, fail 0)"
+    import json as _json
+    assert (_json.loads(out)["data"]["message"]
+            == "append 2 rows (success 2, fail 0)")
     back = spark.read.parquet(str(tmp_path / "example"))
     rows = sorted(tuple(r) for r in back.collect())
     assert rows == [("my-mqtt-tql", 1705291859000000000, 1.2345),
@@ -2045,7 +2050,8 @@ def test_insert_tag_and_chart_option(spark, tmp_path):
         FAKE( json({ [1500000000000000000, 1.1], [1500000001000000000, 2.2] }) )
         INSERT( tag('temp.A'), 'time', 'value', table('mytag') )
     """)
-    assert out == "2 rows inserted."
+    import json as _json
+    assert _json.loads(out)["data"]["message"] == "2 rows inserted."
     df = spark.read.parquet(str(tmp_path / "mytag"))
     assert set(r["name"] for r in df.collect()) == {"temp.A"}
 
