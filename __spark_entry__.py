@@ -2181,6 +2181,73 @@ def _q_repetition(spark, sf_dir):
     return text.repetition_stats(docs, n=2).orderBy("doc_id")
 
 
+def _q_substring_spans(spark, sf_dir):
+    """Exact substring duplication (Lee et al. train-dedup criterion as a
+    k-gram digest join, datapipe/dedup.py duplicate_spans): per-document
+    maximal duplicated-span profile.  One shuffle on the 16-byte gram
+    digest; text never shuffles."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return dedup.substring_dedup_stats(docs, k=8).orderBy("doc_id")
+
+
+def _synth_url():
+    """Deterministic URL column for the web-curation entries (documents
+    carry no URL; the derivation is the same expression in the oracle)."""
+    return F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"),
+        F.lit(".Example.COM:443/Docs/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=ads&id="), F.col("doc_id").cast("string"),
+        F.lit("&fbclid=zz#frag"))
+
+
+def _q_url_normalize(spark, sf_dir):
+    """URL canonicalization (datapipe/web.py normalize_url/url_host/
+    url_domain): lowercased scheme+host, default-port and fragment strip,
+    tracking-param removal — RE2-safe regex chain, checked verbatim by the
+    oracle."""
+    from neo_server_spark.datapipe import web
+    docs = nio.load_table(spark, sf_dir, "documents")
+    u = _synth_url()
+    return docs.select(
+        "doc_id",
+        web.normalize_url(u).alias("url_norm"),
+        web.url_host(u).alias("host"),
+        web.url_domain(u).alias("domain"),
+    ).orderBy("doc_id")
+
+
+def _q_domain_caps(spark, sf_dir):
+    """Per-domain document caps (datapipe/web.py domain_caps): keep at
+    most 3 docs per domain by deterministic md5(id) order — one window
+    rank on the domain key, no text shuffle."""
+    from neo_server_spark.datapipe import web
+    docs = nio.load_table(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   (F.col("doc_id") % 5).cast("string"),
+                   F.lit(".com/p/"), F.col("doc_id").cast("string"))
+    capped = web.domain_caps(docs.withColumn("url", url),
+                             url_col="url", cap=3)
+    return capped.select("doc_id", F.col("__dom").alias("domain")) \
+        .orderBy("domain", "doc_id")
+
+
+def _q_lm_buckets(spark, sf_dir):
+    """CCNet-style perplexity tiers (datapipe/text.py lm_buckets): rank by
+    unigram LM score, equal-frequency head/middle/tail split, per-bucket
+    profile.  Only (id, score) enters the global window."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return text.lm_bucket_profile(docs, n_buckets=3)
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing plan (datapipe/text.py
+    pack_sequences): documents laid out in id order into 512-token
+    training sequences; one cumulative-sum window over (id, n_tokens)."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, window=512).orderBy(
+        "doc_id", "chunk_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
@@ -2317,6 +2384,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "group_aggs": _q_group_aggs,
         "group_where": _q_group_where,
+        "substring_spans": _q_substring_spans,
+        "url_normalize": _q_url_normalize,
+        "domain_caps": _q_domain_caps,
+        "lm_buckets": _q_lm_buckets,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -4077,5 +4149,155 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT '3_repetition', count(*) FROM s2
             UNION ALL SELECT '4_dedup', count(*) FROM s3
             UNION ALL SELECT '5_sample', count(*) FROM s4
+        """,
+        "substring_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            pos0 AS (
+              SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+              FROM toks
+            ),
+            grams AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     md5(array_to_string(t[i:i+7], ' ')) AS d
+              FROM pos0
+            ),
+            dup AS (SELECT d FROM grams GROUP BY d HAVING count(*) >= 2),
+            marked AS (
+              SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (d)
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM marked
+            ),
+            spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) AS e
+              FROM isl GROUP BY doc_id, grp
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_spans,
+                     CAST(sum(e - s + 8) AS BIGINT) AS dup_tokens
+              FROM spans GROUP BY doc_id
+            )
+            SELECT a.doc_id, a.n_spans, a.dup_tokens,
+                   round(a.dup_tokens * 1.0
+                         / len(string_split(d.text, ' ')), 6) AS dup_frac
+            FROM agg a JOIN documents d USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "url_normalize": """
+            WITH u0 AS (
+              SELECT doc_id,
+                     'HTTPS://WWW.' || source || '.Example.COM:443/Docs/'
+                     || CAST(doc_id AS VARCHAR) || '?utm_source=ads&id='
+                     || CAST(doc_id AS VARCHAR) || '&fbclid=zz#frag' AS url
+              FROM documents
+            ),
+            lc AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                || regexp_replace(url,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS u1
+              FROM u0
+            ),
+            steps AS (
+              SELECT doc_id, url,
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(
+                   regexp_replace(
+                    regexp_replace(
+                     regexp_replace(u1, '#.*$', '', 'g'),
+                     '^(https://[^/?#:]+):443([/?#].*)?$', '\\1\\2'),
+                    '^(http://[^/?#:]+):80([/?#].*)?$', '\\1\\2'),
+                   '([?&])utm_source=[^&#]*&', '\\1', 'g'),
+                  '[?&]utm_source=[^&#]*$', ''),
+                 '[?&]fbclid=[^&#]*$', '') AS u2
+              FROM lc
+            )
+            SELECT doc_id, u2 AS url_norm,
+                   lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/]*@)?([^:/?#]+)',
+                     1)) AS host,
+                   regexp_extract(
+                     regexp_replace(
+                       lower(regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/]*@)?([^:/?#]+)',
+                         1)), '^www\\.', ''),
+                     '([^.]+\\.[^.]+)$', 1) AS domain
+            FROM steps ORDER BY doc_id
+        """,
+        "domain_caps": """
+            WITH d AS (
+              SELECT doc_id,
+                     source || CAST(doc_id % 5 AS VARCHAR) || '.com'
+                       AS domain
+              FROM documents
+            ),
+            rk AS (
+              SELECT doc_id, domain,
+                     row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+              FROM d
+            )
+            SELECT doc_id, domain FROM rk WHERE r <= 3
+            ORDER BY domain, doc_id
+        """,
+        "lm_buckets": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ), tk AS (SELECT * FROM tok WHERE token != ''),
+            v AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+            t AS (SELECT sum(c) AS s FROM v),
+            scored AS (
+              SELECT doc_id, round(avg(ln(c * 1.0 / s)), 6) AS lm_score,
+                     count(*) AS n_tokens
+              FROM tk JOIN v USING (token), t GROUP BY doc_id
+            ),
+            tiered AS (
+              SELECT *,
+                     ntile(3) OVER (ORDER BY lm_score DESC, doc_id) AS nb
+              FROM scored
+            )
+            SELECT CASE nb WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                           ELSE 'tail' END AS bucket,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   round(min(lm_score), 6) AS min_score,
+                   round(max(lm_score), 6) AS max_score
+            FROM tiered GROUP BY bucket ORDER BY bucket
+        """,
+        "pack_sequences": """
+            WITH sized AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS nt
+              FROM documents
+            ),
+            laid AS (
+              SELECT doc_id, nt,
+                     COALESCE(sum(nt) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS off
+              FROM sized
+            ),
+            chunks AS (
+              SELECT doc_id, nt, off,
+                     CAST(unnest(range(CAST(off // 512 AS BIGINT),
+                                       CAST((off + nt - 1) // 512 + 1
+                                            AS BIGINT)))
+                          AS BIGINT) AS chunk_id
+              FROM laid
+            )
+            SELECT doc_id, chunk_id,
+                   greatest(off - chunk_id * 512, 0) AS chunk_start,
+                   least(off + nt - chunk_id * 512, 512) - 1 AS chunk_end
+            FROM chunks ORDER BY doc_id, chunk_id
         """,
     }

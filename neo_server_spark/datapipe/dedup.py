@@ -405,3 +405,63 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     if keep:
         out = out.filter(F.col(id_col) == F.col("canonical_id"))
     return out
+
+
+def duplicate_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact substring duplication: every maximal token span whose k-gram
+    windows all occur >= 2 times in the corpus (the suffix-array
+    train-dedup criterion of Lee et al. 2022, re-expressed as a k-gram
+    digest join — the distributed equivalent used when one machine cannot
+    hold the suffix array).
+
+    Plan shape: (doc, pos, md5(k-gram digest)) positions explode from the
+    scan; ONE shuffle on the 16-byte digest finds grams with corpus count
+    >= 2; matched (doc, pos) pairs merge into maximal spans with a
+    gaps-and-islands window.  The text itself never shuffles — shuffle
+    volume is O(total tokens) x 24 bytes regardless of document size, and
+    the digest aggregate map-side combines.  Returns (doc_id, start_pos,
+    end_pos, span_tokens) per maximal duplicated span, 1-based token
+    positions.
+    """
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    npos = F.greatest(F.size("__t") - (k - 1), F.lit(0))
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: F.md5(F.array_join(F.slice("__t", i, k), " "))))
+        .alias("__p0", "__d")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__d")
+    dup = (grams.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") >= 2))
+    marked = grams.join(dup.select("__d"), "__d").select(id_col, "pos")
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = marked.withColumn("__grp",
+                            F.col("pos") - F.row_number().over(w))
+    return (isl.groupBy(id_col, "__grp")
+            .agg(F.min("pos").alias("start_pos"),
+                 F.max("pos").alias("end_pos"))
+            .select(id_col, "start_pos", "end_pos",
+                    (F.col("end_pos") - F.col("start_pos") + k)
+                    .alias("span_tokens")))
+
+
+def substring_dedup_stats(docs: DataFrame, k: int = 8,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document duplicated-substring profile over
+    :func:`duplicate_spans`: span count, duplicated-token total, and the
+    duplicated fraction of the document — the quantity train-dedup
+    pipelines threshold on before cutting spans out."""
+    spans = duplicate_spans(docs, k=k, text_col=text_col, id_col=id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"))
+    return (docs.select(F.col(id_col),
+                        F.size(tokens(text_col)).alias("__nt"))
+            .join(per_doc, id_col)
+            .select(id_col, "n_spans", "dup_tokens",
+                    F.round(F.col("dup_tokens") / F.col("__nt"), 6)
+                    .alias("dup_frac")))

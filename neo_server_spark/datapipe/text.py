@@ -325,3 +325,102 @@ def contamination(docs: DataFrame, bench: DataFrame, text_col: str = "text",
              >= F.lit(threshold)).alias("contaminated"),
         )
     )
+
+
+def lm_buckets(docs: DataFrame, n_buckets: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style perplexity bucketing: rank documents by their unigram
+    LM score (:func:`lm_score` — the perplexity proxy) and split into
+    ``n_buckets`` equal-frequency tiers (head / middle / tail for the
+    default 3).  Training pipelines upsample the head tier and drop or
+    downsample the tail.
+
+    ntile over a single global ordering: the ranked frame is only
+    (id, score, n_tokens) — the text never enters the sort, so the global
+    window is O(corpus docs) x 24 bytes.  Ties order by id for a
+    deterministic split.  At corpus sizes where even that frame is too
+    big for one task, swap the ntile for fixed score cutoffs from
+    ``approx_percentile(lm_score, [1/n..])`` + a comparison bucket — the
+    CCNet paper's actual procedure (cutoffs from a sample, then a
+    scan-side filter); the exact ntile stays the verification path."""
+    from pyspark.sql.window import Window
+    scored = lm_score(docs, text_col=text_col, id_col=id_col)
+    w = Window.orderBy(F.col("lm_score").desc(), F.col(id_col))
+    names = {1: "head", 2: "middle", 3: "tail"}
+    b = F.ntile(n_buckets).over(w)
+    bucket = b if n_buckets != 3 else \
+        F.element_at(F.lit(list(names.values())), b)
+    return scored.select(
+        id_col, "lm_score", "n_tokens",
+        bucket.alias("bucket"))
+
+
+def lm_bucket_profile(docs: DataFrame, n_buckets: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-bucket corpus profile (doc count, token total, LM-score range)
+    — the table a curation run reports before choosing per-tier sampling
+    rates."""
+    b = lm_buckets(docs, n_buckets=n_buckets, text_col=text_col,
+                   id_col=id_col)
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.round(F.min("lm_score"), 6).alias("min_score"),
+                 F.round(F.max("lm_score"), 6).alias("max_score"))
+            .orderBy("bucket"))
+
+
+def pack_sequences(docs: DataFrame, window: int = 512,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Concatenate-and-chunk sequence packing plan: documents are laid out
+    in ``id_col`` order into one token stream and cut into fixed
+    ``window``-token training sequences (the standard LM pretraining
+    packing).  Returns one row per (doc, chunk) assignment with the
+    token range the document occupies inside the chunk — the shuffle-free
+    plan a writer job can execute partition-parallel.
+
+    The running offset is a distributed prefix sum: (id, n_tokens) rows
+    range-partition on id, each partition cumulates locally under a
+    PARTITIONED window, and the per-partition totals (one tiny row each)
+    come back to the driver to form the broadcast partition-prefix table
+    — no single-partition global window, so the layout scales to any
+    corpus.  Text never enters the plan.  A document spanning a chunk
+    boundary appears once per chunk it crosses.
+    """
+    from pyspark.sql.window import Window
+    sized = (docs.select(F.col(id_col),
+                         F.size(tokens(text_col)).alias("__nt"))
+             .repartitionByRange(F.col(id_col))
+             .sortWithinPartitions(id_col)
+             .withColumn("__pid", F.spark_partition_id())
+             .localCheckpoint(eager=False))
+    totals = {r["__pid"]: r["t"] for r in
+              sized.groupBy("__pid").agg(F.sum("__nt").alias("t"))
+              .collect()}
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    pref_col = F.element_at(
+        F.create_map(*[F.lit(x) for pid in sorted(prefix)
+                       for x in (pid, prefix[pid])]),
+        F.col("__pid")) if prefix else F.lit(0)
+    w = (Window.partitionBy("__pid").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    laid = sized.withColumn(
+        "__off", pref_col + F.coalesce(F.sum("__nt").over(w), F.lit(0)))
+    first = (F.col("__off") / window).cast("long")
+    last = ((F.col("__off") + F.col("__nt") - 1) / window).cast("long")
+    chunks = laid.select(
+        id_col, "__nt", "__off",
+        F.explode(F.sequence(first, last)).alias("chunk_id"))
+    cstart = F.col("chunk_id") * window
+    return chunks.select(
+        id_col,
+        "chunk_id",
+        F.greatest(F.col("__off") - cstart, F.lit(0)).alias("chunk_start"),
+        (F.least(F.col("__off") + F.col("__nt") - cstart, F.lit(window))
+         - 1).alias("chunk_end"),
+    )
