@@ -428,3 +428,97 @@ def test_contamination_screen(spark):
         docs, bench, shingle_n=5, threshold=0.5).collect()}
     assert out[0].contaminated and out[0].overlap > 0.8
     assert not out[1].contaminated and out[1].n_hits == 0
+
+
+def test_duplicate_spans_merging(spark):
+    """duplicate_spans: a shared 8-gram run merges into ONE maximal span;
+    unique text contributes none; position bookkeeping is 1-based."""
+    shared = "a b c d e f g h i j"            # 10 shared tokens
+    docs = spark.createDataFrame(
+        [(0, shared + " unique tail zero", "s"),
+         (1, "other head one " + shared, "s"),
+         (2, "entirely different words with no overlap at all here", "s")],
+        ["doc_id", "text", "source"])
+    spans = {r.doc_id: r for r in
+             dedup.duplicate_spans(docs, k=8).collect()}
+    # doc 0: shared run at positions 1..10 -> k-gram starts 1..3 -> one
+    # span of 3+8-1 = 10 tokens
+    assert spans[0].start_pos == 1 and spans[0].end_pos == 3
+    assert spans[0].span_tokens == 10
+    # doc 1: the run starts after 3 head tokens
+    assert spans[1].start_pos == 4 and spans[1].span_tokens == 10
+    assert 2 not in spans
+    stats = {r.doc_id: r for r in
+             dedup.substring_dedup_stats(docs, k=8).collect()}
+    assert stats[0].n_spans == 1 and stats[0].dup_tokens == 10
+    assert abs(stats[0].dup_frac - 10 / 13) < 1e-6
+
+
+def test_normalize_url_rules(spark):
+    from neo_server_spark.datapipe import web
+    cases = [
+        # scheme+host lowercase, path case preserved
+        ("HTTP://Example.COM/Path/File", "http://example.com/Path/File"),
+        # default ports strip; non-default ports stay
+        ("https://a.com:443/x", "https://a.com/x"),
+        ("http://a.com:80", "http://a.com"),
+        ("https://a.com:8443/x", "https://a.com:8443/x"),
+        # fragment drops
+        ("https://a.com/x#sec", "https://a.com/x"),
+        # tracking params strip with correct separator re-anchoring
+        ("https://a.com/x?utm_source=1&id=2", "https://a.com/x?id=2"),
+        ("https://a.com/x?id=2&utm_source=1", "https://a.com/x?id=2"),
+        ("https://a.com/x?utm_source=1", "https://a.com/x"),
+        ("https://a.com/x?a=1&gclid=z&b=2", "https://a.com/x?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               ["i", "url"])
+    out = {r.i: r.n for r in df.select(
+        "i", web.normalize_url("url").alias("n")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert out[i] == want, (u, out[i], want)
+
+
+def test_url_host_domain_and_caps(spark):
+    from neo_server_spark.datapipe import web
+    df = spark.createDataFrame(
+        [(i, f"https://www.sub{i % 2}.site.com/p/{i}", f"t{i}")
+         for i in range(10)], ["doc_id", "url", "text"])
+    got = df.select(web.url_host("url").alias("h"),
+                    web.url_domain("url").alias("d")).first()
+    assert got.h.startswith("www.sub") and got.d == "site.com"
+    capped = web.domain_caps(df, cap=3).collect()
+    assert len(capped) == 3      # one domain after www-strip -> cap bites
+    # determinism: same rows on rerun
+    again = sorted(r.doc_id for r in web.domain_caps(df, cap=3).collect())
+    assert sorted(r.doc_id for r in capped) == again
+
+
+def test_pack_sequences_boundaries(spark):
+    """pack_sequences: offsets accumulate in id order; a doc crossing the
+    window boundary appears in both chunks with clipped ranges."""
+    docs = spark.createDataFrame(
+        [(0, " ".join(["w"] * 300), "s"),
+         (1, " ".join(["w"] * 300), "s"),      # crosses 512 at offset 300
+         (2, " ".join(["w"] * 100), "s")],
+        ["doc_id", "text", "source"])
+    rows = sorted(text.pack_sequences(docs, window=512).collect(),
+                  key=lambda r: (r.doc_id, r.chunk_id))
+    assert [(r.doc_id, r.chunk_id, r.chunk_start, r.chunk_end)
+            for r in rows] == [
+        (0, 0, 0, 299),
+        (1, 0, 300, 511), (1, 1, 0, 87),
+        (2, 1, 88, 187)]
+
+
+def test_lm_buckets_split(spark):
+    docs = spark.createDataFrame(
+        [(i, ("common words here" if i % 2 else "rare%d token%d x%d"
+              % (i, i, i)), "s") for i in range(12)],
+        ["doc_id", "text", "source"])
+    prof = {r.bucket: r for r in text.lm_bucket_profile(docs).collect()}
+    assert set(prof) == {"head", "middle", "tail"}
+    assert sum(r.n_docs for r in prof.values()) == 12
+    # equal-frequency: 4 docs per tier
+    assert all(r.n_docs == 4 for r in prof.values())
+    assert prof["head"].min_score >= prof["tail"].max_score
