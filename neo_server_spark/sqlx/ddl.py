@@ -312,4 +312,147 @@ def exec_sql(spark: SparkSession, sql: str, params=()) -> int:
         return 0
     if re.match(r"exec\s+table_flush", s, re.I):
         return 0    # commit-time no-op on this engine
+    m = re.match(r"delete\s+from\s+(\w+)(?:\s+where\s+(.+))?$",
+                 s, re.I | re.S)
+    if m:
+        return _delete_rows(spark, m.group(1), m.group(2), params)
+    m = re.match(r"update\s+(\w+)\s+set\s+(.+?)(?:\s+where\s+(.+))?$",
+                 s, re.I | re.S)
+    if m:
+        return _update_rows(spark, m.group(1), m.group(2), m.group(3),
+                            params)
     raise DdlError(f"unsupported exec statement {s[:40]!r}")
+
+
+def _bind_params(clause: str, params, used: list[int]) -> str:
+    """Substitute '?' placeholders (outside string literals) with SQL
+    literals, consuming from *params* left to right across clauses."""
+    out, quote = [], None
+    for ch in clause:
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            out.append(ch)
+        elif ch == "?":
+            i = used[0]
+            used[0] += 1
+            p = params[i] if i < len(params) else None
+            if p is None:
+                out.append("NULL")
+            elif isinstance(p, bool):
+                out.append("TRUE" if p else "FALSE")
+            elif isinstance(p, str):
+                out.append("'" + p.replace("'", "''") + "'")
+            else:
+                out.append(repr(p))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _store_rows(spark: SparkSession, name: str, rows) -> None:
+    t = _TABLES[name]
+    t["rows"] = [tuple(bytes(v) if isinstance(v, bytearray) else v
+                       for v in r) for r in rows]
+    _refresh_view(spark, name)
+
+
+def _delete_rows(spark: SparkSession, name: str, cond: str | None,
+                 params) -> int:
+    """DELETE FROM t [WHERE cond] — the engine's mutable-table surface
+    (VOLATILE/LOOKUP semantics, spi/do.go table kinds).  The survivor set
+    is computed by Spark SQL over the registered view (the predicate
+    grammar comes for free), then swapped into the catalog."""
+    name = name.lower()
+    if name not in _TABLES:
+        raise DdlError(f"table {name} does not exist")
+    before = len(_TABLES[name]["rows"])
+    if cond is None:
+        _store_rows(spark, name, [])
+        return before
+    used = [0]
+    cond = _bind_params(cond, params, used)
+    # per-row verdicts keyed by an explicit insertion index (arrival order
+    # is the engine-table scan order; collect order alone is not a
+    # contract)
+    try:
+        flags = _indexed_eval(spark, name, f"({cond}) AS __del")
+    except Exception as ex:
+        raise DdlError(f"bad DELETE predicate: {ex}") from ex
+    kept = [r for i, r in enumerate(_TABLES[name]["rows"])
+            if not flags[i]["__del"]]
+    _store_rows(spark, name, kept)
+    return before - len(kept)
+
+
+def _indexed_eval(spark: SparkSession, name: str, select: str):
+    """Evaluate SQL expressions against an index-tagged copy of a DDL
+    table; returns rows keyed by insertion index."""
+    t = _TABLES[name]
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(t["rows"])],
+        "`__i` long, " + _schema_ddl(t["cols"]))
+    df.createOrReplaceTempView("__ddl_mut")
+    try:
+        out = spark.sql(
+            f"SELECT __i, {select} FROM __ddl_mut ORDER BY __i").collect()
+    finally:
+        spark.catalog.dropTempView("__ddl_mut")
+    return {r["__i"]: r for r in out}
+
+
+def _update_rows(spark: SparkSession, name: str, setc: str,
+                 cond: str | None, params) -> int:
+    """UPDATE t SET c = expr[, ...] [WHERE cond] — per-column CASE
+    projection over the registered view; affected = matching rows."""
+    name = name.lower()
+    if name not in _TABLES:
+        raise DdlError(f"table {name} does not exist")
+    used = [0]
+    setc = _bind_params(setc, params, used)
+    cond = _bind_params(cond, params, used) if cond else "TRUE"
+    assigns = {}
+    depth, part, parts = 0, [], []
+    for ch in setc:
+        depth += ch == "("
+        depth -= ch == ")"
+        if ch == "," and depth == 0:
+            parts.append("".join(part))
+            part = []
+        else:
+            part.append(ch)
+    parts.append("".join(part))
+    for p in parts:
+        if "=" not in p:
+            raise DdlError(f"bad SET clause {p.strip()!r}")
+        c, expr = p.split("=", 1)
+        assigns[c.strip().lower()] = expr.strip()
+    t = _TABLES[name]
+    sel = []
+    for c, m, _st in t["cols"]:
+        if c in assigns:
+            sel.append(f"CASE WHEN ({cond}) THEN ({assigns[c]}) "
+                       f"ELSE `{c}` END AS `{c}`")
+        else:
+            sel.append(f"`{c}`")
+    unknown = set(assigns) - {c for c, _m, _s in t["cols"]}
+    if unknown:
+        raise DdlError(f"unknown column {sorted(unknown)[0]!r} in {name}")
+    try:
+        out = _indexed_eval(
+            spark, name,
+            ", ".join(sel) + f", ({cond}) AS __hit")
+    except Exception as ex:
+        raise DdlError(f"bad UPDATE statement: {ex}") from ex
+    mach = {c: m for c, m, _s in t["cols"]}
+    coerced, n = [], 0
+    for i in range(len(t["rows"])):
+        r = out[i]
+        n += bool(r["__hit"])
+        coerced.append(tuple(coerce(r[c], mach[c])
+                             for c, _m, _s in t["cols"]))
+    _store_rows(spark, name, coerced)
+    return n

@@ -400,3 +400,48 @@ def test_sql_explain_full(spark, db):
         CSV(header(true))
     """))
     assert "Parsed Logical Plan" in out and "Physical Plan" in out
+
+
+# ---------------------------------------------------------------------------
+# UPDATE / DELETE on engine tables (VOLATILE/LOOKUP mutable-table surface)
+# ---------------------------------------------------------------------------
+
+def test_update_delete_engine_table(spark, db):
+    from neo_server_spark.sqlx import ddl
+    ddl.exec_sql(spark, "CREATE LOOKUP TABLE CFG("
+                        "k varchar(40), v double, note varchar(100))")
+    for row in [("'a', 1.5, 'one'"), ("'b', 2.5, 'two'"),
+                ("'c', 3.5, NULL")]:
+        ddl.exec_sql(spark, f"INSERT INTO cfg VALUES ({row})")
+    n = ddl.exec_sql(spark,
+                     "UPDATE cfg SET v = v * 2, note = 'upd' WHERE k <> ?",
+                     ("a",))
+    assert n == 2
+    got = {r.k: (r.v, r.note) for r in spark.table("cfg").collect()}
+    assert got == {"a": (1.5, "one"), "b": (5.0, "upd"), "c": (7.0, "upd")}
+    # NULL predicate rows are not deleted (SQL delete semantics)
+    n = ddl.exec_sql(spark, "DELETE FROM cfg WHERE note = 'nope'")
+    assert n == 0 and spark.table("cfg").count() == 3
+    n = ddl.exec_sql(spark, "DELETE FROM cfg WHERE v > ?", (5.0,))
+    assert n == 1
+    assert {r.k for r in spark.table("cfg").collect()} == {"a", "b"}
+
+
+def test_update_delete_through_sql_sink(spark, db):
+    from neo_server_spark.sqlx import ddl
+    ddl.exec_sql(spark, "CREATE LOOKUP TABLE CFG2(k varchar(40), v long)")
+    ddl.exec_sql(spark, "INSERT INTO cfg2 VALUES ('x', 1)")
+    ddl.exec_sql(spark, "INSERT INTO cfg2 VALUES ('y', 2)")
+    out = r(spark, """
+        FAKE(once(1))
+        SQL('update cfg2 set v = v + 10 where k = ?', 'x')
+    """)
+    assert json.loads(out)["data"]["message"] == "a row updated."
+    assert {x.k: x.v for x in spark.table("cfg2").collect()} == \
+        {"x": 11, "y": 2}
+    out = r(spark, """
+        FAKE(once(1))
+        SQL('delete from cfg2')
+    """)
+    assert json.loads(out)["data"]["message"] == "2 rows deleted."
+    assert spark.table("cfg2").count() == 0
