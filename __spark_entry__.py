@@ -2248,6 +2248,67 @@ def _q_pack_sequences(spark, sf_dir):
         "doc_id", "chunk_id")
 
 
+def _q_pipeline_v2(spark, sf_dir):
+    """The FULL modern curation pipeline composed from library operators —
+    decontamination → C4 quality → Gopher repetition → exact-substring
+    dedup (Lee et al.) → fingerprint dedup → CCNet perplexity tiering →
+    sequence-packing budget — with per-stage attrition counts.
+
+    Stage order follows cost: scan-side filters first, each digest-keyed
+    shuffle runs only on the previous stage's survivors, and the two
+    reused frames (repetition and substring survivors) localCheckpoint
+    once.  Text never shuffles; every cross-doc meet rides a 8/16-byte
+    digest."""
+    from neo_server_spark.datapipe import dedup as dd
+    docs = nio.load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "source")
+    bench = docs.filter(F.col("source").isin("src0", "src1"))
+    base = docs.filter(~F.col("source").isin("src0", "src1")) \
+        .select("doc_id", "text")
+    # 2: decontamination (keep overlap < 0.2 vs the benchmark shingles)
+    cont = text.contamination(base, bench, shingle_n=5, threshold=0.2) \
+        .select("doc_id", "contaminated")
+    s2 = (base.join(cont, "doc_id")
+          .filter(~F.col("contaminated")).select("doc_id", "text"))
+    # 3: C4-style quality floor
+    s3 = (text.quality_score(s2).filter(F.col("quality") >= 0.71)
+          .select("doc_id", "text"))
+    # 4: Gopher repetition ceiling (gram shuffle on stage-3 survivors)
+    rep = text.repetition_stats(s3, n=2).select("doc_id", "dup_gram_frac")
+    s4 = (s3.join(rep, "doc_id").filter(F.col("dup_gram_frac") <= 0.09)
+          .select("doc_id", "text").localCheckpoint(eager=False))
+    # 5: exact-substring duplication ceiling over the surviving corpus
+    sub = dd.substring_dedup_stats(s4, k=8).select("doc_id", "dup_frac")
+    s5 = (s4.join(sub, "doc_id", "left")
+          .filter((F.col("dup_frac").isNull()) | (F.col("dup_frac") <= 0.6))
+          .select("doc_id", "text").localCheckpoint(eager=False))
+    # 6: exact dedup, canonical min doc_id per fingerprint
+    s6 = (text.fingerprint(s5).groupBy("fp")
+          .agg(F.min("doc_id").alias("doc_id"))
+          .join(s5, "doc_id").select("doc_id", "text")
+          .localCheckpoint(eager=False))
+    # 7: CCNet tiers over the deduped corpus — keep head+middle
+    tiers = text.lm_buckets(s6).filter(F.col("bucket") != "tail") \
+        .select("doc_id")
+    s7 = s6.join(tiers, "doc_id").localCheckpoint(eager=False)
+    # 8: packing budget — 512-token training sequences the corpus fills
+    chunks = text.pack_sequences(s7, window=512) \
+        .agg(F.countDistinct("chunk_id").alias("n"))
+
+    def cnt(df, stage):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(stage).alias("stage"), "n")
+
+    return (cnt(base, "1_raw")
+            .unionAll(cnt(s2, "2_decontam"))
+            .unionAll(cnt(s3, "3_quality"))
+            .unionAll(cnt(s4, "4_repetition"))
+            .unionAll(cnt(s5, "5_substring"))
+            .unionAll(cnt(s6, "6_dedup"))
+            .unionAll(cnt(s7, "7_lm_tiers"))
+            .unionAll(chunks.select(F.lit("8_chunks").alias("stage"), "n")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
@@ -2389,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": _q_domain_caps,
         "lm_buckets": _q_lm_buckets,
         "pack_sequences": _q_pack_sequences,
+        "pipeline_v2": _q_pipeline_v2,
     }
 
 
@@ -4299,5 +4361,119 @@ def oracle_sql() -> dict[str, str]:
                    greatest(off - chunk_id * 512, 0) AS chunk_start,
                    least(off + nt - chunk_id * 512, 512) - 1 AS chunk_end
             FROM chunks ORDER BY doc_id, chunk_id
+        """,
+        "pipeline_v2": r"""
+            WITH bench AS (
+              SELECT doc_id, text FROM documents
+              WHERE source IN ('src0', 'src1')
+            ),
+            base AS (
+              SELECT doc_id, text FROM documents
+              WHERE source NOT IN ('src0', 'src1')
+            ),
+            bsh AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0)),
+                i -> array_to_string((string_split(text, ' '))[i+1:i+5], ' ')))) AS s
+              FROM bench
+            ),
+            dsh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0)),
+                i -> array_to_string((string_split(text, ' '))[i+1:i+5], ' ')))) AS s
+              FROM base
+            ),
+            tot AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+            hit AS (SELECT d.doc_id, count(*) AS h
+                    FROM dsh d JOIN bsh b ON d.s = b.s GROUP BY 1),
+            s2 AS (
+              SELECT base.doc_id, base.text
+              FROM base JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+              WHERE coalesce(h, 0) * 1.0 / n < 0.2
+            ),
+            s3 AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       round((len(list_distinct(string_split(text, ' '))) * 1.0
+                              / len(string_split(text, ' '))) * 0.4
+                            + least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
+                            + (1.0 - least(length(regexp_replace(text,
+                               '[^\.,;:!\?]', '', 'g')) * 1.0
+                               / greatest(length(text), 1) * 10.0, 1.0)) * 0.2,
+                             6) AS quality
+                FROM s2) WHERE quality >= 0.71
+            ),
+            rtoks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> trim(t) <> '') AS l
+              FROM s3
+            ), rgrams AS (
+              SELECT doc_id, unnest(list_filter(list_transform(list_zip(l, l[2:]),
+                     z -> CASE WHEN z[2] IS NULL THEN NULL
+                          ELSE z[1] || ' ' || z[2] END), g -> g IS NOT NULL)) AS gram
+              FROM rtoks
+            ), rpg AS (
+              SELECT doc_id, gram, count(*) AS c FROM rgrams GROUP BY 1, 2
+            ), rep AS (
+              SELECT doc_id, round(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+                     * 1.0 / sum(c), 6) AS dup_frac
+              FROM rpg GROUP BY 1
+            ),
+            s4 AS (
+              SELECT s3.doc_id, s3.text FROM s3 JOIN rep USING (doc_id)
+              WHERE rep.dup_frac <= 0.09
+            ),
+            st AS (SELECT doc_id, string_split(text, ' ') AS t FROM s4),
+            sp0 AS (SELECT doc_id, t,
+                           unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+                    FROM st),
+            sg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                          md5(array_to_string(t[i:i+7], ' ')) AS d
+                   FROM sp0),
+            sdup AS (SELECT d FROM sg GROUP BY d HAVING count(*) >= 2),
+            smk AS (SELECT g.doc_id, g.pos FROM sg g JOIN sdup USING (d)),
+            sisl AS (SELECT doc_id, pos,
+                            pos - row_number() OVER (PARTITION BY doc_id
+                                                     ORDER BY pos) AS grp
+                     FROM smk),
+            ssp AS (SELECT doc_id, min(pos) AS sb, max(pos) AS se
+                    FROM sisl GROUP BY doc_id, grp),
+            sagg AS (SELECT doc_id, sum(se - sb + 8) AS dup_tokens
+                     FROM ssp GROUP BY doc_id),
+            sfrac AS (SELECT a.doc_id,
+                             round(a.dup_tokens * 1.0
+                                   / len(string_split(s4.text, ' ')), 6) AS f
+                      FROM sagg a JOIN s4 USING (doc_id)),
+            s5 AS (
+              SELECT s4.doc_id, s4.text FROM s4 LEFT JOIN sfrac USING (doc_id)
+              WHERE f IS NULL OR f <= 0.6
+            ),
+            s6k AS (SELECT min(doc_id) AS doc_id
+                    FROM (SELECT md5(lower(text)) AS fp, doc_id FROM s5)
+                    GROUP BY fp),
+            s6 AS (SELECT s5.doc_id, s5.text FROM s5 JOIN s6k USING (doc_id)),
+            tok7 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM s6),
+            tk7 AS (SELECT * FROM tok7 WHERE token != ''),
+            v7 AS (SELECT token, count(*) AS c FROM tk7 GROUP BY token),
+            t7 AS (SELECT sum(c) AS s FROM v7),
+            sc7 AS (SELECT doc_id, round(avg(ln(c * 1.0 / s)), 6) AS score
+                    FROM tk7 JOIN v7 USING (token), t7 GROUP BY doc_id),
+            tier AS (SELECT doc_id,
+                            ntile(3) OVER (ORDER BY score DESC, doc_id) AS nb
+                     FROM sc7),
+            s7 AS (SELECT s6.doc_id, s6.text FROM s6 JOIN tier USING (doc_id)
+                   WHERE nb <= 2),
+            ch AS (SELECT coalesce(
+                     CAST((sum(len(string_split(text, ' '))) + 511) // 512
+                          AS BIGINT), 0) AS n FROM s7)
+            SELECT '1_raw' AS stage, count(*) AS n FROM base
+            UNION ALL SELECT '2_decontam', count(*) FROM s2
+            UNION ALL SELECT '3_quality', count(*) FROM s3
+            UNION ALL SELECT '4_repetition', count(*) FROM s4
+            UNION ALL SELECT '5_substring', count(*) FROM s5
+            UNION ALL SELECT '6_dedup', count(*) FROM s6
+            UNION ALL SELECT '7_lm_tiers', count(*) FROM s7
+            UNION ALL SELECT '8_chunks', (SELECT n FROM ch)
         """,
     }
