@@ -211,3 +211,45 @@ def test_group_weighted_single_agg_shuffle(spark, sf_dir):
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"user_id", "event_type", "value"}
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """pack_sequences' prefix sum must be the DISTRIBUTED form: every
+    Window node is partitioned (__pid) — a single-partition global window
+    would serialize the whole corpus layout through one task."""
+    from neo_server_spark import io as nio
+    from neo_server_spark.datapipe import text as dtext
+    docs = nio.load_table(spark, sf_dir, "documents")
+    plan = plan_of(dtext.pack_sequences(docs, window=512))
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__pid" in spec or "," in spec.split("ROWS")[0], spec
+    # no empty partition spec: Spark renders an unpartitioned window as
+    # windowspecdefinition(<order> ASC ...) with no partition column
+    assert not re.search(
+        r"windowspecdefinition\(doc_id#\d+L ASC", plan), plan
+
+
+def test_substring_spans_shuffles_digests_only(spark, sf_dir):
+    """duplicate_spans' corpus meet rides the 16-byte md5 digest: the
+    text column must be pruned before every Exchange."""
+    from neo_server_spark import io as nio
+    from neo_server_spark.datapipe import dedup as dd
+    docs = nio.load_table(spark, sf_dir, "documents")
+    plan = plan_of(dd.duplicate_spans(docs, k=8))
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+    # and the scan prunes to the two used columns
+    assert re.search(r"ReadSchema: [^\n]*text", plan)
+    assert not re.search(r"ReadSchema: [^\n]*n_chars", plan)
+
+
+def test_contamination_benchmark_broadcasts(spark, sf_dir):
+    """The benchmark shingle set (eval corpora — tiny by definition) must
+    broadcast into the semi join; the corpus shingle stream must not
+    shuffle for the meet."""
+    import __spark_entry__ as e
+    plan = plan_of(e.queries()["contamination"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
