@@ -62,6 +62,13 @@ BENCH_QUERIES = [
     "vocab_topk",
     "lm_score",
     "curation_funnel",
+    # round-7 additions — when comparing totals against BENCH_r06 and
+    # earlier, subtract these four (the first 44 names are the stable
+    # cross-round set)
+    "substring_spans",
+    "lm_buckets",
+    "pack_sequences",
+    "pipeline_v2",
 ]
 
 

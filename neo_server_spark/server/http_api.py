@@ -1,0 +1,321 @@
+"""HTTP API front (reference: mods/server/http.go route table).
+
+Implements the engine's three data endpoints over the Spark session,
+stdlib-only (ThreadingHTTPServer — no web framework in the container):
+
+- ``GET/POST /db/query``   — SQL pass-through (http_query.go:25-107,
+  svrmsg.go:20-282): q/p/format/timeformat/tz/precision/rownum/heading/
+  binaryformat/transpose/rowsFlatten/rowsArray/delimiter decode exactly
+  like QueryRequest; fetch verbs render through the requested codec,
+  non-fetch verbs execute and answer the Result envelope with
+  spi.MakeUserMessage wording.
+- ``GET/POST /web/api/tql`` — TQL script execution (http_tql.go): POST
+  body is the script, query-string arguments become param() values.
+- ``POST /db/write/<table>`` — row ingest (http_write.go:25-250):
+  csv/json/ndjson payloads, ``method=insert|append``, ``header=skip``,
+  ``timeformat``; answers ``success, N record(s) <method>ed``.
+
+Everything funnels through the SAME TqlRunner the text front-end uses —
+``SQL(param('q'), param('p0')...)`` + the requested sink statement — so
+query semantics, admin verbs (SHOW/DESC/EXPLAIN), engine-table DDL typing
+and codec option behavior are identical between the HTTP surface and .tql
+scripts, and q/p values can never inject statement text (they bind as
+param() values, not source splices).
+
+Spark-architecture note: this is a driver-side control-plane shim — the
+heavy lifting stays in Catalyst jobs exactly as when the query arrives
+through queries()/bench.  It exists so a reference user's curl/client
+workflows keep working.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+_CONTENT_TYPES = {
+    "json": "application/json",
+    "csv": "text/csv; charset=utf-8",
+    "ndjson": "application/x-ndjson",
+    "markdown": "text/markdown",
+    "html": "application/xhtml+xml",
+    "text": "text/plain",
+    "box": "text/plain",
+}
+
+#: sink statement per format (QueryRequest.Format -> codec.NewEncoder)
+_SINKS = {"json": "JSON", "csv": "CSV", "ndjson": "NDJSON",
+          "markdown": "MARKDOWN", "box": "BOX", "html": "HTML",
+          "text": "TEXT"}
+
+_STMT_CTYPE = {"JSON": "application/json", "CSV": "text/csv; charset=utf-8",
+               "NDJSON": "application/x-ndjson",
+               "MARKDOWN": "text/markdown", "HTML": "application/xhtml+xml",
+               "TEXT": "text/plain", "BOX": "text/plain",
+               "GEOMAP": "application/json"}
+
+
+def _ident_ok(v: str) -> bool:
+    """Option values spliced into the generated sink statement must be
+    plain tokens (formats, layouts, zone names) — never quote characters."""
+    return v is not None and "'" not in v and "\\" not in v and \
+        "\n" not in v
+
+
+class EngineHttpServer:
+    """Threaded HTTP front over a SparkSession."""
+
+    def __init__(self, spark, sf_dir: str | None = None,
+                 fs_root: str | None = None, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.fs_root = fs_root
+        self.host, self.port = host, port
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------- control
+
+    def start(self) -> int:
+        api = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):   # quiet test runs
+                pass
+
+            def do_GET(self):
+                api._route(self, body=b"")
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                api._route(self, body=self.rfile.read(n))
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    # -------------------------------------------------------------- routes
+
+    def _route(self, h: BaseHTTPRequestHandler, body: bytes) -> None:
+        tick = time.time()
+        url = urlparse(h.path)
+        qs = {k: v[-1] for k, v in parse_qs(url.query).items()}
+        try:
+            if url.path == "/db/query":
+                self._handle_query(h, qs, body, tick)
+            elif url.path.startswith("/db/write/"):
+                self._handle_write(h, url.path[len("/db/write/"):],
+                                   qs, body, tick)
+            elif url.path in ("/web/api/tql", "/web/api/tql/"):
+                self._handle_tql(h, qs, body, tick)
+            else:
+                self._fail(h, 404, "not found", tick)
+        except Exception as ex:   # one handler crash must not kill the server
+            self._fail(h, 500, str(ex), tick)
+
+    def _fail(self, h, status: int, reason: str, tick: float) -> None:
+        payload = json.dumps(
+            {"success": False, "reason": reason,
+             "elapse": f"{time.time() - tick:.6f}s"},
+            separators=(",", ":")).encode()
+        h.send_response(status)
+        h.send_header("Content-Type", "application/json")
+        h.send_header("Content-Length", str(len(payload)))
+        h.end_headers()
+        h.wfile.write(payload)
+
+    def _send(self, h, status: int, ctype: str, text: str) -> None:
+        data = text.encode() if isinstance(text, str) else text
+        h.send_response(status)
+        h.send_header("Content-Type", ctype)
+        h.send_header("Content-Length", str(len(data)))
+        h.end_headers()
+        h.wfile.write(data)
+
+    # ------------------------------------------------------------ /db/query
+
+    def _handle_query(self, h, qs: dict, body: bytes, tick: float) -> None:
+        from neo_server_spark.tql.script import TqlRunner
+        req = dict(qs)
+        if body:
+            ctype = h.headers.get("Content-Type", "")
+            if "json" in ctype:
+                req.update(json.loads(body.decode() or "{}"))
+            elif "form" in ctype:
+                req.update({k: v[-1] for k, v in
+                            parse_qs(body.decode()).items()})
+        q = str(req.get("q") or "").strip()
+        if not q:
+            return self._fail(h, 400, "sql text is empty", tick)
+        params = req.get("p")
+        if isinstance(params, str):
+            params = json.loads(params) if params.strip() else []
+        params = list(params or [])
+        fmt = str(req.get("format") or "json").lower()
+        sink = _SINKS.get(fmt)
+        if sink is None:
+            return self._fail(h, 400, f"unsupported format {fmt!r}", tick)
+        opts = self._sink_opts(req, fmt)
+        bind = {"q": q}
+        pargs = []
+        for i, p in enumerate(params):
+            bind[f"p{i}"] = p
+            pargs.append(f", param('p{i}')")
+        script = f"SQL(param('q'){''.join(pargs)})\n{sink}({opts})"
+        verb = q.split()[0].upper()
+        if verb in ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP",
+                    "ALTER", "EXEC"):
+            # non-fetch: db-sink form; the Result envelope IS the body
+            # (http_query.go:812 renders result JSON for exec verbs)
+            script = f"FAKE(once(1))\nSQL(param('q'){''.join(pargs)})"
+        runner = TqlRunner(self.spark, sf_dir=self.sf_dir,
+                           fs_root=self.fs_root, params=bind)
+        try:
+            out = runner.run(script)
+        except Exception as ex:
+            return self._fail(h, 500, str(ex), tick)
+        ct = (_CONTENT_TYPES["json"]
+              if verb in ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP",
+                          "ALTER", "EXEC") else _CONTENT_TYPES[fmt])
+        self._send(h, 200, ct, out if isinstance(out, str) else "")
+
+    def _sink_opts(self, req: dict, fmt: str) -> str:
+        def b(name):
+            v = str(req.get(name, "")).lower()
+            return v in ("1", "true", "t", "yes")
+        opts = []
+        tf = req.get("timeformat")
+        if tf and _ident_ok(str(tf)):
+            opts.append(f"timeformat('{tf}')")
+        tz = req.get("tz")
+        if tz and _ident_ok(str(tz)):
+            opts.append(f"tz('{tz}')")
+        try:
+            prec = int(req.get("precision", -1))
+        except (TypeError, ValueError):
+            prec = -1
+        if prec >= 0:
+            opts.append(f"precision({prec})")
+        if b("rownum"):
+            opts.append("rownum(true)")
+        bf = req.get("binaryformat")
+        if bf and _ident_ok(str(bf)):
+            opts.append(f"binaryformat('{bf}')")
+        if fmt == "csv":
+            heading = True
+            if "heading" in req:
+                heading = b("heading")
+            if str(req.get("header", "")) == "skip":
+                heading = False
+            opts.append(f"header({'true' if heading else 'false'})")
+            d = req.get("delimiter")
+            if d and _ident_ok(str(d)) and len(str(d)) == 1:
+                opts.append(f"delimiter('{d}')")
+        if fmt == "json":
+            for name in ("transpose", "rowsFlatten", "rowsArray"):
+                if b(name):
+                    opts.append(f"{name}(true)")
+        return ", ".join(opts)
+
+    # --------------------------------------------------------- /web/api/tql
+
+    def _handle_tql(self, h, qs: dict, body: bytes, tick: float) -> None:
+        from neo_server_spark.tql.script import TqlRunner
+        src = body.decode() if body else ""
+        if not src.strip():
+            return self._fail(h, 400, "empty tql script", tick)
+        runner = TqlRunner(self.spark, sf_dir=self.sf_dir,
+                           fs_root=self.fs_root, params=qs)
+        try:
+            out = runner.run(src)
+        except Exception as ex:
+            return self._fail(h, 500, str(ex), tick)
+        if not isinstance(out, str):   # sink-less script: JSON envelope
+            from neo_server_spark.codecs import encoders
+            out = encoders.to_json_envelope(out)
+            ct = "application/json"
+        else:
+            ct = _STMT_CTYPE.get(runner.last_stmt or "", "text/plain")
+        self._send(h, 200, ct, out)
+
+    # ------------------------------------------------------ /db/write/<tbl>
+
+    def _handle_write(self, h, table: str, qs: dict, body: bytes,
+                      tick: float) -> None:
+        method = str(qs.get("method", "insert")).lower()
+        fmt = str(qs.get("format", "csv")).lower()
+        heading = str(qs.get("header", "")) == "columns" or \
+            str(qs.get("heading", "")).lower() in ("1", "true")
+        text = body.decode()
+        rows, cols = [], None
+        if fmt == "csv":
+            import csv as _csv
+            import io as _io
+            rd = list(_csv.reader(_io.StringIO(text)))
+            if rd and heading:
+                cols, rd = [c.strip() for c in rd[0]], rd[1:]
+            rows = [tuple(r) for r in rd if r]
+        elif fmt == "ndjson":
+            for line in text.splitlines():
+                if not line.strip():
+                    continue
+                o = json.loads(line)
+                cols = cols or list(o)
+                rows.append(tuple(o.get(c) for c in cols))
+        elif fmt == "json":
+            o = json.loads(text)
+            if isinstance(o, dict) and "data" in o:   # envelope form
+                cols = o["data"].get("columns")
+                rows = [tuple(r) for r in o["data"]["rows"]]
+            else:
+                rows = [tuple(r) for r in o]
+        else:
+            return self._fail(h, 400, f"unsupported format {fmt!r}", tick)
+        if not rows:
+            return self._fail(h, 400, "no records", tick)
+        try:
+            n = self._ingest(table, cols, rows)
+        except Exception as ex:
+            return self._fail(h, 500, str(ex), tick)
+        payload = json.dumps(
+            {"success": True,
+             "reason": f"success, {n} record(s) {method}ed",
+             "elapse": f"{time.time() - tick:.6f}s"},
+            separators=(",", ":")).encode()
+        self._send(h, 200, "application/json", payload)
+
+    def _ingest(self, table: str, cols, rows) -> int:
+        """Route parsed rows into the target: DDL engine tables through the
+        catalog (per-column machbase coercion), everything else appended as
+        parquet through the tag-table writer (http_write.go's appender
+        path; micro-batching is Spark's writer here)."""
+        from neo_server_spark.sqlx import ddl
+        if ddl.has_table(table):
+            t = ddl._TABLES[table.lower()]
+            cs = cols or [c for c, _m, _s in t["cols"]][: len(rows[0])]
+            return ddl.insert_rows(self.spark, table, cs, rows)
+        from neo_server_spark import io as nio
+        cs = cols or ["name", "time", "value"][: len(rows[0])]
+        df = self.spark.createDataFrame([tuple(r) for r in rows], cs)
+        path = (self.fs_root or "/tmp") + "/" + table
+        if {"name", "time", "value"} <= set(cs):
+            from pyspark.sql import functions as F
+            df = df.withColumn("time", F.col("time").cast("long")) \
+                   .withColumn("value", F.col("value").cast("double"))
+            nio.write_tag_table(df, path, mode="append")
+        else:
+            df.write.mode("append").parquet(path)
+        return len(rows)

@@ -1488,6 +1488,7 @@ class TqlRunner:
         self.vars: dict[str, object] = {}   # SET() record variables
         self.subroutine = subroutine   # do() sub-pipelines: sinks inert
         self.output: object = None
+        self.last_stmt: str | None = None
 
     # ---------------------------------------------------------------- expr
 
@@ -1869,6 +1870,7 @@ class TqlRunner:
                 self.output = ""
                 continue
             handler(args)
+            self.last_stmt = name   # HTTP layer maps sink -> content type
         return self.output if self.output is not None else self._display()
 
     _SUBROUTINE_INERT_SINKS = frozenset(
@@ -2069,8 +2071,7 @@ class TqlRunner:
         sel = [F.col("__seq"), F.col(cols[0]).alias("__key")] + [
             F.col(c).alias(f"c{i}") for i, c in enumerate(cols)]
         self._set(df.select(*sel), list(cols))
-        self._apply_ddl_source_meta(str(q) if args and args[0][0] == "str"
-                                    else "", cols)
+        self._apply_ddl_source_meta(str(q), cols)
 
     def _apply_ddl_source_meta(self, q: str, cols: list) -> None:
         """When the SQL source reads a DDL-created engine table, surface

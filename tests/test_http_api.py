@@ -1,0 +1,120 @@
+"""HTTP API endpoints (mods/server/http.go route table re-expressed over
+the Spark session): /db/query formats + params + exec verbs, /web/api/tql
+script execution with query-string params, /db/write ingest."""
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture()
+def server(spark, sf_dir, tmp_path):
+    from neo_server_spark.server.http_api import EngineHttpServer
+    from neo_server_spark.sqlx import ddl
+    saved = dict(ddl._TABLES)
+    ddl._TABLES.clear()
+    ddl.exec_sql(spark, "CREATE TAG TABLE EXAMPLE("
+                        "name varchar(40) primary key, "
+                        "time datetime basetime, "
+                        "value double summarized)")
+    for i in range(1, 4):
+        ddl.exec_sql(spark,
+                     "INSERT INTO example VALUES (?, ?, ?)",
+                     (f"tag{i % 2}", i * 10**9, 1.5 * i))
+    srv = EngineHttpServer(spark, sf_dir=sf_dir, fs_root=str(tmp_path))
+    port = srv.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.stop()
+    ddl._TABLES.clear()
+    ddl._TABLES.update(saved)
+
+
+def get(url: str):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, r.headers.get("Content-Type"), r.read().decode()
+
+
+def post(url: str, body: bytes, ctype: str = "text/plain"):
+    req = urllib.request.Request(url, data=body,
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, r.headers.get("Content-Type"), r.read().decode()
+
+
+def test_db_query_json(server):
+    q = urllib.parse.quote("select name, time, value from example "
+                           "where name = ?")
+    p = urllib.parse.quote('["tag1"]')
+    st, ct, body = get(f"{server}/db/query?q={q}&p={p}"
+                       "&format=json&timeformat=s")
+    assert st == 200 and ct == "application/json"
+    d = json.loads(body)
+    assert d["success"] is True
+    assert d["data"]["columns"] == ["NAME", "TIME", "VALUE"]
+    assert d["data"]["types"] == ["string", "datetime", "double"]
+    assert d["data"]["rows"] == [["tag1", 1, 1.5], ["tag1", 3, 4.5]]
+
+
+def test_db_query_csv_options(server):
+    q = urllib.parse.quote("select name, value from example")
+    st, ct, body = get(f"{server}/db/query?q={q}&format=csv")
+    assert st == 200 and ct.startswith("text/csv")
+    assert body.splitlines()[0] == "NAME,VALUE"
+    # 3 data rows + header + the Exporter.Close blank (csv_encode.go:127)
+    assert len(body.splitlines()) == 5
+    # header=skip drops the heading (svrmsg.go:80 'skip' handling)
+    st, _, body2 = get(f"{server}/db/query?q={q}&format=csv&header=skip")
+    assert body2.splitlines()[0] != "NAME,VALUE"
+    assert len(body2.splitlines()) == 4
+
+
+def test_db_query_exec_verb(server):
+    q = urllib.parse.quote(
+        "insert into example (name,time,value) values('hx', 9000000000, 9.9)")
+    st, ct, body = get(f"{server}/db/query?q={q}")
+    assert st == 200 and ct == "application/json"
+    d = json.loads(body)
+    assert d["success"] and d["data"]["message"] == "a row inserted."
+    # readable back through the same endpoint
+    q2 = urllib.parse.quote("select count(*) AS n from example where name = 'hx'")
+    _, _, out = get(f"{server}/db/query?q={q2}&format=json")
+    assert json.loads(out)["data"]["rows"] == [[1]]
+
+
+def test_db_query_show_and_errors(server):
+    st, _, body = get(f"{server}/db/query?q="
+                      + urllib.parse.quote("show tables") + "&format=csv")
+    assert st == 200
+    assert body.splitlines()[0].startswith("DATABASE_NAME,USER_NAME")
+    # empty q -> 400 'sql text is empty' (svrmsg.go:150)
+    try:
+        get(f"{server}/db/query?format=json")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read().decode())["reason"] == "sql text is empty"
+
+
+def test_web_api_tql(server):
+    script = b"""
+FAKE( linspace(1, parseFloat(param('n')), 3) )
+CSV()
+"""
+    st, ct, body = post(f"{server}/web/api/tql?n=5", script)
+    assert st == 200 and ct.startswith("text/csv")
+    assert body.splitlines() == ["1", "3", "5", ""]
+
+
+def test_db_write_csv_and_ndjson(server, spark):
+    st, _, body = post(f"{server}/db/write/example?format=csv&method=insert",
+                       b"w1,5000000000,7.5\nw2,6000000000,8.5\n")
+    d = json.loads(body)
+    assert d["success"] and d["reason"] == "success, 2 record(s) inserted"
+    assert spark.table("example").filter("name like 'w%'").count() == 2
+    nd = (b'{"name":"w3","time":7000000000,"value":1.25}\n')
+    st, _, body = post(f"{server}/db/write/example?format=ndjson", nd)
+    assert json.loads(body)["reason"] == "success, 1 record(s) inserted"
+    got = spark.table("example").filter("name = 'w3'").first()
+    assert got.value == 1.25 and got.time == 7000000000
