@@ -121,6 +121,11 @@ class EngineHttpServer:
                                    qs, body, tick)
             elif url.path in ("/web/api/tql", "/web/api/tql/"):
                 self._handle_tql(h, qs, body, tick)
+            elif url.path.startswith("/web/api/tql/"):
+                # script loaded from the server-side fs (loader.go:53;
+                # handleTqlFile) — rooted at fs_root, no path escapes
+                self._handle_tql_file(h, url.path[len("/web/api/tql/"):],
+                                      qs, body, tick)
             else:
                 self._fail(h, 404, "not found", tick)
         except Exception as ex:   # one handler crash must not kill the server
@@ -137,10 +142,15 @@ class EngineHttpServer:
         h.end_headers()
         h.wfile.write(payload)
 
-    def _send(self, h, status: int, ctype: str, text: str) -> None:
+    def _send(self, h, status: int, ctype: str, text: str,
+              compress: str | None = None) -> None:
         data = text.encode() if isinstance(text, str) else text
         h.send_response(status)
         h.send_header("Content-Type", ctype)
+        if compress == "gzip":    # QueryRequest.Compress (svrmsg.go:165)
+            import gzip as _gz
+            data = _gz.compress(data)
+            h.send_header("Content-Encoding", "gzip")
         h.send_header("Content-Length", str(len(data)))
         h.end_headers()
         h.wfile.write(data)
@@ -190,7 +200,9 @@ class EngineHttpServer:
         ct = (_CONTENT_TYPES["json"]
               if verb in ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP",
                           "ALTER", "EXEC") else _CONTENT_TYPES[fmt])
-        self._send(h, 200, ct, out if isinstance(out, str) else "")
+        compress = str(req.get("compress") or "") or None
+        self._send(h, 200, ct, out if isinstance(out, str) else "",
+                   compress=compress if compress == "gzip" else None)
 
     def _sink_opts(self, req: dict, fmt: str) -> str:
         def b(name):
@@ -244,6 +256,34 @@ class EngineHttpServer:
         except Exception as ex:
             return self._fail(h, 500, str(ex), tick)
         if not isinstance(out, str):   # sink-less script: JSON envelope
+            from neo_server_spark.codecs import encoders
+            out = encoders.to_json_envelope(out)
+            ct = "application/json"
+        else:
+            ct = _STMT_CTYPE.get(runner.last_stmt or "", "text/plain")
+        self._send(h, 200, ct, out)
+
+    def _handle_tql_file(self, h, rel: str, qs: dict, body: bytes,
+                         tick: float) -> None:
+        import os
+        root = os.path.abspath(self.fs_root or ".")
+        path = os.path.abspath(os.path.join(root, rel))
+        if not (path.startswith(root + os.sep) or path == root) \
+                or not path.endswith(".tql"):
+            return self._fail(h, 404, "not found", tick)
+        if not os.path.isfile(path):
+            return self._fail(h, 404, f"tql not found: {rel}", tick)
+        with open(path) as f:
+            src = f.read()
+        from neo_server_spark.tql.script import TqlRunner
+        runner = TqlRunner(self.spark, sf_dir=self.sf_dir,
+                           fs_root=self.fs_root, params=qs,
+                           payload=body.decode() if body else None)
+        try:
+            out = runner.run(src)
+        except Exception as ex:
+            return self._fail(h, 500, str(ex), tick)
+        if not isinstance(out, str):
             from neo_server_spark.codecs import encoders
             out = encoders.to_json_envelope(out)
             ct = "application/json"

@@ -118,3 +118,29 @@ def test_db_write_csv_and_ndjson(server, spark):
     assert json.loads(body)["reason"] == "success, 1 record(s) inserted"
     got = spark.table("example").filter("name = 'w3'").first()
     assert got.value == 1.25 and got.time == 7000000000
+
+
+def test_db_query_gzip(server):
+    import gzip
+    q = urllib.parse.quote("select name, value from example")
+    req = urllib.request.Request(
+        f"{server}/db/query?q={q}&format=csv&compress=gzip")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.headers.get("Content-Encoding") == "gzip"
+        body = gzip.decompress(r.read()).decode()
+    assert body.splitlines()[0] == "NAME,VALUE"
+
+
+def test_web_api_tql_file(server, tmp_path):
+    # the fixture's fs_root IS tmp_path — drop a script there
+    (tmp_path / "hello.tql").write_text(
+        "FAKE( linspace(2, 6, 3) )\nCSV()\n")
+    st, ct, body = get(f"{server}/web/api/tql/hello.tql")
+    assert st == 200 and ct.startswith("text/csv")
+    assert body.splitlines() == ["2", "4", "6", ""]
+    # path escapes 404
+    try:
+        get(f"{server}/web/api/tql/../../etc/passwd")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
