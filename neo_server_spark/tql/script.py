@@ -264,9 +264,18 @@ def parse_script_ex(src: str) -> list[tuple]:
     stmts = []
     while p.peek().kind != "eof":
         start = p.peek().pos
+        tok = p.peek()
         node = p.expr()
         if node[0] != "call":
-            raise SyntaxError(f"statement must be a function call, got {node}")
+            # expression.ParseError rendering (script_parser_test.go
+            # TestParseErrorFormatsLocation): absolute source line of the
+            # offending token, 1-based column, the token text as `near`
+            line = src.count("\n", 0, tok.pos) + 1
+            col = tok.pos - (src.rfind("\n", 0, tok.pos) + 1) + 1
+            near = _go_v(tok.val) if tok.kind == "num" else str(tok.val)
+            raise SyntaxError(
+                f"unexpected token '{near}' (line={line}, column={col}, "
+                f'near="{near}")')
         end = p.peek().pos if p.peek().kind != "eof" else len(src)
         raw = src[start:end].strip()
         line = src.count("\n", 0, start) + 1

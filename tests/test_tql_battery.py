@@ -1307,3 +1307,26 @@ CSV(header(true))""")
 DISCARD()""")
     assert out == ""
     assert not ddl.has_table("tqlbin")
+
+
+def test_parse_error_absolute_location():
+    """script_parser_test.go TestParseScriptErrorUsesAbsoluteLineNumber /
+    TestParseErrorFormatsLocation / TestCompileLogsAbsoluteParseErrorLocations:
+    a trailing literal after a statement reports the expression.ParseError
+    rendering with the ABSOLUTE source line, 1-based column and near token."""
+    import pytest as _pytest
+
+    from neo_server_spark.tql.script import parse_script_ex
+    with _pytest.raises(SyntaxError,
+                        match=r'unexpected token \'3\' \(line=3, '
+                              r'column=36, near="3"\)'):
+        parse_script_ex(
+            "FAKE( linspace(0, 360, 50))\n"
+            "MAPVALUE(1, sin((value(0)/180)*PI))\n"
+            "MAPVALUE(2, cos((value(0)/180)*PI))3\n"
+            "CHART()")
+    with _pytest.raises(SyntaxError, match=r"line=2, column=36"):
+        parse_script_ex(
+            "FAKE( linspace(0, 360, 50))\n"
+            "MAPVALUE(1, sin((value(0)/180)*PI))2\n"
+            "CHART()")
