@@ -1750,6 +1750,12 @@ class TqlRunner:
         return col.cast("string")
 
     def value_col(self, n: int) -> Column:
+        # fm_context.go GetRecordValue: out-of-range index is a task error
+        # with the reference's exact wording (fm_context_test.go)
+        if self.state.df is not None and (n < 0 or n >= self.ncols):
+            raise ValueError(
+                f"f(value) arg(0) {n} is out of range of the "
+                f"value(len:{self.ncols}) in ")
         return F.col(f"c{n}")
 
     # ------------------------------------------------------------- helpers
