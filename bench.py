@@ -111,11 +111,18 @@ def main() -> None:
     ingest = _bench_ingest(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
+    r7_added = {"substring_spans", "lm_buckets", "pack_sequences",
+                "pipeline_v2"}
+    stable44 = round(sum(v for k, v in timings.items()
+                         if k not in r7_added), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # the first 44 names are the unchanged cross-round set; compare
+        # THIS number against BENCH_r06 and earlier totals
+        "stable44_sec": stable44,
         "sf": sf,
         "ingest": ingest,
     }))
