@@ -112,3 +112,59 @@ def test_when_doer_error_never_breaks_stream(spark):
         do_http("GET", "http://127.0.0.1:1/unreachable", timeout=0.2)
     ).to_df()
     assert out.count() == 1  # fmWhen recover: log + continue
+
+
+def test_http_dsl_multipart_inline_body(spark):
+    """fm_encoder_test.go TestHttpMultipartWithInlineBody: the HTTP()
+    statement ships a multipart/form-data body VERBATIM (inline sections
+    after the blank line); the raw response becomes the record."""
+    import http.server
+    import threading
+
+    got = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            got["ctype"] = self.headers.get("Content-Type")
+            got["body"] = self.rfile.read(n).decode()
+            self.send_response(200)
+            body = b"uploaded"
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from neo_server_spark.tql.script import run_script
+        boundary = "----Boundary7MA4YWxkTrZu0gW"
+        content = "\n".join([
+            f"POST http://127.0.0.1:{port}/upload",
+            f"Content-Type: multipart/form-data; boundary={boundary}",
+            "",
+            f"--{boundary}",
+            'Content-Disposition: form-data; name="NAME"',
+            "",
+            "camera-1",
+            f"--{boundary}",
+            'Content-Disposition: form-data; name="DATA"; filename="image_file.svg"',
+            "Content-Type: image/svg",
+            "",
+            '<svg xmlns="http://w3.org" width="100" height="100">',
+            "</svg>",
+            f"--{boundary}--",
+        ])
+        out = run_script(
+            spark,
+            "FAKE(once(1))\nHTTP({%s})\nTEXT()" % content)
+    finally:
+        srv.shutdown()
+    assert got["ctype"].startswith("multipart/form-data; boundary=")
+    assert 'name="NAME"' in got["body"] and "camera-1" in got["body"]
+    assert '<svg xmlns="http://w3.org"' in got["body"]
+    assert "HTTP/1.1 200 OK" in out and "uploaded" in out
