@@ -2248,6 +2248,52 @@ def _q_pack_sequences(spark, sf_dir):
         "doc_id", "chunk_id")
 
 
+def _q_codec_ndjson(spark, sf_dir):
+    """The NDJSON codec under the value-hash gate: 200 events rendered
+    through codecs.encoders.to_ndjson (key order = column order, Default
+    trimmed-millis time layout, AppendPrecisionFloat64 float tokens) and
+    returned line-per-row; the oracle rebuilds every byte."""
+    from neo_server_spark.codecs import encoders
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .select("event_id", F.col("ts").cast("long").alias("time"),
+                  "value")
+          .orderBy("event_id").limit(200))
+    txt = encoders.to_ndjson(ev, timeformat="Default", time_cols=("time",))
+    rows = [(i, ln) for i, ln in enumerate(txt.splitlines()) if ln]
+    return spark.createDataFrame(rows, "i long, line string")
+
+
+def _q_codec_markdown(spark, sf_dir):
+    """The MARKDOWN codec under the value-hash gate: header + :----- rule
+    + %f float cells (md_encode.go:226-310), line-per-row."""
+    from neo_server_spark.codecs import encoders
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .select("event_id",
+                  F.expr("CAST(ts AS LONG) div 1000000000").alias("tsec"),
+                  "value")
+          .orderBy("event_id").limit(200))
+    txt = encoders.to_markdown(ev)
+    rows = [(i, ln) for i, ln in enumerate(txt.splitlines())]
+    return spark.createDataFrame(rows, "i long, line string")
+
+
+def _q_codec_html(spark, sf_dir):
+    """The HTML codec under the value-hash gate: one <table> string
+    (html.go:36-55 shape) for 100 events with integer cents values —
+    byte-rebuilt by the oracle with string_agg."""
+    from neo_server_spark.codecs import encoders
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .select("event_id",
+                  F.expr("CAST(value * 100 AS LONG)").alias("cents"))
+          .orderBy("event_id").limit(100))
+    txt = encoders.to_html(ev)
+    return spark.createDataFrame([(0, txt.rstrip("\n"))],
+                                 "i long, html string")
+
+
 def _q_pipeline_v2(spark, sf_dir):
     """The FULL modern curation pipeline composed from library operators —
     decontamination → C4 quality → Gopher repetition → exact-substring
@@ -2451,6 +2497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_buckets": _q_lm_buckets,
         "pack_sequences": _q_pack_sequences,
         "pipeline_v2": _q_pipeline_v2,
+        "codec_ndjson": _q_codec_ndjson,
+        "codec_markdown": _q_codec_markdown,
+        "codec_html": _q_codec_html,
     }
 
 
@@ -3394,6 +3443,57 @@ def oracle_sql() -> dict[str, str]:
               FROM e
             )
             ORDER BY event_id
+        """,
+        "codec_ndjson": """
+            WITH e AS (
+              SELECT event_id, ts, value FROM events ORDER BY event_id LIMIT 200
+            )
+            SELECT row_number() OVER (ORDER BY event_id) - 1 AS i,
+                   '{"event_id":' || CAST(event_id AS VARCHAR) ||
+                   ',"time":"' || strftime(ts, '%Y-%m-%d %H:%M:%S') ||
+                   CASE WHEN f3 = '' THEN '' ELSE '.' || f3 END ||
+                   '","value":' ||
+                   CASE WHEN value = 0 THEN '0'
+                        ELSE COALESCE(NULLIF(rtrim(rtrim(
+                                 printf('%.6f', value), '0'), '.'), ''), '0')
+                   END || '}' AS line
+            FROM (
+              SELECT *,
+                     rtrim(lpad(CAST(epoch_ns(ts) % 1000000000 // 1000000
+                                     AS VARCHAR), 3, '0'), '0') AS f3
+              FROM e
+            )
+            ORDER BY event_id
+        """,
+        "codec_markdown": """
+            WITH e AS (
+              SELECT event_id, epoch_ns(ts) // 1000000000 AS tsec, value
+              FROM events ORDER BY event_id LIMIT 200
+            )
+            SELECT 0 AS i, '|event_id|tsec|value|' AS line
+            UNION ALL
+            SELECT 1, '|:-----|:-----|:-----|'
+            UNION ALL
+            SELECT row_number() OVER (ORDER BY event_id) + 1,
+                   '|' || CAST(event_id AS VARCHAR) ||
+                   '|' || CAST(tsec AS VARCHAR) ||
+                   '|' || printf('%.6f', value) || '|'
+            FROM e
+            ORDER BY i
+        """,
+        "codec_html": """
+            WITH e AS (
+              SELECT event_id, CAST(trunc(value * 100) AS BIGINT) AS cents
+              FROM events ORDER BY event_id LIMIT 100
+            )
+            SELECT 0 AS i,
+                   '<table><thead><tr><th>event_id</th><th>cents</th></tr>'
+                   || '</thead><tbody>'
+                   || string_agg('<tr><td>' || CAST(event_id AS VARCHAR)
+                                 || '</td><td>' || CAST(cents AS VARCHAR)
+                                 || '</td></tr>', '' ORDER BY event_id)
+                   || '</tbody></table>' AS html
+            FROM e
         """,
         "streaming_fill": """
             WITH w AS (
