@@ -2294,6 +2294,21 @@ def _q_codec_html(spark, sf_dir):
                                  "i long, html string")
 
 
+def _q_codec_box(spark, sf_dir):
+    """The BOX codec under the value-hash gate: box-drawing frame with
+    content-derived column widths (box_encode.go), line-per-row; the
+    oracle recomputes widths and pads with lpad/rpad."""
+    from neo_server_spark.codecs import encoders
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .select("event_id",
+                  F.expr("CAST(value * 100 AS LONG)").alias("cents"))
+          .orderBy("event_id").limit(50))
+    txt = encoders.to_box(ev)
+    rows = [(i, ln) for i, ln in enumerate(txt.splitlines())]
+    return spark.createDataFrame(rows, "i long, line string")
+
+
 def _q_pipeline_v2(spark, sf_dir):
     """The FULL modern curation pipeline composed from library operators —
     decontamination → C4 quality → Gopher repetition → exact-substring
@@ -2500,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_ndjson": _q_codec_ndjson,
         "codec_markdown": _q_codec_markdown,
         "codec_html": _q_codec_html,
+        "codec_box": _q_codec_box,
     }
 
 
@@ -3494,6 +3510,45 @@ def oracle_sql() -> dict[str, str]:
                                  || '</td></tr>', '' ORDER BY event_id)
                    || '</tbody></table>' AS html
             FROM e
+        """,
+        "codec_box": """
+            WITH e AS (
+              SELECT event_id, CAST(trunc(value * 100) AS BIGINT) AS cents
+              FROM events ORDER BY event_id LIMIT 50
+            ),
+            s AS (
+              SELECT row_number() OVER (ORDER BY event_id) AS rn,
+                     CAST(event_id AS VARCHAR) AS c1,
+                     CAST(cents AS VARCHAR) AS c2
+              FROM e
+            ),
+            w AS (
+              SELECT CAST(greatest(length('EVENT_ID'),
+                                 max(length(c1))) AS INTEGER) AS w1,
+                     CAST(greatest(length('CENTS'),
+                                 max(length(c2))) AS INTEGER) AS w2,
+                     max(rn) AS nrows
+              FROM s
+            )
+            SELECT 0 AS i,
+                   '┌' || repeat('─', w1 + 2) || '┬'
+                       || repeat('─', w2 + 2) || '┐' AS line FROM w
+            UNION ALL
+            SELECT 1, '│ ' || rpad('EVENT_ID', w1, ' ') || ' │ '
+                           || rpad('CENTS', w2, ' ') || ' │' FROM w
+            UNION ALL
+            SELECT 2, '├' || repeat('─', w1 + 2) || '┼'
+                          || repeat('─', w2 + 2) || '┤' FROM w
+            UNION ALL
+            SELECT rn + 2,
+                   '│ ' || rpad(c1, w1, ' ') || ' │ '
+                        || rpad(c2, w2, ' ') || ' │'
+            FROM s, w
+            UNION ALL
+            SELECT nrows + 3,
+                   '└' || repeat('─', w1 + 2) || '┴'
+                       || repeat('─', w2 + 2) || '┘' FROM w
+            ORDER BY i
         """,
         "streaming_fill": """
             WITH w AS (
