@@ -2309,6 +2309,24 @@ def _q_codec_box(spark, sf_dir):
     return spark.createDataFrame(rows, "i long, line string")
 
 
+def _q_codec_json(spark, sf_dir):
+    """The JSON envelope codec under the value-hash gate: full
+    {"data":{columns,types,rows},"success","reason","elapse"} text for 50
+    events with the elapse duration masked (the one nondeterministic
+    field); every other byte — key order, api type names, float tokens —
+    is rebuilt by the oracle."""
+    import re as _re
+
+    from neo_server_spark.codecs import encoders
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .select("event_id", "value")
+          .orderBy("event_id").limit(50))
+    txt = encoders.to_json_envelope(ev)
+    txt = _re.sub(r'"elapse":"[^"]*"', '"elapse":"X"', txt)
+    return spark.createDataFrame([(0, txt)], "i long, envelope string")
+
+
 def _q_pipeline_v2(spark, sf_dir):
     """The FULL modern curation pipeline composed from library operators —
     decontamination → C4 quality → Gopher repetition → exact-substring
@@ -2516,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_markdown": _q_codec_markdown,
         "codec_html": _q_codec_html,
         "codec_box": _q_codec_box,
+        "codec_json": _q_codec_json,
     }
 
 
@@ -3510,6 +3529,27 @@ def oracle_sql() -> dict[str, str]:
                                  || '</td></tr>', '' ORDER BY event_id)
                    || '</tbody></table>' AS html
             FROM e
+        """,
+        "codec_json": """
+            WITH e AS (
+              SELECT event_id, value FROM events ORDER BY event_id LIMIT 50
+            ),
+            cell AS (
+              SELECT event_id,
+                     '[' || CAST(event_id AS VARCHAR) || ',' ||
+                     CASE WHEN value = 0 THEN '0'
+                          ELSE COALESCE(NULLIF(rtrim(rtrim(
+                                  printf('%.6f', value), '0'), '.'), ''), '0')
+                     END || ']' AS r
+              FROM e
+            )
+            SELECT 0 AS i,
+                   '{"data":{"columns":["event_id","value"],'
+                   || '"types":["int64","double"],"rows":['
+                   || string_agg(r, ',' ORDER BY event_id)
+                   || ']},"success":true,"reason":"success","elapse":"X"}'
+                   AS envelope
+            FROM cell
         """,
         "codec_box": """
             WITH e AS (
