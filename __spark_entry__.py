@@ -2327,6 +2327,27 @@ def _q_codec_json(spark, sf_dir):
     return spark.createDataFrame([(0, txt)], "i long, envelope string")
 
 
+def _q_codec_chart(spark, sf_dir):
+    """The CHART sink's JS data asset under the value-hash gate: run a
+    .tql CHART() over events (fixed chartID so every byte is
+    deterministic) and return the asset line-per-row; the oracle rebuilds
+    the _column_N arrays (time as epoch-ms, integral floats without a
+    fraction — chart.go Close / Go json.Marshal parity) and the IIFE
+    scaffolding verbatim."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    r = TqlRunner(spark, sf_dir=sf_dir)
+    r.run("""
+        SQL('select CAST(ts AS LONG) div 1000000000 * 1000000000 AS t,
+                    CAST(value * 100 AS LONG) AS cents
+             from events order by event_id limit 50')
+        MAPVALUE(0, parseTime(value(0), "ns", "UTC"))
+        CHART(chartID('CID1'))
+    """)
+    rows = [(i, ln) for i, ln in enumerate(r.chart_js.splitlines())]
+    return spark.createDataFrame(rows, "i long, line string")
+
+
 def _q_pipeline_v2(spark, sf_dir):
     """The FULL modern curation pipeline composed from library operators —
     decontamination → C4 quality → Gopher repetition → exact-substring
@@ -2535,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_html": _q_codec_html,
         "codec_box": _q_codec_box,
         "codec_json": _q_codec_json,
+        "codec_chart": _q_codec_chart,
     }
 
 
@@ -3529,6 +3551,32 @@ def oracle_sql() -> dict[str, str]:
                                  || '</td></tr>', '' ORDER BY event_id)
                    || '</tbody></table>' AS html
             FROM e
+        """,
+        "codec_chart": r"""
+            WITH e AS (
+              SELECT epoch_ns(ts) // 1000000000 * 1000 AS tms,
+                     CAST(trunc(value * 100) AS BIGINT) AS cents,
+                     event_id
+              FROM events ORDER BY event_id LIMIT 50
+            ),
+            c0 AS (SELECT '[' || string_agg(CAST(tms AS VARCHAR), ','
+                                            ORDER BY event_id) || ']' AS a
+                   FROM e),
+            c1 AS (SELECT '[' || string_agg(CAST(cents AS VARCHAR), ','
+                                            ORDER BY event_id) || ']' AS a
+                   FROM e)
+            SELECT CAST(0 AS BIGINT) AS i, '(()=>{' AS line
+            UNION ALL SELECT 1, '    "use strict";'
+            UNION ALL SELECT 2, '    const _column_0=' || c0.a || ';' FROM c0
+            UNION ALL SELECT 3, '    const _column_1=' || c1.a || ';' FROM c1
+            UNION ALL SELECT 4, '    const _columns=[_column_0,_column_1];'
+            UNION ALL SELECT 5,
+              '    function column(idx) { return _columns[idx]; }'
+            UNION ALL SELECT 6, '    let _chartID = ''CID1'';'
+            UNION ALL SELECT 7,
+              '    let _chart = echarts.init(document.getElementById(_chartID), "white");'
+            UNION ALL SELECT 8, '})();'
+            ORDER BY i
         """,
         "codec_json": """
             WITH e AS (
