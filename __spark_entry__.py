@@ -2348,6 +2348,25 @@ def _q_codec_chart(spark, sf_dir):
     return spark.createDataFrame(rows, "i long, line string")
 
 
+def _q_codec_geomap(spark, sf_dir):
+    """The GEOMAP sink's JS asset under the value-hash gate: numeric
+    (lat, lon) records lower to L.marker layers with a fitBounds over the
+    data (geomap/geomap.go shape); fixed geomapID makes every byte
+    deterministic and the oracle rebuilds the marker and initBounds lines
+    from the same rows."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    r = TqlRunner(spark, sf_dir=sf_dir)
+    r.run("""
+        SQL('select (300 + event_id % 100) / 10.0 AS lat,
+                    (1200 + event_id % 300) / 10.0 AS lon
+             from events order by event_id limit 40')
+        GEOMAP(geomapID('GID1'))
+    """)
+    rows = [(i, ln) for i, ln in enumerate(r.geomap_js.splitlines())]
+    return spark.createDataFrame(rows, "i long, line string")
+
+
 def _q_pipeline_v2(spark, sf_dir):
     """The FULL modern curation pipeline composed from library operators —
     decontamination → C4 quality → Gopher repetition → exact-substring
@@ -2557,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_box": _q_codec_box,
         "codec_json": _q_codec_json,
         "codec_chart": _q_codec_chart,
+        "codec_geomap": _q_codec_geomap,
     }
 
 
@@ -3551,6 +3571,60 @@ def oracle_sql() -> dict[str, str]:
                                  || '</td></tr>', '' ORDER BY event_id)
                    || '</tbody></table>' AS html
             FROM e
+        """,
+        "codec_geomap": r"""
+            WITH e AS (
+              SELECT event_id,
+                     (300 + event_id % 100) / 10.0 AS lat,
+                     (1200 + event_id % 300) / 10.0 AS lon
+              FROM events ORDER BY event_id LIMIT 40
+            ),
+            f AS (
+              SELECT event_id,
+                     COALESCE(NULLIF(rtrim(rtrim(printf('%.6f', lat),
+                              '0'), '.'), ''), '0') AS slat,
+                     COALESCE(NULLIF(rtrim(rtrim(printf('%.6f', lon),
+                              '0'), '.'), ''), '0') AS slon,
+                     row_number() OVER (ORDER BY event_id) - 1 AS n
+              FROM e
+            ),
+            b AS (
+              SELECT COALESCE(NULLIF(rtrim(rtrim(printf('%.6f', min(lat)),
+                              '0'), '.'), ''), '0') AS lat0,
+                     COALESCE(NULLIF(rtrim(rtrim(printf('%.6f', min(lon)),
+                              '0'), '.'), ''), '0') AS lon0,
+                     COALESCE(NULLIF(rtrim(rtrim(printf('%.6f', max(lat)),
+                              '0'), '.'), ''), '0') AS lat1,
+                     COALESCE(NULLIF(rtrim(rtrim(printf('%.6f', max(lon)),
+                              '0'), '.'), ''), '0') AS lon1,
+                     count(*) AS nmk
+              FROM e
+            )
+            SELECT CAST(0 AS BIGINT) AS i, '((opt)=>{' AS line
+            UNION ALL SELECT 1, 'var map;'
+            UNION ALL SELECT 2, 'if (opt && opt.map) {'
+            UNION ALL SELECT 3, '  map = opt.map;'
+            UNION ALL SELECT 4, '  opt.map.eachLayer(function (layer) {'
+            UNION ALL SELECT 5, '    if (!(layer instanceof L.TileLayer)) {'
+            UNION ALL SELECT 6, '      opt.map.removeLayer(layer);'
+            UNION ALL SELECT 7, '    }'
+            UNION ALL SELECT 8, '  });'
+            UNION ALL SELECT 9, '} else {'
+            UNION ALL SELECT 10,
+              '  map = L.map("GID1", {crs: L.CRS.EPSG3857, attributionControl:false});'
+            UNION ALL SELECT 11,
+              '  L.tileLayer("https://tile.openstreetmap.org/{z}/{x}/{y}.png").addTo(map);'
+            UNION ALL SELECT 12, '  opt.map = map;'
+            UNION ALL SELECT 13, '}'
+            UNION ALL SELECT 14,
+              'opt.initBounds = [[' || lat0 || ',' || lon0 || '],['
+               || lat1 || ',' || lon1 || ']];' FROM b
+            UNION ALL SELECT 15, 'map.fitBounds(opt.initBounds);'
+            UNION ALL SELECT 16 + n,
+              'var obj' || CAST(n AS VARCHAR) || ' = L.marker(['
+               || slat || ',' || slon || '],{}).addTo(map);' FROM f
+            UNION ALL SELECT 16 + nmk, '})(GID1);' FROM b
+            ORDER BY i
         """,
         "codec_chart": r"""
             WITH e AS (

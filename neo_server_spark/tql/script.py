@@ -4380,8 +4380,10 @@ class TqlRunner:
             if "tileTemplate" in opts else None
         disp = self._display()
         vals: list[dict] = []
+        import decimal as _dec
         for r in disp.collect():
-            cells = list(r)
+            cells = [float(c) if isinstance(c, _dec.Decimal) else c
+                     for c in r]
             if (len(cells) >= 2
                     and all(isinstance(c, (int, float)) for c in cells[:2])):
                 m = {"type": "marker",
