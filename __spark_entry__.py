@@ -2367,6 +2367,35 @@ def _q_codec_geomap(spark, sf_dir):
     return spark.createDataFrame(rows, "i long, line string")
 
 
+def _q_string_source(spark, sf_dir):
+    """STRING(payload(), separator(), trimspace()) source (fm_bytes.go:
+    26-130) under the value-hash gate: the request payload splits into
+    line records; the oracle recomputes the same split in SQL.  PUSHKEY
+    surfaces the 1-based ordinal like task_test.go TestString."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    payload = "  alpha \nbeta\n gamma\ndelta  "
+    r = TqlRunner(spark, sf_dir=sf_dir, payload=payload)
+    return r.run("""
+        STRING(payload(), separator("\\n"), trimspace(true))
+        PUSHKEY('ROWNUM')
+    """).toDF("rownum", "string")
+
+
+def _q_bytes_source(spark, sf_dir):
+    """BYTES(payload(), separator()) source: raw byte-slice records; the
+    oracle hex-compares via md5 of the same fragments."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    payload = "ab,cd,ef,gh"
+    r = TqlRunner(spark, sf_dir=sf_dir, payload=payload)
+    df = r.run("""
+        BYTES(payload(), separator(","))
+        PUSHKEY('ROWNUM')
+    """).toDF("rownum", "bytes")
+    return df.select("rownum", F.md5(F.col("bytes")).alias("digest"))
+
+
 def _q_pipeline_v2(spark, sf_dir):
     """The FULL modern curation pipeline composed from library operators —
     decontamination → C4 quality → Gopher repetition → exact-substring
@@ -2577,6 +2606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_json": _q_codec_json,
         "codec_chart": _q_codec_chart,
         "codec_geomap": _q_codec_geomap,
+        "string_source": _q_string_source,
+        "bytes_source": _q_bytes_source,
     }
 
 
@@ -3571,6 +3602,26 @@ def oracle_sql() -> dict[str, str]:
                                  || '</td></tr>', '' ORDER BY event_id)
                    || '</tbody></table>' AS html
             FROM e
+        """,
+        "string_source": """
+            SELECT CAST(i AS BIGINT) AS rownum,
+                   trim(fragment) AS string
+            FROM (
+              SELECT unnest(string_split('  alpha \nbeta\n gamma\ndelta  ',
+                                         chr(10))) AS fragment,
+                     generate_subscripts(string_split(
+                       '  alpha \nbeta\n gamma\ndelta  ', chr(10)), 1) AS i
+            )
+            ORDER BY rownum
+        """,
+        "bytes_source": """
+            SELECT CAST(i AS BIGINT) AS rownum, md5(fragment) AS digest
+            FROM (
+              SELECT unnest(string_split('ab,cd,ef,gh', ',')) AS fragment,
+                     generate_subscripts(string_split('ab,cd,ef,gh', ','),
+                                         1) AS i
+            )
+            ORDER BY rownum
         """,
         "codec_geomap": r"""
             WITH e AS (
