@@ -4325,10 +4325,29 @@ class TqlRunner:
 
     def _chart_compat(self, kind: str, args):
         """CHART_LINE/BAR/SCATTER (chartcompat.go): series auto-built from
-        the record columns — column 0 is the x axis."""
+        the record columns — column 0 is the x axis.  markArea(from, to
+        [, label, color, opacity]) / markXAxis(coord, name) /
+        markYAxis(coord, name) options inject the echarts markArea /
+        markLine entries (fm_encoder.go fmMarkArea, chartcompat.go
+        SetMarkAreaNameCoord / SetMarkLine*AxisCoord)."""
         from neo_server_spark.codecs import encoders
+        opts, _ = self._opt_calls(args)
+        mark_areas = []
+        for a in opts.get("markArea", ()):
+            if len(a) < 2:
+                raise ValueError("f(markArea) invalid number of args; "
+                                 f"expect:2, actual:{len(a)}")
+            mark_areas.append((a[0], a[1],
+                               str(a[2]) if len(a) > 2 else ""))
+        mark_x = [(a[0], str(a[1]) if len(a) > 1 else "")
+                  for a in opts.get("markXAxis", ())]
+        mark_y = [(a[0], str(a[1]) if len(a) > 1 else "")
+                  for a in opts.get("markYAxis", ())]
         disp = self._display()
-        self.output = encoders.to_chart_spec(disp, x=disp.columns[0], kind=kind)
+        self.output = encoders.to_chart_spec(
+            disp, x=disp.columns[0], kind=kind,
+            mark_areas=mark_areas or None, mark_x=mark_x or None,
+            mark_y=mark_y or None)
 
     def stmt_CHART_LINE(self, args):
         self._chart_compat("line", args)

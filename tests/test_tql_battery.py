@@ -1330,3 +1330,37 @@ def test_parse_error_absolute_location():
             "FAKE( linspace(0, 360, 50))\n"
             "MAPVALUE(1, sin((value(0)/180)*PI))2\n"
             "CHART()")
+
+
+def test_chart_compat_mark_options(spark):
+    """fm_encoder.go fmMarkArea / chartcompat SetMarkLine*AxisCoord: the
+    CHART_LINE statement takes markArea/markXAxis/markYAxis options and
+    injects the echarts markArea/markLine entries."""
+    import json as _json
+    out = run_script(spark, """
+FAKE( linspace(1, 4, 4) )
+PUSHVALUE(0, value(0)*2)
+CHART_LINE(markArea(1, 2, "zone", "red", 0.25), markXAxis(3, "X3"), markYAxis(4.5, "Y"))
+""")
+    spec = _json.loads(out)
+    s0 = spec["series"][0]
+    assert s0["markArea"]["data"][0][0] == {"name": "zone", "xAxis": 1}
+    assert s0["markArea"]["data"][0][1] == {"xAxis": 2}
+    names = [d["name"] for d in s0["markLine"]["data"]]
+    assert names == ["X3", "Y"]
+    # wrong arity = the reference's exact error
+    import pytest as _pytest
+    with _pytest.raises(ValueError,
+                        match=r"f\(markArea\) invalid number of args; "
+                              r"expect:2, actual:1"):
+        run_script(spark, """
+FAKE( linspace(1, 4, 4) )
+CHART_LINE(markArea(1))
+""")
+
+
+def test_csv_source_logprogress_accepted(spark):
+    """fm_csv.go fmLogProgress: the source option parses and the pipeline
+    is unaffected (progress logging is engine-side observability)."""
+    out = run_script(spark, "FAKE( csv(`a,1\nb,2`))\nCSV(logProgress(2))\n")
+    assert out == "a,1\nb,2\n\n"
