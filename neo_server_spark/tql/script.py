@@ -2522,6 +2522,8 @@ class TqlRunner:
         self._set(df, ["BYTES"])
 
     def stmt_CSV(self, args):
+        # source options include logProgress(n) (fm_csv.go fmLogProgress),
+        # engine-side observability — accepted and inert here
         if self.state.df is None:
             self._csv_source(args)
         else:
