@@ -2396,6 +2396,17 @@ def _q_bytes_source(spark, sf_dir):
     return df.select("rownum", F.md5(F.col("bytes")).alias("digest"))
 
 
+def _q_similarity_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (similarity.lsh_topk): the query's multi-band
+    hyperplane buckets select candidates; exact cosine ranks them.  md5
+    hash mode makes every bucket SQL-certifiable (the same technique that
+    certifies embedding_dupes); xxhash64 stays the production family."""
+    from neo_server_spark.datapipe import similarity as sim
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb, query_vec_id=0, k=10, block_bits=3,
+                        bands=12, hash_fn="md5")
+
+
 def _q_pipeline_v2(spark, sf_dir):
     """The FULL modern curation pipeline composed from library operators —
     decontamination → C4 quality → Gopher repetition → exact-substring
@@ -2608,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_geomap": _q_codec_geomap,
         "string_source": _q_string_source,
         "bytes_source": _q_bytes_source,
+        "similarity_lsh": _q_similarity_lsh,
     }
 
 
@@ -3602,6 +3614,41 @@ def oracle_sql() -> dict[str, str]:
                                  || '</td></tr>', '' ORDER BY event_id)
                    || '</tbody></table>' AS html
             FROM e
+        """,
+        "similarity_lsh": """
+            WITH hp AS (
+              SELECT p.p, j.j,
+                     CASE WHEN ('0x' || substr(md5(p.p::VARCHAR || '|' ||
+                                j.j::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                          THEN 1.0 ELSE -1.0 END AS h
+              FROM (SELECT unnest(generate_series(0, 35)) AS p) p,
+                   (SELECT unnest(generate_series(0, 63)) AS j) j
+            ), dots AS (
+              SELECT e.vec_id, hp.p,
+                     sum(CAST(e.embedding[hp.j + 1] AS DOUBLE) * hp.h) AS d
+              FROM embeddings e, hp GROUP BY 1, 2
+            ), bk AS (
+              SELECT vec_id, p // 3 AS band,
+                     CAST(sum(CASE WHEN d > 0 THEN 1 << (p % 3)
+                              ELSE 0 END) AS BIGINT) AS bucket
+              FROM dots GROUP BY 1, 2
+            ), qb AS (SELECT band, bucket FROM bk WHERE vec_id = 0),
+            cand AS (
+              SELECT DISTINCT bk.vec_id FROM bk JOIN qb USING (band, bucket)
+              WHERE bk.vec_id <> 0
+            ),
+            qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id, e.label,
+                     list_dot_product(e.embedding::DOUBLE[], qv.v::DOUBLE[])
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv.v::DOUBLE[],
+                                                qv.v::DOUBLE[]))) AS c
+              FROM embeddings e JOIN cand USING (vec_id), qv
+            )
+            SELECT vec_id, label, round(c, 6) AS cosine
+            FROM scored ORDER BY c DESC, vec_id LIMIT 10
         """,
         "string_source": """
             SELECT CAST(i AS BIGINT) AS rownum,

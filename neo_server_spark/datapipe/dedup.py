@@ -289,25 +289,7 @@ def embedding_dupes(emb: DataFrame, vec_col: str = "embedding", id_col: str = "v
         bands = bands if bands is not None else auto_bands
 
     base = emb.select(id_col, vec_col)
-
-    def band_bucket(band: int) -> Column:
-        expr = None
-        for b in range(block_bits):
-            bit = F.when(
-                F.aggregate(
-                    F.zip_with(F.col(vec_col),
-                               _hyperplane(F.size(F.col(vec_col)),
-                                           band * block_bits + b, hash_fn),
-                               lambda x, h: x * h),
-                    F.lit(0.0), lambda a, x: a + x,
-                ) > 0, F.lit(1 << b)).otherwise(0)
-            expr = bit if expr is None else expr + bit
-        return expr
-
-    sig = base.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[band_bucket(i) for i in range(bands)]))
-        .alias("__band", "__bucket"))
+    sig = band_buckets(base, vec_col, id_col, block_bits, bands, hash_fn)
     a, b_ = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(b_, (F.col("a.__band") == F.col("b.__band"))
@@ -325,6 +307,34 @@ def embedding_dupes(emb: DataFrame, vec_col: str = "embedding", id_col: str = "v
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def band_buckets(base: DataFrame, vec_col: str, id_col: str,
+                 block_bits: int, bands: int,
+                 hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, __band, __bucket) hyperplane-LSH sketch: ``bands`` independent
+    bucketings of ``block_bits`` sign bits each — one scan, bands*bits
+    JVM-side dot products per vector, no Python.  Shared by the near-dup
+    pair miner (embedding_dupes) and the ANN query path
+    (similarity.lsh_topk)."""
+    def band_bucket(band: int) -> Column:
+        expr = None
+        for b in range(block_bits):
+            bit = F.when(
+                F.aggregate(
+                    F.zip_with(F.col(vec_col),
+                               _hyperplane(F.size(F.col(vec_col)),
+                                           band * block_bits + b, hash_fn),
+                               lambda x, h: x * h),
+                    F.lit(0.0), lambda a, x: a + x,
+                ) > 0, F.lit(1 << b)).otherwise(0)
+            expr = bit if expr is None else expr + bit
+        return expr
+
+    return base.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[band_bucket(i) for i in range(bands)]))
+        .alias("__band", "__bucket"))
 
 
 def _hyperplane(dim: Column, seed: int, hash_fn: str = "xxhash64") -> Column:

@@ -235,3 +235,41 @@ def quantization_error(emb: DataFrame, vec_col: str = "embedding",
              F.round(F.max("__mx"), 6).alias("max_err"),
              F.round(F.avg("__avg"), 6).alias("avg_err"))
     )
+
+
+def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+             block_bits: int = 3, bands: int = 12,
+             hash_fn: str = "xxhash64", vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors: candidates are the
+    vectors sharing the query's hyperplane band-bucket in ANY of
+    ``bands`` bands (the same multi-band sketch the near-dup miner uses,
+    dedup.band_buckets); only candidates pay the exact cosine, ranked to
+    top-k.
+
+    100 TB shape vs IVF: no training pass — the index is one scan of sign
+    bits; the query probes ``bands`` buckets via a broadcast semi join on
+    the (band, bucket) sketch frame, so the corpus vectors are touched
+    only for the candidate set.  Recall follows the Indyk-Motwani band
+    analysis (dedup.lsh_params picks (bits, bands) from a target cosine).
+    """
+    from neo_server_spark.datapipe.dedup import band_buckets
+
+    base = emb.select(id_col, vec_col)
+    sig = band_buckets(base, vec_col, id_col, block_bits, bands, hash_fn)
+    qsig = (sig.filter(F.col(id_col) == query_vec_id)
+            .select("__band", "__bucket"))
+    cand = (sig.join(F.broadcast(qsig), ["__band", "__bucket"],
+                     "left_semi")
+            .filter(F.col(id_col) != query_vec_id)
+            .select(id_col).distinct())
+    q = emb.filter(F.col(id_col) == query_vec_id) \
+        .select(F.col(vec_col).alias("__qv"))
+    out = (
+        cand.join(emb, id_col)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), F.col("label"),
+                cosine_expr(F.col(vec_col), F.col("__qv")).alias("__c"))
+    )
+    return (out.orderBy(F.col("__c").desc(), F.col(id_col)).limit(k)
+            .select(id_col, "label", F.round("__c", 6).alias("cosine")))
