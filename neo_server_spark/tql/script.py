@@ -2322,12 +2322,28 @@ class TqlRunner:
         ``explain full`` → parsed/analyzed/optimized/physical + codegen
         (the reference's FULL adds the executional stage dump the same
         way).  One text column, one row per plan line."""
-        import re as _re
-
         from neo_server_spark.sqlx.dialect import lake_sql
-        m = _re.match(r"explain\s+(full\s+)?(.*)$", q.strip(),
-                      _re.I | _re.S)
-        full, inner = bool(m.group(1)), m.group(2)
+
+        # splitExplainSQLText (fm_dbsrc_internal_test.go): leading option
+        # tokens are 'full', '--full' or a bare '--' delimiter; the rest
+        # is the statement text
+        words = q.strip().split()
+        i, tokens = 1, []
+        while i < len(words):
+            w = words[i]
+            if w == "--":
+                i += 1
+                break
+            if w.lower() == "full" or w.startswith("--"):
+                tokens.append(w.lower())
+                i += 1
+                continue
+            break
+        inner = " ".join(words[i:])
+        if not inner:
+            raise ValueError(
+                "f(SQL) missing statement after explain options")
+        full = any(t in ("full", "--full") for t in tokens)
         df = lake_sql(self.spark, inner)
         je = df._jdf.queryExecution()
         if full:

@@ -445,3 +445,19 @@ def test_update_delete_through_sql_sink(spark, db):
     """)
     assert json.loads(out)["data"]["message"] == "2 rows deleted."
     assert spark.table("cfg2").count() == 0
+
+
+def test_explain_flag_grammar(spark, db):
+    """fm_dbsrc_internal_test.go TestSplitExplainSQLText: '--full' flag,
+    bare 'full', a '--' delimiter before the statement, and the missing-
+    statement error."""
+    out = r(spark, "SQL('EXPLAIN --full select * from tag_data')"
+                   "\nCSV(header(true))")
+    assert "Parsed Logical Plan" in out
+    out = r(spark, "SQL('explain -- select * from tag_data')"
+                   "\nCSV(header(true))")
+    assert "Parsed Logical Plan" not in out and "Physical Plan" in out
+    with pytest.raises(ValueError,
+                       match=r"f\(SQL\) missing statement after explain "
+                             r"options"):
+        r(spark, "SQL('explain --full')\nCSV(header(true))")
