@@ -2396,6 +2396,17 @@ def _q_bytes_source(spark, sf_dir):
     return df.select("rownum", F.md5(F.col("bytes")).alias("digest"))
 
 
+def _q_substring_cut(spark, sf_dir):
+    """The CUT step of exact substring dedup (dedup.remove_duplicate_
+    spans): duplicated spans drop out of the text, everything else passes
+    untouched; the oracle rebuilds the cleaned text per document."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    out = dedup.remove_duplicate_spans(docs, k=8)
+    return out.select("doc_id", F.md5("clean_text").alias("clean_fp"),
+                      F.length("clean_text").alias("clean_len")) \
+        .orderBy("doc_id")
+
+
 def _q_similarity_lsh(spark, sf_dir):
     """LSH-bucketed ANN (similarity.lsh_topk): the query's multi-band
     hyperplane buckets select candidates; exact cosine ranks them.  md5
@@ -2620,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_source": _q_string_source,
         "bytes_source": _q_bytes_source,
         "similarity_lsh": _q_similarity_lsh,
+        "substring_cut": _q_substring_cut,
     }
 
 
@@ -3614,6 +3626,67 @@ def oracle_sql() -> dict[str, str]:
                                  || '</td></tr>', '' ORDER BY event_id)
                    || '</tbody></table>' AS html
             FROM e
+        """,
+        "substring_cut": """
+            WITH toks0 AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            pos0 AS (
+              SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+              FROM toks0
+            ),
+            grams AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     md5(array_to_string(t[i:i+7], ' ')) AS d
+              FROM pos0
+            ),
+            dup AS (SELECT d FROM grams GROUP BY d HAVING count(*) >= 2),
+            marked AS (
+              SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (d)
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM marked
+            ),
+            spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) AS e
+              FROM isl GROUP BY doc_id, grp
+            ),
+            affected AS (SELECT DISTINCT doc_id FROM spans),
+            tok AS (
+              SELECT t0.doc_id, CAST(p AS BIGINT) AS pos, t0.t[p] AS tok
+              FROM (SELECT doc_id, t,
+                           unnest(range(1, len(t) + 1)) AS p
+                    FROM toks0
+                    WHERE doc_id IN (SELECT doc_id FROM affected)) t0
+            ),
+            surv AS (
+              SELECT tk.doc_id, tk.pos, tk.tok
+              FROM tok tk
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans sp
+                WHERE sp.doc_id = tk.doc_id
+                  AND tk.pos >= sp.s AND tk.pos <= sp.e + 7)
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS ct
+              FROM surv GROUP BY doc_id
+            ),
+            allrows AS (
+              SELECT d.doc_id,
+                     CASE WHEN a.doc_id IS NULL THEN d.text
+                          ELSE COALESCE(r.ct, '') END AS ct
+              FROM documents d
+              LEFT JOIN affected a USING (doc_id)
+              LEFT JOIN rebuilt r USING (doc_id)
+            )
+            SELECT doc_id, md5(ct) AS clean_fp,
+                   CAST(length(ct) AS BIGINT) AS clean_len
+            FROM allrows ORDER BY doc_id
         """,
         "similarity_lsh": """
             WITH hp AS (

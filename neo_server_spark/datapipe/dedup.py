@@ -475,3 +475,47 @@ def substring_dedup_stats(docs: DataFrame, k: int = 8,
             .select(id_col, "n_spans", "dup_tokens",
                     F.round(F.col("dup_tokens") / F.col("__nt"), 6)
                     .alias("dup_frac")))
+
+
+def remove_duplicate_spans(docs: DataFrame, k: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The CUT step of exact substring dedup (Lee et al. 2022 apply
+    phase): drop every token covered by a duplicated span
+    (:func:`duplicate_spans`) and reassemble the remaining tokens in
+    order.  Documents with no duplicated span pass through untouched.
+
+    Reassembly is posexplode -> span anti-range filter -> order-preserving
+    array_agg keyed by position — the text column itself still never
+    shuffles (only (doc, pos, token) triples of the affected docs do,
+    and unaffected docs short-circuit through the left anti join).
+    """
+    spans = duplicate_spans(docs, k=k, text_col=text_col, id_col=id_col)
+    affected = spans.select(id_col).distinct()
+    clean = docs.join(affected, id_col, "left_anti") \
+        .select(id_col, F.col(text_col).alias("clean_text"))
+    toks = (docs.join(affected, id_col, "left_semi")
+            .select(id_col, F.posexplode(tokens(text_col))
+                    .alias("__p0", "__tok"))
+            .select(id_col, (F.col("__p0") + 1).alias("pos"), "__tok"))
+    # a token survives when NO span covers its position; explicit aliases
+    # — toks and spans share the docs lineage, so unqualified id refs
+    # would resolve to ONE attribute and collapse the equality
+    t_, s_ = toks.alias("t"), spans.alias("s")
+    covered = t_.join(
+        s_, (F.col(f"t.{id_col}") == F.col(f"s.{id_col}"))
+        & (F.col("t.pos") >= F.col("s.start_pos"))
+        & (F.col("t.pos") <= F.col("s.end_pos") + (k - 1)), "left_anti")
+    rebuilt = (covered.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(F.array_sort(F.collect_list(
+                       F.struct("pos", "__tok"))), lambda s: s["__tok"]),
+                   " ").alias("clean_text")))
+    # docs whose every token was covered vanish from `rebuilt`; they
+    # reappear with empty text (the reference behavior: a fully
+    # duplicated document becomes empty, and a later length filter
+    # drops it)
+    emptied = (docs.join(affected, id_col, "left_semi")
+               .join(rebuilt.select(id_col), id_col, "left_anti")
+               .select(id_col, F.lit("").alias("clean_text")))
+    return clean.unionByName(rebuilt).unionByName(emptied)

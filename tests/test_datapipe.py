@@ -522,3 +522,19 @@ def test_lm_buckets_split(spark):
     # equal-frequency: 4 docs per tier
     assert all(r.n_docs == 4 for r in prof.values())
     assert prof["head"].min_score >= prof["tail"].max_score
+
+
+def test_remove_duplicate_spans(spark):
+    shared = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(0, shared + " unique tail zero", "s"),
+         (1, "other head one " + shared, "s"),
+         (2, "entirely different words with no overlap at all here", "s"),
+         (3, shared, "s"), (4, shared, "s")],     # fully duplicated docs
+        ["doc_id", "text", "source"])
+    out = {r.doc_id: r.clean_text for r in
+           dedup.remove_duplicate_spans(docs, k=8).collect()}
+    assert out[0] == "unique tail zero"
+    assert out[1] == "other head one"
+    assert out[2].startswith("entirely different")   # untouched passthrough
+    assert out[3] == "" and out[4] == ""             # fully covered -> empty
