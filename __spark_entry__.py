@@ -2407,6 +2407,49 @@ def _q_substring_cut(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training (datapipe/text.py bpe_train,
+    Sennrich et al. 2016): one corpus pass builds the word-frequency
+    frame, then each merge round is a JVM pair-count + literal string
+    replace — semantics chosen to be identical in Spark and DuckDB, so
+    the oracle re-trains the same 4 merges in unrolled SQL."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, n_merges=4)
+    return spark.createDataFrame(
+        merges, "rank long, lhs string, rhs string, merged string, "
+                "cnt long")
+
+
+def _bpe_oracle(n: int = 5) -> str:
+    """Unrolled n-round BPE training in DuckDB SQL (same tie-break:
+    count desc, pair asc; same padded-string literal replace)."""
+    cte = ["w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ')"
+           " || ' ' AS s, freq FROM (SELECT w, count(*) AS freq FROM "
+           "(SELECT unnest(string_split(lower(text), ' ')) AS w "
+           "FROM documents) WHERE w <> '' GROUP BY w))"]
+    sel = []
+    for r in range(1, n + 1):
+        cte.append(
+            f"l{r} AS (SELECT s, freq, string_split(trim(s), ' ') AS l "
+            f"FROM w{r-1}), "
+            f"x{r} AS (SELECT freq, l, unnest(range(1, "
+            f"greatest(len(l) - 1, 0) + 1)) AS i FROM l{r}), "
+            f"p{r} AS (SELECT l[i] || ' ' || l[i+1] AS pair, "
+            f"sum(freq) AS c FROM x{r} GROUP BY 1), "
+            f"b{r} AS (SELECT pair, CAST(c AS BIGINT) AS c FROM p{r} "
+            f"ORDER BY c DESC, pair LIMIT 1), "
+            f"w{r} AS (SELECT replace(s, ' ' || b.pair || ' ', ' ' || "
+            f"replace(b.pair, ' ', '') || ' ') AS s, freq "
+            f"FROM w{r-1}, b{r} b)")
+        sel.append(
+            f"SELECT CAST({r-1} AS BIGINT) AS rank, "
+            f"split_part(pair, ' ', 1) AS lhs, "
+            f"split_part(pair, ' ', 2) AS rhs, "
+            f"replace(pair, ' ', '') AS merged, c AS cnt FROM b{r}")
+    return ("WITH " + ",\n".join(cte) + "\n"
+            + "\nUNION ALL ".join(sel) + "\nORDER BY rank")
+
+
 def _q_similarity_lsh(spark, sf_dir):
     """LSH-bucketed ANN (similarity.lsh_topk): the query's multi-band
     hyperplane buckets select candidates; exact cosine ranks them.  md5
@@ -2632,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bytes_source": _q_bytes_source,
         "similarity_lsh": _q_similarity_lsh,
         "substring_cut": _q_substring_cut,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -3627,6 +3671,7 @@ def oracle_sql() -> dict[str, str]:
                    || '</tbody></table>' AS html
             FROM e
         """,
+        "bpe_merges": _bpe_oracle(4),
         "substring_cut": """
             WITH toks0 AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents

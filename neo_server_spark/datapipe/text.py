@@ -424,3 +424,59 @@ def pack_sequences(docs: DataFrame, window: int = 512,
         (F.least(F.col("__off") + F.col("__nt") - cstart, F.lit(window))
          - 1).alias("chunk_end"),
     )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text",
+              lowercase: bool = True) -> list[tuple]:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) over the
+    corpus: learn ``n_merges`` merge rules by repeatedly fusing the most
+    frequent adjacent symbol pair.
+
+    Classic BPE trains on the WORD-FREQUENCY table, so the corpus is
+    scanned once (distributed explode -> word counts); every merge
+    iteration then runs on the compact (word, freq) frame — pair counts
+    are a JVM transform + explode + map-side-combined sum, and the merge
+    itself is a literal string replace on the space-joined symbol form
+    (identical left-to-right non-overlap semantics in Spark, Python and
+    DuckDB, which is what makes the whole trainer SQL-certifiable).
+    Ties break on the lexicographically smallest pair for determinism.
+
+    Returns [(rank, left, right, merged, count), ...].
+    """
+    c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = (docs.select(F.explode(F.split(c, " ")).alias("w"))
+             .filter(F.col("w") != "")
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    # symbol form: characters space-joined, padded for anchored replace
+    sym = F.concat(F.lit(" "),
+                   F.array_join(F.split(F.col("w"), ""), " "),
+                   F.lit(" "))
+    # the (word, freq) frame is vocabulary-sized — keep it on a handful of
+    # partitions so each merge round pays tasks proportional to the data,
+    # not to spark.sql.shuffle.partitions
+    state = words.select(sym.alias("s"), "freq").coalesce(4) \
+        .localCheckpoint(eager=False)
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        toks = F.split(F.trim(F.col("s")), " ")
+        # guard single-symbol words: sequence(1,0) would DESCEND in Spark
+        pairs = F.when(
+            F.size(toks) > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                                   F.element_at(toks, i + 1)))
+        ).otherwise(F.array().cast("array<string>"))
+        top = (state.select(F.explode(pairs).alias("p"), "freq")
+               .groupBy("p").agg(F.sum("freq").alias("c"))
+               .orderBy(F.col("c").desc(), "p").first())
+        if top is None or top["c"] is None:
+            break
+        left, right = top["p"].split(" ", 1)
+        merges.append((rank, left, right, left + right, int(top["c"])))
+        state = state.select(
+            F.expr("replace(s, ' {} {} ', ' {} ')".format(
+                left.replace("'", "\\'"), right.replace("'", "\\'"),
+                (left + right).replace("'", "\\'"))).alias("s"),
+            "freq").coalesce(4).localCheckpoint(eager=False)
+    return merges

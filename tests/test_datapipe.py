@@ -538,3 +538,17 @@ def test_remove_duplicate_spans(spark):
     assert out[1] == "other head one"
     assert out[2].startswith("entirely different")   # untouched passthrough
     assert out[3] == "" and out[4] == ""             # fully covered -> empty
+
+
+def test_bpe_train_classic(spark):
+    """Sennrich et al.'s canonical example: 'low/lower/newest/widest'
+    learns es -> est -> lo -> low in order."""
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lower newest newest newest widest", "s"),
+         (1, "newest widest low lowest", "s")],
+        ["doc_id", "text", "source"])
+    merges = text.bpe_train(docs, n_merges=4)
+    assert [(m[1], m[2], m[3]) for m in merges] == [
+        ("e", "s", "es"), ("es", "t", "est"),
+        ("l", "o", "lo"), ("lo", "w", "low")]
+    assert merges[0][4] == 7     # es appears in newest x4 + widest x2 + lowest
