@@ -2450,6 +2450,20 @@ def _bpe_oracle(n: int = 5) -> str:
             + "\nUNION ALL ".join(sel) + "\nORDER BY rank")
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """BPE application (text.bpe_encode): a fixed merge list tokenizes
+    every document via the chained literal-replace form; the oracle
+    applies the identical chain and compares per-doc token counts."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    merges = [(0, "s", "c", "sc", 0), (1, "t", "a", "ta", 0),
+              (2, "ta", "b", "tab", 0), (3, "v", "a", "va", 0)]
+    return (text.bpe_encode(docs, merges)
+            .select("doc_id",
+                    F.col("n_bpe_tokens").cast("long")
+                    .alias("n_bpe_tokens"))
+            .orderBy("doc_id"))
+
+
 def _q_similarity_lsh(spark, sf_dir):
     """LSH-bucketed ANN (similarity.lsh_topk): the query's multi-band
     hyperplane buckets select candidates; exact cosine ranks them.  md5
@@ -2676,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": _q_similarity_lsh,
         "substring_cut": _q_substring_cut,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
     }
 
 
@@ -3672,6 +3687,25 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "bpe_merges": _bpe_oracle(4),
+        "bpe_encode": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS wd
+              FROM documents
+            ),
+            s0 AS (SELECT doc_id,
+                          ' ' || array_to_string(string_split(wd, ''), ' ')
+                          || ' ' AS s FROM w),
+            s1 AS (SELECT doc_id, replace(s, ' s c ', ' sc ') AS s FROM s0),
+            s2 AS (SELECT doc_id, replace(s, ' t a ', ' ta ') AS s FROM s1),
+            s3 AS (SELECT doc_id, replace(s, ' ta b ', ' tab ') AS s FROM s2),
+            s4 AS (SELECT doc_id, replace(s, ' v a ', ' va ') AS s FROM s3)
+            SELECT doc_id,
+                   CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM s4 GROUP BY doc_id ORDER BY doc_id
+        """,
         "substring_cut": """
             WITH toks0 AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -480,3 +480,37 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text",
                 (left + right).replace("'", "\\'"))).alias("s"),
             "freq").coalesce(4).localCheckpoint(eager=False)
     return merges
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple],
+               text_col: str = "text", id_col: str = "doc_id",
+               lowercase: bool = True) -> DataFrame:
+    """Apply learned BPE merges (:func:`bpe_train` output, or any ordered
+    merge list) to tokenize each document: every word becomes its
+    space-joined symbol string, then the merges chain as literal replaces
+    in rank order — one scan-side JVM expression chain, no Python.
+
+    Returns (id, bpe_tokens array, n_bpe_tokens).
+    """
+    c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    # per word: ' c h a r s ' padded symbol string
+    word_syms = F.transform(
+        F.filter(F.split(c, " "), lambda w: w != ""),
+        lambda w: F.concat(F.lit(" "),
+                           F.array_join(F.split(w, ""), " "), F.lit(" ")))
+
+    d = docs.select(F.col(id_col), word_syms.alias("__ws"))
+    for m in merges:   # each select rewrites __ws so the replaces CHAIN
+        lhs, rhs = m[1], m[2]
+        d = d.select(
+            F.col(id_col),
+            F.expr("transform(__ws, s -> replace(s, ' {0} {1} ', ' {2} '))"
+                   .format(lhs.replace("'", "\\'"),
+                           rhs.replace("'", "\\'"),
+                           (lhs + rhs).replace("'", "\\'")))
+            .alias("__ws"))
+    toks = F.flatten(F.transform(
+        F.col("__ws"), lambda s: F.split(F.trim(s), " ")))
+    return d.select(
+        F.col(id_col), toks.alias("bpe_tokens"),
+        F.size(toks).alias("n_bpe_tokens"))

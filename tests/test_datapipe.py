@@ -552,3 +552,13 @@ def test_bpe_train_classic(spark):
         ("e", "s", "es"), ("es", "t", "est"),
         ("l", "o", "lo"), ("lo", "w", "low")]
     assert merges[0][4] == 7     # es appears in newest x4 + widest x2 + lowest
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    docs = spark.createDataFrame(
+        [(0, "lowest low", "s")], ["doc_id", "text", "source"])
+    merges = [(0, "e", "s", "es", 0), (1, "es", "t", "est", 0),
+              (2, "l", "o", "lo", 0), (3, "lo", "w", "low", 0)]
+    out = text.bpe_encode(docs, merges).first()
+    assert out.bpe_tokens == ["low", "est", "low"]
+    assert out.n_bpe_tokens == 3
