@@ -121,6 +121,11 @@ class EngineHttpServer:
                                    qs, body, tick)
             elif url.path in ("/web/api/tql", "/web/api/tql/"):
                 self._handle_tql(h, qs, body, tick)
+            elif url.path.startswith("/lakes/values/"):
+                self._handle_lake_values(
+                    h, url.path[len("/lakes/values/"):], qs, tick)
+            elif url.path == "/lakes/tags":
+                self._handle_lake_tags(h, qs, tick)
             elif url.path.startswith("/web/api/tql/"):
                 # script loaded from the server-side fs (loader.go:53;
                 # handleTqlFile) — rooted at fs_root, no path escapes
@@ -290,6 +295,132 @@ class EngineHttpServer:
         else:
             ct = _STMT_CTYPE.get(runner.last_stmt or "", "text/plain")
         self._send(h, 200, ct, out)
+
+    # ------------------------------------------------------- /lakes/values
+
+    def _lake_tag_df(self):
+        """The session's tag table for the lake endpoints: the registered
+        TAG view if the user created one, else the canonical events
+        mapping."""
+        from neo_server_spark import io as nio
+        try:
+            return self.spark.table("TAG")
+        except Exception:
+            return nio.events_as_tag(self.spark, self.sf_dir)
+
+    def _handle_lake_values(self, h, dtype: str, qs: dict,
+                            tick: float) -> None:
+        """GET /lakes/values/:type (http_lake.go:301-328 dispatch):
+        raw | calculated | group | last | current | pivoted | stat.
+        Parameters decode like the reference's SelectRaw/SelectCalc binds
+        (tag_name, start_time/end_time epoch-ns, columns/aliases,
+        calc_mode, interval_type/value, date_format, value_return_form,
+        direction, offset, count)."""
+        import json as _json
+
+        from neo_server_spark.sqlx import lake
+        from neo_server_spark.sqlx.dialect import lake_sql
+        sep = qs.get("separator") or ","
+        tags = [t for t in (qs.get("tag_name") or "").split(sep) if t]
+        if not tags and dtype not in ("current",):
+            return self._lake_fail(h, 422,
+                                   "Wrong Parameter. (tagname) : must be "
+                                   "a least 1", tick)
+        if len(tags) > lake.LIMIT_SELECT_TAG:
+            return self._lake_fail(
+                h, 422, f"tag count over. (parameter:{len(tags)}, "
+                        f"Available:{lake.LIMIT_SELECT_TAG})", tick)
+        fmt = qs.get("value_return_form", "0")
+        if fmt not in ("0", "1"):
+            return self._lake_fail(
+                h, 412, "Wrong Parameter. (value_return_form) : must be "
+                        "0,1", tick)
+        df_fmt = qs.get("date_format") or "YYYY-MM-DD HH24:MI:SS"
+        kw = dict(date_format=df_fmt)
+        try:
+            start = int(qs.get("start_time", 0))
+            end = int(qs.get("end_time", 0))
+            if dtype == "raw":
+                cols = [c for c in (qs.get("columns") or "").split(sep)
+                        if c] or None
+                als = [a for a in (qs.get("aliases") or "").split(sep)
+                       if a] or None
+                if als and cols and len(als) != len(cols):
+                    return self._lake_fail(
+                        h, 422, "The number of 'columns' and 'aliases' "
+                                "is different", tick)
+                sql = lake.raw_sql(tags, start, end, columns=cols,
+                                   aliases=als,
+                                   direction=qs.get("direction"),
+                                   offset=qs.get("offset"),
+                                   limit=qs.get("count"), **kw)
+                mode = "raw"
+            elif dtype in ("calculated", "group"):
+                sql = lake.calc_sql(
+                    tags, start, end,
+                    calc_mode=qs.get("calc_mode", "AVG"),
+                    interval_type=qs.get("interval_type", "SEC"),
+                    interval_value=int(qs.get("interval_value", 1)),
+                    offset=qs.get("offset"), limit=qs.get("count"), **kw)
+                mode = qs.get("calc_mode", "AVG").lower()
+            elif dtype == "last":
+                sql = lake.last_sql(tags, start, end, **kw)
+                mode = "last"
+            elif dtype == "current":
+                sql = lake.current_sql(qs.get("tag_name") or "", **kw)
+                mode = "current"
+            elif dtype == "pivoted":
+                sql = lake.pivot_sql(
+                    tags, start, end,
+                    calc_mode=qs.get("calc_mode", "AVG"),
+                    interval_type=qs.get("interval_type", "SEC"),
+                    interval_value=int(qs.get("interval_value", 1)), **kw)
+                mode = qs.get("calc_mode", "AVG").lower()
+            elif dtype == "stat":
+                sql = lake.stat_sql(tags, offset=qs.get("offset"),
+                                    limit=qs.get("count"), **kw)
+                mode = "stat"
+            else:
+                return self._lake_fail(h, 400,
+                                       "This type is not available", tick)
+            lake.register_lake_views(self.spark, self._lake_tag_df())
+            df = lake_sql(self.spark, sql)
+            data = lake.select_return(df, mode, fmt, tags)
+        except ValueError as ex:
+            return self._lake_fail(h, 422, str(ex), tick)
+        except Exception as ex:
+            return self._lake_fail(h, 424, str(ex), tick)
+        payload = _json.dumps({"status": "success", "data": data},
+                              separators=(",", ":"), default=str)
+        self._send(h, 200, "application/json", payload)
+
+    def _handle_lake_tags(self, h, qs: dict, tick: float) -> None:
+        """GET /lakes/tags (handleLakeGetTagList): tag names, optional
+        LIKE filter + offset/limit."""
+        import json as _json
+        name = qs.get("name") or ""
+        tag_df = self._lake_tag_df()
+        from pyspark.sql import functions as F
+        names = tag_df.select(F.col(tag_df.columns[0]).alias("NAME")) \
+            .distinct()
+        if name:
+            names = names.filter(
+                F.col("NAME").like(f"%{name}%"))
+        names = names.orderBy("NAME")
+        off = int(qs.get("offset", 0))
+        lim = int(qs.get("limit") or 0) or 10000
+        rows = [r["NAME"] for r in names.offset(off).limit(lim).collect()]
+        payload = _json.dumps(
+            {"status": "success", "data": {"tag": rows}},
+            separators=(",", ":"))
+        self._send(h, 200, "application/json", payload)
+
+    def _lake_fail(self, h, status: int, message: str,
+                   tick: float) -> None:
+        import json as _json
+        payload = _json.dumps({"status": "fail", "message": message},
+                              separators=(",", ":"))
+        self._send(h, status, "application/json", payload)
 
     # ------------------------------------------------------ /db/write/<tbl>
 

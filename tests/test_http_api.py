@@ -3,6 +3,7 @@ the Spark session): /db/query formats + params + exec verbs, /web/api/tql
 script execution with query-string params, /db/write ingest."""
 
 import json
+import re
 import urllib.parse
 import urllib.request
 
@@ -144,3 +145,81 @@ def test_web_api_tql_file(server, tmp_path):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+# ---------------------------------------------------------------------------
+# Lake REST API (/lakes/values/:type, /lakes/tags — http_lake.go)
+# ---------------------------------------------------------------------------
+
+def test_lake_raw_and_tags(server, spark, sf_dir):
+    from neo_server_spark import io as nio
+    tag = nio.events_as_tag(spark, sf_dir)
+    first = tag.orderBy("time").first()
+    name = first["name"]
+    t0, t1 = first["time"], first["time"] + 3600 * 10**9
+    st, ct, body = get(
+        f"{server}/lakes/values/raw?tag_name={name}"
+        f"&start_time={t0}&end_time={t1}&count=5")
+    d = json.loads(body)
+    assert st == 200 and d["status"] == "success"
+    data = d["data"]
+    assert data["calc_mode"] == "raw"
+    assert [c["name"] for c in data["columns"]] == ["TIME", "VALUE"]
+    s = data["samples"][0]
+    assert s["tag_name"] == name and 1 <= len(s["data"]) <= 5
+    row = s["data"][0]
+    assert set(row) == {"TIME", "VALUE"}
+    assert re.match(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", row["TIME"])
+    # value_return_form=1 transposes into column arrays
+    _, _, body1 = get(
+        f"{server}/lakes/values/raw?tag_name={name}"
+        f"&start_time={t0}&end_time={t1}&count=5&value_return_form=1")
+    s1 = json.loads(body1)["data"]["samples"][0]
+    assert set(s1["data"]) == {"TIME", "VALUE"}
+    assert isinstance(s1["data"]["VALUE"], list)
+    # tag list endpoint
+    _, _, tl = get(f"{server}/lakes/tags")
+    tags = json.loads(tl)["data"]["tag"]
+    assert name in tags and tags == sorted(tags)
+
+
+def test_lake_calculated_last_stat(server, spark, sf_dir):
+    from neo_server_spark import io as nio
+    tag = nio.events_as_tag(spark, sf_dir)
+    first = tag.orderBy("time").first()
+    name, t0 = first["name"], first["time"]
+    t1 = t0 + 24 * 3600 * 10**9
+    _, _, body = get(
+        f"{server}/lakes/values/calculated?tag_name={name}"
+        f"&start_time={t0}&end_time={t1}&calc_mode=avg"
+        f"&interval_type=HOUR&interval_value=1&count=500")
+    d = json.loads(body)
+    assert d["status"] == "success"
+    assert d["data"]["calc_mode"] == "avg"
+    assert len(d["data"]["samples"][0]["data"]) >= 1
+    _, _, body = get(
+        f"{server}/lakes/values/last?tag_name={name}"
+        f"&start_time={t0}&end_time={t1}")
+    d = json.loads(body)
+    assert len(d["data"]["samples"][0]["data"]) == 1   # one row per tag
+    _, _, body = get(f"{server}/lakes/values/stat?tag_name={name}")
+    d = json.loads(body)
+    row = d["data"]["samples"][0]["data"][0]
+    assert row["ROW_COUNT"] >= 1 and "RECENT_ROW_TIME" in row
+
+
+def test_lake_errors(server):
+    import urllib.error
+    try:
+        get(f"{server}/lakes/values/raw?start_time=0&end_time=1")
+        raise AssertionError("expected 422")
+    except urllib.error.HTTPError as e:
+        assert e.code == 422
+        assert "tagname" in json.loads(e.read().decode())["message"]
+    try:
+        get(f"{server}/lakes/values/nope?tag_name=x")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        d = json.loads(e.read().decode())
+        assert d["message"] == "This type is not available"
