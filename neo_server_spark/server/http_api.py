@@ -121,9 +121,14 @@ class EngineHttpServer:
                                    qs, body, tick)
             elif url.path in ("/web/api/tql", "/web/api/tql/"):
                 self._handle_tql(h, qs, body, tick)
-            elif url.path.startswith("/lakes/values/"):
-                self._handle_lake_values(
-                    h, url.path[len("/lakes/values/"):], qs, tick)
+            elif url.path.startswith("/lakes/values/") or \
+                    url.path == "/lakes/values":
+                dtype = url.path[len("/lakes/values/"):] \
+                    if url.path.startswith("/lakes/values/") else ""
+                if h.command == "POST":
+                    self._handle_lake_post(h, dtype, body, tick)
+                else:
+                    self._handle_lake_values(h, dtype, qs, tick)
             elif url.path == "/lakes/tags":
                 self._handle_lake_tags(h, qs, tick)
             elif url.path.startswith("/web/api/tql/"):
@@ -414,6 +419,78 @@ class EngineHttpServer:
             {"status": "success", "data": {"tag": rows}},
             separators=(",", ":"))
         self._send(h, 200, "application/json", payload)
+
+    def _handle_lake_post(self, h, dtype: str, body: bytes,
+                          tick: float) -> None:
+        """POST /lakes/values[/:type] (handleLakePostValues,
+        http_lake.go:2248-2343): 'standard' = {tag_name, date_format,
+        values:[[time, value]..]}; default = {values:[{Tag, Ts, Val}..]};
+        rows append to the TAG table; response = the appender's
+        {success, fail} counts in the lakeRsp envelope."""
+        import json as _json
+        try:
+            req = _json.loads(body.decode() or "{}")
+        except ValueError as ex:
+            return self._lake_post_fail(h, 412, str(ex), tick)
+        values = req.get("values") or []
+        if not values:
+            return self._lake_post_fail(h, 412, "values is empty", tick)
+        rows, fail = [], 0
+        if dtype == "standard":
+            tag = req.get("tag_name") or ""
+            fmtjava = None
+            for rec in values:
+                try:
+                    t, v = rec[0], rec[1]
+                    if isinstance(t, str):
+                        import datetime as _dt
+
+                        from neo_server_spark.functions.timefn import (
+                            go_layout_to_java, sql_timeformat_to_layout)
+                        if fmtjava is None:
+                            fmtjava, _d, _t2 = go_layout_to_java(
+                                sql_timeformat_to_layout(
+                                    req.get("date_format")
+                                    or "YYYY-MM-DD HH24:MI:SS"))
+                        py = (fmtjava.replace("yyyy", "%Y")
+                              .replace("MM", "%m").replace("dd", "%d")
+                              .replace("HH", "%H").replace("mm", "%M")
+                              .replace("ss", "%S"))
+                        ts = int(_dt.datetime.strptime(t, py)
+                                 .replace(tzinfo=_dt.timezone.utc)
+                                 .timestamp() * 1e9)
+                    else:
+                        ts = int(t)
+                    rows.append((tag, ts, float(v)))
+                except Exception:
+                    fail += 1
+        else:
+            for rec in values:
+                try:
+                    rows.append((str(rec["Tag"]), int(rec["Ts"]),
+                                 float(rec["Val"])))
+                except Exception:
+                    fail += 1
+        succ = 0
+        if rows:
+            from neo_server_spark import io as nio
+            df = self.spark.createDataFrame(
+                rows, "name string, time long, value double")
+            path = (self.fs_root or "/tmp") + "/TAG"
+            nio.write_tag_table(df, path, mode="append")
+            succ = len(rows)
+        payload = _json.dumps(
+            {"success": True, "reason": "success",
+             "data": {"success": succ, "fail": fail}},
+            separators=(",", ":"))
+        self._send(h, 200, "application/json", payload)
+
+    def _lake_post_fail(self, h, status: int, reason: str,
+                        tick: float) -> None:
+        import json as _json
+        payload = _json.dumps({"success": False, "reason": reason},
+                              separators=(",", ":"))
+        self._send(h, status, "application/json", payload)
 
     def _lake_fail(self, h, status: int, message: str,
                    tick: float) -> None:

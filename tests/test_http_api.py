@@ -223,3 +223,31 @@ def test_lake_errors(server):
         assert e.code == 400
         d = json.loads(e.read().decode())
         assert d["message"] == "This type is not available"
+
+
+def test_lake_post_values(server, spark, tmp_path):
+    body = json.dumps({"values": [
+        {"Tag": "lk1", "Ts": 1700000000000000000, "Val": 1.5},
+        {"Tag": "lk1", "Ts": 1700000001000000000, "Val": 2.5},
+        {"Tag": "lk2", "Ts": 1700000002000000000, "Val": 3.5},
+    ]}).encode()
+    st, _, out = post(f"{server}/lakes/values", body, "application/json")
+    d = json.loads(out)
+    assert d["success"] and d["data"] == {"success": 3, "fail": 0}
+    got = spark.read.parquet(str(tmp_path / "TAG"))
+    assert got.count() == 3
+    # standard form with epoch times
+    body = json.dumps({"tag_name": "lk3",
+                       "values": [[1700000003000000000, 7.25]]}).encode()
+    _, _, out = post(f"{server}/lakes/values/standard", body,
+                     "application/json")
+    assert json.loads(out)["data"]["success"] == 1
+    # empty values -> 412 'values is empty'
+    import urllib.error
+    try:
+        post(f"{server}/lakes/values", b'{"values": []}',
+             "application/json")
+        raise AssertionError("expected 412")
+    except urllib.error.HTTPError as e:
+        assert e.code == 412
+        assert json.loads(e.read().decode())["reason"] == "values is empty"
