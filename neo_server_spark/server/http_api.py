@@ -131,6 +131,8 @@ class EngineHttpServer:
                     self._handle_lake_values(h, dtype, qs, tick)
             elif url.path == "/lakes/tags":
                 self._handle_lake_tags(h, qs, tick)
+            elif url.path == "/lakes/inter/execquery":
+                self._handle_lake_exec(h, qs, body, tick)
             elif url.path.startswith("/web/api/tql/"):
                 # script loaded from the server-side fs (loader.go:53;
                 # handleTqlFile) — rooted at fs_root, no path escapes
@@ -483,6 +485,39 @@ class EngineHttpServer:
             {"success": True, "reason": "success",
              "data": {"success": succ, "fail": fail}},
             separators=(",", ":"))
+        self._send(h, 200, "application/json", payload)
+
+    def _handle_lake_exec(self, h, qs: dict, body: bytes,
+                          tick: float) -> None:
+        """POST /lakes/inter/execquery (handleLakeExecQuery,
+        http_lake.go:2345-2376): arbitrary SQL through the lake dialect;
+        rows return as per-column maps inside the ExecResult envelope."""
+        import json as _json
+
+        from neo_server_spark.sqlx import lake
+        from neo_server_spark.sqlx.dialect import lake_sql
+        try:
+            req = _json.loads(body.decode() or "{}") if body else {}
+        except ValueError:
+            req = {}
+        sql = req.get("sql") or qs.get("sql") or ""
+        if not sql.strip():
+            return self._lake_fail(h, 412, "data is wrong. check data.",
+                                   tick)
+        try:
+            lake.register_lake_views(self.spark, self._lake_tag_df())
+            df = lake_sql(self.spark, sql)
+            cols = df.columns
+            data = [dict(zip(cols, r)) for r in df.collect()]
+        except Exception as ex:
+            return self._lake_fail(h, 424, str(ex), tick)
+        payload = _json.dumps(
+            {"status": "success",
+             "data": {"columns": [{"name": c.upper(), "type": 0,
+                                   "length": 0} for c in cols],
+                      "data": data, "error_code": 0,
+                      "error_message": ""}},
+            separators=(",", ":"), default=str)
         self._send(h, 200, "application/json", payload)
 
     def _lake_post_fail(self, h, status: int, reason: str,

@@ -251,3 +251,14 @@ def test_lake_post_values(server, spark, tmp_path):
     except urllib.error.HTTPError as e:
         assert e.code == 412
         assert json.loads(e.read().decode())["reason"] == "values is empty"
+
+
+def test_lake_exec_query(server):
+    body = json.dumps({"sql": "SELECT NAME, count(*) AS N FROM TAG "
+                              "GROUP BY NAME ORDER BY NAME"}).encode()
+    st, _, out = post(f"{server}/lakes/inter/execquery", body,
+                      "application/json")
+    d = json.loads(out)
+    assert d["status"] == "success"
+    assert [c["name"] for c in d["data"]["columns"]] == ["NAME", "N"]
+    assert d["data"]["data"] and d["data"]["error_code"] == 0
