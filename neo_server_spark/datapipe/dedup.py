@@ -435,13 +435,18 @@ def duplicate_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
     positions.
     """
     toks = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
-    npos = F.greatest(F.size("__t") - (k - 1), F.lit(0))
+    npos = F.size("__t") - (k - 1)
+    # docs shorter than k tokens contribute no grams; the guard matters
+    # because Spark's sequence(1, 0) DESCENDS instead of being empty
+    gram_arr = F.when(
+        npos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(npos, F.lit(1))),
+            lambda i: F.md5(F.array_join(F.slice("__t", i, k), " ")))
+    ).otherwise(F.array().cast("array<string>"))
     grams = toks.select(
         F.col(id_col),
-        F.posexplode(F.transform(
-            F.sequence(F.lit(1), npos),
-            lambda i: F.md5(F.array_join(F.slice("__t", i, k), " "))))
-        .alias("__p0", "__d")
+        F.posexplode(gram_arr).alias("__p0", "__d")
     ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__d")
     dup = (grams.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
            .filter(F.col("__n") >= 2))

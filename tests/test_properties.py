@@ -142,3 +142,73 @@ def test_quantile_lininterp_matches_gonum_model(spark, vs, p):
     df = spark.createDataFrame([(float(v),) for v in vs], ["v"])
     got = df.agg(agg.quantile_lininterp("v", p, "q")).first()["q"]
     assert got == pytest.approx(gonum_lininterp(vs, p), rel=1e-9, abs=1e-9)
+
+
+docs_texts = st.lists(
+    st.lists(st.sampled_from(list("abcde")), min_size=1, max_size=30)
+    .map(lambda ts: " ".join(ts)),
+    min_size=1, max_size=8,
+)
+
+
+@prop
+@given(texts=docs_texts)
+def test_substring_cut_removes_all_duplicated_kgrams(spark, texts):
+    """After remove_duplicate_spans(k), the surviving corpus contains NO
+    k-gram with corpus count >= 2 that existed as a duplicated k-gram —
+    i.e. the cut step actually clears the detection criterion (the same
+    fixpoint property Lee et al.'s apply phase guarantees for the spans
+    it removes)."""
+    from neo_server_spark.datapipe import dedup
+    k = 4
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        ["doc_id", "text", "source"])
+    cleaned = dedup.remove_duplicate_spans(df, k=k) \
+        .withColumnRenamed("clean_text", "text")
+    # recompute duplicated spans on the cleaned corpus restricted to
+    # grams that were duplicated BEFORE: none of the original duplicated
+    # grams may survive in two copies
+    def grams(text):
+        toks = text.split(" ") if text else []
+        return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    before = {}
+    for t in texts:
+        for g in grams(t):
+            before[g] = before.get(g, 0) + 1
+    dup_before = {g for g, c in before.items() if c >= 2}
+    after = {}
+    for r in cleaned.collect():
+        for g in grams(r.text):
+            after[g] = after.get(g, 0) + 1
+    leftover = {g for g, c in after.items() if c >= 2 and g in dup_before}
+    assert not leftover, leftover
+
+
+@prop
+@given(sizes=st.lists(st.integers(min_value=1, max_value=40),
+                      min_size=1, max_size=10),
+       window=st.integers(min_value=4, max_value=16))
+def test_pack_sequences_partitions_every_token(spark, sizes, window):
+    """The packing plan covers every token of every doc exactly once:
+    per-doc chunk ranges are contiguous, sum to the doc's token count,
+    and chunk offsets stay inside [0, window)."""
+    from neo_server_spark.datapipe import text as dtext
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), "s") for i, n in enumerate(sizes)],
+        ["doc_id", "text", "source"])
+    rows = sorted(dtext.pack_sequences(df, window=window).collect(),
+                  key=lambda r: (r.doc_id, r.chunk_id))
+    per_doc: dict = {}
+    for r in rows:
+        assert 0 <= r.chunk_start <= r.chunk_end < window
+        per_doc.setdefault(r.doc_id, []).append(r)
+    offset = 0
+    for i, n in enumerate(sizes):
+        chunks = per_doc[i]
+        covered = sum(r.chunk_end - r.chunk_start + 1 for r in chunks)
+        assert covered == n
+        # global contiguity: doc i starts exactly where i-1 ended
+        start_global = chunks[0].chunk_id * window + chunks[0].chunk_start
+        assert start_global == offset
+        offset += n
