@@ -2464,6 +2464,39 @@ def _q_bpe_encode(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_lake_api_raw(spark, sf_dir):
+    """The lake REST API's GetRawData SQL shape (sqlx/lake.py raw_sql ->
+    lake dialect): scan hint, TO_CHAR time column, IN + BETWEEN range,
+    LIMIT — the exact text /lakes/values/raw generates."""
+    from neo_server_spark.sqlx import lake
+    from neo_server_spark.sqlx.dialect import lake_sql
+    tag = nio.events_as_tag(spark, sf_dir)
+    lake.register_lake_views(spark, tag)
+    t0 = 1704067200 * 10**9
+    sql = lake.raw_sql(["click", "view"], t0, t0 + 2 * 3600 * 10**9,
+                       limit="200")
+    df = lake_sql(spark, sql)
+    return df.orderBy("NAME", "TIME", "VALUE")
+
+
+def _q_lake_api_calc(spark, sf_dir):
+    """The lake REST API's GetCalculateData SQL shape (calc_sql):
+    DATE_TRUNC bucketing + aggregate, exactly what
+    /lakes/values/calculated generates."""
+    from neo_server_spark.sqlx import lake
+    from neo_server_spark.sqlx.dialect import lake_sql
+    tag = nio.events_as_tag(spark, sf_dir)
+    lake.register_lake_views(spark, tag)
+    t0 = 1704067200 * 10**9
+    sql = lake.calc_sql(["click", "view"], t0, t0 + 24 * 3600 * 10**9,
+                        calc_mode="AVG", interval_type="HOUR",
+                        interval_value=1, limit="5000")
+    df = lake_sql(spark, sql)
+    return df.select("NAME", "TIME",
+                     F.round("VALUE", 6).alias("VALUE")) \
+        .orderBy("NAME", "TIME")
+
+
 def _q_similarity_lsh(spark, sf_dir):
     """LSH-bucketed ANN (similarity.lsh_topk): the query's multi-band
     hyperplane buckets select candidates; exact cosine ranks them.  md5
@@ -2691,6 +2724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_cut": _q_substring_cut,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "lake_api_raw": _q_lake_api_raw,
+        "lake_api_calc": _q_lake_api_calc,
     }
 
 
@@ -3687,6 +3722,33 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "bpe_merges": _bpe_oracle(4),
+        "lake_api_raw": """
+            SELECT name AS NAME,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIME,
+                   value AS VALUE
+            FROM (SELECT event_type AS name, ts, value FROM events)
+            WHERE name IN ('click', 'view')
+              AND epoch_ns(ts) BETWEEN 1704067200000000000
+                                   AND 1704074400000000000
+            ORDER BY NAME, TIME, VALUE
+            LIMIT 200
+        """,
+        "lake_api_calc": """
+            WITH t AS (
+              SELECT event_type AS name,
+                     epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS b,
+                     value
+              FROM events
+              WHERE event_type IN ('click', 'view')
+                AND epoch_ns(ts) BETWEEN 1704067200000000000
+                                     AND 1704153600000000000
+            )
+            SELECT name AS NAME,
+                   strftime(to_timestamp(b // 1000000000),
+                            '%Y-%m-%d %H:%M:%S') AS TIME,
+                   round(avg(value), 6) AS VALUE
+            FROM t GROUP BY name, b ORDER BY NAME, TIME
+        """,
         "bpe_encode": """
             WITH w AS (
               SELECT doc_id,
