@@ -212,3 +212,39 @@ def test_pack_sequences_partitions_every_token(spark, sizes, window):
         start_global = chunks[0].chunk_id * window + chunks[0].chunk_start
         assert start_global == offset
         offset += n
+
+
+url_chars = st.text(
+    alphabet="abcXYZ019-._~/?&=#:", min_size=0, max_size=30)
+
+
+@prop
+@given(tails=st.lists(url_chars, min_size=1, max_size=6))
+def test_normalize_url_idempotent(spark, tails):
+    """normalize(normalize(u)) == normalize(u) for arbitrary URL tails —
+    the canonicalization is a fixpoint (a second pass through the chain
+    must not keep rewriting)."""
+    from neo_server_spark.datapipe import web
+    urls = [(i, f"HTTPS://Ex{i}.COM:443/{t}") for i, t in enumerate(tails)]
+    df = spark.createDataFrame(urls, ["i", "url"])
+    once = df.select("i", web.normalize_url("url").alias("u"))
+    twice = once.select("i", web.normalize_url("u").alias("u2"))
+    got = {r.i: (r.u, r2.u2) for r, r2 in
+           zip(once.collect(), twice.collect())}
+    for i, (u, u2) in got.items():
+        assert u == u2, (tails[i], u, u2)
+
+
+@prop
+@given(words=st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+    min_size=1, max_size=10))
+def test_bpe_encode_conserves_characters(spark, words):
+    """BPE merging never loses or invents characters: concatenating a
+    doc's BPE tokens reproduces the concatenated input words."""
+    from neo_server_spark.datapipe import text as dtext
+    docs = spark.createDataFrame([(0, " ".join(words), "s")],
+                                 ["doc_id", "text", "source"])
+    merges = dtext.bpe_train(docs, n_merges=3)
+    out = dtext.bpe_encode(docs, merges).first()
+    assert "".join(out.bpe_tokens) == "".join(words)
