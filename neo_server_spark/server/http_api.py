@@ -114,7 +114,10 @@ class EngineHttpServer:
         url = urlparse(h.path)
         qs = {k: v[-1] for k, v in parse_qs(url.query).items()}
         try:
-            if url.path == "/db/query":
+            if url.path in ("/db/query", "/web/api/query",
+                            "/web/api/machbase"):
+                # /web/api/query is the same handler (http.go:295,352);
+                # /web/api/machbase is its deprecated alias (http.go:292)
                 self._handle_query(h, qs, body, tick)
             elif url.path.startswith("/db/write/"):
                 self._handle_write(h, url.path[len("/db/write/"):],

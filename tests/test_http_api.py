@@ -262,3 +262,10 @@ def test_lake_exec_query(server):
     assert d["status"] == "success"
     assert [c["name"] for c in d["data"]["columns"]] == ["NAME", "N"]
     assert d["data"]["data"] and d["data"]["error_code"] == 0
+
+
+def test_web_api_query_alias(server):
+    q = urllib.parse.quote("select count(*) AS n from example")
+    for route in ("/web/api/query", "/web/api/machbase"):
+        _, _, out = get(f"{server}{route}?q={q}&format=json")
+        assert json.loads(out)["data"]["rows"] == [[3]]
