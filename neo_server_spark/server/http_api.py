@@ -136,6 +136,9 @@ class EngineHttpServer:
                 self._handle_lake_tags(h, qs, tick)
             elif url.path == "/lakes/inter/execquery":
                 self._handle_lake_exec(h, qs, body, tick)
+            elif url.path.startswith("/metrics/"):
+                self._handle_metrics(h, url.path[len("/metrics/"):],
+                                     qs, body, tick)
             elif url.path.startswith("/web/api/tql/"):
                 # script loaded from the server-side fs (loader.go:53;
                 # handleTqlFile) — rooted at fs_root, no path escapes
@@ -529,6 +532,38 @@ class EngineHttpServer:
         payload = _json.dumps({"success": False, "reason": reason},
                               separators=(",", ":"))
         self._send(h, status, "application/json", payload)
+
+    def _handle_metrics(self, h, oper: str, qs: dict, body: bytes,
+                        tick: float) -> None:
+        """POST /metrics/write (handleLineProtocol/handleLineWrite,
+        http_write.go:466-580): Influx line protocol into the ``db``
+        tag table; ``precision`` ns|us|ms scales the timestamps; success
+        is 204 No Content like the influx write API."""
+        import json as _json
+        if h.command != "POST" or oper != "write":
+            payload = _json.dumps(
+                {"error": f"{h.command} {oper} is not implemented"},
+                separators=(",", ":")).encode()
+            return self._send(h, 501, "application/json", payload)
+        table = qs.get("db") or "tag"
+        mult = {"ns": 1, "us": 1000, "ms": 1000000}.get(
+            qs.get("precision", "ns"), 1)
+        from pyspark.sql import functions as F
+
+        from neo_server_spark import io as nio
+        from neo_server_spark.streaming.ingest import decode_line_protocol
+        lines = [(ln,) for ln in body.decode().splitlines() if ln.strip()]
+        if not lines:
+            payload = _json.dumps({"error": "no timestamp"},
+                                  separators=(",", ":")).encode()
+            return self._send(h, 400, "application/json", payload)
+        df = self.spark.createDataFrame(lines, "value string")
+        rows = decode_line_protocol(df)
+        if mult != 1:
+            rows = rows.withColumn("time", F.col("time") * mult)
+        path = (self.fs_root or "/tmp") + "/" + table
+        nio.write_tag_table(rows, path, mode="append")
+        self._send(h, 204, "application/json", "")
 
     def _lake_fail(self, h, status: int, message: str,
                    tick: float) -> None:

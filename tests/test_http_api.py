@@ -269,3 +269,24 @@ def test_web_api_query_alias(server):
     for route in ("/web/api/query", "/web/api/machbase"):
         _, _, out = get(f"{server}{route}?q={q}&format=json")
         assert json.loads(out)["data"]["rows"] == [[3]]
+
+
+def test_metrics_line_protocol_write(server, spark, tmp_path):
+    import urllib.error
+    body = (b"cpu,host=h1 usage=0.5,iowait=0.1 1700000000000000000\n"
+            b"mem value=75.5 1700000001000000000\n")
+    req = urllib.request.Request(
+        f"{server}/metrics/write?db=ilp", data=body,
+        headers={"Content-Type": "text/plain"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 204
+    got = {r.name: r.value for r in
+           spark.read.parquet(str(tmp_path / "ilp")).collect()}
+    assert got == {"cpu.usage": 0.5, "cpu.iowait": 0.1, "mem.value": 75.5}
+    # unknown operation -> 501 like the reference
+    try:
+        urllib.request.urlopen(urllib.request.Request(
+            f"{server}/metrics/query", data=b"x"), timeout=60)
+        raise AssertionError("expected 501")
+    except urllib.error.HTTPError as e:
+        assert e.code == 501
