@@ -2569,16 +2569,118 @@ def _q_pipeline_v2(spark, sf_dir):
             .unionAll(chunks.select(F.lit("8_chunks").alias("stage"), "n")))
 
 
+#: shared by the mixture_plan / data_mixture entries (and their oracles):
+#: src0 oversamples into the max_epochs clamp (rate ~4.6 -> 4.0, frac 0 —
+#: the "no fractional epoch" branch), src1 repeats ~1.3 epochs (whole epoch
+#: + fractional remainder), src2/src3 downsample (~0.24), srcX is absent
+#: from the corpus (rate 0).
+MIX_WEIGHTS = {"src0": 20.0, "src1": 6.0, "src2": 1.0, "src3": 1.0, "srcX": 2.0}
+MIX_BUDGET = 10000.0
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (datapipe.dedup.semdedup — Abbas et al. 2023): embeddings
+    clustered to 8 fixed centroids (the first 8 vectors — deterministic, so
+    the assignment itself is SQL-checkable), then near-identical pairs are
+    pruned WITHIN clusters only.  The oracle replays nearest-centroid
+    argmin + the cluster-local cosine sweep, certifying assignment, pair
+    generation, keep-lowest-id policy, and the cosine math end-to-end."""
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    return dedup.semdedup(emb, cents, threshold=0.4).orderBy("vec_id")
+
+
+def _q_mixture_plan(spark, sf_dir):
+    """Domain-mixture plan (datapipe.sampling.mixture_plan): Pile/DoReMi-
+    style target weights + token budget -> per-domain sampling rate split
+    into whole epochs and a fractional hash-sampled remainder.  One
+    map-side-combined token-count agg; every derived number is closed-form
+    so DuckDB reproduces the plan bit-for-bit."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return sampling.mixture_plan(docs, MIX_WEIGHTS, MIX_BUDGET, by="source") \
+        .orderBy("domain")
+
+
+def _q_data_mixture(spark, sf_dir):
+    """Materialized mixture sample (datapipe.sampling.mixture_sample): each
+    doc appears once per whole epoch of its domain plus deterministically
+    (md5(doc_id#epoch) threshold) for the fractional epoch — reproducible
+    oversampling/downsampling with zero shuffle and no RNG state."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return sampling.mixture_sample(docs, MIX_WEIGHTS, MIX_BUDGET, by="source") \
+        .orderBy("doc_id", "epoch")
+
+
+def _q_quality_classifier(spark, sf_dir):
+    """Model-based quality filter (datapipe.text.classifier_score): fastText
+    architecture — hashed unigram+bigram features, mean-pooled linear margin,
+    sigmoid — scored with pure JVM array expressions (no UDF, no shuffle).
+    md5-derived pseudo-weights make the whole scoring path engine-checkable;
+    production swaps in trained weights via a broadcast map."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return text.classifier_score(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
-        # entries.  Round-5 window = the three entries new/changed this
-        # round (scalar_funcs_tql — the completed front-end scalar registry;
-        # group_weighted — the new weight() aggregate variants;
-        # histogram_streaming, which GAINED a recursive-CTE oracle and was
-        # the last never-verified entry), then the longest-unchecked greens
-        # (all r2-last, then r3-last).  The remaining r3 greens and the
-        # full r4 window sit behind for round-6 rotation.
+        # entries.  Round-7 window = the 4 entries added late this round
+        # (semdedup, mixture_plan/data_mixture, quality_classifier), the 21
+        # round-7 additions never yet driver-checked (codecs, lake API, BPE,
+        # substring dedup, pipeline_v2, LSH ANN), then the longest-unchecked
+        # greens (all r3-last, plus three r4-last to fill).  Everything else
+        # rotates behind for round 8.
+        "semdedup": _q_semdedup,
+        "mixture_plan": _q_mixture_plan,
+        "data_mixture": _q_data_mixture,
+        "quality_classifier": _q_quality_classifier,
+        "substring_spans": _q_substring_spans,
+        "url_normalize": _q_url_normalize,
+        "domain_caps": _q_domain_caps,
+        "lm_buckets": _q_lm_buckets,
+        "pack_sequences": _q_pack_sequences,
+        "pipeline_v2": _q_pipeline_v2,
+        "codec_ndjson": _q_codec_ndjson,
+        "codec_markdown": _q_codec_markdown,
+        "codec_html": _q_codec_html,
+        "codec_box": _q_codec_box,
+        "codec_json": _q_codec_json,
+        "codec_chart": _q_codec_chart,
+        "codec_geomap": _q_codec_geomap,
+        "string_source": _q_string_source,
+        "bytes_source": _q_bytes_source,
+        "similarity_lsh": _q_similarity_lsh,
+        "substring_cut": _q_substring_cut,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
+        "lake_api_raw": _q_lake_api_raw,
+        "lake_api_calc": _q_lake_api_calc,
+        "series_diffs": _q_series_diffs,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "dedup_clusters": _q_dedup_clusters,
+        "curation_funnel": _q_curation_funnel,
+        "lake_pivot": _q_lake_pivot,
+        "lake_tochar": _q_lake_tochar,
+        "rollup_routed": _q_rollup_routed,
+        "group_list": _q_group_list,
+        "map_distance": _q_map_distance,
+        "query_builder": _q_query_builder,
+        "script_udtf": _q_script_udtf,
+        "shell_pipe": _q_shell_pipe,
+        "line_protocol": _q_line_protocol,
+        "dedup_exact": _q_dedup_exact,
+        "similarity_topk": _q_similarity_topk,
+        "similarity_ivf": _q_similarity_ivf,
+        "stratified_sample": _q_stratified_sample,
+        "embedding_dupes_exact": _q_embedding_dupes_exact,
+        "fake_gens": _q_fake_gens,
+        "boilerplate": _q_boilerplate,
+        "repetition": _q_repetition,
         "scalar_funcs_tql": _q_scalar_funcs_tql,
         "tql_set_vars": _q_tql_set_vars,
         "simplex_noise": _q_simplex_noise,
@@ -2632,32 +2734,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tql_dsl": _q_tql_dsl,
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
-        "series_diffs": _q_series_diffs,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        "dedup_clusters": _q_dedup_clusters,
-        "curation_funnel": _q_curation_funnel,
-        "lake_pivot": _q_lake_pivot,
-        # --- below: r3 leftovers for round-6 rotation, then the r4 window ---
-        "lake_tochar": _q_lake_tochar,
-        "rollup_routed": _q_rollup_routed,
-        "group_list": _q_group_list,
-        "map_distance": _q_map_distance,
-        "query_builder": _q_query_builder,
-        "script_udtf": _q_script_udtf,
-        "shell_pipe": _q_shell_pipe,
-        "line_protocol": _q_line_protocol,
-        "dedup_exact": _q_dedup_exact,
-        "similarity_topk": _q_similarity_topk,
-        "similarity_ivf": _q_similarity_ivf,
-        "stratified_sample": _q_stratified_sample,
-        "embedding_dupes_exact": _q_embedding_dupes_exact,
-        "fake_gens": _q_fake_gens,
-        "boilerplate": _q_boilerplate,
-        "repetition": _q_repetition,
         "lake_decode": _q_lake_decode,
         "tpch_q2": _q_tpch_q2,
         "set_ops": _q_set_ops,
@@ -2705,27 +2781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "group_aggs": _q_group_aggs,
         "group_where": _q_group_where,
-        "substring_spans": _q_substring_spans,
-        "url_normalize": _q_url_normalize,
-        "domain_caps": _q_domain_caps,
-        "lm_buckets": _q_lm_buckets,
-        "pack_sequences": _q_pack_sequences,
-        "pipeline_v2": _q_pipeline_v2,
-        "codec_ndjson": _q_codec_ndjson,
-        "codec_markdown": _q_codec_markdown,
-        "codec_html": _q_codec_html,
-        "codec_box": _q_codec_box,
-        "codec_json": _q_codec_json,
-        "codec_chart": _q_codec_chart,
-        "codec_geomap": _q_codec_geomap,
-        "string_source": _q_string_source,
-        "bytes_source": _q_bytes_source,
-        "similarity_lsh": _q_similarity_lsh,
-        "substring_cut": _q_substring_cut,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_encode": _q_bpe_encode,
-        "lake_api_raw": _q_lake_api_raw,
-        "lake_api_calc": _q_lake_api_calc,
     }
 
 
@@ -5104,5 +5159,99 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT '6_dedup', count(*) FROM s6
             UNION ALL SELECT '7_lm_tiers', count(*) FROM s7
             UNION ALL SELECT '8_chunks', (SELECT n FROM ch)
+        """,
+        # SemDeDup: nearest-of-8-fixed-centroids assignment (argmin L2,
+        # tie-break cid) + cluster-local cosine sweep, keep-lowest-id.
+        "semdedup": """
+            WITH c AS (SELECT vec_id AS cid, embedding AS cv
+                       FROM embeddings WHERE vec_id < 8),
+            d AS (SELECT e.vec_id, c.cid,
+                         sum((CAST(e.embedding[t.i] AS DOUBLE) - CAST(c.cv[t.i] AS DOUBLE))
+                             * (CAST(e.embedding[t.i] AS DOUBLE) - CAST(c.cv[t.i] AS DOUBLE))) AS d2
+                  FROM embeddings e, c, range(1, 65) t(i)
+                  GROUP BY e.vec_id, c.cid),
+            asg AS (SELECT vec_id, cid FROM
+                      (SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cid) AS rk
+                       FROM d) WHERE rk = 1),
+            pe AS (SELECT a.vec_id, a.cid, e.embedding
+                   FROM asg a JOIN embeddings e USING (vec_id)),
+            pc AS (SELECT x.vec_id AS ida,
+                          sum(CAST(x.embedding[t.i] AS DOUBLE) * CAST(y.embedding[t.i] AS DOUBLE)) AS dot,
+                          sum(CAST(x.embedding[t.i] AS DOUBLE) * CAST(x.embedding[t.i] AS DOUBLE)) AS sa,
+                          sum(CAST(y.embedding[t.i] AS DOUBLE) * CAST(y.embedding[t.i] AS DOUBLE)) AS sb
+                   FROM pe x JOIN pe y ON x.cid = y.cid AND x.vec_id > y.vec_id,
+                        range(1, 65) t(i)
+                   GROUP BY x.vec_id, y.vec_id),
+            mx AS (SELECT ida AS vec_id, max(cosv) AS mc
+                   FROM (SELECT ida, dot / (sqrt(sa) * sqrt(sb)) AS cosv FROM pc)
+                   WHERE cosv >= 0.4 GROUP BY ida)
+            SELECT a.vec_id, a.cid, mx.vec_id IS NULL AS keep,
+                   round(mx.mc, 6) AS max_dup_cos
+            FROM asg a LEFT JOIN mx USING (vec_id)
+            ORDER BY a.vec_id
+        """,
+        # Mixture plan/sample share this arithmetic: target = budget*w/wsum,
+        # rate = least(max_epochs, target/have), split into floor + round-6
+        # fraction.  Literals mirror MIX_WEIGHTS / MIX_BUDGET exactly.
+        "mixture_plan": f"""
+            WITH w(domain, w) AS (VALUES {", ".join(f"('{d}', {v!r})" for d, v in sorted(MIX_WEIGHTS.items()))}),
+            h AS (SELECT source AS domain,
+                         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS have
+                  FROM documents GROUP BY source),
+            p AS (SELECT w.domain, coalesce(h.have, 0) AS have_tokens,
+                         {MIX_BUDGET!r} * w.w / {sum(MIX_WEIGHTS.values())!r} AS target,
+                         CASE WHEN coalesce(h.have, 0) = 0 THEN 0.0
+                              ELSE least(4.0, ({MIX_BUDGET!r} * w.w / {sum(MIX_WEIGHTS.values())!r})
+                                              / coalesce(h.have, 0)) END AS rate
+                  FROM w LEFT JOIN h USING (domain))
+            SELECT domain, have_tokens, round(target, 6) AS target_tokens,
+                   CAST(floor(rate) AS INTEGER) AS epochs,
+                   round(rate - floor(rate), 6) AS frac
+            FROM p ORDER BY domain
+        """,
+        "data_mixture": f"""
+            WITH w(domain, w) AS (VALUES {", ".join(f"('{d}', {v!r})" for d, v in sorted(MIX_WEIGHTS.items()))}),
+            h AS (SELECT source AS domain,
+                         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS have
+                  FROM documents GROUP BY source),
+            p AS (SELECT w.domain,
+                         CASE WHEN coalesce(h.have, 0) = 0 THEN 0.0
+                              ELSE least(4.0, ({MIX_BUDGET!r} * w.w / {sum(MIX_WEIGHTS.values())!r})
+                                              / coalesce(h.have, 0)) END AS rate
+                  FROM w LEFT JOIN h USING (domain)),
+            pf AS (SELECT domain, CAST(floor(rate) AS BIGINT) AS epochs,
+                          round(rate - floor(rate), 6) AS frac FROM p),
+            z AS (SELECT d.doc_id, d.source AS domain,
+                         list_filter(generate_series(0, pf.epochs), ep ->
+                             ep < pf.epochs
+                             OR (pf.frac > 0 AND
+                                 substr(md5(d.doc_id::VARCHAR || '#' || ep::VARCHAR), 1, 8) <=
+                                 printf('%08x', CAST(floor(pf.frac * 4294967296.0) AS BIGINT) - 1))
+                         ) AS eps
+                  FROM documents d JOIN pf ON d.source = pf.domain),
+            ux AS (SELECT doc_id, domain, unnest(eps) AS ep FROM z)
+            SELECT doc_id, domain, CAST(ep AS INTEGER) AS epoch
+            FROM ux ORDER BY doc_id, epoch
+        """,
+        # fastText-architecture scorer: hashed unigram+bigram features,
+        # md5-derived pseudo-weights in [-1,1), mean-pooled margin, sigmoid.
+        "quality_classifier": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            u AS (SELECT doc_id, unnest(tk) AS f FROM t
+                  UNION ALL
+                  SELECT doc_id,
+                         unnest(list_transform(generate_series(1, len(tk) - 1),
+                                               i -> tk[i] || '_' || tk[i + 1])) AS f
+                  FROM t),
+            m AS (SELECT doc_id,
+                         sum((('0x' || substr(md5(f), 1, 8))::BIGINT / 4294967296.0)
+                             * 2.0 - 1.0) / count(*) AS s
+                  FROM u GROUP BY doc_id)
+            SELECT doc_id, round(s, 6) AS margin,
+                   round(1.0 / (1.0 + exp(-s)), 6) AS clf_score,
+                   s >= 0.0 AS keep
+            FROM m ORDER BY doc_id
         """,
     }

@@ -524,3 +524,49 @@ def remove_duplicate_spans(docs: DataFrame, k: int = 8,
                .join(rebuilt.select(id_col), id_col, "left_anti")
                .select(id_col, F.lit("").alias("clean_text")))
     return clean.unionByName(rebuilt).unionByName(emptied)
+
+
+def semdedup(emb: DataFrame, centroids: DataFrame, threshold: float = 0.92,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings and pruning near-identical pairs WITHIN each
+    cluster only — the published trick that turns an O(N^2) cosine sweep
+    into k cluster-local sweeps of ~(N/k)^2.
+
+    ``centroids`` is a (cid, cv) frame (e.g. from ``similarity.ivf_index``,
+    or any fixed codebook).  Each embedding is assigned to its nearest
+    centroid (broadcast argmin — the corpus never shuffles for assignment),
+    then a self-join ON cid finds same-cluster pairs with cosine >=
+    ``threshold``; the member with the LOWER id is kept, so every dup row
+    reports the max cosine against an earlier same-cluster member.
+
+    100 TB notes: the only corpus shuffle is the cid-keyed exchange feeding
+    the self-join; the per-cluster quadratic is the algorithm's own design
+    knob — scale k with N to bound cluster size (SemDeDup runs 50k clusters
+    for LAION-440M).  No reference counterpart (beyond-reference
+    training-data surface).
+
+    Returns (id, cid, keep, max_dup_cos) — keep=false rows are the prune set.
+    """
+    from neo_server_spark.datapipe.similarity import _assign, cosine_expr
+
+    assigned = _assign(emb, centroids, vec_col, id_col)
+    a = assigned.select(F.col("cid"), F.col(id_col).alias("__ida"),
+                        F.col(vec_col).alias("__va"))
+    b = assigned.select(F.col("cid"), F.col(id_col).alias("__idb"),
+                        F.col(vec_col).alias("__vb"))
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("__ida") > F.col("__idb"))
+        .select("__ida",
+                cosine_expr(F.col("__va"), F.col("__vb")).alias("__cos"))
+        .filter(F.col("__cos") >= F.lit(threshold))
+        .groupBy("__ida").agg(F.max("__cos").alias("__maxcos"))
+        .withColumnRenamed("__ida", id_col)
+    )
+    return (
+        assigned.join(dup, id_col, "left")
+        .select(F.col(id_col), F.col("cid"),
+                F.col("__maxcos").isNull().alias("keep"),
+                F.round(F.col("__maxcos"), 6).alias("max_dup_cos"))
+    )

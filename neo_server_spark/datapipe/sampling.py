@@ -89,3 +89,88 @@ def split(df: DataFrame, weights: dict[str, float], id_col: str = "doc_id",
             cond = cond & (prefix > F.lit(lo))
         out[name] = df.filter(cond)
     return out
+
+
+def mixture_plan(docs: DataFrame, weights: dict[str, float], budget_tokens: float,
+                 by: str = "source", text_col: str = "text",
+                 max_epochs: float = 4.0) -> DataFrame:
+    """Domain-mixture plan for training-data composition (the Pile /
+    DoReMi-style recipe): given target mixture ``weights`` per ``by``-domain
+    and a total token ``budget_tokens``, derive each domain's sampling RATE
+    = target_tokens / available_tokens, clamped to ``max_epochs`` (the
+    standard cap on how often a small domain may be repeated before it
+    hurts).  rate > 1 means oversampling (whole epochs + a fractional
+    hash-sampled remainder — see ``mixture_sample``).
+
+    One token-count aggregate over the corpus (map-side combined, ints) →
+    an O(#domains) driver table; every derived number is closed-form from
+    (weights, budget, counts), so the plan is engine-checkable and the
+    fractional part is rounded to 6 digits BEFORE thresholding to keep the
+    keep/drop decision bit-identical across engines.
+
+    Returns (domain, have_tokens, target_tokens, epochs, frac) sorted by
+    domain.  No reference counterpart (beyond-reference training surface).
+    """
+    import pyspark.sql.types as T
+
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    have = {
+        r["d"]: r["n"]
+        for r in docs.groupBy(F.col(by).alias("d"))
+        .agg(F.sum(F.size(F.split(F.col(text_col), " "))).alias("n")).collect()
+    }
+    rows = []
+    for d in sorted(weights):
+        h = int(have.get(d, 0))
+        target = budget_tokens * weights[d] / wsum
+        rate = min(max_epochs, target / h) if h else 0.0
+        epochs = int(rate)
+        frac = round(rate - epochs, 6)
+        rows.append((d, h, round(target, 6), epochs, frac))
+    schema = T.StructType([
+        T.StructField("domain", T.StringType()),
+        T.StructField("have_tokens", T.LongType()),
+        T.StructField("target_tokens", T.DoubleType()),
+        T.StructField("epochs", T.IntegerType()),
+        T.StructField("frac", T.DoubleType()),
+    ])
+    return docs.sparkSession.createDataFrame(rows, schema)
+
+
+def mixture_sample(docs: DataFrame, weights: dict[str, float], budget_tokens: float,
+                   by: str = "source", id_col: str = "doc_id", text_col: str = "text",
+                   max_epochs: float = 4.0, seed: str = "") -> DataFrame:
+    """Materialize the :func:`mixture_plan`: each row is emitted once per
+    whole epoch plus (deterministically, by content hash) with probability
+    ``frac`` for the final fractional epoch.  Domains with rate 0 (absent
+    from ``weights``, or empty) drop out.
+
+    Shape at scale: the plan is O(#domains) and folds into ONE CASE
+    expression, so the sample is a scan-side ``sequence``+``explode`` with a
+    hash filter — no shuffle, no RNG state, reproducible across engines,
+    partitionings, and appends (the epoch index salts the hash so the
+    fractional pick is independent of every whole-epoch copy).
+
+    Returns (id, domain, epoch) rows.
+    """
+    plan = mixture_plan(docs, weights, budget_tokens, by=by, text_col=text_col,
+                        max_epochs=max_epochs).collect()
+    ep: Column = F.lit(0)
+    thr: Column = F.lit("")
+    for r in plan:
+        ep = F.when(F.col(by) == r["domain"], F.lit(r["epochs"])).otherwise(ep)
+        thr = F.when(F.col(by) == r["domain"],
+                     F.lit(sample_threshold(r["frac"]))).otherwise(thr)
+    prefix = _hash_prefix(
+        F.concat(F.col(id_col).cast("string"), F.lit(seed), F.lit("#"),
+                 F.col("__ep").cast("string")), "")
+    return (
+        docs.select(F.col(id_col), F.col(by).alias("domain"),
+                    ep.alias("__full"), thr.alias("__thr"))
+        .withColumn("__ep", F.explode(F.sequence(F.lit(0), F.col("__full"))))
+        .filter((F.col("__ep") < F.col("__full"))
+                | ((F.col("__thr") != F.lit("")) & (prefix <= F.col("__thr"))))
+        .select(F.col(id_col), "domain", F.col("__ep").alias("epoch"))
+    )

@@ -514,3 +514,45 @@ def bpe_encode(docs: DataFrame, merges: list[tuple],
     return d.select(
         F.col(id_col), toks.alias("bpe_tokens"),
         F.size(toks).alias("n_bpe_tokens"))
+
+
+def classifier_score(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Model-based quality filtering: a fastText-architecture linear
+    classifier (Joulin et al. 2016 — the model family behind CCNet/LLaMA
+    quality filters) scored entirely with JVM expressions.
+
+    Features are hashed unigrams + bigrams; the doc score is
+    sigmoid(mean(w[f])), i.e. a bag-of-features linear model.  Weights here
+    are derived from the md5 of each feature (uniform in [-1,1)) — a
+    deterministic stand-in for trained weights that keeps the whole scoring
+    path (feature hashing, bigram construction, mean pooling, sigmoid)
+    engine-checkable; production swaps the hash weight for a lookup into a
+    broadcast trained-weight map, nothing else changes.
+
+    Scale shape: per-row array expressions only — no shuffle, no UDF, no
+    vocabulary join.  No reference counterpart (beyond-reference
+    training-data surface).
+
+    Returns (id, margin, clf_score, keep) with keep <=> margin >= 0.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    blen = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(toks, F.lit(1), blen),
+                         F.slice(toks, F.lit(2), blen),
+                         lambda x, y: F.concat(x, F.lit("_"), y))
+    feats = F.concat(toks, bigrams)
+
+    def _w(t: Column) -> Column:
+        return (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("double")
+                / F.lit(4294967296.0)) * 2.0 - 1.0
+
+    s = (F.aggregate(feats, F.lit(0.0), lambda a, x: a + _w(x))
+         / F.size(feats).cast("double"))
+    return docs.select(
+        F.col(id_col),
+        F.round(s, 6).alias("margin"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s)), 6).alias("clf_score"),
+        (s >= F.lit(0.0)).alias("keep"),
+    )

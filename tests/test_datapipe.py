@@ -562,3 +562,71 @@ def test_bpe_encode_applies_merges_in_order(spark):
     out = text.bpe_encode(docs, merges).first()
     assert out.bpe_tokens == ["low", "est", "low"]
     assert out.n_bpe_tokens == 3
+
+
+def test_semdedup_prunes_within_cluster_only(spark):
+    from neo_server_spark.datapipe import sampling  # noqa: F401  (module import sanity)
+    # two well-separated clusters: near-identical pairs are pruned inside
+    # their own cluster; cross-cluster pairs are never compared
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # centroid A
+        (1, [0.0, 1.0, 0.0, 0.0]),          # centroid B
+        (2, [0.99, 0.1, 0.0, 0.0]),         # near v0 -> cluster A, dup of 0
+        (3, [0.0, 0.98, 0.2, 0.0]),         # near v1 -> cluster B, dup of 1
+        (4, [0.0, 0.0, 0.0, 1.0]),          # far from both, kept
+    ]
+    emb = spark.createDataFrame([(i, [float(x) for x in v]) for i, v in rows],
+                                ["vec_id", "embedding"])
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    out = {r.vec_id: r for r in dedup.semdedup(emb, cents, threshold=0.9).collect()}
+    assert out[0].keep and out[1].keep          # lowest id in each cluster wins
+    assert not out[2].keep and out[2].cid == 0  # pruned against 0, in cluster A
+    assert not out[3].keep and out[3].cid == 1  # pruned against 1, in cluster B
+    assert out[4].keep
+    assert out[2].max_dup_cos > 0.99
+
+
+def test_mixture_plan_branches(spark):
+    from neo_server_spark.datapipe import sampling
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10), "big" if i < 8 else "small")
+         for i in range(10)], ["doc_id", "text", "source"])
+    # big: 80 tokens, small: 20 tokens; budget 200: big w=1,small w=9 ->
+    # big target 20 (rate .25), small target 180 -> rate 9 clamped to 4
+    plan = {r.domain: r for r in sampling.mixture_plan(
+        docs, {"big": 1.0, "small": 9.0, "ghost": 1.0}, 220.0,
+        by="source").collect()}
+    assert plan["big"].epochs == 0 and 0 < plan["big"].frac < 1
+    assert plan["small"].epochs == 4 and plan["small"].frac == 0.0  # clamped
+    assert plan["ghost"].have_tokens == 0 and plan["ghost"].epochs == 0 \
+        and plan["ghost"].frac == 0.0
+
+
+def test_mixture_sample_epochs_deterministic(spark):
+    from neo_server_spark.datapipe import sampling
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10), "s") for i in range(20)],
+        ["doc_id", "text", "source"])
+    # 200 tokens available, budget 500 -> rate 2.5: every doc twice plus
+    # ~half a third time, decided by md5(doc_id#2)
+    out = sampling.mixture_sample(docs, {"s": 1.0}, 500.0, by="source")
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert all(sorted(v)[:2] == [0, 1] for v in per_doc.values())
+    n_frac = sum(1 for v in per_doc.values() if len(v) == 3)
+    assert 0 < n_frac < 20                      # fractional epoch is partial
+    again = {(r.doc_id, r.epoch) for r in out.collect()}
+    assert again == {(r.doc_id, r.epoch) for r in rows}  # deterministic
+
+
+def test_classifier_score_shape_and_bounds(docs):
+    out = {r.doc_id: r for r in text.classifier_score(docs).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    for r in out.values():
+        assert 0.0 <= r.clf_score <= 1.0
+        assert r.keep == (r.margin >= 0)
+    assert out[0].clf_score == out[1].clf_score   # identical text, same score
+    assert out[0].clf_score != out[3].clf_score   # different text differs
