@@ -2622,6 +2622,23 @@ def _q_quality_classifier(spark, sf_dir):
     return text.classifier_score(docs).orderBy("doc_id")
 
 
+def _q_similarity_pq(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_train/encode/search — Jégou
+    et al. 2011, the IVF-PQ memory layout behind billion-scale indexes):
+    deterministic first-16 codebook init (iters=0 keeps it SQL-replayable),
+    8-subspace encode, asymmetric-distance top-20.  The oracle replays
+    codebook slicing, per-subspace argmin, the ADC lookup table, and the
+    distance sum — certifying the whole quantize/score path."""
+    from neo_server_spark.datapipe import similarity as sim
+
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    cb = sim.pq_train(emb, m=8, k=16, iters=0)
+    codes = sim.pq_encode(emb.filter(F.col("vec_id") != 0), cb)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return (sim.pq_search(codes, cb, qv, k=20)
+            .select("vec_id", F.round("adc_d2", 6).alias("adc_d2")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
@@ -2632,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greens (all r3-last, plus three r4-last to fill).  Everything else
         # rotates behind for round 8.
         "semdedup": _q_semdedup,
+        "similarity_pq": _q_similarity_pq,
         "mixture_plan": _q_mixture_plan,
         "data_mixture": _q_data_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -5234,6 +5252,42 @@ def oracle_sql() -> dict[str, str]:
             ux AS (SELECT doc_id, domain, unnest(eps) AS ep FROM z)
             SELECT doc_id, domain, CAST(ep AS INTEGER) AS epoch
             FROM ux ORDER BY doc_id, epoch
+        """,
+        # IVF-PQ: deterministic first-16 codebook (iters=0), per-subspace
+        # argmin encode (tie-break lowest code), ADC lookup-table top-20.
+        "similarity_pq": """
+            WITH cb AS (
+              SELECT s.sub, CAST(e.vec_id AS INTEGER) AS code,
+                     list_transform(generate_series(1, 8),
+                         i -> CAST(e.embedding[s.sub * 8 + i] AS DOUBLE)) AS cv
+              FROM embeddings e, range(0, 8) s(sub) WHERE e.vec_id < 16),
+            sv AS (
+              SELECT e.vec_id, s.sub,
+                     list_transform(generate_series(1, 8),
+                         i -> CAST(e.embedding[s.sub * 8 + i] AS DOUBLE)) AS sv
+              FROM embeddings e, range(0, 8) s(sub) WHERE e.vec_id <> 0),
+            d AS (
+              SELECT sv.vec_id, sv.sub, cb.code,
+                     list_sum(list_transform(generate_series(1, 8),
+                         i -> (sv.sv[i] - cb.cv[i]) * (sv.sv[i] - cb.cv[i]))) AS d2
+              FROM sv JOIN cb USING (sub)),
+            enc AS (
+              SELECT vec_id, sub, code FROM
+                (SELECT vec_id, sub, code,
+                        row_number() OVER (PARTITION BY vec_id, sub
+                                           ORDER BY d2, code) AS rk
+                 FROM d) WHERE rk = 1),
+            q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            lut AS (
+              SELECT cb.sub, cb.code,
+                     list_sum(list_transform(generate_series(1, 8),
+                         i -> (cb.cv[i] - CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE))
+                            * (cb.cv[i] - CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE)))) AS pd2
+              FROM cb, q),
+            sc AS (SELECT enc.vec_id, sum(pd2) AS adc
+                   FROM enc JOIN lut USING (sub, code) GROUP BY enc.vec_id)
+            SELECT vec_id, round(adc, 6) AS adc_d2
+            FROM sc ORDER BY adc, vec_id LIMIT 20
         """,
         # fastText-architecture scorer: hashed unigram+bigram features,
         # md5-derived pseudo-weights in [-1,1), mean-pooled margin, sigmoid.

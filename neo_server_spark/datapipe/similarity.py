@@ -273,3 +273,99 @@ def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
     )
     return (out.orderBy(F.col("__c").desc(), F.col(id_col)).limit(k)
             .select(id_col, "label", F.round("__c", 6).alias("cosine")))
+
+
+def pq_train(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 0,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011) — the memory side
+    of IVF-PQ, the canonical billion-vector ANN layout: the d-dim space is
+    split into ``m`` subspaces and each gets its own ``k``-entry codebook,
+    so a vector stores as m small codes (m bytes at k<=256) instead of d
+    floats — a 32x memory cut that keeps the whole index RAM-resident.
+
+    Init is deterministic (the first ``k`` vectors by id supply the seed
+    subvectors — SQL-replayable), followed by ``iters`` Lloyd rounds per
+    subspace.  Training shuffles only narrow (sub, code, pos, value) rows —
+    never whole vectors; each round is one scan + one small agg, same shape
+    as ``ivf_index``.
+
+    Returns (sub, code, cv) with cv = the subspace centroid (length d/m).
+    """
+    dim = F.size(F.col(vec_col))
+    seed = emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("code"), F.col(vec_col).alias("v"), dim.alias("d"))
+    subs = seed.select(
+        "code", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "v", "d")
+    cb = subs.select(
+        "sub", "code",
+        F.expr(f"slice(v, sub * (d div {m}) + 1, d div {m})").alias("cv"))
+    for _ in range(iters):
+        enc = pq_encode(emb, cb, m=m, vec_col=vec_col, id_col=id_col)
+        sv = (enc.join(emb.select(id_col, vec_col), id_col)
+              .select("sub", "code",
+                      F.posexplode(F.expr(
+                          f"slice({vec_col}, sub * (size({vec_col}) div {m}) + 1,"
+                          f" size({vec_col}) div {m})")).alias("pos", "val")))
+        cb = (sv.groupBy("sub", "code", "pos")
+              .agg(F.avg(F.col("val").cast("double")).alias("mv"))
+              .groupBy("sub", "code")
+              .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
+              .select("sub", "code",
+                      F.transform(F.col("pm"), lambda s: s["mv"].cast("float")).alias("cv")))
+    return cb
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 8,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Assign each vector's m subvectors to their nearest codebook entry.
+
+    The codebook (m*k rows) broadcasts; the corpus side explodes to
+    (id, sub, subvector) — m narrow rows per vector, NOT k*m — and min_by
+    picks the code after a broadcast join.  The only shuffle is the
+    (id, sub)-keyed partial-aggregated min_by; vectors themselves never
+    reshuffle.  Returns (id, sub, code).
+    """
+    sv = emb.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col).alias("v"))
+    sv = sv.select(
+        id_col, "sub",
+        F.expr(f"slice(v, sub * (size(v) div {m}) + 1, size(v) div {m})").alias("sv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"),
+                   lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0), lambda a, x: a + x)
+    return (sv.join(F.broadcast(codebooks), "sub")
+            .select(id_col, "sub", "code", d2.alias("__d2"))
+            .groupBy(id_col, "sub")
+            .agg(F.min(F.struct("__d2", "code"))["code"].alias("code")))
+
+
+def pq_search(codes: DataFrame, codebooks: DataFrame, query_vec, k: int = 10,
+              m: int = 8, id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query is split
+    into the same m subvectors, a (sub, code) -> partial-d2 lookup table is
+    computed from the broadcast codebook (m*k tiny rows), and each vector's
+    approximate distance is the sum of m table lookups — no float vectors
+    are read at query time at all.
+
+    Returns (id, adc_d2) ascending.  Production composes this under an IVF
+    coarse probe (ivf_search) so only nprobe buckets' codes are scanned.
+    """
+    qsub = [[float(x) for x in query_vec[s * (len(query_vec) // m):
+                                         (s + 1) * (len(query_vec) // m)]]
+            for s in range(m)]
+    qlit = F.element_at(
+        F.array(*[F.array(*[F.lit(x) for x in sv]) for sv in qsub]),
+        F.col("sub") + 1)
+    lut = codebooks.select(
+        "sub", "code",
+        F.aggregate(F.zip_with(F.col("cv"), qlit,
+                               lambda x, y: (x.cast("double") - y) ** 2),
+                    F.lit(0.0), lambda a, x: a + x).alias("pd2"))
+    return (codes.join(F.broadcast(lut), ["sub", "code"])
+            .groupBy(id_col)
+            .agg(F.sum("pd2").alias("adc_d2"))
+            .orderBy(F.col("adc_d2").asc(), F.col(id_col))
+            .limit(k))

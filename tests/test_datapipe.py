@@ -630,3 +630,50 @@ def test_classifier_score_shape_and_bounds(docs):
         assert r.keep == (r.margin >= 0)
     assert out[0].clf_score == out[1].clf_score   # identical text, same score
     assert out[0].clf_score != out[3].clf_score   # different text differs
+
+
+def _toy_emb(spark, n=40, dim=16, seed=7):
+    import random
+    rnd = random.Random(seed)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    # vec 1 = tiny perturbation of vec 0: its ADC distance to q=vec0 must win
+    rows[1] = (1, [x + 0.01 for x in rows[0][1]])
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_pq_encode_codes_shape(spark):
+    emb = _toy_emb(spark)
+    cb = similarity.pq_train(emb, m=4, k=8, iters=0)
+    assert cb.count() == 32                      # 4 subspaces x 8 codes
+    codes = similarity.pq_encode(emb, cb, m=4)
+    assert codes.count() == 160                  # one code per (vector, sub)
+    assert codes.filter((F.col("code") < 0) | (F.col("code") > 7)).count() == 0
+    # a seed vector encodes to itself in every subspace (distance 0)
+    own = codes.filter(F.col("vec_id") == 3).select("code").collect()
+    assert all(r.code == 3 for r in own)
+
+
+def test_pq_train_lloyd_improves_quantization(spark):
+    emb = _toy_emb(spark)
+    def sse(cb):
+        codes = similarity.pq_encode(emb, cb, m=4)
+        sub = emb.select("vec_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("sub"),
+                         F.col("embedding").alias("v")) \
+                 .select("vec_id", "sub", F.expr("slice(v, sub * 4 + 1, 4)").alias("sv"))
+        j = codes.join(sub, ["vec_id", "sub"]).join(cb, ["sub", "code"])
+        d2 = F.aggregate(F.zip_with("sv", "cv", lambda x, y: (x - y) ** 2),
+                         F.lit(0.0), lambda a, x: a + x)
+        return j.agg(F.sum(d2)).first()[0]
+    cb0 = similarity.pq_train(emb, m=4, k=8, iters=0)
+    cb2 = similarity.pq_train(emb, m=4, k=8, iters=2)
+    assert sse(cb2) <= sse(cb0) + 1e-9           # Lloyd rounds never regress SSE
+
+
+def test_pq_search_ranks_planted_neighbor_first(spark):
+    emb = _toy_emb(spark)
+    cb = similarity.pq_train(emb, m=4, k=8, iters=1)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    codes = similarity.pq_encode(emb.filter(F.col("vec_id") != 0), cb, m=4)
+    top = similarity.pq_search(codes, cb, q, k=5, m=4).collect()
+    assert top[0].vec_id == 1                    # the planted near-dup wins
+    assert top[0].adc_d2 <= top[-1].adc_d2
