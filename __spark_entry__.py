@@ -2639,6 +2639,19 @@ def _q_similarity_pq(spark, sf_dir):
             .select("vec_id", F.round("adc_d2", 6).alias("adc_d2")))
 
 
+def _q_text_normalize(spark, sf_dir):
+    """Corpus text normalization (datapipe.text.normalize_text): NFC via an
+    Arrow-batched mapInPandas unicodedata kernel + JVM control-strip and
+    whitespace collapse.  Combining sequences (e+U+0301, n+U+0303), a BEL
+    control and doubled spaces are woven around each doc so every rule has
+    real work; DuckDB's nfc_normalize replays the kernel exactly."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("Café  \x07"), F.col("text"),
+                   F.lit("  straño"))
+    return (text.normalize_text(docs.withColumn("raw", raw), "raw")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
@@ -2650,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotates behind for round 8.
         "semdedup": _q_semdedup,
         "similarity_pq": _q_similarity_pq,
+        "text_normalize": _q_text_normalize,
         "mixture_plan": _q_mixture_plan,
         "data_mixture": _q_data_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -5288,6 +5302,17 @@ def oracle_sql() -> dict[str, str]:
                    FROM enc JOIN lut USING (sub, code) GROUP BY enc.vec_id)
             SELECT vec_id, round(adc, 6) AS adc_d2
             FROM sc ORDER BY adc, vec_id LIMIT 20
+        """,
+        # normalize_text: control strip -> space collapse -> trim -> NFC,
+        # with the same synthetic combining/control weave as the Spark side.
+        "text_normalize": """
+            SELECT doc_id,
+                   nfc_normalize(trim(regexp_replace(regexp_replace(
+                       'Cafe' || chr(769) || '  ' || chr(7) || text
+                           || '  stran' || chr(771) || 'o',
+                       '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+                       ' {2,}', ' ', 'g'))) AS norm_text
+            FROM documents ORDER BY doc_id
         """,
         # fastText-architecture scorer: hashed unigram+bigram features,
         # md5-derived pseudo-weights in [-1,1), mean-pooled margin, sigmoid.

@@ -369,3 +369,28 @@ def pq_search(codes: DataFrame, codebooks: DataFrame, query_vec, k: int = 10,
             .agg(F.sum("pd2").alias("adc_d2"))
             .orderBy(F.col("adc_d2").asc(), F.col(id_col))
             .limit(k))
+
+
+def ivfpq_search(assigned: DataFrame, codes: DataFrame, centroids: DataFrame,
+                 codebooks: DataFrame, query_vec, k: int = 10, nprobe: int = 4,
+                 m: int = 8, id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ composition — the billion-scale ANN query path: the IVF
+    coarse index prunes the scan to ``nprobe`` buckets, then ADC scores
+    only those buckets' PQ codes.  Both index sides are tiny broadcasts;
+    the corpus-side work is a semi-join on the bucket id plus m lookup
+    additions per surviving vector — no float vector is touched.
+
+    With ``nprobe >= n_centroids`` this degrades to exact ADC over all
+    codes (= ``pq_search``), which is the property the tests pin.
+    """
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = (
+        centroids.select(
+            "cid",
+            F.aggregate(F.zip_with(F.col("cv"), qlit,
+                                   lambda x, y: (x.cast("double") - y) ** 2),
+                        F.lit(0.0), lambda a, x: a + x).alias("d2"))
+        .orderBy("d2").limit(nprobe))
+    cand = assigned.join(F.broadcast(probe.select("cid")), "cid").select(id_col)
+    return pq_search(codes.join(cand, id_col, "left_semi"), codebooks,
+                     query_vec, k=k, m=m, id_col=id_col)

@@ -556,3 +556,35 @@ def classifier_score(docs: DataFrame, text_col: str = "text",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s)), 6).alias("clf_score"),
         (s >= F.lit(0.0)).alias("keep"),
     )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", out: str = "norm_text",
+                   nfc: bool = True) -> DataFrame:
+    """Corpus text normalization — the first stage of every training
+    pipeline: Unicode NFC composition, control-character strip (keeping
+    \\n and \\t), and horizontal-whitespace collapse with edge trim.
+
+    NFC runs in an Arrow-batched ``mapInPandas`` kernel (Python
+    ``unicodedata`` — composition tables aren't expressible as Spark
+    built-ins); it is pure per-row, so the stage pipelines into the scan
+    with zero shuffle and scales linearly.  The regex cleanup stays
+    JVM-side.  DuckDB's ``nfc_normalize`` reproduces the kernel exactly,
+    which keeps the whole operator oracle-certifiable.
+    """
+    cleaned = F.trim(F.regexp_replace(F.regexp_replace(
+        F.col(text_col),
+        "[\\x00-\\x08\\x0b-\\x1f\\x7f]", ""), " {2,}", " "))
+    staged = docs.select(F.col(id_col), cleaned.alias(out))
+    if not nfc:
+        return staged
+    schema = f"{id_col} long, {out} string"
+
+    def _nfc(batches):
+        import unicodedata
+        for pdf in batches:
+            pdf[out] = pdf[out].map(
+                lambda s: unicodedata.normalize("NFC", s) if s is not None else None)
+            yield pdf
+
+    return staged.mapInPandas(_nfc, schema=schema)

@@ -677,3 +677,31 @@ def test_pq_search_ranks_planted_neighbor_first(spark):
     top = similarity.pq_search(codes, cb, q, k=5, m=4).collect()
     assert top[0].vec_id == 1                    # the planted near-dup wins
     assert top[0].adc_d2 <= top[-1].adc_d2
+
+
+def test_ivfpq_allprobe_equals_pq(spark):
+    emb = _toy_emb(spark).withColumn("label", F.lit(0))
+    cents, assigned = similarity.ivf_index(emb, n_centroids=4, iters=1)
+    cb = similarity.pq_train(emb, m=4, k=8, iters=1)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    codes = similarity.pq_encode(emb.filter(F.col("vec_id") != 0), cb, m=4)
+    exact = [(r.vec_id, round(r.adc_d2, 9)) for r in
+             similarity.pq_search(codes, cb, q, k=8, m=4).collect()]
+    probed = [(r.vec_id, round(r.adc_d2, 9)) for r in
+              similarity.ivfpq_search(assigned, codes, cents, cb, q,
+                                      k=8, nprobe=4, m=4).collect()]
+    assert probed == exact                      # all-probe degrades to exact ADC
+    top1 = similarity.ivfpq_search(assigned, codes, cents, cb, q,
+                                   k=1, nprobe=1, m=4).collect()
+    assert top1 and top1[0].vec_id in {v for v, _ in exact[:4]}
+
+
+def test_normalize_text_rules(spark):
+    docs2 = spark.createDataFrame(
+        [(0, "Café   du\x07o\ttab  keep\nline"),
+         (1, None)],
+        ["doc_id", "text"])
+    out = {r.doc_id: r.norm_text for r in
+           text.normalize_text(docs2).collect()}
+    assert out[0] == "Café duo\ttab keep\nline"  # NFC'd, controls gone,
+    assert out[1] is None                             # spaces collapsed; null rides
