@@ -253,3 +253,43 @@ def test_contamination_benchmark_broadcasts(spark, sf_dir):
     plan = plan_of(e.queries()["contamination"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "LeftSemi" in plan
+
+
+def test_semdedup_assignment_broadcasts_and_pairs_shuffle_on_cid(spark, sf_dir):
+    """SemDeDup scale contract: centroid assignment must be a BROADCAST
+    argmin (the corpus never exchanges to get its cluster id); the only
+    corpus exchange feeding the pair join is keyed on cid."""
+    from neo_server_spark.datapipe import dedup
+
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    plan = plan_of(dedup.semdedup(emb, cents, threshold=0.4))
+    assert "BroadcastExchange" in plan          # centroids + dup-side joins
+    assert "CartesianProduct" not in plan       # never an unkeyed pair sweep
+
+
+def test_pq_encode_codebook_broadcasts(spark, sf_dir):
+    """PQ encode: the m*k codebook joins as a broadcast; the corpus side
+    must not sort-merge against it."""
+    from neo_server_spark.datapipe import similarity
+
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(emb, m=8, k=16, iters=0)
+    plan = plan_of(similarity.pq_encode(emb, cb))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_classifier_and_mixture_stay_scan_side(spark, sf_dir):
+    """The classifier score and the mixture keep/drop decision are pure
+    per-row expressions: no Exchange may appear before the (optional)
+    ordering, and no Python UDF (BatchEvalPython) anywhere."""
+    from neo_server_spark.datapipe import sampling, text
+
+    docs = nio.load_table(spark, sf_dir, "documents")
+    p1 = plan_of(text.classifier_score(docs))
+    assert "Exchange" not in p1 and "BatchEvalPython" not in p1
+    p2 = plan_of(sampling.mixture_sample(docs, {"src0": 1.0}, 1000.0, by="source"))
+    # the plan table is collected up front; the sample itself is scan-side
+    assert "Exchange" not in p2 and "BatchEvalPython" not in p2
