@@ -69,6 +69,11 @@ BENCH_QUERIES = [
     "lm_buckets",
     "pack_sequences",
     "pipeline_v2",
+    "semdedup",
+    "similarity_pq",
+    "data_mixture",
+    "quality_classifier",
+    "text_normalize",
 ]
 
 
@@ -112,7 +117,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     r7_added = {"substring_spans", "lm_buckets", "pack_sequences",
-                "pipeline_v2"}
+                "pipeline_v2", "semdedup", "similarity_pq", "data_mixture",
+                "quality_classifier", "text_normalize"}
     stable44 = round(sum(v for k, v in timings.items()
                          if k not in r7_added), 3)
     print(json.dumps({

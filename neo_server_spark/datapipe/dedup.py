@@ -548,18 +548,23 @@ def semdedup(emb: DataFrame, centroids: DataFrame, threshold: float = 0.92,
 
     Returns (id, cid, keep, max_dup_cos) — keep=false rows are the prune set.
     """
-    from neo_server_spark.datapipe.similarity import _assign, cosine_expr
+    from neo_server_spark.datapipe.similarity import _assign, dot_expr, norm_expr
 
     assigned = _assign(emb, centroids, vec_col, id_col)
+    # norms are computed once per ROW before the pair join (1 fold per pair
+    # instead of 3 — same expression order as cosine_expr, so bit-identical)
     a = assigned.select(F.col("cid"), F.col(id_col).alias("__ida"),
-                        F.col(vec_col).alias("__va"))
+                        F.col(vec_col).alias("__va"),
+                        norm_expr(F.col(vec_col)).alias("__na"))
     b = assigned.select(F.col("cid"), F.col(id_col).alias("__idb"),
-                        F.col(vec_col).alias("__vb"))
+                        F.col(vec_col).alias("__vb"),
+                        norm_expr(F.col(vec_col)).alias("__nb"))
     dup = (
         a.join(b, "cid")
         .filter(F.col("__ida") > F.col("__idb"))
         .select("__ida",
-                cosine_expr(F.col("__va"), F.col("__vb")).alias("__cos"))
+                (dot_expr(F.col("__va"), F.col("__vb"))
+                 / (F.col("__na") * F.col("__nb"))).alias("__cos"))
         .filter(F.col("__cos") >= F.lit(threshold))
         .groupBy("__ida").agg(F.max("__cos").alias("__maxcos"))
         .withColumnRenamed("__ida", id_col)
