@@ -394,3 +394,64 @@ def ivfpq_search(assigned: DataFrame, codes: DataFrame, centroids: DataFrame,
     cand = assigned.join(F.broadcast(probe.select("cid")), "cid").select(id_col)
     return pq_search(codes.join(cand, id_col, "left_semi"), codebooks,
                      query_vec, k=k, m=m, id_col=id_col)
+
+
+def ivfpq_index(emb: DataFrame, n_centroids: int = 8, m: int = 8, k: int = 16,
+                coarse_iters: int = 2, pq_iters: int = 1,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                seed: int = 42):
+    """Full residual IVF-PQ index (Jégou et al. 2011 §III): the PQ codebooks
+    quantize the RESIDUAL ``v - centroid(v)``, not the raw vector — residual
+    energy is much lower, so the same m*k codes carry far more precision.
+
+    Returns (centroids, assigned, codebooks, codes) where ``codes`` carries
+    the bucket id alongside each (id, sub, code) row, because ADC tables are
+    per-bucket at query time.  All shuffles are the narrow ones of the
+    underlying ``ivf_index``/``pq_train`` building blocks.
+    """
+    centroids, assigned = ivf_index(emb, n_centroids=n_centroids,
+                                    iters=coarse_iters, vec_col=vec_col,
+                                    id_col=id_col, seed=seed)
+    resid = (assigned.join(F.broadcast(centroids), "cid")
+             .select(id_col, "cid",
+                     F.zip_with(F.col(vec_col), F.col("cv"),
+                                lambda x, y: (x.cast("double") - y.cast("double"))
+                                .cast("float")).alias(vec_col)))
+    cb = pq_train(resid, m=m, k=k, iters=pq_iters,
+                  vec_col=vec_col, id_col=id_col)
+    codes = (pq_encode(resid, cb, m=m, vec_col=vec_col, id_col=id_col)
+             .join(resid.select(id_col, "cid"), id_col))
+    return centroids, assigned, cb, codes
+
+
+def ivfpq_search_residual(centroids: DataFrame, codes: DataFrame,
+                          codebooks: DataFrame, query_vec, k: int = 10,
+                          nprobe: int = 4, m: int = 8,
+                          id_col: str = "vec_id") -> DataFrame:
+    """Residual-ADC query: for each probed bucket the lookup table is built
+    from the QUERY RESIDUAL ``q - centroid`` (nprobe * m * k tiny rows, all
+    broadcast); each candidate's distance is m additions.  Only the probed
+    buckets' codes are scanned — the float corpus is never touched.
+    """
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    d = len(query_vec) // m
+    probe = (centroids.select(
+        "cid", "cv",
+        F.aggregate(F.zip_with(F.col("cv"), qlit,
+                               lambda x, y: (x.cast("double") - y) ** 2),
+                    F.lit(0.0), lambda a, x: a + x).alias("__d2"))
+        .orderBy("__d2").limit(nprobe)
+        .select("cid", F.zip_with(qlit, F.col("cv"),
+                                  lambda x, y: x - y.cast("double")).alias("qr")))
+    lut = (codebooks.crossJoin(F.broadcast(probe))
+           .select("cid", "sub", "code",
+                   F.aggregate(
+                       F.zip_with(F.col("cv"),
+                                  F.expr(f"slice(qr, sub * {d} + 1, {d})"),
+                                  lambda x, y: (x.cast("double") - y) ** 2),
+                       F.lit(0.0), lambda a, x: a + x).alias("pd2")))
+    return (codes.join(F.broadcast(lut), ["cid", "sub", "code"])
+            .groupBy(id_col)
+            .agg(F.sum("pd2").alias("adc_d2"))
+            .orderBy(F.col("adc_d2").asc(), F.col(id_col))
+            .limit(k))

@@ -705,3 +705,18 @@ def test_normalize_text_rules(spark):
            text.normalize_text(docs2).collect()}
     assert out[0] == "Café duo\ttab keep\nline"  # NFC'd, controls gone,
     assert out[1] is None                             # spaces collapsed; null rides
+
+
+def test_residual_ivfpq_recall(spark):
+    emb = _toy_emb(spark, n=60).withColumn("label", F.lit(0))
+    cents, assigned, cb, codes = similarity.ivfpq_index(
+        emb, n_centroids=4, m=4, k=8, coarse_iters=1, pq_iters=1)
+    assert {c for (c,) in codes.select("cid").distinct().collect()} \
+        <= {c for (c,) in cents.select("cid").collect()}
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    own = codes.filter(F.col("vec_id") != 0)
+    top = similarity.ivfpq_search_residual(cents, own, cb, q, k=3,
+                                           nprobe=4, m=4).collect()
+    assert top[0].vec_id == 1                   # planted near-dup wins
+    # residual ADC of the near-dup must be tiny vs the field
+    assert top[0].adc_d2 < top[-1].adc_d2
