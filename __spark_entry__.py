@@ -2652,6 +2652,16 @@ def _q_text_normalize(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_shard_export(spark, sf_dir):
+    """Token-budgeted shard assignment (datapipe.text.shard_plan): the
+    distributed-prefix-sum layout that write_shards materializes as
+    partitioned parquet.  The oracle recomputes the running offset with a
+    single SQL window — equal because the partitioned prefix sum is exact,
+    not approximate."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return text.shard_plan(docs, shard_tokens=5000).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
@@ -2664,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "similarity_pq": _q_similarity_pq,
         "text_normalize": _q_text_normalize,
+        "shard_export": _q_shard_export,
         "mixture_plan": _q_mixture_plan,
         "data_mixture": _q_data_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -5302,6 +5313,17 @@ def oracle_sql() -> dict[str, str]:
                    FROM enc JOIN lut USING (sub, code) GROUP BY enc.vec_id)
             SELECT vec_id, round(adc, 6) AS adc_d2
             FROM sc ORDER BY adc, vec_id LIMIT 20
+        """,
+        # shard_plan: shard = floor(running start offset / budget) over the
+        # doc_id-ordered token stream.
+        "shard_export": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(floor(coalesce(sum(len(string_split(text, ' ')))
+                         OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) / 5000) AS BIGINT) AS shard_id
+            FROM documents ORDER BY doc_id
         """,
         # normalize_text: control strip -> space collapse -> trim -> NFC,
         # with the same synthetic combining/control weave as the Spark side.

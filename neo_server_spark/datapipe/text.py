@@ -371,23 +371,14 @@ def lm_bucket_profile(docs: DataFrame, n_buckets: int = 3,
             .orderBy("bucket"))
 
 
-def pack_sequences(docs: DataFrame, window: int = 512,
-                   text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
-    """Concatenate-and-chunk sequence packing plan: documents are laid out
-    in ``id_col`` order into one token stream and cut into fixed
-    ``window``-token training sequences (the standard LM pretraining
-    packing).  Returns one row per (doc, chunk) assignment with the
-    token range the document occupies inside the chunk — the shuffle-free
-    plan a writer job can execute partition-parallel.
+def _token_offsets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __nt, __off) rows: each document's token count and its running
+    start offset in the ``id_col``-ordered concatenated token stream.
 
-    The running offset is a distributed prefix sum: (id, n_tokens) rows
-    range-partition on id, each partition cumulates locally under a
-    PARTITIONED window, and the per-partition totals (one tiny row each)
-    come back to the driver to form the broadcast partition-prefix table
-    — no single-partition global window, so the layout scales to any
-    corpus.  Text never enters the plan.  A document spanning a chunk
-    boundary appears once per chunk it crosses.
+    Distributed prefix sum: range-partition on id, cumulate locally under a
+    PARTITIONED window, and broadcast the per-partition totals back as a
+    tiny map — no single-partition global window, so the layout scales to
+    any corpus.  Text never enters the plan.
     """
     from pyspark.sql.window import Window
     sized = (docs.select(F.col(id_col),
@@ -409,8 +400,29 @@ def pack_sequences(docs: DataFrame, window: int = 512,
         F.col("__pid")) if prefix else F.lit(0)
     w = (Window.partitionBy("__pid").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
-    laid = sized.withColumn(
+    return sized.withColumn(
         "__off", pref_col + F.coalesce(F.sum("__nt").over(w), F.lit(0)))
+
+
+def pack_sequences(docs: DataFrame, window: int = 512,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Concatenate-and-chunk sequence packing plan: documents are laid out
+    in ``id_col`` order into one token stream and cut into fixed
+    ``window``-token training sequences (the standard LM pretraining
+    packing).  Returns one row per (doc, chunk) assignment with the
+    token range the document occupies inside the chunk — the shuffle-free
+    plan a writer job can execute partition-parallel.
+
+    The running offset is a distributed prefix sum: (id, n_tokens) rows
+    range-partition on id, each partition cumulates locally under a
+    PARTITIONED window, and the per-partition totals (one tiny row each)
+    come back to the driver to form the broadcast partition-prefix table
+    — no single-partition global window, so the layout scales to any
+    corpus.  Text never enters the plan.  A document spanning a chunk
+    boundary appears once per chunk it crosses.
+    """
+    laid = _token_offsets(docs, text_col, id_col)
     first = (F.col("__off") / window).cast("long")
     last = ((F.col("__off") + F.col("__nt") - 1) / window).cast("long")
     chunks = laid.select(
@@ -588,3 +600,40 @@ def normalize_text(docs: DataFrame, text_col: str = "text",
             yield pdf
 
     return staged.mapInPandas(_nfc, schema=schema)
+
+
+def shard_plan(docs: DataFrame, shard_tokens: int = 1_000_000,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token-budgeted shard assignment for training-corpus export: documents
+    in ``id_col`` order fill shards of ~``shard_tokens`` tokens; a document
+    belongs to the single shard its FIRST token lands in, so shards are
+    contiguous in id, within one document of the budget, and a writer can
+    materialize each shard independently.
+
+    Same distributed prefix sum as ``pack_sequences`` — no global window,
+    text never shuffles.  Returns (id, n_tokens, shard_id).
+    """
+    laid = _token_offsets(docs, text_col, id_col)
+    return laid.select(
+        F.col(id_col),
+        F.col("__nt").cast("long").alias("n_tokens"),
+        (F.col("__off") / shard_tokens).cast("long").alias("shard_id"))
+
+
+def write_shards(docs: DataFrame, path: str, shard_tokens: int = 1_000_000,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 mode: str = "error") -> DataFrame:
+    """Materialize the :func:`shard_plan`: parquet partitioned by
+    ``shard_id``, one output task per shard (``repartition`` on the shard
+    key co-locates a shard's docs so each directory is written by one
+    task stream).  Returns the per-shard manifest (shard_id, n_docs,
+    n_tokens) the export job logs/validates against.
+    """
+    plan = shard_plan(docs, shard_tokens, text_col=text_col, id_col=id_col)
+    out = docs.join(plan, id_col)
+    (out.repartition(F.col("shard_id"))
+        .write.mode(mode).partitionBy("shard_id").parquet(path))
+    return (plan.groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"))
+            .orderBy("shard_id"))

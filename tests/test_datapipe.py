@@ -720,3 +720,37 @@ def test_residual_ivfpq_recall(spark):
     assert top[0].vec_id == 1                   # planted near-dup wins
     # residual ADC of the near-dup must be tiny vs the field
     assert top[0].adc_d2 < top[-1].adc_d2
+
+
+def test_shard_plan_contiguous_and_budgeted(spark):
+    docs2 = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i % 5))) for i in range(40)],
+        ["doc_id", "text"])
+    plan = text.shard_plan(docs2, shard_tokens=100).collect()
+    by_id = sorted(plan, key=lambda r: r.doc_id)
+    # shard ids are non-decreasing in doc order and start at 0
+    sids = [r.shard_id for r in by_id]
+    assert sids[0] == 0 and all(a <= b for a, b in zip(sids, sids[1:]))
+    # every shard holds >= budget tokens once the next shard starts
+    tot = {}
+    for r in by_id:
+        tot[r.shard_id] = tot.get(r.shard_id, 0) + r.n_tokens
+    for s in sorted(tot)[:-1]:
+        assert tot[s] >= 100 - 14       # within one document of the budget
+        assert tot[s] <= 100 + 14
+
+
+def test_write_shards_layout(spark, tmp_path):
+    import os
+    docs2 = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(30)],
+        ["doc_id", "text"])
+    path = str(tmp_path / "shards")
+    manifest = {r.shard_id: r for r in
+                text.write_shards(docs2, path, shard_tokens=100).collect()}
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard_id="))
+    assert len(dirs) == len(manifest) == 3          # 300 tokens / 100
+    back = spark.read.parquet(path)
+    assert back.count() == 30
+    assert back.select("doc_id").distinct().count() == 30
+    assert all(m.n_docs == 10 and m.n_tokens == 100 for m in manifest.values())
