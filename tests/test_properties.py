@@ -248,3 +248,21 @@ def test_bpe_encode_conserves_characters(spark, words):
     merges = dtext.bpe_train(docs, n_merges=3)
     out = dtext.bpe_encode(docs, merges).first()
     assert "".join(out.bpe_tokens) == "".join(words)
+
+
+@given(st.integers(min_value=1, max_value=999_999))
+@settings(max_examples=60, deadline=None)
+def test_sample_threshold_cross_engine_parity(micro):
+    """The mixture/sampling keep-decision literal must be bit-identical to
+    what the DuckDB oracle computes: python int(frac*16^8)-1 hex-formatted
+    == duckdb printf('%08x', cast(floor(frac*2^32) as bigint)-1) for every
+    round-6 fraction (the only fractions the operators ever threshold)."""
+    import duckdb
+
+    from neo_server_spark.datapipe.sampling import sample_threshold
+    frac = micro / 1_000_000.0
+    py = sample_threshold(frac)
+    db = duckdb.sql(
+        "SELECT printf('%08x', CAST(floor(CAST(? AS DOUBLE) * 4294967296.0)"
+        " AS BIGINT) - 1)", params=[frac]).fetchone()[0]
+    assert py == db
