@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from neo_server_spark import io as nio
 from neo_server_spark.operators import joins, maps, series, stats
 from neo_server_spark.operators.group import agg, entropy_of, group, mode_det, timewindow
-from neo_server_spark.datapipe import dedup, sampling, similarity, text
+from neo_server_spark.datapipe import curate, dedup, sampling, similarity, text
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -2662,6 +2662,86 @@ def _q_shard_export(spark, sf_dir):
     return text.shard_plan(docs, shard_tokens=5000).orderBy("doc_id")
 
 
+# --- round 8: corpus-curation operators (datapipe/curate.py) ---
+
+#: deterministic synthetic "lines" for the C4/line-dedup entries — the
+#: documents table is single-line word soup, so lines are derived as 8-token
+#: chunks with arithmetic-determined terminal punctuation and rule-trigger
+#: tokens; the SAME expression is mirrored in the oracle.
+_LINED_EXPR = (
+    "array_join(transform(sequence(0, int(ceil(size(__tk) / 8.0)) - 1), j -> "
+    "concat(array_join(slice(__tk, j * 8 + 1, 8), ' '), "
+    " case when (doc_id + j) % 3 = 1 then '.' "
+    "      when (doc_id + j) % 3 = 2 then '?' else '' end, "
+    " case when j % 7 = 3 then ' javascript.' else '' end)), '|')")
+
+
+def _lined_docs(spark, sf_dir):
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("__tk"),
+    ).select("doc_id", F.expr(_LINED_EXPR).alias("text"))
+
+
+def _q_c4_filters(spark, sf_dir):
+    """C4 heuristic cleaning rules (Raffel et al. 2020 §2.2;
+    datapipe/curate.py c4_line_stats): per-document line survival under the
+    terminal-punctuation / >=5-words / javascript line rules plus the
+    page-level lorem-ipsum / curly-brace / too-few-lines removals.
+    Scan-side array expressions, zero shuffle."""
+    return curate.c4_line_stats(_lined_docs(spark, sf_dir), sep="|") \
+        .orderBy("doc_id")
+
+
+def _q_line_dedup(spark, sf_dir):
+    """Corpus-global duplicate-line removal, first occurrence wins (C4's
+    span dedup at line granularity; curate.dedup_lines).  Only (md5, doc,
+    pos) shuffles — the text never does; keeper election is a groupBy(min)
+    on the line digest."""
+    return curate.dedup_lines(_lined_docs(spark, sf_dir), sep="|") \
+        .orderBy("doc_id")
+
+
+def _q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023; curate.dsir_select):
+    hashed-unigram bucket distributions for corpus vs target (lang='en'),
+    per-doc log importance weight, top-25% selection.  Token stream
+    collapses map-side to O(buckets); the ratio table broadcasts.
+    md5 bucket mode makes every weight SQL-reproducible."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return curate.dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), 0.25,
+        n_buckets=64, hash_fn="md5").orderBy("doc_id")
+
+
+def _q_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD 2003, the MOSS
+    scheme; curate.winnow_profile): per-document selected-fingerprint
+    profile at k=5, w=4.  The windowed rightmost-min argmin is pure
+    per-row array arithmetic on a packed hash+position key — no shuffle,
+    no UDF."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return curate.winnow_profile(docs, k=5, w=4).orderBy("doc_id")
+
+
+def _q_winnow_overlap(spark, sf_dir):
+    """MOSS overlap report (curate.winnow_overlap): document pairs sharing
+    >=2 distinct winnowing fingerprints; the join is keyed on the 28-bit
+    fingerprint value after a hot-key fence."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return curate.winnow_overlap(docs, k=5, w=4, min_shared=2) \
+        .orderBy("id_a", "id_b")
+
+
+def _q_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (curate.tfidf_top_terms, the
+    scikit-learn smoothed-idf convention): map-side-combined term
+    frequencies, O(vocab) document-frequency join, per-doc window top-k."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return curate.tfidf_top_terms(docs, top_k=3).orderBy("doc_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
@@ -2671,6 +2751,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # substring dedup, pipeline_v2, LSH ANN), then the longest-unchecked
         # greens (all r3-last, plus three r4-last to fill).  Everything else
         # rotates behind for round 8.
+        # Round-8 window head: the 6 new curation operators, then the 28
+        # entries never yet driver-checked (added round 7), then the
+        # longest-unchecked greens fill the remaining slots.
+        "c4_filters": _q_c4_filters,
+        "line_dedup": _q_line_dedup,
+        "dsir_sample": _q_dsir_sample,
+        "winnow_fp": _q_winnow_fp,
+        "winnow_overlap": _q_winnow_overlap,
+        "tfidf_terms": _q_tfidf_terms,
         "semdedup": _q_semdedup,
         "similarity_pq": _q_similarity_pq,
         "text_normalize": _q_text_normalize,
@@ -2827,9 +2916,209 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_LINED_DUCK = """
+    SELECT doc_id, array_to_string(list_transform(
+        generate_series(0, CAST(ceil(len(l) / 8.0) AS INT) - 1), j ->
+        array_to_string(l[j*8+1:j*8+8], ' ')
+        || CASE WHEN (doc_id + j) % 3 = 1 THEN '.'
+                WHEN (doc_id + j) % 3 = 2 THEN '?' ELSE '' END
+        || CASE WHEN j % 7 = 3 THEN ' javascript.' ELSE '' END), '|') AS text
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                 t -> trim(t) <> '') AS l FROM documents)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     f, u, p = TW_FROM, TW_UNTIL, TW_PERIOD
     return {
+        "c4_filters": f"""
+            WITH lined AS ({_LINED_DUCK}),
+            base AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, '|'),
+                                 l -> trim(l)), l -> l <> '') AS lines,
+                     list_filter(list_transform(string_split(text, '|'),
+                                 l -> trim(l)), l ->
+                         l <> ''
+                         AND (ends_with(l, '.') OR ends_with(l, '!')
+                              OR ends_with(l, '?') OR ends_with(l, '"')
+                              OR ends_with(l, ''''))
+                         AND len(list_filter(string_split(l, ' '),
+                                 w -> w <> '')) >= 5
+                         AND NOT contains(lower(l), 'javascript')) AS kept,
+                     lower(text) AS low
+              FROM lined
+            )
+            SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+                   (CASE WHEN contains(low, 'lorem ipsum') THEN 'lorem_ipsum'
+                         WHEN contains(low, '{{') THEN 'curly_brace'
+                         WHEN len(kept) < 3 THEN 'too_few_lines'
+                         ELSE '' END) <> '' AS doc_removed,
+                   CASE WHEN contains(low, 'lorem ipsum') THEN 'lorem_ipsum'
+                        WHEN contains(low, '{{') THEN 'curly_brace'
+                        WHEN len(kept) < 3 THEN 'too_few_lines'
+                        ELSE '' END AS reason
+            FROM base ORDER BY doc_id
+        """,
+        "line_dedup": f"""
+            WITH lined AS ({_LINED_DUCK}),
+            arrs AS (
+              SELECT doc_id, list_filter(list_transform(string_split(text, '|'),
+                     l -> trim(l)), l -> l <> '') AS a
+              FROM lined
+            ),
+            lines AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS pos, a[i] AS line
+              FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i
+                    FROM arrs)
+            ),
+            keep AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, pos) AS rn
+              FROM lines
+            )
+            SELECT doc_id, string_agg(line, '|' ORDER BY pos) AS text,
+                   count(*) AS n_kept
+            FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dsir_sample": """
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                     t -> t <> '')) AS tok FROM documents
+            ),
+            bt AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+              FROM tok
+            ),
+            raw_d AS (SELECT bucket, count(*) AS c_raw FROM bt GROUP BY bucket),
+            tgt AS (
+              SELECT ('0x' || substr(md5(u.tok), 1, 15))::BIGINT % 64 AS bucket
+              FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                           t -> t <> '')) AS tok
+                    FROM documents WHERE lang = 'en') u
+            ),
+            tgt_d AS (SELECT bucket, count(*) AS c_tgt FROM tgt GROUP BY bucket),
+            grid AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+            counts AS (
+              SELECT g.bucket, coalesce(c_raw, 0) AS c_raw,
+                     coalesce(c_tgt, 0) AS c_tgt
+              FROM grid g LEFT JOIN raw_d USING (bucket)
+                          LEFT JOIN tgt_d USING (bucket)
+            ),
+            lr AS (
+              SELECT bucket,
+                     ln((c_tgt + 1) * 1.0 /
+                        ((SELECT sum(c_tgt) FROM counts) + 64))
+                     - ln((c_raw + 1) * 1.0 /
+                          ((SELECT sum(c_raw) FROM counts) + 64)) AS log_ratio
+              FROM counts
+            ),
+            pb AS (SELECT doc_id, bucket, count(*) AS c FROM bt GROUP BY 1, 2),
+            w AS (
+              SELECT doc_id, round(sum(c * log_ratio), 6) AS log_w,
+                     CAST(sum(c) AS BIGINT) AS n_tokens
+              FROM pb JOIN lr USING (bucket) GROUP BY doc_id
+            )
+            SELECT doc_id, log_w, n_tokens,
+                   row_number() OVER (ORDER BY log_w DESC, doc_id)
+                     <= ceil(0.25 * (SELECT count(*) FROM w)) AS selected
+            FROM w ORDER BY doc_id
+        """,
+        "winnow_fp": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '),
+                     t -> trim(t) <> '') AS l
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, len(l) AS n,
+                     list_transform(generate_series(1, len(l) - 4), i ->
+                         ('0x' || substr(md5(array_to_string(l[i:i+4], ' ')),
+                          1, 7))::BIGINT * 2097152 + (2097152 - 1 - i)) AS keys
+              FROM toks WHERE len(l) >= 5
+            ),
+            wins AS (
+              SELECT doc_id, n,
+                     CASE WHEN len(keys) >= 4 THEN
+                       list_distinct(list_transform(
+                           generate_series(1, len(keys) - 3),
+                           s -> list_min(keys[s:s+3])))
+                     ELSE [list_min(keys)] END AS w
+              FROM g
+            ),
+            dec AS (
+              SELECT doc_id, n, unnest(w) // 2097152 AS fp FROM wins
+            ),
+            prof AS (
+              SELECT doc_id, any_value(n) - 4 AS n_grams, count(*) AS n_fps,
+                     count(DISTINCT fp) AS n_distinct, min(fp) AS min_fp
+              FROM dec GROUP BY doc_id
+            )
+            SELECT doc_id, n_grams, n_fps, n_distinct,
+                   round(n_fps * 1.0 / greatest(n_grams, 1), 6) AS density,
+                   min_fp
+            FROM prof ORDER BY doc_id
+        """,
+        "winnow_overlap": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '),
+                     t -> trim(t) <> '') AS l
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, len(l) - 4), i ->
+                         ('0x' || substr(md5(array_to_string(l[i:i+4], ' ')),
+                          1, 7))::BIGINT * 2097152 + (2097152 - 1 - i)) AS keys
+              FROM toks WHERE len(l) >= 5
+            ),
+            wins AS (
+              SELECT doc_id,
+                     CASE WHEN len(keys) >= 4 THEN
+                       list_distinct(list_transform(
+                           generate_series(1, len(keys) - 3),
+                           s -> list_min(keys[s:s+3])))
+                     ELSE [list_min(keys)] END AS w
+              FROM g
+            ),
+            fps AS (
+              SELECT DISTINCT doc_id, unnest(w) // 2097152 AS fp FROM wins
+            ),
+            cold AS (
+              SELECT doc_id, fp FROM fps
+              WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp
+                               HAVING count(*) > 1000)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS shared_fps
+            FROM cold a JOIN cold b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY id_a, id_b
+        """,
+        "tfidf_terms": """
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                     t -> t <> '')) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            s AS (
+              SELECT doc_id, term, tf, df,
+                     round(tf * (ln((n + 1) * 1.0 / (df + 1)) + 1), 6) AS tfidf
+              FROM tf JOIN df USING (term) CROSS JOIN n
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tfidf DESC, term) AS rank
+              FROM s
+            )
+            SELECT doc_id, rank, term, tf, tfidf FROM r WHERE rank <= 3
+            ORDER BY doc_id, rank
+        """,
         "tql_set_vars": """
             SELECT event_id, event_type, round(value * 2 + 1, 6) AS v2p
             FROM events

@@ -1,0 +1,398 @@
+"""Corpus-curation operators, round 8: C4 heuristic cleaning, corpus-global
+line deduplication, DSIR importance resampling, winnowing fingerprints
+(MOSS), and per-document TF-IDF keyword extraction.
+
+Like the rest of ``datapipe``, every hot-path expression is a built-in
+``pyspark.sql.functions`` call (JVM-side, whole-stage codegen).  Where a
+cross-engine-reproducible hash is needed for the DuckDB oracle, the same
+md5-prefix technique as ``dedup.minhash_signature`` is used (``hash_fn``
+parameter; ``xxhash64`` stays the production default).
+
+References: Raffel et al. 2020 (C4, JMLR 21/140) for the heuristic rules;
+Xie et al. 2023 (arXiv:2302.03169) for DSIR; Schleimer, Wilkerson & Aiken
+2003 (SIGMOD) for winnowing.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+__all__ = [
+    "c4_line_stats",
+    "c4_clean",
+    "dedup_lines",
+    "dsir_logratios",
+    "dsir_weights",
+    "dsir_select",
+    "winnow_fingerprints",
+    "winnow_profile",
+    "winnow_overlap",
+    "tfidf_top_terms",
+]
+
+
+def _sep_lit(s: str) -> str:
+    """A Spark-SQL string literal holding a regex that matches ``s``
+    LITERALLY (``F.split`` takes a Java regex, so '|' etc. must be quoted)."""
+    import re
+    quoted = re.escape(s)
+    return "'" + (quoted.replace("\\", "\\\\").replace("'", "\\'")
+                        .replace("\n", "\\n").replace("\t", "\\t")) + "'"
+
+
+def _lines(text_col: str, sep: str) -> Column:
+    """Non-empty trimmed lines of ``text_col`` as an array column."""
+    return F.expr(
+        f"filter(transform(split({text_col}, {_sep_lit(sep)}), l -> trim(l)),"
+        " l -> l != '')")
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic cleaning (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+_TERMINAL = (".", "!", "?", '"', "'")
+
+
+def _kept_lines(text_col: str, sep: str, min_words: int) -> Column:
+    """Lines that survive C4's line-level rules: terminal punctuation,
+    at least ``min_words`` words, and no mention of 'javascript'."""
+    term = ("endswith(l, '.') or endswith(l, '!') or endswith(l, '?')"
+            " or endswith(l, '\"') or endswith(l, '\\'')")
+    return F.expr(
+        f"filter(transform(split({text_col}, {_sep_lit(sep)}), l -> trim(l)), l ->"
+        f" l != '' and ({term})"
+        f" and size(filter(split(l, ' '), w -> w != '')) >= {min_words}"
+        f" and lower(l) not like '%javascript%')")
+
+
+def c4_line_stats(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", sep: str = "\n",
+                  min_words: int = 5, min_lines: int = 3) -> DataFrame:
+    """Per-document C4 cleaning profile: how many lines survive each of the
+    line-level rules, plus the document-level removal flags.
+
+    The C4 rules (Raffel et al. 2020 §2.2), applied verbatim:
+      * keep only lines ending in a terminal punctuation mark;
+      * keep only lines with >= ``min_words`` words (C4 uses 5);
+      * drop any line containing the word "javascript";
+      * remove the whole page if it contains "lorem ipsum" or "{", or if
+        fewer than ``min_lines`` lines survive (C4: 3 sentences).
+
+    100 TB shape: a single narrow projection — per-row array expressions,
+    no shuffle, no UDF; the filter is applied during the parquet scan.
+    """
+    lines = _lines(text_col, sep)
+    kept = _kept_lines(text_col, sep, min_words)
+    low = F.lower(F.col(text_col))
+    n_kept = F.size(kept)
+    reason = (
+        F.when(low.contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(low.contains("{"), F.lit("curly_brace"))
+        .when(n_kept < min_lines, F.lit("too_few_lines"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        (reason != "").alias("doc_removed"),
+        reason.alias("reason"),
+    )
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             sep: str = "\n", min_words: int = 5,
+             min_lines: int = 3) -> DataFrame:
+    """The cleaning pass itself: documents that survive the C4 page-level
+    rules, with their text rebuilt from only the surviving lines.
+
+    Same scan-side, shuffle-free shape as :func:`c4_line_stats`.
+    """
+    kept = _kept_lines(text_col, sep, min_words)
+    low = F.lower(F.col(text_col))
+    out = docs.withColumn("__kept", kept).filter(
+        ~low.contains("lorem ipsum") & ~low.contains("{")
+        & (F.size(F.col("__kept")) >= min_lines))
+    return out.select(
+        F.col(id_col),
+        F.array_join("__kept", sep).alias(text_col),
+        F.size("__kept").alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-global line deduplication (the C4 "three-sentence span" dedup,
+# at line granularity)
+# ---------------------------------------------------------------------------
+
+def dedup_lines(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Remove every duplicate line across the WHOLE corpus, keeping only its
+    first occurrence (lowest (doc, line-position)); documents are rebuilt
+    from their surviving lines in order.
+
+    C4 deduplicates three-sentence spans corpus-wide the same way (Raffel
+    et al. 2020 §2.2); line granularity is the common variant (CCNet's
+    per-shard first pass).
+
+    100 TB shape: the only data that shuffles is (digest, doc, pos) — the
+    16-byte md5 of each line, never the text.  Keeper election is a
+    groupBy(min) on the digest; survivors join back to the exploded lines
+    on (doc, pos), both sides hash-partitioned on the same key, and the
+    document is reassembled with one per-doc aggregation.  Three shuffles,
+    all on fixed-width keys.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(_lines(text_col, sep)).alias("pos", "line"),
+    )
+    keyed = lines.withColumn("__d", F.md5("line"))
+    keepers = (
+        keyed.groupBy("__d")
+        .agg(F.min(F.struct(id_col, "pos")).alias("k"))
+        .select("__d", F.col(f"k.{id_col}").alias(id_col),
+                F.col("k.pos").alias("pos"))
+    )
+    kept = keyed.join(keepers, ["__d", id_col, "pos"], "left_semi")
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                            lambda s: s["line"]), sep).alias(text_col),
+             F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _bucket(tok: Column, n_buckets: int, hash_fn: str) -> Column:
+    """Hashed-unigram feature bucket, cross-engine reproducible in md5 mode
+    (same construction as dedup.minhash_signature's one-hash family)."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(tok), F.lit(n_buckets))
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return F.pmod(F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+                  F.lit(n_buckets))
+
+
+def dsir_logratios(raw: DataFrame, target: DataFrame, text_col: str = "text",
+                   n_buckets: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """The DSIR importance model: hashed-unigram bucket distributions for
+    the raw corpus and the target domain, Laplace-smoothed, as an O(buckets)
+    frame of per-bucket log ratios ln(p_target / p_raw).
+
+    Both distributions are one map-side-combined aggregation each — the
+    token stream collapses to ``n_buckets`` rows before any shuffle.
+    """
+    def dist(df: DataFrame, name: str) -> DataFrame:
+        t = df.select(F.explode(F.split(text_col, " ")).alias("tok")) \
+              .filter(F.col("tok") != "")
+        return (t.select(_bucket(F.col("tok"), n_buckets, hash_fn).alias("bucket"))
+                 .groupBy("bucket").agg(F.count(F.lit(1)).alias(name)))
+
+    grid = raw.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    counts = (grid.join(dist(raw, "c_raw"), "bucket", "left")
+                  .join(dist(target, "c_tgt"), "bucket", "left")
+                  .na.fill(0, ["c_raw", "c_tgt"]))
+    tot = counts.agg(F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt"))
+    return (
+        counts.join(F.broadcast(tot))
+        .select("bucket",
+                (F.log((F.col("c_tgt") + 1) / (F.col("t_tgt") + n_buckets))
+                 - F.log((F.col("c_raw") + 1) / (F.col("t_raw") + n_buckets))
+                 ).alias("log_ratio"))
+    )
+
+
+def dsir_weights(docs: DataFrame, logratios: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n_buckets: int = 64,
+                 hash_fn: str = "xxhash64") -> DataFrame:
+    """Per-document DSIR importance weight: sum over token occurrences of
+    the bucket log ratio (= ln of the ratio of unigram LM likelihoods).
+
+    The corpus explodes to (doc, bucket, count) — map-side combined — and
+    joins the BROADCAST O(buckets) ratio table; text never shuffles.
+    """
+    per_bucket = (
+        docs.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(id_col, _bucket(F.col("tok"), n_buckets, hash_fn).alias("bucket"))
+        .groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_bucket.join(F.broadcast(logratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("c") * F.col("log_ratio")), 6).alias("log_w"),
+             F.sum("c").alias("n_tokens"))
+    )
+
+
+def dsir_select(docs: DataFrame, target: DataFrame, fraction: float,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """DSIR selection: keep the top ``fraction`` of documents by importance
+    weight (ties broken by id for determinism).
+
+    The rank is computed on the O(docs)-row weights frame, not the corpus.
+    (At extreme scale you would cut at an approx_percentile threshold
+    instead of a global rank — same selection up to ties; the exact rank
+    keeps the result reproducible for the oracle.)
+    """
+    w = dsir_weights(docs, dsir_logratios(docs, target, text_col, n_buckets, hash_fn),
+                     text_col, id_col, n_buckets, hash_fn)
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("log_w"), F.col(id_col)))
+    return w.select(
+        id_col, "log_w", "n_tokens",
+        (rank <= F.ceil(n * F.lit(fraction))).alias("selected"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+#: position packing for the windowed argmin: key = hash * 2^21 + (2^21-1-pos)
+#: so that min(key) picks the smallest hash and, on ties, the RIGHTMOST
+#: position — the winnowing tie-break.  2^21 positions caps documents at 2M
+#: k-grams per doc (not corpus size); raise the shift for longer documents.
+_POS_BITS = 21
+_POS_MOD = 1 << _POS_BITS
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints: hash every word ``k``-gram, slide a
+    window of ``w`` consecutive hashes, and keep each window's minimum
+    (rightmost on ties).  Guarantees every match of length >= w+k-1 tokens
+    shares a fingerprint — the MOSS local-fingerprinting scheme.
+
+    Output: (id, pos, fp) — one row per selected k-gram position.
+
+    100 TB shape: the whole selection is per-document ARRAY arithmetic
+    (transform/slice/array_min over the packed hash+position key) — zero
+    shuffle, zero UDF; only the selected fingerprints (a ~2/(w+1) fraction
+    of grams) leave the scan.  The 28-bit md5-prefix hash is cross-engine
+    reproducible for the oracle; collisions only make fingerprinting
+    slightly more selective, which MOSS tolerates by design.
+    """
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
+    d = docs.select(F.col(id_col), toks.alias("__t"))
+    d = d.withColumn("__n", F.size("__t")).filter(F.col("__n") >= k)
+    # packed keys: one per k-gram start position (1-based)
+    gram = ("array_join(slice(__t, i, {k}), ' ')").format(k=k)
+    keys = F.expr(
+        f"transform(sequence(1, __n - {k} + 1), i ->"
+        f" cast(conv(substring(md5({gram}), 1, 7), 16, 10) as bigint)"
+        f" * {_POS_MOD}L + ({_POS_MOD}L - 1 - i))")
+    d = d.withColumn("__keys", keys).withColumn("__g", F.size("__keys"))
+    wins = F.expr(
+        f"case when __g >= {w} then array_distinct(transform("
+        f"sequence(1, __g - {w} + 1), s -> array_min(slice(__keys, s, {w}))))"
+        f" else array(array_min(__keys)) end")
+    return (
+        d.select(F.col(id_col), F.explode(wins).alias("__k"))
+        .select(
+            id_col,
+            (F.lit(_POS_MOD - 1) - F.pmod("__k", F.lit(_POS_MOD))).alias("pos"),
+            F.expr(f"__k div {_POS_MOD}L").alias("fp"),
+        )
+    )
+
+
+def winnow_profile(docs: DataFrame, k: int = 5, w: int = 4,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document fingerprint profile: how many positions were selected,
+    how many distinct fingerprint values, and the density vs gram count."""
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col)
+    grams = docs.select(
+        F.col(id_col),
+        (F.size(F.expr(f"filter(split({text_col}, ' '), t -> t != '')"))
+         - k + 1).cast("long").alias("n_grams"))
+    prof = fps.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.countDistinct("fp").alias("n_distinct"),
+        F.min("fp").alias("min_fp"))
+    return (
+        grams.filter(F.col("n_grams") >= 1)
+        .join(prof, id_col, "left")
+        .select(id_col, "n_grams",
+                F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
+                F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+                F.round(F.coalesce("n_fps", F.lit(0)) /
+                        F.greatest("n_grams", F.lit(1)), 6).alias("density"),
+                "min_fp")
+    )
+
+
+def winnow_overlap(docs: DataFrame, k: int = 5, w: int = 4,
+                   min_shared: int = 2, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """MOSS-style overlap report: document pairs sharing >= ``min_shared``
+    distinct winnowing fingerprints.
+
+    The join is keyed on the fingerprint VALUE (28-bit int) after a
+    per-(doc,fp) distinct — only fingerprint ids shuffle.  Fingerprints
+    shared by huge numbers of documents are corpus boilerplate, not
+    plagiarism signal, so the pair blow-up is bounded by dropping any fp
+    held by more than 1000 documents (same hot-key fence as the LSH
+    band-bucket join).
+    """
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col) \
+        .select(id_col, "fp").distinct()
+    hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c")) \
+             .filter(F.col("c") > 1000).select("fp")
+    cold = fps.join(hot, "fp", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top ``top_k`` terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the scikit-learn convention), ties broken
+    alphabetically for determinism.
+
+    100 TB shape: term frequencies are a (doc, term) map-side-combined
+    aggregation; document frequencies collapse to O(vocab) rows and join
+    back on the term (vocab frame broadcasts under AQE when small); the
+    final top-k is a per-doc window over at most |doc vocab| rows.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(df_, "term").join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(
+            F.col("tf") * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1), 6))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term")))
+    return (
+        scored.withColumn("rk", rank).filter(F.col("rk") <= top_k)
+        .select(id_col, F.col("rk").cast("long").alias("rank"),
+                "term", "tf", "tfidf")
+    )

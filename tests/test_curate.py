@@ -1,0 +1,165 @@
+"""Unit tests for datapipe/curate.py (round 8): C4 cleaning, corpus-global
+line dedup, DSIR selection, winnowing fingerprints, TF-IDF."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from neo_server_spark.datapipe import curate
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # doc 0: two good sentences + one unterminated + a javascript line
+        (0, "the quick brown fox jumps over dogs.\n"
+            "no terminal punctuation here at all\n"
+            "please enable javascript to continue viewing.\n"
+            "a second proper sentence with enough words!"),
+        # doc 1: page-level kill — lorem ipsum
+        (1, "lorem ipsum dolor sit amet consectetur adipiscing elit."),
+        # doc 2: page-level kill — curly brace
+        (2, "function f() { return 1; } is code not prose."),
+        # doc 3: too few surviving lines (short line + good line)
+        (3, "tiny line.\nanother proper sentence with plenty of words here."),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_c4_line_stats_rules(docs):
+    out = {r["doc_id"]: r for r in
+           curate.c4_line_stats(docs, min_words=5, min_lines=2).collect()}
+    assert out[0]["n_lines"] == 4
+    assert out[0]["n_kept"] == 2           # javascript + unterminated dropped
+    assert not out[0]["doc_removed"]
+    assert out[1]["reason"] == "lorem_ipsum"
+    assert out[2]["reason"] == "curly_brace"
+    assert out[3]["reason"] == "too_few_lines"   # only 1 line has >=5 words
+
+
+def test_c4_clean_rebuilds_text(docs):
+    out = {r["doc_id"]: r for r in
+           curate.c4_clean(docs, min_words=5, min_lines=2).collect()}
+    assert list(out) == [0]
+    assert out[0]["text"] == (
+        "the quick brown fox jumps over dogs.\n"
+        "a second proper sentence with enough words!")
+
+
+def test_c4_separator_is_literal_not_regex(spark):
+    # '|' is a regex metachar; split must treat the separator literally.
+    df = spark.createDataFrame(
+        [(0, "one good sentence with five words.|short.|x")], ["doc_id", "text"])
+    row = curate.c4_line_stats(df, sep="|", min_words=5).collect()[0]
+    assert row["n_lines"] == 3 and row["n_kept"] == 1
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha\nbeta\nalpha"),     # in-doc duplicate of alpha
+         (1, "beta\ngamma"),            # beta already owned by doc 0
+         (2, "gamma\ndelta")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in curate.dedup_lines(df).collect()}
+    assert out[0]["text"] == "alpha\nbeta"
+    assert out[1]["text"] == "gamma"
+    assert out[2]["text"] == "delta"
+    assert out[2]["n_kept"] == 1
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    tgt_words = " ".join(["alpha beta gamma"] * 5)
+    raw_words = " ".join(["delta epsilon zeta"] * 5)
+    docs = spark.createDataFrame(
+        [(i, tgt_words if i < 3 else raw_words) for i in range(10)],
+        ["doc_id", "text"])
+    target = spark.createDataFrame([(0, tgt_words)], ["doc_id", "text"])
+    out = curate.dsir_select(docs, target, fraction=0.3).collect()
+    sel = {r["doc_id"] for r in out if r["selected"]}
+    assert sel == {0, 1, 2}
+    ws = {r["doc_id"]: r["log_w"] for r in out}
+    assert ws[0] > ws[5]
+
+
+def _py_winnow(tokens, k, w):
+    """Reference winnowing (Schleimer et al. fig. 5, rightmost-min)."""
+    import hashlib
+    n = len(tokens)
+    grams = [" ".join(tokens[i:i + k]) for i in range(n - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:7], 16) for g in grams]
+    if len(hs) < w:
+        m = min(hs)
+        pos = max(i for i, h in enumerate(hs) if h == m)
+        return {(pos + 1, m)}
+    out = set()
+    for s in range(len(hs) - w + 1):
+        window = hs[s:s + w]
+        m = min(window)
+        j = max(i for i, h in enumerate(window) if h == m)
+        out.add((s + j + 1, m))
+    return out
+
+
+@pytest.mark.parametrize("k,w", [(3, 4), (5, 4), (4, 7)])
+def test_winnow_matches_reference_algorithm(spark, k, w):
+    texts = [
+        "a b c d e f g h i j k l m n o p",
+        "the cat sat on the mat and the cat ran",
+        "x y z " * 6,
+        "one two three four five",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = curate.winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split(" ") if x]
+        if len(toks) < k:
+            assert i not in by_doc
+        else:
+            assert by_doc[i] == _py_winnow(toks, k, w), f"doc {i}"
+
+
+def test_winnow_guarantee_shared_fingerprint(spark):
+    # any common run of >= w+k-1 tokens must share a fingerprint
+    k, w = 5, 4
+    common = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    df = spark.createDataFrame(
+        [(0, "xx yy " + common + " zz"),
+         (1, "aa " + common + " bb cc dd")], ["doc_id", "text"])
+    fps = curate.winnow_fingerprints(df, k=k, w=w)
+    shared = (fps.filter("doc_id = 0").select("fp")
+              .intersect(fps.filter("doc_id = 1").select("fp")))
+    assert shared.count() >= 1
+
+
+def test_winnow_overlap_pairs(spark):
+    k, w = 5, 4
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(0, "xx yy " + common), (1, common + " zz ww"),
+         (2, "p q r s t u v w x y z")], ["doc_id", "text"])
+    pairs = curate.winnow_overlap(df, k=k, w=w, min_shared=1).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
+def test_tfidf_top_terms(spark):
+    df = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "cherry date")],
+        ["doc_id", "text"])
+    out = curate.tfidf_top_terms(df, top_k=1).collect()
+    best = {r["doc_id"]: r["term"] for r in out}
+    # 'apple' is doc-0-only and twice; 'banana'/'cherry' shared; 'date' unique
+    assert best[0] == "apple"
+    assert best[2] == "date"
+    r0 = [r for r in out if r["doc_id"] == 0][0]
+    assert r0["tf"] == 2 and r0["rank"] == 1
+
+
+def test_winnow_density(spark, sf_dir):
+    from neo_server_spark import io as nio
+    docs = nio.load_table(spark, sf_dir, "documents").limit(200)
+    prof = curate.winnow_profile(docs, k=5, w=4)
+    row = prof.agg(F.avg("density").alias("d")).collect()[0]
+    # expected density 2/(w+1) = 0.4; word-soup text stays in a loose band
+    assert 0.25 < row["d"] < 0.65
