@@ -2742,6 +2742,42 @@ def _q_tfidf_terms(spark, sf_dir):
     return curate.tfidf_top_terms(docs, top_k=3).orderBy("doc_id", "rank")
 
 
+def _q_lm2(spark, sf_dir):
+    """Interpolated bigram LM scoring (curate.lm_score_bigram — the
+    CCNet-style perplexity filter, self-trained): unigram/bigram tables
+    are map-side-combined aggs; per-occurrence bigrams equi-join them."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return curate.lm_score_bigram(docs).orderBy("doc_id")
+
+
+def _q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document
+    (curate.char_entropy): per-row sorted-fold array arithmetic — zero
+    shuffle, summation order pinned so the float is engine-exact."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return curate.char_entropy(docs).orderBy("doc_id")
+
+
+def _q_mad_outliers(spark, sf_dir):
+    """Robust per-source length outliers via median/MAD modified z-score
+    (curate.mad_outliers, Iglewicz & Hoaglin): two exact-percentile aggs
+    on (source, value) pairs, broadcast joins back."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return curate.mad_outliers(docs).orderBy("doc_id")
+
+
+def _q_dedup_incr(spark, sf_dir):
+    """Incremental exact dedup against a persistent digest index
+    (dedup.dedup_incremental): the accumulated corpus participates as
+    16-byte digests only — daily batches anti-join the index and dedup
+    in-batch, all keyed on the digest.  Seen = docs with doc_id%3==0."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    seen = dedup.digest_index(docs.filter(F.col("doc_id") % 3 == 0))
+    newb = docs.filter(F.col("doc_id") % 3 != 0)
+    return (dedup.dedup_incremental(newb, seen)
+            .select("doc_id", "source", "n_chars").orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
@@ -2760,6 +2796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": _q_winnow_fp,
         "winnow_overlap": _q_winnow_overlap,
         "tfidf_terms": _q_tfidf_terms,
+        "lm2": _q_lm2,
+        "char_entropy": _q_char_entropy,
+        "mad_outliers": _q_mad_outliers,
+        "dedup_incr": _q_dedup_incr,
         "semdedup": _q_semdedup,
         "similarity_pq": _q_similarity_pq,
         "text_normalize": _q_text_normalize,
@@ -3097,6 +3137,86 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY id_a, id_b
+        """,
+        "lm2": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '),
+                     t -> t <> '') AS l
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+              FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toks)
+            ),
+            uni AS (
+              SELECT u.w AS w, count(*) AS cu
+              FROM (SELECT unnest(l) AS w FROM toks) u GROUP BY 1
+            ),
+            tot AS (SELECT sum(cu) AS t FROM uni),
+            big AS (SELECT w1, w2, count(*) AS cb FROM occ GROUP BY 1, 2)
+            SELECT doc_id,
+                   round(avg(ln(0.7 * cb / c1.cu + 0.3 * c2.cu / t)), 6)
+                     AS lm2_score,
+                   count(*) AS n_bigrams
+            FROM occ JOIN big USING (w1, w2)
+                 JOIN uni c1 ON c1.w = occ.w1
+                 JOIN uni c2 ON c2.w = occ.w2
+                 CROSS JOIN tot
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "char_entropy": """
+            WITH base AS (
+              SELECT doc_id, text, length(text) AS n,
+                     list_sort(list_distinct(string_split(text, ''))) AS dch
+              FROM documents
+            )
+            SELECT doc_id, n AS n_chars, len(dch) AS n_distinct_chars,
+                   round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(dch, ch ->
+                           -(len(list_filter(string_split(text, ''),
+                                             c -> c = ch))
+                             / CAST(n AS DOUBLE))
+                           * ln(len(list_filter(string_split(text, ''),
+                                                c -> c = ch))
+                                / CAST(n AS DOUBLE)))),
+                       (acc, x) -> acc + x), 6) AS entropy
+            FROM base ORDER BY doc_id
+        """,
+        "mad_outliers": """
+            WITH med AS (
+              SELECT source, quantile_cont(n_chars, 0.5) AS med
+              FROM documents GROUP BY source
+            ),
+            dev AS (
+              SELECT d.doc_id, d.source, d.n_chars, m.med,
+                     abs(d.n_chars - m.med) AS adev
+              FROM documents d JOIN med m USING (source)
+            ),
+            mad AS (
+              SELECT source, quantile_cont(adev, 0.5) AS mad
+              FROM dev GROUP BY source
+            )
+            SELECT doc_id, dev.source, CAST(n_chars AS DOUBLE) AS value,
+                   round(dev.med, 6) AS med, round(mad.mad, 6) AS mad,
+                   round(0.6745 * adev / greatest(mad.mad, 1e-12), 6) AS mod_z,
+                   0.6745 * adev / greatest(mad.mad, 1e-12) > 3.0 AS outlier
+            FROM dev JOIN mad USING (source) ORDER BY doc_id
+        """,
+        "dedup_incr": """
+            WITH seen AS (
+              SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 3 = 0
+            ),
+            newb AS (
+              SELECT doc_id, source, n_chars, md5(text) AS d
+              FROM documents WHERE doc_id % 3 <> 0
+            ),
+            fresh AS (
+              SELECT * FROM newb WHERE d NOT IN (SELECT d FROM seen)
+            ),
+            keep AS (SELECT d, min(doc_id) AS doc_id FROM fresh GROUP BY d)
+            SELECT f.doc_id, f.source, f.n_chars
+            FROM fresh f JOIN keep k ON f.d = k.d AND f.doc_id = k.doc_id
+            ORDER BY f.doc_id
         """,
         "tfidf_terms": """
             WITH tok AS (

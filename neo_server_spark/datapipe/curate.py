@@ -396,3 +396,108 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3, text_col: str = "text",
         .select(id_col, F.col("rk").cast("long").alias("rank"),
                 "term", "tf", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (interpolated, CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+def lm_score_bigram(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", lam: float = 0.7) -> DataFrame:
+    """Interpolated bigram LM score per document: mean over bigram positions
+    of ln(lam * p(w2|w1) + (1-lam) * p(w2)), with both distributions
+    estimated from the corpus itself (the CCNet/Wikipedia-LM perplexity
+    filter, self-trained; ``text.lm_score`` is the unigram special case).
+
+    100 TB shape: the unigram and bigram tables are map-side-combined
+    aggregations (O(vocab) / O(distinct bigrams) rows); per-occurrence
+    bigrams join them on their text key — equi-joins Catalyst plans as
+    hash joins with AQE choosing broadcast when a side is small.  No UDF,
+    no driver state.
+    """
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
+    bi = ("filter(zip_with(__t, slice(__t, 2, size(__t)),"
+          " (x, y) -> struct(x as w1, y as w2)), s -> s.w2 is not null)")
+    occ = (docs.select(F.col(id_col), toks.alias("__t"))
+               .select(id_col, F.explode(F.expr(bi)).alias("b"))
+               .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
+    uni = (docs.select(F.explode(toks).alias("w"))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
+    tot = uni.agg(F.sum("cu").alias("t"))
+    big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        occ.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cu", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cu", "c2"), "w2")
+        .join(F.broadcast(tot))
+        .select(id_col, F.log(
+            F.lit(lam) * F.col("cb") / F.col("c1")
+            + F.lit(1.0 - lam) * F.col("c2") / F.col("t")).alias("lp"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.avg("lp"), 6).alias("lm2_score"),
+             F.count(F.lit(1)).alias("n_bigrams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy gibberish filter
+# ---------------------------------------------------------------------------
+
+def char_entropy(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy of the per-document character distribution (low
+    entropy = repeated junk, high = random bytes/encoding damage; both
+    tails are gibberish signals).
+
+    Entirely per-row array arithmetic: the char array never leaves the
+    row, the distinct-char set is sorted so the summation order (and thus
+    the float result) is engine-independent.  Zero shuffle.
+    """
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.expr(f"size(array_distinct(split({text_col}, '')))").cast("long")
+        .alias("n_distinct_chars"),
+        F.round(F.expr(
+            f"aggregate(array_sort(array_distinct(split({text_col}, ''))),"
+            f" cast(0.0 as double), (acc, ch) -> acc -"
+            f" (size(filter(split({text_col}, ''), c -> c = ch))"
+            f"  / cast(length({text_col}) as double))"
+            f" * ln(size(filter(split({text_col}, ''), c -> c = ch))"
+            f"       / cast(length({text_col}) as double)))"), 6).alias("entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust per-group outlier flags (median/MAD)
+# ---------------------------------------------------------------------------
+
+def mad_outliers(docs: DataFrame, value_col: str = "n_chars",
+                 by: str = "source", id_col: str = "doc_id",
+                 z: float = 3.0) -> DataFrame:
+    """Robust outlier detection per group: flag rows whose modified z-score
+    0.6745 * |x - median| / MAD exceeds ``z`` (Iglewicz & Hoaglin).  Length
+    outliers survive mean/stddev screens because extremes drag both; the
+    median/MAD pair doesn't move.
+
+    Two exact-percentile aggregations over the O(groups) key — each is one
+    shuffle of (group, value) pairs — then broadcast joins back.
+    """
+    med = docs.groupBy(by).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med"))
+    dev = docs.join(F.broadcast(med), by).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("med")))
+    mad = dev.groupBy(by).agg(F.expr("percentile(__adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), by)
+        .select(
+            id_col, by, F.col(value_col).cast("double").alias("value"),
+            F.round("med", 6).alias("med"), F.round("mad", 6).alias("mad"),
+            F.round(F.lit(0.6745) * F.col("__adev")
+                    / F.greatest("mad", F.lit(1e-12)), 6).alias("mod_z"),
+            (F.lit(0.6745) * F.col("__adev")
+             / F.greatest("mad", F.lit(1e-12)) > z).alias("outlier"),
+        )
+    )

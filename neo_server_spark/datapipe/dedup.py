@@ -575,3 +575,31 @@ def semdedup(emb: DataFrame, centroids: DataFrame, threshold: float = 0.92,
                 F.col("__maxcos").isNull().alias("keep"),
                 F.round(F.col("__maxcos"), 6).alias("max_dup_cos"))
     )
+
+
+def dedup_incremental(new_docs: DataFrame, seen: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      digest_col: str = "digest") -> DataFrame:
+    """Incremental exact dedup for continuous corpus building: drop every
+    new document whose text digest already exists in the ``seen`` index
+    (a frame with a ``digest_col`` md5 column, e.g. the output of a prior
+    round's index), then dedup the batch against itself (min id wins).
+
+    The 100 TB operating mode: the accumulated index is only digests —
+    16 bytes/doc — so re-deduping a daily batch never rescans the corpus;
+    both the anti-join against the index and the in-batch keeper election
+    shuffle on the digest alone.
+    """
+    d = new_docs.withColumn("__d", F.md5(F.col(text_col)))
+    fresh = d.join(seen.select(F.col(digest_col).alias("__d")).distinct(),
+                   "__d", "left_anti")
+    keep = fresh.groupBy("__d").agg(F.min(id_col).alias(id_col))
+    return (fresh.join(keep, [ "__d", id_col], "left_semi")
+                 .drop("__d"))
+
+
+def digest_index(docs: DataFrame, text_col: str = "text",
+                 digest_col: str = "digest") -> DataFrame:
+    """The persistent index frame for :func:`dedup_incremental`: one row per
+    distinct text digest (write this, not the text, between batches)."""
+    return docs.select(F.md5(F.col(text_col)).alias(digest_col)).distinct()

@@ -163,3 +163,45 @@ def test_winnow_density(spark, sf_dir):
     row = prof.agg(F.avg("density").alias("d")).collect()[0]
     # expected density 2/(w+1) = 0.4; word-soup text stays in a loose band
     assert 0.25 < row["d"] < 0.65
+
+
+def test_lm_score_bigram_orders_fluency(spark):
+    # repeated fluent bigrams score higher than a one-off scramble
+    fluent = "the cat sat on the mat " * 4
+    df = spark.createDataFrame(
+        [(0, fluent.strip()), (1, fluent.strip()), (2, "mat the on sat zz qq")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["lm2_score"]
+           for r in curate.lm_score_bigram(df).collect()}
+    assert out[0] == out[1] > out[2]
+
+
+def test_char_entropy_bounds(spark):
+    df = spark.createDataFrame(
+        [(0, "aaaaaaaa"), (1, "abcdefgh"), (2, "aabb")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in curate.char_entropy(df).collect()}
+    assert out[0]["entropy"] == 0.0
+    import math
+    assert abs(out[1]["entropy"] - math.log(8)) < 1e-6
+    assert abs(out[2]["entropy"] - math.log(2)) < 1e-6
+    assert out[1]["n_distinct_chars"] == 8
+
+
+def test_mad_outliers_flags_extreme(spark):
+    rows = [(i, "s", 100 + i % 5) for i in range(20)] + [(99, "s", 10_000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = {r["doc_id"]: r for r in curate.mad_outliers(df).collect()}
+    assert out[99]["outlier"]
+    assert not out[0]["outlier"]
+
+
+def test_dedup_incremental_drops_seen_and_in_batch(spark):
+    from neo_server_spark.datapipe import dedup
+    old = spark.createDataFrame([(0, "alpha"), (1, "beta")], ["doc_id", "text"])
+    idx = dedup.digest_index(old)
+    new = spark.createDataFrame(
+        [(10, "alpha"),      # already in the index
+         (11, "gamma"), (12, "gamma"),   # in-batch dup, min id wins
+         (13, "delta")], ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in dedup.dedup_incremental(new, idx).collect())
+    assert kept == [11, 13]
