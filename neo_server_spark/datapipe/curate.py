@@ -139,31 +139,35 @@ def dedup_lines(docs: DataFrame, text_col: str = "text",
     et al. 2020 §2.2); line granularity is the common variant (CCNet's
     per-shard first pass).
 
-    100 TB shape: the only data that shuffles is (digest, doc, pos) — the
-    16-byte md5 of each line, never the text.  Keeper election is a
-    groupBy(min) on the digest; survivors join back to the exploded lines
-    on (doc, pos), both sides hash-partitioned on the same key, and the
-    document is reassembled with one per-doc aggregation.  Three shuffles,
-    all on fixed-width keys.
+    100 TB shape: the text NEVER shuffles.  Only (digest, doc, pos) —
+    16 bytes plus ids per line — leaves the scan; keeper election is a
+    groupBy(min) on the digest; the surviving positions collapse to one
+    sorted int array per document and join back to the original docs on
+    the id (AQE broadcasts the array side when it's small); the document
+    is then rebuilt ROW-LOCALLY by indexing its own line array.
     """
-    lines = docs.select(
+    keyed = docs.select(
         F.col(id_col),
         F.posexplode(_lines(text_col, sep)).alias("pos", "line"),
-    )
-    keyed = lines.withColumn("__d", F.md5("line"))
+    ).select(id_col, "pos", F.md5("line").alias("__d"))
     keepers = (
         keyed.groupBy("__d")
         .agg(F.min(F.struct(id_col, "pos")).alias("k"))
-        .select("__d", F.col(f"k.{id_col}").alias(id_col),
-                F.col("k.pos").alias("pos"))
+        .select(F.col(f"k.{id_col}").alias(id_col), F.col("k.pos").alias("pos"))
     )
-    kept = keyed.join(keepers, ["__d", id_col, "pos"], "left_semi")
+    kept_pos = (
+        keepers.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("__keep"))
+    )
     return (
-        kept.groupBy(id_col)
-        .agg(F.array_join(
-                F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                            lambda s: s["line"]), sep).alias(text_col),
-             F.count(F.lit(1)).alias("n_kept"))
+        docs.select(F.col(id_col), _lines(text_col, sep).alias("__l"))
+        .join(kept_pos, id_col)
+        .select(
+            id_col,
+            F.array_join(F.expr("transform(__keep, p -> __l[p])"), sep)
+            .alias(text_col),
+            F.size("__keep").cast("long").alias("n_kept"),
+        )
     )
 
 

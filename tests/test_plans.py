@@ -293,3 +293,45 @@ def test_classifier_and_mixture_stay_scan_side(spark, sf_dir):
     p2 = plan_of(sampling.mixture_sample(docs, {"src0": 1.0}, 1000.0, by="source"))
     # the plan table is collected up front; the sample itself is scan-side
     assert "Exchange" not in p2 and "BatchEvalPython" not in p2
+
+
+def test_c4_and_winnow_and_entropy_are_scan_side(spark, sf_dir):
+    """The round-8 per-row curation ops (C4 rules, winnowing selection,
+    char entropy) are pure array arithmetic: their plans must contain NO
+    Exchange at all — the shape that scales linearly with scan width."""
+    from neo_server_spark import io as nio
+    from neo_server_spark.datapipe import curate
+    docs = nio.load_table(spark, sf_dir, "documents")
+    for df in (curate.c4_line_stats(docs),
+               curate.c4_clean(docs),
+               curate.winnow_fingerprints(docs, k=5, w=4),
+               curate.char_entropy(docs)):
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan[:2000]
+
+
+def test_dedup_lines_never_shuffles_text(spark, sf_dir):
+    """Corpus-global line dedup must move only digests/ids/positions:
+    the text (and the exploded line) must be pruned before every
+    Exchange; the doc text participates only in the final row-local
+    rebuild."""
+    import re
+    from neo_server_spark import io as nio
+    from neo_server_spark.datapipe import curate
+    docs = nio.load_table(spark, sf_dir, "documents")
+    plan = plan_of(curate.dedup_lines(docs))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1) and "line" not in m.group(1), m.group(0)
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """DSIR's O(buckets) log-ratio table must broadcast into the
+    per-document weight join — the token stream collapses map-side and
+    never shuffles wide."""
+    from neo_server_spark import io as nio
+    from neo_server_spark.datapipe import curate
+    import pyspark.sql.functions as F
+    docs = nio.load_table(spark, sf_dir, "documents")
+    plan = plan_of(curate.dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), 0.25))
+    assert "BroadcastExchange" in plan
