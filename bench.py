@@ -74,6 +74,15 @@ BENCH_QUERIES = [
     "data_mixture",
     "quality_classifier",
     "text_normalize",
+    # round-8 additions (outside the stable-44 subtotal)
+    "c4_filters",
+    "line_dedup",
+    "dsir_sample",
+    "winnow_fp",
+    "tfidf_terms",
+    "lm2",
+    "char_entropy",
+    "dedup_incr",
 ]
 
 
@@ -116,11 +125,11 @@ def main() -> None:
     ingest = _bench_ingest(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    r7_added = {"substring_spans", "lm_buckets", "pack_sequences",
-                "pipeline_v2", "semdedup", "similarity_pq", "data_mixture",
-                "quality_classifier", "text_normalize"}
-    stable44 = round(sum(v for k, v in timings.items()
-                         if k not in r7_added), 3)
+    # the first 43 names are the unchanged cross-round set ("stable44" kept
+    # as the historical field name); everything appended in rounds 7/8 is
+    # excluded so the subtotal stays comparable with BENCH_r06 and earlier
+    stable = set(BENCH_QUERIES[:43])
+    stable44 = round(sum(v for k, v in timings.items() if k in stable), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,

@@ -455,22 +455,35 @@ def char_entropy(docs: DataFrame, text_col: str = "text",
     entropy = repeated junk, high = random bytes/encoding damage; both
     tails are gibberish signals).
 
-    Entirely per-row array arithmetic: the char array never leaves the
-    row, the distinct-char set is sorted so the summation order (and thus
-    the float result) is engine-independent.  Zero shuffle.
+    Entirely per-row array arithmetic, one O(n log n) sort per document:
+    char counts come from RUN LENGTHS over the sorted char array (no
+    per-distinct-char rescans), bound once via the transform-of-singleton
+    let-binding so nothing is evaluated twice; the fold runs in sorted-char
+    order so the float result is engine-independent.  Zero shuffle.
     """
+    # ends of equal-char runs in the sorted array (1-based positions)
+    expr = (
+        "transform(array(array_sort(split({t}, ''))), cs -> "
+        "  transform(array(filter(sequence(1, size(cs)),"
+        "                         i -> i = size(cs) or cs[i] != cs[i-1])), e -> "
+        "    named_struct("
+        "      'nd', size(e),"
+        "      'h', aggregate(sequence(1, size(e)), cast(0.0 as double),"
+        "             (acc, j) -> acc -"
+        "               ((e[j-1] - if(j = 1, 0, e[j-2]))"
+        "                / cast(size(cs) as double))"
+        "               * ln((e[j-1] - if(j = 1, 0, e[j-2]))"
+        "                    / cast(size(cs) as double))))"
+        "  )[0])[0]"
+    ).format(t=text_col)
     return docs.select(
         F.col(id_col),
         F.length(text_col).cast("long").alias("n_chars"),
-        F.expr(f"size(array_distinct(split({text_col}, '')))").cast("long")
-        .alias("n_distinct_chars"),
-        F.round(F.expr(
-            f"aggregate(array_sort(array_distinct(split({text_col}, ''))),"
-            f" cast(0.0 as double), (acc, ch) -> acc -"
-            f" (size(filter(split({text_col}, ''), c -> c = ch))"
-            f"  / cast(length({text_col}) as double))"
-            f" * ln(size(filter(split({text_col}, ''), c -> c = ch))"
-            f"       / cast(length({text_col}) as double)))"), 6).alias("entropy"),
+        F.expr(expr).alias("__ce"),
+    ).select(
+        id_col, "n_chars",
+        F.col("__ce.nd").cast("long").alias("n_distinct_chars"),
+        F.round("__ce.h", 6).alias("entropy"),
     )
 
 
