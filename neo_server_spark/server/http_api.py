@@ -70,13 +70,19 @@ class EngineHttpServer:
 
     def __init__(self, spark, sf_dir: str | None = None,
                  fs_root: str | None = None, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, backup_dir: str | None = None):
         self.spark = spark
         self.sf_dir = sf_dir
         self.fs_root = fs_root
+        self.backup_dir = backup_dir
         self.host, self.port = host, port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # backupd state (backupd.go backupState): one backup at a time,
+        # status readable while it runs
+        self._backup = {"running": False, "message": "", "err": None,
+                        "info": {}}
+        self._backup_lock = threading.Lock()
 
     # ------------------------------------------------------------- control
 
@@ -93,6 +99,9 @@ class EngineHttpServer:
             def do_POST(self):
                 n = int(self.headers.get("Content-Length") or 0)
                 api._route(self, body=self.rfile.read(n))
+
+            def do_DELETE(self):
+                api._route(self, body=b"")
 
         self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
         self.port = self._httpd.server_address[1]
@@ -139,6 +148,9 @@ class EngineHttpServer:
             elif url.path.startswith("/metrics/"):
                 self._handle_metrics(h, url.path[len("/metrics/"):],
                                      qs, body, tick)
+            elif url.path.startswith("/web/api/backup/"):
+                self._handle_backup(h, url.path[len("/web/api/backup/"):],
+                                    qs, body, tick)
             elif url.path.startswith("/web/api/tql/"):
                 # script loaded from the server-side fs (loader.go:53;
                 # handleTqlFile) — rooted at fs_root, no path escapes
@@ -640,3 +652,150 @@ class EngineHttpServer:
         else:
             df.write.mode("append").parquet(path)
         return len(rows)
+
+
+# --------------------------------------------------------------- backup API
+
+def _backup_sql_text(archive: dict, base_dir: str | None) -> str:
+    """Build the BACKUP statement from the POST body exactly like the
+    reference's handleArchive (backupd.go:122-220): type database|table,
+    duration full|incremental|time, relative paths rooted at baseDir."""
+    import os as _os
+
+    typ = str(archive.get("type", "")).lower()
+    path = archive.get("path") or ""
+    if not path:
+        raise ValueError("path is required")
+    if not _os.path.isabs(path) and base_dir:
+        path = _os.path.join(base_dir, path)
+    if typ == "database":
+        target = "DATABASE"
+    elif typ == "table":
+        if not archive.get("tableName"):
+            raise ValueError("table name is empty")
+        target = f"TABLE {archive['tableName']}"
+    else:
+        raise ValueError(f'invalid backup "{archive.get("type")}"')
+    dur = archive.get("duration") or {}
+    dtyp = str(dur.get("type", "")).lower()
+    if dtyp == "full":
+        return f"BACKUP {target} INTO DISK = '{path}'"
+    if dtyp == "incremental":
+        after = dur.get("after") or ""
+        if not _os.path.isabs(after) and base_dir:
+            after = _os.path.join(base_dir, after)
+        return f"BACKUP {target} AFTER '{after}' INTO DISK = '{path}'"
+    if dtyp == "time":
+        from_sql = dur.get("from") or "0"
+        to_sql = (f"FROM_UNIXTIME({dur['to']})" if dur.get("to")
+                  else "sysdate")
+        return (f"BACKUP {target} FROM FROM_UNIXTIME({from_sql}) "
+                f"TO {to_sql} INTO DISK = '{path}'")
+    raise ValueError(f'invalid backup type "{dur.get("type")}"')
+
+
+def _backup_routes(api: "EngineHttpServer", h, sub: str, qs: dict,
+                   body: bytes, tick: float) -> None:
+    """GET /archives, POST /archive, GET /archive/status, GET /mounts,
+    POST|DELETE /mounts/<name> — the Backupd router (backupd.go:65-73)."""
+    import os as _os
+
+    from neo_server_spark.sqlx import backup as bk
+
+    def ok(data=None, extra=None):
+        payload = {"success": True, "reason": "success",
+                   "elapse": f"{time.time() - tick:.6f}s"}
+        if data is not None:
+            payload["data"] = data
+        if extra:
+            payload.update(extra)
+        api._send(h, 200, "application/json",
+                  json.dumps(payload, separators=(",", ":")))
+
+    if sub == "archives" and h.command == "GET":
+        base = api.backup_dir or ""
+        infos = []
+        if base and _os.path.isdir(base):
+            mount_by_path = {m["path"]: n for n, m in bk.mounts().items()}
+            for d in sorted(_os.listdir(base)):
+                full = _os.path.join(base, d)
+                if not _os.path.isdir(full):
+                    continue
+                if d in ("SYSTEM_TABLESPACE", "TAG_TABLESPACE"):
+                    continue
+                if _os.path.exists(_os.path.join(full, bk.MANIFEST_NAME)):
+                    info = {"path": d, "isMount": False}
+                    if _os.path.abspath(full) in mount_by_path:
+                        info["isMount"] = True
+                        info["mountName"] = mount_by_path[_os.path.abspath(full)]
+                    infos.append(info)
+        return ok(infos)
+
+    if sub == "archive" and h.command == "POST":
+        archive = json.loads(body.decode() or "{}")
+        if api._backup["running"]:
+            return api._fail(h, 500, "backup is running.", tick)
+        try:
+            sql_text = _backup_sql_text(archive, api.backup_dir)
+        except ValueError as ex:
+            return api._fail(h, 400, str(ex), tick)
+
+        def run():
+            with api._backup_lock:
+                api._backup.update(running=True, info=archive)
+                try:
+                    from neo_server_spark.sqlx import ddl
+                    ddl.exec_sql(api.spark, sql_text)
+                    api._backup.update(err=None, message="", info={})
+                except Exception as ex:   # surfaces through /archive/status
+                    api._backup.update(err=True, message=str(ex))
+                api._backup["running"] = False
+
+        threading.Thread(target=run, daemon=True).start()
+        return ok()
+
+    if sub == "archive/status" and h.command == "GET":
+        st = api._backup
+        if not st["running"] and st["err"]:
+            return api._fail(h, 500, st["message"], tick)
+        return ok(st["info"])
+
+    if sub == "mounts" and h.command == "GET":
+        data = [{"name": n, "path": m["path"], "tbsid": 0,
+                 "scn": m["scn"], "mountdb": n.upper(),
+                 "dbBeginTime": str(m["begin_ns"]),
+                 "dbEndTime": str(m["end_ns"]),
+                 "backupBeginTime": str(m["scn"]),
+                 "backupEndTime": str(m["scn"]), "flag": 0}
+                for n, m in sorted(bk.mounts().items())]
+        return ok(data)
+
+    if sub.startswith("mounts/"):
+        name = sub[len("mounts/"):]
+        if not name:
+            return api._fail(h, 400, "invalid mount name", tick)
+        from neo_server_spark.sqlx import ddl
+        try:
+            if h.command == "POST":
+                mount = json.loads(body.decode() or "{}")
+                path = mount.get("path") or ""
+                if not _os.path.isabs(path) and api.backup_dir:
+                    path = _os.path.join(api.backup_dir, path)
+                ddl.exec_sql(api.spark,
+                             f"MOUNT DATABASE '{path}' TO '{name}'")
+                return ok()
+            if h.command == "DELETE":
+                ddl.exec_sql(api.spark, f"UNMOUNT DATABASE '{name}'")
+                return ok()
+        except ddl.DdlError as ex:
+            return api._fail(h, 500, str(ex), tick)
+
+    return api._fail(h, 404, "not found", tick)
+
+
+def _handle_backup(self, h, sub: str, qs: dict, body: bytes,
+                   tick: float) -> None:
+    _backup_routes(self, h, sub, qs, body, tick)
+
+
+EngineHttpServer._handle_backup = _handle_backup

@@ -275,6 +275,14 @@ def exec_sql(spark: SparkSession, sql: str, params=()) -> int:
     on failure (the caller re-throws it into the script as a panic)."""
     s = sql.strip().rstrip(";").strip()
     low = s.lower()
+    if low.split()[:1] in (["backup"], ["restore"], ["mount"], ["unmount"]):
+        from . import backup as _backup
+        try:
+            n = _backup.backup_exec(spark, s)
+        except _backup.BackupError as ex:
+            raise DdlError(str(ex)) from ex
+        if n is not None:
+            return n
     if low.startswith("create"):
         if not create_table(spark, s):
             raise DdlError(f"unsupported DDL {s[:40]!r}")

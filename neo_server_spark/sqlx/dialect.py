@@ -124,5 +124,6 @@ def _rewrite_decode(sql: str) -> str:
 
 def lake_sql(spark: SparkSession, sql: str) -> "DataFrame":  # noqa: F821
     """Run a lake-dialect SQL string through the rewrite + Spark SQL."""
+    from . import backup as _backup
     register_dialect(spark)
-    return spark.sql(rewrite_lake_sql(sql))
+    return spark.sql(rewrite_lake_sql(_backup.rewrite_mounts(sql)))
