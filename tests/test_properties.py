@@ -266,3 +266,121 @@ def test_sample_threshold_cross_engine_parity(micro):
         "SELECT printf('%08x', CAST(floor(CAST(? AS DOUBLE) * 4294967296.0)"
         " AS BIGINT) - 1)", params=[frac]).fetchone()[0]
     assert py == db
+
+
+# --------------------------------------------------------- round-8 curation
+
+_words = st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                  min_size=0, max_size=30)
+
+
+@prop
+@given(docs=st.lists(_words, min_size=1, max_size=8))
+def test_dedup_lines_idempotent_and_first_wins(spark, docs):
+    """Corpus-global line dedup: (a) idempotent; (b) the survivor set is
+    exactly the sequential first-occurrence model; (c) no line appears
+    twice anywhere in the output."""
+    from neo_server_spark.datapipe import curate
+    rows = [(i, "\n".join(" ".join([w] * 3) for w in ws))
+            for i, ws in enumerate(docs) if ws]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    once = curate.dedup_lines(df)
+    twice = curate.dedup_lines(once)
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
+    # sequential model
+    seen, want = set(), {}
+    for i, ws in enumerate(docs):
+        kept = []
+        for w in ws:
+            line = " ".join([w] * 3)
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            want[i] = "\n".join(kept)
+    assert a == want
+    all_lines = [ln for t in a.values() for ln in t.split("\n")]
+    assert len(all_lines) == len(set(all_lines))
+
+
+@prop
+@given(docs=st.lists(_words, min_size=2, max_size=8),
+       frac=st.sampled_from([0.25, 0.5, 1.0]))
+def test_dsir_selects_exact_fraction(spark, docs, frac):
+    """DSIR selection count = ceil(frac * N) over docs with tokens."""
+    import math
+    from neo_server_spark.datapipe import curate
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs) if ws]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate.dsir_select(df, df.limit(1), frac).collect()
+    assert sum(r["selected"] for r in out) == math.ceil(frac * len(rows))
+
+
+@prop
+@given(toks=st.lists(st.sampled_from("abcdefg"), min_size=5, max_size=60),
+       w=st.sampled_from([2, 4, 7]))
+def test_winnow_density_and_coverage_guarantee(spark, toks, w):
+    """Winnowing invariants for any token stream: every window of w
+    consecutive k-gram hashes contains a selected position (the coverage
+    guarantee), and selected positions are distinct grams of the doc."""
+    from neo_server_spark.datapipe import curate
+    k = 3
+    df = spark.createDataFrame([(0, " ".join(toks))], ["doc_id", "text"])
+    got = sorted(r["pos"] for r in
+                 curate.winnow_fingerprints(df, k=k, w=w).collect())
+    n_grams = len(toks) - k + 1
+    assert all(1 <= p <= n_grams for p in got)
+    if n_grams >= w:
+        for s in range(1, n_grams - w + 2):
+            assert any(s <= p <= s + w - 1 for p in got), (s, got)
+
+
+@prop
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["x", "y"]),
+              st.integers(min_value=0, max_value=10**6)),
+    min_size=1, max_size=25))
+def test_mad_outlier_never_flags_majority(spark, rows):
+    """Modified z-score with MAD: at most half the rows of any group can
+    be outliers (the median absolute deviation covers >= 50% by
+    definition) — 0.6745 * MAD / MAD = 0.6745 < 3."""
+    from neo_server_spark.datapipe import curate
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        ["doc_id", "source", "n_chars"])
+    out = curate.mad_outliers(df).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["source"], []).append(r["outlier"])
+    for g, flags in by_g.items():
+        assert sum(flags) <= len(flags) / 2, (g, flags)
+
+
+def test_backup_restore_roundtrip_random_rows(spark, tmp_path):
+    """restore(backup(catalog)) reproduces the catalog exactly, incl.
+    NULLs, negative times and unicode strings."""
+    from neo_server_spark.sqlx import backup as bk
+    from neo_server_spark.sqlx import ddl
+    saved = dict(ddl._TABLES)
+    ddl._TABLES.clear()
+    try:
+        ddl.exec_sql(spark, "CREATE LOOKUP TABLE RT(k varchar(40) primary "
+                            "key, t datetime, v double)")
+        rows = [("α", -5, 1.25), ("b", 0, None), ("c", None, -0.5)]
+        for r in rows:
+            ddl.exec_sql(spark, "INSERT INTO rt VALUES (?, ?, ?)", r)
+        before = sorted(ddl._TABLES["rt"]["rows"])
+        p = str(tmp_path / "rt_bk")
+        ddl.exec_sql(spark, f"BACKUP DATABASE INTO DISK = '{p}'")
+        ddl.exec_sql(spark, "DROP TABLE rt")
+        ddl.exec_sql(spark, f"RESTORE DATABASE FROM DISK = '{p}'")
+        assert sorted(ddl._TABLES["rt"]["rows"]) == before
+    finally:
+        ddl._TABLES.clear()
+        ddl._TABLES.update(saved)
