@@ -2742,6 +2742,37 @@ def _q_tfidf_terms(spark, sf_dir):
     return curate.tfidf_top_terms(docs, top_k=3).orderBy("doc_id", "rank")
 
 
+def _q_streaming_curation(spark, sf_dir):
+    """End-to-end STREAMING curation (streaming/curation.py): readStream
+    over documents -> C4 clean (scan-side) -> incremental dedup against
+    the persistent digest index -> curated parquet, one availableNow
+    batch; checked against the batch SQL oracle (same technique as
+    streaming_rollup).  The index accumulates across runs so continuous
+    corpus building never rescans curated data."""
+    import tempfile
+    import uuid
+
+    from neo_server_spark.streaming import curation
+
+    path = f"{sf_dir}/documents.parquet"
+    import os as _os
+    schema = spark.read.parquet(path).schema
+    if _os.path.isdir(path):
+        src = spark.readStream.schema(schema).parquet(path)
+    else:
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+    lined = src.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("__tk"),
+    ).select("doc_id", F.expr(_LINED_EXPR).alias("text"))
+    base = tempfile.mkdtemp(prefix="stream_curate_" + uuid.uuid4().hex[:6])
+    out, idx, ck = f"{base}/out", f"{base}/idx", f"{base}/ck"
+    q = curation.stream_curate(lined, idx, out, ck, sep="|")
+    q.awaitTermination(180)
+    return spark.read.parquet(out).select("doc_id", "text").orderBy("doc_id")
+
+
 def _q_lm2(spark, sf_dir):
     """Interpolated bigram LM scoring (curate.lm_score_bigram — the
     CCNet-style perplexity filter, self-trained): unigram/bigram tables
@@ -2796,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": _q_winnow_fp,
         "winnow_overlap": _q_winnow_overlap,
         "tfidf_terms": _q_tfidf_terms,
+        "streaming_curation": _q_streaming_curation,
         "lm2": _q_lm2,
         "char_entropy": _q_char_entropy,
         "mad_outliers": _q_mad_outliers,
@@ -3137,6 +3169,38 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY id_a, id_b
+        """,
+        "streaming_curation": f"""
+            WITH lined AS ({_LINED_DUCK}),
+            base AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, '|'),
+                                 l -> trim(l)), l ->
+                         l <> ''
+                         AND (ends_with(l, '.') OR ends_with(l, '!')
+                              OR ends_with(l, '?') OR ends_with(l, '"')
+                              OR ends_with(l, ''''))
+                         AND len(list_filter(string_split(l, ' '),
+                                 w -> w <> '')) >= 5
+                         AND NOT contains(lower(l), 'javascript')) AS kept,
+                     lower(text) AS low
+              FROM lined
+            ),
+            clean AS (
+              SELECT doc_id, array_to_string(kept, '|') AS text
+              FROM base
+              WHERE NOT contains(low, 'lorem ipsum')
+                AND NOT contains(low, '{{')
+                AND len(kept) >= 3
+            ),
+            keep AS (
+              SELECT md5(text) AS d, min(doc_id) AS doc_id
+              FROM clean GROUP BY 1
+            )
+            SELECT c.doc_id, c.text
+            FROM clean c JOIN keep k
+              ON md5(c.text) = k.d AND c.doc_id = k.doc_id
+            ORDER BY c.doc_id
         """,
         "lm2": """
             WITH toks AS (

@@ -388,3 +388,53 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = sorted((r.name, r.time, r.value)
                   for r in spark.read.parquet(str(out_dir)).collect())
     assert rows == [("a", 1 * ns, 10.0), ("a", 2 * ns, 20.0), ("b", 1 * ns, 1.0)]
+
+
+def test_stream_curate_end_to_end_and_cross_run_index(spark, tmp_path):
+    """Streaming curation (streaming/curation.py): C4 clean + incremental
+    dedup inside foreachBatch.  Run 1 curates a directory; run 2 sees new
+    files whose docs partially duplicate run 1 — the persistent digest
+    index must drop them WITHOUT rescanning the curated corpus."""
+    import pyspark.sql.functions as F
+    from neo_server_spark.streaming import curation
+
+    good = "this line has plenty of words and punctuation."
+    other = "a different proper sentence with enough words here!"
+    junk = "short."
+    src = tmp_path / "in"
+    out = str(tmp_path / "curated")
+    idx = str(tmp_path / "index")
+    src.mkdir()
+
+    spark.createDataFrame(
+        [(0, f"{good}\n{junk}\n{other}"),     # survives, junk line dropped
+         (1, f"{good}\n{other}"),             # duplicate text of doc 0's clean
+         (2, "lorem ipsum dolor sit amet and then some more.")],  # page kill
+        ["doc_id", "text"]).coalesce(1).write.parquet(str(src / "b1"))
+
+    schema = "doc_id long, text string"
+
+    def run(sub):
+        stream = spark.readStream.schema(schema).parquet(str(src / sub))
+        q = curation.stream_curate(
+            stream, idx, out, str(tmp_path / f"ck_{sub}"), min_lines=2)
+        q.awaitTermination(120)
+
+    run("b1")
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    # doc 1's cleaned text == doc 0's cleaned text -> min id wins; doc 2 dies
+    assert set(got) == {0}
+    assert got[0] == f"{good}\n{other}"
+
+    # run 2: one doc duplicating run 1's output, one genuinely new
+    fresh = "an entirely new sentence that nobody has written yet!"
+    spark.createDataFrame(
+        [(10, f"{good}\n{other}"),            # already in the index
+         (11, f"{fresh}\n{other}")],          # new
+        ["doc_id", "text"]).coalesce(1).write.parquet(str(src / "b2"))
+    run("b2")
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {0, 11}
+    # the index holds exactly the distinct curated digests
+    n_idx = spark.read.parquet(idx).distinct().count()
+    assert n_idx == 2
