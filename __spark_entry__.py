@@ -2580,13 +2580,13 @@ MIX_BUDGET = 10000.0
 
 def _q_semdedup(spark, sf_dir):
     """SemDeDup (datapipe.dedup.semdedup — Abbas et al. 2023): embeddings
-    clustered to 8 fixed centroids (the first 8 vectors — deterministic, so
+    clustered to 32 fixed centroids (the first 32 vectors — deterministic, so
     the assignment itself is SQL-checkable), then near-identical pairs are
     pruned WITHIN clusters only.  The oracle replays nearest-centroid
     argmin + the cluster-local cosine sweep, certifying assignment, pair
     generation, keep-lowest-id policy, and the cosine math end-to-end."""
     emb = nio.load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < 8).select(
+    cents = emb.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     return dedup.semdedup(emb, cents, threshold=0.4).orderBy("vec_id")
 
@@ -5680,7 +5680,7 @@ def oracle_sql() -> dict[str, str]:
         # tie-break cid) + cluster-local cosine sweep, keep-lowest-id.
         "semdedup": """
             WITH c AS (SELECT vec_id AS cid, embedding AS cv
-                       FROM embeddings WHERE vec_id < 8),
+                       FROM embeddings WHERE vec_id < 32),
             d AS (SELECT e.vec_id, c.cid,
                          sum((CAST(e.embedding[t.i] AS DOUBLE) - CAST(c.cv[t.i] AS DOUBLE))
                              * (CAST(e.embedding[t.i] AS DOUBLE) - CAST(c.cv[t.i] AS DOUBLE))) AS d2
