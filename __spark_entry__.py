@@ -2742,6 +2742,23 @@ def _q_tfidf_terms(spark, sf_dir):
     return curate.tfidf_top_terms(docs, top_k=3).orderBy("doc_id", "rank")
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """The full Gopher quality rule set (Rae et al. 2021 Table A1;
+    curate.gopher_quality): word-count/mean-length/symbol-ratio/bullet/
+    ellipsis/alpha-fraction/stop-word rules, all scan-side array
+    arithmetic with per-rule booleans and the combined keep."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return curate.gopher_quality(docs).orderBy("doc_id")
+
+
+def _q_readability(spark, sf_dir):
+    """Flesch reading-ease screen (curate.readability): vowel-run
+    syllable counting and terminal-punctuation sentence splitting,
+    closed-form score — zero shuffle."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return curate.readability(docs).orderBy("doc_id")
+
+
 def _q_streaming_curation(spark, sf_dir):
     """End-to-end STREAMING curation (streaming/curation.py): readStream
     over documents -> C4 clean (scan-side) -> incremental dedup against
@@ -2827,6 +2844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": _q_winnow_fp,
         "winnow_overlap": _q_winnow_overlap,
         "tfidf_terms": _q_tfidf_terms,
+        "gopher_quality": _q_gopher_quality,
+        "readability": _q_readability,
         "streaming_curation": _q_streaming_curation,
         "lm2": _q_lm2,
         "char_entropy": _q_char_entropy,
@@ -3169,6 +3188,74 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY id_a, id_b
+        """,
+        "gopher_quality": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS w,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                 l -> trim(l)), l -> l <> '') AS l
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(w) AS n_words,
+                     round(list_sum(list_transform(w, x -> len(x))) * 1.0
+                           / greatest(len(w), 1), 6) AS mean_word_len,
+                     round(list_sum(list_transform(w, x -> len(x)
+                           - len(replace(replace(x, '#', ''), '...', ''))))
+                           * 1.0 / greatest(len(w), 1), 6) AS symbol_ratio,
+                     round(len(list_filter(l, x -> x LIKE '-%' OR
+                           x LIKE '*%' OR x LIKE '•%')) * 1.0
+                           / greatest(len(l), 1), 6) AS bullet_frac,
+                     round(len(list_filter(l, x -> x LIKE '%...')) * 1.0
+                           / greatest(len(l), 1), 6) AS ellipsis_frac,
+                     round(len(list_filter(w, x ->
+                           regexp_matches(x, '[a-zA-Z]'))) * 1.0
+                           / greatest(len(w), 1), 6) AS alpha_word_frac,
+                     len(list_intersect(list_transform(w, x -> lower(x)),
+                         ['the','be','to','of','and','that','have','with']))
+                       AS n_stop_words
+              FROM base
+            )
+            SELECT *,
+                   n_words >= 50 AND n_words <= 100000 AS ok_words,
+                   mean_word_len >= 3 AND mean_word_len <= 10 AS ok_mean_len,
+                   symbol_ratio <= 0.1 AS ok_symbols,
+                   bullet_frac < 0.9 AS ok_bullets,
+                   ellipsis_frac < 0.3 AS ok_ellipsis,
+                   alpha_word_frac >= 0.8 AS ok_alpha,
+                   n_stop_words >= 2 AS ok_stops,
+                   (n_words >= 50 AND n_words <= 100000)
+                   AND (mean_word_len >= 3 AND mean_word_len <= 10)
+                   AND symbol_ratio <= 0.1 AND bullet_frac < 0.9
+                   AND ellipsis_frac < 0.3 AND alpha_word_frac >= 0.8
+                   AND n_stop_words >= 2 AS keep
+            FROM m ORDER BY doc_id
+        """,
+        "readability": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS w
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     greatest(len(w), 1) AS n_words,
+                     greatest(len(list_filter(regexp_split_to_array(text,
+                              '[.!?]+'), s -> trim(s) <> '')), 1)
+                       AS n_sentences,
+                     CAST(list_sum(list_transform(w, x -> greatest(1,
+                         len(list_filter(string_split(regexp_replace(
+                             lower(x), '[^aeiouy]+', ' ', 'g'), ' '),
+                             s -> s <> '')))))
+                          AS BIGINT) AS n_syllables
+              FROM base
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                         - 84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch
+            FROM m ORDER BY doc_id
         """,
         "streaming_curation": f"""
             WITH lined AS ({_LINED_DUCK}),

@@ -518,3 +518,115 @@ def mad_outliers(docs: DataFrame, value_col: str = "n_chars",
              / F.greatest("mad", F.lit(1e-12)) > z).alias("outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+#: the 8 Gopher "stop words" — a doc must contain at least 2 of them
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", sep: str = "\n",
+                   min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """The full Gopher quality-filter rule set (Rae et al. 2021 Table A1),
+    beyond the repetition family in ``text.repetition_stats``:
+
+      * word count in [min_words, max_words]
+      * mean word length in [3, 10]
+      * symbol-to-word ratio ('#' or '...') <= 0.1
+      * < 90% of lines starting with a bullet, < 30% ending with '...'
+      * >= 80% of words contain at least one alphabetic character
+      * contains >= 2 of the 8 Gopher stop words
+
+    Output: per-document measurements, one boolean per rule, and the
+    combined ``keep``.  Everything is per-row array arithmetic — zero
+    shuffle, filters run during the parquet scan.
+    """
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
+    d = docs.select(F.col(id_col), toks.alias("__w"),
+                    _lines(text_col, sep).alias("__l"))
+    n_w = F.size("__w").cast("double")
+    mean_len = F.expr(
+        "aggregate(__w, 0L, (a, w) -> a + length(w))") / F.greatest(
+        n_w, F.lit(1.0))
+    symbols = F.expr(
+        "aggregate(__w, 0L, (a, w) -> a + length(w) "
+        "- length(replace(replace(w, '#', ''), '...', '')))")
+    sym_ratio = symbols / F.greatest(n_w, F.lit(1.0))
+    n_l = F.size("__l").cast("double")
+    bullet_frac = F.expr(
+        "size(filter(__l, l -> l like '-%' or l like '*%' or l like '•%'))"
+    ) / F.greatest(n_l, F.lit(1.0))
+    ellipsis_frac = F.expr(
+        "size(filter(__l, l -> l like '%...'))") / F.greatest(n_l, F.lit(1.0))
+    alpha_frac = F.expr(
+        "size(filter(__w, w -> w rlike '[a-zA-Z]'))") / F.greatest(
+        n_w, F.lit(1.0))
+    stops = F.expr(
+        "size(array_intersect(transform(__w, w -> lower(w)), array("
+        + ", ".join(f"'{s}'" for s in GOPHER_STOPS) + ")))")
+    m = d.select(
+        id_col,
+        n_w.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stops.cast("long").alias("n_stop_words"),
+    )
+    rules = {
+        "ok_words": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_len": (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10),
+        "ok_symbols": F.col("symbol_ratio") <= 0.1,
+        "ok_bullets": F.col("bullet_frac") < 0.9,
+        "ok_ellipsis": F.col("ellipsis_frac") < 0.3,
+        "ok_alpha": F.col("alpha_word_frac") >= 0.8,
+        "ok_stops": F.col("n_stop_words") >= 2,
+    }
+    for name, cond in rules.items():
+        m = m.withColumn(name, cond)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return m.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease (readability screen)
+# ---------------------------------------------------------------------------
+
+def readability(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading ease per document:
+    ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)``, with
+    syllables approximated as vowel groups per word (min 1) and sentences
+    as terminal-punctuation runs (min 1) — the standard closed-form
+    heuristic, scan-side only.
+    """
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
+    d = docs.select(F.col(id_col), F.col(text_col).alias("__t"),
+                    toks.alias("__w"))
+    n_w = F.greatest(F.size("__w").cast("double"), F.lit(1.0))
+    # vowel groups per word (maximal [aeiouy]+ runs), at least 1 per word
+    syl = F.expr(
+        "aggregate(__w, 0L, (a, w) -> a + greatest(1L, size(filter("
+        "split(regexp_replace(lower(w), '[^aeiouy]+', ' '), ' '), "
+        "s -> s != ''))))").cast("double")
+    sents = F.greatest(
+        F.expr("size(filter(split(__t, '[.!?]+'), s -> trim(s) != ''))")
+        .cast("double"), F.lit(1.0))
+    score = (F.lit(206.835) - F.lit(1.015) * (n_w / sents)
+             - F.lit(84.6) * (syl / n_w))
+    return d.select(
+        id_col,
+        n_w.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+        F.round(score, 6).alias("flesch"),
+    )

@@ -205,3 +205,43 @@ def test_dedup_incremental_drops_seen_and_in_batch(spark):
          (13, "delta")], ["doc_id", "text"])
     kept = sorted(r["doc_id"] for r in dedup.dedup_incremental(new, idx).collect())
     assert kept == [11, 13]
+
+
+def test_gopher_quality_rules(spark):
+    stops = "the be to of and that have with"
+    good = (" ".join(["solid prose sentence with normal words here"] * 8)
+            + " " + stops)                       # 48+8 = 56 words
+    df = spark.createDataFrame(
+        [(0, good),
+         (1, "too short."),                               # word-count rule
+         (2, ("# " * 30 + stops + " " + "word " * 30).strip()),   # symbols
+         (3, " ".join(["zz"] * 60))],                     # mean len + stops
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in curate.gopher_quality(df).collect()}
+    assert out[0]["keep"]
+    assert not out[1]["ok_words"]
+    assert not out[2]["ok_symbols"]
+    assert not out[3]["ok_mean_len"] and not out[3]["ok_stops"]
+    assert out[0]["n_stop_words"] == 8
+
+
+def test_gopher_line_rules(spark):
+    bullets = "\n".join(["- bullet item here"] * 9 + ["a normal line"])
+    df = spark.createDataFrame([(0, bullets)], ["doc_id", "text"])
+    r = curate.gopher_quality(df).collect()[0]
+    assert r["bullet_frac"] == 0.9 and not r["ok_bullets"]
+
+
+def test_readability_flesch(spark):
+    # "the cat sat." -> 3 words, 1 sentence, 3 syllables
+    df = spark.createDataFrame([(0, "the cat sat.")], ["doc_id", "text"])
+    r = curate.readability(df).collect()[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (3, 1, 3)
+    assert abs(r["flesch"] - (206.835 - 1.015 * 3 - 84.6 * 1.0)) < 1e-6
+    # polysyllabic text scores lower
+    df2 = spark.createDataFrame(
+        [(0, "the cat sat."), (1, "extraordinary organizational "
+                                  "responsibilities accumulate.")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["flesch"] for r in curate.readability(df2).collect()}
+    assert out[1] < out[0]
