@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "lm2",
     "char_entropy",
     "dedup_incr",
+    "gopher_quality",
+    "readability",
 ]
 
 

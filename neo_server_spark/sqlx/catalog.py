@@ -317,6 +317,12 @@ def _all_table_entries(spark: SparkSession):
     for t in spark.catalog.listTables():
         if t.name.lower() in seen:
             continue
+        # engine-internal views: mounted-archive tables (queried as
+        # mount.table, not listed — machbase mounts live in V$STORAGE_*)
+        # and V$ system views themselves
+        if t.name.lower().startswith("__mnt_") or \
+                t.name.lower() == "v_storage_mount_databases":
+            continue
         try:
             cols = {c.lower() for c in spark.table(t.name).columns}
         except Exception:

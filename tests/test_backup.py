@@ -30,8 +30,15 @@ def catalog(spark):
                         " v integer)")
     ddl.exec_sql(spark, "INSERT INTO dims VALUES (?, ?)", ("a", 1))
     yield
+    for n in list(ddl._TABLES):     # drop views too, not just registry rows
+        try:
+            ddl.drop_table(spark, n)
+        except Exception:
+            pass
     ddl._TABLES.clear()
     ddl._TABLES.update(saved)
+    for n in ddl._TABLES:
+        ddl._refresh_view(spark, n)
     for n in list(bk._MOUNTS):
         try:
             bk.unmount_database(spark, n)

@@ -382,5 +382,7 @@ def test_backup_restore_roundtrip_random_rows(spark, tmp_path):
         ddl.exec_sql(spark, f"RESTORE DATABASE FROM DISK = '{p}'")
         assert sorted(ddl._TABLES["rt"]["rows"]) == before
     finally:
+        if "rt" in ddl._TABLES:
+            ddl.drop_table(spark, "rt")
         ddl._TABLES.clear()
         ddl._TABLES.update(saved)
