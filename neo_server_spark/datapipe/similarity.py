@@ -129,8 +129,67 @@ def _centroid_update(assigned: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+#: centroid matrices up to this many cells ride the Arrow fast path as a
+#: task closure; beyond it (huge codebooks) the crossJoin form keeps the
+#: centroids distributed
+_ASSIGN_CLOSURE_CELLS = 2_000_000
+
+
 def _assign(emb: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    from neo_server_spark.datapipe.similarity import dot_expr  # self, clarity
+    """Nearest-centroid assignment, bit-identical across both paths.
+
+    d2 is the SEQUENTIAL left-to-right fold Σ_j (x_j - c_j)^2 in float64
+    (the oracle replays exactly this), argmin tie-breaks on ascending cid.
+
+    Fast path: centroids collapse to a small driver matrix and each Arrow
+    batch computes d2 with a per-DIMENSION accumulation loop — the same
+    float64 operation sequence as the SQL fold, vectorized over rows —
+    so no join, no N*k row explosion, no window shuffle, and the result
+    is bitwise equal to the crossJoin form (which remains for codebooks
+    too large to ship as a closure).
+    """
+    rows = None
+    try:
+        k = centroids.count()
+        dim = centroids.select(F.size("cv")).first()[0] or 0
+        if k * max(dim, 1) <= _ASSIGN_CLOSURE_CELLS:
+            rows = centroids.orderBy("cid").collect()
+    except Exception:   # unsizeable side (e.g. streaming) -> crossJoin path
+        rows = None
+    if rows:
+        import numpy as np
+
+        cids = [r["cid"] for r in rows]
+        cmat = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+        from pyspark.sql.types import StructField, StructType
+
+        # NOTE: StructType.add mutates (and would corrupt emb's cached
+        # schema) — build a fresh StructType instead
+        out_schema = StructType(
+            list(emb.schema.fields)
+            + [StructField("cid", centroids.schema["cid"].dataType)])
+        vec_name, kk, dd = vec_col, len(cids), cmat.shape[1]
+
+        def assign_batches(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(pdf[vec_name].tolist(), dtype=np.float64)
+                best = np.full(len(pdf), np.inf)
+                bidx = np.zeros(len(pdf), dtype=np.int64)
+                for ci in range(kk):        # ascending cid = the tie-break
+                    acc = np.zeros(len(pdf))
+                    for j in range(dd):     # sequential fold, same order
+                        diff = x[:, j] - cmat[ci, j]
+                        acc = acc + diff * diff
+                    upd = acc < best
+                    best[upd] = acc[upd]
+                    bidx[upd] = ci
+                pdf = pdf.copy()
+                pdf["cid"] = [cids[i] for i in bidx]
+                yield pdf
+
+        return emb.mapInPandas(assign_batches, out_schema)
 
     joined = emb.crossJoin(F.broadcast(centroids))
     d2 = F.aggregate(
