@@ -218,12 +218,16 @@ def _bench_ingest(spark, sf_dir: str) -> dict:
         salt = max(2, default_parallelism() // 5)
         write_tag_table(df, tmp, mode="overwrite", write_salt=salt)
         shutil.rmtree(tmp)
-        t0 = time.time()
-        write_tag_table(df, tmp, mode="overwrite", write_salt=salt)
-        dt = time.time() - t0
+        # best-of-2 timed writes, same rationale as the query timings —
+        # a single run swings ~2x under GC/writer jitter
+        dt = None
+        for _rep in range(2):
+            t0 = time.time()
+            write_tag_table(df, tmp, mode="overwrite", write_salt=salt)
+            dt = min(dt or 9e9, time.time() - t0)
+            shutil.rmtree(tmp, ignore_errors=True)
         out[f"ingest_{label}_sec"] = round(dt, 3)
         out[f"ingest_{label}_rows_per_sec"] = round(n / dt)
-        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

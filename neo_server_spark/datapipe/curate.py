@@ -31,6 +31,12 @@ __all__ = [
     "winnow_profile",
     "winnow_overlap",
     "tfidf_top_terms",
+    "lm_score_bigram",
+    "char_entropy",
+    "mad_outliers",
+    "gopher_quality",
+    "readability",
+    "GOPHER_STOPS",
 ]
 
 
