@@ -2742,6 +2742,22 @@ def _q_tfidf_terms(spark, sf_dir):
     return curate.tfidf_top_terms(docs, top_k=3).orderBy("doc_id", "rank")
 
 
+def _q_corpus_card(spark, sf_dir):
+    """Dataset-card headline numbers (datapipe/report.py corpus_profile —
+    Gebru et al. 2021 'datasheets'): corpus totals + exact-dup accounting
+    in ONE aggregate pass, all map-side-combinable."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
 def _q_gopher_quality(spark, sf_dir):
     """The full Gopher quality rule set (Rae et al. 2021 Table A1;
     curate.gopher_quality): word-count/mean-length/symbol-ratio/bullet/
@@ -2846,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": _q_tfidf_terms,
         "gopher_quality": _q_gopher_quality,
         "readability": _q_readability,
+        "corpus_card": _q_corpus_card,
         "streaming_curation": _q_streaming_curation,
         "lm2": _q_lm2,
         "char_entropy": _q_char_entropy,
@@ -3188,6 +3205,16 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY id_a, id_b
+        """,
+        "corpus_card": """
+            SELECT count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                        t -> t <> ''))) AS BIGINT) AS n_tokens,
+                   count(DISTINCT md5(text)) AS n_distinct,
+                   count(DISTINCT lang) AS n_langs,
+                   count(DISTINCT source) AS n_sources
+            FROM documents
         """,
         "gopher_quality": """
             WITH base AS (

@@ -245,3 +245,15 @@ def test_readability_flesch(spark):
         ["doc_id", "text"])
     out = {r["doc_id"]: r["flesch"] for r in curate.readability(df2).collect()}
     assert out[1] < out[0]
+
+
+def test_dataset_card(spark, sf_dir):
+    from neo_server_spark import io as nio
+    from neo_server_spark.datapipe import report
+    docs = nio.load_table(spark, sf_dir, "documents")
+    card = report.dataset_card(docs, name="sf0.001")
+    assert card.startswith("# Dataset card: sf0.001")
+    for section in ("## Size", "## Duplication", "## Quality score",
+                    "## Sources", "## Languages"):
+        assert section in card
+    assert "- documents: 500" in card
