@@ -2845,15 +2845,14 @@ def _q_dedup_incr(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
-        # entries.  Round-7 window = the 4 entries added late this round
-        # (semdedup, mixture_plan/data_mixture, quality_classifier), the 21
-        # round-7 additions never yet driver-checked (codecs, lake API, BPE,
-        # substring dedup, pipeline_v2, LSH ANN), then the longest-unchecked
-        # greens (all r3-last, plus three r4-last to fill).  Everything else
-        # rotates behind for round 8.
-        # Round-8 window head: the 6 new curation operators, then the 28
-        # entries never yet driver-checked (added round 7), then the
-        # longest-unchecked greens fill the remaining slots.
+        # entries.  Round-8 window = the 14 new curation/backup-round
+        # operators (C4 rules, global line dedup, DSIR, winnowing x2,
+        # TF-IDF, Gopher rules, readability, corpus card, streaming
+        # curation, bigram LM, char entropy, MAD outliers, incremental
+        # dedup), then the 28 round-7 entries never yet driver-checked
+        # (codecs, lake API, BPE, substring dedup, pipeline_v2, LSH ANN,
+        # semdedup family), then the longest-unchecked greens fill the
+        # remaining slots.  Everything else rotates behind.
         "c4_filters": _q_c4_filters,
         "line_dedup": _q_line_dedup,
         "dsir_sample": _q_dsir_sample,

@@ -238,8 +238,10 @@ def test_substring_spans_shuffles_digests_only(spark, sf_dir):
     docs = nio.load_table(spark, sf_dir, "documents")
     plan = plan_of(dd.duplicate_spans(docs, k=8))
     import re
-    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert "text" not in m.group(1)
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts                               # the digest meet must shuffle
+    for p in parts:
+        assert "text" not in p, p
     # and the scan prunes to the two used columns
     assert re.search(r"ReadSchema: [^\n]*text", plan)
     assert not re.search(r"ReadSchema: [^\n]*n_chars", plan)
@@ -256,17 +258,23 @@ def test_contamination_benchmark_broadcasts(spark, sf_dir):
 
 
 def test_semdedup_assignment_broadcasts_and_pairs_shuffle_on_cid(spark, sf_dir):
-    """SemDeDup scale contract: centroid assignment must be a BROADCAST
-    argmin (the corpus never exchanges to get its cluster id); the only
-    corpus exchange feeding the pair join is keyed on cid."""
+    """SemDeDup scale contract (Arrow-kernel form): assignment is a
+    mapInPandas projection — the corpus never exchanges to get its
+    cluster id and never explodes to N*k rows — and the ONLY exchange in
+    the whole plan is the cid repartition feeding the grouped sweep."""
+    import re
+
     from neo_server_spark.datapipe import dedup
 
     emb = nio.load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     plan = plan_of(dedup.semdedup(emb, cents, threshold=0.4))
-    assert "BroadcastExchange" in plan          # centroids + dup-side joins
+    assert "MapInPandas" in plan                # the assignment kernel
+    assert "FlatMapGroupsInPandas" in plan      # the cluster-local sweep
     assert "CartesianProduct" not in plan       # never an unkeyed pair sweep
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges and all("cid" in e for e in exchanges), exchanges
 
 
 def test_pq_encode_codebook_broadcasts(spark, sf_dir):
@@ -320,8 +328,10 @@ def test_dedup_lines_never_shuffles_text(spark, sf_dir):
     from neo_server_spark.datapipe import curate
     docs = nio.load_table(spark, sf_dir, "documents")
     plan = plan_of(curate.dedup_lines(docs))
-    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert "text" not in m.group(1) and "line" not in m.group(1), m.group(0)
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts                               # keeper election shuffles
+    for p in parts:
+        assert "text" not in p and "line" not in p, p
 
 
 def test_dsir_ratio_table_broadcasts(spark, sf_dir):
