@@ -2742,6 +2742,22 @@ def _q_tfidf_terms(spark, sf_dir):
     return curate.tfidf_top_terms(docs, top_k=3).orderBy("doc_id", "rank")
 
 
+def _q_dedup_canonical(spark, sf_dir):
+    """Quality-aware canonicalization (dedup.canonicalize_best): within
+    each near-dup cluster keep the LONGEST member (ties to lowest id)
+    instead of the arbitrary min-id — the curation policy when duplicates
+    differ in cleanliness.  Same components as dedup_clusters plus one
+    map-side-combinable argmax groupBy."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05,
+                                      prefilter_col="lang")
+    return (
+        dedup.canonicalize_best(docs, pairs, score_col="n_chars")
+        .select("doc_id", "cluster_id", "canonical_id", "keep")
+        .orderBy("doc_id")
+    )
+
+
 def _q_corpus_card(spark, sf_dir):
     """Dataset-card headline numbers (datapipe/report.py corpus_profile —
     Gebru et al. 2021 'datasheets'): corpus totals + exact-dup accounting
@@ -2862,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "readability": _q_readability,
         "corpus_card": _q_corpus_card,
+        "dedup_canonical": _q_dedup_canonical,
         "streaming_curation": _q_streaming_curation,
         "lm2": _q_lm2,
         "char_entropy": _q_char_entropy,
@@ -3204,6 +3221,42 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY id_a, id_b
+        """,
+        "dedup_canonical": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, lang,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 3 + 1, 1) + 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+              FROM documents
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s)) * 1.0
+                    / len(list_distinct(a.s || b.s)) >= 0.05
+            ), e AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL
+              SELECT id_b, id_a FROM p
+            ), reach(id, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.src, r.comp FROM e JOIN reach r ON e.dst = r.id
+            ), labeled AS (
+              SELECT d.doc_id, d.n_chars, min(r.comp) AS cluster_id
+              FROM documents d JOIN reach r ON r.id = d.doc_id
+              GROUP BY d.doc_id, d.n_chars
+            ), best AS (
+              SELECT cluster_id, doc_id AS canonical_id FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id) AS rk
+                FROM labeled) WHERE rk = 1
+            )
+            SELECT l.doc_id, l.cluster_id, b.canonical_id,
+                   l.doc_id = b.canonical_id AS keep
+            FROM labeled l JOIN best b USING (cluster_id)
+            ORDER BY l.doc_id
         """,
         "corpus_card": """
             SELECT count(*) AS n_docs,

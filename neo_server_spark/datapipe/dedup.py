@@ -634,3 +634,31 @@ def digest_index(docs: DataFrame, text_col: str = "text",
     """The persistent index frame for :func:`dedup_incremental`: one row per
     distinct text digest (write this, not the text, between batches)."""
     return docs.select(F.md5(F.col(text_col)).alias(digest_col)).distinct()
+
+
+def canonicalize_best(docs: DataFrame, pairs: DataFrame,
+                      score_col: str = "quality",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware cluster canonicalization: within each duplicate
+    cluster (connected components over ``pairs``) keep the HIGHEST-scoring
+    member (ties to the lowest id) instead of the arbitrary min-id doc —
+    the curation policy when near-duplicates differ in cleanliness.
+
+    One extra shuffle vs :func:`dedup_clusters`: the per-cluster argmax is
+    a ``max(struct(score, -id))`` groupBy on the O(clustered docs) frame,
+    map-side combinable.  Returns every doc with its cluster id, the
+    elected ``canonical_id``, and ``keep``.
+    """
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    labeled = docs.join(comp, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("comp", F.col(id_col))).drop("comp")
+    best = (
+        labeled.groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col(score_col).alias("s"),
+                            (-F.col(id_col)).alias("ni"))).alias("b"))
+        .select("cluster_id", (-F.col("b.ni")).alias("canonical_id"))
+    )
+    return (
+        labeled.join(best, "cluster_id")
+        .withColumn("keep", F.col(id_col) == F.col("canonical_id"))
+    )

@@ -257,3 +257,18 @@ def test_dataset_card(spark, sf_dir):
                     "## Sources", "## Languages"):
         assert section in card
     assert "- documents: 500" in card
+
+
+def test_canonicalize_best_keeps_highest_score(spark):
+    from neo_server_spark.datapipe import dedup
+    docs = spark.createDataFrame(
+        [(0, 10.0), (1, 30.0), (2, 20.0), (9, 5.0)],
+        ["doc_id", "quality"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["id_a", "id_b"])
+    out = {r["doc_id"]: r for r in
+           dedup.canonicalize_best(docs, pairs).collect()}
+    # cluster {0,1,2}: doc 1 has the highest quality
+    assert all(out[i]["canonical_id"] == 1 for i in (0, 1, 2))
+    assert out[1]["keep"] and not out[0]["keep"]
+    # unpaired doc is its own canonical
+    assert out[9]["canonical_id"] == 9 and out[9]["keep"]
