@@ -2537,9 +2537,11 @@ class TqlRunner:
         df = self.spark.createDataFrame(rows, "__seq long, __key long, c0 binary")
         self._set(df, ["BYTES"])
 
+    #: accepted-and-inert source options: engine-side observability knobs
+    #: (fm_csv.go fmLogProgress) with no analytic effect
+    _INERT_SOURCE_OPTS = ("logProgress",)
+
     def stmt_CSV(self, args):
-        # source options include logProgress(n) (fm_csv.go fmLogProgress),
-        # engine-side observability — accepted and inert here
         if self.state.df is None:
             self._csv_source(args)
         else:
