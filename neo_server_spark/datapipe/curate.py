@@ -15,7 +15,6 @@ Xie et al. 2023 (arXiv:2302.03169) for DSIR; Schleimer, Wilkerson & Aiken
 
 from __future__ import annotations
 
-import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window

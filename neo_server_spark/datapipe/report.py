@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from . import dedup, text
+from . import text
 
 __all__ = ["corpus_profile", "dataset_card"]
 
