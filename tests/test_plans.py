@@ -345,3 +345,30 @@ def test_dsir_ratio_table_broadcasts(spark, sf_dir):
     plan = plan_of(curate.dsir_select(
         docs, docs.filter(F.col("lang") == "en"), 0.25))
     assert "BroadcastExchange" in plan
+
+
+def test_zorder_layout_clusters_2d_boxes(spark, tmp_path):
+    """Z-order clustering contract: an axis-aligned 2-D box predicate must
+    touch FEWER files than on a linear (one-column-sorted) layout of the
+    same data — the file-level analogue of row-group min/max skipping."""
+    import pyspark.sql.functions as F
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("x"),
+        (F.col("id") / 200).cast("long").alias("y"),
+        F.col("id").alias("v"))
+    lin, zo = str(tmp_path / "lin"), str(tmp_path / "zo")
+    (df.repartitionByRange(16, "y").sortWithinPartitions("y")
+       .write.mode("overwrite").parquet(lin))
+    nio.write_zordered(df, zo, ["x", "y"], n_files=16)
+
+    def files_touched(path):
+        d = spark.read.parquet(path).filter(
+            "x between 20 and 39 and y between 20 and 39")
+        assert d.count() == 400          # correctness of the box
+        return d.select(F.input_file_name()).distinct().count()
+
+    t_lin, t_zo = files_touched(lin), files_touched(zo)
+    # linear-on-y reads ~all x for the y stripe (2 of 16 range files);
+    # z-order confines the box to a corner of the curve
+    assert t_zo <= t_lin
+    assert t_zo <= 4, (t_lin, t_zo)
