@@ -216,8 +216,10 @@ class EngineHttpServer:
             pargs.append(f", param('p{i}')")
         script = f"SQL(param('q'){''.join(pargs)})\n{sink}({opts})"
         verb = q.split()[0].upper()
-        if verb in ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP",
-                    "ALTER", "EXEC"):
+        exec_verbs = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP",
+                      "ALTER", "EXEC", "BACKUP", "RESTORE", "MOUNT",
+                      "UNMOUNT")
+        if verb in exec_verbs:
             # non-fetch: db-sink form; the Result envelope IS the body
             # (http_query.go:812 renders result JSON for exec verbs)
             script = f"FAKE(once(1))\nSQL(param('q'){''.join(pargs)})"
@@ -228,8 +230,7 @@ class EngineHttpServer:
         except Exception as ex:
             return self._fail(h, 500, str(ex), tick)
         ct = (_CONTENT_TYPES["json"]
-              if verb in ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP",
-                          "ALTER", "EXEC") else _CONTENT_TYPES[fmt])
+              if verb in exec_verbs else _CONTENT_TYPES[fmt])
         compress = str(req.get("compress") or "") or None
         self._send(h, 200, ct, out if isinstance(out, str) else "",
                    compress=compress if compress == "gzip" else None)
