@@ -34,6 +34,14 @@ def server(spark, sf_dir, tmp_path):
     ddl._TABLES.update(saved)
     for n in ddl._TABLES:
         ddl._refresh_view(spark, n)
+    # the server registered the TESTDATA views on query — drop them so
+    # later catalog-shape tests (SHOW TABLES batteries) see a clean slate
+    for n in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        try:
+            spark.catalog.dropTempView(n)
+        except Exception:
+            pass
 
 
 def test_client_query_exec_write_tql(server):
