@@ -281,8 +281,6 @@ def embedding_dupes(emb: DataFrame, vec_col: str = "embedding", id_col: str = "v
     low-bit recall cliffs are gone because recall comes from band COUNT, not
     from widening buckets.
     """
-    from neo_server_spark.datapipe.similarity import cosine_expr
-
     if block_bits is None or bands is None:
         auto_bits, auto_bands = lsh_params(threshold, target_recall)
         block_bits = block_bits if block_bits is not None else auto_bits
@@ -301,9 +299,41 @@ def embedding_dupes(emb: DataFrame, vec_col: str = "embedding", id_col: str = "v
     )
     va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    paired = cand.join(va, "id_a").join(vb, "id_b")
+
+    # exact verify as an Arrow kernel — same sequential-fold float64 order
+    # as cosine_expr (dot/(sqrt(ssq_a)*sqrt(ssq_b))), so bitwise-equal to
+    # the SQL form the oracle replays; the interpreted HOF verify was the
+    # bottleneck when a low threshold makes candidates plentiful
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    ida_f = next(f for f in paired.schema.fields if f.name == "id_a")
+    idb_f = next(f for f in paired.schema.fields if f.name == "id_b")
+    out_schema = StructType([ida_f, idb_f, StructField("cosine", DoubleType())])
+
+    def verify(it):
+        import pandas as pd
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            xa = np.array(pdf["__va"].tolist(), dtype=np.float64)
+            xb = np.array(pdf["__vb"].tolist(), dtype=np.float64)
+            n = len(pdf)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb2 = np.zeros(n)
+            for j in range(xa.shape[1]):              # sequential folds
+                dot = dot + xa[:, j] * xb[:, j]
+                na = na + xa[:, j] * xa[:, j]
+                nb2 = nb2 + xb[:, j] * xb[:, j]
+            cos = dot / (np.sqrt(na) * np.sqrt(nb2))
+            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                                "cosine": cos})
+
     return (
-        cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cosine", cosine_expr(F.col("__va"), F.col("__vb")))
+        paired.mapInPandas(verify, out_schema)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
@@ -313,28 +343,62 @@ def band_buckets(base: DataFrame, vec_col: str, id_col: str,
                  block_bits: int, bands: int,
                  hash_fn: str = "xxhash64") -> DataFrame:
     """(id, __band, __bucket) hyperplane-LSH sketch: ``bands`` independent
-    bucketings of ``block_bits`` sign bits each — one scan, bands*bits
-    JVM-side dot products per vector, no Python.  Shared by the near-dup
+    bucketings of ``block_bits`` sign bits each.  Shared by the near-dup
     pair miner (embedding_dupes) and the ANN query path
-    (similarity.lsh_topk)."""
-    def band_bucket(band: int) -> Column:
-        expr = None
-        for b in range(block_bits):
-            bit = F.when(
-                F.aggregate(
-                    F.zip_with(F.col(vec_col),
-                               _hyperplane(F.size(F.col(vec_col)),
-                                           band * block_bits + b, hash_fn),
-                               lambda x, h: x * h),
-                    F.lit(0.0), lambda a, x: a + x,
-                ) > 0, F.lit(1 << b)).otherwise(0)
-            expr = bit if expr is None else expr + bit
-        return expr
+    (similarity.lsh_topk).
 
-    return base.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[band_bucket(i) for i in range(bands)]))
-        .alias("__band", "__bucket"))
+    The hyperplanes are CONSTANTS (seed-derived ±1 vectors), so they are
+    evaluated exactly once — one single-row Spark job over the very
+    expression the oracle replays — and the per-vector sign bits run as an
+    Arrow kernel with the same sequential-fold float64 order as the SQL
+    dot product (bitwise-equal buckets; the expression form recomputed
+    bands*bits*dim hash calls per ROW and was ~20x slower)."""
+    import numpy as np
+
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    spark = base.sparkSession
+    first = base.select(vec_col).first()
+    if first is None:          # empty input: empty sketch
+        return base.select(F.col(id_col), F.lit(0).alias("__band"),
+                           F.lit(0).alias("__bucket")).limit(0)
+    dim = len(first[0])
+    n_h = bands * block_bits
+    hp_row = spark.range(1).select(*[
+        _hyperplane(F.lit(dim), s, hash_fn).alias(f"h{s}")
+        for s in range(n_h)]).first()
+    hmat = np.array([list(hp_row[f"h{s}"]) for s in range(n_h)],
+                    dtype=np.float64)                 # (bands*bits, dim)
+    id_field = next(f for f in base.schema.fields if f.name == id_col)
+    out_schema = StructType([id_field,
+                             StructField("__band", IntegerType()),
+                             StructField("__bucket", LongType())])
+    vec_name, bb, nb = vec_col, block_bits, bands
+
+    def sketch(it):
+        import pandas as pd
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_name].tolist(), dtype=np.float64)
+            n = len(pdf)
+            buckets = np.zeros((n, nb), dtype=np.int64)
+            for band in range(nb):
+                for b in range(bb):
+                    h = hmat[band * bb + b]
+                    acc = np.zeros(n)
+                    for j in range(x.shape[1]):       # sequential fold
+                        acc = acc + x[:, j] * h[j]
+                    buckets[:, band] |= (acc > 0).astype(np.int64) << b
+            ids = np.repeat(pdf[id_col].to_numpy(), nb)
+            yield pd.DataFrame({
+                id_col: ids,
+                "__band": np.tile(np.arange(nb, dtype=np.int32), n),
+                "__bucket": buckets.reshape(-1),
+            })
+
+    return base.mapInPandas(sketch, out_schema)
 
 
 def _hyperplane(dim: Column, seed: int, hash_fn: str = "xxhash64") -> Column:
