@@ -508,20 +508,12 @@ def _q_embedding_dupes_exact(spark, sf_dir):
     """Embedding near-dup pairs, EXACT all-pairs cosine baseline (the
     oracle-checkable ground truth the LSH-blocked variant approximates;
     datapipe/dedup.py embedding_dupes is the scale path).  Self-join on
-    id<id keeps each pair once; the dot/norm fold is sequential-deterministic
-    on both engines, so values hash-match at round-6."""
-    from neo_server_spark.datapipe.similarity import cosine_expr
-
-    emb = nio.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a, b = emb.alias("a"), emb.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
-    )
-    return (pairs.filter(F.col("cosine") >= 0.35)
-            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-            .orderBy("id_a", "id_b"))
+    id<id sweep runs as an Arrow kernel (dedup.exact_cosine_pairs) with the
+    same sequential float64 folds as the SQL self-join form, so values
+    hash-match at round-6."""
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    return dedup.exact_cosine_pairs(emb, threshold=0.35) \
+        .orderBy("id_a", "id_b")
 
 
 def _q_filter_changed_retain(spark, sf_dir):

@@ -161,24 +161,69 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     scale path is :func:`minhash_lsh_pairs`).  ``prefilter_col`` (e.g. lang)
     restricts pairs to equal-key blocks, the classic blocking trick.
     """
-    sh = docs.select(
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    base = docs.select(
         F.col(id_col),
-        *( [F.col(prefilter_col)] if prefilter_col else [] ),
-        shingles(text_col, shingle_n).alias("sh"),
+        (F.col(prefilter_col) if prefilter_col else F.lit(0)).alias("__blk"),
+        F.col(text_col).alias("__t"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if prefilter_col:
-        cond = cond & (F.col(f"a.{prefilter_col}") == F.col(f"b.{prefilter_col}"))
+    id_field = next(f for f in docs.schema.fields if f.name == id_col)
+    out_schema = StructType([
+        StructField("id_a", id_field.dataType),
+        StructField("id_b", id_field.dataType),
+        StructField("jaccard", DoubleType()),
+    ])
+    n_, thr = shingle_n, threshold
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+    def block_pairs(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        raw = []
+        df_count: dict[str, int] = {}
+        for t in pdf["__t"]:
+            toks = t.split(" ")           # same as F.split: empties kept
+            s = {" ".join(toks[i:i + n_])
+                 for i in range(max(len(toks) - n_, 0) + 1)}
+            raw.append(s)
+            for g in s:
+                df_count[g] = df_count.get(g, 0) + 1
+        # EXACT pruning: block-singleton shingles can never intersect —
+        # only the true set SIZES (kept below) see them via the union
+        vocab = {g: i for i, g in enumerate(
+            sorted(g for g, c in df_count.items() if c >= 2))}
+        sets = [{vocab[g] for g in s if g in vocab} for s in raw]
+        n = len(sets)
+        words = max((len(vocab) + 63) // 64, 1)
+        m = np.zeros((n, words), dtype=np.uint64)
+        # union sizes come from the TRUE set sizes (pre-pruning)
+        sizes = np.array([len(s) for s in raw], dtype=np.int64)
+        for r, s in enumerate(sets):
+            for g in s:
+                m[r, g >> 6] |= np.uint64(1 << (g & 63))
+        ids = pdf[id_col].to_numpy()
+        out_a, out_b, out_j = [], [], []
+        for i in range(n - 1):
+            inter = pop8[(m[i] & m[i + 1:]).view(np.uint8)] \
+                .reshape(n - i - 1, -1).sum(axis=1)
+            union = sizes[i] + sizes[i + 1:] - inter
+            jac = inter / union
+            hit = np.nonzero(jac >= thr)[0]
+            out_a.extend([ids[i]] * len(hit))
+            out_b.extend(ids[i + 1 + hit])
+            out_j.extend(jac[hit])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j}
+                            ) if out_a else pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")})
+
     return (
-        a.join(b, cond)
-        .withColumn("jaccard",
-                    F.size(F.array_intersect("a.sh", "b.sh"))
-                    / F.size(F.array_union("a.sh", "b.sh")))
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.round("jaccard", 6).alias("jaccard"))
+        base.groupBy("__blk").applyInPandas(block_pairs, out_schema)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -726,3 +771,65 @@ def canonicalize_best(docs: DataFrame, pairs: DataFrame,
         labeled.join(best, "cluster_id")
         .withColumn("keep", F.col(id_col) == F.col("canonical_id"))
     )
+
+
+def exact_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """EXACT all-pairs cosine near-dup pairs — the brute-force ground
+    truth the LSH variants approximate.  O(N^2) by definition: the full
+    matrix ships to every task (it must fit to be 'exact all-pairs' at
+    all — the scale path is :func:`embedding_dupes`); each Arrow batch
+    computes its rows against all higher ids with the same per-dimension
+    sequential float64 folds as ``cosine_expr``, so results are bitwise
+    equal to the SQL self-join form.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    rows = emb.select(id_col, vec_col).orderBy(id_col).collect()
+    all_ids = np.array([r[id_col] for r in rows])
+    mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    nrm = np.zeros(len(rows))
+    for j in range(d):                        # sequential norm fold
+        nrm = nrm + mat[:, j] * mat[:, j]
+    nrm = np.sqrt(nrm)
+    id_field = next(f for f in emb.schema.fields if f.name == id_col)
+    out_schema = StructType([
+        StructField("id_a", id_field.dataType),
+        StructField("id_b", id_field.dataType),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def pairs(it):
+        import pandas as pd
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            na = np.zeros(len(pdf))
+            for j in range(d):
+                na = na + x[:, j] * x[:, j]
+            na = np.sqrt(na)
+            out_a, out_b, out_c = [], [], []
+            for r in range(len(pdf)):
+                mask = all_ids > ids[r]
+                if not mask.any():
+                    continue
+                dot = np.zeros(int(mask.sum()))
+                sub = mat[mask]
+                for j in range(d):            # sequential dot fold
+                    dot = dot + x[r, j] * sub[:, j]
+                cos = dot / (na[r] * nrm[mask])
+                hit = np.nonzero(cos >= threshold)[0]
+                out_a.extend([ids[r]] * len(hit))
+                out_b.extend(all_ids[mask][hit])
+                out_c.extend(cos[hit])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                                "cosine": out_c})
+
+    return (emb.select(id_col, vec_col).mapInPandas(pairs, out_schema)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
