@@ -84,18 +84,23 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     ms = F.transform(sh, lambda s: F.conv(
         F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % F.lit(_MH_P))
-    docs = docs.withColumn("__mh_ms", ms)  # materialize: ONE md5 pass
 
     def perm(i: int):
         a, b = _mh_affine(i)
         # single-param lambda: a 2-param one would bind Spark's (elem, idx)
         return lambda m: (F.lit(a) * m + F.lit(b)) % F.lit(_MH_P)
 
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("__mh_ms"), perm(i)))
-        for i in range(num_hashes)
-    ])
-    return docs.withColumn(out, sig).drop("__mh_ms")
+    def sig_of(ms_bound):
+        # LET-bound via transform-of-singleton: ONE md5 pass per row —
+        # a plain withColumn gets projection-collapsed back into all
+        # num_hashes branches (md5 re-evaluated 64x per row)
+        return F.array(*[
+            F.array_min(F.transform(ms_bound, perm(i)))
+            for i in range(num_hashes)
+        ])
+
+    return docs.withColumn(
+        out, F.element_at(F.transform(F.array(ms), sig_of), 1))
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -258,13 +263,19 @@ def simhash(docs: DataFrame, text_col: str = "text", out: str = "simhash",
         m = mask(i)
         return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
 
-    bit_votes = [F.aggregate(th, F.lit(0), vote(i)) for i in range(bits)]
-    sig = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        sig = sig.bitwiseOR(
-            F.when(v > 0, F.lit(mask(i))).otherwise(F.lit(0)).cast("long")
-        )
-    return docs.withColumn(out, sig)
+    def sig_of(th_bound):
+        # th_bound is the LET-bound hash array: evaluated once per row,
+        # not re-inlined into each of the ``bits`` vote aggregates
+        sig = F.lit(0).cast("long")
+        for i in range(bits):
+            v = F.aggregate(th_bound, F.lit(0), vote(i))
+            sig = sig.bitwiseOR(
+                F.when(v > 0, F.lit(mask(i))).otherwise(F.lit(0))
+                .cast("long"))
+        return sig
+
+    return docs.withColumn(
+        out, F.element_at(F.transform(F.array(th), sig_of), 1))
 
 
 def simhash_dupes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
