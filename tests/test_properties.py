@@ -386,3 +386,23 @@ def test_backup_restore_roundtrip_random_rows(spark, tmp_path):
             ddl.drop_table(spark, "rt")
         ddl._TABLES.clear()
         ddl._TABLES.update(saved)
+
+
+@prop
+@given(soup=st.text(
+    alphabet=st.sampled_from(list("ABCdef(),'\"|\\%$.0123456789 \n\t*")),
+    min_size=0, max_size=120))
+def test_tql_parser_never_hangs_or_crashes_raw(spark, soup):
+    """Malformed script text must yield a controlled error (the parser's
+    ParseError/ValueError family) or a result — never an internal
+    exception type from deep inside lowering, and never a hang."""
+    from neo_server_spark.tql.script import TqlRunner
+    try:
+        TqlRunner(spark, sf_dir=None).run(soup)
+    except Exception as ex:
+        name = type(ex).__name__
+        assert name in ("ParseError", "SyntaxError", "ValueError",
+                        "TypeError", "KeyError", "NotImplementedError",
+                        "IllegalArgumentException",
+                        "AnalysisException", "PySparkValueError",
+                        "PySparkTypeError"), (name, str(ex)[:200], soup)
