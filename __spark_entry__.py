@@ -1203,6 +1203,24 @@ def _q_multimodal_audio(spark, sf_dir):
               .orderBy("asset_id")
 
 
+def _q_multimodal_video(spark, sf_dir):
+    """REAL video decode certified by a SQL oracle: YUV4MPEG2 payloads
+    (deterministic luma pattern (a*7+f*31+k)%251) decode in a mapInPandas
+    kernel to per-frame exact luma sums; the oracle recomputes each sum
+    from the synthesis formula with generate_series
+    (datapipe/multimodal.py decode_video_y4m — stdlib only; compressed
+    containers gate on ffmpeg)."""
+    from neo_server_spark.datapipe import multimodal
+
+    assets = multimodal.synthesize_y4m_assets(spark, 6)
+    return (multimodal.video_frame_stats(assets)
+            .withColumn("frame_no", F.col("frame_no").cast("long"))
+            .withColumn("width", F.col("width").cast("long"))
+            .withColumn("height", F.col("height").cast("long"))
+            .withColumn("fps", F.col("fps").cast("long"))
+            .orderBy("asset_id", "frame_no"))
+
+
 def _q_streaming_rollup(spark, sf_dir):
     """Structured Streaming end-to-end with a BATCH ORACLE: file-source
     readStream over the events parquet -> hourly per-tag rollup (complete
@@ -2871,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "corpus_card": _q_corpus_card,
         "dedup_canonical": _q_dedup_canonical,
+        "multimodal_video": _q_multimodal_video,
         "streaming_curation": _q_streaming_curation,
         "lm2": _q_lm2,
         "char_entropy": _q_char_entropy,
@@ -3213,6 +3232,22 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY id_a, id_b
+        """,
+        "multimodal_video": """
+            WITH a AS (SELECT unnest(generate_series(0, 5)) AS asset_id),
+            f AS (
+              SELECT asset_id, unnest(generate_series(0,
+                     2 + CAST(asset_id % 3 AS INT))) AS frame_no
+              FROM a
+            )
+            SELECT asset_id, frame_no,
+                   CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+                   CAST(25 AS BIGINT) AS fps,
+                   (SELECT CAST(sum((asset_id * 7 + frame_no * 31 + k.k)
+                                    % 251) AS BIGINT)
+                    FROM (SELECT unnest(generate_series(0, 255)) AS k) k)
+                     AS sum_luma
+            FROM f ORDER BY asset_id, frame_no
         """,
         "dedup_canonical": """
             WITH RECURSIVE sh AS (

@@ -272,3 +272,26 @@ def test_canonicalize_best_keeps_highest_score(spark):
     assert out[1]["keep"] and not out[0]["keep"]
     # unpaired doc is its own canonical
     assert out[9]["canonical_id"] == 9 and out[9]["keep"]
+
+
+def test_y4m_codec_roundtrip_and_frame_stats(spark):
+    import numpy as np
+    from neo_server_spark.datapipe import multimodal as mm
+    frames = [np.arange(24, dtype=np.uint8).reshape(4, 6) + i
+              for i in range(3)]
+    blob = mm.encode_y4m(frames, fps=30)
+    w, h, fps, got = mm.decode_video_y4m(blob)
+    assert (w, h, fps, len(got)) == (6, 4, 30, 3)
+    for a, b in zip(frames, got):
+        assert (a == b).all()
+    # C420 header with chroma padding is skipped correctly
+    y = frames[0].tobytes()
+    c420 = (b"YUV4MPEG2 W6 H4 F25:1 Ip A1:1 C420jpeg\n"
+            + b"FRAME\n" + y + bytes(2 * (3 * 2)))
+    w, h, fps, got = mm.decode_video_y4m(c420)
+    assert len(got) == 1 and (got[0] == frames[0]).all()
+    # frame sampling: every 2nd frame
+    assets = mm.synthesize_y4m_assets(spark, 2)
+    out = mm.video_frame_stats(assets, every_n=2).collect()
+    assert all(r["frame_no"] % 2 == 0 for r in out)
+    assert {r["asset_id"] for r in out} == {0, 1}
