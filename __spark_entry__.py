@@ -1203,6 +1203,17 @@ def _q_multimodal_audio(spark, sf_dir):
               .orderBy("asset_id")
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming distance <= 3 (Charikar/Manku
+    et al.; dedup.simhash_hamming_pairs): the 60-bit md5-mode signature
+    splits into 4 pigeonhole blocks, candidates come from block-keyed
+    equi-joins, and only candidates pay the XOR-popcount verify.  The
+    oracle recomputes signatures, block candidacy and bit_count(xor)."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(docs, max_dist=3, hash_fn="md5") \
+        .orderBy("id_a", "id_b")
+
+
 def _q_multimodal_video(spark, sf_dir):
     """REAL video decode certified by a SQL oracle: YUV4MPEG2 payloads
     (deterministic luma pattern (a*7+f*31+k)%251) decode in a mapInPandas
@@ -2890,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_card": _q_corpus_card,
         "dedup_canonical": _q_dedup_canonical,
         "multimodal_video": _q_multimodal_video,
+        "simhash_pairs": _q_simhash_pairs,
         "streaming_curation": _q_streaming_curation,
         "lm2": _q_lm2,
         "char_entropy": _q_char_entropy,
@@ -3231,6 +3243,37 @@ def oracle_sql() -> dict[str, str]:
             FROM cold a JOIN cold b
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY id_a, id_b
+        """,
+        "simhash_pairs": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+                  FROM t),
+            v AS (
+              SELECT doc_id, i.i,
+                     sum(CASE WHEN (hv // (1::BIGINT << i.i)) % 2 = 1
+                         THEN 1 ELSE -1 END) AS vote
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) i
+              GROUP BY doc_id, i.i
+            ),
+            s AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << i)
+                              ELSE 0 END) AS BIGINT) AS sig
+              FROM v GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+              AND ((a.sig // 1) % 32768 = (b.sig // 1) % 32768
+                OR (a.sig // 32768) % 32768 = (b.sig // 32768) % 32768
+                OR (a.sig // 1073741824) % 32768
+                   = (b.sig // 1073741824) % 32768
+                OR (a.sig // 35184372088832) % 32768
+                   = (b.sig // 35184372088832) % 32768)
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
             ORDER BY id_a, id_b
         """,
         "multimodal_video": """

@@ -844,3 +844,50 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
 
     return (emb.select(id_col, vec_col).mapInPandas(pairs, out_schema)
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          bits: int = 64,
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-duplicate pairs at SimHash Hamming distance <= ``max_dist``
+    (Charikar 2002 / the Google near-dup pipeline, Manku et al. 2007):
+    the signature splits into ``max_dist + 1`` blocks — by pigeonhole any
+    pair within distance d agrees on at least one whole block — so
+    candidates come from block-keyed equi-joins and only candidates pay
+    the XOR-popcount verify.
+
+    100 TB shape: the candidate join is keyed on (block#, block value) —
+    fixed-width ints, one shuffle; signatures rejoin candidates by id;
+    no all-pairs stage anywhere.
+    """
+    sh = simhash(docs.select(id_col, text_col), text_col,
+                 bits=bits, hash_fn=hash_fn)
+    if hash_fn == "md5":
+        bits = min(bits, 60)
+    n_blocks = max_dist + 1
+    wb = bits // n_blocks
+    blocks = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), b * wb)
+        .bitwiseAND(F.lit((1 << wb) - 1)).alias(f"b{b}")
+        for b in range(n_blocks)])
+    sketch = sh.select(id_col, F.posexplode(blocks).alias("__b", "__v"))
+    cand = (
+        sketch.alias("a")
+        .join(sketch.alias("b"),
+              (F.col("a.__b") == F.col("b.__b"))
+              & (F.col("a.__v") == F.col("b.__v"))
+              & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b",
+                F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+                .cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_dist)
+    )

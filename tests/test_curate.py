@@ -295,3 +295,30 @@ def test_y4m_codec_roundtrip_and_frame_stats(spark):
     out = mm.video_frame_stats(assets, every_n=2).collect()
     assert all(r["frame_no"] % 2 == 0 for r in out)
     assert {r["asset_id"] for r in out} == {0, 1}
+
+
+def test_simhash_hamming_pairs_pigeonhole(spark):
+    """Identical docs -> distance 0; a doc pair differing in one token
+    appears iff its signature distance <= max_dist; the pigeonhole
+    candidate stage must never DROP a qualifying pair (checked against a
+    direct all-pairs model on the signatures)."""
+    from neo_server_spark.datapipe import dedup
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "the quick brown fox jumps over the lazy dog " * 3,   # dup
+             "the quick brown fox jumps over the lazy cat " * 3,
+             "entirely different words nothing shared here at all"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    d = 12
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_hamming_pairs(df, max_dist=d,
+                                                hash_fn="md5").collect()}
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            dedup.simhash(df, hash_fn="md5").collect()}
+    want = {}
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if i < j and bin(sigs[i] ^ sigs[j]).count("1") <= d:
+                want[(i, j)] = bin(sigs[i] ^ sigs[j]).count("1")
+    assert got == want
+    assert got[(0, 1)] == 0          # exact dup
