@@ -5780,7 +5780,7 @@ def oracle_sql() -> dict[str, str]:
             laid AS (
               SELECT doc_id, nt,
                      COALESCE(sum(nt) OVER (
-                       ORDER BY doc_id
+                       ORDER BY doc_id, nt
                        ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND 1 PRECEDING), 0) AS off
               FROM sized

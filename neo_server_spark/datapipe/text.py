@@ -373,32 +373,55 @@ def lm_bucket_profile(docs: DataFrame, n_buckets: int = 3,
 
 def _token_offsets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, __nt, __off) rows: each document's token count and its running
-    start offset in the ``id_col``-ordered concatenated token stream.
+    start offset in the ``(id_col, __nt)``-ordered concatenated token
+    stream.
 
     Distributed prefix sum: range-partition on id, cumulate locally under a
     PARTITIONED window, and broadcast the per-partition totals back as a
     tiny map — no single-partition global window, so the layout scales to
     any corpus.  Text never enters the plan.
+
+    Determinism hardening (the layout must be replayable bit-exact):
+    - the checkpoint is EAGER, so the range-partitioner's sampled
+      boundaries and every partition id are frozen in one materialization
+      before the totals are collected — a lazy checkpoint left a window
+      where re-evaluation could re-sample the ranges and shift every
+      downstream offset while preserving the row count;
+    - the in-partition cumulation orders by ``(id, __nt)``, a total order
+      whenever ids are unique and still multiset-deterministic under
+      duplicate ids (two docs tied on both id and token count produce
+      identical assignment rows either way);
+    - the per-partition prefix is ordered by each partition's observed
+      ``min(id)`` rather than by trusting the partition-id numbering,
+      with a disjoint-range sanity check.
     """
     from pyspark.sql.window import Window
     sized = (docs.select(F.col(id_col),
                          F.size(tokens(text_col)).alias("__nt"))
              .repartitionByRange(F.col(id_col))
-             .sortWithinPartitions(id_col)
+             .sortWithinPartitions(id_col, "__nt")
              .withColumn("__pid", F.spark_partition_id())
-             .localCheckpoint(eager=False))
-    totals = {r["__pid"]: r["t"] for r in
-              sized.groupBy("__pid").agg(F.sum("__nt").alias("t"))
-              .collect()}
+             .localCheckpoint(eager=True))
+    stats = (sized.groupBy("__pid")
+             .agg(F.sum("__nt").alias("t"),
+                  F.min(id_col).alias("lo"),
+                  F.max(id_col).alias("hi"))
+             .collect())
+    stats.sort(key=lambda r: (r["lo"] is not None, r["lo"]))
+    for a, b in zip(stats, stats[1:]):
+        if a["hi"] is not None and b["lo"] is not None and a["hi"] > b["lo"]:
+            raise RuntimeError(
+                "pack_sequences: range partitions overlap "
+                f"({a['hi']!r} > {b['lo']!r}) — layout not replayable")
     prefix, acc = {}, 0
-    for pid in sorted(totals):
-        prefix[pid] = acc
-        acc += totals[pid]
+    for r in stats:
+        prefix[r["__pid"]] = acc
+        acc += r["t"]
     pref_col = F.element_at(
-        F.create_map(*[F.lit(x) for pid in sorted(prefix)
+        F.create_map(*[F.lit(x) for pid in prefix
                        for x in (pid, prefix[pid])]),
         F.col("__pid")) if prefix else F.lit(0)
-    w = (Window.partitionBy("__pid").orderBy(id_col)
+    w = (Window.partitionBy("__pid").orderBy(id_col, "__nt")
          .rowsBetween(Window.unboundedPreceding, -1))
     return sized.withColumn(
         "__off", pref_col + F.coalesce(F.sum("__nt").over(w), F.lit(0)))

@@ -511,6 +511,71 @@ def test_pack_sequences_boundaries(spark):
         (2, 1, 88, 187)]
 
 
+def test_pack_sequences_driver_replay(spark, sf_dir):
+    """Replay pack_sequences under DRIVER conditions (200 shuffle
+    partitions, the correctness harness's default) and against adversarial
+    data (duplicate ids, NULL text, empty text): the layout must be
+    bit-identical to the DuckDB oracle AND stable across re-evaluation of
+    the same returned DataFrame — this is the regression test for the r8
+    driver hash mismatch (eager checkpoint + (id, nt) tie-break)."""
+    import duckdb
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = text.pack_sequences(docs, window=512)
+        got1 = sorted(map(tuple, out.collect()))
+        got2 = sorted(map(tuple, out.collect()))   # replay the same DF
+        assert got1 == got2, "pack_sequences layout not replay-stable"
+        want = duckdb.sql(f"""
+            WITH sized AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS nt
+              FROM '{sf_dir}/documents.parquet'),
+            laid AS (
+              SELECT doc_id, nt,
+                     COALESCE(sum(nt) OVER (ORDER BY doc_id, nt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS off
+              FROM sized),
+            chunks AS (
+              SELECT doc_id, nt, off,
+                     CAST(unnest(range(CAST(off // 512 AS BIGINT),
+                          CAST((off + nt - 1) // 512 + 1 AS BIGINT)))
+                          AS BIGINT) AS chunk_id
+              FROM laid)
+            SELECT doc_id, chunk_id,
+                   greatest(off - chunk_id * 512, 0) AS chunk_start,
+                   least(off + nt - chunk_id * 512, 512) - 1 AS chunk_end
+            FROM chunks
+        """).fetchall()
+        assert got1 == sorted(map(tuple, want))
+
+        # adversarial shape: duplicate ids (tied and untied nt), NULL and
+        # empty text — multiset determinism must survive the tie-break
+        adv = spark.createDataFrame(
+            [(5, " ".join(["w"] * 300), "s"),
+             (5, " ".join(["w"] * 300), "s"),     # full tie (id, nt)
+             (5, " ".join(["w"] * 10), "s"),      # tied id, smaller nt
+             (7, None, "s"),                       # NULL text drops out
+             (9, "", "s"),                         # 1 token ('' splits to [''])
+             (1, " ".join(["w"] * 600), "s")],
+            ["doc_id", "text", "source"])
+        a1 = sorted(map(tuple, text.pack_sequences(adv, 512).collect()))
+        a2 = sorted(map(tuple, text.pack_sequences(adv, 512).collect()))
+        assert a1 == a2
+        # offsets: doc1 [0,600) -> chunks 0,1; then (5,10) [600,610);
+        # (5,300) [610,910); (5,300) [910,1210); (9,1) [1210,1211)
+        assert a1 == sorted([
+            (1, 0, 0, 511), (1, 1, 0, 87),
+            (5, 1, 88, 97),
+            (5, 1, 98, 397),
+            (5, 1, 398, 511), (5, 2, 0, 185),
+            (9, 2, 186, 186)])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_lm_buckets_split(spark):
     docs = spark.createDataFrame(
         [(i, ("common words here" if i % 2 else "rare%d token%d x%d"
