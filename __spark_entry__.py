@@ -2536,24 +2536,25 @@ def _q_pipeline_v2(spark, sf_dir):
     sequence-packing budget — with per-stage attrition counts.
 
     Stage order follows cost: scan-side filters first, each digest-keyed
-    shuffle runs only on the previous stage's survivors, and the two
-    reused frames (repetition and substring survivors) localCheckpoint
-    once.  Text never shuffles; every cross-doc meet rides a 8/16-byte
-    digest."""
+    shuffle runs only on the previous stage's survivors, and EVERY reused
+    frame (base and s2-s7) localCheckpoints once — documents is scanned
+    exactly twice (base + benchmark split), never once per consumer.
+    Text never shuffles; every cross-doc meet rides a 8/16-byte digest."""
     from neo_server_spark.datapipe import dedup as dd
     docs = nio.load_table(spark, sf_dir, "documents") \
         .select("doc_id", "text", "source")
     bench = docs.filter(F.col("source").isin("src0", "src1"))
     base = docs.filter(~F.col("source").isin("src0", "src1")) \
-        .select("doc_id", "text")
+        .select("doc_id", "text").localCheckpoint(eager=False)
     # 2: decontamination (keep overlap < 0.2 vs the benchmark shingles)
     cont = text.contamination(base, bench, shingle_n=5, threshold=0.2) \
         .select("doc_id", "contaminated")
     s2 = (base.join(cont, "doc_id")
-          .filter(~F.col("contaminated")).select("doc_id", "text"))
+          .filter(~F.col("contaminated")).select("doc_id", "text")
+          .localCheckpoint(eager=False))
     # 3: C4-style quality floor
     s3 = (text.quality_score(s2).filter(F.col("quality") >= 0.71)
-          .select("doc_id", "text"))
+          .select("doc_id", "text").localCheckpoint(eager=False))
     # 4: Gopher repetition ceiling (gram shuffle on stage-3 survivors)
     rep = text.repetition_stats(s3, n=2).select("doc_id", "dup_gram_frac")
     s4 = (s3.join(rep, "doc_id").filter(F.col("dup_gram_frac") <= 0.09)

@@ -230,6 +230,22 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
         r"windowspecdefinition\(doc_id#\d+L ASC", plan), plan
 
 
+def test_pipeline_v2_scans_documents_at_most_twice(spark, sf_dir):
+    """pipeline_v2's per-stage attrition counts must NOT re-derive the
+    stages: base/s2…s7 each localCheckpoint once, so the returned plan
+    reads checkpoint RDDs and the `documents` parquet appears at most
+    twice in the whole DAG (base + benchmark split) — r8's executed plan
+    had NINE separate parquet scans of documents and 0 ReusedExchange."""
+    import re
+    import __spark_entry__ as entry
+    df = entry.queries()["pipeline_v2"](spark, sf_dir)
+    plan = plan_of(df)
+    n_parquet = len(re.findall(r"Scan parquet", plan))
+    assert n_parquet <= 2, f"{n_parquet} parquet scans:\n{plan[:2000]}"
+    # the stage counts must come from checkpointed RDDs
+    assert len(re.findall(r"Scan ExistingRDD", plan)) >= 6, plan[:2000]
+
+
 def test_substring_spans_shuffles_digests_only(spark, sf_dir):
     """duplicate_spans' corpus meet rides the 16-byte md5 digest: the
     text column must be pruned before every Exchange."""
