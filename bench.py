@@ -110,19 +110,43 @@ def main() -> None:
     # best-of-2 per query: a single timed run is a coin flip under GC /
     # shuffle-service jitter (round-4 recorded a phantom 19% regression on
     # code-untouched queries that a rerun contradicted); the minimum of two
-    # runs is the steady-state latency the plan actually costs
+    # runs is the steady-state latency the plan actually costs.
+    #
+    # Sections run in HISTORICAL order — the stable cross-round set FIRST,
+    # before any of the heavy round-7/8 curation queries touch the JVM —
+    # with a forced full GC at each section boundary and per-section wall
+    # clocks + host load averages in the JSON, so a cross-round comparison
+    # of `stable44_sec` is never confounded by what shares the session
+    # (rounds 4 and 8 both burned an analysis cycle on exactly that).
+    sections = [
+        ("stable44", BENCH_QUERIES[:43]),
+        ("round7", BENCH_QUERIES[43:52]),
+        ("round8", BENCH_QUERIES[52:]),
+    ]
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        best = None
-        for _rep in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+    reps: dict[str, list[float]] = {}
+    section_stats: dict[str, dict] = {}
+    for sec_name, names in sections:
+        spark.sparkContext._jvm.System.gc()
+        load0 = list(os.getloadavg())
+        sec_t0 = time.time()
+        for name in names:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            runs = []
+            for _rep in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+            reps[name] = runs
+            timings[name] = min(runs)
+        section_stats[sec_name] = {
+            "wall_sec": round(time.time() - sec_t0, 3),
+            "sum_best_sec": round(sum(timings[n] for n in names
+                                      if n in timings), 3),
+            "loadavg_at_start": [round(x, 2) for x in load0],
+        }
 
     ingest = _bench_ingest(spark, sf_dir)
 
@@ -137,9 +161,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query [rep1, rep2] raw timings — the spread IS the noise
+        # floor; a "regression" whose min sits inside the other round's
+        # spread is jitter, not a plan change
+        "query_reps": reps,
         # the first 44 names are the unchanged cross-round set; compare
         # THIS number against BENCH_r06 and earlier totals
         "stable44_sec": stable44,
+        "sections": section_stats,
         "sf": sf,
         "ingest": ingest,
     }))

@@ -73,3 +73,82 @@ class Watcher:
         new_marks = {r[self.name_col]: r["mx"] for r in frontier}
         self.marks.update({k: v for k, v in new_marks.items() if v is not None})
         return fresh
+
+
+class TagLatestWatcher:
+    """The reference's TAG-table watch semantics (spi/watch.go:179-247,
+    executeTag): per watched tag, remember the most recent basetime; when
+    it advances, emit THE latest row for that tag (one WatchData object),
+    not the backlog.  The first poll emits each tag's current latest row
+    — exactly what a reference client sees on connect.
+
+    One distributed query per poll regardless of tag count: filter to the
+    watched tags (partition-prunable on the tag layout), per-tag latest
+    row via a row_number window over the watched subset only.
+    """
+
+    def __init__(self, load, tags: list[str], name_col: str = "name",
+                 time_col: str = "time"):
+        if not tags:
+            raise ValueError("tag table watch requires at least one tag "
+                             "(spi/watch.go:110)")
+        self._load = load
+        self.tags = list(tags)
+        self.name_col, self.time_col = name_col, time_col
+        self.marks: dict[str, int] = {}
+
+    def poll(self) -> list[dict]:
+        from pyspark.sql.window import Window
+        df = self._load().filter(F.col(self.name_col).isin(self.tags))
+        w = Window.partitionBy(self.name_col) \
+            .orderBy(F.col(self.time_col).desc())
+        latest = (df.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn").collect())
+        out = []
+        for r in latest:
+            tag, t = r[self.name_col], r[self.time_col]
+            if t is None:
+                continue
+            lt = self.marks.get(tag)
+            if lt is not None and t <= lt:
+                continue
+            self.marks[tag] = t
+            out.append(r.asDict())
+        out.sort(key=lambda o: str(o.get(self.name_col)))
+        return out
+
+
+class LogWatcher:
+    """The reference's LOG-table watch semantics (spi/watch.go:249-314,
+    executeLog): high-water mark on the arrival column; the FIRST poll
+    only establishes the mark (emits nothing), later polls emit every
+    newer row in arrival order up to ``max_rows`` — more than that emits
+    a ``too many changes, omit the rest`` error event and resets the
+    mark so the next poll re-anchors at the current max.
+    """
+
+    def __init__(self, load, time_col: str = "_ARRIVAL_TIME",
+                 max_rows: int = 20):
+        self._load = load
+        self.time_col = time_col
+        self.max_rows = max(1, min(int(max_rows), 100))
+        self.mark = None
+
+    def poll(self) -> tuple[list[dict], list[str]]:
+        df = self._load()
+        if self.mark is None:
+            self.mark = df.agg(F.max(self.time_col)).first()[0]
+            return [], []
+        rows = (df.filter(F.col(self.time_col) > F.lit(self.mark))
+                .orderBy(self.time_col)
+                .limit(self.max_rows + 1).collect())
+        errs: list[str] = []
+        if len(rows) > self.max_rows:
+            rows = rows[: self.max_rows]
+            errs.append("too many changes, omit the rest")
+            self.mark = None
+        if rows and self.mark is not None:
+            self.mark = rows[-1][self.time_col]
+        elif rows:
+            pass  # mark reset above; next poll re-anchors at current max
+        return [r.asDict() for r in rows], errs
