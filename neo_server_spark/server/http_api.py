@@ -14,6 +14,11 @@ stdlib-only (ThreadingHTTPServer — no web framework in the container):
 - ``POST /db/write/<table>`` — row ingest (http_write.go:25-250):
   csv/json/ndjson payloads, ``method=insert|append``, ``header=skip``,
   ``timeformat``; answers ``success, N record(s) <method>ed``.
+- ``GET /db/watch/<table>`` — table changes as server-sent events
+  (http_query.go:109-200 handleWatchQuery over spi/watch.go): ``tag=``
+  params watch a tag table (per-tag latest row), none watches a log
+  table (arrival high-water mark); ``period``/``keep-alive``/
+  ``max-rows``/``timeformat``/``tz`` decode like the reference.
 
 Everything funnels through the SAME TqlRunner the text front-end uses —
 ``SQL(param('q'), param('p0')...)`` + the requested sink statement — so
@@ -83,6 +88,7 @@ class EngineHttpServer:
         self._backup = {"running": False, "message": "", "err": None,
                         "info": {}}
         self._backup_lock = threading.Lock()
+        self._closing = False
 
     # ------------------------------------------------------------- control
 
@@ -111,6 +117,7 @@ class EngineHttpServer:
         return self.port
 
     def stop(self) -> None:
+        self._closing = True
         if self._httpd:
             self._httpd.shutdown()
             self._httpd.server_close()
@@ -128,6 +135,11 @@ class EngineHttpServer:
                 # /web/api/query is the same handler (http.go:295,352);
                 # /web/api/machbase is its deprecated alias (http.go:292)
                 self._handle_query(h, qs, body, tick)
+            elif url.path.startswith("/db/watch/"):
+                # SSE table watch (http_query.go:109-200 handleWatchQuery)
+                tags = parse_qs(url.query).get("tag", [])
+                self._handle_watch(h, url.path[len("/db/watch/"):],
+                                   tags, qs, tick)
             elif url.path.startswith("/db/write/"):
                 self._handle_write(h, url.path[len("/db/write/"):],
                                    qs, body, tick)
@@ -653,6 +665,143 @@ class EngineHttpServer:
         else:
             df.write.mode("append").parquet(path)
         return len(rows)
+
+    # ----------------------------------------------------- /db/watch/<tbl>
+
+    #: reference clamps the poll period to >= 1s (http_query.go:121-123);
+    #: class attribute so tests can tighten the loop
+    WATCH_MIN_PERIOD = 1.0
+
+    def _table_loader(self, table: str):
+        """Resolve a watchable table to a zero-arg DataFrame loader: DDL
+        engine tables (temp view), /db/write-appended parquet under
+        fs_root, then the TESTDATA tables under sf_dir."""
+        import os as _os
+        from neo_server_spark.sqlx import ddl
+        from neo_server_spark import io as nio
+
+        t = table.lower()
+        if ddl.has_table(t):
+            return lambda: self.spark.table(t)
+        path = (self.fs_root or "/tmp") + "/" + table
+        if _os.path.isdir(path):
+            return lambda: self.spark.read.parquet(path)
+        if self.sf_dir and _os.path.exists(
+                _os.path.join(self.sf_dir, f"{t}.parquet")):
+            return lambda: nio.load_table(self.spark, self.sf_dir, t)
+        raise ValueError(f"table '{table}' does not exist")
+
+    def _handle_watch(self, h, table: str, tags: list[str], qs: dict,
+                      tick: float) -> None:
+        """``GET /db/watch/:table`` — table changes streamed as
+        server-sent events, the reference's watch journey
+        (http_query.go:109-200 handleWatchQuery over spi/watch.go).
+
+        Envelope parity: ``data: {json}\\n\\n`` per changed row,
+        ``error: msg\\n\\n`` for watcher errors, ``: keep-alive\\n\\n``
+        comments when idle past ``keep-alive``.  ``tag=`` params select
+        TAG-table mode (per-tag latest row, first poll emits the current
+        row); no tags = LOG-table mode (high-water mark on the arrival
+        column, first poll anchors silently).  ``period`` (>=1s),
+        ``keep-alive`` (default 30s), ``max-rows`` (default 100, cap
+        100) and ``timeformat``/``tz`` decode like the reference.
+        """
+        from neo_server_spark.functions.timefn import (parse_duration,
+                                                       str_time_named)
+        from neo_server_spark.streaming.watch import (LogWatcher,
+                                                      TagLatestWatcher)
+        import pyspark.sql.functions as F
+
+        def _dur(s, default_ns):
+            try:
+                return parse_duration(s) / 1e9
+            except Exception:
+                return default_ns / 1e9
+        period = max(_dur(qs.get("period", ""), 10**9),
+                     self.WATCH_MIN_PERIOD)
+        keepalive = _dur(qs.get("keep-alive", ""), 30 * 10**9) or 30.0
+        max_rows = int(qs.get("max-rows", 100) or 100)
+        timeformat = qs.get("timeformat", "ns")
+        tz = qs.get("tz")
+
+        try:
+            load_raw = self._table_loader(table)
+        except Exception as ex:
+            return self._fail(h, 500, str(ex), tick)
+
+        sample = load_raw()
+        cols = set(sample.columns)
+        time_col = ("_ARRIVAL_TIME" if "_ARRIVAL_TIME" in cols else
+                    "time" if "time" in cols else
+                    "ts" if "ts" in cols else None)
+        if time_col is None:
+            return self._fail(
+                h, 500, f"table '{table}' has no basetime column", tick)
+        name_col = "name" if "name" in cols else None
+        if tags and name_col is None:
+            return self._fail(
+                h, 500, f"table '{table}' has no tag name column", tick)
+
+        epoch_div = {"ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9}
+
+        # the watcher always keys its high-water marks on the RAW epoch-ns
+        # column (rendered values can collide within a coarser unit and
+        # would drop rows); timeformat renders at emit time only
+        if tags:
+            watcher = TagLatestWatcher(load_raw, tags,
+                                       name_col=name_col, time_col=time_col)
+        else:
+            watcher = LogWatcher(load_raw, time_col=time_col,
+                                 max_rows=max_rows)
+
+        h.send_response(200)
+        h.send_header("Content-Type", "text/event-stream")
+        h.send_header("Cache-Control", "no-cache")
+        h.send_header("Connection", "keep-alive")
+        h.end_headers()
+
+        def emit(chunk: bytes) -> None:
+            h.wfile.write(chunk)
+            h.wfile.flush()
+
+        def fmt_obj(o: dict) -> dict:
+            t = o.get(time_col)
+            if t is None:
+                return o
+            if timeformat in epoch_div:
+                return dict(o, **{time_col: int(t) // epoch_div[timeformat]})
+            # named layout: single-value render through the same layout
+            # engine the codecs use (rare path; one tiny local job)
+            row = self.spark.range(1).select(
+                str_time_named(F.lit(int(t)), timeformat,
+                               tz=tz).alias("t")).first()
+            return dict(o, **{time_col: row["t"]})
+
+        last_write = time.time()
+        next_poll = 0.0
+        try:
+            while not self._closing:
+                now = time.time()
+                if now >= next_poll:
+                    next_poll = now + period
+                    if isinstance(watcher, TagLatestWatcher):
+                        datas, errs = watcher.poll(), []
+                    else:
+                        datas, errs = watcher.poll()
+                    for o in datas:
+                        emit(b"data: " + json.dumps(
+                            fmt_obj(o), separators=(",", ":"),
+                            default=str).encode() + b"\n\n")
+                        last_write = time.time()
+                    for msg in errs:
+                        emit(f"error: {msg}\n\n".encode())
+                        last_write = time.time()
+                if time.time() - last_write >= keepalive:
+                    emit(b": keep-alive\n\n")
+                    last_write = time.time()
+                time.sleep(min(0.05, period))
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            return   # client went away — the reference's CloseNotify exit
 
 
 # --------------------------------------------------------------- backup API

@@ -290,3 +290,122 @@ def test_metrics_line_protocol_write(server, spark, tmp_path):
         raise AssertionError("expected 501")
     except urllib.error.HTTPError as e:
         assert e.code == 501
+
+
+# ------------------------------------------------------------- /db/watch SSE
+
+def _sse_open(url: str):
+    return urllib.request.urlopen(url, timeout=45)
+
+
+def _sse_event(resp) -> str:
+    """Read one SSE event (text up to the blank-line separator)."""
+    lines = []
+    while True:
+        ln = resp.readline().decode()
+        if not ln:
+            raise AssertionError("SSE stream closed early")
+        if ln.strip() == "":
+            if lines:
+                return "".join(lines).rstrip("\n")
+            continue
+        lines.append(ln)
+
+
+def _sse_next_data(resp) -> dict:
+    while True:
+        ev = _sse_event(resp)
+        if ev.startswith("data: "):
+            return json.loads(ev[len("data: "):])
+
+
+def test_watch_tag_table_sse(server, spark, monkeypatch):
+    """GET /db/watch/:table?tag= — reference watch journey
+    (http_query.go:109-200): SSE content type, the connect-time latest
+    row per tag, then one event per advance of the tag's basetime."""
+    from neo_server_spark.server.http_api import EngineHttpServer
+    from neo_server_spark.sqlx import ddl
+    monkeypatch.setattr(EngineHttpServer, "WATCH_MIN_PERIOD", 0.05)
+
+    req = urllib.request.Request(
+        f"{server}/db/watch/example?tag=tag1&period=100ms&timeformat=s")
+    with urllib.request.urlopen(req, timeout=45) as resp:
+        assert resp.headers.get("Content-Type") == "text/event-stream"
+        first = _sse_next_data(resp)
+        assert first == {"name": "tag1", "time": 3, "value": 4.5}
+        # append a newer row -> exactly one event with the new latest
+        ddl.exec_sql(spark, "INSERT INTO example VALUES (?, ?, ?)",
+                     ("tag1", 5 * 10**9, 7.5))
+        nxt = _sse_next_data(resp)
+        assert nxt == {"name": "tag1", "time": 5, "value": 7.5}
+        # stale re-insert of an OLDER time must not emit: watch tag0 sees
+        # only its own advances (per-tag keying)
+        ddl.exec_sql(spark, "INSERT INTO example VALUES (?, ?, ?)",
+                     ("tag0", 9 * 10**9, 0.25))
+        # tag0 is not watched -> nothing arrives; force a keep-alive probe
+        # by reading with a short socket timeout
+        import socket
+        resp.fp.raw._sock.settimeout(1.0)
+        try:
+            _sse_next_data(resp)
+            raise AssertionError("unwatched tag produced an event")
+        except (socket.timeout, TimeoutError):
+            pass
+
+
+def test_watch_log_table_sse(server, spark, monkeypatch):
+    """No tag params = LOG-table mode: the first poll anchors the
+    arrival high-water mark silently, later appends stream in order,
+    and more than max-rows changes emit the reference's
+    'too many changes' error event and re-anchor."""
+    import time as _time
+    from neo_server_spark.server.http_api import EngineHttpServer
+    monkeypatch.setattr(EngineHttpServer, "WATCH_MIN_PERIOD", 0.05)
+
+    # seed a log-shaped table through /db/write (parquet under fs_root)
+    post(f"{server}/db/write/wlog?format=csv", b"name-0,1000,1.0\n")
+    req = urllib.request.Request(
+        f"{server}/db/watch/wlog?period=100ms&max-rows=2")
+    with urllib.request.urlopen(req, timeout=45) as resp:
+        _time.sleep(4.0)          # anchor poll must complete first
+        post(f"{server}/db/write/wlog?format=csv",
+             b"name-1,2000,2.0\nname-2,3000,3.0\n")
+        a = _sse_next_data(resp)
+        b = _sse_next_data(resp)
+        assert (a["time"], a["value"]) == (2000, 2.0)
+        assert (b["time"], b["value"]) == (3000, 3.0)
+        # burst past max-rows -> 2 rows + error event, mark re-anchors
+        post(f"{server}/db/write/wlog?format=csv",
+             b"n,4000,4.0\nn,5000,5.0\nn,6000,6.0\nn,7000,7.0\n")
+        got, err = [], None
+        while err is None:
+            ev = _sse_event(resp)
+            if ev.startswith("data: "):
+                got.append(json.loads(ev[len("data: "):]))
+            elif ev.startswith("error: "):
+                err = ev[len("error: "):]
+        assert err == "too many changes, omit the rest"
+        assert [g["time"] for g in got] == [4000, 5000]
+
+
+def test_watch_keepalive_and_missing_table(server, monkeypatch):
+    import urllib.error
+    from neo_server_spark.server.http_api import EngineHttpServer
+    monkeypatch.setattr(EngineHttpServer, "WATCH_MIN_PERIOD", 0.05)
+    # keep-alive comments flow while the table is quiet
+    req = urllib.request.Request(
+        f"{server}/db/watch/example?tag=tag0&period=5s&keep-alive=200ms")
+    with urllib.request.urlopen(req, timeout=45) as resp:
+        _sse_next_data(resp)                    # connect-time latest row
+        ln = resp.readline().decode()
+        while ln.strip() == "":
+            ln = resp.readline().decode()
+        assert ln.startswith(": keep-alive")
+    # unknown table -> reference answers a JSON error (500)
+    try:
+        urllib.request.urlopen(
+            f"{server}/db/watch/no_such_table", timeout=45)
+        raise AssertionError("expected 500")
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+        assert "does not exist" in json.loads(e.read())["reason"]
