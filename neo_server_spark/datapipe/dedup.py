@@ -646,6 +646,37 @@ def remove_duplicate_spans(docs: DataFrame, k: int = 8,
     return clean.unionByName(rebuilt).unionByName(emptied)
 
 
+def semdedup_k(n_rows: int, rows_per_cluster: int = 8_800) -> int:
+    """Production centroid count for :func:`semdedup`: k ∝ N.
+
+    SemDeDup's published configuration is 50k clusters for LAION-440M —
+    ~8,800 embeddings per cluster — and the per-cluster sweep is
+    quadratic in cluster size, so k must SCALE WITH THE CORPUS to keep
+    per-cluster pair work flat: k = ceil(N / rows_per_cluster), floor 1.
+    A fixed k (like the 32-centroid oracle harness in __spark_entry__)
+    is a verification config, not a production setting — at 10x the rows
+    it does 100x the pair work per cluster.
+    """
+    return max(1, -(-int(n_rows) // int(rows_per_cluster)))
+
+
+def semdedup_auto(emb: DataFrame, threshold: float = 0.92,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  rows_per_cluster: int = 8_800,
+                  kmeans_iters: int = 2) -> DataFrame:
+    """:func:`semdedup` with the production codebook: k-means centroids
+    sized by :func:`semdedup_k` (k ∝ N, the paper's 50k@440M ratio), so
+    cluster sizes — and the quadratic cluster-local sweep — stay bounded
+    as the corpus grows.  One count, an IVF build, then the sweep."""
+    from neo_server_spark.datapipe.similarity import ivf_index
+
+    k = semdedup_k(emb.count(), rows_per_cluster)
+    centroids, _ = ivf_index(emb, n_centroids=k, iters=kmeans_iters,
+                             vec_col=vec_col, id_col=id_col)
+    return semdedup(emb, centroids, threshold=threshold,
+                    vec_col=vec_col, id_col=id_col)
+
+
 def semdedup(emb: DataFrame, centroids: DataFrame, threshold: float = 0.92,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by

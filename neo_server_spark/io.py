@@ -319,8 +319,22 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16) -> DataFrame:
     Each column is normalized to [0, 2^bits) from its global min/max (one
     tiny agg, broadcast back); bit interleaving is a JVM fold over the bit
     positions.  Nulls sort first (rank 0).
+
+    ``len(cols) * bits`` is capped at 63: position 63 is the long's sign
+    bit (it would invert the sort order) and JVM shift counts wrap mod 64
+    beyond it (silently colliding keys), so ``bits`` auto-reduces to the
+    widest per-column width that fits — more useful than refusing, since
+    the high interleaved bits dominate clustering quality anyway.
     """
     import pyspark.sql.functions as F
+
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    max_bits = 63 // len(cols)
+    if max_bits < 1:
+        raise ValueError(f"too many z-order columns ({len(cols)}): "
+                         "63 usable key bits")
+    bits = min(int(bits), max_bits)
 
     aggs = []
     for c in cols:

@@ -816,14 +816,19 @@ def _backup_sql_text(archive: dict, base_dir: str | None) -> str:
     path = archive.get("path") or ""
     if not path:
         raise ValueError("path is required")
+    if "'" in path or "\n" in path:
+        raise ValueError("invalid path")
     if not _os.path.isabs(path) and base_dir:
         path = _os.path.join(base_dir, path)
     if typ == "database":
         target = "DATABASE"
     elif typ == "table":
-        if not archive.get("tableName"):
+        tname = archive.get("tableName") or ""
+        if not tname:
             raise ValueError("table name is empty")
-        target = f"TABLE {archive['tableName']}"
+        if not tname.replace("_", "").isalnum():
+            raise ValueError(f'invalid table name "{tname}"')
+        target = f"TABLE {tname}"
     else:
         raise ValueError(f'invalid backup "{archive.get("type")}"')
     dur = archive.get("duration") or {}
@@ -832,13 +837,24 @@ def _backup_sql_text(archive: dict, base_dir: str | None) -> str:
         return f"BACKUP {target} INTO DISK = '{path}'"
     if dtyp == "incremental":
         after = dur.get("after") or ""
+        if "'" in after or "\n" in after:
+            raise ValueError("invalid after path")
         if not _os.path.isabs(after) and base_dir:
             after = _os.path.join(base_dir, after)
         return f"BACKUP {target} AFTER '{after}' INTO DISK = '{path}'"
     if dtyp == "time":
-        from_sql = dur.get("from") or "0"
-        to_sql = (f"FROM_UNIXTIME({dur['to']})" if dur.get("to")
-                  else "sysdate")
+        # from/to must be epoch integers — a stray quote or word would
+        # otherwise surface as a misleading 'unsupported DDL' 500
+        def _epoch(v, default):
+            if v in (None, ""):
+                return default
+            try:
+                return str(int(v))
+            except (TypeError, ValueError):
+                raise ValueError(f'invalid backup time "{v}"')
+        from_sql = _epoch(dur.get("from"), "0")
+        to_v = _epoch(dur.get("to"), None)
+        to_sql = f"FROM_UNIXTIME({to_v})" if to_v is not None else "sysdate"
         return (f"BACKUP {target} FROM FROM_UNIXTIME({from_sql}) "
                 f"TO {to_sql} INTO DISK = '{path}'")
     raise ValueError(f'invalid backup type "{dur.get("type")}"')
@@ -883,23 +899,29 @@ def _backup_routes(api: "EngineHttpServer", h, sub: str, qs: dict,
 
     if sub == "archive" and h.command == "POST":
         archive = json.loads(body.decode() or "{}")
-        if api._backup["running"]:
-            return api._fail(h, 500, "backup is running.", tick)
         try:
             sql_text = _backup_sql_text(archive, api.backup_dir)
         except ValueError as ex:
             return api._fail(h, 400, str(ex), tick)
+        # compare-and-set ON THE REQUEST THREAD: two concurrent POSTs must
+        # not both pass the guard, and a status poll right after the accept
+        # must already read running=True (backupd.go's one-backup-at-a-time)
+        with api._backup_lock:
+            if api._backup["running"]:
+                return api._fail(h, 500, "backup is running.", tick)
+            api._backup.update(running=True, info=archive)
 
         def run():
-            with api._backup_lock:
-                api._backup.update(running=True, info=archive)
-                try:
-                    from neo_server_spark.sqlx import ddl
-                    ddl.exec_sql(api.spark, sql_text)
-                    api._backup.update(err=None, message="", info={})
-                except Exception as ex:   # surfaces through /archive/status
-                    api._backup.update(err=True, message=str(ex))
-                api._backup["running"] = False
+            try:
+                from neo_server_spark.sqlx import ddl
+                ddl.exec_sql(api.spark, sql_text)
+                with api._backup_lock:
+                    api._backup.update(err=None, message="", info={},
+                                       running=False)
+            except Exception as ex:   # surfaces through /archive/status
+                with api._backup_lock:
+                    api._backup.update(err=True, message=str(ex),
+                                       running=False)
 
         threading.Thread(target=run, daemon=True).start()
         return ok()

@@ -212,24 +212,52 @@ def _refresh_mounts_view(spark: SparkSession) -> None:
     ).createOrReplaceTempView("v_storage_mount_databases")
 
 
+#: FROM/JOIN followed by a comma-separated list of (possibly qualified,
+#: possibly aliased) table references — the only position where a
+#: ``mount.table`` token means a table (never a column reference like
+#: ``alias.col`` in SELECT/WHERE, which an earlier blanket rewrite
+#: silently hijacked when an alias collided with a mount name)
+_FROM_LIST = re.compile(
+    r"(?i)\b(from|join)(\s+)"
+    r"((?:\w+\.){0,2}\w+(?:\s+(?:as\s+)?\w+)?"
+    r"(?:\s*,\s*(?:\w+\.){0,2}\w+(?:\s+(?:as\s+)?\w+)?)*)")
+
+_QNAME = re.compile(r"^(\w+)\.(?:(\w+)\.)?(\w+)(.*)$", re.S)
+
+
 def rewrite_mounts(q: str) -> str:
     """Rewrite machbase mounted-table references —
     ``mount_name.table`` / ``mount_name.user.table`` — to the mount's
     registered views, and ``V$STORAGE_MOUNT_DATABASES`` to its view.
-    Inert when nothing is mounted and the system view isn't referenced."""
+    Inert when nothing is mounted and the system view isn't referenced.
+
+    Token-aware: string literals are never touched, and only identifiers
+    in table-reference position (after FROM/JOIN, including comma lists)
+    rewrite — ``a.events`` as a column reference under an alias ``a``
+    stays a column reference even while a mount named ``a`` exists."""
     q = re.sub(r"V\$STORAGE_MOUNT_DATABASES",
                "v_storage_mount_databases", q, flags=re.I)
     if not _MOUNTS:
         return q
 
-    def repl(m: re.Match) -> str:
-        mount = m.group(1).lower()
-        table = m.group(3).lower()
-        if mount in _MOUNTS and table in _MOUNTS[mount]["tables"]:
-            return _mount_view(mount, table)
-        return m.group(0)
+    def rw_item(item: str) -> str:
+        m = _QNAME.match(item)
+        if m:
+            mount, table = m.group(1).lower(), m.group(3).lower()
+            if mount in _MOUNTS and table in _MOUNTS[mount]["tables"]:
+                return _mount_view(mount, table) + m.group(4)
+        return item
 
-    return re.sub(r"\b(\w+)\.(?:(\w+)\.)?(\w+)\b", repl, q)
+    def rw_list(m: re.Match) -> str:
+        parts = re.split(r"(\s*,\s*)", m.group(3))
+        parts[::2] = [rw_item(p) for p in parts[::2]]
+        return m.group(1) + m.group(2) + "".join(parts)
+
+    # split out single-quoted literals ('' = escaped quote); rewrite only
+    # the code segments between them
+    segs = re.split(r"('(?:[^']|'')*')", q)
+    segs[::2] = [_FROM_LIST.sub(rw_list, s) for s in segs[::2]]
+    return "".join(segs)
 
 
 # ------------------------------------------------------------- SQL verbs

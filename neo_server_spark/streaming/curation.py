@@ -8,12 +8,20 @@ deduped against the accumulated index (16 bytes per ever-seen document,
 datapipe/dedup.py dedup_incremental), appended to the curated store, and
 its fresh digests merged into the index — so no batch ever rescans the
 corpus.  Same foreachBatch pattern as ingest.stream_append / the rollup
-cascade; exactly-once comes from the checkpoint + idempotent parquet
-appends.
+cascade.
+
+Exactly-once: each epoch writes to its own ``run=<ck-hash>/epoch=<N>``
+partition directory with OVERWRITE semantics, so a foreachBatch retry (or
+a checkpoint-restart replaying the epoch) rewrites the same two
+directories instead of appending duplicates — the run key is derived from
+the checkpoint location, which is what identifies a logical stream across
+restarts.  Plain flat appends (the pre-r9 layout) remain available via
+``epoch=None`` for one-shot backfills, and are at-least-once only.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pyspark.sql.functions as F
@@ -24,21 +32,42 @@ from ..datapipe import curate, dedup
 __all__ = ["curate_batch", "stream_curate"]
 
 
+def _has_parquet(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def curate_batch(spark: SparkSession, batch: DataFrame, index_dir: str,
                  out_dir: str, text_col: str = "text",
                  id_col: str = "doc_id", sep: str = "\n",
-                 min_words: int = 5, min_lines: int = 3) -> None:
+                 min_words: int = 5, min_lines: int = 3,
+                 epoch: int | None = None, run_key: str = "") -> None:
     """One micro-batch: C4 clean -> dedup vs the persistent index ->
-    append survivors + merge their digests.  Also the unit the batch
-    backfill path calls in a loop."""
+    write survivors + merge their digests.  Also the unit the batch
+    backfill path calls in a loop.
+
+    With ``epoch`` set (the streaming path), both sinks write to
+    ``run=<run_key>/epoch=<epoch>`` subdirectories with overwrite
+    semantics — a retried epoch is idempotent.  Without it, plain
+    appends (at-least-once on retry)."""
     cleaned = curate.c4_clean(batch, text_col=text_col, id_col=id_col,
                               sep=sep, min_words=min_words,
                               min_lines=min_lines)
     other = [c for c in batch.columns if c not in (text_col,)]
     cleaned = batch.select(*other).join(cleaned.drop("n_kept"), id_col)
-    if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)):
+    if _has_parquet(index_dir):
         seen = spark.read.parquet(index_dir)
+        if epoch is not None and {"run", "epoch"} <= set(seen.columns):
+            # a replayed epoch must not dedup against ITS OWN digests
+            # from the failed attempt (that would overwrite the epoch's
+            # corpus partition with an empty frame)
+            seen = seen.filter(~((F.col("run") == (run_key or "adhoc")) &
+                                 (F.col("epoch") == int(epoch))))
+        seen = seen.select("digest")
     else:
         seen = spark.createDataFrame([], "digest string")
     fresh = dedup.dedup_incremental(cleaned, seen, text_col=text_col,
@@ -46,9 +75,14 @@ def curate_batch(spark: SparkSession, batch: DataFrame, index_dir: str,
     # localCheckpoint: `fresh` feeds two sinks (corpus + index); cut the
     # lineage so the dedup join runs once, not once per sink
     fresh = fresh.localCheckpoint(eager=True)
-    fresh.write.mode("append").parquet(out_dir)
-    dedup.digest_index(fresh, text_col=text_col).write.mode("append") \
-        .parquet(index_dir)
+    digests = dedup.digest_index(fresh, text_col=text_col)
+    if epoch is None:
+        fresh.write.mode("append").parquet(out_dir)
+        digests.write.mode("append").parquet(index_dir)
+    else:
+        sub = f"run={run_key or 'adhoc'}/epoch={int(epoch)}"
+        fresh.write.mode("overwrite").parquet(f"{out_dir}/{sub}")
+        digests.write.mode("overwrite").parquet(f"{index_dir}/{sub}")
 
 
 def stream_curate(stream: DataFrame, index_dir: str, out_dir: str,
@@ -59,13 +93,20 @@ def stream_curate(stream: DataFrame, index_dir: str, out_dir: str,
     """readStream(documents) -> C4 clean -> incremental dedup -> curated
     parquet, with the digest index accumulating across batches AND across
     runs (a later stream run drops documents already curated by an
-    earlier one).  Returns the StreamingQuery."""
-    spark = stream.sparkSession
+    earlier one).  Returns the StreamingQuery.
 
-    def _batch(bdf: DataFrame, _epoch: int) -> None:
+    Epoch writes are idempotent per (checkpoint, epoch) — see the module
+    docstring — so a foreachBatch retry or a restart replaying the last
+    uncommitted epoch cannot duplicate documents in the curated output.
+    """
+    spark = stream.sparkSession
+    run_key = hashlib.md5(os.path.abspath(checkpoint).encode()) \
+        .hexdigest()[:8]
+
+    def _batch(bdf: DataFrame, epoch: int) -> None:
         curate_batch(spark, bdf, index_dir, out_dir, text_col=text_col,
                      id_col=id_col, sep=sep, min_words=min_words,
-                     min_lines=min_lines)
+                     min_lines=min_lines, epoch=epoch, run_key=run_key)
 
     w = (stream.writeStream.foreachBatch(_batch)
          .option("checkpointLocation", checkpoint))

@@ -113,6 +113,31 @@ def test_mount_query_and_unmount(spark, catalog, tmp_path):
         lake_sql(spark, "select count(*) from arch1.example").collect()
 
 
+def test_mount_rewrite_is_token_aware(spark, catalog, tmp_path):
+    """While a mount exists, only table references rewrite: an alias that
+    collides with the mount name keeps its column semantics, string
+    literals are untouched, and comma lists in FROM rewrite per item."""
+    p = str(tmp_path / "bkrw")
+    ddl.exec_sql(spark, f"BACKUP DATABASE INTO DISK = '{p}'")
+    ddl.exec_sql(spark, f"MOUNT DATABASE '{p}' TO 'arch1'")
+    from neo_server_spark.sqlx.dialect import lake_sql
+
+    # alias == mount name, column == archived table name -> must stay a
+    # column reference (the r8 blanket rewrite hijacked it)
+    got = lake_sql(spark, "select arch1.example as v from "
+                          "(select 42 as example) arch1").collect()
+    assert got[0]["v"] == 42
+    # string literal containing a mount-qualified name stays verbatim
+    got = lake_sql(spark, "select 'arch1.example' as s, count(*) n "
+                          "from arch1.example group by 1").collect()
+    assert (got[0]["s"], got[0]["n"]) == ("arch1.example", 5)
+    # comma-separated FROM list rewrites each item
+    got = lake_sql(spark, "select count(*) n from arch1.example e, "
+                          "arch1.sys.dims d").collect()
+    assert got[0]["n"] == 5
+    ddl.exec_sql(spark, "UNMOUNT DATABASE 'arch1'")
+
+
 def test_mount_errors(spark, catalog, tmp_path):
     with pytest.raises(ddl.DdlError):
         ddl.exec_sql(spark, f"MOUNT DATABASE '{tmp_path}/nope' TO 'm1'")

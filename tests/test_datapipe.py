@@ -819,3 +819,35 @@ def test_write_shards_layout(spark, tmp_path):
     assert back.count() == 30
     assert back.select("doc_id").distinct().count() == 30
     assert all(m.n_docs == 10 and m.n_tokens == 100 for m in manifest.values())
+
+
+def test_semdedup_k_scaling_bounds_cluster_pairs(spark):
+    """semdedup_k: k ∝ N (SemDeDup's 50k@440M ratio).  At 10x the rows
+    with k scaled accordingly, the expected per-cluster pair count
+    (~(N/k)^2) stays flat instead of growing 100x — the property that
+    makes the cluster-local quadratic sweep viable at corpus scale."""
+    import pyspark.sql.functions as F
+    from neo_server_spark.datapipe import dedup as dd
+
+    assert dd.semdedup_k(440_000_000, rows_per_cluster=8_800) == 50_000
+    assert dd.semdedup_k(1) == 1 and dd.semdedup_k(0) == 1
+
+    def mean_sq_cluster(n_rows, rows_per_cluster):
+        emb = spark.range(n_rows).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.sin(F.col("id") * (i + 1)).cast("double")
+                      for i in range(8)]).alias("embedding"))
+        k = dd.semdedup_k(n_rows, rows_per_cluster)
+        out = dd.semdedup_auto(emb, threshold=2.0,   # sweep only, no prunes
+                               rows_per_cluster=rows_per_cluster,
+                               kmeans_iters=1)
+        sizes = [r["c"] for r in
+                 out.groupBy("cid").agg(F.count("*").alias("c")).collect()]
+        assert len(sizes) <= k
+        return sum(s * s for s in sizes) / len(sizes)
+
+    small = mean_sq_cluster(1_000, rows_per_cluster=100)
+    big = mean_sq_cluster(10_000, rows_per_cluster=100)
+    # unscaled k would make `big` ~100x `small`; scaled k keeps the mean
+    # per-cluster pair work within a small factor (k-means imbalance)
+    assert big <= 10 * small, (small, big)

@@ -388,3 +388,20 @@ def test_zorder_layout_clusters_2d_boxes(spark, tmp_path):
     # z-order confines the box to a corner of the curve
     assert t_zo <= t_lin
     assert t_zo <= 4, (t_lin, t_zo)
+
+def test_zorder_key_bit_budget(spark):
+    """5 columns at the default bits=16 would shift past bit 63 (sign flip
+    at 64, JVM shift wrap beyond) — bits must auto-reduce so every key is
+    non-negative and distinct-per-cell, and 0 columns must refuse."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+    df = spark.range(64).select(
+        *[F.shiftright(F.col("id"), i).bitwiseAND(F.lit(1)).alias(f"c{i}")
+          for i in range(5)])
+    keyed = nio.zorder_key(df, [f"c{i}" for i in range(5)], bits=16)
+    rows = keyed.select("__z").collect()
+    assert all(r["__z"] >= 0 for r in rows)
+    # 5 binary dims over ids 0..63 -> 32 distinct cells, none colliding
+    assert len({r["__z"] for r in rows}) == 32
+    with _pytest.raises(ValueError):
+        nio.zorder_key(df, [], bits=16)

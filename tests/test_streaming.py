@@ -438,3 +438,35 @@ def test_stream_curate_end_to_end_and_cross_run_index(spark, tmp_path):
     # the index holds exactly the distinct curated digests
     n_idx = spark.read.parquet(idx).distinct().count()
     assert n_idx == 2
+
+
+def test_curate_batch_epoch_retry_idempotent(spark, tmp_path):
+    """A foreachBatch retry replays the same epoch after ANY partial
+    failure point (corpus written / both written): epoch-keyed overwrite
+    must converge to exactly one copy, never zero and never two."""
+    from neo_server_spark.streaming import curation
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    batch = spark.createDataFrame(
+        [(0, "this line has plenty of words and punctuation.\n"
+             "a different proper sentence with enough words here!")],
+        ["doc_id", "text"])
+    for _attempt in range(3):   # original + two retries
+        curation.curate_batch(spark, batch, idx, out, min_lines=2,
+                              epoch=0, run_key="ckh")
+    rows = spark.read.parquet(out).select("doc_id").collect()
+    assert [r["doc_id"] for r in rows] == [0]
+    assert spark.read.parquet(idx).select("digest").count() == 1
+    # a LATER epoch of the same run still accumulates (no cross-epoch
+    # overwrite), and its duplicate doc is dropped by the index
+    batch2 = spark.createDataFrame(
+        [(1, "this line has plenty of words and punctuation.\n"
+             "a different proper sentence with enough words here!"),
+         (2, "an entirely new sentence that nobody has written yet!\n"
+             "and one more full line to clear the line minimum, yes.")],
+        ["doc_id", "text"])
+    curation.curate_batch(spark, batch2, idx, out, min_lines=2,
+                          epoch=1, run_key="ckh")
+    got = sorted(r["doc_id"]
+                 for r in spark.read.parquet(out).select("doc_id").collect())
+    assert got == [0, 2]
