@@ -2883,64 +2883,18 @@ def _q_dedup_incr(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
-        # entries.  Round-8 window = the 14 new curation/backup-round
-        # operators (C4 rules, global line dedup, DSIR, winnowing x2,
-        # TF-IDF, Gopher rules, readability, corpus card, streaming
-        # curation, bigram LM, char entropy, MAD outliers, incremental
-        # dedup), then the 28 round-7 entries never yet driver-checked
-        # (codecs, lake API, BPE, substring dedup, pipeline_v2, LSH ANN,
-        # semdedup family), then the longest-unchecked greens fill the
-        # remaining slots.  Everything else rotates behind.
-        "c4_filters": _q_c4_filters,
-        "line_dedup": _q_line_dedup,
-        "dsir_sample": _q_dsir_sample,
-        "winnow_fp": _q_winnow_fp,
-        "winnow_overlap": _q_winnow_overlap,
-        "tfidf_terms": _q_tfidf_terms,
-        "gopher_quality": _q_gopher_quality,
-        "readability": _q_readability,
-        "corpus_card": _q_corpus_card,
-        "dedup_canonical": _q_dedup_canonical,
-        "multimodal_video": _q_multimodal_video,
-        "simhash_pairs": _q_simhash_pairs,
-        "streaming_curation": _q_streaming_curation,
-        "lm2": _q_lm2,
-        "char_entropy": _q_char_entropy,
-        "mad_outliers": _q_mad_outliers,
-        "dedup_incr": _q_dedup_incr,
-        "semdedup": _q_semdedup,
-        "similarity_pq": _q_similarity_pq,
-        "text_normalize": _q_text_normalize,
-        "shard_export": _q_shard_export,
-        "mixture_plan": _q_mixture_plan,
-        "data_mixture": _q_data_mixture,
-        "quality_classifier": _q_quality_classifier,
-        "substring_spans": _q_substring_spans,
-        "url_normalize": _q_url_normalize,
-        "domain_caps": _q_domain_caps,
-        "lm_buckets": _q_lm_buckets,
+        # entries.  Round-9 window = the fixed red row (pack_sequences) and
+        # the three entries whose code changed this round (pipeline_v2
+        # checkpointing, streaming_curation epoch idempotency, semdedup's
+        # library extension), then the LONGEST-UNCHECKED greens: all 17
+        # r3-vintage rows and 29 of the r4-vintage rows — 46 of the 50
+        # were last driver-certified at r4 or earlier, re-certifying
+        # 5-round-old greens against current code.  Everything else
+        # rotates behind (remaining r4, then r5/r6/r8 vintages).
         "pack_sequences": _q_pack_sequences,
         "pipeline_v2": _q_pipeline_v2,
-        "codec_ndjson": _q_codec_ndjson,
-        "codec_markdown": _q_codec_markdown,
-        "codec_html": _q_codec_html,
-        "codec_box": _q_codec_box,
-        "codec_json": _q_codec_json,
-        "codec_chart": _q_codec_chart,
-        "codec_geomap": _q_codec_geomap,
-        "string_source": _q_string_source,
-        "bytes_source": _q_bytes_source,
-        "similarity_lsh": _q_similarity_lsh,
-        "substring_cut": _q_substring_cut,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_encode": _q_bpe_encode,
-        "lake_api_raw": _q_lake_api_raw,
-        "lake_api_calc": _q_lake_api_calc,
-        "series_diffs": _q_series_diffs,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
+        "streaming_curation": _q_streaming_curation,
+        "semdedup": _q_semdedup,
         "tpch_q22": _q_tpch_q22,
         "dedup_clusters": _q_dedup_clusters,
         "curation_funnel": _q_curation_funnel,
@@ -2961,6 +2915,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fake_gens": _q_fake_gens,
         "boilerplate": _q_boilerplate,
         "repetition": _q_repetition,
+        "lake_decode": _q_lake_decode,
+        "tpch_q2": _q_tpch_q2,
+        "set_ops": _q_set_ops,
+        "tql_script": _q_tql_script,
+        "tql_script_js": _q_tql_script_js,
+        "lookup_join": _q_lookup_join,
+        "text_stats": _q_text_stats,
+        "token_counts": _q_token_counts,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "similarity_batch": _q_similarity_batch,
+        "multimodal_features": _q_multimodal_features,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
+        "distinct_users": _q_distinct_users,
+        "pii_scrub": _q_pii_scrub,
+        "vocab_topk": _q_vocab_topk,
+        "embedding_stats": _q_embedding_stats,
+        "lm_score": _q_lm_score,
+        "c4_filters": _q_c4_filters,
+        "line_dedup": _q_line_dedup,
+        "dsir_sample": _q_dsir_sample,
+        "winnow_fp": _q_winnow_fp,
+        "winnow_overlap": _q_winnow_overlap,
+        "tfidf_terms": _q_tfidf_terms,
+        "gopher_quality": _q_gopher_quality,
+        "readability": _q_readability,
+        "corpus_card": _q_corpus_card,
+        "dedup_canonical": _q_dedup_canonical,
+        "multimodal_video": _q_multimodal_video,
+        "simhash_pairs": _q_simhash_pairs,
+        "lm2": _q_lm2,
+        "char_entropy": _q_char_entropy,
+        "mad_outliers": _q_mad_outliers,
+        "dedup_incr": _q_dedup_incr,
+        "similarity_pq": _q_similarity_pq,
+        "text_normalize": _q_text_normalize,
+        "shard_export": _q_shard_export,
+        "mixture_plan": _q_mixture_plan,
+        "data_mixture": _q_data_mixture,
+        "quality_classifier": _q_quality_classifier,
+        "substring_spans": _q_substring_spans,
+        "url_normalize": _q_url_normalize,
+        "domain_caps": _q_domain_caps,
+        "lm_buckets": _q_lm_buckets,
+        "codec_ndjson": _q_codec_ndjson,
+        "codec_markdown": _q_codec_markdown,
+        "codec_html": _q_codec_html,
+        "codec_box": _q_codec_box,
+        "codec_json": _q_codec_json,
+        "codec_chart": _q_codec_chart,
+        "codec_geomap": _q_codec_geomap,
+        "string_source": _q_string_source,
+        "bytes_source": _q_bytes_source,
+        "similarity_lsh": _q_similarity_lsh,
+        "substring_cut": _q_substring_cut,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
+        "lake_api_raw": _q_lake_api_raw,
+        "lake_api_calc": _q_lake_api_calc,
+        "series_diffs": _q_series_diffs,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
         "scalar_funcs_tql": _q_scalar_funcs_tql,
         "tql_set_vars": _q_tql_set_vars,
         "simplex_noise": _q_simplex_noise,
@@ -3014,32 +3040,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tql_dsl": _q_tql_dsl,
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
-        "lake_decode": _q_lake_decode,
-        "tpch_q2": _q_tpch_q2,
-        "set_ops": _q_set_ops,
-        "tql_script": _q_tql_script,
-        "tql_script_js": _q_tql_script_js,
-        "lookup_join": _q_lookup_join,
-        "text_stats": _q_text_stats,
-        "token_counts": _q_token_counts,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "similarity_batch": _q_similarity_batch,
-        "multimodal_features": _q_multimodal_features,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q17": _q_tpch_q17,
-        "distinct_users": _q_distinct_users,
-        "pii_scrub": _q_pii_scrub,
-        "vocab_topk": _q_vocab_topk,
-        "embedding_stats": _q_embedding_stats,
-        "lm_score": _q_lm_score,
         "tokens_bpe": _q_tokens_bpe,
         "salted_join": _q_salted_join,
         "boilerplate_clean": _q_boilerplate_clean,

@@ -5,7 +5,7 @@ DuckDB equivalent and compares row count, column names, and values
 (rows sorted, exact match per cell with a float report showing max abs diff
 when exact fails).  Usage:
 
-    python tools/selfcheck.py [sf_dir] [query ...]
+    python tools/selfcheck.py [--json out.json] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -49,8 +49,15 @@ def main():
 
     import __spark_entry__ as entrymod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
 
     spark = get_spark(app_name="selfcheck")
     con = duckdb.connect()
@@ -143,11 +150,23 @@ def main():
                            f"{bad[0]} col {bad[1]}: {bad[2]!r} != {bad[3]!r} "
                            f"(maxdiff={max_diff:.3g})")
         print(verdict)
+        report[name] = {"pass": verdict.startswith("PASS"),
+                        "rows": len(s_rows),
+                        "spark_sec": round(spark_dt, 3),
+                        "oracle_sec": round(oracle_dt, 3)}
         if verdict.startswith("PASS"):
             n_pass += 1
         else:
             n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if json_out:
+        # machine-readable replicate: correctness sweeps double as bench
+        # samples, so a single-run bench outlier can be cross-checked
+        # against the sweep's timing instead of costing a round of analysis
+        import json as _json
+        with open(json_out, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "entries": report}, f, indent=1)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 
