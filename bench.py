@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "dedup_incr",
     "gopher_quality",
     "readability",
+    # round-9 additions: the two operators whose kernels were rebuilt for
+    # the 100x campaign (Arrow XOR-popcount verify, parallel ADC encode)
+    "simhash_pairs",
+    "similarity_pq",
 ]
 
 
@@ -121,7 +125,8 @@ def main() -> None:
     sections = [
         ("stable44", BENCH_QUERIES[:43]),
         ("round7", BENCH_QUERIES[43:52]),
-        ("round8", BENCH_QUERIES[52:]),
+        ("round8", BENCH_QUERIES[52:62]),
+        ("round9", BENCH_QUERIES[62:]),
     ]
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}

@@ -113,3 +113,32 @@ class Client:
         if status != 200:
             raise ClientError(status, text[:200])
         return text
+
+    def watch(self, table: str, tags: list[str] | None = None,
+              period: str = "1s", keep_alive: str = "30s",
+              max_rows: int = 100, timeformat: str = "ns",
+              max_events: int | None = None):
+        """Subscribe to ``GET /db/watch/:table`` (SSE) and yield one dict
+        per ``data:`` event — the reference watch journey from a client
+        (tag mode with ``tags``, log mode without).  ``error:`` events
+        raise :class:`ClientError`; keep-alive comments are skipped.
+        Generator runs until the connection drops or ``max_events``."""
+        qs = [("period", period), ("keep-alive", keep_alive),
+              ("max-rows", str(max_rows)), ("timeformat", timeformat)]
+        qs += [("tag", t) for t in (tags or [])]
+        url = (f"{self.base}/db/watch/{urllib.parse.quote(table)}?"
+               + urllib.parse.urlencode(qs))
+        seen = 0
+        with urllib.request.urlopen(url, timeout=self.timeout) as resp:
+            if resp.status != 200:
+                raise ClientError(resp.status, resp.read().decode()[:200])
+            while max_events is None or seen < max_events:
+                line = resp.readline().decode()
+                if not line:
+                    return                     # server closed the stream
+                line = line.rstrip("\n")
+                if line.startswith("data: "):
+                    seen += 1
+                    yield json.loads(line[len("data: "):])
+                elif line.startswith("error: "):
+                    raise ClientError(200, line[len("error: "):])

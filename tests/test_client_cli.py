@@ -85,3 +85,35 @@ def test_cli_sql_and_tql(spark, capsys):
         sys.stdin = old
     assert rc == 0
     assert capsys.readouterr().out.splitlines()[:3] == ["0", "1", "2"]
+
+
+def test_client_watch_generator(server, spark, monkeypatch):
+    """Client.watch: the SSE watch journey end-to-end from the stdlib
+    client — connect-time latest row, then events as the tag advances."""
+    import threading
+    from neo_server_spark.server.http_api import EngineHttpServer
+    from neo_server_spark.sqlx import ddl
+    monkeypatch.setattr(EngineHttpServer, "WATCH_MIN_PERIOD", 0.05)
+
+    c = Client(server, timeout=45)
+    got = []
+
+    def consume():
+        for ev in c.watch("example", tags=["tag1"], period="100ms",
+                          timeformat="s", max_events=2):
+            got.append(ev)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    # first event (current latest) arrives, then append a newer row
+    import time as _time
+    for _ in range(100):
+        if got:
+            break
+        _time.sleep(0.1)
+    ddl.exec_sql(spark, "INSERT INTO example VALUES (?, ?, ?)",
+                 ("tag1", 7 * 10**9, 9.5))
+    t.join(timeout=40)
+    assert not t.is_alive()
+    assert got[0] == {"name": "tag1", "time": 1, "value": 1.5}
+    assert got[1] == {"name": "tag1", "time": 7, "value": 9.5}
