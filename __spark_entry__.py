@@ -2600,6 +2600,30 @@ MIX_WEIGHTS = {"src0": 20.0, "src1": 6.0, "src2": 1.0, "src3": 1.0, "srcX": 2.0}
 MIX_BUDGET = 10000.0
 
 
+def _q_watch_latest(spark, sf_dir):
+    """TagLatestWatcher connect-time poll (streaming/watch.py — the
+    tag-mode poller behind GET /db/watch/:table, spi/watch.go:179-247
+    executeTag): the first poll emits THE latest row per watched tag,
+    deterministic under duplicate basetimes via the event_id tie-break.
+    One distributed query per poll; the oracle replays the per-tag
+    argmax row selection."""
+    from neo_server_spark.streaming.watch import TagLatestWatcher
+
+    def load():
+        return nio.events_as_tag(spark, sf_dir).select(
+            "name", "time", "value", "event_id")
+
+    w = TagLatestWatcher(load, tags=["click", "view", "error"],
+                         tiebreak_cols=["event_id"])
+    rows = w.poll()
+    assert w.poll() == []   # static data: the high-water mark holds
+    sdf = spark.createDataFrame(
+        [(r["name"], r["time"], r["value"], r["event_id"]) for r in rows],
+        "name string, time long, value double, event_id long")
+    return sdf.select("name", _us("time"), "value", "event_id") \
+        .orderBy("name")
+
+
 def _q_semdedup(spark, sf_dir):
     """SemDeDup (datapipe.dedup.semdedup — Abbas et al. 2023): embeddings
     clustered to 32 fixed centroids (the first 32 vectors — deterministic, so
@@ -2884,7 +2908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
         # entries.  Round-9 window = the fixed red row (pack_sequences) and
-        # the three entries whose code changed this round (pipeline_v2
+        # the new watch_latest entry and the three entries whose code changed
+        # this round (pipeline_v2
         # checkpointing, streaming_curation epoch idempotency, semdedup's
         # library extension), then the LONGEST-UNCHECKED greens: all 17
         # r3-vintage rows and 29 of the r4-vintage rows — 46 of the 50
@@ -2895,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_v2": _q_pipeline_v2,
         "streaming_curation": _q_streaming_curation,
         "semdedup": _q_semdedup,
+        "watch_latest": _q_watch_latest,
         "tpch_q22": _q_tpch_q22,
         "dedup_clusters": _q_dedup_clusters,
         "curation_funnel": _q_curation_funnel,
@@ -5915,6 +5941,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SemDeDup: nearest-of-8-fixed-centroids assignment (argmin L2,
         # tie-break cid) + cluster-local cosine sweep, keep-lowest-id.
+        "watch_latest": """
+            WITH latest AS (
+              SELECT event_type AS name, epoch_us(ts) AS time, value,
+                     event_id,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+              FROM events
+              WHERE event_type IN ('click', 'view', 'error')
+            )
+            SELECT name, time, value, event_id FROM latest
+            WHERE rn = 1 ORDER BY name
+        """,
         "semdedup": """
             WITH c AS (SELECT vec_id AS cid, embedding AS cv
                        FROM embeddings WHERE vec_id < 32),

@@ -88,20 +88,27 @@ class TagLatestWatcher:
     """
 
     def __init__(self, load, tags: list[str], name_col: str = "name",
-                 time_col: str = "time"):
+                 time_col: str = "time",
+                 tiebreak_cols: list[str] | None = None):
         if not tags:
             raise ValueError("tag table watch requires at least one tag "
                              "(spi/watch.go:110)")
         self._load = load
         self.tags = list(tags)
         self.name_col, self.time_col = name_col, time_col
+        #: extra DESC sort columns after the basetime: with duplicate
+        #: times per tag, "the latest row" is otherwise whichever row the
+        #: engine returns first (the reference's QueryRow does the same) —
+        #: pass a unique column to make the pick deterministic/replayable
+        self.tiebreak_cols = list(tiebreak_cols or [])
         self.marks: dict[str, int] = {}
 
     def poll(self) -> list[dict]:
         from pyspark.sql.window import Window
         df = self._load().filter(F.col(self.name_col).isin(self.tags))
         w = Window.partitionBy(self.name_col) \
-            .orderBy(F.col(self.time_col).desc())
+            .orderBy(F.col(self.time_col).desc(),
+                     *[F.col(c).desc() for c in self.tiebreak_cols])
         latest = (df.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") == 1).drop("__rn").collect())
         out = []
