@@ -2624,6 +2624,49 @@ def _q_watch_latest(spark, sf_dir):
         .orderBy("name")
 
 
+def _q_backup_mount(spark, sf_dir):
+    """BACKUP TABLE -> MOUNT DATABASE -> query-through round-trip
+    (sqlx/backup.py; reference backupd.go / machsvr mount): 40
+    deterministic click events land in a DDL tag table, archive to disk,
+    mount read-only, and the mounted view is queried via the lake
+    dialect's mount rewrite.  The oracle replays the same row selection
+    straight from events — equality certifies the archive manifest,
+    the parquet round-trip, and the mount-qualified name resolution."""
+    import tempfile
+
+    from neo_server_spark.sqlx import backup as bk
+    from neo_server_spark.sqlx import ddl
+    from neo_server_spark.sqlx.dialect import lake_sql
+
+    tbl, mname = "bkm_events", "bkmarch"
+    if mname in bk.mounts():
+        ddl.exec_sql(spark, f"UNMOUNT DATABASE '{mname}'")
+    if ddl.has_table(tbl):
+        ddl.drop_table(spark, tbl)
+    ddl.exec_sql(spark, f"CREATE TAG TABLE {tbl}("
+                        "name varchar(40) primary key, "
+                        "time datetime basetime, "
+                        "value double summarized)")
+    src = (nio.load_table(spark, sf_dir, "events")
+           .filter(F.col("event_type") == "click")
+           .orderBy("event_id").limit(40)
+           .select("event_type", F.col("ts").cast("long"), "value")
+           .collect())
+    ddl.insert_rows(spark, tbl, ["name", "time", "value"],
+                    [tuple(r) for r in src])
+    path = tempfile.mkdtemp(prefix="bkm_arch_")
+    ddl.exec_sql(spark, f"BACKUP TABLE {tbl} INTO DISK = '{path}'")
+    ddl.exec_sql(spark, f"MOUNT DATABASE '{path}' TO '{mname}'")
+    rows = lake_sql(spark, f"select name, time, value "
+                           f"from {mname}.{tbl}").collect()
+    ddl.exec_sql(spark, f"UNMOUNT DATABASE '{mname}'")
+    ddl.drop_table(spark, tbl)
+    out = spark.createDataFrame([tuple(r) for r in rows],
+                                "name string, time long, value double")
+    return out.select("name", _us("time"), "value") \
+        .orderBy("name", "time", "value")
+
+
 def _q_semdedup(spark, sf_dir):
     """SemDeDup (datapipe.dedup.semdedup — Abbas et al. 2023): embeddings
     clustered to 32 fixed centroids (the first 32 vectors — deterministic, so
@@ -2921,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_curation": _q_streaming_curation,
         "semdedup": _q_semdedup,
         "watch_latest": _q_watch_latest,
+        "backup_mount": _q_backup_mount,
         "tpch_q22": _q_tpch_q22,
         "dedup_clusters": _q_dedup_clusters,
         "curation_funnel": _q_curation_funnel,
@@ -5941,6 +5985,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SemDeDup: nearest-of-8-fixed-centroids assignment (argmin L2,
         # tie-break cid) + cluster-local cosine sweep, keep-lowest-id.
+        "backup_mount": """
+            WITH src AS (
+              SELECT event_type AS name, epoch_us(ts) AS time, value
+              FROM events WHERE event_type = 'click'
+              ORDER BY event_id LIMIT 40
+            )
+            SELECT name, time, value FROM src
+            ORDER BY name, time, value
+        """,
         "watch_latest": """
             WITH latest AS (
               SELECT event_type AS name, epoch_us(ts) AS time, value,
