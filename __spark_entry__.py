@@ -2950,15 +2950,15 @@ def _q_dedup_incr(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first 50
-        # entries.  Round-9 window = the fixed red row (pack_sequences) and
-        # the new watch_latest entry and the three entries whose code changed
-        # this round (pipeline_v2
-        # checkpointing, streaming_curation epoch idempotency, semdedup's
-        # library extension), then the LONGEST-UNCHECKED greens: all 17
-        # r3-vintage rows and 29 of the r4-vintage rows — 46 of the 50
-        # were last driver-certified at r4 or earlier, re-certifying
-        # 5-round-old greens against current code.  Everything else
-        # rotates behind (remaining r4, then r5/r6/r8 vintages).
+        # entries.  Round-9 window = the fixed red row (pack_sequences),
+        # the two NEW entries (watch_latest, backup_mount), the three
+        # entries whose code changed this round (pipeline_v2 checkpointing,
+        # streaming_curation epoch idempotency, semdedup's library
+        # extension), then the LONGEST-UNCHECKED greens: all 17 r3-vintage
+        # rows and the oldest r4-vintage rows — 44 of the 50 were last
+        # driver-certified at r4 or earlier, re-certifying 5-round-old
+        # greens against current code.  Everything else rotates behind
+        # (remaining r4, then r5/r6/r8 vintages).
         "pack_sequences": _q_pack_sequences,
         "pipeline_v2": _q_pipeline_v2,
         "streaming_curation": _q_streaming_curation,

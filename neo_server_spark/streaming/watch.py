@@ -153,9 +153,8 @@ class LogWatcher:
         if len(rows) > self.max_rows:
             rows = rows[: self.max_rows]
             errs.append("too many changes, omit the rest")
-            self.mark = None
-        if rows and self.mark is not None:
-            self.mark = rows[-1][self.time_col]
-        elif rows:
-            pass  # mark reset above; next poll re-anchors at current max
+            self.mark = None   # next poll re-anchors at the current max
+        else:
+            if rows:
+                self.mark = rows[-1][self.time_col]
         return [r.asDict() for r in rows], errs
