@@ -405,3 +405,21 @@ def test_zorder_key_bit_budget(spark):
     assert len({r["__z"] for r in rows}) == 32
     with _pytest.raises(ValueError):
         nio.zorder_key(df, [], bits=16)
+
+def test_pq_encode_single_exchange_at_cluster_width(spark, sf_dir):
+    """pq_encode must shuffle its narrow (id, sub, subvector) rows exactly
+    ONCE, before the k-way broadcast-join distance expansion — the groupBy
+    reuses that partitioning.  Regression pin for the 100x finding where
+    the 25M-row fold ran at the parquet file count (one task on a
+    single-file table) because the only exchange sat after it."""
+    import re
+    from neo_server_spark.datapipe import similarity as sim
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    cb = sim.pq_train(emb, m=8, k=16, iters=0)
+    plan = plan_of(sim.pq_encode(emb, cb))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+    # and it must be the pre-join hash exchange on (id, sub), not a
+    # post-aggregation one: the exchange's input is the 3-col slice row
+    m = re.search(r"\(\d+\) Exchange\nInput \[3\]: \[vec_id#\d+L, sub#\d+,"
+                  r" sv#\d+\]", plan)
+    assert m, plan[:1500]
