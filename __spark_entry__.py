@@ -4294,11 +4294,18 @@ def oracle_sql() -> dict[str, str]:
               FROM sig a JOIN sig b ON a.doc_id < b.doc_id
               WHERE len(list_filter(generate_series(0, 15),
                         bb -> a.g[bb*4+1:bb*4+4] = b.g[bb*4+1:bb*4+4])) > 0
+            ), shd AS (
+              -- the engine verifies on distinct md5 shingle DIGESTS (the
+              -- 8-byte tokens its bucket kernel intersects, so text never
+              -- shuffles); replay the identical digest sets
+              SELECT doc_id, list_distinct(list_transform(sh,
+                  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+              FROM shl
             )
             SELECT c.id_a, c.id_b,
                    round(len(list_intersect(x.sh, y.sh)) * 1.0
                          / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
-            FROM cand c JOIN shl x ON x.doc_id = c.id_a JOIN shl y ON y.doc_id = c.id_b
+            FROM cand c JOIN shd x ON x.doc_id = c.id_a JOIN shd y ON y.doc_id = c.id_b
             WHERE len(list_intersect(x.sh, y.sh)) * 1.0
                   / len(list_distinct(x.sh || y.sh)) >= 0.05
             ORDER BY id_a, id_b

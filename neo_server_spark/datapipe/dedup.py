@@ -108,55 +108,100 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
                       jaccard_threshold: float = 0.7,
-                      hash_fn: str = "xxhash64") -> DataFrame:
+                      hash_fn: str = "xxhash64",
+                      max_bucket: int = 10_000) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified with
-    exact shingle Jaccard.
+    exact shingle Jaccard (Broder 1997; the bands×rows schedule of
+    Leskovec/Rajaraman/Ullman MMDS ch.3).
 
-    bands x rows schedule: ``num_hashes`` split into ``bands`` bands of
-    ``num_hashes // bands`` rows; docs sharing any band bucket become
-    candidates.  Output: (id_a, id_b, jaccard) with id_a < id_b and
-    jaccard >= threshold.
+    ``num_hashes`` split into ``bands`` bands of ``num_hashes // bands``
+    rows; docs sharing any band bucket become candidates.  Output:
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
 
-    ``hash_fn='md5'`` makes candidacy exactly reproducible in SQL: the
-    band key is then the raw slice (not a Murmur3 bucket), so a pair is a
-    candidate IFF a band's signature rows are equal — the DuckDB oracle
-    computes the identical signatures and slice-equality.
+    100 TB shape: ONE shuffle, keyed on (band, bucket), carrying each
+    doc's signature-band key plus its distinct shingle-DIGEST array (8
+    bytes per shingle — the text itself never shuffles).  Jaccard is
+    verified INSIDE the bucket's Arrow kernel (sorted-array
+    intersection), so the exchanged volume is O(bands × corpus) and
+    independent of the candidate count — the former self-join + per-pair
+    raw-shingle join shipped O(candidates × doc_size) and was measured at
+    667s on a 100x replica whose docs are mutually ~0.67-Jaccard (LSH
+    tuned for 0.7 MUST candidate those; no banding separates 0.67 from
+    0.7, so candidate volume is the workload there).  A pair matching in
+    several bands re-verifies per band (bounded by ``bands``) and
+    collapses in the final distinct on the verified set, which is small
+    by definition.  Buckets above ``max_bucket`` are skipped — an
+    over-full bucket is boilerplate/templated text that exact/line dedup
+    should collapse first (same fence as simhash_hamming_pairs).
+
+    ``hash_fn='md5'`` makes the whole operator exactly reproducible in
+    SQL: signatures from the md5 hex prefix (identical in Spark and
+    DuckDB), band keys as the raw signature slice, and the verify runs
+    on the same md5-derived digests the oracle can compute — a pair is a
+    candidate IFF a band's signature rows are equal.
     """
-    rows = num_hashes // bands
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    rows_per_band = num_hashes // bands
     with_sig = minhash_signature(docs.select(id_col, text_col), text_col,
                                  num_hashes, shingle_n, hash_fn=hash_fn)
     if hash_fn == "md5":
         band_key = lambda b: F.concat_ws(  # noqa: E731 — injective band key
-            ",", F.slice(F.col("minhash"), b * rows + 1, rows).cast("array<string>"))
+            ",", F.slice(F.col("minhash"),
+                         b * rows_per_band + 1,
+                         rows_per_band).cast("array<string>"))
+        digf = lambda s: F.conv(  # noqa: E731 — SQL-replayable digest
+            F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     else:
         band_key = lambda b: F.hash(  # noqa: E731
-            F.slice(F.col("minhash"), b * rows + 1, rows).cast("array<string>"), F.lit(b))
+            F.slice(F.col("minhash"), b * rows_per_band + 1,
+                    rows_per_band).cast("array<string>"), F.lit(b))
+        digf = lambda s: F.xxhash64(s)  # noqa: E731
     band_cols = F.array(*[band_key(b) for b in range(bands)])
-    exploded = (
-        with_sig.select(id_col, F.posexplode(band_cols).alias("band", "bucket"))
-    )
-    pairs = (
-        exploded.alias("a")
-        .join(exploded.alias("b"),
-              (F.col("a.band") == F.col("b.band"))
-              & (F.col("a.bucket") == F.col("b.bucket"))
-              & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    sh = docs.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
-    verified = (
-        pairs.join(sh.withColumnRenamed("sh", "sh_a"), pairs.id_a == F.col(id_col)).drop(id_col)
-        .join(sh.withColumnRenamed("sh", "sh_b"), pairs.id_b == F.col(id_col)).drop(id_col)
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
-    return verified
+    base = with_sig.withColumn(
+        "__dig",
+        F.array_distinct(F.transform(shingles(text_col, shingle_n), digf)))
+    exploded = base.select(
+        id_col, "__dig", F.posexplode(band_cols).alias("band", "bucket"))
+    w = Window.partitionBy("band", "bucket")
+    sk = (exploded.withColumn("__n", F.count(F.lit(1)).over(w))
+          .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
+          .drop("__n"))
+
+    id_type = base.schema[id_col].dataType
+    out_schema = StructType([
+        StructField("id_a", id_type), StructField("id_b", id_type),
+        StructField("jaccard", DoubleType()),
+    ])
+
+    def verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        digs = [np.sort(np.asarray(x, dtype=np.int64))
+                for x in pdf["__dig"].to_numpy()[order]]
+        out_a, out_b, out_j = [], [], []
+        n = len(ids)
+        for i in range(n):
+            di = digs[i]
+            for j in range(i + 1, n):
+                dj = digs[j]
+                inter = np.intersect1d(di, dj, assume_unique=True).size
+                union = di.size + dj.size - inter
+                jac = inter / union if union else 0.0
+                if jac >= jaccard_threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(jac)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "jaccard": out_j})
+
+    pairs = sk.groupBy("band", "bucket").applyInPandas(verify, out_schema)
+    return (pairs.distinct()
+            .select("id_a", "id_b",
+                    F.round("jaccard", 6).alias("jaccard")))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -331,79 +376,96 @@ def embedding_dupes(emb: DataFrame, vec_col: str = "embedding", id_col: str = "v
     from the threshold for >= ``target_recall`` at the threshold cosine —
     recall only improves above it (see ``lsh_params``).
 
-    100 TB shape: the signature pass is one scan (bands*bits JVM-side dot
-    products per vector, no Python); candidate extraction self-joins the
-    (id, band, bucket) SKETCH frame only — vectors never shuffle with the
-    bucketing and rejoin solely for the verified candidate pairs.  In-bucket
-    pair mass is ~bands * n^2 / 2**bits per skew-free bucketing; single-band
-    low-bit recall cliffs are gone because recall comes from band COUNT, not
-    from widening buckets.
+    100 TB shape: the signature pass is one scan (Arrow sign kernel, no
+    shuffle); then ONE shuffle keyed on (band, bucket) carrying
+    (id, bucket, vector), and the exact-cosine verify runs INSIDE each
+    bucket's Arrow kernel via blocked per-dimension accumulation — the
+    exchanged volume is O(bands × corpus) and independent of the
+    candidate count.  The former sketch self-join + per-pair vector
+    joins shipped O(candidates × dim) and GC-thrashed on a 100x replica
+    where every vector has 99 exact twins (candidate pairs are quadratic
+    in the duplication factor by construction).  A pair colliding in
+    several bands re-verifies per band (bounded by ``bands``) and
+    collapses in the final distinct over the verified set.  Buckets
+    above ``max_bucket`` rows are skipped — the boilerplate fence, as in
+    simhash_hamming_pairs.  The per-pair float64 operation sequence
+    (per-dimension fold, dot/(sqrt·sqrt)) is unchanged, so results stay
+    bitwise equal to the SQL form the oracle replays.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     if block_bits is None or bands is None:
         auto_bits, auto_bands = lsh_params(threshold, target_recall)
         block_bits = block_bits if block_bits is not None else auto_bits
         bands = bands if bands is not None else auto_bands
 
+    max_bucket = 10_000
     base = emb.select(id_col, vec_col)
-    sig = band_buckets(base, vec_col, id_col, block_bits, bands, hash_fn)
-    a, b_ = sig.alias("a"), sig.alias("b")
-    cand = (
-        a.join(b_, (F.col("a.__band") == F.col("b.__band"))
-               & (F.col("a.__bucket") == F.col("b.__bucket"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()  # a pair may collide in several bands — verify once
-    )
-    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    paired = cand.join(va, "id_a").join(vb, "id_b")
+    sig = band_buckets(base, vec_col, id_col, block_bits, bands, hash_fn,
+                       keep_vec=True)
+    w = Window.partitionBy("__band", "__bucket")
+    sk = (sig.withColumn("__n", F.count(F.lit(1)).over(w))
+          .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
+          .drop("__n"))
 
-    # exact verify as an Arrow kernel — same sequential-fold float64 order
-    # as cosine_expr (dot/(sqrt(ssq_a)*sqrt(ssq_b))), so bitwise-equal to
-    # the SQL form the oracle replays; the interpreted HOF verify was the
-    # bottleneck when a low threshold makes candidates plentiful
-    import numpy as np
+    id_field = next(f for f in base.schema.fields if f.name == id_col)
+    out_schema = StructType([
+        StructField("id_a", id_field.dataType),
+        StructField("id_b", id_field.dataType),
+        StructField("cosine", DoubleType()),
+    ])
+    vec_name, thr = vec_col, threshold
 
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    def verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        x = np.array(pdf[vec_name].tolist(), dtype=np.float64)
+        n, d = x.shape
+        nrm = np.zeros(n)
+        for j in range(d):                    # sequential norm fold
+            nrm = nrm + x[:, j] * x[:, j]
+        nrm = np.sqrt(nrm)
+        out_a, out_b, out_c = [], [], []
+        blk = 512
+        for s in range(0, n, blk):
+            e = min(s + blk, n)
+            dots = np.zeros((e - s, n))
+            for j in range(d):                # sequential dot fold
+                dots = dots + np.outer(x[s:e, j], x[:, j])
+            cos = dots / (nrm[s:e, None] * nrm[None, :])
+            for i in range(s, e):
+                row = cos[i - s, i + 1:]      # id_a < id_b half
+                hit = np.nonzero(row >= thr)[0]
+                if hit.size:
+                    out_a.append(np.full(hit.size, ids[i]))
+                    out_b.append(ids[i + 1:][hit])
+                    out_c.append(row[hit])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
 
-    ida_f = next(f for f in paired.schema.fields if f.name == "id_a")
-    idb_f = next(f for f in paired.schema.fields if f.name == "id_b")
-    out_schema = StructType([ida_f, idb_f, StructField("cosine", DoubleType())])
-
-    def verify(it):
-        import pandas as pd
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            xa = np.array(pdf["__va"].tolist(), dtype=np.float64)
-            xb = np.array(pdf["__vb"].tolist(), dtype=np.float64)
-            n = len(pdf)
-            dot = np.zeros(n)
-            na = np.zeros(n)
-            nb2 = np.zeros(n)
-            for j in range(xa.shape[1]):              # sequential folds
-                dot = dot + xa[:, j] * xb[:, j]
-                na = na + xa[:, j] * xa[:, j]
-                nb2 = nb2 + xb[:, j] * xb[:, j]
-            cos = dot / (np.sqrt(na) * np.sqrt(nb2))
-            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"],
-                                "cosine": cos})
-
-    return (
-        paired.mapInPandas(verify, out_schema)
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
+    pairs = sk.groupBy("__band", "__bucket").applyInPandas(verify,
+                                                           out_schema)
+    return (pairs.distinct()
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 
 def band_buckets(base: DataFrame, vec_col: str, id_col: str,
                  block_bits: int, bands: int,
-                 hash_fn: str = "xxhash64") -> DataFrame:
+                 hash_fn: str = "xxhash64",
+                 keep_vec: bool = False) -> DataFrame:
     """(id, __band, __bucket) hyperplane-LSH sketch: ``bands`` independent
     bucketings of ``block_bits`` sign bits each.  Shared by the near-dup
     pair miner (embedding_dupes) and the ANN query path
-    (similarity.lsh_topk).
+    (similarity.lsh_topk).  ``keep_vec`` repeats the vector onto each
+    band row so a downstream bucket-local verify needs no join back to
+    the corpus (the rows come straight off the scan — still no shuffle
+    here).
 
     The hyperplanes are CONSTANTS (seed-derived ±1 vectors), so they are
     evaluated exactly once — one single-row Spark job over the very
@@ -429,10 +491,14 @@ def band_buckets(base: DataFrame, vec_col: str, id_col: str,
     hmat = np.array([list(hp_row[f"h{s}"]) for s in range(n_h)],
                     dtype=np.float64)                 # (bands*bits, dim)
     id_field = next(f for f in base.schema.fields if f.name == id_col)
-    out_schema = StructType([id_field,
-                             StructField("__band", IntegerType()),
-                             StructField("__bucket", LongType())])
-    vec_name, bb, nb = vec_col, block_bits, bands
+    fields = [id_field,
+              StructField("__band", IntegerType()),
+              StructField("__bucket", LongType())]
+    if keep_vec:
+        fields.append(next(f for f in base.schema.fields
+                           if f.name == vec_col))
+    out_schema = StructType(fields)
+    vec_name, bb, nb, kv = vec_col, block_bits, bands, keep_vec
 
     def sketch(it):
         import pandas as pd
@@ -450,11 +516,14 @@ def band_buckets(base: DataFrame, vec_col: str, id_col: str,
                         acc = acc + x[:, j] * h[j]
                     buckets[:, band] |= (acc > 0).astype(np.int64) << b
             ids = np.repeat(pdf[id_col].to_numpy(), nb)
-            yield pd.DataFrame({
+            out = {
                 id_col: ids,
                 "__band": np.tile(np.arange(nb, dtype=np.int32), n),
                 "__bucket": buckets.reshape(-1),
-            })
+            }
+            if kv:
+                out[vec_name] = np.repeat(pdf[vec_name].to_numpy(), nb)
+            yield pd.DataFrame(out)
 
     return base.mapInPandas(sketch, out_schema)
 
@@ -572,7 +641,13 @@ def duplicate_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
     ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__d")
     dup = (grams.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
            .filter(F.col("__n") >= 2))
-    marked = grams.join(dup.select("__d"), "__d").select(id_col, "pos")
+    # the duplicated-digest set is CORPUS-cardinality (~every distinct
+    # gram of a templated corpus): shuffle-hash it — per-partition builds
+    # stay small where a driver-side broadcast build OOMs (AQE chose
+    # broadcast from the compressed shuffle size at a 100x replica and
+    # died in notEnoughMemoryToBuildAndBroadcastTable)
+    marked = grams.join(dup.select("__d").hint("shuffle_hash"), "__d") \
+        .select(id_col, "pos")
     from pyspark.sql.window import Window
     w = Window.partitionBy(id_col).orderBy("pos")
     isl = marked.withColumn("__grp",
@@ -598,7 +673,9 @@ def substring_dedup_stats(docs: DataFrame, k: int = 8,
         F.sum("span_tokens").alias("dup_tokens"))
     return (docs.select(F.col(id_col),
                         F.size(tokens(text_col)).alias("__nt"))
-            .join(per_doc, id_col)
+            # per_doc is one row per document — corpus-cardinality, never
+            # broadcastable; same shuffle-hash pin as duplicate_spans
+            .join(per_doc.hint("shuffle_hash"), id_col)
             .select(id_col, "n_spans", "dup_tokens",
                     F.round(F.col("dup_tokens") / F.col("__nt"), 6)
                     .alias("dup_frac")))
@@ -618,7 +695,9 @@ def remove_duplicate_spans(docs: DataFrame, k: int = 8,
     and unaffected docs short-circuit through the left anti join).
     """
     spans = duplicate_spans(docs, k=k, text_col=text_col, id_col=id_col)
-    affected = spans.select(id_col).distinct()
+    # affected is corpus-cardinality (ids of every doc with a duplicated
+    # span) — pin shuffle-hash so no AQE broadcast build at corpus scale
+    affected = spans.select(id_col).distinct().hint("shuffle_hash")
     clean = docs.join(affected, id_col, "left_anti") \
         .select(id_col, F.col(text_col).alias("clean_text"))
     toks = (docs.join(affected, id_col, "left_semi")
@@ -643,7 +722,8 @@ def remove_duplicate_spans(docs: DataFrame, k: int = 8,
     # duplicated document becomes empty, and a later length filter
     # drops it)
     emptied = (docs.join(affected, id_col, "left_semi")
-               .join(rebuilt.select(id_col), id_col, "left_anti")
+               .join(rebuilt.select(id_col).hint("shuffle_hash"),
+                     id_col, "left_anti")
                .select(id_col, F.lit("").alias("clean_text")))
     return clean.unionByName(rebuilt).unionByName(emptied)
 
