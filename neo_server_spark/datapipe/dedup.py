@@ -182,21 +182,51 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
         ids = pdf[id_col].to_numpy()[order]
         digs = [np.sort(np.asarray(x, dtype=np.int64))
                 for x in pdf["__dig"].to_numpy()[order]]
-        out_a, out_b, out_j = [], [], []
         n = len(ids)
-        for i in range(n):
-            di = digs[i]
-            for j in range(i + 1, n):
-                dj = digs[j]
-                inter = np.intersect1d(di, dj, assume_unique=True).size
-                union = di.size + dj.size - inter
-                jac = inter / union if union else 0.0
-                if jac >= jaccard_threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(jac)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                             "jaccard": out_j})
+        sizes = np.array([d.size for d in digs], dtype=np.int64)
+        out_a, out_b, out_j = [], [], []
+
+        def emit(i, row_jac, off):
+            hit = np.nonzero(row_jac >= jaccard_threshold)[0]
+            if hit.size:
+                out_a.append(np.full(hit.size, ids[i]))
+                out_b.append(ids[off:][hit])
+                out_j.append(row_jac[hit])
+
+        uniq, inv = (np.unique(np.concatenate(digs), return_inverse=True)
+                     if n else (np.array([], dtype=np.int64), None))
+        if n >= 2 and n * uniq.size <= 100_000_000:
+            # membership-matrix intersection: |Di ∩ Dj| = (M M^T)[i,j]
+            # with 0/1 rows over the bucket's digest universe — BLAS does
+            # the pairwise counting (exact: sums are small integers, well
+            # inside float32), and the Jaccard division stays the same
+            # int/int float64 op as the per-pair form, so values are
+            # bitwise unchanged.  Row-blocked: memory O(blk * n).
+            M = np.zeros((n, uniq.size), dtype=np.float32)
+            M[np.repeat(np.arange(n), sizes), inv] = 1.0
+            blk = 512
+            for s in range(0, n, blk):
+                e = min(s + blk, n)
+                inter = np.rint(M[s:e] @ M.T).astype(np.int64)
+                union = sizes[s:e, None] + sizes[None, :] - inter
+                jac = inter / np.maximum(union, 1)
+                for i in range(s, e):
+                    emit(i, jac[i - s, i + 1:], i + 1)
+        else:   # giant bucket universe: per-pair sorted intersection
+            for i in range(n):
+                di = digs[i]
+                row = np.empty(n - i - 1)
+                for j in range(i + 1, n):
+                    inter = np.intersect1d(di, digs[j],
+                                           assume_unique=True).size
+                    union = di.size + digs[j].size - inter
+                    row[j - i - 1] = inter / union if union else 0.0
+                emit(i, row, i + 1)
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "jaccard": np.concatenate(out_j)})
 
     pairs = sk.groupBy("band", "bucket").applyInPandas(verify, out_schema)
     return (pairs.distinct()
