@@ -398,7 +398,8 @@ def embedding_dupes(emb: DataFrame, vec_col: str = "embedding", id_col: str = "v
                     threshold: float = 0.95, block_bits: int | None = None,
                     bands: int | None = None,
                     target_recall: float = 0.95,
-                    hash_fn: str = "xxhash64") -> DataFrame:
+                    hash_fn: str = "xxhash64",
+                    max_bucket: int = 10_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via MULTI-BAND random-hyperplane
     LSH: ``bands`` independent bucketings of ``block_bits`` sign bits each;
     a pair is a candidate if it collides in ANY band; candidates are
@@ -432,7 +433,6 @@ def embedding_dupes(emb: DataFrame, vec_col: str = "embedding", id_col: str = "v
         block_bits = block_bits if block_bits is not None else auto_bits
         bands = bands if bands is not None else auto_bands
 
-    max_bucket = 10_000
     base = emb.select(id_col, vec_col)
     sig = band_buckets(base, vec_col, id_col, block_bits, bands, hash_fn,
                        keep_vec=True)

@@ -851,3 +851,33 @@ def test_semdedup_k_scaling_bounds_cluster_pairs(spark):
     # unscaled k would make `big` ~100x `small`; scaled k keeps the mean
     # per-cluster pair work within a small factor (k-means imbalance)
     assert big <= 10 * small, (small, big)
+
+
+def test_near_dup_hot_bucket_fences(spark):
+    """The max_bucket fence must actually ENGAGE: a bucket holding more
+    docs than the cap contributes no candidate pairs (over-full buckets
+    mean templated text that exact dedup should collapse first), and
+    raising the cap restores the pairs — for all three LSH pair miners."""
+    docs = spark.createDataFrame(
+        [(i, "the same templated text repeated across the corpus body")
+         for i in range(8)], ["doc_id", "text"])
+    fenced = dedup.simhash_hamming_pairs(docs, max_bucket=5)
+    assert fenced.count() == 0
+    open_ = dedup.simhash_hamming_pairs(docs, max_bucket=100)
+    assert open_.count() == 28                 # C(8,2), all hamming 0
+    assert all(r.hamming == 0 for r in open_.collect())
+
+    assert dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.9,
+                                   max_bucket=5).count() == 0
+    mh = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.9,
+                                 max_bucket=100)
+    assert mh.count() == 28 and all(r.jaccard == 1.0 for r in mh.collect())
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.5, -0.25, 2.0]) for i in range(8)],
+        ["vec_id", "embedding"])
+    assert dedup.embedding_dupes(emb, threshold=0.99, block_bits=4,
+                                 bands=4, max_bucket=5).count() == 0
+    ed = dedup.embedding_dupes(emb, threshold=0.99, block_bits=4,
+                               bands=4, max_bucket=100)
+    assert ed.count() == 28 and all(r.cosine == 1.0 for r in ed.collect())
