@@ -19,6 +19,9 @@ stdlib-only (ThreadingHTTPServer — no web framework in the container):
   params watch a tag table (per-tag latest row), none watches a log
   table (arrival high-water mark); ``period``/``keep-alive``/
   ``max-rows``/``timeformat``/``tz`` decode like the reference.
+- ``GET /web/api/tables[/:table/tags[/:tag/stat]]`` — the console data
+  API (http_query.go:394-640): table list with name prefix/glob filter
+  and showall physical parts, per-table tag list, per-tag stat row.
 
 Everything funnels through the SAME TqlRunner the text front-end uses —
 ``SQL(param('q'), param('p0')...)`` + the requested sink statement — so
@@ -157,6 +160,11 @@ class EngineHttpServer:
                 self._handle_lake_tags(h, qs, tick)
             elif url.path == "/lakes/inter/execquery":
                 self._handle_lake_exec(h, qs, body, tick)
+            elif url.path == "/web/api/tables" or \
+                    url.path.startswith("/web/api/tables/"):
+                self._handle_api_tables(
+                    h, url.path[len("/web/api/tables"):].strip("/"),
+                    qs, tick)
             elif url.path.startswith("/metrics/"):
                 self._handle_metrics(h, url.path[len("/metrics/"):],
                                      qs, body, tick)
@@ -665,6 +673,104 @@ class EngineHttpServer:
         else:
             df.write.mode("append").parquet(path)
         return len(rows)
+
+    # -------------------------------------------------- /web/api/tables/*
+
+    def _handle_api_tables(self, h, rest: str, qs: dict,
+                           tick: float) -> None:
+        """The console data API (http_query.go:394-640):
+        ``GET /web/api/tables`` (QueryResponse of ROWNUM/DB/USER/NAME/
+        TYPE, ``name=`` prefix-or-glob filter, ``showall=``),
+        ``GET /web/api/tables/:table/tags`` (ROWNUM/NAME per tag), and
+        ``GET /web/api/tables/:table/tags/:tag/stat`` (the V$stat row)."""
+        import fnmatch
+
+        import pyspark.sql.functions as F
+
+        from neo_server_spark.sqlx import catalog
+
+        def reply(columns, types, rows, status=200):
+            payload = json.dumps(
+                {"data": {"columns": columns, "types": types,
+                          "rows": rows},
+                 "success": True, "reason": "success",
+                 "elapse": f"{time.time() - tick:.6f}s"},
+                separators=(",", ":"))
+            self._send(h, status, "application/json", payload)
+
+        parts = [p for p in rest.split("/") if p]
+        if not parts:                                 # /web/api/tables
+            name_f = (qs.get("name") or "").upper()
+            showall = str(qs.get("showall", "")).lower() in ("1", "true")
+            rows, rn = [], 0
+            for r in catalog.show_tables_mach(
+                    self.spark, show_all=showall).collect():
+                nm = r["TABLE_NAME"]
+                if name_f:
+                    if any(c in name_f for c in "*?["):
+                        if not fnmatch.fnmatchcase(nm, name_f):
+                            continue
+                    elif not nm.startswith(name_f):
+                        continue
+                rn += 1
+                rows.append([rn, r["DATABASE_NAME"], r["USER_NAME"],
+                             nm, r["TABLE_TYPE"]])
+            return reply(["ROWNUM", "DB", "USER", "NAME", "TYPE"],
+                         ["int32", "string", "string", "string",
+                          "string"], rows)
+
+        table = parts[0]
+        try:
+            df = self._table_loader(table)()
+        except Exception as ex:
+            return self._fail(h, 500, str(ex), tick)
+        if not {"name", "time", "value"} <= set(df.columns):
+            return self._fail(h, 400, "not a tag table", tick)
+
+        if len(parts) == 2 and parts[1] == "tags":
+            name_f = (qs.get("name") or "")
+            tags = [r["name"] for r in
+                    df.select("name").distinct().orderBy("name").collect()]
+            rows = [[i + 1, t] for i, t in enumerate(
+                t for t in tags if t and t.startswith(name_f))]
+            return reply(["ROWNUM", "NAME"], ["int32", "string"], rows)
+
+        if len(parts) == 4 and parts[1] == "tags" and parts[3] == "stat":
+            tag = parts[2]
+            from neo_server_spark.functions.timefn import str_time_named
+            timeformat = qs.get("timeformat", "ns")
+            tz = qs.get("tz")
+            epoch_div = {"ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9}
+            stat = (catalog.show_tags_full(
+                df.filter(F.col("name") == tag)).collect())
+            if not stat:
+                return self._fail(h, 500,
+                                  f"tag '{tag}' does not exist", tick)
+            r = stat[0]
+
+            def t_of(v):
+                if v is None:
+                    return None
+                if timeformat in epoch_div:
+                    return int(v) // epoch_div[timeformat]
+                row = self.spark.range(1).select(
+                    str_time_named(F.lit(int(v)), timeformat,
+                                   tz=tz).alias("t")).first()
+                return row["t"]
+            rows = [[1, r["NAME"], r["ROW_COUNT"], t_of(r["MIN_TIME"]),
+                     t_of(r["MAX_TIME"]), r["MIN_VALUE"],
+                     t_of(r["MIN_VALUE_TIME"]), r["MAX_VALUE"],
+                     t_of(r["MAX_VALUE_TIME"]),
+                     t_of(r["RECENT_ROW_TIME"])]]
+            return reply(
+                ["ROWNUM", "NAME", "ROW_COUNT", "MIN_TIME", "MAX_TIME",
+                 "MIN_VALUE", "MIN_VALUE_TIME", "MAX_VALUE",
+                 "MAX_VALUE_TIME", "RECENT_ROW_TIME"],
+                ["int32", "string", "int64", "datetime", "datetime",
+                 "double", "datetime", "double", "datetime", "datetime"],
+                rows)
+
+        return self._fail(h, 404, "not found", tick)
 
     # ----------------------------------------------------- /db/watch/<tbl>
 

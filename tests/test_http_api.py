@@ -409,3 +409,54 @@ def test_watch_keepalive_and_missing_table(server, monkeypatch):
     except urllib.error.HTTPError as e:
         assert e.code == 500
         assert "does not exist" in json.loads(e.read())["reason"]
+
+
+def test_api_tables_console_routes(server, spark):
+    """The console data API trio (http_query.go:394-640): table list with
+    prefix/glob name filters, per-table tag list, and the tag stat row."""
+    st, _, body = get(f"{server}/web/api/tables")
+    d = json.loads(body)
+    assert st == 200 and d["success"] is True
+    assert d["data"]["columns"] == ["ROWNUM", "DB", "USER", "NAME", "TYPE"]
+    names = {r[3]: r for r in d["data"]["rows"]}
+    assert "EXAMPLE" in names
+    assert names["EXAMPLE"][1:3] == ["MACHBASEDB", "SYS"]
+    assert names["EXAMPLE"][4] == "Tag"
+    # prefix filter
+    _, _, body = get(f"{server}/web/api/tables?name=EXA")
+    assert [r[3] for r in json.loads(body)["data"]["rows"]] == ["EXAMPLE"]
+    # glob filter
+    _, _, body = get(f"{server}/web/api/tables?name=EX*LE")
+    assert [r[3] for r in json.loads(body)["data"]["rows"]] == ["EXAMPLE"]
+    # showall appends the tag table's physical parts
+    _, _, body = get(f"{server}/web/api/tables?name=_EXAMPLE*&showall=true")
+    parts = {r[3] for r in json.loads(body)["data"]["rows"]}
+    assert {"_EXAMPLE_DATA_0", "_EXAMPLE_META"} <= parts
+
+    # tag list
+    _, _, body = get(f"{server}/web/api/tables/example/tags")
+    d = json.loads(body)
+    assert d["data"]["columns"] == ["ROWNUM", "NAME"]
+    assert [r[1] for r in d["data"]["rows"]] == ["tag0", "tag1"]
+    _, _, body = get(f"{server}/web/api/tables/example/tags?name=tag1")
+    assert [r[1] for r in json.loads(body)["data"]["rows"]] == ["tag1"]
+
+    # tag stat (fixture rows: tag1 @ t=1s,3s values 1.5/4.5)
+    _, _, body = get(
+        f"{server}/web/api/tables/example/tags/tag1/stat?timeformat=s")
+    d = json.loads(body)
+    assert d["data"]["columns"][:5] == [
+        "ROWNUM", "NAME", "ROW_COUNT", "MIN_TIME", "MAX_TIME"]
+    row = d["data"]["rows"][0]
+    assert row[:5] == [1, "tag1", 2, 1, 3]
+    assert row[5:] == [1.5, 1, 4.5, 3, 3]   # min/max value+times, recent
+
+    # error envelopes
+    import urllib.error
+    for path, code in [("/web/api/tables/no_such/tags", 500),
+                       ("/web/api/tables/example/tags/ghost/stat", 500)]:
+        try:
+            urllib.request.urlopen(f"{server}{path}", timeout=60)
+            raise AssertionError("expected error")
+        except urllib.error.HTTPError as e:
+            assert e.code == code
