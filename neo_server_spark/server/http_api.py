@@ -22,6 +22,10 @@ stdlib-only (ThreadingHTTPServer — no web framework in the container):
 - ``GET /web/api/tables[/:table/tags[/:tag/stat]]`` — the console data
   API (http_query.go:394-640): table list with name prefix/glob filter
   and showall physical parts, per-table tag list, per-tag stat row.
+- ``/web/api/timers`` — the timer facility router (http.go:310-315,
+  http_facility.go): list/get/add(POST)/update(PUT)/delete timers and
+  POST :name/state START|STOP; a timer runs a .tql task under fs_root
+  on an ``@every`` interval (mods/scheduler's cron-TIMER journey).
 
 Everything funnels through the SAME TqlRunner the text front-end uses —
 ``SQL(param('q'), param('p0')...)`` + the requested sink statement — so
@@ -92,6 +96,11 @@ class EngineHttpServer:
                         "info": {}}
         self._backup_lock = threading.Lock()
         self._closing = False
+        # timer facility (mods/scheduler; /web/api/timers router)
+        from neo_server_spark.streaming.scheduler import Scheduler
+        self._sched = Scheduler()
+        self._timer_meta: dict[str, dict] = {}
+        self._timer_lock = threading.Lock()
 
     # ------------------------------------------------------------- control
 
@@ -112,6 +121,10 @@ class EngineHttpServer:
             def do_DELETE(self):
                 api._route(self, body=b"")
 
+            def do_PUT(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                api._route(self, body=self.rfile.read(n))
+
         self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(
@@ -121,6 +134,7 @@ class EngineHttpServer:
 
     def stop(self) -> None:
         self._closing = True
+        self._sched.stop_all()
         if self._httpd:
             self._httpd.shutdown()
             self._httpd.server_close()
@@ -160,6 +174,11 @@ class EngineHttpServer:
                 self._handle_lake_tags(h, qs, tick)
             elif url.path == "/lakes/inter/execquery":
                 self._handle_lake_exec(h, qs, body, tick)
+            elif url.path == "/web/api/timers" or \
+                    url.path.startswith("/web/api/timers/"):
+                self._handle_timers(
+                    h, url.path[len("/web/api/timers"):].strip("/"),
+                    body, tick)
             elif url.path == "/web/api/tables" or \
                     url.path.startswith("/web/api/tables/"):
                 self._handle_api_tables(
@@ -673,6 +692,146 @@ class EngineHttpServer:
         else:
             df.write.mode("append").parquet(path)
         return len(rows)
+
+    # -------------------------------------------------- /web/api/timers/*
+
+    def _timer_job(self, name: str):
+        """The reference timer task: run a .tql script under fs_root
+        (mods/scheduler/sched_timer.go — a TIMER entry's Task is a tql
+        path executed per firing).  Output is discarded; errors land on
+        the entry's last_error like the reference's schedule state."""
+        import os
+
+        from neo_server_spark.tql.script import TqlRunner
+
+        def job():
+            meta = self._timer_meta.get(name)
+            if meta is None:
+                return
+            root = os.path.abspath(self.fs_root or ".")
+            path = os.path.abspath(os.path.join(root, meta["task"]))
+            if not (path.startswith(root + os.sep) and
+                    path.endswith(".tql") and os.path.isfile(path)):
+                raise FileNotFoundError(f"tql not found: {meta['task']}")
+            with open(path) as f:
+                src = f.read()
+            TqlRunner(self.spark, sf_dir=self.sf_dir,
+                      fs_root=self.fs_root).run(src)
+        return job
+
+    def _timer_schedule(self, name: str) -> dict | None:
+        meta = self._timer_meta.get(name)
+        if meta is None:
+            return None
+        st = next((e for e in self._sched.entries()
+                   if e["name"] == name), {})
+        return {"name": name, "type": "TIMER",
+                "state": st.get("state", "STOP"),
+                "autoStart": meta["autoStart"],
+                "schedule": meta["schedule"], "task": meta["task"]}
+
+    def _handle_timers(self, h, rest: str, body: bytes,
+                       tick: float) -> None:
+        """The timer facility router (http.go:310-315 over
+        http_facility.go:19-230): list/get/add/update/delete timers and
+        start/stop state — a timer runs a .tql script on an ``@every``
+        interval, the reference's cron-TIMER journey."""
+        from neo_server_spark.functions.timefn import parse_duration
+
+        def ok(data=None, status=200):
+            payload = {"success": True, "reason": "success",
+                       "elapse": f"{time.time() - tick:.6f}s"}
+            if data is not None:
+                payload["data"] = data
+            self._send(h, status, "application/json",
+                       json.dumps(payload, separators=(",", ":")))
+
+        def interval_of(spec: str) -> float:
+            s = (spec or "").strip()
+            if s.startswith("@every"):
+                s = s[len("@every"):].strip()
+            return max(parse_duration(s) / 1e9, 0.001)
+
+        parts = [p for p in rest.split("/") if p]
+        with self._timer_lock:
+            if not parts:
+                if h.command == "GET":            # list
+                    return ok([self._timer_schedule(n)
+                               for n in sorted(self._timer_meta)])
+                if h.command == "POST":           # add
+                    req = json.loads(body.decode() or "{}")
+                    name = str(req.get("name", "")).lower()
+                    if not name:
+                        return self._fail(h, 400, "no name specified",
+                                          tick)
+                    if name in self._timer_meta:
+                        return self._fail(
+                            h, 400, f"'{name}' is duplicate name.", tick)
+                    try:
+                        iv = interval_of(req.get("schedule", ""))
+                    except Exception:
+                        return self._fail(
+                            h, 400,
+                            f"invalid schedule "
+                            f"'{req.get('schedule', '')}'", tick)
+                    self._timer_meta[name] = {
+                        "autoStart": bool(req.get("autoStart")),
+                        "schedule": req.get("schedule", ""),
+                        "task": req.get("path", "")}
+                    self._sched.add_timer(name, iv, self._timer_job(name),
+                                          start=bool(req.get("autoStart")))
+                    return ok()
+                return self._fail(h, 404, "not found", tick)
+
+            name = parts[0].lower()
+            if len(parts) == 2 and parts[1] == "state" \
+                    and h.command == "POST":
+                if name not in self._timer_meta:
+                    return self._fail(h, 500,
+                                      f"'{name}' does not exist", tick)
+                state = str(json.loads(body.decode() or "{}")
+                            .get("state", "")).upper()
+                if state == "START":
+                    self._sched.start(name)
+                elif state == "STOP":
+                    self._sched.stop(name)
+                else:
+                    return self._fail(
+                        h, 400, f"no state specified: '{state}'", tick)
+                return ok()
+            if len(parts) != 1:
+                return self._fail(h, 404, "not found", tick)
+            if name not in self._timer_meta:
+                return self._fail(h, 500, f"'{name}' does not exist",
+                                  tick)
+            if h.command == "GET":
+                return ok(self._timer_schedule(name))
+            if h.command == "DELETE":
+                self._sched.stop(name)
+                self._sched._entries.pop(name, None)
+                self._timer_meta.pop(name, None)
+                return ok()
+            if h.command == "PUT":                # update
+                req = json.loads(body.decode() or "{}")
+                meta = self._timer_meta[name]
+                meta["autoStart"] = bool(req.get("autoStart",
+                                                 meta["autoStart"]))
+                meta["schedule"] = req.get("schedule", meta["schedule"])
+                meta["task"] = req.get("path", meta["task"])
+                try:
+                    iv = interval_of(meta["schedule"])
+                except Exception:
+                    return self._fail(
+                        h, 400,
+                        f"invalid schedule '{meta['schedule']}'", tick)
+                running = any(e["name"] == name and e["state"] == "RUNNING"
+                              for e in self._sched.entries())
+                self._sched.stop(name)
+                self._sched._entries.pop(name, None)
+                self._sched.add_timer(name, iv, self._timer_job(name),
+                                      start=running)
+                return ok()
+            return self._fail(h, 404, "not found", tick)
 
     # -------------------------------------------------- /web/api/tables/*
 

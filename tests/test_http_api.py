@@ -460,3 +460,77 @@ def test_api_tables_console_routes(server, spark):
             raise AssertionError("expected error")
         except urllib.error.HTTPError as e:
             assert e.code == code
+
+
+def test_api_timers_crud_and_fire(server, spark, tmp_path):
+    """Timer facility (http_facility.go:19-230): add a timer whose task
+    is a .tql script under fs_root, start it, watch it FIRE (rows land in
+    the engine table), stop, update, delete."""
+    import time as _time
+
+    (tmp_path / "tick.tql").write_text(
+        'FAKE( linspace(1, 1, 1) )\n'
+        'MAPVALUE(0, "tmr")\n'
+        'PUSHVALUE(1, 8000000000)\n'
+        'PUSHVALUE(2, 42.5)\n'
+        'INSERT("name", "time", "value", table(\'example\'))\n')
+
+    # add (autoStart=false) -> listed, state STOP
+    st, _, body = post(f"{server}/web/api/timers",
+                       json.dumps({"name": "T1", "autoStart": False,
+                                   "schedule": "@every 100ms",
+                                   "path": "tick.tql"}).encode(),
+                       "application/json")
+    assert st == 200 and json.loads(body)["success"]
+    _, _, body = get(f"{server}/web/api/timers")
+    lst = json.loads(body)["data"]
+    assert lst == [{"name": "t1", "type": "TIMER", "state": "STOP",
+                    "autoStart": False, "schedule": "@every 100ms",
+                    "task": "tick.tql"}]
+    # duplicate add -> 400 with the reference wording
+    try:
+        post(f"{server}/web/api/timers",
+             json.dumps({"name": "t1", "schedule": "@every 1s",
+                         "path": "x.tql"}).encode(), "application/json")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read())["reason"] == "'t1' is duplicate name."
+
+    # start -> fires the tql task -> rows appear
+    st, _, _ = post(f"{server}/web/api/timers/t1/state",
+                    json.dumps({"state": "start"}).encode(),
+                    "application/json")
+    assert st == 200
+    deadline = _time.time() + 30
+    while _time.time() < deadline:
+        if spark.table("example").filter("name = 'tmr'").count() > 0:
+            break
+        _time.sleep(0.2)
+    n1 = spark.table("example").filter("name = 'tmr'").count()
+    assert n1 > 0
+    _, _, body = get(f"{server}/web/api/timers/t1")
+    assert json.loads(body)["data"]["state"] == "RUNNING"
+
+    # stop -> no further fires
+    post(f"{server}/web/api/timers/t1/state",
+         json.dumps({"state": "STOP"}).encode(), "application/json")
+    n2 = spark.table("example").filter("name = 'tmr'").count()
+    _time.sleep(0.5)
+    assert spark.table("example").filter("name = 'tmr'").count() == n2
+
+    # update schedule via PUT, then delete
+    req = urllib.request.Request(
+        f"{server}/web/api/timers/t1",
+        data=json.dumps({"schedule": "@every 5s"}).encode(),
+        headers={"Content-Type": "application/json"}, method="PUT")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+    _, _, body = get(f"{server}/web/api/timers/t1")
+    assert json.loads(body)["data"]["schedule"] == "@every 5s"
+    req = urllib.request.Request(f"{server}/web/api/timers/t1",
+                                 method="DELETE")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+    _, _, body = get(f"{server}/web/api/timers")
+    assert json.loads(body)["data"] == []
