@@ -26,6 +26,12 @@ stdlib-only (ThreadingHTTPServer — no web framework in the container):
   http_facility.go): list/get/add(POST)/update(PUT)/delete timers and
   POST :name/state START|STOP; a timer runs a .tql task under fs_root
   on an ``@every`` interval (mods/scheduler's cron-TIMER journey).
+- ``/web/api/subscribers`` — the subscriber facility router
+  (http_facility.go:811-1000 over sched_subs.go): the bridge is a
+  directory queue under fs_root (each new file = one message — the
+  broker connection itself is out of Spark scope); per message, a .tql
+  task runs with TOPIC/MSGID params or a db/append write-descriptor
+  ingests the payload, exactly the reference's per-message semantics.
 
 Everything funnels through the SAME TqlRunner the text front-end uses —
 ``SQL(param('q'), param('p0')...)`` + the requested sink statement — so
@@ -100,6 +106,7 @@ class EngineHttpServer:
         from neo_server_spark.streaming.scheduler import Scheduler
         self._sched = Scheduler()
         self._timer_meta: dict[str, dict] = {}
+        self._sub_meta: dict[str, dict] = {}
         self._timer_lock = threading.Lock()
 
     # ------------------------------------------------------------- control
@@ -178,6 +185,11 @@ class EngineHttpServer:
                     url.path.startswith("/web/api/timers/"):
                 self._handle_timers(
                     h, url.path[len("/web/api/timers"):].strip("/"),
+                    body, tick)
+            elif url.path == "/web/api/subscribers" or \
+                    url.path.startswith("/web/api/subscribers/"):
+                self._handle_subscribers(
+                    h, url.path[len("/web/api/subscribers"):].strip("/"),
                     body, tick)
             elif url.path == "/web/api/tables" or \
                     url.path.startswith("/web/api/tables/"):
@@ -830,6 +842,162 @@ class EngineHttpServer:
                 self._sched._entries.pop(name, None)
                 self._sched.add_timer(name, iv, self._timer_job(name),
                                       start=running)
+                return ok()
+            return self._fail(h, 404, "not found", tick)
+
+    # --------------------------------------------- /web/api/subscribers/*
+
+    #: subscriber poll period (the broker push becomes a file-queue poll)
+    SUBSCRIBER_POLL_SEC = 1.0
+
+    def _subscriber_job(self, name: str):
+        """One subscriber drain: new files under ``fs_root/<bridge>/
+        <topic>/`` are messages (the Spark-shaped stand-in for the MQTT/
+        NATS push — the broker itself stays outside Spark per the scope
+        agreement; this preserves the reference's per-message task
+        semantics, sched_subs.go:220-246 doMqttTask): a ``.tql`` task
+        runs per payload with TOPIC/MSGID params, a
+        ``db/{append|write}/<table>:<format>`` write-descriptor task
+        ingests the payload into the table."""
+        import os
+
+        def job():
+            meta = self._sub_meta.get(name)
+            if meta is None:
+                return
+            root = os.path.abspath(self.fs_root or ".")
+            d = os.path.join(root, meta["bridge"], meta["topic"])
+            if not os.path.isdir(d):
+                return
+            for fn in sorted(os.listdir(d)):
+                full = os.path.join(d, fn)
+                if not os.path.isfile(full) or fn in meta["seen"]:
+                    continue
+                meta["seen"].add(fn)
+                with open(full, "rb") as f:
+                    payload = f.read()
+                meta["msgid"] += 1
+                task = meta["task"]
+                if task.endswith(".tql"):
+                    from neo_server_spark.tql.script import TqlRunner
+                    path = os.path.abspath(os.path.join(root, task))
+                    if not (path.startswith(root + os.sep)
+                            and os.path.isfile(path)):
+                        raise FileNotFoundError(f"tql not found: {task}")
+                    with open(path) as f:
+                        src = f.read()
+                    TqlRunner(self.spark, sf_dir=self.sf_dir,
+                              fs_root=self.fs_root,
+                              params={"TOPIC": meta["topic"],
+                                      "MSGID": str(meta["msgid"])},
+                              payload=payload.decode()).run(src)
+                else:   # db/{append|write}/<table>:<format>
+                    m = task.split("/")
+                    tbl_fmt = m[-1].split(":")
+                    table = tbl_fmt[0]
+                    fmt = tbl_fmt[1] if len(tbl_fmt) > 1 else "csv"
+                    self._ingest_payload(table, fmt, payload)
+        return job
+
+    def _ingest_payload(self, table: str, fmt: str,
+                        payload: bytes) -> int:
+        """Parse a message payload like /db/write does and ingest it."""
+        import csv as _csv
+        import io as _io
+        text = payload.decode()
+        rows, cols = [], None
+        if fmt == "csv":
+            rows = [tuple(r) for r in _csv.reader(_io.StringIO(text)) if r]
+        elif fmt == "ndjson":
+            for line in text.splitlines():
+                if line.strip():
+                    o = json.loads(line)
+                    cols = cols or list(o)
+                    rows.append(tuple(o.get(c) for c in cols))
+        elif fmt == "json":
+            rows = [tuple(r) for r in json.loads(text)]
+        else:
+            raise ValueError(f"unsupported format {fmt!r}")
+        return self._ingest(table, cols, rows) if rows else 0
+
+    def _sub_schedule(self, name: str) -> dict | None:
+        meta = self._sub_meta.get(name)
+        if meta is None:
+            return None
+        st = next((e for e in self._sched.entries()
+                   if e["name"] == f"sub:{name}"), {})
+        return {"name": name, "type": "SUBSCRIBER",
+                "state": st.get("state", "STOP"),
+                "autoStart": meta["autoStart"], "bridge": meta["bridge"],
+                "topic": meta["topic"], "task": meta["task"]}
+
+    def _handle_subscribers(self, h, rest: str, body: bytes,
+                            tick: float) -> None:
+        """The subscriber facility router (http.go:317-321,
+        http_facility.go:811-1000): list/get/add/delete subscribers and
+        START/STOP state.  The bridge is a directory queue under
+        fs_root (see _subscriber_job) — the broker connection itself is
+        out of Spark scope; everything downstream of message arrival
+        matches the reference."""
+        def ok(data=None):
+            payload = {"success": True, "reason": "success",
+                       "elapse": f"{time.time() - tick:.6f}s"}
+            if data is not None:
+                payload["data"] = data
+            self._send(h, 200, "application/json",
+                       json.dumps(payload, separators=(",", ":")))
+
+        parts = [p for p in rest.split("/") if p]
+        with self._timer_lock:
+            if not parts:
+                if h.command == "GET":
+                    return ok([self._sub_schedule(n)
+                               for n in sorted(self._sub_meta)])
+                if h.command == "POST":
+                    req = json.loads(body.decode() or "{}")
+                    name = str(req.get("name", "")).lower()
+                    if not name:
+                        return self._fail(h, 400, "no name specified",
+                                          tick)
+                    if name in self._sub_meta:
+                        return self._fail(h, 500, "duplicate name", tick)
+                    for k in ("bridge", "topic", "task"):
+                        if not req.get(k):
+                            return self._fail(h, 400,
+                                              f"no {k} specified", tick)
+                    self._sub_meta[name] = {
+                        "autoStart": bool(req.get("autoStart")),
+                        "bridge": req["bridge"], "topic": req["topic"],
+                        "task": req["task"], "seen": set(), "msgid": 0}
+                    self._sched.add_timer(
+                        f"sub:{name}", self.SUBSCRIBER_POLL_SEC,
+                        self._subscriber_job(name),
+                        start=bool(req.get("autoStart")))
+                    return ok()
+                return self._fail(h, 404, "not found", tick)
+
+            name = parts[0].lower()
+            if name not in self._sub_meta:
+                return self._fail(h, 500, f"'{name}' does not exist",
+                                  tick)
+            if len(parts) == 2 and parts[1] == "state" \
+                    and h.command == "POST":
+                state = str(json.loads(body.decode() or "{}")
+                            .get("state", "")).upper()
+                if state == "START":
+                    self._sched.start(f"sub:{name}")
+                elif state == "STOP":
+                    self._sched.stop(f"sub:{name}")
+                else:
+                    return self._fail(
+                        h, 400, f"no state specified: '{state}'", tick)
+                return ok()
+            if len(parts) == 1 and h.command == "GET":
+                return ok(self._sub_schedule(name))
+            if len(parts) == 1 and h.command == "DELETE":
+                self._sched.stop(f"sub:{name}")
+                self._sched._entries.pop(f"sub:{name}", None)
+                self._sub_meta.pop(name, None)
                 return ok()
             return self._fail(h, 404, "not found", tick)
 

@@ -534,3 +534,86 @@ def test_api_timers_crud_and_fire(server, spark, tmp_path):
         assert r.status == 200
     _, _, body = get(f"{server}/web/api/timers")
     assert json.loads(body)["data"] == []
+
+
+def test_api_subscribers_crud_and_message_flow(server, spark, tmp_path,
+                                               monkeypatch):
+    """Subscriber facility (http_facility.go:811-1000 over
+    sched_subs.go): the bridge is a directory queue under fs_root; each
+    new file is one message.  A write-descriptor task ingests payloads
+    into the engine table; a .tql task runs per payload with TOPIC
+    params."""
+    import time as _time
+    from neo_server_spark.server.http_api import EngineHttpServer
+    monkeypatch.setattr(EngineHttpServer, "SUBSCRIBER_POLL_SEC", 0.1)
+
+    topic_dir = tmp_path / "mq" / "sensors"
+    topic_dir.mkdir(parents=True)
+    st, _, body = post(f"{server}/web/api/subscribers",
+                       json.dumps({"name": "S1", "autoStart": False,
+                                   "bridge": "mq", "topic": "sensors",
+                                   "task": "db/append/example:csv"}
+                                  ).encode(), "application/json")
+    assert st == 200 and json.loads(body)["success"]
+    _, _, body = get(f"{server}/web/api/subscribers")
+    assert json.loads(body)["data"] == [
+        {"name": "s1", "type": "SUBSCRIBER", "state": "STOP",
+         "autoStart": False, "bridge": "mq", "topic": "sensors",
+         "task": "db/append/example:csv"}]
+    # duplicate -> 500 'duplicate name' (reference wording)
+    try:
+        post(f"{server}/web/api/subscribers",
+             json.dumps({"name": "s1", "bridge": "mq", "topic": "t",
+                         "task": "x.tql"}).encode(), "application/json")
+        raise AssertionError("expected 500")
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+        assert json.loads(e.read())["reason"] == "duplicate name"
+
+    # start; drop two message files; rows land in the engine table
+    post(f"{server}/web/api/subscribers/s1/state",
+         json.dumps({"state": "START"}).encode(), "application/json")
+    (topic_dir / "m1.csv").write_text("sub1,11000000000,1.5\n")
+    (topic_dir / "m2.csv").write_text("sub2,12000000000,2.5\n")
+    deadline = _time.time() + 30
+    while _time.time() < deadline:
+        if spark.table("example").filter("name like 'sub%'").count() == 2:
+            break
+        _time.sleep(0.2)
+    assert spark.table("example").filter("name like 'sub%'").count() == 2
+    # a message is consumed ONCE (seen-set), not per poll
+    _time.sleep(0.5)
+    assert spark.table("example").filter("name like 'sub%'").count() == 2
+
+    # stop + delete
+    post(f"{server}/web/api/subscribers/s1/state",
+         json.dumps({"state": "STOP"}).encode(), "application/json")
+    req = urllib.request.Request(f"{server}/web/api/subscribers/s1",
+                                 method="DELETE")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+    _, _, body = get(f"{server}/web/api/subscribers")
+    assert json.loads(body)["data"] == []
+
+    # .tql task: payload + TOPIC param drive the script
+    (tmp_path / "onmsg.tql").write_text(
+        "CSV(payload())\n"
+        "MAPVALUE(0, param('TOPIC'))\n"
+        'INSERT("name", "time", "value", table(\'example\'))\n')
+    topic2 = tmp_path / "mq" / "t2"
+    topic2.mkdir()
+    post(f"{server}/web/api/subscribers",
+         json.dumps({"name": "s2", "autoStart": True, "bridge": "mq",
+                     "topic": "t2", "task": "onmsg.tql"}).encode(),
+         "application/json")
+    (topic2 / "m1.csv").write_text("x,13000000000,9.5\n")
+    deadline = _time.time() + 30
+    while _time.time() < deadline:
+        if spark.table("example").filter("name = 't2'").count() == 1:
+            break
+        _time.sleep(0.2)
+    got = spark.table("example").filter("name = 't2'").collect()
+    assert len(got) == 1 and got[0].value == 9.5
+    req = urllib.request.Request(f"{server}/web/api/subscribers/s2",
+                                 method="DELETE")
+    urllib.request.urlopen(req, timeout=60)
