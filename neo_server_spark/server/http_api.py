@@ -32,6 +32,10 @@ stdlib-only (ThreadingHTTPServer — no web framework in the container):
   broker connection itself is out of Spark scope); per message, a .tql
   task runs with TOPIC/MSGID params or a db/append write-descriptor
   ingests the payload, exactly the reference's per-message semantics.
+- ``/web/api/bridges`` — the bridge facility router
+  (http_facility.go:1064-1290): list/add/delete (+ subscriber-in-use
+  guard) and POST :name/state test|query|exec; SQL types route through
+  the JDBC BridgeRegistry, type ``dir`` is the directory queue.
 
 Everything funnels through the SAME TqlRunner the text front-end uses —
 ``SQL(param('q'), param('p0')...)`` + the requested sink statement — so
@@ -107,6 +111,7 @@ class EngineHttpServer:
         self._sched = Scheduler()
         self._timer_meta: dict[str, dict] = {}
         self._sub_meta: dict[str, dict] = {}
+        self._bridges: dict[str, dict] = {}
         self._timer_lock = threading.Lock()
 
     # ------------------------------------------------------------- control
@@ -190,6 +195,11 @@ class EngineHttpServer:
                     url.path.startswith("/web/api/subscribers/"):
                 self._handle_subscribers(
                     h, url.path[len("/web/api/subscribers"):].strip("/"),
+                    body, tick)
+            elif url.path == "/web/api/bridges" or \
+                    url.path.startswith("/web/api/bridges/"):
+                self._handle_bridges(
+                    h, url.path[len("/web/api/bridges"):].strip("/"),
                     body, tick)
             elif url.path == "/web/api/tables" or \
                     url.path.startswith("/web/api/tables/"):
@@ -842,6 +852,126 @@ class EngineHttpServer:
                 self._sched._entries.pop(name, None)
                 self._sched.add_timer(name, iv, self._timer_job(name),
                                       start=running)
+                return ok()
+            return self._fail(h, 404, "not found", tick)
+
+    # ------------------------------------------------- /web/api/bridges/*
+
+    def _handle_bridges(self, h, rest: str, body: bytes,
+                        tick: float) -> None:
+        """The bridge facility router (http.go:323-326,
+        http_facility.go:1064-1290): list/add/delete bridges and POST
+        :name/state with state=test|query|exec.  SQL bridge types route
+        through ``sources.bridge.BridgeRegistry`` (spark JDBC); type
+        ``dir`` is this engine's directory-queue bridge (what
+        subscribers consume).  Deleting a bridge a subscriber still uses
+        fails with the reference's wording."""
+        import os
+
+        from neo_server_spark.sources.bridge import (DRIVERS,
+                                                      default_registry
+                                                      as registry)
+
+        def ok(data=None, extra=None):
+            payload = {"success": True, "reason": "success",
+                       "elapse": f"{time.time() - tick:.6f}s"}
+            if data is not None:
+                payload["data"] = data
+            if extra:
+                payload.update(extra)
+            self._send(h, 200, "application/json",
+                       json.dumps(payload, separators=(",", ":")))
+
+        parts = [p for p in rest.split("/") if p]
+        with self._timer_lock:
+            if not parts:
+                if h.command == "GET":
+                    return ok(sorted(
+                        ({"name": n, "type": m["type"], "path": m["path"]}
+                         for n, m in self._bridges.items()),
+                        key=lambda b: b["name"]))
+                if h.command == "POST":
+                    req = json.loads(body.decode() or "{}")
+                    name = str(req.get("name", "")).lower()
+                    typ = str(req.get("type", "")).lower()
+                    path = req.get("path") or ""
+                    if not name:
+                        return self._fail(h, 400, "no name specified",
+                                          tick)
+                    if name in self._bridges:
+                        return self._fail(h, 500, "duplicate name", tick)
+                    if typ in DRIVERS:
+                        registry.register(name, typ, path)
+                    elif typ != "dir":
+                        return self._fail(
+                            h, 500, f'unknown birdge type "{typ}"', tick)
+                    self._bridges[name] = {"type": typ, "path": path}
+                    return ok()
+                return self._fail(h, 404, "not found", tick)
+
+            name = parts[0].lower()
+            if len(parts) == 2 and parts[1] == "state" \
+                    and h.command == "POST":
+                if name not in self._bridges:
+                    return self._fail(h, 500,
+                                      f"'{name}' does not exist", tick)
+                req = json.loads(body.decode() or "{}")
+                state = str(req.get("state", "")).lower()
+                cmd = req.get("command") or ""
+                meta = self._bridges[name]
+                try:
+                    if state == "test":
+                        if meta["type"] == "dir":
+                            root = os.path.abspath(self.fs_root or ".")
+                            if not os.path.isdir(
+                                    os.path.join(root, meta["path"] or
+                                                 name)):
+                                raise FileNotFoundError(
+                                    f"bridge dir missing: {meta['path']}")
+                        else:   # JDBC: 1-row probe through the driver
+                            registry.get(name).sql(
+                                self.spark, "SELECT 1").collect()
+                        return ok()
+                    if state == "query":
+                        if not cmd:
+                            return self._fail(h, 400,
+                                              "no command specified",
+                                              tick)
+                        df = registry.get(name).sql(self.spark, cmd)
+                        return ok({"columns": df.columns,
+                                   "rows": [list(r) for r in
+                                            df.collect()]})
+                    if state == "exec":
+                        registry.get(name).sql(self.spark, cmd).collect()
+                        return ok(extra={"rowsAffected": 0,
+                                         "lastInsertId": 0})
+                except Exception as ex:
+                    return self._fail(h, 500, str(ex), tick)
+                return self._fail(h, 400, f"invalid state '{state}'",
+                                  tick)
+            if len(parts) != 1:
+                return self._fail(h, 404, "not found", tick)
+            if h.command == "DELETE":
+                if name not in self._bridges:
+                    return self._fail(h, 500,
+                                      f"'{name}' does not exist", tick)
+                users = [s for s, m in self._sub_meta.items()
+                         if m["bridge"].lower() == name]
+                if len(users) == 1:
+                    return self._fail(
+                        h, 400,
+                        f'bridge "{name}" has a subscriber, {users[0]}',
+                        tick)
+                if len(users) > 1:
+                    return self._fail(
+                        h, 400,
+                        f'bridge "{name}" has subscribers, '
+                        + ",".join(users), tick)
+                self._bridges.pop(name, None)
+                try:
+                    registry.unregister(name)
+                except Exception:
+                    pass
                 return ok()
             return self._fail(h, 404, "not found", tick)
 

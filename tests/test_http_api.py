@@ -617,3 +617,64 @@ def test_api_subscribers_crud_and_message_flow(server, spark, tmp_path,
     req = urllib.request.Request(f"{server}/web/api/subscribers/s2",
                                  method="DELETE")
     urllib.request.urlopen(req, timeout=60)
+
+
+def test_api_bridges_crud_and_guard(server, tmp_path):
+    """Bridge facility (http_facility.go:1064-1290): add/list/delete
+    bridges; state=test on the dir-queue type; deleting a bridge a
+    subscriber uses fails with the reference wording."""
+    # add a dir bridge + a sql-type bridge
+    for req in ({"name": "MQ2", "type": "dir", "path": "mq2"},
+                {"name": "sq", "type": "sqlite",
+                 "path": "jdbc:sqlite:/tmp/x.db"}):
+        st, _, body = post(f"{server}/web/api/bridges",
+                           json.dumps(req).encode(), "application/json")
+        assert st == 200 and json.loads(body)["success"]
+    _, _, body = get(f"{server}/web/api/bridges")
+    assert [b["name"] for b in json.loads(body)["data"]] == ["mq2", "sq"]
+    # unknown type -> the reference's (typo'd) wording
+    try:
+        post(f"{server}/web/api/bridges",
+             json.dumps({"name": "k", "type": "kafka", "path": "x"}
+                        ).encode(), "application/json")
+        raise AssertionError("expected 500")
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+        assert json.loads(e.read())["reason"] == 'unknown birdge type "kafka"'
+    # state=test on the dir bridge: missing dir fails, existing passes
+    try:
+        post(f"{server}/web/api/bridges/mq2/state",
+             json.dumps({"state": "test"}).encode(), "application/json")
+        raise AssertionError("expected 500")
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+    (tmp_path / "mq2").mkdir()
+    st, _, _ = post(f"{server}/web/api/bridges/mq2/state",
+                    json.dumps({"state": "test"}).encode(),
+                    "application/json")
+    assert st == 200
+
+    # a subscriber on the bridge blocks deletion
+    (tmp_path / "mq2" / "top").mkdir()
+    post(f"{server}/web/api/subscribers",
+         json.dumps({"name": "sb", "bridge": "mq2", "topic": "top",
+                     "task": "db/append/example:csv"}).encode(),
+         "application/json")
+    req = urllib.request.Request(f"{server}/web/api/bridges/mq2",
+                                 method="DELETE")
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read())["reason"] == \
+            'bridge "mq2" has a subscriber, sb'
+    # remove the subscriber, then deletion succeeds
+    urllib.request.urlopen(urllib.request.Request(
+        f"{server}/web/api/subscribers/sb", method="DELETE"), timeout=60)
+    with urllib.request.urlopen(urllib.request.Request(
+            f"{server}/web/api/bridges/mq2", method="DELETE"),
+            timeout=60) as r:
+        assert r.status == 200
+    _, _, body = get(f"{server}/web/api/bridges")
+    assert [b["name"] for b in json.loads(body)["data"]] == ["sq"]
