@@ -114,6 +114,17 @@ class Client:
             raise ClientError(status, text[:200])
         return text
 
+    def facilities(self, kind: str) -> list[dict]:
+        """List a facility router's entries: ``kind`` in 'timers',
+        'subscribers', 'bridges' (GET /web/api/<kind>)."""
+        if kind not in ("timers", "subscribers", "bridges"):
+            raise ValueError(f"unknown facility {kind!r}")
+        status, text = self._get(f"/web/api/{kind}", {})
+        env = self._envelope(status, text)
+        if status != 200 or not env.get("success"):
+            raise ClientError(status, env.get("reason", text[:200]))
+        return env.get("data", [])
+
     def watch(self, table: str, tags: list[str] | None = None,
               period: str = "1s", keep_alive: str = "30s",
               max_rows: int = 100, timeformat: str = "ns",

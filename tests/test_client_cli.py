@@ -117,3 +117,13 @@ def test_client_watch_generator(server, spark, monkeypatch):
     assert not t.is_alive()
     assert got[0] == {"name": "tag1", "time": 1, "value": 1.5}
     assert got[1] == {"name": "tag1", "time": 7, "value": 9.5}
+
+
+def test_client_facilities(server):
+    c = Client(server)
+    assert c.facilities("timers") == []
+    assert c.facilities("subscribers") == []
+    assert c.facilities("bridges") == []
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        c.facilities("shells")
