@@ -881,3 +881,90 @@ def test_near_dup_hot_bucket_fences(spark):
     ed = dedup.embedding_dupes(emb, threshold=0.99, block_bits=4,
                                bands=4, max_bucket=100)
     assert ed.count() == 28 and all(r.cosine == 1.0 for r in ed.collect())
+
+
+def test_lsh_kernels_match_bruteforce_on_xxhash_mode(spark):
+    """The r9 bucket-kernel rewrites must be EXACTLY the old semantics in
+    the production (xxhash64) hash mode too, not just under the md5
+    oracles: recompute candidates + verify brute-force in driver python
+    from the collected signatures/digest sets and compare pair sets."""
+    import numpy as np
+
+    base = ["alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",
+            "completely different words live in this one here",
+            "alpha beta gamma delta epsilon zeta eta theta",   # dup of 0
+            "numbers one two three four five six seven eight",
+            "completely different words live in this one too"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base * 3)], ["doc_id", "text"])
+
+    # --- simhash ---
+    got = {(r.id_a, r.id_b, r.hamming) for r in
+           dedup.simhash_hamming_pairs(docs, max_dist=3).collect()}
+    sigs = {r.doc_id: r.simhash for r in
+            dedup.simhash(docs, "text").collect()}
+    wb = 64 // 4
+    exp = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = np.uint64(sigs[a] & (2**64 - 1)), \
+                np.uint64(sigs[b] & (2**64 - 1))
+            if not any(((sa >> np.uint64(k * wb)) & np.uint64(2**wb - 1))
+                       == ((sb >> np.uint64(k * wb)) & np.uint64(2**wb - 1))
+                       for k in range(4)):
+                continue
+            ham = bin(int(sa) ^ int(sb)).count("1")
+            if ham <= 3:
+                exp.add((a, b, ham))
+    assert got == exp and exp    # non-trivial: the dup pairs exist
+
+    # --- minhash ---
+    got = {(r.id_a, r.id_b, r.jaccard) for r in
+           dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.2).collect()}
+    sig_rows = dedup.minhash_signature(docs, "text").collect()
+    mh = {r.doc_id: list(r.minhash) for r in sig_rows}
+    sh_sets = {r.doc_id: set(r.sh) for r in docs.select(
+        "doc_id", dedup.shingles("text", 3).alias("sh")).collect()}
+    exp = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not any(mh[a][k * 4:(k + 1) * 4] == mh[b][k * 4:(k + 1) * 4]
+                       for k in range(16)):
+                continue
+            inter = len(sh_sets[a] & sh_sets[b])
+            union = len(sh_sets[a] | sh_sets[b])
+            jac = inter / union if union else 0.0
+            if jac >= 0.2:
+                exp.add((a, b, round(jac, 6)))
+    assert got == exp and exp
+
+    # --- embedding hyperplane LSH ---
+    emb = spark.createDataFrame(
+        [(i, [float(np.sin(i * 3 + j)) if i % 3 else float(j % 5 - 2)
+              for j in range(8)]) for i in range(18)],
+        ["vec_id", "embedding"])
+    got = {(r.id_a, r.id_b, r.cosine) for r in
+           dedup.embedding_dupes(emb, threshold=0.8, block_bits=4,
+                                 bands=6).collect()}
+    sk = dedup.band_buckets(emb, "embedding", "vec_id", 4, 6)
+    buckets = {}
+    for r in sk.collect():
+        buckets.setdefault((r["__band"], r["__bucket"]), []).append(
+            r["vec_id"])
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                cand.add((a, b))
+    exp = set()
+    for a, b in cand:
+        va, vb = vecs[a], vecs[b]
+        cos = float(va @ vb / (np.sqrt(va @ va) * np.sqrt(vb @ vb)))
+        if cos >= 0.8:
+            exp.add((a, b, round(cos, 6)))
+    assert got == exp and exp
