@@ -83,6 +83,12 @@ class Scheduler:
         for name in list(self._entries):
             self.stop(name)
 
+    def remove(self, name: str) -> None:
+        """Stop and drop an entry (the facility routers' DELETE verb)."""
+        if name in self._entries:
+            self.stop(name)
+            del self._entries[name]
+
     def entries(self) -> list[dict]:
         """SHOW TIMERS equivalent."""
         return [
