@@ -3615,107 +3615,108 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "simplex_noise": """
-            SELECT x, y, v FROM (VALUES
-              (0.0, 0.0, 0.0),
-              (0.0, 1.1111111111111112, 2.844148),
-              (0.0, 2.2222222222222223, 2.944842),
-              (0.0, 3.3333333333333335, 5.016112),
-              (0.0, 4.444444444444445, 4.123739),
-              (0.0, 5.555555555555555, 4.690863),
-              (0.0, 6.666666666666667, 3.36291),
-              (0.0, 7.777777777777779, 1.13989),
-              (0.0, 8.88888888888889, 0.152624),
-              (0.0, 10.0, 1.515982),
-              (1.1111111111111112, 0.0, 3.085908),
-              (1.1111111111111112, 1.1111111111111112, 2.108969),
-              (1.1111111111111112, 2.2222222222222223, 0.509348),
-              (1.1111111111111112, 3.3333333333333335, 3.944786),
-              (1.1111111111111112, 4.444444444444445, 1.582072),
-              (1.1111111111111112, 5.555555555555555, 3.04488),
-              (1.1111111111111112, 6.666666666666667, 6.483385),
-              (1.1111111111111112, 7.777777777777779, 4.447147),
-              (1.1111111111111112, 8.88888888888889, 3.81773),
-              (1.1111111111111112, 10.0, 2.212878),
-              (2.2222222222222223, 0.0, 3.04023),
-              (2.2222222222222223, 1.1111111111111112, 5.594955),
-              (2.2222222222222223, 2.2222222222222223, 3.891435),
-              (2.2222222222222223, 3.3333333333333335, 2.973115),
-              (2.2222222222222223, 4.444444444444445, 1.922085),
-              (2.2222222222222223, 5.555555555555555, 5.71068),
-              (2.2222222222222223, 6.666666666666667, 5.26592),
-              (2.2222222222222223, 7.777777777777779, 1.343823),
-              (2.2222222222222223, 8.88888888888889, 5.733952),
-              (2.2222222222222223, 10.0, 3.704195),
-              (3.3333333333333335, 0.0, 4.237807),
-              (3.3333333333333335, 1.1111111111111112, 5.032603),
-              (3.3333333333333335, 2.2222222222222223, 2.474983),
-              (3.3333333333333335, 3.3333333333333335, 1.246472),
-              (3.3333333333333335, 4.444444444444445, 2.556287),
-              (3.3333333333333335, 5.555555555555555, 3.6036),
-              (3.3333333333333335, 6.666666666666667, 1.043281),
-              (3.3333333333333335, 7.777777777777779, 0.985204),
-              (3.3333333333333335, 8.88888888888889, 0.856938),
-              (3.3333333333333335, 10.0, 2.343707),
-              (4.444444444444445, 0.0, 4.557945),
-              (4.444444444444445, 1.1111111111111112, 4.76384),
-              (4.444444444444445, 2.2222222222222223, 1.260366),
-              (4.444444444444445, 3.3333333333333335, 3.04731),
-              (4.444444444444445, 4.444444444444445, 0.274697),
-              (4.444444444444445, 5.555555555555555, 2.911628),
-              (4.444444444444445, 6.666666666666667, 5.772146),
-              (4.444444444444445, 7.777777777777779, 2.494278),
-              (4.444444444444445, 8.88888888888889, 3.669496),
-              (4.444444444444445, 10.0, 3.07372),
-              (5.555555555555555, 0.0, 3.239957),
-              (5.555555555555555, 1.1111111111111112, 5.111701),
-              (5.555555555555555, 2.2222222222222223, 2.500173),
-              (5.555555555555555, 3.3333333333333335, 4.119462),
-              (5.555555555555555, 4.444444444444445, 3.576903),
-              (5.555555555555555, 5.555555555555555, 2.909416),
-              (5.555555555555555, 6.666666666666667, 0.806519),
-              (5.555555555555555, 7.777777777777779, 3.268613),
-              (5.555555555555555, 8.88888888888889, 7.005408),
-              (5.555555555555555, 10.0, 5.009555),
-              (6.666666666666667, 0.0, 0.254461),
-              (6.666666666666667, 1.1111111111111112, 5.900421),
-              (6.666666666666667, 2.2222222222222223, 6.642096),
-              (6.666666666666667, 3.3333333333333335, 2.755193),
-              (6.666666666666667, 4.444444444444445, 2.158826),
-              (6.666666666666667, 5.555555555555555, 0.811417),
-              (6.666666666666667, 6.666666666666667, 2.803303),
-              (6.666666666666667, 7.777777777777779, 7.800004),
-              (6.666666666666667, 8.88888888888889, 1.173348),
-              (6.666666666666667, 10.0, 4.82008),
-              (7.777777777777779, 0.0, 6.848036),
-              (7.777777777777779, 1.1111111111111112, 3.880075),
-              (7.777777777777779, 2.2222222222222223, 4.837215),
-              (7.777777777777779, 3.3333333333333335, 0.015493),
-              (7.777777777777779, 4.444444444444445, 2.544435),
-              (7.777777777777779, 5.555555555555555, 0.618988),
-              (7.777777777777779, 6.666666666666667, 1.541166),
-              (7.777777777777779, 7.777777777777779, 0.174137),
-              (7.777777777777779, 8.88888888888889, 2.103712),
-              (7.777777777777779, 10.0, 4.493135),
-              (8.88888888888889, 0.0, 2.00674),
-              (8.88888888888889, 1.1111111111111112, 3.494378),
-              (8.88888888888889, 2.2222222222222223, 0.661377),
-              (8.88888888888889, 3.3333333333333335, 3.103895),
-              (8.88888888888889, 4.444444444444445, 3.272465),
-              (8.88888888888889, 5.555555555555555, 1.120021),
-              (8.88888888888889, 6.666666666666667, 5.571573),
-              (8.88888888888889, 7.777777777777779, 5.443599),
-              (8.88888888888889, 8.88888888888889, 2.242505),
-              (8.88888888888889, 10.0, 2.091566),
-              (10.0, 0.0, 1.580519),
-              (10.0, 1.1111111111111112, 0.09125),
-              (10.0, 2.2222222222222223, 3.187042),
-              (10.0, 3.3333333333333335, 1.401484),
-              (10.0, 4.444444444444445, 1.313117),
-              (10.0, 5.555555555555555, 4.07378),
-              (10.0, 6.666666666666667, 4.041872),
-              (10.0, 7.777777777777779, 4.253867),
-              (10.0, 8.88888888888889, 1.326133),
-              (10.0, 10.0, 3.98433)
+            SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y,
+                   CAST(v AS DOUBLE) AS v FROM (VALUES
+              (0.0e0, 0.0e0, 0.0e0),
+              (0.0e0, 1.1111111111111112e0, 2.844148e0),
+              (0.0e0, 2.2222222222222223e0, 2.944842e0),
+              (0.0e0, 3.3333333333333335e0, 5.016112e0),
+              (0.0e0, 4.444444444444445e0, 4.123739e0),
+              (0.0e0, 5.555555555555555e0, 4.690863e0),
+              (0.0e0, 6.666666666666667e0, 3.36291e0),
+              (0.0e0, 7.777777777777779e0, 1.13989e0),
+              (0.0e0, 8.88888888888889e0, 0.152624e0),
+              (0.0e0, 10.0e0, 1.515982e0),
+              (1.1111111111111112e0, 0.0e0, 3.085908e0),
+              (1.1111111111111112e0, 1.1111111111111112e0, 2.108969e0),
+              (1.1111111111111112e0, 2.2222222222222223e0, 0.509348e0),
+              (1.1111111111111112e0, 3.3333333333333335e0, 3.944786e0),
+              (1.1111111111111112e0, 4.444444444444445e0, 1.582072e0),
+              (1.1111111111111112e0, 5.555555555555555e0, 3.04488e0),
+              (1.1111111111111112e0, 6.666666666666667e0, 6.483385e0),
+              (1.1111111111111112e0, 7.777777777777779e0, 4.447147e0),
+              (1.1111111111111112e0, 8.88888888888889e0, 3.81773e0),
+              (1.1111111111111112e0, 10.0e0, 2.212878e0),
+              (2.2222222222222223e0, 0.0e0, 3.04023e0),
+              (2.2222222222222223e0, 1.1111111111111112e0, 5.594955e0),
+              (2.2222222222222223e0, 2.2222222222222223e0, 3.891435e0),
+              (2.2222222222222223e0, 3.3333333333333335e0, 2.973115e0),
+              (2.2222222222222223e0, 4.444444444444445e0, 1.922085e0),
+              (2.2222222222222223e0, 5.555555555555555e0, 5.71068e0),
+              (2.2222222222222223e0, 6.666666666666667e0, 5.26592e0),
+              (2.2222222222222223e0, 7.777777777777779e0, 1.343823e0),
+              (2.2222222222222223e0, 8.88888888888889e0, 5.733952e0),
+              (2.2222222222222223e0, 10.0e0, 3.704195e0),
+              (3.3333333333333335e0, 0.0e0, 4.237807e0),
+              (3.3333333333333335e0, 1.1111111111111112e0, 5.032603e0),
+              (3.3333333333333335e0, 2.2222222222222223e0, 2.474983e0),
+              (3.3333333333333335e0, 3.3333333333333335e0, 1.246472e0),
+              (3.3333333333333335e0, 4.444444444444445e0, 2.556287e0),
+              (3.3333333333333335e0, 5.555555555555555e0, 3.6036e0),
+              (3.3333333333333335e0, 6.666666666666667e0, 1.043281e0),
+              (3.3333333333333335e0, 7.777777777777779e0, 0.985204e0),
+              (3.3333333333333335e0, 8.88888888888889e0, 0.856938e0),
+              (3.3333333333333335e0, 10.0e0, 2.343707e0),
+              (4.444444444444445e0, 0.0e0, 4.557945e0),
+              (4.444444444444445e0, 1.1111111111111112e0, 4.76384e0),
+              (4.444444444444445e0, 2.2222222222222223e0, 1.260366e0),
+              (4.444444444444445e0, 3.3333333333333335e0, 3.04731e0),
+              (4.444444444444445e0, 4.444444444444445e0, 0.274697e0),
+              (4.444444444444445e0, 5.555555555555555e0, 2.911628e0),
+              (4.444444444444445e0, 6.666666666666667e0, 5.772146e0),
+              (4.444444444444445e0, 7.777777777777779e0, 2.494278e0),
+              (4.444444444444445e0, 8.88888888888889e0, 3.669496e0),
+              (4.444444444444445e0, 10.0e0, 3.07372e0),
+              (5.555555555555555e0, 0.0e0, 3.239957e0),
+              (5.555555555555555e0, 1.1111111111111112e0, 5.111701e0),
+              (5.555555555555555e0, 2.2222222222222223e0, 2.500173e0),
+              (5.555555555555555e0, 3.3333333333333335e0, 4.119462e0),
+              (5.555555555555555e0, 4.444444444444445e0, 3.576903e0),
+              (5.555555555555555e0, 5.555555555555555e0, 2.909416e0),
+              (5.555555555555555e0, 6.666666666666667e0, 0.806519e0),
+              (5.555555555555555e0, 7.777777777777779e0, 3.268613e0),
+              (5.555555555555555e0, 8.88888888888889e0, 7.005408e0),
+              (5.555555555555555e0, 10.0e0, 5.009555e0),
+              (6.666666666666667e0, 0.0e0, 0.254461e0),
+              (6.666666666666667e0, 1.1111111111111112e0, 5.900421e0),
+              (6.666666666666667e0, 2.2222222222222223e0, 6.642096e0),
+              (6.666666666666667e0, 3.3333333333333335e0, 2.755193e0),
+              (6.666666666666667e0, 4.444444444444445e0, 2.158826e0),
+              (6.666666666666667e0, 5.555555555555555e0, 0.811417e0),
+              (6.666666666666667e0, 6.666666666666667e0, 2.803303e0),
+              (6.666666666666667e0, 7.777777777777779e0, 7.800004e0),
+              (6.666666666666667e0, 8.88888888888889e0, 1.173348e0),
+              (6.666666666666667e0, 10.0e0, 4.82008e0),
+              (7.777777777777779e0, 0.0e0, 6.848036e0),
+              (7.777777777777779e0, 1.1111111111111112e0, 3.880075e0),
+              (7.777777777777779e0, 2.2222222222222223e0, 4.837215e0),
+              (7.777777777777779e0, 3.3333333333333335e0, 0.015493e0),
+              (7.777777777777779e0, 4.444444444444445e0, 2.544435e0),
+              (7.777777777777779e0, 5.555555555555555e0, 0.618988e0),
+              (7.777777777777779e0, 6.666666666666667e0, 1.541166e0),
+              (7.777777777777779e0, 7.777777777777779e0, 0.174137e0),
+              (7.777777777777779e0, 8.88888888888889e0, 2.103712e0),
+              (7.777777777777779e0, 10.0e0, 4.493135e0),
+              (8.88888888888889e0, 0.0e0, 2.00674e0),
+              (8.88888888888889e0, 1.1111111111111112e0, 3.494378e0),
+              (8.88888888888889e0, 2.2222222222222223e0, 0.661377e0),
+              (8.88888888888889e0, 3.3333333333333335e0, 3.103895e0),
+              (8.88888888888889e0, 4.444444444444445e0, 3.272465e0),
+              (8.88888888888889e0, 5.555555555555555e0, 1.120021e0),
+              (8.88888888888889e0, 6.666666666666667e0, 5.571573e0),
+              (8.88888888888889e0, 7.777777777777779e0, 5.443599e0),
+              (8.88888888888889e0, 8.88888888888889e0, 2.242505e0),
+              (8.88888888888889e0, 10.0e0, 2.091566e0),
+              (10.0e0, 0.0e0, 1.580519e0),
+              (10.0e0, 1.1111111111111112e0, 0.09125e0),
+              (10.0e0, 2.2222222222222223e0, 3.187042e0),
+              (10.0e0, 3.3333333333333335e0, 1.401484e0),
+              (10.0e0, 4.444444444444445e0, 1.313117e0),
+              (10.0e0, 5.555555555555555e0, 4.07378e0),
+              (10.0e0, 6.666666666666667e0, 4.041872e0),
+              (10.0e0, 7.777777777777779e0, 4.253867e0),
+              (10.0e0, 8.88888888888889e0, 1.326133e0),
+              (10.0e0, 10.0e0, 3.98433e0)
             ) AS t(x, y, v)
         """,
         "when_throttle": """
@@ -4186,14 +4187,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "fake_gens": """
-            SELECT 0.0 + xi * 0.5 AS x, 0.0 + yi * 1.0 AS y,
-                   (0.0 + xi * 0.5) * (0.0 + xi * 0.5) + (0.0 + yi * 1.0) AS z
+            SELECT CAST(xi AS DOUBLE) * 0.5 AS x, CAST(yi AS DOUBLE) * 1.0 AS y,
+                   (CAST(xi AS DOUBLE) * 0.5) * (CAST(xi AS DOUBLE) * 0.5)
+                     + CAST(yi AS DOUBLE) * 1.0 AS z
             FROM generate_series(0, 20) tx(xi), generate_series(0, 2) ty(yi)
             ORDER BY x, y
         """,
         "csv_source": """
-            SELECT * FROM (VALUES (1, 'temp.a', 3.14), (2, 'temp.b', 2.71),
-                                  (3, 'hum.a', 55.5)) AS t(id, tag, val)
+            SELECT id, tag, CAST(val AS DOUBLE) AS val
+            FROM (VALUES (1, 'temp.a', 3.14), (2, 'temp.b', 2.71),
+                         (3, 'hum.a', 55.5)) AS t(id, tag, val)
         """,
         "show_tags": """
             SELECT event_type AS name, count(*) AS row_count,
@@ -5225,7 +5228,7 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(0, 127) t(i)
         """,
         "line_protocol": """
-            SELECT * FROM (VALUES
+            SELECT name, time, CAST(value AS DOUBLE) AS value FROM (VALUES
                 ('cpu.usage',  1704067200000000001, 0.5),
                 ('cpu.cores',  1704067200000000001, 8.0),
                 ('mem.usage',  1704067200000000002, 0.25),
@@ -5872,8 +5875,10 @@ def oracle_sql() -> dict[str, str]:
               FROM laid
             )
             SELECT doc_id, chunk_id,
-                   greatest(off - chunk_id * 512, 0) AS chunk_start,
-                   least(off + nt - chunk_id * 512, 512) - 1 AS chunk_end
+                   CAST(greatest(off - chunk_id * 512, 0) AS BIGINT)
+                       AS chunk_start,
+                   CAST(least(off + nt - chunk_id * 512, 512) - 1 AS BIGINT)
+                       AS chunk_end
             FROM chunks ORDER BY doc_id, chunk_id
         """,
         "pipeline_v2": r"""

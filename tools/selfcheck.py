@@ -95,6 +95,26 @@ def main():
             continue
         oracle_dt = time.time() - t1
         dt = time.time() - t0
+        # type lint (hard): the driver value-hashes DuckDB results, and
+        # int128/decimal128 columns serialize differently from Spark's int64
+        # even when every cell compares equal (the two-round pack_sequences
+        # red was exactly this).  No oracle may emit HUGEINT or DECIMAL.
+        try:
+            desc = con.execute(f"DESCRIBE ({sql.rstrip().rstrip(';')})")
+            banned = [(r[0], r[1]) for r in desc.fetchall()
+                      if "HUGEINT" in str(r[1]).upper()
+                      or "DECIMAL" in str(r[1]).upper()]
+        except Exception:
+            banned = []
+        if banned:
+            cols = "; ".join(f"{c}={t}" for c, t in banned)
+            print(f"FAIL  {name}: TYPELINT — oracle emits {cols}; "
+                  f"CAST to BIGINT/DOUBLE")
+            report[name] = {"pass": False, "rows": len(s_rows),
+                            "spark_sec": round(spark_dt, 3),
+                            "oracle_sec": round(oracle_dt, 3)}
+            n_fail += 1
+            continue
         # dtype audit: the driver may hash pandas values, where int-vs-float
         # or int32-vs-int64 representation differences flip the hash even
         # when cell values compare equal (DuckDB widens integer sum() to
