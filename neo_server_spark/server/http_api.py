@@ -829,8 +829,7 @@ class EngineHttpServer:
             if h.command == "GET":
                 return ok(self._timer_schedule(name))
             if h.command == "DELETE":
-                self._sched.stop(name)
-                self._sched._entries.pop(name, None)
+                self._sched.remove(name)
                 self._timer_meta.pop(name, None)
                 return ok()
             if h.command == "PUT":                # update
@@ -848,8 +847,7 @@ class EngineHttpServer:
                         f"invalid schedule '{meta['schedule']}'", tick)
                 running = any(e["name"] == name and e["state"] == "RUNNING"
                               for e in self._sched.entries())
-                self._sched.stop(name)
-                self._sched._entries.pop(name, None)
+                self._sched.remove(name)
                 self._sched.add_timer(name, iv, self._timer_job(name),
                                       start=running)
                 return ok()
@@ -999,12 +997,26 @@ class EngineHttpServer:
             d = os.path.join(root, meta["bridge"], meta["topic"])
             if not os.path.isdir(d):
                 return
+            done = os.path.join(d, "done")
             for fn in sorted(os.listdir(d)):
                 full = os.path.join(d, fn)
-                if not os.path.isfile(full) or fn in meta["seen"]:
+                if not os.path.isfile(full):
                     continue
-                meta["seen"].add(fn)
-                with open(full, "rb") as f:
+                # claim the message by moving it into done/ (tombstone on
+                # disk, not an in-memory seen-set): memory stays bounded
+                # for a long-lived queue, and a restarted server replays
+                # only genuinely new files instead of the whole history.
+                # Claim-before-process keeps the prior at-most-once
+                # delivery semantics (a failing task doesn't hot-loop).
+                os.makedirs(done, exist_ok=True)
+                tomb = os.path.join(done, fn)
+                if os.path.exists(tomb):
+                    tomb = os.path.join(done, f"{meta['msgid']}_{fn}")
+                try:
+                    os.rename(full, tomb)
+                except OSError:
+                    continue        # raced with another drain; skip
+                with open(tomb, "rb") as f:
                     payload = f.read()
                 meta["msgid"] += 1
                 task = meta["task"]
@@ -1098,7 +1110,7 @@ class EngineHttpServer:
                     self._sub_meta[name] = {
                         "autoStart": bool(req.get("autoStart")),
                         "bridge": req["bridge"], "topic": req["topic"],
-                        "task": req["task"], "seen": set(), "msgid": 0}
+                        "task": req["task"], "msgid": 0}
                     self._sched.add_timer(
                         f"sub:{name}", self.SUBSCRIBER_POLL_SEC,
                         self._subscriber_job(name),
@@ -1125,8 +1137,7 @@ class EngineHttpServer:
             if len(parts) == 1 and h.command == "GET":
                 return ok(self._sub_schedule(name))
             if len(parts) == 1 and h.command == "DELETE":
-                self._sched.stop(f"sub:{name}")
-                self._sched._entries.pop(f"sub:{name}", None)
+                self._sched.remove(f"sub:{name}")
                 self._sub_meta.pop(name, None)
                 return ok()
             return self._fail(h, 404, "not found", tick)

@@ -217,10 +217,17 @@ def _refresh_mounts_view(spark: SparkSession) -> None:
 #: ``mount.table`` token means a table (never a column reference like
 #: ``alias.col`` in SELECT/WHERE, which an earlier blanket rewrite
 #: silently hijacked when an alias collided with a mount name)
+#: words that may directly follow a table reference and must never be
+#: swallowed as its alias (``FROM t1 JOIN m.t2`` — ``JOIN`` is not an
+#: alias of t1, and consuming it hides m.t2 from the rewrite)
+_NOT_ALIAS = (r"(?!(?:join|on|where|group|order|left|right|inner|outer|"
+              r"cross|full|natural|union|intersect|except|limit|having|"
+              r"using|lateral|semi|anti|window|qualify|asof)\b)")
 _FROM_LIST = re.compile(
     r"(?i)\b(from|join)(\s+)"
-    r"((?:\w+\.){0,2}\w+(?:\s+(?:as\s+)?\w+)?"
-    r"(?:\s*,\s*(?:\w+\.){0,2}\w+(?:\s+(?:as\s+)?\w+)?)*)")
+    r"((?:\w+\.){0,2}\w+(?:\s+(?:as\s+)?" + _NOT_ALIAS + r"\w+)?"
+    r"(?:\s*,\s*(?:\w+\.){0,2}\w+(?:\s+(?:as\s+)?" + _NOT_ALIAS
+    + r"\w+)?)*)")
 
 _QNAME = re.compile(r"^(\w+)\.(?:(\w+)\.)?(\w+)(.*)$", re.S)
 

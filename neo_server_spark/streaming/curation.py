@@ -29,7 +29,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..datapipe import curate, dedup
 
-__all__ = ["curate_batch", "stream_curate"]
+__all__ = ["curate_batch", "stream_curate", "read_layered"]
+
+
+def _layouts(path: str) -> tuple[list[str], bool]:
+    """(root-level .parquet files, whether run=/epoch= partition dirs
+    exist).  The two can coexist: a pre-r9 flat backfill (or an
+    ``epoch=None`` append) plus later streaming epochs."""
+    if not os.path.isdir(path):
+        return [], False
+    flat = [os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet")]
+    part = any(d.startswith("run=") for d in os.listdir(path)
+               if os.path.isdir(os.path.join(path, d)))
+    return flat, part
 
 
 def _has_parquet(path: str) -> bool:
@@ -39,6 +52,28 @@ def _has_parquet(path: str) -> bool:
         if any(f.endswith(".parquet") for f in files):
             return True
     return False
+
+
+def read_layered(spark: SparkSession, path: str) -> DataFrame:
+    """Read an index/corpus directory that may hold the flat layout
+    (root-level parquet from ``epoch=None`` backfills), the partitioned
+    ``run=/epoch=`` layout, or BOTH.  ``spark.read.parquet(dir)`` on a
+    mixed directory silently ignores the root-level files (partition
+    discovery only walks the ``k=v`` subdirs) — losing every backfill
+    digest means previously-curated documents get re-admitted, so the
+    mixed case must union the two reads explicitly.  Flat rows surface
+    with ``run``/``epoch`` = NULL when the partitioned side exists."""
+    flat, part = _layouts(path)
+    if flat and part:
+        pdf = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, d) for d in os.listdir(path)
+              if d.startswith("run=")])
+        fdf = spark.read.parquet(*flat)
+        for c in ("run", "epoch"):
+            if c in pdf.columns and c not in fdf.columns:
+                fdf = fdf.withColumn(c, F.lit(None).cast(pdf.schema[c].dataType))
+        return pdf.unionByName(fdf, allowMissingColumns=True)
+    return spark.read.parquet(path)
 
 
 def curate_batch(spark: SparkSession, batch: DataFrame, index_dir: str,
@@ -60,13 +95,15 @@ def curate_batch(spark: SparkSession, batch: DataFrame, index_dir: str,
     other = [c for c in batch.columns if c not in (text_col,)]
     cleaned = batch.select(*other).join(cleaned.drop("n_kept"), id_col)
     if _has_parquet(index_dir):
-        seen = spark.read.parquet(index_dir)
+        seen = read_layered(spark, index_dir)
         if epoch is not None and {"run", "epoch"} <= set(seen.columns):
             # a replayed epoch must not dedup against ITS OWN digests
             # from the failed attempt (that would overwrite the epoch's
             # corpus partition with an empty frame)
-            seen = seen.filter(~((F.col("run") == (run_key or "adhoc")) &
-                                 (F.col("epoch") == int(epoch))))
+            # eqNullSafe: flat-layout rows carry run/epoch = NULL and
+            # must survive this filter (plain == yields NULL -> dropped)
+            seen = seen.filter(~(F.col("run").eqNullSafe(run_key or "adhoc")
+                                 & F.col("epoch").eqNullSafe(int(epoch))))
         seen = seen.select("digest")
     else:
         seen = spark.createDataFrame([], "digest string")

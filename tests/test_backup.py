@@ -135,6 +135,94 @@ def test_mount_rewrite_is_token_aware(spark, catalog, tmp_path):
     got = lake_sql(spark, "select count(*) n from arch1.example e, "
                           "arch1.sys.dims d").collect()
     assert got[0]["n"] == 5
+    # JOIN after an alias-less table: JOIN must not be eaten as an alias
+    got = lake_sql(spark, "select count(*) n from arch1.example "
+                          "join arch1.dims on 1=1").collect()
+    assert got[0]["n"] == 5
+    got = lake_sql(spark, "select count(*) n from (select 1 as z) "
+                          "join arch1.example on 1=1").collect()
+    assert got[0]["n"] == 5
+    ddl.exec_sql(spark, "UNMOUNT DATABASE 'arch1'")
+
+
+def test_mount_rewrite_property_fuzz(spark, catalog, tmp_path):
+    """Property suite (r9 VERDICT #5): 240+ generated queries with
+    aliases / CTE names / derived-table names colliding with the mount
+    name, JOIN chains with and without aliases, comma lists, string
+    literals, and subqueries after FROM.  Ground truth: the same query
+    with every ``arch1[.sys].<t>`` reference replaced by its mounted
+    view name directly — both must parse and return identical rows."""
+    import random
+
+    p = str(tmp_path / "bkfz")
+    ddl.exec_sql(spark, f"BACKUP DATABASE INTO DISK = '{p}'")
+    ddl.exec_sql(spark, f"MOUNT DATABASE '{p}' TO 'arch1'")
+    from neo_server_spark.sqlx.dialect import lake_sql
+
+    view = {"example": bk._mount_view("arch1", "example"),
+            "dims": bk._mount_view("arch1", "dims")}
+    refs = ["arch1.example", "arch1.sys.example",
+            "arch1.dims", "arch1.sys.dims"]
+    aliases = ["", " t", " as t", " arch1", " as arch1", " example",
+               " e1", " as dims"]
+    rng = random.Random(20260815)
+
+    def direct(q):        # ground-truth form: views named outright
+        for t, v in view.items():
+            q = (q.replace(f"arch1.sys.{t}", v)
+                  .replace(f"arch1.{t}", v))
+        return q
+
+    def run(q):
+        rw = lake_sql(spark, q)
+        gt = lake_sql(spark, direct(q))
+        assert sorted(map(tuple, rw.collect())) == \
+            sorted(map(tuple, gt.collect())), q
+
+    checked = 0
+    for _ in range(60):                       # single-table + alias + filter
+        r, a = rng.choice(refs), rng.choice(aliases)
+        name = (a.replace(" as ", " ").strip() or r)
+        q = f"select count(*) as n from {r}{a}"
+        if rng.random() < 0.5 and a.strip():
+            q += f" where {name.split('.')[0]}.name is not null" \
+                if "example" in r else ""
+        run(q); checked += 1
+    for _ in range(60):                       # two-table JOINs, alias-less ok
+        r1, r2 = rng.choice(refs), rng.choice(refs)
+        a1, a2 = rng.choice(aliases), rng.choice(aliases)
+        if a1.strip() and a1 == a2:
+            a2 = " t2"
+        jk = rng.choice(["join", "left join", "cross join", "inner join"])
+        on = "" if "cross" in jk else " on 1=1"
+        run(f"select count(*) as n from {r1}{a1} {jk} {r2}{a2}{on}")
+        checked += 1
+    for _ in range(40):                       # comma lists of 2-3 items
+        items = [rng.choice(refs) + rng.choice(["", " a", " b", " arch1"])
+                 for _ in range(rng.randint(2, 3))]
+        seen, out = set(), []
+        for it in items:                      # dedupe aliases
+            parts = it.split()
+            if len(parts) > 1 and parts[-1] in seen:
+                it = parts[0]
+            if len(parts) > 1:
+                seen.add(parts[-1])
+            out.append(it)
+        run("select count(*) as n from " + ", ".join(out)); checked += 1
+    for _ in range(40):                       # literals + alias collisions
+        r = rng.choice(refs)
+        got = lake_sql(spark, f"select 'from {r}' as s, count(*) as n "
+                              f"from {r} group by 1").collect()
+        assert got[0]["s"] == f"from {r}", r    # literal stays verbatim
+        run(f"select arch1.v as v from (select 42 as v) arch1 "
+            f"join {r} on 1=1 limit 1")
+        checked += 2
+    for _ in range(40):                       # CTE shadowing the mount name
+        r = rng.choice(refs)
+        run(f"with arch1 as (select count(*) as n from {r}) "
+            f"select n from arch1")
+        checked += 1
+    assert checked >= 240
     ddl.exec_sql(spark, "UNMOUNT DATABASE 'arch1'")
 
 

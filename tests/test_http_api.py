@@ -581,9 +581,14 @@ def test_api_subscribers_crud_and_message_flow(server, spark, tmp_path,
             break
         _time.sleep(0.2)
     assert spark.table("example").filter("name like 'sub%'").count() == 2
-    # a message is consumed ONCE (seen-set), not per poll
+    # a message is consumed ONCE (tombstoned into done/), not per poll
     _time.sleep(0.5)
     assert spark.table("example").filter("name like 'sub%'").count() == 2
+    # processed files moved to done/ — the queue dir itself is drained,
+    # so a server restart replays nothing
+    assert sorted(f.name for f in (topic_dir / "done").iterdir()) == \
+        ["m1.csv", "m2.csv"]
+    assert [f.name for f in topic_dir.iterdir() if f.is_file()] == []
 
     # stop + delete
     post(f"{server}/web/api/subscribers/s1/state",

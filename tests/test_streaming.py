@@ -470,3 +470,38 @@ def test_curate_batch_epoch_retry_idempotent(spark, tmp_path):
     got = sorted(r["doc_id"]
                  for r in spark.read.parquet(out).select("doc_id").collect())
     assert got == [0, 2]
+
+
+def test_curate_mixed_layout_backfill_plus_epochs(spark, tmp_path):
+    """A pre-r9 flat backfill (epoch=None appends at the directory root)
+    followed by epoch-keyed streaming writes produces a MIXED layout.
+    spark.read.parquet on such a directory silently drops the root-level
+    files — the index read must union both layouts so backfill digests
+    still dedup later batches, and read_layered(out) must surface the
+    flat corpus rows."""
+    from neo_server_spark.streaming import curation
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    d1 = "this line has plenty of words and punctuation.\n" \
+         "a different proper sentence with enough words here!"
+    d2 = "an entirely new sentence that nobody has written yet!\n" \
+         "and one more full line to clear the line minimum, yes."
+    # 1. flat backfill (epoch=None -> root-level parquet)
+    curation.curate_batch(spark, spark.createDataFrame(
+        [(0, d1)], ["doc_id", "text"]), idx, out, min_lines=2)
+    # 2. streaming epoch: duplicates the backfilled doc + one new doc
+    curation.curate_batch(spark, spark.createDataFrame(
+        [(10, d1), (11, d2)], ["doc_id", "text"]), idx, out,
+        min_lines=2, epoch=0, run_key="ckh")
+    # the backfilled digest must have been visible: doc 10 dropped
+    corpus = curation.read_layered(spark, out)
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [0, 11]
+    # both digests (flat + epoch) visible through the layered reader
+    assert curation.read_layered(spark, idx) \
+        .select("digest").distinct().count() == 2
+    # a further epoch still dedups against BOTH layers
+    curation.curate_batch(spark, spark.createDataFrame(
+        [(20, d1), (21, d2)], ["doc_id", "text"]), idx, out,
+        min_lines=2, epoch=1, run_key="ckh")
+    corpus = curation.read_layered(spark, out)
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [0, 11]
