@@ -2667,6 +2667,120 @@ def _q_backup_mount(spark, sf_dir):
         .orderBy("name", "time", "value")
 
 
+def _q_timer_fire(spark, sf_dir):
+    """Timer facility end-to-end under the value-hash gate (streaming/
+    scheduler.py + server/http_api.py timers router; reference
+    mods/scheduler/sched_timer.go:16-60 — a cron TIMER entry runs a .tql
+    task per firing): a timer is created over POST /web/api/timers with a
+    .tql task that aggregates events and INSERTs into a DDL tag table;
+    one synchronous tick fires (the reference's manual trigger), and the
+    appended rows are the result.  The oracle replays the aggregation
+    straight from events — equality certifies the facility router, the
+    scheduler execution, the TQL pipeline, and the table append."""
+    import json as _json
+    import tempfile
+    import urllib.request
+
+    from neo_server_spark.server.http_api import EngineHttpServer
+    from neo_server_spark.sqlx import ddl
+
+    tbl = "tmr_metrics"
+    if ddl.has_table(tbl):
+        ddl.drop_table(spark, tbl)
+    ddl.exec_sql(spark, f"CREATE TAG TABLE {tbl}("
+                        "name varchar(40) primary key, "
+                        "time datetime basetime, "
+                        "value double summarized)")
+    root = tempfile.mkdtemp(prefix="timer_fire_")
+    with open(f"{root}/metrics.tql", "w") as f:
+        f.write("SQL('select event_type, cast(count(*) as long)"
+                " * 1000000000, round(sum(value), 6)"
+                " from events group by event_type order by event_type')\n"
+                f"INSERT(\"name\", \"time\", \"value\", table('{tbl}'))\n")
+    srv = EngineHttpServer(spark, sf_dir=sf_dir, fs_root=root)
+    port = srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/web/api/timers",
+            data=_json.dumps({"name": "t_metrics",
+                              "schedule": "@every 1h",
+                              "path": "metrics.tql"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert _json.loads(r.read())["success"]
+        srv._sched.trigger_now("t_metrics")      # one synchronous tick
+        ent = next(e for e in srv._sched.entries()
+                   if e["name"] == "t_metrics")
+        assert ent["run_count"] == 1 and ent["last_error"] is None, ent
+        rows = spark.table(tbl) \
+            .select("name", "time", "value").collect()
+    finally:
+        srv.stop()
+        ddl.drop_table(spark, tbl)
+    out = spark.createDataFrame([tuple(r) for r in rows],
+                                "name string, time long, value double")
+    return out.select("name", _us("time"), "value").orderBy("name")
+
+
+def _q_subscriber_flow(spark, sf_dir):
+    """Subscriber facility end-to-end under the value-hash gate
+    (server/http_api.py subscribers router over the directory-queue
+    bridge; reference mods/scheduler/sched_subs.go:220-246 doMqttTask —
+    broker message -> per-message task): message files dropped into
+    ``fs_root/<bridge>/<topic>/`` are drained by one synchronous
+    subscriber tick into a DDL tag table via a ``db/append`` write
+    descriptor, with processed files tombstoned into done/.  The oracle
+    is the literal payload rows — equality certifies subscriber CRUD,
+    the queue drain, payload CSV decode, and the table append."""
+    import json as _json
+    import os
+    import tempfile
+    import urllib.request
+
+    from neo_server_spark.server.http_api import EngineHttpServer
+    from neo_server_spark.sqlx import ddl
+
+    tbl = "sub_readings"
+    if ddl.has_table(tbl):
+        ddl.drop_table(spark, tbl)
+    ddl.exec_sql(spark, f"CREATE TAG TABLE {tbl}("
+                        "name varchar(40) primary key, "
+                        "time datetime basetime, "
+                        "value double summarized)")
+    root = tempfile.mkdtemp(prefix="subscriber_flow_")
+    qdir = os.path.join(root, "mq", "sensors")
+    os.makedirs(qdir)
+    with open(f"{qdir}/m1.csv", "w") as f:
+        f.write("sens.a,1000000000,1.5\nsens.b,1000000000,2.5\n")
+    with open(f"{qdir}/m2.csv", "w") as f:
+        f.write("sens.a,2000000000,3.25\n")
+    srv = EngineHttpServer(spark, sf_dir=sf_dir, fs_root=root)
+    port = srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/web/api/subscribers",
+            data=_json.dumps({"name": "s_flow", "bridge": "mq",
+                              "topic": "sensors",
+                              "task": f"db/append/{tbl}:csv"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert _json.loads(r.read())["success"]
+        srv._sched.trigger_now("sub:s_flow")     # one synchronous drain
+        # both messages consumed and tombstoned — a second tick is a no-op
+        assert sorted(os.listdir(os.path.join(qdir, "done"))) == \
+            ["m1.csv", "m2.csv"]
+        srv._sched.trigger_now("sub:s_flow")
+        rows = spark.table(tbl) \
+            .select("name", "time", "value").collect()
+    finally:
+        srv.stop()
+        ddl.drop_table(spark, tbl)
+    out = spark.createDataFrame([tuple(r) for r in rows],
+                                "name string, time long, value double")
+    return out.select("name", _us("time"), "value") \
+        .orderBy("name", "time")
+
+
 def _q_semdedup(spark, sf_dir):
     """SemDeDup (datapipe.dedup.semdedup — Abbas et al. 2023): embeddings
     clustered to 32 fixed centroids (the first 32 vectors — deterministic, so
@@ -2960,6 +3074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greens against current code.  Everything else rotates behind
         # (remaining r4, then r5/r6/r8 vintages).
         "pack_sequences": _q_pack_sequences,
+        "timer_fire": _q_timer_fire,
+        "subscriber_flow": _q_subscriber_flow,
         "pipeline_v2": _q_pipeline_v2,
         "streaming_curation": _q_streaming_curation,
         "semdedup": _q_semdedup,
@@ -6005,6 +6121,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT name, time, value FROM src
             ORDER BY name, time, value
+        """,
+        # timer facility: the .tql task aggregates events per type and
+        # appends (name, count*1e9 ns, round(sum,6)); times surface in µs.
+        "timer_fire": """
+            SELECT event_type AS name,
+                   count(*) * 1000000 AS time,
+                   round(sum(value), 6) AS value
+            FROM events GROUP BY event_type ORDER BY name
+        """,
+        # subscriber facility: the drained queue IS the literal payloads
+        # (times written in ns, surfaced in µs).
+        "subscriber_flow": """
+            SELECT name, CAST(time AS BIGINT) AS time,
+                   CAST(value AS DOUBLE) AS value FROM (VALUES
+                ('sens.a', 1000000, 1.5),
+                ('sens.a', 2000000, 3.25),
+                ('sens.b', 1000000, 2.5)
+            ) AS t(name, time, value)
+            ORDER BY name, time
         """,
         "watch_latest": """
             WITH latest AS (
