@@ -77,11 +77,21 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
     digest is computed per shingle (64 separate md5s were ~7x slower)."""
     sh = shingles(text_col, shingle_n)
     if hash_fn == "xxhash64":
-        sig = F.array(*[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ])
-        return docs.withColumn(out, sig)
+        def sig_of_sh(sh_bound):
+            # LET-bound shingle array (transform-of-singleton): without
+            # it each of the num_hashes array_min branches carries its
+            # own copy of the shingle-construction expression and
+            # Catalyst re-evaluates it per member — at the production
+            # minhash_params(0.7) schedule (408 hashes) that is 408
+            # shingle splits per row instead of one
+            return F.array(*[
+                F.array_min(F.transform(
+                    sh_bound, lambda s: F.xxhash64(s, F.lit(i))))
+                for i in range(num_hashes)
+            ])
+
+        return docs.withColumn(
+            out, F.element_at(F.transform(F.array(sh), sig_of_sh), 1))
     if hash_fn != "md5":
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     ms = F.transform(sh, lambda s: F.conv(
@@ -105,11 +115,49 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
         out, F.element_at(F.transform(F.array(ms), sig_of), 1))
 
 
+def minhash_params(threshold: float, target_recall: float = 0.95,
+                   max_bands: int = 64, max_rows: int = 16) -> tuple[int, int]:
+    """Derive (num_hashes, bands) for ``minhash_lsh_pairs`` from a Jaccard
+    threshold — the production sizing knob (mirrors ``lsh_params`` for the
+    hyperplane family).
+
+    One band of r signature rows collides for a pair at Jaccard j with
+    probability j**r; B bands recall 1 - (1 - j**r)**B.  At the THRESHOLD
+    (the weakest pair that must still surface) we take the LARGEST r whose
+    required band count fits ``max_bands`` — candidate mass per band falls
+    ~j**r for sub-threshold pairs, so more rows per band always wins while
+    the recall target stays reachable (MMDS ch.3 banding analysis).
+
+    Production guidance (measured on the salted 100x replica, COVERAGE.md
+    "ANN/LSH recall"): corpus near-dup dedup runs at threshold 0.7-0.8 —
+    minhash_params(0.7) -> r=8, B=51 (num_hashes=408) keeps candidate
+    volume linear in the corpus because a sub-threshold pair collides
+    with probability <= 0.7**8 = 0.058 per band.  The sf0.01 ORACLE entry's
+    threshold=0.05 with the default (64, 16) schedule is a verification
+    convenience: at 0.05 EVERY band collides for moderately-similar docs
+    and the verified output itself is quadratic in each doc's duplicate
+    count (24.7M pairs on the unsalted 100x replica) — never run a real
+    corpus there.  Verified-pair output is additionally fenced by
+    ``max_bucket`` (over-full buckets are skipped) and can be capped
+    outright with ``max_pairs`` for exploratory runs."""
+    import math
+
+    j = max(1e-9, min(1.0 - 1e-9, threshold))
+    for r in range(max_rows, 0, -1):
+        p_band = j ** r
+        bands = math.ceil(math.log(1.0 - target_recall)
+                          / math.log(1.0 - p_band))
+        if bands <= max_bands:
+            return r * bands, bands
+    return max_bands, max_bands
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
                       jaccard_threshold: float = 0.7,
                       hash_fn: str = "xxhash64",
-                      max_bucket: int = 10_000) -> DataFrame:
+                      max_bucket: int = 10_000,
+                      max_pairs: int | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified with
     exact shingle Jaccard (Broder 1997; the bands×rows schedule of
     Leskovec/Rajaraman/Ullman MMDS ch.3).
@@ -229,9 +277,17 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
                              "jaccard": np.concatenate(out_j)})
 
     pairs = sk.groupBy("band", "bucket").applyInPandas(verify, out_schema)
-    return (pairs.distinct()
-            .select("id_a", "id_b",
-                    F.round("jaccard", 6).alias("jaccard")))
+    pairs = (pairs.distinct()
+             .select("id_a", "id_b",
+                     F.round("jaccard", 6).alias("jaccard")))
+    if max_pairs is not None:
+        # output fence for exploratory/low-threshold runs: the verified
+        # set itself is quadratic in per-doc duplicate count when the
+        # threshold sits below the corpus's ambient similarity (see
+        # minhash_params); keep the strongest pairs, deterministically
+        pairs = (pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+                 .limit(int(max_pairs)))
+    return pairs
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

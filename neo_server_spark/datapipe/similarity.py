@@ -296,10 +296,23 @@ def quantization_error(emb: DataFrame, vec_col: str = "embedding",
     )
 
 
+def lsh_index(emb: DataFrame, block_bits: int = 3, bands: int = 12,
+              hash_fn: str = "xxhash64", vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Materializable (band, bucket) sketch frame for ``lsh_topk`` — build
+    (and persist/write) ONCE, probe many times.  At 100 TB the index is
+    the only full-corpus scan; each query afterwards touches ``bands``
+    buckets."""
+    from neo_server_spark.datapipe.dedup import band_buckets
+
+    return band_buckets(emb.select(id_col, vec_col), vec_col, id_col,
+                        block_bits, bands, hash_fn)
+
+
 def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
              block_bits: int = 3, bands: int = 12,
              hash_fn: str = "xxhash64", vec_col: str = "embedding",
-             id_col: str = "vec_id") -> DataFrame:
+             id_col: str = "vec_id", sig: DataFrame | None = None) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors: candidates are the
     vectors sharing the query's hyperplane band-bucket in ANY of
     ``bands`` bands (the same multi-band sketch the near-dup miner uses,
@@ -312,10 +325,8 @@ def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
     only for the candidate set.  Recall follows the Indyk-Motwani band
     analysis (dedup.lsh_params picks (bits, bands) from a target cosine).
     """
-    from neo_server_spark.datapipe.dedup import band_buckets
-
-    base = emb.select(id_col, vec_col)
-    sig = band_buckets(base, vec_col, id_col, block_bits, bands, hash_fn)
+    if sig is None:     # one-shot: build the sketch inline (``lsh_index``
+        sig = lsh_index(emb, block_bits, bands, hash_fn, vec_col, id_col)
     qsig = (sig.filter(F.col(id_col) == query_vec_id)
             .select("__band", "__bucket"))
     cand = (sig.join(F.broadcast(qsig), ["__band", "__bucket"],

@@ -37,6 +37,38 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert (0, 2) in found or (1, 2) in found  # near dup via banding
 
 
+def test_minhash_params_banding():
+    """The derived (num_hashes, bands) schedule meets the recall target at
+    the threshold and keeps sub-threshold band collisions rare."""
+    from neo_server_spark.datapipe.dedup import minhash_params
+    for t in (0.5, 0.7, 0.8, 0.9):
+        n, b = minhash_params(t, target_recall=0.95)
+        r = n // b
+        assert n == r * b and 1 <= b <= 64 and 1 <= r <= 16
+        recall_at_t = 1.0 - (1.0 - t ** r) ** b
+        assert recall_at_t >= 0.95, (t, n, b)
+        # banding separates: a pair at HALF the threshold is rarely
+        # even a candidate
+        recall_at_half = 1.0 - (1.0 - (0.5 * t) ** r) ** b
+        assert recall_at_half <= 0.2, (t, n, b)
+    assert minhash_params(0.7) == (408, 51)    # the documented regime
+
+
+def test_minhash_max_pairs_fence(docs):
+    """max_pairs caps the verified output deterministically (strongest
+    pairs first) — the exploratory-run fence minhash_params documents."""
+    full = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16,
+                                   shingle_n=2, jaccard_threshold=0.1)
+    n_full = full.count()
+    assert n_full >= 2
+    capped = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16,
+                                     shingle_n=2, jaccard_threshold=0.1,
+                                     max_pairs=1).collect()
+    assert len(capped) == 1
+    top = full.orderBy(F.col("jaccard").desc(), "id_a", "id_b").first()
+    assert (capped[0].id_a, capped[0].id_b) == (top.id_a, top.id_b)
+
+
 def test_ngram_jaccard(docs):
     pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.99).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
