@@ -2781,6 +2781,39 @@ def _q_subscriber_flow(spark, sf_dir):
         .orderBy("name", "time")
 
 
+def _q_txlog_table(spark, sf_dir):
+    """Transactional table format under the value-hash gate
+    (neo_server_spark/txlog.py — Delta-style commit log over parquet +
+    atomic put-if-absent, the exactly-once sink behind
+    stream_curate(table_format='txlog')): 30 deterministic click events
+    land over two txn-tagged commits, epoch 0 is REPLAYED (the
+    foreachBatch-retry case — must collapse to a no-op), and an orphaned
+    data file simulates a crash between staging and commit (must stay
+    invisible).  The oracle replays the row selection straight from
+    events — equality certifies the commit protocol, replay dedupe,
+    crash invisibility, and the log-driven read."""
+    import os
+    import tempfile
+
+    from neo_server_spark import txlog
+
+    t = os.path.join(tempfile.mkdtemp(prefix="txlog_entry_"), "tbl")
+    base = (nio.load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "click")
+            .orderBy("event_id").limit(30)
+            .select("event_id", F.col("event_type").alias("name"),
+                    F.col("ts").cast("long").alias("time"), "value"))
+    txlog.write(base.filter(F.col("event_id") % 2 == 0), t, txn=("e", 0))
+    txlog.write(base.filter(F.col("event_id") % 2 == 0), t, txn=("e", 0))
+    txlog.write(base.filter(F.col("event_id") % 2 == 1), t, txn=("e", 1))
+    # crash between staging and commit: uncommitted file stays invisible
+    base.limit(5).write.mode("overwrite") \
+        .parquet(os.path.join(t, "data", "orphan.parquet"))
+    out = txlog.read_table(spark, t)
+    return out.select("event_id", "name", _us("time"), "value") \
+        .orderBy("event_id")
+
+
 def _q_semdedup(spark, sf_dir):
     """SemDeDup (datapipe.dedup.semdedup — Abbas et al. 2023): embeddings
     clustered to 32 fixed centroids (the first 32 vectors — deterministic, so
@@ -3076,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "timer_fire": _q_timer_fire,
         "subscriber_flow": _q_subscriber_flow,
+        "txlog_table": _q_txlog_table,
         "pipeline_v2": _q_pipeline_v2,
         "streaming_curation": _q_streaming_curation,
         "semdedup": _q_semdedup,
@@ -6129,6 +6163,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) * 1000000 AS time,
                    round(sum(value), 6) AS value
             FROM events GROUP BY event_type ORDER BY name
+        """,
+        # txlog: two committed epochs (one replayed into a no-op) cover
+        # all 30 selected rows; the orphaned file never surfaces.
+        "txlog_table": """
+            SELECT event_id, event_type AS name, epoch_us(ts) AS time,
+                   value
+            FROM events WHERE event_type = 'click'
+            ORDER BY event_id LIMIT 30
         """,
         # subscriber facility: the drained queue IS the literal payloads
         # (times written in ns, surfaced in µs).

@@ -80,7 +80,8 @@ def curate_batch(spark: SparkSession, batch: DataFrame, index_dir: str,
                  out_dir: str, text_col: str = "text",
                  id_col: str = "doc_id", sep: str = "\n",
                  min_words: int = 5, min_lines: int = 3,
-                 epoch: int | None = None, run_key: str = "") -> None:
+                 epoch: int | None = None, run_key: str = "",
+                 table_format: str = "parquet") -> None:
     """One micro-batch: C4 clean -> dedup vs the persistent index ->
     write survivors + merge their digests.  Also the unit the batch
     backfill path calls in a loop.
@@ -94,6 +95,11 @@ def curate_batch(spark: SparkSession, batch: DataFrame, index_dir: str,
                               min_lines=min_lines)
     other = [c for c in batch.columns if c not in (text_col,)]
     cleaned = batch.select(*other).join(cleaned.drop("n_kept"), id_col)
+    if table_format == "txlog":
+        return _curate_batch_txlog(spark, cleaned, index_dir, out_dir,
+                                   text_col, id_col, epoch, run_key)
+    if table_format != "parquet":
+        raise ValueError(f"unknown table_format {table_format!r}")
     if _has_parquet(index_dir):
         seen = read_layered(spark, index_dir)
         if epoch is not None and {"run", "epoch"} <= set(seen.columns):
@@ -122,11 +128,45 @@ def curate_batch(spark: SparkSession, batch: DataFrame, index_dir: str,
         digests.write.mode("overwrite").parquet(f"{index_dir}/{sub}")
 
 
+def _curate_batch_txlog(spark: SparkSession, cleaned: DataFrame,
+                        index_dir: str, out_dir: str, text_col: str,
+                        id_col: str, epoch: int | None,
+                        run_key: str) -> None:
+    """Transactional-sink variant: both sinks are txlog tables, so
+    exactly-once comes from the commit log's (app, epoch) txn dedupe
+    instead of the run=/epoch= directory convention — readers just
+    ``txlog.read_table`` with no layout knowledge, and a crash between
+    staging and commit leaves invisible files, never a torn table.
+
+    Write order (corpus THEN index) makes the replay self-consistent:
+    if the index commit is missing, ``seen`` lacks this epoch's digests,
+    the dedup recomputes the identical ``fresh`` set (deterministic),
+    and the corpus write collapses into a no-op via its txn."""
+    from neo_server_spark import txlog
+
+    app = run_key or "adhoc"
+    txn = None if epoch is None else (app, int(epoch))
+    if txn is not None and \
+            txlog.last_txn_version(index_dir, app, int(epoch)) is not None:
+        return      # fully committed epoch: replay is a no-op
+    try:
+        seen = txlog.read_table(spark, index_dir).select("digest")
+    except FileNotFoundError:
+        seen = spark.createDataFrame([], "digest string")
+    fresh = dedup.dedup_incremental(cleaned, seen, text_col=text_col,
+                                    id_col=id_col)
+    fresh = fresh.localCheckpoint(eager=True)
+    txlog.write(fresh, out_dir, txn=txn)
+    txlog.write(dedup.digest_index(fresh, text_col=text_col), index_dir,
+                txn=txn)
+
+
 def stream_curate(stream: DataFrame, index_dir: str, out_dir: str,
                   checkpoint: str, text_col: str = "text",
                   id_col: str = "doc_id", sep: str = "\n",
                   min_words: int = 5, min_lines: int = 3,
-                  available_now: bool = True):
+                  available_now: bool = True,
+                  table_format: str = "parquet"):
     """readStream(documents) -> C4 clean -> incremental dedup -> curated
     parquet, with the digest index accumulating across batches AND across
     runs (a later stream run drops documents already curated by an
@@ -143,7 +183,8 @@ def stream_curate(stream: DataFrame, index_dir: str, out_dir: str,
     def _batch(bdf: DataFrame, epoch: int) -> None:
         curate_batch(spark, bdf, index_dir, out_dir, text_col=text_col,
                      id_col=id_col, sep=sep, min_words=min_words,
-                     min_lines=min_lines, epoch=epoch, run_key=run_key)
+                     min_lines=min_lines, epoch=epoch, run_key=run_key,
+                     table_format=table_format)
 
     w = (stream.writeStream.foreachBatch(_batch)
          .option("checkpointLocation", checkpoint))

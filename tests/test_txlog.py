@@ -1,0 +1,157 @@
+"""Transactional table format (neo_server_spark/txlog.py): atomic
+commit-log publishes, crash invisibility, idempotent (app, epoch) txn
+replay, optimistic version-conflict retry, change-data feed, checkpoint
+compaction, and the streaming-curation txlog sink end-to-end."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from neo_server_spark import txlog
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def test_append_overwrite_and_crash_invisibility(spark, tmp_path):
+    t = str(tmp_path / "t1")
+    v1 = txlog.write(_mk(spark, [(1, "a"), (2, "b")]), t)
+    v2 = txlog.write(_mk(spark, [(3, "c")]), t)
+    assert (v1, v2) == (1, 2)
+    got = sorted(r["id"] for r in txlog.read_table(spark, t).collect())
+    assert got == [1, 2, 3]
+
+    # crash simulation: data files present but never committed -> invisible
+    orphan = os.path.join(t, "data", "deadbeef-0.parquet")
+    _mk(spark, [(99, "zz")]).coalesce(1).write.parquet(str(tmp_path / "o"))
+    part = next(f for f in os.listdir(tmp_path / "o")
+                if f.endswith(".parquet"))
+    os.rename(str(tmp_path / "o" / part), orphan)
+    got = sorted(r["id"] for r in txlog.read_table(spark, t).collect())
+    assert got == [1, 2, 3]
+
+    # overwrite removes the whole live set atomically
+    txlog.write(_mk(spark, [(7, "x")]), t, mode="overwrite")
+    got = [r["id"] for r in txlog.read_table(spark, t).collect()]
+    assert got == [7]
+
+
+def test_txn_replay_is_exactly_once(spark, tmp_path):
+    t = str(tmp_path / "t2")
+    v1 = txlog.write(_mk(spark, [(1, "a")]), t, txn=("run1", 0))
+    # a foreachBatch retry of the same epoch: no duplicate rows, same
+    # version returned, and the retry's staged files are cleaned up
+    v2 = txlog.write(_mk(spark, [(1, "a")]), t, txn=("run1", 0))
+    assert v1 == v2 == 1
+    assert txlog.read_table(spark, t).count() == 1
+    data = os.listdir(os.path.join(t, "data"))
+    assert len([f for f in data if f.endswith(".parquet")]) == \
+        len(txlog.live_files(t))
+    # a DIFFERENT epoch appends normally
+    txlog.write(_mk(spark, [(2, "b")]), t, txn=("run1", 1))
+    assert txlog.read_table(spark, t).count() == 2
+    assert txlog.last_txn_version(t, "run1", 0) == 1
+    assert txlog.last_txn_version(t, "run1", 99) is None
+
+
+def test_version_conflict_retries(spark, tmp_path):
+    t = str(tmp_path / "t3")
+    txlog.write(_mk(spark, [(1, "a")]), t)
+    # another writer races us to version 2: pre-create its commit entry
+    d = os.path.join(t, "_txlog")
+    with open(os.path.join(d, f"{2:020d}.json"), "w") as f:
+        json.dump({"version": 2, "add": [], "ts": 0}, f)
+    v = txlog.write(_mk(spark, [(2, "b")]), t)
+    assert v == 3            # lost the race at 2, committed at 3
+    assert sorted(r["id"] for r in
+                  txlog.read_table(spark, t).collect()) == [1, 2]
+
+
+def test_changes_feed(spark, tmp_path):
+    t = str(tmp_path / "t4")
+    txlog.write(_mk(spark, [(1, "a")]), t)
+    cur, delta = txlog.changes(spark, t, since_version=0)
+    assert cur == 1 and delta.count() == 1
+    cur, delta = txlog.changes(spark, t, since_version=1)
+    assert cur == 1 and delta is None
+    txlog.write(_mk(spark, [(2, "b"), (3, "c")]), t)
+    cur, delta = txlog.changes(spark, t, since_version=1)
+    assert cur == 2
+    assert sorted(r["id"] for r in delta.collect()) == [2, 3]
+
+
+def test_checkpoint_compaction(spark, tmp_path):
+    t = str(tmp_path / "t5")
+    for i in range(5):
+        txlog.write(_mk(spark, [(i, f"v{i}")]), t, txn=("r", i))
+    ver = txlog.checkpoint(t)
+    assert ver == 5
+    # reads replay from the snapshot; result identical
+    assert sorted(r["id"] for r in
+                  txlog.read_table(spark, t).collect()) == [0, 1, 2, 3, 4]
+    # txn dedupe survives compaction
+    txlog.write(_mk(spark, [(0, "dup")]), t, txn=("r", 0))
+    assert txlog.read_table(spark, t).count() == 5
+    # post-checkpoint commits replay on top of the snapshot
+    txlog.write(_mk(spark, [(5, "v5")]), t, txn=("r", 5))
+    assert txlog.read_table(spark, t).count() == 6
+    # changes across the checkpoint boundary fails loudly, not wrongly
+    with pytest.raises(ValueError):
+        txlog.changes(spark, t, since_version=2)
+    cur, delta = txlog.changes(spark, t, since_version=5)
+    assert cur == 6 and delta.count() == 1
+
+
+def test_curate_batch_txlog_sink(spark, tmp_path):
+    """stream_curate's transactional sink: exactly-once via the commit
+    log's txn dedupe — replayed epochs converge to one copy with NO
+    run=/epoch= directory convention, and readers use txlog.read_table
+    with zero layout knowledge."""
+    from neo_server_spark.streaming import curation
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    d1 = "this line has plenty of words and punctuation.\n" \
+         "a different proper sentence with enough words here!"
+    d2 = "an entirely new sentence that nobody has written yet!\n" \
+         "and one more full line to clear the line minimum, yes."
+    b1 = spark.createDataFrame([(0, d1)], ["doc_id", "text"])
+    for _attempt in range(3):      # original + two retries of epoch 0
+        curation.curate_batch(spark, b1, idx, out, min_lines=2,
+                              epoch=0, run_key="ck", table_format="txlog")
+    assert [r["doc_id"] for r in
+            txlog.read_table(spark, out).collect()] == [0]
+    # epoch 1: one duplicate doc (dropped by the index), one new
+    b2 = spark.createDataFrame([(10, d1), (11, d2)], ["doc_id", "text"])
+    curation.curate_batch(spark, b2, idx, out, min_lines=2,
+                          epoch=1, run_key="ck", table_format="txlog")
+    got = sorted(r["doc_id"] for r in
+                 txlog.read_table(spark, out).collect())
+    assert got == [0, 11]
+    assert txlog.read_table(spark, idx).select("digest") \
+        .distinct().count() == 2
+
+
+def test_stream_curate_txlog_end_to_end(spark, tmp_path):
+    from neo_server_spark.streaming import curation
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(0, "this line has plenty of words and punctuation.\n"
+             "a different proper sentence with enough words here!")],
+        ["doc_id", "text"]).coalesce(1).write.parquet(str(src / "b1"))
+    out, idx = str(tmp_path / "curated"), str(tmp_path / "index")
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(str(src / "b1"))
+    q = curation.stream_curate(stream, idx, out,
+                               str(tmp_path / "ck"), min_lines=2,
+                               table_format="txlog")
+    q.awaitTermination(120)
+    assert [r["doc_id"] for r in
+            txlog.read_table(spark, out).collect()] == [0]
+    cur, delta = txlog.changes(spark, out, since_version=0)
+    assert cur >= 1 and delta.count() == 1
+    _ = F

@@ -1,0 +1,97 @@
+"""1B-row ingest point (r9 VERDICT #6).
+
+The r9 1000x campaign stopped at a 100M-row single batch: one monolithic
+repartition of 1B rows needs >8 GB of shuffle buffers in a local JVM.
+This tool records the 1B point the way a real feed arrives — as a
+SEQUENCE of bounded micro-batches appended to the same partitioned tag
+layout (exactly the shape stream_append's foreachBatch drains) — so
+memory stays flat at the batch size regardless of total volume.
+
+Usage:
+    python tools/ingest_1b.py [total_rows] [batch_rows] [--json out.json]
+
+Prints per-batch and aggregate 3-col rows/s on the same write path
+bench.py's ingest section measures (write_tag_table: day-partitioned,
+salted, (name,time)-clustered parquet).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def main():
+    from neo_server_spark.functions.timefn import DAY
+    from neo_server_spark.io import write_tag_table
+    from neo_server_spark.session import default_parallelism, get_spark
+
+    args = [a for a in sys.argv[1:]]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json"); json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    total = int(args[0]) if args else 1_000_000_000
+    batch = int(args[1]) if len(args) > 1 else 50_000_000
+
+    spark = get_spark(app_name="ingest-1b")
+    spark.sparkContext.setLogLevel("ERROR")
+    salt = max(2, default_parallelism() // 5)
+    out_dir = tempfile.mkdtemp(prefix="neo_ingest_1b_")
+    shutil.rmtree(out_dir)
+
+    def feed(start: int, n: int):
+        # same 3-col shape as bench.py's ingest section: 5 tags, 5 days
+        return spark.range(start, start + n).select(
+            F.concat(F.lit("name-"), (F.col("id") % 5).cast("string"))
+             .alias("name"),
+            (F.lit(1_704_067_200_000_000_000)
+             + (F.col("id") % total) * F.lit(5 * DAY // total)).alias("time"),
+            (F.lit(1.001) * (F.col("id") + 1)).alias("value"),
+        )
+
+    # warmup: absorb JVM/codegen/committer one-time cost on a small batch
+    write_tag_table(feed(0, 1_000_000), out_dir, mode="overwrite",
+                    write_salt=salt)
+    shutil.rmtree(out_dir)
+
+    walls = []
+    t_all = time.time()
+    done = 0
+    while done < total:
+        n = min(batch, total - done)
+        t0 = time.time()
+        write_tag_table(feed(done, n), out_dir, mode="append",
+                        write_salt=salt)
+        dt = time.time() - t0
+        walls.append(round(dt, 1))
+        done += n
+        print(f"batch {len(walls)}: {n:,} rows in {dt:.1f}s "
+              f"({n / dt / 1e6:.2f}M rows/s) — {done:,}/{total:,}",
+              flush=True)
+    wall = time.time() - t_all
+    rps = total / wall
+    # sanity: all rows landed (footer-count only — no full scan)
+    landed = spark.read.parquet(out_dir).count()
+    rep = {"total_rows": total, "batch_rows": batch,
+           "wall_sec": round(wall, 1), "rows_per_sec": round(rps),
+           "batches_sec": walls, "landed_rows": landed,
+           "write_salt": salt}
+    print(json.dumps(rep))
+    assert landed == total, (landed, total)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(rep, f, indent=1)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -114,7 +114,19 @@ def topk_recall(spark, emb, qids, k=10):
     score("pq(m=8,k=16)",
           lambda q: sim.pq_search(
               codes.filter(F.col("vec_id") != q), cb, qvecs[q], k=k),
-          "exhaustive ADC", index_sec=t_pq)
+          "exhaustive ADC, iters=0 (entry config)", index_sec=t_pq)
+    # trained codebooks: iters=0 is the SQL-certifiable entry config;
+    # production trains the sub-space k-means
+    t0 = time.time()
+    cb2 = sim.pq_train(emb, m=8, k=16, iters=3).persist()
+    codes2 = sim.pq_encode(emb, cb2).persist()
+    codes2.count()
+    t_pq2 = time.time() - t0
+    score("pq(m=8,k=16,iters=3)",
+          lambda q: sim.pq_search(
+              codes2.filter(F.col("vec_id") != q), cb2, qvecs[q], k=k),
+          "exhaustive ADC, trained", index_sec=t_pq2)
+    cb2.unpersist(); codes2.unpersist()
     for nprobe in sorted({max(1, n_cent // 16), max(1, n_cent // 4)}):
         score(f"ivfpq(nprobe={nprobe})",
               lambda q, np_=nprobe: sim.ivfpq_search(
