@@ -158,3 +158,34 @@ class LogWatcher:
             if rows:
                 self.mark = rows[-1][self.time_col]
         return [r.asDict() for r in rows], errs
+
+
+class TxLogWatcher:
+    """Change-data-feed watcher over a txlog table (the CDF model the
+    run=/epoch= directory layout could not support): the commit log's
+    version number IS the cursor, so a poll reads exactly the data files
+    added since the last seen version — no high-water-mark scan of the
+    table at all, and no per-tag driver state.  Deletes/rewrites are
+    invisible by design (append-shaped consumers: watch, rollup feeds).
+
+    Contrast with ``Watcher``: that polls by a time column (needs a scan
+    with a time predicate per poll, exact for out-of-order data only up
+    to the mark); this polls by commit version (zero scan when idle,
+    sees late rows whenever they COMMIT, cost proportional to the new
+    files).  At 100 TB the idle poll is a directory listing of the log
+    tail — the table itself is never touched."""
+
+    def __init__(self, spark: SparkSession, table: str):
+        from neo_server_spark import txlog
+        self._txlog = txlog
+        self.spark = spark
+        self.table = table
+        self.version = 0
+
+    def poll(self) -> DataFrame | None:
+        """Rows committed since the last poll (None when idle); advances
+        the version cursor."""
+        cur, delta = self._txlog.changes(self.spark, self.table,
+                                         self.version)
+        self.version = cur
+        return delta

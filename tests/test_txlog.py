@@ -155,3 +155,20 @@ def test_stream_curate_txlog_end_to_end(spark, tmp_path):
     cur, delta = txlog.changes(spark, out, since_version=0)
     assert cur >= 1 and delta.count() == 1
     _ = F
+
+
+def test_txlog_watcher_cdf(spark, tmp_path):
+    """TxLogWatcher: version-cursor polling sees exactly the committed
+    delta, idles for free, and never resurfaces replayed epochs."""
+    from neo_server_spark.streaming.watch import TxLogWatcher
+
+    t = str(tmp_path / "w")
+    w = TxLogWatcher(spark, t)
+    txlog.write(_mk(spark, [(1, "a")]), t, txn=("r", 0))
+    d = w.poll()
+    assert [r["id"] for r in d.collect()] == [1]
+    assert w.poll() is None                     # idle poll: no data read
+    txlog.write(_mk(spark, [(1, "a")]), t, txn=("r", 0))   # replay
+    assert w.poll() is None                     # no-op commit -> no delta
+    txlog.write(_mk(spark, [(2, "b")]), t, txn=("r", 1))
+    assert [r["id"] for r in w.poll().collect()] == [2]
