@@ -51,7 +51,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["commit", "write", "read_table", "changes", "checkpoint",
-           "live_files", "last_txn_version", "TxConflict"]
+           "live_files", "pruned_files", "compact", "last_txn_version",
+           "TxConflict"]
 
 _LOG = "_txlog"
 _DATA = "data"
@@ -83,15 +84,18 @@ def _list_log(table: str) -> tuple[int | None, list[str]]:
     return cp_ver, tail
 
 
-def _replay(table: str) -> tuple[int, set[str], dict[str, int]]:
-    """(current version, live file set, {app:epoch -> version} txn map).
+def _replay(table: str) -> tuple[int, set[str], dict[str, int],
+                                 dict[str, dict]]:
+    """(current version, live file set, {app:epoch -> version} txn map,
+    {file -> column min/max stats}).
 
     Metadata cost is O(commits since the last checkpoint): the
-    checkpoint snapshot carries the full live set AND the txn map, so
-    dedupe survives compaction."""
+    checkpoint snapshot carries the full live set, the txn map, AND the
+    stats, so dedupe and data skipping survive compaction."""
     cp_ver, tail = _list_log(table)
     live: set[str] = set()
     txns: dict[str, int] = {}
+    stats: dict[str, dict] = {}
     ver = 0
     if cp_ver is not None:
         with open(os.path.join(_log_dir(table),
@@ -99,17 +103,22 @@ def _replay(table: str) -> tuple[int, set[str], dict[str, int]]:
             snap = json.load(f)
         live = set(snap["live"])
         txns = dict(snap.get("txns", {}))
+        stats = dict(snap.get("stats", {}))
         ver = cp_ver
     for fn in tail:
         with open(os.path.join(_log_dir(table), fn)) as f:
             entry = json.load(f)
         ver = entry["version"]
-        live -= set(entry.get("remove", []))
+        removed = set(entry.get("remove", []))
+        live -= removed
         live |= set(entry.get("add", []))
+        for rel in removed:
+            stats.pop(rel, None)
+        stats.update(entry.get("stats", {}))
         t = entry.get("txn")
         if t:
             txns[f"{t['app']}:{t['epoch']}"] = ver
-    return ver, live, txns
+    return ver, live, txns, stats
 
 
 def live_files(table: str) -> list[str]:
@@ -143,12 +152,51 @@ def _atomic_commit(table: str, entry: dict, retries: int = 20) -> int:
     raise TxConflict(f"gave up after {retries} version conflicts")
 
 
+def _file_stats(table: str, rels: list[str],
+                stats_cols: list[str]) -> dict[str, dict]:
+    """Per-file [min, max] for ``stats_cols`` from the parquet FOOTERS
+    (row-group statistics — no data read).  The commit log carries them
+    so reads can skip whole files on a range predicate: Delta/Iceberg
+    data skipping, file-listing-free and O(live files) cheap."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in rels:
+        md = pq.ParquetFile(os.path.join(table, rel)).metadata
+        names = {md.schema.column(i).name: i
+                 for i in range(md.num_columns)}
+        st: dict[str, list] = {}
+        for c in stats_cols:
+            i = names.get(c)
+            if i is None:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(i).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                st[c] = [lo, hi]
+        if st:
+            out[rel] = st
+    return out
+
+
 def commit(table: str, add: list[str], mode: str = "append",
-           txn: tuple[str, int] | None = None) -> int:
-    """Publish staged files.  mode='overwrite' removes the current live
-    set in the same atomic entry.  Returns the committed version; if
-    ``txn`` was already committed, discards ``add`` and returns the
-    original version (idempotent replay)."""
+           txn: tuple[str, int] | None = None,
+           stats: dict[str, dict] | None = None,
+           data_change: bool = True,
+           remove: list[str] | None = None) -> int:
+    """Publish staged files.  mode='append' adds; mode='overwrite'
+    removes the current live set in the same atomic entry; ``remove``
+    names an explicit file set to retire (compaction).  Returns the
+    committed version; if ``txn`` was already committed, discards
+    ``add`` and returns the original version (idempotent replay).
+    ``data_change=False`` marks a file-reorganization commit (compaction)
+    that CDF consumers must not re-emit."""
     if txn is not None:
         prior = last_txn_version(table, txn[0], txn[1])
         if prior is not None:
@@ -160,15 +208,22 @@ def commit(table: str, add: list[str], mode: str = "append",
     entry: dict = {"add": sorted(add), "ts": int(time.time() * 1000)}
     if txn is not None:
         entry["txn"] = {"app": txn[0], "epoch": int(txn[1])}
+    if stats:
+        entry["stats"] = stats
+    if not data_change:
+        entry["dataChange"] = False
     if mode == "overwrite":
         entry["remove"] = live_files(table)
+    elif remove:
+        entry["remove"] = sorted(remove)
     elif mode != "append":
         raise ValueError(f"unknown mode {mode!r}")
     return _atomic_commit(table, entry)
 
 
 def write(df: DataFrame, table: str, mode: str = "append",
-          txn: tuple[str, int] | None = None) -> int:
+          txn: tuple[str, int] | None = None,
+          stats_cols: list[str] | None = None) -> int:
     """Stage ``df`` as immutable parquet files under ``data/`` and commit
     them atomically.  Exactly-once when ``txn=(app, epoch)`` identifies
     the logical batch: a foreachBatch retry replays into a no-op.
@@ -191,16 +246,85 @@ def write(df: DataFrame, table: str, mode: str = "append",
         os.rename(os.path.join(stage, fn), os.path.join(table, rel))
         rels.append(rel)
     shutil.rmtree(stage, ignore_errors=True)
-    return commit(table, rels, mode=mode, txn=txn)
+    stats = _file_stats(table, rels, stats_cols) if stats_cols else None
+    return commit(table, rels, mode=mode, txn=txn, stats=stats)
 
 
-def read_table(spark: SparkSession, table: str) -> DataFrame:
+def pruned_files(table: str, prune: dict[str, tuple] | None) -> list[str]:
+    """Live files whose footer stats intersect every ``{col: (lo, hi)}``
+    range (None bound = open).  Files without recorded stats for a
+    pruning column are conservatively kept."""
+    _ver, live, _txns, stats = _replay(table)
+    if not prune:
+        return sorted(live)
+    out = []
+    for rel in sorted(live):
+        st = stats.get(rel, {})
+        keep = True
+        for col, (lo, hi) in prune.items():
+            if col not in st:
+                continue
+            fmin, fmax = st[col]
+            if (hi is not None and fmin > hi) or \
+                    (lo is not None and fmax < lo):
+                keep = False
+                break
+        if keep:
+            out.append(rel)
+    return out
+
+
+def read_table(spark: SparkSession, table: str,
+               prune: dict[str, tuple] | None = None) -> DataFrame:
     """Snapshot read of the committed live set — staged/orphaned files
-    under data/ are invisible by construction."""
-    files = [os.path.join(table, rel) for rel in live_files(table)]
+    under data/ are invisible by construction.  ``prune={col: (lo, hi)}``
+    skips files whose logged min/max cannot intersect the range (data
+    skipping off the COMMIT LOG — zero footer reads at query time); the
+    caller still applies its exact filter, pruning only shrinks the
+    scan."""
+    files = [os.path.join(table, rel)
+             for rel in pruned_files(table, prune)]
     if not files:
-        raise FileNotFoundError(f"empty txlog table: {table}")
+        if not live_files(table):
+            raise FileNotFoundError(f"empty txlog table: {table}")
+        # everything pruned: empty frame with the table's schema
+        any_file = os.path.join(table, live_files(table)[0])
+        return spark.read.parquet(any_file).limit(0)
     return spark.read.parquet(*files)
+
+
+def compact(spark: SparkSession, table: str,
+            target_files: int = 1,
+            stats_cols: list[str] | None = None) -> int:
+    """Rewrite the live set into ``target_files`` larger files in ONE
+    atomic commit (remove old + add new), marked ``dataChange=False`` so
+    CDF consumers do not re-emit the rows — the OPTIMIZE half of the
+    small-files story (the streaming sink accretes one file set per
+    epoch; compaction resets the file count without touching
+    readers/writers in flight: they read the snapshot they started
+    with)."""
+    old = live_files(table)
+    if not old:
+        return _replay(table)[0]
+    df = spark.read.parquet(*[os.path.join(table, rel) for rel in old])
+    stage = os.path.join(table, _DATA, f"_staging-{uuid.uuid4().hex}")
+    df.coalesce(max(1, target_files)).write.mode("overwrite") \
+        .parquet(stage)
+    rels = []
+    tag = uuid.uuid4().hex
+    for k, fn in enumerate(sorted(os.listdir(stage))):
+        if fn.endswith(".parquet"):
+            rel = f"{_DATA}/{tag}-{k}.parquet"
+            os.rename(os.path.join(stage, fn), os.path.join(table, rel))
+            rels.append(rel)
+    shutil.rmtree(stage, ignore_errors=True)
+    stats = _file_stats(table, rels, stats_cols) if stats_cols else None
+    ver = commit(table, rels, remove=old, stats=stats, data_change=False)
+    for rel in old:     # retire the physical files after the commit
+        p = os.path.join(table, rel)
+        if os.path.exists(p):
+            os.unlink(p)
+    return ver
 
 
 def changes(spark: SparkSession, table: str,
@@ -208,8 +332,9 @@ def changes(spark: SparkSession, table: str,
     """(current version, rows ADDED after ``since_version``) — the
     change-data feed incremental consumers / watch poll on.  None when
     nothing changed.  Removed files are not re-read: appends-only
-    consumers (the watch/rollup shape) see each row exactly once."""
-    cur, _live, _ = _replay(table)
+    consumers (the watch/rollup shape) see each row exactly once, and
+    ``dataChange=False`` commits (compaction rewrites) are skipped."""
+    cur, _live, _txns, _stats = _replay(table)
     if cur <= since_version:
         return cur, None
     cp_ver, tail = _list_log(table)
@@ -223,7 +348,8 @@ def changes(spark: SparkSession, table: str,
     for fn in tail:
         with open(os.path.join(_log_dir(table), fn)) as f:
             entry = json.load(f)
-        if entry["version"] > since_version:
+        if entry["version"] > since_version \
+                and entry.get("dataChange", True):
             added.extend(entry.get("add", []))
     files = [os.path.join(table, rel) for rel in added]
     return cur, spark.read.parquet(*files) if files else None
@@ -233,10 +359,11 @@ def checkpoint(table: str) -> int:
     """Snapshot the live set + txn map at the current version so readers
     replay O(1) files instead of the whole log (Delta's parquet
     checkpoint, JSON here).  Returns the checkpointed version."""
-    ver, live, txns = _replay(table)
+    ver, live, txns, stats = _replay(table)
     d = _log_dir(table)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
-        json.dump({"version": ver, "live": sorted(live), "txns": txns}, f)
+        json.dump({"version": ver, "live": sorted(live), "txns": txns,
+                   "stats": stats}, f)
     os.rename(tmp, os.path.join(d, f"{ver:0{_W}d}.checkpoint.json"))
     return ver

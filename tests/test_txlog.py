@@ -172,3 +172,65 @@ def test_txlog_watcher_cdf(spark, tmp_path):
     assert w.poll() is None                     # no-op commit -> no delta
     txlog.write(_mk(spark, [(2, "b")]), t, txn=("r", 1))
     assert [r["id"] for r in w.poll().collect()] == [2]
+
+
+def test_data_skipping_stats(spark, tmp_path):
+    """write(stats_cols=...) logs footer min/max per file; read_table's
+    prune skips files off the COMMIT LOG (no footer reads at query
+    time), and files without stats are conservatively kept."""
+    t = str(tmp_path / "sk")
+    txlog.write(spark.createDataFrame([(i, i * 10) for i in range(100)],
+                                      "id long, ts long").repartition(1),
+                t, stats_cols=["ts"])
+    txlog.write(spark.createDataFrame([(i, i * 10) for i in
+                                       range(100, 200)],
+                                      "id long, ts long").repartition(1),
+                t, stats_cols=["ts"])
+    txlog.write(spark.createDataFrame([(999, 99990)],
+                                      "id long, ts long").repartition(1),
+                t)      # no stats on this one -> never pruned
+    assert len(txlog.live_files(t)) == 3
+    # range hits only the first file (+ the statless one)
+    pf = txlog.pruned_files(t, {"ts": (0, 500)})
+    assert len(pf) == 2
+    got = txlog.read_table(spark, t, prune={"ts": (0, 500)}) \
+        .filter("ts <= 500").count()
+    assert got == 51
+    # open bounds
+    assert len(txlog.pruned_files(t, {"ts": (1500, None)})) == 2
+    # fully disjoint range -> only the statless file survives pruning
+    assert len(txlog.pruned_files(t, {"ts": (500000, None)})) == 1
+    # skipping survives checkpoint compaction of the log
+    txlog.checkpoint(t)
+    assert len(txlog.pruned_files(t, {"ts": (0, 500)})) == 2
+
+
+def test_compact_preserves_rows_and_cdf(spark, tmp_path):
+    """compact(): one atomic remove+add commit, rows identical, file
+    count reset, stats recomputed, and the CDF does NOT re-emit the
+    rewritten rows (dataChange=False)."""
+    from neo_server_spark.streaming.watch import TxLogWatcher
+
+    t = str(tmp_path / "cp")
+    w = TxLogWatcher(spark, t)
+    for i in range(4):
+        txlog.write(_mk(spark, [(i, f"v{i}")]).repartition(1), t,
+                    txn=("r", i))
+    assert len(txlog.live_files(t)) == 4
+    assert w.poll().count() == 4                # CDF sees the appends
+    ver = txlog.compact(spark, t, target_files=1, stats_cols=["id"])
+    assert len(txlog.live_files(t)) == 1
+    assert sorted(r["id"] for r in
+                  txlog.read_table(spark, t).collect()) == [0, 1, 2, 3]
+    assert w.poll() is None                     # rewrite is CDF-silent
+    # old files physically retired; data/ holds only the live file
+    import os as _os
+    parqs = [f for f in _os.listdir(_os.path.join(t, "data"))
+             if f.endswith(".parquet")]
+    assert len(parqs) == 1
+    # stats survived the rewrite
+    assert len(txlog.pruned_files(t, {"id": (10, None)})) == 0
+    # appends continue normally after compaction
+    txlog.write(_mk(spark, [(9, "z")]), t, txn=("r", 9))
+    assert [r["id"] for r in w.poll().collect()] == [9]
+    assert ver >= 5
