@@ -1104,6 +1104,38 @@ def _q_similarity_topk(spark, sf_dir):
     return similarity.brute_force_topk(emb, query_vec_id=0, k=20)
 
 
+def _q_similarity_ivf_batch(spark, sf_dir):
+    """Batch IVF k-NN (similarity.ivf_topk_join — the production shape
+    for eval-set / dedup-probe ANN: one broadcast probe-frame join
+    replaces |queries| separate jobs).  Probing ALL centroids degrades to
+    exact brute force, so the brute-force SQL oracle certifies the probe
+    assignment, the bucket join, self-exclusion, and per-query ranking
+    end-to-end (recall at restricted nprobe is measured in COVERAGE.md's
+    recall audit)."""
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    cents, assigned = similarity.ivf_index(emb, n_centroids=8, iters=2)
+    qs = emb.filter(F.col("vec_id") < 3)
+    return (similarity.ivf_topk_join(assigned, cents, qs, k=5, nprobe=8)
+            .orderBy("query_id", F.col("cosine").desc(), "vec_id"))
+
+
+def _q_similarity_pq_rerank(spark, sf_dir):
+    """Two-stage PQ ANN (similarity.pq_search_rerank): ADC shortlist ->
+    exact-cosine re-rank of ONLY the shortlist rows.  With the shortlist
+    covering the corpus the result is exactly brute force (the property
+    pinned here by the brute-force SQL oracle); production sizes
+    shortlist ~10x k, turning ADC's recall@shortlist into the final
+    recall@k at O(shortlist) vector fetches — COVERAGE.md's recall audit
+    measured why the raw 32-bit-code ranking needs this stage."""
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(emb, m=8, k=16, iters=0)
+    rest = emb.filter(F.col("vec_id") != 0)
+    codes = similarity.pq_encode(rest, cb)
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return similarity.pq_search_rerank(codes, cb, rest, qv, k=10,
+                                       shortlist=1_000_000)
+
+
 def _q_similarity_batch(spark, sf_dir):
     """Batch k-NN (similarity.topk_join): tiny query set broadcast over the
     corpus, per-query window top-k — corpus side never shuffles before the
@@ -3145,6 +3177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
         "similarity_batch": _q_similarity_batch,
+        "similarity_ivf_batch": _q_similarity_ivf_batch,
+        "similarity_pq_rerank": _q_similarity_pq_rerank,
         "multimodal_features": _q_multimodal_features,
         "tpch_q5": _q_tpch_q5,
         "tpch_q4": _q_tpch_q4,
@@ -5621,6 +5655,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, round(c, 6) AS cosine
             FROM ranked WHERE rk <= 5
             ORDER BY query_id, cosine DESC, vec_id
+        """,
+        # all-probe batch IVF == the brute-force ranking (same oracle
+        # shape as similarity_batch)
+        "similarity_ivf_batch": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                       WHERE vec_id < 3),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                     sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS dot,
+                     sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)) AS sa,
+                     sum(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS sb
+              FROM embeddings e, q, range(1, 65) t(i)
+              WHERE e.vec_id <> q.qid
+              GROUP BY q.qid, e.vec_id
+            ),
+            ranked AS (
+              SELECT qid AS query_id, vec_id, dot / (sqrt(sa) * sqrt(sb)) AS c,
+                     row_number() OVER (PARTITION BY qid
+                         ORDER BY dot / (sqrt(sa) * sqrt(sb)) DESC, vec_id) AS rk
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(c, 6) AS cosine
+            FROM ranked WHERE rk <= 5
+            ORDER BY query_id, cosine DESC, vec_id
+        """,
+        # full-shortlist PQ rerank == brute-force top-10 for query vec 0
+        "similarity_pq_rerank": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS dot,
+                     sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)) AS sa,
+                     sum(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS sb
+              FROM embeddings e, q
+              CROSS JOIN range(1, 65) t(i)
+              WHERE e.vec_id <> 0
+              GROUP BY e.vec_id
+            )
+            SELECT vec_id, round(dot / (sqrt(sa) * sqrt(sb)), 6) AS cosine
+            FROM scored
+            ORDER BY dot / (sqrt(sa) * sqrt(sb)) DESC, vec_id
+            LIMIT 10
         """,
         "lm_score": """
             WITH tok AS (

@@ -1000,3 +1000,53 @@ def test_lsh_kernels_match_bruteforce_on_xxhash_mode(spark):
         if cos >= 0.8:
             exp.add((a, b, round(cos, 6)))
     assert got == exp and exp
+
+
+def test_ivf_topk_join_allprobe_equals_brute_force(spark):
+    """Batch IVF k-NN: probing every centroid degrades to brute force —
+    the same pin ivfpq_allprobe uses — so the probe-frame join, the
+    self-exclusion, and the per-query ranking are all certified against
+    topk_join."""
+    import random
+    random.seed(13)
+    rows = [(i, [random.random() for _ in range(6)], 0) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cents, assigned = similarity.ivf_index(emb, n_centroids=4, iters=2)
+    qs = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.vec_id, r.cosine) for r in
+             similarity.topk_join(emb, qs, k=5).collect()}
+    probed = {(r.query_id, r.vec_id, r.cosine) for r in
+              similarity.ivf_topk_join(assigned, cents, qs, k=5,
+                                       nprobe=4).collect()}
+    assert probed == exact
+    # restricted probing returns k rows per query from probed buckets
+    part = similarity.ivf_topk_join(assigned, cents, qs, k=5, nprobe=1)
+    counts = {r["query_id"]: r["count"]
+              for r in part.groupBy("query_id").count().collect()}
+    assert all(c == 5 for c in counts.values())
+
+
+def test_pq_search_rerank_recovers_exact_ranking(spark):
+    """Two-stage PQ: with the shortlist covering the corpus, the exact
+    re-rank returns brute-force order and brute-force cosines — ADC only
+    gates WHICH rows pay the vector fetch, never the final ranking."""
+    import random
+    random.seed(17)
+    rows = [(i, [random.random() for _ in range(8)], 0) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cb = similarity.pq_train(emb, m=4, k=8, iters=1)
+    q = rows[0][1]
+    rest = emb.filter(F.col("vec_id") != 0)
+    codes = similarity.pq_encode(rest, cb, m=4)
+    exact = [(r.vec_id, r.cosine) for r in
+             similarity.brute_force_topk(emb, 0, k=5).collect()]
+    rer = [(r.vec_id, r.cosine) for r in
+           similarity.pq_search_rerank(codes, cb, rest, q, k=5,
+                                       shortlist=39, m=4).collect()]
+    assert rer == exact
+    # tight shortlist still returns k exact-cosine-ranked rows
+    tight = similarity.pq_search_rerank(codes, cb, rest, q, k=5,
+                                        shortlist=10, m=4).collect()
+    assert len(tight) == 5
+    assert all(tight[i].cosine >= tight[i + 1].cosine
+               for i in range(4))
