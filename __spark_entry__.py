@@ -3128,193 +3128,195 @@ def _q_dedup_incr(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Ordering is deliberate: the verification driver checks the first 50
-        # entries.  Round-9 window = the fixed red row (pack_sequences),
-        # the two NEW entries (watch_latest, backup_mount), the three
-        # entries whose code changed this round (pipeline_v2 checkpointing,
-        # streaming_curation epoch idempotency, semdedup's library
-        # extension), then the LONGEST-UNCHECKED greens: all 17 r3-vintage
-        # rows and the oldest r4-vintage rows — 44 of the 50 were last
-        # driver-certified at r4 or earlier, re-certifying 5-round-old
-        # greens against current code.  Everything else rotates behind
-        # (remaining r4, then r5/r6/r8 vintages).
+        # Ordering is deliberate: the verification driver checks the first
+        # 50 entries.  Round-10 window = the 6 never-driver-green rows
+        # (pack_sequences' oracle-type fix, the two new facility
+        # certifications, txlog_table, and the two new ANN paths), the 7
+        # entries whose code or oracle changed this round (the four
+        # DECIMAL->DOUBLE oracle casts, minhash_pairs' signature
+        # LET-binding, streaming_curation's mixed-layout read,
+        # backup_mount's rewrite regex), then the LONGEST-UNCHECKED
+        # greens: all 22 remaining r4-vintage rows, the 3 r5 rows, and
+        # the oldest r6 rows — 40 of the 50 were last driver-certified
+        # at r6 or earlier (r9 VERDICT #2).  Everything else rotates
+        # behind (remaining r6, then r8/r9 vintages).
         "pack_sequences": _q_pack_sequences,
         "timer_fire": _q_timer_fire,
         "subscriber_flow": _q_subscriber_flow,
         "txlog_table": _q_txlog_table,
-        "pipeline_v2": _q_pipeline_v2,
-        "streaming_curation": _q_streaming_curation,
-        "semdedup": _q_semdedup,
-        "watch_latest": _q_watch_latest,
-        "backup_mount": _q_backup_mount,
-        "tpch_q22": _q_tpch_q22,
-        "dedup_clusters": _q_dedup_clusters,
-        "curation_funnel": _q_curation_funnel,
-        "lake_pivot": _q_lake_pivot,
-        "lake_tochar": _q_lake_tochar,
-        "rollup_routed": _q_rollup_routed,
-        "group_list": _q_group_list,
-        "map_distance": _q_map_distance,
-        "query_builder": _q_query_builder,
-        "script_udtf": _q_script_udtf,
-        "shell_pipe": _q_shell_pipe,
-        "line_protocol": _q_line_protocol,
-        "dedup_exact": _q_dedup_exact,
-        "similarity_topk": _q_similarity_topk,
-        "similarity_ivf": _q_similarity_ivf,
-        "stratified_sample": _q_stratified_sample,
-        "embedding_dupes_exact": _q_embedding_dupes_exact,
-        "fake_gens": _q_fake_gens,
-        "boilerplate": _q_boilerplate,
-        "repetition": _q_repetition,
-        "lake_decode": _q_lake_decode,
-        "tpch_q2": _q_tpch_q2,
-        "set_ops": _q_set_ops,
-        "tql_script": _q_tql_script,
-        "tql_script_js": _q_tql_script_js,
-        "lookup_join": _q_lookup_join,
-        "text_stats": _q_text_stats,
-        "token_counts": _q_token_counts,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "similarity_batch": _q_similarity_batch,
         "similarity_ivf_batch": _q_similarity_ivf_batch,
         "similarity_pq_rerank": _q_similarity_pq_rerank,
-        "multimodal_features": _q_multimodal_features,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q17": _q_tpch_q17,
-        "distinct_users": _q_distinct_users,
-        "pii_scrub": _q_pii_scrub,
-        "vocab_topk": _q_vocab_topk,
+        "simplex_noise": _q_simplex_noise,
+        "fake_gens": _q_fake_gens,
+        "csv_source": _q_csv_source,
+        "line_protocol": _q_line_protocol,
+        "minhash_pairs": _q_minhash_pairs,
+        "streaming_curation": _q_streaming_curation,
+        "backup_mount": _q_backup_mount,
+        "boilerplate_clean": _q_boilerplate_clean,
+        "contamination": _q_contamination,
+        "embedding_dupes": _q_embedding_dupes,
+        "embedding_quantize": _q_embedding_quantize,
         "embedding_stats": _q_embedding_stats,
+        "fft": _q_fft,
+        "group_aggs": _q_group_aggs,
+        "group_where": _q_group_where,
         "lm_score": _q_lm_score,
+        "map_kalman": _q_map_kalman,
+        "multimodal_audio": _q_multimodal_audio,
+        "multimodal_decode": _q_multimodal_decode,
+        "oscillator_fft": _q_oscillator_fft,
+        "salted_join": _q_salted_join,
+        "simhash": _q_simhash,
+        "source_profile": _q_source_profile,
+        "streaming_rollup": _q_streaming_rollup,
+        "timewindow_spline": _q_timewindow_spline,
+        "tokens_bpe": _q_tokens_bpe,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q9": _q_tpch_q9,
+        "session_window": _q_session_window,
+        "sliding_window": _q_sliding_window,
+        "tql_dsl": _q_tql_dsl,
+        "asof_join": _q_asof_join,
+        "boxplot": _q_boxplot,
+        "codec_csv": _q_codec_csv,
+        "compaction": _q_compaction,
+        "filter_changed": _q_filter_changed,
+        "filter_changed_retain": _q_filter_changed_retain,
+        "first_last": _q_first_last,
+        "flatten_tokens": _q_flatten_tokens,
+        "group_aggs2": _q_group_aggs2,
+        "group_weighted": _q_group_weighted,
+        "histogram": _q_histogram,
+        "histogram_streaming": _q_histogram_streaming,
+        "join_revenue": _q_join_revenue,
+        "json_extract": _q_json_extract,
+        "lang_quality": _q_lang_quality,
+        "map_diff": _q_map_diff,
+        "map_diff_blocked": _q_map_diff_blocked,
+        "map_lowpass": _q_map_lowpass,
+        "map_movavg": _q_map_movavg,
+        "math_funcs": _q_math_funcs,
+        "mode_entropy": _q_mode_entropy,
+        "ngram_pairs": _q_ngram_pairs,
+        "pivot_counts": _q_pivot_counts,
+        "projection_ops": _q_projection_ops,
+        "range_join": _q_range_join,
+        "retention": _q_retention,
+        "rollup_cascade": _q_rollup_cascade,
+        "rollup_hourly": _q_rollup_hourly,
+        "scalar_funcs": _q_scalar_funcs,
+        "scalar_funcs_tql": _q_scalar_funcs_tql,
+        "show_tags": _q_show_tags,
+        "stats_aggs": _q_stats_aggs,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_fill": _q_streaming_fill,
+        "streaming_filter_changed": _q_streaming_filter_changed,
+        "streaming_lowpass": _q_streaming_lowpass,
+        "tag_scan": _q_tag_scan,
+        "tag_stat": _q_tag_stat,
+        "take_drop": _q_take_drop,
+        "time_format": _q_time_format,
+        "timewindow_avg": _q_timewindow_avg,
+        "topk_per_group": _q_topk_per_group,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q6": _q_tpch_q6,
+        "tql_set_vars": _q_tql_set_vars,
+        "transpose": _q_transpose,
+        "when_throttle": _q_when_throttle,
+        "bpe_encode": _q_bpe_encode,
+        "bpe_merges": _q_bpe_merges,
+        "bytes_source": _q_bytes_source,
         "c4_filters": _q_c4_filters,
-        "line_dedup": _q_line_dedup,
-        "dsir_sample": _q_dsir_sample,
-        "winnow_fp": _q_winnow_fp,
-        "winnow_overlap": _q_winnow_overlap,
-        "tfidf_terms": _q_tfidf_terms,
-        "gopher_quality": _q_gopher_quality,
-        "readability": _q_readability,
-        "corpus_card": _q_corpus_card,
-        "dedup_canonical": _q_dedup_canonical,
-        "multimodal_video": _q_multimodal_video,
-        "simhash_pairs": _q_simhash_pairs,
-        "lm2": _q_lm2,
         "char_entropy": _q_char_entropy,
-        "mad_outliers": _q_mad_outliers,
-        "dedup_incr": _q_dedup_incr,
-        "similarity_pq": _q_similarity_pq,
-        "text_normalize": _q_text_normalize,
-        "shard_export": _q_shard_export,
-        "mixture_plan": _q_mixture_plan,
-        "data_mixture": _q_data_mixture,
-        "quality_classifier": _q_quality_classifier,
-        "substring_spans": _q_substring_spans,
-        "url_normalize": _q_url_normalize,
-        "domain_caps": _q_domain_caps,
-        "lm_buckets": _q_lm_buckets,
-        "codec_ndjson": _q_codec_ndjson,
-        "codec_markdown": _q_codec_markdown,
-        "codec_html": _q_codec_html,
         "codec_box": _q_codec_box,
-        "codec_json": _q_codec_json,
         "codec_chart": _q_codec_chart,
         "codec_geomap": _q_codec_geomap,
-        "string_source": _q_string_source,
-        "bytes_source": _q_bytes_source,
-        "similarity_lsh": _q_similarity_lsh,
-        "substring_cut": _q_substring_cut,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_encode": _q_bpe_encode,
-        "lake_api_raw": _q_lake_api_raw,
+        "codec_html": _q_codec_html,
+        "codec_json": _q_codec_json,
+        "codec_markdown": _q_codec_markdown,
+        "codec_ndjson": _q_codec_ndjson,
+        "corpus_card": _q_corpus_card,
+        "data_mixture": _q_data_mixture,
+        "dedup_canonical": _q_dedup_canonical,
+        "dedup_incr": _q_dedup_incr,
+        "domain_caps": _q_domain_caps,
+        "dsir_sample": _q_dsir_sample,
+        "gopher_quality": _q_gopher_quality,
         "lake_api_calc": _q_lake_api_calc,
+        "lake_api_raw": _q_lake_api_raw,
+        "line_dedup": _q_line_dedup,
+        "lm2": _q_lm2,
+        "lm_buckets": _q_lm_buckets,
+        "mad_outliers": _q_mad_outliers,
+        "mixture_plan": _q_mixture_plan,
+        "multimodal_video": _q_multimodal_video,
+        "quality_classifier": _q_quality_classifier,
+        "readability": _q_readability,
         "series_diffs": _q_series_diffs,
+        "shard_export": _q_shard_export,
+        "simhash_pairs": _q_simhash_pairs,
+        "similarity_lsh": _q_similarity_lsh,
+        "similarity_pq": _q_similarity_pq,
+        "string_source": _q_string_source,
+        "substring_cut": _q_substring_cut,
+        "substring_spans": _q_substring_spans,
+        "text_normalize": _q_text_normalize,
+        "tfidf_terms": _q_tfidf_terms,
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
-        "scalar_funcs_tql": _q_scalar_funcs_tql,
-        "tql_set_vars": _q_tql_set_vars,
-        "simplex_noise": _q_simplex_noise,
-        "when_throttle": _q_when_throttle,
-        "group_weighted": _q_group_weighted,
-        "streaming_lowpass": _q_streaming_lowpass,
-        "streaming_filter_changed": _q_streaming_filter_changed,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_fill": _q_streaming_fill,
-        "rollup_cascade": _q_rollup_cascade,
-        "retention": _q_retention,
-        "compaction": _q_compaction,
-        "codec_csv": _q_codec_csv,
-        "transpose": _q_transpose,
-        "pivot_counts": _q_pivot_counts,
-        "histogram": _q_histogram,
-        "boxplot": _q_boxplot,
-        "mode_entropy": _q_mode_entropy,
-        "json_extract": _q_json_extract,
-        "flatten_tokens": _q_flatten_tokens,
-        "lang_quality": _q_lang_quality,
-        "ngram_pairs": _q_ngram_pairs,
-        "projection_ops": _q_projection_ops,
-        "math_funcs": _q_math_funcs,
-        "tpch_q1": _q_tpch_q1,
-        "join_revenue": _q_join_revenue,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q6": _q_tpch_q6,
-        "histogram_streaming": _q_histogram_streaming,
-        "range_join": _q_range_join,
-        "csv_source": _q_csv_source,
-        "stats_aggs": _q_stats_aggs,
-        "tag_scan": _q_tag_scan,
-        "timewindow_avg": _q_timewindow_avg,
-        "first_last": _q_first_last,
-        "tag_stat": _q_tag_stat,
-        "filter_changed": _q_filter_changed,
-        "map_diff": _q_map_diff,
-        "map_diff_blocked": _q_map_diff_blocked,
-        "map_movavg": _q_map_movavg,
-        "take_drop": _q_take_drop,
-        "rollup_hourly": _q_rollup_hourly,
-        "group_aggs2": _q_group_aggs2,
-        "topk_per_group": _q_topk_per_group,
-        "asof_join": _q_asof_join,
-        "map_lowpass": _q_map_lowpass,
-        "filter_changed_retain": _q_filter_changed_retain,
-        "scalar_funcs": _q_scalar_funcs,
-        "time_format": _q_time_format,
-        "show_tags": _q_show_tags,
-        "tql_dsl": _q_tql_dsl,
-        "sliding_window": _q_sliding_window,
-        "session_window": _q_session_window,
-        "tokens_bpe": _q_tokens_bpe,
-        "salted_join": _q_salted_join,
-        "boilerplate_clean": _q_boilerplate_clean,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q19": _q_tpch_q19,
-        "embedding_quantize": _q_embedding_quantize,
-        "source_profile": _q_source_profile,
-        "oscillator_fft": _q_oscillator_fft,
-        "fft": _q_fft,
-        "map_kalman": _q_map_kalman,
-        "streaming_rollup": _q_streaming_rollup,
-        "timewindow_spline": _q_timewindow_spline,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash": _q_simhash,
-        "embedding_dupes": _q_embedding_dupes,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_audio": _q_multimodal_audio,
-        "contamination": _q_contamination,
-        "group_aggs": _q_group_aggs,
-        "group_where": _q_group_where,
+        "url_normalize": _q_url_normalize,
+        "winnow_fp": _q_winnow_fp,
+        "winnow_overlap": _q_winnow_overlap,
+        "boilerplate": _q_boilerplate,
+        "curation_funnel": _q_curation_funnel,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_exact": _q_dedup_exact,
+        "distinct_users": _q_distinct_users,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_dupes_exact": _q_embedding_dupes_exact,
+        "group_list": _q_group_list,
+        "lake_decode": _q_lake_decode,
+        "lake_pivot": _q_lake_pivot,
+        "lake_tochar": _q_lake_tochar,
+        "lookup_join": _q_lookup_join,
+        "map_distance": _q_map_distance,
+        "multimodal_features": _q_multimodal_features,
+        "pii_scrub": _q_pii_scrub,
+        "pipeline_v2": _q_pipeline_v2,
+        "query_builder": _q_query_builder,
+        "repetition": _q_repetition,
+        "rollup_routed": _q_rollup_routed,
+        "script_udtf": _q_script_udtf,
+        "semdedup": _q_semdedup,
+        "set_ops": _q_set_ops,
+        "shell_pipe": _q_shell_pipe,
+        "similarity_batch": _q_similarity_batch,
+        "similarity_ivf": _q_similarity_ivf,
+        "similarity_topk": _q_similarity_topk,
+        "stratified_sample": _q_stratified_sample,
+        "text_stats": _q_text_stats,
+        "token_counts": _q_token_counts,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tql_script": _q_tql_script,
+        "tql_script_js": _q_tql_script_js,
+        "vocab_topk": _q_vocab_topk,
+        "watch_latest": _q_watch_latest,
     }
 
 

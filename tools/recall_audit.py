@@ -127,6 +127,32 @@ def topk_recall(spark, emb, qids, k=10):
               codes2.filter(F.col("vec_id") != q), cb2, qvecs[q], k=k),
           "exhaustive ADC, trained", index_sec=t_pq2)
     cb2.unpersist(); codes2.unpersist()
+    # two-stage PQ: ADC shortlist (10x k) -> exact re-rank of the
+    # shortlist only (the production read path; measures how much of the
+    # code-resolution floor the rerank recovers)
+    score("pq_rerank(shortlist=100)",
+          lambda q: sim.pq_search_rerank(
+              codes.filter(F.col("vec_id") != q), cb,
+              emb.filter(F.col("vec_id") != q), qvecs[q], k=k,
+              shortlist=10 * k),
+          "ADC shortlist + exact rerank", index_sec=t_pq)
+    # batch IVF: all queries in ONE probe-frame join (vs per-query jobs)
+    t0 = time.time()
+    hits = {}
+    for r in sim.ivf_topk_join(
+            assigned, centroids, queries, k=k,
+            nprobe=max(1, n_cent // 4)).collect():
+        hits.setdefault(r["query_id"], []).append(r["vec_id"])
+    rec = float(np.mean([
+        len(set(hits.get(q, [])) & set(exact[q])) / float(k)
+        for q in qids]))
+    out["methods"]["ivf_topk_join(nprobe=n/4)"] = {
+        "recall_at_k": round(rec, 3),
+        "query_sec_total": round(time.time() - t0, 1),
+        "index_sec": round(t_ivf, 1),
+        "note": f"ALL {len(qids)} queries in one job"}
+    print(f"| ivf_topk_join | recall@{k} {rec:.3f} | one batch job, "
+          f"{time.time() - t0:.1f}s total |")
     for nprobe in sorted({max(1, n_cent // 16), max(1, n_cent // 4)}):
         score(f"ivfpq(nprobe={nprobe})",
               lambda q, np_=nprobe: sim.ivfpq_search(
