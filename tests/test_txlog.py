@@ -234,3 +234,70 @@ def test_compact_preserves_rows_and_cdf(spark, tmp_path):
     txlog.write(_mk(spark, [(9, "z")]), t, txn=("r", 9))
     assert [r["id"] for r in w.poll().collect()] == [9]
     assert ver >= 5
+
+
+def test_txlog_model_based_random_ops(spark, tmp_path):
+    """Model-based check: random operation sequences (append / replayed
+    append / overwrite / compact / checkpoint) against an in-memory
+    model of the table contents and of what a CDF consumer accumulates.
+    Invariants after EVERY op: read_table == model multiset; the CDF
+    consumer's accumulated rows == all rows ever appended by effective
+    (non-replay) data commits since its cursor start; live data/ files ==
+    the log's live set after compact."""
+    import random
+
+    from neo_server_spark.streaming.watch import TxLogWatcher
+
+    rng = random.Random(20260815)
+    for case in range(6):
+        t = str(tmp_path / f"m{case}")
+        w = TxLogWatcher(spark, t)
+        model: list[int] = []       # expected id multiset
+        cdf: list[int] = []         # what the CDF consumer accumulated
+        expected_cdf: list[int] = []
+        next_id = 0
+        epochs_used: set[int] = set()
+        for _op in range(rng.randint(4, 8)):
+            op = rng.choice(["append", "replay", "overwrite",
+                             "compact", "checkpoint"])
+            if op == "append" or (op == "replay" and not epochs_used):
+                n = rng.randint(1, 3)
+                ids = list(range(next_id, next_id + n))
+                next_id += n
+                ep = len(epochs_used)
+                txlog.write(_mk(spark, [(i, f"v{i}") for i in ids]), t,
+                            txn=("m", ep))
+                epochs_used.add(ep)
+                model.extend(ids)
+                expected_cdf.extend(ids)
+            elif op == "replay":
+                ep = rng.choice(sorted(epochs_used))
+                # replayed epoch with DIFFERENT (stale-retry) content
+                # must be discarded entirely
+                txlog.write(_mk(spark, [(-1, "stale")]), t, txn=("m", ep))
+            elif op == "overwrite":
+                ids = [next_id]
+                next_id += 1
+                txlog.write(_mk(spark, [(i, f"o{i}") for i in ids]), t,
+                            mode="overwrite")
+                model = list(ids)
+                expected_cdf.extend(ids)
+            elif op == "compact" and model:
+                txlog.compact(spark, t, target_files=1)
+            elif op == "checkpoint" and txlog.live_files(t):
+                txlog.checkpoint(t)
+            if not txlog.live_files(t):
+                continue
+            got = sorted(r["id"] for r in
+                         txlog.read_table(spark, t).collect())
+            assert got == sorted(model), (case, _op, op)
+            d = w.poll()
+            if d is not None:
+                cdf.extend(r["id"] for r in d.collect())
+        assert sorted(cdf) == sorted(expected_cdf), case
+        if txlog.live_files(t):
+            import os as _os
+            parqs = {f"data/{f}" for f in
+                     _os.listdir(_os.path.join(t, "data"))
+                     if f.endswith(".parquet")}
+            assert set(txlog.live_files(t)) <= parqs

@@ -51,20 +51,40 @@ def main():
 
     args = sys.argv[1:]
     json_out = None
+    vanilla = False
+    if "--vanilla" in args:
+        # the driver's conditions: a PLAIN SparkSession — none of our
+        # session.py confs (200 shuffle partitions, no nanosAsLong, no
+        # Arrow enablement).  Entries must be green HERE, not just under
+        # get_spark (round 2 lost ~28 queries to exactly this gap).
+        vanilla = True
+        args.remove("--vanilla")
     if "--json" in args:
         i = args.index("--json")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    # --first N: check the first N queries() entries (the driver window)
+    first_n = None
+    for a in list(only):
+        if a.startswith("--first"):
+            only.remove(a)
+            first_n = int(a.split("=")[1])
     report: dict[str, dict] = {}
 
-    spark = get_spark(app_name="selfcheck")
+    if vanilla:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+    else:
+        spark = get_spark(app_name="selfcheck")
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if first_n is not None:
+        qs = dict(list(qs.items())[:first_n])
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
