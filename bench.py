@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     # listing it here again double-counted it in the section subtotals
     # and let the later rerun overwrite the earlier timings.
     "simhash_pairs",
+    # round-10 additions: the two ANN paths added off the recall audit
+    # (batch IVF probe-join; two-stage ADC+rerank) and the transactional
+    # table round-trip
+    "similarity_ivf_batch",
+    "similarity_pq_rerank",
+    "txlog_table",
 ]
 
 
@@ -128,7 +134,8 @@ def main() -> None:
         ("stable44", BENCH_QUERIES[:43]),
         ("round7", BENCH_QUERIES[43:52]),
         ("round8", BENCH_QUERIES[52:62]),
-        ("round9", BENCH_QUERIES[62:]),
+        ("round9", BENCH_QUERIES[62:63]),
+        ("round10", BENCH_QUERIES[63:]),
     ]
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
