@@ -2960,6 +2960,34 @@ def _q_tql_args(spark, sf_dir):
     """)
 
 
+def _q_append_sink(spark, sf_dir):
+    """APPEND(table(...)) sink under the value-hash gate (tql/script.py —
+    fm_sink.go append path: bulk rows into the engine's tag-table
+    layout, the message envelope reporting success/fail counts): a
+    SQL-sourced 50-row slice appends into a fresh tag table; reading the
+    table back IS the result.  The oracle replays the slice — equality
+    certifies the sink's row shaping, the tag-table write layout, and
+    the read-back path."""
+    import json as _json
+    import tempfile
+
+    from neo_server_spark.tql.script import TqlRunner
+
+    root = tempfile.mkdtemp(prefix="append_sink_")
+    out = TqlRunner(spark, sf_dir=sf_dir, fs_root=root).run("""
+        SQL('select event_type as name, cast(ts as long) as time, value
+             from events where event_type = ? order by event_id limit 50',
+            'signup')
+        APPEND(table('apnd'))
+    """)
+    msg = _json.loads(out)["data"]["message"]
+    assert "success 50, fail 0" in msg, msg
+    tbl = nio.read_tag_table(spark, f"{root}/apnd")
+    return tbl.select("name", _us("time"), F.round("value", 6)
+                      .alias("value")) \
+        .orderBy("time", "value")
+
+
 def _q_semdedup(spark, sf_dir):
     """SemDeDup (datapipe.dedup.semdedup — Abbas et al. 2023): embeddings
     clustered to 32 fixed centroids (the first 32 vectors — deterministic, so
@@ -3243,17 +3271,17 @@ def _q_dedup_incr(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first
-        # 50 entries.  Round-10 window = the 10 never-driver-green rows
+        # 50 entries.  Round-10 window = the 11 never-driver-green rows
         # (oracle-type-fixed pack_sequences; the timer/subscriber/txlog/
-        # http-source/cache/when-do/args certifications; the two new ANN
-        # paths), the 5 oracle- or kernel-changed rows (four
+        # http-source/cache/when-do/args/append-sink certifications; the
+        # two new ANN paths), the 5 oracle- or kernel-changed rows (four
         # DECIMAL->DOUBLE oracle casts — fake_gens and line_protocol are
         # r9-green but their ORACLES changed, so they re-certify now —
         # plus minhash_pairs' signature LET-binding), then the
         # LONGEST-UNCHECKED greens: all 22 remaining r4 rows, the 3 r5
-        # rows, and the oldest r6 rows — 38 of the 50 were last
+        # rows, and the oldest r6 rows — 37 of the 50 were last
         # driver-certified at r6 or earlier (r9 VERDICT #2 asked for 40;
-        # the two slots went to the changed-oracle re-certs above).
+        # three slots went to first-time certs / changed-oracle re-certs).
         # Everything else rotates behind (remaining r6, then r8/r9).
         "pack_sequences": _q_pack_sequences,
         "timer_fire": _q_timer_fire,
@@ -3265,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_hit": _q_cache_hit,
         "when_do": _q_when_do,
         "tql_args": _q_tql_args,
+        "append_sink": _q_append_sink,
         "simplex_noise": _q_simplex_noise,
         "fake_gens": _q_fake_gens,
         "csv_source": _q_csv_source,
@@ -6390,6 +6419,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, round(value, 6) AS value
             FROM events WHERE event_type = 'error'
             ORDER BY event_id
+        """,
+        # APPEND sink: the 50-row signup slice lands in the tag table
+        "append_sink": """
+            WITH sl AS (SELECT event_type AS name, epoch_us(ts) AS time,
+                               value
+                        FROM events WHERE event_type = 'signup'
+                        ORDER BY event_id LIMIT 50)
+            SELECT name, time, round(value, 6) AS value FROM sl
+            ORDER BY time, value
         """,
         # txlog: two committed epochs (one replayed into a no-op) cover
         # all 30 selected rows; the orphaned file never surfaces.
