@@ -683,3 +683,57 @@ def test_api_bridges_crud_and_guard(server, tmp_path):
         assert r.status == 200
     _, _, body = get(f"{server}/web/api/bridges")
     assert [b["name"] for b in json.loads(body)["data"]] == ["sq"]
+
+
+def test_subscriber_restart_does_not_replay(spark, sf_dir, tmp_path):
+    """The done/ tombstone is durable consumption state: a brand-new
+    server over the same fs_root (a restart) must drain only genuinely
+    NEW queue files — the pre-tombstone in-memory seen-set replayed the
+    entire message history on every restart."""
+    import json as _json
+    import urllib.request as _rq
+
+    from neo_server_spark.server.http_api import EngineHttpServer
+    from neo_server_spark.sqlx import ddl
+
+    saved = dict(ddl._TABLES)
+    ddl._TABLES.clear()
+    try:
+        ddl.exec_sql(spark, "CREATE TAG TABLE RSTTAB("
+                            "name varchar(40) primary key, "
+                            "time datetime basetime, "
+                            "value double summarized)")
+        qdir = tmp_path / "mq" / "t"
+        qdir.mkdir(parents=True)
+        (qdir / "m1.csv").write_text("rst.a,1000000000,1.0\n")
+
+        def boot():
+            srv = EngineHttpServer(spark, fs_root=str(tmp_path))
+            port = srv.start()
+            req = _rq.Request(
+                f"http://127.0.0.1:{port}/web/api/subscribers",
+                data=_json.dumps({"name": "rs", "bridge": "mq",
+                                  "topic": "t",
+                                  "task": "db/append/rsttab:csv"}
+                                 ).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST")
+            _rq.urlopen(req, timeout=60).read()
+            srv._sched.trigger_now("sub:rs")
+            return srv
+
+        srv1 = boot()
+        assert spark.table("rsttab").count() == 1
+        srv1.stop()
+
+        # restart: same queue dir, fresh server/process state
+        (qdir / "m2.csv").write_text("rst.b,2000000000,2.0\n")
+        srv2 = boot()
+        rows = sorted((r["name"], r["value"])
+                      for r in spark.table("rsttab").collect())
+        # m1 NOT replayed; m2 consumed once
+        assert rows == [("rst.a", 1.0), ("rst.b", 2.0)]
+        srv2.stop()
+    finally:
+        ddl._TABLES.clear()
+        ddl._TABLES.update(saved)
