@@ -423,3 +423,36 @@ def test_pq_encode_single_exchange_at_cluster_width(spark, sf_dir):
     m = re.search(r"\(\d+\) Exchange\nInput \[3\]: \[vec_id#\d+L, sub#\d+,"
                   r" sv#\d+\]", plan)
     assert m, plan[:1500]
+
+
+def test_ivf_topk_join_broadcasts_probe_frame(spark, sf_dir):
+    """Batch IVF k-NN: the (qid, cid) probe frame must broadcast onto the
+    cid-bucketed corpus — never a sort-merge or cartesian over the corpus
+    side — and the final per-query rank is the only window."""
+    from neo_server_spark.datapipe import similarity
+
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    cents, assigned = similarity.ivf_index(emb, n_centroids=8, iters=1)
+    qs = emb.filter(F.col("vec_id") < 3)
+    plan = plan_of(similarity.ivf_topk_join(assigned, cents, qs,
+                                            k=5, nprobe=2))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_rerank_fetches_only_shortlist(spark, sf_dir):
+    """Two-stage PQ: the vector fetch joins the corpus against the
+    BROADCAST ADC shortlist (left side pruned before any exchange of
+    float vectors)."""
+    from neo_server_spark.datapipe import similarity
+
+    emb = nio.load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(emb, m=8, k=16, iters=0)
+    rest = emb.filter(F.col("vec_id") != 0)
+    codes = similarity.pq_encode(rest, cb)
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    plan = plan_of(similarity.pq_search_rerank(codes, cb, rest, qv,
+                                               k=5, shortlist=50))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
