@@ -274,6 +274,49 @@ def ivf_topk_join(assigned: DataFrame, centroids: DataFrame,
             .select("query_id", id_col, F.round("__c", 6).alias("cosine")))
 
 
+def lsh_topk_join(emb: DataFrame, queries: DataFrame, k: int = 10,
+                  block_bits: int = 3, bands: int = 12,
+                  hash_fn: str = "xxhash64", vec_col: str = "embedding",
+                  id_col: str = "vec_id", q_id_col: str = "vec_id",
+                  sig: DataFrame | None = None) -> DataFrame:
+    """Batch LSH k-NN: top-k for EVERY query row off one sketch frame —
+    the no-training counterpart of ``ivf_topk_join`` (same output
+    schema, per-query results identical to ``lsh_topk``, pinned in
+    pytest).
+
+    Plan: the queries' (band, bucket) rows (a tiny slice of the sig
+    frame) broadcast-join back onto the corpus sketch to produce the
+    per-query candidate sets; candidates fetch vectors once and pay the
+    exact cosine; a window ranks k per query.  The corpus is touched
+    twice (sketch scan at index time + candidate vector fetch), never
+    per-query — at 100 TB the sketch is the materialized ``lsh_index``
+    and queries are metadata-sized joins against it."""
+    from pyspark.sql import Window
+
+    if sig is None:
+        sig = lsh_index(emb, block_bits, bands, hash_fn, vec_col, id_col)
+    qids = queries.select(F.col(q_id_col).alias("__qid"))
+    qsig = (sig.join(F.broadcast(qids),
+                     sig[id_col] == qids["__qid"])
+            .select("__qid", "__band", "__bucket").distinct())
+    cand = (sig.join(F.broadcast(qsig), ["__band", "__bucket"])
+            .filter(F.col(id_col) != F.col("__qid"))
+            .select("__qid", id_col).distinct())
+    qv = queries.select(F.col(q_id_col).alias("__qid"),
+                        F.col(vec_col).alias("__qv"))
+    scored = (cand.join(emb.select(id_col, vec_col), id_col)
+              .join(F.broadcast(qv), "__qid")
+              .select(F.col("__qid").alias("query_id"), F.col(id_col),
+                      cosine_expr(F.col(vec_col),
+                                  F.col("__qv")).alias("__c")))
+    wk = Window.partitionBy("query_id").orderBy(F.col("__c").desc(),
+                                                F.col(id_col))
+    return (scored.withColumn("__rk", F.row_number().over(wk))
+            .filter(F.col("__rk") <= k)
+            .select("query_id", id_col,
+                    F.round("__c", 6).alias("cosine")))
+
+
 def pq_search_rerank(codes: DataFrame, codebooks: DataFrame, emb: DataFrame,
                      query_vec, k: int = 10, shortlist: int = 100,
                      m: int = 8, vec_col: str = "embedding",

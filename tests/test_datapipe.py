@@ -1050,3 +1050,29 @@ def test_pq_search_rerank_recovers_exact_ranking(spark):
     assert len(tight) == 5
     assert all(tight[i].cosine >= tight[i + 1].cosine
                for i in range(4))
+
+
+def test_lsh_topk_join_matches_per_query_form(spark):
+    """Batch LSH k-NN == the single-query lsh_topk per query (same
+    sketch, same candidates, same ranking), and the plan broadcasts the
+    query slice rather than going cartesian."""
+    import random
+    random.seed(19)
+    rows = [(i, [random.random() for _ in range(6)], 0) for i in range(80)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    sig = similarity.lsh_index(emb, block_bits=2, bands=8).persist()
+    qs = emb.filter(F.col("vec_id") < 3)
+    batch = {}
+    for r in similarity.lsh_topk_join(emb, qs, k=5, block_bits=2,
+                                      bands=8, sig=sig).collect():
+        batch.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+    for qid in (0, 1, 2):
+        single = [(r.vec_id, r.cosine) for r in
+                  similarity.lsh_topk(emb, qid, k=5, block_bits=2,
+                                      bands=8, sig=sig).collect()]
+        assert batch.get(qid, []) == single, qid
+    plan = similarity.lsh_topk_join(
+        emb, qs, k=5, block_bits=2, bands=8,
+        sig=sig)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    sig.unpersist()
