@@ -51,8 +51,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["commit", "write", "read_table", "changes", "checkpoint",
-           "live_files", "pruned_files", "compact", "last_txn_version",
-           "TxConflict"]
+           "live_files", "pruned_files", "compact", "vacuum",
+           "last_txn_version", "TxConflict"]
 
 _LOG = "_txlog"
 _DATA = "data"
@@ -339,13 +339,23 @@ def changes(spark: SparkSession, table: str,
         return cur, None
     cp_ver, tail = _list_log(table)
     added: list[str] = []
+    scan = tail
     if cp_ver is not None and cp_ver > since_version:
-        # the checkpoint swallowed part of the range: fall back to the
-        # full snapshot delta (rare — checkpoints are explicit)
-        raise ValueError(
-            f"versions <= {cp_ver} were checkpointed away; "
-            f"re-read the snapshot instead of changes({since_version})")
-    for fn in tail:
+        # part of the range predates the checkpoint: the commit entries
+        # are still on disk until vacuum() truncates them, so read them
+        # directly; only a vacuumed-away range is unrecoverable
+        d = _log_dir(table)
+        pre = sorted(n for n in os.listdir(d)
+                     if n.endswith(".json")
+                     and not n.endswith(".checkpoint.json")
+                     and since_version < _ver_of(n) <= cp_ver)
+        if not pre or _ver_of(pre[0]) != since_version + 1:
+            raise ValueError(
+                f"versions <= {cp_ver} were checkpointed and vacuumed; "
+                f"re-read the snapshot instead of "
+                f"changes({since_version})")
+        scan = pre + tail
+    for fn in scan:
         with open(os.path.join(_log_dir(table), fn)) as f:
             entry = json.load(f)
         if entry["version"] > since_version \
@@ -353,6 +363,46 @@ def changes(spark: SparkSession, table: str,
             added.extend(entry.get("add", []))
     files = [os.path.join(table, rel) for rel in added]
     return cur, spark.read.parquet(*files) if files else None
+
+
+def vacuum(table: str, keep_log_from: int | None = None) -> dict:
+    """Garbage-collect the physical table: delete data files that no
+    committed version references (staging leftovers from crashed
+    writers, files retired by overwrite/compact) and, when a checkpoint
+    exists, truncate commit entries at or before it (their effect lives
+    in the snapshot; ``keep_log_from`` retains entries >= that version
+    for CDF consumers with older cursors).  Returns counts.
+
+    Safety: only files under data/ absent from the LIVE set are removed,
+    and log truncation never crosses the latest checkpoint — a reader of
+    any current snapshot observes nothing."""
+    _ver, live, _txns, _stats = _replay(table)
+    removed_files = 0
+    ddir = os.path.join(table, _DATA)
+    if os.path.isdir(ddir):
+        for fn in os.listdir(ddir):
+            rel = f"{_DATA}/{fn}"
+            full = os.path.join(ddir, fn)
+            if os.path.isdir(full):        # abandoned staging dir
+                shutil.rmtree(full, ignore_errors=True)
+                removed_files += 1
+            elif rel not in live:
+                os.unlink(full)
+                removed_files += 1
+    cp_ver, _tail = _list_log(table)
+    removed_log = 0
+    if cp_ver is not None:
+        cut = cp_ver if keep_log_from is None \
+            else min(cp_ver, keep_log_from - 1)
+        d = _log_dir(table)
+        for fn in list(os.listdir(d)):
+            if fn.endswith(".json") \
+                    and not fn.endswith(".checkpoint.json") \
+                    and _ver_of(fn) <= cut:
+                os.unlink(os.path.join(d, fn))
+                removed_log += 1
+    return {"data_files_removed": removed_files,
+            "log_entries_removed": removed_log}
 
 
 def checkpoint(table: str) -> int:

@@ -98,9 +98,11 @@ def test_checkpoint_compaction(spark, tmp_path):
     # post-checkpoint commits replay on top of the snapshot
     txlog.write(_mk(spark, [(5, "v5")]), t, txn=("r", 5))
     assert txlog.read_table(spark, t).count() == 6
-    # changes across the checkpoint boundary fails loudly, not wrongly
-    with pytest.raises(ValueError):
-        txlog.changes(spark, t, since_version=2)
+    # changes across the checkpoint boundary keeps working while the
+    # commit entries remain on disk (vacuum is what truncates them —
+    # see test_changes_survive_checkpoint_until_vacuum)
+    cur, delta = txlog.changes(spark, t, since_version=2)
+    assert cur == 6 and delta.count() == 4      # v3..v5 appends + v6
     cur, delta = txlog.changes(spark, t, since_version=5)
     assert cur == 6 and delta.count() == 1
 
@@ -301,3 +303,47 @@ def test_txlog_model_based_random_ops(spark, tmp_path):
                      _os.listdir(_os.path.join(t, "data"))
                      if f.endswith(".parquet")}
             assert set(txlog.live_files(t)) <= parqs
+
+
+def test_changes_survive_checkpoint_until_vacuum(spark, tmp_path):
+    """A checkpoint alone must not break CDF consumers with older
+    cursors — the commit entries are still on disk; only vacuum()
+    truncates them (and then the stale cursor fails loudly)."""
+    t = str(tmp_path / "cv")
+    for i in range(4):
+        txlog.write(_mk(spark, [(i, f"v{i}")]), t, txn=("r", i))
+    txlog.checkpoint(t)
+    txlog.write(_mk(spark, [(9, "z")]), t, txn=("r", 9))
+    cur, delta = txlog.changes(spark, t, since_version=2)   # pre-cp cursor
+    assert cur == 5
+    assert sorted(r["id"] for r in delta.collect()) == [2, 3, 9]
+    rep = txlog.vacuum(t)
+    assert rep["log_entries_removed"] == 4
+    with pytest.raises(ValueError):
+        txlog.changes(spark, t, since_version=2)
+    cur, delta = txlog.changes(spark, t, since_version=4)   # post-cp OK
+    assert cur == 5 and [r["id"] for r in delta.collect()] == [9]
+
+
+def test_vacuum_removes_orphans_keeps_live(spark, tmp_path):
+    """vacuum(): crash leftovers (staging dirs, uncommitted files,
+    compaction-retired files) go; every live file stays; reads iden-
+    tical before/after."""
+    import os as _os
+
+    t = str(tmp_path / "vc")
+    txlog.write(_mk(spark, [(1, "a")]), t)
+    txlog.write(_mk(spark, [(2, "b")]), t)
+    # orphan file + abandoned staging dir (crash between stage & commit)
+    _mk(spark, [(99, "zz")]).coalesce(1).write.parquet(
+        _os.path.join(t, "data", "_staging-dead"))
+    open(_os.path.join(t, "data", "orphan-0.parquet"), "wb").write(b"junk")
+    before = sorted(r["id"] for r in txlog.read_table(spark, t).collect())
+    rep = txlog.vacuum(t)
+    assert rep["data_files_removed"] == 2
+    assert rep["log_entries_removed"] == 0      # no checkpoint yet
+    after = sorted(r["id"] for r in txlog.read_table(spark, t).collect())
+    assert before == after == [1, 2]
+    live = set(txlog.live_files(t))
+    on_disk = {f"data/{f}" for f in _os.listdir(_os.path.join(t, "data"))}
+    assert on_disk == live
