@@ -145,11 +145,22 @@ def minhash_params(threshold: float, target_recall: float = 0.95,
     j = max(1e-9, min(1.0 - 1e-9, threshold))
     for r in range(max_rows, 0, -1):
         p_band = j ** r
+        if 1.0 - p_band >= 1.0:        # p_band underflows: unreachable at r
+            continue
         bands = math.ceil(math.log(1.0 - target_recall)
                           / math.log(1.0 - p_band))
         if bands <= max_bands:
             return r * bands, bands
-    return max_bands, max_bands
+    # even r=1 cannot reach target_recall within max_bands: refuse
+    # loudly instead of silently returning an under-recall (and, at
+    # r=1, quadratic-candidate) schedule
+    achievable = 1.0 - (1.0 - j) ** max_bands
+    raise ValueError(
+        f"minhash_params: threshold={threshold} cannot reach "
+        f"target_recall={target_recall} within max_bands={max_bands} "
+        f"(best achievable at r=1 is {achievable:.4f}); raise max_bands, "
+        f"lower target_recall, or use an exact pass for thresholds this "
+        f"low")
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

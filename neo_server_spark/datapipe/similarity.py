@@ -231,7 +231,8 @@ def ivf_topk_join(assigned: DataFrame, centroids: DataFrame,
                   queries: DataFrame, k: int = 10, nprobe: int = 4,
                   vec_col: str = "embedding", id_col: str = "vec_id",
                   q_vec_col: str = "embedding",
-                  q_id_col: str = "vec_id") -> DataFrame:
+                  q_id_col: str = "vec_id",
+                  exclude_self: bool = True) -> DataFrame:
     """Batch IVF k-NN: top-k corpus neighbors for EVERY query row, the
     production shape for eval sets / dedup probes at scale.
 
@@ -244,7 +245,13 @@ def ivf_topk_join(assigned: DataFrame, centroids: DataFrame,
     per-query top-k ranks k x |queries| rows.  Contrast ``topk_join``
     (brute force): that scans every (query, corpus) pair; this scans
     ~nprobe/n_centroids of them for the same output schema, so it is the
-    drop-in at 100 TB once the IVF index exists."""
+    drop-in at 100 TB once the IVF index exists.
+
+    ``exclude_self=True`` (default) drops corpus rows whose id equals
+    the query id — correct when queries ARE corpus members (dedup
+    probes, leave-one-out eval).  Pass ``exclude_self=False`` when the
+    query id space is disjoint from the corpus: there an accidental id
+    collision would silently drop a legitimate neighbor."""
     from pyspark.sql import Window
 
     qn = queries.select(F.col(q_id_col).alias("__qid"),
@@ -262,8 +269,9 @@ def ivf_topk_join(assigned: DataFrame, centroids: DataFrame,
               .withColumn("__rk", F.row_number().over(wq))
               .filter(F.col("__rk") <= nprobe)
               .select("__qid", "__qv", "cid"))
-    cand = assigned.join(F.broadcast(probes), "cid") \
-        .filter(F.col(id_col) != F.col("__qid"))
+    cand = assigned.join(F.broadcast(probes), "cid")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col("__qid"))
     wk = Window.partitionBy("query_id").orderBy(F.col("__c").desc(),
                                                 F.col(id_col))
     return (cand.select(F.col("__qid").alias("query_id"), F.col(id_col),
@@ -278,7 +286,8 @@ def lsh_topk_join(emb: DataFrame, queries: DataFrame, k: int = 10,
                   block_bits: int = 3, bands: int = 12,
                   hash_fn: str = "xxhash64", vec_col: str = "embedding",
                   id_col: str = "vec_id", q_id_col: str = "vec_id",
-                  sig: DataFrame | None = None) -> DataFrame:
+                  sig: DataFrame | None = None,
+                  exclude_self: bool = True) -> DataFrame:
     """Batch LSH k-NN: top-k for EVERY query row off one sketch frame —
     the no-training counterpart of ``ivf_topk_join`` (same output
     schema, per-query results identical to ``lsh_topk``, pinned in
@@ -299,9 +308,13 @@ def lsh_topk_join(emb: DataFrame, queries: DataFrame, k: int = 10,
     qsig = (sig.join(F.broadcast(qids),
                      sig[id_col] == qids["__qid"])
             .select("__qid", "__band", "__bucket").distinct())
-    cand = (sig.join(F.broadcast(qsig), ["__band", "__bucket"])
-            .filter(F.col(id_col) != F.col("__qid"))
-            .select("__qid", id_col).distinct())
+    cand = sig.join(F.broadcast(qsig), ["__band", "__bucket"])
+    if exclude_self:
+        # only meaningful when queries are corpus members (dedup /
+        # leave-one-out); with a disjoint query id space an accidental
+        # id collision would drop a real neighbor — pass False there
+        cand = cand.filter(F.col(id_col) != F.col("__qid"))
+    cand = cand.select("__qid", id_col).distinct()
     qv = queries.select(F.col(q_id_col).alias("__qid"),
                         F.col(vec_col).alias("__qv"))
     scored = (cand.join(emb.select(id_col, vec_col), id_col)

@@ -76,7 +76,12 @@ def _list_log(table: str) -> tuple[int | None, list[str]]:
     d = _log_dir(table)
     if not os.path.isdir(d):
         return None, []
-    names = sorted(n for n in os.listdir(d) if n.endswith(".json"))
+    # dot-prefixed names are in-flight staging tmps (.tmp-<hex>) — a
+    # writer between dump and link, or a crashed writer's leftover.
+    # Listing them would replay an uncommitted entry as committed (torn
+    # read) or crash _ver_of, so every log listing excludes dotfiles.
+    names = sorted(n for n in os.listdir(d)
+                   if n.endswith(".json") and not n.startswith("."))
     cps = [n for n in names if n.endswith(".checkpoint.json")]
     cp_ver = _ver_of(cps[-1]) if cps else None
     tail = [n for n in names if not n.endswith(".checkpoint.json")
@@ -132,14 +137,25 @@ def last_txn_version(table: str, app: str, epoch: int) -> int | None:
     return _replay(table)[2].get(f"{app}:{epoch}")
 
 
-def _atomic_commit(table: str, entry: dict, retries: int = 20) -> int:
-    """Put-if-absent the next version; optimistic retry on conflict."""
+def _atomic_commit(table: str, entry: dict, retries: int = 20,
+                   overwrite: bool = False) -> int:
+    """Put-if-absent the next version; optimistic retry on conflict.
+
+    ``overwrite=True`` recomputes the remove set from a FRESH replay on
+    every attempt: if this commit loses the version race to a concurrent
+    append, the retry must retire the racer's files too — a stale,
+    pre-race remove set would leave them live after the "overwrite"."""
     d = _log_dir(table)
     os.makedirs(d, exist_ok=True)
     for _ in range(retries):
-        ver = _replay(table)[0] + 1
+        cur, live, _txns, _stats = _replay(table)
+        ver = cur + 1
         entry["version"] = ver
-        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+        if overwrite:
+            entry["remove"] = sorted(live)
+        # stage with a dot-prefixed, non-.json name so no log listing
+        # can ever observe the uncommitted entry
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(entry, f)
         final = os.path.join(d, f"{ver:0{_W}d}.json")
@@ -213,8 +229,10 @@ def commit(table: str, add: list[str], mode: str = "append",
     if not data_change:
         entry["dataChange"] = False
     if mode == "overwrite":
-        entry["remove"] = live_files(table)
-    elif remove:
+        # remove set is computed INSIDE the retry loop from a fresh
+        # replay, so a lost version race still retires the racer's files
+        return _atomic_commit(table, entry, overwrite=True)
+    if remove:
         entry["remove"] = sorted(remove)
     elif mode != "append":
         raise ValueError(f"unknown mode {mode!r}")
@@ -319,12 +337,11 @@ def compact(spark: SparkSession, table: str,
             rels.append(rel)
     shutil.rmtree(stage, ignore_errors=True)
     stats = _file_stats(table, rels, stats_cols) if stats_cols else None
-    ver = commit(table, rels, remove=old, stats=stats, data_change=False)
-    for rel in old:     # retire the physical files after the commit
-        p = os.path.join(table, rel)
-        if os.path.exists(p):
-            os.unlink(p)
-    return ver
+    # the retired files stay on DISK: a reader that resolved its file
+    # list from a pre-compaction snapshot finishes its scan untouched
+    # (Delta defers physical deletion to VACUUM's retention window);
+    # vacuum() removes them once they age past retention
+    return commit(table, rels, remove=old, stats=stats, data_change=False)
 
 
 def changes(spark: SparkSession, table: str,
@@ -347,6 +364,7 @@ def changes(spark: SparkSession, table: str,
         d = _log_dir(table)
         pre = sorted(n for n in os.listdir(d)
                      if n.endswith(".json")
+                     and not n.startswith(".")
                      and not n.endswith(".checkpoint.json")
                      and since_version < _ver_of(n) <= cp_ver)
         if not pre or _ver_of(pre[0]) != since_version + 1:
@@ -365,7 +383,11 @@ def changes(spark: SparkSession, table: str,
     return cur, spark.read.parquet(*files) if files else None
 
 
-def vacuum(table: str, keep_log_from: int | None = None) -> dict:
+DEFAULT_RETENTION_S = 24 * 3600.0
+
+
+def vacuum(table: str, keep_log_from: int | None = None,
+           retention_s: float = DEFAULT_RETENTION_S) -> dict:
     """Garbage-collect the physical table: delete data files that no
     committed version references (staging leftovers from crashed
     writers, files retired by overwrite/compact) and, when a checkpoint
@@ -373,22 +395,51 @@ def vacuum(table: str, keep_log_from: int | None = None) -> dict:
     in the snapshot; ``keep_log_from`` retains entries >= that version
     for CDF consumers with older cursors).  Returns counts.
 
-    Safety: only files under data/ absent from the LIVE set are removed,
-    and log truncation never crosses the latest checkpoint — a reader of
-    any current snapshot observes nothing."""
+    Safety: only files under data/ absent from the LIVE set AND older
+    than ``retention_s`` are removed (Delta's retention window).  The
+    age guard is what makes vacuum safe under CONCURRENT writers:
+    write() renames staged files into data/ *before* its commit
+    publishes them, so a zero-retention vacuum between the rename and
+    the commit would delete the files of a commit that then succeeds —
+    a torn table.  With retention, an in-flight writer younger than the
+    window is untouched.  ``retention_s=0`` is therefore OFFLINE-ONLY:
+    call it only when no writer can be mid-commit (tests, single-writer
+    maintenance).  Log truncation never crosses the latest checkpoint —
+    a reader of any current snapshot observes nothing."""
     _ver, live, _txns, _stats = _replay(table)
     removed_files = 0
+    now = time.time()
     ddir = os.path.join(table, _DATA)
     if os.path.isdir(ddir):
         for fn in os.listdir(ddir):
             rel = f"{_DATA}/{fn}"
             full = os.path.join(ddir, fn)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue                    # raced another cleaner
+            if age < retention_s:
+                continue                    # possibly an in-flight commit
             if os.path.isdir(full):        # abandoned staging dir
                 shutil.rmtree(full, ignore_errors=True)
                 removed_files += 1
             elif rel not in live:
                 os.unlink(full)
                 removed_files += 1
+    ldir = _log_dir(table)
+    if os.path.isdir(ldir):
+        # crashed writer between tmp dump and os.link: its .tmp- file is
+        # invisible to every listing; reap it once it ages out
+        for fn in os.listdir(ldir):
+            if not fn.startswith(".tmp-"):
+                continue
+            full = os.path.join(ldir, fn)
+            try:
+                if now - os.path.getmtime(full) >= retention_s:
+                    os.unlink(full)
+                    removed_files += 1
+            except OSError:
+                pass
     cp_ver, _tail = _list_log(table)
     removed_log = 0
     if cp_ver is not None:
@@ -397,6 +448,7 @@ def vacuum(table: str, keep_log_from: int | None = None) -> dict:
         d = _log_dir(table)
         for fn in list(os.listdir(d)):
             if fn.endswith(".json") \
+                    and not fn.startswith(".") \
                     and not fn.endswith(".checkpoint.json") \
                     and _ver_of(fn) <= cut:
                 os.unlink(os.path.join(d, fn))
@@ -411,7 +463,7 @@ def checkpoint(table: str) -> int:
     checkpoint, JSON here).  Returns the checkpointed version."""
     ver, live, txns, stats = _replay(table)
     d = _log_dir(table)
-    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump({"version": ver, "live": sorted(live), "txns": txns,
                    "stats": stats}, f)

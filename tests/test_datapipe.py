@@ -1076,3 +1076,48 @@ def test_lsh_topk_join_matches_per_query_form(spark):
         sig=sig)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     sig.unpersist()
+
+
+def test_minhash_params_unreachable_target_raises():
+    """A threshold too low to hit the recall target within max_bands must
+    refuse loudly — the old fallback silently returned an r=1,
+    quadratic-candidate schedule that MISSED the target (ADVICE r10)."""
+    import pytest as _pytest
+
+    from neo_server_spark.datapipe.dedup import minhash_params
+
+    with _pytest.raises(ValueError, match="cannot reach"):
+        minhash_params(0.001, target_recall=0.95, max_bands=64)
+    # reachable-only-at-r=1 still succeeds (no false refusal)
+    n, b = minhash_params(0.15, target_recall=0.95, max_bands=64)
+    assert n // b >= 1 and 1.0 - (1.0 - 0.15 ** (n // b)) ** b >= 0.95
+
+
+def test_topk_join_exclude_self_flag(spark):
+    """exclude_self gates the id-equality filter: external query frames
+    whose ids coincidentally collide with corpus ids must NOT lose that
+    corpus row when exclude_self=False (ADVICE r10); corpus-member
+    queries keep the default dedup behavior."""
+    import random
+    random.seed(23)
+    rows = [(i, [random.random() for _ in range(6)], 0) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cents, assigned = similarity.ivf_index(emb, n_centroids=3, iters=2)
+    # an EXTERNAL query that happens to reuse corpus id 7
+    ext = spark.createDataFrame([(7, rows[7][1])], ["vec_id", "embedding"])
+    full = similarity.ivf_topk_join(assigned, cents, ext, k=5, nprobe=3,
+                                    exclude_self=False).collect()
+    got = {(r.query_id, r.vec_id) for r in full}
+    # corpus row 7 is this query's own vector -> cosine 1.0, must be kept
+    assert (7, 7) in got
+    dropped = {(r.query_id, r.vec_id) for r in
+               similarity.ivf_topk_join(assigned, cents, ext, k=5,
+                                        nprobe=3).collect()}
+    assert (7, 7) not in dropped
+    # lsh_topk_join: same gate over the sketch join (corpus-member query)
+    qs = emb.filter(F.col("vec_id") == 7)
+    with_self = similarity.lsh_topk_join(emb, qs, k=5, block_bits=2,
+                                         bands=8, exclude_self=False) \
+        .collect()
+    assert {(r.query_id, r.vec_id) for r in with_self} >= {(7, 7)}
+    assert max(r.cosine for r in with_self) == 1.0

@@ -220,13 +220,21 @@ def test_compact_preserves_rows_and_cdf(spark, tmp_path):
                     txn=("r", i))
     assert len(txlog.live_files(t)) == 4
     assert w.poll().count() == 4                # CDF sees the appends
+    pre_snapshot = [os.path.join(t, rel) for rel in txlog.live_files(t)]
     ver = txlog.compact(spark, t, target_files=1, stats_cols=["id"])
     assert len(txlog.live_files(t)) == 1
     assert sorted(r["id"] for r in
                   txlog.read_table(spark, t).collect()) == [0, 1, 2, 3]
     assert w.poll() is None                     # rewrite is CDF-silent
-    # old files physically retired; data/ holds only the live file
+    # a reader that resolved its file list BEFORE the compaction can
+    # still finish its scan: compact defers physical deletion to vacuum
+    assert sorted(r["id"] for r in
+                  spark.read.parquet(*pre_snapshot).collect()) == \
+        [0, 1, 2, 3]
+    # vacuum (offline, zero retention) retires them; then data/ holds
+    # only the live file
     import os as _os
+    txlog.vacuum(t, retention_s=0)
     parqs = [f for f in _os.listdir(_os.path.join(t, "data"))
              if f.endswith(".parquet")]
     assert len(parqs) == 1
@@ -339,7 +347,12 @@ def test_vacuum_removes_orphans_keeps_live(spark, tmp_path):
         _os.path.join(t, "data", "_staging-dead"))
     open(_os.path.join(t, "data", "orphan-0.parquet"), "wb").write(b"junk")
     before = sorted(r["id"] for r in txlog.read_table(spark, t).collect())
+    # default retention: everything is younger than the window, so a
+    # concurrent-safe vacuum touches NOTHING
     rep = txlog.vacuum(t)
+    assert rep["data_files_removed"] == 0
+    # offline (retention_s=0) vacuum reaps the leftovers
+    rep = txlog.vacuum(t, retention_s=0)
     assert rep["data_files_removed"] == 2
     assert rep["log_entries_removed"] == 0      # no checkpoint yet
     after = sorted(r["id"] for r in txlog.read_table(spark, t).collect())
@@ -347,3 +360,174 @@ def test_vacuum_removes_orphans_keeps_live(spark, tmp_path):
     live = set(txlog.live_files(t))
     on_disk = {f"data/{f}" for f in _os.listdir(_os.path.join(t, "data"))}
     assert on_disk == live
+
+
+def test_inflight_writer_survives_default_vacuum(spark, tmp_path):
+    """The vacuum/writer race the retention window closes: write()
+    renames staged files into data/ BEFORE the commit publishes them.
+    A vacuum running in that window (default retention) must leave the
+    in-flight files alone so the commit that follows yields an intact
+    table.  (retention_s=0 is offline-only, documented.)"""
+    import os as _os
+
+    t = str(tmp_path / "rf")
+    txlog.write(_mk(spark, [(1, "a")]), t)
+    # reproduce write()'s pre-commit state by hand: staged file renamed
+    # into data/ under a fresh uuid name, commit NOT yet published
+    _mk(spark, [(2, "b")]).coalesce(1).write.parquet(str(tmp_path / "st"))
+    part = next(f for f in _os.listdir(tmp_path / "st")
+                if f.endswith(".parquet"))
+    rel = "data/inflight00-0.parquet"
+    _os.rename(str(tmp_path / "st" / part), _os.path.join(t, rel))
+    # concurrent vacuum with the default retention: must not touch it
+    rep = txlog.vacuum(t)
+    assert rep["data_files_removed"] == 0
+    assert _os.path.exists(_os.path.join(t, rel))
+    # the in-flight commit now succeeds and the table is whole
+    txlog.commit(t, [rel])
+    assert sorted(r["id"] for r in
+                  txlog.read_table(spark, t).collect()) == [1, 2]
+
+
+def test_concurrent_writers_and_vacuum_threads(spark, tmp_path):
+    """Threaded interleaving: appenders racing each other AND a
+    default-retention vacuum loop.  Every committed row must be present
+    exactly once at the end — no torn table, no lost commit."""
+    import threading
+
+    t = str(tmp_path / "cc")
+    txlog.write(_mk(spark, [(0, "seed")]), t)
+    errs: list[BaseException] = []
+
+    def appender(base):
+        try:
+            for i in range(3):
+                txlog.write(_mk(spark, [(base + i, "w")]), t)
+        except BaseException as e:          # surface into the main thread
+            errs.append(e)
+
+    def cleaner():
+        try:
+            for _ in range(8):
+                txlog.vacuum(t)             # default retention
+        except BaseException as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(100,)),
+               threading.Thread(target=appender, args=(200,)),
+               threading.Thread(target=cleaner)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    got = sorted(r["id"] for r in txlog.read_table(spark, t).collect())
+    assert got == [0, 100, 101, 102, 200, 201, 202]
+
+
+def test_tmp_log_files_are_invisible(spark, tmp_path):
+    """A writer parked (or crashed) between the tmp dump and the atomic
+    link leaves a .tmp- file in _txlog/.  No listing may observe it:
+    reads, changes, checkpoint and vacuum all ignore it (the old
+    .json-suffixed tmp name crashed _ver_of or replayed an uncommitted
+    entry).  An AGED tmp is reaped by vacuum."""
+    import os as _os
+
+    t = str(tmp_path / "tm")
+    txlog.write(_mk(spark, [(1, "a")]), t)
+    d = _os.path.join(t, "_txlog")
+    # phantom in-flight entries: one current-style, one that would have
+    # matched the old endswith('.json') filter, one plain junk dotfile
+    for name, payload in [(".tmp-deadbeef", '{"version": 99, "add": '
+                           '["data/phantom.parquet"], "ts": 0}'),
+                          (".tmp-cafe.json", "{}"), (".junk", "x")]:
+        with open(_os.path.join(d, name), "w") as f:
+            f.write(payload)
+    assert [r["id"] for r in txlog.read_table(spark, t).collect()] == [1]
+    cur, delta = txlog.changes(spark, t, since_version=0)
+    assert cur == 1 and delta.count() == 1
+    assert txlog.checkpoint(t) == 1
+    cur, delta = txlog.changes(spark, t, since_version=1)
+    assert cur == 1 and delta is None
+    # fresh tmps survive a default-retention vacuum...
+    txlog.vacuum(t)
+    assert _os.path.exists(_os.path.join(d, ".tmp-deadbeef"))
+    # ...and are reaped once aged out (offline vacuum)
+    rep = txlog.vacuum(t, retention_s=0)
+    assert not _os.path.exists(_os.path.join(d, ".tmp-deadbeef"))
+    assert not _os.path.exists(_os.path.join(d, ".tmp-cafe.json"))
+    assert [r["id"] for r in txlog.read_table(spark, t).collect()] == [1]
+
+
+def test_overwrite_recomputes_remove_on_conflict(spark, tmp_path):
+    """overwrite loses the version race to a concurrent append: the
+    retry must retire the RACER's files too (a remove set computed once
+    before the race would leave them live after the 'overwrite')."""
+    import os as _os
+
+    t = str(tmp_path / "ow")
+    txlog.write(_mk(spark, [(1, "a")]), t)
+    # the racing append: stage a real file and pre-take version 2, the
+    # version our overwrite will try first
+    _mk(spark, [(5, "racer")]).coalesce(1).write.parquet(
+        str(tmp_path / "rc"))
+    part = next(f for f in _os.listdir(tmp_path / "rc")
+                if f.endswith(".parquet"))
+    rel = "data/racer00-0.parquet"
+    _os.rename(str(tmp_path / "rc" / part), _os.path.join(t, rel))
+    with open(_os.path.join(t, "_txlog", f"{2:020d}.json"), "w") as f:
+        json.dump({"version": 2, "add": [rel], "ts": 0}, f)
+    v = txlog.write(_mk(spark, [(9, "x")]), t, mode="overwrite")
+    assert v == 3
+    # overwrite semantics hold despite the race: ONLY the overwrite rows
+    assert [r["id"] for r in txlog.read_table(spark, t).collect()] == [9]
+    assert rel not in set(txlog.live_files(t))
+
+
+def test_model_random_ops_with_vacuum_interleaved(spark, tmp_path):
+    """Model-based sequences extended with vacuum: default-retention
+    vacuum interleaved anywhere (including right after compact, when
+    retired-but-fresh files are on disk) never changes what any reader
+    sees."""
+    import random
+
+    rng = random.Random(20260816)
+    for case in range(4):
+        t = str(tmp_path / f"vm{case}")
+        model: list[int] = []
+        next_id = 0
+        ep = 0
+        for _op in range(rng.randint(5, 9)):
+            op = rng.choice(["append", "overwrite", "compact",
+                             "checkpoint", "vacuum", "vacuum"])
+            if op == "append":
+                n = rng.randint(1, 3)
+                ids = list(range(next_id, next_id + n))
+                next_id += n
+                txlog.write(_mk(spark, [(i, f"v{i}") for i in ids]), t,
+                            txn=("m", ep))
+                ep += 1
+                model.extend(ids)
+            elif op == "overwrite":
+                ids = [next_id]
+                next_id += 1
+                txlog.write(_mk(spark, [(i, f"o{i}") for i in ids]), t,
+                            mode="overwrite")
+                model = list(ids)
+            elif op == "compact" and model:
+                txlog.compact(spark, t, target_files=1)
+            elif op == "checkpoint" and txlog.live_files(t):
+                txlog.checkpoint(t)
+            elif op == "vacuum" and txlog.live_files(t):
+                txlog.vacuum(t)             # concurrent-safe form
+            if not txlog.live_files(t):
+                continue
+            got = sorted(r["id"] for r in
+                         txlog.read_table(spark, t).collect())
+            assert got == sorted(model), (case, _op, op)
+        if txlog.live_files(t):
+            # offline vacuum converges disk to exactly the live set
+            txlog.vacuum(t, retention_s=0)
+            got = sorted(r["id"] for r in
+                         txlog.read_table(spark, t).collect())
+            assert got == sorted(model), case
