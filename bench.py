@@ -100,7 +100,35 @@ BENCH_QUERIES = [
 ]
 
 
+def _quiesce(threshold: float, timeout_s: float) -> dict:
+    """Spin until the 1-min loadavg drops below ``threshold`` (ambient
+    load from OTHER processes — call before any Spark work so our own
+    executors don't inflate it).  The r10 driver run started its stable
+    section at loadavg 5.9 vs 2.4 for r9 and the whole common set read
+    1.15x slower with zero code changes; this gate plus per-rep load
+    telemetry makes that attributable instead of a mystery."""
+    t0 = time.time()
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while load >= threshold and waited < timeout_s:
+        time.sleep(min(5.0, timeout_s - waited))
+        waited = time.time() - t0
+        load = os.getloadavg()[0]
+    if load >= threshold:
+        print(f"bench: WARNING quiesce timed out after {waited:.0f}s, "
+              f"loadavg {load:.2f} >= {threshold} — timings may read "
+              f"slow for ambient reasons", file=sys.stderr)
+    return {"threshold": threshold,
+            "waited_sec": round(waited, 1),
+            "loadavg_after": round(load, 2)}
+
+
 def main() -> None:
+    # quiesce BEFORE the JVM comes up: at this point loadavg is ambient
+    quiesce = _quiesce(
+        float(os.environ.get("SPARK_GRAFT_QUIESCE_LOAD", "4.0")),
+        float(os.environ.get("SPARK_GRAFT_QUIESCE_TIMEOUT", "180")))
+
     import __spark_entry__ as entrymod
     from neo_server_spark.session import get_spark
 
@@ -139,6 +167,7 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
+    rep_loads: dict[str, list[float]] = {}
     section_stats: dict[str, dict] = {}
     for sec_name, names in sections:
         spark.sparkContext._jvm.System.gc()
@@ -148,12 +177,21 @@ def main() -> None:
             fn = qs.get(name)
             if fn is None:
                 continue
-            runs = []
+            runs, loads = [], []
             for _rep in range(2):
+                loads.append(round(os.getloadavg()[0], 2))
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+            # reps that disagree >1.5x on a non-trivial query are jitter,
+            # not signal — buy one more sample so min() is trustworthy
+            if min(runs) > 0.3 and max(runs) > 1.5 * min(runs):
+                loads.append(round(os.getloadavg()[0], 2))
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(round(time.time() - t0, 3))
             reps[name] = runs
+            rep_loads[name] = loads
             timings[name] = min(runs)
         section_stats[sec_name] = {
             "wall_sec": round(time.time() - sec_t0, 3),
@@ -175,10 +213,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        # per-query [rep1, rep2] raw timings — the spread IS the noise
-        # floor; a "regression" whose min sits inside the other round's
-        # spread is jitter, not a plan change
+        # per-query [rep1, rep2(, rep3)] raw timings — the spread IS the
+        # noise floor; a "regression" whose min sits inside the other
+        # round's spread is jitter, not a plan change.  A third rep is
+        # added automatically when the first two disagree >1.5x.
         "query_reps": reps,
+        # 1-min loadavg sampled immediately BEFORE each rep — if a slow
+        # rep lines up with a load spike, blame the box, not the plan
+        "query_rep_loadavg": rep_loads,
+        # ambient-load gate before the JVM started (threshold/wait/final)
+        "quiesce": quiesce,
         # the first 44 names are the unchanged cross-round set; compare
         # THIS number against BENCH_r06 and earlier totals
         "stable44_sec": stable44,
