@@ -2846,6 +2846,62 @@ def _q_txlog_table(spark, sf_dir):
         .orderBy("event_id")
 
 
+def _q_rollup_txlog(spark, sf_dir):
+    """txlog-backed streaming rollup cascade under the value-hash gate
+    (streaming/ingest.stream_rollup(table_format='txlog') — the r10
+    VERDICT #6 item): events rows become ndjson payload files, the
+    availableNow drain commits per-epoch PARTIAL summaries through the
+    commit log with txn=(run_key, epoch), a simulated foreachBatch
+    retry of the committed epoch collapses to a no-op (partials are NOT
+    idempotent under duplication — the defect the txn prevents),
+    compact_rollup folds the partials in ONE atomic overwrite commit,
+    and RollupRouter(table_format='txlog') serves the query off the
+    log.  The oracle recomputes the per-second per-tag aggregates from
+    raw events — equality certifies decode, partial summarize, txn
+    replay dedupe, atomic fold, and the log-driven read."""
+    import json as _json
+    import os
+    import tempfile
+
+    from neo_server_spark import txlog
+    from neo_server_spark.sqlx.rollup import SECOND, RollupRouter
+    from neo_server_spark.streaming import ingest
+
+    root = tempfile.mkdtemp(prefix="rollup_txlog_")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    ck = os.path.join(root, "ck")
+    base = os.path.join(root, "rollups")
+    rows = (nio.load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 2000)
+            .select("event_id", F.col("event_type").alias("name"),
+                    F.col("ts").cast("long").alias("time"), "value")
+            .collect())
+    for tag, lo, hi in (("a", 0, 1000), ("b", 1000, 2000)):
+        with open(os.path.join(src, f"{tag}.ndjson"), "w") as f:
+            for r in rows:
+                if lo <= r.event_id < hi:
+                    f.write(_json.dumps({"name": r.name, "time": r.time,
+                                         "value": r.value}) + "\n")
+    q = ingest.stream_rollup(spark, src, base, ck, table_format="txlog")
+    q.awaitTermination(120)
+    sec = os.path.join(base, "rollup_sec")
+    # foreachBatch retry of the committed epoch 0: txn dedupe no-ops it
+    app = ingest._run_key(ck)
+    txlog.write(txlog.read_table(spark, sec).limit(1), sec, txn=(app, 0))
+    # OPTIMIZE: fold every partial into one file, one atomic commit
+    ingest.compact_rollup(spark, base, "sec")
+    router = RollupRouter(spark, base, table_format="txlog")
+    out = router.query(SECOND, {"cnt": "count", "sum_value": "sum",
+                                "min_value": "min", "max_value": "max"})
+    return (out.select("name", F.col("time").cast("long").alias("time"),
+                       F.col("cnt").cast("long").alias("cnt"),
+                       F.round("sum_value", 6).alias("sum_value"),
+                       F.round("min_value", 6).alias("min_value"),
+                       F.round("max_value", 6).alias("max_value"))
+            .orderBy("name", "time"))
+
+
 def _q_http_source(spark, sf_dir):
     """HTTP-fetched CSV source under the value-hash gate (tql/script.py
     CSV(file('http://...')) — fm_csv.go:115-135 URL fetch + field()
@@ -3287,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timer_fire": _q_timer_fire,
         "subscriber_flow": _q_subscriber_flow,
         "txlog_table": _q_txlog_table,
+        "rollup_txlog": _q_rollup_txlog,
         "similarity_ivf_batch": _q_similarity_ivf_batch,
         "similarity_pq_rerank": _q_similarity_pq_rerank,
         "http_source": _q_http_source,
@@ -6436,6 +6493,20 @@ def oracle_sql() -> dict[str, str]:
                    value
             FROM events WHERE event_type = 'click'
             ORDER BY event_id LIMIT 30
+        """,
+        # txlog-backed streaming rollup: per-second per-tag aggregates
+        # recomputed from raw events (bucket in exact epoch-ns — second
+        # boundaries are µs-exact so DuckDB's ns->µs truncation cannot
+        # move a row across one).
+        "rollup_txlog": """
+            SELECT event_type AS name,
+                   epoch_ns(ts) - epoch_ns(ts) % 1000000000 AS time,
+                   count(*) AS cnt,
+                   round(sum(value), 6) AS sum_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events WHERE event_id < 2000
+            GROUP BY 1, 2 ORDER BY name, time
         """,
         # subscriber facility: the drained queue IS the literal payloads
         # (times written in ns, surfaced in µs).

@@ -77,12 +77,25 @@ class RollupRouter:
     """Maintains the sec/min/hour cascade for one tag table and routes
     aggregate queries to the coarsest usable level."""
 
-    def __init__(self, spark: SparkSession, base_path: str):
+    def __init__(self, spark: SparkSession, base_path: str,
+                 table_format: str = "parquet"):
+        if table_format not in ("parquet", "txlog"):
+            raise ValueError(f"unknown table_format {table_format!r}")
         self.spark = spark
         self.base_path = base_path
+        self.table_format = table_format
 
     def path(self, level: str) -> str:
         return os.path.join(self.base_path, f"rollup_{level}")
+
+    def _write(self, df: DataFrame, level: str) -> None:
+        if self.table_format == "txlog":
+            from neo_server_spark import txlog
+
+            txlog.write(df, self.path(level), mode="overwrite",
+                        stats_cols=["time"])
+        else:
+            df.write.mode("overwrite").parquet(self.path(level))
 
     # ------------------------------------------------------------ build
 
@@ -91,15 +104,17 @@ class RollupRouter:
         """(Re)materialize the full cascade.  Only the finest level scans the
         raw data; min folds from sec, hour folds from min."""
         sec = _summarize(df, LEVELS["sec"], name_col, time_col, value_col)
-        sec.write.mode("overwrite").parquet(self.path("sec"))
-        sec_r = self.spark.read.parquet(self.path("sec"))
-        _fold(sec_r, LEVELS["min"]).write.mode("overwrite").parquet(self.path("min"))
-        min_r = self.spark.read.parquet(self.path("min"))
-        _fold(min_r, LEVELS["hour"]).write.mode("overwrite").parquet(self.path("hour"))
+        self._write(sec, "sec")
+        self._write(_fold(self.level("sec"), LEVELS["min"]), "min")
+        self._write(_fold(self.level("min"), LEVELS["hour"]), "hour")
 
     def level(self, level: str) -> DataFrame:
         # no DataFrame caching: streaming appends/compaction change the file
         # set underneath; the parquet listing is cheap next to the query
+        if self.table_format == "txlog":
+            from neo_server_spark import txlog
+
+            return txlog.read_table(self.spark, self.path(level))
         return self.spark.read.parquet(self.path(level))
 
     # ------------------------------------------------------------ route

@@ -117,6 +117,16 @@ DECODERS = {
 
 # ---------------------------------------------------------------- append path
 
+def _run_key(checkpoint: str) -> str:
+    """Stable identity for a logical stream across restarts — derived from
+    the checkpoint location, the same convention curation.stream_curate
+    uses, so (run_key, epoch) is the txlog txn pair."""
+    import hashlib
+    import os
+
+    return hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:8]
+
+
 def stream_append(
     spark: SparkSession,
     source_dir: str,
@@ -126,6 +136,7 @@ def stream_append(
     name_buckets: int | None = None,
     trigger_available_now: bool = True,
     with_arrival_time: bool = True,
+    table_format: str = "parquet",
 ):
     """The APPEND worker: tail ``source_dir`` for payload files, decode, and
     append into the partitioned tag-table layout.
@@ -133,6 +144,13 @@ def stream_append(
     - exactly-once via checkpointed file-source offsets + idempotent-enough
       parquet appends (Delta would make it transactional; parquet keeps this
       container dependency-free);
+    - ``table_format="txlog"`` makes the sink TRANSACTIONAL instead: each
+      epoch commits through the txlog with txn=(run_key, epoch), so a
+      foreachBatch retry or checkpoint-restart replay collapses to a no-op
+      — true exactly-once with no directory convention.  Day-partition
+      pruning is replaced by commit-log data skipping on the ``time``
+      column (file-level min/max, pruned_files) — the same scan-narrowing
+      at O(live files) metadata cost;
     - ``_ARRIVAL_TIME`` is stamped like log tables do implicitly
       (mods/server/http_write.go:133-136);
     - ``trigger_available_now`` runs a drain-and-stop batch (cron-timer mode,
@@ -146,8 +164,19 @@ def stream_append(
     if with_arrival_time:
         decoded = decoded.withColumn("_arrival_time", F.current_timestamp())
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        write_tag_table(batch_df, table_path, name_buckets=name_buckets, mode="append")
+    if table_format == "txlog":
+        from neo_server_spark import txlog
+
+        app = _run_key(checkpoint)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            txlog.write(batch_df, table_path, txn=(app, int(batch_id)),
+                        stats_cols=["time"])
+    elif table_format == "parquet":
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            write_tag_table(batch_df, table_path, name_buckets=name_buckets, mode="append")
+    else:
+        raise ValueError(f"unknown table_format {table_format!r}")
 
     writer = decoded.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
     if trigger_available_now:
@@ -163,6 +192,7 @@ def stream_rollup(
     fmt: str = "ndjson",
     period_ns: int = 1_000_000_000,
     trigger_available_now: bool = True,
+    table_format: str = "parquet",
 ):
     """Streaming rollup maintenance: per micro-batch, append PARTIAL algebraic
     summaries at the sec level.  Partials are mergeable (count/sum/sumsq/
@@ -171,16 +201,31 @@ def stream_rollup(
     the same idea as the engine's background rollup builders (V$ROLLUP gap
     semantics, spi/show.go:1209-1222).  A periodic compaction job can rewrite
     partials into one row per bucket; correctness never depends on it.
+
+    ``table_format="txlog"`` commits each epoch's partials with
+    txn=(run_key, epoch): a replayed epoch cannot double-count a partial
+    — the failure the plain append path is exposed to on foreachBatch
+    retry (partials are NOT idempotent under duplication, unlike the raw
+    appends).  Query via RollupRouter(..., table_format="txlog").
     """
     from neo_server_spark.sqlx.rollup import _summarize
 
     decoder = DECODERS[fmt]
     lines = spark.readStream.format("text").load(source_dir)
     decoded = decoder(lines)
+    if table_format not in ("parquet", "txlog"):
+        raise ValueError(f"unknown table_format {table_format!r}")
+    app = _run_key(checkpoint)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         summary = _summarize(batch_df, period_ns, "name", "time", "value")
-        summary.write.mode("append").parquet(f"{rollup_base}/rollup_sec")
+        if table_format == "txlog":
+            from neo_server_spark import txlog
+
+            txlog.write(summary, f"{rollup_base}/rollup_sec",
+                        txn=(app, int(batch_id)), stats_cols=["time"])
+        else:
+            summary.write.mode("append").parquet(f"{rollup_base}/rollup_sec")
 
     writer = decoded.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
     if trigger_available_now:
@@ -189,10 +234,26 @@ def stream_rollup(
 
 
 def compact_rollup(spark: SparkSession, rollup_base: str, level: str = "sec") -> None:
-    """Fold appended partial summaries into one row per (name, bucket)."""
+    """Fold appended partial summaries into one row per (name, bucket).
+
+    txlog-backed tables (stream_rollup(table_format="txlog")) fold through
+    an atomic overwrite COMMIT — readers see the old partials or the
+    folded rows, never a half-written mix, and the retired files wait for
+    vacuum's retention window.  Plain-parquet tables keep the rewrite+
+    rename path."""
+    import os
+
     from neo_server_spark.sqlx.rollup import LEVELS, _fold
 
     path = f"{rollup_base}/rollup_{level}"
+    if os.path.isdir(os.path.join(path, "_txlog")):
+        from neo_server_spark import txlog
+
+        folded = _fold(txlog.read_table(spark, path), LEVELS[level])
+        # one atomic commit: remove every partial file, add the folded set
+        txlog.write(folded.localCheckpoint(eager=True), path,
+                    mode="overwrite", stats_cols=["time"])
+        return
     folded = _fold(spark.read.parquet(path), LEVELS[level])
     tmp = f"{path}__compact"
     folded.write.mode("overwrite").parquet(tmp)

@@ -505,3 +505,109 @@ def test_curate_mixed_layout_backfill_plus_epochs(spark, tmp_path):
         min_lines=2, epoch=1, run_key="ckh")
     corpus = curation.read_layered(spark, out)
     assert sorted(r["doc_id"] for r in corpus.collect()) == [0, 11]
+
+
+def test_stream_append_txlog_transactional(spark, tmp_path):
+    """table_format='txlog': the append path lands in a transactional
+    table — exactly-once via (run_key, epoch) txn dedupe (a simulated
+    foreachBatch retry of a committed epoch is a no-op), snapshot reads
+    via txlog.read_table, and time-range data skipping off the commit
+    log replaces day-partition pruning."""
+    import json as _json
+
+    from neo_server_spark import txlog
+
+    src = tmp_path / "in"
+    table = str(tmp_path / "tx_table")
+    ckpt = str(tmp_path / "ck")
+    day_ns = 86_400 * 10**9
+    _write_lines(str(src / "b1.ndjson"), [
+        _json.dumps({"name": "s1", "time": 1 * day_ns, "value": 1.0}),
+    ])
+    q = ingest.stream_append(spark, str(src), table, ckpt, fmt="ndjson",
+                             table_format="txlog")
+    q.awaitTermination(60)
+    # second epoch, disjoint time range -> its own commit + file(s)
+    _write_lines(str(src / "b2.ndjson"), [
+        _json.dumps({"name": "s2", "time": 40 * day_ns, "value": 3.0}),
+    ])
+    qb = ingest.stream_append(spark, str(src), table, ckpt, fmt="ndjson",
+                              table_format="txlog")
+    qb.awaitTermination(60)
+    out = txlog.read_table(spark, table)
+    assert out.count() == 2 and "_arrival_time" in out.columns
+    # a foreachBatch RETRY of the committed epoch collapses to a no-op
+    app = ingest._run_key(ckpt)
+    retry = out.limit(1)
+    assert txlog.write(retry, table, txn=(app, 0)) == 1
+    assert txlog.read_table(spark, table).count() == 2
+    # checkpoint-restart drain: file-source offsets + txn both hold
+    q2 = ingest.stream_append(spark, str(src), table, ckpt, fmt="ndjson",
+                              table_format="txlog")
+    q2.awaitTermination(60)
+    assert txlog.read_table(spark, table).count() == 2
+    # data skipping on time: the day-40 range prunes the day-1 file
+    assert len(txlog.pruned_files(table, {"time": (39 * day_ns, None)})) \
+        < len(txlog.live_files(table))
+
+
+def test_stream_rollup_txlog_replay_safe(spark, tmp_path):
+    """txlog-backed rollup cascade: partials are NOT idempotent under
+    duplication (a replayed epoch would double-count), which is exactly
+    what the txn commit prevents; the router reads the commit log and
+    compact_rollup folds through one atomic overwrite commit."""
+    import json as _json
+
+    from neo_server_spark import txlog
+    from neo_server_spark.sqlx.rollup import SECOND, RollupRouter
+
+    src = tmp_path / "in"
+    base = str(tmp_path / "rollups")
+    ck = str(tmp_path / "ck1")
+    _write_lines(str(src / "a.ndjson"), [
+        _json.dumps({"name": "t", "time": int(0.1 * SECOND), "value": 1.0}),
+        _json.dumps({"name": "t", "time": int(0.2 * SECOND), "value": 3.0}),
+    ])
+    q = ingest.stream_rollup(spark, str(src), base, ck,
+                             table_format="txlog")
+    q.awaitTermination(60)
+    _write_lines(str(src / "b.ndjson"), [
+        _json.dumps({"name": "t", "time": int(0.5 * SECOND), "value": 5.0}),
+    ])
+    q2 = ingest.stream_rollup(spark, str(src), base, ck,
+                              table_format="txlog")
+    q2.awaitTermination(60)
+    router = RollupRouter(spark, base, table_format="txlog")
+    r = router.query(SECOND, {"cnt": "count", "avg": "avg",
+                              "f": "first", "l": "last"}).first()
+    assert r.cnt == 3 and r.avg == pytest.approx(3.0)
+    assert r.f == 1.0 and r.l == 5.0
+    # replayed epoch (same run_key, epoch 0) must NOT double-count
+    sec_table = f"{base}/rollup_sec"
+    app = ingest._run_key(ck)
+    dup = txlog.read_table(spark, sec_table).limit(1)
+    txlog.write(dup, sec_table, txn=(app, 0))
+    assert router.query(SECOND, {"cnt": "count"}).first().cnt == 3
+    # compaction folds to one physical row via an atomic commit
+    ingest.compact_rollup(spark, base, "sec")
+    assert txlog.read_table(spark, sec_table).count() == 1
+    assert router.query(SECOND, {"cnt": "count"}).first().cnt == 3
+
+
+def test_rollup_router_build_txlog(spark, tmp_path):
+    """RollupRouter(table_format='txlog') materializes the full cascade
+    into txlog tables and answers identically to the parquet router."""
+    from neo_server_spark.sqlx.rollup import HOUR, RollupRouter
+
+    df = spark.createDataFrame(
+        [("a", i * HOUR // 4, float(i)) for i in range(16)],
+        ["name", "time", "value"])
+    rp = RollupRouter(spark, str(tmp_path / "p"))
+    rp.build(df)
+    rt = RollupRouter(spark, str(tmp_path / "t"), table_format="txlog")
+    rt.build(df)
+    want = sorted((r.name, r.time, r.cnt, r.s) for r in
+                  rp.query(HOUR, {"cnt": "count", "s": "sum"}).collect())
+    got = sorted((r.name, r.time, r.cnt, r.s) for r in
+                 rt.query(HOUR, {"cnt": "count", "s": "sum"}).collect())
+    assert got == want and len(got) == 4
