@@ -2846,6 +2846,47 @@ def _q_txlog_table(spark, sf_dir):
         .orderBy("event_id")
 
 
+def _q_bridge_sql(spark, sf_dir):
+    """SQL(bridge('x'), '…') certified end-to-end against a LIVE bridge
+    (reference fm_dbsrc.go:312-384 bridge branch + fm_dbsink.go INSERT):
+    a bounded events slice is INSERT(bridge)-written into a file-backed
+    sqlite database (the reference's own default bridge type) through
+    the native stdlib engine, then the TQL front-end ships an aggregate
+    query TO the external engine — WHERE/GROUP BY evaluate in sqlite,
+    not Spark — and the result lands typed.  The oracle recomputes the
+    same aggregate from the native events table, so equality certifies
+    registration, the INSERT sink's batch write, the SQL(bridge) source
+    branch, and type fidelity across the bridge (INTEGER/REAL are
+    64-bit exact)."""
+    import os
+    import tempfile
+    import uuid
+
+    from neo_server_spark.sources.bridge import default_registry
+    from neo_server_spark.tql.script import TqlRunner
+
+    db = os.path.join(tempfile.mkdtemp(prefix="bridge_entry_"), "ext.db")
+    base = (nio.load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 1000)
+            .select(F.col("event_type").alias("name"),
+                    F.col("ts").cast("long").alias("time"), "value"))
+    bname = "ext_" + uuid.uuid4().hex[:8]
+    br = default_registry.register(bname, "sqlite", db)
+    try:
+        br.insert(base, "events_ext")
+        out = TqlRunner(spark).run(
+            f"SQL(bridge('{bname}'), `SELECT name, count(*) AS cnt, "
+            f"round(sum(value), 6) AS sum_value, "
+            f"min(time) / 1000 AS first_time "
+            f"FROM events_ext WHERE value > 100 "
+            f"GROUP BY name ORDER BY name`)")
+    finally:
+        default_registry.unregister(bname)
+    return out.select("name", F.col("cnt").cast("long").alias("cnt"),
+                      "sum_value", F.col("first_time").cast("long")
+                      .alias("first_time")).orderBy("name")
+
+
 def _q_rollup_txlog(spark, sf_dir):
     """txlog-backed streaming rollup cascade under the value-hash gate
     (streaming/ingest.stream_rollup(table_format='txlog') — the r10
@@ -3344,6 +3385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subscriber_flow": _q_subscriber_flow,
         "txlog_table": _q_txlog_table,
         "rollup_txlog": _q_rollup_txlog,
+        "bridge_sql": _q_bridge_sql,
         "similarity_ivf_batch": _q_similarity_ivf_batch,
         "similarity_pq_rerank": _q_similarity_pq_rerank,
         "http_source": _q_http_source,
@@ -6493,6 +6535,15 @@ def oracle_sql() -> dict[str, str]:
                    value
             FROM events WHERE event_type = 'click'
             ORDER BY event_id LIMIT 30
+        """,
+        # live sqlite bridge: the aggregate ran IN the external engine;
+        # the oracle recomputes it from the native events table.
+        "bridge_sql": """
+            SELECT event_type AS name, count(*) AS cnt,
+                   round(sum(value), 6) AS sum_value,
+                   min(epoch_us(ts)) AS first_time
+            FROM events WHERE event_id < 1000 AND value > 100
+            GROUP BY 1 ORDER BY name
         """,
         # txlog-backed streaming rollup: per-second per-tag aggregates
         # recomputed from raw events (bucket in exact epoch-ns — second
