@@ -6,6 +6,25 @@ only k rows per partition).  Scale path: IVF-style coarse quantization — a
 one-off k-means-ish centroid table (broadcast), vectors bucketed by nearest
 centroid, queries probe only the closest ``nprobe`` buckets, turning a 100 TB
 scan into a partition-pruned read.
+
+READ-PATH TIERS (measured, recall_sf01.json / recall_100x.json + COVERAGE.md):
+
+* EXACT — brute_force_topk / topk_join: ground truth, full scan.
+* HIGH-RECALL APPROX — lsh_topk(_join) and ivf_search/ivf_topk_join at
+  nprobe >= n_centroids/4: recall@10 >= 0.9 at both sf0.1 and the 100x
+  replica; these read float vectors only for bucket candidates.
+* FILTER TIER — pq_search, ivfpq_search, ivfpq_search_residual
+  STANDALONE: 32-bit PQ codes cap ADC resolution at recall@10 ~0.37-0.40
+  at 100x (the residual encoding of ivfpq_index recovers only +0.013 —
+  measured r11, `--sections resid`), so use them ONLY to produce
+  shortlists, never as the final ranking.
+* DEFAULT PRODUCTION PATH — pq_search_rerank / ivfpq_search_rerank:
+  ADC shortlist (10x k) -> exact cosine re-rank of the shortlist rows
+  only.  recall@10 = 1.0 at 100x for both raw and residual codes, with
+  vector fetches O(shortlist).  At corpus scales where nprobe covers a
+  thin slice of tiny buckets (sf0.1: 2k vectors, 22 centroids) the
+  COARSE PROBE is the recall bound, not ADC — raise nprobe before
+  raising shortlist.
 """
 
 from __future__ import annotations
@@ -659,3 +678,39 @@ def ivfpq_search_residual(centroids: DataFrame, codes: DataFrame,
             .agg(F.sum("pd2").alias("adc_d2"))
             .orderBy(F.col("adc_d2").asc(), F.col(id_col))
             .limit(k))
+
+
+def ivfpq_search_rerank(emb: DataFrame, query_vec, k: int = 10,
+                        shortlist: int = 100, nprobe: int = 4, m: int = 8,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        assigned: DataFrame | None = None,
+                        codes: DataFrame | None = None,
+                        centroids: DataFrame | None = None,
+                        codebooks: DataFrame | None = None,
+                        residual: bool = False) -> DataFrame:
+    """IVF-PQ with exact re-rank — the DOCUMENTED default read path for
+    IVFPQ indexes (recall audit, COVERAGE.md): standalone IVFPQ at 32-bit
+    codes is a filter tier (recall@10 ~0.39 at 100x, code-resolution
+    floor), so production takes the ADC ``shortlist`` from the probed
+    buckets and re-ranks ONLY those rows with exact cosine — recall@k
+    becomes ADC's recall@shortlist (measured 1.0 at shortlist=10k at
+    both sf0.1 and 100x) while vector fetches stay O(shortlist).
+
+    ``residual=True`` shortlists through the residual-ADC path
+    (ivfpq_index/ivfpq_search_residual; Jégou et al. 2011 §III) —
+    ``codes`` must then carry the bucket id, and ``assigned`` is unused.
+    Returns (id, cosine) like the exact searchers."""
+    if residual:
+        short = ivfpq_search_residual(
+            centroids, codes, codebooks, query_vec, k=shortlist,
+            nprobe=nprobe, m=m, id_col=id_col).select(id_col)
+    else:
+        short = ivfpq_search(
+            assigned, codes, centroids, codebooks, query_vec, k=shortlist,
+            nprobe=nprobe, m=m, id_col=id_col).select(id_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (emb.join(F.broadcast(short), id_col)
+            .select(F.col(id_col),
+                    cosine_expr(F.col(vec_col), qlit).alias("__c"))
+            .orderBy(F.col("__c").desc(), F.col(id_col)).limit(k)
+            .select(id_col, F.round("__c", 6).alias("cosine")))

@@ -189,3 +189,100 @@ class TxLogWatcher:
                                          self.version)
         self.version = cur
         return delta
+
+
+class TagStatTable:
+    """Engine-maintained per-tag stat table (V$<T>_STAT semantics,
+    spi/show.go:1324 + fm_dbsrc.go:871-881 'stat' last-value resolution)
+    kept fresh INCREMENTALLY off a txlog table's change feed — the r10
+    VERDICT #8 stretch.
+
+    ``show_tags`` recomputes ``groupBy(name).agg(count/min/max)`` over
+    the whole table on demand: exact, but O(table) per call.  This
+    consumer folds only the files COMMITTED since its cursor into a
+    persistent stat table (itself a txlog table, so the fold publishes
+    atomically and is versioned):
+
+      refresh cost = scan of the DELTA files + an O(tags) merge,
+      independent of table size — ``last``/bounds resolution at 100 TB
+      is then a read of the O(tags) stat table, never a corpus scan.
+
+    The CDF cursor is persisted inside the stat rows (``_src_version``),
+    so a restarted maintainer resumes where it left off instead of
+    double-counting.  Folds are exact for append-only tables (the tag
+    layout's contract); compaction commits are dataChange=False and
+    invisible to the feed by construction."""
+
+    STAT_COLS = ("name", "row_count", "min_time", "max_time",
+                 "min_value", "max_value", "last_value")
+
+    def __init__(self, spark: SparkSession, table: str,
+                 stat_table: str | None = None, name_col: str = "name",
+                 time_col: str = "time", value_col: str = "value"):
+        from neo_server_spark import txlog
+
+        self._txlog = txlog
+        self.spark = spark
+        self.table = table
+        self.stat_table = stat_table or table.rstrip("/") + "_stat"
+        self.cols = (name_col, time_col, value_col)
+        self.watcher = TxLogWatcher(spark, table)
+        # resume: the stat rows carry the source version they cover
+        try:
+            row = txlog.read_table(spark, self.stat_table) \
+                .agg(F.max("_src_version")).first()
+            self.watcher.version = int(row[0] or 0)
+        except FileNotFoundError:
+            pass
+
+    def _agg(self, df: DataFrame) -> DataFrame:
+        n, t, v = self.cols
+        return df.groupBy(F.col(n).alias("name")).agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.min(t).alias("min_time"), F.max(t).alias("max_time"),
+            F.min(v).alias("min_value"), F.max(v).alias("max_value"),
+            F.max_by(v, F.struct(F.col(t), F.col(v))).alias("last_value"))
+
+    def refresh(self) -> int:
+        """Fold newly committed files into the stat table; returns the
+        number of delta rows folded (0 on an idle poll, which costs one
+        log-tail listing and touches no data)."""
+        delta = self.watcher.poll()
+        if delta is None:
+            return 0
+        delta = delta.localCheckpoint(eager=True)   # count + agg, one scan
+        n_rows = delta.count()
+        fresh = self._agg(delta)
+        try:
+            prev = self._txlog.read_table(self.spark, self.stat_table) \
+                .select(*self.STAT_COLS)
+            merged = prev.unionByName(fresh).groupBy("name").agg(
+                F.sum("row_count").alias("row_count"),
+                F.min("min_time").alias("min_time"),
+                F.max("max_time").alias("max_time"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+                F.max_by("last_value",
+                         F.struct(F.col("max_time"), F.col("last_value")))
+                .alias("last_value"))
+        except FileNotFoundError:
+            merged = fresh
+        out = merged.withColumn("_src_version",
+                                F.lit(int(self.watcher.version)))
+        # atomic publish; eager checkpoint cuts the self-read lineage
+        self._txlog.write(out.localCheckpoint(eager=True), self.stat_table,
+                          mode="overwrite")
+        return int(n_rows)
+
+    def stats(self) -> DataFrame:
+        """The stat table (V$<T>_STAT shape), one row per tag."""
+        return self._txlog.read_table(self.spark, self.stat_table) \
+            .select(*self.STAT_COLS).orderBy("name")
+
+    def last(self, tag: str):
+        """(last_time, last_value) for one tag — O(stat table) lookup,
+        the reference's engine-maintained 'stat' fast path."""
+        r = self._txlog.read_table(self.spark, self.stat_table) \
+            .filter(F.col("name") == tag) \
+            .select("max_time", "last_value").first()
+        return None if r is None else (r["max_time"], r["last_value"])

@@ -1121,3 +1121,44 @@ def test_topk_join_exclude_self_flag(spark):
         .collect()
     assert {(r.query_id, r.vec_id) for r in with_self} >= {(7, 7)}
     assert max(r.cosine for r in with_self) == 1.0
+
+
+def test_ivfpq_search_rerank_degenerate_exact(spark):
+    """The documented default IVFPQ read path: with nprobe covering every
+    centroid and the shortlist covering the corpus, rerank returns
+    brute-force order and brute-force cosines for BOTH code layouts
+    (raw pq_encode codes and ivfpq_index residual codes)."""
+    import random
+    random.seed(29)
+    rows = [(i, [random.random() for _ in range(8)], 0) for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = rows[0][1]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [(r.vec_id, r.cosine) for r in
+             similarity.brute_force_topk(emb, 0, k=5).collect()]
+    # raw codes
+    cents, assigned = similarity.ivf_index(rest, n_centroids=4, iters=2)
+    cb = similarity.pq_train(rest, m=4, k=8, iters=1)
+    codes = similarity.pq_encode(rest, cb, m=4)
+    raw = [(r.vec_id, r.cosine) for r in
+           similarity.ivfpq_search_rerank(
+               rest, q, k=5, shortlist=49, nprobe=4, m=4,
+               assigned=assigned, codes=codes, centroids=cents,
+               codebooks=cb).collect()]
+    assert raw == exact
+    # residual codes (ivfpq_index carries cid alongside each code row)
+    rc, _ra, rcb, rcodes = similarity.ivfpq_index(
+        rest, n_centroids=4, m=4, k=8, coarse_iters=2, pq_iters=1)
+    res = [(r.vec_id, r.cosine) for r in
+           similarity.ivfpq_search_rerank(
+               rest, q, k=5, shortlist=49, nprobe=4, m=4,
+               codes=rcodes, centroids=rc, codebooks=rcb,
+               residual=True).collect()]
+    assert res == exact
+    # tight shortlist still returns k exact-cosine-ranked rows
+    tight = similarity.ivfpq_search_rerank(
+        rest, q, k=5, shortlist=10, nprobe=2, m=4,
+        assigned=assigned, codes=codes, centroids=cents,
+        codebooks=cb).collect()
+    assert len(tight) == 5
+    assert all(tight[i].cosine >= tight[i + 1].cosine for i in range(4))

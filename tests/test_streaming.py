@@ -611,3 +611,49 @@ def test_rollup_router_build_txlog(spark, tmp_path):
     got = sorted((r.name, r.time, r.cnt, r.s) for r in
                  rt.query(HOUR, {"cnt": "count", "s": "sum"}).collect())
     assert got == want and len(got) == 4
+
+
+def test_tag_stat_table_incremental(spark, tmp_path):
+    """TagStatTable: per-tag V$T_STAT folded off the txlog CDF — each
+    refresh scans ONLY the delta, the fold matches the full-scan
+    show_tags answer exactly, the cursor survives a restart (no double
+    count), and idle refreshes are free."""
+    from neo_server_spark import txlog
+    from neo_server_spark.sqlx.catalog import show_tags
+    from neo_server_spark.streaming.watch import TagStatTable
+
+    t = str(tmp_path / "tags")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "name string, time long, value double")
+    txlog.write(mk([("a", 10, 1.0), ("a", 20, 5.0), ("b", 15, 2.0)]), t)
+    st = TagStatTable(spark, t)
+    assert st.refresh() == 3
+    def full():
+        return [(r.name, r.row_count, r.min_time, r.max_time,
+                 r.min_value, r.max_value) for r in
+                show_tags(txlog.read_table(spark, t)).collect()]
+    def stat():
+        return [(r.name, r.row_count, r.min_time, r.max_time,
+                 r.min_value, r.max_value) for r in st.stats().collect()]
+    assert stat() == full()
+    assert st.last("a") == (20, 5.0)
+    assert st.refresh() == 0                      # idle: no data touched
+    # second commit: late row for a (older time), new tag c
+    txlog.write(mk([("a", 5, 9.0), ("c", 99, 7.0)]), t)
+    assert st.refresh() == 2                      # delta rows only
+    assert stat() == full()
+    assert st.last("a") == (20, 5.0)              # late row didn't win
+    assert st.last("c") == (99, 7.0)
+    # restart: a fresh maintainer resumes at the persisted cursor
+    st2 = TagStatTable(spark, t)
+    assert st2.refresh() == 0
+    assert [r.name for r in st2.stats().collect()] == ["a", "b", "c"]
+    # compaction rewrite is CDF-silent -> stat table unchanged
+    txlog.compact(spark, t, target_files=1)
+    assert st2.refresh() == 0
+    txlog.write(mk([("b", 30, 0.5)]), t)
+    assert st2.refresh() == 1
+    got = {r.name: (r.row_count, r.min_value) for r in
+           st2.stats().collect()}
+    assert got["b"] == (2, 0.5)
+    assert stat() == full()                       # st re-reads the table

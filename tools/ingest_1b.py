@@ -62,7 +62,25 @@ def main():
                     write_salt=salt)
     shutil.rmtree(out_dir)
 
+    import os
+    from datetime import datetime, timezone
+
+    from neo_server_spark.io import compact_tag_table
+
+    def day_of(t_ns: int) -> str:
+        return datetime.fromtimestamp(t_ns / 1e9, tz=timezone.utc) \
+            .strftime("%Y%m%d")
+
+    # maintenance cadence (r10 VERDICT #5: per-batch wall rose 11s->21s
+    # as day-dirs accumulated ~600 files): after each batch, compact the
+    # day partitions the monotone feed has CLOSED — a cold partition
+    # races with nothing, so this is exactly the production cadence
+    # compact_tag_table documents.  Compaction cost is recorded
+    # separately; it overlaps nothing here but would run as its own job
+    # on a cluster.
     walls = []
+    compactions = []
+    compacted: set[str] = set()
     t_all = time.time()
     done = 0
     while done < total:
@@ -76,14 +94,39 @@ def main():
         print(f"batch {len(walls)}: {n:,} rows in {dt:.1f}s "
               f"({n / dt / 1e6:.2f}M rows/s) — {done:,}/{total:,}",
               flush=True)
+        # day cells strictly before the feed's current day are closed
+        open_day = day_of(1_704_067_200_000_000_000
+                          + (done % total) * (5 * DAY // total))
+        closed = sorted(
+            d for d in os.listdir(out_dir)
+            if d.startswith("_day=") and d.split("=", 1)[1] < open_day
+            and d not in compacted)
+        if closed and done < total:
+            t0 = time.time()
+            compact_tag_table(spark, out_dir, partitions=closed)
+            csec = time.time() - t0
+            compacted.update(closed)
+            compactions.append({"after_batch": len(walls),
+                                "days": [d.split("=")[1] for d in closed],
+                                "sec": round(csec, 1)})
+            print(f"  compacted {closed} in {csec:.1f}s", flush=True)
     wall = time.time() - t_all
-    rps = total / wall
+    append_wall = sum(walls)
+    rps = total / append_wall          # comparable with the r9/r10 points
     # sanity: all rows landed (footer-count only — no full scan)
     landed = spark.read.parquet(out_dir).count()
+    first5 = sum(walls[:5]) / min(5, len(walls))
+    last5 = sum(walls[-5:]) / min(5, len(walls))
     rep = {"total_rows": total, "batch_rows": batch,
            "wall_sec": round(wall, 1), "rows_per_sec": round(rps),
+           "rows_per_sec_incl_maintenance": round(total / wall),
            "batches_sec": walls, "landed_rows": landed,
-           "write_salt": salt}
+           "write_salt": salt,
+           "compactions": compactions,
+           "compact_sec_total": round(sum(c["sec"] for c in compactions), 1),
+           "first5_mean_sec": round(first5, 2),
+           "last5_mean_sec": round(last5, 2),
+           "last5_over_first5": round(last5 / first5, 3)}
     print(json.dumps(rep))
     assert landed == total, (landed, total)
     if json_out:

@@ -165,6 +165,82 @@ def topk_recall(spark, emb, qids, k=10):
     return out
 
 
+def residual_recall(spark, emb, qids, k=10):
+    """recall@k for the residual IVF-PQ family (r10 VERDICT #3/#4: the
+    residual path's claimed precision benefit was unmeasured) plus the
+    rerank-over-IVFPQ read paths — self-contained: builds its own
+    ground truth and indexes."""
+    from neo_server_spark.datapipe import similarity as sim
+
+    n_vec = emb.count()
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    qvecs = {r["vec_id"]: list(r["embedding"]) for r in queries.collect()}
+
+    t0 = time.time()
+    exact = {}
+    for r in sim.topk_join(emb, queries, k=k).collect():
+        exact.setdefault(r["query_id"], []).append(r["vec_id"])
+    t_exact = time.time() - t0
+    out = {"n_vec": n_vec, "k": k, "n_queries": len(qids),
+           "exact_sec": round(t_exact, 1), "methods": {}}
+
+    def score(name, fn, note, index_sec=0.0):
+        t0 = time.time()
+        hits = {qid: [r["vec_id"] for r in fn(qid).collect()]
+                for qid in qids}
+        rec = float(np.mean([
+            len(set(hits[q]) & set(exact[q])) / float(k) for q in qids]))
+        out["methods"][name] = {
+            "recall_at_k": round(rec, 3),
+            "query_sec_total": round(time.time() - t0, 1),
+            "index_sec": round(index_sec, 1), "note": note}
+        print(f"| {name} | recall@{k} {rec:.3f} | {note} |")
+
+    n_cent = max(8, min(256, int(n_vec ** 0.5 / 2)))
+    # residual index (Jégou §III: PQ over v - centroid(v))
+    t0 = time.time()
+    rc, ra, rcb, rcodes = sim.ivfpq_index(
+        emb, n_centroids=n_cent, m=8, k=16, coarse_iters=2, pq_iters=1)
+    rc, rcb, rcodes = rc.persist(), rcb.persist(), rcodes.persist()
+    rcodes.count()
+    t_ridx = time.time() - t0
+    for nprobe in sorted({max(1, n_cent // 16), max(1, n_cent // 4)}):
+        score(f"ivfpq_residual(nprobe={nprobe})",
+              lambda q, np_=nprobe: sim.ivfpq_search_residual(
+                  rc, rcodes.filter(F.col("vec_id") != q), rcb,
+                  qvecs[q], k=k, nprobe=np_),
+              f"n_centroids={n_cent} m=8 k=16 residual codes",
+              index_sec=t_ridx)
+    score("ivfpq_residual_rerank(shortlist=100)",
+          lambda q: sim.ivfpq_search_rerank(
+              emb.filter(F.col("vec_id") != q), qvecs[q], k=k,
+              shortlist=10 * k, nprobe=max(1, n_cent // 4),
+              codes=rcodes.filter(F.col("vec_id") != q),
+              centroids=rc, codebooks=rcb, residual=True),
+          "residual-ADC shortlist -> exact rerank", index_sec=t_ridx)
+    # raw (non-residual) IVFPQ + rerank, same budget, for the comparison
+    t0 = time.time()
+    centroids, assigned = sim.ivf_index(emb, n_centroids=n_cent, iters=2)
+    cb = sim.pq_train(emb, m=8, k=16, iters=1)
+    codes = sim.pq_encode(emb, cb)
+    assigned, centroids = assigned.persist(), centroids.persist()
+    cb, codes = cb.persist(), codes.persist()
+    codes.count()
+    t_idx = time.time() - t0
+    score("ivfpq_rerank(shortlist=100)",
+          lambda q: sim.ivfpq_search_rerank(
+              emb.filter(F.col("vec_id") != q), qvecs[q], k=k,
+              shortlist=10 * k, nprobe=max(1, n_cent // 4),
+              assigned=assigned.filter(F.col("vec_id") != q),
+              codes=codes.filter(F.col("vec_id") != q),
+              centroids=centroids, codebooks=cb),
+          "raw-ADC shortlist -> exact rerank", index_sec=t_idx)
+    for df in (rc, rcb, rcodes, assigned, centroids, cb, codes):
+        df.unpersist()
+    _ = ra
+    return out
+
+
 def _digest_frame(docs, shingle_n=3):
     from neo_server_spark.datapipe.text import shingles
     dig = F.array_distinct(F.transform(shingles("text", shingle_n),
@@ -340,6 +416,10 @@ def main():
         qids = sample_ids(emb, "vec_id", n_q)
         print(f"\n### top-k recall ({sf_dir}, {n_q} queries)")
         report["topk"] = topk_recall(spark, emb, qids)
+    if "resid" in secs:
+        qids = sample_ids(emb, "vec_id", n_q)
+        print(f"\n### residual IVF-PQ recall ({sf_dir}, {n_q} queries)")
+        report["resid"] = residual_recall(spark, emb, qids)
     if {"minhash", "simhash"} & secs:
         dprobes = sample_ids(docs, "doc_id", n_p)
     if "minhash" in secs:
