@@ -2846,6 +2846,49 @@ def _q_txlog_table(spark, sf_dir):
         .orderBy("event_id")
 
 
+def _q_tag_stat_incremental(spark, sf_dir):
+    """Engine-maintained per-tag stat table under the value-hash gate
+    (streaming/watch.TagStatTable — the reference's V$<T>_STAT
+    semantics, spi/show.go:1324 / fm_dbsrc.go:871-881, kept fresh off
+    the txlog CDF instead of recomputed by scan): events land in a
+    txlog table over TWO commits with a refresh after each (so the
+    second fold demonstrably merges a DELTA into existing stats rather
+    than rescanning), plus a dataChange=False compaction that must stay
+    invisible.  The oracle recomputes row_count/min/max/last-value per
+    tag from raw events — equality certifies the incremental fold, the
+    merge algebra (count-sum, min-of-min, max-of-max, later-last-wins),
+    and CDF silence of rewrites."""
+    import os
+    import tempfile
+
+    from neo_server_spark import txlog
+    from neo_server_spark.streaming.watch import TagStatTable
+
+    t = os.path.join(tempfile.mkdtemp(prefix="tagstat_entry_"), "tbl")
+    base = (nio.load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 3000)
+            .select("event_id", F.col("event_type").alias("name"),
+                    F.col("ts").cast("long").alias("time"), "value"))
+    st = TagStatTable(spark, t)
+    txlog.write(base.filter(F.col("event_id") < 1500)
+                .select("name", "time", "value"), t, txn=("s", 0))
+    st.refresh()
+    txlog.write(base.filter(F.col("event_id") >= 1500)
+                .select("name", "time", "value"), t, txn=("s", 1))
+    st.refresh()
+    txlog.compact(spark, t, target_files=1)
+    st.refresh()                       # dataChange=False: must be a no-op
+    return (st.stats()
+            .select("name", F.col("row_count").cast("long")
+                    .alias("row_count"),
+                    F.expr("min_time div 1000").alias("min_time"),
+                    F.expr("max_time div 1000").alias("max_time"),
+                    F.round("min_value", 6).alias("min_value"),
+                    F.round("max_value", 6).alias("max_value"),
+                    F.round("last_value", 6).alias("last_value"))
+            .orderBy("name"))
+
+
 def _q_bridge_sql(spark, sf_dir):
     """SQL(bridge('x'), '…') certified end-to-end against a LIVE bridge
     (reference fm_dbsrc.go:312-384 bridge branch + fm_dbsink.go INSERT):
@@ -3368,70 +3411,22 @@ def _q_dedup_incr(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first
-        # 50 entries.  Round-10 window = the 11 never-driver-green rows
-        # (oracle-type-fixed pack_sequences; the timer/subscriber/txlog/
-        # http-source/cache/when-do/args/append-sink certifications; the
-        # two new ANN paths), the 5 oracle- or kernel-changed rows (four
-        # DECIMAL->DOUBLE oracle casts — fake_gens and line_protocol are
-        # r9-green but their ORACLES changed, so they re-certify now —
-        # plus minhash_pairs' signature LET-binding), then the
-        # LONGEST-UNCHECKED greens: all 22 remaining r4 rows, the 3 r5
-        # rows, and the oldest r6 rows — 37 of the 50 were last
-        # driver-certified at r6 or earlier (r9 VERDICT #2 asked for 40;
-        # three slots went to first-time certs / changed-oracle re-certs).
-        # Everything else rotates behind (remaining r6, then r8/r9).
-        "pack_sequences": _q_pack_sequences,
-        "timer_fire": _q_timer_fire,
-        "subscriber_flow": _q_subscriber_flow,
-        "txlog_table": _q_txlog_table,
+        # 50 entries.  Round-11 window = the 3 NEW entries (rollup_txlog,
+        # bridge_sql, tag_stat_incremental), 4 rows whose code paths
+        # changed this round (txlog commit protocol + vacuum retention ->
+        # txlog_table; ivf_topk_join exclude_self refactor ->
+        # similarity_ivf_batch; compact/rollup sink work -> compaction,
+        # streaming_rollup), ALL 39 r6-vintage rows (r10 VERDICT #1 —
+        # after this window the minimum vintage across the registry
+        # becomes r8), and 4 oldest-r8 fillers (tpch_q11/q16/q20 +
+        # simhash_pairs).  Everything else rotates behind (r8, r9, r10).
         "rollup_txlog": _q_rollup_txlog,
         "bridge_sql": _q_bridge_sql,
+        "tag_stat_incremental": _q_tag_stat_incremental,
+        "txlog_table": _q_txlog_table,
         "similarity_ivf_batch": _q_similarity_ivf_batch,
-        "similarity_pq_rerank": _q_similarity_pq_rerank,
-        "http_source": _q_http_source,
-        "cache_hit": _q_cache_hit,
-        "when_do": _q_when_do,
-        "tql_args": _q_tql_args,
-        "append_sink": _q_append_sink,
-        "simplex_noise": _q_simplex_noise,
-        "fake_gens": _q_fake_gens,
-        "csv_source": _q_csv_source,
-        "line_protocol": _q_line_protocol,
-        "minhash_pairs": _q_minhash_pairs,
-        "boilerplate_clean": _q_boilerplate_clean,
-        "contamination": _q_contamination,
-        "embedding_dupes": _q_embedding_dupes,
-        "embedding_quantize": _q_embedding_quantize,
-        "embedding_stats": _q_embedding_stats,
-        "fft": _q_fft,
-        "group_aggs": _q_group_aggs,
-        "group_where": _q_group_where,
-        "lm_score": _q_lm_score,
-        "map_kalman": _q_map_kalman,
-        "multimodal_audio": _q_multimodal_audio,
-        "multimodal_decode": _q_multimodal_decode,
-        "oscillator_fft": _q_oscillator_fft,
-        "salted_join": _q_salted_join,
-        "simhash": _q_simhash,
-        "source_profile": _q_source_profile,
-        "streaming_rollup": _q_streaming_rollup,
-        "timewindow_spline": _q_timewindow_spline,
-        "tokens_bpe": _q_tokens_bpe,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q9": _q_tpch_q9,
-        "session_window": _q_session_window,
-        "sliding_window": _q_sliding_window,
-        "tql_dsl": _q_tql_dsl,
-        "asof_join": _q_asof_join,
-        "boxplot": _q_boxplot,
-        "codec_csv": _q_codec_csv,
         "compaction": _q_compaction,
-        "filter_changed": _q_filter_changed,
-        "filter_changed_retain": _q_filter_changed_retain,
-        "first_last": _q_first_last,
-        "flatten_tokens": _q_flatten_tokens,
-        "group_aggs2": _q_group_aggs2,
+        "streaming_rollup": _q_streaming_rollup,
         "group_weighted": _q_group_weighted,
         "histogram": _q_histogram,
         "histogram_streaming": _q_histogram_streaming,
@@ -3471,6 +3466,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tql_set_vars": _q_tql_set_vars,
         "transpose": _q_transpose,
         "when_throttle": _q_when_throttle,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
+        "simhash_pairs": _q_simhash_pairs,
+        "pack_sequences": _q_pack_sequences,
+        "timer_fire": _q_timer_fire,
+        "subscriber_flow": _q_subscriber_flow,
+        "similarity_pq_rerank": _q_similarity_pq_rerank,
+        "http_source": _q_http_source,
+        "cache_hit": _q_cache_hit,
+        "when_do": _q_when_do,
+        "tql_args": _q_tql_args,
+        "append_sink": _q_append_sink,
+        "simplex_noise": _q_simplex_noise,
+        "fake_gens": _q_fake_gens,
+        "csv_source": _q_csv_source,
+        "line_protocol": _q_line_protocol,
+        "minhash_pairs": _q_minhash_pairs,
+        "boilerplate_clean": _q_boilerplate_clean,
+        "contamination": _q_contamination,
+        "embedding_dupes": _q_embedding_dupes,
+        "embedding_quantize": _q_embedding_quantize,
+        "embedding_stats": _q_embedding_stats,
+        "fft": _q_fft,
+        "group_aggs": _q_group_aggs,
+        "group_where": _q_group_where,
+        "lm_score": _q_lm_score,
+        "map_kalman": _q_map_kalman,
+        "multimodal_audio": _q_multimodal_audio,
+        "multimodal_decode": _q_multimodal_decode,
+        "oscillator_fft": _q_oscillator_fft,
+        "salted_join": _q_salted_join,
+        "simhash": _q_simhash,
+        "source_profile": _q_source_profile,
+        "timewindow_spline": _q_timewindow_spline,
+        "tokens_bpe": _q_tokens_bpe,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q9": _q_tpch_q9,
+        "session_window": _q_session_window,
+        "sliding_window": _q_sliding_window,
+        "tql_dsl": _q_tql_dsl,
+        "asof_join": _q_asof_join,
+        "boxplot": _q_boxplot,
+        "codec_csv": _q_codec_csv,
+        "filter_changed": _q_filter_changed,
+        "filter_changed_retain": _q_filter_changed_retain,
+        "first_last": _q_first_last,
+        "flatten_tokens": _q_flatten_tokens,
+        "group_aggs2": _q_group_aggs2,
         "bpe_encode": _q_bpe_encode,
         "bpe_merges": _q_bpe_merges,
         "bytes_source": _q_bytes_source,
@@ -3502,7 +3547,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "series_diffs": _q_series_diffs,
         "shard_export": _q_shard_export,
-        "simhash_pairs": _q_simhash_pairs,
         "similarity_lsh": _q_similarity_lsh,
         "similarity_pq": _q_similarity_pq,
         "string_source": _q_string_source,
@@ -3510,9 +3554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": _q_substring_spans,
         "text_normalize": _q_text_normalize,
         "tfidf_terms": _q_tfidf_terms,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
         "url_normalize": _q_url_normalize,
         "winnow_fp": _q_winnow_fp,
@@ -6535,6 +6576,25 @@ def oracle_sql() -> dict[str, str]:
                    value
             FROM events WHERE event_type = 'click'
             ORDER BY event_id LIMIT 30
+        """,
+        # CDF-maintained per-tag stats: recomputed from raw events; the
+        # last value per tag is the value at max ts (ties broken by
+        # larger value, matching Spark's max_by(v, struct(t, v))).
+        "tag_stat_incremental": """
+            WITH s AS (
+              SELECT event_type AS name, epoch_us(ts) AS time, value,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts DESC, value DESC) AS rn
+              FROM events WHERE event_id < 3000
+            )
+            SELECT name, count(*) AS row_count,
+                   min(time) AS min_time, max(time) AS max_time,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   round(min(CASE WHEN rn = 1 THEN value END), 6)
+                     AS last_value
+            FROM s GROUP BY name ORDER BY name
         """,
         # live sqlite bridge: the aggregate ran IN the external engine;
         # the oracle recomputes it from the native events table.
