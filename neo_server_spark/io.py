@@ -221,7 +221,19 @@ def write_tag_table(
     shuffle_keys = [F.col(c) for c in parts]
     if write_salt > 1:
         shuffle_keys.append(F.pmod(F.xxhash64(F.col(time_col)), F.lit(write_salt)))
-    out = out.repartition(*shuffle_keys)
+        # Spread the FEW distinct (day[,bucket], salt) tuples over many
+        # hash bins: an ingest batch has ~cells*salt distinct key tuples
+        # (often 6-30), and hashing them into spark.sql.shuffle.partitions
+        # bins makes birthday collisions likely — two cells land on one
+        # writer task and the whole wave runs at the doubled task's speed
+        # (measured 1.7x on 100M-row batches whose _day strings happened
+        # to collide: the r10/r11 "ingest slows at batch 17" was exactly
+        # this, deterministic per day value).  512 bins make collisions
+        # rare; non-empty task count stays ~cells*salt; empty partitions
+        # cost nothing.
+        out = out.repartition(512, *shuffle_keys)
+    else:
+        out = out.repartition(*shuffle_keys)
     if cluster:
         # ZORDER-lite: (name, time)-sorted rows give parquet row groups tight
         # min/max stats, so tag and time-range predicates skip whole row

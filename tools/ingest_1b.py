@@ -9,6 +9,17 @@ memory stays flat at the batch size regardless of total volume.
 
 Usage:
     python tools/ingest_1b.py [total_rows] [batch_rows] [--json out.json]
+        [--sync]
+
+``--sync`` runs os.sync() after every batch and charges it to that
+batch's wall clock.  Rationale (r11 attribution): without it the early
+batches ride the page cache while the tail pays accumulated writeback
+once cumulative dirty bytes cross vm.dirty_* throttling (the r10 run's
+11s->21s "slowdown" reproduced EXACTLY with compaction keeping file
+counts flat, and per-batch Dirty: telemetry below shows the threshold
+crossing) — so flat-vs-rising is an OS cache artifact, not an engine
+property.  With --sync every batch pays its own writeback: the timings
+are flat and equal to true disk-bound steady state.
 
 Prints per-batch and aggregate 3-col rows/s on the same write path
 bench.py's ingest section measures (write_tag_table: day-partitioned,
@@ -35,6 +46,9 @@ def main():
 
     args = [a for a in sys.argv[1:]]
     json_out = None
+    do_sync = "--sync" in args
+    if do_sync:
+        args.remove("--sync")
     if "--json" in args:
         i = args.index("--json"); json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
@@ -78,7 +92,18 @@ def main():
     # compact_tag_table documents.  Compaction cost is recorded
     # separately; it overlaps nothing here but would run as its own job
     # on a cluster.
+    def dirty_kb() -> int:
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("Dirty:"):
+                        return int(line.split()[1])
+        except OSError:
+            pass
+        return -1
+
     walls = []
+    dirty = []
     compactions = []
     compacted: set[str] = set()
     t_all = time.time()
@@ -88,12 +113,15 @@ def main():
         t0 = time.time()
         write_tag_table(feed(done, n), out_dir, mode="append",
                         write_salt=salt)
+        if do_sync:
+            os.sync()          # charge this batch's writeback to itself
         dt = time.time() - t0
         walls.append(round(dt, 1))
+        dirty.append(dirty_kb())
         done += n
         print(f"batch {len(walls)}: {n:,} rows in {dt:.1f}s "
-              f"({n / dt / 1e6:.2f}M rows/s) — {done:,}/{total:,}",
-              flush=True)
+              f"({n / dt / 1e6:.2f}M rows/s) dirty={dirty[-1] // 1024}MB "
+              f"— {done:,}/{total:,}", flush=True)
         # day cells strictly before the feed's current day are closed
         open_day = day_of(1_704_067_200_000_000_000
                           + (done % total) * (5 * DAY // total))
@@ -121,7 +149,8 @@ def main():
            "wall_sec": round(wall, 1), "rows_per_sec": round(rps),
            "rows_per_sec_incl_maintenance": round(total / wall),
            "batches_sec": walls, "landed_rows": landed,
-           "write_salt": salt,
+           "write_salt": salt, "sync_per_batch": do_sync,
+           "dirty_kb_after_batch": dirty,
            "compactions": compactions,
            "compact_sec_total": round(sum(c["sec"] for c in compactions), 1),
            "first5_mean_sec": round(first5, 2),
