@@ -1845,10 +1845,10 @@ def test_script_stateless_fast_path(spark):
 
 def test_sql_bridge_statement(spark):
     """SQL(bridge('name'), 'select ...') (fm_dbsrc.go:338-357) resolves the
-    named bridge from the registry and routes through Spark's JDBC source.
-    The container ships no JDBC driver jars, so the sqlite read is asserted
-    up to the JVM's driver lookup — the registry/option wiring is the
-    engine's part (sources/bridge.py docstring)."""
+    named bridge from the registry.  The sqlite bridge EXECUTES on the
+    native stdlib engine (r11 — tests/test_bridge.py covers the data
+    paths); a forced-jdbc bridge is asserted up to the JVM's driver
+    lookup since no driver jars ship in this container."""
     import pytest as _pytest
 
     from neo_server_spark.sources.bridge import default_registry
@@ -1859,18 +1859,29 @@ def test_sql_bridge_statement(spark):
             SQL(bridge('nope'), 'select 1')
             CSV()
         """)
+    # native sqlite: the statement runs for real
     default_registry.register("sqlite_t", "sqlite", "jdbc:sqlite::memory:")
+    try:
+        out = TqlRunner(spark).run("""
+            SQL(bridge('sqlite_t'), 'select 1 as one')
+            CSV()
+        """)
+        assert out.strip().splitlines()[-1] == "1"
+    finally:
+        default_registry.unregister("sqlite_t")
+    # forced-jdbc: reaches the JVM driver lookup and fails on the missing
+    # org.sqlite class, not on parsing/registry
+    default_registry.register("sqlite_j", "sqlite", "jdbc:sqlite::memory:",
+                              engine="jdbc")
     try:
         with _pytest.raises(Exception) as ei:
             TqlRunner(spark).run("""
-                SQL(bridge('sqlite_t'), 'select 1 as one')
+                SQL(bridge('sqlite_j'), 'select 1 as one')
                 CSV()
             """)
-        # reached the JDBC layer: fails on the missing org.sqlite driver
-        # class, not on parsing/registry
         assert "sqlite" in str(ei.value).lower()
     finally:
-        default_registry.unregister("sqlite_t")
+        default_registry.unregister("sqlite_j")
     with _pytest.raises(ValueError, match="Empty SQL"):
         TqlRunner(spark).run("""
             SQL(bridge('nope2'), ';')
