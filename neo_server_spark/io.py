@@ -198,16 +198,16 @@ def write_tag_table(
       holds ~128 MB-1 GB; at 100 TB/year that's ~16-64 buckets, while small
       feeds should leave it None — over-bucketing turns the write into
       tiny-file commits (measured 7x slowdown at bench scale);
-    - rows are pre-shuffled onto their output partitions (repartition by the
-      partition columns) so each task writes whole files instead of every
-      task appending a sliver to every directory.  ``write_salt`` splits each
-      output partition across that many writer tasks: an ingest batch usually
-      spans few distinct (day[,bucket]) cells, and an unsalted repartition
-      would serialize the write onto that few cores (measured 1.7x end-to-end
-      on a 5-day batch).  Files per cell stay bounded at ``write_salt``.
-      SIZING RULE: salt ~= executor_cores / distinct_cells — one full writer
-      wave, biggest files (a 5-day batch on 32 cores wants ~6, measured ~25%
-      faster than over-salting at 8).
+    - rows are pre-shuffled onto their output partitions so each task writes
+      whole files instead of every task appending a sliver to every
+      directory.  With AQE enabled (the default) the shuffle is an
+      adaptive REBALANCE by the partition columns: runtime statistics
+      split an oversized cell across however many writer tasks its bytes
+      need and coalesce tiny cells — no sizing knob, uniform
+      ~advisory-size files, immune to the static-salt hash-collision skew
+      (COVERAGE.md r11).  ``write_salt`` only governs the non-AQE
+      fallback (static salt over 512 hash bins); SIZING RULE there:
+      salt ~= executor_cores / distinct_cells.
     """
     out = df.withColumn(
         "_day", F.date_format(F.timestamp_micros(
@@ -219,18 +219,27 @@ def write_tag_table(
         out = out.withColumn("_nb", F.pmod(F.xxhash64(F.col(name_col)), F.lit(name_buckets)).cast("int"))
         parts.append("_nb")
     shuffle_keys = [F.col(c) for c in parts]
-    if write_salt > 1:
+    aqe = str(df.sparkSession.conf.get(
+        "spark.sql.adaptive.enabled", "true")).lower() == "true"
+    if aqe:
+        # AQE REBALANCE by the partition columns: runtime stats SPLIT an
+        # oversized (day[,bucket]) cell across as many writer tasks as
+        # its bytes need and COALESCE tiny cells together — the wave
+        # width tracks DATA SIZE instead of any static write_salt guess.
+        # This also kills the hash-collision skew a static salt is
+        # exposed to (two cells landing on one writer task ran the whole
+        # wave 1.7x slower, deterministically per day value — COVERAGE.md
+        # r11): a skewed bin is simply split.  Measured: a 100M-row
+        # single-day batch writes 2.4x faster than the best salted plan
+        # (32 uniform ~advisory-size files vs 6 salt files), and a
+        # 1M-row 5-day batch loses nothing (one small task per day).
+        out = out.hint("rebalance", *shuffle_keys)
+    elif write_salt > 1:
+        # non-AQE fallback: static salt, spread over many hash bins so
+        # the few distinct (day[,bucket], salt) tuples rarely collide
+        # (birthday bound: 12 keys in 512 bins p~0.12 vs p~0.88 in 32);
+        # non-empty tasks stay ~cells*salt, empty partitions are free
         shuffle_keys.append(F.pmod(F.xxhash64(F.col(time_col)), F.lit(write_salt)))
-        # Spread the FEW distinct (day[,bucket], salt) tuples over many
-        # hash bins: an ingest batch has ~cells*salt distinct key tuples
-        # (often 6-30), and hashing them into spark.sql.shuffle.partitions
-        # bins makes birthday collisions likely — two cells land on one
-        # writer task and the whole wave runs at the doubled task's speed
-        # (measured 1.7x on 100M-row batches whose _day strings happened
-        # to collide: the r10/r11 "ingest slows at batch 17" was exactly
-        # this, deterministic per day value).  512 bins make collisions
-        # rare; non-empty task count stays ~cells*salt; empty partitions
-        # cost nothing.
         out = out.repartition(512, *shuffle_keys)
     else:
         out = out.repartition(*shuffle_keys)
