@@ -2889,6 +2889,45 @@ def _q_tag_stat_incremental(spark, sf_dir):
             .orderBy("name"))
 
 
+def _q_zorder_prune(spark, sf_dir):
+    """Z-ORDER compaction + multi-dimensional data skipping under the
+    value-hash gate (operators/zorder.py + txlog.compact(zorder_by) —
+    the OPTIMIZE ZORDER shape; reference parity: the engine's
+    LSM/partitioned-tag layout serves 'prune by more than one key',
+    spi/show.go ShowLsm): events land in a txlog table over four
+    commits, the compaction rewrite clusters on the Morton interleave
+    of (time, value), and the read prunes files off the LOGGED footer
+    stats on BOTH ranges before applying the exact filter.  The oracle
+    is the plain filter over raw events — equality certifies that
+    z-clustering + two-sided pruning changes WHICH FILES are read,
+    never the result."""
+    import os
+    import tempfile
+
+    from neo_server_spark import txlog
+
+    t = os.path.join(tempfile.mkdtemp(prefix="zorder_entry_"), "tbl")
+    base = (nio.load_table(spark, sf_dir, "events")
+            .select("event_id", F.col("event_type").alias("name"),
+                    F.col("ts").cast("long").alias("time"), "value"))
+    for k in range(4):
+        txlog.write(base.filter(F.pmod("event_id", F.lit(4)) == k), t,
+                    txn=("z", k))
+    txlog.compact(spark, t, target_files=8,
+                  stats_cols=["time", "value"],
+                  zorder_by=["time", "value"])
+    t_hi = 1_705_276_800 * 1_000_000_000        # 2024-01-15
+    pruned = txlog.pruned_files(t, {"time": (None, t_hi - 1),
+                                    "value": (None, 100.0)})
+    assert len(pruned) < len(txlog.live_files(t)), \
+        "z-order produced no file-level pruning"
+    out = txlog.read_table(spark, t, prune={"time": (None, t_hi - 1),
+                                            "value": (None, 100.0)})
+    return (out.filter((F.col("time") < t_hi) & (F.col("value") <= 100.0))
+            .select("event_id", "name", _us("time"), "value")
+            .orderBy("event_id"))
+
+
 def _q_bridge_sql(spark, sf_dir):
     """SQL(bridge('x'), '…') certified end-to-end against a LIVE bridge
     (reference fm_dbsrc.go:312-384 bridge branch + fm_dbsink.go INSERT):
@@ -3423,6 +3462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_txlog": _q_rollup_txlog,
         "bridge_sql": _q_bridge_sql,
         "tag_stat_incremental": _q_tag_stat_incremental,
+        "zorder_prune": _q_zorder_prune,
         "txlog_table": _q_txlog_table,
         "similarity_ivf_batch": _q_similarity_ivf_batch,
         "compaction": _q_compaction,
@@ -6595,6 +6635,15 @@ def oracle_sql() -> dict[str, str]:
                    round(min(CASE WHEN rn = 1 THEN value END), 6)
                      AS last_value
             FROM s GROUP BY name ORDER BY name
+        """,
+        # z-order pruned read: the oracle is the plain filter — pruning
+        # may only change which files are read, never the rows.
+        "zorder_prune": """
+            SELECT event_id, event_type AS name, epoch_us(ts) AS time,
+                   value
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-15' AND value <= 100.0e0
+            ORDER BY event_id
         """,
         # live sqlite bridge: the aggregate ran IN the external engine;
         # the oracle recomputes it from the native events table.

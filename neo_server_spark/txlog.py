@@ -313,21 +313,32 @@ def read_table(spark: SparkSession, table: str,
 
 def compact(spark: SparkSession, table: str,
             target_files: int = 1,
-            stats_cols: list[str] | None = None) -> int:
+            stats_cols: list[str] | None = None,
+            zorder_by: list[str] | None = None) -> int:
     """Rewrite the live set into ``target_files`` larger files in ONE
     atomic commit (remove old + add new), marked ``dataChange=False`` so
     CDF consumers do not re-emit the rows — the OPTIMIZE half of the
     small-files story (the streaming sink accretes one file set per
     epoch; compaction resets the file count without touching
     readers/writers in flight: they read the snapshot they started
-    with)."""
+    with).
+
+    ``zorder_by`` clusters the rewrite on a Morton interleave of those
+    columns (operators/zorder.py) so the logged footer stats become
+    tight on EVERY listed column — multi-dimensional data skipping for
+    ``read_table(prune=...)``, Delta's OPTIMIZE ZORDER shape."""
     old = live_files(table)
     if not old:
         return _replay(table)[0]
     df = spark.read.parquet(*[os.path.join(table, rel) for rel in old])
     stage = os.path.join(table, _DATA, f"_staging-{uuid.uuid4().hex}")
-    df.coalesce(max(1, target_files)).write.mode("overwrite") \
-        .parquet(stage)
+    if zorder_by:
+        from neo_server_spark.operators.zorder import zorder_frame
+
+        out = zorder_frame(df, zorder_by, target_files=max(1, target_files))
+    else:
+        out = df.coalesce(max(1, target_files))
+    out.write.mode("overwrite").parquet(stage)
     rels = []
     tag = uuid.uuid4().hex
     for k, fn in enumerate(sorted(os.listdir(stage))):

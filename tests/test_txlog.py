@@ -531,3 +531,40 @@ def test_model_random_ops_with_vacuum_interleaved(spark, tmp_path):
             got = sorted(r["id"] for r in
                          txlog.read_table(spark, t).collect())
             assert got == sorted(model), case
+
+
+def test_compact_zorder_multidim_skipping(spark, tmp_path):
+    """compact(zorder_by=[a, t]): after the rewrite, the logged footer
+    stats prune files on EITHER column's range — the multi-dimensional
+    skipping a linear (single-key) sort cannot give — and pruned reads
+    stay exact."""
+    import pyspark.sql.functions as F2
+
+    t = str(tmp_path / "z")
+    # two independent dimensions: a cycles, t runs — a linear t-sort
+    # would leave every file covering the full a range
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1000, i) for i in range(40_000)],
+        "id long, a long, t long")
+    for k in range(4):
+        txlog.write(df.filter(F2.col("id") % 4 == k), t, txn=("z", k))
+    txlog.compact(spark, t, target_files=16, stats_cols=["a", "t"],
+                  zorder_by=["a", "t"])
+    files = txlog.live_files(t)
+    assert len(files) == 16
+    # a 5%-slice on EACH dimension prunes most files
+    pa = txlog.pruned_files(t, {"a": (0, 49)})
+    pt = txlog.pruned_files(t, {"t": (0, 1999)})
+    assert len(pa) <= len(files) // 2, (len(pa), len(files))
+    assert len(pt) <= len(files) // 2, (len(pt), len(files))
+    # 2-D box prunes harder than either slice alone
+    pbox = txlog.pruned_files(t, {"a": (0, 49), "t": (0, 1999)})
+    assert len(pbox) <= min(len(pa), len(pt))
+    # pruned read + exact filter == ground truth
+    got = txlog.read_table(spark, t, prune={"a": (0, 49), "t": (0, 1999)}) \
+        .filter("a <= 49 and t <= 1999")
+    exp = df.filter("a <= 49 and t <= 1999")
+    assert sorted(r.id for r in got.collect()) == \
+        sorted(r.id for r in exp.collect())
+    # CDF stays silent (dataChange=False) and rows identical
+    assert txlog.read_table(spark, t).count() == 40_000
