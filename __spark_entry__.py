@@ -2889,6 +2889,36 @@ def _q_tag_stat_incremental(spark, sf_dir):
             .orderBy("name"))
 
 
+def _q_rollup_distinct(spark, sf_dir):
+    """HLL approx-COUNT(DISTINCT) served from the rollup cascade under
+    the value-hash gate (sqlx/rollup.py distinct_col — DataSketches
+    hll_sketch_agg partials, hll_union folds; beyond-reference: the
+    engine's rollup modes are count/sum/sumsq/min/max/avg/first/last,
+    http_lake.go:1738-1762, and none can express distinct-users-per-tag
+    at rollup cost).  Per-bucket cardinalities here are <= 10, far
+    inside the sketch's exact coupon range, so the estimate equals
+    DuckDB's exact COUNT(DISTINCT) — certifying the partials, the
+    lossless union fold, and the estimate read path end-to-end."""
+    import os
+    import tempfile
+
+    from neo_server_spark.sqlx.rollup import HOUR, RollupRouter
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 3000)
+          .select(F.col("event_type").alias("name"),
+                  F.col("ts").cast("long").alias("time"), "value",
+                  F.col("user_id").alias("uid")))
+    base = os.path.join(tempfile.mkdtemp(prefix="rudist_entry_"), "r")
+    r = RollupRouter(spark, base)
+    r.build(ev, distinct_col="uid")
+    out = r.query(HOUR, {"cnt": "count", "users": "approx_distinct"})
+    return (out.select("name", F.col("time").cast("long").alias("time"),
+                       F.col("cnt").cast("long").alias("cnt"),
+                       F.col("users").cast("long").alias("users"))
+            .orderBy("name", "time"))
+
+
 def _q_zorder_prune(spark, sf_dir):
     """Z-ORDER compaction + multi-dimensional data skipping under the
     value-hash gate (operators/zorder.py + txlog.compact(zorder_by) —
@@ -3463,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridge_sql": _q_bridge_sql,
         "tag_stat_incremental": _q_tag_stat_incremental,
         "zorder_prune": _q_zorder_prune,
+        "rollup_distinct": _q_rollup_distinct,
         "txlog_table": _q_txlog_table,
         "similarity_ivf_batch": _q_similarity_ivf_batch,
         "compaction": _q_compaction,
@@ -6635,6 +6666,17 @@ def oracle_sql() -> dict[str, str]:
                    round(min(CASE WHEN rn = 1 THEN value END), 6)
                      AS last_value
             FROM s GROUP BY name ORDER BY name
+        """,
+        # HLL distinct rollup: per-bucket cardinality <= 10 keeps the
+        # sketch in its exact coupon range, so the estimate IS the
+        # exact count.
+        "rollup_distinct": """
+            SELECT event_type AS name,
+                   epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS time,
+                   count(*) AS cnt,
+                   count(DISTINCT user_id) AS users
+            FROM events WHERE event_id < 3000
+            GROUP BY 1, 2 ORDER BY name, time
         """,
         # z-order pruned read: the oracle is the plain filter — pruning
         # may only change which files are read, never the rows.

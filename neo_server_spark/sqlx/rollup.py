@@ -34,43 +34,55 @@ LEVELS = {"sec": SECOND, "min": MINUTE, "hour": HOUR}
 
 
 def _summarize(df: DataFrame, period_ns: int, name_col: str, time_col: str,
-               value_col: str) -> DataFrame:
-    """Raw rows -> algebraic summary at ``period_ns`` buckets."""
+               value_col: str, distinct_col: str | None = None) -> DataFrame:
+    """Raw rows -> algebraic summary at ``period_ns`` buckets.
+
+    ``distinct_col`` adds an HLL sketch partial (Apache DataSketches via
+    ``hll_sketch_agg``) so the cascade can ALSO serve approximate
+    COUNT(DISTINCT col) — distinct devices/users per tag per bucket —
+    which no combination of the algebraic partials can express.  Like
+    every other column here the sketch is mergeable: folds and
+    fold-on-read stay exact with respect to the sketch state (union is
+    lossless), so estimates are identical whether computed from the
+    partials or from one pass over the raw rows."""
     bucket = (F.col(time_col).cast("long") - F.pmod(F.col(time_col).cast("long"), F.lit(period_ns))).cast("long")
     v = F.col(value_col)
+    aggs = [
+        F.count(v).alias("cnt"),
+        F.sum(v).alias("sum"),
+        F.sum(v * v).alias("sumsq"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.min_by(v, F.col(time_col)).alias("first"),
+        F.max_by(v, F.col(time_col)).alias("last"),
+        F.min(F.col(time_col).cast("long")).alias("first_time"),
+        F.max(F.col(time_col).cast("long")).alias("last_time"),
+    ]
+    if distinct_col:
+        aggs.append(F.hll_sketch_agg(F.col(distinct_col)).alias("hll"))
     return (
         df.groupBy(F.col(name_col).alias("name"), bucket.alias("time"))
-        .agg(
-            F.count(v).alias("cnt"),
-            F.sum(v).alias("sum"),
-            F.sum(v * v).alias("sumsq"),
-            F.min(v).alias("min"),
-            F.max(v).alias("max"),
-            F.min_by(v, F.col(time_col)).alias("first"),
-            F.max_by(v, F.col(time_col)).alias("last"),
-            F.min(F.col(time_col).cast("long")).alias("first_time"),
-            F.max(F.col(time_col).cast("long")).alias("last_time"),
-        )
+        .agg(*aggs)
     )
 
 
 def _fold(summary: DataFrame, period_ns: int) -> DataFrame:
     """Finer summary -> coarser summary (merge of algebraic aggregates)."""
     bucket = (F.col("time") - F.pmod(F.col("time"), F.lit(period_ns))).cast("long")
-    return (
-        summary.groupBy("name", bucket.alias("time"))
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("sum").alias("sum"),
-            F.sum("sumsq").alias("sumsq"),
-            F.min("min").alias("min"),
-            F.max("max").alias("max"),
-            F.min_by("first", "first_time").alias("first"),
-            F.max_by("last", "last_time").alias("last"),
-            F.min("first_time").alias("first_time"),
-            F.max("last_time").alias("last_time"),
-        )
-    )
+    aggs = [
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.sum("sumsq").alias("sumsq"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.min_by("first", "first_time").alias("first"),
+        F.max_by("last", "last_time").alias("last"),
+        F.min("first_time").alias("first_time"),
+        F.max("last_time").alias("last_time"),
+    ]
+    if "hll" in summary.columns:
+        aggs.append(F.hll_union_agg("hll").alias("hll"))
+    return summary.groupBy("name", bucket.alias("time")).agg(*aggs)
 
 
 class RollupRouter:
@@ -100,10 +112,13 @@ class RollupRouter:
     # ------------------------------------------------------------ build
 
     def build(self, df: DataFrame, name_col: str = "name", time_col: str = "time",
-              value_col: str = "value") -> None:
+              value_col: str = "value", distinct_col: str | None = None) -> None:
         """(Re)materialize the full cascade.  Only the finest level scans the
-        raw data; min folds from sec, hour folds from min."""
-        sec = _summarize(df, LEVELS["sec"], name_col, time_col, value_col)
+        raw data; min folds from sec, hour folds from min.
+        ``distinct_col`` adds HLL partials so ``query`` can serve
+        ``approx_distinct`` (see _summarize)."""
+        sec = _summarize(df, LEVELS["sec"], name_col, time_col, value_col,
+                         distinct_col=distinct_col)
         self._write(sec, "sec")
         self._write(_fold(self.level("sec"), LEVELS["min"]), "min")
         self._write(_fold(self.level("min"), LEVELS["hour"]), "hour")
@@ -148,16 +163,26 @@ class RollupRouter:
         if between:
             base = base.filter(F.col("time").between(between[0], between[1] - 1))
         bucket = (F.col("time") - F.pmod(F.col("time"), F.lit(period_ns))).cast("long")
-        folded = base.groupBy("name", bucket.alias("time")).agg(
+        fold_aggs = [
             F.sum("cnt").alias("_cnt"), F.sum("sum").alias("_sum"),
             F.sum("sumsq").alias("_sumsq"), F.min("min").alias("_min"),
             F.max("max").alias("_max"),
             F.min_by("first", "first_time").alias("_first"),
             F.max_by("last", "last_time").alias("_last"),
-        )
+        ]
+        if "hll" in base.columns:
+            fold_aggs.append(F.hll_union_agg("hll").alias("_hll"))
+        folded = base.groupBy("name", bucket.alias("time")).agg(*fold_aggs)
         exprs = []
         for out, mode in aggs.items():
             mode = mode.lower()
+            if mode == "approx_distinct":
+                # HLL estimate off the merged sketch (requires a cascade
+                # built with distinct_col; union is lossless, so this
+                # equals the estimate over the raw rows)
+                exprs.append(
+                    F.hll_sketch_estimate(F.col("_hll")).alias(out))
+                continue
             col = {
                 "count": F.col("_cnt"),
                 "sum": F.col("_sum"),

@@ -193,6 +193,7 @@ def stream_rollup(
     period_ns: int = 1_000_000_000,
     trigger_available_now: bool = True,
     table_format: str = "parquet",
+    distinct_col: str | None = None,
 ):
     """Streaming rollup maintenance: per micro-batch, append PARTIAL algebraic
     summaries at the sec level.  Partials are mergeable (count/sum/sumsq/
@@ -218,7 +219,8 @@ def stream_rollup(
     app = _run_key(checkpoint)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        summary = _summarize(batch_df, period_ns, "name", "time", "value")
+        summary = _summarize(batch_df, period_ns, "name", "time", "value",
+                             distinct_col=distinct_col)
         if table_format == "txlog":
             from neo_server_spark import txlog
 

@@ -657,3 +657,39 @@ def test_tag_stat_table_incremental(spark, tmp_path):
            st2.stats().collect()}
     assert got["b"] == (2, 0.5)
     assert stat() == full()                       # st re-reads the table
+
+
+def test_rollup_hll_approx_distinct(spark, tmp_path):
+    """HLL sketch partials in the rollup cascade: approx COUNT(DISTINCT)
+    per tag per bucket served from the cascade, with the sketch-union
+    invariant pinned EXACTLY — the estimate from folded partials equals
+    the estimate from one pass over the raw rows (union is lossless),
+    and at small cardinalities the estimate equals the exact count."""
+    from neo_server_spark.sqlx.rollup import HOUR, RollupRouter, _summarize
+
+    rows = [("a", (i % 8) * HOUR // 8, float(i), f"user-{i % 37}")
+            for i in range(4000)] + \
+           [("b", (i % 4) * HOUR // 4, float(i), f"dev-{i % 11}")
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, ["name", "time", "value", "uid"])
+    r = RollupRouter(spark, str(tmp_path / "h"))
+    r.build(df, distinct_col="uid")
+    got = {x["name"]: x["d"] for x in
+           r.query(HOUR, {"d": "approx_distinct"}).collect()}
+    # HLL is exact far below its sketch resolution (lgK=12 -> thousands)
+    assert got == {"a": 37, "b": 11}
+    # lossless-union invariant: estimate(fold(partials)) ==
+    # estimate(sketch(raw)) even at finer partial granularity
+    import pyspark.sql.functions as F2
+    raw = (df.groupBy("name")
+           .agg(F2.hll_sketch_estimate(
+               F2.hll_sketch_agg("uid")).alias("d")))
+    fine = _summarize(df, HOUR // 8, "name", "time", "value",
+                      distinct_col="uid")
+    from neo_server_spark.sqlx.rollup import _fold
+    coarse = _fold(_fold(fine, HOUR // 4), HOUR)
+    folded = (coarse.groupBy("name")
+              .agg(F2.hll_sketch_estimate(
+                  F2.hll_union_agg("hll")).alias("d")))
+    assert {(x["name"], x["d"]) for x in folded.collect()} == \
+        {(x["name"], x["d"]) for x in raw.collect()}
