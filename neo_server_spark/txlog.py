@@ -52,7 +52,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["commit", "write", "read_table", "changes", "checkpoint",
            "live_files", "pruned_files", "compact", "vacuum",
-           "last_txn_version", "TxConflict"]
+           "last_txn_version", "current_version", "version_at",
+           "stage_files", "TxConflict"]
 
 _LOG = "_txlog"
 _DATA = "data"
@@ -89,15 +90,45 @@ def _list_log(table: str) -> tuple[int | None, list[str]]:
     return cp_ver, tail
 
 
-def _replay(table: str) -> tuple[int, set[str], dict[str, int],
-                                 dict[str, dict]]:
+def _replay(table: str, as_of: int | None = None
+            ) -> tuple[int, set[str], dict[str, int], dict[str, dict]]:
     """(current version, live file set, {app:epoch -> version} txn map,
     {file -> column min/max stats}).
 
     Metadata cost is O(commits since the last checkpoint): the
     checkpoint snapshot carries the full live set, the txn map, AND the
-    stats, so dedupe and data skipping survive compaction."""
+    stats, so dedupe and data skipping survive compaction.
+
+    ``as_of`` replays only versions <= as_of — time travel (Delta's
+    ``versionAsOf``).  Retired data files stay on disk until vacuum()
+    ages them out, so any version whose commit entries (or a covering
+    checkpoint) survive is reconstructible; a vacuumed-away version
+    raises ValueError."""
     cp_ver, tail = _list_log(table)
+    if as_of is not None and cp_ver is not None and cp_ver > as_of:
+        # the latest checkpoint postdates the target: rebuild from the
+        # newest surviving checkpoint <= as_of (or from version 1) using
+        # the commit entries vacuum() has not yet truncated
+        d = _log_dir(table)
+        names = [n for n in os.listdir(d)
+                 if n.endswith(".json") and not n.startswith(".")]
+        older_cps = sorted(_ver_of(n) for n in names
+                           if n.endswith(".checkpoint.json")
+                           and _ver_of(n) <= as_of)
+        cp_ver = older_cps[-1] if older_cps else None
+        floor = cp_ver or 0
+        tail = sorted((n for n in names
+                       if not n.endswith(".checkpoint.json")
+                       and floor < _ver_of(n) <= as_of), key=_ver_of)
+        if not tail and cp_ver is None:
+            raise ValueError(
+                f"version {as_of} of {table} was checkpointed and "
+                f"vacuumed; the earliest reconstructible version is "
+                f"the latest checkpoint")
+        if tail and _ver_of(tail[0]) != floor + 1:
+            raise ValueError(
+                f"commit entries below version {_ver_of(tail[0])} were "
+                f"vacuumed; version {as_of} is not reconstructible")
     live: set[str] = set()
     txns: dict[str, int] = {}
     stats: dict[str, dict] = {}
@@ -113,6 +144,8 @@ def _replay(table: str) -> tuple[int, set[str], dict[str, int],
     for fn in tail:
         with open(os.path.join(_log_dir(table), fn)) as f:
             entry = json.load(f)
+        if as_of is not None and entry["version"] > as_of:
+            break
         ver = entry["version"]
         removed = set(entry.get("remove", []))
         live -= removed
@@ -126,9 +159,43 @@ def _replay(table: str) -> tuple[int, set[str], dict[str, int],
     return ver, live, txns, stats
 
 
-def live_files(table: str) -> list[str]:
-    """Committed data files (relative paths), sorted."""
-    return sorted(_replay(table)[1])
+def version_at(table: str, timestamp_ms: int) -> int:
+    """Latest version whose commit timestamp is <= ``timestamp_ms``
+    (Delta's ``timestampAsOf`` resolution).  Resolved from the commit
+    entries still on disk; raises if the timestamp predates the oldest
+    surviving entry's version range."""
+    d = _log_dir(table)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"no txlog at {table}")
+    best = None
+    oldest_ts = None
+    for n in os.listdir(d):
+        if not n.endswith(".json") or n.startswith(".") \
+                or n.endswith(".checkpoint.json"):
+            continue
+        with open(os.path.join(d, n)) as f:
+            entry = json.load(f)
+        ts = entry.get("ts", 0)
+        oldest_ts = ts if oldest_ts is None else min(oldest_ts, ts)
+        if ts <= timestamp_ms:
+            v = entry["version"]
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise ValueError(
+            f"no commit at or before ts={timestamp_ms} survives in the "
+            f"log (oldest surviving commit ts={oldest_ts})")
+    return best
+
+
+def live_files(table: str, as_of: int | None = None) -> list[str]:
+    """Committed data files (relative paths), sorted.  ``as_of`` lists
+    the live set at that historical version (time travel)."""
+    return sorted(_replay(table, as_of=as_of)[1])
+
+
+def current_version(table: str) -> int:
+    """Latest committed version (0 for an empty log)."""
+    return _replay(table)[0]
 
 
 def last_txn_version(table: str, app: str, epoch: int) -> int | None:
@@ -138,17 +205,33 @@ def last_txn_version(table: str, app: str, epoch: int) -> int | None:
 
 
 def _atomic_commit(table: str, entry: dict, retries: int = 20,
-                   overwrite: bool = False) -> int:
+                   overwrite: bool = False,
+                   must_be_live: list[str] | None = None) -> int:
     """Put-if-absent the next version; optimistic retry on conflict.
 
     ``overwrite=True`` recomputes the remove set from a FRESH replay on
     every attempt: if this commit loses the version race to a concurrent
     append, the retry must retire the racer's files too — a stale,
-    pre-race remove set would leave them live after the "overwrite"."""
+    pre-race remove set would leave them live after the "overwrite".
+
+    ``must_be_live`` is Delta-style WRITE-CONFLICT detection for
+    read-modify-write commits (DML, dml.py): the listed files are the
+    snapshot the rewrite was computed FROM; if any of them is no longer
+    live when the commit attempts (a concurrent compact/overwrite/DML
+    retired it), the rewrite is stale and blindly committing it would
+    resurrect deleted rows or drop concurrent ones — raise TxConflict
+    so the caller re-reads and recomputes instead."""
     d = _log_dir(table)
     os.makedirs(d, exist_ok=True)
     for _ in range(retries):
         cur, live, _txns, _stats = _replay(table)
+        if must_be_live is not None:
+            gone = [rel for rel in must_be_live if rel not in live]
+            if gone:
+                raise TxConflict(
+                    f"write conflict: {len(gone)} file(s) this rewrite "
+                    f"was computed from were retired concurrently "
+                    f"(e.g. {gone[0]}); recompute from a fresh snapshot")
         ver = cur + 1
         entry["version"] = ver
         if overwrite:
@@ -205,7 +288,8 @@ def commit(table: str, add: list[str], mode: str = "append",
            txn: tuple[str, int] | None = None,
            stats: dict[str, dict] | None = None,
            data_change: bool = True,
-           remove: list[str] | None = None) -> int:
+           remove: list[str] | None = None,
+           must_be_live: list[str] | None = None) -> int:
     """Publish staged files.  mode='append' adds; mode='overwrite'
     removes the current live set in the same atomic entry; ``remove``
     names an explicit file set to retire (compaction).  Returns the
@@ -236,7 +320,7 @@ def commit(table: str, add: list[str], mode: str = "append",
         entry["remove"] = sorted(remove)
     elif mode != "append":
         raise ValueError(f"unknown mode {mode!r}")
-    return _atomic_commit(table, entry)
+    return _atomic_commit(table, entry, must_be_live=must_be_live)
 
 
 def write(df: DataFrame, table: str, mode: str = "append",
@@ -252,6 +336,16 @@ def write(df: DataFrame, table: str, mode: str = "append",
     unlinked by its own commit() call."""
     if txn is not None and last_txn_version(table, txn[0], txn[1]) is not None:
         return last_txn_version(table, txn[0], txn[1])
+    rels = stage_files(df, table)
+    stats = _file_stats(table, rels, stats_cols) if stats_cols else None
+    return commit(table, rels, mode=mode, txn=txn, stats=stats)
+
+
+def stage_files(df: DataFrame, table: str) -> list[str]:
+    """Write ``df`` as fresh immutable UUID-named parquet files under
+    ``data/`` WITHOUT committing them — invisible to every reader until
+    a commit() publishes the returned relative paths.  A crash here
+    leaves garbage for vacuum(), never a torn table."""
     os.makedirs(os.path.join(table, _DATA), exist_ok=True)
     stage = os.path.join(table, _DATA, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
@@ -264,15 +358,15 @@ def write(df: DataFrame, table: str, mode: str = "append",
         os.rename(os.path.join(stage, fn), os.path.join(table, rel))
         rels.append(rel)
     shutil.rmtree(stage, ignore_errors=True)
-    stats = _file_stats(table, rels, stats_cols) if stats_cols else None
-    return commit(table, rels, mode=mode, txn=txn, stats=stats)
+    return rels
 
 
-def pruned_files(table: str, prune: dict[str, tuple] | None) -> list[str]:
+def pruned_files(table: str, prune: dict[str, tuple] | None,
+                 as_of: int | None = None) -> list[str]:
     """Live files whose footer stats intersect every ``{col: (lo, hi)}``
     range (None bound = open).  Files without recorded stats for a
     pruning column are conservatively kept."""
-    _ver, live, _txns, stats = _replay(table)
+    _ver, live, _txns, stats = _replay(table, as_of=as_of)
     if not prune:
         return sorted(live)
     out = []
@@ -293,20 +387,33 @@ def pruned_files(table: str, prune: dict[str, tuple] | None) -> list[str]:
 
 
 def read_table(spark: SparkSession, table: str,
-               prune: dict[str, tuple] | None = None) -> DataFrame:
+               prune: dict[str, tuple] | None = None,
+               version_as_of: int | None = None,
+               timestamp_as_of_ms: int | None = None) -> DataFrame:
     """Snapshot read of the committed live set — staged/orphaned files
     under data/ are invisible by construction.  ``prune={col: (lo, hi)}``
     skips files whose logged min/max cannot intersect the range (data
     skipping off the COMMIT LOG — zero footer reads at query time); the
     caller still applies its exact filter, pruning only shrinks the
-    scan."""
+    scan.
+
+    ``version_as_of`` / ``timestamp_as_of_ms`` read the table AS OF a
+    historical version (Delta time travel): the live set is replayed up
+    to that version and, because retired files stay on disk until
+    vacuum() ages them out, the old snapshot is served from the same
+    immutable files the current one shares — zero copies."""
+    if timestamp_as_of_ms is not None:
+        if version_as_of is not None:
+            raise ValueError("pass version_as_of OR timestamp_as_of_ms")
+        version_as_of = version_at(table, timestamp_as_of_ms)
     files = [os.path.join(table, rel)
-             for rel in pruned_files(table, prune)]
+             for rel in pruned_files(table, prune, as_of=version_as_of)]
     if not files:
-        if not live_files(table):
+        if not live_files(table, as_of=version_as_of):
             raise FileNotFoundError(f"empty txlog table: {table}")
         # everything pruned: empty frame with the table's schema
-        any_file = os.path.join(table, live_files(table)[0])
+        any_file = os.path.join(table,
+                                live_files(table, as_of=version_as_of)[0])
         return spark.read.parquet(any_file).limit(0)
     return spark.read.parquet(*files)
 
@@ -331,22 +438,13 @@ def compact(spark: SparkSession, table: str,
     if not old:
         return _replay(table)[0]
     df = spark.read.parquet(*[os.path.join(table, rel) for rel in old])
-    stage = os.path.join(table, _DATA, f"_staging-{uuid.uuid4().hex}")
     if zorder_by:
         from neo_server_spark.operators.zorder import zorder_frame
 
         out = zorder_frame(df, zorder_by, target_files=max(1, target_files))
     else:
         out = df.coalesce(max(1, target_files))
-    out.write.mode("overwrite").parquet(stage)
-    rels = []
-    tag = uuid.uuid4().hex
-    for k, fn in enumerate(sorted(os.listdir(stage))):
-        if fn.endswith(".parquet"):
-            rel = f"{_DATA}/{tag}-{k}.parquet"
-            os.rename(os.path.join(stage, fn), os.path.join(table, rel))
-            rels.append(rel)
-    shutil.rmtree(stage, ignore_errors=True)
+    rels = stage_files(out, table)
     stats = _file_stats(table, rels, stats_cols) if stats_cols else None
     # the retired files stay on DISK: a reader that resolved its file
     # list from a pre-compaction snapshot finishes its scan untouched

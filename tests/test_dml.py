@@ -1,0 +1,195 @@
+"""Copy-on-write DML over txlog tables (neo_server_spark/dml.py):
+DELETE/UPDATE/MERGE semantics (incl. NULL-condition rows and duplicate
+source keys), touched-file minimality (untouched files are not
+rewritten), stats-pruned discovery, write-conflict detection against
+concurrent compaction, and time travel across DML versions."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from neo_server_spark import dml, txlog
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp string, v long")
+
+
+def _seed(spark, tmp_path, name="t"):
+    """Four single-file commits, ids 0..19 in blocks of 5."""
+    t = str(tmp_path / name)
+    for k in range(4):
+        rows = [(k * 5 + i, "ab"[k % 2], (k * 5 + i) * 10)
+                for i in range(5)]
+        txlog.write(_mk(spark, rows).coalesce(1), t, stats_cols=["id"])
+    return t
+
+
+def _ids(spark, t, **kw):
+    return sorted(r["id"]
+                  for r in txlog.read_table(spark, t, **kw).collect())
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    before = txlog.live_files(t)
+    res = dml.delete(spark, t, "id >= 7 AND id <= 8")
+    assert res["files_touched"] == 1          # ids 5..9 live in one file
+    after = txlog.live_files(t)
+    # the three untouched files are byte-identical live entries
+    assert len(set(before) & set(after)) == 3
+    assert _ids(spark, t) == [i for i in range(20) if i not in (7, 8)]
+
+
+def test_delete_null_condition_keeps_row(spark, tmp_path):
+    t = str(tmp_path / "tn")
+    df = spark.createDataFrame([(1, None), (2, 5), (3, 50)],
+                               "id long, v long")
+    txlog.write(df.coalesce(1), t)
+    dml.delete(spark, t, "v > 10")            # NULL > 10 is NULL -> keep
+    assert sorted(r["id"] for r in
+                  txlog.read_table(spark, t).collect()) == [1, 2]
+
+
+def test_delete_whole_file_commits_pure_removal(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    res = dml.delete(spark, t, "id < 5")
+    assert res["files_touched"] == 1
+    assert len(txlog.live_files(t)) == 3
+    assert _ids(spark, t) == list(range(5, 20))
+
+
+def test_delete_no_match_is_noop(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    v = txlog.current_version(t)
+    res = dml.delete(spark, t, "id > 1000")
+    assert res == {"version": v, "files_touched": 0, "files_total": 4}
+    assert txlog.current_version(t) == v
+
+
+def test_delete_uses_stats_pruning(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    res = dml.delete(spark, t, "id = 12", prune={"id": (12, 12)})
+    # footer stats cut the candidate set before the discovery scan
+    assert res["files_total"] == 1
+    assert res["files_touched"] == 1
+    assert 12 not in _ids(spark, t)
+
+
+def test_update_semantics_and_schema_stable(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    res = dml.update(spark, t, "id % 5 = 0", {"v": "v + 1"})
+    assert res["files_touched"] == 4          # one multiple-of-5 per file
+    out = {r["id"]: r["v"]
+           for r in txlog.read_table(spark, t).collect()}
+    for i in range(20):
+        assert out[i] == i * 10 + (1 if i % 5 == 0 else 0)
+    assert txlog.read_table(spark, t).schema == _mk(spark, []).schema
+
+
+def test_merge_upsert(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    src = _mk(spark, [(3, "z", -3), (18, "z", -18), (40, "z", -40)])
+    res = dml.merge(spark, t, src, on=["id"])
+    assert res["files_touched"] == 2          # files holding 3 and 18
+    out = {r["id"]: (r["grp"], r["v"])
+           for r in txlog.read_table(spark, t).collect()}
+    assert len(out) == 21
+    assert out[3] == ("z", -3) and out[18] == ("z", -18)
+    assert out[40] == ("z", -40)              # inserted
+    assert out[4] == ("a", 40)                # untouched neighbor intact
+
+
+def test_merge_delete_and_ignore(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    src = _mk(spark, [(0, "x", 0), (19, "x", 0), (99, "x", 0)])
+    res = dml.merge(spark, t, src, on=["id"], when_matched="delete",
+                    when_not_matched="ignore")
+    assert res["files_touched"] == 2
+    assert _ids(spark, t) == list(range(1, 19))
+
+
+def test_merge_insert_only_never_rewrites(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    before = set(txlog.live_files(t))
+    src = _mk(spark, [(5, "s", 1), (100, "s", 2)])
+    res = dml.merge(spark, t, src, on=["id"], when_matched="keep")
+    assert res["files_touched"] == 0          # keep = append-only merge
+    assert before <= set(txlog.live_files(t))
+    assert _ids(spark, t) == list(range(20)) + [100]
+    v = {r["id"]: r["v"] for r in txlog.read_table(spark, t).collect()}
+    assert v[5] == 50                         # matched row untouched
+
+
+def test_merge_duplicate_source_keys_rejected(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    src = _mk(spark, [(3, "z", 1), (3, "z", 2)])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        dml.merge(spark, t, src, on=["id"])
+
+
+def test_dml_conflict_with_concurrent_compact(spark, tmp_path):
+    """A rewrite computed from a snapshot whose files a concurrent
+    compact retired must raise TxConflict, not resurrect rows."""
+    t = _seed(spark, tmp_path)
+    touched = txlog.live_files(t)[:1]
+    # simulate the race: compact lands between discovery and commit
+    txlog.compact(spark, t, target_files=1)
+    with pytest.raises(txlog.TxConflict, match="write conflict"):
+        txlog.commit(t, [], remove=touched, must_be_live=touched)
+    # and the public API path: monkeypatch discovery to a stale set
+    real = dml._touched
+
+    def stale(spark_, table_, match_, prune_):
+        cand, tch = real(spark_, table_, match_, prune_)
+        txlog.compact(spark_, table_, target_files=2)
+        return cand, tch
+
+    dml._touched = stale
+    try:
+        with pytest.raises(txlog.TxConflict):
+            dml.delete(spark, t, "id = 3")
+    finally:
+        dml._touched = real
+    # conflict left no staged garbage in the live set; rows intact
+    assert _ids(spark, t) == list(range(20))
+
+
+def test_time_travel_versions(spark, tmp_path):
+    t = _seed(spark, tmp_path)                # versions 1..4
+    dml.delete(spark, t, "id < 10")           # version 5
+    dml.update(spark, t, "id = 15", {"v": "0"})   # version 6
+    assert _ids(spark, t, version_as_of=4) == list(range(20))
+    assert _ids(spark, t, version_as_of=5) == list(range(10, 20))
+    assert _ids(spark, t, version_as_of=2) == list(range(10))
+    v15 = {r["id"]: r["v"] for r in txlog.read_table(
+        spark, t, version_as_of=5).collect()}[15]
+    assert v15 == 150                         # pre-update value
+    assert {r["id"]: r["v"] for r in txlog.read_table(
+        spark, t).collect()}[15] == 0
+
+
+def test_time_travel_across_checkpoint_and_timestamp(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    txlog.checkpoint(t)                       # checkpoint at v4
+    dml.delete(spark, t, "id >= 15")          # v5
+    # as-of BEFORE the checkpoint still reconstructs from raw entries
+    assert _ids(spark, t, version_as_of=3) == list(range(15))
+    txlog.checkpoint(t)
+    # timestamp resolution: every surviving commit has ts <= now
+    import time
+
+    now_ms = int(time.time() * 1000) + 1000
+    assert txlog.version_at(t, now_ms) == 5
+    assert _ids(spark, t, timestamp_as_of_ms=now_ms) == list(range(15))
+    with pytest.raises(ValueError, match="no commit at or before"):
+        txlog.version_at(t, 1)
+
+
+def test_time_travel_vacuumed_version_raises(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    txlog.checkpoint(t)
+    txlog.vacuum(t, retention_s=0)            # truncates entries <= cp
+    with pytest.raises(ValueError, match="vacuum"):
+        txlog.live_files(t, as_of=2)
