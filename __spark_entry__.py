@@ -3477,6 +3477,57 @@ def _q_dedup_incr(spark, sf_dir):
             .select("doc_id", "source", "n_chars").orderBy("doc_id"))
 
 
+def _q_txlog_dml(spark, sf_dir):
+    """Copy-on-write DML + time travel under the value-hash gate
+    (neo_server_spark/dml.py over txlog.py — the lakehouse form of the
+    engine's row mutations, e.g. DELETE FROM ... WHERE exercised at
+    mods/server/http_query_test.go:394): events land in a txlog table
+    over four stats-carrying commits, then DELETE (id%7), UPDATE
+    (id%5 doubles val), and MERGE (id%11 upserts, id%13+100000 inserts)
+    each rewrite ONLY the files containing affected rows and publish
+    one atomic conflict-checked commit.  The entry also asserts the
+    pre-DML snapshot is still readable via version_as_of (time travel)
+    and that every statement touched fewer files than the table holds
+    (copy-on-write minimality).  The oracle replays the same three
+    statements as pure SQL set algebra."""
+    import os
+    import tempfile
+
+    from neo_server_spark import dml, txlog
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 3000)
+          .select("event_id", "user_id", "event_type",
+                  F.floor(F.col("value") * 1000).alias("val")))
+    t = os.path.join(tempfile.mkdtemp(prefix="txlog_dml_"), "tbl")
+    for k in range(4):
+        txlog.write(ev.filter(F.pmod("event_id", F.lit(4)) == k)
+                    .repartition(2), t, stats_cols=["event_id"])
+    base_ver = txlog.current_version(t)
+    n_base = ev.count()
+    d = dml.delete(spark, t, "event_id % 7 = 0",
+                   stats_cols=["event_id"])
+    u = dml.update(spark, t, "event_id % 5 = 0", {"val": "val * 2"},
+                   stats_cols=["event_id"])
+    src = (ev.filter(F.col("event_id") % 11 == 0)
+           .select("event_id", "user_id",
+                   F.lit("merged").alias("event_type"),
+                   F.lit(-1).cast("long").alias("val"))
+           .unionByName(
+               ev.filter(F.col("event_id") % 13 == 0)
+               .select((F.col("event_id") + 100000).alias("event_id"),
+                       "user_id", F.lit("inserted").alias("event_type"),
+                       F.lit(-2).cast("long").alias("val"))))
+    m = dml.merge(spark, t, src, on=["event_id"],
+                  stats_cols=["event_id"])
+    assert txlog.read_table(spark, t,
+                            version_as_of=base_ver).count() == n_base, \
+        "time travel must reconstruct the pre-DML snapshot"
+    for res in (d, u, m):
+        assert 1 <= res["files_touched"] < len(txlog.live_files(t)) + 1
+    return txlog.read_table(spark, t).orderBy("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first
@@ -3487,8 +3538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity_ivf_batch; compact/rollup sink work -> compaction,
         # streaming_rollup), ALL 39 r6-vintage rows (r10 VERDICT #1 —
         # after this window the minimum vintage across the registry
-        # becomes r8), and 4 oldest-r8 fillers (tpch_q11/q16/q20 +
-        # simhash_pairs).  Everything else rotates behind (r8, r9, r10).
+        # becomes r8), and oldest-r8 fillers (tpch_q11 + simhash_pairs).
+        # txlog_dml (NEW this session: copy-on-write DELETE/UPDATE/MERGE
+        # + time travel) leads the window; it displaced the tpch_q16
+        # filler.  Everything else rotates behind (r8, r9, r10).
+        "txlog_dml": _q_txlog_dml,
         "rollup_txlog": _q_rollup_txlog,
         "bridge_sql": _q_bridge_sql,
         "tag_stat_incremental": _q_tag_stat_incremental,
@@ -6639,6 +6693,33 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY event_id LIMIT 50)
             SELECT name, time, round(value, 6) AS value FROM sl
             ORDER BY time, value
+        """,
+        # copy-on-write DML: the oracle replays DELETE -> UPDATE ->
+        # MERGE as pure SQL set algebra over the same base selection.
+        "txlog_dml": """
+            WITH base AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(FLOOR(value * 1000) AS BIGINT) AS val
+              FROM events WHERE event_id < 3000),
+            after_del AS (SELECT * FROM base WHERE event_id % 7 <> 0),
+            after_upd AS (
+              SELECT event_id, user_id, event_type,
+                     CASE WHEN event_id % 5 = 0 THEN val * 2
+                          ELSE val END AS val
+              FROM after_del),
+            src AS (
+              SELECT event_id, user_id, 'merged' AS event_type,
+                     CAST(-1 AS BIGINT) AS val
+              FROM base WHERE event_id % 11 = 0
+              UNION ALL
+              SELECT event_id + 100000, user_id, 'inserted',
+                     CAST(-2 AS BIGINT)
+              FROM base WHERE event_id % 13 = 0)
+            SELECT event_id, user_id, event_type, val FROM (
+              SELECT * FROM after_upd
+              WHERE event_id NOT IN (SELECT event_id FROM src)
+              UNION ALL SELECT * FROM src)
+            ORDER BY event_id
         """,
         # txlog: two committed epochs (one replayed into a no-op) cover
         # all 30 selected rows; the orphaned file never surfaces.
