@@ -92,7 +92,11 @@ class EngineHttpServer:
 
     def __init__(self, spark, sf_dir: str | None = None,
                  fs_root: str | None = None, host: str = "127.0.0.1",
-                 port: int = 0, backup_dir: str | None = None):
+                 port: int = 0, backup_dir: str | None = None,
+                 auth=None):
+        # auth: an auth.Authenticator, or None = open server (the
+        # reference's enableTokenAuth=false default, http.go:253)
+        self.auth = auth
         self.spark = spark
         self.sf_dir = sf_dir
         self.fs_root = fs_root
@@ -159,6 +163,9 @@ class EngineHttpServer:
         url = urlparse(h.path)
         qs = {k: v[-1] for k, v in parse_qs(url.query).items()}
         try:
+            if self.auth is not None and \
+                    self._auth_gate(h, url.path, body, qs, tick):
+                return
             if url.path in ("/db/query", "/web/api/query",
                             "/web/api/machbase"):
                 # /web/api/query is the same handler (http.go:295,352);
@@ -245,6 +252,133 @@ class EngineHttpServer:
         h.send_header("Content-Length", str(len(data)))
         h.end_headers()
         h.wfile.write(data)
+
+    # ---------------------------------------------------------------- auth
+    # login/relogin/logout/check/chpasswd/keys + the two middlewares
+    # (handleJwtToken http.go:393-445, handleAuthToken http.go:458-497)
+
+    def _bearer(self, h) -> str | None:
+        v = h.headers.get("Authorization") or ""
+        return v[7:].strip() if v[:7].upper() == "BEARER " else None
+
+    def _auth_gate(self, h, path: str, body: bytes, qs: dict,
+                   tick: float) -> bool:
+        """True = request fully handled here (auth endpoint or a 401);
+        False = authorized, fall through to the normal dispatch."""
+        from neo_server_spark.server.auth import AuthError
+
+        if path in ("/web/api/login", "/web/api/relogin",
+                    "/web/api/logout", "/web/api/check",
+                    "/web/api/chpasswd") or \
+                path == "/web/api/keys" or \
+                path.startswith("/web/api/keys/"):
+            self._handle_auth(h, path, body, tick)
+            return True
+        if path.startswith("/web/"):
+            tok = self._bearer(h)
+            if tok is None:
+                self._fail(h, 401, "missing authorization header", tick)
+                return True
+            try:
+                claim = self.auth.verify_access(tok)
+            except AuthError as ex:
+                self._fail(h, 401, ex.reason, tick)
+                return True
+            h.jwt_claim = claim
+            return False
+        # /db /lakes /metrics: a client API key as Bearer or ?token=
+        # (handleAuthToken); a web session's access JWT also passes
+        tok = self._bearer(h) or qs.get("token") or ""
+        if tok and self.auth.validate_client_token(tok):
+            return False
+        if tok:
+            try:
+                self.auth.verify_access(tok)
+                return False
+            except AuthError:
+                pass
+        self._fail(h, 401,
+                   "missing authorization token" if not tok
+                   else "missing valid token", tick)
+        return True
+
+    def _handle_auth(self, h, path: str, body: bytes,
+                     tick: float) -> None:
+        from neo_server_spark.server.auth import AuthError
+
+        def ok(extra=None, status=200):
+            payload = {"success": True, "reason": "success"}
+            payload.update(extra or {})
+            payload["elapse"] = f"{time.time() - tick:.6f}s"
+            self._send(h, status, "application/json",
+                       json.dumps(payload, separators=(",", ":")))
+
+        req = {}
+        if body:
+            try:
+                req = json.loads(body.decode() or "{}")
+            except ValueError:
+                return self._fail(h, 400, "invalid json body", tick)
+        try:
+            if path == "/web/api/login" and h.command == "POST":
+                name = str(req.get("loginName") or "")
+                if not name:
+                    return self._fail(
+                        h, 400, "missing required loginName field", tick)
+                try:
+                    access, refresh = self.auth.login(
+                        name, str(req.get("password") or ""))
+                except AuthError as ex:
+                    return self._fail(h, 404, ex.reason, tick)
+                return ok({"accessToken": access,
+                           "refreshToken": refresh})
+            if path == "/web/api/relogin" and h.command == "POST":
+                # expired ACCESS tokens are allowed through for this
+                # path (http.go:421); the refresh token is the gate
+                access, refresh = self.auth.relogin(
+                    str(req.get("refreshToken") or ""))
+                return ok({"accessToken": access,
+                           "refreshToken": refresh})
+            if path == "/web/api/logout" and h.command == "POST":
+                self.auth.logout(str(req.get("refreshToken") or ""))
+                return ok()
+            # everything below sits BEHIND the jwt middleware
+            tok = self._bearer(h)
+            if tok is None:
+                return self._fail(h, 401,
+                                  "missing authorization header", tick)
+            claim = self.auth.verify_access(tok)
+            if path == "/web/api/check":
+                return ok()
+            if path == "/web/api/chpasswd" and h.command == "POST":
+                new = str(req.get("newPassword") or "")
+                if not new or "'" in new:
+                    return self._fail(h, 400, "invalid new password",
+                                      tick)
+                self.auth.set_password(claim["sub"], new)
+                return ok()
+            if path == "/web/api/keys" and h.command == "GET":
+                return ok({"data": [
+                    {"idx": k["idx"], "id": k["id"],
+                     "notBefore": k["notBefore"],
+                     "notAfter": k["notAfter"]}
+                    for k in self.auth.list_keys()]})
+            if path == "/web/api/keys" and h.command == "POST":
+                rec = self.auth.gen_key(
+                    str(req.get("name") or ""),
+                    int(req.get("notBefore") or 0),
+                    int(req.get("notAfter") or 0))
+                return ok({"token": rec["token"], "id": rec["id"],
+                           "notBefore": rec["notBefore"],
+                           "notAfter": rec["notAfter"]})
+            if path.startswith("/web/api/keys/") and \
+                    h.command == "DELETE":
+                if self.auth.del_key(path[len("/web/api/keys/"):]):
+                    return ok()
+                return self._fail(h, 404, "key not found", tick)
+        except AuthError as ex:
+            return self._fail(h, 401, ex.reason, tick)
+        return self._fail(h, 404, "not found", tick)
 
     # ------------------------------------------------------------ /db/query
 
