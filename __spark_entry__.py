@@ -3528,6 +3528,25 @@ def _q_txlog_dml(spark, sf_dir):
     return txlog.read_table(spark, t).orderBy("event_id")
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Overlapping token-budgeted document chunking
+    (text.chunk_documents — the long-document splitter a retrieval /
+    context-window pipeline needs, complement of pack_sequences):
+    chunk k covers tokens [k*56, k*56+64) so consecutive chunks share 8
+    tokens; entirely JVM-side (split -> sequence -> explode -> slice ->
+    concat_ws in one codegen span, plan pinned in test_datapipe).  The
+    oracle reproduces the slicing with DuckDB list arithmetic."""
+    docs = (nio.load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0))
+    out = text.chunk_documents(docs, max_tokens=64, overlap=8)
+    return (out.select("doc_id",
+                       F.col("chunk_id").cast("long").alias("chunk_id"),
+                       F.col("chunk_tokens").cast("long")
+                       .alias("chunk_tokens"),
+                       "chunk")
+            .orderBy("doc_id", "chunk_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first
@@ -3543,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + time travel) leads the window; it displaced the tpch_q16
         # filler.  Everything else rotates behind (r8, r9, r10).
         "txlog_dml": _q_txlog_dml,
+        "doc_chunks": _q_doc_chunks,
         "rollup_txlog": _q_rollup_txlog,
         "bridge_sql": _q_bridge_sql,
         "tag_stat_incremental": _q_tag_stat_incremental,
@@ -6693,6 +6713,26 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY event_id LIMIT 50)
             SELECT name, time, round(value, 6) AS value FROM sl
             ORDER BY time, value
+        """,
+        # overlapping token chunking: DuckDB list slicing mirrors the
+        # Spark slice() arithmetic exactly (both 1-based inclusive).
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' ')) AS n
+              FROM documents WHERE doc_id % 5 = 0),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(range(CASE WHEN n <= 64 THEN 1
+                         ELSE 1 + CAST(ceil((n - 64) / 56.0) AS BIGINT)
+                         END)) AS chunk_id
+              FROM t)
+            SELECT doc_id, chunk_id,
+                   len(toks[chunk_id*56+1 : chunk_id*56+64])
+                     AS chunk_tokens,
+                   array_to_string(toks[chunk_id*56+1 : chunk_id*56+64],
+                                   ' ') AS chunk
+            FROM c ORDER BY doc_id, chunk_id
         """,
         # copy-on-write DML: the oracle replays DELETE -> UPDATE ->
         # MERGE as pure SQL set algebra over the same base selection.

@@ -371,6 +371,46 @@ def lm_bucket_profile(docs: DataFrame, n_buckets: int = 3,
             .orderBy("bucket"))
 
 
+def chunk_documents(docs: DataFrame, max_tokens: int = 128,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each document into overlapping token-budgeted chunks — the
+    long-document splitting a retrieval / context-window pipeline needs
+    (complement of pack_sequences, which packs ACROSS documents).
+
+    Chunk ``k`` covers tokens ``[k*stride, k*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``; the last chunk is the first one
+    whose window reaches the end of the document, so every token lands
+    in at least one chunk and consecutive chunks share ``overlap``
+    tokens of context.
+
+    Entirely JVM-side (split -> sequence -> explode -> slice ->
+    concat_ws inside whole-stage codegen): no UDF, no shuffle — a
+    per-row flatMap that scales linearly with the scan.  Output: one
+    row per (doc, chunk) with the chunk text and its token count.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        1 + F.ceil((n - max_tokens) / F.lit(stride)))
+    out = (docs.select(
+        F.col(id_col), toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0),
+                             (n_chunks - 1).cast("int"))).alias("chunk_id"))
+        .select(
+            id_col, "chunk_id",
+            F.slice(F.col("__toks"),
+                    F.col("chunk_id") * stride + 1,
+                    max_tokens).alias("__slice")))
+    return out.select(
+        id_col, "chunk_id",
+        F.size("__slice").alias("chunk_tokens"),
+        F.concat_ws(" ", "__slice").alias("chunk"))
+
+
 def _token_offsets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, __nt, __off) rows: each document's token count and its running
     start offset in the ``(id_col, __nt)``-ordered concatenated token

@@ -1162,3 +1162,32 @@ def test_ivfpq_search_rerank_degenerate_exact(spark):
         codebooks=cb).collect()
     assert len(tight) == 5
     assert all(tight[i].cosine >= tight[i + 1].cosine for i in range(4))
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Every token lands in >=1 chunk; consecutive chunks share exactly
+    `overlap` tokens; short docs yield one whole-doc chunk; the plan is
+    one codegen span (no shuffle, no UDF)."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(23))), (2, "a b")],
+        "doc_id long, text string")
+    out = (text.chunk_documents(docs, max_tokens=10, overlap=4)
+           .orderBy("doc_id", "chunk_id").collect())
+    d1 = [r for r in out if r.doc_id == 1]
+    # n=23, stride=6 -> 1 + ceil(13/6) = 4 chunks
+    assert [r.chunk_id for r in d1] == [0, 1, 2, 3]
+    assert [r.chunk_tokens for r in d1] == [10, 10, 10, 5]
+    toks = [r.chunk.split(" ") for r in d1]
+    for a, b in zip(toks, toks[1:]):
+        assert a[-4:] == b[:4]                      # shared context
+    covered = set()
+    for t in toks:
+        covered.update(t)
+    assert covered == {f"w{i}" for i in range(23)}  # full coverage
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk == "a b"
+    with pytest.raises(ValueError):
+        text.chunk_documents(docs, max_tokens=4, overlap=4)
+    plan = text.chunk_documents(docs, 10, 4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
