@@ -3547,6 +3547,50 @@ def _q_doc_chunks(spark, sf_dir):
             .orderBy("doc_id", "chunk_id"))
 
 
+def _q_matview_incr(spark, sf_dir):
+    """Incrementally-maintained materialized view under the value-hash
+    gate (streaming/matview.MatView — generalizes TagStatTable to
+    arbitrary self-mergeable aggregates off the txlog CDF): events land
+    in a txlog table over TWO commits with a refresh after each, so the
+    second refresh folds ONLY the delta files into the stored partials
+    (count/sum/min/max/(sum,cnt)-avg/HLL-distinct); the oracle
+    recomputes the view from the raw rows.  user_id%8 keeps every
+    group's cardinality inside the HLL sketch's exact coupon range, so
+    the estimate IS the exact distinct count (same property
+    rollup_distinct pins)."""
+    import os
+    import tempfile
+
+    from neo_server_spark import txlog
+    from neo_server_spark.streaming.matview import MatView
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 3000)
+          .select("event_id",
+                  F.col("event_type").alias("name"),
+                  F.floor(F.col("value") * 1000).alias("val"),
+                  F.pmod("user_id", F.lit(8)).alias("u")))
+    root = tempfile.mkdtemp(prefix="matview_")
+    src = os.path.join(root, "src")
+    vt = os.path.join(root, "view")
+    aggs = {"n": ("count", "val"), "total": ("sum", "val"),
+            "lo": ("min", "val"), "hi": ("max", "val"),
+            "mean": ("avg", "val"), "users": ("approx_distinct", "u")}
+    txlog.write(ev.filter(F.col("event_id") % 2 == 0).drop("event_id"),
+                src)
+    mv = MatView(spark, src, vt, keys=["name"], aggs=aggs)
+    assert mv.refresh()["mode"] == "incremental"
+    txlog.write(ev.filter(F.col("event_id") % 2 != 0).drop("event_id"),
+                src)
+    assert mv.refresh()["mode"] == "incremental", \
+        "second refresh must fold the delta, not recompute"
+    return (mv.read()
+            .select("name", "n", "total", "lo", "hi",
+                    F.round("mean", 6).alias("mean"),
+                    F.col("users").cast("long").alias("users"))
+            .orderBy("name"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first
@@ -3611,6 +3655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tql_set_vars": _q_tql_set_vars,
         "transpose": _q_transpose,
         "when_throttle": _q_when_throttle,
+        # ---- window boundary: entries below rotate in next round ----
+        "matview_incr": _q_matview_incr,
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
         "tpch_q20": _q_tpch_q20,
@@ -6713,6 +6759,21 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY event_id LIMIT 50)
             SELECT name, time, round(value, 6) AS value FROM sl
             ORDER BY time, value
+        """,
+        # incremental materialized view: recompute from raw rows; the
+        # HLL estimate is exact at <=8 distinct per group (coupon mode).
+        "matview_incr": """
+            WITH base AS (
+              SELECT event_type AS name,
+                     CAST(FLOOR(value * 1000) AS BIGINT) AS val,
+                     user_id % 8 AS u
+              FROM events WHERE event_id < 3000)
+            SELECT name, count(*) AS n,
+                   CAST(sum(val) AS BIGINT) AS total,
+                   min(val) AS lo, max(val) AS hi,
+                   round(sum(val) * 1.0 / count(val), 6) AS mean,
+                   count(DISTINCT u) AS users
+            FROM base GROUP BY name ORDER BY name
         """,
         # overlapping token chunking: DuckDB list slicing mirrors the
         # Spark slice() arithmetic exactly (both 1-based inclusive).

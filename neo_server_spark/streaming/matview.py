@@ -1,0 +1,196 @@
+"""Incrementally-maintained materialized aggregate views over txlog
+tables (generalizes streaming/watch.TagStatTable, the r10 stretch).
+
+A classic warehouse materialized view recomputes O(table) per refresh;
+this consumer folds ONLY the files committed since its cursor into a
+persistent per-key partial-aggregate table:
+
+    refresh cost = scan(delta files) + O(keys) merge
+
+independent of the source size — the incremental view maintenance shape
+(Delta Live Tables / Materialize) built from nothing but the commit
+log's change feed.  The view itself is a txlog table: every refresh is
+one atomic versioned publish, the CDF cursor rides inside the rows
+(``_src_version``), and a restarted maintainer resumes exactly where it
+stopped instead of double-counting.
+
+Supported aggregates are the self-mergeable (algebraic) ones, stored as
+partials and finalized at read:
+
+    count            partial: count        merge: sum
+    sum              partial: sum          merge: sum
+    min / max        partial: min/max      merge: min/max
+    avg              partial: (sum, count) merge: sums    read: sum/cnt
+    approx_distinct  partial: HLL sketch   merge: hll_union_agg
+                     read: hll_sketch_estimate (lossless union — the
+                     same DataSketches property the rollup cascade's
+                     distinct-count path relies on, sqlx/rollup.py)
+
+Holistic aggregates (exact median, exact distinct) are rejected up
+front: they are not foldable and belong to a full recompute.
+
+Exactness contract: folds are exact for APPEND-ONLY sources (the tag /
+event layout).  Row-removing commits (DML deletes, overwrites) cannot
+be subtracted from a monoid partial, so ``refresh`` detects any commit
+in the polled range that removed files with ``dataChange=True`` and
+falls back to a full recompute of the view in the same atomic publish
+(still correct, costs one table scan — the Materialize "rehydrate"
+path); compactions (``dataChange=False``) stay invisible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo_server_spark import txlog
+from neo_server_spark.streaming.watch import TxLogWatcher
+
+__all__ = ["MatView"]
+
+_FNS = ("count", "sum", "min", "max", "avg", "approx_distinct")
+
+
+class MatView:
+    """``aggs`` maps output column -> (fn, source column); ``keys`` are
+    the view's grouping columns."""
+
+    def __init__(self, spark: SparkSession, src_table: str,
+                 view_table: str, keys: list[str],
+                 aggs: dict[str, tuple[str, str]]):
+        for out, (fn, _col) in aggs.items():
+            if fn not in _FNS:
+                raise ValueError(
+                    f"{out}: {fn!r} is not a self-mergeable aggregate "
+                    f"(supported: {', '.join(_FNS)})")
+        self.spark = spark
+        self.src_table = src_table
+        self.view_table = view_table
+        self.keys = list(keys)
+        self.aggs = dict(aggs)
+        self.watcher = TxLogWatcher(spark, src_table)
+        try:
+            row = txlog.read_table(spark, view_table) \
+                .agg(F.max("_src_version")).first()
+            self.watcher.version = int(row[0] or 0)
+        except FileNotFoundError:
+            pass
+
+    # ------------------------------------------------------------ partials
+
+    def _partial_cols(self) -> list[str]:
+        cols = []
+        for out, (fn, _c) in self.aggs.items():
+            if fn == "avg":
+                cols += [f"_sum_{out}", f"_cnt_{out}"]
+            else:
+                cols.append(f"_p_{out}")
+        return cols
+
+    def _partial_agg(self, df: DataFrame) -> DataFrame:
+        """Per-key partials of the raw rows (used for deltas AND for the
+        full-recompute fallback)."""
+        exprs = []
+        for out, (fn, c) in self.aggs.items():
+            if fn == "count":
+                exprs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
+            elif fn in ("sum", "min", "max"):
+                exprs.append(getattr(F, fn)(c).alias(f"_p_{out}"))
+            elif fn == "avg":
+                exprs += [F.sum(c).alias(f"_sum_{out}"),
+                          F.count(c).alias(f"_cnt_{out}")]
+            else:   # approx_distinct
+                exprs.append(F.hll_sketch_agg(c).alias(f"_p_{out}"))
+        return df.groupBy(*self.keys).agg(*exprs)
+
+    def _merge_agg(self, df: DataFrame) -> DataFrame:
+        """Fold two partial tables (prev ∪ fresh) key-wise."""
+        exprs = []
+        for out, (fn, _c) in self.aggs.items():
+            if fn in ("count", "sum"):
+                exprs.append(F.sum(f"_p_{out}").alias(f"_p_{out}"))
+            elif fn in ("min", "max"):
+                exprs.append(getattr(F, fn)(f"_p_{out}")
+                             .alias(f"_p_{out}"))
+            elif fn == "avg":
+                exprs += [F.sum(f"_sum_{out}").alias(f"_sum_{out}"),
+                          F.sum(f"_cnt_{out}").alias(f"_cnt_{out}")]
+            else:
+                exprs.append(F.hll_union_agg(f"_p_{out}")
+                             .alias(f"_p_{out}"))
+        return df.groupBy(*self.keys).agg(*exprs)
+
+    # ------------------------------------------------------------- refresh
+
+    def _range_removes_data(self, since: int, until: int) -> bool:
+        """True if any commit in (since, until] removed files while
+        claiming dataChange — a delete/overwrite the monoid fold cannot
+        express."""
+        import json
+        import os
+
+        d = os.path.join(self.src_table, "_txlog")
+        if not os.path.isdir(d):
+            return False
+        for fn in os.listdir(d):
+            if not fn.endswith(".json") or fn.startswith(".") \
+                    or fn.endswith(".checkpoint.json"):
+                continue
+            v = int(fn.split(".")[0])
+            if since < v <= until:
+                with open(os.path.join(d, fn)) as f:
+                    entry = json.load(f)
+                if entry.get("remove") and entry.get("dataChange", True):
+                    return True
+        return False
+
+    def refresh(self) -> dict:
+        """Fold the delta (or fully recompute after a row-removing
+        commit) and publish atomically.  Returns
+        ``{"mode": "noop"|"incremental"|"full", "delta_rows": n}``."""
+        since = self.watcher.version
+        delta = self.watcher.poll()
+        if delta is None:
+            return {"mode": "noop", "delta_rows": 0}
+        until = self.watcher.version
+        if self._range_removes_data(since, until):
+            full = self._partial_agg(
+                txlog.read_table(self.spark, self.src_table))
+            self._publish(full, until)
+            return {"mode": "full", "delta_rows": -1}
+        delta = delta.localCheckpoint(eager=True)
+        n = delta.count()
+        fresh = self._partial_agg(delta)
+        try:
+            prev = txlog.read_table(self.spark, self.view_table) \
+                .select(*self.keys, *self._partial_cols())
+            merged = self._merge_agg(prev.unionByName(fresh))
+        except FileNotFoundError:
+            merged = fresh
+        self._publish(merged, until)
+        return {"mode": "incremental", "delta_rows": int(n)}
+
+    def _publish(self, partials: DataFrame, src_version: int) -> None:
+        out = partials.withColumn("_src_version",
+                                  F.lit(int(src_version)))
+        # eager checkpoint cuts the self-read lineage before overwrite
+        txlog.write(out.localCheckpoint(eager=True), self.view_table,
+                    mode="overwrite")
+
+    # ---------------------------------------------------------------- read
+
+    def read(self) -> DataFrame:
+        """The finalized view: partials projected to their user-facing
+        values — an O(keys) read however large the source is."""
+        df = txlog.read_table(self.spark, self.view_table)
+        cols = [F.col(k) for k in self.keys]
+        for out, (fn, _c) in self.aggs.items():
+            if fn == "avg":
+                cols.append((F.col(f"_sum_{out}") /
+                             F.col(f"_cnt_{out}")).alias(out))
+            elif fn == "approx_distinct":
+                cols.append(F.hll_sketch_estimate(f"_p_{out}")
+                            .alias(out))
+            else:
+                cols.append(F.col(f"_p_{out}").alias(out))
+        return df.select(*cols)

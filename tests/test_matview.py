@@ -1,0 +1,106 @@
+"""Incremental materialized views (streaming/matview.py): delta folds
+match a from-scratch recompute for every supported aggregate, the
+cursor survives a restart, row-removing commits trigger the full
+fallback, and holistic aggregates are rejected."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from neo_server_spark import dml, txlog
+from neo_server_spark.streaming.matview import MatView
+
+
+def _mk(spark, lo, hi):
+    rows = [(i, "grp%d" % (i % 3), i % 7, float(i)) for i in range(lo, hi)]
+    return spark.createDataFrame(rows, "id long, g string, u long, v double")
+
+
+AGGS = {"n": ("count", "id"), "total": ("sum", "v"),
+        "lo": ("min", "v"), "hi": ("max", "v"),
+        "mean": ("avg", "v"), "users": ("approx_distinct", "u")}
+
+
+def _expect(spark, src):
+    # u has <= 7 distinct values per group: the HLL sketch is in its
+    # exact coupon range, so approx == exact here
+    df = txlog.read_table(spark, src)
+    return {r["g"]: r for r in df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.avg("v").alias("mean"),
+        F.countDistinct("u").alias("users")).collect()}
+
+
+def _got(view):
+    return {r["g"]: r for r in view.read().collect()}
+
+
+def test_incremental_matches_recompute(spark, tmp_path):
+    src = str(tmp_path / "src")
+    vt = str(tmp_path / "view")
+    txlog.write(_mk(spark, 0, 40), src)
+    mv = MatView(spark, src, vt, keys=["g"], aggs=AGGS)
+    assert mv.refresh()["mode"] == "incremental"
+    txlog.write(_mk(spark, 40, 90), src)
+    txlog.write(_mk(spark, 90, 130), src)
+    r = mv.refresh()
+    assert r["mode"] == "incremental" and r["delta_rows"] == 90
+    want, got = _expect(spark, src), _got(mv)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g]["n"] == want[g]["n"]
+        assert got[g]["total"] == pytest.approx(want[g]["total"])
+        assert (got[g]["lo"], got[g]["hi"]) == \
+            (want[g]["lo"], want[g]["hi"])
+        assert got[g]["mean"] == pytest.approx(want[g]["mean"])
+        assert got[g]["users"] == want[g]["users"]
+    assert mv.refresh() == {"mode": "noop", "delta_rows": 0}
+
+
+def test_cursor_survives_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    vt = str(tmp_path / "view")
+    txlog.write(_mk(spark, 0, 30), src)
+    MatView(spark, src, vt, keys=["g"], aggs=AGGS).refresh()
+    # a NEW maintainer resumes from the persisted cursor: an idle poll
+    # is a noop (no double count), a new commit folds incrementally
+    mv2 = MatView(spark, src, vt, keys=["g"], aggs=AGGS)
+    assert mv2.refresh()["mode"] == "noop"
+    txlog.write(_mk(spark, 30, 60), src)
+    r = mv2.refresh()
+    assert r["mode"] == "incremental" and r["delta_rows"] == 30
+    want, got = _expect(spark, src), _got(mv2)
+    for g in want:
+        assert got[g]["n"] == want[g]["n"]
+        assert got[g]["total"] == pytest.approx(want[g]["total"])
+
+
+def test_delete_triggers_full_recompute(spark, tmp_path):
+    src = str(tmp_path / "src")
+    vt = str(tmp_path / "view")
+    txlog.write(_mk(spark, 0, 50).coalesce(2), src)
+    mv = MatView(spark, src, vt, keys=["g"], aggs=AGGS)
+    mv.refresh()
+    dml.delete(spark, src, "id < 10")
+    txlog.write(_mk(spark, 50, 60), src)
+    r = mv.refresh()
+    assert r["mode"] == "full"
+    want, got = _expect(spark, src), _got(mv)
+    for g in want:
+        assert got[g]["n"] == want[g]["n"]
+        assert got[g]["total"] == pytest.approx(want[g]["total"])
+        assert got[g]["users"] == want[g]["users"]
+    # compaction is dataChange=False: NOT a fallback trigger
+    txlog.compact(spark, src, target_files=1)
+    txlog.write(_mk(spark, 60, 70), src)
+    r = mv.refresh()
+    assert r["mode"] == "incremental" and r["delta_rows"] == 10
+    want, got = _expect(spark, src), _got(mv)
+    for g in want:
+        assert got[g]["n"] == want[g]["n"]
+
+
+def test_holistic_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="self-mergeable"):
+        MatView(spark, "x", "y", keys=["g"],
+                aggs={"med": ("median", "v")})
