@@ -53,7 +53,8 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["commit", "write", "read_table", "changes", "checkpoint",
            "live_files", "pruned_files", "compact", "vacuum",
            "last_txn_version", "current_version", "version_at",
-           "stage_files", "TxConflict"]
+           "stage_files", "table_schema", "TxConflict",
+           "SchemaConflict"]
 
 _LOG = "_txlog"
 _DATA = "data"
@@ -62,6 +63,12 @@ _W = 20  # zero-padded version width keeps lexical == numeric order
 
 class TxConflict(RuntimeError):
     """Another writer took the version and retries were exhausted."""
+
+
+class SchemaConflict(RuntimeError):
+    """The write's schema is incompatible with the table's (type change,
+    or a new column without ``merge_schema=True``) — Delta's schema
+    enforcement."""
 
 
 def _log_dir(table: str) -> str:
@@ -91,9 +98,16 @@ def _list_log(table: str) -> tuple[int | None, list[str]]:
 
 
 def _replay(table: str, as_of: int | None = None
-            ) -> tuple[int, set[str], dict[str, int], dict[str, dict]]:
+            ) -> tuple[int, set[str], dict[str, int], dict[str, dict],
+                       dict]:
     """(current version, live file set, {app:epoch -> version} txn map,
-    {file -> column min/max stats}).
+    {file -> column min/max stats}, schema meta).
+
+    Schema meta: ``{"schema": [[name, type], ...] | None,
+    "seen": set[json]}`` — the table's current MERGED schema and the
+    distinct PHYSICAL file schemas still possibly live (read_table
+    unions footers only when len(seen) > 1; a full compaction resets
+    the set).
 
     Metadata cost is O(commits since the last checkpoint): the
     checkpoint snapshot carries the full live set, the txn map, AND the
@@ -132,6 +146,7 @@ def _replay(table: str, as_of: int | None = None
     live: set[str] = set()
     txns: dict[str, int] = {}
     stats: dict[str, dict] = {}
+    meta: dict = {"schema": None, "seen": set()}
     ver = 0
     if cp_ver is not None:
         with open(os.path.join(_log_dir(table),
@@ -140,6 +155,8 @@ def _replay(table: str, as_of: int | None = None
         live = set(snap["live"])
         txns = dict(snap.get("txns", {}))
         stats = dict(snap.get("stats", {}))
+        meta["schema"] = snap.get("schema")
+        meta["seen"] = set(snap.get("schemas_seen", []))
         ver = cp_ver
     for fn in tail:
         with open(os.path.join(_log_dir(table), fn)) as f:
@@ -153,10 +170,17 @@ def _replay(table: str, as_of: int | None = None
         for rel in removed:
             stats.pop(rel, None)
         stats.update(entry.get("stats", {}))
+        if entry.get("schema"):
+            meta["schema"] = entry["schema"]
+            fs = json.dumps(entry.get("file_schema") or entry["schema"])
+            if entry.get("schemaReset"):
+                meta["seen"] = {fs}
+            else:
+                meta["seen"].add(fs)
         t = entry.get("txn")
         if t:
             txns[f"{t['app']}:{t['epoch']}"] = ver
-    return ver, live, txns, stats
+    return ver, live, txns, stats, meta
 
 
 def version_at(table: str, timestamp_ms: int) -> int:
@@ -224,7 +248,7 @@ def _atomic_commit(table: str, entry: dict, retries: int = 20,
     d = _log_dir(table)
     os.makedirs(d, exist_ok=True)
     for _ in range(retries):
-        cur, live, _txns, _stats = _replay(table)
+        cur, live, _txns, _stats, _meta = _replay(table)
         if must_be_live is not None:
             gone = [rel for rel in must_be_live if rel not in live]
             if gone:
@@ -284,12 +308,50 @@ def _file_stats(table: str, rels: list[str],
     return out
 
 
+def table_schema(table: str) -> list[list[str]] | None:
+    """The table's current merged schema as ``[[name, type], ...]``
+    (None for pre-schema-tracking tables)."""
+    return _replay(table)[4]["schema"]
+
+
+def _df_schema(df: DataFrame) -> list[list[str]]:
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def _evolve_schema(cur: list[list[str]] | None, new: list[list[str]],
+                   merge_schema: bool) -> list[list[str]]:
+    """Schema enforcement + evolution (Delta semantics): same-name
+    columns must keep their type; columns the table has but the write
+    lacks are fine (readers fill nulls); NEW columns are appended to
+    the merged schema only under ``merge_schema=True``."""
+    if cur is None:
+        return new
+    cur_types = {n: t for n, t in cur}
+    added = []
+    for n, t in new:
+        if n in cur_types:
+            if cur_types[n] != t:
+                raise SchemaConflict(
+                    f"column {n!r} is {cur_types[n]} in the table but "
+                    f"{t} in the write; cast it or overwrite the table")
+        else:
+            added.append([n, t])
+    if added and not merge_schema:
+        raise SchemaConflict(
+            f"write adds column(s) {[n for n, _ in added]} not in the "
+            f"table schema; pass merge_schema=True to evolve")
+    return [list(c) for c in cur] + added
+
+
 def commit(table: str, add: list[str], mode: str = "append",
            txn: tuple[str, int] | None = None,
            stats: dict[str, dict] | None = None,
            data_change: bool = True,
            remove: list[str] | None = None,
-           must_be_live: list[str] | None = None) -> int:
+           must_be_live: list[str] | None = None,
+           schema: list[list[str]] | None = None,
+           file_schema: list[list[str]] | None = None,
+           schema_reset: bool = False) -> int:
     """Publish staged files.  mode='append' adds; mode='overwrite'
     removes the current live set in the same atomic entry; ``remove``
     names an explicit file set to retire (compaction).  Returns the
@@ -312,6 +374,12 @@ def commit(table: str, add: list[str], mode: str = "append",
         entry["stats"] = stats
     if not data_change:
         entry["dataChange"] = False
+    if schema:
+        entry["schema"] = schema
+        if file_schema and file_schema != schema:
+            entry["file_schema"] = file_schema
+        if schema_reset:
+            entry["schemaReset"] = True
     if mode == "overwrite":
         # remove set is computed INSIDE the retry loop from a fresh
         # replay, so a lost version race still retires the racer's files
@@ -325,10 +393,18 @@ def commit(table: str, add: list[str], mode: str = "append",
 
 def write(df: DataFrame, table: str, mode: str = "append",
           txn: tuple[str, int] | None = None,
-          stats_cols: list[str] | None = None) -> int:
+          stats_cols: list[str] | None = None,
+          merge_schema: bool = False) -> int:
     """Stage ``df`` as immutable parquet files under ``data/`` and commit
     them atomically.  Exactly-once when ``txn=(app, epoch)`` identifies
     the logical batch: a foreachBatch retry replays into a no-op.
+
+    Schema enforcement (Delta semantics): an append whose column types
+    conflict with the table's raises SchemaConflict; NEW columns are
+    rejected unless ``merge_schema=True``, which evolves the table
+    schema (old files' missing columns read as NULL).  An overwrite
+    replaces the schema outright.  The check is against the COMMIT LOG
+    (zero file reads) and the evolved schema rides in the commit entry.
 
     A pre-commit txn probe skips the WRITE too on replay (cheap), but
     correctness only needs the commit-time check — two racing attempts
@@ -336,9 +412,17 @@ def write(df: DataFrame, table: str, mode: str = "append",
     unlinked by its own commit() call."""
     if txn is not None and last_txn_version(table, txn[0], txn[1]) is not None:
         return last_txn_version(table, txn[0], txn[1])
+    new_schema = _df_schema(df)
+    if mode == "overwrite":
+        merged = new_schema
+    else:
+        merged = _evolve_schema(table_schema(table), new_schema,
+                                merge_schema)
     rels = stage_files(df, table)
     stats = _file_stats(table, rels, stats_cols) if stats_cols else None
-    return commit(table, rels, mode=mode, txn=txn, stats=stats)
+    return commit(table, rels, mode=mode, txn=txn, stats=stats,
+                  schema=merged, file_schema=new_schema,
+                  schema_reset=(mode == "overwrite"))
 
 
 def stage_files(df: DataFrame, table: str) -> list[str]:
@@ -366,7 +450,7 @@ def pruned_files(table: str, prune: dict[str, tuple] | None,
     """Live files whose footer stats intersect every ``{col: (lo, hi)}``
     range (None bound = open).  Files without recorded stats for a
     pruning column are conservatively kept."""
-    _ver, live, _txns, stats = _replay(table, as_of=as_of)
+    _ver, live, _txns, stats, _meta = _replay(table, as_of=as_of)
     if not prune:
         return sorted(live)
     out = []
@@ -406,6 +490,7 @@ def read_table(spark: SparkSession, table: str,
         if version_as_of is not None:
             raise ValueError("pass version_as_of OR timestamp_as_of_ms")
         version_as_of = version_at(table, timestamp_as_of_ms)
+    meta = _replay(table, as_of=version_as_of)[4]
     files = [os.path.join(table, rel)
              for rel in pruned_files(table, prune, as_of=version_as_of)]
     if not files:
@@ -415,6 +500,14 @@ def read_table(spark: SparkSession, table: str,
         any_file = os.path.join(table,
                                 live_files(table, as_of=version_as_of)[0])
         return spark.read.parquet(any_file).limit(0)
+    if len(meta["seen"]) > 1:
+        # evolved table: files carry heterogeneous physical schemas —
+        # union the footers (absent columns read as NULL) and project to
+        # the log's canonical column order.  Homogeneous tables (the
+        # common case, and any table after a full compaction resets the
+        # seen-set) skip the extra footer reads entirely.
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        return df.select(*[n for n, _t in meta["schema"]])
     return spark.read.parquet(*files)
 
 
@@ -437,7 +530,10 @@ def compact(spark: SparkSession, table: str,
     old = live_files(table)
     if not old:
         return _replay(table)[0]
-    df = spark.read.parquet(*[os.path.join(table, rel) for rel in old])
+    # read_table handles evolved (heterogeneous-schema) live sets; the
+    # rewrite homogenizes every file to the merged schema, so the commit
+    # RESETS the seen-schema set and later reads skip mergeSchema again
+    df = read_table(spark, table)
     if zorder_by:
         from neo_server_spark.operators.zorder import zorder_frame
 
@@ -450,7 +546,8 @@ def compact(spark: SparkSession, table: str,
     # list from a pre-compaction snapshot finishes its scan untouched
     # (Delta defers physical deletion to VACUUM's retention window);
     # vacuum() removes them once they age past retention
-    return commit(table, rels, remove=old, stats=stats, data_change=False)
+    return commit(table, rels, remove=old, stats=stats, data_change=False,
+                  schema=_df_schema(out), schema_reset=True)
 
 
 def changes(spark: SparkSession, table: str,
@@ -460,7 +557,7 @@ def changes(spark: SparkSession, table: str,
     nothing changed.  Removed files are not re-read: appends-only
     consumers (the watch/rollup shape) see each row exactly once, and
     ``dataChange=False`` commits (compaction rewrites) are skipped."""
-    cur, _live, _txns, _stats = _replay(table)
+    cur, _live, _txns, _stats, _meta = _replay(table)
     if cur <= since_version:
         return cur, None
     cp_ver, tail = _list_log(table)
@@ -489,7 +586,15 @@ def changes(spark: SparkSession, table: str,
                 and entry.get("dataChange", True):
             added.extend(entry.get("add", []))
     files = [os.path.join(table, rel) for rel in added]
-    return cur, spark.read.parquet(*files) if files else None
+    if not files:
+        return cur, None
+    if len(_meta["seen"]) > 1:
+        # evolved table: the polled range may span schema versions —
+        # union footers and project to the canonical column order so
+        # CDF consumers always see the merged schema
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        return cur, df.select(*[n for n, _t in _meta["schema"]])
+    return cur, spark.read.parquet(*files)
 
 
 DEFAULT_RETENTION_S = 24 * 3600.0
@@ -515,7 +620,7 @@ def vacuum(table: str, keep_log_from: int | None = None,
     call it only when no writer can be mid-commit (tests, single-writer
     maintenance).  Log truncation never crosses the latest checkpoint —
     a reader of any current snapshot observes nothing."""
-    _ver, live, _txns, _stats = _replay(table)
+    _ver, live, _txns, _stats, _meta = _replay(table)
     removed_files = 0
     now = time.time()
     ddir = os.path.join(table, _DATA)
@@ -570,11 +675,12 @@ def checkpoint(table: str) -> int:
     """Snapshot the live set + txn map at the current version so readers
     replay O(1) files instead of the whole log (Delta's parquet
     checkpoint, JSON here).  Returns the checkpointed version."""
-    ver, live, txns, stats = _replay(table)
+    ver, live, txns, stats, meta = _replay(table)
     d = _log_dir(table)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump({"version": ver, "live": sorted(live), "txns": txns,
-                   "stats": stats}, f)
+                   "stats": stats, "schema": meta["schema"],
+                   "schemas_seen": sorted(meta["seen"])}, f)
     os.rename(tmp, os.path.join(d, f"{ver:0{_W}d}.checkpoint.json"))
     return ver

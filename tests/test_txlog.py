@@ -568,3 +568,61 @@ def test_compact_zorder_multidim_skipping(spark, tmp_path):
         sorted(r.id for r in exp.collect())
     # CDF stays silent (dataChange=False) and rows identical
     assert txlog.read_table(spark, t).count() == 40_000
+
+
+def test_schema_enforcement_and_evolution(spark, tmp_path):
+    """Delta schema semantics off the commit log: type conflicts raise,
+    new columns need merge_schema=True, evolved tables read/CDF with the
+    merged schema (missing columns NULL), compaction homogenizes and
+    resets the merge-read path."""
+    t = str(tmp_path / "se")
+    txlog.write(_mk(spark, [(1, "a"), (2, "b")]), t)
+    assert txlog.table_schema(t) == [["id", "bigint"], ["v", "string"]]
+
+    # type conflict -> rejected, table untouched
+    bad = spark.createDataFrame([(3, 3.5)], "id long, v double")
+    with pytest.raises(txlog.SchemaConflict, match="column 'v'"):
+        txlog.write(bad, t)
+    # new column without the flag -> rejected
+    wide = spark.createDataFrame([(3, "c", 30)],
+                                 "id long, v string, score long")
+    with pytest.raises(txlog.SchemaConflict, match="merge_schema=True"):
+        txlog.write(wide, t)
+    assert txlog.read_table(spark, t).count() == 2
+
+    # evolution: merged schema appends the new column; old rows NULL
+    txlog.write(wide, t, merge_schema=True)
+    assert txlog.table_schema(t) == [
+        ["id", "bigint"], ["v", "string"], ["score", "bigint"]]
+    got = {r["id"]: r["score"]
+           for r in txlog.read_table(spark, t).collect()}
+    assert got == {1: None, 2: None, 3: 30}
+    # a narrower late write (missing `score`) is still compatible
+    txlog.write(_mk(spark, [(4, "d")]), t)
+    got = {r["id"]: r["score"]
+           for r in txlog.read_table(spark, t).collect()}
+    assert got[4] is None and got[3] == 30
+
+    # CDF across the evolution boundary sees the merged schema
+    _ver, delta = txlog.changes(spark, t, 0)
+    assert set(delta.columns) == {"id", "v", "score"}
+    assert delta.count() == 4
+
+    # checkpoint carries the schema meta; a post-checkpoint reader
+    # still merge-reads correctly
+    txlog.checkpoint(t)
+    assert txlog.table_schema(t)[-1] == ["score", "bigint"]
+    assert txlog.read_table(spark, t).count() == 4
+
+    # compaction homogenizes: one physical schema, merge path off
+    txlog.compact(spark, t, target_files=1)
+    from neo_server_spark.txlog import _replay
+    assert len(_replay(t)[4]["seen"]) == 1
+    got = {r["id"]: r["score"]
+           for r in txlog.read_table(spark, t).collect()}
+    assert got == {1: None, 2: None, 3: 30, 4: None}
+
+    # overwrite replaces the schema outright
+    txlog.write(bad, t, mode="overwrite")
+    assert txlog.table_schema(t) == [["id", "bigint"], ["v", "double"]]
+    assert txlog.read_table(spark, t).count() == 1
