@@ -183,6 +183,27 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
             .filter(F.col("count") > 1).limit(1).count() > 0:
         raise ValueError("merge source has duplicate keys on "
                          f"{on}; dedupe it first")
+    if prune is None:
+        # derive the prune window from the SOURCE key bounds: a target
+        # file whose logged [min,max] misses [min(src), max(src)] on a
+        # key column cannot contain a match, so the touched-file
+        # discovery never opens it.  One tiny agg over the (small)
+        # source; files without stats are conservatively kept by
+        # pruned_files, so this is always sound.
+        # string columns are excluded: parquet writers may TRUNCATE long
+        # string min/max stats, and a truncated max is a prefix (sorts
+        # LOWER than the real max) — pruning on it could wrongly skip a
+        # file.  Numeric/temporal stats are always exact.
+        safe = [c for c in on
+                if not source.schema[c].dataType.simpleString()
+                .startswith(("string", "binary", "varchar", "char"))]
+        if safe:
+            b = source.agg(*[x for c in safe
+                             for x in (F.min(c).alias(f"__lo_{c}"),
+                                       F.max(c).alias(f"__hi_{c}"))]
+                           ).first()
+            prune = {c: (b[f"__lo_{c}"], b[f"__hi_{c}"]) for c in safe
+                     if b[f"__lo_{c}"] is not None} or None
     keys = source.select(*on).distinct()
     bkeys = F.broadcast(keys) if keys.count() <= _BCAST_KEYS else keys
     cand, touched = _touched(

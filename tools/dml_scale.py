@@ -56,7 +56,10 @@ def main() -> None:
             (F.col("event_id") + k * 10_000_000).alias("event_id"),
             "user_id", "event_type",
             F.floor(F.col("value") * 1000).alias("val"))
-        txlog.write(df.coalesce(4), t, stats_cols=["event_id"])
+        # range layout: each file holds a tight disjoint id window, the
+        # shape a time-ordered ingest produces naturally
+        txlog.write(df.repartitionByRange(4, "event_id"), t,
+                    stats_cols=["event_id"])
     out["build_sec"] = round(time.time() - tick, 3)
     out["files"] = len(txlog.live_files(t))
 
