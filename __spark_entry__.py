@@ -3591,6 +3591,82 @@ def _q_matview_incr(spark, sf_dir):
             .orderBy("name"))
 
 
+def _q_auth_flow(spark, sf_dir):
+    """Auth surface end-to-end under the value-hash gate (server/auth.py
+    + the http_api middlewares; reference handleLogin http.go:663,
+    handleKeysGen http_facility.go:502, handleAuthToken http.go:458):
+    an anonymous /db/query is refused 401 -> login issues a JWT pair ->
+    the JWT mints a client API key over /web/api/keys -> the KEY (not
+    the JWT) runs the aggregate over /db/query -> deleting the key
+    closes the door again.  The returned rows came through the whole
+    authenticated HTTP path; the oracle recomputes the aggregate
+    directly, so equality certifies login, key issue/validate, the
+    gates, and the query route in one hash."""
+    import json as _json
+    import tempfile
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from neo_server_spark.server.auth import Authenticator
+    from neo_server_spark.server.http_api import EngineHttpServer
+
+    srv = EngineHttpServer(spark, sf_dir=sf_dir,
+                           fs_root=tempfile.mkdtemp(prefix="auth_flow_"),
+                           auth=Authenticator())
+    port = srv.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def call(path, body=None, bearer=None, method=None):
+        headers = {"Content-Type": "application/json"}
+        if bearer:
+            headers["Authorization"] = f"Bearer {bearer}"
+        req = urllib.request.Request(
+            base + path,
+            data=_json.dumps(body).encode() if body is not None else None,
+            headers=headers, method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return r.status, _json.loads(r.read())
+        except urllib.error.HTTPError as ex:
+            return ex.code, _json.loads(ex.read())
+    q = urllib.parse.quote(
+        "select event_type as name, cast(count(*) as long) as n, "
+        "round(sum(value), 6) as sv from events "
+        "group by event_type order by event_type")
+    try:
+        st, _ = call(f"/db/query?q={q}&format=json")
+        assert st == 401, "anonymous /db access must be refused"
+        st, _ = call("/web/api/login",
+                     {"loginName": "sys", "password": "wrong"})
+        assert st == 404, "bad password must be refused"
+        st, rsp = call("/web/api/login",
+                       {"loginName": "sys", "password": "manager"})
+        assert st == 200 and rsp["success"]
+        jwt = rsp["accessToken"]
+        st, rsp = call("/web/api/keys", {"name": "pipeline-01"},
+                       bearer=jwt)
+        assert st == 200 and rsp["token"].startswith("pipeline-01:b:")
+        key = rsp["token"]
+        st, rsp = call(f"/db/query?q={q}&format=json", bearer=key)
+        assert st == 200, rsp
+        cols = rsp["data"]["columns"]
+        # JSON drops the .0 on integral doubles: coerce per column type
+        rows = [(r[0], int(r[1]), float(r[2]))
+                for r in rsp["data"]["rows"]]
+        st, _ = call("/web/api/keys/pipeline-01", bearer=jwt,
+                     method="DELETE")
+        assert st == 200
+        st, _ = call(f"/db/query?q={q}&format=json", bearer=key)
+        assert st == 401, "deleted key must stop validating"
+    finally:
+        srv.stop()
+    assert [c.lower() for c in cols] == ["name", "n", "sv"]
+    return (spark.createDataFrame(rows,
+                                  "name string, n long, sv double")
+            .orderBy("name"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first
@@ -3657,6 +3733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "when_throttle": _q_when_throttle,
         # ---- window boundary: entries below rotate in next round ----
         "matview_incr": _q_matview_incr,
+        "auth_flow": _q_auth_flow,
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
         "tpch_q20": _q_tpch_q20,
@@ -6759,6 +6836,13 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY event_id LIMIT 50)
             SELECT name, time, round(value, 6) AS value FROM sl
             ORDER BY time, value
+        """,
+        # authenticated query flow: the rows travelled login -> key ->
+        # gated /db/query; the oracle recomputes the aggregate directly.
+        "auth_flow": """
+            SELECT event_type AS name, count(*) AS n,
+                   round(sum(value), 6) AS sv
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # incremental materialized view: recompute from raw rows; the
         # HLL estimate is exact at <=8 distinct per group (coupon mode).
