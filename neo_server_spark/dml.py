@@ -71,22 +71,41 @@ def _touched(spark: SparkSession, table: str, match,
     return cand, touched
 
 
+def _stage_cdf(parts: list[tuple[DataFrame, str]], table: str
+               ) -> list[str]:
+    """Write row-level change files (Delta CDF): each part is (rows,
+    _change_type).  Staged like data files — invisible until the DML's
+    commit references them."""
+    out: DataFrame | None = None
+    for df, ctype in parts:
+        tagged = df.withColumn("_change_type", F.lit(ctype))
+        out = tagged if out is None else out.unionByName(tagged)
+    if out is None:
+        return []
+    return txlog.stage_files(out, table, subdir="_cdf")
+
+
 def _rewrite_commit(spark: SparkSession, table: str, touched: list[str],
                     new_df: DataFrame | None,
-                    stats_cols: list[str] | None) -> int:
+                    stats_cols: list[str] | None,
+                    cdf_parts: list[tuple[DataFrame, str]] | None = None
+                    ) -> int:
     """Stage the rewrite (if any rows survive) and atomically swap it
-    for the touched files, with write-conflict detection."""
+    for the touched files, with write-conflict detection.  ``cdf_parts``
+    are (rows, change_type) frames to publish as the commit's row-level
+    change feed."""
+    import os
+
     rels = txlog.stage_files(new_df, table) if new_df is not None else []
     stats = (txlog._file_stats(table, rels, stats_cols)
              if stats_cols and rels else None)
+    cdf_rels = _stage_cdf(cdf_parts, table) if cdf_parts else []
     try:
         return txlog.commit(table, rels, remove=touched, stats=stats,
-                            must_be_live=touched)
+                            must_be_live=touched, cdf=cdf_rels or None)
     except txlog.TxConflict:
         # the rewrite is stale — drop its staged files before re-raising
-        import os
-
-        for rel in rels:
+        for rel in rels + cdf_rels:
             p = os.path.join(table, rel)
             if os.path.exists(p):
                 os.unlink(p)
@@ -95,13 +114,17 @@ def _rewrite_commit(spark: SparkSession, table: str, touched: list[str],
 
 def delete(spark: SparkSession, table: str, condition,
            prune: dict | None = None,
-           stats_cols: list[str] | None = None) -> dict:
+           stats_cols: list[str] | None = None,
+           cdf: bool = False) -> dict:
     """DELETE FROM table WHERE condition, copy-on-write.
 
     Rows where ``condition`` evaluates true are removed; false/NULL
-    rows are kept (SQL DELETE semantics).  Returns
-    ``{"version", "files_touched", "files_total"}``; version is the
-    pre-existing one when nothing matched (no empty commits)."""
+    rows are kept (SQL DELETE semantics).  ``cdf=True`` additionally
+    publishes the deleted rows as change files so
+    ``txlog.row_changes`` / subtractable MatViews can consume the
+    delete incrementally.  Returns ``{"version", "files_touched",
+    "files_total"}``; version is the pre-existing one when nothing
+    matched (no empty commits)."""
     cond = _cond(condition)
     cand, touched = _touched(spark, table, lambda d: d.filter(cond),
                              prune)
@@ -110,11 +133,14 @@ def delete(spark: SparkSession, table: str, condition,
                 "files_touched": 0, "files_total": len(cand)}
     import os
 
-    keep = (spark.read.parquet(*[os.path.join(table, r) for r in touched])
-            .filter(~F.coalesce(cond, F.lit(False))))
+    df = spark.read.parquet(*[os.path.join(table, r) for r in touched])
+    keep = df.filter(~F.coalesce(cond, F.lit(False)))
+    parts = [(df.filter(F.coalesce(cond, F.lit(False))), "delete")] \
+        if cdf else None
     # an all-matching file set rewrites to nothing: commit pure removal
     new_df = keep if not keep.isEmpty() else None
-    ver = _rewrite_commit(spark, table, touched, new_df, stats_cols)
+    ver = _rewrite_commit(spark, table, touched, new_df, stats_cols,
+                          cdf_parts=parts)
     return {"version": ver, "files_touched": len(touched),
             "files_total": len(cand)}
 
@@ -122,12 +148,15 @@ def delete(spark: SparkSession, table: str, condition,
 def update(spark: SparkSession, table: str, condition,
            assignments: dict[str, object],
            prune: dict | None = None,
-           stats_cols: list[str] | None = None) -> dict:
+           stats_cols: list[str] | None = None,
+           cdf: bool = False) -> dict:
     """UPDATE table SET col=expr, ... WHERE condition, copy-on-write.
 
     ``assignments`` maps column name -> SQL expression string (or
     Column) evaluated over the matching row; non-matching rows in a
-    touched file are rewritten byte-identical."""
+    touched file are rewritten byte-identical.  ``cdf=True`` publishes
+    the matched rows as update_preimage/update_postimage change
+    files."""
     cond = _cond(condition)
     cand, touched = _touched(spark, table, lambda d: d.filter(cond),
                              prune)
@@ -138,12 +167,25 @@ def update(spark: SparkSession, table: str, condition,
 
     df = spark.read.parquet(*[os.path.join(table, r) for r in touched])
     hit = F.coalesce(cond, F.lit(False))
+
+    def apply_assign(frame):
+        return frame.select(*[
+            (_cond(assignments[c]).cast(df.schema[c].dataType)
+             .alias(c)) if c in assignments else F.col(c)
+            for c in df.columns])
+
     out = df.select(*[
         (F.when(hit, _cond(assignments[c]).cast(df.schema[c].dataType))
           .otherwise(F.col(c)).alias(c)) if c in assignments
         else F.col(c)
         for c in df.columns])
-    ver = _rewrite_commit(spark, table, touched, out, stats_cols)
+    parts = None
+    if cdf:
+        pre = df.filter(hit)
+        parts = [(pre, "update_preimage"),
+                 (apply_assign(pre), "update_postimage")]
+    ver = _rewrite_commit(spark, table, touched, out, stats_cols,
+                          cdf_parts=parts)
     return {"version": ver, "files_touched": len(touched),
             "files_total": len(cand)}
 
@@ -154,7 +196,8 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
           when_not_matched: str = "insert",
           prune: dict | None = None,
           stats_cols: list[str] | None = None,
-          validate_unique: bool = True) -> dict:
+          validate_unique: bool = True,
+          cdf: bool = False) -> dict:
     """MERGE INTO table USING source ON key columns — the lakehouse
     upsert (Delta MERGE core shapes):
 
@@ -220,14 +263,26 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
     matched_keys = (tgt.select(*on).join(bkeys, on, "left_semi")
                     .distinct() if tgt is not None else None)
     parts: list[DataFrame] = []
+    cdf_parts: list[tuple[DataFrame, str]] = []
     rewrite_touched = touched and when_matched in ("update", "delete")
     if rewrite_touched:
         parts.append(tgt.join(bkeys, on, "left_anti"))   # unmatched tgt
+        matched_tgt = tgt.join(bkeys, on, "left_semi")
         if when_matched == "update":
-            parts.append(source.join(matched_keys, on, "left_semi"))
+            repl = source.join(matched_keys, on, "left_semi")
+            parts.append(repl)
+            if cdf:
+                cdf_parts += [
+                    (matched_tgt.select(*tgt_cols), "update_preimage"),
+                    (repl.select(*tgt_cols), "update_postimage")]
+        elif cdf:
+            cdf_parts.append((matched_tgt.select(*tgt_cols), "delete"))
     if when_not_matched == "insert":
-        parts.append(source.join(matched_keys, on, "left_anti")
-                     if matched_keys is not None else source)
+        inserts = (source.join(matched_keys, on, "left_anti")
+                   if matched_keys is not None else source)
+        parts.append(inserts)
+        if cdf:
+            cdf_parts.append((inserts.select(*tgt_cols), "insert"))
     elif not rewrite_touched:
         # keep+ignore handled above; delete/update with no touched
         # files and no inserts is a no-op
@@ -241,8 +296,10 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
         if not remove:
             return {"version": txlog.current_version(table),
                     "files_touched": 0, "files_total": len(cand)}
-        ver = _rewrite_commit(spark, table, remove, None, stats_cols)
+        ver = _rewrite_commit(spark, table, remove, None, stats_cols,
+                              cdf_parts=cdf_parts or None)
     else:
-        ver = _rewrite_commit(spark, table, remove, out, stats_cols)
+        ver = _rewrite_commit(spark, table, remove, out, stats_cols,
+                              cdf_parts=cdf_parts or None)
     return {"version": ver, "files_touched": len(remove),
             "files_total": len(cand)}

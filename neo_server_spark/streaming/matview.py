@@ -144,16 +144,74 @@ class MatView:
                     return True
         return False
 
+    def _subtractable(self) -> bool:
+        """count/sum/avg partials form a GROUP (not just a monoid): a
+        delete is the inverse element, so a row-level change feed can
+        be applied as a signed fold.  A count aggregate must be present
+        to elect group liveness (a group whose count reaches zero is
+        dropped).  min/max/HLL have no inverse — deletes there mean a
+        recompute."""
+        fns = {fn for fn, _c in self.aggs.values()}
+        return fns <= {"count", "sum", "avg"} and "count" in fns
+
+    def _signed_partial(self, rows: DataFrame) -> DataFrame:
+        """Per-key partials of a row-level change feed: +1 for
+        insert/update_postimage, -1 for delete/update_preimage."""
+        sign = F.when(F.col("_change_type")
+                      .isin("insert", "update_postimage"),
+                      F.lit(1)).otherwise(F.lit(-1))
+        exprs = []
+        for out, (fn, c) in self.aggs.items():
+            if fn == "count":
+                exprs.append(F.sum(sign).alias(f"_p_{out}"))
+            elif fn == "sum":
+                exprs.append(F.sum(sign * F.col(c)).alias(f"_p_{out}"))
+            else:   # avg
+                exprs += [F.sum(sign * F.col(c)).alias(f"_sum_{out}"),
+                          F.sum(F.when(F.col(c).isNull(), F.lit(0))
+                                .otherwise(sign)).alias(f"_cnt_{out}")]
+        return rows.groupBy(*self.keys).agg(*exprs)
+
     def refresh(self) -> dict:
-        """Fold the delta (or fully recompute after a row-removing
-        commit) and publish atomically.  Returns
-        ``{"mode": "noop"|"incremental"|"full", "delta_rows": n}``."""
+        """Fold the delta and publish atomically.  Returns
+        ``{"mode": "noop"|"incremental"|"cdf"|"full", "delta_rows": n}``.
+
+        Plain appends fold file-level (no change-file storage cost).
+        After a row-removing commit: if every aggregate is subtractable
+        AND the DML published row-level change files (cdf=True), the
+        feed is applied as a signed fold — still O(delta); otherwise
+        ONE full recompute in the same atomic publish."""
         since = self.watcher.version
         delta = self.watcher.poll()
         if delta is None:
             return {"mode": "noop", "delta_rows": 0}
         until = self.watcher.version
         if self._range_removes_data(since, until):
+            if self._subtractable():
+                try:
+                    _cur, rows = txlog.row_changes(
+                        self.spark, self.src_table, since)
+                except ValueError:
+                    rows = None      # a remove-commit without cdf files
+                if rows is not None:
+                    rows = rows.localCheckpoint(eager=True)
+                    n = rows.count()
+                    fresh = self._signed_partial(rows)
+                    try:
+                        prev = txlog.read_table(
+                            self.spark, self.view_table) \
+                            .select(*self.keys, *self._partial_cols())
+                        merged = self._merge_agg(
+                            prev.unionByName(fresh))
+                    except FileNotFoundError:
+                        merged = fresh
+                    count_col = next(
+                        f"_p_{out}"
+                        for out, (fn, _c) in self.aggs.items()
+                        if fn == "count")
+                    merged = merged.filter(F.col(count_col) > 0)
+                    self._publish(merged, until)
+                    return {"mode": "cdf", "delta_rows": int(n)}
             full = self._partial_agg(
                 txlog.read_table(self.spark, self.src_table))
             self._publish(full, until)

@@ -49,8 +49,10 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-__all__ = ["commit", "write", "read_table", "changes", "checkpoint",
+__all__ = ["commit", "write", "read_table", "changes", "row_changes",
+           "checkpoint",
            "live_files", "pruned_files", "compact", "vacuum",
            "last_txn_version", "current_version", "version_at",
            "stage_files", "table_schema", "TxConflict",
@@ -58,6 +60,7 @@ __all__ = ["commit", "write", "read_table", "changes", "checkpoint",
 
 _LOG = "_txlog"
 _DATA = "data"
+_CDF = "_cdf"
 _W = 20  # zero-padded version width keeps lexical == numeric order
 
 
@@ -351,7 +354,8 @@ def commit(table: str, add: list[str], mode: str = "append",
            must_be_live: list[str] | None = None,
            schema: list[list[str]] | None = None,
            file_schema: list[list[str]] | None = None,
-           schema_reset: bool = False) -> int:
+           schema_reset: bool = False,
+           cdf: list[str] | None = None) -> int:
     """Publish staged files.  mode='append' adds; mode='overwrite'
     removes the current live set in the same atomic entry; ``remove``
     names an explicit file set to retire (compaction).  Returns the
@@ -380,6 +384,11 @@ def commit(table: str, add: list[str], mode: str = "append",
             entry["file_schema"] = file_schema
         if schema_reset:
             entry["schemaReset"] = True
+    if cdf:
+        # row-level change files (Delta CDF): written by the DML that
+        # KNOWS exactly which rows changed, referenced by the commit so
+        # row_changes() can serve precise +/- deltas
+        entry["cdf"] = sorted(cdf)
     if mode == "overwrite":
         # remove set is computed INSIDE the retry loop from a fresh
         # replay, so a lost version race still retires the racer's files
@@ -425,20 +434,21 @@ def write(df: DataFrame, table: str, mode: str = "append",
                   schema_reset=(mode == "overwrite"))
 
 
-def stage_files(df: DataFrame, table: str) -> list[str]:
+def stage_files(df: DataFrame, table: str,
+                subdir: str = _DATA) -> list[str]:
     """Write ``df`` as fresh immutable UUID-named parquet files under
-    ``data/`` WITHOUT committing them — invisible to every reader until
-    a commit() publishes the returned relative paths.  A crash here
-    leaves garbage for vacuum(), never a torn table."""
-    os.makedirs(os.path.join(table, _DATA), exist_ok=True)
-    stage = os.path.join(table, _DATA, f"_staging-{uuid.uuid4().hex}")
+    ``subdir/`` WITHOUT committing them — invisible to every reader
+    until a commit() publishes the returned relative paths.  A crash
+    here leaves garbage for vacuum(), never a torn table."""
+    os.makedirs(os.path.join(table, subdir), exist_ok=True)
+    stage = os.path.join(table, subdir, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
     rels = []
     tag = uuid.uuid4().hex
     for k, fn in enumerate(sorted(os.listdir(stage))):
         if not fn.endswith(".parquet"):
             continue
-        rel = f"{_DATA}/{tag}-{k}.parquet"
+        rel = f"{subdir}/{tag}-{k}.parquet"
         os.rename(os.path.join(stage, fn), os.path.join(table, rel))
         rels.append(rel)
     shutil.rmtree(stage, ignore_errors=True)
@@ -597,6 +607,80 @@ def changes(spark: SparkSession, table: str,
     return cur, spark.read.parquet(*files)
 
 
+def _iter_entries(table: str, since_version: int) -> list[dict]:
+    """Commit entries with version > since_version, oldest first,
+    reading pre-checkpoint entries straight from disk while vacuum()
+    has not truncated them (same recovery rule as changes())."""
+    cp_ver, tail = _list_log(table)
+    scan = list(tail)
+    if cp_ver is not None and cp_ver > since_version:
+        d = _log_dir(table)
+        pre = sorted((n for n in os.listdir(d)
+                      if n.endswith(".json")
+                      and not n.startswith(".")
+                      and not n.endswith(".checkpoint.json")
+                      and since_version < _ver_of(n) <= cp_ver),
+                     key=_ver_of)
+        if not pre or _ver_of(pre[0]) != since_version + 1:
+            raise ValueError(
+                f"versions <= {cp_ver} were checkpointed and vacuumed; "
+                f"re-read the snapshot instead of polling from "
+                f"{since_version}")
+        scan = pre + scan
+    out = []
+    for fn in scan:
+        with open(os.path.join(_log_dir(table), fn)) as f:
+            entry = json.load(f)
+        if entry["version"] > since_version:
+            out.append(entry)
+    return out
+
+
+def row_changes(spark: SparkSession, table: str, since_version: int
+                ) -> tuple[int, DataFrame | None]:
+    """Row-level change feed (Delta CDF shape): every row changed after
+    ``since_version`` with ``_change_type`` in {insert, delete,
+    update_preimage, update_postimage} and ``_commit_version``.
+
+    Pure appends emit their added files as inserts (no extra storage —
+    the data files ARE the change).  DML commits emit the change files
+    the statement wrote at execution time (``dml.delete/update/merge``
+    with ``cdf=True``).  A row-removing commit WITHOUT recorded change
+    files cannot be served precisely and raises — re-read the snapshot
+    (same contract as Delta's table_changes over a non-CDF commit).
+    ``dataChange=False`` reorganizations are invisible."""
+    cur = _replay(table)[0]
+    if cur <= since_version:
+        return cur, None
+    parts: list[tuple[list[str], str | None, int]] = []
+    for entry in _iter_entries(table, since_version):
+        if not entry.get("dataChange", True):
+            continue
+        ver = entry["version"]
+        if entry.get("cdf"):
+            parts.append((entry["cdf"], None, ver))
+        elif entry.get("remove"):
+            raise ValueError(
+                f"version {ver} removed rows without change files; "
+                f"run the DML with cdf=True or re-read the snapshot")
+        elif entry.get("add"):
+            parts.append((entry["add"], "insert", ver))
+    frames = []
+    for rels, ctype, ver in parts:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table, r) for r in rels])
+        if ctype is not None:
+            df = df.withColumn("_change_type", F.lit(ctype))
+        frames.append(df.withColumn("_commit_version",
+                                    F.lit(ver).cast("long")))
+    if not frames:
+        return cur, None
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_, allowMissingColumns=True)
+    return cur, out
+
+
 DEFAULT_RETENTION_S = 24 * 3600.0
 
 
@@ -638,6 +722,32 @@ def vacuum(table: str, keep_log_from: int | None = None,
                 shutil.rmtree(full, ignore_errors=True)
                 removed_files += 1
             elif rel not in live:
+                os.unlink(full)
+                removed_files += 1
+    cdir = os.path.join(table, _CDF)
+    if os.path.isdir(cdir):
+        # change files referenced by a surviving commit entry stay
+        # (row_changes can still serve that range); unreferenced ones
+        # (truncated entries, crashed DML staging) age out
+        referenced: set[str] = set()
+        for fn in os.listdir(_log_dir(table)):
+            if fn.endswith(".json") and not fn.startswith(".") \
+                    and not fn.endswith(".checkpoint.json"):
+                with open(os.path.join(_log_dir(table), fn)) as f:
+                    referenced.update(json.load(f).get("cdf", []))
+        for fn in os.listdir(cdir):
+            rel = f"{_CDF}/{fn}"
+            full = os.path.join(cdir, fn)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age < retention_s:
+                continue
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+                removed_files += 1
+            elif rel not in referenced:
                 os.unlink(full)
                 removed_files += 1
     ldir = _log_dir(table)

@@ -193,3 +193,48 @@ def test_time_travel_vacuumed_version_raises(spark, tmp_path):
     txlog.vacuum(t, retention_s=0)            # truncates entries <= cp
     with pytest.raises(ValueError, match="vacuum"):
         txlog.live_files(t, as_of=2)
+
+
+def test_row_changes_cdf(spark, tmp_path):
+    """Row-level change feed: appends emit inserts from the data files;
+    DML with cdf=True emits precise delete / update pre+post rows;
+    a row-removing commit WITHOUT change files raises; vacuum keeps
+    referenced change files and reaps orphans past retention."""
+    t = _seed(spark, tmp_path)                 # v1..v4, ids 0..19
+    dml.delete(spark, t, "id IN (3, 7)", cdf=True)          # v5
+    dml.update(spark, t, "id = 11", {"v": "v + 5"}, cdf=True)   # v6
+    src = _mk(spark, [(0, "z", -1), (50, "z", -2)])
+    dml.merge(spark, t, src, on=["id"], cdf=True)           # v7
+    cur, rows = txlog.row_changes(spark, t, 0)
+    assert cur == 7
+    by = {}
+    for r in rows.collect():
+        by.setdefault(r["_change_type"], []).append(r)
+    assert sorted(r["id"] for r in by["insert"]
+                  if r["_commit_version"] <= 4) == list(range(20))
+    assert sorted(r["id"] for r in by["delete"]) == [3, 7]
+    pre = {r["id"]: r["v"] for r in by["update_preimage"]}
+    post = {r["id"]: r["v"] for r in by["update_postimage"]}
+    assert pre[11] == 110 and post[11] == 115      # update rows
+    assert pre[0] == 0 and post[0] == -1           # merge upsert rows
+    assert [r["id"] for r in by["insert"]
+            if r["_commit_version"] == 7] == [50]
+    # polling from v4 sees only the DML tail
+    _cur, tail_rows = txlog.row_changes(spark, t, 4)
+    assert tail_rows.filter("_change_type = 'insert'") \
+        .collect()[0]["id"] == 50
+    # a remove without cdf files cannot be served precisely
+    dml.delete(spark, t, "id = 12")                # v8, no cdf
+    with pytest.raises(ValueError, match="without change files"):
+        txlog.row_changes(spark, t, 7)
+    # vacuum: referenced cdf files survive, an orphan is reaped
+    import os
+
+    orphan = os.path.join(t, "_cdf", "orphan.parquet")
+    open(orphan, "wb").close()
+    old = 10**9
+    os.utime(orphan, (old, old))
+    n_cdf = len(os.listdir(os.path.join(t, "_cdf")))
+    txlog.vacuum(t, retention_s=3600)
+    left = os.listdir(os.path.join(t, "_cdf"))
+    assert len(left) == n_cdf - 1 and "orphan.parquet" not in left

@@ -104,3 +104,36 @@ def test_holistic_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="self-mergeable"):
         MatView(spark, "x", "y", keys=["g"],
                 aggs={"med": ("median", "v")})
+
+
+def test_cdf_signed_fold_on_delete(spark, tmp_path):
+    """When every aggregate is subtractable (count/sum/avg) and the DML
+    published row-level change files, a delete folds as a SIGNED delta
+    — no full recompute — and a group whose count reaches zero
+    disappears from the view."""
+    src = str(tmp_path / "src")
+    vt = str(tmp_path / "view")
+    aggs = {"n": ("count", "id"), "total": ("sum", "v"),
+            "mean": ("avg", "v")}
+    txlog.write(_mk(spark, 0, 60).repartition(3), src)
+    mv = MatView(spark, src, vt, keys=["g"], aggs=aggs)
+    assert mv.refresh()["mode"] == "incremental"
+    # delete one full group (g = 'grp1' <=> id % 3 == 1) plus a slice
+    dml.delete(spark, src, "id % 3 = 1", cdf=True)
+    dml.update(spark, src, "id = 9", {"v": "v + 100"}, cdf=True)
+    r = mv.refresh()
+    assert r["mode"] == "cdf", r
+    want, got = _expect(spark, src), _got(mv)
+    assert set(got) == set(want) == {"grp0", "grp2"}   # grp1 vanished
+    for g in want:
+        assert got[g]["n"] == want[g]["n"]
+        assert got[g]["total"] == pytest.approx(want[g]["total"])
+        assert got[g]["mean"] == pytest.approx(want[g]["mean"])
+    # a delete WITHOUT cdf files falls back to full, still exact
+    dml.delete(spark, src, "id = 12")
+    r = mv.refresh()
+    assert r["mode"] == "full"
+    want, got = _expect(spark, src), _got(mv)
+    for g in want:
+        assert got[g]["n"] == want[g]["n"]
+        assert got[g]["total"] == pytest.approx(want[g]["total"])
