@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["commit", "write", "read_table", "changes", "row_changes",
            "checkpoint",
-           "live_files", "pruned_files", "compact", "vacuum",
+           "live_files", "pruned_files", "compact", "restore", "vacuum",
            "last_txn_version", "current_version", "version_at",
            "stage_files", "table_schema", "TxConflict",
            "SchemaConflict"]
@@ -521,10 +521,42 @@ def read_table(spark: SparkSession, table: str,
     return spark.read.parquet(*files)
 
 
+def restore(table: str, version: int) -> int:
+    """Roll the table back to ``version`` (Delta RESTORE): ONE
+    metadata-only commit whose live set is the historical snapshot's —
+    the old files are still on disk until vacuum() ages them out, so
+    nothing is copied and the restore itself is O(files) log work.
+    The rolled-back history stays in the log (a restore of a restore
+    works, and time travel ABOVE the restored version still serves the
+    undone states).  Raises if the target version was vacuumed away.
+
+    Caveat (same as Delta): the restore commit re-adds files whose rows
+    CDF consumers may have already seen — appends-only consumers
+    (changes()/row_changes()) should re-read the snapshot after a
+    restore instead of folding the feed across it."""
+    cur, cur_live, _txns, _stats, _meta = _replay(table)
+    _ver, old_live, _t2, old_stats, old_meta = _replay(table,
+                                                      as_of=version)
+    entry: dict = {"add": sorted(old_live - cur_live),
+                   "remove": sorted(cur_live - old_live),
+                   "ts": int(time.time() * 1000),
+                   "restore_of": version}
+    if old_stats:
+        entry["stats"] = {rel: old_stats[rel]
+                          for rel in old_live if rel in old_stats}
+    if old_meta["schema"]:
+        entry["schema"] = old_meta["schema"]
+    # conflict detection: if a concurrent writer retires any file we
+    # plan to keep, the restore's snapshot arithmetic is stale
+    return _atomic_commit(table, entry,
+                          must_be_live=sorted(cur_live & old_live))
+
+
 def compact(spark: SparkSession, table: str,
             target_files: int = 1,
             stats_cols: list[str] | None = None,
-            zorder_by: list[str] | None = None) -> int:
+            zorder_by: list[str] | None = None,
+            prune: dict[str, tuple] | None = None) -> int:
     """Rewrite the live set into ``target_files`` larger files in ONE
     atomic commit (remove old + add new), marked ``dataChange=False`` so
     CDF consumers do not re-emit the rows — the OPTIMIZE half of the
@@ -537,13 +569,19 @@ def compact(spark: SparkSession, table: str,
     columns (operators/zorder.py) so the logged footer stats become
     tight on EVERY listed column — multi-dimensional data skipping for
     ``read_table(prune=...)``, Delta's OPTIMIZE ZORDER shape."""
-    old = live_files(table)
+    # ``prune`` compacts only the stat-intersecting subset — the 100-TB
+    # maintenance shape (compact ONE closed day/tag range, never the
+    # table); without it the whole live set rewrites
+    old = pruned_files(table, prune)
+    partial = prune is not None and len(old) < len(live_files(table))
     if not old:
         return _replay(table)[0]
     # read_table handles evolved (heterogeneous-schema) live sets; the
-    # rewrite homogenizes every file to the merged schema, so the commit
-    # RESETS the seen-schema set and later reads skip mergeSchema again
-    df = read_table(spark, table)
+    # rewrite homogenizes every file to the merged schema, so a FULL
+    # compaction RESETS the seen-schema set and later reads skip
+    # mergeSchema again (a partial one leaves untouched files as-is)
+    df = read_table(spark, table, prune=prune) if partial \
+        else read_table(spark, table)
     if zorder_by:
         from neo_server_spark.operators.zorder import zorder_frame
 
@@ -557,7 +595,8 @@ def compact(spark: SparkSession, table: str,
     # (Delta defers physical deletion to VACUUM's retention window);
     # vacuum() removes them once they age past retention
     return commit(table, rels, remove=old, stats=stats, data_change=False,
-                  schema=_df_schema(out), schema_reset=True)
+                  schema=_df_schema(out), schema_reset=not partial,
+                  must_be_live=old)
 
 
 def changes(spark: SparkSession, table: str,

@@ -238,3 +238,45 @@ def test_row_changes_cdf(spark, tmp_path):
     txlog.vacuum(t, retention_s=3600)
     left = os.listdir(os.path.join(t, "_cdf"))
     assert len(left) == n_cdf - 1 and "orphan.parquet" not in left
+
+
+def test_restore_rolls_back_metadata_only(spark, tmp_path):
+    """RESTORE: one metadata commit flips the live set back to the
+    historical snapshot (no data copied); restored history remains
+    time-travelable; restoring over a vacuumed version raises."""
+    t = _seed(spark, tmp_path)                 # v1..v4
+    files_v4 = set(txlog.live_files(t))
+    dml.delete(spark, t, "id < 10")            # v5
+    dml.update(spark, t, "id >= 15", {"v": "0"})   # v6
+    v = txlog.restore(t, 4)                    # v7
+    assert v == 7
+    assert _ids(spark, t) == list(range(20))
+    assert {r["v"] for r in txlog.read_table(spark, t)
+            .filter("id >= 15").collect()} == {150, 160, 170, 180, 190}
+    # metadata-only: the restored live set IS the v4 file set
+    assert set(txlog.live_files(t)) == files_v4
+    # the undone states remain readable above the restore point
+    assert _ids(spark, t, version_as_of=5) == list(range(10, 20))
+    # restore of a restore
+    txlog.restore(t, 5)
+    assert _ids(spark, t) == list(range(10, 20))
+
+
+def test_partial_compaction(spark, tmp_path):
+    """compact(prune=...) rewrites only the stat-intersecting subset —
+    the compact-one-closed-day maintenance shape; untouched files keep
+    their identity and rows stay exact."""
+    t = _seed(spark, tmp_path)                 # 4 files, ids 0..19
+    before = txlog.live_files(t)
+    v = txlog.compact(spark, t, target_files=1,
+                      prune={"id": (0, 9)}, stats_cols=["id"])
+    after = txlog.live_files(t)
+    # the two id>=10 files are untouched; the two id<10 merged into one
+    # (live_files sorts by uuid name, so compare as SETS: exactly two
+    # of the original files must survive identically)
+    assert len(after) == 3
+    assert len(set(before) & set(after)) == 2
+    assert _ids(spark, t) == list(range(20))
+    # CDF-silent: a consumer polling across it sees nothing new
+    cur, delta = txlog.changes(spark, t, v - 1)
+    assert delta is None
