@@ -97,6 +97,11 @@ BENCH_QUERIES = [
     "similarity_ivf_batch",
     "similarity_pq_rerank",
     "txlog_table",
+    # round-11 additions: copy-on-write DML + time travel round-trip,
+    # JVM-side overlapping chunking, incremental materialized view
+    "txlog_dml",
+    "doc_chunks",
+    "matview_incr",
 ]
 
 
@@ -163,7 +168,8 @@ def main() -> None:
         ("round7", BENCH_QUERIES[43:52]),
         ("round8", BENCH_QUERIES[52:62]),
         ("round9", BENCH_QUERIES[62:63]),
-        ("round10", BENCH_QUERIES[63:]),
+        ("round10", BENCH_QUERIES[63:66]),
+        ("round11", BENCH_QUERIES[66:]),
     ]
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
