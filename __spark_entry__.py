@@ -3667,6 +3667,50 @@ def _q_auth_flow(spark, sf_dir):
             .orderBy("name"))
 
 
+def _q_streaming_upsert(spark, sf_dir):
+    """Streaming CDC-apply upsert under the value-hash gate
+    (streaming/ingest.stream_upsert — foreachBatch MERGE with
+    txn=(run_key, epoch) exactly-once, per-batch latest-row election):
+    events become two ndjson waves with strictly increasing times
+    (event_id < 1500, then >= 1500), each drained as its own epoch into
+    a keyed txlog table; because wave-2 times exceed wave-1's, the final
+    table equals the global latest-per-key, which the oracle computes
+    with one window."""
+    import json as _json
+    import os
+    import tempfile
+
+    from neo_server_spark import txlog
+    from neo_server_spark.streaming import ingest
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 3000)
+          .select(F.concat(F.lit("u"), (F.col("user_id") % 97)
+                           .cast("string")).alias("name"),
+                  F.col("event_id").alias("time"),
+                  F.floor(F.col("value") * 1000).cast("double")
+                  .alias("value")))
+    rows = ev.collect()
+    root = tempfile.mkdtemp(prefix="stream_upsert_")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    tbl = os.path.join(root, "tbl")
+    ck = os.path.join(root, "ck")
+    for fname, lo, hi in (("w1.ndjson", 0, 1500),
+                          ("w2.ndjson", 1500, 3000)):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                if lo <= r["time"] < hi:
+                    f.write(_json.dumps(
+                        {"name": r["name"], "time": r["time"],
+                         "value": r["value"]}) + "\n")
+        q = ingest.stream_upsert(spark, src, tbl, ck, on=["name"],
+                                 order_col="time", stats_cols=["time"])
+        q.awaitTermination(120)
+    out = txlog.read_table(spark, tbl)
+    return out.select("name", "time", "value").orderBy("name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first
@@ -3734,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- window boundary: entries below rotate in next round ----
         "matview_incr": _q_matview_incr,
         "auth_flow": _q_auth_flow,
+        "streaming_upsert": _q_streaming_upsert,
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
         "tpch_q20": _q_tpch_q20,
@@ -6836,6 +6881,20 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY event_id LIMIT 50)
             SELECT name, time, round(value, 6) AS value FROM sl
             ORDER BY time, value
+        """,
+        # streaming CDC upsert: wave-2 times strictly exceed wave-1's,
+        # so the upserted state == global latest-per-key in one window.
+        "streaming_upsert": """
+            WITH base AS (
+              SELECT 'u' || CAST(user_id % 97 AS VARCHAR) AS name,
+                     event_id AS time,
+                     CAST(FLOOR(value * 1000) AS DOUBLE) AS value
+              FROM events WHERE event_id < 3000),
+            r AS (SELECT name, time, value,
+                         row_number() OVER (PARTITION BY name
+                                            ORDER BY time DESC) AS rn
+                  FROM base)
+            SELECT name, time, value FROM r WHERE rn = 1 ORDER BY name
         """,
         # authenticated query flow: the rows travelled login -> key ->
         # gated /db/query; the oracle recomputes the aggregate directly.

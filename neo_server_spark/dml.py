@@ -88,8 +88,8 @@ def _stage_cdf(parts: list[tuple[DataFrame, str]], table: str
 def _rewrite_commit(spark: SparkSession, table: str, touched: list[str],
                     new_df: DataFrame | None,
                     stats_cols: list[str] | None,
-                    cdf_parts: list[tuple[DataFrame, str]] | None = None
-                    ) -> int:
+                    cdf_parts: list[tuple[DataFrame, str]] | None = None,
+                    txn: tuple[str, int] | None = None) -> int:
     """Stage the rewrite (if any rows survive) and atomically swap it
     for the touched files, with write-conflict detection.  ``cdf_parts``
     are (rows, change_type) frames to publish as the commit's row-level
@@ -102,7 +102,8 @@ def _rewrite_commit(spark: SparkSession, table: str, touched: list[str],
     cdf_rels = _stage_cdf(cdf_parts, table) if cdf_parts else []
     try:
         return txlog.commit(table, rels, remove=touched, stats=stats,
-                            must_be_live=touched, cdf=cdf_rels or None)
+                            must_be_live=touched, cdf=cdf_rels or None,
+                            txn=txn)
     except txlog.TxConflict:
         # the rewrite is stale — drop its staged files before re-raising
         for rel in rels + cdf_rels:
@@ -115,7 +116,8 @@ def _rewrite_commit(spark: SparkSession, table: str, touched: list[str],
 def delete(spark: SparkSession, table: str, condition,
            prune: dict | None = None,
            stats_cols: list[str] | None = None,
-           cdf: bool = False) -> dict:
+           cdf: bool = False,
+           txn: tuple[str, int] | None = None) -> dict:
     """DELETE FROM table WHERE condition, copy-on-write.
 
     Rows where ``condition`` evaluates true are removed; false/NULL
@@ -125,6 +127,13 @@ def delete(spark: SparkSession, table: str, condition,
     delete incrementally.  Returns ``{"version", "files_touched",
     "files_total"}``; version is the pre-existing one when nothing
     matched (no empty commits)."""
+    if txn is not None:
+        prior = txlog.last_txn_version(table, txn[0], txn[1])
+        if prior is not None:
+            # exactly-once replay (foreachBatch retry): the statement
+            # already committed as this (app, epoch) — no-op
+            return {"version": prior, "files_touched": 0,
+                    "files_total": 0, "replayed": True}
     cond = _cond(condition)
     cand, touched = _touched(spark, table, lambda d: d.filter(cond),
                              prune)
@@ -140,7 +149,7 @@ def delete(spark: SparkSession, table: str, condition,
     # an all-matching file set rewrites to nothing: commit pure removal
     new_df = keep if not keep.isEmpty() else None
     ver = _rewrite_commit(spark, table, touched, new_df, stats_cols,
-                          cdf_parts=parts)
+                          cdf_parts=parts, txn=txn)
     return {"version": ver, "files_touched": len(touched),
             "files_total": len(cand)}
 
@@ -149,7 +158,8 @@ def update(spark: SparkSession, table: str, condition,
            assignments: dict[str, object],
            prune: dict | None = None,
            stats_cols: list[str] | None = None,
-           cdf: bool = False) -> dict:
+           cdf: bool = False,
+           txn: tuple[str, int] | None = None) -> dict:
     """UPDATE table SET col=expr, ... WHERE condition, copy-on-write.
 
     ``assignments`` maps column name -> SQL expression string (or
@@ -157,6 +167,13 @@ def update(spark: SparkSession, table: str, condition,
     touched file are rewritten byte-identical.  ``cdf=True`` publishes
     the matched rows as update_preimage/update_postimage change
     files."""
+    if txn is not None:
+        prior = txlog.last_txn_version(table, txn[0], txn[1])
+        if prior is not None:
+            # exactly-once replay (foreachBatch retry): the statement
+            # already committed as this (app, epoch) — no-op
+            return {"version": prior, "files_touched": 0,
+                    "files_total": 0, "replayed": True}
     cond = _cond(condition)
     cand, touched = _touched(spark, table, lambda d: d.filter(cond),
                              prune)
@@ -185,7 +202,7 @@ def update(spark: SparkSession, table: str, condition,
         parts = [(pre, "update_preimage"),
                  (apply_assign(pre), "update_postimage")]
     ver = _rewrite_commit(spark, table, touched, out, stats_cols,
-                          cdf_parts=parts)
+                          cdf_parts=parts, txn=txn)
     return {"version": ver, "files_touched": len(touched),
             "files_total": len(cand)}
 
@@ -197,7 +214,8 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
           prune: dict | None = None,
           stats_cols: list[str] | None = None,
           validate_unique: bool = True,
-          cdf: bool = False) -> dict:
+          cdf: bool = False,
+          txn: tuple[str, int] | None = None) -> dict:
     """MERGE INTO table USING source ON key columns — the lakehouse
     upsert (Delta MERGE core shapes):
 
@@ -214,6 +232,13 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
     ``validate_unique`` rejects a source with duplicate keys — two
     source rows matching one target row is non-deterministic (the same
     error Delta raises)."""
+    if txn is not None:
+        prior = txlog.last_txn_version(table, txn[0], txn[1])
+        if prior is not None:
+            # exactly-once replay (foreachBatch retry): the statement
+            # already committed as this (app, epoch) — no-op
+            return {"version": prior, "files_touched": 0,
+                    "files_total": 0, "replayed": True}
     if when_matched not in ("update", "delete", "keep"):
         raise ValueError(f"when_matched={when_matched!r}")
     if when_not_matched not in ("insert", "ignore"):
@@ -297,9 +322,9 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
             return {"version": txlog.current_version(table),
                     "files_touched": 0, "files_total": len(cand)}
         ver = _rewrite_commit(spark, table, remove, None, stats_cols,
-                              cdf_parts=cdf_parts or None)
+                              cdf_parts=cdf_parts or None, txn=txn)
     else:
         ver = _rewrite_commit(spark, table, remove, out, stats_cols,
-                              cdf_parts=cdf_parts or None)
+                              cdf_parts=cdf_parts or None, txn=txn)
     return {"version": ver, "files_touched": len(remove),
             "files_total": len(cand)}

@@ -184,6 +184,69 @@ def stream_append(
     return writer.start()
 
 
+def stream_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint: str,
+    on: list[str],
+    order_col: str,
+    fmt: str = "ndjson",
+    trigger_available_now: bool = True,
+    stats_cols: list[str] | None = None,
+    cdf: bool = False,
+):
+    """Streaming UPSERT sink — the CDC-apply shape (Delta's
+    foreachBatch-MERGE pattern): tail ``source_dir``, decode, elect one
+    row per key within each micro-batch (the ``order_col``-latest, ties
+    broken by the row itself so replays are bit-stable), and MERGE it
+    into a txlog table keyed on ``on``.
+
+    Exactly-once: the merge commits with txn=(run_key, epoch) — a
+    foreachBatch retry probes the log and collapses to a no-op BEFORE
+    doing any work, and a crash between the merge's rewrite and its
+    commit leaves only invisible staged files.  Copy-on-write: each
+    epoch rewrites only the files containing matched keys (stats-pruned
+    from the batch's own key bounds, dml.merge auto-prune).
+
+    First epoch against a missing table bootstraps it with a plain
+    transactional write.  ``cdf=True`` publishes row-level change files
+    per epoch (txlog.row_changes serves the downstream feed)."""
+    from neo_server_spark import dml, txlog
+
+    decoder = DECODERS[fmt]
+    lines = spark.readStream.format("text").load(source_dir)
+    decoded = decoder(lines)
+    app = _run_key(checkpoint)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if txlog.last_txn_version(table_path, app, int(batch_id)) \
+                is not None:
+            return                    # replayed epoch: no-op
+        cols = [c for c in batch_df.columns]
+        latest = (batch_df.groupBy(*on).agg(
+            F.max_by(F.struct(*[c for c in cols if c not in on]),
+                     F.struct(F.col(order_col),
+                              *[F.col(c) for c in cols
+                                if c not in on])).alias("__r"))
+            .select(*on, "__r.*"))
+        import os
+
+        if not os.path.isdir(os.path.join(table_path, "_txlog")):
+            txlog.write(latest, table_path, txn=(app, int(batch_id)),
+                        stats_cols=stats_cols)
+            return
+        dml.merge(spark, table_path, latest, on=on,
+                  stats_cols=stats_cols, cdf=cdf,
+                  txn=(app, int(batch_id)), validate_unique=False)
+
+    writer = (decoded.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_rollup(
     spark: SparkSession,
     source_dir: str,

@@ -366,7 +366,7 @@ def commit(table: str, add: list[str], mode: str = "append",
     if txn is not None:
         prior = last_txn_version(table, txn[0], txn[1])
         if prior is not None:
-            for rel in add:
+            for rel in list(add) + list(cdf or []):
                 p = os.path.join(table, rel)
                 if os.path.exists(p):
                     os.unlink(p)

@@ -693,3 +693,54 @@ def test_rollup_hll_approx_distinct(spark, tmp_path):
                   F2.hll_union_agg("hll")).alias("d")))
     assert {(x["name"], x["d"]) for x in folded.collect()} == \
         {(x["name"], x["d"]) for x in raw.collect()}
+
+
+def test_stream_upsert_cdc_apply(spark, tmp_path):
+    """Streaming UPSERT (CDC apply): per micro-batch the order_col-latest
+    row per key merges into a txlog table; restarts with the same
+    checkpoint replay into no-ops; later epochs overwrite earlier keys
+    and the change feed serves the row-level history."""
+    from neo_server_spark import txlog
+
+    src = tmp_path / "cdc"
+    table = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ck_up")
+    _write_lines(str(src / "b1.ndjson"), [
+        json.dumps({"name": "s1", "time": 100, "value": 1.0}),
+        json.dumps({"name": "s1", "time": 200, "value": 2.0}),   # wins
+        json.dumps({"name": "s2", "time": 100, "value": 3.0}),
+    ])
+    q = ingest.stream_upsert(spark, str(src), table, ckpt,
+                             on=["name"], order_col="time",
+                             stats_cols=["time"], cdf=True)
+    q.awaitTermination(60)
+    got = {r["name"]: (r["time"], r["value"])
+           for r in txlog.read_table(spark, table).collect()}
+    assert got == {"s1": (200, 2.0), "s2": (100, 3.0)}
+    v1 = txlog.current_version(table)
+    # restart on the same checkpoint: nothing replays
+    q2 = ingest.stream_upsert(spark, str(src), table, ckpt,
+                              on=["name"], order_col="time",
+                              stats_cols=["time"], cdf=True)
+    q2.awaitTermination(60)
+    assert txlog.current_version(table) == v1
+    # second wave: update s2, insert s3
+    _write_lines(str(src / "b2.ndjson"), [
+        json.dumps({"name": "s2", "time": 500, "value": 9.0}),
+        json.dumps({"name": "s3", "time": 50, "value": 7.0}),
+    ])
+    q3 = ingest.stream_upsert(spark, str(src), table, ckpt,
+                              on=["name"], order_col="time",
+                              stats_cols=["time"], cdf=True)
+    q3.awaitTermination(60)
+    got = {r["name"]: (r["time"], r["value"])
+           for r in txlog.read_table(spark, table).collect()}
+    assert got == {"s1": (200, 2.0), "s2": (500, 9.0),
+                   "s3": (50, 7.0)}
+    # the merge epoch published row-level changes
+    _cur, rows = txlog.row_changes(spark, table, v1)
+    by = {}
+    for r in rows.collect():
+        by.setdefault(r["_change_type"], set()).add(r["name"])
+    assert by["update_postimage"] == {"s2"}
+    assert by["insert"] == {"s3"}
