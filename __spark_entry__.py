@@ -3711,6 +3711,41 @@ def _q_streaming_upsert(spark, sf_dir):
     return out.select("name", "time", "value").orderBy("name")
 
 
+def _q_scd2_dimension(spark, sf_dir):
+    """SCD Type-2 dimension maintenance under the value-hash gate
+    (dml.scd2_apply — Kimball dimension history as copy-on-write over
+    the txlog): snapshot 1 (max event_type per user bucket over
+    event_id < 1500) bootstraps the dimension at eff=1000; snapshot 2
+    (>= 1500) applies at eff=2000 — changed keys close their current
+    version and open a new one, unchanged keys produce NO version
+    churn, new keys insert.  The oracle rebuilds the same version
+    table with a FULL OUTER JOIN of the two snapshots."""
+    import os
+    import tempfile
+
+    from neo_server_spark import dml, txlog
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 3000))
+    w1 = (ev.filter(F.col("event_id") < 1500)
+          .groupBy((F.col("user_id") % 200).alias("k"))
+          .agg(F.max("event_type").alias("attr")))
+    w2 = (ev.filter(F.col("event_id") >= 1500)
+          .groupBy((F.col("user_id") % 200).alias("k"))
+          .agg(F.max("event_type").alias("attr")))
+    t = os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim")
+    txlog.write(dml.scd2_init(w1, F.lit(1000).cast("long"))
+                .repartition(2), t)
+    res = dml.scd2_apply(
+        spark, t, w2.withColumn("eff", F.lit(2000).cast("long")),
+        on=["k"], attrs=["attr"], effective_col="eff")
+    assert res["files_touched"] >= 1
+    return (txlog.read_table(spark, t)
+            .select("k", "attr", "_valid_from", "_valid_to",
+                    "_is_current")
+            .orderBy("k", "_valid_from"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first
@@ -3779,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_incr": _q_matview_incr,
         "auth_flow": _q_auth_flow,
         "streaming_upsert": _q_streaming_upsert,
+        "scd2_dimension": _q_scd2_dimension,
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
         "tpch_q20": _q_tpch_q20,
@@ -6881,6 +6917,38 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY event_id LIMIT 50)
             SELECT name, time, round(value, 6) AS value FROM sl
             ORDER BY time, value
+        """,
+        # SCD2: rebuild the version table from the two snapshots.
+        "scd2_dimension": """
+            WITH w1 AS (
+              SELECT user_id % 200 AS k, max(event_type) AS attr
+              FROM events WHERE event_id < 1500 GROUP BY 1),
+            w2 AS (
+              SELECT user_id % 200 AS k, max(event_type) AS attr
+              FROM events WHERE event_id >= 1500 AND event_id < 3000
+              GROUP BY 1),
+            closed AS (
+              SELECT w1.k, w1.attr,
+                     CAST(1000 AS BIGINT) AS _valid_from,
+                     CAST(2000 AS BIGINT) AS _valid_to,
+                     FALSE AS _is_current
+              FROM w1 JOIN w2 ON w1.k = w2.k WHERE w1.attr <> w2.attr),
+            cur AS (
+              SELECT COALESCE(w2.k, w1.k) AS k,
+                     CASE WHEN w2.k IS NULL THEN w1.attr
+                          WHEN w1.k IS NULL THEN w2.attr
+                          WHEN w1.attr = w2.attr THEN w1.attr
+                          ELSE w2.attr END AS attr,
+                     CAST(CASE WHEN w2.k IS NULL THEN 1000
+                          WHEN w1.k IS NULL THEN 2000
+                          WHEN w1.attr = w2.attr THEN 1000
+                          ELSE 2000 END AS BIGINT) AS _valid_from,
+                     CAST(NULL AS BIGINT) AS _valid_to,
+                     TRUE AS _is_current
+              FROM w1 FULL OUTER JOIN w2 ON w1.k = w2.k)
+            SELECT k, attr, _valid_from, _valid_to, _is_current
+            FROM (SELECT * FROM closed UNION ALL SELECT * FROM cur)
+            ORDER BY k, _valid_from
         """,
         # streaming CDC upsert: wave-2 times strictly exceed wave-1's,
         # so the upserted state == global latest-per-key in one window.

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from neo_server_spark import txlog
 
-__all__ = ["delete", "update", "merge"]
+__all__ = ["delete", "update", "merge", "scd2_init", "scd2_apply"]
 
 # broadcast the merge-source key set below this many keys; above it the
 # touched-file semi-join falls back to a shuffle join (AQE still picks
@@ -327,4 +327,117 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
         ver = _rewrite_commit(spark, table, remove, out, stats_cols,
                               cdf_parts=cdf_parts or None, txn=txn)
     return {"version": ver, "files_touched": len(remove),
+            "files_total": len(cand)}
+
+
+def scd2_init(df: DataFrame, effective_col) -> DataFrame:
+    """Bootstrap a Type-2 slowly-changing dimension from an initial
+    snapshot: every row becomes the OPEN version (_valid_from =
+    effective, _valid_to = NULL, _is_current = true)."""
+    eff = _cond(effective_col) if isinstance(effective_col, str) \
+        else effective_col
+    return (df.withColumn("_valid_from", eff)
+            .withColumn("_valid_to",
+                        F.lit(None).cast(df.select(eff).schema[0].dataType))
+            .withColumn("_is_current", F.lit(True)))
+
+
+def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
+               on: list[str], attrs: list[str], effective_col: str,
+               stats_cols: list[str] | None = None,
+               txn: tuple[str, int] | None = None) -> dict:
+    """SCD Type-2 apply (Kimball dimension history), copy-on-write:
+
+    * a source key with a DIFFERENT attribute tuple than its current
+      row CLOSES that row (_valid_to = source effective time,
+      _is_current = false) and inserts the new open version;
+    * an unseen key inserts its first open version;
+    * an identical attribute tuple is a no-op (no version churn).
+
+    Only files holding CURRENT rows of source keys are rewritten
+    (historical versions of other files are never touched — at 100 TB
+    the dimension's history bulk stays cold).  One atomic
+    conflict-checked commit; ``txn`` gives foreachBatch exactly-once.
+    NULL-safe attribute comparison (<=>): NULL -> value and value ->
+    NULL both count as changes."""
+    if txn is not None:
+        prior = txlog.last_txn_version(table, txn[0], txn[1])
+        if prior is not None:
+            return {"version": prior, "files_touched": 0,
+                    "files_total": 0, "replayed": True}
+    if source.groupBy(*on).count().filter(F.col("count") > 1) \
+            .limit(1).count() > 0:
+        raise ValueError(f"scd2 source has duplicate keys on {on}")
+    keys = source.select(*on).distinct()
+    bkeys = F.broadcast(keys) if keys.count() <= _BCAST_KEYS else keys
+    cand, touched = _touched(
+        spark, table,
+        lambda d: d.filter(F.col("_is_current"))
+                   .join(bkeys, on, "left_semi"),
+        None)
+    import os
+
+    tgt_cols = txlog.read_table(spark, table).columns
+    s = source.select(*on, *attrs,
+                      F.col(effective_col).alias("__eff"))
+    tgt = (spark.read.parquet(*[os.path.join(table, r) for r in touched])
+           if touched else None)
+    if tgt is not None:
+        cur = tgt.filter(F.col("_is_current"))
+        probe = cur.select(*on,
+                           *[F.col(a).alias(f"__c_{a}") for a in attrs],
+                           F.lit(True).alias("__present"))
+        j = s.join(F.broadcast(probe) if keys.count() <= _BCAST_KEYS
+                   else probe, on, "left")
+    else:
+        j = s.withColumn("__present", F.lit(None).cast("boolean"))
+        for a in attrs:
+            j = j.withColumn(f"__c_{a}", F.lit(None))
+    differs = F.lit(False)
+    for a in attrs:
+        differs = differs | ~F.col(a).eqNullSafe(F.col(f"__c_{a}"))
+    news = j.filter(F.col("__present").isNull())
+    changed = j.filter(F.col("__present").isNotNull() & differs)
+    changed_keys = changed.select(*on).localCheckpoint(eager=True) \
+        if tgt is not None else None
+    parts: list[DataFrame] = []
+    if tgt is not None:
+        ck = F.broadcast(changed_keys)
+        # untouched rows of touched files: history + unchanged currents
+        parts.append(tgt.join(
+            ck, on, "left_anti").unionByName(
+            tgt.filter(~F.col("_is_current"))
+               .join(ck, on, "left_semi")))
+        # closed versions: current rows of changed keys, stamped with
+        # the source row's effective time
+        closing = (tgt.filter(F.col("_is_current"))
+                   .join(ck, on, "left_semi")
+                   .join(changed.select(*on, "__eff"), on, "inner"))
+        parts.append(closing.select(
+            *[F.col("__eff").alias("_valid_to")
+              if c == "_valid_to"
+              else (F.lit(False).alias("_is_current")
+                    if c == "_is_current" else F.col(c))
+              for c in tgt_cols]))
+    opens = changed.unionByName(news) if tgt is not None else news
+
+    def open_rows(frame):
+        base = frame.select(*on, *attrs, F.col("__eff"))
+        out = (base.withColumn("_valid_from", F.col("__eff"))
+               .withColumn("_valid_to",
+                           F.lit(None).cast(
+                               base.schema["__eff"].dataType))
+               .withColumn("_is_current", F.lit(True))
+               .drop("__eff"))
+        return out
+    parts.append(open_rows(opens))
+    out = parts[0].select(*tgt_cols)
+    for p in parts[1:]:
+        out = out.unionByName(p.select(*tgt_cols))
+    if out.isEmpty() and not touched:
+        return {"version": txlog.current_version(table),
+                "files_touched": 0, "files_total": len(cand)}
+    ver = _rewrite_commit(spark, table, touched, out, stats_cols,
+                          txn=txn)
+    return {"version": ver, "files_touched": len(touched),
             "files_total": len(cand)}

@@ -280,3 +280,50 @@ def test_partial_compaction(spark, tmp_path):
     # CDF-silent: a consumer polling across it sees nothing new
     cur, delta = txlog.changes(spark, t, v - 1)
     assert delta is None
+
+
+def test_scd2_apply(spark, tmp_path):
+    """Type-2 dimension apply: changed keys close their current version
+    and open a new one, unchanged keys are no-ops (no version churn),
+    new keys insert, history rows never rewrite, txn replays no-op."""
+    t = str(tmp_path / "dim")
+    snap = spark.createDataFrame(
+        [(1, "NY", "gold"), (2, "LA", "silver"), (3, "SF", "gold")],
+        "k long, city string, tier string")
+    txlog.write(dml.scd2_init(snap, F.lit(100)).coalesce(1), t)
+    src = spark.createDataFrame(
+        [(1, "NY", "plat"),      # tier changes -> close + open
+         (2, "LA", "silver"),    # identical -> no-op
+         (4, "TX", "gold")],     # new key -> insert
+        "k long, city string, tier string") \
+        .withColumn("eff", F.lit(200))
+    res = dml.scd2_apply(spark, t, src, on=["k"],
+                         attrs=["city", "tier"], effective_col="eff",
+                         txn=("dim", 0))
+    assert res["files_touched"] == 1
+    rows = {(r["k"], r["_is_current"]):
+            (r["city"], r["tier"], r["_valid_from"], r["_valid_to"])
+            for r in txlog.read_table(spark, t).collect()}
+    assert rows[(1, False)] == ("NY", "gold", 100, 200)   # closed
+    assert rows[(1, True)] == ("NY", "plat", 200, None)   # new version
+    assert rows[(2, True)] == ("LA", "silver", 100, None)  # untouched
+    assert rows[(3, True)] == ("SF", "gold", 100, None)
+    assert rows[(4, True)] == ("TX", "gold", 200, None)   # inserted
+    assert len(rows) == 5
+    # replay: exactly-once no-op
+    res2 = dml.scd2_apply(spark, t, src, on=["k"],
+                          attrs=["city", "tier"], effective_col="eff",
+                          txn=("dim", 0))
+    assert res2.get("replayed") and \
+        txlog.read_table(spark, t).count() == 5
+    # second wave: key 1 changes again -> two closed versions
+    src2 = spark.createDataFrame([(1, "NY", "gold")],
+                                 "k long, city string, tier string") \
+        .withColumn("eff", F.lit(300))
+    dml.scd2_apply(spark, t, src2, on=["k"],
+                   attrs=["city", "tier"], effective_col="eff")
+    hist = sorted((r["_valid_from"], r["_valid_to"], r["tier"])
+                  for r in txlog.read_table(spark, t)
+                  .filter("k = 1").collect())
+    assert hist == [(100, 200, "gold"), (200, 300, "plat"),
+                    (300, None, "gold")]
