@@ -3746,6 +3746,35 @@ def _q_scd2_dimension(spark, sf_dir):
             .orderBy("k", "_valid_from"))
 
 
+def _q_epoch_shuffle(spark, sf_dir):
+    """Deterministic training-epoch shuffle (sampling.epoch_shuffle):
+    every document ranked by md5(id || seed) — a reproducible
+    pseudorandom permutation, computed as a distributed prefix count
+    (never a global single-partition window).  md5 is engine-portable,
+    so the oracle reproduces the exact permutation with a SQL window;
+    the rank column makes the ORDER itself value-hashed."""
+    docs = nio.load_table(spark, sf_dir, "documents")
+    return (sampling.epoch_shuffle(docs, seed=42)
+            .select("doc_id", "shuffle_rank").orderBy("doc_id"))
+
+
+def _q_budget_select(spark, sf_dir):
+    """Quality-first selection under a token budget
+    (sampling.select_until_budget — the greedy subset cut a
+    DSIR/FineWeb-style pipeline makes after scoring): take documents in
+    (score DESC, id) order while the running whitespace-token total
+    stays <= 20,000; the running total is a distributed prefix sum.
+    The oracle is one SQL window cumsum."""
+    docs = (nio.load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.col("n_chars").cast("long").alias("score"),
+                    F.size(F.split("text", " ")).cast("long")
+                    .alias("toks")))
+    return (sampling.select_until_budget(
+        docs, 20_000, score_col="score", tokens_col="toks")
+        .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first
@@ -3815,6 +3844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auth_flow": _q_auth_flow,
         "streaming_upsert": _q_streaming_upsert,
         "scd2_dimension": _q_scd2_dimension,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "budget_select": _q_budget_select,
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
         "tpch_q20": _q_tpch_q20,
@@ -6917,6 +6948,30 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY event_id LIMIT 50)
             SELECT name, time, round(value, 6) AS value FROM sl
             ORDER BY time, value
+        """,
+        # epoch shuffle: md5 is engine-portable, so the permutation
+        # (and therefore the rank) reproduces exactly in SQL.
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY md5(CAST(doc_id AS VARCHAR) || '-42'),
+                              doc_id) - 1 AS BIGINT) AS shuffle_rank
+            FROM documents ORDER BY doc_id
+        """,
+        # budget selection: one window cumsum in (score DESC, id) order.
+        "budget_select": """
+            WITH t AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, score, toks,
+                     CAST(sum(toks) OVER (ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tokens
+              FROM t)
+            SELECT doc_id, score, toks, cum_tokens
+            FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id
         """,
         # SCD2: rebuild the version table from the two snapshots.
         "scd2_dimension": """

@@ -174,3 +174,94 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float], budget_tokens: fl
                 | ((F.col("__thr") != F.lit("")) & (prefix <= F.col("__thr"))))
         .select(F.col(id_col), "domain", F.col("__ep").alias("epoch"))
     )
+
+
+def epoch_shuffle(df: DataFrame, seed: int, id_col: str = "doc_id",
+                  out: str = "shuffle_rank") -> DataFrame:
+    """Deterministic global training-epoch shuffle: rank every row by
+    ``md5(id || seed)`` — a pseudorandom but REPRODUCIBLE permutation
+    that is a pure function of (id, seed), so epoch N's order is
+    identical across runs, engines, cluster sizes and partitionings
+    (rerunning a crashed epoch writer resumes the same permutation).
+    Changing the seed gives an independent permutation per epoch.
+
+    Unlike ``ORDER BY rand()``, there is no RNG state to coordinate:
+    the sort key is computed scan-side and the single range-partitioned
+    sort is the only shuffle — the standard scalable way to globally
+    shuffle a corpus for training.  ``out`` carries the 0-based rank
+    (= position in the shuffled order) so shard writers can slice it.
+
+    The rank is a DISTRIBUTED prefix count (range-partition on the hash
+    key, local row_number, broadcast per-partition counts) — a naked
+    global ``row_number() OVER (ORDER BY ...)`` would serialize the
+    whole corpus through one partition.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"),
+                         F.lit(f"-{seed}")))
+    keyed = (df.withColumn("__k", key)
+             .repartitionByRange("__k", id_col)
+             .sortWithinPartitions("__k", id_col)
+             .withColumn("__pid", F.spark_partition_id())
+             .localCheckpoint(eager=True))
+    counts = {r["__pid"]: r["n"] for r in
+              keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    prefix, acc = {}, 0
+    for pid in sorted(counts):
+        prefix[pid] = acc
+        acc += counts[pid]
+    pref = F.element_at(
+        F.create_map(*[F.lit(x) for pid in prefix
+                       for x in (pid, prefix[pid])]),
+        F.col("__pid")) if prefix else F.lit(0)
+    w = (Window.partitionBy("__pid").orderBy("__k", id_col))
+    return (keyed.withColumn(
+        out, (pref + F.row_number().over(w) - 1).cast("long"))
+        .drop("__k", "__pid"))
+
+
+def select_until_budget(docs: DataFrame, budget_tokens: int,
+                        score_col: str, tokens_col: str,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Quality-first corpus selection under a token budget: take rows in
+    (score DESC, id) order while the running token total stays within
+    ``budget_tokens`` (the greedy data-selection step after quality
+    scoring — DSIR/FineWeb-style pipelines pick their training subset
+    exactly this way).
+
+    The running total is a DISTRIBUTED prefix sum: range-partition on
+    the selection order, cumulate locally under a partitioned window,
+    and broadcast the tiny per-partition totals back — no global
+    single-partition window, so the cut scales to any corpus.  The
+    range partitioner assigns partition ids in sort-key order, which is
+    what makes the per-partition prefix well-defined.
+    """
+    from pyspark.sql.window import Window
+
+    sized = (docs.select(id_col, score_col, tokens_col)
+             .repartitionByRange(F.col(score_col).desc(),
+                                 F.col(id_col))
+             .sortWithinPartitions(F.col(score_col).desc(), id_col)
+             .withColumn("__pid", F.spark_partition_id())
+             .localCheckpoint(eager=True))
+    totals = {r["__pid"]: r["t"] for r in
+              sized.groupBy("__pid")
+              .agg(F.sum(tokens_col).alias("t")).collect()}
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    pref = F.element_at(
+        F.create_map(*[F.lit(x) for pid in prefix
+                       for x in (pid, prefix[pid])]),
+        F.col("__pid")) if prefix else F.lit(0)
+    w = (Window.partitionBy("__pid")
+         .orderBy(F.col(score_col).desc(), id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = pref + F.sum(tokens_col).over(w)
+    return (sized.withColumn("__cum", cum)
+            .filter(F.col("__cum") <= budget_tokens)
+            .select(id_col, score_col, tokens_col,
+                    F.col("__cum").alias("cum_tokens")))

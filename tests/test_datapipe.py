@@ -1191,3 +1191,36 @@ def test_chunk_documents_overlap_and_coverage(spark):
     plan = text.chunk_documents(docs, 10, 4)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_epoch_shuffle_and_budget_select(spark):
+    """epoch_shuffle: reproducible permutation, seed-sensitive, ranks
+    are a 0..n-1 bijection; select_until_budget: greedy score-desc cut
+    matches a serial cumsum."""
+    from neo_server_spark.datapipe import sampling
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    a = {r["doc_id"]: r["shuffle_rank"]
+         for r in sampling.epoch_shuffle(df, seed=1).collect()}
+    b = {r["doc_id"]: r["shuffle_rank"]
+         for r in sampling.epoch_shuffle(df, seed=1).collect()}
+    c = {r["doc_id"]: r["shuffle_rank"]
+         for r in sampling.epoch_shuffle(df, seed=2).collect()}
+    assert a == b                       # reproducible
+    assert a != c                       # seed changes the permutation
+    assert sorted(a.values()) == list(range(50))    # bijection
+    assert [a[i] for i in range(50)] != list(range(50))  # shuffled
+
+    docs = spark.createDataFrame(
+        [(i, (i * 7) % 23, 10 + i % 5) for i in range(40)],
+        "doc_id long, score long, toks long")
+    got = sorted(r["doc_id"] for r in sampling.select_until_budget(
+        docs, 120, "score", "toks").collect())
+    rows = sorted(docs.collect(),
+                  key=lambda r: (-r["score"], r["doc_id"]))
+    want, cum = [], 0
+    for r in rows:
+        cum += r["toks"]
+        if cum > 120:
+            break
+        want.append(r["doc_id"])
+    assert got == sorted(want)
