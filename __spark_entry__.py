@@ -3775,6 +3775,42 @@ def _q_budget_select(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def _q_dv_delete(spark, sf_dir):
+    """Deletion-vector delete under the value-hash gate
+    (dml.delete(mode='dv') — Delta's DV fast-delete shape): events land
+    in a txlog table over four stats-carrying commits, two DV deletes
+    tombstone (file, row-index) pairs WITHOUT rewriting any data file
+    (the entry asserts the live set is byte-identical), reads anti-join
+    the tombstones, and a final compaction materializes the deletes and
+    retires every DV.  The oracle is the plain double filter."""
+    import os
+    import tempfile
+
+    from neo_server_spark import dml, txlog
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 3000)
+          .select("event_id", "user_id", "event_type",
+                  F.floor(F.col("value") * 1000).alias("val")))
+    t = os.path.join(tempfile.mkdtemp(prefix="dv_delete_"), "tbl")
+    for k in range(4):
+        txlog.write(ev.filter(F.pmod("event_id", F.lit(4)) == k)
+                    .coalesce(1), t, stats_cols=["event_id"])
+    before = set(txlog.live_files(t))
+    dml.delete(spark, t, "event_id % 7 = 0", mode="dv")
+    dml.delete(spark, t, "user_id % 5 = 0", mode="dv")
+    assert set(txlog.live_files(t)) == before, \
+        "DV deletes must not rewrite data files"
+    mid = txlog.read_table(spark, t).count()
+    txlog.compact(spark, t, target_files=2, stats_cols=["event_id"])
+    from neo_server_spark.txlog import _replay
+    assert _replay(t)[4]["dvs"] == {}, "compaction must retire DVs"
+    out = txlog.read_table(spark, t)
+    assert out.count() == mid
+    return (out.select("event_id", "user_id", "event_type", "val")
+            .orderBy("event_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first
@@ -3846,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_dimension": _q_scd2_dimension,
         "epoch_shuffle": _q_epoch_shuffle,
         "budget_select": _q_budget_select,
+        "dv_delete": _q_dv_delete,
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
         "tpch_q20": _q_tpch_q20,
@@ -6948,6 +6985,17 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY event_id LIMIT 50)
             SELECT name, time, round(value, 6) AS value FROM sl
             ORDER BY time, value
+        """,
+        # DV delete: tombstoned rows vanish from every read; the
+        # oracle is the equivalent double filter.
+        "dv_delete": """
+            SELECT event_id, user_id, event_type,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS val
+            FROM events
+            WHERE event_id < 3000
+              AND event_id % 7 <> 0
+              AND user_id % 5 <> 0
+            ORDER BY event_id
         """,
         # epoch shuffle: md5 is engine-portable, so the permutation
         # (and therefore the rank) reproduces exactly in SQL.

@@ -58,17 +58,25 @@ def _touched(spark: SparkSession, table: str, match,
     cand = txlog.pruned_files(table, prune)
     if not cand:
         return [], []
-    import os
-
-    paths = [os.path.join(table, rel) for rel in cand]
-    df = (spark.read.parquet(*paths)
-          .withColumn("__file", F.input_file_name()))
+    # DV-aware: rows already tombstoned by a deletion vector must not
+    # re-touch their file (and must not re-match a DML)
+    df = _read(spark, table, cand, with_file=True)
     hit = (match(df).select("__file").distinct().collect())
     # data files are flat under data/<uuid>.parquet: basename <-> rel
     base_to_rel = {rel.split("/")[-1]: rel for rel in cand}
     touched = sorted(base_to_rel[r["__file"].rsplit("/", 1)[-1]]
                      for r in hit)
     return cand, touched
+
+
+def _read(spark: SparkSession, table: str, rels: list[str],
+          with_file: bool = False, with_pos: bool = False) -> DataFrame:
+    """Deletion-vector-aware read of specific table files (the ONLY way
+    DML may read target rows — a raw parquet read would resurrect
+    DV-deleted rows into a rewrite)."""
+    dvs = txlog._replay(table)[4]["dvs"]
+    return txlog.read_files(spark, table, rels, dvs=dvs,
+                            with_file=with_file, with_pos=with_pos)
 
 
 def _stage_cdf(parts: list[tuple[DataFrame, str]], table: str
@@ -117,8 +125,16 @@ def delete(spark: SparkSession, table: str, condition,
            prune: dict | None = None,
            stats_cols: list[str] | None = None,
            cdf: bool = False,
-           txn: tuple[str, int] | None = None) -> dict:
+           txn: tuple[str, int] | None = None,
+           mode: str = "rewrite") -> dict:
     """DELETE FROM table WHERE condition, copy-on-write.
+
+    ``mode="dv"`` writes DELETION VECTORS instead of rewriting files:
+    matched (file, row-index) pairs land in tombstone files the commit
+    references, and every read anti-joins them — a tiny delete costs
+    O(matched rows) IO however large the touched files are.  A later
+    rewrite/compaction of a tombstoned file materializes the delete and
+    retires its DVs.
 
     Rows where ``condition`` evaluates true are removed; false/NULL
     rows are kept (SQL DELETE semantics).  ``cdf=True`` additionally
@@ -142,7 +158,29 @@ def delete(spark: SparkSession, table: str, condition,
                 "files_touched": 0, "files_total": len(cand)}
     import os
 
-    df = spark.read.parquet(*[os.path.join(table, r) for r in touched])
+    if mode == "dv":
+        # deletion-vector path: name the matched rows as tombstones
+        # instead of rewriting the files — O(matched rows) written, the
+        # data files stay byte-identical (Delta's DV fast delete).
+        df = _read(spark, table, touched, with_pos=True)
+        hit = df.filter(F.coalesce(cond, F.lit(False)))
+        tomb = hit.select("__f", "__pos")
+        dv_rels = txlog.stage_files(tomb, table, subdir="_dv")
+        cdf_rels = (_stage_cdf([(hit.drop("__f", "__pos"), "delete")],
+                               table) if cdf else [])
+        try:
+            ver = txlog.commit(table, [], must_be_live=touched,
+                               dv={t: dv_rels for t in touched},
+                               cdf=cdf_rels or None, txn=txn)
+        except txlog.TxConflict:
+            for rel in dv_rels + cdf_rels:
+                pth = os.path.join(table, rel)
+                if os.path.exists(pth):
+                    os.unlink(pth)
+            raise
+        return {"version": ver, "files_touched": len(touched),
+                "files_total": len(cand)}
+    df = _read(spark, table, touched)
     keep = df.filter(~F.coalesce(cond, F.lit(False)))
     parts = [(df.filter(F.coalesce(cond, F.lit(False))), "delete")] \
         if cdf else None
@@ -182,7 +220,7 @@ def update(spark: SparkSession, table: str, condition,
                 "files_touched": 0, "files_total": len(cand)}
     import os
 
-    df = spark.read.parquet(*[os.path.join(table, r) for r in touched])
+    df = _read(spark, table, touched)
     hit = F.coalesce(cond, F.lit(False))
 
     def apply_assign(frame):
@@ -283,8 +321,7 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
     # file BY CONSTRUCTION, so the touched files' key set IS the full
     # table's matched-key set — unmatched-source discovery never scans
     # the untouched bulk of the table
-    tgt = (spark.read.parquet(*[os.path.join(table, r) for r in touched])
-           if touched else None)
+    tgt = _read(spark, table, touched) if touched else None
     matched_keys = (tgt.select(*on).join(bkeys, on, "left_semi")
                     .distinct() if tgt is not None else None)
     parts: list[DataFrame] = []
@@ -380,8 +417,7 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
     tgt_cols = txlog.read_table(spark, table).columns
     s = source.select(*on, *attrs,
                       F.col(effective_col).alias("__eff"))
-    tgt = (spark.read.parquet(*[os.path.join(table, r) for r in touched])
-           if touched else None)
+    tgt = _read(spark, table, touched) if touched else None
     if tgt is not None:
         cur = tgt.filter(F.col("_is_current"))
         probe = cur.select(*on,

@@ -123,9 +123,9 @@ class MatView:
     # ------------------------------------------------------------- refresh
 
     def _range_removes_data(self, since: int, until: int) -> bool:
-        """True if any commit in (since, until] removed files while
-        claiming dataChange — a delete/overwrite the monoid fold cannot
-        express."""
+        """True if any commit in (since, until] removed rows (file
+        removal OR a deletion vector) while claiming dataChange — a
+        delete/overwrite the monoid fold cannot express."""
         import json
         import os
 
@@ -140,7 +140,8 @@ class MatView:
             if since < v <= until:
                 with open(os.path.join(d, fn)) as f:
                     entry = json.load(f)
-                if entry.get("remove") and entry.get("dataChange", True):
+                if (entry.get("remove") or entry.get("dv")) \
+                        and entry.get("dataChange", True):
                     return True
         return False
 

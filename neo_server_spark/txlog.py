@@ -61,6 +61,7 @@ __all__ = ["commit", "write", "read_table", "changes", "row_changes",
 _LOG = "_txlog"
 _DATA = "data"
 _CDF = "_cdf"
+_DV = "_dv"
 _W = 20  # zero-padded version width keeps lexical == numeric order
 
 
@@ -149,7 +150,7 @@ def _replay(table: str, as_of: int | None = None
     live: set[str] = set()
     txns: dict[str, int] = {}
     stats: dict[str, dict] = {}
-    meta: dict = {"schema": None, "seen": set()}
+    meta: dict = {"schema": None, "seen": set(), "dvs": {}}
     ver = 0
     if cp_ver is not None:
         with open(os.path.join(_log_dir(table),
@@ -160,6 +161,8 @@ def _replay(table: str, as_of: int | None = None
         stats = dict(snap.get("stats", {}))
         meta["schema"] = snap.get("schema")
         meta["seen"] = set(snap.get("schemas_seen", []))
+        meta["dvs"] = {k: list(v)
+                       for k, v in snap.get("dvs", {}).items()}
         ver = cp_ver
     for fn in tail:
         with open(os.path.join(_log_dir(table), fn)) as f:
@@ -172,6 +175,9 @@ def _replay(table: str, as_of: int | None = None
         live |= set(entry.get("add", []))
         for rel in removed:
             stats.pop(rel, None)
+            meta["dvs"].pop(rel, None)   # a rewrite retires the file's DVs
+        for data_rel, dv_rels in entry.get("dv", {}).items():
+            meta["dvs"].setdefault(data_rel, []).extend(dv_rels)
         stats.update(entry.get("stats", {}))
         if entry.get("schema"):
             meta["schema"] = entry["schema"]
@@ -355,7 +361,8 @@ def commit(table: str, add: list[str], mode: str = "append",
            schema: list[list[str]] | None = None,
            file_schema: list[list[str]] | None = None,
            schema_reset: bool = False,
-           cdf: list[str] | None = None) -> int:
+           cdf: list[str] | None = None,
+           dv: dict[str, list[str]] | None = None) -> int:
     """Publish staged files.  mode='append' adds; mode='overwrite'
     removes the current live set in the same atomic entry; ``remove``
     names an explicit file set to retire (compaction).  Returns the
@@ -389,6 +396,11 @@ def commit(table: str, add: list[str], mode: str = "append",
         # KNOWS exactly which rows changed, referenced by the commit so
         # row_changes() can serve precise +/- deltas
         entry["cdf"] = sorted(cdf)
+    if dv:
+        # deletion vectors: {data file -> [tombstone files]} — the rows
+        # named by the tombstones are DELETED without rewriting the
+        # data file (Delta's DV shape); readers anti-join them
+        entry["dv"] = {k: sorted(v) for k, v in dv.items()}
     if mode == "overwrite":
         # remove set is computed INSIDE the retry loop from a fresh
         # replay, so a lost version race still retires the racer's files
@@ -480,6 +492,56 @@ def pruned_files(table: str, prune: dict[str, tuple] | None,
     return out
 
 
+def read_files(spark: SparkSession, table: str, rels: list[str],
+               dvs: dict[str, list[str]] | None = None,
+               with_file: bool = False,
+               with_pos: bool = False,
+               merge_schema: bool = False) -> DataFrame:
+    """Read specific data files of a txlog table with their deletion
+    vectors applied: files named in ``dvs`` anti-join their tombstone
+    rows on (file basename, parquet row index) — Delta's DV read path —
+    while files without DVs read untouched (no metadata columns, no
+    join).  ``with_file`` keeps a ``__file`` column (absolute path) for
+    touched-file discovery; ``with_pos`` keeps ``__f``/``__pos`` (file
+    basename, row index) so a DV-writing DML can name the rows it
+    deletes."""
+    dvs = {k: v for k, v in (dvs or {}).items() if k in set(rels)}
+    plain = [r for r in rels if r not in dvs]
+    frames = []
+
+    def _rd(paths, pos):
+        rd = spark.read
+        if merge_schema:
+            rd = rd.option("mergeSchema", "true")
+        df = rd.parquet(*paths)
+        if pos:
+            df = (df.withColumn("__f", F.col("_metadata.file_name"))
+                  .withColumn("__pos", F.col("_metadata.row_index")))
+        if with_file:
+            df = df.withColumn("__file", F.input_file_name())
+        return df
+
+    if plain:
+        frames.append(_rd([os.path.join(table, r) for r in plain],
+                          with_pos))
+    if dvs:
+        dv_rels = sorted({d for lst in dvs.values() for d in lst})
+        tomb = (spark.read.parquet(*[os.path.join(table, d)
+                                     for d in dv_rels])
+                .select(F.col("__f"), F.col("__pos")).distinct())
+        df = _rd([os.path.join(table, r) for r in dvs], True)
+        df = df.join(tomb, ["__f", "__pos"], "left_anti")
+        if not with_pos:
+            df = df.drop("__f", "__pos")
+        frames.append(df)
+    if not frames:
+        raise FileNotFoundError(f"no files to read in {table}")
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_, allowMissingColumns=merge_schema)
+    return out
+
+
 def read_table(spark: SparkSession, table: str,
                prune: dict[str, tuple] | None = None,
                version_as_of: int | None = None,
@@ -501,24 +563,26 @@ def read_table(spark: SparkSession, table: str,
             raise ValueError("pass version_as_of OR timestamp_as_of_ms")
         version_as_of = version_at(table, timestamp_as_of_ms)
     meta = _replay(table, as_of=version_as_of)[4]
-    files = [os.path.join(table, rel)
-             for rel in pruned_files(table, prune, as_of=version_as_of)]
-    if not files:
+    rels = pruned_files(table, prune, as_of=version_as_of)
+    if not rels:
         if not live_files(table, as_of=version_as_of):
             raise FileNotFoundError(f"empty txlog table: {table}")
         # everything pruned: empty frame with the table's schema
         any_file = os.path.join(table,
                                 live_files(table, as_of=version_as_of)[0])
         return spark.read.parquet(any_file).limit(0)
-    if len(meta["seen"]) > 1:
-        # evolved table: files carry heterogeneous physical schemas —
-        # union the footers (absent columns read as NULL) and project to
-        # the log's canonical column order.  Homogeneous tables (the
-        # common case, and any table after a full compaction resets the
-        # seen-set) skip the extra footer reads entirely.
-        df = spark.read.option("mergeSchema", "true").parquet(*files)
+    evolved = len(meta["seen"]) > 1
+    # files with deletion vectors anti-join their tombstones; plain
+    # files (the common case) read direct with zero extra work
+    df = read_files(spark, table, rels, dvs=meta["dvs"],
+                    merge_schema=evolved)
+    if evolved:
+        # evolved table: project the footer union to the log's
+        # canonical column order (absent columns read as NULL).
+        # Homogeneous tables (any table after a full compaction resets
+        # the seen-set) skip the mergeSchema footer reads entirely.
         return df.select(*[n for n, _t in meta["schema"]])
-    return spark.read.parquet(*files)
+    return df
 
 
 def restore(table: str, version: int) -> int:
@@ -537,10 +601,26 @@ def restore(table: str, version: int) -> int:
     cur, cur_live, _txns, _stats, _meta = _replay(table)
     _ver, old_live, _t2, old_stats, old_meta = _replay(table,
                                                       as_of=version)
-    entry: dict = {"add": sorted(old_live - cur_live),
-                   "remove": sorted(cur_live - old_live),
+    add = old_live - cur_live
+    remove = cur_live - old_live
+    # files whose DELETION-VECTOR state differs between now and the
+    # target snapshot: remove + re-add the file in the same entry —
+    # replay clears its DV list on remove, then the entry's "dv" field
+    # reinstates the target state
+    cur_dvs = _meta["dvs"]
+    old_dvs = old_meta["dvs"]
+    dv_diff = {f for f in (old_live & cur_live)
+               if sorted(cur_dvs.get(f, [])) != sorted(old_dvs.get(f, []))}
+    add |= dv_diff
+    remove |= dv_diff
+    entry: dict = {"add": sorted(add),
+                   "remove": sorted(remove),
                    "ts": int(time.time() * 1000),
                    "restore_of": version}
+    restored_dvs = {f: old_dvs[f] for f in old_live
+                    if old_dvs.get(f) and (f in add or f in dv_diff)}
+    if restored_dvs:
+        entry["dv"] = {k: sorted(v) for k, v in restored_dvs.items()}
     if old_stats:
         entry["stats"] = {rel: old_stats[rel]
                           for rel in old_live if rel in old_stats}
@@ -698,7 +778,7 @@ def row_changes(spark: SparkSession, table: str, since_version: int
         ver = entry["version"]
         if entry.get("cdf"):
             parts.append((entry["cdf"], None, ver))
-        elif entry.get("remove"):
+        elif entry.get("remove") or entry.get("dv"):
             raise ValueError(
                 f"version {ver} removed rows without change files; "
                 f"run the DML with cdf=True or re-read the snapshot")
@@ -761,6 +841,28 @@ def vacuum(table: str, keep_log_from: int | None = None,
                 shutil.rmtree(full, ignore_errors=True)
                 removed_files += 1
             elif rel not in live:
+                os.unlink(full)
+                removed_files += 1
+    dvdir = os.path.join(table, _DV)
+    if os.path.isdir(dvdir):
+        # tombstone files referenced by the LIVE dv map stay; orphans
+        # (retired by rewrites/compaction, crashed DML staging) age out
+        live_dvs: set[str] = set()
+        for lst in _meta["dvs"].values():
+            live_dvs.update(lst)
+        for fn in os.listdir(dvdir):
+            rel = f"{_DV}/{fn}"
+            full = os.path.join(dvdir, fn)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age < retention_s:
+                continue
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+                removed_files += 1
+            elif rel not in live_dvs:
                 os.unlink(full)
                 removed_files += 1
     cdir = os.path.join(table, _CDF)
@@ -830,6 +932,8 @@ def checkpoint(table: str) -> int:
     with open(tmp, "w") as f:
         json.dump({"version": ver, "live": sorted(live), "txns": txns,
                    "stats": stats, "schema": meta["schema"],
-                   "schemas_seen": sorted(meta["seen"])}, f)
+                   "schemas_seen": sorted(meta["seen"]),
+                   "dvs": {k: sorted(v)
+                           for k, v in meta["dvs"].items()}}, f)
     os.rename(tmp, os.path.join(d, f"{ver:0{_W}d}.checkpoint.json"))
     return ver

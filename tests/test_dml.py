@@ -327,3 +327,81 @@ def test_scd2_apply(spark, tmp_path):
                   .filter("k = 1").collect())
     assert hist == [(100, 200, "gold"), (200, 300, "plat"),
                     (300, None, "gold")]
+
+
+def test_deletion_vectors(spark, tmp_path):
+    """DV delete: data files stay byte-identical, reads anti-join the
+    tombstones, repeated/overlapping DVs layer correctly, compaction
+    materializes and retires them, time travel spans DV versions, and
+    vacuum keeps referenced tombstones."""
+    t = _seed(spark, tmp_path)                 # 4 files, ids 0..19
+    before = set(txlog.live_files(t))
+    res = dml.delete(spark, t, "id IN (3, 7, 12)", mode="dv", cdf=True)
+    assert res["files_touched"] == 3
+    # zero data files rewritten
+    assert set(txlog.live_files(t)) == before
+    assert _ids(spark, t) == [i for i in range(20)
+                              if i not in (3, 7, 12)]
+    # a second DV layers on top (and already-deleted rows can't rematch)
+    res2 = dml.delete(spark, t, "id IN (3, 4)", mode="dv")
+    assert res2["files_touched"] == 1          # only id=4's file matches
+    assert _ids(spark, t) == [i for i in range(20)
+                              if i not in (3, 4, 7, 12)]
+    # time travel reconstructs both pre-DV states
+    assert _ids(spark, t, version_as_of=4) == list(range(20))
+    assert _ids(spark, t, version_as_of=5) == \
+        [i for i in range(20) if i not in (3, 7, 12)]
+    # rewrite-mode DML on a DV'd file must NOT resurrect deleted rows
+    dml.update(spark, t, "id = 2", {"v": "999"})
+    assert _ids(spark, t) == [i for i in range(20)
+                              if i not in (3, 4, 7, 12)]
+    # the rewrite retired file-1's DVs; other files keep theirs
+    from neo_server_spark.txlog import _replay
+    dvs = _replay(t)[4]["dvs"]
+    assert all("data/" in k for k in dvs) and len(dvs) == 2
+    # v5 (dv+cdf) serves row changes; v6 (dv, no cdf) in the same range
+    # poisons it — the feed refuses rather than serving a wrong delta
+    with pytest.raises(ValueError, match="without change files"):
+        txlog.row_changes(spark, t, 4)
+    # checkpoint carries the DV map; reads after it still apply DVs
+    txlog.checkpoint(t)
+    assert _ids(spark, t) == [i for i in range(20)
+                              if i not in (3, 4, 7, 12)]
+    # compaction materializes the deletes and retires every DV
+    txlog.compact(spark, t, target_files=1)
+    assert _replay(t)[4]["dvs"] == {}
+    assert _ids(spark, t) == [i for i in range(20)
+                              if i not in (3, 4, 7, 12)]
+    # vacuum(0) after compaction reaps the now-unreferenced tombstones
+    txlog.vacuum(t, retention_s=0)
+    dvdir = os.path.join(t, "_dv")
+    assert not os.path.isdir(dvdir) or os.listdir(dvdir) == []
+
+
+def test_dv_restore_and_matview_fallback(spark, tmp_path):
+    """RESTORE reconciles deletion-vector state (a post-restore read
+    equals the target snapshot even when DVs were added after it), and
+    a DV delete triggers the matview full-recompute fallback."""
+    t = _seed(spark, tmp_path)                 # v1..v4
+    dml.delete(spark, t, "id = 5", mode="dv")  # v5
+    dml.delete(spark, t, "id = 6", mode="dv")  # v6
+    assert _ids(spark, t) == [i for i in range(20) if i not in (5, 6)]
+    txlog.restore(t, 5)                        # undo v6's DV
+    assert _ids(spark, t) == [i for i in range(20) if i != 5]
+    txlog.restore(t, 4)                        # undo all DVs
+    assert _ids(spark, t) == list(range(20))
+
+    from neo_server_spark.streaming.matview import MatView
+    vt = str(tmp_path / "view")
+    mv = MatView(spark, t, vt, keys=["grp"],
+                 aggs={"n": ("count", "id"), "hi": ("max", "v")})
+    assert mv.refresh()["mode"] in ("incremental", "full")
+    dml.delete(spark, t, "id < 5", mode="dv")
+    txlog.write(_mk(spark, [(50, "c", 500)]), t)
+    r = mv.refresh()
+    assert r["mode"] == "full"                 # max is not subtractable
+    got = {x["grp"]: x["n"] for x in mv.read().collect()}
+    want = {x["grp"]: x["n"] for x in
+            txlog.read_table(spark, t).groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want

@@ -84,6 +84,19 @@ def main() -> None:
     out["delete_unpruned_candidates"] = res["files_total"]
     out["delete_unpruned_touched"] = res["files_touched"]
 
+    # same narrow delete via DELETION VECTORS: writes O(matched rows)
+    # of tombstones, rewrites nothing
+    lo3 = 8 * 10_000_000
+    hi3 = lo3 + n0 // 10
+    tick = time.time()
+    res = dml.delete(spark, t, f"event_id >= {lo3} AND event_id < {hi3}",
+                     prune={"event_id": (lo3, hi3 - 1)}, mode="dv")
+    out["delete_dv_sec"] = round(time.time() - tick, 3)
+    out["delete_dv_touched"] = res["files_touched"]
+    tick = time.time()
+    out["read_after_dv_rows"] = txlog.read_table(spark, t).count()
+    out["read_after_dv_sec"] = round(time.time() - tick, 3)
+
     # small merge upsert: 0.05% of keys spread over two copies
     src = (base.limit(max(1, n0 // 2000))
            .select((F.col("event_id") + 7 * 10_000_000).alias("event_id"),
