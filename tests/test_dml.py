@@ -405,3 +405,88 @@ def test_dv_restore_and_matview_fallback(spark, tmp_path):
             txlog.read_table(spark, t).groupBy("grp")
             .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_dml_model_based_random_ops(spark, tmp_path):
+    """Model-based check over the FULL mutation surface: random
+    sequences of append / rewrite-delete / DV-delete / update / merge /
+    compact / partial-compact / checkpoint / restore against an
+    in-memory dict model.  Invariant after EVERY op: read_table ==
+    model; after restore: read_table == the remembered snapshot."""
+    import random
+
+    rng = random.Random(20260816)
+    for case in range(4):
+        t = str(tmp_path / f"dm{case}")
+        model: dict[int, int] = {}
+        next_id = 0
+        snapshots: list[tuple[int, dict[int, int]]] = []
+
+        def mk(ids):
+            return spark.createDataFrame(
+                [(i, "g%d" % (i % 3), model_val(i)) for i in ids],
+                "id long, grp string, v long")
+
+        def model_val(i):
+            return i * 10
+
+        for _op in range(rng.randint(6, 10)):
+            ops = ["append", "delete", "dv", "update", "merge",
+                   "compact", "pcompact", "checkpoint"]
+            if snapshots:
+                ops.append("restore")
+            op = rng.choice(ops)
+            if op == "append" or not model:
+                ids = list(range(next_id, next_id + rng.randint(2, 5)))
+                next_id += len(ids)
+                txlog.write(mk(ids).coalesce(1), t, stats_cols=["id"])
+                for i in ids:
+                    model[i] = model_val(i)
+            elif op in ("delete", "dv"):
+                lo = rng.randint(0, max(next_id - 1, 0))
+                hi = lo + rng.randint(0, 4)
+                dml.delete(spark, t, f"id >= {lo} AND id <= {hi}",
+                           mode="dv" if op == "dv" else "rewrite",
+                           stats_cols=["id"])
+                for i in list(model):
+                    if lo <= i <= hi:
+                        del model[i]
+            elif op == "update":
+                m = rng.randint(2, 4)
+                dml.update(spark, t, f"id % {m} = 0",
+                           {"v": "v + 1"}, stats_cols=["id"])
+                for i in model:
+                    if i % m == 0:
+                        model[i] += 1
+            elif op == "merge":
+                ids = [rng.randint(0, next_id)] + [next_id]
+                next_id += 1
+                src = spark.createDataFrame(
+                    [(i, "m", -i) for i in sorted(set(ids))],
+                    "id long, grp string, v long")
+                dml.merge(spark, t, src, on=["id"],
+                          stats_cols=["id"])
+                for i in set(ids):
+                    model[i] = -i
+            elif op == "compact":
+                txlog.compact(spark, t, target_files=1,
+                              stats_cols=["id"])
+            elif op == "pcompact":
+                txlog.compact(spark, t, target_files=1,
+                              prune={"id": (0, next_id // 2)},
+                              stats_cols=["id"])
+            elif op == "checkpoint" and txlog.live_files(t):
+                txlog.checkpoint(t)
+            elif op == "restore":
+                ver, snap = rng.choice(snapshots)
+                try:
+                    txlog.restore(t, ver)
+                except ValueError:
+                    continue           # vacuumed-away target: fine
+                model = dict(snap)
+            if not txlog.live_files(t):
+                continue
+            got = {r["id"]: r["v"] for r in
+                   txlog.read_table(spark, t).collect()}
+            assert got == model, (case, _op, op)
+            snapshots.append((txlog.current_version(t), dict(model)))
