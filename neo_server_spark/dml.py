@@ -111,7 +111,7 @@ def _rewrite_commit(spark: SparkSession, table: str, touched: list[str],
     try:
         return txlog.commit(table, rels, remove=touched, stats=stats,
                             must_be_live=touched, cdf=cdf_rels or None,
-                            txn=txn)
+                            txn=txn, dml=True)
     except txlog.TxConflict:
         # the rewrite is stale — drop its staged files before re-raising
         for rel in rels + cdf_rels:
@@ -212,6 +212,14 @@ def update(spark: SparkSession, table: str, condition,
             # already committed as this (app, epoch) — no-op
             return {"version": prior, "files_touched": 0,
                     "files_total": 0, "replayed": True}
+    sch = txlog.table_schema(table)
+    known = ([n for n, _t in sch] if sch
+             else txlog.read_table(spark, table).columns)
+    unknown = [c for c in assignments if c not in known]
+    if unknown:
+        raise ValueError(
+            f"UPDATE sets unknown column(s) {unknown}; table has "
+            f"{known}")
     cond = _cond(condition)
     cand, touched = _touched(spark, table, lambda d: d.filter(cond),
                              prune)
@@ -331,7 +339,11 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
         parts.append(tgt.join(bkeys, on, "left_anti"))   # unmatched tgt
         matched_tgt = tgt.join(bkeys, on, "left_semi")
         if when_matched == "update":
-            repl = source.join(matched_keys, on, "left_semi")
+            # one output row PER MATCHED TARGET ROW (duplicate target
+            # keys are legal on a txlog table; collapsing them to one
+            # source row would silently shrink the table) — Delta's
+            # update-every-matched-row semantics
+            repl = matched_tgt.select(*on).join(source, on, "inner")
             parts.append(repl)
             if cdf:
                 cdf_parts += [
@@ -434,46 +446,63 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
         differs = differs | ~F.col(a).eqNullSafe(F.col(f"__c_{a}"))
     news = j.filter(F.col("__present").isNull())
     changed = j.filter(F.col("__present").isNotNull() & differs)
-    changed_keys = changed.select(*on).localCheckpoint(eager=True) \
-        if tgt is not None else None
-    parts: list[DataFrame] = []
-    if tgt is not None:
-        ck = F.broadcast(changed_keys)
-        # untouched rows of touched files: history + unchanged currents
-        parts.append(tgt.join(
-            ck, on, "left_anti").unionByName(
-            tgt.filter(~F.col("_is_current"))
-               .join(ck, on, "left_semi")))
-        # closed versions: current rows of changed keys, stamped with
-        # the source row's effective time
-        closing = (tgt.filter(F.col("_is_current"))
-                   .join(ck, on, "left_semi")
-                   .join(changed.select(*on, "__eff"), on, "inner"))
-        parts.append(closing.select(
-            *[F.col("__eff").alias("_valid_to")
-              if c == "_valid_to"
-              else (F.lit(False).alias("_is_current")
-                    if c == "_is_current" else F.col(c))
-              for c in tgt_cols]))
-    opens = changed.unionByName(news) if tgt is not None else news
 
     def open_rows(frame):
         base = frame.select(*on, *attrs, F.col("__eff"))
-        out = (base.withColumn("_valid_from", F.col("__eff"))
-               .withColumn("_valid_to",
-                           F.lit(None).cast(
-                               base.schema["__eff"].dataType))
-               .withColumn("_is_current", F.lit(True))
-               .drop("__eff"))
-        return out
-    parts.append(open_rows(opens))
+        return (base.withColumn("_valid_from", F.col("__eff"))
+                .withColumn("_valid_to",
+                            F.lit(None).cast(
+                                base.schema["__eff"].dataType))
+                .withColumn("_is_current", F.lit(True))
+                .drop("__eff"))
+
+    changed_keys = (changed.select(*on).localCheckpoint(eager=True)
+                    if tgt is not None else None)
+    changed_cnt = changed_keys.count() if changed_keys is not None else 0
+    if changed_cnt == 0:
+        # the no-churn contract: identical attribute tuples rewrite
+        # NOTHING — at most a pure append of first-version inserts
+        inserts = open_rows(news)
+        if inserts.isEmpty():
+            return {"version": txlog.current_version(table),
+                    "files_touched": 0, "files_total": len(cand)}
+        ver = _rewrite_commit(spark, table, [],
+                              inserts.select(*tgt_cols), stats_cols,
+                              txn=txn)
+        return {"version": ver, "files_touched": 0,
+                "files_total": len(cand)}
+    # narrow the rewrite to files holding CURRENT rows of CHANGED keys
+    # (the discovery above spanned ALL source keys — rewriting a file
+    # whose matches are all no-ops would be churn for nothing)
+    ck = F.broadcast(changed_keys)
+    _cand2, touched2 = _touched(
+        spark, table,
+        lambda d: d.filter(F.col("_is_current"))
+                   .join(ck, on, "left_semi"),
+        None)
+    tgt2 = _read(spark, table, touched2)
+    parts: list[DataFrame] = []
+    # untouched rows of touched files: history + unchanged currents
+    parts.append(tgt2.join(
+        ck, on, "left_anti").unionByName(
+        tgt2.filter(~F.col("_is_current"))
+            .join(ck, on, "left_semi")))
+    # closed versions: current rows of changed keys, stamped with the
+    # source row's effective time
+    closing = (tgt2.filter(F.col("_is_current"))
+               .join(ck, on, "left_semi")
+               .join(changed.select(*on, "__eff"), on, "inner"))
+    parts.append(closing.select(
+        *[F.col("__eff").alias("_valid_to")
+          if c == "_valid_to"
+          else (F.lit(False).alias("_is_current")
+                if c == "_is_current" else F.col(c))
+          for c in tgt_cols]))
+    parts.append(open_rows(changed.unionByName(news)))
     out = parts[0].select(*tgt_cols)
     for p in parts[1:]:
         out = out.unionByName(p.select(*tgt_cols))
-    if out.isEmpty() and not touched:
-        return {"version": txlog.current_version(table),
-                "files_touched": 0, "files_total": len(cand)}
-    ver = _rewrite_commit(spark, table, touched, out, stats_cols,
+    ver = _rewrite_commit(spark, table, touched2, out, stats_cols,
                           txn=txn)
-    return {"version": ver, "files_touched": len(touched),
+    return {"version": ver, "files_touched": len(touched2),
             "files_total": len(cand)}

@@ -38,6 +38,10 @@ def zvalue_expr(quantized: list[Column], bits: int = 16) -> Column:
     ``b * n + i``).  Pure shift/and/multiply terms: stays inside
     whole-stage codegen."""
     n = len(quantized)
+    # the interleave must fit a signed 64-bit long: bit positions reach
+    # (bits-1)*n + (n-1), so cap bits at 63 // n (io.zorder_key applies
+    # the same guard) — 4 columns still get 15 bits = 32k levels each
+    bits = min(bits, 63 // max(n, 1))
     terms = []
     for b in range(bits):
         for i, q in enumerate(quantized):

@@ -91,7 +91,7 @@ class Authenticator:
         self.secret = secret or secrets.token_bytes(32)
         self.access_ttl_s = access_ttl_s
         self.refresh_ttl_s = refresh_ttl_s
-        self._refresh: dict[str, str] = {}      # jti -> refresh token
+        self._refresh: dict[str, tuple[str, float]] = {}  # jti -> (token, exp)
         self._keys: dict[str, dict] = {}        # key id -> record
         self._lock = threading.Lock()
 
@@ -153,11 +153,19 @@ class Authenticator:
                              "iat": int(now), "jti": uuid.uuid4().hex,
                              "exp": int(now + self.access_ttl_s)})
         jti = uuid.uuid4().hex
+        exp = int(now + self.refresh_ttl_s)
         refresh = self._sign({"sub": subject, "typ": "refresh",
                               "iat": int(now), "jti": jti,
-                              "exp": int(now + self.refresh_ttl_s)})
+                              "exp": exp})
         with self._lock:
-            self._refresh[jti] = refresh
+            # the cache is bounded by construction: expired entries are
+            # swept on every issue, so repeated logins without logout
+            # (the common API-client pattern) cannot grow it unboundedly
+            cut = time.time()
+            for k in [k for k, (_t, e) in self._refresh.items()
+                      if e < cut]:
+                del self._refresh[k]
+            self._refresh[jti] = (refresh, exp)
         return access, refresh
 
     def login(self, login_name: str, password: str) -> tuple[str, str]:
@@ -179,10 +187,10 @@ class Authenticator:
             raise AuthError("not verified refresh token")
         jti = claims.get("jti", "")
         with self._lock:
-            stored = self._refresh.get(jti)
-            if stored is None:
+            rec = self._refresh.get(jti)
+            if rec is None:
                 raise AuthError("refresh token not found")
-            if stored != refresh_token:
+            if rec[0] != refresh_token:
                 raise AuthError("invalid refresh token")
             # rotation: the old refresh token dies with this exchange
             del self._refresh[jti]

@@ -176,6 +176,13 @@ class RollupRouter:
         exprs = []
         for out, mode in aggs.items():
             mode = mode.lower()
+            if mode == "approx_distinct" and "_hll" not in [
+                    c.lower() for c in folded.columns]:
+                raise ValueError(
+                    "approx_distinct needs a cascade built with "
+                    "distinct_col=... (RollupRouter.build/"
+                    "stream_rollup) — this rollup carries no HLL "
+                    "partials")
             if mode == "approx_distinct":
                 # HLL estimate off the merged sketch (requires a cascade
                 # built with distinct_col; union is lossless, so this

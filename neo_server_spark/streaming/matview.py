@@ -181,17 +181,24 @@ class MatView:
         After a row-removing commit: if every aggregate is subtractable
         AND the DML published row-level change files (cdf=True), the
         feed is applied as a signed fold — still O(delta); otherwise
-        ONE full recompute in the same atomic publish."""
+        ONE full recompute in the same atomic publish.
+
+        The cursor is pinned to ``until`` = the current version BEFORE
+        any read, and every read is bounded by it (until_version /
+        version_as_of) — a producer commit landing mid-refresh is left
+        for the NEXT refresh instead of being folded now AND re-polled
+        later (double count)."""
         since = self.watcher.version
-        delta = self.watcher.poll()
-        if delta is None:
+        until = txlog.current_version(self.src_table)
+        if until <= since:
             return {"mode": "noop", "delta_rows": 0}
-        until = self.watcher.version
         if self._range_removes_data(since, until):
+            self.watcher.version = until
             if self._subtractable():
                 try:
                     _cur, rows = txlog.row_changes(
-                        self.spark, self.src_table, since)
+                        self.spark, self.src_table, since,
+                        until_version=until)
                 except ValueError:
                     rows = None      # a remove-commit without cdf files
                 if rows is not None:
@@ -214,9 +221,15 @@ class MatView:
                     self._publish(merged, until)
                     return {"mode": "cdf", "delta_rows": int(n)}
             full = self._partial_agg(
-                txlog.read_table(self.spark, self.src_table))
+                txlog.read_table(self.spark, self.src_table,
+                                 version_as_of=until))
             self._publish(full, until)
             return {"mode": "full", "delta_rows": -1}
+        _cur, delta = txlog.changes(self.spark, self.src_table, since,
+                                    until_version=until)
+        self.watcher.version = until
+        if delta is None:
+            return {"mode": "noop", "delta_rows": 0}
         delta = delta.localCheckpoint(eager=True)
         n = delta.count()
         fresh = self._partial_agg(delta)

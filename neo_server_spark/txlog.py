@@ -239,7 +239,8 @@ def last_txn_version(table: str, app: str, epoch: int) -> int | None:
 
 def _atomic_commit(table: str, entry: dict, retries: int = 20,
                    overwrite: bool = False,
-                   must_be_live: list[str] | None = None) -> int:
+                   must_be_live: list[str] | None = None,
+                   evolve_from: tuple | None = None) -> int:
     """Put-if-absent the next version; optimistic retry on conflict.
 
     ``overwrite=True`` recomputes the remove set from a FRESH replay on
@@ -258,6 +259,13 @@ def _atomic_commit(table: str, entry: dict, retries: int = 20,
     os.makedirs(d, exist_ok=True)
     for _ in range(retries):
         cur, live, _txns, _stats, _meta = _replay(table)
+        if evolve_from is not None:
+            # schema is re-merged against the FRESH replay on every
+            # attempt: losing the version race to a concurrent schema
+            # evolution must not clobber the racer's new column with a
+            # stale merge (SchemaConflict propagates, never retries)
+            entry["schema"] = _evolve_schema(
+                _meta["schema"], evolve_from[0], evolve_from[1])
         if must_be_live is not None:
             gone = [rel for rel in must_be_live if rel not in live]
             if gone:
@@ -362,7 +370,9 @@ def commit(table: str, add: list[str], mode: str = "append",
            file_schema: list[list[str]] | None = None,
            schema_reset: bool = False,
            cdf: list[str] | None = None,
-           dv: dict[str, list[str]] | None = None) -> int:
+           dv: dict[str, list[str]] | None = None,
+           evolve_from: tuple | None = None,
+           dml: bool = False) -> int:
     """Publish staged files.  mode='append' adds; mode='overwrite'
     removes the current live set in the same atomic entry; ``remove``
     names an explicit file set to retire (compaction).  Returns the
@@ -373,7 +383,9 @@ def commit(table: str, add: list[str], mode: str = "append",
     if txn is not None:
         prior = last_txn_version(table, txn[0], txn[1])
         if prior is not None:
-            for rel in list(add) + list(cdf or []):
+            staged = list(add) + list(cdf or []) + \
+                [d for lst in (dv or {}).values() for d in lst]
+            for rel in staged:
                 p = os.path.join(table, rel)
                 if os.path.exists(p):
                     os.unlink(p)
@@ -387,7 +399,11 @@ def commit(table: str, add: list[str], mode: str = "append",
         entry["dataChange"] = False
     if schema:
         entry["schema"] = schema
-        if file_schema and file_schema != schema:
+        if file_schema and (file_schema != schema
+                            or evolve_from is not None):
+            # under evolve_from the merged schema is recomputed per
+            # retry attempt, so the physical file schema must always be
+            # recorded explicitly — the two can diverge on a lost race
             entry["file_schema"] = file_schema
         if schema_reset:
             entry["schemaReset"] = True
@@ -401,6 +417,12 @@ def commit(table: str, add: list[str], mode: str = "append",
         # named by the tombstones are DELETED without rewriting the
         # data file (Delta's DV shape); readers anti-join them
         entry["dv"] = {k: sorted(v) for k, v in dv.items()}
+    if dml:
+        # marks a read-modify-write rewrite whose "add" files carry the
+        # SURVIVORS of previously-emitted rows — the file-level feed
+        # must refuse it (overwrite/restore adds are genuinely new-to-
+        # the-feed files and keep the old emit semantics)
+        entry["dml"] = True
     if mode == "overwrite":
         # remove set is computed INSIDE the retry loop from a fresh
         # replay, so a lost version race still retires the racer's files
@@ -409,7 +431,8 @@ def commit(table: str, add: list[str], mode: str = "append",
         entry["remove"] = sorted(remove)
     elif mode != "append":
         raise ValueError(f"unknown mode {mode!r}")
-    return _atomic_commit(table, entry, must_be_live=must_be_live)
+    return _atomic_commit(table, entry, must_be_live=must_be_live,
+                          evolve_from=evolve_from)
 
 
 def write(df: DataFrame, table: str, mode: str = "append",
@@ -436,14 +459,20 @@ def write(df: DataFrame, table: str, mode: str = "append",
     new_schema = _df_schema(df)
     if mode == "overwrite":
         merged = new_schema
+        evolve = None
     else:
+        # pre-check fails fast BEFORE the (expensive) staging write; the
+        # commit re-merges against a fresh replay on every retry so a
+        # concurrent evolution is never clobbered
         merged = _evolve_schema(table_schema(table), new_schema,
                                 merge_schema)
+        evolve = (new_schema, merge_schema)
     rels = stage_files(df, table)
     stats = _file_stats(table, rels, stats_cols) if stats_cols else None
     return commit(table, rels, mode=mode, txn=txn, stats=stats,
                   schema=merged, file_schema=new_schema,
-                  schema_reset=(mode == "overwrite"))
+                  schema_reset=(mode == "overwrite"),
+                  evolve_from=evolve)
 
 
 def stage_files(df: DataFrame, table: str,
@@ -680,13 +709,23 @@ def compact(spark: SparkSession, table: str,
 
 
 def changes(spark: SparkSession, table: str,
-            since_version: int) -> tuple[int, DataFrame | None]:
+            since_version: int,
+            until_version: int | None = None
+            ) -> tuple[int, DataFrame | None]:
     """(current version, rows ADDED after ``since_version``) — the
     change-data feed incremental consumers / watch poll on.  None when
-    nothing changed.  Removed files are not re-read: appends-only
-    consumers (the watch/rollup shape) see each row exactly once, and
-    ``dataChange=False`` commits (compaction rewrites) are skipped."""
+    nothing changed.  ``dataChange=False`` commits (compaction
+    rewrites) are skipped; ``until_version`` bounds the range so a
+    consumer can pin its cursor before commits that land mid-fold.
+
+    APPEND-ONLY contract: a commit in the range that REMOVED rows
+    (rewrite-DML, overwrite, deletion vectors) raises — a rewrite's
+    "add" files carry the surviving rows of rows already emitted, so
+    blindly folding them would silently double-count (the failure the
+    row-level feed, ``row_changes``, exists to serve precisely)."""
     cur, _live, _txns, _stats, _meta = _replay(table)
+    if until_version is not None:
+        cur = min(cur, until_version)
     if cur <= since_version:
         return cur, None
     cp_ver, tail = _list_log(table)
@@ -711,8 +750,17 @@ def changes(spark: SparkSession, table: str,
     for fn in scan:
         with open(os.path.join(_log_dir(table), fn)) as f:
             entry = json.load(f)
+        if entry["version"] > cur:
+            continue
         if entry["version"] > since_version \
                 and entry.get("dataChange", True):
+            if entry.get("dml") or entry.get("dv"):
+                raise ValueError(
+                    f"version {entry['version']} is a row-removing DML "
+                    f"rewrite; its add-files carry SURVIVORS of rows "
+                    f"this feed already emitted — folding them would "
+                    f"double-count.  Use row_changes() (DML with "
+                    f"cdf=True) or re-read the snapshot")
             added.extend(entry.get("add", []))
     files = [os.path.join(table, rel) for rel in added]
     if not files:
@@ -755,7 +803,8 @@ def _iter_entries(table: str, since_version: int) -> list[dict]:
     return out
 
 
-def row_changes(spark: SparkSession, table: str, since_version: int
+def row_changes(spark: SparkSession, table: str, since_version: int,
+                until_version: int | None = None
                 ) -> tuple[int, DataFrame | None]:
     """Row-level change feed (Delta CDF shape): every row changed after
     ``since_version`` with ``_change_type`` in {insert, delete,
@@ -769,6 +818,8 @@ def row_changes(spark: SparkSession, table: str, since_version: int
     (same contract as Delta's table_changes over a non-CDF commit).
     ``dataChange=False`` reorganizations are invisible."""
     cur = _replay(table)[0]
+    if until_version is not None:
+        cur = min(cur, until_version)
     if cur <= since_version:
         return cur, None
     parts: list[tuple[list[str], str | None, int]] = []
@@ -776,6 +827,8 @@ def row_changes(spark: SparkSession, table: str, since_version: int
         if not entry.get("dataChange", True):
             continue
         ver = entry["version"]
+        if ver > cur:
+            continue
         if entry.get("cdf"):
             parts.append((entry["cdf"], None, ver))
         elif entry.get("remove") or entry.get("dv"):

@@ -490,3 +490,57 @@ def test_dml_model_based_random_ops(spark, tmp_path):
                    txlog.read_table(spark, t).collect()}
             assert got == model, (case, _op, op)
             snapshots.append((txlog.current_version(t), dict(model)))
+
+
+def test_review_fixes_merge_dups_update_validation_scd2_nochurn(
+        spark, tmp_path):
+    """Review-pass regressions: (a) merge updates EVERY matched target
+    row (duplicate target keys do not collapse); (b) UPDATE rejects
+    unknown SET columns; (c) an all-identical SCD2 apply rewrites
+    nothing; (d) file-level changes() refuses DML-rewrite commits but
+    still serves plain overwrites."""
+    # (a) duplicate target keys
+    t = str(tmp_path / "dup")
+    txlog.write(_mk(spark, [(1, "a", 10), (1, "b", 20), (2, "c", 30)])
+                .coalesce(1), t)
+    src = _mk(spark, [(1, "z", -1)])
+    dml.merge(spark, t, src, on=["id"])
+    rows = sorted((r["id"], r["grp"], r["v"]) for r in
+                  txlog.read_table(spark, t).collect())
+    assert rows == [(1, "z", -1), (1, "z", -1), (2, "c", 30)]
+
+    # (b) unknown SET column
+    with pytest.raises(ValueError, match="unknown column"):
+        dml.update(spark, t, "id = 1", {"vv": "1"})
+
+    # (c) SCD2 no-churn: identical apply bumps nothing
+    d = str(tmp_path / "dim2")
+    snap = spark.createDataFrame([(1, "x"), (2, "y")],
+                                 "k long, a string")
+    txlog.write(dml.scd2_init(snap, F.lit(1).cast("long")), d)
+    v0 = txlog.current_version(d)
+    res = dml.scd2_apply(spark, d,
+                         snap.withColumn("eff", F.lit(2).cast("long")),
+                         on=["k"], attrs=["a"], effective_col="eff")
+    assert res["files_touched"] == 0
+    assert txlog.current_version(d) == v0
+    # ...and a changed+new mix narrows the rewrite to changed keys only
+    src2 = spark.createDataFrame([(1, "x2"), (3, "w")],
+                                 "k long, a string") \
+        .withColumn("eff", F.lit(3).cast("long"))
+    dml.scd2_apply(spark, d, src2, on=["k"], attrs=["a"],
+                   effective_col="eff")
+    got = {(r["k"], r["_is_current"]): r["a"] for r in
+           txlog.read_table(spark, d).collect()}
+    assert got == {(1, False): "x", (1, True): "x2",
+                   (2, True): "y", (3, True): "w"}
+
+    # (d) changes() refuses the DML rewrite, serves plain overwrite
+    t2 = str(tmp_path / "cf")
+    txlog.write(_mk(spark, [(1, "a", 1)]), t2)
+    dml.delete(spark, t2, "id = 1")
+    with pytest.raises(ValueError, match="DML"):
+        txlog.changes(spark, t2, 0)
+    txlog.write(_mk(spark, [(9, "o", 9)]), t2, mode="overwrite")
+    _cur, delta = txlog.changes(spark, t2, 2)     # after the DML commit
+    assert [r["id"] for r in delta.collect()] == [9]
