@@ -113,6 +113,8 @@ def tokenize(src: str) -> list[Tok]:
                 j = i + 2
                 while j < n and src[j] in "0123456789abcdefABCDEF":
                     j += 1
+                if j == i + 2:     # bare '0x' — fuzz-found
+                    raise JSError(f"invalid number literal {src[i:j]!r}")
                 toks.append(Tok("num", int(src[i:j], 16), i))
                 i = j
                 continue
