@@ -55,7 +55,8 @@ __all__ = ["commit", "write", "read_table", "changes", "row_changes",
            "checkpoint",
            "live_files", "pruned_files", "compact", "restore", "vacuum",
            "last_txn_version", "current_version", "version_at",
-           "stage_files", "table_schema", "TxConflict",
+           "stage_files", "table_schema", "history", "describe_detail",
+           "TxConflict",
            "SchemaConflict"]
 
 _LOG = "_txlog"
@@ -990,3 +991,66 @@ def checkpoint(table: str) -> int:
                            for k, v in meta["dvs"].items()}}, f)
     os.rename(tmp, os.path.join(d, f"{ver:0{_W}d}.checkpoint.json"))
     return ver
+
+
+def history(table: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per surviving commit entry, newest
+    first — version, timestamp, operation kind (append / overwrite /
+    dml / compaction / restore / dv-delete), row-affecting flags, and
+    file counts.  Pure log metadata: O(surviving entries), zero data
+    reads.  Entries vacuumed past a checkpoint are summarized by the
+    checkpoint itself being the floor of what survives."""
+    d = _log_dir(table)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"no txlog at {table}")
+    out = []
+    for fn in sorted(os.listdir(d), reverse=True):
+        if not fn.endswith(".json") or fn.startswith(".") \
+                or fn.endswith(".checkpoint.json"):
+            continue
+        with open(os.path.join(d, fn)) as f:
+            e = json.load(f)
+        if "restore_of" in e:
+            op = f"RESTORE to v{e['restore_of']}"
+        elif e.get("dv"):
+            op = "DELETE (deletion vectors)"
+        elif e.get("dml"):
+            op = "DML rewrite"
+        elif not e.get("dataChange", True):
+            op = "OPTIMIZE (compaction)"
+        elif e.get("remove") and e.get("add"):
+            op = "WRITE (overwrite)"
+        else:
+            op = "WRITE (append)"
+        out.append({
+            "version": e["version"], "timestamp_ms": e.get("ts"),
+            "operation": op,
+            "num_added_files": len(e.get("add", [])),
+            "num_removed_files": len(e.get("remove", [])),
+            "data_change": e.get("dataChange", True),
+            "txn": (f"{e['txn']['app']}:{e['txn']['epoch']}"
+                    if e.get("txn") else None),
+        })
+    return out
+
+
+def describe_detail(table: str) -> dict:
+    """DESCRIBE DETAIL: current-snapshot facts off the log + file
+    sizes — version, file/byte counts, schema, DV and change-file
+    counts.  O(live files) stat calls, zero data reads."""
+    ver, live, _txns, _stats, meta = _replay(table)
+    size = 0
+    for rel in live:
+        try:
+            size += os.path.getsize(os.path.join(table, rel))
+        except OSError:
+            pass
+    return {
+        "version": ver,
+        "num_files": len(live),
+        "size_bytes": size,
+        "schema": meta["schema"],
+        "num_dv_files": sum(len(v) for v in meta["dvs"].values()),
+        "files_with_dvs": len(meta["dvs"]),
+        "schema_variants": len(meta["seen"]),
+    }

@@ -626,3 +626,35 @@ def test_schema_enforcement_and_evolution(spark, tmp_path):
     txlog.write(bad, t, mode="overwrite")
     assert txlog.table_schema(t) == [["id", "bigint"], ["v", "double"]]
     assert txlog.read_table(spark, t).count() == 1
+
+
+def test_history_and_describe_detail(spark, tmp_path):
+    """DESCRIBE HISTORY / DESCRIBE DETAIL parity: operation kinds are
+    classified from the log alone, newest first; detail reports the
+    live snapshot's files/bytes/schema/DV state with zero data reads."""
+    from neo_server_spark import dml
+
+    t = str(tmp_path / "h")
+    txlog.write(_mk(spark, [(1, "a"), (2, "b")]).coalesce(1), t,
+                txn=("app", 0))
+    txlog.write(_mk(spark, [(3, "c")]).coalesce(1), t)
+    dml.delete(spark, t, "id = 1")                     # DML rewrite
+    dml.delete(spark, t, "id = 2", mode="dv")          # DV delete
+    txlog.compact(spark, t, target_files=1)            # OPTIMIZE
+    txlog.restore(t, 2)                                # RESTORE
+    h = txlog.history(t)
+    assert [e["version"] for e in h] == [6, 5, 4, 3, 2, 1]
+    ops = {e["version"]: e["operation"] for e in h}
+    assert ops[1] == "WRITE (append)" and h[-1]["txn"] == "app:0"
+    assert ops[3] == "DML rewrite"
+    assert ops[4] == "DELETE (deletion vectors)"
+    assert ops[5] == "OPTIMIZE (compaction)"
+    assert ops[6] == "RESTORE to v2"
+    assert not h[1]["data_change"]                     # compaction row
+
+    d = txlog.describe_detail(t)
+    assert d["version"] == 6
+    assert d["num_files"] == len(txlog.live_files(t))
+    assert d["size_bytes"] > 0
+    assert d["schema"] == [["id", "bigint"], ["v", "string"]]
+    assert d["files_with_dvs"] == 0                    # restored to v2
