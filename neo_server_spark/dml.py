@@ -427,6 +427,14 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
     import os
 
     tgt_cols = txlog.read_table(spark, table).columns
+    meta_cols = {"_valid_from", "_valid_to", "_is_current"}
+    expected = [c for c in tgt_cols if c not in meta_cols]
+    if sorted(expected) != sorted(list(on) + list(attrs)):
+        raise ValueError(
+            f"scd2 dimension columns {expected} must equal "
+            f"on+attrs {sorted(list(on) + list(attrs))}; every "
+            f"non-meta column is part of the version identity and "
+            f"must be listed")
     s = source.select(*on, *attrs,
                       F.col(effective_col).alias("__eff"))
     tgt = _read(spark, table, touched) if touched else None

@@ -247,6 +247,57 @@ def stream_upsert(
     return writer.start()
 
 
+def stream_scd2(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint: str,
+    on: list[str],
+    attrs: list[str],
+    fmt: str = "ndjson",
+    trigger_available_now: bool = True,
+    stats_cols: list[str] | None = None,
+):
+    """Streaming SCD Type-2 sink: each micro-batch's latest row per key
+    (by the decoded ``time`` column) applies as a dimension snapshot —
+    changed keys close their current version at the batch row's time
+    and open a new one, unchanged keys cause no churn, new keys insert
+    (dml.scd2_apply).  Exactly-once via txn=(run_key, epoch); a
+    restart replays into a no-op before any work.
+
+    The dimension table must exist (bootstrap with
+    ``dml.scd2_init(first_snapshot, eff).write``); this sink then keeps
+    full attribute history flowing from the stream — the streaming half
+    of the Kimball pattern the batch scd2_apply covers."""
+    from neo_server_spark import dml, txlog
+
+    decoder = DECODERS[fmt]
+    lines = spark.readStream.format("text").load(source_dir)
+    decoded = decoder(lines)
+    app = _run_key(checkpoint)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if txlog.last_txn_version(table_path, app, int(batch_id)) \
+                is not None:
+            return
+        cols = batch_df.columns
+        latest = (batch_df.groupBy(*on).agg(
+            F.max_by(F.struct(*[c for c in cols if c not in on]),
+                     F.struct(F.col("time"),
+                              *[F.col(c) for c in cols
+                                if c not in on])).alias("__r"))
+            .select(*on, "__r.*"))
+        dml.scd2_apply(spark, table_path, latest, on=on, attrs=attrs,
+                       effective_col="time", stats_cols=stats_cols,
+                       txn=(app, int(batch_id)))
+
+    writer = (decoded.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_rollup(
     spark: SparkSession,
     source_dir: str,

@@ -744,3 +744,55 @@ def test_stream_upsert_cdc_apply(spark, tmp_path):
         by.setdefault(r["_change_type"], set()).add(r["name"])
     assert by["update_postimage"] == {"s2"}
     assert by["insert"] == {"s3"}
+
+
+def test_stream_scd2_dimension(spark, tmp_path):
+    """Streaming SCD2: per epoch the latest row per key applies as a
+    snapshot — version history accumulates across epochs, restarts
+    replay into no-ops, unchanged keys never churn."""
+    from neo_server_spark import dml, txlog
+    import pyspark.sql.functions as SF
+
+    src = tmp_path / "scd2in"
+    table = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ck_scd2")
+    # dimension schema = keys + attrs + meta (the stream's `time` is
+    # the EFFECTIVE timestamp, not a dimension attribute)
+    boot = spark.createDataFrame(
+        [("s1", 1.0), ("s2", 2.0)], "name string, value double")
+    txlog.write(dml.scd2_init(boot, SF.lit(0).cast("long")), table)
+    # epoch 0: s1 changes (two rows, later wins), s2 identical, s3 new
+    _write_lines(str(src / "b1.ndjson"), [
+        json.dumps({"name": "s1", "time": 100, "value": 9.0}),
+        json.dumps({"name": "s1", "time": 50, "value": 5.0}),
+        json.dumps({"name": "s2", "time": 120, "value": 2.0}),
+        json.dumps({"name": "s3", "time": 80, "value": 7.0}),
+    ])
+    q = ingest.stream_scd2(spark, str(src), table, ckpt,
+                           on=["name"], attrs=["value"])
+    q.awaitTermination(60)
+    rows = {(r["name"], r["_is_current"]):
+            (r["value"], r["_valid_from"], r["_valid_to"])
+            for r in txlog.read_table(spark, table).collect()}
+    assert rows[("s1", False)] == (1.0, 0, 100)    # closed at batch time
+    assert rows[("s1", True)] == (9.0, 100, None)  # later row won
+    assert rows[("s2", True)] == (2.0, 0, None)    # identical: no churn
+    assert rows[("s3", True)] == (7.0, 80, None)
+    assert len(rows) == 4
+    v1 = txlog.current_version(table)
+    # restart: no replays
+    q2 = ingest.stream_scd2(spark, str(src), table, ckpt,
+                            on=["name"], attrs=["value"])
+    q2.awaitTermination(60)
+    assert txlog.current_version(table) == v1
+    # epoch 1: s1 changes again -> three versions of s1
+    _write_lines(str(src / "b2.ndjson"), [
+        json.dumps({"name": "s1", "time": 200, "value": 11.0}),
+    ])
+    q3 = ingest.stream_scd2(spark, str(src), table, ckpt,
+                            on=["name"], attrs=["value"])
+    q3.awaitTermination(60)
+    hist = sorted((r["_valid_from"], r["_valid_to"], r["value"])
+                  for r in txlog.read_table(spark, table)
+                  .filter("name = 's1'").collect())
+    assert hist == [(0, 100, 1.0), (100, 200, 9.0), (200, None, 11.0)]
