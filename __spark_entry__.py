@@ -3746,6 +3746,63 @@ def _q_scd2_dimension(spark, sf_dir):
             .orderBy("k", "_valid_from"))
 
 
+def _q_stream_scd2(spark, sf_dir):
+    """STREAMING SCD Type-2 sink under the value-hash gate
+    (streaming/ingest.stream_scd2 -> dml.scd2_apply per micro-batch,
+    exactly-once via txn=(run, epoch) — the streaming half of the
+    Kimball pattern scd2_dimension certifies in batch): the dimension
+    bootstraps from snapshot 1 (max val per name over event_id<1000,
+    eff=1000); TWO NDJSON micro-batches then stream snapshots 2
+    (eff=2000) and 3 (eff=3000) through the sink — each epoch closes
+    changed keys at its effective time, inserts unseen keys, and never
+    churns identical tuples.  floor(value*1000) keeps the streamed
+    double integral so the JSON wire round-trip is exact.  The oracle
+    chains the three snapshots per key and drops consecutive
+    duplicates with a window walk (the no-churn rule)."""
+    import json as _json
+    import os
+    import tempfile
+
+    from neo_server_spark import dml, txlog
+    from neo_server_spark.streaming import ingest
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 3000)
+          .select(F.concat(F.col("event_type"), F.lit("-"),
+                           F.pmod("user_id", F.lit(40)).cast("string"))
+                  .alias("name"),
+                  "event_id",
+                  F.floor(F.col("value") * 1000).cast("double")
+                  .alias("value")))
+
+    def snap(lo, hi):
+        return (ev.filter((F.col("event_id") >= lo)
+                          & (F.col("event_id") < hi))
+                .groupBy("name").agg(F.max("value").alias("value")))
+
+    root = tempfile.mkdtemp(prefix="stream_scd2_")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    table = os.path.join(root, "dim")
+    ckpt = os.path.join(root, "ck")
+    txlog.write(dml.scd2_init(snap(0, 1000), F.lit(1000).cast("long")),
+                table)
+    for i, (lo, hi) in enumerate([(1000, 2000), (2000, 3000)]):
+        eff = 2000 + i * 1000
+        with open(os.path.join(src, f"b{i}.ndjson"), "w") as f:
+            for r in snap(lo, hi).collect():   # O(keys) driver rows
+                f.write(_json.dumps(
+                    {"name": r["name"], "time": eff,
+                     "value": r["value"]}) + "\n")
+        q = ingest.stream_scd2(spark, src, table, ckpt,
+                               on=["name"], attrs=["value"])
+        q.awaitTermination(120)
+    return (txlog.read_table(spark, table)
+            .select("name", "value", "_valid_from", "_valid_to",
+                    "_is_current")
+            .orderBy("name", "_valid_from"))
+
+
 def _q_epoch_shuffle(spark, sf_dir):
     """Deterministic training-epoch shuffle (sampling.epoch_shuffle):
     every document ranked by md5(id || seed) — a reproducible
@@ -3814,27 +3871,78 @@ def _q_dv_delete(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the first
-        # 50 entries.  Round-11 window = the 3 NEW entries (rollup_txlog,
-        # bridge_sql, tag_stat_incremental), 4 rows whose code paths
-        # changed this round (txlog commit protocol + vacuum retention ->
-        # txlog_table; ivf_topk_join exclude_self refactor ->
-        # similarity_ivf_batch; compact/rollup sink work -> compaction,
-        # streaming_rollup), ALL 39 r6-vintage rows (r10 VERDICT #1 —
-        # after this window the minimum vintage across the registry
-        # becomes r8), and oldest-r8 fillers (tpch_q11 + simhash_pairs).
-        # txlog_dml (NEW this session: copy-on-write DELETE/UPDATE/MERGE
-        # + time travel) leads the window; it displaced the tpch_q16
-        # filler.  Everything else rotates behind (r8, r9, r10).
+        # 50 entries.  Round-12 window = the SEVEN never-driver-green r11
+        # entries (r11 VERDICT #1: matview_incr, streaming_upsert,
+        # scd2_dimension, dv_delete, epoch_shuffle, budget_select,
+        # auth_flow), the NEW stream_scd2 oracle (directive #5), 3 rows
+        # whose code paths changed this round (dml.py schema-evolved
+        # read + DV-drift conflict detection -> txlog_dml; compact()
+        # DV-density materialization -> compaction; changes()/restore
+        # hardening -> txlog_table), and 39 of the 46 r8-vintage rows
+        # (directive #2).  The 7 r8 stragglers named for the r13 window:
+        # codec_box, codec_html, codec_markdown, codec_ndjson,
+        # winnow_overlap, substring_spans, lm2 — each has a certified
+        # family sibling IN this window (codec_json/chart/geomap,
+        # winnow_fp, substring_cut, lm_buckets).  Everything else
+        # rotates behind (r9, r10, r11 vintages).
+        "matview_incr": _q_matview_incr,
+        "streaming_upsert": _q_streaming_upsert,
+        "scd2_dimension": _q_scd2_dimension,
+        "dv_delete": _q_dv_delete,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "budget_select": _q_budget_select,
+        "auth_flow": _q_auth_flow,
+        "stream_scd2": _q_stream_scd2,
         "txlog_dml": _q_txlog_dml,
+        "compaction": _q_compaction,
+        "txlog_table": _q_txlog_table,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "simhash_pairs": _q_simhash_pairs,
+        "bpe_encode": _q_bpe_encode,
+        "bpe_merges": _q_bpe_merges,
+        "bytes_source": _q_bytes_source,
+        "c4_filters": _q_c4_filters,
+        "char_entropy": _q_char_entropy,
+        "codec_chart": _q_codec_chart,
+        "codec_geomap": _q_codec_geomap,
+        "codec_json": _q_codec_json,
+        "corpus_card": _q_corpus_card,
+        "data_mixture": _q_data_mixture,
+        "dedup_canonical": _q_dedup_canonical,
+        "dedup_incr": _q_dedup_incr,
+        "domain_caps": _q_domain_caps,
+        "dsir_sample": _q_dsir_sample,
+        "gopher_quality": _q_gopher_quality,
+        "lake_api_calc": _q_lake_api_calc,
+        "lake_api_raw": _q_lake_api_raw,
+        "line_dedup": _q_line_dedup,
+        "lm_buckets": _q_lm_buckets,
+        "mad_outliers": _q_mad_outliers,
+        "mixture_plan": _q_mixture_plan,
+        "multimodal_video": _q_multimodal_video,
+        "quality_classifier": _q_quality_classifier,
+        "readability": _q_readability,
+        "series_diffs": _q_series_diffs,
+        "shard_export": _q_shard_export,
+        "similarity_lsh": _q_similarity_lsh,
+        "similarity_pq": _q_similarity_pq,
+        "string_source": _q_string_source,
+        "substring_cut": _q_substring_cut,
+        "text_normalize": _q_text_normalize,
+        "tfidf_terms": _q_tfidf_terms,
+        "url_normalize": _q_url_normalize,
+        "winnow_fp": _q_winnow_fp,
+        # ---- window boundary: entries below rotate in next round ----
         "doc_chunks": _q_doc_chunks,
         "rollup_txlog": _q_rollup_txlog,
         "bridge_sql": _q_bridge_sql,
         "tag_stat_incremental": _q_tag_stat_incremental,
         "zorder_prune": _q_zorder_prune,
         "rollup_distinct": _q_rollup_distinct,
-        "txlog_table": _q_txlog_table,
         "similarity_ivf_batch": _q_similarity_ivf_batch,
-        "compaction": _q_compaction,
         "streaming_rollup": _q_streaming_rollup,
         "group_weighted": _q_group_weighted,
         "histogram": _q_histogram,
@@ -3875,18 +3983,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tql_set_vars": _q_tql_set_vars,
         "transpose": _q_transpose,
         "when_throttle": _q_when_throttle,
-        # ---- window boundary: entries below rotate in next round ----
-        "matview_incr": _q_matview_incr,
-        "auth_flow": _q_auth_flow,
-        "streaming_upsert": _q_streaming_upsert,
-        "scd2_dimension": _q_scd2_dimension,
-        "epoch_shuffle": _q_epoch_shuffle,
-        "budget_select": _q_budget_select,
-        "dv_delete": _q_dv_delete,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q20": _q_tpch_q20,
-        "simhash_pairs": _q_simhash_pairs,
         "pack_sequences": _q_pack_sequences,
         "timer_fire": _q_timer_fire,
         "subscriber_flow": _q_subscriber_flow,
@@ -3933,47 +4029,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_last": _q_first_last,
         "flatten_tokens": _q_flatten_tokens,
         "group_aggs2": _q_group_aggs2,
-        "bpe_encode": _q_bpe_encode,
-        "bpe_merges": _q_bpe_merges,
-        "bytes_source": _q_bytes_source,
-        "c4_filters": _q_c4_filters,
-        "char_entropy": _q_char_entropy,
         "codec_box": _q_codec_box,
-        "codec_chart": _q_codec_chart,
-        "codec_geomap": _q_codec_geomap,
         "codec_html": _q_codec_html,
-        "codec_json": _q_codec_json,
         "codec_markdown": _q_codec_markdown,
         "codec_ndjson": _q_codec_ndjson,
-        "corpus_card": _q_corpus_card,
-        "data_mixture": _q_data_mixture,
-        "dedup_canonical": _q_dedup_canonical,
-        "dedup_incr": _q_dedup_incr,
-        "domain_caps": _q_domain_caps,
-        "dsir_sample": _q_dsir_sample,
-        "gopher_quality": _q_gopher_quality,
-        "lake_api_calc": _q_lake_api_calc,
-        "lake_api_raw": _q_lake_api_raw,
-        "line_dedup": _q_line_dedup,
         "lm2": _q_lm2,
-        "lm_buckets": _q_lm_buckets,
-        "mad_outliers": _q_mad_outliers,
-        "mixture_plan": _q_mixture_plan,
-        "multimodal_video": _q_multimodal_video,
-        "quality_classifier": _q_quality_classifier,
-        "readability": _q_readability,
-        "series_diffs": _q_series_diffs,
-        "shard_export": _q_shard_export,
-        "similarity_lsh": _q_similarity_lsh,
-        "similarity_pq": _q_similarity_pq,
-        "string_source": _q_string_source,
-        "substring_cut": _q_substring_cut,
         "substring_spans": _q_substring_spans,
-        "text_normalize": _q_text_normalize,
-        "tfidf_terms": _q_tfidf_terms,
-        "tpch_q21": _q_tpch_q21,
-        "url_normalize": _q_url_normalize,
-        "winnow_fp": _q_winnow_fp,
         "winnow_overlap": _q_winnow_overlap,
         "backup_mount": _q_backup_mount,
         "boilerplate": _q_boilerplate,
@@ -7022,6 +7083,42 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id
         """,
         # SCD2: rebuild the version table from the two snapshots.
+        "stream_scd2": """
+            WITH base AS (
+              SELECT event_type || '-' || CAST(user_id % 40 AS VARCHAR)
+                       AS name,
+                     event_id,
+                     CAST(floor(value * 1000) AS DOUBLE) AS value
+              FROM events WHERE event_id < 3000),
+            s AS (
+              SELECT name, CAST(1000 AS BIGINT) AS eff,
+                     max(value) AS value
+              FROM base WHERE event_id < 1000 GROUP BY name
+              UNION ALL
+              SELECT name, CAST(2000 AS BIGINT), max(value)
+              FROM base WHERE event_id >= 1000 AND event_id < 2000
+              GROUP BY name
+              UNION ALL
+              SELECT name, CAST(3000 AS BIGINT), max(value)
+              FROM base WHERE event_id >= 2000 AND event_id < 3000
+              GROUP BY name),
+            dedup AS (
+              SELECT name, eff, value FROM (
+                SELECT name, eff, value,
+                       lag(value) OVER (PARTITION BY name ORDER BY eff)
+                         AS pv
+                FROM s)
+              WHERE pv IS NULL OR pv <> value),
+            vers AS (
+              SELECT name, value, eff AS _valid_from,
+                     lead(eff) OVER (PARTITION BY name ORDER BY eff)
+                       AS _valid_to
+              FROM dedup)
+            SELECT name, value, _valid_from, _valid_to,
+                   (_valid_to IS NULL) AS _is_current
+            FROM vers
+            ORDER BY name, _valid_from
+        """,
         "scd2_dimension": """
             WITH w1 AS (
               SELECT user_id % 200 AS k, max(event_type) AS attr

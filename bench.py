@@ -214,7 +214,7 @@ def main() -> None:
     # excluded so the subtotal stays comparable with BENCH_r06 and earlier
     stable = set(BENCH_QUERIES[:43])
     stable44 = round(sum(v for k, v in timings.items() if k in stable), 3)
-    print(json.dumps({
+    full = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -235,7 +235,43 @@ def main() -> None:
         "sections": section_stats,
         "sf": sf,
         "ingest": ingest,
-    }))
+    }
+    # same-box A/B (HEAD vs the round-start commit, tools/ab_bench.py):
+    # the primary cross-round perf signal — a loaded driver box cannot
+    # manufacture a regression out of ambient noise when the two
+    # commits were measured under identical conditions
+    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_ab.json")
+    ab = None
+    if os.path.exists(ab_path):
+        try:
+            with open(ab_path) as f:
+                ab = json.load(f)
+        except Exception:
+            ab = None
+    # Output order matters: the verification driver records only the
+    # LAST 2,000 chars of stdout.  The full JSON (reps, loadavgs) goes
+    # FIRST for humans reading the log; the compact summary — per-query
+    # BESTS, section sums, stable44, the A/B ratio — prints LAST so the
+    # driver tail always carries the cross-round comparison payload.
+    print(json.dumps(full))
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "stable44_sec": stable44,
+        "quiesce_load": quiesce.get("loadavg_after"),
+        "sections_sec": {k: v["sum_best_sec"]
+                         for k, v in section_stats.items()},
+        "ingest_rows_per_sec": (ingest or {}).get("rows_per_sec"),
+    }
+    if ab:
+        compact["ab"] = {k: ab[k] for k in
+                         ("head_stable44", "base_stable44", "ratio",
+                          "base_commit") if k in ab}
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

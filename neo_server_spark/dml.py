@@ -48,8 +48,25 @@ def _cond(condition) -> Column:
     return F.expr(condition) if isinstance(condition, str) else condition
 
 
+def _snapshot(table: str) -> dict:
+    """The table's schema/DV metadata as of NOW — captured ONCE per DML
+    statement so every read within it sees one consistent snapshot, and
+    so the commit can conflict-check the DV state the rewrite was
+    computed from (txlog must_match_dvs)."""
+    return txlog._replay(table)[4]
+
+
+def _dv_snap(meta: dict, rels: list[str]) -> dict[str, list[str]]:
+    """{file -> tombstone rels as of the snapshot} for the files a
+    rewrite will retire — the commit raises TxConflict if any drifted
+    (a concurrent DV delete whose tombstones the rewrite would
+    otherwise resurrect)."""
+    return {rel: sorted(meta["dvs"].get(rel, [])) for rel in rels}
+
+
 def _touched(spark: SparkSession, table: str, match,
-             prune: dict | None) -> tuple[list[str], list[str]]:
+             prune: dict | None,
+             meta: dict | None = None) -> tuple[list[str], list[str]]:
     """(candidate rels, rels that actually contain matching rows).
 
     ``match`` maps a candidate DataFrame (with ``__file`` = absolute
@@ -60,7 +77,7 @@ def _touched(spark: SparkSession, table: str, match,
         return [], []
     # DV-aware: rows already tombstoned by a deletion vector must not
     # re-touch their file (and must not re-match a DML)
-    df = _read(spark, table, cand, with_file=True)
+    df = _read(spark, table, cand, with_file=True, meta=meta)
     hit = (match(df).select("__file").distinct().collect())
     # data files are flat under data/<uuid>.parquet: basename <-> rel
     base_to_rel = {rel.split("/")[-1]: rel for rel in cand}
@@ -70,13 +87,30 @@ def _touched(spark: SparkSession, table: str, match,
 
 
 def _read(spark: SparkSession, table: str, rels: list[str],
-          with_file: bool = False, with_pos: bool = False) -> DataFrame:
+          with_file: bool = False, with_pos: bool = False,
+          meta: dict | None = None) -> DataFrame:
     """Deletion-vector-aware read of specific table files (the ONLY way
     DML may read target rows — a raw parquet read would resurrect
-    DV-deleted rows into a rewrite)."""
-    dvs = txlog._replay(table)[4]["dvs"]
-    return txlog.read_files(spark, table, rels, dvs=dvs,
-                            with_file=with_file, with_pos=with_pos)
+    DV-deleted rows into a rewrite).
+
+    Schema-evolution-aware, mirroring txlog.read_table: when >1 physical
+    file schema may be live (meta['seen']), the read unions footers
+    (mergeSchema) and projects to the logged canonical schema —
+    otherwise a DML touching pre-evolution files would infer the narrow
+    schema and the rewrite would silently DROP evolved columns from
+    surviving rows."""
+    if meta is None:
+        meta = _snapshot(table)
+    evolved = len(meta["seen"]) > 1
+    df = txlog.read_files(spark, table, rels, dvs=meta["dvs"],
+                          with_file=with_file, with_pos=with_pos,
+                          merge_schema=evolved)
+    if evolved:
+        keep = [n for n, _t in meta["schema"]]
+        extras = [c for c in ("__file", "__f", "__pos")
+                  if c in df.columns]
+        df = df.select(*keep, *extras)
+    return df
 
 
 def _stage_cdf(parts: list[tuple[DataFrame, str]], table: str
@@ -97,20 +131,25 @@ def _rewrite_commit(spark: SparkSession, table: str, touched: list[str],
                     new_df: DataFrame | None,
                     stats_cols: list[str] | None,
                     cdf_parts: list[tuple[DataFrame, str]] | None = None,
-                    txn: tuple[str, int] | None = None) -> int:
+                    txn: tuple[str, int] | None = None,
+                    meta: dict | None = None) -> int:
     """Stage the rewrite (if any rows survive) and atomically swap it
-    for the touched files, with write-conflict detection.  ``cdf_parts``
-    are (rows, change_type) frames to publish as the commit's row-level
-    change feed."""
+    for the touched files, with write-conflict detection (liveness AND
+    deletion-vector drift when ``meta`` carries the read snapshot).
+    ``cdf_parts`` are (rows, change_type) frames to publish as the
+    commit's row-level change feed."""
     import os
 
     rels = txlog.stage_files(new_df, table) if new_df is not None else []
     stats = (txlog._file_stats(table, rels, stats_cols)
              if stats_cols and rels else None)
     cdf_rels = _stage_cdf(cdf_parts, table) if cdf_parts else []
+    dv_guard = _dv_snap(meta, touched) if meta is not None else None
     try:
         return txlog.commit(table, rels, remove=touched, stats=stats,
-                            must_be_live=touched, cdf=cdf_rels or None,
+                            must_be_live=touched,
+                            must_match_dvs=dv_guard,
+                            cdf=cdf_rels or None,
                             txn=txn, dml=True)
     except txlog.TxConflict:
         # the rewrite is stale — drop its staged files before re-raising
@@ -151,8 +190,9 @@ def delete(spark: SparkSession, table: str, condition,
             return {"version": prior, "files_touched": 0,
                     "files_total": 0, "replayed": True}
     cond = _cond(condition)
+    meta = _snapshot(table)
     cand, touched = _touched(spark, table, lambda d: d.filter(cond),
-                             prune)
+                             prune, meta=meta)
     if not touched:
         return {"version": txlog.current_version(table),
                 "files_touched": 0, "files_total": len(cand)}
@@ -162,7 +202,7 @@ def delete(spark: SparkSession, table: str, condition,
         # deletion-vector path: name the matched rows as tombstones
         # instead of rewriting the files — O(matched rows) written, the
         # data files stay byte-identical (Delta's DV fast delete).
-        df = _read(spark, table, touched, with_pos=True)
+        df = _read(spark, table, touched, with_pos=True, meta=meta)
         hit = df.filter(F.coalesce(cond, F.lit(False)))
         tomb = hit.select("__f", "__pos")
         dv_rels = txlog.stage_files(tomb, table, subdir="_dv")
@@ -170,6 +210,7 @@ def delete(spark: SparkSession, table: str, condition,
                                table) if cdf else [])
         try:
             ver = txlog.commit(table, [], must_be_live=touched,
+                               must_match_dvs=_dv_snap(meta, touched),
                                dv={t: dv_rels for t in touched},
                                cdf=cdf_rels or None, txn=txn)
         except txlog.TxConflict:
@@ -180,14 +221,14 @@ def delete(spark: SparkSession, table: str, condition,
             raise
         return {"version": ver, "files_touched": len(touched),
                 "files_total": len(cand)}
-    df = _read(spark, table, touched)
+    df = _read(spark, table, touched, meta=meta)
     keep = df.filter(~F.coalesce(cond, F.lit(False)))
     parts = [(df.filter(F.coalesce(cond, F.lit(False))), "delete")] \
         if cdf else None
     # an all-matching file set rewrites to nothing: commit pure removal
     new_df = keep if not keep.isEmpty() else None
     ver = _rewrite_commit(spark, table, touched, new_df, stats_cols,
-                          cdf_parts=parts, txn=txn)
+                          cdf_parts=parts, txn=txn, meta=meta)
     return {"version": ver, "files_touched": len(touched),
             "files_total": len(cand)}
 
@@ -221,14 +262,15 @@ def update(spark: SparkSession, table: str, condition,
             f"UPDATE sets unknown column(s) {unknown}; table has "
             f"{known}")
     cond = _cond(condition)
+    meta = _snapshot(table)
     cand, touched = _touched(spark, table, lambda d: d.filter(cond),
-                             prune)
+                             prune, meta=meta)
     if not touched:
         return {"version": txlog.current_version(table),
                 "files_touched": 0, "files_total": len(cand)}
     import os
 
-    df = _read(spark, table, touched)
+    df = _read(spark, table, touched, meta=meta)
     hit = F.coalesce(cond, F.lit(False))
 
     def apply_assign(frame):
@@ -248,7 +290,7 @@ def update(spark: SparkSession, table: str, condition,
         parts = [(pre, "update_preimage"),
                  (apply_assign(pre), "update_postimage")]
     ver = _rewrite_commit(spark, table, touched, out, stats_cols,
-                          cdf_parts=parts, txn=txn)
+                          cdf_parts=parts, txn=txn, meta=meta)
     return {"version": ver, "files_touched": len(touched),
             "files_total": len(cand)}
 
@@ -320,8 +362,10 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
                      if b[f"__lo_{c}"] is not None} or None
     keys = source.select(*on).distinct()
     bkeys = F.broadcast(keys) if keys.count() <= _BCAST_KEYS else keys
+    meta = _snapshot(table)
     cand, touched = _touched(
-        spark, table, lambda d: d.join(bkeys, on, "left_semi"), prune)
+        spark, table, lambda d: d.join(bkeys, on, "left_semi"), prune,
+        meta=meta)
     import os
 
     tgt_cols = txlog.read_table(spark, table).columns
@@ -329,7 +373,7 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
     # file BY CONSTRUCTION, so the touched files' key set IS the full
     # table's matched-key set — unmatched-source discovery never scans
     # the untouched bulk of the table
-    tgt = _read(spark, table, touched) if touched else None
+    tgt = _read(spark, table, touched, meta=meta) if touched else None
     matched_keys = (tgt.select(*on).join(bkeys, on, "left_semi")
                     .distinct() if tgt is not None else None)
     parts: list[DataFrame] = []
@@ -371,10 +415,12 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
             return {"version": txlog.current_version(table),
                     "files_touched": 0, "files_total": len(cand)}
         ver = _rewrite_commit(spark, table, remove, None, stats_cols,
-                              cdf_parts=cdf_parts or None, txn=txn)
+                              cdf_parts=cdf_parts or None, txn=txn,
+                              meta=meta)
     else:
         ver = _rewrite_commit(spark, table, remove, out, stats_cols,
-                              cdf_parts=cdf_parts or None, txn=txn)
+                              cdf_parts=cdf_parts or None, txn=txn,
+                              meta=meta)
     return {"version": ver, "files_touched": len(remove),
             "files_total": len(cand)}
 
@@ -419,11 +465,12 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
         raise ValueError(f"scd2 source has duplicate keys on {on}")
     keys = source.select(*on).distinct()
     bkeys = F.broadcast(keys) if keys.count() <= _BCAST_KEYS else keys
+    meta = _snapshot(table)
     cand, touched = _touched(
         spark, table,
         lambda d: d.filter(F.col("_is_current"))
                    .join(bkeys, on, "left_semi"),
-        None)
+        None, meta=meta)
     import os
 
     tgt_cols = txlog.read_table(spark, table).columns
@@ -437,7 +484,7 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
             f"must be listed")
     s = source.select(*on, *attrs,
                       F.col(effective_col).alias("__eff"))
-    tgt = _read(spark, table, touched) if touched else None
+    tgt = _read(spark, table, touched, meta=meta) if touched else None
     if tgt is not None:
         cur = tgt.filter(F.col("_is_current"))
         probe = cur.select(*on,
@@ -476,7 +523,7 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
                     "files_touched": 0, "files_total": len(cand)}
         ver = _rewrite_commit(spark, table, [],
                               inserts.select(*tgt_cols), stats_cols,
-                              txn=txn)
+                              txn=txn, meta=meta)
         return {"version": ver, "files_touched": 0,
                 "files_total": len(cand)}
     # narrow the rewrite to files holding CURRENT rows of CHANGED keys
@@ -487,8 +534,8 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
         spark, table,
         lambda d: d.filter(F.col("_is_current"))
                    .join(ck, on, "left_semi"),
-        None)
-    tgt2 = _read(spark, table, touched2)
+        None, meta=meta)
+    tgt2 = _read(spark, table, touched2, meta=meta)
     parts: list[DataFrame] = []
     # untouched rows of touched files: history + unchanged currents
     parts.append(tgt2.join(
@@ -511,6 +558,6 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
     for p in parts[1:]:
         out = out.unionByName(p.select(*tgt_cols))
     ver = _rewrite_commit(spark, table, touched2, out, stats_cols,
-                          txn=txn)
+                          txn=txn, meta=meta)
     return {"version": ver, "files_touched": len(touched2),
             "files_total": len(cand)}

@@ -192,8 +192,11 @@ class MatView:
         until = txlog.current_version(self.src_table)
         if until <= since:
             return {"mode": "noop", "delta_rows": 0}
+        # NOTE: the cursor (self.watcher.version) only advances AFTER a
+        # successful _publish — advancing it first would silently skip
+        # the delta if the fold/publish raises (checkpoint failure,
+        # commit conflict) until a process restart re-read _src_version.
         if self._range_removes_data(since, until):
-            self.watcher.version = until
             if self._subtractable():
                 try:
                     _cur, rows = txlog.row_changes(
@@ -219,16 +222,18 @@ class MatView:
                         if fn == "count")
                     merged = merged.filter(F.col(count_col) > 0)
                     self._publish(merged, until)
+                    self.watcher.version = until
                     return {"mode": "cdf", "delta_rows": int(n)}
             full = self._partial_agg(
                 txlog.read_table(self.spark, self.src_table,
                                  version_as_of=until))
             self._publish(full, until)
+            self.watcher.version = until
             return {"mode": "full", "delta_rows": -1}
         _cur, delta = txlog.changes(self.spark, self.src_table, since,
                                     until_version=until)
-        self.watcher.version = until
         if delta is None:
+            self.watcher.version = until
             return {"mode": "noop", "delta_rows": 0}
         delta = delta.localCheckpoint(eager=True)
         n = delta.count()
@@ -240,6 +245,7 @@ class MatView:
         except FileNotFoundError:
             merged = fresh
         self._publish(merged, until)
+        self.watcher.version = until
         return {"mode": "incremental", "delta_rows": int(n)}
 
     def _publish(self, partials: DataFrame, src_version: int) -> None:

@@ -64,6 +64,15 @@ _DATA = "data"
 _CDF = "_cdf"
 _DV = "_dv"
 _W = 20  # zero-padded version width keeps lexical == numeric order
+# broadcast the deletion-vector tombstone frame when its on-disk bytes
+# fit comfortably in the driver (Delta broadcasts DVs the same way);
+# above this the anti-join falls back to a shuffle (AQE may still pick
+# broadcast from runtime stats)
+_DV_BCAST_BYTES = 64 * 1024 * 1024
+# compact() auto-materializes (rewrites) any file whose tombstoned-row
+# fraction exceeds this, even when it is not otherwise selected — the
+# read-amplification cap Delta applies to heavily-deleted DV files
+_DV_DENSITY_CAP = 0.20
 
 
 class TxConflict(RuntimeError):
@@ -241,6 +250,7 @@ def last_txn_version(table: str, app: str, epoch: int) -> int | None:
 def _atomic_commit(table: str, entry: dict, retries: int = 20,
                    overwrite: bool = False,
                    must_be_live: list[str] | None = None,
+                   must_match_dvs: dict[str, list[str]] | None = None,
                    evolve_from: tuple | None = None) -> int:
     """Put-if-absent the next version; optimistic retry on conflict.
 
@@ -255,7 +265,14 @@ def _atomic_commit(table: str, entry: dict, retries: int = 20,
     live when the commit attempts (a concurrent compact/overwrite/DML
     retired it), the rewrite is stale and blindly committing it would
     resurrect deleted rows or drop concurrent ones — raise TxConflict
-    so the caller re-reads and recomputes instead."""
+    so the caller re-reads and recomputes instead.
+
+    ``must_match_dvs`` extends the conflict check to DELETION-VECTOR
+    state: a DV delete leaves its target file LIVE, so liveness alone
+    would let a rewrite computed from a pre-DV snapshot commit and
+    RESURRECT the tombstoned rows (replay also pops a file's DVs on
+    remove).  The map records {file -> tombstone rels} as of the
+    snapshot the rewrite read; any drift raises TxConflict."""
     d = _log_dir(table)
     os.makedirs(d, exist_ok=True)
     for _ in range(retries):
@@ -274,6 +291,16 @@ def _atomic_commit(table: str, entry: dict, retries: int = 20,
                     f"write conflict: {len(gone)} file(s) this rewrite "
                     f"was computed from were retired concurrently "
                     f"(e.g. {gone[0]}); recompute from a fresh snapshot")
+        if must_match_dvs is not None:
+            drift = [rel for rel, snap in must_match_dvs.items()
+                     if sorted(_meta["dvs"].get(rel, [])) != sorted(snap)]
+            if drift:
+                raise TxConflict(
+                    f"write conflict: deletion-vector state of "
+                    f"{len(drift)} file(s) changed since this rewrite's "
+                    f"snapshot (e.g. {drift[0]}); committing would "
+                    f"resurrect concurrently-tombstoned rows — "
+                    f"recompute from a fresh snapshot")
         ver = cur + 1
         entry["version"] = ver
         if overwrite:
@@ -367,6 +394,7 @@ def commit(table: str, add: list[str], mode: str = "append",
            data_change: bool = True,
            remove: list[str] | None = None,
            must_be_live: list[str] | None = None,
+           must_match_dvs: dict[str, list[str]] | None = None,
            schema: list[list[str]] | None = None,
            file_schema: list[list[str]] | None = None,
            schema_reset: bool = False,
@@ -433,6 +461,7 @@ def commit(table: str, add: list[str], mode: str = "append",
     elif mode != "append":
         raise ValueError(f"unknown mode {mode!r}")
     return _atomic_commit(table, entry, must_be_live=must_be_live,
+                          must_match_dvs=must_match_dvs,
                           evolve_from=evolve_from)
 
 
@@ -556,9 +585,16 @@ def read_files(spark: SparkSession, table: str, rels: list[str],
                           with_pos))
     if dvs:
         dv_rels = sorted({d for lst in dvs.values() for d in lst})
-        tomb = (spark.read.parquet(*[os.path.join(table, d)
-                                     for d in dv_rels])
+        dv_paths = [os.path.join(table, d) for d in dv_rels]
+        tomb = (spark.read.parquet(*dv_paths)
                 .select(F.col("__f"), F.col("__pos")).distinct())
+        # tombstones are O(matched rows) and normally tiny — broadcast
+        # them EXPLICITLY (don't rely on AQE noticing) so the anti-join
+        # never shuffles the DV'd files' rows; the on-disk size guard
+        # keeps a pathological DV accumulation from OOMing the driver
+        # (compact()'s density cap rewrites such files away anyway)
+        if sum(os.path.getsize(p) for p in dv_paths) <= _DV_BCAST_BYTES:
+            tomb = F.broadcast(tomb)
         df = _rd([os.path.join(table, r) for r in dvs], True)
         df = df.join(tomb, ["__f", "__pos"], "left_anti")
         if not with_pos:
@@ -657,9 +693,61 @@ def restore(table: str, version: int) -> int:
     if old_meta["schema"]:
         entry["schema"] = old_meta["schema"]
     # conflict detection: if a concurrent writer retires any file we
+    # a surviving COMMIT ENTRY does not imply a surviving DATA file:
+    # vacuum() may have aged the retired files out while keep_log_from
+    # preserved the log — re-adding a vacuumed-away file would commit a
+    # live set the reader cannot serve.  Check disk before committing.
+    needed = sorted(add) + [d for lst in restored_dvs.values()
+                            for d in lst]
+    vacuumed = [rel for rel in needed
+                if not os.path.exists(os.path.join(table, rel))]
+    if vacuumed:
+        raise FileNotFoundError(
+            f"cannot restore {table} to version {version}: "
+            f"{len(vacuumed)} required data/DV file(s) were vacuumed "
+            f"away (e.g. {vacuumed[0]})")
     # plan to keep, the restore's snapshot arithmetic is stale
     return _atomic_commit(table, entry,
                           must_be_live=sorted(cur_live & old_live))
+
+
+def _dv_dense_files(table: str, meta: dict) -> list[str]:
+    """Live files whose TOMBSTONED-ROW fraction exceeds
+    ``_DV_DENSITY_CAP`` — compact() materializes these even when not
+    otherwise selected.  Driver-side pyarrow work bounded by the DV
+    bytes themselves (tombstones are O(matched rows) by construction;
+    a DV set too big to count cheaply is by definition over the cap)."""
+    dvs = meta["dvs"]
+    if not dvs:
+        return []
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    dv_rels = sorted({d for lst in dvs.values() for d in lst})
+    dv_paths = [os.path.join(table, d) for d in dv_rels
+                if os.path.exists(os.path.join(table, d))]
+    if sum(os.path.getsize(p) for p in dv_paths) > _DV_BCAST_BYTES:
+        return sorted(dvs)          # clearly heavy: rewrite them all
+    counts: Counter = Counter()
+    seen: set = set()
+    for p in dv_paths:
+        t = pq.read_table(p, columns=["__f", "__pos"])
+        for f, pos in zip(t.column("__f").to_pylist(),
+                          t.column("__pos").to_pylist()):
+            if (f, pos) not in seen:       # duplicate tombstones legal
+                seen.add((f, pos))
+                counts[f] += 1
+    out = []
+    for rel in dvs:
+        n = counts.get(rel.rsplit("/", 1)[-1], 0)
+        if not n:
+            continue
+        total = pq.ParquetFile(
+            os.path.join(table, rel)).metadata.num_rows
+        if total and n / total > _DV_DENSITY_CAP:
+            out.append(rel)
+    return sorted(out)
 
 
 def compact(spark: SparkSession, table: str,
@@ -683,15 +771,28 @@ def compact(spark: SparkSession, table: str,
     # maintenance shape (compact ONE closed day/tag range, never the
     # table); without it the whole live set rewrites
     old = pruned_files(table, prune)
-    partial = prune is not None and len(old) < len(live_files(table))
+    cur_ver, live, _txns, _stats, meta = _replay(table)
+    # DV density cap: any live file whose tombstoned-row fraction
+    # exceeds _DV_DENSITY_CAP is force-included in the rewrite even if
+    # pruning skipped it — accumulated deletion vectors are read
+    # amplification on every scan, and materializing the delete resets
+    # the file's DV list (Delta's OPTIMIZE does the same)
+    if meta["dvs"]:
+        dense = [f for f in _dv_dense_files(table, meta) if f in live]
+        old = sorted(set(old) | set(dense))
+    partial = len(old) < len(live)
     if not old:
-        return _replay(table)[0]
-    # read_table handles evolved (heterogeneous-schema) live sets; the
-    # rewrite homogenizes every file to the merged schema, so a FULL
-    # compaction RESETS the seen-schema set and later reads skip
-    # mergeSchema again (a partial one leaves untouched files as-is)
-    df = read_table(spark, table, prune=prune) if partial \
-        else read_table(spark, table)
+        return cur_ver
+    # evolved (heterogeneous-schema) live sets union footers and
+    # project to the canonical schema; the rewrite homogenizes every
+    # file to the merged schema, so a FULL compaction RESETS the
+    # seen-schema set and later reads skip mergeSchema again (a partial
+    # one leaves untouched files as-is)
+    evolved = len(meta["seen"]) > 1
+    df = read_files(spark, table, old, dvs=meta["dvs"],
+                    merge_schema=evolved)
+    if evolved:
+        df = df.select(*[n for n, _t in meta["schema"]])
     if zorder_by:
         from neo_server_spark.operators.zorder import zorder_frame
 
@@ -703,10 +804,15 @@ def compact(spark: SparkSession, table: str,
     # the retired files stay on DISK: a reader that resolved its file
     # list from a pre-compaction snapshot finishes its scan untouched
     # (Delta defers physical deletion to VACUUM's retention window);
-    # vacuum() removes them once they age past retention
+    # vacuum() removes them once they age past retention.
+    # must_match_dvs: a concurrent DV delete landing after this
+    # rewrite's read would otherwise be LOST (remove pops the file's
+    # DVs and the rewrite carries the rows it tombstoned)
     return commit(table, rels, remove=old, stats=stats, data_change=False,
                   schema=_df_schema(out), schema_reset=not partial,
-                  must_be_live=old)
+                  must_be_live=old,
+                  must_match_dvs={r: sorted(meta["dvs"].get(r, []))
+                                  for r in old})
 
 
 def changes(spark: SparkSession, table: str,
@@ -755,13 +861,18 @@ def changes(spark: SparkSession, table: str,
             continue
         if entry["version"] > since_version \
                 and entry.get("dataChange", True):
-            if entry.get("dml") or entry.get("dv"):
+            if entry.get("dml") or entry.get("dv") or entry.get("remove"):
+                # ANY row-removing commit breaks the append-only
+                # contract: a DML rewrite's add-files carry SURVIVORS
+                # of rows this feed already emitted, and an overwrite/
+                # restore's add-files replace rows the consumer keeps —
+                # folding either as plain inserts double-counts.
                 raise ValueError(
-                    f"version {entry['version']} is a row-removing DML "
-                    f"rewrite; its add-files carry SURVIVORS of rows "
-                    f"this feed already emitted — folding them would "
-                    f"double-count.  Use row_changes() (DML with "
-                    f"cdf=True) or re-read the snapshot")
+                    f"version {entry['version']} removed rows "
+                    f"(DML/deletion-vector/overwrite/restore); folding "
+                    f"its add-files as inserts would double-count.  "
+                    f"Use row_changes() (DML with cdf=True) or re-read "
+                    f"the snapshot")
             added.extend(entry.get("add", []))
     files = [os.path.join(table, rel) for rel in added]
     if not files:

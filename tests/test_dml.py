@@ -141,8 +141,8 @@ def test_dml_conflict_with_concurrent_compact(spark, tmp_path):
     # and the public API path: monkeypatch discovery to a stale set
     real = dml._touched
 
-    def stale(spark_, table_, match_, prune_):
-        cand, tch = real(spark_, table_, match_, prune_)
+    def stale(spark_, table_, match_, prune_, **kw):
+        cand, tch = real(spark_, table_, match_, prune_, **kw)
         txlog.compact(spark_, table_, target_files=2)
         return cand, tch
 
@@ -535,12 +535,89 @@ def test_review_fixes_merge_dups_update_validation_scd2_nochurn(
     assert got == {(1, False): "x", (1, True): "x2",
                    (2, True): "y", (3, True): "w"}
 
-    # (d) changes() refuses the DML rewrite, serves plain overwrite
+    # (d) changes() refuses EVERY row-removing commit: the DML rewrite
+    # AND the overwrite — an overwrite's add-files replace rows the
+    # append-only consumer already emitted, so folding them as inserts
+    # would double-count (r11 advice: the old code silently folded it)
     t2 = str(tmp_path / "cf")
     txlog.write(_mk(spark, [(1, "a", 1)]), t2)
     dml.delete(spark, t2, "id = 1")
-    with pytest.raises(ValueError, match="DML"):
+    with pytest.raises(ValueError, match="removed rows"):
         txlog.changes(spark, t2, 0)
     txlog.write(_mk(spark, [(9, "o", 9)]), t2, mode="overwrite")
-    _cur, delta = txlog.changes(spark, t2, 2)     # after the DML commit
-    assert [r["id"] for r in delta.collect()] == [9]
+    with pytest.raises(ValueError, match="removed rows"):
+        txlog.changes(spark, t2, 2)   # overwrite raises too now
+    # plain appends AFTER the overwrite still serve incrementally
+    v3 = txlog.current_version(t2)
+    txlog.write(_mk(spark, [(10, "p", 10)]), t2)
+    _cur, delta = txlog.changes(spark, t2, v3)
+    assert [r["id"] for r in delta.collect()] == [10]
+
+
+def test_dml_on_schema_evolved_table_keeps_new_columns(spark, tmp_path):
+    """r11 advice (high): DML reading files written before AND after a
+    merge_schema evolution must union footers — a non-mergeSchema read
+    infers one file's schema and the rewrite would silently DROP the
+    evolved column from surviving rows (data loss)."""
+    t = str(tmp_path / "evo")
+    txlog.write(_mk(spark, [(1, "a", 10), (2, "a", 20)]).coalesce(1), t)
+    wide = spark.createDataFrame(
+        [(3, "b", 30, "x"), (4, "b", 40, "y")],
+        "id long, grp string, v long, extra string")
+    txlog.write(wide.coalesce(1), t, merge_schema=True)
+    # delete touches BOTH vintages (pre- and post-evolution files)
+    dml.delete(spark, t, "id IN (1, 3)")
+    got = {r["id"]: r["extra"]
+           for r in txlog.read_table(spark, t).collect()}
+    assert got == {2: None, 4: "y"}           # evolved column SURVIVES
+    # update across vintages: assignment works, evolved column intact
+    dml.update(spark, t, "id = 2", {"v": "99"})
+    rows = {r["id"]: (r["v"], r["extra"])
+            for r in txlog.read_table(spark, t).collect()}
+    assert rows == {2: (99, None), 4: (40, "y")}
+
+
+def test_rewrite_conflicts_with_concurrent_dv_delete(spark, tmp_path):
+    """r11 advice (medium): a DV delete leaves its target file LIVE, so
+    liveness-only conflict detection let a rewrite computed from a
+    pre-DV snapshot commit and RESURRECT the tombstoned rows — the
+    commit must also detect deletion-vector drift."""
+    t = _seed(spark, tmp_path)
+    real = dml._touched
+    state = {"fired": False}
+
+    def stale(spark_, table_, match_, prune_, **kw):
+        cand, tch = real(spark_, table_, match_, prune_, **kw)
+        if not state["fired"]:                # the inner delete recurses
+            state["fired"] = True
+            dml.delete(spark_, table_, "id = 6", mode="dv")
+        return cand, tch
+
+    dml._touched = stale
+    try:
+        with pytest.raises(txlog.TxConflict, match="deletion-vector"):
+            dml.update(spark, t, "id = 5", {"v": "0"})
+    finally:
+        dml._touched = real
+    # id=6 stays deleted (the DV delete was NOT resurrected) and a
+    # retry from a fresh snapshot lands the update
+    dml.update(spark, t, "id = 5", {"v": "0"})
+    vals = {r["id"]: r["v"] for r in txlog.read_table(spark, t).collect()}
+    assert 6 not in vals
+    assert vals[5] == 0
+
+
+def test_compact_materializes_dv_dense_files(spark, tmp_path):
+    """VERDICT r11 #4: a file whose tombstoned fraction exceeds the
+    density cap is force-rewritten by compact() even when pruning would
+    skip it, resetting its DV list (read-amplification cap)."""
+    t = _seed(spark, tmp_path)
+    # tombstone 3 of 5 rows of the ids-5..9 file -> 60% > 20% cap
+    dml.delete(spark, t, "id >= 5 AND id <= 7", mode="dv")
+    assert txlog._replay(t)[4]["dvs"]         # DV present before
+    # partial compact aimed at the ids-15..19 file ONLY
+    txlog.compact(spark, t, target_files=1, prune={"id": (15, 19)},
+                  stats_cols=["id"])
+    meta = txlog._replay(t)[4]
+    assert meta["dvs"] == {}                  # dense file materialized
+    assert _ids(spark, t) == [0, 1, 2, 3, 4, 8, 9] + list(range(10, 20))

@@ -137,3 +137,30 @@ def test_cdf_signed_fold_on_delete(spark, tmp_path):
     for g in want:
         assert got[g]["n"] == want[g]["n"]
         assert got[g]["total"] == pytest.approx(want[g]["total"])
+
+
+def test_failed_publish_does_not_advance_cursor(spark, tmp_path):
+    """r11 advice (low): refresh() used to advance the in-memory cursor
+    BEFORE the fold/publish — a publish failure then silently skipped
+    that delta until a process restart.  The cursor must only move
+    after _publish succeeds."""
+    src = str(tmp_path / "src")
+    vt = str(tmp_path / "view")
+    txlog.write(_mk(spark, 0, 40), src)
+    mv = MatView(spark, src, vt, keys=["g"], aggs=AGGS)
+    assert mv.refresh()["mode"] == "incremental"
+    txlog.write(_mk(spark, 40, 90), src)
+    real = mv._publish
+
+    def boom(partials, v):
+        raise RuntimeError("publish failed")
+
+    mv._publish = boom
+    before = mv.watcher.version
+    with pytest.raises(RuntimeError, match="publish failed"):
+        mv.refresh()
+    assert mv.watcher.version == before       # cursor NOT advanced
+    mv._publish = real
+    assert mv.refresh()["mode"] == "incremental"   # delta NOT skipped
+    assert {g: (r["n"], r["total"]) for g, r in _got(mv).items()} == \
+        {g: (r["n"], r["total"]) for g, r in _expect(spark, src).items()}

@@ -1,0 +1,90 @@
+"""Same-box A/B bench: HEAD vs a base commit (default: round start).
+
+The driver box's ambient load has repeatedly manufactured phantom
+stable44 regressions (r10/r11 verdicts) — the honest cross-round perf
+signal is the RATIO of two runs taken on the SAME box in the SAME hour
+under the same conditions.  This tool:
+
+1. materializes ``base_commit`` into a temporary git worktree,
+2. runs ``bench.py`` there, then runs ``bench.py`` at HEAD (interleaved
+   base-first so JIT/page-cache warmup, if any, favors the BASE),
+3. writes ``bench_ab.json`` at the repo root with
+   ``{head_stable44, base_stable44, ratio, base_commit, head_commit}``.
+
+bench.py picks the file up automatically and publishes the ratio in its
+compact (driver-tail) summary.  ratio < 1.0 means HEAD is faster.
+
+Usage: python tools/ab_bench.py [base_commit]
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git(*args: str, cwd: str = REPO) -> str:
+    return subprocess.run(["git", *args], cwd=cwd, check=True,
+                          capture_output=True, text=True).stdout.strip()
+
+
+def _run_bench(cwd: str) -> dict:
+    """Run bench.py in ``cwd``; parse the LAST JSON line (the compact
+    summary; older revisions print a single full line — also last)."""
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = subprocess.run([sys.executable, "bench.py"], cwd=cwd, env=env,
+                         capture_output=True, text=True, timeout=3600)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-2000:])
+        raise SystemExit(f"bench.py failed in {cwd}")
+    last = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(last)
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else None
+    if base is None:
+        # default: the round-start commit = the last driver bookkeeping
+        # commit ("round N: verdict/advice/correctness/bench")
+        log = _git("log", "--grep", "^round [0-9]*:", "-n", "1",
+                   "--format=%H")
+        if not log:
+            raise SystemExit("no round-start commit found; pass one")
+        base = log
+    base = _git("rev-parse", base)
+    head = _git("rev-parse", "HEAD")
+    wt = tempfile.mkdtemp(prefix="ab_base_")
+    _git("worktree", "add", "--detach", wt, base)
+    try:
+        print(f"ab_bench: base {base[:12]} in {wt}", flush=True)
+        b = _run_bench(wt)
+        print(f"ab_bench: base stable44 {b.get('stable44_sec')}",
+              flush=True)
+        h = _run_bench(REPO)
+        print(f"ab_bench: head stable44 {h.get('stable44_sec')}",
+              flush=True)
+    finally:
+        _git("worktree", "remove", "--force", wt)
+    res = {
+        "head_stable44": h.get("stable44_sec"),
+        "base_stable44": b.get("stable44_sec"),
+        "ratio": (round(h["stable44_sec"] / b["stable44_sec"], 4)
+                  if b.get("stable44_sec") else None),
+        "base_commit": base[:12],
+        "head_commit": head[:12],
+        "head_total": h.get("value"),
+        "base_total": b.get("value"),
+    }
+    with open(os.path.join(REPO, "bench_ab.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
