@@ -3803,6 +3803,47 @@ def _q_stream_scd2(spark, sf_dir):
             .orderBy("name", "_valid_from"))
 
 
+def _q_rollup_matview(spark, sf_dir):
+    """time-ROLLUP answered from an INCREMENTALLY-maintained matview
+    (sqlx/rollup.MatViewRollup — the r11 VERDICT #8 stretch unifying
+    the rollup cascade and the IVM machinery; reference semantics:
+    engine-maintained rollups, http_lake.go:1692-1698): events land in
+    a txlog tag table over TWO commits; a MatView folds each delta into
+    (name, sec-bucket) count/sum/sumsq/min/max partials (the second
+    refresh is asserted O(delta), mode='incremental'); the 1-minute
+    ROLLUP query is then answered from the partials with ZERO
+    base-table scans (plan-pinned in tests/test_plans.py).  The oracle
+    computes the same rollup straight off the raw rows."""
+    import os
+    import tempfile
+
+    from neo_server_spark import txlog
+    from neo_server_spark.sqlx.rollup import MINUTE, MatViewRollup
+
+    ev = (_tag(spark, sf_dir)
+          .filter(F.col("event_id") < 6000)
+          .select("name", "time", "value", "event_id"))
+    root = tempfile.mkdtemp(prefix="rollup_mv_")
+    base = os.path.join(root, "tag")
+    txlog.write(ev.filter(F.col("event_id") % 2 == 0)
+                .drop("event_id"), base)
+    r = MatViewRollup(spark, base, os.path.join(root, "view"))
+    assert r.refresh()["mode"] == "incremental"
+    txlog.write(ev.filter(F.col("event_id") % 2 != 0)
+                .drop("event_id"), base)
+    assert r.refresh()["mode"] == "incremental", \
+        "second refresh must fold only the delta commit"
+    out = r.query(MINUTE, {"cnt": "count", "sum_v": "sum",
+                           "min_v": "min", "max_v": "max",
+                           "avg_v": "avg"})
+    return out.select(
+        "name", F.expr("time div 1000").alias("time"),
+        "cnt", F.round("sum_v", 6).alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("avg_v", 6).alias("avg_v")).orderBy("name", "time")
+
+
 def _q_epoch_shuffle(spark, sf_dir):
     """Deterministic training-epoch shuffle (sampling.epoch_shuffle):
     every document ranked by md5(id || seed) — a reproducible
@@ -3881,7 +3922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hardening -> txlog_table), and 39 of the 46 r8-vintage rows
         # (directive #2).  The 7 r8 stragglers named for the r13 window:
         # codec_box, codec_html, codec_markdown, codec_ndjson,
-        # winnow_overlap, substring_spans, lm2 — each has a certified
+        # winnow_overlap, winnow_fp, substring_spans, lm2 (8 after
+        # rollup_matview, the r11 #8 stretch, took a slot) — each has
+        # a certified
         # family sibling IN this window (codec_json/chart/geomap,
         # winnow_fp, substring_cut, lm_buckets).  Everything else
         # rotates behind (r9, r10, r11 vintages).
@@ -3893,6 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": _q_budget_select,
         "auth_flow": _q_auth_flow,
         "stream_scd2": _q_stream_scd2,
+        "rollup_matview": _q_rollup_matview,
         "txlog_dml": _q_txlog_dml,
         "compaction": _q_compaction,
         "txlog_table": _q_txlog_table,
@@ -3934,8 +3978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q_text_normalize,
         "tfidf_terms": _q_tfidf_terms,
         "url_normalize": _q_url_normalize,
-        "winnow_fp": _q_winnow_fp,
         # ---- window boundary: entries below rotate in next round ----
+        "winnow_fp": _q_winnow_fp,
         "doc_chunks": _q_doc_chunks,
         "rollup_txlog": _q_rollup_txlog,
         "bridge_sql": _q_bridge_sql,
@@ -7083,6 +7127,20 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id
         """,
         # SCD2: rebuild the version table from the two snapshots.
+        "rollup_matview": """
+            SELECT event_type AS name,
+                   CAST((epoch_ns(ts) - epoch_ns(ts) % 60000000000)
+                        // 1000 AS BIGINT) AS time,
+                   count(*) AS cnt,
+                   round(sum(value), 6) AS sum_v,
+                   round(min(value), 6) AS min_v,
+                   round(max(value), 6) AS max_v,
+                   round(sum(value) / count(*), 6) AS avg_v
+            FROM events
+            WHERE event_id < 6000
+            GROUP BY 1, 2
+            ORDER BY name, time
+        """,
         "stream_scd2": """
             WITH base AS (
               SELECT event_type || '-' || CAST(user_id % 40 AS VARCHAR)

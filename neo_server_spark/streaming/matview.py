@@ -52,22 +52,32 @@ _FNS = ("count", "sum", "min", "max", "avg", "approx_distinct")
 
 
 class MatView:
-    """``aggs`` maps output column -> (fn, source column); ``keys`` are
-    the view's grouping columns."""
+    """``aggs`` maps output column -> (fn, source column OR SQL
+    expression over the source row); ``keys`` are the view's grouping
+    columns.  ``key_exprs`` optionally derives a key from the source
+    row (e.g. a time bucket: ``{"time": "time - time % 60000000000"}``)
+    — the expression is applied before every partial fold, so derived
+    keys stay consistent across incremental, CDF and full-recompute
+    paths."""
 
     def __init__(self, spark: SparkSession, src_table: str,
                  view_table: str, keys: list[str],
-                 aggs: dict[str, tuple[str, str]]):
+                 aggs: dict[str, tuple[str, str]],
+                 key_exprs: dict[str, str] | None = None):
         for out, (fn, _col) in aggs.items():
             if fn not in _FNS:
                 raise ValueError(
                     f"{out}: {fn!r} is not a self-mergeable aggregate "
                     f"(supported: {', '.join(_FNS)})")
+        for k in (key_exprs or {}):
+            if k not in keys:
+                raise ValueError(f"key_exprs names unknown key {k!r}")
         self.spark = spark
         self.src_table = src_table
         self.view_table = view_table
         self.keys = list(keys)
         self.aggs = dict(aggs)
+        self.key_exprs = dict(key_exprs or {})
         self.watcher = TxLogWatcher(spark, src_table)
         try:
             row = txlog.read_table(spark, view_table) \
@@ -87,20 +97,30 @@ class MatView:
                 cols.append(f"_p_{out}")
         return cols
 
+    def _prep(self, df: DataFrame) -> DataFrame:
+        """Apply derived-key expressions to a source-row frame."""
+        for k, expr in self.key_exprs.items():
+            df = df.withColumn(k, F.expr(expr))
+        return df
+
     def _partial_agg(self, df: DataFrame) -> DataFrame:
         """Per-key partials of the raw rows (used for deltas AND for the
-        full-recompute fallback)."""
+        full-recompute fallback).  Agg columns accept SQL expressions
+        (F.expr), so a view can maintain e.g. sum(v*v) partials."""
+        df = self._prep(df)
         exprs = []
         for out, (fn, c) in self.aggs.items():
             if fn == "count":
                 exprs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
             elif fn in ("sum", "min", "max"):
-                exprs.append(getattr(F, fn)(c).alias(f"_p_{out}"))
+                exprs.append(getattr(F, fn)(F.expr(c))
+                             .alias(f"_p_{out}"))
             elif fn == "avg":
-                exprs += [F.sum(c).alias(f"_sum_{out}"),
-                          F.count(c).alias(f"_cnt_{out}")]
+                exprs += [F.sum(F.expr(c)).alias(f"_sum_{out}"),
+                          F.count(F.expr(c)).alias(f"_cnt_{out}")]
             else:   # approx_distinct
-                exprs.append(F.hll_sketch_agg(c).alias(f"_p_{out}"))
+                exprs.append(F.hll_sketch_agg(F.expr(c))
+                             .alias(f"_p_{out}"))
         return df.groupBy(*self.keys).agg(*exprs)
 
     def _merge_agg(self, df: DataFrame) -> DataFrame:
@@ -161,15 +181,16 @@ class MatView:
         sign = F.when(F.col("_change_type")
                       .isin("insert", "update_postimage"),
                       F.lit(1)).otherwise(F.lit(-1))
+        rows = self._prep(rows)
         exprs = []
         for out, (fn, c) in self.aggs.items():
             if fn == "count":
                 exprs.append(F.sum(sign).alias(f"_p_{out}"))
             elif fn == "sum":
-                exprs.append(F.sum(sign * F.col(c)).alias(f"_p_{out}"))
+                exprs.append(F.sum(sign * F.expr(c)).alias(f"_p_{out}"))
             else:   # avg
-                exprs += [F.sum(sign * F.col(c)).alias(f"_sum_{out}"),
-                          F.sum(F.when(F.col(c).isNull(), F.lit(0))
+                exprs += [F.sum(sign * F.expr(c)).alias(f"_sum_{out}"),
+                          F.sum(F.when(F.expr(c).isNull(), F.lit(0))
                                 .otherwise(sign)).alias(f"_cnt_{out}")]
         return rows.groupBy(*self.keys).agg(*exprs)
 

@@ -164,3 +164,46 @@ def test_failed_publish_does_not_advance_cursor(spark, tmp_path):
     assert mv.refresh()["mode"] == "incremental"   # delta NOT skipped
     assert {g: (r["n"], r["total"]) for g, r in _got(mv).items()} == \
         {g: (r["n"], r["total"]) for g, r in _expect(spark, src).items()}
+
+
+def test_matview_rollup_incremental_and_calc_modes(spark, tmp_path):
+    """MatViewRollup (r12): sec-level partials maintained O(delta),
+    every calc mode folds exactly, coarser periods fold from the finest
+    level, unsupported modes/periods raise."""
+    from neo_server_spark.sqlx.rollup import MINUTE, SECOND, MatViewRollup
+
+    base = str(tmp_path / "tag")
+    df1 = _mk(spark, 0, 60).select(
+        "g", (F.col("id") * 700_000_000).alias("time"),
+        F.col("v").alias("value")).withColumnRenamed("g", "name")
+    df2 = _mk(spark, 60, 130).select(
+        "g", (F.col("id") * 700_000_000).alias("time"),
+        F.col("v").alias("value")).withColumnRenamed("g", "name")
+    txlog.write(df1, base)
+    r = MatViewRollup(spark, base, str(tmp_path / "v"))
+    assert r.refresh()["mode"] == "incremental"
+    txlog.write(df2, base)
+    assert r.refresh()["mode"] == "incremental"
+    out = {(x["name"], x["time"]): x for x in
+           r.query(MINUTE, {"c": "count", "s": "sum", "q": "sumsq",
+                            "lo": "min", "hi": "max", "m": "avg"})
+           .collect()}
+    raw = txlog.read_table(spark, base)
+    exp = {(x["name"], x["t"]): x for x in
+           raw.groupBy("name", (F.col("time") - F.col("time") % MINUTE)
+                       .alias("t"))
+           .agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("s"),
+                F.sum(F.col("value") * F.col("value")).alias("q"),
+                F.min("value").alias("lo"), F.max("value").alias("hi"),
+                F.avg("value").alias("m")).collect()}
+    assert out.keys() == exp.keys()
+    for k, e in exp.items():
+        g = out[k]
+        for c in ("c", "lo", "hi"):
+            assert g[c] == e[c], (k, c)
+        for c in ("s", "q", "m"):
+            assert abs(g[c] - e[c]) < 1e-6, (k, c)
+    with pytest.raises(ValueError, match="not servable"):
+        r.query(SECOND + 1, {"c": "count"})
+    with pytest.raises(ValueError, match="calc mode"):
+        r.query(MINUTE, {"f": "first"})

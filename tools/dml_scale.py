@@ -17,8 +17,17 @@ the layout a time/tag-partitioned ingest produces naturally.  Then:
 
 Prints one JSON line; run at several scales to see the curve:
 
-    python tools/dml_scale.py 10     # ~1M rows
-    python tools/dml_scale.py 100    # ~10M rows
+    python tools/dml_scale.py 10          # ~1M rows
+    python tools/dml_scale.py 100         # ~10M rows
+    python tools/dml_scale.py 3000 10     # ~300M rows, 10 copies/commit
+
+The second arg batches N copies into one commit (fewer, bigger write
+jobs — the build would otherwise dominate the 300M point); each FILE
+still holds a tight disjoint event_id window, so pruning behaves
+identically.  The 300M run also measures the r12 additions: an
+incrementally-maintained MatView (initial fold, O(delta) refresh after
+an append, CDF signed-fold refresh after a DV delete) and a
+time-travel read of the pre-delete snapshot.
 """
 
 from __future__ import annotations
@@ -40,6 +49,7 @@ from neo_server_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    per_commit = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(master=f"local[{cpus}]")
@@ -47,21 +57,67 @@ def main() -> None:
     n0 = base.count()
     root = tempfile.mkdtemp(prefix="dml_scale_")
     t = os.path.join(root, "tbl")
-    out = {"copies": copies, "rows": n0 * copies}
+    out = {"copies": copies, "rows": n0 * copies,
+           "copies_per_commit": per_commit}
 
-    # one commit per copy, one file per commit -> disjoint id windows
+    def _shifted(ks: list[int]):
+        # explode over the batch's offsets: ONE job writes the whole
+        # batch, each file still a tight disjoint id window after the
+        # range repartition (the shape a time-ordered ingest produces)
+        offs = F.array(*[F.lit(k * 10_000_000) for k in ks])
+        return (base.withColumn("__o", F.explode(offs))
+                .select((F.col("event_id") + F.col("__o"))
+                        .alias("event_id"),
+                        "user_id", "event_type",
+                        F.floor(F.col("value") * 1000).alias("val")))
+
     tick = time.time()
-    for k in range(copies):
-        df = base.select(
-            (F.col("event_id") + k * 10_000_000).alias("event_id"),
-            "user_id", "event_type",
-            F.floor(F.col("value") * 1000).alias("val"))
-        # range layout: each file holds a tight disjoint id window, the
-        # shape a time-ordered ingest produces naturally
-        txlog.write(df.repartitionByRange(4, "event_id"), t,
-                    stats_cols=["event_id"])
+    for k0 in range(0, copies, per_commit):
+        ks = list(range(k0, min(k0 + per_commit, copies)))
+        txlog.write(_shifted(ks).repartitionByRange(4 * len(ks),
+                                                    "event_id"),
+                    t, stats_cols=["event_id"])
     out["build_sec"] = round(time.time() - tick, 3)
     out["files"] = len(txlog.live_files(t))
+
+    # ---- incrementally-maintained MatView over the table (r12) ----
+    from neo_server_spark.streaming.matview import MatView
+
+    mv = MatView(spark, t, os.path.join(root, "view"),
+                 keys=["event_type"],
+                 aggs={"n": ("count", "event_id"),
+                       "total": ("sum", "val")})
+    tick = time.time()
+    assert mv.refresh()["mode"] == "incremental"     # initial full fold
+    out["matview_initial_sec"] = round(time.time() - tick, 3)
+    # one more appended copy: refresh must fold ONLY the delta files
+    txlog.write(_shifted([copies]).repartitionByRange(4, "event_id"),
+                t, stats_cols=["event_id"])
+    tick = time.time()
+    r = mv.refresh()
+    out["matview_delta_sec"] = round(time.time() - tick, 3)
+    out["matview_delta_mode"] = r["mode"]
+
+    # DV delete WITH row-level change files, then a CDF signed-fold
+    # refresh: view maintenance cost = O(deleted rows), not O(table)
+    lo4 = 1 * 10_000_000
+    hi4 = lo4 + n0 // 10
+    ver_before_dv = txlog.current_version(t)
+    tick = time.time()
+    dml.delete(spark, t, f"event_id >= {lo4} AND event_id < {hi4}",
+               prune={"event_id": (lo4, hi4 - 1)}, mode="dv", cdf=True)
+    out["delete_dv_cdf_sec"] = round(time.time() - tick, 3)
+    tick = time.time()
+    r = mv.refresh()
+    out["matview_cdf_sec"] = round(time.time() - tick, 3)
+    out["matview_cdf_mode"] = r["mode"]
+
+    # time travel: the pre-delete snapshot resolves from log metadata
+    # alone (no copies) — the read itself is a plain scan of old files
+    tick = time.time()
+    out["timetravel_rows"] = txlog.read_table(
+        spark, t, version_as_of=ver_before_dv).count()
+    out["timetravel_sec"] = round(time.time() - tick, 3)
 
     # narrow contiguous delete: ~0.1% of rows in ONE copy's id window
     lo, hi = 3 * 10_000_000, 3 * 10_000_000 + n0 // 10
