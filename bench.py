@@ -102,6 +102,11 @@ BENCH_QUERIES = [
     "txlog_dml",
     "doc_chunks",
     "matview_incr",
+    # round-12 additions: ROLLUP served from an IVM matview (zero
+    # base-table scans) and the deletion-vector delete + compaction
+    # round-trip
+    "rollup_matview",
+    "dv_delete",
 ]
 
 
@@ -169,7 +174,8 @@ def main() -> None:
         ("round8", BENCH_QUERIES[52:62]),
         ("round9", BENCH_QUERIES[62:63]),
         ("round10", BENCH_QUERIES[63:66]),
-        ("round11", BENCH_QUERIES[66:]),
+        ("round11", BENCH_QUERIES[66:69]),
+        ("round12", BENCH_QUERIES[69:]),
     ]
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
@@ -264,7 +270,8 @@ def main() -> None:
         "quiesce_load": quiesce.get("loadavg_after"),
         "sections_sec": {k: v["sum_best_sec"]
                          for k, v in section_stats.items()},
-        "ingest_rows_per_sec": (ingest or {}).get("rows_per_sec"),
+        "ingest_rows_per_sec": (ingest or {}).get(
+            "ingest_3col_rows_per_sec"),
     }
     if ab:
         compact["ab"] = {k: ab[k] for k in
