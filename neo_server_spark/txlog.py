@@ -965,6 +965,18 @@ def row_changes(spark: SparkSession, table: str, since_version: int,
     return cur, out
 
 
+
+def _unlink_quiet(path: str) -> bool:
+    """Unlink tolerating a concurrent cleaner having won the race —
+    two vacuums may both elect the same orphan (the multi-process
+    stress test hits this); losing the unlink is success."""
+    try:
+        os.unlink(path)
+        return True
+    except FileNotFoundError:
+        return False
+
+
 DEFAULT_RETENTION_S = 24 * 3600.0
 
 
@@ -1006,8 +1018,7 @@ def vacuum(table: str, keep_log_from: int | None = None,
                 shutil.rmtree(full, ignore_errors=True)
                 removed_files += 1
             elif rel not in live:
-                os.unlink(full)
-                removed_files += 1
+                removed_files += _unlink_quiet(full)
     dvdir = os.path.join(table, _DV)
     if os.path.isdir(dvdir):
         # tombstone files referenced by the LIVE dv map stay; orphans
@@ -1028,8 +1039,7 @@ def vacuum(table: str, keep_log_from: int | None = None,
                 shutil.rmtree(full, ignore_errors=True)
                 removed_files += 1
             elif rel not in live_dvs:
-                os.unlink(full)
-                removed_files += 1
+                removed_files += _unlink_quiet(full)
     cdir = os.path.join(table, _CDF)
     if os.path.isdir(cdir):
         # change files referenced by a surviving commit entry stay
@@ -1054,8 +1064,7 @@ def vacuum(table: str, keep_log_from: int | None = None,
                 shutil.rmtree(full, ignore_errors=True)
                 removed_files += 1
             elif rel not in referenced:
-                os.unlink(full)
-                removed_files += 1
+                removed_files += _unlink_quiet(full)
     ldir = _log_dir(table)
     if os.path.isdir(ldir):
         # crashed writer between tmp dump and os.link: its .tmp- file is
@@ -1081,8 +1090,7 @@ def vacuum(table: str, keep_log_from: int | None = None,
                     and not fn.startswith(".") \
                     and not fn.endswith(".checkpoint.json") \
                     and _ver_of(fn) <= cut:
-                os.unlink(os.path.join(d, fn))
-                removed_log += 1
+                removed_log += _unlink_quiet(os.path.join(d, fn))
     return {"data_files_removed": removed_files,
             "log_entries_removed": removed_log}
 
