@@ -816,3 +816,105 @@ def test_multiprocess_writer_stress(spark, tmp_path):
     assert sorted(r["id"] for r in
                   txlog.read_table(spark, t).collect()) == \
         sorted(expected)
+
+
+def _mp_dv_worker(args):
+    """Worker for test_multiprocess_dv_vs_rewrite_stress: DV deletes and
+    full-file rewrites race on the same files; the commit protocol's
+    liveness + DV-drift checks must serialize them without resurrecting
+    tombstoned rows or losing concurrent tombstones."""
+    import random
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neo_server_spark import txlog as tx
+
+    table, wid, n_ops = args
+    rng = random.Random(7000 + wid)
+    tombstoned = []     # ids THIS worker successfully DV-deleted
+
+    def _dv_state(meta, rels):
+        return {r: sorted(meta["dvs"].get(r, [])) for r in rels}
+
+    for _ in range(n_ops):
+        _ver, live_set, _t, _s, meta = tx._replay(table)
+        live = sorted(live_set)
+        if not live:
+            continue
+        target = rng.choice(live)
+        if rng.random() < 0.5:
+            # DV-delete one not-yet-tombstoned row of the target file
+            tomb = pq.read_table(os.path.join(table, target))
+            have = set()
+            for dvrel in meta["dvs"].get(target, []):
+                p = os.path.join(table, dvrel)
+                if os.path.exists(p):
+                    have.update(pq.read_table(p)
+                                .column("__pos").to_pylist())
+            free = [i for i in range(tomb.num_rows) if i not in have]
+            if not free:
+                continue
+            pos = rng.choice(free)
+            row_id = tomb.column("id").to_pylist()[pos]
+            rel = f"_dv/{_uuid.uuid4().hex}.parquet"
+            os.makedirs(os.path.join(table, "_dv"), exist_ok=True)
+            pq.write_table(
+                pa.table({"__f": pa.array([target.rsplit("/", 1)[-1]]),
+                          "__pos": pa.array([pos], pa.int64())}),
+                os.path.join(table, rel))
+            try:
+                tx.commit(table, [], must_be_live=[target],
+                          must_match_dvs=_dv_state(meta, [target]),
+                          dv={target: [rel]})
+                tombstoned.append(row_id)
+            except tx.TxConflict:
+                os.unlink(os.path.join(table, rel))
+        else:
+            # rewrite the target file applying its CURRENT tombstones
+            # (materializing delete) — commits only if neither liveness
+            # nor DV state drifted since this snapshot
+            data = pq.read_table(os.path.join(table, target))
+            drop = set()
+            for dvrel in meta["dvs"].get(target, []):
+                p = os.path.join(table, dvrel)
+                if os.path.exists(p):
+                    drop.update(pq.read_table(p)
+                                .column("__pos").to_pylist())
+            keep = [i for i in range(data.num_rows) if i not in drop]
+            rel = f"data/{_uuid.uuid4().hex}.parquet"
+            pq.write_table(data.take(keep), os.path.join(table, rel))
+            try:
+                tx.commit(table, [rel], remove=[target],
+                          must_be_live=[target],
+                          must_match_dvs=_dv_state(meta, [target]))
+            except tx.TxConflict:
+                os.unlink(os.path.join(table, rel))
+    return tombstoned
+
+
+def test_multiprocess_dv_vs_rewrite_stress(spark, tmp_path):
+    """Deletion-vector deletes racing file rewrites across real
+    processes (the r11-advice conflict class): every id a worker
+    successfully tombstoned must be GONE from the final table — a
+    rewrite that won a race from a stale DV snapshot would resurrect
+    it — and no other id may be lost."""
+    import multiprocessing as mp
+
+    t = str(tmp_path / "dvmp")
+    txlog.write(spark.createDataFrame([(i,) for i in range(400)],
+                                      "id long").repartition(4), t)
+    all_ids = set(range(400))
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(4) as pool:
+        results = pool.map(_mp_dv_worker, [(t, w, 14) for w in range(4)])
+    gone = [i for ids in results for i in ids]
+    assert len(gone) == len(set(gone)), "two workers tombstoned one row"
+    final = sorted(r["id"] for r in txlog.read_table(spark, t).collect())
+    assert sorted(all_ids - set(gone)) == final
+    # maintenance still converges after the melee
+    txlog.compact(spark, t, target_files=2)
+    assert txlog._replay(t)[4]["dvs"] == {}
+    assert sorted(r["id"] for r in
+                  txlog.read_table(spark, t).collect()) == final
