@@ -253,6 +253,18 @@ def main() -> None:
         try:
             with open(ab_path) as f:
                 ab = json.load(f)
+            # refuse a stale measurement: the ratio is only the current
+            # perf signal if it was measured AT this commit
+            import subprocess
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(ab_path), capture_output=True,
+                text=True, timeout=10).stdout.strip()
+            if head and ab.get("head_commit") \
+                    and not head.startswith(ab["head_commit"]):
+                ab = {"stale": True,
+                      "measured_at": ab.get("head_commit"),
+                      "ratio": ab.get("ratio")}
         except Exception:
             ab = None
     # Output order matters: the verification driver records only the
@@ -276,7 +288,8 @@ def main() -> None:
     if ab:
         compact["ab"] = {k: ab[k] for k in
                          ("head_stable44", "base_stable44", "ratio",
-                          "base_commit") if k in ab}
+                          "base_commit", "head_commit", "stale",
+                          "measured_at") if k in ab}
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()

@@ -57,11 +57,8 @@ def _snapshot(table: str) -> dict:
 
 
 def _dv_snap(meta: dict, rels: list[str]) -> dict[str, list[str]]:
-    """{file -> tombstone rels as of the snapshot} for the files a
-    rewrite will retire — the commit raises TxConflict if any drifted
-    (a concurrent DV delete whose tombstones the rewrite would
-    otherwise resurrect)."""
-    return {rel: sorted(meta["dvs"].get(rel, [])) for rel in rels}
+    """See txlog.dv_snapshot — the must_match_dvs guard dict."""
+    return txlog.dv_snapshot(meta, rels)
 
 
 def _touched(spark: SparkSession, table: str, match,
@@ -93,24 +90,13 @@ def _read(spark: SparkSession, table: str, rels: list[str],
     DML may read target rows — a raw parquet read would resurrect
     DV-deleted rows into a rewrite).
 
-    Schema-evolution-aware, mirroring txlog.read_table: when >1 physical
-    file schema may be live (meta['seen']), the read unions footers
-    (mergeSchema) and projects to the logged canonical schema —
-    otherwise a DML touching pre-evolution files would infer the narrow
-    schema and the rewrite would silently DROP evolved columns from
-    surviving rows."""
+    Schema-evolution-aware via txlog.read_live: a DML touching
+    pre-evolution files must NOT infer the narrow schema — the rewrite
+    would silently DROP evolved columns from surviving rows."""
     if meta is None:
         meta = _snapshot(table)
-    evolved = len(meta["seen"]) > 1
-    df = txlog.read_files(spark, table, rels, dvs=meta["dvs"],
-                          with_file=with_file, with_pos=with_pos,
-                          merge_schema=evolved)
-    if evolved:
-        keep = [n for n, _t in meta["schema"]]
-        extras = [c for c in ("__file", "__f", "__pos")
-                  if c in df.columns]
-        df = df.select(*keep, *extras)
-    return df
+    return txlog.read_live(spark, table, rels, meta,
+                           with_file=with_file, with_pos=with_pos)
 
 
 def _stage_cdf(parts: list[tuple[DataFrame, str]], table: str
@@ -146,11 +132,16 @@ def _rewrite_commit(spark: SparkSession, table: str, touched: list[str],
     cdf_rels = _stage_cdf(cdf_parts, table) if cdf_parts else []
     dv_guard = _dv_snap(meta, touched) if meta is not None else None
     try:
+        # dml=True marks add-files that carry SURVIVORS of removed rows;
+        # an insert-only statement (merge/scd2 with no touched files)
+        # removed nothing, so its adds are plain new rows the file-level
+        # change feed may fold — flagging it would make changes()/
+        # MatView.refresh refuse a commit that is semantically an append
         return txlog.commit(table, rels, remove=touched, stats=stats,
                             must_be_live=touched,
                             must_match_dvs=dv_guard,
                             cdf=cdf_rels or None,
-                            txn=txn, dml=True)
+                            txn=txn, dml=bool(touched))
     except txlog.TxConflict:
         # the rewrite is stale — drop its staged files before re-raising
         for rel in rels + cdf_rels:

@@ -237,7 +237,12 @@ class MatViewRollup:
         self.mv = MatView(
             spark, base_table, view_path,
             keys=[name_col, "time"],
-            aggs={"cnt": ("count", value_col),
+            # cnt counts NON-NULL values (sum of 0/1) so count/avg match
+            # RollupRouter's F.count(value) / SQL AVG semantics — a
+            # MatView "count" agg would count rows and silently deflate
+            # averages over NULL-bearing buckets
+            aggs={"cnt": ("sum",
+                          f"CAST(({value_col}) IS NOT NULL AS BIGINT)"),
                   "sum": ("sum", v),
                   "sumsq": ("sum", f"{v} * {v}"),
                   "min": ("min", v),

@@ -114,6 +114,22 @@ def _list_log(table: str) -> tuple[int | None, list[str]]:
 def _replay(table: str, as_of: int | None = None
             ) -> tuple[int, set[str], dict[str, int], dict[str, dict],
                        dict]:
+    """Race-tolerant wrapper around :func:`_replay_once`: a concurrent
+    checkpoint+vacuum may truncate a tail entry BETWEEN our log listing
+    and the open() — the entry's effect now lives in a newer checkpoint,
+    so the correct response is to re-list and replay again, not crash
+    (the multi-process stress tests hit this)."""
+    for _ in range(10):
+        try:
+            return _replay_once(table, as_of)
+        except FileNotFoundError:
+            continue
+    return _replay_once(table, as_of)
+
+
+def _replay_once(table: str, as_of: int | None = None
+                 ) -> tuple[int, set[str], dict[str, int],
+                            dict[str, dict], dict]:
     """(current version, live file set, {app:epoch -> version} txn map,
     {file -> column min/max stats}, schema meta).
 
@@ -608,6 +624,35 @@ def read_files(spark: SparkSession, table: str, rels: list[str],
     return out
 
 
+def read_live(spark: SparkSession, table: str, rels: list[str],
+              meta: dict, with_file: bool = False,
+              with_pos: bool = False) -> DataFrame:
+    """DV-aware AND schema-evolution-aware read of specific live files —
+    the ONE read shape read_table, compact() and the DML layer share:
+    when >1 physical file schema may be live (``meta['seen']``), union
+    footers (mergeSchema) and project to the logged canonical schema;
+    metadata columns requested via ``with_file``/``with_pos`` ride
+    through the projection."""
+    evolved = len(meta["seen"]) > 1
+    df = read_files(spark, table, rels, dvs=meta["dvs"],
+                    with_file=with_file, with_pos=with_pos,
+                    merge_schema=evolved)
+    if evolved:
+        keep = [n for n, _t in meta["schema"]]
+        extras = [c for c in ("__file", "__f", "__pos")
+                  if c in df.columns]
+        df = df.select(*keep, *extras)
+    return df
+
+
+def dv_snapshot(meta: dict, rels: list[str]) -> dict[str, list[str]]:
+    """{file -> tombstone rels as of ``meta``'s snapshot} for the files
+    a rewrite will retire — pass as ``must_match_dvs`` so the commit
+    raises TxConflict if any drifted (a concurrent DV delete whose
+    tombstones the rewrite would otherwise resurrect)."""
+    return {rel: sorted(meta["dvs"].get(rel, [])) for rel in rels}
+
+
 def read_table(spark: SparkSession, table: str,
                prune: dict[str, tuple] | None = None,
                version_as_of: int | None = None,
@@ -637,18 +682,13 @@ def read_table(spark: SparkSession, table: str,
         any_file = os.path.join(table,
                                 live_files(table, as_of=version_as_of)[0])
         return spark.read.parquet(any_file).limit(0)
-    evolved = len(meta["seen"]) > 1
     # files with deletion vectors anti-join their tombstones; plain
-    # files (the common case) read direct with zero extra work
-    df = read_files(spark, table, rels, dvs=meta["dvs"],
-                    merge_schema=evolved)
-    if evolved:
-        # evolved table: project the footer union to the log's
-        # canonical column order (absent columns read as NULL).
-        # Homogeneous tables (any table after a full compaction resets
-        # the seen-set) skip the mergeSchema footer reads entirely.
-        return df.select(*[n for n, _t in meta["schema"]])
-    return df
+    # files (the common case) read direct with zero extra work.
+    # Evolved tables project the footer union to the log's canonical
+    # column order (absent columns read as NULL); homogeneous tables
+    # (any table after a full compaction resets the seen-set) skip the
+    # mergeSchema footer reads entirely.
+    return read_live(spark, table, rels, meta)
 
 
 def restore(table: str, version: int) -> int:
@@ -788,11 +828,7 @@ def compact(spark: SparkSession, table: str,
     # file to the merged schema, so a FULL compaction RESETS the
     # seen-schema set and later reads skip mergeSchema again (a partial
     # one leaves untouched files as-is)
-    evolved = len(meta["seen"]) > 1
-    df = read_files(spark, table, old, dvs=meta["dvs"],
-                    merge_schema=evolved)
-    if evolved:
-        df = df.select(*[n for n, _t in meta["schema"]])
+    df = read_live(spark, table, old, meta)
     if zorder_by:
         from neo_server_spark.operators.zorder import zorder_frame
 
@@ -811,8 +847,7 @@ def compact(spark: SparkSession, table: str,
     return commit(table, rels, remove=old, stats=stats, data_change=False,
                   schema=_df_schema(out), schema_reset=not partial,
                   must_be_live=old,
-                  must_match_dvs={r: sorted(meta["dvs"].get(r, []))
-                                  for r in old})
+                  must_match_dvs=dv_snapshot(meta, old))
 
 
 def changes(spark: SparkSession, table: str,
@@ -855,8 +890,16 @@ def changes(spark: SparkSession, table: str,
                 f"changes({since_version})")
         scan = pre + tail
     for fn in scan:
-        with open(os.path.join(_log_dir(table), fn)) as f:
-            entry = json.load(f)
+        try:
+            with open(os.path.join(_log_dir(table), fn)) as f:
+                entry = json.load(f)
+        except FileNotFoundError:
+            # concurrent checkpoint+vacuum truncated this entry between
+            # our listing and the open — same contract as finding the
+            # range already truncated
+            raise ValueError(
+                f"commit entry {fn} was vacuumed concurrently; re-read "
+                f"the snapshot instead of changes({since_version})")
         if entry["version"] > cur:
             continue
         if entry["version"] > since_version \
@@ -908,8 +951,13 @@ def _iter_entries(table: str, since_version: int) -> list[dict]:
         scan = pre + scan
     out = []
     for fn in scan:
-        with open(os.path.join(_log_dir(table), fn)) as f:
-            entry = json.load(f)
+        try:
+            with open(os.path.join(_log_dir(table), fn)) as f:
+                entry = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"commit entry {fn} was vacuumed concurrently; re-read "
+                f"the snapshot instead of polling from {since_version}")
         if entry["version"] > since_version:
             out.append(entry)
     return out

@@ -621,3 +621,30 @@ def test_compact_materializes_dv_dense_files(spark, tmp_path):
     meta = txlog._replay(t)[4]
     assert meta["dvs"] == {}                  # dense file materialized
     assert _ids(spark, t) == [0, 1, 2, 3, 4, 8, 9] + list(range(10, 20))
+
+
+def test_insert_only_merge_folds_in_change_feed(spark, tmp_path):
+    """An insert-only MERGE (or SCD2 apply with only new keys) removes
+    nothing — the file-level change feed must fold its adds as a plain
+    append instead of refusing; the dml flag is reserved for
+    survivor-carrying rewrites (r12 review finding)."""
+    t = _seed(spark, tmp_path)
+    v0 = txlog.current_version(t)
+    src = _mk(spark, [(100, "n", 1), (101, "n", 2)])
+    dml.merge(spark, t, src, on=["id"], when_matched="keep")
+    _cur, delta = txlog.changes(spark, t, v0)
+    assert sorted(r["id"] for r in delta.collect()) == [100, 101]
+    # new-keys-only SCD2 apply is likewise a pure append to the feed
+    d = str(tmp_path / "dim_feed")
+    boot = spark.createDataFrame([(1, "x")], "k long, a string")
+    txlog.write(dml.scd2_init(boot, F.lit(1).cast("long")), d)
+    v1 = txlog.current_version(d)
+    dml.scd2_apply(spark, d, spark.createDataFrame(
+        [(2, "y", 5)], "k long, a string, eff long"),
+        on=["k"], attrs=["a"], effective_col="eff")
+    _cur, delta = txlog.changes(spark, d, v1)
+    assert [r["k"] for r in delta.collect()] == [2]
+    # ...but a survivor-carrying rewrite still refuses
+    dml.update(spark, d, "k = 1", {"a": "'z'"})
+    with pytest.raises(ValueError, match="removed rows"):
+        txlog.changes(spark, d, v1)

@@ -207,3 +207,22 @@ def test_matview_rollup_incremental_and_calc_modes(spark, tmp_path):
         r.query(SECOND + 1, {"c": "count"})
     with pytest.raises(ValueError, match="calc mode"):
         r.query(MINUTE, {"f": "first"})
+
+
+def test_matview_rollup_null_value_count_semantics(spark, tmp_path):
+    """count/avg must use SQL COUNT(value) semantics (non-null), like
+    RollupRouter — a row-count would silently deflate averages over
+    NULL-bearing buckets (r12 review finding)."""
+    from neo_server_spark.sqlx.rollup import MINUTE, MatViewRollup
+
+    base = str(tmp_path / "nulltag")
+    df = spark.createDataFrame(
+        [("a", 1_000_000_000, 1.0), ("a", 2_000_000_000, None),
+         ("a", 3_000_000_000, 3.0)],
+        "name string, time long, value double")
+    txlog.write(df, base)
+    r = MatViewRollup(spark, base, str(tmp_path / "vnull"))
+    assert r.refresh()["mode"] == "incremental"
+    row = r.query(MINUTE, {"c": "count", "m": "avg"}).collect()[0]
+    assert row["c"] == 2
+    assert abs(row["m"] - 2.0) < 1e-9
