@@ -918,3 +918,26 @@ def test_multiprocess_dv_vs_rewrite_stress(spark, tmp_path):
     assert txlog._replay(t)[4]["dvs"] == {}
     assert sorted(r["id"] for r in
                   txlog.read_table(spark, t).collect()) == final
+
+
+def test_replay_retries_on_concurrently_truncated_entry(spark, tmp_path,
+                                                        monkeypatch):
+    """_replay must re-list and retry when a tail entry vanishes between
+    the log listing and the open (concurrent checkpoint+vacuum), not
+    propagate FileNotFoundError to every reader."""
+    t = str(tmp_path / "rt")
+    txlog.write(_mk(spark, [(1, "a")]), t)
+    txlog.write(_mk(spark, [(2, "b")]), t)
+    real = txlog._replay_once
+    state = {"raised": False}
+
+    def flaky(table, as_of=None):
+        if not state["raised"]:
+            state["raised"] = True
+            raise FileNotFoundError("entry truncated under our feet")
+        return real(table, as_of)
+
+    monkeypatch.setattr(txlog, "_replay_once", flaky)
+    ver, live, _txns, _stats, _meta = txlog._replay(t)
+    assert ver == 2 and live == set(txlog.live_files(t))
+    assert state["raised"]
