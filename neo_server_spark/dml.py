@@ -359,7 +359,12 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
         meta=meta)
     import os
 
-    tgt_cols = txlog.read_table(spark, table).columns
+    # column names come from the LOGGED schema (O(1) metadata), not a
+    # read_table() whose plan would LIST every live file — at 12k+ files
+    # that listing alone dominated a small merge (300M-point profile)
+    sch = txlog.table_schema(table)
+    tgt_cols = [n for n, _t in sch] if sch \
+        else txlog.read_table(spark, table).columns
     # every target key that matches a source key lives in a touched
     # file BY CONSTRUCTION, so the touched files' key set IS the full
     # table's matched-key set — unmatched-source discovery never scans
@@ -464,7 +469,12 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
         None, meta=meta)
     import os
 
-    tgt_cols = txlog.read_table(spark, table).columns
+    # column names come from the LOGGED schema (O(1) metadata), not a
+    # read_table() whose plan would LIST every live file — at 12k+ files
+    # that listing alone dominated a small merge (300M-point profile)
+    sch = txlog.table_schema(table)
+    tgt_cols = [n for n, _t in sch] if sch \
+        else txlog.read_table(spark, table).columns
     meta_cols = {"_valid_from", "_valid_to", "_is_current"}
     expected = [c for c in tgt_cols if c not in meta_cols]
     if sorted(expected) != sorted(list(on) + list(attrs)):
