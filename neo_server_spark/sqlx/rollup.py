@@ -143,6 +143,28 @@ class RollupRouter:
                     best = lvl
         return best
 
+    def attach_matview(self, mv_rollup: "MatViewRollup") -> None:
+        """Route queries to an INCREMENTALLY-maintained MatViewRollup
+        when it covers them (period divisible by its finest level AND
+        every calc mode servable from its partials); everything else
+        falls back to the built cascade.  This unifies the two
+        maintenance paths: the IVM view stays fresh at O(delta) per
+        refresh, while order-aware modes (first/last) and undivisible
+        periods keep the rebuilt-cascade answer."""
+        self._matview = mv_rollup
+
+    _MV_MODES = frozenset(
+        ("count", "sum", "sumsq", "min", "max", "avg"))
+
+    def _covered_by_matview(self, period_ns: int,
+                            aggs: dict[str, str]) -> bool:
+        mv = getattr(self, "_matview", None)
+        return (mv is not None
+                and period_ns % mv.period_ns == 0
+                and period_ns >= mv.period_ns
+                and all(m.lower() in self._MV_MODES
+                        for m in aggs.values()))
+
     def query(self, period_ns: int, aggs: dict[str, str],
               tags: list[str] | None = None,
               between: tuple[int, int] | None = None) -> DataFrame:
@@ -154,6 +176,10 @@ class RollupRouter:
         then computes from raw data (router contract mirrors the engine,
         which only accepts SEC/MIN/HOUR multiples).
         """
+        if self._covered_by_matview(period_ns, aggs):
+            # IVM-maintained partials answer it with zero base scans
+            return self._matview.query(period_ns, aggs, tags=tags,
+                                       between=between)
         lvl = self.pick_level(period_ns)
         if lvl is None:
             raise ValueError(f"period {period_ns}ns not servable from rollups")

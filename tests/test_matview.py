@@ -226,3 +226,35 @@ def test_matview_rollup_null_value_count_semantics(spark, tmp_path):
     row = r.query(MINUTE, {"c": "count", "m": "avg"}).collect()[0]
     assert row["c"] == 2
     assert abs(row["m"] - 2.0) < 1e-9
+
+
+def test_router_prefers_attached_matview_and_falls_back(spark, tmp_path):
+    """RollupRouter.attach_matview: covered (period, aggs) requests are
+    served from the IVM partials; order-aware modes (first/last) fall
+    back to the built cascade — one router, two maintenance paths."""
+    from neo_server_spark.sqlx.rollup import (MINUTE, MatViewRollup,
+                                              RollupRouter)
+
+    base = str(tmp_path / "tagr")
+    df = spark.createDataFrame(
+        [("a", i * 700_000_000, float(i % 5)) for i in range(200)],
+        "name string, time long, value double")
+    txlog.write(df, base)
+    router = RollupRouter(spark, str(tmp_path / "casc"))
+    router.build(txlog.read_table(spark, base))
+    mvr = MatViewRollup(spark, base, str(tmp_path / "ivm"))
+    mvr.refresh()
+    router.attach_matview(mvr)
+    covered = router.query(MINUTE, {"c": "count", "m": "avg"})
+    assert "ivm" in covered._jdf.queryExecution().toString() or \
+        "ivm" in covered._sc._jvm.PythonSQLUtils.explainString(
+            covered._jdf.queryExecution(), "formatted")
+    fallback = router.query(MINUTE, {"f": "first"})
+    plan = fallback._sc._jvm.PythonSQLUtils.explainString(
+        fallback._jdf.queryExecution(), "formatted")
+    assert "casc" in plan and "ivm" not in plan
+    # both paths agree on the shared modes
+    a = {(r["name"], r["time"]): r["c"] for r in covered.collect()}
+    b = {(r["name"], r["time"]): r["cnt"] for r in
+         router.query(MINUTE, {"cnt": "count", "f": "first"}).collect()}
+    assert a == b
