@@ -254,17 +254,31 @@ def main() -> None:
             with open(ab_path) as f:
                 ab = json.load(f)
             # refuse a stale measurement: the ratio is only the current
-            # perf signal if it was measured AT this commit
+            # perf signal if the MEASURED CODE is this commit's code.
+            # Commits that touch only artifacts/docs/tests (e.g. the
+            # commit that records bench_ab.json itself) don't invalidate
+            # it — the ratio describes paths that did not change.
             import subprocess
+            repo = os.path.dirname(ab_path)
             head = subprocess.run(
-                ["git", "rev-parse", "HEAD"],
-                cwd=os.path.dirname(ab_path), capture_output=True,
-                text=True, timeout=10).stdout.strip()
+                ["git", "rev-parse", "HEAD"], cwd=repo,
+                capture_output=True, text=True, timeout=10
+            ).stdout.strip()
             if head and ab.get("head_commit") \
                     and not head.startswith(ab["head_commit"]):
-                ab = {"stale": True,
-                      "measured_at": ab.get("head_commit"),
-                      "ratio": ab.get("ratio")}
+                diff = subprocess.run(
+                    ["git", "diff", "--name-only",
+                     f"{ab['head_commit']}..HEAD"], cwd=repo,
+                    capture_output=True, text=True, timeout=10
+                ).stdout.splitlines()
+                code_changed = any(
+                    p.startswith("neo_server_spark/")
+                    or p in ("bench.py", "__spark_entry__.py")
+                    for p in diff)
+                if code_changed or not diff:
+                    ab = {"stale": True,
+                          "measured_at": ab.get("head_commit"),
+                          "ratio": ab.get("ratio")}
         except Exception:
             ab = None
     # Output order matters: the verification driver records only the
