@@ -3844,6 +3844,40 @@ def _q_rollup_matview(spark, sf_dir):
         F.round("avg_v", 6).alias("avg_v")).orderBy("name", "time")
 
 
+def _q_corpus_diff(spark, sf_dir):
+    """Corpus version diff (datapipe/versioning.corpus_diff — the
+    dataset-versioning audit a training pipeline runs between two
+    corpus snapshots): documents land in a txlog table, then an UPDATE
+    (doc_id%7==1 gets '-v2' appended), a DELETE (doc_id%11==2) and an
+    INSERT (the doc_id%3==0 tranche) advance it; the diff between the
+    two versions reads ONLY the file-set symmetric difference (files
+    live-and-DV-identical in both snapshots are skipped wholesale —
+    immutability makes them incapable of differing).  The oracle
+    recomputes added/removed/modified from the raw rows."""
+    import os
+    import tempfile
+
+    from neo_server_spark import dml, txlog
+    from neo_server_spark.datapipe.versioning import corpus_diff
+
+    docs = (nio.load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 2000)
+            .select("doc_id", "text"))
+    t = os.path.join(tempfile.mkdtemp(prefix="corpus_diff_"), "corpus")
+    txlog.write(docs.filter(F.pmod("doc_id", F.lit(3)) != 0)
+                .repartitionByRange(4, "doc_id"), t,
+                stats_cols=["doc_id"])
+    v_from = txlog.current_version(t)
+    dml.update(spark, t, "doc_id % 7 = 1", {"text": "text || '-v2'"})
+    dml.delete(spark, t, "doc_id % 11 = 2")
+    txlog.write(docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
+                .repartitionByRange(2, "doc_id"), t,
+                stats_cols=["doc_id"])
+    out = corpus_diff(spark, t, v_from, txlog.current_version(t),
+                      key="doc_id", digest_cols=["text"])
+    return out.orderBy("doc_id", "change")
+
+
 def _q_epoch_shuffle(spark, sf_dir):
     """Deterministic training-epoch shuffle (sampling.epoch_shuffle):
     every document ranked by md5(id || seed) — a reproducible
@@ -3922,9 +3956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hardening -> txlog_table), and 39 of the 46 r8-vintage rows
         # (directive #2).  The 7 r8 stragglers named for the r13 window:
         # codec_box, codec_html, codec_markdown, codec_ndjson,
-        # winnow_overlap, winnow_fp, substring_spans, lm2 (8 after
-        # rollup_matview, the r11 #8 stretch, took a slot) — each has
-        # a certified
+        # winnow_overlap, winnow_fp, substring_spans, lm2, lake_api_calc
+        # (9 after rollup_matview — the r11 #8 stretch — and the new
+        # corpus_diff took slots) — each has a certified
         # family sibling IN this window (codec_json/chart/geomap,
         # winnow_fp, substring_cut, lm_buckets).  Everything else
         # rotates behind (r9, r10, r11 vintages).
@@ -3937,6 +3971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auth_flow": _q_auth_flow,
         "stream_scd2": _q_stream_scd2,
         "rollup_matview": _q_rollup_matview,
+        "corpus_diff": _q_corpus_diff,
         "txlog_dml": _q_txlog_dml,
         "compaction": _q_compaction,
         "txlog_table": _q_txlog_table,
@@ -3960,7 +3995,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": _q_domain_caps,
         "dsir_sample": _q_dsir_sample,
         "gopher_quality": _q_gopher_quality,
-        "lake_api_calc": _q_lake_api_calc,
         "lake_api_raw": _q_lake_api_raw,
         "line_dedup": _q_line_dedup,
         "lm_buckets": _q_lm_buckets,
@@ -3979,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": _q_tfidf_terms,
         "url_normalize": _q_url_normalize,
         # ---- window boundary: entries below rotate in next round ----
+        "lake_api_calc": _q_lake_api_calc,
         "winnow_fp": _q_winnow_fp,
         "doc_chunks": _q_doc_chunks,
         "rollup_txlog": _q_rollup_txlog,
@@ -7127,6 +7162,21 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id
         """,
         # SCD2: rebuild the version table from the two snapshots.
+        "corpus_diff": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+            v1 AS (SELECT * FROM base WHERE doc_id % 3 <> 0)
+            SELECT doc_id, 'removed' AS change
+            FROM v1 WHERE doc_id % 11 = 2
+            UNION ALL
+            SELECT doc_id, 'modified'
+            FROM v1 WHERE doc_id % 11 <> 2 AND doc_id % 7 = 1
+                     AND text IS NOT NULL
+            UNION ALL
+            SELECT doc_id, 'added'
+            FROM base WHERE doc_id % 3 = 0
+            ORDER BY doc_id, change
+        """,
         "rollup_matview": """
             SELECT event_type AS name,
                    CAST((epoch_ns(ts) - epoch_ns(ts) % 60000000000)

@@ -648,3 +648,46 @@ def test_insert_only_merge_folds_in_change_feed(spark, tmp_path):
     dml.update(spark, d, "k = 1", {"a": "'z'"})
     with pytest.raises(ValueError, match="removed rows"):
         txlog.changes(spark, d, v1)
+
+
+def test_corpus_diff_versions(spark, tmp_path):
+    """datapipe.versioning.corpus_diff: added/removed/modified between
+    two txlog versions, scanning only the file-set symmetric difference
+    (+ DV-drifted files); unchanged docs in common files never read,
+    compaction-moved-but-identical docs cancel out."""
+    from neo_server_spark.datapipe.versioning import corpus_diff
+
+    t = str(tmp_path / "corpus")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    txlog.write(mk([(1, "alpha"), (2, "beta")]).coalesce(1), t)    # v1
+    txlog.write(mk([(3, "gamma"), (4, "delta")]).coalesce(1), t)   # v2
+    v_from = txlog.current_version(t)
+    dml.update(spark, t, "doc_id = 3", {"text": "'gamma-2'"})      # v3
+    dml.delete(spark, t, "doc_id = 2")                             # v4
+    txlog.write(mk([(5, "epsilon")]).coalesce(1), t)               # v5
+    v_to = txlog.current_version(t)
+    got = {r["doc_id"]: r["change"] for r in
+           corpus_diff(spark, t, v_from, v_to,
+                       key="doc_id", digest_cols=["text"]).collect()}
+    assert got == {2: "removed", 3: "modified", 5: "added"}
+    # DV delete drifts a common file's DV state: must surface as removed
+    v_mid = v_to
+    dml.delete(spark, t, "doc_id = 4", mode="dv")
+    got2 = {r["doc_id"]: r["change"] for r in
+            corpus_diff(spark, t, v_mid, txlog.current_version(t),
+                        key="doc_id", digest_cols=["text"]).collect()}
+    assert got2 == {4: "removed"}
+    # identical snapshots diff to nothing (and cost no data IO)
+    assert corpus_diff(spark, t, v_mid, v_mid,
+                       key="doc_id", digest_cols=["text"]).count() == 0
+    # compaction moves every doc to new files with identical content:
+    # the diff cancels to empty
+    v_pre = txlog.current_version(t)
+    txlog.compact(spark, t, target_files=1)
+    assert corpus_diff(spark, t, v_pre, txlog.current_version(t),
+                       key="doc_id", digest_cols=["text"]).count() == 0
+    # ambiguous identity raises
+    txlog.write(mk([(5, "epsilon-dup")]).coalesce(1), t)
+    with pytest.raises(ValueError, match="duplicate"):
+        corpus_diff(spark, t, v_pre, txlog.current_version(t),
+                    key="doc_id", digest_cols=["text"])
