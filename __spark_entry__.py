@@ -3878,6 +3878,40 @@ def _q_corpus_diff(spark, sf_dir):
     return out.orderBy("doc_id", "change")
 
 
+def _q_table_clone(spark, sf_dir):
+    """Zero-copy table clone under the value-hash gate (txlog.clone —
+    Delta CLONE semantics: hardlinked snapshot, one commit, independent
+    lifecycle): events land over two stats-carrying commits, a DV
+    delete tombstones rows, the table is CLONED, then the SOURCE
+    mutates (delete) and vacuums — the clone must still serve the
+    snapshot exactly (hardlinks keep the shared bytes alive; the
+    clone's own commit carries schema/stats/DVs).  The oracle filters
+    the raw rows to the snapshot the clone captured."""
+    import os
+    import tempfile
+
+    from neo_server_spark import dml, txlog
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 3000)
+          .select("event_id", "user_id", "event_type",
+                  F.floor(F.col("value") * 1000).alias("val")))
+    root = tempfile.mkdtemp(prefix="table_clone_")
+    s = os.path.join(root, "src")
+    for k in range(2):
+        txlog.write(ev.filter(F.pmod("event_id", F.lit(2)) == k)
+                    .coalesce(1), s, stats_cols=["event_id"])
+    dml.delete(spark, s, "event_id % 5 = 0", mode="dv")
+    c = os.path.join(root, "clone")
+    txlog.clone(s, c)
+    # source moves on and vacuums; the clone must not notice
+    dml.delete(spark, s, "event_id % 3 = 0")
+    txlog.vacuum(s, retention_s=0)
+    out = txlog.read_table(spark, c)
+    return (out.select("event_id", "user_id", "event_type", "val")
+            .orderBy("event_id"))
+
+
 def _q_epoch_shuffle(spark, sf_dir):
     """Deterministic training-epoch shuffle (sampling.epoch_shuffle):
     every document ranked by md5(id || seed) — a reproducible
@@ -3956,9 +3990,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hardening -> txlog_table), and 39 of the 46 r8-vintage rows
         # (directive #2).  The 7 r8 stragglers named for the r13 window:
         # codec_box, codec_html, codec_markdown, codec_ndjson,
-        # winnow_overlap, winnow_fp, substring_spans, lm2, lake_api_calc
-        # (9 after rollup_matview — the r11 #8 stretch — and the new
-        # corpus_diff took slots) — each has a certified
+        # winnow_overlap, winnow_fp, substring_spans, lm2, lake_api_calc,
+        # lake_api_raw (10 — rollup_matview, corpus_diff and table_clone,
+        # all NEW this round, took slots: certifying new code beats
+        # rotating rows that were driver-green in r8 and sweep-green
+        # every round since) — each straggler has a certified
         # family sibling IN this window (codec_json/chart/geomap,
         # winnow_fp, substring_cut, lm_buckets).  Everything else
         # rotates behind (r9, r10, r11 vintages).
@@ -3972,6 +4008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_scd2": _q_stream_scd2,
         "rollup_matview": _q_rollup_matview,
         "corpus_diff": _q_corpus_diff,
+        "table_clone": _q_table_clone,
         "txlog_dml": _q_txlog_dml,
         "compaction": _q_compaction,
         "txlog_table": _q_txlog_table,
@@ -3995,7 +4032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": _q_domain_caps,
         "dsir_sample": _q_dsir_sample,
         "gopher_quality": _q_gopher_quality,
-        "lake_api_raw": _q_lake_api_raw,
         "line_dedup": _q_line_dedup,
         "lm_buckets": _q_lm_buckets,
         "mad_outliers": _q_mad_outliers,
@@ -4013,6 +4049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": _q_tfidf_terms,
         "url_normalize": _q_url_normalize,
         # ---- window boundary: entries below rotate in next round ----
+        "lake_api_raw": _q_lake_api_raw,
         "lake_api_calc": _q_lake_api_calc,
         "winnow_fp": _q_winnow_fp,
         "doc_chunks": _q_doc_chunks,
@@ -7162,6 +7199,13 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id
         """,
         # SCD2: rebuild the version table from the two snapshots.
+        "table_clone": """
+            SELECT event_id, user_id, event_type,
+                   CAST(floor(value * 1000) AS BIGINT) AS val
+            FROM events
+            WHERE event_id < 3000 AND event_id % 5 <> 0
+            ORDER BY event_id
+        """,
         "corpus_diff": """
             WITH base AS (
               SELECT doc_id, text FROM documents WHERE doc_id < 2000),

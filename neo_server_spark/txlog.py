@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["commit", "write", "read_table", "changes", "row_changes",
-           "checkpoint",
+           "checkpoint", "clone",
            "live_files", "pruned_files", "compact", "restore", "vacuum",
            "last_txn_version", "current_version", "version_at",
            "stage_files", "table_schema", "history", "describe_detail",
@@ -212,6 +212,10 @@ def _replay_once(table: str, as_of: int | None = None
                 meta["seen"] = {fs}
             else:
                 meta["seen"].add(fs)
+        for fs_ in entry.get("schemasSeen", []):
+            # a clone of an evolved table carries the source's full
+            # physical-schema set so reads keep merging footers
+            meta["seen"].add(json.dumps(fs_))
         t = entry.get("txn")
         if t:
             txns[f"{t['app']}:{t['epoch']}"] = ver
@@ -638,7 +642,12 @@ def read_live(spark: SparkSession, table: str, rels: list[str],
                     with_file=with_file, with_pos=with_pos,
                     merge_schema=evolved)
     if evolved:
-        keep = [n for n, _t in meta["schema"]]
+        # canonical columns ABSENT from every file in this subset (a
+        # rel list of pre-evolution files only) project as typed NULLs
+        # — mergeSchema can only union the schemas it actually read
+        keep = [F.col(n) if n in df.columns
+                else F.lit(None).cast(t).alias(n)
+                for n, t in meta["schema"]]
         extras = [c for c in ("__file", "__f", "__pos")
                   if c in df.columns]
         df = df.select(*keep, *extras)
@@ -1221,3 +1230,60 @@ def describe_detail(table: str) -> dict:
         "files_with_dvs": len(meta["dvs"]),
         "schema_variants": len(meta["seen"]),
     }
+
+
+def clone(src: str, dst: str, version_as_of: int | None = None) -> int:
+    """CREATE TABLE ``dst`` AS CLONE OF ``src`` [VERSION AS OF v] —
+    zero-copy: every live data/DV file of the source snapshot is
+    HARDLINKED into the new table (immutable files make sharing safe:
+    each table's vacuum only unlinks its own directory entry), and ONE
+    commit publishes the snapshot with its schema, seen-schema set and
+    footer stats carried over.  O(files) metadata work, no data bytes
+    moved — Delta's deep-clone independence at shallow-clone cost on a
+    posix filesystem (cross-device falls back to a real copy).
+
+    The clone's lifecycle is fully independent of the source: either
+    side may append/DML/compact/vacuum without affecting the other —
+    the staging pattern for "run the experiment against last week's
+    corpus" without a second corpus.
+    """
+    if os.path.isdir(_log_dir(dst)):
+        raise FileExistsError(f"clone target {dst} already exists")
+    _ver, live, _txns, stats, meta = _replay(src, as_of=version_as_of)
+    if not live:
+        raise FileNotFoundError(f"nothing to clone: {src} is empty "
+                                f"at that version")
+    dv_rels = sorted({d for lst in meta["dvs"].values() for d in lst})
+    needed = sorted(live) + dv_rels
+    vacuumed = [rel for rel in needed
+                if not os.path.exists(os.path.join(src, rel))]
+    if vacuumed:
+        raise FileNotFoundError(
+            f"cannot clone {src} at version "
+            f"{version_as_of if version_as_of is not None else _ver}: "
+            f"{len(vacuumed)} required file(s) were vacuumed away "
+            f"(e.g. {vacuumed[0]})")
+    for rel in needed:
+        s = os.path.join(src, rel)
+        d = os.path.join(dst, rel)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        try:
+            os.link(s, d)
+        except OSError:                      # cross-device: copy bytes
+            shutil.copy2(s, d)
+    entry: dict = {"add": sorted(live), "ts": int(time.time() * 1000),
+                   "clone_of": {"table": src,
+                                "version": version_as_of or _ver}}
+    if stats:
+        entry["stats"] = {rel: stats[rel] for rel in live
+                          if rel in stats}
+    if meta["dvs"]:
+        entry["dv"] = {k: sorted(v) for k, v in meta["dvs"].items()}
+    if meta["schema"]:
+        entry["schema"] = meta["schema"]
+    if len(meta["seen"]) > 1:
+        # heterogeneous physical schemas must survive the clone or the
+        # new table would read pre-evolution files without mergeSchema
+        entry["schemasSeen"] = [json.loads(s)
+                                for s in sorted(meta["seen"])]
+    return _atomic_commit(dst, entry)

@@ -941,3 +941,60 @@ def test_replay_retries_on_concurrently_truncated_entry(spark, tmp_path,
     ver, live, _txns, _stats, _meta = txlog._replay(t)
     assert ver == 2 and live == set(txlog.live_files(t))
     assert state["raised"]
+
+
+def test_clone_zero_copy_snapshot(spark, tmp_path):
+    """txlog.clone: hardlinked snapshot with independent lifecycle —
+    schema/stats/DVs/seen-set carried; source vacuum cannot break the
+    clone; either side mutates without affecting the other."""
+    from neo_server_spark import dml
+
+    s = str(tmp_path / "src")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    txlog.write(mk([(1, "a"), (2, "b")]).coalesce(1), s,
+                stats_cols=["id"])
+    wide = spark.createDataFrame([(3, "c", "x")],
+                                 "id long, v string, extra string")
+    txlog.write(wide.coalesce(1), s, merge_schema=True)   # evolved
+    dml.delete(spark, s, "id = 2", mode="dv")             # live DVs
+    v_src = txlog.current_version(s)
+
+    c = str(tmp_path / "clone")
+    txlog.clone(s, c)
+    got = {r["id"]: r["extra"] for r in
+           txlog.read_table(spark, c).collect()}
+    assert got == {1: None, 3: "x"}           # DV applied, schema merged
+    # zero copy: same inode
+    rel = txlog.live_files(c)[0]
+    assert os.stat(os.path.join(c, rel)).st_ino == \
+        os.stat(os.path.join(s, rel)).st_ino
+    # stats survive: pruning works on the clone
+    assert len(txlog.pruned_files(c, {"id": (999, 9999)})) < \
+        len(txlog.live_files(c))
+    # independent lifecycles: mutate both sides, no crosstalk
+    txlog.write(mk([(9, "z")]).coalesce(1), c)
+    dml.delete(spark, s, "id = 1")
+    assert sorted(r["id"] for r in
+                  txlog.read_table(spark, c).collect()) == [1, 3, 9]
+    assert sorted(r["id"] for r in
+                  txlog.read_table(spark, s).collect()) == [3]
+    # historical clone BEFORE vacuum: retired files still on disk
+    c2 = str(tmp_path / "clone2")
+    txlog.clone(s, c2, version_as_of=2)       # pre-DV snapshot
+    assert sorted(r["id"] for r in
+                  txlog.read_table(spark, c2).collect()) == [1, 2, 3]
+    # source vacuum (offline) unlinks ITS retired entries only; the
+    # clones' hardlinks keep the bytes alive
+    txlog.vacuum(s, retention_s=0)
+    assert sorted(r["id"] for r in
+                  txlog.read_table(spark, c).collect()) == [1, 3, 9]
+    assert sorted(r["id"] for r in
+                  txlog.read_table(spark, c2).collect()) == [1, 2, 3]
+    # cloning a vacuumed-away version raises a clear error
+    c3 = str(tmp_path / "clone3")
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        txlog.clone(s, c3, version_as_of=2)
+    _ = v_src
+    # refuse to clobber
+    with pytest.raises(FileExistsError):
+        txlog.clone(s, c)
