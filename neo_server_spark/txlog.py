@@ -35,6 +35,29 @@ Protocol (mirrors the Delta/Iceberg commit core):
 * CHANGES: files added per version > N — a change-data feed for watch /
   incremental consumers.
 
+Concurrency contract (optimistic, Delta-style; enforced by
+``_atomic_commit``'s liveness + DV-drift checks and exercised by the
+multi-process stress tests in tests/test_txlog.py):
+
+====================  ========  =========  ==========  ========  ======
+first writer \\ racer  append    rewrite*   DV delete   compact   vacuum
+====================  ========  =========  ==========  ========  ======
+append                ok        ok         ok          ok        ok
+rewrite*              ok        conflict＋  conflict＋   conflict＋ ok
+DV delete             ok        conflict＋  conflict＋   conflict＋ ok
+compact               ok        conflict＋  conflict＋   conflict＋ ok
+vacuum                ok        ok         ok          ok        ok
+====================  ========  =========  ==========  ========  ======
+
+``rewrite*`` = any read-modify-write over shared files (DML rewrite,
+SCD2, compact's materialization).  ``conflict＋`` = only when the two
+touch a COMMON file (liveness via must_be_live, deletion-vector drift
+via must_match_dvs); disjoint file sets serialize cleanly through the
+version race retry.  Vacuum never conflicts: it deletes only files no
+committed version references, behind a retention window that protects
+in-flight staging, and every reader retries the checkpoint+truncation
+race (``_replay``).
+
 Reference parity: the engine's backup manifests (sqlx/backup.py) answer
 "what is in this archive"; the txlog answers "what is IN the table right
 now" under concurrent appends and retries.
