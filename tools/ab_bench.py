@@ -59,27 +59,38 @@ def main() -> None:
         base = log
     base = _git("rev-parse", base)
     head = _git("rev-parse", "HEAD")
+    reps = int(os.environ.get("AB_BENCH_REPS", "2"))
     wt = tempfile.mkdtemp(prefix="ab_base_")
     _git("worktree", "add", "--detach", wt, base)
+    b_runs: list[dict] = []
+    h_runs: list[dict] = []
     try:
-        print(f"ab_bench: base {base[:12]} in {wt}", flush=True)
-        b = _run_bench(wt)
-        print(f"ab_bench: base stable44 {b.get('stable44_sec')}",
-              flush=True)
-        h = _run_bench(REPO)
-        print(f"ab_bench: head stable44 {h.get('stable44_sec')}",
-              flush=True)
+        print(f"ab_bench: base {base[:12]} in {wt}, "
+              f"{reps}x interleaved", flush=True)
+        # INTERLEAVED reps (base, head, base, head, ...): a load spike
+        # during any single run cannot bias one side — the per-side MIN
+        # is each commit's steady-state cost under the same hour's box
+        for rep in range(reps):
+            b_runs.append(_run_bench(wt))
+            print(f"ab_bench: base[{rep}] stable44 "
+                  f"{b_runs[-1].get('stable44_sec')}", flush=True)
+            h_runs.append(_run_bench(REPO))
+            print(f"ab_bench: head[{rep}] stable44 "
+                  f"{h_runs[-1].get('stable44_sec')}", flush=True)
     finally:
         _git("worktree", "remove", "--force", wt)
+    b44 = min(r["stable44_sec"] for r in b_runs)
+    h44 = min(r["stable44_sec"] for r in h_runs)
     res = {
-        "head_stable44": h.get("stable44_sec"),
-        "base_stable44": b.get("stable44_sec"),
-        "ratio": (round(h["stable44_sec"] / b["stable44_sec"], 4)
-                  if b.get("stable44_sec") else None),
+        "head_stable44": h44,
+        "base_stable44": b44,
+        "ratio": round(h44 / b44, 4) if b44 else None,
+        "head_stable44_reps": [r["stable44_sec"] for r in h_runs],
+        "base_stable44_reps": [r["stable44_sec"] for r in b_runs],
         "base_commit": base[:12],
         "head_commit": head[:12],
-        "head_total": h.get("value"),
-        "base_total": b.get("value"),
+        "head_total": min(r.get("value", 9e9) for r in h_runs),
+        "base_total": min(r.get("value", 9e9) for r in b_runs),
     }
     with open(os.path.join(REPO, "bench_ab.json"), "w") as f:
         json.dump(res, f, indent=1)
