@@ -691,3 +691,66 @@ def test_corpus_diff_versions(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate"):
         corpus_diff(spark, t, v_pre, txlog.current_version(t),
                     key="doc_id", digest_cols=["text"])
+
+
+def test_corpus_diff_model_random_ops(spark, tmp_path):
+    """Model-based check: random commit sequences (insert / update /
+    rewrite-delete / DV-delete / compact), then corpus_diff between
+    sampled version pairs must equal the brute-force diff of the two
+    time-travel reads — validating the file-skip and DV-drift logic
+    against the snapshots themselves."""
+    import random
+
+    from neo_server_spark.datapipe.versioning import corpus_diff
+
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    rng = random.Random(20260816)
+    for case in range(3):
+        t = str(tmp_path / f"cd{case}")
+        txlog.write(mk([(i, f"t{i}") for i in range(5)]).coalesce(1), t)
+        next_id = 5
+        versions = [txlog.current_version(t)]
+        for _op in range(rng.randint(4, 6)):
+            live = sorted(r["id"] for r in
+                          txlog.read_table(spark, t).collect())
+            op = rng.choice(["insert", "update", "delete", "dv",
+                             "compact"])
+            if op == "insert":
+                n = rng.randint(1, 3)
+                ids = list(range(next_id, next_id + n))
+                next_id += n
+                txlog.write(mk([(i, f"t{i}") for i in ids])
+                            .coalesce(1), t)
+            elif op == "update" and live:
+                pick = rng.choice(live)
+                dml.update(spark, t, f"id = {pick}",
+                           {"v": f"v || '-u{_op}'"})
+            elif op == "delete" and len(live) > 2:
+                dml.delete(spark, t, f"id = {rng.choice(live)}")
+            elif op == "dv" and len(live) > 2:
+                dml.delete(spark, t, f"id = {rng.choice(live)}",
+                           mode="dv")
+            else:
+                txlog.compact(spark, t,
+                              target_files=rng.randint(1, 2))
+            versions.append(txlog.current_version(t))
+        pairs = [(versions[0], versions[-1]),
+                 (versions[len(versions) // 2], versions[-1]),
+                 (versions[-1], versions[-1])]
+        for vf, vt in pairs:
+            old = {r["id"]: r["v"] for r in txlog.read_table(
+                spark, t, version_as_of=vf).collect()}
+            new = {r["id"]: r["v"] for r in txlog.read_table(
+                spark, t, version_as_of=vt).collect()}
+            expect = {}
+            for k in old.keys() | new.keys():
+                if k not in new:
+                    expect[k] = "removed"
+                elif k not in old:
+                    expect[k] = "added"
+                elif old[k] != new[k]:
+                    expect[k] = "modified"
+            got = {r["id"]: r["change"] for r in
+                   corpus_diff(spark, t, vf, vt, key="id",
+                               digest_cols=["v"]).collect()}
+            assert got == expect, (case, vf, vt)
