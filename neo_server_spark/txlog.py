@@ -1211,6 +1211,9 @@ def history(table: str) -> list[dict]:
             e = json.load(f)
         if "restore_of" in e:
             op = f"RESTORE to v{e['restore_of']}"
+        elif "clone_of" in e:
+            op = (f"CLONE of {e['clone_of']['table']}"
+                  f"@v{e['clone_of']['version']}")
         elif e.get("dv"):
             op = "DELETE (deletion vectors)"
         elif e.get("dml"):
@@ -1269,6 +1272,11 @@ def clone(src: str, dst: str, version_as_of: int | None = None) -> int:
     side may append/DML/compact/vacuum without affecting the other —
     the staging pattern for "run the experiment against last week's
     corpus" without a second corpus.
+
+    Caveat (same as Delta CLONE): the source's TXN map (streaming
+    exactly-once history) is NOT carried — re-pointing a foreachBatch
+    sink at a clone re-applies any epoch whose (app, epoch) pair only
+    the source remembers.  Start cloned sinks from a fresh checkpoint.
     """
     if os.path.isdir(_log_dir(dst)):
         raise FileExistsError(f"clone target {dst} already exists")

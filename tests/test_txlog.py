@@ -998,3 +998,13 @@ def test_clone_zero_copy_snapshot(spark, tmp_path):
     # refuse to clobber
     with pytest.raises(FileExistsError):
         txlog.clone(s, c)
+
+
+def test_history_labels_clone(spark, tmp_path):
+    s, c = str(tmp_path / "hs"), str(tmp_path / "hc")
+    txlog.write(_mk(spark, [(1, "a")]), s)
+    txlog.clone(s, c)
+    h = txlog.history(c)
+    assert len(h) == 1
+    assert h[0]["operation"].startswith("CLONE of ")
+    assert h[0]["operation"].endswith("@v1")
