@@ -24,6 +24,18 @@ from neo_server_spark.datapipe import curate, dedup, sampling, similarity, text
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def _await(q, timeout: int) -> None:
+    """awaitTermination that FAILS LOUDLY on timeout — a timed-out
+    availableNow batch leaves sinks partially applied, and silently
+    returning would feed a nondeterministic result to the oracle
+    comparison."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not terminate "
+            f"within {timeout}s")
+
+
 def _us(col: str, name: str | None = None):
     """Epoch-ns long -> epoch-us long for oracle-compared time outputs
     (DuckDB's parquet reader truncates TIMESTAMP_NS to microseconds)."""
@@ -1299,7 +1311,7 @@ def _q_streaming_rollup(spark, sf_dir):
     table = "stream_rollup_" + uuid.uuid4().hex[:8]
     q = (agg.writeStream.outputMode("complete").format("memory")
          .queryName(table).trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _await(q, 120)
     return spark.table(table).orderBy("name", "bucket")
 
 
@@ -1330,7 +1342,7 @@ def _q_streaming_lowpass(spark, sf_dir):
     table = "stream_lowpass_" + uuid.uuid4().hex[:8]
     q = (out.writeStream.outputMode("append").format("memory")
          .queryName(table).trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _await(q, 120)
     return (spark.table(table)
             .select("name", _us("time"), "value",
                     F.round("lowpass", 6).alias("lowpass"))
@@ -1369,7 +1381,7 @@ def _q_streaming_filter_changed(spark, sf_dir):
     table = "stream_fc_" + uuid.uuid4().hex[:8]
     q = (out.writeStream.outputMode("append").format("memory")
          .queryName(table).trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _await(q, 120)
     return (spark.table(table).select("name", _us("time"), "value")
             .orderBy("name", "time"))
 
@@ -1393,7 +1405,7 @@ def _q_streaming_dedup(spark, sf_dir):
     table = "stream_dedup_" + uuid.uuid4().hex[:8]
     q = (out.writeStream.outputMode("append").format("memory")
          .queryName(table).trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _await(q, 120)
     return (spark.table(table).select("name", _us("time"), "value")
             .orderBy("name", "time"))
 
@@ -1417,7 +1429,7 @@ def _q_streaming_fill(spark, sf_dir):
     table = "stream_fill_" + uuid.uuid4().hex[:8]
     q = (out.writeStream.outputMode("append").format("memory")
          .queryName(table).trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _await(q, 120)
     return (spark.table(table)
             .select("name", _us("time"), "cnt",
                     F.round("avg_value", 6).alias("avg_value"))
@@ -3037,7 +3049,7 @@ def _q_rollup_txlog(spark, sf_dir):
                     f.write(_json.dumps({"name": r.name, "time": r.time,
                                          "value": r.value}) + "\n")
     q = ingest.stream_rollup(spark, src, base, ck, table_format="txlog")
-    q.awaitTermination(120)
+    _await(q, 120)
     sec = os.path.join(base, "rollup_sec")
     # foreachBatch retry of the committed epoch 0: txn dedupe no-ops it
     app = ingest._run_key(ck)
@@ -3437,7 +3449,7 @@ def _q_streaming_curation(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="stream_curate_" + uuid.uuid4().hex[:6])
     out, idx, ck = f"{base}/out", f"{base}/idx", f"{base}/ck"
     q = curation.stream_curate(lined, idx, out, ck, sep="|")
-    q.awaitTermination(180)
+    _await(q, 180)
     return spark.read.parquet(out).select("doc_id", "text").orderBy("doc_id")
 
 
@@ -3706,7 +3718,7 @@ def _q_streaming_upsert(spark, sf_dir):
                          "value": r["value"]}) + "\n")
         q = ingest.stream_upsert(spark, src, tbl, ck, on=["name"],
                                  order_col="time", stats_cols=["time"])
-        q.awaitTermination(120)
+        _await(q, 120)
     out = txlog.read_table(spark, tbl)
     return out.select("name", "time", "value").orderBy("name")
 
@@ -3796,7 +3808,7 @@ def _q_stream_scd2(spark, sf_dir):
                      "value": r["value"]}) + "\n")
         q = ingest.stream_scd2(spark, src, table, ckpt,
                                on=["name"], attrs=["value"])
-        q.awaitTermination(120)
+        _await(q, 120)
     return (txlog.read_table(spark, table)
             .select("name", "value", "_valid_from", "_valid_to",
                     "_is_current")

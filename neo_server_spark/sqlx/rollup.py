@@ -273,9 +273,14 @@ class MatViewRollup:
                   "sumsq": ("sum", f"{v} * {v}"),
                   "min": ("min", v),
                   "max": ("max", v)},
+            # pmod (floor semantics), NOT SQL % (sign-follows-dividend):
+            # the query() fold and the RollupRouter cascade both bucket
+            # with F.pmod, so negative time values must round the same
+            # way here or the matview path and the cascade fallback
+            # would disagree on the bucket
             key_exprs={"time": f"CAST({time_col} AS BIGINT) - "
-                               f"CAST({time_col} AS BIGINT) "
-                               f"% {int(period_ns)}"})
+                               f"pmod(CAST({time_col} AS BIGINT), "
+                               f"{int(period_ns)})"})
 
     def refresh(self) -> dict:
         """Fold the base table's delta commits into the partials

@@ -65,6 +65,7 @@ now" under concurrent appends and retries.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
@@ -87,11 +88,13 @@ _DATA = "data"
 _CDF = "_cdf"
 _DV = "_dv"
 _W = 20  # zero-padded version width keeps lexical == numeric order
-# broadcast the deletion-vector tombstone frame when its on-disk bytes
-# fit comfortably in the driver (Delta broadcasts DVs the same way);
-# above this the anti-join falls back to a shuffle (AQE may still pick
-# broadcast from runtime stats)
-_DV_BCAST_BYTES = 64 * 1024 * 1024
+# broadcast the deletion-vector tombstone frame when its DECODED row
+# count fits comfortably in every executor — on-disk parquet of two
+# highly-compressible columns can decode 50-200x larger, so disk bytes
+# is the wrong guard; ~1M (basename, pos) rows hash to well under
+# 100 MB.  Above this the anti-join falls back to a shuffle (AQE may
+# still pick broadcast from runtime stats).
+_DV_BCAST_ROWS = 1_000_000
 # compact() auto-materializes (rewrites) any file whose tombstoned-row
 # fraction exceeds this, even when it is not otherwise selected — the
 # read-amplification cap Delta applies to heavily-deleted DV files
@@ -594,6 +597,22 @@ def pruned_files(table: str, prune: dict[str, tuple] | None,
     return out
 
 
+def _dv_tomb_rows(dv_paths: list[str]) -> int | None:
+    """DECODED tombstone row count from parquet footers (metadata-only,
+    no column IO) — the broadcast/compaction guards key on this, not on
+    compressed disk bytes.  None when any file is missing (concurrently
+    vacuumed under a time-travel reader): callers treat that as
+    'unknown, do not hint' and let the actual read raise."""
+    import pyarrow.parquet as pq
+    n = 0
+    for p in dv_paths:
+        try:
+            n += pq.ParquetFile(p).metadata.num_rows
+        except (FileNotFoundError, OSError):
+            return None
+    return n
+
+
 def read_files(spark: SparkSession, table: str, rels: list[str],
                dvs: dict[str, list[str]] | None = None,
                with_file: bool = False,
@@ -633,10 +652,14 @@ def read_files(spark: SparkSession, table: str, rels: list[str],
                 .select(F.col("__f"), F.col("__pos")).distinct())
         # tombstones are O(matched rows) and normally tiny — broadcast
         # them EXPLICITLY (don't rely on AQE noticing) so the anti-join
-        # never shuffles the DV'd files' rows; the on-disk size guard
-        # keeps a pathological DV accumulation from OOMing the driver
-        # (compact()'s density cap rewrites such files away anyway)
-        if sum(os.path.getsize(p) for p in dv_paths) <= _DV_BCAST_BYTES:
+        # never shuffles the DV'd files' rows; the decoded-row guard
+        # keeps a pathological DV accumulation from OOMing the
+        # executors (compact()'s density cap rewrites such files away
+        # anyway).  A None probe means a DV file vanished under a
+        # time-travel reader (concurrent vacuum) — skip the broadcast
+        # hint and let the actual read surface the error.
+        rows = _dv_tomb_rows(dv_paths)
+        if rows is not None and rows <= _DV_BCAST_ROWS:
             tomb = F.broadcast(tomb)
         df = _rd([os.path.join(table, r) for r in dvs], True)
         df = df.join(tomb, ["__f", "__pos"], "left_anti")
@@ -792,24 +815,27 @@ def _dv_dense_files(table: str, meta: dict) -> list[str]:
     dvs = meta["dvs"]
     if not dvs:
         return []
-    from collections import Counter
-
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     dv_rels = sorted({d for lst in dvs.values() for d in lst})
     dv_paths = [os.path.join(table, d) for d in dv_rels
                 if os.path.exists(os.path.join(table, d))]
-    if sum(os.path.getsize(p) for p in dv_paths) > _DV_BCAST_BYTES:
+    if not dv_paths:
+        return []
+    rows = _dv_tomb_rows(dv_paths)
+    if rows is None or rows > 64 * _DV_BCAST_ROWS:
         return sorted(dvs)          # clearly heavy: rewrite them all
-    counts: Counter = Counter()
-    seen: set = set()
-    for p in dv_paths:
-        t = pq.read_table(p, columns=["__f", "__pos"])
-        for f, pos in zip(t.column("__f").to_pylist(),
-                          t.column("__pos").to_pylist()):
-            if (f, pos) not in seen:       # duplicate tombstones legal
-                seen.add((f, pos))
-                counts[f] += 1
+    # dedupe (duplicate tombstones across DV files are legal) then
+    # count per file — both as Arrow group_bys, never a Python loop
+    # over decoded tuples (a dense DV decodes to tens of millions of
+    # rows; only the O(distinct files) result crosses into Python)
+    tomb = pa.concat_tables(
+        [pq.read_table(p, columns=["__f", "__pos"]) for p in dv_paths])
+    uniq = tomb.group_by(["__f", "__pos"]).aggregate([])
+    per_file = uniq.group_by("__f").aggregate([("__pos", "count")])
+    counts = dict(zip(per_file.column("__f").to_pylist(),
+                      per_file.column("__pos_count").to_pylist()))
     out = []
     for rel in dvs:
         n = counts.get(rel.rsplit("/", 1)[-1], 0)
@@ -1278,8 +1304,24 @@ def clone(src: str, dst: str, version_as_of: int | None = None) -> int:
     sink at a clone re-applies any epoch whose (app, epoch) pair only
     the source remembers.  Start cloned sinks from a fresh checkpoint.
     """
-    if os.path.isdir(_log_dir(dst)):
+    # reserve the destination ATOMICALLY (exist_ok=False) — a
+    # check-then-act isdir probe would let two concurrent clones to the
+    # same dst both pass and both commit
+    try:
+        os.makedirs(_log_dir(dst), exist_ok=False)
+    except FileExistsError:
         raise FileExistsError(f"clone target {dst} already exists")
+    try:
+        return _clone_into(src, dst, version_as_of)
+    except BaseException:
+        # we hold the reservation, so tearing down the half-built dst
+        # (hardlinks only unlink OUR directory entries) leaves the
+        # source untouched and the name free for a retry
+        shutil.rmtree(dst, ignore_errors=True)
+        raise
+
+
+def _clone_into(src: str, dst: str, version_as_of: int | None) -> int:
     _ver, live, _txns, stats, meta = _replay(src, as_of=version_as_of)
     if not live:
         raise FileNotFoundError(f"nothing to clone: {src} is empty "
@@ -1300,8 +1342,18 @@ def clone(src: str, dst: str, version_as_of: int | None = None) -> int:
         os.makedirs(os.path.dirname(d), exist_ok=True)
         try:
             os.link(s, d)
-        except OSError:                      # cross-device: copy bytes
-            shutil.copy2(s, d)
+        except OSError as e:
+            if e.errno != errno.EXDEV:
+                # NOT the cross-device case — e.g. the source file was
+                # vacuumed between the liveness probe and the link
+                # (ENOENT); surface it as the vacuumed-away error
+                # instead of re-failing confusingly inside copy2
+                if e.errno == errno.ENOENT:
+                    raise FileNotFoundError(
+                        f"cannot clone {src}: required file {rel} was "
+                        f"vacuumed away mid-clone") from e
+                raise
+            shutil.copy2(s, d)               # cross-device: copy bytes
     entry: dict = {"add": sorted(live), "ts": int(time.time() * 1000),
                    "clone_of": {"table": src,
                                 "version": version_as_of or _ver}}
