@@ -37,14 +37,29 @@ __all__ = ["corpus_diff"]
 
 
 def _side(spark: SparkSession, table: str, rels: list[str], meta: dict,
-          key: str, digest_cols: list[str]) -> DataFrame:
+          key: str, digest_cols: list[str], name: str) -> DataFrame:
     """(key, digest) for one version's rows within the bounded file
-    set — digest over the listed content columns, computed JVM-side."""
+    set — digest over the listed content columns, computed JVM-side.
+
+    Duplicate-key validation rides INSIDE this scan: the side
+    aggregates by key, and a group with count > 1 raises from the same
+    job that feeds the diff join (no separate groupBy-count pass — the
+    old shape ran two extra driver actions per diff just to validate).
+    The aggregation also pre-partitions each side on ``__k``, which the
+    full-outer join reuses."""
     df = txlog.read_live(spark, table, rels, meta)
     dig = F.md5(F.concat_ws(
         "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
                   for c in digest_cols]))
-    return df.select(F.col(key).alias("__k"), dig.alias("__d"))
+    dup = F.raise_error(F.concat(
+        F.lit(f"duplicate {key!r} within the {name} snapshot's changed "
+              f"files (corpus_diff needs a unique document identity): "),
+        F.col("__k").cast("string")))
+    return (df.select(F.col(key).alias("__k"), dig.alias("__d"))
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__n"), F.max("__d").alias("__dm"))
+            .select("__k", F.when(F.col("__n") > 1, dup)
+                    .otherwise(F.col("__dm")).alias("__d")))
 
 
 def corpus_diff(spark: SparkSession, table: str,
@@ -75,17 +90,10 @@ def corpus_diff(spark: SparkSession, table: str,
         return (txlog.read_table(spark, table, version_as_of=v_to)
                 .select(F.col(key)).limit(0)
                 .withColumn("change", F.lit("added")))
-    old = (_side(spark, table, old_rels, meta1, key, digest_cols)
+    old = (_side(spark, table, old_rels, meta1, key, digest_cols, "old")
            if old_rels else None)
-    new = (_side(spark, table, new_rels, meta2, key, digest_cols)
+    new = (_side(spark, table, new_rels, meta2, key, digest_cols, "new")
            if new_rels else None)
-    for side, name in ((old, "old"), (new, "new")):
-        if side is not None and side.groupBy("__k").count() \
-                .filter(F.col("count") > 1).limit(1).count() > 0:
-            raise ValueError(
-                f"duplicate {key!r} within the {name} snapshot's "
-                f"changed files; corpus_diff needs a unique document "
-                f"identity")
     if old is None:
         return new.select(F.col("__k").alias(key),
                           F.lit("added").alias("change"))

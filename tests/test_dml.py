@@ -686,11 +686,12 @@ def test_corpus_diff_versions(spark, tmp_path):
     txlog.compact(spark, t, target_files=1)
     assert corpus_diff(spark, t, v_pre, txlog.current_version(t),
                        key="doc_id", digest_cols=["text"]).count() == 0
-    # ambiguous identity raises
+    # ambiguous identity raises — from INSIDE the diff job (r13: the
+    # validation rides the same scan, no separate groupBy-count action)
     txlog.write(mk([(5, "epsilon-dup")]).coalesce(1), t)
-    with pytest.raises(ValueError, match="duplicate"):
+    with pytest.raises(Exception, match="duplicate"):
         corpus_diff(spark, t, v_pre, txlog.current_version(t),
-                    key="doc_id", digest_cols=["text"])
+                    key="doc_id", digest_cols=["text"]).collect()
 
 
 def test_corpus_diff_model_random_ops(spark, tmp_path):

@@ -510,3 +510,42 @@ def test_matview_rollup_reads_no_base_table(spark, tmp_path):
     for k in exp:
         assert got[k][0] == exp[k][0]
         assert abs(got[k][1] - exp[k][1]) < 1e-9
+
+
+def test_corpus_diff_zero_scan_and_single_action(spark, tmp_path):
+    """VERDICT r12 #3: (a) an unchanged-corpus diff compiles to an empty
+    relation — ZERO data-file scans (the whole diff is a log-replay
+    metadata question); (b) duplicate-key validation rides INSIDE the
+    diff scan (raise_error over a per-key count), so the changed-file
+    path is ONE action — no separate groupBy-count jobs per side."""
+    from neo_server_spark import dml, txlog
+    from neo_server_spark.datapipe.versioning import corpus_diff
+
+    t = str(tmp_path / "corpdiffplan")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string")
+    txlog.write(mk([(1, "a"), (2, "b")]).coalesce(1), t)
+    v1 = txlog.current_version(t)
+    d0 = corpus_diff(spark, t, v1, v1, key="doc_id",
+                     digest_cols=["text"])
+    p0 = plan_of(d0)
+    assert "Scan parquet" not in p0, p0
+    assert d0.count() == 0
+    txlog.write(mk([(3, "c")]).coalesce(1), t)
+    dml.update(spark, t, "doc_id = 1", {"text": "'a2'"})
+    v2 = txlog.current_version(t)
+    d = corpus_diff(spark, t, v1, v2, key="doc_id",
+                    digest_cols=["text"])
+    assert "raise_error" in plan_of(d)   # validation is in-plan
+    sc = spark.sparkContext
+    sc.setJobGroup("corpus-diff-pin", "job-count pin")
+    try:
+        rows = d.collect()
+    finally:
+        sc.setJobGroup("corpus-diff-pin-done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("corpus-diff-pin")
+    # one action; AQE materializes <=4 stages-as-jobs for agg+join.
+    # The pre-r13 shape ran 2 extra validation ACTIONS (>=5 jobs total).
+    assert 1 <= len(jobs) <= 4, jobs
+    assert {(r["doc_id"], r["change"]) for r in rows} == \
+        {(1, "modified"), (3, "added")}
