@@ -3856,6 +3856,49 @@ def _q_rollup_matview(spark, sf_dir):
         F.round("avg_v", 6).alias("avg_v")).orderBy("name", "time")
 
 
+def _q_rollup_matview_firstlast(spark, sf_dir):
+    """ROLLUP FIRST/LAST served from the IVM matview (r12 verdict #5;
+    reference calc modes incl. FIRST/LAST:
+    mods/server/http_lake.go:1738-1762, 871-877): the MatView carries
+    (value-at-min/max-raw-time, raw-time-extreme) partials — a
+    semigroup under min_by/max_by, so the order-aware modes fold
+    O(delta) like the algebraic ones (sqlx/rollup.py MatViewRollup;
+    streaming/matview.py first/last partials).  Two commits, second
+    refresh asserted incremental, and the 1-minute query is pinned to
+    ZERO base-table scans right here (plus tests/test_plans.py)."""
+    import os
+    import tempfile
+
+    from neo_server_spark import txlog
+    from neo_server_spark.sqlx.rollup import MINUTE, MatViewRollup
+
+    ev = (_tag(spark, sf_dir)
+          .filter(F.col("event_id") < 4000)
+          .select("name", "time", "value", "event_id"))
+    root = tempfile.mkdtemp(prefix="rollup_mv_fl_")
+    base = os.path.join(root, "tag")
+    txlog.write(ev.filter(F.col("event_id") % 2 == 0)
+                .drop("event_id"), base)
+    r = MatViewRollup(spark, base, os.path.join(root, "view"))
+    assert r.refresh()["mode"] == "incremental"
+    txlog.write(ev.filter(F.col("event_id") % 2 != 0)
+                .drop("event_id"), base)
+    assert r.refresh()["mode"] == "incremental", \
+        "second refresh must fold only the delta commit"
+    out = r.query(MINUTE, {"first_v": "first", "last_v": "last",
+                           "cnt": "count"})
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert base not in plan, \
+        "first/last ROLLUP must not scan the base table"
+    assert os.path.join(root, "view") in plan
+    return out.select(
+        "name", F.expr("time div 1000").alias("time"),
+        F.round("first_v", 6).alias("first_v"),
+        F.round("last_v", 6).alias("last_v"),
+        "cnt").orderBy("name", "time")
+
+
 def _q_corpus_diff(spark, sf_dir):
     """Corpus version diff (datapipe/versioning.corpus_diff — the
     dataset-versioning audit a training pipeline runs between two
@@ -4019,6 +4062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auth_flow": _q_auth_flow,
         "stream_scd2": _q_stream_scd2,
         "rollup_matview": _q_rollup_matview,
+        "rollup_matview_firstlast": _q_rollup_matview_firstlast,
         "corpus_diff": _q_corpus_diff,
         "table_clone": _q_table_clone,
         "txlog_dml": _q_txlog_dml,
@@ -7244,6 +7288,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) / count(*), 6) AS avg_v
             FROM events
             WHERE event_id < 6000
+            GROUP BY 1, 2
+            ORDER BY name, time
+        """,
+        "rollup_matview_firstlast": """
+            SELECT event_type AS name,
+                   CAST((epoch_ns(ts) - epoch_ns(ts) % 60000000000)
+                        // 1000 AS BIGINT) AS time,
+                   round(arg_min(value, epoch_ns(ts)), 6) AS first_v,
+                   round(arg_max(value, epoch_ns(ts)), 6) AS last_v,
+                   count(*) AS cnt
+            FROM events
+            WHERE event_id < 4000
             GROUP BY 1, 2
             ORDER BY name, time
         """,

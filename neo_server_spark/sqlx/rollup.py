@@ -149,12 +149,13 @@ class RollupRouter:
         every calc mode servable from its partials); everything else
         falls back to the built cascade.  This unifies the two
         maintenance paths: the IVM view stays fresh at O(delta) per
-        refresh, while order-aware modes (first/last) and undivisible
-        periods keep the rebuilt-cascade answer."""
+        refresh (incl. first/last since r13), while undivisible
+        periods and approx_distinct keep the rebuilt-cascade answer."""
         self._matview = mv_rollup
 
     _MV_MODES = frozenset(
-        ("count", "sum", "sumsq", "min", "max", "avg"))
+        ("count", "sum", "sumsq", "min", "max", "avg",
+         "first", "last"))
 
     def _covered_by_matview(self, period_ns: int,
                             aggs: dict[str, str]) -> bool:
@@ -246,9 +247,10 @@ class MatViewRollup:
 
     Maintenance cost per refresh = scan of the delta files + an O(keys)
     merge — at 100 TB the rollup stays seconds-fresh for the cost of
-    the new data only.  Calc modes: count/sum/sumsq/min/max/avg
-    (first/last need order-aware partials the IVM fold does not carry;
-    route those to RollupRouter's built cascade)."""
+    the new data only.  Calc modes: count/sum/sumsq/min/max/avg plus
+    first/last (r13: value-at-time-extreme partials are a semigroup
+    under min_by/max_by, so the order-aware modes fold incrementally
+    too)."""
 
     def __init__(self, spark: SparkSession, base_table: str,
                  view_path: str, name_col: str = "name",
@@ -260,19 +262,30 @@ class MatViewRollup:
         self.name_col = name_col
         self.period_ns = period_ns
         v = f"CAST({value_col} AS DOUBLE)"
+        t = f"CAST({time_col} AS BIGINT)"
         self.mv = MatView(
             spark, base_table, view_path,
             keys=[name_col, "time"],
             # cnt counts NON-NULL values (sum of 0/1) so count/avg match
             # RollupRouter's F.count(value) / SQL AVG semantics — a
             # MatView "count" agg would count rows and silently deflate
-            # averages over NULL-bearing buckets
+            # averages over NULL-bearing buckets.  first/last partials
+            # (value at min/max RAW time + the raw-time extreme itself)
+            # make the order-aware calc modes servable from the IVM
+            # view too (r12 verdict #5; reference FIRST/LAST:
+            # mods/server/http_lake.go:1738-1762, 871-877) — the
+            # ordering binds to the raw time column, which the bucketed
+            # "time" key shadows (MatView._bound handles that)
             aggs={"cnt": ("sum",
                           f"CAST(({value_col}) IS NOT NULL AS BIGINT)"),
                   "sum": ("sum", v),
                   "sumsq": ("sum", f"{v} * {v}"),
                   "min": ("min", v),
-                  "max": ("max", v)},
+                  "max": ("max", v),
+                  "first": ("first", v, t),
+                  "last": ("last", v, t),
+                  "first_time": ("min", t),
+                  "last_time": ("max", t)},
             # pmod (floor semantics), NOT SQL % (sign-follows-dividend):
             # the query() fold and the RollupRouter cascade both bucket
             # with F.pmod, so negative time values must round the same
@@ -307,15 +320,17 @@ class MatViewRollup:
         folded = base.groupBy(self.name_col, bucket.alias("time")).agg(
             F.sum("cnt").alias("_cnt"), F.sum("sum").alias("_sum"),
             F.sum("sumsq").alias("_sumsq"), F.min("min").alias("_min"),
-            F.max("max").alias("_max"))
+            F.max("max").alias("_max"),
+            F.min_by("first", "first_time").alias("_first"),
+            F.max_by("last", "last_time").alias("_last"))
         exprs = []
         for out, mode in aggs.items():
             mode = mode.lower()
             if mode not in ("count", "sum", "sumsq", "min", "max",
-                            "avg"):
+                            "avg", "first", "last"):
                 raise ValueError(
                     f"calc mode {mode!r} not servable from IVM "
-                    f"partials (first/last need the built cascade)")
+                    f"partials")
             col = {
                 "count": F.col("_cnt"),
                 "sum": F.col("_sum"),
@@ -323,6 +338,8 @@ class MatViewRollup:
                 "min": F.col("_min"),
                 "max": F.col("_max"),
                 "avg": F.col("_sum") / F.col("_cnt"),
+                "first": F.col("_first"),
+                "last": F.col("_last"),
             }[mode]
             exprs.append(col.alias(out))
         return (folded.select(self.name_col, "time", *exprs)

@@ -21,6 +21,11 @@ partials and finalized at read:
     sum              partial: sum          merge: sum
     min / max        partial: min/max      merge: min/max
     avg              partial: (sum, count) merge: sums    read: sum/cnt
+    first / last     partial: (value-at-min/max-order, min/max order)
+                     merge: min_by/max_by on the order partial — the
+                     pair is a semigroup, so ORDER-AWARE aggregates
+                     fold incrementally too (r12 verdict #5: ROLLUP
+                     FIRST/LAST served from the IVM view)
     approx_distinct  partial: HLL sketch   merge: hll_union_agg
                      read: hll_sketch_estimate (lossless union — the
                      same DataSketches property the rollup cascade's
@@ -48,27 +53,35 @@ from neo_server_spark.streaming.watch import TxLogWatcher
 
 __all__ = ["MatView"]
 
-_FNS = ("count", "sum", "min", "max", "avg", "approx_distinct")
+_FNS = ("count", "sum", "min", "max", "avg", "first", "last",
+        "approx_distinct")
 
 
 class MatView:
     """``aggs`` maps output column -> (fn, source column OR SQL
-    expression over the source row); ``keys`` are the view's grouping
-    columns.  ``key_exprs`` optionally derives a key from the source
-    row (e.g. a time bucket: ``{"time": "time - time % 60000000000"}``)
-    — the expression is applied before every partial fold, so derived
-    keys stay consistent across incremental, CDF and full-recompute
-    paths."""
+    expression over the source row); ``first``/``last`` take a THIRD
+    element, the ordering expression: ``("first", value, order)`` keeps
+    the value at the minimum order (``last`` at the maximum).  ``keys``
+    are the view's grouping columns.  ``key_exprs`` optionally derives
+    a key from the source row (e.g. a time bucket:
+    ``{"time": "time - time % 60000000000"}``) — agg inputs always bind
+    against the ORIGINAL row, so an ordering expression may reference a
+    column a key_expr shadows (the bucketed-time case)."""
 
     def __init__(self, spark: SparkSession, src_table: str,
                  view_table: str, keys: list[str],
-                 aggs: dict[str, tuple[str, str]],
+                 aggs: dict[str, tuple[str, ...]],
                  key_exprs: dict[str, str] | None = None):
-        for out, (fn, _col) in aggs.items():
+        for out, spec in aggs.items():
+            fn = spec[0]
             if fn not in _FNS:
                 raise ValueError(
                     f"{out}: {fn!r} is not a self-mergeable aggregate "
                     f"(supported: {', '.join(_FNS)})")
+            if fn in ("first", "last") and len(spec) != 3:
+                raise ValueError(
+                    f"{out}: {fn} needs (fn, value, order) — the "
+                    f"ordering expression makes the partial mergeable")
         for k in (key_exprs or {}):
             if k not in keys:
                 raise ValueError(f"key_exprs names unknown key {k!r}")
@@ -90,43 +103,66 @@ class MatView:
 
     def _partial_cols(self) -> list[str]:
         cols = []
-        for out, (fn, _c) in self.aggs.items():
+        for out, spec in self.aggs.items():
+            fn = spec[0]
             if fn == "avg":
                 cols += [f"_sum_{out}", f"_cnt_{out}"]
+            elif fn in ("first", "last"):
+                cols += [f"_p_{out}", f"_t_{out}"]
             else:
                 cols.append(f"_p_{out}")
         return cols
 
-    def _prep(self, df: DataFrame) -> DataFrame:
-        """Apply derived-key expressions to a source-row frame."""
-        for k, expr in self.key_exprs.items():
-            df = df.withColumn(k, F.expr(expr))
-        return df
+    def _bound(self, df: DataFrame,
+               keep: list[str] | None = None) -> DataFrame:
+        """ONE projection that binds the derived keys AND every agg
+        input expression against the ORIGINAL row — a key_expr may
+        shadow a source column (the bucketed-time case), so agg inputs
+        must not re-read a renamed key.  Inputs land as ``__in_{out}``
+        (+ ``__ord_{out}`` for first/last)."""
+        sel = [F.expr(self.key_exprs[k]).alias(k)
+               if k in self.key_exprs else F.col(k)
+               for k in self.keys]
+        for out, spec in self.aggs.items():
+            fn = spec[0]
+            if fn != "count":
+                sel.append(F.expr(spec[1]).alias(f"__in_{out}"))
+            if fn in ("first", "last"):
+                sel.append(F.expr(spec[2]).alias(f"__ord_{out}"))
+        sel += [F.col(c) for c in (keep or []) if c in df.columns]
+        return df.select(*sel)
 
     def _partial_agg(self, df: DataFrame) -> DataFrame:
         """Per-key partials of the raw rows (used for deltas AND for the
         full-recompute fallback).  Agg columns accept SQL expressions
         (F.expr), so a view can maintain e.g. sum(v*v) partials."""
-        df = self._prep(df)
+        df = self._bound(df)
         exprs = []
-        for out, (fn, c) in self.aggs.items():
+        for out, spec in self.aggs.items():
+            fn, v = spec[0], f"__in_{out}"
             if fn == "count":
                 exprs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
             elif fn in ("sum", "min", "max"):
-                exprs.append(getattr(F, fn)(F.expr(c))
-                             .alias(f"_p_{out}"))
+                exprs.append(getattr(F, fn)(v).alias(f"_p_{out}"))
             elif fn == "avg":
-                exprs += [F.sum(F.expr(c)).alias(f"_sum_{out}"),
-                          F.count(F.expr(c)).alias(f"_cnt_{out}")]
+                exprs += [F.sum(v).alias(f"_sum_{out}"),
+                          F.count(v).alias(f"_cnt_{out}")]
+            elif fn == "first":
+                exprs += [F.min_by(v, f"__ord_{out}").alias(f"_p_{out}"),
+                          F.min(f"__ord_{out}").alias(f"_t_{out}")]
+            elif fn == "last":
+                exprs += [F.max_by(v, f"__ord_{out}").alias(f"_p_{out}"),
+                          F.max(f"__ord_{out}").alias(f"_t_{out}")]
             else:   # approx_distinct
-                exprs.append(F.hll_sketch_agg(F.expr(c))
+                exprs.append(F.hll_sketch_agg(F.col(v))
                              .alias(f"_p_{out}"))
         return df.groupBy(*self.keys).agg(*exprs)
 
     def _merge_agg(self, df: DataFrame) -> DataFrame:
         """Fold two partial tables (prev ∪ fresh) key-wise."""
         exprs = []
-        for out, (fn, _c) in self.aggs.items():
+        for out, spec in self.aggs.items():
+            fn = spec[0]
             if fn in ("count", "sum"):
                 exprs.append(F.sum(f"_p_{out}").alias(f"_p_{out}"))
             elif fn in ("min", "max"):
@@ -135,6 +171,14 @@ class MatView:
             elif fn == "avg":
                 exprs += [F.sum(f"_sum_{out}").alias(f"_sum_{out}"),
                           F.sum(f"_cnt_{out}").alias(f"_cnt_{out}")]
+            elif fn == "first":
+                exprs += [F.min_by(f"_p_{out}", f"_t_{out}")
+                          .alias(f"_p_{out}"),
+                          F.min(f"_t_{out}").alias(f"_t_{out}")]
+            elif fn == "last":
+                exprs += [F.max_by(f"_p_{out}", f"_t_{out}")
+                          .alias(f"_p_{out}"),
+                          F.max(f"_t_{out}").alias(f"_t_{out}")]
             else:
                 exprs.append(F.hll_union_agg(f"_p_{out}")
                              .alias(f"_p_{out}"))
@@ -172,25 +216,26 @@ class MatView:
         to elect group liveness (a group whose count reaches zero is
         dropped).  min/max/HLL have no inverse — deletes there mean a
         recompute."""
-        fns = {fn for fn, _c in self.aggs.values()}
+        fns = {spec[0] for spec in self.aggs.values()}
         return fns <= {"count", "sum", "avg"} and "count" in fns
 
     def _signed_partial(self, rows: DataFrame) -> DataFrame:
         """Per-key partials of a row-level change feed: +1 for
         insert/update_postimage, -1 for delete/update_preimage."""
+        rows = self._bound(rows, keep=["_change_type"])
         sign = F.when(F.col("_change_type")
                       .isin("insert", "update_postimage"),
                       F.lit(1)).otherwise(F.lit(-1))
-        rows = self._prep(rows)
         exprs = []
-        for out, (fn, c) in self.aggs.items():
+        for out, spec in self.aggs.items():
+            fn, v = spec[0], F.col(f"__in_{out}")
             if fn == "count":
                 exprs.append(F.sum(sign).alias(f"_p_{out}"))
             elif fn == "sum":
-                exprs.append(F.sum(sign * F.expr(c)).alias(f"_p_{out}"))
+                exprs.append(F.sum(sign * v).alias(f"_p_{out}"))
             else:   # avg
-                exprs += [F.sum(sign * F.expr(c)).alias(f"_sum_{out}"),
-                          F.sum(F.when(F.expr(c).isNull(), F.lit(0))
+                exprs += [F.sum(sign * v).alias(f"_sum_{out}"),
+                          F.sum(F.when(v.isNull(), F.lit(0))
                                 .otherwise(sign)).alias(f"_cnt_{out}")]
         return rows.groupBy(*self.keys).agg(*exprs)
 
@@ -239,8 +284,8 @@ class MatView:
                         merged = fresh
                     count_col = next(
                         f"_p_{out}"
-                        for out, (fn, _c) in self.aggs.items()
-                        if fn == "count")
+                        for out, spec in self.aggs.items()
+                        if spec[0] == "count")
                     merged = merged.filter(F.col(count_col) > 0)
                     self._publish(merged, until)
                     self.watcher.version = until
@@ -283,7 +328,8 @@ class MatView:
         values — an O(keys) read however large the source is."""
         df = txlog.read_table(self.spark, self.view_table)
         cols = [F.col(k) for k in self.keys]
-        for out, (fn, _c) in self.aggs.items():
+        for out, spec in self.aggs.items():
+            fn = spec[0]
             if fn == "avg":
                 cols.append((F.col(f"_sum_{out}") /
                              F.col(f"_cnt_{out}")).alias(out))

@@ -205,8 +205,22 @@ def test_matview_rollup_incremental_and_calc_modes(spark, tmp_path):
             assert abs(g[c] - e[c]) < 1e-6, (k, c)
     with pytest.raises(ValueError, match="not servable"):
         r.query(SECOND + 1, {"c": "count"})
+    # r13: order-aware modes fold from (value-at-extreme, extreme-time)
+    # partials — first/last must equal the raw min_by/max_by recompute
+    fl = {(x["name"], x["time"]): x for x in
+          r.query(MINUTE, {"f": "first", "l": "last"}).collect()}
+    exp_fl = {(x["name"], x["t"]): x for x in
+              raw.groupBy("name",
+                          (F.col("time") - F.col("time") % MINUTE)
+                          .alias("t"))
+              .agg(F.min_by("value", "time").alias("f"),
+                   F.max_by("value", "time").alias("l")).collect()}
+    assert fl.keys() == exp_fl.keys()
+    for k, e in exp_fl.items():
+        assert fl[k]["f"] == e["f"], (k, "first")
+        assert fl[k]["l"] == e["l"], (k, "last")
     with pytest.raises(ValueError, match="calc mode"):
-        r.query(MINUTE, {"f": "first"})
+        r.query(MINUTE, {"d": "approx_distinct"})
 
 
 def test_matview_rollup_null_value_count_semantics(spark, tmp_path):
@@ -229,9 +243,10 @@ def test_matview_rollup_null_value_count_semantics(spark, tmp_path):
 
 
 def test_router_prefers_attached_matview_and_falls_back(spark, tmp_path):
-    """RollupRouter.attach_matview: covered (period, aggs) requests are
-    served from the IVM partials; order-aware modes (first/last) fall
-    back to the built cascade — one router, two maintenance paths."""
+    """RollupRouter.attach_matview: covered (period, aggs) requests —
+    incl. first/last since r13 — are served from the IVM partials;
+    modes the view cannot carry (approx_distinct's HLL) fall back to
+    the built cascade — one router, two maintenance paths."""
     from neo_server_spark.sqlx.rollup import (MINUTE, MatViewRollup,
                                               RollupRouter)
 
@@ -241,20 +256,24 @@ def test_router_prefers_attached_matview_and_falls_back(spark, tmp_path):
         "name string, time long, value double")
     txlog.write(df, base)
     router = RollupRouter(spark, str(tmp_path / "casc"))
-    router.build(txlog.read_table(spark, base))
+    router.build(txlog.read_table(spark, base), distinct_col="name")
     mvr = MatViewRollup(spark, base, str(tmp_path / "ivm"))
     mvr.refresh()
     router.attach_matview(mvr)
-    covered = router.query(MINUTE, {"c": "count", "m": "avg"})
-    assert "ivm" in covered._jdf.queryExecution().toString() or \
-        "ivm" in covered._sc._jvm.PythonSQLUtils.explainString(
-            covered._jdf.queryExecution(), "formatted")
-    fallback = router.query(MINUTE, {"f": "first"})
+    covered = router.query(MINUTE, {"c": "count", "m": "avg",
+                                    "f": "first", "l": "last"})
+    cplan = covered._sc._jvm.PythonSQLUtils.explainString(
+        covered._jdf.queryExecution(), "formatted")
+    assert "ivm" in cplan and "casc" not in cplan
+    fallback = router.query(MINUTE, {"d": "approx_distinct"})
     plan = fallback._sc._jvm.PythonSQLUtils.explainString(
         fallback._jdf.queryExecution(), "formatted")
     assert "casc" in plan and "ivm" not in plan
-    # both paths agree on the shared modes
-    a = {(r["name"], r["time"]): r["c"] for r in covered.collect()}
-    b = {(r["name"], r["time"]): r["cnt"] for r in
-         router.query(MINUTE, {"cnt": "count", "f": "first"}).collect()}
+    # IVM-served first/last agree with the cascade's fold
+    router._matview = None                        # force cascade path
+    a = {(r["name"], r["time"]): (r["f"], r["l"])
+         for r in covered.collect()}
+    b = {(r["name"], r["time"]): (r["f"], r["l"])
+         for r in router.query(
+             MINUTE, {"f": "first", "l": "last"}).collect()}
     assert a == b
