@@ -3799,16 +3799,24 @@ def _q_stream_scd2(spark, sf_dir):
     ckpt = os.path.join(root, "ck")
     txlog.write(dml.scd2_init(snap(0, 1000), F.lit(1000).cast("long")),
                 table)
+    now = int(os.stat(table).st_mtime)
     for i, (lo, hi) in enumerate([(1000, 2000), (2000, 3000)]):
         eff = 2000 + i * 1000
-        with open(os.path.join(src, f"b{i}.ndjson"), "w") as f:
+        p = os.path.join(src, f"b{i}.ndjson")
+        with open(p, "w") as f:
             for r in snap(lo, hi).collect():   # O(keys) driver rows
                 f.write(_json.dumps(
                     {"name": r["name"], "time": eff,
                      "value": r["value"]}) + "\n")
-        q = ingest.stream_scd2(spark, src, table, ckpt,
-                               on=["name"], attrs=["value"])
-        _await(q, 120)
+        # strictly increasing mtimes pin the file-source epoch order
+        os.utime(p, (now - 20 + 10 * i, now - 20 + 10 * i))
+    # ONE stream run, TWO epochs: maxFilesPerTrigger=1 makes each
+    # snapshot its own micro-batch (r12 verdict #4: half the stream
+    # startup cost without weakening the multi-epoch semantics)
+    q = ingest.stream_scd2(spark, src, table, ckpt,
+                           on=["name"], attrs=["value"],
+                           max_files_per_trigger=1)
+    _await(q, 120)
     return (txlog.read_table(spark, table)
             .select("name", "value", "_valid_from", "_valid_to",
                     "_is_current")
@@ -3897,6 +3905,54 @@ def _q_rollup_matview_firstlast(spark, sf_dir):
         F.round("first_v", 6).alias("first_v"),
         F.round("last_v", 6).alias("last_v"),
         "cnt").orderBy("name", "time")
+
+
+def _q_describe_history(spark, sf_dir):
+    """DESCRIBE HISTORY with clone lineage (txlog.history; reference
+    DESCRIBE paths: spi/show.go) — r12 verdict #7: the SHOW/DESCRIBE
+    family's one oracle-certified entry.  A src table takes two
+    appends and a DML delete; a zero-copy CLONE snapshots it and takes
+    one more append.  The entry emits each surviving commit's
+    operation label (clone commits carry 'CLONE of <src>@v<n>') PLUS
+    the time-travel row count at that version, so the oracle derives
+    every count from the raw events and pins the labels — certifying
+    both the lineage metadata and the version arithmetic it points at.
+    History itself is O(surviving entries), zero data reads; the
+    row-count probes are the test harness, not the operator."""
+    import os
+    import tempfile
+
+    from neo_server_spark import dml, txlog
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 3000)
+          .select("event_id", "event_type", "value"))
+    root = tempfile.mkdtemp(prefix="hist_")
+    src = os.path.join(root, "src")
+    txlog.write(ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+                .coalesce(2), src)
+    txlog.write(ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+                .coalesce(2), src)
+    dml.delete(spark, src, "event_id % 5 = 0")
+    cl = os.path.join(root, "clone")
+    txlog.clone(src, cl)
+    extra = (nio.load_table(spark, sf_dir, "events")
+             .filter((F.col("event_id") >= 3000)
+                     & (F.col("event_id") < 3500))
+             .select("event_id", "event_type", "value"))
+    txlog.write(extra.coalesce(1), cl)
+    rows = []
+    for tbl_name, path in (("src", src), ("clone", cl)):
+        for h in txlog.history(path):
+            op = h["operation"].replace(src, "SRC")
+            n = txlog.read_table(
+                spark, path, version_as_of=h["version"]).count()
+            rows.append((tbl_name, h["version"], op,
+                         bool(h["data_change"]), n))
+    return (spark.createDataFrame(
+        rows, "tbl string, version long, operation string, "
+              "data_change boolean, n_rows long")
+        .orderBy("tbl", "version"))
 
 
 def _q_corpus_diff(spark, sf_dir):
@@ -3999,7 +4055,7 @@ def _q_budget_select(spark, sf_dir):
 def _q_dv_delete(spark, sf_dir):
     """Deletion-vector delete under the value-hash gate
     (dml.delete(mode='dv') — Delta's DV fast-delete shape): events land
-    in a txlog table over four stats-carrying commits, two DV deletes
+    in a txlog table over two stats-carrying commits, two DV deletes
     tombstone (file, row-index) pairs WITHOUT rewriting any data file
     (the entry asserts the live set is byte-identical), reads anti-join
     the tombstones, and a final compaction materializes the deletes and
@@ -4014,8 +4070,8 @@ def _q_dv_delete(spark, sf_dir):
           .select("event_id", "user_id", "event_type",
                   F.floor(F.col("value") * 1000).alias("val")))
     t = os.path.join(tempfile.mkdtemp(prefix="dv_delete_"), "tbl")
-    for k in range(4):
-        txlog.write(ev.filter(F.pmod("event_id", F.lit(4)) == k)
+    for k in range(2):
+        txlog.write(ev.filter(F.pmod("event_id", F.lit(2)) == k)
                     .coalesce(1), t, stats_cols=["event_id"])
     before = set(txlog.live_files(t))
     dml.delete(spark, t, "event_id % 7 = 0", mode="dv")
@@ -4063,6 +4119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_scd2": _q_stream_scd2,
         "rollup_matview": _q_rollup_matview,
         "rollup_matview_firstlast": _q_rollup_matview_firstlast,
+        "describe_history": _q_describe_history,
         "corpus_diff": _q_corpus_diff,
         "table_clone": _q_table_clone,
         "txlog_dml": _q_txlog_dml,
@@ -7290,6 +7347,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id < 6000
             GROUP BY 1, 2
             ORDER BY name, time
+        """,
+        "describe_history": """
+            WITH ev AS (
+              SELECT event_id FROM events WHERE event_id < 3000),
+            c1 AS (SELECT count(*) AS n FROM ev WHERE event_id % 2 = 0),
+            c2 AS (SELECT count(*) AS n FROM ev),
+            c3 AS (SELECT count(*) AS n FROM ev WHERE event_id % 5 <> 0),
+            c5 AS (SELECT (SELECT n FROM c3)
+                          + (SELECT count(*) FROM events
+                             WHERE event_id >= 3000 AND event_id < 3500)
+                          AS n)
+            SELECT * FROM (
+              SELECT 'src' AS tbl, CAST(1 AS BIGINT) AS version,
+                     'WRITE (append)' AS operation,
+                     TRUE AS data_change,
+                     CAST((SELECT n FROM c1) AS BIGINT) AS n_rows
+              UNION ALL
+              SELECT 'src', 2, 'WRITE (append)', TRUE,
+                     (SELECT n FROM c2)
+              UNION ALL
+              SELECT 'src', 3, 'DML rewrite', TRUE, (SELECT n FROM c3)
+              UNION ALL
+              SELECT 'clone', 1, 'CLONE of SRC@v3', TRUE,
+                     (SELECT n FROM c3)
+              UNION ALL
+              SELECT 'clone', 2, 'WRITE (append)', TRUE,
+                     (SELECT n FROM c5)
+            ) ORDER BY tbl, version
         """,
         "rollup_matview_firstlast": """
             SELECT event_type AS name,

@@ -460,7 +460,8 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
             .limit(1).count() > 0:
         raise ValueError(f"scd2 source has duplicate keys on {on}")
     keys = source.select(*on).distinct()
-    bkeys = F.broadcast(keys) if keys.count() <= _BCAST_KEYS else keys
+    nkeys = keys.count()            # one action, reused for both joins
+    bkeys = F.broadcast(keys) if nkeys <= _BCAST_KEYS else keys
     meta = _snapshot(table)
     cand, touched = _touched(
         spark, table,
@@ -491,7 +492,7 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
         probe = cur.select(*on,
                            *[F.col(a).alias(f"__c_{a}") for a in attrs],
                            F.lit(True).alias("__present"))
-        j = s.join(F.broadcast(probe) if keys.count() <= _BCAST_KEYS
+        j = s.join(F.broadcast(probe) if nkeys <= _BCAST_KEYS
                    else probe, on, "left")
     else:
         j = s.withColumn("__present", F.lit(None).cast("boolean"))

@@ -257,6 +257,7 @@ def stream_scd2(
     fmt: str = "ndjson",
     trigger_available_now: bool = True,
     stats_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming SCD Type-2 sink: each micro-batch's latest row per key
     (by the decoded ``time`` column) applies as a dimension snapshot —
@@ -272,7 +273,13 @@ def stream_scd2(
     from neo_server_spark import dml, txlog
 
     decoder = DECODERS[fmt]
-    lines = spark.readStream.format("text").load(source_dir)
+    rd = spark.readStream.format("text")
+    if max_files_per_trigger:
+        # availableNow honors read limits (admission control): each
+        # dropped file becomes its OWN epoch instead of one merged
+        # last-wins batch — snapshots apply in arrival order
+        rd = rd.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    lines = rd.load(source_dir)
     decoded = decoder(lines)
     app = _run_key(checkpoint)
 
