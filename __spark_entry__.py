@@ -3864,6 +3864,52 @@ def _q_rollup_matview(spark, sf_dir):
         F.round("avg_v", 6).alias("avg_v")).orderBy("name", "time")
 
 
+def _q_matview_evolve(spark, sf_dir):
+    """Schema evolution THROUGH the incremental matview (r12 verdict
+    stretch #8, streaming/matview.MatView.evolve): the source evolves
+    (merge_schema append adds ``val2``) and the view widens with
+    aggregates over the new column by backfilling ONLY post-evolution
+    files — rows that predate the evolution contribute the NULL fold
+    identity, so no full recompute.  Sequence: v1 append (no val2) ->
+    refresh -> v2 merge_schema append (val2) -> refresh (still
+    incremental, typed-NULL CDF projection) -> evolve(wsum/whi,
+    since_version=2) -> read.  The oracle recomputes the widened view
+    from the raw rows with val2 NULL on the pre-evolution tranche."""
+    import os
+    import tempfile
+
+    from neo_server_spark import txlog
+    from neo_server_spark.streaming.matview import MatView
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 3000)
+          .select("event_id",
+                  F.col("event_type").alias("name"),
+                  F.floor(F.col("value") * 1000).alias("val"),
+                  F.floor(F.col("value") * 500).alias("val2")))
+    root = tempfile.mkdtemp(prefix="mv_evolve_")
+    src = os.path.join(root, "src")
+    mv_aggs = {"n": ("count", "val"), "total": ("sum", "val")}
+    txlog.write(ev.filter(F.col("event_id") % 2 == 0)
+                .select("name", "val"), src)                     # v1
+    mv = MatView(spark, src, os.path.join(root, "view"),
+                 keys=["name"], aggs=mv_aggs)
+    assert mv.refresh()["mode"] == "incremental"
+    txlog.write(ev.filter(F.col("event_id") % 2 != 0)
+                .select("name", "val", "val2"), src,
+                merge_schema=True)                               # v2
+    assert mv.refresh()["mode"] == "incremental", \
+        "evolved delta must still fold incrementally"
+    r = mv.evolve({"wsum": ("sum", "val2"), "whi": ("max", "val2")},
+                  since_version=2)
+    assert r["mode"] == "evolve" and r["backfill_files"] >= 1
+    return (mv.read()
+            .select("name", "n", F.col("total").cast("long")
+                    .alias("total"),
+                    F.col("wsum").cast("long").alias("wsum"), "whi")
+            .orderBy("name"))
+
+
 def _q_rollup_matview_firstlast(spark, sf_dir):
     """ROLLUP FIRST/LAST served from the IVM matview (r12 verdict #5;
     reference calc modes incl. FIRST/LAST:
@@ -4119,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_scd2": _q_stream_scd2,
         "rollup_matview": _q_rollup_matview,
         "rollup_matview_firstlast": _q_rollup_matview_firstlast,
+        "matview_evolve": _q_matview_evolve,
         "describe_history": _q_describe_history,
         "corpus_diff": _q_corpus_diff,
         "table_clone": _q_table_clone,
@@ -7347,6 +7394,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id < 6000
             GROUP BY 1, 2
             ORDER BY name, time
+        """,
+        "matview_evolve": """
+            WITH base AS (
+              SELECT event_type AS name,
+                     CAST(FLOOR(value * 1000) AS BIGINT) AS val,
+                     CASE WHEN event_id % 2 <> 0
+                          THEN CAST(FLOOR(value * 500) AS BIGINT)
+                     END AS val2
+              FROM events WHERE event_id < 3000)
+            SELECT name, count(*) AS n,
+                   CAST(sum(val) AS BIGINT) AS total,
+                   CAST(sum(val2) AS BIGINT) AS wsum,
+                   max(val2) AS whi
+            FROM base GROUP BY name ORDER BY name
         """,
         "describe_history": """
             WITH ev AS (

@@ -114,7 +114,8 @@ class MatView:
         return cols
 
     def _bound(self, df: DataFrame,
-               keep: list[str] | None = None) -> DataFrame:
+               keep: list[str] | None = None,
+               aggs: dict | None = None) -> DataFrame:
         """ONE projection that binds the derived keys AND every agg
         input expression against the ORIGINAL row — a key_expr may
         shadow a source column (the bucketed-time case), so agg inputs
@@ -123,7 +124,7 @@ class MatView:
         sel = [F.expr(self.key_exprs[k]).alias(k)
                if k in self.key_exprs else F.col(k)
                for k in self.keys]
-        for out, spec in self.aggs.items():
+        for out, spec in (aggs or self.aggs).items():
             fn = spec[0]
             if fn != "count":
                 sel.append(F.expr(spec[1]).alias(f"__in_{out}"))
@@ -132,13 +133,14 @@ class MatView:
         sel += [F.col(c) for c in (keep or []) if c in df.columns]
         return df.select(*sel)
 
-    def _partial_agg(self, df: DataFrame) -> DataFrame:
+    def _partial_agg(self, df: DataFrame,
+                     aggs: dict | None = None) -> DataFrame:
         """Per-key partials of the raw rows (used for deltas AND for the
         full-recompute fallback).  Agg columns accept SQL expressions
         (F.expr), so a view can maintain e.g. sum(v*v) partials."""
-        df = self._bound(df)
+        df = self._bound(df, aggs=aggs)
         exprs = []
-        for out, spec in self.aggs.items():
+        for out, spec in (aggs or self.aggs).items():
             fn, v = spec[0], f"__in_{out}"
             if fn == "count":
                 exprs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
@@ -313,6 +315,84 @@ class MatView:
         self._publish(merged, until)
         self.watcher.version = until
         return {"mode": "incremental", "delta_rows": int(n)}
+
+    def evolve(self, add_aggs: dict[str, tuple[str, ...]],
+               since_version: int) -> dict:
+        """Widen the view with NEW aggregates over columns the source
+        gained at ``since_version`` (a merge_schema=True append) —
+        WITHOUT a full recompute (r12 verdict stretch #8).
+
+        Rows that predate the evolution physically lack the columns,
+        so their contribution to any allowed aggregate is the fold
+        identity (sum/min/max/avg/approx_distinct all skip NULLs): the
+        backfill scans ONLY files from the evolving commit
+        (``since_version`` = the version of the merge_schema append)
+        onward that are still live at the view's cursor, and
+        left-joins the new partials onto the stored ones —
+        O(evolution-to-now files), never O(table).
+
+        Rejected here: row-counting ``count`` (its identity is not
+        NULL — skipping pre-evolution rows would under-count) and
+        order-aware ``first``/``last`` (a pre-evolution row still owns
+        the time extreme even with a NULL value).  Those need a full
+        recompute by construction.
+
+        Contract: each new aggregate's expression must be NULL on
+        pre-evolution rows (i.e. reference at least one evolved
+        column)."""
+        for out, spec in add_aggs.items():
+            if spec[0] not in ("sum", "min", "max", "avg",
+                               "approx_distinct"):
+                raise ValueError(
+                    f"{out}: {spec[0]!r} cannot be backfilled from "
+                    f"post-evolution files only (identity is not "
+                    f"NULL); recreate the view instead")
+            if out in self.aggs:
+                raise ValueError(f"{out} already exists in the view")
+        cursor = self.watcher.version
+        if cursor == 0:
+            # never refreshed: the first refresh folds everything with
+            # the widened agg set — no stored partials to patch
+            self.aggs.update(add_aggs)
+            return {"mode": "evolve", "backfill_files": 0}
+        prev = txlog.read_table(self.spark, self.view_table) \
+            .select(*self.keys, *self._partial_cols())
+        post: list[str] = []
+        if cursor >= since_version:
+            # files from the evolving commit onward, already folded AND
+            # still live at the cursor: their non-NULL values are the
+            # only contributions the new partials can have
+            _v, live, _t, _s, meta = txlog._replay(self.src_table,
+                                                   as_of=cursor)
+            added: list[str] = []
+            for e in txlog._iter_entries(self.src_table,
+                                         since_version - 1):
+                if e["version"] > cursor:
+                    break
+                if e.get("dataChange", True):
+                    added.extend(e.get("add", []))
+            post = sorted(set(added) & set(live))
+        if post:
+            rows = txlog.read_live(self.spark, self.src_table, post,
+                                   meta)
+            fresh = self._partial_agg(rows, aggs=add_aggs)
+            merged = prev.join(fresh, self.keys, "left")
+        else:
+            # nothing folded past the evolution yet: pad the new
+            # partials as TYPED NULLs (parquet cannot store NullType) —
+            # types come from a zero-row fold over the current source,
+            # which carries the evolved columns
+            empty = self._partial_agg(
+                txlog.read_table(self.spark, self.src_table).limit(0),
+                aggs=add_aggs)
+            merged = prev
+            for f in empty.schema.fields:
+                if f.name not in self.keys:
+                    merged = merged.withColumn(
+                        f.name, F.lit(None).cast(f.dataType))
+        self.aggs.update(add_aggs)
+        self._publish(merged, cursor)
+        return {"mode": "evolve", "backfill_files": len(post)}
 
     def _publish(self, partials: DataFrame, src_version: int) -> None:
         out = partials.withColumn("_src_version",

@@ -981,9 +981,15 @@ def changes(spark: SparkSession, table: str,
     if len(_meta["seen"]) > 1:
         # evolved table: the polled range may span schema versions —
         # union footers and project to the canonical column order so
-        # CDF consumers always see the merged schema
+        # CDF consumers always see the merged schema.  A range whose
+        # files ALL predate an evolution lacks the evolved columns
+        # physically: project them as typed NULLs (same machinery as
+        # read_live) instead of failing the select
         df = spark.read.option("mergeSchema", "true").parquet(*files)
-        return cur, df.select(*[n for n, _t in _meta["schema"]])
+        keep = [F.col(n) if n in df.columns
+                else F.lit(None).cast(t).alias(n)
+                for n, t in _meta["schema"]]
+        return cur, df.select(*keep)
     return cur, spark.read.parquet(*files)
 
 

@@ -277,3 +277,87 @@ def test_router_prefers_attached_matview_and_falls_back(spark, tmp_path):
          for r in router.query(
              MINUTE, {"f": "first", "l": "last"}).collect()}
     assert a == b
+
+
+def test_matview_evolve_schema_widening(spark, tmp_path):
+    """r12 verdict stretch #8: an evolved source column reaches the
+    matview WITHOUT a full recompute — evolve() backfills the new
+    aggregates' partials from post-evolution files only, and later
+    refreshes stay mode='incremental'."""
+    src = str(tmp_path / "src")
+    vt = str(tmp_path / "view")
+    aggs = {"n": ("count", "id"), "total": ("sum", "v")}
+    txlog.write(_mk(spark, 0, 40), src)                        # v1
+    mv = MatView(spark, src, vt, keys=["g"], aggs=aggs)
+    assert mv.refresh()["mode"] == "incremental"
+    # evolution commit: merge_schema append adds column w
+    df2 = _mk(spark, 40, 80).withColumn("w", F.col("v") * 2)
+    txlog.write(df2, src, merge_schema=True)                   # v2
+    txlog.write(_mk(spark, 80, 120).withColumn(
+        "w", F.col("v") + 1), src)                             # v3
+    assert mv.refresh()["mode"] == "incremental"
+    ev_ver = 2
+    r = mv.evolve({"wsum": ("sum", "w"), "wavg": ("avg", "w"),
+                   "whi": ("max", "w")}, since_version=ev_ver)
+    assert r["mode"] == "evolve" and r["backfill_files"] >= 2
+    # widened view == full recompute (pre-evolution rows: w IS NULL)
+    exp = {x["g"]: x for x in
+           txlog.read_table(spark, src).groupBy("g").agg(
+               F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+               F.sum("w").alias("wsum"), F.avg("w").alias("wavg"),
+               F.max("w").alias("whi")).collect()}
+    got = _got(mv)
+    assert set(got) == set(exp)
+    for g in exp:
+        assert got[g]["n"] == exp[g]["n"]
+        assert got[g]["total"] == pytest.approx(exp[g]["total"])
+        assert got[g]["wsum"] == pytest.approx(exp[g]["wsum"])
+        assert got[g]["wavg"] == pytest.approx(exp[g]["wavg"])
+        assert got[g]["whi"] == exp[g]["whi"]
+    # subsequent appends keep folding the widened set incrementally
+    txlog.write(_mk(spark, 120, 150).withColumn(
+        "w", F.col("v") * 3), src)                             # v4
+    assert mv.refresh()["mode"] == "incremental"
+    exp = {x["g"]: x for x in
+           txlog.read_table(spark, src).groupBy("g").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.sum("w").alias("wsum")).collect()}
+    got = _got(mv)
+    for g in exp:
+        assert got[g]["n"] == exp[g]["n"]
+        assert got[g]["wsum"] == pytest.approx(exp[g]["wsum"])
+    # a restarted maintainer must see the widened agg set too
+    mv2 = MatView(spark, src, vt, keys=["g"],
+                  aggs={**aggs, "wsum": ("sum", "w"),
+                        "wavg": ("avg", "w"), "whi": ("max", "w")})
+    assert mv2.refresh()["mode"] == "noop"
+    # non-NULL-identity aggregates refuse the shortcut
+    with pytest.raises(ValueError, match="backfilled"):
+        mv.evolve({"rows2": ("count", "w")}, since_version=ev_ver)
+    with pytest.raises(ValueError, match="backfilled"):
+        mv.evolve({"fw": ("first", "w", "id")}, since_version=ev_ver)
+
+
+def test_matview_evolve_before_fold_pads_null_partials(spark, tmp_path):
+    """evolve() called when the cursor has not yet crossed the evolving
+    commit: the stored partials widen with TYPED NULLs and the next
+    refresh folds every post-evolution value exactly once."""
+    src = str(tmp_path / "src")
+    vt = str(tmp_path / "view")
+    txlog.write(_mk(spark, 0, 30), src)                        # v1
+    mv = MatView(spark, src, vt, keys=["g"],
+                 aggs={"n": ("count", "id"), "total": ("sum", "v")})
+    assert mv.refresh()["mode"] == "incremental"    # cursor = 1
+    txlog.write(_mk(spark, 30, 60).withColumn(
+        "w", F.col("v") * 5), src, merge_schema=True)          # v2
+    r = mv.evolve({"wsum": ("sum", "w")}, since_version=2)
+    assert r == {"mode": "evolve", "backfill_files": 0}
+    assert mv.refresh()["mode"] == "incremental"
+    exp = {x["g"]: x for x in
+           txlog.read_table(spark, src).groupBy("g").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.sum("w").alias("wsum")).collect()}
+    got = _got(mv)
+    for g in exp:
+        assert got[g]["n"] == exp[g]["n"]
+        assert got[g]["wsum"] == pytest.approx(exp[g]["wsum"])
