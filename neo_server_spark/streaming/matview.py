@@ -204,8 +204,15 @@ class MatView:
                 continue
             v = int(fn.split(".")[0])
             if since < v <= until:
-                with open(os.path.join(d, fn)) as f:
-                    entry = json.load(f)
+                try:
+                    with open(os.path.join(d, fn)) as f:
+                        entry = json.load(f)
+                except FileNotFoundError:
+                    # a concurrent checkpoint+vacuum truncated this
+                    # entry between our listing and the open — we can
+                    # no longer PROVE the range was append-only, so
+                    # report removes and let refresh take the full path
+                    return True
                 if (entry.get("remove") or entry.get("dv")) \
                         and entry.get("dataChange", True):
                     return True
@@ -298,8 +305,25 @@ class MatView:
             self._publish(full, until)
             self.watcher.version = until
             return {"mode": "full", "delta_rows": -1}
-        _cur, delta = txlog.changes(self.spark, self.src_table, since,
-                                    until_version=until)
+        try:
+            _cur, delta = txlog.changes(self.spark, self.src_table,
+                                        since, until_version=until)
+        except ValueError:
+            # the cursor's range was checkpoint-truncated by a
+            # concurrent vacuum (changes(): "re-read the snapshot") —
+            # the snapshot IS the only recoverable feed: one full
+            # recompute in the same atomic publish, cursor intact on
+            # failure.  Re-pin `until` to the CURRENT version first: a
+            # checkpoint may already summarize past the stale pin, and
+            # the cursor must equal the snapshot actually read or the
+            # next poll double-counts.
+            until = txlog.current_version(self.src_table)
+            full = self._partial_agg(
+                txlog.read_table(self.spark, self.src_table,
+                                 version_as_of=until))
+            self._publish(full, until)
+            self.watcher.version = until
+            return {"mode": "full", "delta_rows": -1}
         if delta is None:
             self.watcher.version = until
             return {"mode": "noop", "delta_rows": 0}
