@@ -107,6 +107,13 @@ BENCH_QUERIES = [
     # round-trip
     "rollup_matview",
     "dv_delete",
+    # round-13 additions: order-aware FIRST/LAST folded from the IVM
+    # partials, schema evolution through the matview, and the
+    # changed-file-bounded corpus version diff (dup-check folded into
+    # the diff scan this round)
+    "rollup_matview_firstlast",
+    "matview_evolve",
+    "corpus_diff",
 ]
 
 
@@ -175,7 +182,8 @@ def main() -> None:
         ("round9", BENCH_QUERIES[62:63]),
         ("round10", BENCH_QUERIES[63:66]),
         ("round11", BENCH_QUERIES[66:69]),
-        ("round12", BENCH_QUERIES[69:]),
+        ("round12", BENCH_QUERIES[69:71]),
+        ("round13", BENCH_QUERIES[71:]),
     ]
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
@@ -304,8 +312,31 @@ def main() -> None:
                          ("head_stable44", "base_stable44", "ratio",
                           "base_commit", "head_commit", "stale",
                           "measured_at") if k in ab}
-    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
-    print(json.dumps(compact, separators=(",", ":")))
+        # per-section HEAD/base ratios + the worst one (r12 verdict #2:
+        # the new-code sections need A/B protection too, not just
+        # stable44)
+        if ab.get("sections"):
+            compact["ab"]["sections"] = {
+                k: round(v["ratio"], 2)
+                for k, v in ab["sections"].items()}
+        if ab.get("worst_section"):
+            compact["ab"]["worst_section"] = ab["worst_section"]
+    # 1-decimal bests keep the tail line under the driver's 2,000-char
+    # window now that ab.sections rides along; the FULL line above
+    # carries 3-decimal timings for humans
+    compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:
+        # keep the expensive queries' bests, drop the sub-second tail
+        # (fully recorded in the FULL line above) until the line fits
+        for cut in (0.5, 1.0, 2.0):
+            compact["queries"] = {k: round(v, 1)
+                                  for k, v in timings.items()
+                                  if v >= cut}
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= 1950:
+                break
+    print(line)
     spark.stop()
 
 

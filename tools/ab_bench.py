@@ -7,9 +7,13 @@ under the same conditions.  This tool:
 
 1. materializes ``base_commit`` into a temporary git worktree,
 2. runs ``bench.py`` there, then runs ``bench.py`` at HEAD (interleaved
-   base-first so JIT/page-cache warmup, if any, favors the BASE),
-3. writes ``bench_ab.json`` at the repo root with
-   ``{head_stable44, base_stable44, ratio, base_commit, head_commit}``.
+   base-first so JIT/page-cache warmup, if any, favors the BASE) —
+   3 reps per side by default (AB_BENCH_REPS),
+3. writes ``bench_ab.json`` at the repo root with the stable44 ratio
+   AND a per-SECTION ratio table covering every bench section both
+   commits share, plus the worst-section ratio (r12 verdict #2: the
+   round-7+ sections — all the new-code queries — were previously
+   unprotected by the A/B instrument).
 
 bench.py picks the file up automatically and publishes the ratio in its
 compact (driver-tail) summary.  ratio < 1.0 means HEAD is faster.
@@ -59,7 +63,7 @@ def main() -> None:
         base = log
     base = _git("rev-parse", base)
     head = _git("rev-parse", "HEAD")
-    reps = int(os.environ.get("AB_BENCH_REPS", "2"))
+    reps = int(os.environ.get("AB_BENCH_REPS", "3"))
     wt = tempfile.mkdtemp(prefix="ab_base_")
     _git("worktree", "add", "--detach", wt, base)
     b_runs: list[dict] = []
@@ -81,12 +85,31 @@ def main() -> None:
         _git("worktree", "remove", "--force", wt)
     b44 = min(r["stable44_sec"] for r in b_runs)
     h44 = min(r["stable44_sec"] for r in h_runs)
+    # per-SECTION ratios (r12 verdict #2): stable44 alone left every
+    # round-7+ section unprotected — a regression in, say, txlog_dml was
+    # indistinguishable from host drift.  Sections only HEAD has (new
+    # code this round) have no base to compare against and are skipped.
+    sections: dict[str, dict] = {}
+    h_secs = [r.get("sections_sec", {}) for r in h_runs]
+    b_secs = [r.get("sections_sec", {}) for r in b_runs]
+    for sec in (h_secs[0].keys() if h_secs else []):
+        hs = [s[sec] for s in h_secs if sec in s]
+        bs = [s[sec] for s in b_secs if sec in s]
+        if not hs or not bs or not min(bs):
+            continue
+        sections[sec] = {"head": min(hs), "base": min(bs),
+                         "ratio": round(min(hs) / min(bs), 3)}
+    worst = (max(sections.items(), key=lambda kv: kv[1]["ratio"])
+             if sections else None)
     res = {
         "head_stable44": h44,
         "base_stable44": b44,
         "ratio": round(h44 / b44, 4) if b44 else None,
         "head_stable44_reps": [r["stable44_sec"] for r in h_runs],
         "base_stable44_reps": [r["stable44_sec"] for r in b_runs],
+        "sections": sections,
+        "worst_section": ([worst[0], worst[1]["ratio"]]
+                          if worst else None),
         "base_commit": base[:12],
         "head_commit": head[:12],
         "head_total": min(r.get("value", 9e9) for r in h_runs),
