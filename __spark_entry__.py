@@ -4136,42 +4136,76 @@ def _q_dv_delete(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Ordering is deliberate: the verification driver checks the first
-        # 50 entries.  Round-12 window = the SEVEN never-driver-green r11
-        # entries (r11 VERDICT #1: matview_incr, streaming_upsert,
-        # scd2_dimension, dv_delete, epoch_shuffle, budget_select,
-        # auth_flow), the NEW stream_scd2 oracle (directive #5), 3 rows
-        # whose code paths changed this round (dml.py schema-evolved
-        # read + DV-drift conflict detection -> txlog_dml; compact()
-        # DV-density materialization -> compaction; changes()/restore
-        # hardening -> txlog_table), and 39 of the 46 r8-vintage rows
-        # (directive #2).  The 7 r8 stragglers named for the r13 window:
-        # codec_box, codec_html, codec_markdown, codec_ndjson,
-        # winnow_overlap, winnow_fp, substring_spans, lm2, lake_api_calc,
-        # lake_api_raw (10 — rollup_matview, corpus_diff and table_clone,
-        # all NEW this round, took slots: certifying new code beats
-        # rotating rows that were driver-green in r8 and sweep-green
-        # every round since) — each straggler has a certified
-        # family sibling IN this window (codec_json/chart/geomap,
-        # winnow_fp, substring_cut, lm_buckets).  Everything else
-        # rotates behind (r9, r10, r11 vintages).
-        "matview_incr": _q_matview_incr,
-        "streaming_upsert": _q_streaming_upsert,
-        "scd2_dimension": _q_scd2_dimension,
-        "dv_delete": _q_dv_delete,
-        "epoch_shuffle": _q_epoch_shuffle,
-        "budget_select": _q_budget_select,
-        "auth_flow": _q_auth_flow,
-        "stream_scd2": _q_stream_scd2,
-        "rollup_matview": _q_rollup_matview,
+        # Ordering is deliberate: the verification driver checks the
+        # first 50 entries.  Round-13 window = the TEN r8-vintage
+        # stragglers the r12 verdict demanded lead (directive #1:
+        # codec_box/html/markdown/ndjson, lake_api_raw/calc, lm2,
+        # substring_spans, winnow_fp, winnow_overlap — clearing them
+        # makes the minimum registry vintage r9 with zero exceptions),
+        # the THREE new entries (rollup_matview_firstlast #5,
+        # matview_evolve stretch #8, describe_history #7), the TEN
+        # entries whose code paths changed this round (corpus_diff
+        # validation fold #3; stream_scd2 single-run epochs +
+        # dv_delete/matview_incr/scd2_dimension slimmed fixtures #4;
+        # rollup_matview pmod + first/last partials; table_clone
+        # reservation; compaction Arrow-side DV density; txlog_dml/
+        # txlog_table over the txlog diff), and 27 of the 47 r9-vintage
+        # rows rotating forward.  Everything else rotates behind
+        # (remaining r9s queue for r14, then r10/r11/r12 vintages).
+        "codec_box": _q_codec_box,
+        "codec_html": _q_codec_html,
+        "codec_markdown": _q_codec_markdown,
+        "codec_ndjson": _q_codec_ndjson,
+        "lake_api_raw": _q_lake_api_raw,
+        "lake_api_calc": _q_lake_api_calc,
+        "lm2": _q_lm2,
+        "substring_spans": _q_substring_spans,
+        "winnow_fp": _q_winnow_fp,
+        "winnow_overlap": _q_winnow_overlap,
         "rollup_matview_firstlast": _q_rollup_matview_firstlast,
         "matview_evolve": _q_matview_evolve,
         "describe_history": _q_describe_history,
         "corpus_diff": _q_corpus_diff,
+        "stream_scd2": _q_stream_scd2,
+        "dv_delete": _q_dv_delete,
+        "matview_incr": _q_matview_incr,
+        "rollup_matview": _q_rollup_matview,
+        "scd2_dimension": _q_scd2_dimension,
         "table_clone": _q_table_clone,
-        "txlog_dml": _q_txlog_dml,
         "compaction": _q_compaction,
+        "txlog_dml": _q_txlog_dml,
         "txlog_table": _q_txlog_table,
+        "backup_mount": _q_backup_mount,
+        "boilerplate": _q_boilerplate,
+        "curation_funnel": _q_curation_funnel,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_exact": _q_dedup_exact,
+        "distinct_users": _q_distinct_users,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_dupes_exact": _q_embedding_dupes_exact,
+        "group_list": _q_group_list,
+        "lake_decode": _q_lake_decode,
+        "lake_pivot": _q_lake_pivot,
+        "lake_tochar": _q_lake_tochar,
+        "lookup_join": _q_lookup_join,
+        "map_distance": _q_map_distance,
+        "multimodal_features": _q_multimodal_features,
+        "pii_scrub": _q_pii_scrub,
+        "pipeline_v2": _q_pipeline_v2,
+        "query_builder": _q_query_builder,
+        "repetition": _q_repetition,
+        "rollup_routed": _q_rollup_routed,
+        "script_udtf": _q_script_udtf,
+        "semdedup": _q_semdedup,
+        "set_ops": _q_set_ops,
+        "shell_pipe": _q_shell_pipe,
+        "similarity_batch": _q_similarity_batch,
+        "similarity_ivf": _q_similarity_ivf,
+        "similarity_topk": _q_similarity_topk,
+        "streaming_upsert": _q_streaming_upsert,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "budget_select": _q_budget_select,
+        "auth_flow": _q_auth_flow,
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
         "tpch_q20": _q_tpch_q20,
@@ -4208,10 +4242,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q_text_normalize,
         "tfidf_terms": _q_tfidf_terms,
         "url_normalize": _q_url_normalize,
-        # ---- window boundary: entries below rotate in next round ----
-        "lake_api_raw": _q_lake_api_raw,
-        "lake_api_calc": _q_lake_api_calc,
-        "winnow_fp": _q_winnow_fp,
         "doc_chunks": _q_doc_chunks,
         "rollup_txlog": _q_rollup_txlog,
         "bridge_sql": _q_bridge_sql,
@@ -4305,40 +4335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_last": _q_first_last,
         "flatten_tokens": _q_flatten_tokens,
         "group_aggs2": _q_group_aggs2,
-        "codec_box": _q_codec_box,
-        "codec_html": _q_codec_html,
-        "codec_markdown": _q_codec_markdown,
-        "codec_ndjson": _q_codec_ndjson,
-        "lm2": _q_lm2,
-        "substring_spans": _q_substring_spans,
-        "winnow_overlap": _q_winnow_overlap,
-        "backup_mount": _q_backup_mount,
-        "boilerplate": _q_boilerplate,
-        "curation_funnel": _q_curation_funnel,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_exact": _q_dedup_exact,
-        "distinct_users": _q_distinct_users,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "embedding_dupes_exact": _q_embedding_dupes_exact,
-        "group_list": _q_group_list,
-        "lake_decode": _q_lake_decode,
-        "lake_pivot": _q_lake_pivot,
-        "lake_tochar": _q_lake_tochar,
-        "lookup_join": _q_lookup_join,
-        "map_distance": _q_map_distance,
-        "multimodal_features": _q_multimodal_features,
-        "pii_scrub": _q_pii_scrub,
-        "pipeline_v2": _q_pipeline_v2,
-        "query_builder": _q_query_builder,
-        "repetition": _q_repetition,
-        "rollup_routed": _q_rollup_routed,
-        "script_udtf": _q_script_udtf,
-        "semdedup": _q_semdedup,
-        "set_ops": _q_set_ops,
-        "shell_pipe": _q_shell_pipe,
-        "similarity_batch": _q_similarity_batch,
-        "similarity_ivf": _q_similarity_ivf,
-        "similarity_topk": _q_similarity_topk,
         "stratified_sample": _q_stratified_sample,
         "streaming_curation": _q_streaming_curation,
         "text_stats": _q_text_stats,

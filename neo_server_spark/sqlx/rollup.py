@@ -149,8 +149,10 @@ class RollupRouter:
         every calc mode servable from its partials); everything else
         falls back to the built cascade.  This unifies the two
         maintenance paths: the IVM view stays fresh at O(delta) per
-        refresh (incl. first/last since r13), while undivisible
-        periods and approx_distinct keep the rebuilt-cascade answer."""
+        refresh (incl. first/last, and approx_distinct when built with
+        distinct_col, since r13), while undivisible periods — and
+        approx_distinct against a sketch-less view — keep the
+        rebuilt-cascade answer."""
         self._matview = mv_rollup
 
     _MV_MODES = frozenset(
@@ -160,11 +162,14 @@ class RollupRouter:
     def _covered_by_matview(self, period_ns: int,
                             aggs: dict[str, str]) -> bool:
         mv = getattr(self, "_matview", None)
-        return (mv is not None
-                and period_ns % mv.period_ns == 0
+        if mv is None:
+            return False
+        modes = self._MV_MODES | (
+            {"approx_distinct"} if getattr(mv, "has_hll", False)
+            else set())
+        return (period_ns % mv.period_ns == 0
                 and period_ns >= mv.period_ns
-                and all(m.lower() in self._MV_MODES
-                        for m in aggs.values()))
+                and all(m.lower() in modes for m in aggs.values()))
 
     def query(self, period_ns: int, aggs: dict[str, str],
               tags: list[str] | None = None,
@@ -250,42 +255,50 @@ class MatViewRollup:
     the new data only.  Calc modes: count/sum/sumsq/min/max/avg plus
     first/last (r13: value-at-time-extreme partials are a semigroup
     under min_by/max_by, so the order-aware modes fold incrementally
-    too)."""
+    too) and, with ``distinct_col=...``, approx_distinct (HLL sketch
+    partials; union is lossless, so the IVM estimate equals the
+    cascade's)."""
 
     def __init__(self, spark: SparkSession, base_table: str,
                  view_path: str, name_col: str = "name",
                  time_col: str = "time", value_col: str = "value",
-                 period_ns: int = SECOND):
+                 period_ns: int = SECOND,
+                 distinct_col: str | None = None):
         from neo_server_spark.streaming.matview import MatView
 
         self.spark = spark
         self.name_col = name_col
         self.period_ns = period_ns
+        self.has_hll = distinct_col is not None
         v = f"CAST({value_col} AS DOUBLE)"
         t = f"CAST({time_col} AS BIGINT)"
+        # cnt counts NON-NULL values (sum of 0/1) so count/avg match
+        # RollupRouter's F.count(value) / SQL AVG semantics — a MatView
+        # "count" agg would count rows and silently deflate averages
+        # over NULL-bearing buckets.  first/last partials (value at
+        # min/max RAW time, paired with the extreme) make the
+        # order-aware calc modes servable from the IVM view too (r12
+        # verdict #5; reference FIRST/LAST:
+        # mods/server/http_lake.go:1738-1762, 871-877) — the ordering
+        # binds to the raw time column, which the bucketed "time" key
+        # shadows (MatView._bound handles that).  ``distinct_col`` adds
+        # an HLL sketch partial so approx_distinct folds from the IVM
+        # view exactly like the built cascade's (union is lossless).
+        aggs: dict = {
+            "cnt": ("sum",
+                    f"CAST(({value_col}) IS NOT NULL AS BIGINT)"),
+            "sum": ("sum", v),
+            "sumsq": ("sum", f"{v} * {v}"),
+            "min": ("min", v),
+            "max": ("max", v),
+            "first": ("first", v, t),
+            "last": ("last", v, t)}
+        if distinct_col:
+            aggs["dcount"] = ("approx_distinct", distinct_col)
         self.mv = MatView(
             spark, base_table, view_path,
             keys=[name_col, "time"],
-            # cnt counts NON-NULL values (sum of 0/1) so count/avg match
-            # RollupRouter's F.count(value) / SQL AVG semantics — a
-            # MatView "count" agg would count rows and silently deflate
-            # averages over NULL-bearing buckets.  first/last partials
-            # (value at min/max RAW time + the raw-time extreme itself)
-            # make the order-aware calc modes servable from the IVM
-            # view too (r12 verdict #5; reference FIRST/LAST:
-            # mods/server/http_lake.go:1738-1762, 871-877) — the
-            # ordering binds to the raw time column, which the bucketed
-            # "time" key shadows (MatView._bound handles that)
-            aggs={"cnt": ("sum",
-                          f"CAST(({value_col}) IS NOT NULL AS BIGINT)"),
-                  "sum": ("sum", v),
-                  "sumsq": ("sum", f"{v} * {v}"),
-                  "min": ("min", v),
-                  "max": ("max", v),
-                  "first": ("first", v, t),
-                  "last": ("last", v, t),
-                  "first_time": ("min", t),
-                  "last_time": ("max", t)},
+            aggs=aggs,
             # pmod (floor semantics), NOT SQL % (sign-follows-dividend):
             # the query() fold and the RollupRouter cascade both bucket
             # with F.pmod, so negative time values must round the same
@@ -309,7 +322,19 @@ class MatViewRollup:
             raise ValueError(
                 f"period {period_ns}ns not servable from a "
                 f"{self.period_ns}ns matview rollup")
-        base = self.mv.read()     # name, time(bucket), cnt/sum/sumsq/...
+        ok = {"count", "sum", "sumsq", "min", "max", "avg",
+              "first", "last"} | ({"approx_distinct"}
+                                  if self.has_hll else set())
+        for mode in aggs.values():
+            if mode.lower() not in ok:
+                raise ValueError(
+                    f"calc mode {mode!r} not servable from IVM "
+                    f"partials" + ("" if self.has_hll else
+                                   " (approx_distinct needs a view "
+                                   "built with distinct_col=...)"))
+        # fold the RAW partials — sums re-sum, (value, extreme) pairs
+        # re-merge via min_by/max_by, HLL sketches re-union losslessly
+        base = self.mv.read_partials()
         if tags:
             base = base.filter(F.col(self.name_col).isin(tags))
         if between:
@@ -317,20 +342,19 @@ class MatViewRollup:
                 F.col("time").between(between[0], between[1] - 1))
         bucket = (F.col("time")
                   - F.pmod(F.col("time"), F.lit(period_ns))).cast("long")
-        folded = base.groupBy(self.name_col, bucket.alias("time")).agg(
-            F.sum("cnt").alias("_cnt"), F.sum("sum").alias("_sum"),
-            F.sum("sumsq").alias("_sumsq"), F.min("min").alias("_min"),
-            F.max("max").alias("_max"),
-            F.min_by("first", "first_time").alias("_first"),
-            F.max_by("last", "last_time").alias("_last"))
+        fold = [
+            F.sum("_p_cnt").alias("_cnt"), F.sum("_p_sum").alias("_sum"),
+            F.sum("_p_sumsq").alias("_sumsq"),
+            F.min("_p_min").alias("_min"), F.max("_p_max").alias("_max"),
+            F.min_by("_p_first", "_t_first").alias("_first"),
+            F.max_by("_p_last", "_t_last").alias("_last")]
+        if self.has_hll:
+            fold.append(F.hll_union_agg("_p_dcount").alias("_hll"))
+        folded = base.groupBy(self.name_col,
+                              bucket.alias("time")).agg(*fold)
         exprs = []
         for out, mode in aggs.items():
             mode = mode.lower()
-            if mode not in ("count", "sum", "sumsq", "min", "max",
-                            "avg", "first", "last"):
-                raise ValueError(
-                    f"calc mode {mode!r} not servable from IVM "
-                    f"partials")
             col = {
                 "count": F.col("_cnt"),
                 "sum": F.col("_sum"),
@@ -340,7 +364,8 @@ class MatViewRollup:
                 "avg": F.col("_sum") / F.col("_cnt"),
                 "first": F.col("_first"),
                 "last": F.col("_last"),
-            }[mode]
+            }[mode] if mode != "approx_distinct" else \
+                F.hll_sketch_estimate(F.col("_hll"))
             exprs.append(col.alias(out))
         return (folded.select(self.name_col, "time", *exprs)
                 .orderBy(self.name_col, "time"))

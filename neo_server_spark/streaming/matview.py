@@ -427,6 +427,15 @@ class MatView:
 
     # ---------------------------------------------------------------- read
 
+    def read_partials(self) -> DataFrame:
+        """The RAW stored partials (keys + partial columns) — for
+        consumers that re-fold them to coarser groupings (MatViewRollup
+        folds sec-buckets to any requested period: sums re-sum, min_by
+        pairs re-merge, HLL sketches re-union).  ``read`` finalizes;
+        this exposes the mergeable state."""
+        return txlog.read_table(self.spark, self.view_table) \
+            .select(*self.keys, *self._partial_cols())
+
     def read(self) -> DataFrame:
         """The finalized view: partials projected to their user-facing
         values — an O(keys) read however large the source is."""

@@ -361,3 +361,48 @@ def test_matview_evolve_before_fold_pads_null_partials(spark, tmp_path):
     for g in exp:
         assert got[g]["n"] == exp[g]["n"]
         assert got[g]["wsum"] == pytest.approx(exp[g]["wsum"])
+
+
+def test_matview_rollup_approx_distinct(spark, tmp_path):
+    """r13: a MatViewRollup built with distinct_col carries HLL sketch
+    partials — approx_distinct folds from the IVM view (lossless sketch
+    union) and equals the exact count inside the coupon range; the
+    router covers it instead of falling back to the cascade."""
+    from neo_server_spark.sqlx.rollup import (MINUTE, MatViewRollup,
+                                              RollupRouter)
+
+    base = str(tmp_path / "tagd")
+    df = spark.createDataFrame(
+        [("a", i * 700_000_000, float(i % 5), i % 7)
+         for i in range(120)],
+        "name string, time long, value double, dev long")
+    txlog.write(df.filter(F.col("time") < 40_000_000_000), base)
+    r = MatViewRollup(spark, base, str(tmp_path / "ivmd"),
+                      distinct_col="dev")
+    assert r.refresh()["mode"] == "incremental"
+    txlog.write(df.filter(F.col("time") >= 40_000_000_000), base)
+    assert r.refresh()["mode"] == "incremental"
+    got = {(x["name"], x["time"]): (x["c"], x["d"]) for x in
+           r.query(MINUTE, {"c": "count", "d": "approx_distinct"})
+           .collect()}
+    exp = {(x["name"], x["t"]): (x["c"], x["d"]) for x in
+           df.groupBy("name", (F.col("time") - F.col("time") % MINUTE)
+                      .alias("t"))
+           .agg(F.count("value").alias("c"),
+                F.countDistinct("dev").alias("d")).collect()}
+    assert got == exp
+    # router covers approx_distinct ONLY when the view carries sketches
+    router = RollupRouter(spark, str(tmp_path / "cascd"))
+    router.build(txlog.read_table(spark, base), distinct_col="dev")
+    router.attach_matview(r)
+    q = router.query(MINUTE, {"d": "approx_distinct"})
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted")
+    assert "ivmd" in plan and "cascd" not in plan
+    sketchless = MatViewRollup(spark, base, str(tmp_path / "ivm0"))
+    sketchless.refresh()
+    router.attach_matview(sketchless)
+    q2 = router.query(MINUTE, {"d": "approx_distinct"})
+    plan2 = q2._sc._jvm.PythonSQLUtils.explainString(
+        q2._jdf.queryExecution(), "formatted")
+    assert "cascd" in plan2 and "ivm0" not in plan2
