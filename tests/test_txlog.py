@@ -1066,3 +1066,39 @@ def test_history_labels_clone(spark, tmp_path):
     assert len(h) == 1
     assert h[0]["operation"].startswith("CLONE of ")
     assert h[0]["operation"].endswith("@v1")
+
+
+def test_clone_reservation_cleans_up_on_failure(spark, tmp_path):
+    """r12 advice: clone reserves dst atomically (no check-then-act
+    window) and a FAILED clone removes its half-built reservation so
+    the name is immediately retryable."""
+    t = str(tmp_path / "src")
+    txlog.write(spark.createDataFrame([(1, "a"), (2, "b")],
+                                      "id long, s string").coalesce(1),
+                t)
+    dst = str(tmp_path / "c1")
+    txlog.clone(t, dst)
+    with pytest.raises(FileExistsError, match="already exists"):
+        txlog.clone(t, dst)
+    # make the source unclonable: unlink one live data file (simulated
+    # concurrent vacuum), clone must fail AND leave no dst2 debris
+    rel = txlog.live_files(t)[0]
+    raw = open(os.path.join(t, rel), "rb").read()
+    os.unlink(os.path.join(t, rel))
+    dst2 = str(tmp_path / "c2")
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        txlog.clone(t, dst2)
+    assert not os.path.exists(dst2), "failed clone left a reservation"
+    # restore the file: the SAME name now clones cleanly
+    with open(os.path.join(t, rel), "wb") as f:
+        f.write(raw)
+    txlog.clone(t, dst2)
+    assert sorted(r["id"] for r in
+                  txlog.read_table(spark, dst2).collect()) == [1, 2]
+
+
+def test_dv_tomb_rows_probe_tolerates_missing_file():
+    """r12 advice: the broadcast-guard row probe must not raise when a
+    DV file vanished under a time-travel reader — None means 'unknown,
+    skip the hint' and the actual read surfaces the error."""
+    assert txlog._dv_tomb_rows(["/nonexistent/dv.parquet"]) is None
