@@ -86,7 +86,15 @@ def corpus_diff(spark: SparkSession, table: str,
     old_rels = sorted(live1 - common)
     new_rels = sorted(live2 - common)
     if not old_rels and not new_rels:
-        # identical snapshots: empty diff, key typed like the table's
+        # identical snapshots: empty diff, key typed like the table's.
+        # The type comes from the LOGGED schema — a read_table here
+        # would LIST every live file for schema inference (23s of pure
+        # metadata at 12k files / 300M rows, measured r13) for a frame
+        # that scans nothing
+        sch = dict(txlog.table_schema(table) or [])
+        if key in sch:
+            return spark.createDataFrame(
+                [], f"`{key}` {sch[key]}, `change` string")
         return (txlog.read_table(spark, table, version_as_of=v_to)
                 .select(F.col(key)).limit(0)
                 .withColumn("change", F.lit("added")))
