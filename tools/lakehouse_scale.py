@@ -69,6 +69,11 @@ def main() -> None:
     out["build_sec"] = round(time.time() - tick, 3)
     out["files"] = len(txlog.live_files(t))
 
+    # warm the session's local-frame path once (first createDataFrame
+    # pays ~1s of Py4J conversion init — session cost, not operation
+    # cost; the timings below measure the operations)
+    spark.createDataFrame([], "x long").count()
+
     # full-scan baseline: what any O(table) answer would at least cost
     tick = time.time()
     out["fullscan_rows"] = txlog.read_table(spark, t).count()
