@@ -1102,3 +1102,79 @@ def test_dv_tomb_rows_probe_tolerates_missing_file():
     DV file vanished under a time-travel reader — None means 'unknown,
     skip the hint' and the actual read surfaces the error."""
     assert txlog._dv_tomb_rows(["/nonexistent/dv.parquet"]) is None
+
+
+def _mp_restore_append_worker(args):
+    """Worker for test_multiprocess_restore_vs_append: pure appends
+    with txn dedupe while the parent fires RESTOREs at the same table."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neo_server_spark import txlog as tx
+
+    table, wid, n_ops = args
+    committed = []
+    for ep in range(n_ops):
+        rel = f"data/{_uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.table({"id": pa.array([wid * 10_000 + ep], pa.int64())}),
+            os.path.join(table, rel))
+        try:
+            tx.commit(table, [rel], txn=(f"ra{wid}", ep))
+            committed.append(wid * 10_000 + ep)
+        except tx.TxConflict:
+            os.unlink(os.path.join(table, rel))
+    return committed
+
+
+def test_multiprocess_restore_vs_append(spark, tmp_path):
+    """r12 directive #6 (restore leg): RESTORE racing concurrent
+    appenders.  Semantics under the race: an append committed BEFORE
+    the restore's snapshot replay is legitimately reverted; one landing
+    after survives (its file is not in the restore's remove set).  The
+    invariants a torn implementation would break: reads never fail
+    mid-race, the version chain stays dense, no id is ever duplicated,
+    and the final content is a subset of {seeds + committed appends}
+    with every surviving file on disk."""
+    import multiprocessing as mp
+    import random
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "ra")
+    for i in range(5):
+        txlog.write(spark.createDataFrame([(-1 - i,)], "id long")
+                    .coalesce(1), t)
+    ctx = mp.get_context("spawn")
+    rng = random.Random(42)
+    with ctx.Pool(4) as pool:
+        async_res = pool.map_async(
+            _mp_restore_append_worker, [(t, w, 12) for w in range(4)])
+        while not async_res.ready():
+            try:
+                txlog.restore(t, rng.randint(1, 5))
+            except (txlog.TxConflict, FileNotFoundError):
+                pass
+            # mid-race read must always serve a coherent snapshot
+            ids = [r["id"] for r in txlog.read_table(spark, t).collect()]
+            assert len(ids) == len(set(ids)), "duplicated rows mid-race"
+            _time.sleep(0.2)
+        results = async_res.get()
+    committed = {i for ids in results for i in ids}
+    seeds = {-1, -2, -3, -4, -5}
+    final = [r["id"] for r in txlog.read_table(spark, t).collect()]
+    assert len(final) == len(set(final)), "duplicated rows"
+    assert set(final) <= committed | seeds
+    assert set(final) & seeds, "restore lost every seed row"
+    # version chain dense above the floor (no checkpoint here: from 1)
+    d = os.path.join(t, "_txlog")
+    entries = sorted(int(n.split(".")[0]) for n in os.listdir(d)
+                     if n.endswith(".json") and not n.startswith(".")
+                     and not n.endswith(".checkpoint.json"))
+    assert entries == list(range(1, len(entries) + 1))
+    # every live file on disk and readable
+    for rel in txlog.live_files(t):
+        pq.read_table(os.path.join(t, rel))
