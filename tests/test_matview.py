@@ -406,3 +406,82 @@ def test_matview_rollup_approx_distinct(spark, tmp_path):
     plan2 = q2._sc._jvm.PythonSQLUtils.explainString(
         q2._jdf.queryExecution(), "formatted")
     assert "cascd" in plan2 and "ivm0" not in plan2
+
+
+def test_matview_model_random_ops(spark, tmp_path):
+    """Model-based check: a random commit sequence (append /
+    merge_schema-evolving append / rewrite-delete / DV-delete /
+    compact) with refreshes at random points and ONE mid-sequence
+    evolve() — after every refresh the view must equal a from-scratch
+    recompute of the current aggregate set, whatever mix of
+    incremental / cdf / full paths got it there."""
+    import random
+
+    rng = random.Random(20260817)
+    for case in range(2):
+        src = str(tmp_path / f"m{case}")
+        vt = str(tmp_path / f"v{case}")
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(i, "g%d" % (i % 3), float(i % 11)) for i in range(lo, hi)],
+            "id long, g string, v double")
+        nxt = 30
+        txlog.write(mk(0, 30).coalesce(1), src)
+        aggs = {"n": ("count", "id"), "total": ("sum", "v")}
+        mv = MatView(spark, src, vt, keys=["g"], aggs=aggs)
+        mv.refresh()
+        evolved_at = None
+
+        def check():
+            exprs = [F.count(F.lit(1)).alias("n"),
+                     F.sum("v").alias("total")]
+            if evolved_at is not None:
+                exprs += [F.sum("w").alias("wsum"),
+                          F.max("w").alias("whi")]
+            exp = {r["g"]: r for r in
+                   txlog.read_table(spark, src)
+                   .groupBy("g").agg(*exprs).collect()}
+            got = {r["g"]: r for r in mv.read().collect()}
+            assert set(got) == set(exp)
+            for g, e in exp.items():
+                assert got[g]["n"] == e["n"], (case, g, "n")
+                assert got[g]["total"] == pytest.approx(e["total"])
+                if evolved_at is not None:
+                    if e["wsum"] is None:
+                        assert got[g]["wsum"] is None
+                    else:
+                        assert got[g]["wsum"] == \
+                            pytest.approx(e["wsum"]), (case, g)
+                    assert got[g]["whi"] == e["whi"]
+
+        for step in range(8):
+            op = rng.choice(["append", "append", "delete", "dv",
+                             "compact", "evolve_src"])
+            if op == "append":
+                df = mk(nxt, nxt + rng.randint(5, 15))
+                if evolved_at is not None:
+                    df = df.withColumn("w", F.col("v") * 2)
+                    txlog.write(df.coalesce(1), src)
+                else:
+                    txlog.write(df.coalesce(1), src)
+                nxt += 15
+            elif op == "evolve_src" and evolved_at is None:
+                txlog.write(mk(nxt, nxt + 10).withColumn(
+                    "w", F.col("v") * 2).coalesce(1), src,
+                    merge_schema=True)
+                evolved_at = txlog.current_version(src)
+                nxt += 10
+            elif op == "delete":
+                dml.delete(spark, src, f"id % 13 = {step}")
+            elif op == "dv":
+                dml.delete(spark, src, f"id % 17 = {step}", mode="dv")
+            else:
+                txlog.compact(spark, src, target_files=1)
+            if rng.random() < 0.6 or op == "evolve_src":
+                mv.refresh()
+                if op == "evolve_src":
+                    mv.evolve({"wsum": ("sum", "w"),
+                               "whi": ("max", "w")},
+                              since_version=evolved_at)
+                check()
+        mv.refresh()
+        check()
