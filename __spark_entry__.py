@@ -3864,6 +3864,42 @@ def _q_rollup_matview(spark, sf_dir):
         F.round("avg_v", 6).alias("avg_v")).orderBy("name", "time")
 
 
+def _q_rollup_matview_distinct(spark, sf_dir):
+    """APPROX COUNT(DISTINCT) served from the IVM matview (r13: the
+    last calc mode unified onto the incremental path — MatViewRollup
+    distinct_col carries an HLL sketch partial per (name, sec-bucket);
+    sketch union is lossless, so folding partials to the requested
+    period gives the SAME estimate as one pass over the raw rows, and
+    user_id%8 keeps every bucket inside the sketch's exact coupon
+    range so the estimate IS the exact distinct count the oracle
+    computes).  Two commits, second refresh asserted incremental."""
+    import os
+    import tempfile
+
+    from neo_server_spark import txlog
+    from neo_server_spark.sqlx.rollup import MINUTE, MatViewRollup
+
+    ev = (_tag(spark, sf_dir)
+          .filter(F.col("event_id") < 4000)
+          .select("name", "time", "value", "event_id",
+                  F.pmod("user_id", F.lit(8)).alias("dev")))
+    root = tempfile.mkdtemp(prefix="rollup_mv_d_")
+    base = os.path.join(root, "tag")
+    txlog.write(ev.filter(F.col("event_id") % 2 == 0)
+                .drop("event_id"), base)
+    r = MatViewRollup(spark, base, os.path.join(root, "view"),
+                      distinct_col="dev")
+    assert r.refresh()["mode"] == "incremental"
+    txlog.write(ev.filter(F.col("event_id") % 2 != 0)
+                .drop("event_id"), base)
+    assert r.refresh()["mode"] == "incremental", \
+        "second refresh must fold only the delta commit"
+    out = r.query(MINUTE, {"cnt": "count", "devs": "approx_distinct"})
+    return out.select(
+        "name", F.expr("time div 1000").alias("time"), "cnt",
+        F.col("devs").cast("long").alias("devs")).orderBy("name", "time")
+
+
 def _q_matview_evolve(spark, sf_dir):
     """Schema evolution THROUGH the incremental matview (r12 verdict
     stretch #8, streaming/matview.MatView.evolve): the source evolves
@@ -4149,9 +4185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dv_delete/matview_incr/scd2_dimension slimmed fixtures #4;
         # rollup_matview pmod + first/last partials; table_clone
         # reservation; compaction Arrow-side DV density; txlog_dml/
-        # txlog_table over the txlog diff), and 27 of the 47 r9-vintage
-        # rows rotating forward.  Everything else rotates behind
-        # (remaining r9s queue for r14, then r10/r11/r12 vintages).
+        # txlog_table over the txlog diff), a FOURTH new entry
+        # (rollup_matview_distinct — the r13 HLL-in-IVM unification,
+        # swapped in for similarity_topk's rotation slot: certifying
+        # new code beats re-rotating an r9 row), and 26 of the 47
+        # r9-vintage rows rotating forward.  Everything else rotates
+        # behind (remaining r9s queue for r14, then r10/r11/r12).
         "codec_box": _q_codec_box,
         "codec_html": _q_codec_html,
         "codec_markdown": _q_codec_markdown,
@@ -4164,6 +4203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": _q_winnow_overlap,
         "rollup_matview_firstlast": _q_rollup_matview_firstlast,
         "matview_evolve": _q_matview_evolve,
+        "rollup_matview_distinct": _q_rollup_matview_distinct,
         "describe_history": _q_describe_history,
         "corpus_diff": _q_corpus_diff,
         "stream_scd2": _q_stream_scd2,
@@ -4201,7 +4241,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shell_pipe": _q_shell_pipe,
         "similarity_batch": _q_similarity_batch,
         "similarity_ivf": _q_similarity_ivf,
-        "similarity_topk": _q_similarity_topk,
         "streaming_upsert": _q_streaming_upsert,
         "epoch_shuffle": _q_epoch_shuffle,
         "budget_select": _q_budget_select,
@@ -4355,6 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tql_script_js": _q_tql_script_js,
         "vocab_topk": _q_vocab_topk,
         "watch_latest": _q_watch_latest,
+        "similarity_topk": _q_similarity_topk,
     }
 
 
@@ -7388,6 +7428,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) / count(*), 6) AS avg_v
             FROM events
             WHERE event_id < 6000
+            GROUP BY 1, 2
+            ORDER BY name, time
+        """,
+        "rollup_matview_distinct": """
+            SELECT event_type AS name,
+                   CAST((epoch_ns(ts) - epoch_ns(ts) % 60000000000)
+                        // 1000 AS BIGINT) AS time,
+                   count(*) AS cnt,
+                   count(DISTINCT user_id % 8) AS devs
+            FROM events
+            WHERE event_id < 4000
             GROUP BY 1, 2
             ORDER BY name, time
         """,
