@@ -404,11 +404,16 @@ class MatView:
         else:
             # nothing folded past the evolution yet: pad the new
             # partials as TYPED NULLs (parquet cannot store NullType) —
-            # types come from a zero-row fold over the current source,
-            # which carries the evolved columns
-            empty = self._partial_agg(
-                txlog.read_table(self.spark, self.src_table).limit(0),
-                aggs=add_aggs)
+            # types come from a zero-row fold over the LOGGED schema
+            # (which carries the evolved columns; a read_table here
+            # would list every live file just to type a limit(0))
+            sch = txlog.table_schema(self.src_table)
+            src0 = (self.spark.createDataFrame(
+                        [], ", ".join(f"`{n}` {t}" for n, t in sch))
+                    if sch else
+                    txlog.read_table(self.spark,
+                                     self.src_table).limit(0))
+            empty = self._partial_agg(src0, aggs=add_aggs)
             merged = prev
             for f in empty.schema.fields:
                 if f.name not in self.keys:
