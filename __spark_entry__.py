@@ -3965,6 +3965,15 @@ def _q_rollup_matview_firstlast(spark, sf_dir):
     ev = (_tag(spark, sf_dir)
           .filter(F.col("event_id") < 4000)
           .select("name", "time", "value", "event_id"))
+    # determinism guard (r13 advice): min_by/arg_min pick an ARBITRARY
+    # winner on raw-timestamp ties, so the Spark/DuckDB comparison is
+    # only well-defined while the fixture has no (name, ts) pair with
+    # differing values — assert that, loudly, instead of hoping
+    dups = (ev.groupBy("name", "time")
+            .agg(F.count_distinct("value").alias("c"))
+            .filter(F.col("c") > 1).count())
+    assert dups == 0, \
+        f"{dups} (name, ts) collisions — first/last oracle undefined"
     root = tempfile.mkdtemp(prefix="rollup_mv_fl_")
     base = os.path.join(root, "tag")
     txlog.write(ev.filter(F.col("event_id") % 2 == 0)

@@ -1005,7 +1005,8 @@ def canonicalize_best(docs: DataFrame, pairs: DataFrame,
 
 def exact_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
                        vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> DataFrame:
+                       id_col: str = "vec_id",
+                       max_rows: int = 100_000) -> DataFrame:
     """EXACT all-pairs cosine near-dup pairs — the brute-force ground
     truth the LSH variants approximate.  O(N^2) by definition: the full
     matrix ships to every task (it must fit to be 'exact all-pairs' at
@@ -1013,11 +1014,24 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
     computes its rows against all higher ids with the same per-dimension
     sequential float64 folds as ``cosine_expr``, so results are bitwise
     equal to the SQL self-join form.
+
+    ``max_rows`` guards the driver (r13 verdict #5): the collect below
+    is intentional for an ORACLE-sized input, but pointing this at a
+    production table would OOM the driver long before the O(N^2) pass
+    finished.  Raise the cap explicitly if you truly mean it.
     """
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"exact_cosine_pairs is the O(N^2) ground-truth oracle and "
+            f"collects the full matrix driver-side: {n} rows > "
+            f"max_rows={max_rows}.  Use embedding_dupes (banded "
+            f"hyperplane LSH, one shuffle) at scale, or pass "
+            f"max_rows={n} to override deliberately")
     rows = emb.select(id_col, vec_col).orderBy(id_col).collect()
     all_ids = np.array([r[id_col] for r in rows])
     mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)

