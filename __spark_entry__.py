@@ -701,6 +701,58 @@ def _q_show_tags(spark, sf_dir):
     ).orderBy("name")
 
 
+def _q_show_rollup_gap(spark, sf_dir):
+    """SHOW ROLLUPGAP (spi/show.go:1206-1245 ShowRollupGap; V$ROLLUP
+    gap visibility, r13 verdict #6): the cascade is built from rows
+    BEFORE a cutoff, then the gap report is computed against the full
+    source — per level, src frontier vs covered-end (max bucket +
+    period) and the unrolled-backlog row count, which the oracle
+    recomputes from the raw rows.  One source pass for all three
+    levels' backlogs (conditional counts)."""
+    import tempfile
+
+    from neo_server_spark.sqlx import catalog
+    from neo_server_spark.sqlx.rollup import RollupRouter
+
+    cut = 19732 * 86400 * 10**9          # 2024-01-10T00:00Z, epoch-ns
+    ev = (_tag(spark, sf_dir).filter(F.col("event_id") < 6000)
+          .select("name", "time", "value"))
+    router = RollupRouter(spark, tempfile.mkdtemp(prefix="rgap_"))
+    router.build(ev.filter(F.col("time") < cut))
+    out = catalog.show_rollup_gap(router, ev)
+    # rollup_table is a tempdir path — not oracle-comparable
+    return (out.select("rollup_name", "src_end_time",
+                       "rollup_end_time", "gap", "run_state")
+            .orderBy("rollup_name"))
+
+
+def _q_show_lsm(spark, sf_dir):
+    """SHOW LSM (spi/show.go:988-1016 ShowLsm; r13 verdict #6):
+    per-day-partition file-size tier occupancy.  The fixture writes a
+    DETERMINISTIC file count per day partition (day d gets d%3+1
+    files: three append rounds, round j covering days with d%3+1 >= j,
+    coalesce(1) so each round lays exactly one file per day), then
+    reads the tier report at both threshold extremes — target 0 puts
+    every file at level 2, target 1 GB at level 0 — so the oracle can
+    recompute table_name/level/count exactly from the construction
+    rule."""
+    import tempfile
+
+    from neo_server_spark.sqlx import catalog
+
+    ev = (_tag(spark, sf_dir).filter(F.col("event_id") < 6000)
+          .select("name", "time", "value",
+                  F.expr("time div 86400000000000").alias("d"))
+          .filter(F.col("d") < 19731))
+    root = tempfile.mkdtemp(prefix="show_lsm_")
+    for j in (1, 2, 3):
+        (ev.filter(F.expr(f"d % 3 + 1 >= {j}")).coalesce(1)
+         .write.mode("append").partitionBy("d").parquet(root))
+    hot = catalog.show_lsm(spark, root, target_file_bytes=0)
+    cold = catalog.show_lsm(spark, root, target_file_bytes=10**9)
+    return hot.unionByName(cold).orderBy("table_name", "level")
+
+
 def _q_tql_dsl(spark, sf_dir):
     """End-to-end TQL DSL pipeline through Tql/Pipeline (SRC -> MAP* -> df):
     SQL_SELECT builder -> MAPVALUE -> PUSHVALUE, the L1 slice of SURVEY §7."""
@@ -3909,8 +3961,14 @@ def _q_matview_evolve(spark, sf_dir):
     identity, so no full recompute.  Sequence: v1 append (no val2) ->
     refresh -> v2 merge_schema append (val2) -> refresh (still
     incremental, typed-NULL CDF projection) -> evolve(wsum/whi,
-    since_version=2) -> read.  The oracle recomputes the widened view
-    from the raw rows with val2 NULL on the pre-evolution tranche."""
+    since_version=2) -> evolve(v2last, recompute=True) — the r13 #4
+    escape hatch: order-aware aggregates whose fold identity is not
+    NULL ride ONE atomic full-recompute publish (mode
+    'evolve_recompute') instead of forcing manual view recreation ->
+    read.  The oracle recomputes the widened view from the raw rows
+    with val2 NULL on the pre-evolution tranche; v2last coalesces so
+    both engines' min_by/arg_max NULL semantics stay out of play, and
+    event_id gives a strict total order."""
     import os
     import tempfile
 
@@ -3927,22 +3985,27 @@ def _q_matview_evolve(spark, sf_dir):
     src = os.path.join(root, "src")
     mv_aggs = {"n": ("count", "val"), "total": ("sum", "val")}
     txlog.write(ev.filter(F.col("event_id") % 2 == 0)
-                .select("name", "val"), src)                     # v1
+                .select("name", "val", "event_id"), src)         # v1
     mv = MatView(spark, src, os.path.join(root, "view"),
                  keys=["name"], aggs=mv_aggs)
     assert mv.refresh()["mode"] == "incremental"
     txlog.write(ev.filter(F.col("event_id") % 2 != 0)
-                .select("name", "val", "val2"), src,
+                .select("name", "val", "val2", "event_id"), src,
                 merge_schema=True)                               # v2
     assert mv.refresh()["mode"] == "incremental", \
         "evolved delta must still fold incrementally"
     r = mv.evolve({"wsum": ("sum", "val2"), "whi": ("max", "val2")},
                   since_version=2)
     assert r["mode"] == "evolve" and r["backfill_files"] >= 1
+    r2 = mv.evolve({"v2last": ("last", "coalesce(val2, -1)",
+                               "event_id")},
+                   since_version=2, recompute=True)
+    assert r2["mode"] == "evolve_recompute"
     return (mv.read()
             .select("name", "n", F.col("total").cast("long")
                     .alias("total"),
-                    F.col("wsum").cast("long").alias("wsum"), "whi")
+                    F.col("wsum").cast("long").alias("wsum"), "whi",
+                    "v2last")
             .orderBy("name"))
 
 
@@ -4214,6 +4277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_evolve": _q_matview_evolve,
         "rollup_matview_distinct": _q_rollup_matview_distinct,
         "describe_history": _q_describe_history,
+        "show_rollup_gap": _q_show_rollup_gap,
+        "show_lsm": _q_show_lsm,
         "corpus_diff": _q_corpus_diff,
         "stream_scd2": _q_stream_scd2,
         "dv_delete": _q_dv_delete,
@@ -7453,7 +7518,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "matview_evolve": """
             WITH base AS (
-              SELECT event_type AS name,
+              SELECT event_id, event_type AS name,
                      CAST(FLOOR(value * 1000) AS BIGINT) AS val,
                      CASE WHEN event_id % 2 <> 0
                           THEN CAST(FLOOR(value * 500) AS BIGINT)
@@ -7462,8 +7527,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT name, count(*) AS n,
                    CAST(sum(val) AS BIGINT) AS total,
                    CAST(sum(val2) AS BIGINT) AS wsum,
-                   max(val2) AS whi
+                   max(val2) AS whi,
+                   arg_max(coalesce(val2, -1), event_id) AS v2last
             FROM base GROUP BY name ORDER BY name
+        """,
+        "show_rollup_gap": """
+            WITH base AS (
+              SELECT epoch_ns(ts) AS t FROM events
+              WHERE event_id < 6000),
+            built AS (
+              SELECT t FROM base WHERE t < 1704844800000000000),
+            lv(rollup_name, p) AS (VALUES
+              ('sec',  CAST(1000000000 AS BIGINT)),
+              ('min',  CAST(60000000000 AS BIGINT)),
+              ('hour', CAST(3600000000000 AS BIGINT))),
+            re AS (
+              SELECT rollup_name,
+                     CAST(max(t - t % p) + p AS BIGINT) AS rollup_end
+              FROM lv, built GROUP BY rollup_name, p)
+            SELECT rollup_name,
+                   (SELECT max(t) FROM base) AS src_end_time,
+                   rollup_end AS rollup_end_time,
+                   (SELECT count(*) FROM base
+                    WHERE t >= re.rollup_end) AS gap,
+                   'SLEEPING' AS run_state
+            FROM re ORDER BY rollup_name
+        """,
+        "show_lsm": """
+            WITH days AS (
+              SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS d
+              FROM events
+              WHERE event_id < 6000
+                AND epoch_ns(ts) // 86400000000000 < 19731),
+            k AS (SELECT d, d % 3 + 1 AS cnt FROM days)
+            SELECT * FROM (
+              SELECT 'd=' || CAST(d AS VARCHAR) AS table_name,
+                     'TAG_DAY_IDX' AS index_name,
+                     CAST(2 AS INTEGER) AS level,
+                     CAST(cnt AS BIGINT) AS count
+              FROM k
+              UNION ALL
+              SELECT 'd=' || CAST(d AS VARCHAR), 'TAG_DAY_IDX',
+                     CAST(0 AS INTEGER), CAST(cnt AS BIGINT)
+              FROM k)
+            ORDER BY table_name, level
         """,
         "describe_history": """
             WITH ev AS (
