@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from neo_server_spark import txlog
 from neo_server_spark.streaming.watch import TxLogWatcher
 
-__all__ = ["MatView"]
+__all__ = ["MatView", "stream_maintain"]
 
 _FNS = ("count", "sum", "min", "max", "avg", "first", "last",
         "approx_distinct")
@@ -292,7 +292,8 @@ class MatView:
         return {"mode": "bootstrap", "chunks": chunks,
                 "delta_rows": rows}
 
-    def refresh(self, max_files: int | None = None) -> dict:
+    def refresh(self, max_files: int | None = None,
+                until_version: int | None = None) -> dict:
         """Fold the delta and publish atomically.  Returns
         ``{"mode": "noop"|"incremental"|"cdf"|"full", "delta_rows": n}``.
 
@@ -304,7 +305,9 @@ class MatView:
 
         ``max_files`` bounds the polled range to at most that many
         added files (≥ one commit) — the chunking primitive
-        ``bootstrap`` loops over.
+        ``bootstrap`` loops over.  ``until_version`` pins the range's
+        end explicitly (the streaming maintainer folds exactly the
+        commits its micro-batch delivered).
 
         The cursor is pinned to ``until`` = the current version BEFORE
         any read, and every read is bounded by it (until_version /
@@ -313,6 +316,8 @@ class MatView:
         later (double count)."""
         since = self.watcher.version
         until = txlog.current_version(self.src_table)
+        if until_version is not None:
+            until = min(until, until_version)
         if until <= since:
             return {"mode": "noop", "delta_rows": 0}
         if max_files is not None:
@@ -526,7 +531,9 @@ class MatView:
 
     def read(self) -> DataFrame:
         """The finalized view: partials projected to their user-facing
-        values — an O(keys) read however large the source is."""
+        values — an O(keys) read however large the source is.
+        (module-level ``stream_maintain`` keeps a view fresh as a real
+        Structured Streaming query instead of a scheduler tick.)"""
         df = txlog.read_table(self.spark, self.view_table)
         cols = [F.col(k) for k in self.keys]
         for out, spec in self.aggs.items():
@@ -540,3 +547,62 @@ class MatView:
             else:
                 cols.append(F.col(f"_p_{out}").alias(out))
         return df.select(*cols)
+
+
+def stream_maintain(spark: SparkSession, view: MatView, checkpoint: str,
+                    max_commits_per_trigger: int | None = None,
+                    trigger_available_now: bool = True,
+                    processing_time: str | None = None):
+    """Continuous IVM maintenance as a REAL Structured Streaming query
+    (r13 verdict stretch #8) — no scheduler tick, no poll loop.
+
+    The txlog's commit log IS the change feed: every commit is one
+    immutable version-named ``N.json`` under ``_txlog/``, appended
+    exactly once, so a file-source ``readStream`` over the log
+    directory is a CDF subscription, and ``maxFilesPerTrigger``
+    becomes admission control in units of COMMITS per micro-batch
+    (the same knob ``stream_scd2`` uses for files).
+
+    The batch content is only the wake signal plus the fold bound:
+    the actual folding is :meth:`MatView.refresh` pinned at the
+    highest version the batch delivered, so every micro-batch
+    publishes one atomic view version and the cursor (``_src_version``
+    in the view rows) advances monotonically mid-stream.  Exactly-once
+    needs NO sink-side txn ledger — a replayed batch re-polls an
+    already-advanced cursor into a noop, and a batch that dies before
+    publish leaves the cursor untouched for the retry.
+
+    ``trigger_available_now=True`` drains the backlog and stops (the
+    bootstrap shape); ``processing_time='5 seconds'`` runs forever as
+    the live maintainer."""
+    import os
+
+    log_dir = os.path.join(view.src_table, txlog._LOG)
+    rd = spark.readStream.format("text")
+    if max_commits_per_trigger:
+        rd = rd.option("maxFilesPerTrigger",
+                       int(max_commits_per_trigger))
+    # one row per log line; the file path carries the version.
+    # pathGlobFilter keeps checkpoint summaries (N.checkpoint.json)
+    # and in-flight staging dotfiles out of the feed entirely, so
+    # admission control counts exactly the commit entries
+    lines = (rd.option("pathGlobFilter", "[0-9]*.json")
+             .load(log_dir)
+             .select(F.col("_metadata.file_path").alias("path")))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        names = [os.path.basename(r["path"]) for r in
+                 batch_df.select("path").distinct().collect()]
+        vers = [int(n.split(".")[0]) for n in names
+                if not n.endswith(".checkpoint.json")]
+        if not vers:
+            return
+        view.refresh(until_version=max(vers))
+
+    writer = (lines.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -660,3 +660,53 @@ def test_matview_rollup_legacy_layout_falls_back(spark, tmp_path):
     plan2 = qc._sc._jvm.PythonSQLUtils.explainString(
         qc._jdf.queryExecution(), "formatted")
     assert "ivml" in plan2 and "cascl" not in plan2
+
+
+def test_stream_maintain_monotone_cursor(spark, tmp_path):
+    """r13 verdict stretch #8: IVM maintenance as a REAL Structured
+    Streaming query over the commit log (no scheduler tick).  With
+    max_commits_per_trigger=1 each micro-batch folds exactly one
+    commit: mid-stream the cursor advances MONOTONICALLY one version
+    at a time, and the drained view equals a from-scratch recompute.
+    A restarted stream (same checkpoint) replays into noops, then
+    folds only genuinely new commits."""
+    from neo_server_spark.streaming.matview import stream_maintain
+
+    src = str(tmp_path / "src")
+    for i in range(4):
+        txlog.write(_mk(spark, i * 25, (i + 1) * 25).coalesce(1), src)
+    mv = MatView(spark, src, str(tmp_path / "view"),
+                 keys=["g"], aggs=AGGS)
+    seen = []
+    orig = mv.refresh
+
+    def spy(**kw):
+        r = orig(**kw)
+        seen.append((mv.watcher.version, r["mode"]))
+        return r
+
+    mv.refresh = spy
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_maintain(spark, mv, ckpt, max_commits_per_trigger=1)
+    assert q.awaitTermination(180), "stream did not drain"
+    cursors = [v for v, _ in seen]
+    assert cursors == sorted(cursors), f"cursor regressed: {seen}"
+    incr = [v for v, m in seen if m == "incremental"]
+    assert incr == [1, 2, 3, 4], \
+        f"expected one-commit-per-batch folds, got {seen}"
+    want, got = _expect(spark, src), _got(mv)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g]["n"] == want[g]["n"]
+        assert got[g]["total"] == pytest.approx(want[g]["total"])
+        assert got[g]["users"] == want[g]["users"]
+    # restart on the same checkpoint: replayed batches are noops; a
+    # new commit folds exactly once
+    seen.clear()
+    txlog.write(_mk(spark, 100, 120).coalesce(1), src)
+    q2 = stream_maintain(spark, mv, ckpt, max_commits_per_trigger=1)
+    assert q2.awaitTermination(180)
+    assert [m for _, m in seen].count("incremental") == 1, seen
+    want, got = _expect(spark, src), _got(mv)
+    for g in want:
+        assert got[g]["n"] == want[g]["n"]
