@@ -4293,24 +4293,73 @@ def _q_dv_delete(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the
-        # first 50 entries.  Round-13 window = the TEN r8-vintage
-        # stragglers the r12 verdict demanded lead (directive #1:
-        # codec_box/html/markdown/ndjson, lake_api_raw/calc, lm2,
-        # substring_spans, winnow_fp, winnow_overlap — clearing them
-        # makes the minimum registry vintage r9 with zero exceptions),
-        # the THREE new entries (rollup_matview_firstlast #5,
-        # matview_evolve stretch #8, describe_history #7), the TEN
-        # entries whose code paths changed this round (corpus_diff
-        # validation fold #3; stream_scd2 single-run epochs +
-        # dv_delete/matview_incr/scd2_dimension slimmed fixtures #4;
-        # rollup_matview pmod + first/last partials; table_clone
-        # reservation; compaction Arrow-side DV density; txlog_dml/
-        # txlog_table over the txlog diff), a FOURTH new entry
-        # (rollup_matview_distinct — the r13 HLL-in-IVM unification,
-        # swapped in for similarity_topk's rotation slot: certifying
-        # new code beats re-rotating an r9 row), and 26 of the 47
-        # r9-vintage rows rotating forward.  Everything else rotates
-        # behind (remaining r9s queue for r14, then r10/r11/r12).
+        # first 50 entries.  Round-14 window = the THREE new entries
+        # (show_rollup_gap/show_lsm per r13 verdict #6, stream_matview
+        # for stretch #8's streaming IVM maintainer), EIGHT entries
+        # whose code paths changed this round (evolve dataChange fix +
+        # recompute escape hatch -> matview_evolve; the stored-layout
+        # coverage gate in sqlx/rollup.py -> rollup_matview{,_firstlast,
+        # _distinct} + rollup_routed; the clone dst reservation ->
+        # table_clone; the exact-cosine size guard ->
+        # embedding_dupes_exact; refresh()'s bounded-range chunking ->
+        # matview_incr), the TWENTY-ONE r9-vintage rows r13 directive
+        # #1 demanded rotate (12 TPC-H shapes + similarity_topk,
+        # stratified_sample, tql_script(_js), text_stats, token_counts,
+        # vocab_topk, streaming_curation, watch_latest — clearing them
+        # makes the minimum registry vintage r10 with zero exceptions),
+        # and 18 of the 46 r10-vintage rows rotating forward.
+        # Everything else rotates behind (remaining r10s queue for r15,
+        # then r11/r12).
+        "show_rollup_gap": _q_show_rollup_gap,
+        "show_lsm": _q_show_lsm,
+        "stream_matview": _q_stream_matview,
+        "matview_evolve": _q_matview_evolve,
+        "rollup_matview_firstlast": _q_rollup_matview_firstlast,
+        "rollup_matview": _q_rollup_matview,
+        "rollup_matview_distinct": _q_rollup_matview_distinct,
+        "rollup_routed": _q_rollup_routed,
+        "table_clone": _q_table_clone,
+        "embedding_dupes_exact": _q_embedding_dupes_exact,
+        "matview_incr": _q_matview_incr,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q22": _q_tpch_q22,
+        "similarity_topk": _q_similarity_topk,
+        "stratified_sample": _q_stratified_sample,
+        "tql_script": _q_tql_script,
+        "tql_script_js": _q_tql_script_js,
+        "text_stats": _q_text_stats,
+        "token_counts": _q_token_counts,
+        "vocab_topk": _q_vocab_topk,
+        "streaming_curation": _q_streaming_curation,
+        "watch_latest": _q_watch_latest,
+        "pack_sequences": _q_pack_sequences,
+        "timer_fire": _q_timer_fire,
+        "subscriber_flow": _q_subscriber_flow,
+        "similarity_pq_rerank": _q_similarity_pq_rerank,
+        "http_source": _q_http_source,
+        "cache_hit": _q_cache_hit,
+        "when_do": _q_when_do,
+        "tql_args": _q_tql_args,
+        "append_sink": _q_append_sink,
+        "simplex_noise": _q_simplex_noise,
+        "fake_gens": _q_fake_gens,
+        "csv_source": _q_csv_source,
+        "line_protocol": _q_line_protocol,
+        "minhash_pairs": _q_minhash_pairs,
+        "boilerplate_clean": _q_boilerplate_clean,
+        "contamination": _q_contamination,
+        "embedding_dupes": _q_embedding_dupes,
+        "embedding_quantize": _q_embedding_quantize,
         "codec_box": _q_codec_box,
         "codec_html": _q_codec_html,
         "codec_markdown": _q_codec_markdown,
@@ -4321,20 +4370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": _q_substring_spans,
         "winnow_fp": _q_winnow_fp,
         "winnow_overlap": _q_winnow_overlap,
-        "rollup_matview_firstlast": _q_rollup_matview_firstlast,
-        "matview_evolve": _q_matview_evolve,
-        "rollup_matview_distinct": _q_rollup_matview_distinct,
         "describe_history": _q_describe_history,
-        "show_rollup_gap": _q_show_rollup_gap,
-        "show_lsm": _q_show_lsm,
-        "stream_matview": _q_stream_matview,
         "corpus_diff": _q_corpus_diff,
         "stream_scd2": _q_stream_scd2,
         "dv_delete": _q_dv_delete,
-        "matview_incr": _q_matview_incr,
-        "rollup_matview": _q_rollup_matview,
         "scd2_dimension": _q_scd2_dimension,
-        "table_clone": _q_table_clone,
         "compaction": _q_compaction,
         "txlog_dml": _q_txlog_dml,
         "txlog_table": _q_txlog_table,
@@ -4345,7 +4385,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "distinct_users": _q_distinct_users,
         "doc_fingerprint": _q_doc_fingerprint,
-        "embedding_dupes_exact": _q_embedding_dupes_exact,
         "group_list": _q_group_list,
         "lake_decode": _q_lake_decode,
         "lake_pivot": _q_lake_pivot,
@@ -4357,7 +4396,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_v2": _q_pipeline_v2,
         "query_builder": _q_query_builder,
         "repetition": _q_repetition,
-        "rollup_routed": _q_rollup_routed,
         "script_udtf": _q_script_udtf,
         "semdedup": _q_semdedup,
         "set_ops": _q_set_ops,
@@ -4451,24 +4489,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tql_set_vars": _q_tql_set_vars,
         "transpose": _q_transpose,
         "when_throttle": _q_when_throttle,
-        "pack_sequences": _q_pack_sequences,
-        "timer_fire": _q_timer_fire,
-        "subscriber_flow": _q_subscriber_flow,
-        "similarity_pq_rerank": _q_similarity_pq_rerank,
-        "http_source": _q_http_source,
-        "cache_hit": _q_cache_hit,
-        "when_do": _q_when_do,
-        "tql_args": _q_tql_args,
-        "append_sink": _q_append_sink,
-        "simplex_noise": _q_simplex_noise,
-        "fake_gens": _q_fake_gens,
-        "csv_source": _q_csv_source,
-        "line_protocol": _q_line_protocol,
-        "minhash_pairs": _q_minhash_pairs,
-        "boilerplate_clean": _q_boilerplate_clean,
-        "contamination": _q_contamination,
-        "embedding_dupes": _q_embedding_dupes,
-        "embedding_quantize": _q_embedding_quantize,
         "embedding_stats": _q_embedding_stats,
         "fft": _q_fft,
         "group_aggs": _q_group_aggs,
@@ -4497,27 +4517,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_last": _q_first_last,
         "flatten_tokens": _q_flatten_tokens,
         "group_aggs2": _q_group_aggs2,
-        "stratified_sample": _q_stratified_sample,
-        "streaming_curation": _q_streaming_curation,
-        "text_stats": _q_text_stats,
-        "token_counts": _q_token_counts,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q22": _q_tpch_q22,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
-        "tql_script": _q_tql_script,
-        "tql_script_js": _q_tql_script_js,
-        "vocab_topk": _q_vocab_topk,
-        "watch_latest": _q_watch_latest,
-        "similarity_topk": _q_similarity_topk,
     }
 
 

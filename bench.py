@@ -307,11 +307,23 @@ def main() -> None:
         "ingest_rows_per_sec": (ingest or {}).get(
             "ingest_3col_rows_per_sec"),
     }
+    # variance telemetry (r13 verdict #2): per-query final spread for
+    # every flagged query plus rep counts, so a cross-round reader can
+    # adjudicate a per-query delta from the tail alone — a "regression"
+    # whose min sits inside a >1.5x rep spread is box noise by
+    # definition, not a plan change
+    compact["noise"] = {k: round(max(v) / min(v), 1)
+                        for k, v in reps.items()
+                        if min(v) > 0.3 and max(v) > 1.5 * min(v)}
+    rep_n = [len(v) for v in reps.values()]
+    compact["rep_counts"] = {"q": len(rep_n), "reps": sum(rep_n),
+                             "reran": sum(1 for n in rep_n if n > 2)}
     if ab:
         compact["ab"] = {k: ab[k] for k in
                          ("head_stable44", "base_stable44", "ratio",
-                          "base_commit", "head_commit", "stale",
-                          "measured_at") if k in ab}
+                          "pairs", "converged", "head_spread",
+                          "base_spread", "base_commit", "head_commit",
+                          "stale", "measured_at") if k in ab}
         # per-section HEAD/base ratios + the worst one (r12 verdict #2:
         # the new-code sections need A/B protection too, not just
         # stable44)
@@ -326,6 +338,15 @@ def main() -> None:
     # carries 3-decimal timings for humans
     compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
     line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:
+        # a loaded box can flag many queries: keep only the 8 worst
+        # spreads (count preserved) before trimming the query map
+        noise = compact["noise"]
+        if len(noise) > 8:
+            worst8 = dict(sorted(noise.items(), key=lambda kv: -kv[1])
+                          [:8])
+            compact["noise"] = {**worst8, "_more": len(noise) - 8}
+        line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1950:
         # keep the expensive queries' bests, drop the sub-second tail
         # (fully recorded in the FULL line above) until the line fits

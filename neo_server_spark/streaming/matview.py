@@ -335,7 +335,15 @@ class MatView:
                 except ValueError:
                     rows = None      # a remove-commit without cdf files
                 if rows is not None:
-                    rows = rows.localCheckpoint(eager=True)
+                    # no eager checkpoint of the raw feed: caching the
+                    # delta costs a full materialization (memory copy +
+                    # possible spill) just to consume it twice, while
+                    # count() over immutable parquet is footer-metadata
+                    # work (aggregate pushdown) and the fold scans the
+                    # columns once — the publish-side checkpoint on the
+                    # MERGED partials already cuts the self-overwrite
+                    # lineage (r14: the chunked bootstrap exposed the
+                    # checkpoint as the dominant per-chunk cost)
                     n = rows.count()
                     fresh = self._signed_partial(rows)
                     try:
@@ -382,7 +390,14 @@ class MatView:
         if delta is None:
             self.watcher.version = until
             return {"mode": "noop", "delta_rows": 0}
-        delta = delta.localCheckpoint(eager=True)
+        # count() first, fold second — two passes over IMMUTABLE files
+        # beat one eager localCheckpoint: the count pushes down to
+        # parquet footer metadata (no column IO), the fold scans the
+        # data exactly once, and nothing is materialized into executor
+        # storage (the old checkpoint's cache write + read-back + spill
+        # pressure made chunked bootstraps pay ~2x the monolithic
+        # per-row cost; the publish-side checkpoint on the MERGED
+        # partials is what actually guards the self-overwrite lineage)
         n = delta.count()
         fresh = self._partial_agg(delta)
         try:

@@ -63,28 +63,49 @@ def main() -> None:
         base = log
     base = _git("rev-parse", base)
     head = _git("rev-parse", "HEAD")
-    reps = int(os.environ.get("AB_BENCH_REPS", "3"))
+    reps_min = int(os.environ.get("AB_BENCH_REPS", "3"))
+    reps_max = int(os.environ.get("AB_BENCH_MAX_REPS", "10"))
     wt = tempfile.mkdtemp(prefix="ab_base_")
     _git("worktree", "add", "--detach", wt, base)
     b_runs: list[dict] = []
     h_runs: list[dict] = []
+    converged = False
     try:
         print(f"ab_bench: base {base[:12]} in {wt}, "
-              f"{reps}x interleaved", flush=True)
+              f">= {reps_min}x interleaved (variance-gated, cap "
+              f"{reps_max})", flush=True)
         # INTERLEAVED reps (base, head, base, head, ...): a load spike
         # during any single run cannot bias one side — the per-side MIN
-        # is each commit's steady-state cost under the same hour's box
-        for rep in range(reps):
+        # is each commit's steady-state cost under the same hour's box.
+        # VARIANCE GATE (r13 verdict #2): after the minimum pairs, keep
+        # buying pairs until the last pair moved NEITHER side's min by
+        # >= 5% — the artifact then defends itself against box noise
+        # instead of needing a human to adjudicate rep spread.
+        rep = 0
+        while True:
             b_runs.append(_run_bench(wt))
             print(f"ab_bench: base[{rep}] stable44 "
                   f"{b_runs[-1].get('stable44_sec')}", flush=True)
             h_runs.append(_run_bench(REPO))
             print(f"ab_bench: head[{rep}] stable44 "
                   f"{h_runs[-1].get('stable44_sec')}", flush=True)
+            rep += 1
+            if rep >= reps_max:
+                break
+            if rep >= reps_min and rep >= 2:
+                b_prev = min(r["stable44_sec"] for r in b_runs[:-1])
+                h_prev = min(r["stable44_sec"] for r in h_runs[:-1])
+                b_now = min(r["stable44_sec"] for r in b_runs)
+                h_now = min(r["stable44_sec"] for r in h_runs)
+                if (b_prev - b_now) / b_prev < 0.05 \
+                        and (h_prev - h_now) / h_prev < 0.05:
+                    converged = True
+                    break
     finally:
         _git("worktree", "remove", "--force", wt)
-    b44 = min(r["stable44_sec"] for r in b_runs)
-    h44 = min(r["stable44_sec"] for r in h_runs)
+    b44s = [r["stable44_sec"] for r in b_runs]
+    h44s = [r["stable44_sec"] for r in h_runs]
+    b44, h44 = min(b44s), min(h44s)
     # per-SECTION ratios (r12 verdict #2): stable44 alone left every
     # round-7+ section unprotected — a regression in, say, txlog_dml was
     # indistinguishable from host drift.  Sections only HEAD has (new
@@ -105,8 +126,15 @@ def main() -> None:
         "head_stable44": h44,
         "base_stable44": b44,
         "ratio": round(h44 / b44, 4) if b44 else None,
-        "head_stable44_reps": [r["stable44_sec"] for r in h_runs],
-        "base_stable44_reps": [r["stable44_sec"] for r in b_runs],
+        "head_stable44_reps": h44s,
+        "base_stable44_reps": b44s,
+        # variance-gate telemetry (r13 verdict #2): pair count, whether
+        # the <5% min-movement gate tripped before the cap, and each
+        # side's rep spread (max/min) — spread > 1.5 marks a noisy box
+        "pairs": len(h_runs),
+        "converged": converged,
+        "head_spread": round(max(h44s) / h44, 2),
+        "base_spread": round(max(b44s) / b44, 2),
         "sections": sections,
         "worst_section": ([worst[0], worst[1]["ratio"]]
                           if worst else None),

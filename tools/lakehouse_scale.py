@@ -117,6 +117,30 @@ def main() -> None:
     tick = time.time()
     mv.refresh()
     out["matview_initial_sec"] = round(time.time() - tick, 3)
+
+    # ---- chunked, restartable bootstrap (r13 #3): same table, a
+    # second view built in bounded per-commit-range chunks — each an
+    # atomic publish with the cursor in the rows, so a kill resumes at
+    # the last chunk.  Must produce IDENTICAL partials to the
+    # monolithic fold (semigroup reassociation only) ----
+    mv2 = MatView(spark, t, os.path.join(root, "view2"),
+                  keys=["event_type"],
+                  aggs={"n": ("count", "event_id"),
+                        "total": ("sum", "val")})
+    chunk_files = max(out["files"] // 8, 1)
+    tick = time.time()
+    rb = mv2.bootstrap(max_files_per_chunk=chunk_files)
+    out["bootstrap_chunked_sec"] = round(time.time() - tick, 3)
+    out["bootstrap_chunks"] = rb["chunks"]
+    out["bootstrap_chunk_files"] = chunk_files
+
+    def _phash(m):
+        import hashlib
+        rows = sorted(map(tuple, m.read_partials().collect()))
+        return hashlib.md5(repr(rows).encode()).hexdigest()
+
+    out["bootstrap_partials_hash_equal"] = _phash(mv) == _phash(mv2)
+
     ev_ver = txlog.current_version(t) + 1
     txlog.write(_shifted([copies]).withColumn(
         "w", (F.col("val") * 2)).repartitionByRange(4, "event_id"),
