@@ -710,3 +710,52 @@ def test_stream_maintain_monotone_cursor(spark, tmp_path):
     want, got = _expect(spark, src), _got(mv)
     for g in want:
         assert got[g]["n"] == want[g]["n"]
+
+
+def test_bound_until_oversized_commit_still_progresses(spark, tmp_path):
+    """A single commit larger than max_files must still be taken whole
+    (the chunk bound is >= one commit), or bootstrap would spin."""
+    src = str(tmp_path / "src")
+    txlog.write(_mk(spark, 0, 30).coalesce(4), src)     # 4 files > max 1
+    txlog.write(_mk(spark, 30, 60).coalesce(4), src)
+    mv = MatView(spark, src, str(tmp_path / "view"),
+                 keys=["g"], aggs={"n": ("count", "id")})
+    r = mv.bootstrap(max_files_per_chunk=1)
+    assert r["chunks"] == 2 and r["delta_rows"] == 60
+    got = {x["g"]: x["n"] for x in mv.read().collect()}
+    exp = {x["g"]: x["n"] for x in
+           txlog.read_table(spark, src).groupBy("g")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == exp
+
+
+def test_stream_maintain_live_trigger(spark, tmp_path):
+    """The processingTime (live) mode: a commit landing WHILE the
+    stream runs is folded without a restart — the continuous-maintainer
+    shape (r13 stretch #8), vs availableNow's drain-and-stop."""
+    import time as _time
+
+    from neo_server_spark.streaming.matview import stream_maintain
+
+    src = str(tmp_path / "src")
+    txlog.write(_mk(spark, 0, 30).coalesce(1), src)
+    mv = MatView(spark, src, str(tmp_path / "view"),
+                 keys=["g"], aggs={"n": ("count", "id"),
+                                   "total": ("sum", "v")})
+    q = stream_maintain(spark, mv, str(tmp_path / "ckpt"),
+                        processing_time="1 second")
+    try:
+        deadline = _time.time() + 120
+        while mv.watcher.version < 1 and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert mv.watcher.version >= 1, "initial commit never folded"
+        txlog.write(_mk(spark, 30, 70).coalesce(1), src)  # mid-stream
+        while mv.watcher.version < 2 and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert mv.watcher.version >= 2, "live commit never folded"
+    finally:
+        q.stop()
+    want, got = _expect(spark, src), _got(mv)
+    for g in want:
+        assert got[g]["n"] == want[g]["n"]
+        assert got[g]["total"] == pytest.approx(want[g]["total"])
