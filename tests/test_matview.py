@@ -759,3 +759,46 @@ def test_stream_maintain_live_trigger(spark, tmp_path):
     for g in want:
         assert got[g]["n"] == want[g]["n"]
         assert got[g]["total"] == pytest.approx(want[g]["total"])
+
+
+def test_matview_rollup_legacy_hll_layout(spark, tmp_path):
+    """The stored-layout gate also covers sketches: a view CONSTRUCTED
+    with distinct_col whose PUBLISHED partials predate the HLL column
+    must not claim approx_distinct — router falls back to the cascade,
+    and query() refuses with the rebuild message (not an
+    AnalysisException)."""
+    from neo_server_spark.sqlx.rollup import (MINUTE, MatViewRollup,
+                                              RollupRouter)
+
+    base = str(tmp_path / "tagh")
+    df = spark.createDataFrame(
+        [("a", i * 700_000_000, float(i % 5), i % 7)
+         for i in range(120)],
+        "name string, time long, value double, dev long")
+    txlog.write(df, base)
+    vt = str(tmp_path / "ivmh")
+    r = MatViewRollup(spark, base, vt, distinct_col="dev")
+    assert r.refresh()["mode"] == "incremental"
+    legacy = txlog.read_table(spark, vt).drop("_p_dcount")
+    txlog.write(legacy.localCheckpoint(eager=True), vt,
+                mode="overwrite")
+    r2 = MatViewRollup(spark, base, vt, distinct_col="dev")
+    assert "approx_distinct" not in r2.servable_modes()
+    assert "count" in r2.servable_modes()
+    with pytest.raises(ValueError, match="pre-r13 layout"):
+        r2.query(MINUTE, {"d": "approx_distinct"})
+    router = RollupRouter(spark, str(tmp_path / "casch"))
+    router.build(txlog.read_table(spark, base), distinct_col="dev")
+    router.attach_matview(r2)
+    q = router.query(MINUTE, {"d": "approx_distinct"})
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted")
+    assert "casch" in plan and "ivmh" not in plan
+    # counts still served from the legacy view
+    got = {(x["name"], x["time"]): x["c"] for x in
+           r2.query(MINUTE, {"c": "count"}).collect()}
+    exp = {(x["name"], x["t"]): x["c"] for x in
+           df.groupBy("name", (F.col("time") - F.col("time") % MINUTE)
+                      .alias("t"))
+           .agg(F.count("value").alias("c")).collect()}
+    assert got == exp
