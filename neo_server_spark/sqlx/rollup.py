@@ -326,14 +326,28 @@ class MatViewRollup:
     def _stored_cols(self) -> set[str] | None:
         """Column names of the PUBLISHED view, from the logged schema
         (no file listing) — None when the view has not been published
-        yet (the first refresh writes the full current spec)."""
+        yet (the first refresh writes the full current spec).
+
+        Cached keyed by the view's latest VERSION (one log listdir to
+        probe, r14 advice: the uncached path replayed the view's whole
+        commit log on every routed query via table_schema) — any
+        refresh/publish/evolve bumps the version and invalidates."""
         from neo_server_spark import txlog
 
+        try:
+            ver = txlog.latest_version(self.view_path)
+        except (FileNotFoundError, ValueError):
+            return None
+        cached = getattr(self, "_stored_cols_cache", None)
+        if cached is not None and cached[0] == ver:
+            return cached[1]
         try:
             sch = txlog.table_schema(self.view_path)
         except FileNotFoundError:
             return None
-        return None if sch is None else {n for n, _t in sch}
+        cols = None if sch is None else {n for n, _t in sch}
+        self._stored_cols_cache = (ver, cols)
+        return cols
 
     def servable_modes(self) -> set[str]:
         """Calc modes the STORED partial layout can actually serve — a
@@ -393,10 +407,21 @@ class MatViewRollup:
                 F.col("time").between(between[0], between[1] - 1))
         bucket = (F.col("time")
                   - F.pmod(F.col("time"), F.lit(period_ns))).cast("long")
-        fold = [
-            F.sum("_p_cnt").alias("_cnt"), F.sum("_p_sum").alias("_sum"),
-            F.sum("_p_sumsq").alias("_sumsq"),
-            F.min("_p_min").alias("_min"), F.max("_p_max").alias("_max")]
+        # every fold entry is gated on the STORED layout, algebraic
+        # partials included — a layout missing one (hand-pruned or a
+        # future vintage) must not raise AnalysisException for modes
+        # servable_modes() approved (r14 advice)
+        fold = []
+        if "_p_cnt" in pcols:
+            fold.append(F.sum("_p_cnt").alias("_cnt"))
+        if "_p_sum" in pcols:
+            fold.append(F.sum("_p_sum").alias("_sum"))
+        if "_p_sumsq" in pcols:
+            fold.append(F.sum("_p_sumsq").alias("_sumsq"))
+        if "_p_min" in pcols:
+            fold.append(F.min("_p_min").alias("_min"))
+        if "_p_max" in pcols:
+            fold.append(F.max("_p_max").alias("_max"))
         if "_p_first" in pcols and "_t_first" in pcols:
             fold.append(F.min_by("_p_first", "_t_first").alias("_first"))
         if "_p_last" in pcols and "_t_last" in pcols:

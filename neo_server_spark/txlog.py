@@ -287,6 +287,18 @@ def current_version(table: str) -> int:
     return _replay(table)[0]
 
 
+def latest_version(table: str) -> int:
+    """Latest committed version from ONE log listing — no entry reads,
+    no replay.  Equivalent to :func:`current_version` (the version is
+    carried in the entry filename) at a fraction of the cost; the cheap
+    probe cache keys want (e.g. the rollup router's stored-layout cache
+    checks it per routed query)."""
+    cp_ver, tail = _list_log(table)
+    if tail:
+        return _ver_of(tail[-1])
+    return cp_ver or 0
+
+
 def last_txn_version(table: str, app: str, epoch: int) -> int | None:
     """Version that committed (app, epoch), or None — the idempotence
     probe foreachBatch retries use."""

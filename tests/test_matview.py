@@ -802,3 +802,236 @@ def test_matview_rollup_legacy_hll_layout(spark, tmp_path):
                       .alias("t"))
            .agg(F.count("value").alias("c")).collect()}
     assert got == exp
+
+
+def test_bound_until_never_exceeds_budget(spark, tmp_path):
+    """r14 advice: the chunk bound is checked BEFORE admitting a
+    commit — with 2-file commits and max_files=3 every chunk takes
+    exactly one commit (adding the second would reach 4 > 3), where
+    the old include-then-break let chunks overshoot to 4 files."""
+    src = str(tmp_path / "src")
+    for i in range(4):
+        txlog.write(_mk(spark, i * 10, (i + 1) * 10).coalesce(2), src)
+    mv = MatView(spark, src, str(tmp_path / "view"),
+                 keys=["g"], aggs={"n": ("count", "id")})
+    bounds = []
+    v = 0
+    while v < txlog.current_version(src):
+        nxt = mv._bound_until(v, txlog.current_version(src), 3)
+        assert nxt == v + 1, \
+            f"chunk (since={v}] admitted versions through {nxt}: " \
+            f"2+2=4 files exceeds the max_files=3 budget"
+        bounds.append(nxt)
+        v = nxt
+    assert bounds == [1, 2, 3, 4]
+    # progress guarantee unchanged: one oversized FIRST commit is
+    # still taken whole
+    big = str(tmp_path / "big")
+    txlog.write(_mk(spark, 0, 30).coalesce(4), big)
+    mvb = MatView(spark, big, str(tmp_path / "viewb"),
+                  keys=["g"], aggs={"n": ("count", "id")})
+    assert mvb._bound_until(0, 1, 1) == 1
+
+
+def test_evolve_failure_leaves_object_consistent(spark, tmp_path):
+    """r14 advice: a failed evolve publish (checkpoint failure, commit
+    conflict) must NOT wedge the maintainer — self.aggs stays at the
+    stored layout, refresh() keeps working, and retrying the evolve
+    succeeds instead of raising 'already exists'."""
+    src = str(tmp_path / "src")
+    txlog.write(_mk(spark, 0, 40), src)
+    mv = MatView(spark, src, str(tmp_path / "view"),
+                 keys=["g"], aggs={"n": ("count", "id"),
+                                   "total": ("sum", "v")})
+    assert mv.refresh()["mode"] == "incremental"
+    ev_ver = txlog.write(
+        _mk(spark, 40, 60).withColumn("w", F.col("v") * 2.0),
+        src, merge_schema=True)
+    assert mv.refresh()["mode"] == "incremental"
+    orig_publish = mv._publish
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected publish failure")
+
+    before = dict(mv.aggs)
+    for kw in ({"recompute": True}, {}):
+        mv._publish = boom
+        with pytest.raises(RuntimeError, match="injected"):
+            mv.evolve({"wsum": ("sum", "w")}, since_version=ev_ver,
+                      **kw)
+        assert mv.aggs == before, \
+            "failed evolve left phantom aggregates in self.aggs"
+        mv._publish = orig_publish
+        # the maintainer still works against the stored layout
+        txlog.write(_mk(spark, 60, 70), src)
+        assert mv.refresh()["mode"] == "incremental"
+    # the retry now SUCCEEDS (no 'already exists')
+    r = mv.evolve({"wsum": ("sum", "w")}, since_version=ev_ver)
+    assert r["mode"] == "evolve"
+    got = _got(mv)
+    exp = {x["g"]: x for x in
+           txlog.read_table(spark, src).groupBy("g").agg(
+               F.sum("w").alias("wsum")).collect()}
+    for g in exp:
+        assert got[g]["wsum"] == exp[g]["wsum"]
+
+
+def test_stream_maintain_admission_excludes_checkpoints(spark,
+                                                        tmp_path):
+    """r14 verdict #3 + advice: checkpoint summaries
+    (N.checkpoint.json) must not enter the file-source feed at all —
+    they would consume maxFilesPerTrigger admission slots and fire
+    no-op micro-batches.  With the exact commit glob, a log holding
+    interleaved checkpoints drains in EXACTLY one batch per commit."""
+    import os
+
+    from neo_server_spark.streaming.matview import (_COMMIT_GLOB,
+                                                    stream_maintain)
+
+    src = str(tmp_path / "src")
+    txlog.write(_mk(spark, 0, 20).coalesce(1), src)      # v1
+    txlog.write(_mk(spark, 20, 40).coalesce(1), src)     # v2
+    txlog.checkpoint(src)            # 2.checkpoint.json interleaved
+    txlog.write(_mk(spark, 40, 60).coalesce(1), src)     # v3
+    txlog.checkpoint(src)            # 3.checkpoint.json
+    txlog.write(_mk(spark, 60, 80).coalesce(1), src)     # v4
+    log_dir = os.path.join(src, "_txlog")
+    assert sum(1 for n in os.listdir(log_dir)
+               if n.endswith(".checkpoint.json")) == 2
+    # admission level: the glob admits exactly the 4 commit entries
+    admitted = {os.path.basename(r["p"]) for r in
+                spark.read.format("text")
+                .option("pathGlobFilter", _COMMIT_GLOB)
+                .load(log_dir)
+                .select(F.col("_metadata.file_path").alias("p"))
+                .collect()}
+    assert len(admitted) == 4
+    assert not any(n.endswith(".checkpoint.json") for n in admitted)
+    # stream level: one micro-batch per commit, no checkpoint-only
+    # no-op batches, every batch folds exactly one version
+    mv = MatView(spark, src, str(tmp_path / "view"),
+                 keys=["g"], aggs=AGGS)
+    seen = []
+    orig = mv.refresh
+
+    def spy(**kw):
+        r = orig(**kw)
+        seen.append((kw.get("until_version"), r["mode"]))
+        return r
+
+    mv.refresh = spy
+    q = stream_maintain(spark, mv, str(tmp_path / "ckpt"),
+                        max_commits_per_trigger=1)
+    assert q.awaitTermination(180), "stream did not drain"
+    assert [u for u, _ in seen] == [1, 2, 3, 4], \
+        f"admission control admitted non-commit files: {seen}"
+    batches = [p for p in q.recentProgress
+               if p["numInputRows"] > 0]
+    assert len(batches) == 4, \
+        f"expected 4 one-commit batches, got " \
+        f"{[(p['batchId'], p['numInputRows']) for p in q.recentProgress]}"
+    assert all(p["numInputRows"] == 1 for p in batches)
+    want, got = _expect(spark, src), _got(mv)
+    for g in want:
+        assert got[g]["n"] == want[g]["n"]
+        assert got[g]["total"] == pytest.approx(want[g]["total"])
+
+
+def test_bootstrap_publish_every_amortizes_publishes(spark, tmp_path):
+    """r14 verdict #5: the per-chunk cost at scale is the PUBLISH
+    (localCheckpoint + full view overwrite), not the fold — bootstrap
+    folds per chunk but publishes every K chunks.  Publish count drops
+    to ceil(chunks / K), the result stays identical to the monolithic
+    fold, and a kill BETWEEN publishes resumes from the last publish
+    without loss or double count."""
+    src = str(tmp_path / "src")
+    for i in range(6):
+        txlog.write(_mk(spark, i * 20, (i + 1) * 20).coalesce(2), src)
+    mono = MatView(spark, src, str(tmp_path / "mono"),
+                   keys=["g"], aggs=AGGS)
+    mono.refresh()
+    a = sorted(map(tuple, mono.read().collect()))
+
+    mv = MatView(spark, src, str(tmp_path / "view"),
+                 keys=["g"], aggs=AGGS)
+    publishes = []
+    orig = mv._publish
+
+    def counting(df, ver):
+        publishes.append(ver)
+        return orig(df, ver)
+
+    mv._publish = counting
+    r = mv.bootstrap(max_files_per_chunk=2, publish_every=3)
+    assert r["chunks"] == 6 and r["delta_rows"] == 120
+    assert len(publishes) == 2, \
+        f"6 chunks / publish_every=3 should publish twice, " \
+        f"got {publishes}"
+    assert publishes == [3, 6]      # cursor rides each publish
+    assert sorted(map(tuple, mv.read().collect())) == a
+
+    # kill between publishes: die on the SECOND publish — the view
+    # keeps the first publish's cursor, a fresh maintainer re-folds
+    # only chunks 4-6 and converges to the same partials
+    mv2 = MatView(spark, src, str(tmp_path / "view2"),
+                  keys=["g"], aggs=AGGS)
+    orig2 = mv2._publish
+    calls = {"n": 0}
+
+    def dying(df, ver):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("killed mid-bootstrap")
+        return orig2(df, ver)
+
+    mv2._publish = dying
+    with pytest.raises(RuntimeError, match="killed"):
+        mv2.bootstrap(max_files_per_chunk=2, publish_every=3)
+    resumed = MatView(spark, src, str(tmp_path / "view2"),
+                      keys=["g"], aggs=AGGS)
+    assert resumed.watcher.version == 3, \
+        "kill between publishes must resume at the last publish"
+    r2 = resumed.bootstrap(max_files_per_chunk=2, publish_every=3)
+    assert r2["chunks"] == 3
+    assert sorted(map(tuple, resumed.read().collect())) == a
+    assert resumed.refresh() == {"mode": "noop", "delta_rows": 0}
+
+
+def test_stored_cols_cache_invalidates_on_publish(spark, tmp_path):
+    """r14 advice: _covered_by_matview probed the stored layout by
+    replaying the view's commit log PER ROUTED QUERY — now cached
+    keyed by the view's latest version (one listdir to probe), and any
+    publish invalidates it."""
+    from neo_server_spark.sqlx.rollup import MINUTE, MatViewRollup
+
+    base = str(tmp_path / "tagc")
+    df = spark.createDataFrame(
+        [("a", i * 700_000_000, float(i % 5)) for i in range(60)],
+        "name string, time long, value double")
+    txlog.write(df, base)
+    vt = str(tmp_path / "ivmc")
+    r = MatViewRollup(spark, base, vt)
+    assert r.refresh()["mode"] == "incremental"
+    assert "first" in r.servable_modes()
+    ver0 = txlog.latest_version(vt)
+    assert r._stored_cols_cache[0] == ver0
+    # cached probe: repeated calls reuse the same tuple (no replay)
+    c1 = r._stored_cols()
+    assert r._stored_cols() is c1
+    # a publish (here: a legacy-layout overwrite) bumps the version
+    # and invalidates — servable_modes reflects the NEW layout without
+    # constructing a fresh router
+    legacy = txlog.read_table(spark, vt).drop(
+        "_p_first", "_t_first", "_p_last", "_t_last")
+    txlog.write(legacy.localCheckpoint(eager=True), vt,
+                mode="overwrite")
+    assert txlog.latest_version(vt) > ver0
+    modes = r.servable_modes()
+    assert "first" not in modes and "count" in modes
+    got = {(x["name"], x["time"]): x["c"] for x in
+           r.query(MINUTE, {"c": "count"}).collect()}
+    exp = {(x["name"], x["t"]): x["c"] for x in
+           df.groupBy("name", (F.col("time") - F.col("time") % MINUTE)
+                      .alias("t"))
+           .agg(F.count("value").alias("c")).collect()}
+    assert got == exp
