@@ -707,7 +707,14 @@ def stream_maintain(spark: SparkSession, view: MatView, checkpoint: str,
     # the old [0-9]*.json let checkpoints consume trigger slots and
     # fire no-op micro-batches; correctness was carried by the sink's
     # name filter alone — kept below as defense in depth)
+    # ignoreMissingFiles: a concurrent checkpoint+vacuum may delete an
+    # admitted entry between the source's listing and its read — the
+    # batch then just carries fewer paths; the vacuumed version's
+    # effect is still folded, because refresh() folds the whole RANGE
+    # (cursor, until_version] and a later commit (one must exist for a
+    # checkpoint to cover it) or the next batch advances the bound
     lines = (rd.option("pathGlobFilter", _COMMIT_GLOB)
+             .option("ignoreMissingFiles", "true")
              .load(log_dir)
              .select(F.col("_metadata.file_path").alias("path")))
 

@@ -803,6 +803,8 @@ def test_multiprocess_writer_stress(spark, tmp_path):
 
     from neo_server_spark.streaming.matview import MatView
 
+    from neo_server_spark.streaming.matview import stream_maintain
+
     t = str(tmp_path / "mp")
     # seed schema MUST match the workers' single-column files (the
     # rewrite worker pa.concat_tables the live snapshot)
@@ -810,6 +812,17 @@ def test_multiprocess_writer_stress(spark, tmp_path):
     mv = MatView(spark, t, str(tmp_path / "view"), keys=["g"],
                  aggs={"n": ("count", "id"), "total": ("sum", "id")},
                  key_exprs={"g": "pmod(id, 4)"})
+    # 7th actor (r14 verdict #6): a LIVE processingTime streaming
+    # maintainer on its OWN view races the same appenders/compactors/
+    # vacuums/cloners — its refresh fallback paths (checkpoint-
+    # truncation -> full recompute, vacuumed-entry admission) run
+    # UNDER the stream, not just in the parent's tick loop
+    mv_s = MatView(spark, t, str(tmp_path / "sview"), keys=["g"],
+                   aggs={"n": ("count", "id"),
+                         "total": ("sum", "id")},
+                   key_exprs={"g": "pmod(id, 4)"})
+    sq = stream_maintain(spark, mv_s, str(tmp_path / "sckpt"),
+                         processing_time="1 second")
     n_workers, n_ops = 6, 18
     ctx = mp.get_context("spawn")
     modes = set()
@@ -911,6 +924,18 @@ def test_multiprocess_writer_stress(spark, tmp_path):
                  F.sum("id").alias("total"),
                  F.sum("w").alias("wsum")).collect()}
     assert got == want, f"view drifted: modes seen {modes}"
+    # 6. the STREAMED maintainer survived every concurrent mutation
+    # (mid-stress appends/rewrites/checkpoints/vacuums AND the
+    # zero-retention vacuum above) without dying; a final drain folds
+    # the tail and its view equals a from-scratch recompute too
+    assert sq.exception() is None, f"stream died: {sq.exception()}"
+    sq.stop()
+    mv_s.refresh()
+    got_s = {r["g"]: (r["n"], r["total"])
+             for r in mv_s.read().collect()}
+    want_s = {g: (n, tot) for g, (n, tot, _w) in want.items()}
+    assert got_s == want_s, \
+        f"streamed view drifted under the stress"
 
 
 def _mp_dv_worker(args):
