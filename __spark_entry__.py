@@ -2614,6 +2614,44 @@ def _q_lake_api_calc(spark, sf_dir):
         .orderBy("NAME", "TIME")
 
 
+def _q_lake_fanout(spark, sf_dir):
+    """64-tag lake fan-out parity (r14 verdict stretch #8): the
+    reference fans a multi-tag lake read across one goroutine per tag
+    (mods/server/http_lake.go:1596-1645 — per-tag queries joined at
+    the response writer); Spark expresses the SAME semantics as ONE
+    declarative plan — a single ranged scan, one hash aggregate keyed
+    (NAME, bucket) — and gets the parallelism from partitioning
+    instead of per-tag jobs.  The plan is pinned right here: exactly
+    one parquet scan of events, no 64-branch union (plus
+    tests/test_plans.py::test_lake_fanout_single_scan)."""
+    from neo_server_spark.sqlx import lake
+    from neo_server_spark.sqlx.dialect import lake_sql
+    ev = nio.events_as_tag(spark, sf_dir)
+    tag = ev.select(
+        F.concat(F.lit("t"),
+                 F.lpad(F.pmod("event_id", F.lit(64)).cast("string"),
+                        2, "0")).alias("name"),
+        "time", "value")
+    lake.register_lake_views(spark, tag)
+    t0 = 1704067200 * 10**9
+    sql = lake.calc_sql([f"t{i:02d}" for i in range(64)],
+                        t0, t0 + 24 * 3600 * 10**9,
+                        calc_mode="AVG", interval_type="HOUR",
+                        interval_value=1, limit="100000")
+    df = lake_sql(spark, sql)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    # "(N) Scan parquet" = one detail block per physical scan (the
+    # bare string appears twice per scan: tree line + detail header)
+    n_scans = plan.count(") Scan parquet")
+    assert n_scans == 1, \
+        f"64-tag fan-out must be ONE scan, plan has {n_scans}"
+    assert "Union" not in plan, "per-tag plan branches detected"
+    return df.select("NAME", "TIME",
+                     F.round("VALUE", 6).alias("VALUE")) \
+        .orderBy("NAME", "TIME")
+
+
 def _q_similarity_lsh(spark, sf_dir):
     """LSH-bucketed ANN (similarity.lsh_topk): the query's multi-band
     hyperplane buckets select candidates; exact cosine ranks them.  md5
@@ -3961,14 +3999,12 @@ def _q_matview_evolve(spark, sf_dir):
     identity, so no full recompute.  Sequence: v1 append (no val2) ->
     refresh -> v2 merge_schema append (val2) -> refresh (still
     incremental, typed-NULL CDF projection) -> evolve(wsum/whi,
-    since_version=2) -> evolve(v2last, recompute=True) — the r13 #4
-    escape hatch: order-aware aggregates whose fold identity is not
-    NULL ride ONE atomic full-recompute publish (mode
-    'evolve_recompute') instead of forcing manual view recreation ->
-    read.  The oracle recomputes the widened view from the raw rows
-    with val2 NULL on the pre-evolution tranche; v2last coalesces so
-    both engines' min_by/arg_max NULL semantics stay out of play, and
-    event_id gives a strict total order."""
+    since_version=2) -> read.  PURE O(delta): the recompute escape
+    hatch lives in its own entry (matview_evolve_recompute) so bench
+    attribution never conflates the backfill cost with a full
+    recompute (r14 verdict #4).  The oracle recomputes the widened
+    view from the raw rows with val2 NULL on the pre-evolution
+    tranche."""
     import os
     import tempfile
 
@@ -3997,14 +4033,66 @@ def _q_matview_evolve(spark, sf_dir):
     r = mv.evolve({"wsum": ("sum", "val2"), "whi": ("max", "val2")},
                   since_version=2)
     assert r["mode"] == "evolve" and r["backfill_files"] >= 1
-    r2 = mv.evolve({"v2last": ("last", "coalesce(val2, -1)",
-                               "event_id")},
-                   since_version=2, recompute=True)
-    assert r2["mode"] == "evolve_recompute"
     return (mv.read()
             .select("name", "n", F.col("total").cast("long")
                     .alias("total"),
-                    F.col("wsum").cast("long").alias("wsum"), "whi",
+                    F.col("wsum").cast("long").alias("wsum"), "whi")
+            .orderBy("name"))
+
+
+def _q_matview_evolve_recompute(spark, sf_dir):
+    """The evolve() ESCAPE HATCH (r13 verdict #4, r14 #4: its own
+    entry so the O(table) recompute never pollutes matview_evolve's
+    O(delta) bench attribution): aggregates whose fold identity is
+    not NULL — row-counting ``count`` and order-aware ``last`` —
+    cannot be backfilled from post-evolution files, so
+    ``recompute=True`` rebuilds the whole widened view in ONE atomic
+    publish at the current cursor (mode 'evolve_recompute'), priced
+    honestly as a full scan.  Same fixture as matview_evolve; the
+    oracle recomputes the widened view from the raw rows (v2last
+    coalesces so both engines' max_by/arg_max NULL semantics stay out
+    of play; event_id is a strict total order)."""
+    import os
+    import tempfile
+
+    from neo_server_spark import txlog
+    from neo_server_spark.streaming.matview import MatView
+
+    ev = (nio.load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 3000)
+          .select("event_id",
+                  F.col("event_type").alias("name"),
+                  F.floor(F.col("value") * 1000).alias("val"),
+                  F.floor(F.col("value") * 500).alias("val2")))
+    root = tempfile.mkdtemp(prefix="mv_evolve_rc_")
+    src = os.path.join(root, "src")
+    txlog.write(ev.filter(F.col("event_id") % 2 == 0)
+                .select("name", "val", "event_id"), src)         # v1
+    mv = MatView(spark, src, os.path.join(root, "view"),
+                 keys=["name"],
+                 aggs={"n": ("count", "val"),
+                       "total": ("sum", "val")})
+    assert mv.refresh()["mode"] == "incremental"
+    txlog.write(ev.filter(F.col("event_id") % 2 != 0)
+                .select("name", "val", "val2", "event_id"), src,
+                merge_schema=True)                               # v2
+    assert mv.refresh()["mode"] == "incremental"
+    # count/last are REJECTED on the O(delta) path (identity not NULL)
+    try:
+        mv.evolve({"rows2": ("count", "val2")}, since_version=2)
+        raise AssertionError("count must not ride the O(delta) path")
+    except ValueError:
+        pass
+    r = mv.evolve({"rows2": ("count", "val"),
+                   "v2last": ("last", "coalesce(val2, -1)",
+                              "event_id")},
+                  since_version=2, recompute=True)
+    assert r["mode"] == "evolve_recompute"
+    # the widened set keeps folding incrementally afterwards
+    assert mv.refresh()["mode"] == "noop"
+    return (mv.read()
+            .select("name", F.col("n").cast("long").alias("n"),
+                    F.col("rows2").cast("long").alias("rows2"),
                     "v2last")
             .orderBy("name"))
 
@@ -4293,34 +4381,77 @@ def _q_dv_delete(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the verification driver checks the
-        # first 50 entries.  Round-14 window = the THREE new entries
-        # (show_rollup_gap/show_lsm per r13 verdict #6, stream_matview
-        # for stretch #8's streaming IVM maintainer), EIGHT entries
-        # whose code paths changed this round (evolve dataChange fix +
-        # recompute escape hatch -> matview_evolve; the stored-layout
-        # coverage gate in sqlx/rollup.py -> rollup_matview{,_firstlast,
-        # _distinct} + rollup_routed; the clone dst reservation ->
-        # table_clone; the exact-cosine size guard ->
-        # embedding_dupes_exact; refresh()'s bounded-range chunking ->
-        # matview_incr), the TWENTY-ONE r9-vintage rows r13 directive
-        # #1 demanded rotate (12 TPC-H shapes + similarity_topk,
-        # stratified_sample, tql_script(_js), text_stats, token_counts,
-        # vocab_topk, streaming_curation, watch_latest — clearing them
-        # makes the minimum registry vintage r10 with zero exceptions),
-        # and 18 of the 46 r10-vintage rows rotating forward.
-        # Everything else rotates behind (remaining r10s queue for r15,
-        # then r11/r12).
-        "show_rollup_gap": _q_show_rollup_gap,
-        "show_lsm": _q_show_lsm,
-        "stream_matview": _q_stream_matview,
+        # first 50 entries.  Round-15 window = the TWO new entries
+        # (matview_evolve_recompute — the r14 #4 split so the O(table)
+        # escape hatch never pollutes matview_evolve's O(delta) bench
+        # attribution — and lake_fanout, the 64-tag single-scan parity
+        # exhibit per r14 stretch #8), EIGHT entries whose code paths
+        # changed this round (matview.py bootstrap publish batching +
+        # _bound_until budget fix + evolve rollback safety + exact
+        # commit-glob admission -> matview_evolve/matview_incr/
+        # stream_matview; sqlx/rollup.py stored-layout cache + gated
+        # fold -> rollup_matview{,_firstlast,_distinct}/rollup_routed;
+        # txlog.latest_version + the r14 perf-delta adjudication ->
+        # txlog_table), the TWENTY-EIGHT r10-vintage rows r14 directive
+        # #1 queued (clearing them makes the minimum registry vintage
+        # r11 with zero exceptions), and the 12 alphabetically-first
+        # r11-vintage rows starting the next rotation queue.
+        # Everything else rotates behind.
+        "matview_evolve_recompute": _q_matview_evolve_recompute,
+        "lake_fanout": _q_lake_fanout,
         "matview_evolve": _q_matview_evolve,
-        "rollup_matview_firstlast": _q_rollup_matview_firstlast,
+        "matview_incr": _q_matview_incr,
+        "stream_matview": _q_stream_matview,
         "rollup_matview": _q_rollup_matview,
+        "rollup_matview_firstlast": _q_rollup_matview_firstlast,
         "rollup_matview_distinct": _q_rollup_matview_distinct,
         "rollup_routed": _q_rollup_routed,
+        "txlog_table": _q_txlog_table,
+        "asof_join": _q_asof_join,
+        "boxplot": _q_boxplot,
+        "codec_csv": _q_codec_csv,
+        "embedding_stats": _q_embedding_stats,
+        "fft": _q_fft,
+        "filter_changed": _q_filter_changed,
+        "filter_changed_retain": _q_filter_changed_retain,
+        "first_last": _q_first_last,
+        "flatten_tokens": _q_flatten_tokens,
+        "group_aggs": _q_group_aggs,
+        "group_aggs2": _q_group_aggs2,
+        "group_where": _q_group_where,
+        "lm_score": _q_lm_score,
+        "map_kalman": _q_map_kalman,
+        "multimodal_audio": _q_multimodal_audio,
+        "multimodal_decode": _q_multimodal_decode,
+        "oscillator_fft": _q_oscillator_fft,
+        "salted_join": _q_salted_join,
+        "session_window": _q_session_window,
+        "simhash": _q_simhash,
+        "sliding_window": _q_sliding_window,
+        "source_profile": _q_source_profile,
+        "timewindow_spline": _q_timewindow_spline,
+        "tokens_bpe": _q_tokens_bpe,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q9": _q_tpch_q9,
+        "tql_dsl": _q_tql_dsl,
+        "bridge_sql": _q_bridge_sql,
+        "doc_chunks": _q_doc_chunks,
+        "group_weighted": _q_group_weighted,
+        "histogram": _q_histogram,
+        "histogram_streaming": _q_histogram_streaming,
+        "join_revenue": _q_join_revenue,
+        "json_extract": _q_json_extract,
+        "lang_quality": _q_lang_quality,
+        "map_diff": _q_map_diff,
+        "map_diff_blocked": _q_map_diff_blocked,
+        "map_lowpass": _q_map_lowpass,
+        "map_movavg": _q_map_movavg,
+        # ---- end of driver window (50) ----
+        "show_rollup_gap": _q_show_rollup_gap,
+        "show_lsm": _q_show_lsm,
         "table_clone": _q_table_clone,
         "embedding_dupes_exact": _q_embedding_dupes_exact,
-        "matview_incr": _q_matview_incr,
         "tpch_q2": _q_tpch_q2,
         "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
@@ -4377,7 +4508,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_dimension": _q_scd2_dimension,
         "compaction": _q_compaction,
         "txlog_dml": _q_txlog_dml,
-        "txlog_table": _q_txlog_table,
         "backup_mount": _q_backup_mount,
         "boilerplate": _q_boilerplate,
         "curation_funnel": _q_curation_funnel,
@@ -4442,24 +4572,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q_text_normalize,
         "tfidf_terms": _q_tfidf_terms,
         "url_normalize": _q_url_normalize,
-        "doc_chunks": _q_doc_chunks,
         "rollup_txlog": _q_rollup_txlog,
-        "bridge_sql": _q_bridge_sql,
         "tag_stat_incremental": _q_tag_stat_incremental,
         "zorder_prune": _q_zorder_prune,
         "rollup_distinct": _q_rollup_distinct,
         "similarity_ivf_batch": _q_similarity_ivf_batch,
         "streaming_rollup": _q_streaming_rollup,
-        "group_weighted": _q_group_weighted,
-        "histogram": _q_histogram,
-        "histogram_streaming": _q_histogram_streaming,
-        "join_revenue": _q_join_revenue,
-        "json_extract": _q_json_extract,
-        "lang_quality": _q_lang_quality,
-        "map_diff": _q_map_diff,
-        "map_diff_blocked": _q_map_diff_blocked,
-        "map_lowpass": _q_map_lowpass,
-        "map_movavg": _q_map_movavg,
         "math_funcs": _q_math_funcs,
         "mode_entropy": _q_mode_entropy,
         "ngram_pairs": _q_ngram_pairs,
@@ -4489,34 +4607,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tql_set_vars": _q_tql_set_vars,
         "transpose": _q_transpose,
         "when_throttle": _q_when_throttle,
-        "embedding_stats": _q_embedding_stats,
-        "fft": _q_fft,
-        "group_aggs": _q_group_aggs,
-        "group_where": _q_group_where,
-        "lm_score": _q_lm_score,
-        "map_kalman": _q_map_kalman,
-        "multimodal_audio": _q_multimodal_audio,
-        "multimodal_decode": _q_multimodal_decode,
-        "oscillator_fft": _q_oscillator_fft,
-        "salted_join": _q_salted_join,
-        "simhash": _q_simhash,
-        "source_profile": _q_source_profile,
-        "timewindow_spline": _q_timewindow_spline,
-        "tokens_bpe": _q_tokens_bpe,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q9": _q_tpch_q9,
-        "session_window": _q_session_window,
-        "sliding_window": _q_sliding_window,
-        "tql_dsl": _q_tql_dsl,
-        "asof_join": _q_asof_join,
-        "boxplot": _q_boxplot,
-        "codec_csv": _q_codec_csv,
-        "filter_changed": _q_filter_changed,
-        "filter_changed_retain": _q_filter_changed_retain,
-        "first_last": _q_first_last,
-        "flatten_tokens": _q_flatten_tokens,
-        "group_aggs2": _q_group_aggs2,
     }
 
 
@@ -6015,6 +6105,22 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WHERE event_type IN ('click', 'view')
                 AND epoch_ns(ts) BETWEEN 1704067200000000000
+                                     AND 1704153600000000000
+            )
+            SELECT name AS NAME,
+                   strftime(to_timestamp(b // 1000000000),
+                            '%Y-%m-%d %H:%M:%S') AS TIME,
+                   round(avg(value), 6) AS VALUE
+            FROM t GROUP BY name, b ORDER BY NAME, TIME
+        """,
+        "lake_fanout": """
+            WITH t AS (
+              SELECT 't' || lpad(CAST(event_id % 64 AS VARCHAR),
+                                 2, '0') AS name,
+                     epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS b,
+                     value
+              FROM events
+              WHERE epoch_ns(ts) BETWEEN 1704067200000000000
                                      AND 1704153600000000000
             )
             SELECT name AS NAME,
@@ -7575,7 +7681,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT name, count(*) AS n,
                    CAST(sum(val) AS BIGINT) AS total,
                    CAST(sum(val2) AS BIGINT) AS wsum,
-                   max(val2) AS whi,
+                   max(val2) AS whi
+            FROM base GROUP BY name ORDER BY name
+        """,
+        "matview_evolve_recompute": """
+            WITH base AS (
+              SELECT event_id, event_type AS name,
+                     CASE WHEN event_id % 2 <> 0
+                          THEN CAST(FLOOR(value * 500) AS BIGINT)
+                     END AS val2
+              FROM events WHERE event_id < 3000)
+            SELECT name, count(*) AS n, count(*) AS rows2,
                    arg_max(coalesce(val2, -1), event_id) AS v2last
             FROM base GROUP BY name ORDER BY name
         """,

@@ -114,6 +114,12 @@ BENCH_QUERIES = [
     "rollup_matview_firstlast",
     "matview_evolve",
     "corpus_diff",
+    # round-15 additions: the evolve() escape hatch split into its own
+    # entry (r14 verdict #4 — matview_evolve above is pure O(delta)
+    # again) and the 64-tag single-scan lake fan-out parity exhibit
+    # (r14 stretch #8)
+    "matview_evolve_recompute",
+    "lake_fanout",
 ]
 
 
@@ -183,7 +189,8 @@ def main() -> None:
         ("round10", BENCH_QUERIES[63:66]),
         ("round11", BENCH_QUERIES[66:69]),
         ("round12", BENCH_QUERIES[69:71]),
-        ("round13", BENCH_QUERIES[71:]),
+        ("round13", BENCH_QUERIES[71:74]),
+        ("round15", BENCH_QUERIES[74:]),
     ]
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}

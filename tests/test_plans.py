@@ -549,3 +549,22 @@ def test_corpus_diff_zero_scan_and_single_action(spark, tmp_path):
     assert 1 <= len(jobs) <= 4, jobs
     assert {(r["doc_id"], r["change"]) for r in rows} == \
         {(1, "modified"), (3, "added")}
+
+
+def test_lake_fanout_single_scan(spark, sf_dir):
+    """r14 verdict stretch #8: the reference fans a 64-tag lake read
+    across one goroutine per tag (http_lake.go:1596-1645); our plan
+    must be ONE ranged parquet scan + ONE hash aggregate — no per-tag
+    jobs, no 64-branch union, partial aggregation before the single
+    shuffle, and top-k compiled to TakeOrderedAndProject."""
+    import __spark_entry__ as e
+
+    df = e.queries()["lake_fanout"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count(") Scan parquet") == 1
+    assert "Union" not in plan
+    assert "partial_avg" in plan, "map-side partial aggregation lost"
+    # "(N) Exchange" = detail header, once per physical shuffle
+    assert plan.count(") Exchange") == 1, \
+        "expected exactly one shuffle (the keyed aggregate)"
+    assert "TakeOrderedAndProject" in plan
