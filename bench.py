@@ -325,12 +325,34 @@ def main() -> None:
     rep_n = [len(v) for v in reps.values()]
     compact["rep_counts"] = {"q": len(rep_n), "reps": sum(rep_n),
                              "reran": sum(1 for n in rep_n if n > 2)}
+    # targeted per-entry A/B (tools/ab_entry.py, r14 verdict #2): the
+    # adjudication verdicts for single-entry deltas (txlog_table) and
+    # the ingest rate ride the tail as compact ratios
+    abt_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "ab_targeted.json")
+    if os.path.exists(abt_path):
+        try:
+            with open(abt_path) as f:
+                abt = json.load(f)
+            compact["abt"] = {
+                "q": {n: v["ratio"]
+                      for n, v in abt.get("entries", {}).items()},
+                "ingest": {n: v["ratio"]
+                           for n, v in abt.get("ingest", {}).items()},
+                "pairs": abt.get("pairs"),
+                "conv": abt.get("converged"),
+                "base": abt.get("base_commit"),
+            }
+        except Exception:
+            pass
     if ab:
         compact["ab"] = {k: ab[k] for k in
                          ("head_stable44", "base_stable44", "ratio",
                           "pairs", "converged", "head_spread",
                           "base_spread", "base_commit", "head_commit",
                           "stale", "measured_at") if k in ab}
+        if ab.get("ingest"):
+            compact["ab"]["ingest"] = ab["ingest"].get("ratio")
         # per-section HEAD/base ratios + the worst one (r12 verdict #2:
         # the new-code sections need A/B protection too, not just
         # stable44)

@@ -311,13 +311,13 @@ class MatView:
         over K chunks keeps the bounded-action property (every chunk
         is still a separate Spark job of at most max_files input
         files) while paying the O(keys) view rewrite K times less."""
-        chunks = rows = 0
+        chunks = rows = publishes = 0
         pending: DataFrame | None = None   # merged unpublished partials
         pend_until: int | None = None      # version pending folds up to
         pend_chunks = 0
 
         def _flush() -> None:
-            nonlocal pending, pend_until, pend_chunks
+            nonlocal pending, pend_until, pend_chunks, publishes
             if pending is None:
                 pend_until, pend_chunks = None, 0
                 return
@@ -329,6 +329,7 @@ class MatView:
                 merged = pending
             self._publish(merged, pend_until)
             self.watcher.version = pend_until
+            publishes += 1
             pending, pend_until, pend_chunks = None, None, 0
 
         while True:
@@ -384,7 +385,7 @@ class MatView:
                 _flush()
         _flush()
         return {"mode": "bootstrap", "chunks": chunks,
-                "delta_rows": rows}
+                "publishes": publishes, "delta_rows": rows}
 
     def refresh(self, max_files: int | None = None,
                 until_version: int | None = None) -> dict:

@@ -122,9 +122,22 @@ def main() -> None:
                          "ratio": round(min(hs) / min(bs), 3)}
     worst = (max(sections.items(), key=lambda kv: kv[1]["ratio"])
              if sections else None)
+    # ingest under the variance gate too (r14 verdict #2): each rep's
+    # compact carries the 3-col best-of-2 rate; best rate per side,
+    # ratio oriented so < 1.0 means HEAD is faster
+    ingest = None
+    h_ing = [r.get("ingest_rows_per_sec") for r in h_runs
+             if r.get("ingest_rows_per_sec")]
+    b_ing = [r.get("ingest_rows_per_sec") for r in b_runs
+             if r.get("ingest_rows_per_sec")]
+    if h_ing and b_ing:
+        ingest = {"head_rows_per_sec": max(h_ing),
+                  "base_rows_per_sec": max(b_ing),
+                  "ratio": round(max(b_ing) / max(h_ing), 3)}
     res = {
         "head_stable44": h44,
         "base_stable44": b44,
+        "ingest": ingest,
         "ratio": round(h44 / b44, 4) if b44 else None,
         "head_stable44_reps": h44s,
         "base_stable44_reps": b44s,
