@@ -358,8 +358,19 @@ def pq_search_rerank(codes: DataFrame, codebooks: DataFrame, emb: DataFrame,
     filter; COVERAGE.md's recall audit measured the 32-bit-code
     resolution floor at recall@10 ~0.37-0.58), then ONLY the shortlist
     rows fetch their float vectors for exact cosine ranking.  Recall
-    becomes ADC's recall@shortlist (>= recall@k by construction, ~1.0 at
-    shortlist 10x k) while the vector fetch stays O(shortlist).
+    becomes ADC's recall@shortlist (>= recall@k by construction) while
+    the vector fetch stays O(shortlist).
+
+    SIZE THE SHORTLIST TO THE CORPUS GEOMETRY (r15 adversarial audit,
+    recall_r15.json): on uniform-ish corpora shortlist = 10x k reads
+    ~1.0, but on DUP-DENSE clustered data the ADC shortlist itself
+    saturates — with a 19k-member near-dup cluster (pairwise cosine
+    ~0.9) recall@10 was 0.16 at shortlist=30, 0.34 at 100, 0.64 at
+    1000: thousands of shell members tie within code resolution, so
+    recall grows only as shortlist approaches the duplicate-cluster
+    size.  For that workload prefer the IVF probe path (0.99 at
+    nprobe=16 on the same fixture) or size ``shortlist`` at the
+    expected cluster cardinality.
 
     Returns (id, cosine) like the exact searchers — rank quality of
     brute force at the scan cost of PQ."""
@@ -695,6 +706,9 @@ def ivfpq_search_rerank(emb: DataFrame, query_vec, k: int = 10,
     buckets and re-ranks ONLY those rows with exact cosine — recall@k
     becomes ADC's recall@shortlist (measured 1.0 at shortlist=10k at
     both sf0.1 and 100x) while vector fetches stay O(shortlist).
+    Dup-dense caveat: on clustered corpora the ADC shortlist saturates
+    near the duplicate-cluster size (see pq_search_rerank's sizing
+    note and recall_r15.json) — prefer plain IVF + rerank there.
 
     ``residual=True`` shortlists through the residual-ADC path
     (ivfpq_index/ivfpq_search_residual; Jégou et al. 2011 §III) —
