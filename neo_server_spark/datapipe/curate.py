@@ -460,36 +460,72 @@ def char_entropy(docs: DataFrame, text_col: str = "text",
     entropy = repeated junk, high = random bytes/encoding damage; both
     tails are gibberish signals).
 
-    Entirely per-row array arithmetic, one O(n log n) sort per document:
-    char counts come from RUN LENGTHS over the sorted char array (no
-    per-distinct-char rescans), bound once via the transform-of-singleton
-    let-binding so nothing is evaluated twice; the fold runs in sorted-char
-    order so the float result is engine-independent.  Zero shuffle.
+    Pure per-row work — zero shuffle — in an Arrow-batched kernel:
+    char counts come from RUN LENGTHS over the sorted code-point array
+    (numpy sort + diff; code-point order equals the binary order the
+    former array_sort-of-single-chars SQL form used), and the entropy
+    fold runs SEQUENTIALLY in sorted-char order with the identical
+    operation sequence ``acc - (run/n) * ln(run/n)`` — same float64
+    result to well below the 6-decimal round.  The former pure-SQL form
+    computed the same thing through interpreted higher-order functions
+    (split-to-singleton-strings + lambda filter/aggregate per row) and
+    was ~5x slower per byte; only (id, text) crosses the Arrow boundary.
     """
-    # ends of equal-char runs in the sorted array (1-based positions)
-    expr = (
-        "transform(array(array_sort(split({t}, ''))), cs -> "
-        "  transform(array(filter(sequence(1, size(cs)),"
-        "                         i -> i = size(cs) or cs[i] != cs[i-1])), e -> "
-        "    named_struct("
-        "      'nd', size(e),"
-        "      'h', aggregate(sequence(1, size(e)), cast(0.0 as double),"
-        "             (acc, j) -> acc -"
-        "               ((e[j-1] - if(j = 1, 0, e[j-2]))"
-        "                / cast(size(cs) as double))"
-        "               * ln((e[j-1] - if(j = 1, 0, e[j-2]))"
-        "                    / cast(size(cs) as double))))"
-        "  )[0])[0]"
-    ).format(t=text_col)
-    return docs.select(
-        F.col(id_col),
-        F.length(text_col).cast("long").alias("n_chars"),
-        F.expr(expr).alias("__ce"),
-    ).select(
-        id_col, "n_chars",
-        F.col("__ce.nd").cast("long").alias("n_distinct_chars"),
-        F.round("__ce.h", 6).alias("entropy"),
-    )
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField(id_col, docs.schema[id_col].dataType),
+        StructField("n_chars", LongType()),
+        StructField("n_distinct_chars", LongType()),
+        StructField("entropy", DoubleType()),
+    ])
+
+    def kernel(batches):
+        log = math.log
+        for pdf in batches:
+            nn, nd, hh = [], [], []
+            for s in pdf[text_col]:
+                if s is None:           # NULL text -> NULL outputs,
+                    nn.append(None)     # matching the SQL expression
+                    nd.append(None)
+                    hh.append(None)
+                    continue
+                cs = np.frombuffer(s.encode("utf-32-le"),
+                                   dtype=np.uint32)
+                n = int(cs.size)
+                if n == 0:
+                    # split('', '') yields [''] — one empty-string
+                    # "char", entropy -(1/1)*ln(1) = 0
+                    nn.append(0)
+                    nd.append(1)
+                    hh.append(0.0)
+                    continue
+                cs = np.sort(cs)
+                runs = np.diff(np.flatnonzero(
+                    np.r_[True, cs[1:] != cs[:-1], True]))
+                acc, dn = 0.0, float(n)
+                for r in runs:          # sorted-char order, sequential
+                    p = r / dn
+                    acc -= p * log(p)
+                nn.append(n)
+                nd.append(int(runs.size))
+                hh.append(acc)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_chars": pd.array(nn, dtype="Int64"),
+                "n_distinct_chars": pd.array(nd, dtype="Int64"),
+                "entropy": pd.array(hh, dtype="Float64"),
+            })
+
+    return (docs.select(id_col, text_col)
+            .mapInPandas(kernel, out_schema)
+            .select(id_col, "n_chars", "n_distinct_chars",
+                    F.round("entropy", 6).alias("entropy")))
 
 
 # ---------------------------------------------------------------------------

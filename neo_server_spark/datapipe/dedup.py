@@ -1102,13 +1102,14 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
     ``max_bucket`` are skipped (Manku's over-full-table guard): a bucket
     that big means templated/boilerplate text that exact/line dedup
     should collapse first, and its quadratic verify would dominate the
-    job; singleton buckets are filtered before the kernel under the SAME
-    exchange (a count window over the bucket key), so the per-group
-    Arrow overhead is paid only where pairs can exist.
+    job; singleton buckets and over-full buckets are both skipped INSIDE
+    the kernel off the same run-length slicing that finds exact-value
+    buckets — a former count-window pre-filter spent a full extra
+    exchange+sort of every sketch row just to drop rows the kernel's
+    ``n < 2`` check skips for free (r15: plan went 2 data shuffles -> 1).
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.window import Window
     from pyspark.sql.types import LongType, StructField, StructType
 
     sh = simhash(docs.select(id_col, text_col), text_col,
@@ -1128,12 +1129,8 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
     # tiny DataFrames than popcounting).  Exact-value bucketing happens
     # INSIDE the kernel with a numpy sort + run-length slicing.
     coarse = 6
-    sketch = sh.select(id_col, "simhash",
-                       F.posexplode(blocks).alias("__b", "__v"))
-    w = Window.partitionBy("__b", "__v")
-    sk = (sketch.withColumn("__n", F.count(F.lit(1)).over(w))
-          .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
-          .drop("__n")
+    sk = (sh.select(id_col, "simhash",
+                    F.posexplode(blocks).alias("__b", "__v"))
           .withColumn("__g", F.shiftrightunsigned(F.col("__v"), coarse)))
 
     id_type = sh.schema[id_col].dataType
@@ -1163,7 +1160,10 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
         blk = 512
         for s0, e0 in zip(bounds[:-1], bounds[1:]):
             n = e0 - s0
-            if n < 2:
+            # singleton buckets can hold no pair; over-full buckets are
+            # Manku's boilerplate guard (see docstring) — both checks
+            # ride the run-length bounds, no pre-shuffle count needed
+            if n < 2 or n > max_bucket:
                 continue
             bids, bsig = ids[s0:e0], sigs[s0:e0]
             for s in range(0, n, blk):

@@ -124,10 +124,34 @@ def ivf_index(emb: DataFrame, n_centroids: int = 64, iters: int = 5,
         .select(F.monotonically_increasing_id().alias("cid"), F.col(vec_col).alias("cv"))
     )
     for _ in range(iters):
-        assigned = _assign(emb, centroids, vec_col, id_col)
+        rows, centroids = _localize_centroids(centroids)
+        assigned = _assign(emb, centroids, vec_col, id_col, rows=rows)
         centroids = _centroid_update(assigned, vec_col)
-    assigned = _assign(emb, centroids, vec_col, id_col)
+    rows, centroids = _localize_centroids(centroids)
+    assigned = _assign(emb, centroids, vec_col, id_col, rows=rows)
     return centroids, assigned
+
+
+def _localize_small(df: DataFrame, sort_cols: list[str]):
+    """Collect a SMALL codebook-sized frame ONCE and rebuild it as a
+    local relation.  One driver action per training round instead of the
+    three sizing probes ``_assign`` pays on an unknown frame (count +
+    first + collect, EACH re-executing the full training lineage), and
+    every downstream consumer — the next round's update agg, the probe
+    crossJoin, every broadcast build — reads a LocalTableScan instead of
+    replaying the chain of assign-kernel + posexplode aggregations (or,
+    for PQ codebooks, re-SCANNING the corpus seed once per consumer).
+    Values round-trip bit-exact (float32 -> Python float -> float32).
+    Returns (sorted rows, local_df)."""
+    spark = df.sparkSession
+    rows = sorted(df.collect(), key=lambda r: tuple(r[c] for c in sort_cols))
+    return rows, spark.createDataFrame(rows, df.schema)
+
+
+def _localize_centroids(centroids: DataFrame):
+    """See ``_localize_small`` — the k-means centroid instance (frame is
+    <= n_centroids rows by construction, so the collect is bounded)."""
+    return _localize_small(centroids, ["cid"])
 
 
 def _centroid_update(assigned: DataFrame, vec_col: str) -> DataFrame:
@@ -154,7 +178,8 @@ def _centroid_update(assigned: DataFrame, vec_col: str) -> DataFrame:
 _ASSIGN_CLOSURE_CELLS = 2_000_000
 
 
-def _assign(emb: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+def _assign(emb: DataFrame, centroids: DataFrame, vec_col: str, id_col: str,
+            rows: list | None = None) -> DataFrame:
     """Nearest-centroid assignment, bit-identical across both paths.
 
     d2 is the SEQUENTIAL left-to-right fold Σ_j (x_j - c_j)^2 in float64
@@ -166,15 +191,22 @@ def _assign(emb: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> 
     so no join, no N*k row explosion, no window shuffle, and the result
     is bitwise equal to the crossJoin form (which remains for codebooks
     too large to ship as a closure).
+
+    ``rows`` lets a caller that already collected the centroids (e.g.
+    ``ivf_index`` via ``_localize_centroids``) skip the three sizing
+    probes entirely; they must be sorted ascending by cid.
     """
-    rows = None
-    try:
-        k = centroids.count()
-        dim = centroids.select(F.size("cv")).first()[0] or 0
-        if k * max(dim, 1) <= _ASSIGN_CLOSURE_CELLS:
-            rows = centroids.orderBy("cid").collect()
-    except Exception:   # unsizeable side (e.g. streaming) -> crossJoin path
-        rows = None
+    if rows is None:
+        try:
+            k = centroids.count()
+            dim = centroids.select(F.size("cv")).first()[0] or 0
+            if k * max(dim, 1) <= _ASSIGN_CLOSURE_CELLS:
+                rows = centroids.orderBy("cid").collect()
+        except Exception:   # unsizeable side (e.g. streaming) -> crossJoin
+            rows = None
+    elif rows and len(rows) * max(len(rows[0]["cv"]), 1) \
+            > _ASSIGN_CLOSURE_CELLS:
+        rows = None         # caller-collected but over the closure budget
     if rows:
         import numpy as np
 
@@ -526,6 +558,12 @@ def pq_train(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 0,
     cb = subs.select(
         "sub", "code",
         F.expr(f"slice(v, sub * (d div {m}) + 1, d div {m})").alias("cv"))
+    # localize after EVERY round (and for the deterministic iters=0 seed):
+    # the codebook is m*k tiny rows, but left as a plan it re-executes —
+    # re-scanning the corpus seed / replaying the whole training lineage —
+    # once per broadcast consumer (encode join, ADC lookup table, next
+    # round).  One bounded collect per round truncates all of that.
+    _, cb = _localize_small(cb, ["sub", "code"])
     for _ in range(iters):
         enc = pq_encode(emb, cb, m=m, vec_col=vec_col, id_col=id_col)
         sv = (enc.join(emb.select(id_col, vec_col), id_col)
@@ -539,6 +577,7 @@ def pq_train(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 0,
               .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
               .select("sub", "code",
                       F.transform(F.col("pm"), lambda s: s["mv"].cast("float")).alias("cv")))
+        _, cb = _localize_small(cb, ["sub", "code"])
     return cb
 
 

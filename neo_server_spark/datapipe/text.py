@@ -299,31 +299,33 @@ def contamination(docs: DataFrame, bench: DataFrame, text_col: str = "text",
     sets, as in GPT-3/PaLM decontamination): a doc sharing most of its
     shingles with a benchmark leaks that benchmark into training.
 
-    100 TB shape: both sides explode to DISTINCT shingles and meet in a
-    LEFT SEMI join keyed on the xxhash64 digest of the shingle — shuffle
-    keys are fixed-width, the raw text never shuffles, and the benchmark
-    side (eval sets — tiny by definition) broadcasts under AQE.  Counts
-    per doc are map-side-combined before the id shuffle.
+    100 TB shape: the corpus explodes to shingles ONCE and meets the
+    benchmark's DISTINCT shingle digests in a single broadcast LEFT join
+    keyed on the xxhash64 digest — shuffle keys are fixed-width, the raw
+    text never shuffles, and the benchmark side (eval sets — tiny by
+    definition) broadcasts under AQE.  One aggregation counts total and
+    matching shingles together, map-side-combined before the id shuffle.
+    (The former totals-agg + semi-join + hits-agg + join shape exploded
+    and hashed every corpus shingle TWICE and paid two aggregations —
+    r15: one corpus pass, one exchange, identical outputs.)
     """
     d = docs.select(F.col(id_col),
                     F.explode(shingles(text_col, shingle_n)).alias("__s"))
     d = d.select(id_col, F.xxhash64("__s").alias("__h"))
     b = (bench.select(F.explode(shingles(text_col, shingle_n)).alias("__s"))
-         .select(F.xxhash64("__s").alias("__h")).distinct())
-    totals = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (d.join(b, "__h", "left_semi")
-            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
-    return (
-        totals.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_shingles",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles"), 6)
-            .alias("overlap"),
-            (F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles")
-             >= F.lit(threshold)).alias("contaminated"),
-        )
+         .select(F.xxhash64("__s").alias("__h")).distinct()
+         .withColumn("__in", F.lit(1)))
+    per = (d.join(b, "__h", "left")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.count("__in").alias("n_hits")))
+    return per.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("overlap"),
+        (F.col("n_hits") / F.col("n_shingles")
+         >= F.lit(threshold)).alias("contaminated"),
     )
 
 

@@ -83,6 +83,30 @@ def _touched(spark: SparkSession, table: str, match,
     return cand, touched
 
 
+def _probe_delete(spark: SparkSession, table: str, hit_cond: Column,
+                  prune: dict | None, meta: dict
+                  ) -> tuple[list[str], list[tuple[str, int, int]]]:
+    """(candidate rels, [(touched rel, live rows, matching rows)]).
+
+    ONE probe job answers BOTH touched-file discovery and whether any
+    row survives the delete (the former separate keep.isEmpty() job):
+    per-file live-row totals vs matching-row counts over the pruned
+    candidates — a file with matches > 0 is touched, and the rewrite is
+    a pure removal exactly when every touched file's rows all match.
+    The collect is O(files), never O(rows)."""
+    cand = txlog.pruned_files(table, prune)
+    if not cand:
+        return [], []
+    dfc = _read(spark, table, cand, with_file=True, meta=meta)
+    hit = (dfc.groupBy("__file")
+           .agg(F.count(F.lit(1)).alias("__tot"),
+                F.count(F.when(hit_cond, F.lit(1))).alias("__hit"))
+           .filter(F.col("__hit") > 0).collect())
+    base_to_rel = {rel.split("/")[-1]: rel for rel in cand}
+    return cand, [(base_to_rel[r["__file"].rsplit("/", 1)[-1]],
+                   r["__tot"], r["__hit"]) for r in hit]
+
+
 def _read(spark: SparkSession, table: str, rels: list[str],
           with_file: bool = False, with_pos: bool = False,
           meta: dict | None = None) -> DataFrame:
@@ -182,11 +206,13 @@ def delete(spark: SparkSession, table: str, condition,
                     "files_total": 0, "replayed": True}
     cond = _cond(condition)
     meta = _snapshot(table)
-    cand, touched = _touched(spark, table, lambda d: d.filter(cond),
-                             prune, meta=meta)
+    hit_cond = F.coalesce(cond, F.lit(False))
+    cand, per = _probe_delete(spark, table, hit_cond, prune, meta)
+    touched = sorted(rel for rel, _tot, _hit in per)
     if not touched:
         return {"version": txlog.current_version(table),
                 "files_touched": 0, "files_total": len(cand)}
+    keep_empty = all(tot == hit for _rel, tot, hit in per)
     import os
 
     if mode == "dv":
@@ -213,11 +239,11 @@ def delete(spark: SparkSession, table: str, condition,
         return {"version": ver, "files_touched": len(touched),
                 "files_total": len(cand)}
     df = _read(spark, table, touched, meta=meta)
-    keep = df.filter(~F.coalesce(cond, F.lit(False)))
-    parts = [(df.filter(F.coalesce(cond, F.lit(False))), "delete")] \
-        if cdf else None
+    keep = df.filter(~hit_cond)
+    parts = [(df.filter(hit_cond), "delete")] if cdf else None
     # an all-matching file set rewrites to nothing: commit pure removal
-    new_df = keep if not keep.isEmpty() else None
+    # (known from the probe job — no separate isEmpty() action)
+    new_df = keep if not keep_empty else None
     ver = _rewrite_commit(spark, table, touched, new_df, stats_cols,
                           cdf_parts=parts, txn=txn, meta=meta)
     return {"version": ver, "files_touched": len(touched),
@@ -326,33 +352,39 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
         cand = txlog.pruned_files(table, prune)
         return {"version": txlog.current_version(table),
                 "files_touched": 0, "files_total": len(cand)}
-    if validate_unique and source.groupBy(*on).count() \
-            .filter(F.col("count") > 1).limit(1).count() > 0:
+    # ONE probe job over the source replaces the former three (duplicate
+    # -key validation, prune-bound min/max, broadcast sizing): group by
+    # the merge key once — max(per-key count) answers uniqueness, the
+    # group count IS the distinct-key count for broadcast sizing, and
+    # min/max of a key column over the groups equals min/max over the
+    # raw source (the key columns are the group keys).
+    #
+    # Prune-bound soundness (unchanged): a target file whose logged
+    # [min,max] misses [min(src), max(src)] on a key column cannot
+    # contain a match.  String columns are excluded — parquet writers
+    # may TRUNCATE long string min/max stats, and a truncated max is a
+    # prefix (sorts LOWER than the real max); numeric/temporal stats
+    # are exact.  Files without stats are conservatively kept by
+    # pruned_files.
+    safe = [c for c in on
+            if not source.schema[c].dataType.simpleString()
+            .startswith(("string", "binary", "varchar", "char"))] \
+        if prune is None else []
+    grouped = source.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
+    probe_aggs = [F.max("__n").alias("__mx"),
+                  F.count(F.lit(1)).alias("__nk")]
+    for c in safe:
+        probe_aggs += [F.min(c).alias(f"__lo_{c}"),
+                       F.max(c).alias(f"__hi_{c}")]
+    p = grouped.agg(*probe_aggs).first()
+    if validate_unique and (p["__mx"] or 0) > 1:
         raise ValueError("merge source has duplicate keys on "
                          f"{on}; dedupe it first")
-    if prune is None:
-        # derive the prune window from the SOURCE key bounds: a target
-        # file whose logged [min,max] misses [min(src), max(src)] on a
-        # key column cannot contain a match, so the touched-file
-        # discovery never opens it.  One tiny agg over the (small)
-        # source; files without stats are conservatively kept by
-        # pruned_files, so this is always sound.
-        # string columns are excluded: parquet writers may TRUNCATE long
-        # string min/max stats, and a truncated max is a prefix (sorts
-        # LOWER than the real max) — pruning on it could wrongly skip a
-        # file.  Numeric/temporal stats are always exact.
-        safe = [c for c in on
-                if not source.schema[c].dataType.simpleString()
-                .startswith(("string", "binary", "varchar", "char"))]
-        if safe:
-            b = source.agg(*[x for c in safe
-                             for x in (F.min(c).alias(f"__lo_{c}"),
-                                       F.max(c).alias(f"__hi_{c}"))]
-                           ).first()
-            prune = {c: (b[f"__lo_{c}"], b[f"__hi_{c}"]) for c in safe
-                     if b[f"__lo_{c}"] is not None} or None
+    if safe:
+        prune = {c: (p[f"__lo_{c}"], p[f"__hi_{c}"]) for c in safe
+                 if p[f"__lo_{c}"] is not None} or None
     keys = source.select(*on).distinct()
-    bkeys = F.broadcast(keys) if keys.count() <= _BCAST_KEYS else keys
+    bkeys = F.broadcast(keys) if (p["__nk"] or 0) <= _BCAST_KEYS else keys
     meta = _snapshot(table)
     cand, touched = _touched(
         spark, table, lambda d: d.join(bkeys, on, "left_semi"), prune,
@@ -456,11 +488,16 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
         if prior is not None:
             return {"version": prior, "files_touched": 0,
                     "files_total": 0, "replayed": True}
-    if source.groupBy(*on).count().filter(F.col("count") > 1) \
-            .limit(1).count() > 0:
+    # one probe job answers BOTH duplicate-key validation (max per-key
+    # count) and broadcast sizing (distinct-key count) — same collapse
+    # as merge()'s source probe
+    p = (source.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
+         .agg(F.max("__n").alias("__mx"),
+              F.count(F.lit(1)).alias("__nk")).first())
+    if (p["__mx"] or 0) > 1:
         raise ValueError(f"scd2 source has duplicate keys on {on}")
     keys = source.select(*on).distinct()
-    nkeys = keys.count()            # one action, reused for both joins
+    nkeys = p["__nk"] or 0          # reused for both joins
     bkeys = F.broadcast(keys) if nkeys <= _BCAST_KEYS else keys
     meta = _snapshot(table)
     cand, touched = _touched(

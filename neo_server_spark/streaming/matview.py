@@ -485,15 +485,18 @@ class MatView:
         if delta is None:
             self.watcher.version = until
             return {"mode": "noop", "delta_rows": 0}
-        # count() first, fold second — two passes over IMMUTABLE files
-        # beat one eager localCheckpoint: the count pushes down to
-        # parquet footer metadata (no column IO), the fold scans the
-        # data exactly once, and nothing is materialized into executor
-        # storage (the old checkpoint's cache write + read-back + spill
-        # pressure made chunked bootstraps pay ~2x the monolithic
-        # per-row cost; the publish-side checkpoint on the MERGED
-        # partials is what actually guards the self-overwrite lineage)
-        n = delta.count()
+        # delta_rows comes from the add-files' parquet FOOTERS (driver
+        # metadata reads, no Spark job): the former delta.count() was
+        # already footer-only work via aggregate pushdown but still paid
+        # a full job submission per refresh; summing num_rows over the
+        # same commit range the fold consumes is byte-for-byte the same
+        # number.  The fold then scans the data exactly once, nothing is
+        # materialized into executor storage (the old eager checkpoint's
+        # cache write + read-back made chunked bootstraps pay ~2x the
+        # monolithic per-row cost, r14).
+        n = self._delta_rows(since, until)
+        if n is None:
+            n = delta.count()   # racing vacuum: fall back to the job
         fresh = self._partial_agg(delta)
         try:
             prev = txlog.read_table(self.spark, self.view_table) \
@@ -630,12 +633,43 @@ class MatView:
         self.aggs = widened
         return {"mode": "evolve", "backfill_files": len(post)}
 
+    def _delta_rows(self, since: int, until: int) -> int | None:
+        """Row count of the polled range's add-files straight from their
+        parquet footers — the exact number ``changes()``' DataFrame
+        counts (same commit filter: ``(since, until]``, dataChange only)
+        without a job submission.  None when a concurrent vacuum raced
+        the footer reads (caller falls back to counting the frame)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        n = 0
+        try:
+            for e in txlog._iter_entries(self.src_table, since):
+                if e["version"] > until or not e.get("dataChange", True):
+                    continue
+                for rel in e.get("add", []):
+                    n += pq.ParquetFile(
+                        os.path.join(self.src_table, rel)
+                    ).metadata.num_rows
+        except (FileNotFoundError, ValueError):
+            return None
+        return n
+
     def _publish(self, partials: DataFrame, src_version: int) -> None:
         out = partials.withColumn("_src_version",
                                   F.lit(int(src_version)))
-        # eager checkpoint cuts the self-read lineage before overwrite
-        txlog.write(out.localCheckpoint(eager=True), self.view_table,
-                    mode="overwrite")
+        # No checkpoint before the self-overwrite: txlog.write STAGES the
+        # plan's output into fresh uuid-named files (reading the view's
+        # current live files, which stay on disk untouched) and only then
+        # swaps the live set in one atomic log commit — the write itself
+        # is the materialization barrier, so an eager localCheckpoint
+        # here was a second full materialization of every publish (r15:
+        # measured as the dominant per-publish cost after r14 removed
+        # the delta-side checkpoint; the multi-process stress and the
+        # evolve/bootstrap suites pin correctness of the stage-then-swap
+        # ordering).
+        txlog.write(out, self.view_table, mode="overwrite")
 
     # ---------------------------------------------------------------- read
 

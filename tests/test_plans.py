@@ -265,12 +265,21 @@ def test_substring_spans_shuffles_digests_only(spark, sf_dir):
 
 def test_contamination_benchmark_broadcasts(spark, sf_dir):
     """The benchmark shingle set (eval corpora — tiny by definition) must
-    broadcast into the semi join; the corpus shingle stream must not
-    shuffle for the meet."""
+    broadcast into the meet join; the corpus shingle stream must not
+    shuffle for the meet, and (r15) the corpus explodes its shingles
+    EXACTLY ONCE — the totals and the hit counts fold in one
+    aggregation, so the plan carries a single corpus-side Generate and
+    a single corpus-side aggregate pair."""
     import __spark_entry__ as e
     plan = plan_of(e.queries()["contamination"](spark, sf_dir))
     assert "BroadcastExchange" in plan
-    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # corpus side: one documents scan feeding one Generate (the bench
+    # side contributes the second scan+Generate; a third means the
+    # corpus is being exploded twice again)
+    import re
+    n_gen = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
+    assert n_gen <= 2, plan[:2000]
 
 
 def test_semdedup_assignment_broadcasts_and_pairs_shuffle_on_cid(spark, sf_dir):
