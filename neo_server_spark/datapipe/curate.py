@@ -191,14 +191,35 @@ def _bucket(tok: Column, n_buckets: int, hash_fn: str) -> Column:
                   F.lit(n_buckets))
 
 
+def _doc_bucket_counts(docs: DataFrame, text_col: str, id_col: str,
+                       n_buckets: int, hash_fn: str) -> DataFrame:
+    """(doc, bucket, count) — the per-document hashed-unigram histogram
+    both DSIR halves consume.  Map-side combined: each scan task
+    collapses its token stream to <= n_buckets rows per document before
+    the id shuffle."""
+    return (
+        docs.select(F.col(id_col),
+                    F.explode(F.split(text_col, " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(id_col, _bucket(F.col("tok"), n_buckets, hash_fn).alias("bucket"))
+        .groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def dsir_logratios(raw: DataFrame, target: DataFrame, text_col: str = "text",
-                   n_buckets: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+                   n_buckets: int = 64, hash_fn: str = "xxhash64",
+                   raw_counts: DataFrame | None = None) -> DataFrame:
     """The DSIR importance model: hashed-unigram bucket distributions for
     the raw corpus and the target domain, Laplace-smoothed, as an O(buckets)
     frame of per-bucket log ratios ln(p_target / p_raw).
 
     Both distributions are one map-side-combined aggregation each — the
     token stream collapses to ``n_buckets`` rows before any shuffle.
+    ``raw_counts`` (a ``_doc_bucket_counts`` frame) lets ``dsir_select``
+    fold the raw distribution from the per-document histogram it already
+    computes — the corpus is then tokenized and hashed ONCE for the
+    whole selection instead of once per half (the per-bucket sums are
+    identical by associativity).
     """
     def dist(df: DataFrame, name: str) -> DataFrame:
         t = df.select(F.explode(F.split(text_col, " ")).alias("tok")) \
@@ -206,8 +227,10 @@ def dsir_logratios(raw: DataFrame, target: DataFrame, text_col: str = "text",
         return (t.select(_bucket(F.col("tok"), n_buckets, hash_fn).alias("bucket"))
                  .groupBy("bucket").agg(F.count(F.lit(1)).alias(name)))
 
+    raw_dist = (raw_counts.groupBy("bucket").agg(F.sum("c").alias("c_raw"))
+                if raw_counts is not None else dist(raw, "c_raw"))
     grid = raw.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
-    counts = (grid.join(dist(raw, "c_raw"), "bucket", "left")
+    counts = (grid.join(raw_dist, "bucket", "left")
                   .join(dist(target, "c_tgt"), "bucket", "left")
                   .na.fill(0, ["c_raw", "c_tgt"]))
     tot = counts.agg(F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt"))
@@ -222,19 +245,19 @@ def dsir_logratios(raw: DataFrame, target: DataFrame, text_col: str = "text",
 
 def dsir_weights(docs: DataFrame, logratios: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n_buckets: int = 64,
-                 hash_fn: str = "xxhash64") -> DataFrame:
+                 hash_fn: str = "xxhash64",
+                 per_bucket: DataFrame | None = None) -> DataFrame:
     """Per-document DSIR importance weight: sum over token occurrences of
     the bucket log ratio (= ln of the ratio of unigram LM likelihoods).
 
     The corpus explodes to (doc, bucket, count) — map-side combined — and
     joins the BROADCAST O(buckets) ratio table; text never shuffles.
+    ``per_bucket`` accepts a precomputed ``_doc_bucket_counts`` frame
+    (see ``dsir_select`` — one corpus tokenize for both halves).
     """
-    per_bucket = (
-        docs.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .select(id_col, _bucket(F.col("tok"), n_buckets, hash_fn).alias("bucket"))
-        .groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
-    )
+    if per_bucket is None:
+        per_bucket = _doc_bucket_counts(docs, text_col, id_col,
+                                        n_buckets, hash_fn)
     return (
         per_bucket.join(F.broadcast(logratios), "bucket")
         .groupBy(id_col)
@@ -254,8 +277,17 @@ def dsir_select(docs: DataFrame, target: DataFrame, fraction: float,
     instead of a global rank — same selection up to ties; the exact rank
     keeps the result reproducible for the oracle.)
     """
-    w = dsir_weights(docs, dsir_logratios(docs, target, text_col, n_buckets, hash_fn),
-                     text_col, id_col, n_buckets, hash_fn)
+    # ONE corpus tokenize+hash pass serves both halves: the per-document
+    # histogram is checkpointed (O(docs x buckets) narrow rows — far
+    # smaller than the text) and the raw distribution folds from it by
+    # associativity; the former shape tokenized and md5/xxhashed the
+    # whole corpus once for the distribution AND once for the weights.
+    per_bucket = _doc_bucket_counts(docs, text_col, id_col, n_buckets,
+                                    hash_fn).localCheckpoint(eager=False)
+    lr = dsir_logratios(docs, target, text_col, n_buckets, hash_fn,
+                        raw_counts=per_bucket)
+    w = dsir_weights(docs, lr, text_col, id_col, n_buckets, hash_fn,
+                     per_bucket=per_bucket)
     n = F.count(F.lit(1)).over(Window.partitionBy())
     rank = F.row_number().over(
         Window.partitionBy().orderBy(F.desc("log_w"), F.col(id_col)))
@@ -390,6 +422,11 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3, text_col: str = "text",
         docs.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+        # tf feeds BOTH the document-frequency fold and the scored join;
+        # un-pinned, Catalyst re-tokenizes the corpus for each (r15 plan
+        # audit).  The per-doc vocabulary is strictly smaller than the
+        # token stream, so pinning it is the cheaper side at any scale.
+        .localCheckpoint(eager=False)
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct(id_col).alias("n"))
@@ -430,8 +467,16 @@ def lm_score_bigram(docs: DataFrame, text_col: str = "text",
     occ = (docs.select(F.col(id_col), toks.alias("__t"))
                .select(id_col, F.explode(F.expr(bi)).alias("b"))
                .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
+    # the unigram table is consumed THREE times (c1 join, c2 join, tot)
+    # and Catalyst does not reuse its exchange across the renames — left
+    # as a plan it re-tokenized the corpus once per consumer (6 scans
+    # measured in the r15 plan audit).  Checkpointing the AGGREGATED
+    # table (O(vocab) rows — never the occurrence stream) cuts the
+    # corpus to 3 scans; at 100 TB vocab is the only frame small enough
+    # to pin.
     uni = (docs.select(F.explode(toks).alias("w"))
-               .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+               .localCheckpoint(eager=False))
     tot = uni.agg(F.sum("cu").alias("t"))
     big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     scored = (

@@ -1122,13 +1122,19 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
         F.shiftrightunsigned(F.col("simhash"), b * wb)
         .bitwiseAND(F.lit((1 << wb) - 1)).alias(f"b{b}")
         for b in range(n_blocks)])
-    # shuffle key COARSENS the block value by 6 bits: one Arrow group per
-    # (block, value-range-of-64) instead of per exact value — thousands of
-    # groups for cluster parallelism, but ~64x less per-group pandas
-    # overhead (the naive per-value grouping spent more time constructing
-    # tiny DataFrames than popcounting).  Exact-value bucketing happens
-    # INSIDE the kernel with a numpy sort + run-length slicing.
-    coarse = 6
+    # shuffle key COARSENS the block value: one Arrow group per (block,
+    # value range) instead of per exact value — the per-group pandas
+    # overhead dominates tiny groups (the naive per-value grouping spent
+    # more time constructing DataFrames than popcounting), so the group
+    # COUNT is sized to the cluster: ~2 groups per core across all
+    # blocks (r15 measurement at local[32]: 2048 groups 5.7s -> 64
+    # groups 3.6s for identical output).  Exact-value bucketing happens
+    # INSIDE the kernel with a numpy sort + run-length slicing, so the
+    # grouping granularity never changes the result.
+    par = max(1, sh.sparkSession.sparkContext.defaultParallelism)
+    per_block = max(1, (2 * par) // n_blocks)
+    gbits = min(wb, max(0, (per_block - 1).bit_length()))
+    coarse = wb - gbits
     sk = (sh.select(id_col, "simhash",
                     F.posexplode(blocks).alias("__b", "__v"))
           .withColumn("__g", F.shiftrightunsigned(F.col("__v"), coarse)))

@@ -558,12 +558,13 @@ def pq_train(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 0,
     cb = subs.select(
         "sub", "code",
         F.expr(f"slice(v, sub * (d div {m}) + 1, d div {m})").alias("cv"))
-    # localize after EVERY round (and for the deterministic iters=0 seed):
-    # the codebook is m*k tiny rows, but left as a plan it re-executes —
-    # re-scanning the corpus seed / replaying the whole training lineage —
-    # once per broadcast consumer (encode join, ADC lookup table, next
-    # round).  One bounded collect per round truncates all of that.
-    _, cb = _localize_small(cb, ["sub", "code"])
+    # localize after every TRAINING round: a round's codebook plan
+    # replays the whole encode+aggregate lineage once per broadcast
+    # consumer (encode join, ADC lookup table, next round) — one bounded
+    # collect per round truncates that.  The iters=0 seed is deliberately
+    # NOT localized: it is a trivial pushed-down scan of the first k
+    # vectors, and an extra collect job there measured as a pure ~1.5x
+    # regression on the pq entries (r15 A/B).
     for _ in range(iters):
         enc = pq_encode(emb, cb, m=m, vec_col=vec_col, id_col=id_col)
         sv = (enc.join(emb.select(id_col, vec_col), id_col)

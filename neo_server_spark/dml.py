@@ -83,30 +83,6 @@ def _touched(spark: SparkSession, table: str, match,
     return cand, touched
 
 
-def _probe_delete(spark: SparkSession, table: str, hit_cond: Column,
-                  prune: dict | None, meta: dict
-                  ) -> tuple[list[str], list[tuple[str, int, int]]]:
-    """(candidate rels, [(touched rel, live rows, matching rows)]).
-
-    ONE probe job answers BOTH touched-file discovery and whether any
-    row survives the delete (the former separate keep.isEmpty() job):
-    per-file live-row totals vs matching-row counts over the pruned
-    candidates — a file with matches > 0 is touched, and the rewrite is
-    a pure removal exactly when every touched file's rows all match.
-    The collect is O(files), never O(rows)."""
-    cand = txlog.pruned_files(table, prune)
-    if not cand:
-        return [], []
-    dfc = _read(spark, table, cand, with_file=True, meta=meta)
-    hit = (dfc.groupBy("__file")
-           .agg(F.count(F.lit(1)).alias("__tot"),
-                F.count(F.when(hit_cond, F.lit(1))).alias("__hit"))
-           .filter(F.col("__hit") > 0).collect())
-    base_to_rel = {rel.split("/")[-1]: rel for rel in cand}
-    return cand, [(base_to_rel[r["__file"].rsplit("/", 1)[-1]],
-                   r["__tot"], r["__hit"]) for r in hit]
-
-
 def _read(spark: SparkSession, table: str, rels: list[str],
           with_file: bool = False, with_pos: bool = False,
           meta: dict | None = None) -> DataFrame:
@@ -142,15 +118,19 @@ def _rewrite_commit(spark: SparkSession, table: str, touched: list[str],
                     stats_cols: list[str] | None,
                     cdf_parts: list[tuple[DataFrame, str]] | None = None,
                     txn: tuple[str, int] | None = None,
-                    meta: dict | None = None) -> int:
+                    meta: dict | None = None,
+                    staged: list[str] | None = None) -> int:
     """Stage the rewrite (if any rows survive) and atomically swap it
     for the touched files, with write-conflict detection (liveness AND
     deletion-vector drift when ``meta`` carries the read snapshot).
     ``cdf_parts`` are (rows, change_type) frames to publish as the
-    commit's row-level change feed."""
+    commit's row-level change feed.  ``staged`` passes rels the caller
+    already staged (delete() stages first to learn the survivor count
+    from the footers)."""
     import os
 
-    rels = txlog.stage_files(new_df, table) if new_df is not None else []
+    rels = staged if staged is not None else (
+        txlog.stage_files(new_df, table) if new_df is not None else [])
     stats = (txlog._file_stats(table, rels, stats_cols)
              if stats_cols and rels else None)
     cdf_rels = _stage_cdf(cdf_parts, table) if cdf_parts else []
@@ -207,12 +187,11 @@ def delete(spark: SparkSession, table: str, condition,
     cond = _cond(condition)
     meta = _snapshot(table)
     hit_cond = F.coalesce(cond, F.lit(False))
-    cand, per = _probe_delete(spark, table, hit_cond, prune, meta)
-    touched = sorted(rel for rel, _tot, _hit in per)
+    cand, touched = _touched(spark, table, lambda d: d.filter(cond),
+                             prune, meta=meta)
     if not touched:
         return {"version": txlog.current_version(table),
                 "files_touched": 0, "files_total": len(cand)}
-    keep_empty = all(tot == hit for _rel, tot, hit in per)
     import os
 
     if mode == "dv":
@@ -241,11 +220,28 @@ def delete(spark: SparkSession, table: str, condition,
     df = _read(spark, table, touched, meta=meta)
     keep = df.filter(~hit_cond)
     parts = [(df.filter(hit_cond), "delete")] if cdf else None
-    # an all-matching file set rewrites to nothing: commit pure removal
-    # (known from the probe job — no separate isEmpty() action)
-    new_df = keep if not keep_empty else None
-    ver = _rewrite_commit(spark, table, touched, new_df, stats_cols,
-                          cdf_parts=parts, txn=txn, meta=meta)
+    # stage the rewrite FIRST — the job that had to run anyway — and
+    # read the survivor count from the staged parquet FOOTERS (driver
+    # metadata): an all-matching file set is detected without the former
+    # separate keep.isEmpty() job, and touched-file discovery keeps its
+    # pushed-down match filter (a per-file count probe tried in r15 lost
+    # the pushdown and read every candidate row — reverted)
+    import pyarrow.parquet as pq
+
+    rels = txlog.stage_files(keep, table)
+    n_keep = sum(pq.ParquetFile(os.path.join(table, r)).metadata.num_rows
+                 for r in rels)
+    if n_keep == 0:
+        # all rows in the touched files matched: commit pure removal
+        for r in rels:
+            p = os.path.join(table, r)
+            if os.path.exists(p):
+                os.unlink(p)
+        rels = []
+    ver = _rewrite_commit(spark, table, touched,
+                          keep if rels else None, stats_cols,
+                          cdf_parts=parts, txn=txn, meta=meta,
+                          staged=rels)
     return {"version": ver, "files_touched": len(touched),
             "files_total": len(cand)}
 

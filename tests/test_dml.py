@@ -139,21 +139,19 @@ def test_dml_conflict_with_concurrent_compact(spark, tmp_path):
     with pytest.raises(txlog.TxConflict, match="write conflict"):
         txlog.commit(t, [], remove=touched, must_be_live=touched)
     # and the public API path: monkeypatch discovery to a stale set
-    # (delete discovers through _probe_delete — the single probe job —
-    # since r15; update/merge still route through _touched)
-    real = dml._probe_delete
+    real = dml._touched
 
-    def stale(spark_, table_, cond_, prune_, meta_):
-        cand, per = real(spark_, table_, cond_, prune_, meta_)
+    def stale(spark_, table_, match_, prune_, **kw):
+        cand, tch = real(spark_, table_, match_, prune_, **kw)
         txlog.compact(spark_, table_, target_files=2)
-        return cand, per
+        return cand, tch
 
-    dml._probe_delete = stale
+    dml._touched = stale
     try:
         with pytest.raises(txlog.TxConflict):
             dml.delete(spark, t, "id = 3")
     finally:
-        dml._probe_delete = real
+        dml._touched = real
     # conflict left no staged garbage in the live set; rows intact
     assert _ids(spark, t) == list(range(20))
 
