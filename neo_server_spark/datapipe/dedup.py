@@ -27,10 +27,22 @@ from neo_server_spark.datapipe.text import shingles, tokens
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one canonical doc (min id) per exact text digest."""
-    fp = F.md5(F.col(text_col))
-    keep = docs.groupBy(fp.alias("__fp")).agg(F.min(id_col).alias(id_col))
-    return docs.join(keep, on=id_col, how="leftsemi")
+    """Keep one canonical doc (min id) per exact text digest.
+
+    Losers anti-join (r15): only (id, digest) rows shuffle for the
+    per-digest rank, and the re-attach anti-joins the LOSER id set (the
+    duplicate tail — small by construction) against the corpus, where
+    the former keeper-set semi join shuffled the document text whenever
+    the keep set outgrew broadcast.  Kept rows are identical: keeper =
+    min id per digest <=> loser = rank > 1."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    losers = (docs.select(F.col(id_col),
+                          F.md5(F.col(text_col)).alias("__fp"))
+              .withColumn("__rk", F.row_number().over(w))
+              .filter(F.col("__rk") > 1).select(id_col))
+    return docs.join(losers, on=id_col, how="left_anti")
 
 
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
