@@ -607,27 +607,59 @@ def classifier_score(docs: DataFrame, text_col: str = "text",
     engine-checkable; production swaps the hash weight for a lookup into a
     broadcast trained-weight map, nothing else changes.
 
-    Scale shape: per-row array expressions only — no shuffle, no UDF, no
-    vocabulary join.  No reference counterpart (beyond-reference
-    training-data surface).
+    Scale shape: per-row work only — no shuffle, no vocabulary join.  The
+    feature fold runs in an Arrow-batched kernel with a per-task weight
+    cache (each distinct feature's md5 is computed once per task, not once
+    per occurrence — a cross-row memo the per-row SQL expression could not
+    express); the fold itself keeps the identical sequential order
+    (unigrams left-to-right, then bigrams left-to-right) and the identical
+    float64 operation sequence, so the mean margin is bit-equal to the
+    former interpreted ``F.aggregate`` form.  Sigmoid / rounding /
+    threshold stay JVM-side expressions over the kernel's raw margin.
 
     Returns (id, margin, clf_score, keep) with keep <=> margin >= 0.
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    blen = F.greatest(n - 1, F.lit(0))
-    bigrams = F.zip_with(F.slice(toks, F.lit(1), blen),
-                         F.slice(toks, F.lit(2), blen),
-                         lambda x, y: F.concat(x, F.lit("_"), y))
-    feats = F.concat(toks, bigrams)
+    id_type = docs.schema[id_col].dataType
 
-    def _w(t: Column) -> Column:
-        return (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("double")
-                / F.lit(4294967296.0)) * 2.0 - 1.0
+    def _score(batches):
+        import hashlib
 
-    s = (F.aggregate(feats, F.lit(0.0), lambda a, x: a + _w(x))
-         / F.size(feats).cast("double"))
-    return docs.select(
+        wcache: dict = {}
+
+        def w(t):
+            v = wcache.get(t)
+            if v is None:
+                h = hashlib.md5(t.encode("utf-8")).hexdigest()[:8]
+                v = (int(h, 16) / 4294967296.0) * 2.0 - 1.0
+                wcache[t] = v
+            return v
+
+        for pdf in batches:
+            out = []
+            for s in pdf[text_col]:
+                if s is None:
+                    out.append(None)
+                    continue
+                toks = s.split(" ")
+                acc = 0.0
+                for t in toks:          # unigrams, left to right
+                    acc += w(t)
+                prev = toks[0]
+                for t in toks[1:]:      # then bigrams, left to right
+                    acc += w(prev + "_" + t)
+                    prev = t
+                out.append(acc / float(2 * len(toks) - 1))
+            pdf = pdf[[id_col]].copy()
+            pdf["__s"] = out
+            yield pdf
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    scored = docs.select(id_col, text_col).mapInPandas(
+        _score, schema=StructType([StructField(id_col, id_type),
+                                   StructField("__s", DoubleType())]))
+    s = F.col("__s")
+    return scored.select(
         F.col(id_col),
         F.round(s, 6).alias("margin"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s)), 6).alias("clf_score"),

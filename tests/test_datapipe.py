@@ -719,6 +719,41 @@ def test_mixture_sample_epochs_deterministic(spark):
     assert again == {(r.doc_id, r.epoch) for r in rows}  # deterministic
 
 
+def test_classifier_score_matches_sql_fold(spark):
+    """The Arrow-kernel margin must be BIT-equal to the former Catalyst
+    HOF fold (same sequential order, same float64 ops) — cross-checked
+    here by rebuilding the old expression inline, including the NULL /
+    empty-string / repeated-space edge cases."""
+    import pyspark.sql.functions as F
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, ""), (2, None), (3, "  double  spaces  "),
+            (4, "one"), (5, "répété unicode tökens répété unicode"),
+            (6, "a " * 500 + "b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.classifier_score(df).collect()}
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    blen = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(toks, F.lit(1), blen),
+                         F.slice(toks, F.lit(2), blen),
+                         lambda x, y: F.concat(x, F.lit("_"), y))
+    feats = F.concat(toks, bigrams)
+    w = lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                   .cast("double") / F.lit(4294967296.0)) * 2.0 - 1.0
+    s = (F.aggregate(feats, F.lit(0.0), lambda a, x: a + w(x))
+         / F.size(feats).cast("double"))
+    ref = {r.doc_id: r for r in df.select(
+        "doc_id", F.round(s, 6).alias("margin"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s)), 6).alias("clf_score"),
+        (s >= F.lit(0.0)).alias("keep")).collect()}
+    for i, _ in rows:
+        assert out[i].margin == ref[i].margin, i
+        assert out[i].clf_score == ref[i].clf_score, i
+        assert out[i].keep == ref[i].keep, i
+
+
 def test_classifier_score_shape_and_bounds(docs):
     out = {r.doc_id: r for r in text.classifier_score(docs).collect()}
     assert set(out) == {0, 1, 2, 3, 4}
