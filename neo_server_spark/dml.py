@@ -434,17 +434,30 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
     for p in parts[1:]:
         out = out.unionByName(p.select(*tgt_cols))
     remove = touched if rewrite_touched else []
-    if out.isEmpty():
+    # stage the rewrite FIRST — the job that had to run anyway — and
+    # read the output row count from the staged parquet FOOTERS (driver
+    # metadata): the former separate out.isEmpty() job executed the
+    # whole union plan (touched-file read + three joins + source scans)
+    # a second time just to learn emptiness (same staged-first collapse
+    # delete() ships)
+    import pyarrow.parquet as pq
+
+    rels = txlog.stage_files(out, table)
+    n_out = sum(pq.ParquetFile(os.path.join(table, r)).metadata.num_rows
+                for r in rels)
+    if n_out == 0:
+        for r in rels:
+            p = os.path.join(table, r)
+            if os.path.exists(p):
+                os.unlink(p)
         if not remove:
             return {"version": txlog.current_version(table),
                     "files_touched": 0, "files_total": len(cand)}
-        ver = _rewrite_commit(spark, table, remove, None, stats_cols,
-                              cdf_parts=cdf_parts or None, txn=txn,
-                              meta=meta)
-    else:
-        ver = _rewrite_commit(spark, table, remove, out, stats_cols,
-                              cdf_parts=cdf_parts or None, txn=txn,
-                              meta=meta)
+        rels = []
+    ver = _rewrite_commit(spark, table, remove,
+                          out if rels else None, stats_cols,
+                          cdf_parts=cdf_parts or None, txn=txn,
+                          meta=meta, staged=rels)
     return {"version": ver, "files_touched": len(remove),
             "files_total": len(cand)}
 
@@ -552,13 +565,24 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
     if changed_cnt == 0:
         # the no-churn contract: identical attribute tuples rewrite
         # NOTHING — at most a pure append of first-version inserts
-        inserts = open_rows(news)
-        if inserts.isEmpty():
+        inserts = open_rows(news).select(*tgt_cols)
+        # staged-first (same collapse as delete()/merge()): the former
+        # inserts.isEmpty() probe executed the source-vs-current join a
+        # second time; stage the appends once and read the row count
+        # from the staged parquet footers
+        import pyarrow.parquet as pq
+
+        rels = txlog.stage_files(inserts, table)
+        if sum(pq.ParquetFile(os.path.join(table, r)).metadata.num_rows
+               for r in rels) == 0:
+            for r in rels:
+                pth = os.path.join(table, r)
+                if os.path.exists(pth):
+                    os.unlink(pth)
             return {"version": txlog.current_version(table),
                     "files_touched": 0, "files_total": len(cand)}
-        ver = _rewrite_commit(spark, table, [],
-                              inserts.select(*tgt_cols), stats_cols,
-                              txn=txn, meta=meta)
+        ver = _rewrite_commit(spark, table, [], inserts, stats_cols,
+                              txn=txn, meta=meta, staged=rels)
         return {"version": ver, "files_touched": 0,
                 "files_total": len(cand)}
     # narrow the rewrite to files holding CURRENT rows of CHANGED keys
