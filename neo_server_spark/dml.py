@@ -187,21 +187,44 @@ def delete(spark: SparkSession, table: str, condition,
     cond = _cond(condition)
     meta = _snapshot(table)
     hit_cond = F.coalesce(cond, F.lit(False))
-    cand, touched = _touched(spark, table, lambda d: d.filter(cond),
-                             prune, meta=meta)
-    if not touched:
-        return {"version": txlog.current_version(table),
-                "files_touched": 0, "files_total": len(cand)}
     import os
 
     if mode == "dv":
         # deletion-vector path: name the matched rows as tombstones
         # instead of rewriting the files — O(matched rows) written, the
         # data files stay byte-identical (Delta's DV fast delete).
-        df = _read(spark, table, touched, with_pos=True, meta=meta)
-        hit = df.filter(F.coalesce(cond, F.lit(False)))
+        #
+        # ONE scan over the stats-pruned candidates stages the
+        # tombstones directly; the touched-file set is recovered from
+        # the staged tombstones' __f column on the driver (O(matched
+        # rows) of dictionary-encoded basenames — the former separate
+        # discovery job scanned the same candidate rows a second time,
+        # and a DV delete's premise is that the matched set is small).
+        cand = txlog.pruned_files(table, prune)
+        if not cand:
+            return {"version": txlog.current_version(table),
+                    "files_touched": 0, "files_total": 0}
+        df = _read(spark, table, cand, with_pos=True, meta=meta)
+        hit = df.filter(hit_cond)
         tomb = hit.select("__f", "__pos")
         dv_rels = txlog.stage_files(tomb, table, subdir="_dv")
+        import pyarrow.parquet as pq
+
+        bases: set[str] = set()
+        for rel in dv_rels:
+            pf = pq.ParquetFile(os.path.join(table, rel))
+            if pf.metadata.num_rows:
+                bases.update(pf.read(columns=["__f"])
+                             .column("__f").unique().to_pylist())
+        base_to_rel = {rel.split("/")[-1]: rel for rel in cand}
+        touched = sorted(base_to_rel[b] for b in bases)
+        if not touched:
+            for rel in dv_rels:
+                pth = os.path.join(table, rel)
+                if os.path.exists(pth):
+                    os.unlink(pth)
+            return {"version": txlog.current_version(table),
+                    "files_touched": 0, "files_total": len(cand)}
         cdf_rels = (_stage_cdf([(hit.drop("__f", "__pos"), "delete")],
                                table) if cdf else [])
         try:
@@ -217,6 +240,11 @@ def delete(spark: SparkSession, table: str, condition,
             raise
         return {"version": ver, "files_touched": len(touched),
                 "files_total": len(cand)}
+    cand, touched = _touched(spark, table, lambda d: d.filter(cond),
+                             prune, meta=meta)
+    if not touched:
+        return {"version": txlog.current_version(table),
+                "files_touched": 0, "files_total": len(cand)}
     df = _read(spark, table, touched, meta=meta)
     keep = df.filter(~hit_cond)
     parts = [(df.filter(hit_cond), "delete")] if cdf else None
