@@ -395,43 +395,115 @@ def simhash(docs: DataFrame, text_col: str = "text", out: str = "simhash",
     """64-bit SimHash over whitespace tokens.
 
     Each token votes its hash bit pattern; the signature bit is 1 where
-    the vote sum is positive.  Computed as ``bits`` shiftright/bitwise-AND
-    aggregations over the token array — entirely JVM-side.
+    the vote sum is positive.  The vote fold runs in an Arrow kernel
+    (``bits`` vectorized shift/mask passes + one segment-sum over the
+    flattened token hashes) — the former SQL form paid ``bits``
+    INTERPRETED ``F.aggregate`` lambda passes per row (higher-order
+    functions do not codegen).  Votes are commutative integer sums, so
+    the kernel is bit-exact against the SQL fold regardless of order.
 
-    ``hash_fn='md5'`` switches the token hash to the 60-bit md5 hex prefix
-    (identical in Spark and DuckDB, so the whole signature is SQL-oracle
-    certifiable) and caps ``bits`` at 60; xxhash64 stays the production
-    default."""
-    toks = tokens(text_col)
+    ``hash_fn='md5'`` switches the token hash to the 60-bit md5 hex
+    prefix (identical in Spark and DuckDB, so the whole signature is
+    SQL-oracle certifiable) and caps ``bits`` at 60; the hash then runs
+    in the kernel too (hashlib), with a per-task {token -> hash} cache —
+    each DISTINCT token is hashed once per task, not once per
+    occurrence.  xxhash64 stays the production default; its hashes come
+    from the codegen'd JVM intrinsic and only the vote fold crosses into
+    the kernel.
+
+    Scale note (guide §2): a small corpus that arrives as FEWER scan
+    partitions than the cluster has cores is round-robin repartitioned
+    first so the signature work uses every core; at scale the input is
+    already wider than the cluster and no extra exchange is added."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
     if hash_fn == "md5":
         bits = min(bits, 60)
-        th = F.transform(toks, lambda t: F.conv(
-            F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
-    elif hash_fn == "xxhash64":
-        th = F.transform(toks, lambda t: F.xxhash64(t))
-    else:
+    elif hash_fn != "xxhash64":
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    def mask(i: int) -> int:
-        # two's-complement signed-long bit mask (bit 63 is the sign bit)
-        return (1 << i) if i < 63 else -(1 << 63)
+    n_bits = bits
 
-    def vote(i: int):
-        m = mask(i)
-        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+    sc = docs.sparkSession.sparkContext
+    par = max(1, sc.defaultParallelism)
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
 
-    def sig_of(th_bound):
-        # th_bound is the LET-bound hash array: evaluated once per row,
-        # not re-inlined into each of the ``bits`` vote aggregates
-        sig = F.lit(0).cast("long")
-        for i in range(bits):
-            v = F.aggregate(th_bound, F.lit(0), vote(i))
-            sig = sig.bitwiseOR(
-                F.when(v > 0, F.lit(mask(i))).otherwise(F.lit(0))
-                .cast("long"))
-        return sig
+    def _sigs(flat: "np.ndarray", lens: "np.ndarray") -> "np.ndarray":
+        """Pack signatures from flattened per-row hash runs.  NULL text
+        / empty hash arrays keep the SQL fold's value: every vote
+        comparison is false, so the signature is 0."""
+        u = flat.view(np.uint64)
+        nz = lens > 0
+        lens_nz = lens[nz]
+        starts = np.zeros(lens_nz.size, dtype=np.int64)
+        if lens_nz.size > 1:
+            np.cumsum(lens_nz[:-1], out=starts[1:])
+        sig_nz = np.zeros(lens_nz.size, dtype=np.uint64)
+        if lens_nz.size:
+            for i in range(n_bits):
+                bit = (((u >> np.uint64(i)) & np.uint64(1))
+                       .astype(np.int64) * 2 - 1)
+                votes = np.add.reduceat(bit, starts)
+                sig_nz |= np.where(votes > 0,
+                                   np.uint64(1) << np.uint64(i),
+                                   np.uint64(0))
+        sig = np.zeros(lens.size, dtype=np.uint64)
+        sig[nz] = sig_nz
+        return sig.view(np.int64)
 
-    return docs.withColumn(
-        out, F.element_at(F.transform(F.array(th), sig_of), 1))
+    schema = StructType(list(docs.schema.fields)
+                        + [StructField(out, LongType())])
+
+    if hash_fn == "md5":
+        def _kernel(batches):
+            import hashlib
+
+            cache: dict = {}
+
+            def h(t):
+                v = cache.get(t)
+                if v is None:
+                    v = int(hashlib.md5(t.encode("utf-8"))
+                            .hexdigest()[:15], 16)
+                    cache[t] = v
+                return v
+
+            for pdf in batches:
+                texts = pdf[text_col]
+                lens = np.zeros(len(texts), dtype=np.int64)
+                runs = []
+                for j, s in enumerate(texts):
+                    if s is None:
+                        continue
+                    tk = s.split(" ")
+                    lens[j] = len(tk)
+                    runs.append(np.array([h(t) for t in tk],
+                                         dtype=np.int64))
+                flat = (np.concatenate(runs) if runs
+                        else np.empty(0, np.int64))
+                res = pdf.copy()
+                res[out] = _sigs(flat, lens)
+                yield res
+
+        return docs.mapInPandas(_kernel, schema=schema)
+
+    th = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+
+    def _kernel(batches):
+        for pdf in batches:
+            col = pdf["__th"]
+            lens = np.array([0 if a is None else len(a) for a in col],
+                            dtype=np.int64)
+            runs = [np.asarray(a, dtype=np.int64) for a in col
+                    if a is not None and len(a)]
+            flat = (np.concatenate(runs) if runs
+                    else np.empty(0, np.int64))
+            res = pdf.drop(columns=["__th"])
+            res[out] = _sigs(flat, lens)
+            yield res
+
+    return docs.withColumn("__th", th).mapInPandas(_kernel, schema=schema)
 
 
 def simhash_dupes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -754,6 +754,56 @@ def test_classifier_score_matches_sql_fold(spark):
         assert out[i].keep == ref[i].keep, i
 
 
+def test_simhash_kernel_matches_sql_fold(spark):
+    """The Arrow vote kernel must be BIT-equal to the former Catalyst
+    per-bit F.aggregate fold, for BOTH hash families, including NULL /
+    empty-string / repeated-space edges (votes are commutative integer
+    sums, so order cannot differ — this pins the hash + mask + threshold
+    wiring)."""
+    import pyspark.sql.functions as F
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, ""), (2, None), (3, "  double  spaces  "),
+            (4, "one"), (5, "répété unicode tökens répété unicode"),
+            (6, "a b c " * 100 + "z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def sql_sig(hash_fn, bits):
+        toks = F.split(F.col("text"), " ")
+        if hash_fn == "md5":
+            th = F.transform(toks, lambda t: F.conv(
+                F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+        else:
+            th = F.transform(toks, lambda t: F.xxhash64(t))
+
+        def mask(i):
+            return (1 << i) if i < 63 else -(1 << 63)
+
+        def vote(i):
+            m = mask(i)
+            return lambda acc, h: acc + F.when(
+                h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+
+        def sig_of(b):
+            sig = F.lit(0).cast("long")
+            for i in range(bits):
+                v = F.aggregate(b, F.lit(0), vote(i))
+                sig = sig.bitwiseOR(
+                    F.when(v > 0, F.lit(mask(i))).otherwise(F.lit(0))
+                    .cast("long"))
+            return sig
+
+        return F.element_at(F.transform(F.array(th), sig_of), 1)
+
+    for hash_fn, bits in (("md5", 60), ("xxhash64", 64)):
+        got = {r.doc_id: r.simhash for r in
+               dedup.simhash(df, "text", hash_fn=hash_fn).collect()}
+        ref = {r.doc_id: r.s for r in df.select(
+            "doc_id", sql_sig(hash_fn, bits).alias("s")).collect()}
+        for i, _ in rows:
+            assert got[i] == ref[i], (hash_fn, i, got[i], ref[i])
+
+
 def test_classifier_score_shape_and_bounds(docs):
     out = {r.doc_id: r for r in text.classifier_score(docs).collect()}
     assert set(out) == {0, 1, 2, 3, 4}
