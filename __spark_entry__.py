@@ -485,7 +485,7 @@ def _q_simhash(spark, sf_dir):
     production default stays xxhash64 over 64 bits — same vote/pack code
     path, different hash family."""
     docs = nio.load_table(spark, sf_dir, "documents")
-    return dedup.simhash(docs, "text", hash_fn="md5") \
+    return dedup.simhash(docs, "text", hash_fn="md5", keep=["doc_id"]) \
         .select("doc_id", "simhash").orderBy("doc_id")
 
 

@@ -391,7 +391,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
 # ---------------------------------------------------------------- simhash
 
 def simhash(docs: DataFrame, text_col: str = "text", out: str = "simhash",
-            bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+            bits: int = 64, hash_fn: str = "xxhash64",
+            keep: list | None = None) -> DataFrame:
     """64-bit SimHash over whitespace tokens.
 
     Each token votes its hash bit pattern; the signature bit is 1 where
@@ -414,7 +415,14 @@ def simhash(docs: DataFrame, text_col: str = "text", out: str = "simhash",
     Scale note (guide §2): a small corpus that arrives as FEWER scan
     partitions than the cluster has cores is round-robin repartitioned
     first so the signature work uses every core; at scale the input is
-    already wider than the cluster and no extra exchange is added."""
+    already wider than the cluster and no extra exchange is added.
+
+    ``keep`` narrows the passthrough columns: only those columns (plus
+    ``out``) cross the Arrow boundary back out — callers that drop the
+    text right after (``simhash_hamming_pairs``, ``simhash_dupes``)
+    would otherwise pay a full text serialization JVM<-Python for a
+    column they discard.  ``None`` keeps every input column (the public
+    append-a-column contract)."""
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -423,6 +431,10 @@ def simhash(docs: DataFrame, text_col: str = "text", out: str = "simhash",
     elif hash_fn != "xxhash64":
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     n_bits = bits
+
+    keep_cols = ([f.name for f in docs.schema.fields] if keep is None
+                 else list(keep))
+    docs = docs.select(*dict.fromkeys(keep_cols + [text_col]))
 
     sc = docs.sparkSession.sparkContext
     par = max(1, sc.defaultParallelism)
@@ -452,7 +464,7 @@ def simhash(docs: DataFrame, text_col: str = "text", out: str = "simhash",
         sig[nz] = sig_nz
         return sig.view(np.int64)
 
-    schema = StructType(list(docs.schema.fields)
+    schema = StructType([docs.schema[c] for c in keep_cols]
                         + [StructField(out, LongType())])
 
     if hash_fn == "md5":
@@ -482,7 +494,7 @@ def simhash(docs: DataFrame, text_col: str = "text", out: str = "simhash",
                                          dtype=np.int64))
                 flat = (np.concatenate(runs) if runs
                         else np.empty(0, np.int64))
-                res = pdf.copy()
+                res = pdf[keep_cols].copy()
                 res[out] = _sigs(flat, lens)
                 yield res
 
@@ -503,12 +515,13 @@ def simhash(docs: DataFrame, text_col: str = "text", out: str = "simhash",
             res[out] = _sigs(flat, lens)
             yield res
 
-    return docs.withColumn("__th", th).mapInPandas(_kernel, schema=schema)
+    return (docs.withColumn("__th", th).select(*keep_cols, "__th")
+            .mapInPandas(_kernel, schema=schema))
 
 
 def simhash_dupes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Docs sharing an identical simhash (Hamming distance 0 near-dups)."""
-    sh = simhash(docs.select(id_col, text_col), text_col)
+    sh = simhash(docs.select(id_col, text_col), text_col, keep=[id_col])
     return (
         sh.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n"), F.collect_list(id_col).alias("ids"))
@@ -1197,7 +1210,7 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
     from pyspark.sql.types import LongType, StructField, StructType
 
     sh = simhash(docs.select(id_col, text_col), text_col,
-                 bits=bits, hash_fn=hash_fn)
+                 bits=bits, hash_fn=hash_fn, keep=[id_col])
     if hash_fn == "md5":
         bits = min(bits, 60)
     n_blocks = max_dist + 1
