@@ -19,6 +19,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from neo_server_spark.datapipe.text import widen_narrow_input
+
 __all__ = [
     "c4_line_stats",
     "c4_clean",
@@ -88,8 +90,10 @@ def c4_line_stats(docs: DataFrame, text_col: str = "text",
         fewer than ``min_lines`` lines survive (C4: 3 sentences).
 
     100 TB shape: a single narrow projection — per-row array expressions,
-    no shuffle, no UDF; the filter is applied during the parquet scan.
+    no keyed shuffle, no UDF; a narrow input is round-robin widened so
+    the per-line lambda work uses every core (no-op at scale).
     """
+    docs = widen_narrow_input(docs)
     lines = _lines(text_col, sep)
     kept = _kept_lines(text_col, sep, min_words)
     low = F.lower(F.col(text_col))
@@ -115,8 +119,9 @@ def c4_clean(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """The cleaning pass itself: documents that survive the C4 page-level
     rules, with their text rebuilt from only the surviving lines.
 
-    Same scan-side, shuffle-free shape as :func:`c4_line_stats`.
+    Same scan-side shape as :func:`c4_line_stats` (widened when narrow).
     """
+    docs = widen_narrow_input(docs)
     kept = _kept_lines(text_col, sep, min_words)
     low = F.lower(F.col(text_col))
     out = docs.withColumn("__kept", kept).filter(
@@ -323,8 +328,13 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
     shuffle, zero UDF; only the selected fingerprints (a ~2/(w+1) fraction
     of grams) leave the scan.  The 28-bit md5-prefix hash is cross-engine
     reproducible for the oracle; collisions only make fingerprinting
-    slightly more selective, which MOSS tolerates by design.
+    slightly more selective, which MOSS tolerates by design.  A narrow
+    input is widened first — the per-gram md5 dominates and otherwise
+    runs at the scan's partition count (r15: 0.75x at sf0.1; an Arrow
+    kernel form was built, proven bit-equal and measured SLOWER than
+    the widened SQL form — 1.23 vs 1.02 — so the SQL form stays).
     """
+    docs = widen_narrow_input(docs)
     toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
     d = docs.select(F.col(id_col), toks.alias("__t"))
     d = d.withColumn("__n", F.size("__t")).filter(F.col("__n") >= k)
@@ -568,7 +578,7 @@ def char_entropy(docs: DataFrame, text_col: str = "text",
                 "entropy": pd.array(hh, dtype="Float64"),
             })
 
-    return (docs.select(id_col, text_col)
+    return (widen_narrow_input(docs.select(id_col, text_col))
             .mapInPandas(kernel, out_schema)
             .select(id_col, "n_chars", "n_distinct_chars",
                     F.round("entropy", 6).alias("entropy")))
@@ -629,9 +639,11 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
       * contains >= 2 of the 8 Gopher stop words
 
     Output: per-document measurements, one boolean per rule, and the
-    combined ``keep``.  Everything is per-row array arithmetic — zero
-    shuffle, filters run during the parquet scan.
+    combined ``keep``.  Everything is per-row array arithmetic — no
+    keyed shuffle; a narrow input is widened so the per-word lambda
+    folds use every core (no-op at scale).
     """
+    docs = widen_narrow_input(docs)
     toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
     d = docs.select(F.col(id_col), toks.alias("__w"),
                     _lines(text_col, sep).alias("__l"))
@@ -694,8 +706,10 @@ def readability(docs: DataFrame, text_col: str = "text",
     ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)``, with
     syllables approximated as vowel groups per word (min 1) and sentences
     as terminal-punctuation runs (min 1) — the standard closed-form
-    heuristic, scan-side only.
+    heuristic, scan-side only (widened when narrow — the per-word vowel
+    -group regex dominates; r15: 0.64x at sf0.1).
     """
+    docs = widen_narrow_input(docs)
     toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
     d = docs.select(F.col(id_col), F.col(text_col).alias("__t"),
                     toks.alias("__w"))

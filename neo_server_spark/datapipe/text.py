@@ -23,6 +23,26 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def widen_narrow_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an input that arrives NARROWER than the
+    cluster (scale-adaptive parallelism): heavy per-row work (per-gram
+    hashing, per-token lambda folds, per-char kernels) otherwise runs at
+    the scan's partition count — a single task for a small file.  At
+    scale the scan is already wider than ``defaultParallelism`` and this
+    is a no-op (no exchange added).  Apply ONLY where the per-row work
+    is measured to dominate the one-time round-robin exchange of the
+    input (r15 at sf0.1: winnowing 0.75x, readability 0.64x, gopher
+    0.76x, c4 0.72x, char_entropy 0.87x, repetition 0.84x — while the
+    LIGHT per-row ops measured the opposite: text_normalize 1.97x,
+    text_stats 1.76x, lm_score 1.61x, pii_scrub 1.47x, and stay
+    un-widened)."""
+    sc = df.sparkSession.sparkContext
+    par = max(1, sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def tokens(text_col: Column | str = "text") -> Column:
     """Whitespace tokenization as an array column."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -265,7 +285,15 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     by ``slice`` (no Python, no self-join); the only shuffle is the per-doc
     gram count, keyed on (doc, gram) so one hot document cannot skew a
     single reducer.  (Rae et al. 2021 "Gopher" repetition filters.)
+
+    A narrow input is widened first (:func:`widen_narrow_input`) so the
+    gram build uses every core; an Arrow-kernel zero-shuffle form was
+    built, proven bit-equal and REJECTED on measurement (r15: the
+    codegen'd gram shuffle beats Python tokenization locally — see
+    OPTIMIZATION_r15.md §10; at corpus scale the kernel form wins and is
+    the documented swap).
     """
+    docs = widen_narrow_input(docs)
     gram_expr = "toks"
     for i in range(1, n):
         gram_expr = (f"filter(zip_with({gram_expr}, slice(toks, {i + 1}, "

@@ -330,8 +330,13 @@ def test_classifier_and_mixture_stay_scan_side(spark, sf_dir):
 
 def test_c4_and_winnow_and_entropy_are_scan_side(spark, sf_dir):
     """The round-8 per-row curation ops (C4 rules, winnowing selection,
-    char entropy) are pure array arithmetic: their plans must contain NO
-    Exchange at all — the shape that scales linearly with scan width."""
+    char entropy) are pure array arithmetic: their plans must contain no
+    KEYED exchange (hash/range) — the shape that scales linearly with
+    scan width.  The only exchange permitted is the r15 input-widening
+    round-robin repartition, which exists exactly when the input is
+    narrower than the cluster (a no-op at scale) and never moves rows by
+    key."""
+    import re
     from neo_server_spark import io as nio
     from neo_server_spark.datapipe import curate
     docs = nio.load_table(spark, sf_dir, "documents")
@@ -340,7 +345,12 @@ def test_c4_and_winnow_and_entropy_are_scan_side(spark, sf_dir):
                curate.winnow_fingerprints(docs, k=5, w=4),
                curate.char_entropy(docs)):
         plan = plan_of(df)
-        assert "Exchange" not in plan, plan[:2000]
+        assert "hashpartitioning" not in plan, plan[:2000]
+        assert "rangepartitioning" not in plan, plan[:2000]
+        assert "BroadcastExchange" not in plan, plan[:2000]
+        # every remaining exchange must be the round-robin widening
+        n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_ex == plan.count("RoundRobinPartitioning"), plan[:2000]
 
 
 def test_dedup_lines_never_shuffles_text(spark, sf_dir):
