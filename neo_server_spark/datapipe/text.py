@@ -330,15 +330,18 @@ def contamination(docs: DataFrame, bench: DataFrame, text_col: str = "text",
     100 TB shape: the corpus explodes to shingles ONCE and meets the
     benchmark's DISTINCT shingle digests in a single broadcast LEFT join
     keyed on the xxhash64 digest — shuffle keys are fixed-width, the raw
-    text never shuffles, and the benchmark side (eval sets — tiny by
+    text never shuffles BY KEY (a narrow input is round-robin widened
+    first so the shingle explode uses every core — 0.40x at sf0.1, a
+    no-op at scale), and the benchmark side (eval sets — tiny by
     definition) broadcasts under AQE.  One aggregation counts total and
     matching shingles together, map-side-combined before the id shuffle.
     (The former totals-agg + semi-join + hits-agg + join shape exploded
     and hashed every corpus shingle TWICE and paid two aggregations —
     r15: one corpus pass, one exchange, identical outputs.)
     """
-    d = docs.select(F.col(id_col),
-                    F.explode(shingles(text_col, shingle_n)).alias("__s"))
+    d = widen_narrow_input(docs).select(
+        F.col(id_col),
+        F.explode(shingles(text_col, shingle_n)).alias("__s"))
     d = d.select(id_col, F.xxhash64("__s").alias("__h"))
     b = (bench.select(F.explode(shingles(text_col, shingle_n)).alias("__s"))
          .select(F.xxhash64("__s").alias("__h")).distinct()
