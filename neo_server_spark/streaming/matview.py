@@ -312,25 +312,34 @@ class MatView:
         is still a separate Spark job of at most max_files input
         files) while paying the O(keys) view rewrite K times less."""
         chunks = rows = publishes = 0
-        pending: DataFrame | None = None   # merged unpublished partials
+        pending: list[DataFrame] = []      # unpublished chunk partials
         pend_until: int | None = None      # version pending folds up to
         pend_chunks = 0
 
         def _flush() -> None:
             nonlocal pending, pend_until, pend_chunks, publishes
-            if pending is None:
+            if not pending:
                 pend_until, pend_chunks = None, 0
                 return
+            # ONE n-ary union + ONE key-wise merge over all pending
+            # chunk partials (plus the stored view's): the former
+            # per-chunk pairwise merge built K-1 nested aggregations
+            # into every publish plan — same semigroup fold, flat
+            frames = list(pending)
             try:
                 prev = txlog.read_table(self.spark, self.view_table) \
                     .select(*self.keys, *self._partial_cols())
-                merged = self._merge_agg(prev.unionByName(pending))
+                frames.insert(0, prev)
             except FileNotFoundError:
-                merged = pending
+                pass
+            u = frames[0]
+            for f in frames[1:]:
+                u = u.unionByName(f)
+            merged = u if len(frames) == 1 else self._merge_agg(u)
             self._publish(merged, pend_until)
             self.watcher.version = pend_until
             publishes += 1
-            pending, pend_until, pend_chunks = None, None, 0
+            pending, pend_until, pend_chunks = [], None, 0
 
         while True:
             since = pend_until if pend_until is not None \
@@ -374,10 +383,12 @@ class MatView:
                 rows += max(r["delta_rows"], 0)
                 continue
             if delta is not None:
-                rows += int(delta.count())
-                fresh = self._partial_agg(delta)
-                pending = fresh if pending is None else \
-                    self._merge_agg(pending.unionByName(fresh))
+                # footer-metadata row count (same as refresh()): the
+                # former delta.count() paid one job submission per
+                # chunk — 34 extra jobs on the 300M/12k-file exhibit
+                n = self._delta_rows(since, until)
+                rows += int(delta.count() if n is None else n)
+                pending.append(self._partial_agg(delta))
                 chunks += 1
                 pend_chunks += 1
             pend_until = until
