@@ -3851,7 +3851,18 @@ def _q_scd2_dimension(spark, sf_dir):
     res = dml.scd2_apply(
         spark, t, w2.withColumn("eff", F.lit(2000).cast("long")),
         on=["k"], attrs=["attr"], effective_col="eff")
-    assert res["files_touched"] >= 1
+    # copy-on-write minimality: the rewrite stays within the discovery
+    # candidates, and a rewrite happened iff some shared key actually
+    # changed its attribute — at sf0.001 snapshot 2's max(event_type)
+    # ties snapshot 1 on every shared key (a legitimate no-churn
+    # apply), so the former unconditional files_touched >= 1 rejected
+    # a correct result on tiny fixtures.
+    assert res["files_touched"] <= res["files_total"]
+    any_changed = (w1.withColumnRenamed("attr", "__a1")
+                   .join(w2.withColumnRenamed("attr", "__a2"), "k")
+                   .filter(~F.col("__a1").eqNullSafe(F.col("__a2")))
+                   .limit(1).count() > 0)
+    assert (res["files_touched"] >= 1) == any_changed
     return (txlog.read_table(spark, t)
             .select("k", "attr", "_valid_from", "_valid_to",
                     "_is_current")
