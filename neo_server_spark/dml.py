@@ -210,12 +210,16 @@ def delete(spark: SparkSession, table: str, condition,
         dv_rels = txlog.stage_files(tomb, table, subdir="_dv")
         import pyarrow.parquet as pq
 
-        bases: set[str] = set()
-        for rel in dv_rels:
+        def _tomb_bases(rel: str) -> list[str]:
             pf = pq.ParquetFile(os.path.join(table, rel))
-            if pf.metadata.num_rows:
-                bases.update(pf.read(columns=["__f"])
-                             .column("__f").unique().to_pylist())
+            if not pf.metadata.num_rows:
+                return []
+            return (pf.read(columns=["__f"])
+                    .column("__f").unique().to_pylist())
+
+        bases: set[str] = set()
+        for lst in txlog._pmap_meta(_tomb_bases, dv_rels):
+            bases.update(lst)
         base_to_rel = {rel.split("/")[-1]: rel for rel in cand}
         touched = sorted(base_to_rel[b] for b in bases)
         if not touched:
@@ -250,15 +254,13 @@ def delete(spark: SparkSession, table: str, condition,
     parts = [(df.filter(hit_cond), "delete")] if cdf else None
     # stage the rewrite FIRST — the job that had to run anyway — and
     # read the survivor count from the staged parquet FOOTERS (driver
-    # metadata): an all-matching file set is detected without the former
-    # separate keep.isEmpty() job, and touched-file discovery keeps its
-    # pushed-down match filter (a per-file count probe tried in r15 lost
-    # the pushdown and read every candidate row — reverted)
-    import pyarrow.parquet as pq
-
+    # metadata, thread-pooled above a handful of files): an all-matching
+    # file set is detected without the former separate keep.isEmpty()
+    # job, and touched-file discovery keeps its pushed-down match filter
+    # (a per-file count probe tried in r15 lost the pushdown and read
+    # every candidate row — reverted)
     rels = txlog.stage_files(keep, table)
-    n_keep = sum(pq.ParquetFile(os.path.join(table, r)).metadata.num_rows
-                 for r in rels)
+    n_keep = txlog.staged_rows(table, rels)
     if n_keep == 0:
         # all rows in the touched files matched: commit pure removal
         for r in rels:
@@ -464,15 +466,12 @@ def merge(spark: SparkSession, table: str, source: DataFrame,
     remove = touched if rewrite_touched else []
     # stage the rewrite FIRST — the job that had to run anyway — and
     # read the output row count from the staged parquet FOOTERS (driver
-    # metadata): the former separate out.isEmpty() job executed the
-    # whole union plan (touched-file read + three joins + source scans)
-    # a second time just to learn emptiness (same staged-first collapse
-    # delete() ships)
-    import pyarrow.parquet as pq
-
+    # metadata, thread-pooled): the former separate out.isEmpty() job
+    # executed the whole union plan (touched-file read + three joins +
+    # source scans) a second time just to learn emptiness (same
+    # staged-first collapse delete() ships)
     rels = txlog.stage_files(out, table)
-    n_out = sum(pq.ParquetFile(os.path.join(table, r)).metadata.num_rows
-                for r in rels)
+    n_out = txlog.staged_rows(table, rels)
     if n_out == 0:
         for r in rels:
             p = os.path.join(table, r)
@@ -597,12 +596,9 @@ def scd2_apply(spark: SparkSession, table: str, source: DataFrame,
         # staged-first (same collapse as delete()/merge()): the former
         # inserts.isEmpty() probe executed the source-vs-current join a
         # second time; stage the appends once and read the row count
-        # from the staged parquet footers
-        import pyarrow.parquet as pq
-
+        # from the staged parquet footers (thread-pooled)
         rels = txlog.stage_files(inserts, table)
-        if sum(pq.ParquetFile(os.path.join(table, r)).metadata.num_rows
-               for r in rels) == 0:
+        if txlog.staged_rows(table, rels) == 0:
             for r in rels:
                 pth = os.path.join(table, r)
                 if os.path.exists(pth):

@@ -648,24 +648,33 @@ class MatView:
         """Row count of the polled range's add-files straight from their
         parquet footers — the exact number ``changes()``' DataFrame
         counts (same commit filter: ``(since, until]``, dataChange only)
-        without a job submission.  None when a concurrent vacuum raced
-        the footer reads (caller falls back to counting the frame)."""
+        without a job submission.  Footer opens are thread-pooled (a
+        bootstrap chunk can add hundreds of files; a serial loop
+        serializes O(files) metadata reads on the driver).  None when a
+        concurrent vacuum raced the footer reads (caller falls back to
+        counting the frame)."""
         import os
 
         import pyarrow.parquet as pq
 
-        n = 0
+        def _n(rel: str) -> int | None:
+            try:
+                return pq.ParquetFile(
+                    os.path.join(self.src_table, rel)).metadata.num_rows
+            except (FileNotFoundError, OSError):
+                return None
+
         try:
-            for e in txlog._iter_entries(self.src_table, since):
-                if e["version"] > until or not e.get("dataChange", True):
-                    continue
-                for rel in e.get("add", []):
-                    n += pq.ParquetFile(
-                        os.path.join(self.src_table, rel)
-                    ).metadata.num_rows
+            rels = [rel
+                    for e in txlog._iter_entries(self.src_table, since)
+                    if e["version"] <= until and e.get("dataChange", True)
+                    for rel in e.get("add", [])]
         except (FileNotFoundError, ValueError):
             return None
-        return n
+        counts = txlog._pmap_meta(_n, rels)
+        if any(c is None for c in counts):
+            return None
+        return sum(counts)
 
     def _publish(self, partials: DataFrame, src_version: int) -> None:
         out = partials.withColumn("_src_version",

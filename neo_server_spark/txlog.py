@@ -386,8 +386,7 @@ def _file_stats(table: str, rels: list[str],
     data skipping, file-listing-free and O(live files) cheap."""
     import pyarrow.parquet as pq
 
-    out: dict[str, dict] = {}
-    for rel in rels:
+    def _st(rel: str) -> dict:
         md = pq.ParquetFile(os.path.join(table, rel)).metadata
         names = {md.schema.column(i).name: i
                  for i in range(md.num_columns)}
@@ -406,9 +405,10 @@ def _file_stats(table: str, rels: list[str],
                 hi = s.max if hi is None else max(hi, s.max)
             if lo is not None:
                 st[c] = [lo, hi]
-        if st:
-            out[rel] = st
-    return out
+        return st
+
+    return {rel: st
+            for rel, st in zip(rels, _pmap_meta(_st, rels)) if st}
 
 
 def table_schema(table: str) -> list[list[str]] | None:
@@ -609,6 +609,40 @@ def pruned_files(table: str, prune: dict[str, tuple] | None,
     return out
 
 
+def _pmap_meta(fn, items, threads: int = 16) -> list:
+    """Driver-side parquet-footer metadata reads, in parallel, order
+    preserved.
+
+    A wide rewrite can stage THOUSANDS of files; a serial per-file
+    footer loop serializes O(files) metadata opens on the driver (guide
+    §5 — the driver should do almost no data work, and what it must do
+    should not run single-threaded).  Footer opens are I/O-bound (a few
+    ms locally, tens on object stores), so a small thread pool gives
+    near-linear speedup; at a handful of files the pool setup is not
+    worth it and the loop stays serial."""
+    items = list(items)
+    if len(items) <= 4:
+        return [fn(x) for x in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(threads, len(items))) as ex:
+        return list(ex.map(fn, items))
+
+
+def staged_rows(table: str, rels: list[str]) -> int:
+    """Total row count of just-staged files from their parquet footers
+    (driver metadata, zero jobs) — the staged-first DML/matview
+    collapse reads survivor counts from here.  The files were staged by
+    the caller moments ago, so a missing file is a real error, not a
+    vacuum race."""
+    import pyarrow.parquet as pq
+
+    def _n(rel: str) -> int:
+        return pq.ParquetFile(os.path.join(table, rel)).metadata.num_rows
+
+    return sum(_pmap_meta(_n, rels))
+
+
 def _dv_tomb_rows(dv_paths: list[str]) -> int | None:
     """DECODED tombstone row count from parquet footers (metadata-only,
     no column IO) — the broadcast/compaction guards key on this, not on
@@ -616,13 +650,17 @@ def _dv_tomb_rows(dv_paths: list[str]) -> int | None:
     vacuumed under a time-travel reader): callers treat that as
     'unknown, do not hint' and let the actual read raise."""
     import pyarrow.parquet as pq
-    n = 0
-    for p in dv_paths:
+
+    def _n(p: str) -> int | None:
         try:
-            n += pq.ParquetFile(p).metadata.num_rows
+            return pq.ParquetFile(p).metadata.num_rows
         except (FileNotFoundError, OSError):
             return None
-    return n
+
+    counts = _pmap_meta(_n, dv_paths)
+    if any(c is None for c in counts):
+        return None
+    return sum(counts)
 
 
 def read_files(spark: SparkSession, table: str, rels: list[str],
