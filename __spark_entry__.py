@@ -3612,9 +3612,21 @@ def _q_txlog_dml(spark, sf_dir):
           .select("event_id", "user_id", "event_type",
                   F.floor(F.col("value") * 1000).alias("val")))
     t = os.path.join(tempfile.mkdtemp(prefix="txlog_dml_"), "tbl")
-    for k in range(4):
-        txlog.write(ev.filter(F.pmod("event_id", F.lit(4)) == k)
-                    .repartition(2), t, stats_cols=["event_id"])
+    # the four seed batches are INDEPENDENT appends: submit them from
+    # driver threads so each write job's tail back-fills the others'
+    # idle executors (guide §2.6 — Spark's scheduler runs concurrent
+    # jobs fine; txlog's optimistic commit protocol serializes the four
+    # commits through its version-race retry, the exact multi-writer
+    # shape the 7-actor stress pins).  Result rows are order-independent
+    # (disjoint appends); base_ver is read after the barrier.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load(k: int) -> int:
+        return txlog.write(ev.filter(F.pmod("event_id", F.lit(4)) == k)
+                           .repartition(2), t, stats_cols=["event_id"])
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_load, range(4)))
     base_ver = txlog.current_version(t)
     n_base = ev.count()
     d = dml.delete(spark, t, "event_id % 7 = 0",

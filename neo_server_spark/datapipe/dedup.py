@@ -21,8 +21,8 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from neo_server_spark.datapipe.text import (shingles, tokens,
-                                            widen_narrow_input)
+from neo_server_spark.datapipe.text import (_WIDEN_TARGET_BYTES, shingles,
+                                            tokens, widen_narrow_input)
 
 
 # ---------------------------------------------------------------- exact
@@ -90,8 +90,13 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
     digest is computed per shingle (64 separate md5s were ~7x slower).
 
     A narrow input is widened first (r15: the per-shingle hash fold ran
-    on the scan's single task for a small file — 0.21x at sf0.1)."""
-    docs = widen_narrow_input(docs)
+    on the scan's single task for a small file — 0.21x at sf0.1).  The
+    per-row work here (one md5 + num_hashes affine folds per shingle) is
+    several times heavier than the curation ops' — the r16 width probe
+    still improved monotonically to full cluster width at 18KB/task
+    (2.99s@32 vs 3.43@16 vs 7.63 unwidened), so the widen target is a
+    quarter of the default."""
+    docs = widen_narrow_input(docs, target_bytes=_WIDEN_TARGET_BYTES // 4)
     sh = shingles(text_col, shingle_n)
     if hash_fn == "xxhash64":
         def sig_of_sh(sh_bound):
@@ -441,10 +446,10 @@ def simhash(docs: DataFrame, text_col: str = "text", out: str = "simhash",
                  else list(keep))
     docs = docs.select(*dict.fromkeys(keep_cols + [text_col]))
 
-    sc = docs.sparkSession.sparkContext
-    par = max(1, sc.defaultParallelism)
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # size-proportional widen (same heavier-work target as minhash: the
+    # per-row vote kernel dominates the exchange well below the
+    # curation ops' crossover)
+    docs = widen_narrow_input(docs, target_bytes=_WIDEN_TARGET_BYTES // 4)
 
     def _sigs(flat: "np.ndarray", lens: "np.ndarray") -> "np.ndarray":
         """Pack signatures from flattened per-row hash runs.  NULL text
@@ -840,16 +845,24 @@ def duplicate_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
         F.col(id_col),
         F.posexplode(gram_arr).alias("__p0", "__d")
     ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__d")
-    dup = (grams.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
-           .filter(F.col("__n") >= 2))
-    # the duplicated-digest set is CORPUS-cardinality (~every distinct
-    # gram of a templated corpus): shuffle-hash it — per-partition builds
-    # stay small where a driver-side broadcast build OOMs (AQE chose
-    # broadcast from the compressed shuffle size at a 100x replica and
-    # died in notEnoughMemoryToBuildAndBroadcastTable)
-    marked = grams.join(dup.select("__d").hint("shuffle_hash"), "__d") \
-        .select(id_col, "pos")
+    # per-digest corpus count as a COUNT window over the digest
+    # partition (r16; guide §2.4 "remove shuffles outright").  The
+    # former groupBy(__d)+filter + shuffle-hash join back onto `grams`
+    # REBUILT the entire md5 gram stream for the join's probe side —
+    # the plan carried two Generate+md5 subtrees with no exchange reuse,
+    # so every gram was hashed twice and the stream crossed two keyed
+    # exchanges.  The window computes the identical per-digest count on
+    # ONE build of the stream and one digest-keyed exchange (count over
+    # an unordered window = whole-partition count, exactly the join's
+    # __n).  Skew parity: a hot digest's rows all hashed to a single
+    # join task before and land on a single window task now; the window
+    # buffer spills via ExternalAppendOnlyUnsafeRowArray where the join
+    # streamed, the price of hashing the corpus once instead of twice.
     from pyspark.sql.window import Window
+    wd = Window.partitionBy("__d")
+    marked = (grams.withColumn("__n", F.count(F.lit(1)).over(wd))
+              .filter(F.col("__n") >= 2)
+              .select(id_col, "pos"))
     w = Window.partitionBy(id_col).orderBy("pos")
     isl = marked.withColumn("__grp",
                             F.col("pos") - F.row_number().over(w))

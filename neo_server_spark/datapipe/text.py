@@ -23,21 +23,72 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def widen_narrow_input(df: DataFrame) -> DataFrame:
-    """Round-robin repartition an input that arrives NARROWER than the
-    cluster (scale-adaptive parallelism): heavy per-row work (per-gram
-    hashing, per-token lambda folds, per-char kernels) otherwise runs at
-    the scan's partition count — a single task for a small file.  At
-    scale the scan is already wider than ``defaultParallelism`` and this
-    is a no-op (no exchange added).  Apply ONLY where the per-row work
-    is measured to dominate the one-time round-robin exchange of the
-    input (r15 at sf0.1: winnowing 0.75x, readability 0.64x, gopher
-    0.76x, c4 0.72x, char_entropy 0.87x, repetition 0.84x — while the
-    LIGHT per-row ops measured the opposite: text_normalize 1.97x,
-    text_stats 1.76x, lm_score 1.61x, pii_scrub 1.47x, and stay
-    un-widened)."""
+#: per-task input-bytes target for :func:`widen_narrow_input` — width is
+#: sized to the INPUT, not to the core count (r16 probe at sf0.1 /
+#: local[32], 0.57MB corpus: width 8-16 beats width 32 by 20-45% on
+#: every widened curation op — c4 0.44s@8 vs 0.70s@32, readability
+#: 0.38@16 vs 0.57@32, contamination 0.83@8 vs 1.07@32 — because below
+#: ~tens of KB per task the exchange fan-out and task overhead outcost
+#: the work being parallelized; the r15 fixed-width form showed exactly
+#: that as 8-core-beats-32-core scaling ratios).  Ops whose per-row
+#: work is much heavier (per-shingle multi-hash minhash: 2.99@32 vs
+#: 3.43@16 on the same probe) pass a smaller target.
+_WIDEN_TARGET_BYTES = 64 << 10
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated input size, from the optimized LOGICAL
+    plan's statistics — unlike ``df.rdd`` this never compiles a
+    physical plan (r15 ADVICE: the old partition-count check forced a
+    full physical compile per operator invocation).  Returns None when
+    the estimate is a sentinel (LogicalRDD / localCheckpoint inputs
+    report defaultSizeInBytes ~ Long.Max) or unavailable."""
+    try:
+        s = int(str(df._jdf.queryExecution().optimizedPlan()
+                    .stats().sizeInBytes()))
+    except Exception:
+        return None
+    if s <= 0 or s >= (1 << 60):
+        return None
+    return s
+
+
+def widen_narrow_input(df: DataFrame,
+                       target_bytes: int = _WIDEN_TARGET_BYTES) -> DataFrame:
+    """Round-robin repartition an input that arrives NARROWER than its
+    per-row work deserves (scale-adaptive parallelism): heavy per-row
+    work (per-gram hashing, per-token lambda folds, per-char kernels)
+    otherwise runs at the scan's partition count — a single task for a
+    small file.  Width = clamp(input_bytes / target_bytes, 1,
+    defaultParallelism), so a trivial input adds NO exchange, a small
+    one widens just enough, and at scale the scan is already wider than
+    the clamp and this is a no-op.  Apply ONLY where the per-row work is
+    measured to dominate the one-time round-robin exchange of the input
+    (r15 at sf0.1: winnowing 0.75x, readability 0.64x, gopher 0.76x,
+    c4 0.72x, char_entropy 0.87x, repetition 0.84x — while the LIGHT
+    per-row ops measured the opposite: text_normalize 1.97x, text_stats
+    1.76x, lm_score 1.61x, pii_scrub 1.47x, and stay un-widened)."""
     sc = df.sparkSession.sparkContext
     par = max(1, sc.defaultParallelism)
+    size = _plan_size_bytes(df)
+    if size is not None:
+        width = min(par, -(-size // target_bytes))
+        if width <= 1:
+            # sub-target input: the exchange costs more than the work
+            return df
+        # a scan of `size` bytes already yields ~size/maxPartitionBytes
+        # partitions; when that's >= width the exchange buys nothing
+        try:
+            mpb = int(df.sparkSession._jsparkSession.sessionState()
+                      .conf().filesMaxPartitionBytes())
+        except Exception:
+            mpb = 128 * 1024 * 1024
+        if size // mpb >= width:
+            return df
+        return df.repartition(width)
+    # no usable size estimate (checkpointed / LogicalRDD inputs): fall
+    # back to the physical partition-count check — cheap here, because
+    # an RDD-backed frame has no scan to re-plan
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
@@ -343,7 +394,12 @@ def contamination(docs: DataFrame, bench: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(shingles(text_col, shingle_n)).alias("__s"))
     d = d.select(id_col, F.xxhash64("__s").alias("__h"))
-    b = (bench.select(F.explode(shingles(text_col, shingle_n)).alias("__s"))
+    # the BENCH side shingles+hashes too — widen it as well (r16): a
+    # single-file eval set otherwise builds its whole digest set on one
+    # task (measured 0.57s of the 1.2s entry at sf0.1, ~the same cost
+    # as the 9x larger corpus side); a no-op at scale like every widen
+    b = (widen_narrow_input(bench)
+         .select(F.explode(shingles(text_col, shingle_n)).alias("__s"))
          .select(F.xxhash64("__s").alias("__h")).distinct()
          .withColumn("__in", F.lit(1)))
     per = (d.join(b, "__h", "left")
