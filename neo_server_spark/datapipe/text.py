@@ -331,19 +331,80 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     """Gopher-style per-document repetition signals over word ``n``-grams:
     total/distinct gram counts, the most-frequent gram's share, and the
     share of gram occurrences that are duplicates.
+    (Rae et al. 2021 "Gopher" repetition filters.)
 
-    Grams are built JVM-side with ``zip_with`` over the token array shifted
-    by ``slice`` (no Python, no self-join); the only shuffle is the per-doc
-    gram count, keyed on (doc, gram) so one hot document cannot skew a
-    single reducer.  (Rae et al. 2021 "Gopher" repetition filters.)
+    Zero-shuffle Arrow kernel (r16): every signal is per-document, so
+    one mapInPandas pass emits the four INTEGER counts and the fractions
+    stay JVM ``round(x/y, 6)`` expressions — bit-exactness is integer
+    equality plus the identical division (pinned against the SQL fold in
+    tests/test_arrow_equivalence.py).  r15 built this kernel, measured
+    it SLOWER at sf0.1 and rejected it — under the old full-core-count
+    widening, whose tiny per-task Arrow batches drowned the kernel in
+    per-batch overhead.  With the size-proportional widen the same
+    kernel measures 0.57x (sf0.1) / 0.44x (sf1) / 0.20x (sf10) against
+    the JVM zip_with+explode+two-exchange shape, interleaved best-of-3,
+    and it eliminates the (doc, gram) shuffle (~2x corpus bytes)
+    entirely — the scale argument and the local measurement now agree.
 
-    A narrow input is widened first (:func:`widen_narrow_input`) so the
-    gram build uses every core; an Arrow-kernel zero-shuffle form was
-    built, proven bit-equal and REJECTED on measurement (r15: the
-    codegen'd gram shuffle beats Python tokenization locally — see
-    OPTIMIZATION_r15.md §10; at corpus scale the kernel form wins and is
-    the documented swap).
-    """
+    NULL text and docs with fewer than ``n`` tokens emit NO row, exactly
+    like the former explode (split(NULL) -> NULL -> no gram rows).
+    Tokenization matches the SQL ``filter(split(text, ' '),
+    t -> trim(t) != '')``: Spark's trim strips 0x20 only, hence
+    ``strip(" ")``."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    docs = widen_narrow_input(docs.select(id_col, text_col))
+    schema = StructType([
+        StructField(id_col, docs.schema[id_col].dataType),
+        StructField("__tot", LongType()),
+        StructField("__dst", LongType()),
+        StructField("__mx", LongType()),
+        StructField("__dup", LongType()),
+    ])
+
+    def _kern(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            keep, tot, dst, mx, dup = [], [], [], [], []
+            for k, txt in enumerate(pdf[text_col]):
+                if txt is None:
+                    continue
+                toks = [t for t in txt.split(" ") if t.strip(" ") != ""]
+                if len(toks) < n:
+                    continue
+                cnt = Counter(" ".join(toks[j:j + n])
+                              for j in range(len(toks) - n + 1))
+                keep.append(k)
+                tot.append(sum(cnt.values()))
+                dst.append(len(cnt))
+                mx.append(max(cnt.values()))
+                dup.append(sum(v for v in cnt.values() if v > 1))
+            # id values slice out of the input batch so the column keeps
+            # its exact arrow dtype whatever the caller's id type is
+            out = pdf.iloc[keep][[id_col]].reset_index(drop=True)
+            out["__tot"] = pd.array(tot, dtype="Int64")
+            out["__dst"] = pd.array(dst, dtype="Int64")
+            out["__mx"] = pd.array(mx, dtype="Int64")
+            out["__dup"] = pd.array(dup, dtype="Int64")
+            yield out
+
+    return docs.mapInPandas(_kern, schema).select(
+        F.col(id_col),
+        F.col("__tot").alias("n_grams"),
+        F.col("__dst").alias("n_distinct"),
+        F.round(F.col("__mx") / F.col("__tot"), 6).alias("top_gram_frac"),
+        F.round(F.col("__dup") / F.col("__tot"), 6).alias("dup_gram_frac"))
+
+
+def _repetition_stats_sql(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """The JVM zip_with+explode+aggregate form of :func:`repetition_stats`
+    — kept as the independent recomputation the kernel-equivalence test
+    pins against (and as the shape to fall back to if a deployment
+    cannot run Python workers)."""
     docs = widen_narrow_input(docs)
     gram_expr = "toks"
     for i in range(1, n):

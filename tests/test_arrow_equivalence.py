@@ -108,3 +108,26 @@ def test_band_buckets_matches_expression_recompute(spark, emb):
         for i in range(bands):
             want[(r["vec_id"], i)] = r[f"b{i}"]
     assert got == want
+
+
+def test_repetition_kernel_matches_sql_fold(spark, sf_dir):
+    """repetition_stats' Arrow kernel (r16) must equal the former JVM
+    zip_with+explode+aggregate fold EXACTLY — integer counts and the
+    round(6) fractions — including the absent-row semantics for NULL
+    text and docs shorter than n tokens, and single-0x20 tokenization
+    (Spark trim strips spaces only, not all whitespace)."""
+    from neo_server_spark import io as nio
+    from neo_server_spark.datapipe import text as T
+
+    edge = spark.createDataFrame(
+        [(1, "a b a b a"), (2, None), (3, ""), (4, "x"), (5, "  a   b  "),
+         (6, "ü ü ü ö"), (7, "a\tb c"), (8, " "),
+         (9, "a b")],
+        "doc_id long, text string")
+    corpus = nio.load_table(spark, sf_dir, "documents")
+    for docs in (edge, corpus):
+        for n in (1, 2, 3):
+            got = sorted(map(tuple, T.repetition_stats(docs, n=n).collect()))
+            want = sorted(map(tuple,
+                              T._repetition_stats_sql(docs, n=n).collect()))
+            assert got == want, (n, got[:3], want[:3])
