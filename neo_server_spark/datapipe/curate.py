@@ -19,7 +19,15 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from neo_server_spark.datapipe.text import widen_narrow_input
+from neo_server_spark.datapipe.text import _plan_size_bytes, widen_narrow_input
+
+#: estimated-input-bytes gate for lm_score_bigram's vocab pin: below it
+#: the corpus re-scans are cheaper than materializing the vocab
+#: (measured 1.09-1.15x SLOWER pinned at sf0.1 / sf1 / sf10 = up to
+#: 1.5GB local); above it the 3 saved corpus scans dominate the
+#: vocabulary-sized checkpoint.  Set one decade above the largest
+#: measured still-losing point.
+_LM2_PIN_MIN_BYTES = 16 << 30
 
 __all__ = [
     "c4_line_stats",
@@ -477,17 +485,22 @@ def lm_score_bigram(docs: DataFrame, text_col: str = "text",
     occ = (docs.select(F.col(id_col), toks.alias("__t"))
                .select(id_col, F.explode(F.expr(bi)).alias("b"))
                .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
-    # NOTE (r15 measurement): the unigram table is consumed three times
-    # (c1 join, c2 join, tot) and Catalyst does not reuse its exchange
-    # across the renames, so the corpus is re-tokenized per consumer.
-    # Pinning it (`uni.localCheckpoint(eager=False)`) cuts the scans
-    # 6 -> 3 but measured a consistent 1.15x REGRESSION at bench scale —
-    # the cache materialization costs more than the tiny re-scans.  At
-    # true corpus scale the one-line pin is the right call (vocab is the
-    # only frame small enough); left un-pinned so the shipped shape is
-    # the one the bench proves fastest.
+    # The unigram table is consumed three times (c1 join, c2 join, tot)
+    # and Catalyst does not reuse its exchange across the renames, so
+    # the corpus is re-tokenized per consumer.  Pinning the vocab
+    # (`uni.localCheckpoint(eager=False)`) cuts the corpus scans 6 -> 3
+    # but LOSES below the gate: measured 1.14x (sf0.1), 1.15x (sf1),
+    # 1.09x (sf10 = 1.5GB) — local re-scans are cheaper than the
+    # checkpoint materialization at every size this box can hold.  At
+    # true corpus scale the three extra scans cost O(corpus bytes) each
+    # while the pinned frame is vocabulary-sized, so the pin flips; the
+    # gate selects it automatically once the estimated input exceeds
+    # _LM2_PIN_MIN_BYTES (set above everything measured locally).
     uni = (docs.select(F.explode(toks).alias("w"))
                .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
+    size = _plan_size_bytes(docs)
+    if size is not None and size >= _LM2_PIN_MIN_BYTES:
+        uni = uni.localCheckpoint(eager=False)
     tot = uni.agg(F.sum("cu").alias("t"))
     big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     scored = (

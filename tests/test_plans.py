@@ -587,3 +587,20 @@ def test_lake_fanout_single_scan(spark, sf_dir):
     assert plan.count(") Exchange") == 1, \
         "expected exactly one shuffle (the keyed aggregate)"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lm2_vocab_pin_gated_on_input_size(spark, sf_dir, monkeypatch):
+    """lm_score_bigram's vocab localCheckpoint is a scale-side swap
+    behind a size gate (r16): small inputs keep the re-scan shape
+    (measured faster up to 1.5GB local), large inputs pin the
+    vocabulary-sized frame so the corpus is not re-tokenized per
+    consumer.  Pin the BRANCH SELECTION itself: below the gate the plan
+    has no RDD scan; with the gate forced low, the pinned vocab appears
+    as a Scan ExistingRDD."""
+    from neo_server_spark import io as nio
+    from neo_server_spark.datapipe import curate
+
+    docs = nio.load_table(spark, sf_dir, "documents")
+    assert "ExistingRDD" not in plan_of(curate.lm_score_bigram(docs))
+    monkeypatch.setattr(curate, "_LM2_PIN_MIN_BYTES", 1)
+    assert "ExistingRDD" in plan_of(curate.lm_score_bigram(docs))
