@@ -402,7 +402,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
 
 def simhash(docs: DataFrame, text_col: str = "text", out: str = "simhash",
             bits: int = 64, hash_fn: str = "xxhash64",
-            keep: list | None = None) -> DataFrame:
+            keep: list[str] | None = None) -> DataFrame:
     """64-bit SimHash over whitespace tokens.
 
     Each token votes its hash bit pattern; the signature bit is 1 where
@@ -442,8 +442,13 @@ def simhash(docs: DataFrame, text_col: str = "text", out: str = "simhash",
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     n_bits = bits
 
-    keep_cols = ([f.name for f in docs.schema.fields] if keep is None
-                 else list(keep))
+    keep_cols = list(dict.fromkeys(
+        [f.name for f in docs.schema.fields] if keep is None
+        else list(keep)))
+    if out in keep_cols:
+        raise ValueError(
+            f"out column {out!r} collides with a kept input column; "
+            f"rename one (keep={keep_cols})")
     docs = docs.select(*dict.fromkeys(keep_cols + [text_col]))
 
     # size-proportional widen (same heavier-work target as minhash: the

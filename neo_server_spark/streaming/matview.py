@@ -324,7 +324,9 @@ class MatView:
             # ONE n-ary union + ONE key-wise merge over all pending
             # chunk partials (plus the stored view's): the former
             # per-chunk pairwise merge built K-1 nested aggregations
-            # into every publish plan — same semigroup fold, flat
+            # into every publish plan — same semigroup fold, but the
+            # flat union keeps the publish plan depth O(1) instead of
+            # O(K)
             frames = list(pending)
             try:
                 prev = txlog.read_table(self.spark, self.view_table) \

@@ -348,9 +348,16 @@ def test_c4_and_winnow_and_entropy_are_scan_side(spark, sf_dir):
         assert "hashpartitioning" not in plan, plan[:2000]
         assert "rangepartitioning" not in plan, plan[:2000]
         assert "BroadcastExchange" not in plan, plan[:2000]
-        # every remaining exchange must be the round-robin widening
+        # every remaining exchange must be the round-robin widening:
+        # anchor each Exchange node's OWN Arguments line (a global
+        # substring count could be satisfied by a tree/details re-print
+        # without every exchange actually being round-robin)
+        ex_nodes = re.findall(r"\(\d+\) Exchange\n(?:(?!\(\d+\) )[^\n]*\n)*?"
+                              r"Arguments: ([^,\n]*)", plan)
         n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
-        assert n_ex == plan.count("RoundRobinPartitioning"), plan[:2000]
+        assert len(ex_nodes) == n_ex, plan[:2000]
+        for arg in ex_nodes:
+            assert arg.startswith("RoundRobinPartitioning"), (arg, plan[:2000])
 
 
 def test_dedup_lines_never_shuffles_text(spark, sf_dir):
